@@ -1,0 +1,107 @@
+"""Catalog over a directory of Parquet tables.
+
+Analog of the reference's table catalog (reference:
+src/Storages/IStorage.h — engine-backed schema'd tables); here a table
+is a Parquet path registered as a Spark temp view so both the DataFrame
+API and ``spark.sql`` can reach it. Filters/column pruning push down to
+the Parquet scan via Catalyst (the PREWHERE / primary-key-pruning
+analogs are free — see SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Parquet TIMESTAMP(NANOS) columns arrive as long (see session.py
+# nanosAsLong); convert to µs-precision timestamps, truncating exactly
+# like DuckDB does, so oracle comparisons line up.
+_NANOS_TS_COLUMNS = {"events": ("ts",)}
+
+
+def _normalize_nanos(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
+    """Cast known nanosecond-long columns to timestamps (µs truncation)."""
+    for field in df.schema.fields:
+        want = cols is not None and field.name in cols
+        auto = cols is None and field.name == "ts" and field.dataType.typeName() == "long"
+        if want or auto:
+            # integer div (not /): double division loses µs precision on
+            # epoch-nanos magnitudes.
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+    return df
+
+# The driver's synthetic star schema (TESTDATA.md / FIXTURES.md).
+STANDARD_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimension tables that should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+# Runtime-settable SQL confs the engine depends on.  Applied on
+# whatever session we're handed (the driver builds its own session and
+# passes it to __spark_entry__.entry, so build-time conf in session.py
+# is not guaranteed to be present).
+_RUNTIME_CONF = {
+    # events.ts is parquet TIMESTAMP(NANOS): Spark errors on it unless
+    # read as long (we then truncate to µs like DuckDB does).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic timestamp values for the DuckDB oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for the pandas-based pipeline operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable on this session build; assume preconfigured
+
+
+class Catalog:
+    """Lazily loads and registers the tables found in ``base_dir``."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self._cache: dict[str, DataFrame] = {}
+        apply_runtime_conf(spark)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            df = self.spark.read.parquet(self.path(name))
+            df = _normalize_nanos(df)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        # catalog.lineitem sugar; only for known tables to avoid
+        # swallowing attribute errors.
+        if name in STANDARD_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_all(self, tables: tuple[str, ...] = STANDARD_TABLES) -> None:
+        """Register every available table as a temp view for spark.sql."""
+        for name in tables:
+            if os.path.exists(self.path(name)):
+                self.table(name).createOrReplaceTempView(name)
+
+
+def load_catalog(spark: SparkSession, base_dir: str, register: bool = True) -> Catalog:
+    cat = Catalog(spark, base_dir)
+    if register:
+        cat.register_all()
+    return cat

@@ -1,0 +1,35 @@
+"""Relational operators the reference supports but Spark lacks natively.
+
+Each is expressed as a composition of DataFrame operations (SURVEY.md §2)
+so Catalyst still sees a declarative plan: pushdown, AQE and codegen all
+apply. Nothing here collects to the driver or loops per-row in Python.
+"""
+
+from clickhouse_core_spark.operators.joins import (
+    asof_join,
+    any_join,
+    array_join,
+    paste_join,
+)
+from clickhouse_core_spark.operators.aggregates import (
+    limit_by,
+    top_k,
+    with_totals,
+    group_array,
+    histogram,
+)
+from clickhouse_core_spark.operators.fill import with_fill
+from clickhouse_core_spark.operators.final import (
+    replacing_final,
+    summing_final,
+    collapsing_final,
+    versioned_collapsing_final,
+)
+
+__all__ = [
+    "asof_join", "any_join", "array_join", "paste_join",
+    "limit_by", "top_k", "with_totals", "group_array", "histogram",
+    "with_fill",
+    "replacing_final", "summing_final", "collapsing_final",
+    "versioned_collapsing_final",
+]

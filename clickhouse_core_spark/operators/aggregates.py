@@ -1,0 +1,158 @@
+"""Aggregation-adjacent operators missing from Spark's surface.
+
+Reference semantics: LIMIT BY (reference
+src/Processors/QueryPlan/LimitByStep.h:8), WITH TOTALS
+(src/Processors/Transforms/TotalsHavingTransform.h:22), topK
+(src/AggregateFunctions/AggregateFunctionTopK.h), groupArray
+(src/AggregateFunctions/AggregateFunctionGroupArray.h), histogram
+(src/AggregateFunctions/AggregateFunctionHistogram.h), sumMap
+(src/AggregateFunctions/AggregateFunctionSumMap.h).
+
+All are window/groupBy compositions — partial aggregation, spill and
+AQE apply as usual; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def limit_by(df: DataFrame, keys: Sequence[str], n: int,
+             order: Sequence[Column | str], offset: int = 0) -> DataFrame:
+    """LIMIT n BY keys — first ``n`` rows per key group (after ``offset``).
+
+    row_number over (keys, order): one shuffle on keys; the sort is
+    per-partition so it scales with the number of groups.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = (df.withColumn("__rn", F.row_number().over(w))
+           .filter((F.col("__rn") > offset) & (F.col("__rn") <= offset + n))
+           .drop("__rn"))
+    return out
+
+
+def limit_with_ties(df: DataFrame, n: int, order: Sequence[Column | str]) -> DataFrame:
+    """LIMIT n WITH TIES: keep rows ranking <= n including ties
+    (reference src/Processors/QueryPlan/LimitStep.h:16 with_ties)."""
+    w = Window.orderBy(*order)
+    return df.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") <= n).drop("__rk")
+
+
+def top_k(df: DataFrame, group: Sequence[str], value_col: str, k: int) -> DataFrame:
+    """topK(k)(value) per group: the k most frequent values.
+
+    Two-stage: count per (group, value) — map-side partial agg applies —
+    then rank within group.  Returns one row per group with an array
+    column ``topk`` ordered by descending frequency (value ascending as
+    tie-break, matching a deterministic contract the reference does not
+    guarantee).
+    """
+    group = list(group)
+    counted = df.groupBy(*group, value_col).agg(F.count("*").alias("__cnt"))
+    w = Window.partitionBy(*group).orderBy(F.col("__cnt").desc(), F.col(value_col))
+    return (counted.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .groupBy(*group)
+            .agg(F.collect_list(F.struct("__rk", value_col)).alias("__pairs"))
+            .withColumn("topk", F.transform(F.array_sort("__pairs"),
+                                            lambda s: s[value_col]))
+            .drop("__pairs"))
+
+
+def with_totals(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column],
+                totals_marker: str = "__totals") -> DataFrame:
+    """GROUP BY ... WITH TOTALS: regular grouped rows plus one grand-total
+    row where every key is NULL and ``totals_marker`` is true.
+
+    Implemented with ``rollup``-style union of a global aggregate —
+    Catalyst computes both branches from a shared scan, and the global
+    aggregate's shuffle is a single-row exchange.
+    """
+    keys = list(keys)
+    grouped = df.groupBy(*keys).agg(*aggs).withColumn(totals_marker, F.lit(False))
+    total = df.groupBy().agg(*aggs)
+    for k in keys:
+        total = total.withColumn(k, F.lit(None).cast(df.schema[k].dataType))
+    total = total.select(*grouped.columns[:-1]).withColumn(totals_marker, F.lit(True))
+    return grouped.unionByName(total)
+
+
+def group_array(df: DataFrame, keys: Sequence[str], value_col: str,
+                order: Sequence[Column | str] | None = None,
+                max_size: int | None = None,
+                alias: str = "group_array") -> DataFrame:
+    """groupArray / groupArraySorted: collect values per group into an
+    array, optionally sorted and truncated.
+
+    collect_list has nondeterministic order in a distributed shuffle, so
+    a deterministic contract needs the sort baked in: collect_list over
+    an ordered window (rows are fed to the frame in sort order), then
+    one row per group — the groupBy reuses the window's hash
+    partitioning on ``keys`` so no second shuffle.
+    """
+    keys = list(keys)
+    if order is None:
+        collected = df.groupBy(*keys).agg(F.collect_list(value_col).alias(alias))
+    else:
+        w = (Window.partitionBy(*keys).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        collected = (df.withColumn(alias, F.collect_list(value_col).over(w))
+                     .groupBy(*keys).agg(F.first(alias).alias(alias)))
+    if max_size is not None:
+        collected = collected.withColumn(alias, F.slice(alias, 1, max_size))
+    return collected
+
+
+def histogram(df: DataFrame, value_col: str, bins: int,
+              min_val: float | None = None, max_val: float | None = None) -> DataFrame:
+    """Fixed-bin histogram of a numeric column.
+
+    The reference's adaptive histogram (AggregateFunctionHistogram.h)
+    has merge-dependent bin placement; our contract is deterministic
+    equal-width bins via ``width_bucket``.  If bounds are not given they
+    are computed in a first pass (cheap single-row aggregate).
+    Returns (bucket, lo, hi, cnt).
+    """
+    if min_val is None or max_val is None:
+        row = df.agg(F.min(value_col).alias("mn"), F.max(value_col).alias("mx")).first()
+        min_val = float(row["mn"]) if min_val is None else min_val
+        max_val = float(row["mx"]) if max_val is None else max_val
+    span = (max_val - min_val) or 1.0
+    bucket = F.least(F.width_bucket(F.col(value_col), F.lit(min_val), F.lit(max_val),
+                                    F.lit(bins)), F.lit(bins))
+    width = span / bins
+    return (df.withColumn("bucket", bucket)
+            .groupBy("bucket").agg(F.count("*").alias("cnt"))
+            .withColumn("lo", F.lit(min_val) + (F.col("bucket") - 1) * F.lit(width))
+            .withColumn("hi", F.lit(min_val) + F.col("bucket") * F.lit(width))
+            .select("bucket", "lo", "hi", "cnt"))
+
+
+def sum_map(df: DataFrame, keys: Sequence[str], map_col: str,
+            alias: str = "sum_map") -> DataFrame:
+    """sumMap: element-wise sum of map values per group
+    (reference src/AggregateFunctions/AggregateFunctionSumMap.h).
+
+    explode → groupBy(key, map_key) partial-aggregates map-side, then the
+    maps are reassembled with map_from_entries — two shuffles total but
+    each fully parallel; no skew beyond the key distribution itself.
+    """
+    keys = list(keys)
+    exploded = df.select(*keys, F.explode(map_col).alias("__mk", "__mv"))
+    summed = exploded.groupBy(*keys, "__mk").agg(F.sum("__mv").alias("__sv"))
+    return (summed.groupBy(*keys)
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__mk", "__sv")))).alias(alias)))
+
+
+def arg_min(value: Column | str, by: Column | str) -> Column:
+    """argMin(value, by) → Spark min_by (same semantics)."""
+    return F.min_by(value, by)
+
+
+def arg_max(value: Column | str, by: Column | str) -> Column:
+    """argMax(value, by) → Spark max_by."""
+    return F.max_by(value, by)

@@ -1,0 +1,68 @@
+"""ORDER BY ... WITH FILL (+ INTERPOLATE).
+
+Reference: src/Processors/Transforms/FillingTransform.h:19 (893 LoC of
+corner cases — FROM/TO/STEP bounds, multi-column fills, INTERPOLATE
+expressions).  Spark-first rewrite:
+
+    bounds → sequence() → explode → left-anti-aware left join → window
+    last(ignorenulls) for INTERPOLATE.
+
+The generated spine is tiny relative to data (one row per step), and the
+join on the fill column is a normal equi-join Catalyst can broadcast when
+the spine is small — which it essentially always is.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_fill(
+    df: DataFrame,
+    fill_col: str,
+    step: int | float | str = 1,
+    from_val=None,
+    to_val=None,
+    partition: Sequence[str] = (),
+    interpolate: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Fill missing values of ``fill_col`` in an arithmetic progression.
+
+    ``step`` is numeric for numeric fill columns, or an interval string
+    (e.g. ``'1 day'``) for date/timestamp columns.  ``from_val``/``to_val``
+    default to the observed min/max (per partition when ``partition``
+    given).  ``interpolate`` maps column → strategy, currently
+    ``'prev'`` (last non-null previous value, the reference's default
+    INTERPOLATE behavior for a bare column).
+
+    Missing rows carry NULL in all non-interpolated columns.
+    """
+    partition = list(partition)
+    is_interval = isinstance(step, str)
+    step_expr = F.expr(f"interval {step}") if is_interval else F.lit(step)
+
+    # Per-partition (or global) bounds.
+    bounds = (df.groupBy(*partition) if partition else df.groupBy()).agg(
+        F.min(fill_col).alias("__lo"), F.max(fill_col).alias("__hi"))
+    if from_val is not None:
+        bounds = bounds.withColumn("__lo", F.lit(from_val).cast(df.schema[fill_col].dataType))
+    if to_val is not None:
+        bounds = bounds.withColumn("__hi", F.lit(to_val).cast(df.schema[fill_col].dataType))
+
+    spine = bounds.select(
+        *partition,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step_expr)).alias(fill_col))
+
+    joined = spine.join(df, on=partition + [fill_col], how="left")
+
+    if interpolate:
+        w = (Window.partitionBy(*partition) if partition else Window.partitionBy(F.lit(1)))
+        w = w.orderBy(fill_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        for col, how in interpolate.items():
+            if how != "prev":
+                raise NotImplementedError(f"interpolate strategy {how!r}")
+            joined = joined.withColumn(col, F.last(col, ignorenulls=True).over(w))
+    return joined.orderBy(*partition, fill_col)

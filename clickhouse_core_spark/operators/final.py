@@ -1,0 +1,92 @@
+"""FINAL / MergeTree-engine-variant semantics as read-time view rewrites.
+
+The reference merges parts lazily in the background and offers ``FINAL``
+to get fully-merged semantics at read time, with per-engine merge rules
+(reference src/Processors/Merges/ReplacingSortedTransform.h:15,
+SummingSortedTransform.h:15, CollapsingSortedTransform.h:15,
+VersionedCollapsingTransform.h:15; engines registered in
+src/Storages/MergeTree/registerStorageMergeTree.cpp:931-937).
+
+On Spark the storage is immutable Parquet, so FINAL is a *view rewrite*
+over the raw appended rows — each a single shuffle on the sort key, with
+partial aggregation where applicable.  The same rewrites double as the
+compaction job's transformation (sources/mergetree.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def replacing_final(df: DataFrame, keys: Sequence[str],
+                    version: str | None = None) -> DataFrame:
+    """ReplacingMergeTree FINAL: keep one row per key — the one with the
+    greatest ``version`` (or an arbitrary-but-deterministic last row when
+    no version column is declared)."""
+    keys = list(keys)
+    order = [F.col(version).desc()] if version else [F.lit(1)]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def summing_final(df: DataFrame, keys: Sequence[str],
+                  sum_cols: Sequence[str] | None = None) -> DataFrame:
+    """SummingMergeTree FINAL: sum all numeric non-key columns per key;
+    non-numeric, non-key columns take an arbitrary (first) value."""
+    keys = list(keys)
+    numeric = set(sum_cols) if sum_cols is not None else {
+        f.name for f in df.schema.fields
+        if f.name not in keys and f.dataType.typeName() in
+        ("long", "integer", "short", "byte", "double", "float", "decimal")}
+    aggs = []
+    for f_ in df.schema.fields:
+        if f_.name in keys:
+            continue
+        if f_.name in numeric:
+            aggs.append(F.sum(f_.name).alias(f_.name))
+        else:
+            aggs.append(F.first(f_.name).alias(f_.name))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
+                     order_col: str | None = None) -> DataFrame:
+    """CollapsingMergeTree FINAL: rows carry sign=+1 (state) / -1
+    (cancel); pairs cancel out, and a key survives only if the signs
+    don't fully cancel.  The surviving row is the latest +1 state —
+    "latest" per ``order_col`` when given (the reference uses physical
+    insert order, which has no distributed analog), else an arbitrary
+    deterministic +1 row.
+
+    GroupBy-sum of the sign plus max_by for the surviving values — one
+    shuffle, map-side partial aggregation."""
+    keys = list(keys)
+    value_cols = [c for c in df.columns if c not in keys and c != sign]
+    rank = F.col(order_col) if order_col else F.lit(1)
+    aggs = [F.sum(sign).alias("__sign_sum")]
+    for c in value_cols:
+        # surviving state = values of the max-rank +1 row; NULL rank for
+        # cancel rows keeps them out of max_by consideration.
+        aggs.append(F.max_by(c, F.when(F.col(sign) == 1, rank)).alias(c))
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.filter(F.col("__sign_sum") > 0).drop("__sign_sum")
+
+
+def versioned_collapsing_final(df: DataFrame, keys: Sequence[str],
+                               sign: str, version: str) -> DataFrame:
+    """VersionedCollapsingMergeTree FINAL: like collapsing but pairs
+    cancel per version; the surviving row is the +1 state with the
+    highest version whose cancel has not arrived."""
+    keys = list(keys)
+    per_version = (df.groupBy(*keys, version)
+                   .agg(F.sum(sign).alias("__s"),
+                        *[F.max_by(c, F.when(F.col(sign) == 1, F.col(sign))).alias(c)
+                          for c in df.columns if c not in keys and c not in (sign, version)]))
+    alive = per_version.filter(F.col("__s") > 0).drop("__s")
+    w = Window.partitionBy(*keys).orderBy(F.col(version).desc())
+    return (alive.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))

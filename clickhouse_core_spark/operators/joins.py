@@ -1,0 +1,203 @@
+"""Join variants beyond Spark's native kinds.
+
+Reference semantics: join kinds/strictness in
+reference src/Core/Joins.h:12-56 (Inner/Left/Right/Full/Cross +
+All/Any/Asof/Semi/Anti), ASOF sorted-lookup in
+reference src/Interpreters/RowRefs.h:172-173, ARRAY JOIN in
+reference src/Interpreters/ArrayJoinAction.h, PasteJoin in
+reference src/Interpreters/PasteJoin.h:20.
+
+Spark-first implementations:
+
+- ``asof_join``: union + window ``last(ignorenulls)`` rewrite — a single
+  shuffle on the equi-keys, scales to arbitrarily large both-sides (no
+  pandas ``merge_asof``, no broadcast requirement, no per-group driver
+  loop). Handles all four inequalities (>=, >, <=, <).
+- ``any_join``: right side deduplicated to one row per key with a
+  deterministic tie-break, then a plain equi-join.
+- ``array_join``: explode / explode_outer (+ positions) over one or more
+  parallel arrays — reference ARRAY JOIN semantics including the LEFT
+  variant that keeps empty arrays.
+- ``paste_join``: positional join via row_number over an explicit sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_ASOF_INEQUALITIES = (">=", ">", "<=", "<")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    inequality: str = ">=",
+    right_values: Sequence[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """ASOF join: for each left row, the single right row with the same
+    equi-keys and the nearest ``right_ts`` satisfying
+    ``left_ts <inequality> right_ts``.
+
+    Implementation (scale-first): tag both sides, union, and take a
+    running ``last(..., ignorenulls=True)`` over a window partitioned by
+    the equi-keys and ordered by (ts, side).  One shuffle on ``on``;
+    no assumption that either side fits in memory.  For ``<=``/``<``
+    (nearest *future* right row) the ordering is reversed instead of
+    negating timestamps, so the same machinery serves all four
+    inequalities.
+
+    ``how``: 'inner' drops left rows with no match, 'left' keeps them
+    with nulls (reference ASOF LEFT JOIN).
+    """
+    if inequality not in _ASOF_INEQUALITIES:
+        raise ValueError(f"inequality must be one of {_ASOF_INEQUALITIES}")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+    right_ts = right_ts or left_ts
+    on = list(on)
+    if right_values is None:
+        right_values = [c for c in right.columns if c not in on and c != right_ts]
+
+    backward = inequality in (">=", ">")   # nearest right at-or-before left
+    strict = inequality in (">", "<")
+
+    # Side tag: the right row must sort BEFORE the left row at equal ts
+    # for the inclusive variants (so it is visible in the running
+    # last()), and AFTER it for strict variants (so it is not).
+    right_side = 0 if not strict else 2
+    LEFT_SIDE = 1
+
+    ts_out = "__asof_ts"
+    rows = []
+    l_tagged = left.withColumn(ts_out, F.col(left_ts)).withColumn("__side", F.lit(LEFT_SIDE))
+    for v in right_values:
+        l_tagged = l_tagged.withColumn(f"__r_{v}", F.lit(None).cast(right.schema[v].dataType))
+    rows.append(l_tagged.select(*on, ts_out, "__side",
+                                *[c for c in left.columns if c not in on],
+                                *[f"__r_{v}" for v in right_values]))
+
+    r_tagged = right.withColumn(ts_out, F.col(right_ts)).withColumn("__side", F.lit(right_side))
+    for c in left.columns:
+        if c not in on:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for v in right_values:
+        r_tagged = r_tagged.withColumn(f"__r_{v}", F.col(v))
+    rows.append(r_tagged.select(*on, ts_out, "__side",
+                                *[c for c in left.columns if c not in on],
+                                *[f"__r_{v}" for v in right_values]))
+
+    unioned = rows[0].unionByName(rows[1])
+
+    order = [F.col(ts_out), F.col("__side")]
+    if not backward:
+        order = [F.col(ts_out).desc(), F.col("__side")]
+    w = (Window.partitionBy(*on).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    matched = unioned
+    for v in right_values:
+        matched = matched.withColumn(f"__r_{v}", F.last(f"__r_{v}", ignorenulls=True).over(w))
+
+    out = (matched.filter(F.col("__side") == LEFT_SIDE)
+           .drop("__side", ts_out))
+    for v in right_values:
+        out = out.withColumnRenamed(f"__r_{v}", v)
+    if how == "inner":
+        # A left row with no visible right row has all-null right values.
+        cond = None
+        for v in right_values:
+            c = F.col(v).isNotNull()
+            cond = c if cond is None else (cond | c)
+        if cond is not None:
+            out = out.filter(cond)
+    return out
+
+
+def any_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    tie_break: Sequence[Column | str] | None = None,
+) -> DataFrame:
+    """ANY-strictness join: at most one right row per key
+    (reference src/Core/Joins.h:47-48).
+
+    The right side is deduplicated with ``row_number() == 1`` over the
+    key partition before the join, which keeps the join itself a plain
+    (broadcast-able) equi-join.  ``tie_break`` orders candidates; default
+    is the right side's natural column order for determinism.
+    """
+    on = list(on)
+    order = list(tie_break) if tie_break else [c for c in right.columns if c not in on]
+    w = Window.partitionBy(*on).orderBy(*order)
+    deduped = (right.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") == 1).drop("__rn"))
+    return left.join(deduped, on=on, how=how)
+
+
+def array_join(
+    df: DataFrame,
+    array_cols: Sequence[str],
+    left: bool = False,
+    with_position: bool = False,
+    position_name: str = "pos",
+) -> DataFrame:
+    """ARRAY JOIN: unnest one or more parallel array columns into rows
+    (reference src/Interpreters/ArrayJoinAction.h; LEFT variant keeps
+    rows with empty arrays as a single null row).
+
+    Multiple columns are zipped positionally (reference semantics for
+    ``ARRAY JOIN a, b``), via ``arrays_zip`` + one explode, so the plan
+    stays a single Generate node.
+    """
+    array_cols = list(array_cols)
+    if len(array_cols) == 1:
+        zipped = F.col(array_cols[0])
+    else:
+        zipped = F.arrays_zip(*[F.col(c) for c in array_cols])
+    gen = F.posexplode_outer(zipped) if left else F.posexplode(zipped)
+    other = [c for c in df.columns if c not in array_cols]
+    out = df.select(*other, gen.alias(position_name, "__zipped"))
+    if len(array_cols) == 1:
+        out = out.withColumnRenamed("__zipped", array_cols[0])
+    else:
+        for c in array_cols:
+            out = out.withColumn(c, F.col(f"__zipped.{c}"))
+        out = out.drop("__zipped")
+    if not with_position:
+        out = out.drop(position_name)
+    return out
+
+
+def paste_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[Column | str],
+    right_order: Sequence[Column | str],
+) -> DataFrame:
+    """PASTE JOIN: positional (row-number) join with no condition
+    (reference src/Interpreters/PasteJoin.h:20).
+
+    Positional semantics require a total order; callers must supply the
+    sort for each side (the reference relies on physical block order,
+    which has no distributed analog).  Implemented as row_number over a
+    global window + equi-join on the row number; fine for the moderate
+    result sets PASTE JOIN is used for, but inherently a single-partition
+    sort — documented limitation.
+    """
+    wl = Window.orderBy(*left_order)
+    wr = Window.orderBy(*right_order)
+    l_num = left.withColumn("__rn", F.row_number().over(wl))
+    r_num = right.withColumn("__rn", F.row_number().over(wr))
+    dup = [c for c in r_num.columns if c in l_num.columns and c != "__rn"]
+    for c in dup:
+        r_num = r_num.withColumnRenamed(c, f"{c}_r")
+    return l_num.join(r_num, on="__rn", how="inner").drop("__rn")

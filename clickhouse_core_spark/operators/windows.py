@@ -1,0 +1,95 @@
+"""Window-function extensions.
+
+Reference: WindowTransform.cpp registers non-SQL-standard window
+functions — nonNegativeDerivative (reference
+src/Processors/Transforms/WindowTransform.cpp:2569), the
+exponentialTimeDecayed{Sum,Max,Count,Avg} family (:1617,1714,1789,1874),
+lagInFrame/leadInFrame (:2269).  All are expressed as compositions of
+Spark window expressions so they stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def non_negative_derivative(value: Column | str, ts: Column | str,
+                            w: WindowSpec, per_seconds: float = 1.0) -> Column:
+    """(value - lag(value)) / (ts - lag(ts)) scaled to ``per_seconds``,
+    clamped at 0; 0.0 for the first row of each partition (reference
+    WindowTransform.cpp:2569 emits the default value when no prior row)."""
+    value = F.col(value) if isinstance(value, str) else value
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    dv = value - F.lag(value).over(w)
+    dt = ts.cast("double") - F.lag(ts.cast("double")).over(w)
+    deriv = F.when(dt > 0, F.greatest(dv / dt * F.lit(per_seconds), F.lit(0.0)))
+    return F.coalesce(deriv, F.lit(0.0))
+
+
+def _decay_parts(value: Column, ts: Column, decay_seconds: float,
+                 w: WindowSpec):
+    """Shared machinery for the exponentialTimeDecayed* family.
+
+    S(t_i) = sum_j v_j * exp(-(t_i - t_j)/lambda) over the frame
+           = exp(-t_i'/lambda) * sum_j v_j * exp(t_j'/lambda)
+
+    with t' = t - first(t) over the partition to keep exp() in range
+    (epoch seconds would overflow double).  This keeps the whole
+    computation in built-in expressions — no pandas UDF, no per-row
+    Python — at the cost of requiring the partition's time span to be
+    << lambda * 700 (exp double overflow), which holds for any real
+    decay window.
+    """
+    t = ts.cast("double")
+    t0 = F.first(t).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    rel = t - t0
+    weight = F.exp(rel / F.lit(decay_seconds))
+    return rel, weight
+
+
+def exponential_time_decayed_sum(value: Column | str, ts: Column | str,
+                                 decay_seconds: float, w: WindowSpec) -> Column:
+    value = F.col(value) if isinstance(value, str) else value
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rel, weight = _decay_parts(value, ts, decay_seconds, w)
+    return F.sum(value * weight).over(frame) / F.exp(rel / F.lit(decay_seconds))
+
+
+def exponential_time_decayed_count(ts: Column | str, decay_seconds: float,
+                                   w: WindowSpec) -> Column:
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    return exponential_time_decayed_sum(F.lit(1.0), ts, decay_seconds, w)
+
+
+def exponential_time_decayed_avg(value: Column | str, ts: Column | str,
+                                 decay_seconds: float, w: WindowSpec) -> Column:
+    value = F.col(value) if isinstance(value, str) else value
+    num = exponential_time_decayed_sum(value, ts, decay_seconds, w)
+    den = exponential_time_decayed_count(ts, decay_seconds, w)
+    return num / den
+
+
+def exponential_time_decayed_max(value: Column | str, ts: Column | str,
+                                 decay_seconds: float, w: WindowSpec) -> Column:
+    """max_j v_j * exp(-(t_i-t_j)/lambda) — same normalization trick."""
+    value = F.col(value) if isinstance(value, str) else value
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rel, weight = _decay_parts(value, ts, decay_seconds, w)
+    return F.max(value * weight).over(frame) / F.exp(rel / F.lit(decay_seconds))
+
+
+def lag_in_frame(value: Column | str, offset: int, w: WindowSpec) -> Column:
+    """lagInFrame: like lag but clamped to the frame — emulated with
+    nth-from-end over a rows frame."""
+    value = F.col(value) if isinstance(value, str) else value
+    return F.first(value).over(w.rowsBetween(-offset, -offset))
+
+
+def lead_in_frame(value: Column | str, offset: int, w: WindowSpec) -> Column:
+    value = F.col(value) if isinstance(value, str) else value
+    return F.first(value).over(w.rowsBetween(offset, offset))

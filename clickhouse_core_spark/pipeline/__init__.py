@@ -1,0 +1,37 @@
+"""Large-scale training-data pipeline operators.
+
+Beyond the reference's own operator inventory: deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+search over embedding columns, text analysis (language id, quality
+scoring, token counting, fingerprinting) and multimodal binary-column
+plumbing.  All designed shuffle-light for the 100 TB case: banding/LSH
+turns all-pairs comparison into equi-joins on bucket keys; candidate
+verification happens only within buckets.
+"""
+
+from clickhouse_core_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_dedup,
+    simhash_dedup,
+    ngram_jaccard_pairs,
+)
+from clickhouse_core_spark.pipeline.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_ann_topk,
+)
+from clickhouse_core_spark.pipeline.text import (
+    with_token_count,
+    with_quality_score,
+    with_language_id,
+    with_fingerprint,
+)
+
+__all__ = [
+    "exact_dedup", "minhash_signatures", "minhash_lsh_dedup",
+    "simhash_dedup", "ngram_jaccard_pairs",
+    "cosine_topk", "embedding_near_duplicates", "lsh_ann_topk",
+    "with_token_count", "with_quality_score", "with_language_id",
+    "with_fingerprint",
+]

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The Spark-side contract is real and tested — schema, Arrow-batched
+mapInPandas pipeline shape, partitioning; the actual codec calls are
+stubbed (decode libs are not in this container) behind
+``DETERMINISTIC_FAKE`` so the distributed plumbing can be exercised
+end-to-end with stable outputs.
+
+Schema convention:
+    content:   binary                  (the raw bytes)
+    media:     struct<kind:string, mime:string, width:int, height:int,
+                      duration_ms:bigint>
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_STRUCT = StructType([
+    StructField("kind", StringType()),
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+# When True, decode_images/extract_features return deterministic fakes
+# derived from the byte content instead of raising; flip to False in an
+# environment with real codec libraries.
+DETERMINISTIC_FAKE = True
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic pseudo-dimensions from content bytes."""
+    h = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    return 16 + (h % 1024), 16 + ((h >> 10) % 1024)
+
+
+def decode_images(df: DataFrame, content_col: str = "content",
+                  out_prefix: str = "img") -> DataFrame:
+    """Decode image binaries to (width, height, n_pixels) metadata via
+    an Arrow-batched mapInPandas pass — batch shape and schema are the
+    production contract; the decode itself is stubbed.
+
+    Real implementation would call PIL/turbojpeg per batch here.
+    """
+    out_schema = StructType(df.schema.fields + [
+        StructField(f"{out_prefix}_width", IntegerType()),
+        StructField(f"{out_prefix}_height", IntegerType()),
+        StructField(f"{out_prefix}_pixels", LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not DETERMINISTIC_FAKE:
+                raise NotImplementedError("image codecs unavailable in this container")
+            dims = [_fake_dims(bytes(b)) if b is not None else (0, 0)
+                    for b in pdf[content_col]]
+            pdf[f"{out_prefix}_width"] = np.array([d[0] for d in dims], dtype=np.int32)
+            pdf[f"{out_prefix}_height"] = np.array([d[1] for d in dims], dtype=np.int32)
+            pdf[f"{out_prefix}_pixels"] = (
+                pdf[f"{out_prefix}_width"].astype(np.int64)
+                * pdf[f"{out_prefix}_height"].astype(np.int64))
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def extract_features(df: DataFrame, content_col: str = "content",
+                     dim: int = 8, out_col: str = "features") -> DataFrame:
+    """Feature-extraction stub: deterministic pseudo-embedding of the
+    binary content (real impl: a vision/audio encoder per Arrow batch).
+    Output is array<float> of ``dim`` — matches the embeddings table
+    contract so downstream similarity ops compose."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    out_schema = StructType(df.schema.fields + [
+        StructField(out_col, ArrayType(FloatType()))])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not DETERMINISTIC_FAKE:
+                raise NotImplementedError("feature encoders unavailable in this container")
+            feats = []
+            for b in pdf[content_col]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                seed = int.from_bytes(bytes(b)[:8].ljust(8, b"\0"), "little") % (2**32)
+                rng = np.random.RandomState(seed)
+                feats.append(rng.standard_normal(dim).astype(np.float32).tolist())
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, content_col: str = "content",
+                  every_ms: int = 1000, out_col: str = "frame_offsets_ms") -> DataFrame:
+    """Frame-sampling plan for video binaries: emits the sampled frame
+    timestamps from the (stubbed) duration; the real implementation
+    would decode keyframes per batch.  Pure built-in expressions."""
+    duration = (F.length(F.col(content_col)).cast("long") * 10)  # fake: 10ms/byte
+    return df.withColumn(
+        out_col, F.sequence(F.lit(0), duration, F.lit(int(every_ms))))

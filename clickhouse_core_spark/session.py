@@ -1,0 +1,69 @@
+"""SparkSession bootstrap with scale-oriented defaults.
+
+The reference engine gets vectorized execution, spill-aware operators and
+two-stage distributed aggregation from its own runtime
+(reference: src/Processors/Executors/PipelineExecutor.cpp,
+src/Interpreters/Aggregator.h); on Spark those come from Tungsten +
+AQE — our job is only to configure them well.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for the local[32] test harness; on a real cluster the
+# same knobs scale out (AQE coalesces/splits partitions at runtime, so a
+# static shuffle.partitions is only the pre-AQE upper bound).
+_DEFAULT_CONF = {
+    # Adaptive execution: runtime re-planning, skew-join splitting and
+    # small-partition coalescing — the moral equivalent of the
+    # reference's JoinSwitcher + two-level aggregation fallbacks.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Upper bound pre-AQE; at 100 TB you would raise this to ~2000-4000
+    # (or let adaptive.coalescePartitions pick from
+    # spark.sql.adaptive.coalescePartitions.initialPartitionNum).
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    # Broadcast threshold: dimension tables (region/nation/customer-ish)
+    # should broadcast; AQE also converts to broadcast at runtime.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Deterministic timestamp semantics for oracle comparison.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for any pandas interchange (pipeline operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Parquet: vectorized reader + pushdown are on by default; keep
+    # split size moderate so local[32] parallelizes small test files.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Parquet TIMESTAMP(NANOS) (events.ts) → read as long; the catalog
+    # converts to µs timestamps (matching DuckDB's truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # ANSI off: the reference's SQL dialect is permissive (overflow
+    # wraps, bad casts -> NULL via *OrNull variants).
+    "spark.sql.ansi.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "clickhouse_core_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster leave it None and let spark-submit decide.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,66 @@
+"""Operator tests: WITH FILL (§2.6) and FINAL engine rewrites (§4.3)."""
+
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.operators import (
+    with_fill, replacing_final, summing_final, collapsing_final,
+    versioned_collapsing_final,
+)
+
+
+def test_with_fill_numeric(spark):
+    df = spark.createDataFrame([(1, 10.0), (4, 40.0)], "x int, v double")
+    out = with_fill(df, "x", step=1).collect()
+    assert [r.x for r in out] == [1, 2, 3, 4]
+    assert [r.v for r in out] == [10.0, None, None, 40.0]
+
+
+def test_with_fill_bounds_and_interpolate(spark):
+    df = spark.createDataFrame([(2, 20.0), (5, 50.0)], "x int, v double")
+    out = with_fill(df, "x", step=1, from_val=1, to_val=6,
+                    interpolate={"v": "prev"}).collect()
+    assert [r.x for r in out] == [1, 2, 3, 4, 5, 6]
+    assert [r.v for r in out] == [None, 20.0, 20.0, 20.0, 50.0, 50.0]
+
+
+def test_with_fill_partitioned(spark):
+    df = spark.createDataFrame([("a", 1, 1.0), ("a", 3, 3.0), ("b", 7, 7.0)],
+                               "g string, x int, v double")
+    out = with_fill(df, "x", step=1, partition=["g"]).collect()
+    a = [(r.x, r.v) for r in out if r.g == "a"]
+    b = [(r.x, r.v) for r in out if r.g == "b"]
+    assert a == [(1, 1.0), (2, None), (3, 3.0)] and b == [(7, 7.0)]
+
+
+def test_replacing_final(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 5, "only")], "k int, ver int, s string")
+    out = replacing_final(df, ["k"], version="ver").collect()
+    assert {(r.k, r.s) for r in out} == {(1, "new"), (2, "only")}
+
+
+def test_summing_final(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, 5, "y"), (2, 1, "z")], "k int, v int, tag string")
+    out = summing_final(df, ["k"]).collect()
+    got = {(r.k, r.v) for r in out}
+    assert got == {(1, 15), (2, 1)}
+
+
+def test_collapsing_final(spark):
+    # key 1: state +1 then cancel -1 then new state +1 -> survives with last value
+    # key 2: state +1 cancelled -> gone
+    df = spark.createDataFrame(
+        [(1, 1, 1, 100.0), (1, 2, -1, 100.0), (1, 3, 1, 200.0),
+         (2, 4, 1, 50.0), (2, 5, -1, 50.0)],
+        "k int, seq int, sign int, v double")
+    out = collapsing_final(df, ["k"], sign="sign", order_col="seq").collect()
+    assert {(r.k, r.v) for r in out} == {(1, 200.0)}
+
+
+def test_versioned_collapsing_final(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1, 10.0), (1, 1, -1, 10.0), (1, 2, 1, 20.0)],
+        "k int, ver int, sign int, v double")
+    out = versioned_collapsing_final(df, ["k"], sign="sign", version="ver").collect()
+    assert [(r.k, r.ver, r.v) for r in out] == [(1, 2, 20.0)]

@@ -1,0 +1,130 @@
+"""Tests for the training-data pipeline operators (dedup, similarity,
+text, multimodal plumbing)."""
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.pipeline import (
+    exact_dedup, minhash_lsh_dedup, simhash_dedup, ngram_jaccard_pairs,
+    cosine_topk, lsh_ann_topk,
+    with_token_count, with_quality_score, with_language_id, with_fingerprint,
+)
+from clickhouse_core_spark.pipeline.multimodal import (
+    decode_images, extract_features, sample_frames,
+)
+
+DOC = ("the quick brown fox jumps over the lazy dog and then runs far away "
+       "into the deep green forest to find some food for the long cold winter")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark):
+    df = _docs(spark, [(1, "Hello,  World!"), (2, "hello world"), (3, "other")])
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert kept == [1, 3]
+
+
+def test_minhash_lsh_dedup_finds_near_dups(spark):
+    near = DOC.replace("quick", "fast")  # 1-word change = high jaccard
+    df = _docs(spark, [(1, DOC), (2, near), (3, "completely different text "
+                                                "about spark query engines and joins")])
+    kept = sorted(r.doc_id for r in
+                  minhash_lsh_dedup(df, num_hashes=32, bands=16,
+                                    jaccard_threshold=0.5).collect())
+    assert kept == [1, 3]
+
+
+def test_simhash_dedup_finds_near_dups(spark):
+    near = DOC.replace("quick", "fast")
+    df = _docs(spark, [(1, DOC), (2, near),
+                       (3, "completely different text about query engines")])
+    kept = sorted(r.doc_id for r in
+                  simhash_dedup(df, hamming_threshold=10).collect())
+    assert 2 not in kept and 1 in kept and 3 in kept
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = _docs(spark, [(1, DOC), (2, DOC + " extra"), (3, "zzz qqq xxx")])
+    pairs = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    assert all(0.5 <= p.jaccard <= 1.0 for p in pairs)
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    q = [float(x) for x in rng.standard_normal(8)]
+    got = [r.vec_id for r in cosine_topk(df, q, 5).collect()]
+    sims = vecs @ np.array(q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    want = list(np.argsort(-sims)[:5])
+    assert got == want
+
+
+def test_lsh_ann_returns_bucket_subset(spark):
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((100, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<double>")
+    q = [float(x) for x in vecs[7]]  # query = an existing vector
+    got = [r.vec_id for r in lsh_ann_topk(df, q, 5, bits=4).collect()]
+    assert 7 in got  # identical vector always lands in the query's bucket
+
+
+def test_token_count(spark):
+    df = _docs(spark, [(1, "one two  three"), (2, ""), (3, "  ")])
+    out = {r.doc_id: r.token_count for r in with_token_count(df).collect()}
+    assert out == {1: 3, 2: 0, 3: 0}
+
+
+def test_quality_score_range_and_ordering(spark):
+    df = _docs(spark, [(1, DOC), (2, "x@@@@ ###")])
+    out = {r.doc_id: r.quality for r in with_quality_score(df).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_language_id(spark):
+    df = _docs(spark, [
+        (1, "the cat and the dog sat in the garden with it"),
+        (2, "el perro y la casa de la madre en los campos"),
+        (3, "der hund und die katze ist von den bergen"),
+        (4, "zzz qqq"),
+    ])
+    out = {r.doc_id: r.lang_pred for r in with_language_id(df).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "und"
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = _docs(spark, [(1, "Hello,  World!"), (2, "hello world"), (3, "bye")])
+    out = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert out[1] == out[2] != out[3]
+
+
+def test_multimodal_decode_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x02\x03\x04\x05\x06\x07\x08payload")),
+         (2, bytearray(b"\xff" * 32))],
+        "id long, content binary")
+    out = {r.id: (r.img_width, r.img_height, r.img_pixels)
+           for r in decode_images(df).collect()}
+    assert all(w >= 16 and h >= 16 and p == w * h for (w, h, p) in out.values())
+    # deterministic: same content -> same dims
+    again = {r.id: (r.img_width, r.img_height, r.img_pixels)
+             for r in decode_images(df).collect()}
+    assert out == again
+
+
+def test_multimodal_features_and_frames(spark):
+    df = spark.createDataFrame([(1, bytearray(b"abcdefgh" * 10))],
+                               "id long, content binary")
+    feats = extract_features(df, dim=4).collect()[0].features
+    assert len(feats) == 4
+    frames = sample_frames(df, every_ms=100).collect()[0].frame_offsets_ms
+    assert frames[0] == 0 and len(frames) > 1
