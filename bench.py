@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed as a full cold run (plan + execute + collect);
+a warm-up query first absorbs JVM/codegen startup so numbers reflect
+steady-state execution, which is what scales to a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from clickhouse_core_spark import get_spark  # noqa: E402
+
+# Headline set: TPC-H core (scan/filter/join/agg/sort), each operator
+# family once, and the scale-relevant pipeline ops.  Quadratic-ish
+# pair-enumeration ops (ngram_jaccard_pairs, embedding_block_pairs) are
+# excluded — they are correctness features, not throughput headliners.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "join_asof_backward",
+    "join_any_left",
+    "agg_stats",
+    "agg_rollup",
+    "agg_topk",
+    "win_rank_family",
+    "win_frames_rows",
+    "limit_by_group",
+    "final_replacing",
+    "setop_union_all",
+    "stream_tumble_1h",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_count",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_mod.queries()
+    # Warm-up: JVM + codegen + parquet footer reads.
+    queries["q6_forecast_revenue"](spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count() if name.startswith(("dedup", "text")) else len(df.collect())
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({"metric": "headline_total", "value": total,
+                      "unit": "sec", "queries": per_query,
+                      "sf": float(sf)}))
+
+
+if __name__ == "__main__":
+    main()
