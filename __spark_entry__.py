@@ -229,6 +229,354 @@ def q18(spark, sf_dir):
             .limit(20))
 
 
+# ------------------------------------------------- TPC-H extended shapes
+# Remaining TPC-H query patterns adapted to the driver schema (no
+# partsupp / l_commitdate / l_receiptdate columns — the *shapes* are
+# preserved: EXISTS / NOT EXISTS, correlated scalar subqueries
+# (decorrelated into joins), left-join distributions, view+argmax).
+# Reference coverage model: tests/queries/0_stateless/01095_tpch_like_smoke.sql
+
+
+@q("q4_order_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def q4(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    o = c.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    # EXISTS with a correlated non-equi condition -> left_semi join
+    return (o.join(c.lineitem,
+                   (F.col("l_orderkey") == F.col("o_orderkey"))
+                   & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@q("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31') shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q7(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    n1 = c.nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = c.nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    return (c.supplier
+            .join(c.lineitem.filter(
+                F.col("l_shipdate").between("1995-01-01", "1996-12-31 00:00:00")),
+                F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(c.customer, F.col("c_custkey") == F.col("o_custkey"))
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                    | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+            .withColumn("l_year", F.year("l_shipdate").cast("int"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+@q("q8_market_share", """
+SELECT o_year,
+       sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) / sum(volume) AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        AND p_type LIKE 'STANDARD%') all_nations
+GROUP BY o_year ORDER BY o_year
+""")
+def q8(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    n1 = c.nation.select(F.col("n_nationkey").alias("c_nk"), "n_regionkey")
+    n2 = c.nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (c.part.filter(F.col("p_type").like("STANDARD%"))
+            .join(c.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+            .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(c.orders.filter(
+                F.col("o_orderdate").between("1995-01-01", "1996-12-31 00:00:00")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+            .join(F.broadcast(c.region.filter(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .withColumn("volume", vol)
+            .groupBy("o_year")
+            .agg((F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0))
+                  / F.sum("volume")).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@q("q9_product_profit", """
+SELECT nation, o_year, sum(profit) AS sum_profit
+FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS profit
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') profit
+GROUP BY nation, o_year ORDER BY nation, o_year DESC
+""")
+def q9(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    return (c.lineitem
+            .join(c.part.filter(F.col("p_name").like("%red%")),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+            .join(c.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").cast("int").alias("o_year"),
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+            .groupBy("nation", "o_year")
+            .agg(F.sum("profit").alias("sum_profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+@q("q12_shipmode_priority", """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate
+GROUP BY l_linestatus ORDER BY l_linestatus
+""")
+def q12(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (c.orders
+            .join(c.lineitem.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))),
+                (F.col("o_orderkey") == F.col("l_orderkey"))
+                & (F.col("l_shipdate") > F.col("o_orderdate")))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("l_linestatus"))
+
+
+@q("q13_customer_distribution", """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""")
+def q13(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    per_cust = (c.customer.join(
+        c.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@q("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""")
+def q15(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    revenue = (c.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("total_revenue")))
+    # scalar max as a 1-row broadcast cross join (decorrelated subquery)
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    return (c.supplier
+            .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+            .join(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("__mx"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@q("q16_supplier_count", """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5' AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+""")
+def q16(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    return (c.part.filter((F.col("p_brand") != "Brand#5")
+                          & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+            .join(c.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size"))
+
+
+@q("q17_small_quantity", """
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+""")
+def q17(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    # correlated scalar subquery decorrelated into a per-part avg join
+    per_part = (c.lineitem.groupBy(F.col("l_partkey").alias("__pk"))
+                .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__qty_limit")))
+    return (c.lineitem
+            .join(c.part.filter(F.col("p_brand") == "Brand#23"),
+                  F.col("p_partkey") == F.col("l_partkey"))
+            .join(per_part, F.col("__pk") == F.col("l_partkey"))
+            .filter(F.col("l_quantity") < F.col("__qty_limit"))
+            .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly")))
+
+
+@q("q19_discounted_revenue", """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    cond = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30)))
+    return (c.lineitem.join(c.part, F.col("p_partkey") == F.col("l_partkey"))
+            .filter(cond)
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+
+@q("q20_excess_suppliers", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+  GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+ORDER BY s_suppkey
+""")
+def q20(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    big = (c.lineitem
+           .join(c.part.filter(F.col("p_name").like("red%")),
+                 F.col("p_partkey") == F.col("l_partkey"))
+           .groupBy("l_suppkey")
+           .agg(F.sum("l_quantity").alias("__qty"))
+           .filter(F.col("__qty") > 300))
+    return (c.supplier.join(big, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+            .select("s_suppkey", "s_name").orderBy("s_suppkey"))
+
+
+@q("q21_waiting_supplier", """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+per_order AS (
+  SELECT l_orderkey AS ok, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+  FROM lineitem GROUP BY l_orderkey),
+late_per_order AS (
+  SELECT l_orderkey AS ok, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_late
+  FROM late GROUP BY l_orderkey)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late JOIN per_order ON late.l_orderkey = per_order.ok
+JOIN late_per_order ON late.l_orderkey = late_per_order.ok
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+""")
+def q21(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    late = (c.lineitem
+            .join(c.orders.filter(F.col("o_orderstatus") == "F"),
+                  (F.col("o_orderkey") == F.col("l_orderkey"))
+                  & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")))
+            .select("l_orderkey", "l_suppkey"))
+    per_order = (c.lineitem.groupBy(F.col("l_orderkey").alias("ok"))
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp")))
+    late_per_order = (late.groupBy(F.col("l_orderkey").alias("ok2"))
+                      .agg(F.countDistinct("l_suppkey").alias("n_late")))
+    return (late
+            .join(per_order, F.col("ok") == F.col("l_orderkey"))
+            .join(late_per_order, F.col("ok2") == F.col("l_orderkey"))
+            .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+            .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+@q("q22_global_sales_opportunity", """
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, sum(c_acctbal) AS totacctbal
+FROM (SELECT c_nationkey AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_totalprice > 200000)) custsale
+GROUP BY cntrycode ORDER BY cntrycode
+""")
+def q22(spark, sf_dir):
+    c = _cat(spark, sf_dir)
+    avg_bal = (c.customer.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("__avg")))
+    return (c.customer
+            .join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("__avg"))
+            .join(c.orders.filter(F.col("o_totalprice") > 200000),
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
 # ---------------------------------------------------------------- joins
 
 @q("join_inner", """
