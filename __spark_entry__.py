@@ -20,8 +20,11 @@ from clickhouse_core_spark.operators import (
     asof_join, any_join, array_join, paste_join,
     limit_by, top_k, with_totals, group_array, histogram, with_fill,
     replacing_final, summing_final, collapsing_final,
+    window_funnel, retention, sequence_match, delta_sum,
+    exponential_moving_average, bounding_ratio, uniq_up_to,
+    entropy, max_intersections, interval_length_sum,
 )
-from clickhouse_core_spark.operators.aggregates import limit_with_ties
+from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
 from clickhouse_core_spark.operators.windows import non_negative_derivative
 from clickhouse_core_spark.pipeline import (
     exact_dedup, minhash_lsh_dedup, simhash_dedup, ngram_jaccard_pairs,
@@ -963,6 +966,183 @@ def agg_with_totals(spark, sf_dir):
                       totals_marker="is_total")
     return (out.withColumn("is_total", F.col("is_total").cast("int"))
             .orderBy("is_total", "l_returnflag"))
+
+
+# ------------------------------------------ behavioral / sequence aggregates
+
+@q("funnel_window")
+def funnel_window_q(spark, sf_dir):
+    """windowFunnel(1 day)(ts, view, click, purchase) per user — the
+    order-dependent fold has no tractable SQL oracle; verified by
+    dedicated pytest cases with hand-computed levels."""
+    ev = _cat(spark, sf_dir).events
+    return (window_funnel(ev, ["user_id"], "ts",
+                          [F.col("event_type") == "view",
+                           F.col("event_type") == "click",
+                           F.col("event_type") == "purchase"],
+                          window="1 day")
+            .orderBy("user_id"))
+
+
+@q("sequence_match_ordered")
+def sequence_match_q(spark, sf_dir):
+    """sequenceMatch('(?1).*(?2)')(ts, signup, purchase) — rows-only;
+    pytest covers the fold semantics."""
+    ev = _cat(spark, sf_dir).events
+    return (sequence_match(ev, ["user_id"], "ts",
+                           [F.col("event_type") == "signup",
+                            F.col("event_type") == "purchase"])
+            .orderBy("user_id"))
+
+
+@q("retention_steps", """
+SELECT user_id,
+       CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS INT) AS r_0,
+       CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INT) AS r_1,
+       CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) AS r_2
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def retention_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    return (retention(ev, ["user_id"],
+                      [F.col("event_type") == "view",
+                       F.col("event_type") == "click",
+                       F.col("event_type") == "purchase"])
+            .orderBy("user_id"))
+
+
+@q("delta_sum_positive", """
+SELECT user_id, sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS delta_sum
+FROM (SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+      FROM events) t
+GROUP BY user_id ORDER BY user_id
+""")
+def delta_sum_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    return delta_sum(ev, ["user_id"], "ts", "value").orderBy("user_id")
+
+
+@q("ema_halflife", """
+WITH m AS (SELECT user_id AS uid, max(CAST(floor(epoch(ts)) AS BIGINT)) AS tmax
+           FROM events GROUP BY user_id)
+SELECT user_id,
+       sum(value * pow(2.0, (CAST(floor(epoch(ts)) AS BIGINT) - tmax) / 3600.0))
+       / sum(pow(2.0, (CAST(floor(epoch(ts)) AS BIGINT) - tmax) / 3600.0)) AS ema
+FROM events JOIN m ON user_id = uid
+GROUP BY user_id ORDER BY user_id
+""")
+def ema_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    return (exponential_moving_average(ev, ["user_id"], "ts", "value",
+                                       halflife_s=3600.0)
+            .orderBy("user_id"))
+
+
+@q("bounding_ratio_slope", """
+SELECT user_id,
+       (max_by(value, epoch(ts)) - min_by(value, epoch(ts)))
+       / (max(epoch(ts)) - min(epoch(ts))) AS ratio
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def bounding_ratio_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    # x = fractional epoch seconds (matches DuckDB epoch(ts))
+    with_x = ev.withColumn("__x", F.unix_micros("ts") / F.lit(1e6))
+    return bounding_ratio(with_x, ["user_id"], "__x", "value").orderBy("user_id")
+
+
+@q("uniq_up_to_n", """
+SELECT user_id,
+       CAST(least(count(DISTINCT event_type), 3) AS BIGINT) AS uniq_up_to
+FROM events GROUP BY user_id ORDER BY user_id
+""")
+def uniq_up_to_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    return uniq_up_to(ev, ["user_id"], "event_type", n=2).orderBy("user_id")
+
+
+@q("entropy_shannon", """
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+           FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS tot FROM c)
+SELECT user_id, sum(-(c / tot) * log2(c / tot)) AS entropy
+FROM t GROUP BY user_id ORDER BY user_id
+""")
+def entropy_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    return entropy(ev, ["user_id"], "event_type").orderBy("user_id")
+
+
+@q("max_intersections_sweep", """
+WITH ev AS (
+  SELECT user_id, value AS p, 1 AS d FROM events
+  UNION ALL
+  SELECT user_id, value + 20.0 AS p, -1 AS d FROM events),
+sweep AS (
+  SELECT user_id, sum(d) OVER (PARTITION BY user_id ORDER BY p, d
+                               ROWS UNBOUNDED PRECEDING) AS depth
+  FROM ev)
+SELECT user_id, CAST(max(depth) AS INT) AS max_intersections
+FROM sweep GROUP BY user_id ORDER BY user_id
+""")
+def max_intersections_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    iv = ev.select("user_id", F.col("value").alias("s"),
+                   (F.col("value") + 20.0).alias("e"))
+    return max_intersections(iv, ["user_id"], "s", "e").orderBy("user_id")
+
+
+@q("interval_length_union", """
+WITH iv AS (SELECT user_id, value AS s, value + 20.0 AS e FROM events),
+m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+      FROM iv)
+SELECT user_id,
+       sum(greatest(e - greatest(s, coalesce(pe, s)), 0.0)) AS interval_length_sum
+FROM m GROUP BY user_id ORDER BY user_id
+""")
+def interval_length_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    iv = ev.select("user_id", F.col("value").alias("s"),
+                   (F.col("value") + 20.0).alias("e"))
+    return interval_length_sum(iv, ["user_id"], "s", "e").orderBy("user_id")
+
+
+@q("agg_sum_map", """
+WITH s AS (SELECT user_id, event_type AS k, sum(value) AS v
+           FROM events GROUP BY user_id, event_type)
+SELECT user_id, list(k ORDER BY k) AS ks, list(v ORDER BY k) AS vs
+FROM s GROUP BY user_id ORDER BY user_id
+""")
+def agg_sum_map_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    mapped = ev.select("user_id",
+                       F.create_map(F.col("event_type"), F.col("value")).alias("m"))
+    summed = sum_map(mapped, ["user_id"], "m", alias="sm")
+    return (summed.select("user_id",
+                          F.map_keys("sm").alias("ks"),
+                          F.map_values("sm").alias("vs"))
+            .orderBy("user_id"))
+
+
+@q("agg_topk_array", """
+WITH counted AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY user_id, event_type),
+ranked AS (
+  SELECT user_id, event_type, row_number() OVER (
+    PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
+  FROM counted)
+SELECT user_id, list(event_type ORDER BY rk) AS topk
+FROM ranked WHERE rk <= 2 GROUP BY user_id ORDER BY user_id
+""")
+def agg_topk_array_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    return (top_k(ev, ["user_id"], "event_type", k=2)
+            .select("user_id", "topk").orderBy("user_id"))
 
 
 # ---------------------------------------------------------------- windows

@@ -19,6 +19,18 @@ from clickhouse_core_spark.operators.aggregates import (
     histogram,
 )
 from clickhouse_core_spark.operators.fill import with_fill
+from clickhouse_core_spark.operators.sequence import (
+    window_funnel,
+    retention,
+    sequence_match,
+    delta_sum,
+    exponential_moving_average,
+    bounding_ratio,
+    uniq_up_to,
+    entropy,
+    max_intersections,
+    interval_length_sum,
+)
 from clickhouse_core_spark.operators.final import (
     replacing_final,
     summing_final,
@@ -30,6 +42,9 @@ __all__ = [
     "asof_join", "any_join", "array_join", "paste_join",
     "limit_by", "top_k", "with_totals", "group_array", "histogram",
     "with_fill",
+    "window_funnel", "retention", "sequence_match", "delta_sum",
+    "exponential_moving_average", "bounding_ratio", "uniq_up_to",
+    "entropy", "max_intersections", "interval_length_sum",
     "replacing_final", "summing_final", "collapsing_final",
     "versioned_collapsing_final",
 ]

@@ -54,7 +54,8 @@ def main():
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in queries.items():
-        if name_filter and name_filter not in name:
+        import re as _re
+        if name_filter and not _re.search(name_filter, name):
             continue
         t0 = time.time()
         try:

@@ -1,0 +1,116 @@
+"""Hand-computed cases for the order-dependent sequence aggregates
+(windowFunnel / sequenceMatch — reference
+src/AggregateFunctions/AggregateFunctionWindowFunnel.h,
+AggregateFunctionSequenceMatch.h), plus spot checks for the
+order-independent ones against plain python."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.operators import (
+    window_funnel, sequence_match, retention, delta_sum,
+    exponential_moving_average, max_intersections, interval_length_sum,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+
+
+FUNNEL_CONDS = lambda: [F.col("et") == "a", F.col("et") == "b", F.col("et") == "c"]  # noqa: E731
+
+
+def test_funnel_full_chain(spark):
+    df = _events(spark, [
+        (1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "c"),   # full chain
+        (2, _ts(0), "a"), (2, _ts(1), "c"),                     # skips b -> level 1
+        (3, _ts(0), "b"), (3, _ts(1), "c"),                     # never starts
+        (4, _ts(0), "a"),                                       # only start
+    ])
+    out = {r["user_id"]: r["level"]
+           for r in window_funnel(df, ["user_id"], "ts", FUNNEL_CONDS(),
+                                  window="1 day").collect()}
+    assert out == {1: 3, 2: 1, 3: 0, 4: 1}  # user 3 never starts the chain
+
+
+def test_funnel_window_expiry(spark):
+    df = _events(spark, [
+        # b arrives 2h after chain start a; window is 1h -> level stays 1
+        (1, _ts(0), "a"), (1, _ts(2), "b"),
+        # second chain start within window of c
+        (2, _ts(0), "a"), (2, _ts(3), "a"), (2, _ts(3, 30), "b"),
+    ])
+    out = {r["user_id"]: r["level"]
+           for r in window_funnel(df, ["user_id"], "ts", FUNNEL_CONDS(),
+                                  window="1 hour").collect()}
+    assert out[1] == 1
+    # reference semantics: the funnel tracks the best chain; the second
+    # 'a' at 3:00 lets 'b' at 3:30 advance (ts - chain_start = 30min)
+    assert out[2] == 2
+
+
+def test_funnel_same_event_multi_step(spark):
+    # one event can satisfy several conditions (bitmask semantics)
+    df = spark.createDataFrame([(1, _ts(0), "a"), (1, _ts(1), "ab")],
+                               "user_id long, ts timestamp, et string")
+    conds = [F.col("et").contains("a"), F.col("et").contains("b")]
+    out = window_funnel(df, ["user_id"], "ts", conds, window=3600 * 24).collect()
+    assert out[0]["level"] == 2
+
+
+def test_sequence_match_basic(spark):
+    df = _events(spark, [
+        (1, _ts(0), "a"), (1, _ts(5), "b"),        # a then b -> match
+        (2, _ts(0), "b"), (2, _ts(5), "a"),        # wrong order
+        (3, _ts(0), "a"),                          # incomplete
+        (4, _ts(0), "b"), (4, _ts(1), "a"), (4, _ts(2), "b"),  # a.*b present
+    ])
+    conds = [F.col("et") == "a", F.col("et") == "b"]
+    out = {r["user_id"]: r["matched"]
+           for r in sequence_match(df, ["user_id"], "ts", conds).collect()}
+    assert out == {1: 1, 2: 0, 3: 0, 4: 1}
+
+
+def test_retention_semantics(spark):
+    df = _events(spark, [
+        (1, _ts(0), "a"), (1, _ts(1), "c"),   # first + third, no second
+        (2, _ts(0), "b"),                     # second only -> all zero except nothing
+    ])
+    conds = [F.col("et") == "a", F.col("et") == "b", F.col("et") == "c"]
+    rows = {r["user_id"]: (r["r_0"], r["r_1"], r["r_2"])
+            for r in retention(df, ["user_id"], conds).collect()}
+    assert rows[1] == (1, 0, 1)
+    assert rows[2] == (0, 0, 0)
+
+
+def test_delta_sum(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(1), 15.0), (1, _ts(2), 12.0), (1, _ts(3), 20.0)],
+        "user_id long, ts timestamp, value double")
+    out = delta_sum(df, ["user_id"], "ts", "value").collect()
+    assert out[0]["delta_sum"] == 13.0  # +5 (10->15) skip -3, +8 (12->20)
+
+
+def test_ema_weighted_mean(spark):
+    # two points one halflife apart: ema = (old*0.5 + new) / 1.5
+    df = spark.createDataFrame(
+        [(1, _ts(0), 0.0), (1, _ts(1), 30.0)],
+        "user_id long, ts timestamp, value double")
+    out = exponential_moving_average(df, ["user_id"], "ts", "value",
+                                     halflife_s=3600.0).collect()
+    assert abs(out[0]["ema"] - 20.0) < 1e-9
+
+
+def test_max_intersections_and_interval_union(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0, 10.0), (1, 5.0, 15.0), (1, 20.0, 30.0)],
+        "k long, s double, e double")
+    mi = max_intersections(df, ["k"], "s", "e").collect()[0]["max_intersections"]
+    assert mi == 2  # [0,10) overlaps [5,15)
+    ul = interval_length_sum(df, ["k"], "s", "e").collect()[0]["interval_length_sum"]
+    assert ul == 25.0  # union [0,15) + [20,30)
