@@ -32,6 +32,7 @@ from clickhouse_core_spark.pipeline import (
     with_token_count, with_quality_score, with_language_id, with_fingerprint,
 )
 from clickhouse_core_spark.pipeline.similarity import cosine_similarity
+from clickhouse_core_spark.functions import ch
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -1646,6 +1647,184 @@ def fn_hash(spark, sf_dir):
                     F.md5("text").alias("h_md5"),
                     F.sha2("text", 256).alias("h_sha256"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------- CH function-registry families
+
+@q("fn_ch_datetime", """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(isodow(o_orderdate) AS INT) AS dow_mon1,
+       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       strftime(o_orderdate, '%Y-%m-%d') AS fmt,
+       CAST(o_orderdate + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_ch_datetime(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders
+    d = F.col("o_orderdate")
+    return (o.filter(F.col("o_orderkey") < 300)
+            .select("o_orderkey",
+                    ch.toYear(d).cast("int").alias("y"),
+                    ch.toQuarter(d).cast("int").alias("qtr"),
+                    ch.toDayOfWeek(d).cast("int").alias("dow_mon1"),
+                    ch.toYYYYMM(d).cast("int").alias("yyyymm"),
+                    ch.toStartOfMonth(d).alias("month_start"),
+                    ch.toLastDayOfMonth(d).alias("month_end"),
+                    ch.formatDateTime(d, "%Y-%m-%d").alias("fmt"),
+                    ch.addMonths(d, 2).cast("timestamp").alias("plus2m"))
+            .orderBy("o_orderkey"))
+
+
+@q("fn_ch_url", """
+WITH u AS (SELECT doc_id,
+                  'https://www.example.com/docs/' || source || '/page?id=' ||
+                  CAST(doc_id AS VARCHAR) || '&lang=' || lang || '#sec' AS url
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       'https' AS proto,
+       'www.example.com' AS dom,
+       'example.com' AS dom_no_www,
+       '/docs/' || (SELECT source FROM documents d2 WHERE d2.doc_id = u.doc_id) || '/page'
+         AS pth,
+       'id=' || CAST(doc_id AS VARCHAR) || '&lang=' ||
+         (SELECT lang FROM documents d3 WHERE d3.doc_id = u.doc_id) AS qs,
+       CAST(doc_id AS VARCHAR) AS id_param
+FROM u ORDER BY doc_id
+""")
+def fn_ch_url(spark, sf_dir):
+    d = _cat(spark, sf_dir).documents
+    url = F.concat(F.lit("https://www.example.com/docs/"), F.col("source"),
+                   F.lit("/page?id="), F.col("doc_id").cast("string"),
+                   F.lit("&lang="), F.col("lang"), F.lit("#sec"))
+    return (d.filter(F.col("doc_id") < 200)
+            .withColumn("__url", url)
+            .select("doc_id",
+                    ch.protocol(F.col("__url")).alias("proto"),
+                    ch.domain(F.col("__url")).alias("dom"),
+                    ch.domainWithoutWWW(F.col("__url")).alias("dom_no_www"),
+                    ch.path(F.col("__url")).alias("pth"),
+                    ch.queryString(F.col("__url")).alias("qs"),
+                    ch.extractURLParameter(F.col("__url"), "id").alias("id_param"))
+            .orderBy("doc_id"))
+
+
+@q("fn_ch_ip", """
+WITH ips AS (
+  SELECT user_id,
+         CAST(10 AS BIGINT)*16777216 + (user_id % 256)*65536 +
+         ((user_id * 7) % 256)*256 + ((user_id * 13) % 256) AS ipnum
+  FROM events GROUP BY user_id)
+SELECT user_id, ipnum,
+       '10.' || CAST((ipnum // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((ipnum // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(ipnum % 256 AS VARCHAR) AS ipstr,
+       1 AS is_valid
+FROM ips ORDER BY user_id
+""")
+def fn_ch_ip(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    ips = (ev.groupBy("user_id")
+           .agg((F.lit(10 * 16777216)
+                 + (F.col("user_id") % 256) * 65536
+                 + ((F.col("user_id") * 7) % 256) * 256
+                 + ((F.col("user_id") * 13) % 256)).cast("long").alias("ipnum")))
+    return (ips.select("user_id", "ipnum",
+                       ch.IPv4NumToString(F.col("ipnum")).alias("ipstr"))
+            .withColumn("is_valid", ch.isIPv4String(F.col("ipstr")))
+            .orderBy("user_id"))
+
+
+@q("fn_ch_encoding", """
+SELECT doc_id,
+       upper(hex(encode(substring(text, 1, 8)))) AS hx,
+       to_base64(encode(substring(text, 1, 8))) AS b64,
+       substring(text, 1, 8) AS roundtrip
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+""")
+def fn_ch_encoding(spark, sf_dir):
+    d = _cat(spark, sf_dir).documents
+    s8 = F.substring("text", 1, 8)
+    return (d.filter(F.col("doc_id") < 100)
+            .select("doc_id",
+                    ch.hex(s8).alias("hx"),
+                    ch.base64Encode(s8).alias("b64"),
+                    ch.base64Decode(ch.base64Encode(s8)).alias("roundtrip"))
+            .orderBy("doc_id"))
+
+
+@q("fn_ch_string_extra", """
+SELECT p_partkey,
+       levenshtein(p_brand, 'Brand#10') AS lev,
+       CAST(length(p_name) - length(replace(p_name, ' ', '')) AS BIGINT) AS n_spaces,
+       string_split(p_type, ' ') AS words,
+       CASE WHEN p_name SIMILAR TO '.*(red|blue).*' THEN 1 ELSE 0 END AS has_color,
+       repeat('*', p_size % 5) AS stars,
+       left(p_name, 3) AS l3, right(p_name, 3) AS r3
+FROM part WHERE p_partkey < 150 ORDER BY p_partkey
+""")
+def fn_ch_string_extra(spark, sf_dir):
+    p = _cat(spark, sf_dir).part
+    return (p.filter(F.col("p_partkey") < 150)
+            .select("p_partkey",
+                    ch.levenshteinDistance(F.col("p_brand"), F.lit("Brand#10")).alias("lev"),
+                    ch.countSubstrings(F.col("p_name"), " ").alias("n_spaces"),
+                    ch.splitByChar(" ", F.col("p_type")).alias("words"),
+                    ch.multiSearchAny(F.col("p_name"), ["red", "blue"]).alias("has_color"),
+                    ch.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+                    ch.left(F.col("p_name"), 3).alias("l3"),
+                    ch.right(F.col("p_name"), 3).alias("r3"))
+            .select("p_partkey", "lev", "n_spaces", "words", "has_color",
+                    "stars", "l3", "r3")
+            .orderBy("p_partkey"))
+
+
+@q("fn_ch_rounding", """
+SELECT o_orderkey,
+       round(o_totalprice, -3) AS r_k,
+       CASE WHEN o_totalprice < 1 THEN 0
+            ELSE CAST(pow(2, floor(log2(o_totalprice))) AS BIGINT) END AS exp2,
+       CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bucket50k,
+       round(o_totalprice * 0.5, 0) / 1 AS half_banker
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_ch_rounding(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders
+    t = F.col("o_totalprice")
+    return (o.filter(F.col("o_orderkey") < 300)
+            .select("o_orderkey",
+                    ch.round(t, -3).alias("r_k"),
+                    ch.roundToExp2(t).alias("exp2"),
+                    (F.floor(t / 50000) * 50000).cast("double").alias("bucket50k"),
+                    ch.roundBankers(t * 0.5, 0).alias("half_banker"))
+            .orderBy("o_orderkey"))
+
+
+@q("fn_ch_conditional_math", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END AS sz,
+       CAST(floor(o_totalprice / o_orderkey) AS BIGINT) AS idiv,
+       o_orderkey % 7 AS m7,
+       CAST(sign(o_totalprice - 200000) AS INT) AS sgn,
+       greatest(o_totalprice, 250000.0) AS g
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_ch_conditional_math(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders
+    t, k = F.col("o_totalprice"), F.col("o_orderkey")
+    return (o.filter(k < 300)
+            .select("o_orderkey",
+                    ch.multiIf(t > 300000, "big", t > 100000, "mid", "small").alias("sz"),
+                    ch.intDiv(t, k).alias("idiv"),
+                    ch.modulo(k, 7).alias("m7"),
+                    ch.sign(t - 200000).alias("sgn"),
+                    ch.greatest(t, 250000.0).alias("g"))
+            .orderBy("o_orderkey"))
 
 
 # ------------------------------------------------- streaming (batch analog)

@@ -1,0 +1,541 @@
+"""CH function name -> Spark Column expression registry.
+
+Grouped by the reference's function families (SURVEY.md §2.8):
+arithmetic (src/Functions/FunctionBinaryArithmetic.h), strings
+(src/Functions/substring.cpp etc.), search (FunctionsStringSearch.h),
+date/time (DateTimeTransforms.h), URL (src/Functions/URL/), IP
+(FunctionsCodingIP.cpp), encoding (FunctionsBinaryRepresentation.cpp,
+FunctionBase64Conversion.h), hashing (FunctionsHashing.h), rounding
+(FunctionsRound.h), conditionals (if.cpp / multiIf.cpp), arrays
+(src/Functions/array/), maps/tuples (map.cpp, tuple.cpp), JSON
+(FunctionsJSON.cpp).
+
+Each entry is a callable (*args: Column|literal) -> Column built from
+pyspark.sql.functions — JVM-side, codegen-friendly. Functions whose CH
+behavior differs from the closest Spark builtin get a thin expression
+wrapper documenting the contract; nothing row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+# --------------------------------------------------------------- datetime
+# Reference: src/Functions/DateTimeTransforms.h, toStartOfInterval.cpp,
+# dateDiff.cpp, formatDateTime.cpp.
+
+_DT = {
+    "toYear": lambda x: F.year(_c(x)),
+    "toQuarter": lambda x: F.quarter(_c(x)),
+    "toMonth": lambda x: F.month(_c(x)),
+    "toDayOfMonth": lambda x: F.dayofmonth(_c(x)),
+    "toDayOfWeek": lambda x: ((F.dayofweek(_c(x)) + 5) % 7) + 1,  # CH: Mon=1
+    "toDayOfYear": lambda x: F.dayofyear(_c(x)),
+    "toHour": lambda x: F.hour(_c(x)),
+    "toMinute": lambda x: F.minute(_c(x)),
+    "toSecond": lambda x: F.second(_c(x)).cast("int"),
+    "toUnixTimestamp": lambda x: F.unix_timestamp(_c(x)),
+    "fromUnixTimestamp": lambda x: F.timestamp_seconds(_c(x)),
+    "toStartOfYear": lambda x: F.date_trunc("year", _c(x)),
+    "toStartOfQuarter": lambda x: F.date_trunc("quarter", _c(x)),
+    "toStartOfMonth": lambda x: F.date_trunc("month", _c(x)),
+    "toStartOfWeek": lambda x: F.date_trunc("week", _c(x)),
+    "toStartOfDay": lambda x: F.date_trunc("day", _c(x)),
+    "toStartOfHour": lambda x: F.date_trunc("hour", _c(x)),
+    "toStartOfMinute": lambda x: F.date_trunc("minute", _c(x)),
+    "toStartOfFifteenMinutes": lambda x: F.timestamp_seconds(
+        (F.unix_timestamp(_c(x)) / 900).cast("long") * 900),
+    "toStartOfInterval": lambda x, iv: F.date_trunc(iv, _c(x)),
+    "toDate": lambda x: F.to_date(_c(x)),
+    "toDateTime": lambda x: F.to_timestamp(_c(x)),
+    "today": lambda: F.current_date(),
+    "now": lambda: F.current_timestamp(),
+    "yesterday": lambda: F.date_sub(F.current_date(), 1),
+    "addYears": lambda x, n: F.add_months(_c(x), 12 * n),
+    "addMonths": lambda x, n: F.add_months(_c(x), n),
+    "addWeeks": lambda x, n: F.date_add(_c(x), 7 * n),
+    "addDays": lambda x, n: F.date_add(_c(x), n),
+    "addHours": lambda x, n: F.timestamp_seconds(F.unix_timestamp(_c(x)) + 3600 * n),
+    "addMinutes": lambda x, n: F.timestamp_seconds(F.unix_timestamp(_c(x)) + 60 * n),
+    "addSeconds": lambda x, n: F.timestamp_seconds(F.unix_timestamp(_c(x)) + n),
+    "subtractYears": lambda x, n: F.add_months(_c(x), -12 * n),
+    "subtractMonths": lambda x, n: F.add_months(_c(x), -n),
+    "subtractDays": lambda x, n: F.date_sub(_c(x), n),
+    "dateDiff": lambda unit, a, b: _date_diff(unit, a, b),
+    "date_trunc": lambda unit, x: F.date_trunc(unit, _c(x)),
+    "toYYYYMM": lambda x: (F.year(_c(x)) * 100 + F.month(_c(x))),
+    "toYYYYMMDD": lambda x: (F.year(_c(x)) * 10000 + F.month(_c(x)) * 100
+                             + F.dayofmonth(_c(x))),
+    # CH formatDateTime uses MySQL-style %-codes; translate the common ones.
+    "formatDateTime": lambda x, fmt: F.date_format(_c(x), _mysql_fmt(fmt)),
+    "toMonday": lambda x: F.date_trunc("week", _c(x)),
+    "toLastDayOfMonth": lambda x: F.last_day(_c(x)),
+}
+
+
+def _date_diff(unit: str, a, b) -> Column:
+    """dateDiff('day', a, b) = b - a in whole units (reference
+    src/Functions/dateDiff.cpp)."""
+    unit = unit.lower()
+    if unit in ("day", "dd", "d"):
+        return F.datediff(_c(b), _c(a)).cast("long")
+    if unit in ("month", "mm", "m"):
+        return F.months_between(_c(b), _c(a)).cast("long")
+    if unit in ("year", "yyyy", "yy"):
+        return (F.year(_c(b)) - F.year(_c(a))).cast("long")
+    if unit in ("hour", "hh", "h"):
+        return ((F.unix_timestamp(_c(b)) - F.unix_timestamp(_c(a))) / 3600).cast("long")
+    if unit in ("minute", "mi", "n"):
+        return ((F.unix_timestamp(_c(b)) - F.unix_timestamp(_c(a))) / 60).cast("long")
+    if unit in ("second", "ss", "s"):
+        return (F.unix_timestamp(_c(b)) - F.unix_timestamp(_c(a))).cast("long")
+    if unit in ("week", "wk", "ww"):
+        return (F.datediff(_c(b), _c(a)) / 7).cast("long")
+    raise ValueError(f"unsupported dateDiff unit {unit}")
+
+
+_MYSQL_TO_SPARK = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%i", "mm"), ("%S", "ss"), ("%M", "MMMM"),
+    ("%W", "EEEE"), ("%a", "EEE"), ("%b", "MMM"), ("%j", "DDD"),
+    ("%F", "yyyy-MM-dd"), ("%T", "HH:mm:ss"), ("%e", "d"), ("%%", "%"),
+]
+
+
+def _mysql_fmt(fmt: str) -> str:
+    for k, v in _MYSQL_TO_SPARK:
+        fmt = fmt.replace(k, v)
+    return fmt
+
+
+# ----------------------------------------------------------------- strings
+# Reference: individual files under src/Functions/ (substring.cpp,
+# concat.cpp, trim.cpp, ...), FunctionsStringSearch.h, splitByChar.cpp.
+
+_STR = {
+    "length": lambda x: F.length(_c(x)).cast("long"),
+    "lengthUTF8": lambda x: F.length(_c(x)).cast("long"),
+    "empty": lambda x: (F.length(_c(x)) == 0).cast("int"),
+    "notEmpty": lambda x: (F.length(_c(x)) > 0).cast("int"),
+    "lower": lambda x: F.lower(_c(x)),
+    "upper": lambda x: F.upper(_c(x)),
+    "lowerUTF8": lambda x: F.lower(_c(x)),
+    "upperUTF8": lambda x: F.upper(_c(x)),
+    "reverse": lambda x: F.reverse(_c(x)),
+    "concat": lambda *xs: F.concat(*[_c(x) for x in xs]),
+    "concatWithSeparator": lambda sep, *xs: F.concat_ws(sep, *[_c(x) for x in xs]),
+    "repeat": lambda x, n: F.repeat(_c(x), n),
+    "leftPad": lambda x, n, p=" ": F.lpad(_c(x), n, p),
+    "rightPad": lambda x, n, p=" ": F.rpad(_c(x), n, p),
+    "trimBoth": lambda x: F.trim(_c(x)),
+    "trimLeft": lambda x: F.ltrim(_c(x)),
+    "trimRight": lambda x: F.rtrim(_c(x)),
+    "appendTrailingCharIfAbsent": lambda x, ch_: F.when(
+        F.endswith(_c(x), F.lit(ch_)), _c(x)).otherwise(F.concat(_c(x), F.lit(ch_))),
+    "left": lambda x, n: F.substring(_c(x), 1, n),
+    "right": lambda x, n: F.substring(_c(x), -n, n),
+    "ascii": lambda x: F.ascii(_c(x)),
+    "initcap": lambda x: F.initcap(_c(x)),
+    "splitByChar": lambda sep, x: F.split(_c(x), _regex_escape(sep)),
+    "splitByString": lambda sep, x: F.split(_c(x), _regex_escape(sep)),
+    "splitByRegexp": lambda rx, x: F.split(_c(x), rx),
+    "splitByWhitespace": lambda x: F.split(F.trim(_c(x)), r"\s+"),
+    "arrayStringConcat": lambda arr, sep="": F.array_join(_c(arr), sep),
+    "position": lambda h, n: F.instr(_c(h), n).cast("long"),
+    "positionCaseInsensitive": lambda h, n: F.instr(F.lower(_c(h)), str(n).lower()).cast("long"),
+    "locate": lambda n, h: F.instr(_c(h), n).cast("long"),
+    "like": lambda x, p: _c(x).like(p).cast("int"),
+    "notLike": lambda x, p: (~_c(x).like(p)).cast("int"),
+    "ilike": lambda x, p: _c(x).ilike(p).cast("int"),
+    "match": lambda x, rx: _c(x).rlike(rx).cast("int"),
+    "extract": lambda x, rx: F.regexp_extract(_c(x), rx, 1),
+    "extractAll": lambda x, rx: F.regexp_extract_all(_c(x), F.lit(rx), F.lit(1)),
+    "replaceOne": lambda x, pat, rep: F.regexp_replace(
+        _c(x), _regex_escape(pat), rep.replace("$", "\\$") if isinstance(rep, str) else rep),
+    "replaceAll": lambda x, pat, rep: F.replace(_c(x), F.lit(pat), F.lit(rep)),
+    "replaceRegexpAll": lambda x, rx, rep: F.regexp_replace(_c(x), rx, rep),
+    "replaceRegexpOne": lambda x, rx, rep: F.regexp_replace(_c(x), rx, rep),  # doc: CH replaces first only
+    "startsWith": lambda x, p: F.startswith(_c(x), _c(p)).cast("int"),
+    "endsWith": lambda x, p: F.endswith(_c(x), _c(p)).cast("int"),
+    "countSubstrings": lambda x, n: (
+        (F.length(_c(x)) - F.length(F.replace(_c(x), F.lit(n), F.lit(""))))
+        / F.length(F.lit(n))).cast("long"),
+    "multiSearchAny": lambda x, needles: F.when(
+        _c(x).rlike("|".join(_regex_escape(n) for n in needles)), 1).otherwise(0),
+    "levenshteinDistance": lambda a, b: F.levenshtein(_c(a), _c(b)),
+    "editDistance": lambda a, b: F.levenshtein(_c(a), _c(b)),
+    "soundex": lambda x: F.soundex(_c(x)),
+    "normalizeQuery": lambda x: F.regexp_replace(_c(x), r"\s+", " "),
+    "tokens": lambda x: F.split(F.trim(F.regexp_replace(
+        F.lower(_c(x)), r"[^\p{L}\p{N}]+", " ")), r"\s+"),
+    "format": lambda fmt, *xs: F.format_string(fmt.replace("{}", "%s"), *[_c(x) for x in xs]),
+    "toString": lambda x: _c(x).cast("string"),
+    "toFixedString": lambda x, n: F.rpad(_c(x), n, "\x00"),
+}
+_STR["substring"] = lambda x, pos, ln=8192: F.substring(_c(x), pos, ln)
+
+
+def _regex_escape(s: str) -> str:
+    out = []
+    for chh in s:
+        if chh in r"\.^$|?*+()[]{}":
+            out.append("\\" + chh)
+        else:
+            out.append(chh)
+    return "".join(out)
+
+
+# --------------------------------------------------------------------- URL
+# Reference: src/Functions/URL/ (domain.cpp, path.cpp, queryString.cpp,
+# extractURLParameter.cpp, protocol.cpp, topLevelDomain.cpp).
+# parse_url is Spark's builtin URL dissector.
+
+_URL = {
+    "protocol": lambda x: F.lower(F.parse_url(_c(x), F.lit("PROTOCOL"))),
+    "domain": lambda x: F.parse_url(_c(x), F.lit("HOST")),
+    "domainWithoutWWW": lambda x: F.regexp_replace(
+        F.parse_url(_c(x), F.lit("HOST")), r"^www\.", ""),
+    "topLevelDomain": lambda x: F.element_at(
+        F.split(F.parse_url(_c(x), F.lit("HOST")), r"\."), -1),
+    "firstSignificantSubdomain": lambda x: F.element_at(
+        F.split(F.regexp_replace(F.parse_url(_c(x), F.lit("HOST")), r"^www\.", ""),
+                r"\."), 1),
+    "path": lambda x: F.parse_url(_c(x), F.lit("PATH")),
+    "pathFull": lambda x: F.concat_ws(
+        "?", F.parse_url(_c(x), F.lit("PATH")), F.parse_url(_c(x), F.lit("QUERY"))),
+    "queryString": lambda x: F.parse_url(_c(x), F.lit("QUERY")),
+    "fragment": lambda x: F.parse_url(_c(x), F.lit("REF")),
+    "extractURLParameter": lambda x, name: F.parse_url(
+        _c(x), F.lit("QUERY"), F.lit(name)),
+    "extractURLParameters": lambda x: F.split(F.parse_url(_c(x), F.lit("QUERY")), "&"),
+    "cutQueryString": lambda x: F.element_at(F.split(_c(x), r"\?"), 1),
+    "cutFragment": lambda x: F.element_at(F.split(_c(x), "#"), 1),
+    "decodeURLComponent": lambda x: F.url_decode(_c(x)),
+    "encodeURLComponent": lambda x: F.url_encode(_c(x)),
+    "netloc": lambda x: F.parse_url(_c(x), F.lit("AUTHORITY")),
+}
+
+# ---------------------------------------------------------------------- IP
+# Reference: src/Functions/FunctionsCodingIP.cpp. IPv4 as UInt32 <->
+# dotted string via pure arithmetic (no UDF).
+
+_IP = {
+    "IPv4StringToNum": lambda x: (
+        F.element_at(F.split(_c(x), r"\."), 1).cast("long") * 16777216
+        + F.element_at(F.split(_c(x), r"\."), 2).cast("long") * 65536
+        + F.element_at(F.split(_c(x), r"\."), 3).cast("long") * 256
+        + F.element_at(F.split(_c(x), r"\."), 4).cast("long")),
+    "IPv4NumToString": lambda x: F.concat_ws(
+        ".",
+        (_c(x) / 16777216).cast("long") % 256,
+        (_c(x) / 65536).cast("long") % 256,
+        (_c(x) / 256).cast("long") % 256,
+        _c(x).cast("long") % 256),
+    "IPv4CIDRToRange": lambda x, bits: F.struct(
+        (_c(x).bitwiseAND(F.lit(-1 << (32 - bits)) & 0xFFFFFFFF)).alias("lo"),
+        (_c(x).bitwiseOR(F.lit((1 << (32 - bits)) - 1))).alias("hi")),
+    "isIPv4String": lambda x: _c(x).rlike(
+        r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$").cast("int"),
+}
+
+# ----------------------------------------------------------------- encoding
+# Reference: FunctionsBinaryRepresentation.cpp, FunctionBase64Conversion.h.
+
+_ENC = {
+    "hex": lambda x: F.upper(F.hex(_c(x))),
+    "unhex": lambda x: F.unhex(_c(x)),
+    "bin": lambda x: F.bin(_c(x)),
+    "base64Encode": lambda x: F.base64(_c(x).cast("binary")),
+    "base64Decode": lambda x: F.unbase64(_c(x)).cast("string"),
+    "tryBase64Decode": lambda x: F.unbase64(_c(x)).cast("string"),
+    "char": lambda *xs: F.concat(*[F.char(_c(x)) for x in xs]),
+}
+
+# ------------------------------------------------------------------ hashing
+# Reference: src/Functions/FunctionsHashing.h. cityHash64/sipHash64 have
+# no JVM twin — xxhash64 is the documented stand-in (same contract:
+# stable 64-bit; different values).
+
+_HASH = {
+    "xxHash64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "xxHash32": lambda *xs: F.hash(*[_c(x) for x in xs]),
+    "cityHash64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "sipHash64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "farmHash64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "MD5": lambda x: F.lower(F.md5(_c(x).cast("binary"))),
+    "SHA1": lambda x: F.sha1(_c(x).cast("binary")),
+    "SHA256": lambda x: F.sha2(_c(x).cast("binary"), 256),
+    "SHA512": lambda x: F.sha2(_c(x).cast("binary"), 512),
+    "CRC32": lambda x: F.crc32(_c(x).cast("binary")),
+}
+
+# ----------------------------------------------------------------- rounding
+# Reference: src/Functions/FunctionsRound.h.
+
+_ROUND = {
+    "round": lambda x, n=0: F.round(_c(x), n),
+    "roundBankers": lambda x, n=0: F.bround(_c(x), n),
+    "floor": lambda x, n=0: (F.floor(_c(x) * (10 ** n)) / (10 ** n)) if n else F.floor(_c(x)),
+    "ceil": lambda x, n=0: (F.ceil(_c(x) * (10 ** n)) / (10 ** n)) if n else F.ceil(_c(x)),
+    "trunc": lambda x: _c(x).cast("long"),
+    "roundToExp2": lambda x: F.when(_c(x) < 1, 0).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2(_c(x)))).cast("long")),
+    "roundDown": lambda x, arr: F.element_at(
+        F.filter(F.array_sort(F.array(*[F.lit(v) for v in arr])),
+                 lambda v: v <= _c(x)), -1),
+    "roundDuration": lambda x: _round_to_set(x, [1, 10, 30, 60, 120, 180, 240, 300,
+                                                 600, 1200, 1800, 3600, 7200, 18000, 36000]),
+    "roundAge": lambda x: _round_to_set(x, [1, 18, 25, 35, 45, 55]),
+}
+
+
+def _round_to_set(x, steps) -> Column:
+    out = F.lit(0)
+    for s in steps:
+        out = F.when(_c(x) >= s, s).otherwise(out)
+    return out
+
+
+# ------------------------------------------------------------- conditionals
+# Reference: src/Functions/if.cpp, multiIf.cpp, FunctionsLogical.cpp.
+
+def _multi_if(*args) -> Column:
+    if len(args) % 2 != 1:
+        raise ValueError("multiIf needs cond,val pairs + else")
+    out = F.when(_c(args[0]), _c(args[1]))
+    i = 2
+    while i + 1 < len(args):
+        out = out.when(_c(args[i]), _c(args[i + 1]))
+        i += 2
+    return out.otherwise(_c(args[-1]))
+
+
+_COND = {
+    "if": lambda c, a, b: F.when(_c(c), _c(a)).otherwise(_c(b)),
+    "multiIf": _multi_if,
+    "coalesce": lambda *xs: F.coalesce(*[_c(x) for x in xs]),
+    "ifNull": lambda a, b: F.coalesce(_c(a), _c(b)),
+    "nullIf": lambda a, b: F.nullif(_c(a), _c(b)),
+    "assumeNotNull": lambda x: _c(x),
+    "isNull": lambda x: _c(x).isNull().cast("int"),
+    "isNotNull": lambda x: _c(x).isNotNull().cast("int"),
+    "greatest": lambda *xs: F.greatest(*[_c(x) for x in xs]),
+    "least": lambda *xs: F.least(*[_c(x) for x in xs]),
+}
+
+# ----------------------------------------------------------- math/arithmetic
+# Reference: FunctionBinaryArithmetic.h, FunctionMathUnary.h.
+
+_MATH = {
+    "plus": lambda a, b: _c(a) + _c(b),
+    "minus": lambda a, b: _c(a) - _c(b),
+    "multiply": lambda a, b: _c(a) * _c(b),
+    "divide": lambda a, b: _c(a) / _c(b),
+    "intDiv": lambda a, b: F.floor(_c(a) / _c(b)).cast("long"),
+    "intDivOrZero": lambda a, b: F.when(_c(b) != 0, F.floor(_c(a) / _c(b)).cast("long")).otherwise(0),
+    "modulo": lambda a, b: _c(a) % _c(b),
+    "moduloOrZero": lambda a, b: F.when(_c(b) != 0, _c(a) % _c(b)).otherwise(0),
+    "positiveModulo": lambda a, b: F.pmod(_c(a), _c(b)),
+    "negate": lambda x: -_c(x),
+    "abs": lambda x: F.abs(_c(x)),
+    "sqrt": lambda x: F.sqrt(_c(x)),
+    "cbrt": lambda x: F.cbrt(_c(x)),
+    "exp": lambda x: F.exp(_c(x)),
+    "log": lambda x: F.log(_c(x)),
+    "ln": lambda x: F.log(_c(x)),
+    "exp2": lambda x: F.pow(F.lit(2.0), _c(x)),
+    "log2": lambda x: F.log2(_c(x)),
+    "exp10": lambda x: F.pow(F.lit(10.0), _c(x)),
+    "log10": lambda x: F.log10(_c(x)),
+    "log1p": lambda x: F.log1p(_c(x)),
+    "sin": lambda x: F.sin(_c(x)), "cos": lambda x: F.cos(_c(x)),
+    "tan": lambda x: F.tan(_c(x)), "asin": lambda x: F.asin(_c(x)),
+    "acos": lambda x: F.acos(_c(x)), "atan": lambda x: F.atan(_c(x)),
+    "atan2": lambda y, x: F.atan2(_c(y), _c(x)),
+    "sinh": lambda x: F.sinh(_c(x)), "cosh": lambda x: F.cosh(_c(x)),
+    "tanh": lambda x: F.tanh(_c(x)),
+    "pow": lambda a, b: F.pow(_c(a), _c(b)),
+    "power": lambda a, b: F.pow(_c(a), _c(b)),
+    "sign": lambda x: F.signum(_c(x)).cast("int"),
+    "e": lambda: F.lit(2.718281828459045),
+    "pi": lambda: F.lit(3.141592653589793),
+    "degrees": lambda x: F.degrees(_c(x)),
+    "radians": lambda x: F.radians(_c(x)),
+    "isNaN": lambda x: F.isnan(_c(x)).cast("int"),
+    "isFinite": lambda x: (~(F.isnan(_c(x)) | (F.abs(_c(x)) == float("inf")))).cast("int"),
+    "isInfinite": lambda x: (F.abs(_c(x)) == float("inf")).cast("int"),
+}
+
+
+import math as _math  # noqa: E402
+
+
+def _gcd_expr(a, b) -> Column:
+    # literal-only gcd (both args literal ints); column gcd is out of scope
+    if not isinstance(a, Column) and not isinstance(b, Column):
+        return F.lit(_math.gcd(int(a), int(b)))
+    raise NotImplementedError("gcd on columns: use a rewritten expression")
+
+
+_MATH["gcd"] = _gcd_expr
+
+# -------------------------------------------------------------- arrays/maps
+# Reference: src/Functions/array/ (84 files), map.cpp, tuple.cpp.
+
+_ARR = {
+    "array": lambda *xs: F.array(*[_c(x) for x in xs]),
+    "arrayConcat": lambda *xs: F.concat(*[_c(x) for x in xs]),
+    "arrayElement": lambda a, i: F.element_at(_c(a), i),
+    "has": lambda a, v: F.array_contains(_c(a), v).cast("int"),
+    "hasAny": lambda a, b: F.arrays_overlap(_c(a), _c(b)).cast("int"),
+    "hasAll": lambda a, b: (F.size(F.array_except(_c(b), _c(a))) == 0).cast("int"),
+    "indexOf": lambda a, v: F.array_position(_c(a), v).cast("long"),
+    "countEqual": lambda a, v: F.size(F.filter(_c(a), lambda e: e == v)).cast("long"),
+    "arrayEnumerate": lambda a: F.sequence(F.lit(1), F.size(_c(a))),
+    "arrayUniq": lambda a: F.size(F.array_distinct(_c(a))).cast("long"),
+    "arrayDistinct": lambda a: F.array_distinct(_c(a)),
+    "arrayJoin": lambda a: F.explode(_c(a)),
+    "arrayMap": lambda f, a: F.transform(_c(a), f),
+    "arrayFilter": lambda f, a: F.filter(_c(a), f),
+    "arrayExists": lambda f, a: F.exists(_c(a), f).cast("int"),
+    "arrayAll": lambda f, a: F.forall(_c(a), f).cast("int"),
+    "arrayFold": lambda f, a, init: F.aggregate(_c(a), _c(init), f),
+    "arrayReduce": None,  # name-dispatched aggregate; frontend concern
+    "arraySum": lambda a: F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")),
+    "arrayAvg": lambda a: (F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+                           / F.size(_c(a))),
+    "arrayMin": lambda a: F.array_min(_c(a)),
+    "arrayMax": lambda a: F.array_max(_c(a)),
+    "arraySort": lambda a: F.array_sort(_c(a)),
+    "arrayReverseSort": lambda a: F.reverse(F.array_sort(_c(a))),
+    "arrayReverse": lambda a: F.reverse(_c(a)),
+    "arraySlice": lambda a, off, ln=None: (F.slice(_c(a), off, ln) if ln is not None
+                                           else F.slice(_c(a), off, 1 << 30)),
+    "arrayPushBack": lambda a, v: F.concat(_c(a), F.array(_c(v))),
+    "arrayPushFront": lambda a, v: F.concat(F.array(_c(v)), _c(a)),
+    "arrayPopBack": lambda a: F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - 1, F.lit(0))),
+    "arrayPopFront": lambda a: F.slice(_c(a), 2, F.greatest(F.size(_c(a)) - 1, F.lit(0))),
+    "arrayFlatten": lambda a: F.flatten(_c(a)),
+    "arrayZip": lambda *xs: F.arrays_zip(*[_c(x) for x in xs]),
+    "arrayIntersect": lambda a, b: F.array_intersect(_c(a), _c(b)),
+    "arrayCumSum": lambda a: _array_cum_sum(a),
+    "arrayDifference": lambda a: F.zip_with(
+        _c(a),
+        F.concat(F.array(F.element_at(_c(a), 1)),
+                 F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - 1, F.lit(0)))),
+        lambda x, p: x - p),  # pairs a[i] with a[i-1]; first yields 0
+    "arrayCompact": lambda a: _array_compact(a),
+    "arrayStringConcat": _STR["arrayStringConcat"],
+    "emptyArrayToSingle": lambda a, v=0: F.when(F.size(_c(a)) == 0, F.array(F.lit(v))).otherwise(_c(a)),
+    "range": lambda *xs: (F.sequence(F.lit(0), _c(xs[0]) - 1) if len(xs) == 1
+                          else F.sequence(_c(xs[0]), _c(xs[1]) - 1)),
+    "arrayDotProduct": lambda a, b: F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v),
+    "arrayL2Distance": lambda a, b: F.sqrt(F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v.cast("double"))),
+    # maps / tuples
+    "map": lambda *xs: F.create_map(*[_c(x) for x in xs]),
+    "mapKeys": lambda m: F.map_keys(_c(m)),
+    "mapValues": lambda m: F.map_values(_c(m)),
+    "mapContains": lambda m, k: F.map_contains_key(_c(m), k).cast("int"),
+    "tuple": lambda *xs: F.struct(*[_c(x) for x in xs]),
+    "tupleElement": lambda t, i: _c(t)[f"col{i}" if isinstance(i, int) else i],
+}
+
+
+def _array_cum_sum(a) -> Column:
+    # running-sum via transform over indices (quadratic in array length;
+    # fine for the short arrays this is used on — document)
+    arr = _c(a)
+    return F.transform(arr, lambda x, i: F.aggregate(
+        F.slice(arr, 1, i + 1), F.lit(0.0), lambda acc, v: acc + v.cast("double")))
+
+
+def _array_compact(a) -> Column:
+    arr = _c(a)
+    return F.filter(arr, lambda x, i: (i == 0) | (x != F.element_at(arr, i)))
+
+
+# --------------------------------------------------------------------- JSON
+# Reference: src/Functions/FunctionsJSON.cpp (simdjson-backed); Spark's
+# get_json_object / from_json are the JVM equivalents.
+
+_JSON = {
+    "JSONExtractString": lambda x, *path: F.get_json_object(_c(x), _json_path(path)),
+    "JSONExtractInt": lambda x, *path: F.get_json_object(_c(x), _json_path(path)).cast("long"),
+    "JSONExtractFloat": lambda x, *path: F.get_json_object(_c(x), _json_path(path)).cast("double"),
+    "JSONExtractBool": lambda x, *path: F.get_json_object(_c(x), _json_path(path)).cast("boolean"),
+    "JSONExtractRaw": lambda x, *path: F.get_json_object(_c(x), _json_path(path)),
+    "JSONHas": lambda x, *path: F.get_json_object(_c(x), _json_path(path)).isNotNull().cast("int"),
+    "JSON_VALUE": lambda x, path: F.get_json_object(_c(x), path),
+    "visitParamExtractString": lambda x, name: F.get_json_object(_c(x), f"$.{name}"),
+    "isValidJSON": lambda x: F.get_json_object(_c(x), "$").isNotNull().cast("int"),
+    "JSONLength": lambda x, *path: F.json_array_length(
+        F.get_json_object(_c(x), _json_path(path)) if path else _c(x)),
+}
+
+
+def _json_path(path) -> str:
+    out = "$"
+    for p in path:
+        out += f"[{p - 1}]" if isinstance(p, int) else f".{p}"
+    return out
+
+
+# --------------------------------------------------------------------- misc
+
+_MISC = {
+    "generateUUIDv4": lambda: F.uuid(),
+    "rand": lambda: (F.rand() * (1 << 32)).cast("long"),
+    "rand64": lambda: (F.rand() * float(1 << 62)).cast("long"),
+    "randCanonical": lambda: F.rand(),
+    "randNormal": lambda mean=0.0, sd=1.0: F.randn() * sd + mean,
+    "randUniform": lambda lo, hi: F.rand() * (hi - lo) + lo,
+    "zeroField": lambda: F.lit(0),
+    "materialize": lambda x: _c(x),
+    "identity": lambda x: _c(x),
+    "ignore": lambda *xs: F.lit(0),
+    "bitAnd": lambda a, b: _c(a).bitwiseAND(_c(b)),
+    "bitOr": lambda a, b: _c(a).bitwiseOR(_c(b)),
+    "bitXor": lambda a, b: _c(a).bitwiseXOR(_c(b)),
+    "bitNot": lambda x: ~_c(x),
+    "bitShiftLeft": lambda a, n: F.shiftleft(_c(a), n),
+    "bitShiftRight": lambda a, n: F.shiftright(_c(a), n),
+    "bitCount": lambda x: F.bit_count(_c(x)),
+    "bitTest": lambda x, n: F.shiftright(_c(x), n).bitwiseAND(F.lit(1)),
+    "byteSize": lambda x: F.length(_c(x).cast("binary")).cast("long"),
+    "toTypeName": lambda x: F.typeof(_c(x)) if hasattr(F, "typeof") else F.lit("unknown"),
+    "greatCircleDistance": lambda lon1, lat1, lon2, lat2: _great_circle(lon1, lat1, lon2, lat2),
+    "geoDistance": lambda lon1, lat1, lon2, lat2: _great_circle(lon1, lat1, lon2, lat2),
+}
+
+
+def _great_circle(lon1, lat1, lon2, lat2) -> Column:
+    """Haversine great-circle distance in meters (reference
+    src/Functions/greatCircleDistance.cpp)."""
+    rlat1, rlat2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    dlat = F.radians(_c(lat2) - _c(lat1)) / 2
+    dlon = F.radians(_c(lon2) - _c(lon1)) / 2
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
+
+
+CH_FUNCTIONS: dict = {}
+for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
+            _JSON, _MISC):
+    for name, fn in fam.items():
+        if fn is not None:
+            CH_FUNCTIONS[name] = fn
+
+# attribute-style access: ch.toYear(col)
+ch = SimpleNamespace(**CH_FUNCTIONS)
