@@ -23,6 +23,7 @@ from clickhouse_core_spark.operators import (
     window_funnel, retention, sequence_match, delta_sum,
     exponential_moving_average, bounding_ratio, uniq_up_to,
     entropy, max_intersections, interval_length_sum,
+    recursive_cte, sample_by_hash,
 )
 from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
 from clickhouse_core_spark.operators.windows import non_negative_derivative
@@ -1338,6 +1339,73 @@ def order_with_fill(spark, sf_dir):
     return (with_fill(daily, "day", step="1 day",
                       from_val="1995-01-01 00:00:00", to_val="1995-03-31 00:00:00")
             .select("day", "n_orders").orderBy("day"))
+
+
+@q("order_with_fill_interpolate", """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         sum(o_totalprice) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+  GROUP BY 1),
+spine AS (
+  SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                TIMESTAMP '1995-02-28', INTERVAL 1 DAY)) AS day),
+j AS (
+  SELECT spine.day AS day, daily.revenue AS revenue
+  FROM spine LEFT JOIN daily ON spine.day = daily.day)
+SELECT day,
+       last_value(revenue IGNORE NULLS) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue
+FROM j ORDER BY day
+""")
+def order_with_fill_interp(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders
+    daily = (o.filter((F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp")))
+             .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+             .agg(F.sum("o_totalprice").alias("revenue")))
+    return (with_fill(daily, "day", step="1 day",
+                      from_val="1995-01-01 00:00:00", to_val="1995-02-28 00:00:00",
+                      interpolate={"revenue": "prev"})
+            .select("day", "revenue").orderBy("day"))
+
+
+@q("recursive_cte_hierarchy", """
+WITH RECURSIVE d AS (
+  SELECT 0 AS key, 0 AS depth
+  UNION
+  SELECT n.n_nationkey AS key, d.depth + 1 AS depth
+  FROM nation n JOIN d ON CAST(floor((n.n_nationkey - 1) / 2.0) AS INT) = d.key
+  WHERE n.n_nationkey > 0)
+SELECT key, depth FROM d ORDER BY key
+""")
+def recursive_cte_q(spark, sf_dir):
+    """Recursive CTE (reference ReadFromRecursiveCTEStep.h): transitive
+    closure of a synthetic binary-heap hierarchy over nation keys."""
+    n = _cat(spark, sf_dir).nation
+    edges = (n.filter(F.col("n_nationkey") > 0)
+             .select(F.col("n_nationkey").cast("int").alias("child"),
+                     F.floor((F.col("n_nationkey") - 1) / 2).cast("int").alias("parent")))
+    base = spark.createDataFrame([(0, 0)], "key int, depth int")
+
+    def step(frontier):
+        return (frontier.join(edges, frontier["key"] == edges["parent"])
+                .select(F.col("child").alias("key"),
+                        (F.col("depth") + 1).alias("depth")))
+
+    return recursive_cte(base, step, max_iterations=10).orderBy("key")
+
+
+@q("sample_by_hash_key")
+def sample_by_hash_q(spark, sf_dir):
+    """SAMPLE 0.1 by sampling key (hash-range, deterministic) — the
+    hash space differs from any oracle engine, so rows-only; the
+    fraction/determinism/composability contract is pytest-checked."""
+    li = _cat(spark, sf_dir).lineitem
+    return (sample_by_hash(li, 0.1, ["l_orderkey", "l_linenumber"])
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .orderBy("l_orderkey", "l_linenumber"))
 
 
 # ---------------------------------------------------------------- set ops

@@ -19,6 +19,7 @@ from clickhouse_core_spark.operators.aggregates import (
     histogram,
 )
 from clickhouse_core_spark.operators.fill import with_fill
+from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
 from clickhouse_core_spark.operators.sequence import (
     window_funnel,
     retention,
@@ -41,7 +42,7 @@ from clickhouse_core_spark.operators.final import (
 __all__ = [
     "asof_join", "any_join", "array_join", "paste_join",
     "limit_by", "top_k", "with_totals", "group_array", "histogram",
-    "with_fill",
+    "with_fill", "recursive_cte", "sample_by_hash",
     "window_funnel", "retention", "sequence_match", "delta_sum",
     "exponential_moving_average", "bounding_ratio", "uniq_up_to",
     "entropy", "max_intersections", "interval_length_sum",
