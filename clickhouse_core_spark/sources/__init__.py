@@ -1,0 +1,12 @@
+"""Table/storage layer: MergeTree-style managed Parquet tables.
+
+Reference: src/Storages/MergeTree/MergeTreeData.h:151 (partitioned,
+sorted, immutable parts merged in background). Spark-first: parts are
+Parquet directories written with partitionBy + sortWithinPartitions;
+FINAL semantics are read-time view rewrites (operators/final.py);
+compaction is a batch job applying the same rewrite.
+"""
+
+from clickhouse_core_spark.sources.mergetree import MergeTreeTable
+
+__all__ = ["MergeTreeTable"]

@@ -1,0 +1,195 @@
+"""MergeTree-semantics table on Parquet.
+
+Reference model (src/Storages/MergeTree/):
+- a table is a set of immutable *parts*, each internally sorted by the
+  table's ORDER BY key (IMergeTreeDataPart.h:71);
+- inserts create new parts (never modify old ones);
+- background merges combine parts and apply engine-specific merge rules
+  (Replacing/Summing/Collapsing..., registerStorageMergeTree.cpp:931-937);
+- SELECT ... FINAL applies the merge rules at read time;
+- PARTITION BY prunes whole partitions; the sort key drives range pruning
+  (KeyCondition.h:51).
+
+Spark mapping, feature for feature:
+- part       = a Parquet subdirectory ``part=NNNN`` written with
+               ``partitionBy(partition_by)`` + ``sortWithinPartitions(order_by)``
+               → Parquet row-group min/max stats on the sort key give the
+               primary-index pruning analog for free at scan time;
+- insert     = append a new part directory (atomic per-directory write);
+- FINAL      = view rewrite from operators/final.py;
+- merge      = ``compact()``: read all parts, apply the engine rewrite,
+               rewrite as a single part (the background-merge analog —
+               run it on a schedule, reads stay correct either way);
+- mutation   = ``delete_where()`` partition-rewrite (ALTER DELETE analog,
+               reference src/Interpreters/InterpreterDeleteQuery.cpp:105);
+- TTL        = ``apply_ttl()`` compaction that filters expired rows
+               (reference src/Processors/Transforms/TTLTransform.h).
+
+At 100 TB: partition_by keeps partition directories aligned with query
+predicates (partition pruning), order_by clusters data within files so
+Parquet stats prune row groups; compaction cost is proportional to the
+merged data, and reads never block on it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.operators.final import (
+    collapsing_final,
+    replacing_final,
+    summing_final,
+    versioned_collapsing_final,
+)
+
+_ENGINES = ("merge_tree", "replacing", "summing", "collapsing",
+            "versioned_collapsing")
+
+
+class MergeTreeTable:
+    """A managed, partitioned, sort-clustered Parquet table with
+    MergeTree engine semantics."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 order_by: Sequence[str],
+                 partition_by: Sequence[str] = (),
+                 engine: str = "merge_tree",
+                 key_cols: Sequence[str] | None = None,
+                 version_col: str | None = None,
+                 sign_col: str | None = None,
+                 sum_cols: Sequence[str] | None = None):
+        if engine not in _ENGINES:
+            raise ValueError(f"engine must be one of {_ENGINES}")
+        self.spark = spark
+        self.path = path
+        self.order_by = list(order_by)
+        self.partition_by = list(partition_by)
+        self.engine = engine
+        # dedup/merge identity: defaults to the sort key (reference:
+        # ORDER BY *is* the dedup key for Replacing/Summing engines)
+        self.key_cols = list(key_cols) if key_cols else self.order_by
+        self.version_col = version_col
+        self.sign_col = sign_col
+        self.sum_cols = list(sum_cols) if sum_cols else None
+        os.makedirs(path, exist_ok=True)
+        self._write_meta()
+
+    # ------------------------------------------------------------- metadata
+
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_mergetree_meta.json")
+
+    def _write_meta(self) -> None:
+        meta = {
+            "engine": self.engine, "order_by": self.order_by,
+            "partition_by": self.partition_by, "key_cols": self.key_cols,
+            "version_col": self.version_col, "sign_col": self.sign_col,
+            "sum_cols": self.sum_cols,
+        }
+        with open(self._meta_path(), "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "MergeTreeTable":
+        with open(os.path.join(path, "_mergetree_meta.json")) as fh:
+            meta = json.load(fh)
+        return cls(spark, path,
+                   order_by=meta["order_by"], partition_by=meta["partition_by"],
+                   engine=meta["engine"], key_cols=meta["key_cols"],
+                   version_col=meta["version_col"], sign_col=meta["sign_col"],
+                   sum_cols=meta["sum_cols"])
+
+    # ----------------------------------------------------------------- parts
+
+    def parts(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, d) for d in os.listdir(self.path)
+            if d.startswith("part-") and os.path.isdir(os.path.join(self.path, d)))
+
+    def insert(self, df: DataFrame) -> str:
+        """Write a new immutable part: partitioned by ``partition_by``,
+        sorted by ``order_by`` within each file (gives Parquet row-group
+        min/max stats the same pruning power as the reference's primary
+        index)."""
+        part_dir = os.path.join(self.path, f"part-{int(time.time() * 1e6):016x}")
+        writer = df
+        if self.partition_by:
+            # repartition on the partition key so each output partition
+            # directory is written by few tasks (avoids small-file blowup)
+            writer = writer.repartition(*[F.col(c) for c in self.partition_by])
+        writer = writer.sortWithinPartitions(*self.order_by)
+        w = writer.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(part_dir)
+        return part_dir
+
+    # ----------------------------------------------------------------- reads
+
+    def read_raw(self) -> DataFrame:
+        """All appended rows, engine semantics NOT applied (the
+        reference's default non-FINAL read)."""
+        parts = self.parts()
+        if not parts:
+            raise ValueError(f"table at {self.path} has no parts")
+        return self.spark.read.option("basePath", parts[0]) \
+            .parquet(*parts) if len(parts) == 1 else (
+            self.spark.read.parquet(*parts))
+
+    def read(self, final: bool = False) -> DataFrame:
+        df = self.read_raw()
+        if not final or self.engine == "merge_tree":
+            return df
+        return self._apply_engine(df)
+
+    def _apply_engine(self, df: DataFrame) -> DataFrame:
+        if self.engine == "replacing":
+            return replacing_final(df, self.key_cols, version=self.version_col)
+        if self.engine == "summing":
+            return summing_final(df, self.key_cols, sum_cols=self.sum_cols)
+        if self.engine == "collapsing":
+            return collapsing_final(df, self.key_cols, sign=self.sign_col,
+                                    order_col=self.version_col)
+        if self.engine == "versioned_collapsing":
+            return versioned_collapsing_final(df, self.key_cols,
+                                              sign=self.sign_col,
+                                              version=self.version_col)
+        return df
+
+    # ------------------------------------------------------------ background
+
+    def compact(self) -> None:
+        """Background-merge analog: fold all parts into one, applying the
+        engine merge rule, then atomically swap.  Readers between swap
+        steps see either the old parts or the new one — both yield the
+        same FINAL result."""
+        parts = self.parts()
+        if len(parts) <= 1 and self.engine == "merge_tree":
+            return
+        merged = self._apply_engine(self.read_raw())
+        new_part = self.insert(merged)
+        self._drop_parts([p for p in parts if p != new_part])
+
+    def delete_where(self, predicate: Column) -> None:
+        """ALTER TABLE ... DELETE analog: rewrite parts without matching
+        rows (reference lightweight delete rewrites the _row_exists mask;
+        a partition rewrite is the Spark-native equivalent)."""
+        parts = self.parts()
+        kept = self.read_raw().filter(~predicate)
+        new_part = self.insert(kept)
+        self._drop_parts([p for p in parts if p != new_part])
+
+    def apply_ttl(self, expired: Column) -> None:
+        """TTL compaction: drop rows where ``expired`` holds."""
+        self.delete_where(expired)
+
+    def _drop_parts(self, parts: Sequence[str]) -> None:
+        import shutil
+        for p in parts:
+            shutil.rmtree(p, ignore_errors=True)
