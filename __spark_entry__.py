@@ -33,6 +33,9 @@ from clickhouse_core_spark.pipeline import (
     with_token_count, with_quality_score, with_language_id, with_fingerprint,
 )
 from clickhouse_core_spark.pipeline.similarity import cosine_similarity
+from clickhouse_core_spark.pipeline.multimodal import (
+    decode_images, extract_features, sample_frames,
+)
 from clickhouse_core_spark.functions import ch
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2003,6 +2006,55 @@ def text_fingerprint_q(spark, sf_dir):
     """xxhash64 content fingerprint (no DuckDB xxhash64) — rows-only."""
     d = _cat(spark, sf_dir).documents
     return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+# ------------------------------------------------- multimodal plumbing
+
+@q("multimodal_decode", """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""")
+def multimodal_decode_q(spark, sf_dir):
+    """Binary-column pipeline: text bytes as an opaque blob -> Arrow
+    mapInPandas decode (stubbed deterministically; schema/batch contract
+    is production-shaped).  Byte length doubles as the oracle-checkable
+    output; decoded dims are covered by pytest."""
+    d = _cat(spark, sf_dir).documents
+    blobs = (d.filter(F.col("doc_id") < 200)
+             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+    decoded = decode_images(blobs)
+    return (decoded.select("doc_id",
+                           F.length("content").cast("long").alias("n_bytes"))
+            .orderBy("doc_id"))
+
+
+@q("multimodal_features")
+def multimodal_features_q(spark, sf_dir):
+    """Feature extraction over binary columns (stubbed encoder; real
+    Arrow batch plumbing) — rows-only."""
+    d = _cat(spark, sf_dir).documents
+    blobs = (d.filter(F.col("doc_id") < 200)
+             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+    feats = extract_features(blobs, dim=8)
+    return (feats.select("doc_id", F.size("features").alias("dim"))
+            .orderBy("doc_id"))
+
+
+@q("multimodal_frame_sample", """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) * 10 // 1000 + 1 AS BIGINT) AS n_frames
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""")
+def multimodal_frames_q(spark, sf_dir):
+    """Frame sampling plan over video-like binaries: stub duration =
+    10ms/byte, sample every 1000ms -> floor(dur/1000)+1 offsets."""
+    d = _cat(spark, sf_dir).documents
+    blobs = (d.filter(F.col("doc_id") < 200)
+             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+    sampled = sample_frames(blobs, every_ms=1000)
+    return (sampled.select("doc_id",
+                           F.size("frame_offsets_ms").cast("long").alias("n_frames"))
+            .orderBy("doc_id"))
 
 
 def _unit_query_vec(dim: int = 64) -> list[float]:

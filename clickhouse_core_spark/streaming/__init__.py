@@ -4,5 +4,10 @@ from clickhouse_core_spark.streaming.windows import (
     with_watermark,
     windowed_aggregate,
 )
+from clickhouse_core_spark.streaming.materialized import (
+    MaterializedViewCascade,
+    dedup_within_watermark,
+)
 
-__all__ = ["tumble", "hop", "with_watermark", "windowed_aggregate"]
+__all__ = ["tumble", "hop", "with_watermark", "windowed_aggregate",
+           "MaterializedViewCascade", "dedup_within_watermark"]
