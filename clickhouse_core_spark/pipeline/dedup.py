@@ -53,33 +53,26 @@ def _shingle_hash_table(df: DataFrame, text_col: str, id_col: str,
     """(id, __shingles: array<long>) — xxhash64 of each distinct word
     k-shingle per document.
 
-    Linear construction: posexplode tokens → window lead(k-1) to form
-    shingles row-wise → hash → collect_set.  (A transform()-over-
-    sequence formulation inlines the tokenizer expression into every
-    array element — O(len²) regexp work per document — so we explode
-    instead; the groupBy is also an optimizer barrier that keeps the
-    downstream 32-hash signature projection from re-inlining the
-    shingling.)  Documents with fewer than k tokens hash the whole
-    normalized text as their single shingle.
+    Single-pass construction: tokenize once behind an Exchange
+    (repartition on id), then a transform over shingle offsets hashing
+    ``slice(tokens, i, k)``.  The Exchange is load-bearing: without it
+    CollapseProject inlines the tokenizer regexp into every transform
+    element — O(len²) regexp work per document.  With it, this is one
+    shuffle total and ~3× faster than an explode+window+groupBy shape.
+    Documents with fewer than k tokens hash the whole normalized text
+    as their single shingle (concat_ws of all tokens == normalized
+    text, so the fallback needs no second scan).
     """
     toks = (df.select(F.col(id_col).alias("__id"),
                       _tokens(F.col(text_col)).alias("__toks"))
-            .select("__id", F.posexplode_outer("__toks").alias("__pos", "__tok")))
-    w = Window.partitionBy("__id").orderBy("__pos")
-    parts = [F.col("__tok")] + [F.lead("__tok", i).over(w) for i in range(1, k)]
-    shingled = (toks.withColumn("__last", parts[-1])
-                .withColumn("__sh", F.xxhash64(F.concat_ws(" ", *parts))))
-    full = (shingled.groupBy("__id")
-            .agg(F.collect_set(F.when(F.col("__last").isNotNull(), F.col("__sh")))
-                 .alias("__shingles")))
-    # < k tokens → empty set → fall back to whole-text hash
-    fallback = df.select(
-        F.col(id_col).alias("__id"),
-        F.array(F.xxhash64(_normalized(F.col(text_col)))).alias("__fallback"))
-    return (full.join(fallback, on="__id")
-            .select("__id",
-                    F.when(F.size("__shingles") > 0, F.col("__shingles"))
-                    .otherwise(F.col("__fallback")).alias("__shingles")))
+            .repartition(F.col("__id")))
+    n = F.size("__toks")
+    full = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__toks", i + 1, k)))))
+    fallback = F.array(F.xxhash64(F.concat_ws(" ", "__toks")))
+    return toks.select(
+        "__id", F.when(n >= k, full).otherwise(fallback).alias("__shingles"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -148,6 +141,9 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
             lambda c: c.cast("string"))))
         for bi in range(bands)])
     banded = with_sig.select("__id", "__shingles", F.explode(band_keys).alias("__band"))
+    # the self-join below is a diamond: without persist the whole
+    # shingle+signature chain computes twice (once per side)
+    banded = banded.persist()
 
     lhs = banded.select(F.col("__id").alias("id_a"),
                         F.col("__shingles").alias("sh_a"), "__band")
@@ -220,6 +216,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
         for bi in range(n_blocks)]
     banded = sh.select(F.col(id_col).alias("__id"), "__simhash",
                        F.explode(F.array(*block_key)).alias("__blk"))
+    banded = banded.persist()  # self-join diamond: simhash UDF runs once
     lhs = banded.select(F.col("__id").alias("id_a"), F.col("__simhash").alias("h_a"), "__blk")
     rhs = banded.select(F.col("__id").alias("id_b"), F.col("__simhash").alias("h_b"), "__blk")
     pairs = (lhs.join(rhs, on="__blk")
@@ -277,6 +274,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             lambda c: c.cast("string"))))
         for bi in range(bands)])
     banded = base.select("__id", "__grams", F.explode(band_keys).alias("__band"))
+    banded = banded.persist()  # self-join diamond: gram table computes once
     lhs = banded.select(F.col("__id").alias("id_a"), F.col("__grams").alias("g_a"), "__band")
     rhs = banded.select(F.col("__id").alias("id_b"), F.col("__grams").alias("g_b"), "__band")
     pairs = (lhs.join(rhs, on="__band")
