@@ -61,6 +61,16 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+
+def _small_sorted(df: DataFrame, *order) -> DataFrame:
+    """Final sort for provably-small (post-aggregation) results: coalesce
+    to one partition and sort there, skipping orderBy's range-sampling
+    job.  Scale-safe ONLY after an aggregation whose group count is
+    small: partial aggregation upstream stays fully distributed, and the
+    single final task handles (num_groups x shuffle_partitions) rows."""
+    return df.coalesce(1).sortWithinPartitions(*order)
+
+
 # ---------------------------------------------------------------- TPC-H core
 
 @q("q1_pricing_summary", """
@@ -91,7 +101,7 @@ def q1(spark, sf_dir):
                  F.avg("l_extendedprice").alias("avg_price"),
                  F.avg("l_discount").alias("avg_disc"),
                  F.count("*").alias("count_order"))
-            .orderBy("l_returnflag", "l_linestatus"))
+            .transform(_small_sorted, "l_returnflag", "l_linestatus"))
 
 
 @q("q3_shipping_priority", """
@@ -149,7 +159,7 @@ def q5(spark, sf_dir):
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-            .orderBy(F.col("revenue").desc(), "n_name"))
+            .transform(_small_sorted, F.col("revenue").desc(), "n_name"))
 
 
 @q("q6_forecast_revenue", """
@@ -786,7 +796,7 @@ def agg_stats(spark, sf_dir):
                  F.var_samp("l_quantity").alias("var_qty"),
                  F.corr("l_quantity", "l_extendedprice").alias("corr_qp"),
                  F.countDistinct("l_suppkey").alias("n_supp"))
-            .orderBy("l_returnflag"))
+            .transform(_small_sorted, "l_returnflag"))
 
 
 @q("agg_argminmax", """
@@ -834,7 +844,7 @@ def agg_rollup(spark, sf_dir):
                  F.sum("l_quantity").alias("sum_qty"),
                  F.count("*").alias("cnt"))
             .select("l_returnflag", "l_linestatus", "grp", "sum_qty", "cnt")
-            .orderBy("grp", "l_returnflag", "l_linestatus"))
+            .transform(_small_sorted, "grp", "l_returnflag", "l_linestatus"))
 
 
 @q("agg_cube", """
@@ -902,7 +912,7 @@ def agg_topk(spark, sf_dir):
     return (counted.withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= 2)
             .select("user_id", "event_type", "rk")
-            .orderBy("user_id", "rk"))
+            .transform(_small_sorted, "user_id", "rk"))
 
 
 @q("agg_group_concat", """
@@ -1424,7 +1434,7 @@ def setop_union_all(spark, sf_dir):
     c = _cat(spark, sf_dir)
     a = c.customer.groupBy(F.col("c_nationkey").alias("k")).agg(F.count("*").alias("n"))
     b = c.supplier.groupBy(F.col("s_nationkey").alias("k")).agg(F.count("*").alias("n"))
-    return a.unionByName(b).orderBy("k", "n")
+    return a.unionByName(b).transform(_small_sorted, "k", "n")
 
 
 @q("setop_intersect", """
@@ -1910,7 +1920,7 @@ def stream_tumble(spark, sf_dir):
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"))
             .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
             .select(F.col("w.start").alias("wstart"), "cnt", "total")
-            .orderBy("wstart"))
+            .transform(_small_sorted, "wstart"))
 
 
 @q("stream_hop_2h_1h", """
@@ -1926,7 +1936,7 @@ def stream_hop(spark, sf_dir):
     return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
             .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
             .select(F.col("w.start").alias("wstart"), "cnt", "total")
-            .orderBy("wstart"))
+            .transform(_small_sorted, "wstart"))
 
 
 # ------------------------------------------------- LLM-pipeline operators

@@ -34,6 +34,8 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_effect",
     "q18_large_orders",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
     "join_asof_backward",
     "join_any_left",
     "agg_stats",
@@ -44,11 +46,14 @@ HEADLINE = [
     "limit_by_group",
     "final_replacing",
     "setop_union_all",
+    "funnel_window",
+    "retention_steps",
     "stream_tumble_1h",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_token_count",
     "ann_cosine_topk",
+    "multimodal_decode",
 ]
 
 
