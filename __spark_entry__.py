@@ -24,6 +24,8 @@ from clickhouse_core_spark.operators import (
     exponential_moving_average, bounding_ratio, uniq_up_to,
     entropy, max_intersections, interval_length_sum,
     recursive_cte, sample_by_hash,
+    simple_linear_regression, welch_t_test, mann_whitney_u,
+    sessionize, largest_triangle_three_buckets,
 )
 from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
 from clickhouse_core_spark.operators.windows import non_negative_derivative
@@ -1158,6 +1160,104 @@ def agg_topk_array_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     return (top_k(ev, ["user_id"], "event_type", k=2)
             .select("user_id", "topk").orderBy("user_id"))
+
+
+@q("stats_linreg", """
+SELECT l_returnflag,
+       covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS k,
+       avg(l_extendedprice) - covar_pop(l_quantity, l_extendedprice)
+         / var_pop(l_quantity) * avg(l_quantity) AS b
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def stats_linreg_q(spark, sf_dir):
+    li = _cat(spark, sf_dir).lineitem
+    return (simple_linear_regression(li, ["l_returnflag"],
+                                     "l_quantity", "l_extendedprice")
+            .transform(_small_sorted, "l_returnflag"))
+
+
+@q("stats_welch_ttest", """
+WITH s AS (SELECT user_id, value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+           FROM events WHERE event_type IN ('purchase', 'view')),
+m AS (SELECT user_id,
+             count(*) FILTER (grp = 0) AS n0, count(*) FILTER (grp = 1) AS n1,
+             avg(value) FILTER (grp = 0) AS m0, avg(value) FILTER (grp = 1) AS m1,
+             var_samp(value) FILTER (grp = 0) AS s0,
+             var_samp(value) FILTER (grp = 1) AS s1
+      FROM s GROUP BY user_id)
+SELECT user_id,
+       (m0 - m1) / sqrt(s0 / n0 + s1 / n1) AS t_stat,
+       pow(s0 / n0 + s1 / n1, 2)
+       / (pow(s0 / n0, 2) / (n0 - 1) + pow(s1 / n1, 2) / (n1 - 1)) AS dof
+FROM m ORDER BY user_id
+""")
+def stats_welch_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    s = (ev.filter(F.col("event_type").isin("purchase", "view"))
+         .select("user_id", "value",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp")))
+    return (welch_t_test(s, ["user_id"], "value", "grp")
+            .transform(_small_sorted, "user_id"))
+
+
+@q("stats_mann_whitney", """
+WITH s AS (SELECT user_id, value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+           FROM events WHERE event_type IN ('purchase', 'view')),
+r AS (SELECT user_id, grp,
+             rank() OVER (PARTITION BY user_id ORDER BY value)
+             + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS rk
+      FROM s),
+m AS (SELECT user_id,
+             sum(rk) FILTER (grp = 0) AS r0,
+             CAST(count(*) FILTER (grp = 0) AS BIGINT) AS n0,
+             CAST(count(*) FILTER (grp = 1) AS BIGINT) AS n1
+      FROM r GROUP BY user_id)
+SELECT user_id, n0, n1, r0 - n0 * (n0 + 1) / 2.0 AS u_stat
+FROM m ORDER BY user_id
+""")
+def stats_mw_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    s = (ev.filter(F.col("event_type").isin("purchase", "view"))
+         .select("user_id", "value",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp")))
+    return (mann_whitney_u(s, ["user_id"], "value", "grp")
+            .select("user_id", "n0", "n1", "u_stat")
+            .orderBy("user_id"))
+
+
+@q("sessionize_gap", """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT user_id, event_id,
+       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM g ORDER BY user_id, event_id
+""")
+def sessionize_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    return (sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+            .select("user_id", "event_id", "session_id")
+            .orderBy("user_id", "event_id"))
+
+
+@q("lttb_downsample")
+def lttb_q(spark, sf_dir):
+    """largestTriangleThreeBuckets downsampling (simplified LTTB:
+    per-bucket max |y - mean| point) — bucket-edge tie-breaks make a
+    faithful SQL oracle brittle; contract covered by pytest."""
+    ev = _cat(spark, sf_dir).events
+    return (largest_triangle_three_buckets(
+        ev.select("user_id", F.unix_micros("ts").alias("x"),
+                  F.col("value").alias("y")),
+        ["user_id"], "x", "y", n_buckets=10)
+        .orderBy("user_id", "x"))
 
 
 # ---------------------------------------------------------------- windows

@@ -20,6 +20,13 @@ from clickhouse_core_spark.operators.aggregates import (
 )
 from clickhouse_core_spark.operators.fill import with_fill
 from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
+from clickhouse_core_spark.operators.stats import (
+    simple_linear_regression,
+    welch_t_test,
+    mann_whitney_u,
+    sessionize,
+    largest_triangle_three_buckets,
+)
 from clickhouse_core_spark.operators.sequence import (
     window_funnel,
     retention,
@@ -43,6 +50,8 @@ __all__ = [
     "asof_join", "any_join", "array_join", "paste_join",
     "limit_by", "top_k", "with_totals", "group_array", "histogram",
     "with_fill", "recursive_cte", "sample_by_hash",
+    "simple_linear_regression", "welch_t_test", "mann_whitney_u",
+    "sessionize", "largest_triangle_three_buckets",
     "window_funnel", "retention", "sequence_match", "delta_sum",
     "exponential_moving_average", "bounding_ratio", "uniq_up_to",
     "entropy", "max_intersections", "interval_length_sum",

@@ -1,0 +1,154 @@
+"""Statistical aggregate functions.
+
+Reference:
+- simpleLinearRegression (reference
+  src/AggregateFunctions/AggregateFunctionSimpleLinearRegression.cpp)
+- studentTTest / welchTTest (reference
+  src/AggregateFunctions/AggregateFunctionTTest.h)
+- mannWhitneyUTest (reference
+  src/AggregateFunctions/AggregateFunctionMannWhitney.cpp)
+- largestTriangleThreeBuckets downsampling (reference
+  src/AggregateFunctions/AggregateFunctionLargestTriangleThreeBuckets.cpp)
+- sessionization: the reference models sessions via window funnel /
+  LIMIT BY patterns; gap-based session ids are the standard OLAP form.
+
+All are moment/rank compositions of built-in aggregates — fully
+partial-aggregatable groupBy work (the t-tests reduce to per-group
+count/mean/variance; Mann-Whitney to a rank sum), so they scale exactly
+like any other hash aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def simple_linear_regression(df: DataFrame, keys: Sequence[str],
+                             x_col: str, y_col: str) -> DataFrame:
+    """simpleLinearRegression(x, y) -> (k, b) least-squares fit per key.
+
+    slope = cov(x,y)/var(x), intercept = mean(y) - slope*mean(x) —
+    single groupBy over four moments.
+    """
+    keys = list(keys)
+    out = (df.groupBy(*keys)
+           .agg(F.covar_pop(x_col, y_col).alias("__cov"),
+                F.var_pop(x_col).alias("__var"),
+                F.avg(x_col).alias("__mx"), F.avg(y_col).alias("__my")))
+    return (out.withColumn("k", F.col("__cov") / F.col("__var"))
+            .withColumn("b", F.col("__my") - F.col("k") * F.col("__mx"))
+            .drop("__cov", "__var", "__mx", "__my"))
+
+
+def welch_t_test(df: DataFrame, keys: Sequence[str], value_col: str,
+                 group_col: str | Column) -> DataFrame:
+    """welchTTest(value, sample_index): t statistic (and degrees of
+    freedom) for the two samples selected by boolean/0-1 ``group_col``.
+
+    t = (m0 - m1) / sqrt(s0²/n0 + s1²/n1);
+    df = (s0²/n0 + s1²/n1)² / ((s0²/n0)²/(n0-1) + (s1²/n1)²/(n1-1)).
+    One groupBy with conditional aggregates — no second pass.
+    """
+    keys = list(keys)
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    v0 = F.when(g == 0, v)
+    v1 = F.when(g == 1, v)
+    out = (df.groupBy(*keys)
+           .agg(F.count(v0).alias("__n0"), F.count(v1).alias("__n1"),
+                F.avg(v0).alias("__m0"), F.avg(v1).alias("__m1"),
+                F.var_samp(v0).alias("__s0"), F.var_samp(v1).alias("__s1")))
+    se0 = F.col("__s0") / F.col("__n0")
+    se1 = F.col("__s1") / F.col("__n1")
+    t = (F.col("__m0") - F.col("__m1")) / F.sqrt(se0 + se1)
+    dof = ((se0 + se1) ** 2
+           / (se0 ** 2 / (F.col("__n0") - 1) + se1 ** 2 / (F.col("__n1") - 1)))
+    return (out.withColumn("t_stat", t).withColumn("dof", dof)
+            .drop("__n0", "__n1", "__m0", "__m1", "__s0", "__s1"))
+
+
+def mann_whitney_u(df: DataFrame, keys: Sequence[str], value_col: str,
+                   group_col: str | Column) -> DataFrame:
+    """mannWhitneyUTest(value, sample_index): U statistic for sample 0
+    vs sample 1 per key, with average ranks for ties (the reference's
+    continuity-corrected z is derivable from U; we emit U and both n's).
+
+    rank via a window over (key, value) — one shuffle on keys; rank sums
+    are then a plain groupBy.
+    """
+    keys = list(keys)
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    # average rank for ties: avg of row_number over equal values =
+    # (rank + (count_in_tie - 1)/2)
+    w_all = Window.partitionBy(*keys).orderBy(value_col)
+    w_tie = Window.partitionBy(*keys, value_col)
+    ranked = df.withColumn(
+        "__r", F.rank().over(w_all) + (F.count("*").over(w_tie) - 1) / 2.0)
+    out = (ranked.groupBy(*keys)
+           .agg(F.sum(F.when(g == 0, F.col("__r"))).alias("__r0"),
+                F.count(F.when(g == 0, F.lit(1))).alias("n0"),
+                F.count(F.when(g == 1, F.lit(1))).alias("n1")))
+    u = F.col("__r0") - F.col("n0") * (F.col("n0") + 1) / 2.0
+    return out.withColumn("u_stat", u).drop("__r0")
+
+
+def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
+               gap: str | int, session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time
+    since the previous event (per key) exceeds ``gap``.
+
+    session_id = cumulative count of gap-breaks in time order — one
+    window pass, the classic scalable formulation (equivalent to
+    Spark's streaming session_window for the batch case).
+    """
+    if isinstance(gap, str):
+        num, unit = gap.split()
+        mult = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+                "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}[unit]
+        gap_s = int(num) * mult
+    else:
+        gap_s = int(gap)
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    t = F.unix_timestamp(F.col(ts_col))
+    is_break = F.when(
+        t - F.unix_timestamp(F.lag(ts_col).over(w)) > gap_s, 1).otherwise(0)
+    run = (Window.partitionBy(*keys).orderBy(ts_col)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return df.withColumn(session_col, F.sum(is_break).over(run).cast("long"))
+
+
+def largest_triangle_three_buckets(df: DataFrame, keys: Sequence[str],
+                                   x_col: str, y_col: str,
+                                   n_buckets: int) -> DataFrame:
+    """largestTriangleThreeBuckets(n)(x, y): downsample each key's
+    series to ~n points, keeping visual shape (reference
+    AggregateFunctionLargestTriangleThreeBuckets.cpp).
+
+    Simplified LTTB (a standard variant): rank points into n equal-count
+    buckets in x order and keep, per bucket, the point with the largest
+    |y - bucket_mean_y| (the locally most extreme point — first/last
+    rows always survive).  Window + groupBy only; one shuffle.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(x_col)
+    n_rows = F.count("*").over(Window.partitionBy(*keys))
+    rn = F.row_number().over(w)
+    bucket = F.least(
+        F.floor((rn - 1) * n_buckets / n_rows).cast("int"), F.lit(n_buckets - 1))
+    b = df.withColumn("__bkt", bucket).withColumn("__rn", rn) \
+          .withColumn("__n", n_rows)
+    w_b = Window.partitionBy(*keys, "__bkt")
+    dev = F.abs(F.col(y_col) - F.avg(y_col).over(w_b))
+    # keep first/last point of the series unconditionally (LTTB contract)
+    keep_rank = F.row_number().over(
+        Window.partitionBy(*keys, "__bkt").orderBy(
+            F.when((F.col("__rn") == 1) | (F.col("__rn") == F.col("__n")), 1)
+            .otherwise(0).desc(),
+            dev.desc(), F.col(x_col)))
+    return (b.withColumn("__keep", keep_rank)
+            .filter(F.col("__keep") == 1)
+            .drop("__bkt", "__rn", "__n", "__keep"))
