@@ -26,6 +26,7 @@ from clickhouse_core_spark.operators import (
     recursive_cte, sample_by_hash,
     simple_linear_regression, welch_t_test, mann_whitney_u,
     sessionize, largest_triangle_three_buckets,
+    rollup_states, merge_states, Dictionary, range_join,
 )
 from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
 from clickhouse_core_spark.operators.windows import non_negative_derivative
@@ -1160,6 +1161,67 @@ def agg_topk_array_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     return (top_k(ev, ["user_id"], "event_type", k=2)
             .select("user_id", "topk").orderBy("user_id"))
+
+
+@q("uniq_state_merge_rollup")
+def uniq_state_merge_q(spark, sf_dir):
+    """-State/-Merge combinator analog: day-level HLL+KLL+sum states
+    rolled up to month level by merging states (no raw rescan) —
+    sketch estimates have no cross-engine oracle; accuracy asserted in
+    pytest against exact counts."""
+    o = _cat(spark, sf_dir).orders
+    day_states = rollup_states(
+        o.withColumn("day", F.date_trunc("day", "o_orderdate")),
+        ["day"], uniq_cols=["o_custkey"], quantile_cols=["o_totalprice"],
+        sum_cols=["o_totalprice"])
+    monthly = merge_states(
+        day_states.withColumn("month", F.date_trunc("month", "day")),
+        ["month"], quantiles=(0.5,))
+    return monthly.orderBy("month")
+
+
+@q("dict_get_lookup", """
+SELECT o_orderkey, c_name, n_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderkey < 500 ORDER BY o_orderkey
+""")
+def dict_get_q(spark, sf_dir):
+    """dictGet as broadcast lookup joins (reference
+    FunctionsExternalDictionaries.h -> DirectJoin rewrite)."""
+    c = _cat(spark, sf_dir)
+    cust_dict = Dictionary(c.customer, ["c_custkey"])
+    nation_dict = Dictionary(c.nation, ["n_nationkey"])
+    o = c.orders.filter(F.col("o_orderkey") < 500)
+    step1 = cust_dict.get(o, {"c_name": "c_name", "c_nationkey": "__nk"},
+                          on={"o_custkey": "c_custkey"})
+    step2 = nation_dict.get(step1, {"n_name": "n_name"},
+                            on={"__nk": "n_nationkey"})
+    return step2.select("o_orderkey", "c_name", "n_name").orderBy("o_orderkey")
+
+
+@q("range_join_bucketed", """
+WITH iv AS (SELECT user_id, value AS s, value + 15.0 AS e, event_id AS iv_id
+            FROM events WHERE event_type = 'signup'),
+pts AS (SELECT user_id, value AS p, event_id AS pt_id
+        FROM events WHERE event_type = 'purchase')
+SELECT pts.user_id AS user_id, pt_id, iv_id
+FROM pts JOIN iv ON pts.user_id = iv.user_id AND p >= s AND p < e
+ORDER BY user_id, pt_id, iv_id
+""")
+def range_join_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    iv = (ev.filter(F.col("event_type") == "signup")
+          .select("user_id", F.col("value").alias("s"),
+                  (F.col("value") + 15.0).alias("e"),
+                  F.col("event_id").alias("iv_id")))
+    pts = (ev.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.col("value").alias("p"),
+                   F.col("event_id").alias("pt_id")))
+    return (range_join(pts, iv, "p", "s", "e", on=["user_id"], bucket_width=15.0)
+            .select("user_id", "pt_id", "iv_id")
+            .orderBy("user_id", "pt_id", "iv_id"))
 
 
 @q("stats_linreg", """

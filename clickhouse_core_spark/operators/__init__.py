@@ -20,6 +20,11 @@ from clickhouse_core_spark.operators.aggregates import (
 )
 from clickhouse_core_spark.operators.fill import with_fill
 from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
+from clickhouse_core_spark.operators.sketches import (
+    uniq_state, uniq_merge, uniq_theta_state, uniq_theta_estimate,
+    quantile_state, quantile_merge, rollup_states, merge_states,
+)
+from clickhouse_core_spark.operators.dictionary import Dictionary, range_join
 from clickhouse_core_spark.operators.stats import (
     simple_linear_regression,
     welch_t_test,
@@ -50,6 +55,9 @@ __all__ = [
     "asof_join", "any_join", "array_join", "paste_join",
     "limit_by", "top_k", "with_totals", "group_array", "histogram",
     "with_fill", "recursive_cte", "sample_by_hash",
+    "uniq_state", "uniq_merge", "uniq_theta_state", "uniq_theta_estimate",
+    "quantile_state", "quantile_merge", "rollup_states", "merge_states",
+    "Dictionary", "range_join",
     "simple_linear_regression", "welch_t_test", "mann_whitney_u",
     "sessionize", "largest_triangle_three_buckets",
     "window_funnel", "retention", "sequence_match", "delta_sum",

@@ -1,0 +1,75 @@
+"""Sketch states (-State/-Merge analog), dictionary lookups, range join."""
+
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.operators import (
+    Dictionary, merge_states, range_join, rollup_states,
+    uniq_state, uniq_merge,
+)
+
+
+def test_state_merge_matches_exact_ballpark(spark, catalog):
+    o = catalog.orders
+    day_states = rollup_states(
+        o.withColumn("day", F.date_trunc("day", "o_orderdate")),
+        ["day"], uniq_cols=["o_custkey"], quantile_cols=["o_totalprice"],
+        sum_cols=["o_totalprice"])
+    monthly = merge_states(
+        day_states.withColumn("month", F.date_trunc("month", "day")),
+        ["month"], quantiles=(0.5,))
+    exact = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+             .agg(F.countDistinct("o_custkey").alias("exact_uniq"),
+                  F.sum("o_totalprice").alias("exact_sum"),
+                  F.percentile("o_totalprice", 0.3).alias("exact_q30"),
+                  F.percentile("o_totalprice", 0.7).alias("exact_q70")))
+    j = {r["month"]: r for r in monthly.join(exact, "month").collect()}
+    assert len(j) > 0
+    for r in j.values():
+        # HLL at lg_k=12: ~2% typical error
+        assert abs(r["o_custkey_uniq"] - r["exact_uniq"]) <= max(3, 0.05 * r["exact_uniq"])
+        assert abs(r["o_totalprice_sum"] - r["exact_sum"]) < 1e-6
+        # KLL returns an actual data point; with small per-month samples
+        # assert it lands inside the exact interquantile band
+        assert r["exact_q30"] <= r["o_totalprice_q50"] <= r["exact_q70"]
+
+
+def test_state_table_storable_roundtrip(spark, catalog, tmp_path):
+    # the state column must survive a Parquet write/read (binary type)
+    o = catalog.orders
+    states = rollup_states(
+        o.withColumn("day", F.date_trunc("day", "o_orderdate")),
+        ["day"], uniq_cols=["o_custkey"])
+    p = str(tmp_path / "states")
+    states.write.parquet(p)
+    back = spark.read.parquet(p)
+    est = back.agg(uniq_merge("o_custkey__uniq_state").alias("u")).collect()[0]["u"]
+    exact = o.select("o_custkey").distinct().count()
+    assert abs(est - exact) <= max(3, 0.05 * exact)
+
+
+def test_dictionary_get_with_default(spark):
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    facts = spark.createDataFrame([(1,), (2,), (99,)], "fk int")
+    d = Dictionary(dim, ["k"])
+    out = d.get(facts, {"name": "label"}, on={"fk": "k"},
+                defaults={"label": "unknown"})
+    rows = {r["fk"]: r["label"] for r in out.collect()}
+    assert rows == {1: "one", 2: "two", 99: "unknown"}
+    flags = {r["fk"]: r["dict_has"]
+             for r in d.has(facts, on={"fk": "k"}).collect()}
+    assert flags == {1: 1, 2: 1, 99: 0}
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0, 100), (1, 14.9, 101), (1, 15.0, 102), (2, 5.0, 103)],
+        "k int, p double, pid int")
+    iv = spark.createDataFrame(
+        [(1, 0.0, 15.0, 200), (1, 10.0, 40.0, 201), (2, 100.0, 200.0, 202)],
+        "k int, s double, e double, ivid int")
+    naive = range_join(pts, iv, "p", "s", "e", on=["k"])
+    bucketed = range_join(pts, iv, "p", "s", "e", on=["k"], bucket_width=7.0)
+    n = sorted((r["pid"], r["ivid"]) for r in naive.collect())
+    b = sorted((r["pid"], r["ivid"]) for r in bucketed.collect())
+    assert n == b
+    assert (100, 200) in b and (102, 200) not in b  # half-open interval
