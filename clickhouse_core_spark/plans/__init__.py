@@ -1,0 +1,12 @@
+"""Query frontend: ClickHouse-SQL dialect -> Spark SQL translation.
+
+Reference lifecycle (SURVEY.md §3): parse (src/Parsers/ParserQuery.h) ->
+analyze/rewrite (src/Analyzer/QueryTreePassManager.cpp) -> plan. On
+Spark the analyzer/optimizer/executor are Catalyst; the genuinely new
+work is the dialect frontend that rewrites ClickHouse SQL surface forms
+into Spark SQL equivalents.
+"""
+
+from clickhouse_core_spark.plans.frontend import ch_sql, translate_ch_sql
+
+__all__ = ["ch_sql", "translate_ch_sql"]

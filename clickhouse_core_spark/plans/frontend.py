@@ -1,0 +1,388 @@
+"""ClickHouse-SQL -> Spark SQL textual translator.
+
+Scope: the dialect surface that differs between the two SQLs —
+function names (SURVEY.md §2.8 mapping table), parametric aggregates
+``f(p)(args)``, ``countIf``-style combinator forms, ``LIMIT n BY``,
+trailing ``FORMAT``/``SETTINGS`` clauses. Standard SQL (joins, group
+by, windows, CTEs) passes through untouched — Catalyst's parser accepts
+it as-is.
+
+The translator is a recursive function-call rewriter over a
+string-literal-aware scanner, not a full grammar: each known CH
+function's argument list is parsed with balanced parentheses, arguments
+are translated recursively, and the mapped Spark form is emitted.
+Unknown functions pass through unchanged (Spark shares most ANSI
+names). Reference parser entry: src/Parsers/ParserQuery.h:9; the ~35
+QueryTree rewrite passes this replaces textually are listed in
+SURVEY.md §4.1.
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------- rules
+# Each rule: callable(list[str]) -> str (args already translated).
+
+
+def _fn(name):
+    return lambda a: f"{name}({', '.join(a)})"
+
+
+def _cast(t):
+    return lambda a: f"CAST({a[0]} AS {t})"
+
+
+_RULES: dict = {
+    # datetime
+    "toyear": _fn("year"), "tomonth": _fn("month"), "todayofmonth": _fn("day"),
+    "tohour": _fn("hour"), "tominute": _fn("minute"), "tosecond": _fn("second"),
+    "toquarter": _fn("quarter"), "todayofyear": _fn("dayofyear"),
+    "todayofweek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+    "tostartofyear": lambda a: f"date_trunc('year', {a[0]})",
+    "tostartofquarter": lambda a: f"date_trunc('quarter', {a[0]})",
+    "tostartofmonth": lambda a: f"date_trunc('month', {a[0]})",
+    "tostartofweek": lambda a: f"date_trunc('week', {a[0]})",
+    "tostartofday": lambda a: f"date_trunc('day', {a[0]})",
+    "tostartofhour": lambda a: f"date_trunc('hour', {a[0]})",
+    "tostartofminute": lambda a: f"date_trunc('minute', {a[0]})",
+    "tomonday": lambda a: f"date_trunc('week', {a[0]})",
+    "todate": _fn("to_date"), "todatetime": _fn("to_timestamp"),
+    "tolastdayofmonth": _fn("last_day"),
+    "today": lambda a: "current_date()", "now": lambda a: "current_timestamp()",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "tounixtimestamp": _fn("unix_timestamp"),
+    "fromunixtimestamp": _fn("timestamp_seconds"),
+    "adddays": lambda a: f"date_add({a[0]}, {a[1]})",
+    "subtractdays": lambda a: f"date_sub({a[0]}, {a[1]})",
+    "addmonths": lambda a: f"add_months({a[0]}, {a[1]})",
+    "addyears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
+    "addweeks": lambda a: f"date_add({a[0]}, 7 * ({a[1]}))",
+    "addhours": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}))",
+    "addminutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}))",
+    "addseconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
+    "datediff": lambda a: (f"datediff({a[2]}, {a[1]})"
+                           if a[0].strip("'\" ").lower() == "day" and len(a) == 3
+                           else f"datediff({', '.join(a)})"),
+    "toyyyymm": lambda a: f"(year({a[0]}) * 100 + month({a[0]}))",
+    "toyyyymmdd": lambda a: f"(year({a[0]}) * 10000 + month({a[0]}) * 100 + day({a[0]}))",
+    # type conversion
+    "tostring": _cast("STRING"),
+    "toint8": _cast("TINYINT"), "toint16": _cast("SMALLINT"),
+    "toint32": _cast("INT"), "toint64": _cast("BIGINT"),
+    "touint8": _cast("SMALLINT"), "touint16": _cast("INT"),
+    "touint32": _cast("BIGINT"), "touint64": _cast("DECIMAL(20,0)"),
+    "tofloat32": _cast("FLOAT"), "tofloat64": _cast("DOUBLE"),
+    "toint32ornull": lambda a: f"TRY_CAST({a[0]} AS INT)",
+    "toint64ornull": lambda a: f"TRY_CAST({a[0]} AS BIGINT)",
+    "tofloat64ornull": lambda a: f"TRY_CAST({a[0]} AS DOUBLE)",
+    # strings
+    "lengthutf8": _fn("length"), "lowerutf8": _fn("lower"), "upperutf8": _fn("upper"),
+    "empty": lambda a: f"(length({a[0]}) = 0)",
+    "notempty": lambda a: f"(length({a[0]}) > 0)",
+    "position": lambda a: f"instr({a[0]}, {a[1]})",
+    "match": lambda a: f"({a[0]} RLIKE {a[1]})",
+    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 1)",
+    "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)",
+    "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceone": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceregexpall": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    "startswith": _fn("startswith"), "endswith": _fn("endswith"),
+    "splitbychar": lambda a: f"split({a[1]}, {_regex_quote(a[0])})",
+    "splitbystring": lambda a: f"split({a[1]}, {_regex_quote(a[0])})",
+    "splitbyregexp": lambda a: f"split({a[1]}, {a[0]})",
+    "arraystringconcat": lambda a: f"array_join({', '.join(a)})",
+    "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
+    "trimboth": _fn("trim"), "trimleft": _fn("ltrim"), "trimright": _fn("rtrim"),
+    "leftpad": _fn("lpad"), "rightpad": _fn("rpad"),
+    "levenshteindistance": _fn("levenshtein"), "editdistance": _fn("levenshtein"),
+    "formatdatetime": lambda a: f"date_format({a[0]}, {_mysql_fmt_literal(a[1])})",
+    # conditionals / null
+    "multiif": lambda a: _case_when(a),
+    "ifnull": _fn("coalesce"),
+    "isnull": lambda a: f"({a[0]} IS NULL)",
+    "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
+    "assumenotnull": lambda a: a[0],
+    # math
+    "intdiv": lambda a: f"CAST(floor({a[0]} / {a[1]}) AS BIGINT)",
+    "intdivorzero": lambda a: f"IF({a[1]} = 0, 0, CAST(floor({a[0]} / {a[1]}) AS BIGINT))",
+    "modulo": lambda a: f"({a[0]} % {a[1]})",
+    "plus": lambda a: f"({a[0]} + {a[1]})",
+    "minus": lambda a: f"({a[0]} - {a[1]})",
+    "multiply": lambda a: f"({a[0]} * {a[1]})",
+    "divide": lambda a: f"({a[0]} / {a[1]})",
+    "negate": lambda a: f"(-{a[0]})",
+    "ln": _fn("log"), "exp2": lambda a: f"power(2, {a[0]})",
+    "exp10": lambda a: f"power(10, {a[0]})",
+    "roundbankers": _fn("bround"),
+    # hashing / encoding
+    "cityhash64": _fn("xxhash64"), "siphash64": _fn("xxhash64"),
+    "xxhash64": _fn("xxhash64"), "farmhash64": _fn("xxhash64"),
+    "md5": lambda a: f"md5(CAST({a[0]} AS BINARY))",
+    "sha256": lambda a: f"sha2(CAST({a[0]} AS BINARY), 256)",
+    "base64encode": lambda a: f"base64(CAST({a[0]} AS BINARY))",
+    "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+    # arrays
+    "arrayjoin": _fn("explode"),
+    "has": lambda a: f"array_contains({a[0]}, {a[1]})",
+    "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
+    "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arraysum": lambda a: f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)",
+    "arraymin": _fn("array_min"), "arraymax": _fn("array_max"),
+    "arraysort": _fn("array_sort"), "arrayreverse": _fn("reverse"),
+    "arraydistinct": _fn("array_distinct"), "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",
+    "arrayconcat": _fn("concat"), "arrayflatten": _fn("flatten"),
+    "arrayslice": lambda a: f"slice({', '.join(a)})",
+    "arrayintersect": _fn("array_intersect"),
+    "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
+    # aggregates
+    "grouparray": _fn("collect_list"), "groupuniqarray": _fn("collect_set"),
+    "uniq": _fn("approx_count_distinct"),
+    "uniqcombined": _fn("approx_count_distinct"),
+    "uniqhll12": _fn("approx_count_distinct"),
+    "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "countif": _fn("count_if"),
+    "sumif": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "avgif": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "minif": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "maxif": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "argmin": _fn("min_by"), "argmax": _fn("max_by"),
+    "any": _fn("first"), "anylast": _fn("last"),
+    "stddevpop": _fn("stddev_pop"), "stddevsamp": _fn("stddev_samp"),
+    "varpop": _fn("var_pop"), "varsamp": _fn("var_samp"),
+    "covarpop": _fn("covar_pop"), "covarsamp": _fn("covar_samp"),
+    "median": _fn("median"),
+    "grouparrayarray": lambda a: f"flatten(collect_list({a[0]}))",
+    "groupbitand": _fn("bit_and"), "groupbitor": _fn("bit_or"),
+    "groupbitxor": _fn("bit_xor"),
+    # misc
+    "generateuuidv4": lambda a: "uuid()",
+    "materialize": lambda a: a[0], "identity": lambda a: a[0],
+}
+
+# Parametric aggregates f(params)(args) -> spark form
+_PARAMETRIC: dict = {
+    "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantiletdigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantiledd": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "uniqupto": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+}
+
+
+def _case_when(args: list[str]) -> str:
+    parts = ["CASE"]
+    i = 0
+    while i + 1 < len(args):
+        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        i += 2
+    if i < len(args):
+        parts.append(f"ELSE {args[i]}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+def _regex_quote(literal: str) -> str:
+    """Escape a quoted separator literal for use as a split() regex."""
+    s = literal.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        inner = s[1:-1]
+        escaped = re.sub(r"([\\.^$|?*+()\[\]{}])", r"\\\\\1", inner)
+        return f"'{escaped}'"
+    return literal
+
+
+_MYSQL_TO_SPARK = [
+    ("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%d", "dd"),
+    ("%H", "HH"), ("%i", "mm"), ("%S", "ss"), ("%M", "MMMM"),
+    ("%W", "EEEE"), ("%a", "EEE"), ("%b", "MMM"), ("%j", "DDD"),
+    ("%F", "yyyy-MM-dd"), ("%T", "HH:mm:ss"), ("%e", "d"), ("%%", "%"),
+]
+
+
+def _mysql_fmt_literal(literal: str) -> str:
+    s = literal.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        inner = s[1:-1]
+        for k, v in _MYSQL_TO_SPARK:
+            inner = inner.replace(k, v)
+        return f"'{inner}'"
+    return literal
+
+
+# ------------------------------------------------------------- scanner
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _skip_string(sql: str, i: int) -> int:
+    """i points at the opening quote; return index past the close."""
+    q = sql[i]
+    i += 1
+    while i < len(sql):
+        if sql[i] == "\\" and q == "'":
+            i += 2
+            continue
+        if sql[i] == q:
+            if i + 1 < len(sql) and sql[i + 1] == q:  # '' escape
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return i
+
+
+def _parse_args(sql: str, i: int) -> tuple[list[str], int]:
+    """i points at '('; return (raw top-level args, index past ')')."""
+    assert sql[i] == "("
+    depth = 1
+    i += 1
+    args, cur = [], []
+    while i < len(sql) and depth > 0:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            cur.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        elif c == "," and depth == 1:
+            args.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    if cur or args:
+        args.append("".join(cur))
+    return [a.strip() for a in args], i + 1
+
+
+def _translate_expr(sql: str) -> str:
+    """Rewrite known CH function calls (recursively) in an expression."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _IDENT.match(sql, i)
+        if not m:
+            out.append(c)
+            i += 1
+            continue
+        name = m.group(0)
+        j = m.end()
+        # lookahead for '('
+        k = j
+        while k < n and sql[k] in " \t":
+            k += 1
+        if k < n and sql[k] == "(":
+            lname = name.lower()
+            args, after = _parse_args(sql, k)
+            targs = [_translate_expr(a) for a in args]
+            # parametric form f(params)(args)?
+            k2 = after
+            while k2 < n and sql[k2] in " \t":
+                k2 += 1
+            if k2 < n and sql[k2] == "(" and lname in _PARAMETRIC:
+                args2, after2 = _parse_args(sql, k2)
+                targs2 = [_translate_expr(a) for a in args2]
+                out.append(_PARAMETRIC[lname](targs, targs2))
+                i = after2
+                continue
+            if lname in _RULES:
+                out.append(_RULES[lname](targs))
+            else:
+                out.append(f"{name}({', '.join(targs)})")
+            i = after
+            continue
+        out.append(name)
+        i = j
+    return "".join(out)
+
+
+def _split_select(body: str) -> tuple[str, str]:
+    """Split ``SELECT <proj> FROM <rest>`` at the top-level FROM
+    (string- and paren-aware)."""
+    u = body.upper()
+    assert u.lstrip().startswith("SELECT")
+    start = body.index("SELECT") + 6 if "SELECT" in body else 6
+    depth = 0
+    i = start
+    while i < len(body):
+        c = body[i]
+        if c in "'\"":
+            i = _skip_string(body, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and u.startswith("FROM", i) and \
+                (i + 4 >= len(body) or not body[i + 4].isalnum()):
+            return body[start:i].strip(), body[i + 4:].strip()
+        i += 1
+    raise ValueError("LIMIT BY rewrite: no top-level FROM found")
+
+
+_FORMAT_RE = re.compile(r"\s+FORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
+_SETTINGS_RE = re.compile(r"\s+SETTINGS\s+[\w]+\s*=\s*[^,;]+(\s*,\s*[\w]+\s*=\s*[^,;]+)*\s*;?\s*$",
+                          re.IGNORECASE)
+_LIMIT_BY_RE = re.compile(
+    r"^(?P<body>.*?)\s+LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<cols>[\w,\s`.]+?)"
+    r"(?P<tail>\s+LIMIT\s+\d+)?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def translate_ch_sql(sql: str) -> str:
+    """Translate a ClickHouse SELECT into Spark SQL text."""
+    sql = sql.strip().rstrip(";")
+    sql = _FORMAT_RE.sub("", sql)
+    sql = _SETTINGS_RE.sub("", sql)
+
+    m = _LIMIT_BY_RE.match(sql)
+    if m and " BY " in sql.upper():
+        body, n, cols = m.group("body"), m.group("n"), m.group("cols").strip()
+        tail = m.group("tail") or ""
+        # ORDER BY inside body (if any) drives the per-group ranking
+        om = re.search(r"\sORDER\s+BY\s+(.+)$", body, re.IGNORECASE | re.DOTALL)
+        if om:
+            order = om.group(1)
+            body_no_order = body[:om.start()]
+        else:
+            order = cols
+            body_no_order = body
+        proj, rest = _split_select(body_no_order)
+        # SELECT * in the ranked subquery keeps ORDER BY / BY columns
+        # available even when the projection drops them (CH allows
+        # ordering by non-selected columns).
+        sql = (f"SELECT {proj} FROM (SELECT *, row_number() OVER "
+               f"(PARTITION BY {cols} ORDER BY {order}) AS __rn "
+               f"FROM {rest}) WHERE __rn <= {n}")
+        if om:
+            sql += f" ORDER BY {order}"
+        sql += tail
+
+    sql = _translate_expr(sql)
+    # CH allows == for equality
+    sql = re.sub(r"(?<![=!<>])==", "=", sql)
+    return sql
+
+
+def ch_sql(spark, sql: str):
+    """Run a ClickHouse-dialect query on Spark (tables must be
+    registered as views, e.g. via Catalog.register_all)."""
+    return spark.sql(translate_ch_sql(sql))

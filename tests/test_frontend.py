@@ -1,0 +1,90 @@
+"""ClickHouse-SQL dialect frontend: translated queries must run on
+Spark and match the same semantics computed natively."""
+
+import pytest
+
+from clickhouse_core_spark.plans import ch_sql, translate_ch_sql
+
+
+@pytest.fixture(autouse=True)
+def _views(catalog):
+    catalog.register_all()
+
+
+def test_function_name_translation():
+    out = translate_ch_sql(
+        "SELECT toYear(o_orderdate), toStartOfMonth(o_orderdate) FROM orders")
+    assert "year(o_orderdate)" in out
+    assert "date_trunc('month', o_orderdate)" in out
+
+
+def test_nested_translation():
+    out = translate_ch_sql("SELECT toString(toYear(toDate(x))) FROM t")
+    assert out == "SELECT CAST(year(to_date(x)) AS STRING) FROM t"
+
+
+def test_parametric_quantile():
+    out = translate_ch_sql("SELECT quantile(0.5)(l_quantity) FROM lineitem")
+    assert "percentile(l_quantity, 0.5)" in out
+
+
+def test_strings_not_rewritten():
+    out = translate_ch_sql("SELECT 'toYear(x)' AS s FROM t")
+    assert "'toYear(x)'" in out
+
+
+def test_format_and_settings_stripped():
+    out = translate_ch_sql(
+        "SELECT 1 FROM t SETTINGS max_threads = 4 FORMAT JSONEachRow")
+    assert "SETTINGS" not in out and "FORMAT" not in out
+
+
+def test_end_to_end_aggregate(spark):
+    df = ch_sql(spark, """
+        SELECT l_returnflag,
+               uniqExact(l_suppkey) AS s,
+               countIf(l_quantity > 25) AS big,
+               quantile(0.5)(l_quantity) AS med,
+               argMax(l_orderkey, l_extendedprice) AS biggest
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+    rows = df.collect()
+    native = spark.sql("""
+        SELECT l_returnflag, count(DISTINCT l_suppkey) AS s,
+               count_if(l_quantity > 25) AS big,
+               percentile(l_quantity, 0.5) AS med,
+               max_by(l_orderkey, l_extendedprice) AS biggest
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in native]
+
+
+def test_end_to_end_datetime_and_if(spark):
+    df = ch_sql(spark, """
+        SELECT toYYYYMM(o_orderdate) AS ym,
+               multiIf(o_totalprice > 300000, 'big',
+                       o_totalprice > 100000, 'mid', 'small') AS sz,
+               intDiv(o_orderkey, 100) AS bucket
+        FROM orders WHERE toYear(o_orderdate) == 1995
+        ORDER BY o_orderkey LIMIT 5
+    """)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(str(r["ym"]).startswith("1995") for r in rows)
+    assert set(r["sz"] for r in rows) <= {"big", "mid", "small"}
+
+
+def test_limit_by(spark):
+    df = ch_sql(spark, """
+        SELECT o_custkey, o_orderkey FROM orders
+        ORDER BY o_totalprice DESC
+        LIMIT 2 BY o_custkey
+    """)
+    counts = df.groupBy("o_custkey").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+    assert "__rn" not in df.columns
+
+
+def test_array_join_explode(spark):
+    df = ch_sql(spark, "SELECT arrayJoin(array(1, 2, 3)) AS x")
+    assert sorted(r["x"] for r in df.collect()) == [1, 2, 3]
