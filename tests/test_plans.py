@@ -1,0 +1,84 @@
+"""Physical-plan quality gates: the optimizations we rely on for the
+100 TB case must actually appear in the executed plans (SURVEY.md §4 —
+pushdown/pruning/broadcast are Catalyst built-ins, but only if our
+queries stay declarative enough for them to fire)."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(catalog):
+    li = catalog.lineitem
+    df = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_in_scan(catalog):
+    li = catalog.lineitem
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema must not include unused heavy columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs
+
+
+def test_small_dims_broadcast_in_q5(spark):
+    q = entry.queries()["q5_local_supplier_volume"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_strategies(spark):
+    qs = entry.queries()
+    semi_plan = _plan(qs["join_semi"](spark, SF_DIR))
+    anti_plan = _plan(qs["join_anti"](spark, SF_DIR))
+    assert "LeftSemi" in semi_plan
+    assert "LeftAnti" in anti_plan
+
+
+def test_partial_aggregation_two_phase(spark):
+    q = entry.queries()["q1_pricing_summary"]
+    plan = _plan(q(spark, SF_DIR))
+    # HashAggregate appears twice: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark):
+    q = entry.queries()["sort_topk"]
+    plan = _plan(q(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_in_hot_path(spark):
+    q = entry.queries()["q6_forecast_revenue"]
+    df = q(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan (and codegen markers) on execution
+    assert "WholeStageCodegen" in _plan(df)
+
+
+def test_sample_by_hash_pushes_past_projection(catalog):
+    from clickhouse_core_spark.operators import sample_by_hash
+    li = catalog.lineitem
+    df = sample_by_hash(li, 0.1, ["l_orderkey"]).select("l_orderkey")
+    # the filter is a plain deterministic expression: it must sit in the
+    # scan stage (no Exchange between scan and filter)
+    plan = _plan(df)
+    assert plan.index("Filter") > plan.index("Scan parquet") or "Exchange" not in plan
