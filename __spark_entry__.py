@@ -27,6 +27,7 @@ from clickhouse_core_spark.operators import (
     simple_linear_regression, welch_t_test, mann_whitney_u,
     sessionize, largest_triangle_three_buckets,
     rollup_states, merge_states, Dictionary, range_join,
+    agg_if, agg_or_default, agg_resample,
 )
 from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
 from clickhouse_core_spark.operators.windows import non_negative_derivative
@@ -1161,6 +1162,49 @@ def agg_topk_array_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     return (top_k(ev, ["user_id"], "event_type", k=2)
             .select("user_id", "topk").orderBy("user_id"))
+
+
+@q("agg_combinators", """
+WITH base AS (
+  SELECT user_id, event_type, value FROM events),
+per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN value END) AS sum_if_purchase,
+         coalesce(max(CASE WHEN event_type = 'error' THEN value END), -1.0) AS max_err_or_default,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+  FROM base GROUP BY user_id)
+SELECT * FROM per_user ORDER BY user_id
+""")
+def agg_combinators_q(spark, sf_dir):
+    """-If / -OrDefault / count-Distinct combinator composition
+    (reference src/AggregateFunctions/Combinators/)."""
+    ev = _cat(spark, sf_dir).events
+    return (ev.groupBy("user_id")
+            .agg(agg_if(F.sum, "value", F.col("event_type") == "purchase")
+                 .alias("sum_if_purchase"),
+                 agg_or_default(
+                     lambda v: F.max(F.when(F.col("event_type") == "error", v)),
+                     "value", -1.0).alias("max_err_or_default"),
+                 F.countDistinct("event_type").alias("n_types"))
+            .transform(_small_sorted, "user_id"))
+
+
+@q("agg_resample_buckets", """
+SELECT user_id,
+       CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+       floor(value / 50.0) * 50.0 AS bucket_lo,
+       sum(value) AS s
+FROM events WHERE value >= 0 AND value < 200
+GROUP BY user_id, bucket, bucket_lo
+ORDER BY user_id, bucket
+""")
+def agg_resample_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    out = agg_resample(ev, ["user_id"], F.sum("value").alias("s"),
+                       "value", start=0.0, stop=200.0, step=50.0)
+    return (out.select("user_id", F.col("__bucket").alias("bucket"),
+                       F.col("__bucket_lo").alias("bucket_lo"), "s")
+            .orderBy("user_id", "bucket"))
 
 
 @q("uniq_state_merge_rollup")

@@ -25,6 +25,10 @@ from clickhouse_core_spark.operators.sketches import (
     quantile_state, quantile_merge, rollup_states, merge_states,
 )
 from clickhouse_core_spark.operators.dictionary import Dictionary, range_join
+from clickhouse_core_spark.operators.combinators import (
+    agg_if, agg_or_default, agg_distinct, agg_array, agg_for_each,
+    agg_resample, count_or_null,
+)
 from clickhouse_core_spark.operators.stats import (
     simple_linear_regression,
     welch_t_test,
@@ -58,6 +62,8 @@ __all__ = [
     "uniq_state", "uniq_merge", "uniq_theta_state", "uniq_theta_estimate",
     "quantile_state", "quantile_merge", "rollup_states", "merge_states",
     "Dictionary", "range_join",
+    "agg_if", "agg_or_default", "agg_distinct", "agg_array",
+    "agg_for_each", "agg_resample", "count_or_null",
     "simple_linear_regression", "welch_t_test", "mann_whitney_u",
     "sessionize", "largest_triangle_three_buckets",
     "window_funnel", "retention", "sequence_match", "delta_sum",
