@@ -30,7 +30,10 @@ from clickhouse_core_spark.operators import (
     agg_if, agg_or_default, agg_resample,
 )
 from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
-from clickhouse_core_spark.operators.windows import non_negative_derivative
+from clickhouse_core_spark.operators.windows import (
+    non_negative_derivative, exponential_time_decayed_sum,
+    exponential_time_decayed_avg, lag_in_frame, lead_in_frame,
+)
 from clickhouse_core_spark.pipeline import (
     exact_dedup, minhash_lsh_dedup, simhash_dedup, ngram_jaccard_pairs,
     cosine_topk, lsh_ann_topk,
@@ -1498,6 +1501,39 @@ def win_nonneg_deriv(spark, sf_dir):
             .orderBy("user_id", "event_id"))
 
 
+@q("win_exp_time_decayed")
+def win_exp_decayed_q(spark, sf_dir):
+    """exponentialTimeDecayedSum/Avg window family (reference
+    WindowTransform.cpp:1617+) — float exp/sum ordering differs across
+    engines, so rows-only; semantics pytest-checked vs a python
+    reference implementation."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "event_id",
+                      exponential_time_decayed_sum("value", F.unix_micros("ts") / 1e6,
+                                                   3600.0, w).alias("dsum"),
+                      exponential_time_decayed_avg("value", F.unix_micros("ts") / 1e6,
+                                                   3600.0, w).alias("davg"))
+            .orderBy("user_id", "event_id"))
+
+
+@q("win_lag_in_frame", """
+SELECT user_id, event_id,
+       first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND 2 PRECEDING) AS lag2_in_frame,
+       first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS lead1_in_frame
+FROM events ORDER BY user_id, event_id
+""")
+def win_lag_in_frame_q(spark, sf_dir):
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "event_id",
+                      lag_in_frame("value", 2, w).alias("lag2_in_frame"),
+                      lead_in_frame("value", 1, w).alias("lead1_in_frame"))
+            .orderBy("user_id", "event_id"))
+
+
 # ------------------------------------------------- sorts / limits / fill
 
 @q("sort_topk", """
@@ -1690,6 +1726,86 @@ def distinct_rows(spark, sf_dir):
     li = _cat(spark, sf_dir).lineitem
     return (li.select("l_returnflag", "l_linestatus").distinct()
             .orderBy("l_returnflag", "l_linestatus"))
+
+
+@q("setop_except_all", """
+SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 45
+EXCEPT ALL
+SELECT l_suppkey FROM lineitem WHERE l_discount > 0.09
+ORDER BY k
+""")
+def setop_except_all(spark, sf_dir):
+    li = _cat(spark, sf_dir).lineitem
+    a = li.filter(F.col("l_quantity") > 45).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_discount") > 0.09).select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b).orderBy("k")
+
+
+@q("limit_offset", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 20
+""")
+def limit_offset_q(spark, sf_dir):
+    o = _cat(spark, sf_dir).orders
+    return (o.select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .offset(20).limit(10))
+
+
+@q("numbers_source", """
+SELECT CAST(n AS BIGINT) AS n, CAST(n * n AS BIGINT) AS sq
+FROM generate_series(0, 999) AS t(n)
+WHERE n % 7 = 0 ORDER BY n
+""")
+def numbers_source_q(spark, sf_dir):
+    """system.numbers / generate_series source (reference
+    ReadFromSystemNumbersStep.h) -> spark.range."""
+    return (spark.range(0, 1000).toDF("n")
+            .filter(F.col("n") % 7 == 0)
+            .select("n", (F.col("n") * F.col("n")).alias("sq"))
+            .orderBy("n"))
+
+
+@q("merge_engine_union", """
+SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL
+  SELECT s_nationkey AS k FROM supplier) t
+GROUP BY k ORDER BY k
+""")
+def merge_engine_q(spark, sf_dir):
+    """Merge engine: union over catalog tables matching a pattern
+    (reference src/Storages/registerStorages.cpp:13) — unionByName over
+    schema-aligned projections."""
+    c = _cat(spark, sf_dir)
+    parts = [c.customer.select(F.col("c_nationkey").alias("k")),
+             c.supplier.select(F.col("s_nationkey").alias("k"))]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return (merged.groupBy("k").agg(F.count("*").alias("cnt"))
+            .transform(_small_sorted, "k"))
+
+
+@q("group_array_moving_sum", """
+SELECT user_id, event_id,
+       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum,
+       avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+FROM events ORDER BY user_id, event_id
+""")
+def group_array_moving_q(spark, sf_dir):
+    """groupArrayMovingSum/Avg(3) — emitted as rows (the reference
+    packs them into one array per group; row form is hash-comparable)."""
+    ev = _cat(spark, sf_dir).events
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    return (ev.select("user_id", "event_id",
+                      F.sum("value").over(w).alias("mov_sum"),
+                      F.avg("value").over(w).alias("mov_avg"))
+            .orderBy("user_id", "event_id"))
 
 
 # ------------------------------------------------- FINAL engine semantics
