@@ -347,11 +347,45 @@ _LIMIT_BY_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+# Date-converter preimage rewrite (reference
+# src/Analyzer/Passes/OptimizeDateOrDateTimeConverterWithPreimagePass.cpp):
+# toYear(x) = 1995 -> x in ['1995-01-01', '1996-01-01'), which Parquet
+# min/max stats and partition pruning can use — year(x) = 1995 cannot
+# be pushed below the scan.
+_PREIMAGE_RE = re.compile(
+    r"\b(?:toYear|year)\s*\(\s*([A-Za-z_][\w.]*)\s*\)\s*(=|==|<=|>=|<|>|!=|<>)\s*(\d{4})\b",
+    re.IGNORECASE)
+
+
+def _preimage_sub(m: re.Match) -> str:
+    col, op, y = m.group(1), m.group(2), int(m.group(3))
+    lo = f"TIMESTAMP '{y}-01-01 00:00:00'"
+    hi = f"TIMESTAMP '{y + 1}-01-01 00:00:00'"
+    if op in ("=", "=="):
+        return f"({col} >= {lo} AND {col} < {hi})"
+    if op in ("!=", "<>"):
+        return f"({col} < {lo} OR {col} >= {hi})"
+    if op == "<":
+        return f"{col} < {lo}"
+    if op == "<=":
+        return f"{col} < {hi}"
+    if op == ">":
+        return f"{col} >= {hi}"
+    if op == ">=":
+        return f"{col} >= {lo}"
+    return m.group(0)
+
+
+def apply_date_preimage(sql: str) -> str:
+    return _PREIMAGE_RE.sub(_preimage_sub, sql)
+
+
 def translate_ch_sql(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL text."""
     sql = sql.strip().rstrip(";")
     sql = _FORMAT_RE.sub("", sql)
     sql = _SETTINGS_RE.sub("", sql)
+    sql = apply_date_preimage(sql)
 
     m = _LIMIT_BY_RE.match(sql)
     if m and " BY " in sql.upper():
