@@ -33,10 +33,11 @@ from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
 from clickhouse_core_spark.operators.windows import (
     non_negative_derivative, exponential_time_decayed_sum,
     exponential_time_decayed_avg, lag_in_frame, lead_in_frame,
+    groups_frame_sum,
 )
 from clickhouse_core_spark.pipeline import (
     exact_dedup, minhash_lsh_dedup, simhash_dedup, ngram_jaccard_pairs,
-    cosine_topk, lsh_ann_topk,
+    cosine_topk, lsh_ann_topk, embedding_near_duplicates,
     with_token_count, with_quality_score, with_language_id, with_fingerprint,
 )
 from clickhouse_core_spark.pipeline.similarity import cosine_similarity
@@ -750,6 +751,29 @@ def join_asof_forward(spark, sf_dir):
                       left_ts="ts", right_ts="error_ts", inequality="<",
                       right_values=["next_error_id", "error_ts"], how="inner")
             .select("purchase_id", "user_id", "next_error_id", "error_ts")
+            .orderBy("purchase_id"))
+
+
+@q("join_asof_left", """
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+""")
+def join_asof_left_q(spark, sf_dir):
+    """ASOF LEFT JOIN: unmatched left rows kept with NULLs."""
+    ev = _cat(spark, sf_dir).events
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"), "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    return (asof_join(purchases, clicks, on=["user_id"],
+                      left_ts="ts", right_ts="click_ts", inequality=">=",
+                      right_values=["click_id", "click_ts"], how="left")
+            .select("purchase_id", "user_id", "click_id", "click_ts")
             .orderBy("purchase_id"))
 
 
@@ -1501,6 +1525,37 @@ def win_nonneg_deriv(spark, sf_dir):
             .orderBy("user_id", "event_id"))
 
 
+@q("win_groups_frame", """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS gr
+  FROM events)
+SELECT user_id, event_id,
+       sum(value) OVER (PARTITION BY user_id ORDER BY gr
+                        RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS groups_sum
+FROM r ORDER BY user_id, event_id
+""")
+def win_groups_frame_q(spark, sf_dir):
+    """GROUPS frame emulation via dense_rank + RANGE (Spark lacks
+    GROUPS; DuckDB has it natively as the oracle)."""
+    ev = _cat(spark, sf_dir).events
+    return (groups_frame_sum(ev, ["user_id"], "event_type", "value",
+                             preceding=1, following=0)
+            .select("user_id", "event_id", "groups_sum")
+            .orderBy("user_id", "event_id"))
+
+
+@q("embedding_near_dup")
+def embedding_near_dup_q(spark, sf_dir):
+    """Embedding-cosine near-duplicate removal (LSH-blocked) —
+    approximate; rows-only with recall covered in pytest."""
+    e = _cat(spark, sf_dir).embeddings
+    as_double = e.withColumn("embedding",
+                             F.transform("embedding", lambda x: x.cast("double")))
+    return (embedding_near_duplicates(as_double, threshold=0.3, bits=4)
+            .select("id_a", "id_b").orderBy("id_a", "id_b"))
+
+
 @q("win_exp_time_decayed")
 def win_exp_decayed_q(spark, sf_dir):
     """exponentialTimeDecayedSum/Avg window family (reference
@@ -2050,6 +2105,87 @@ def fn_hash(spark, sf_dir):
                     F.md5("text").alias("h_md5"),
                     F.sha2("text", 256).alias("h_sha256"))
             .orderBy("doc_id"))
+
+
+@q("fn_ch_geo", """
+WITH pts AS (
+  SELECT user_id,
+         CAST(user_id % 360 AS DOUBLE) - 180.0 AS lon,
+         CAST(user_id % 170 AS DOUBLE) / 2.0 - 42.0 AS lat
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       2.0 * 6371000.0 * asin(sqrt(
+         pow(sin(radians(48.85 - lat) / 2), 2)
+         + cos(radians(lat)) * cos(radians(48.85))
+         * pow(sin(radians(2.35 - lon) / 2), 2))) AS dist_to_paris
+FROM pts ORDER BY user_id
+""")
+def fn_ch_geo_q(spark, sf_dir):
+    """greatCircleDistance (haversine, reference
+    src/Functions/greatCircleDistance.cpp) with synthesized coords."""
+    ev = _cat(spark, sf_dir).events
+    pts = (ev.groupBy("user_id")
+           .agg(((F.col("user_id") % 360).cast("double") - 180.0).alias("lon"),
+                ((F.col("user_id") % 170).cast("double") / 2.0 - 42.0).alias("lat")))
+    return (pts.select("user_id",
+                       ch.greatCircleDistance(F.col("lon"), F.col("lat"),
+                                              F.lit(2.35), F.lit(48.85))
+                       .alias("dist_to_paris"))
+            .orderBy("user_id"))
+
+
+@q("fn_decimal_arithmetic", """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+            AS DECIMAL(22,6)) AS net,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,4))
+            AS DECIMAL(22,4)) AS gross_ish
+FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
+""")
+def fn_decimal_q(spark, sf_dir):
+    """Decimal32/64/128 arithmetic semantics (reference
+    src/DataTypes/DataTypesDecimal.h) via Spark DecimalType — exact,
+    scale-tracked results comparable across engines."""
+    li = _cat(spark, sf_dir).lineitem
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    tax = F.col("l_tax").cast("decimal(18,4)")
+    return (li.filter(F.col("l_orderkey") < 100)
+            .select("l_orderkey", "l_linenumber",
+                    (price * disc).cast("decimal(22,6)").alias("net"),
+                    (price + tax).cast("decimal(22,4)").alias("gross_ish"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
+@q("fn_ch_map_tuple", """
+WITH m AS (SELECT user_id, event_type AS k, sum(value) AS v
+           FROM events GROUP BY user_id, event_type),
+agg AS (SELECT user_id, list(k ORDER BY k) AS ks, list(v ORDER BY k) AS vs
+        FROM m GROUP BY user_id)
+SELECT user_id, ks,
+       list_transform(vs, x -> round(x * 2, 6)) AS doubled,
+       CAST(len(ks) AS INT) AS n_keys,
+       round(vs[1], 6) AS first_v
+FROM agg ORDER BY user_id
+""")
+def fn_ch_map_tuple_q(spark, sf_dir):
+    """Map construction + transform_values + element access (reference
+    src/Functions/map.cpp / FunctionsMapMiscellaneous) — emitted as
+    sorted key/value arrays for hash comparison."""
+    ev = _cat(spark, sf_dir).events
+    summed = (ev.groupBy("user_id", "event_type")
+              .agg(F.sum("value").alias("v")))
+    mapped = (summed.groupBy("user_id")
+              .agg(F.map_from_entries(
+                  F.array_sort(F.collect_list(F.struct("event_type", "v"))))
+                  .alias("m")))
+    doubled = F.transform_values("m", lambda k, v: F.round(v * 2, 6))
+    return (mapped.select("user_id",
+                          F.map_keys("m").alias("ks"),
+                          F.map_values(doubled).alias("doubled"),
+                          F.size(F.map_keys("m")).cast("int").alias("n_keys"),
+                          F.round(F.element_at(F.map_values("m"), 1), 6).alias("first_v"))
+            .orderBy("user_id"))
 
 
 # ---------------------------------------- CH function-registry families

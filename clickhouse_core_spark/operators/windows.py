@@ -83,6 +83,24 @@ def exponential_time_decayed_max(value: Column | str, ts: Column | str,
     return F.max(value * weight).over(frame) / F.exp(rel / F.lit(decay_seconds))
 
 
+def groups_frame_sum(df, keys: Sequence[str], order_col: str,
+                     value_col: str, preceding: int, following: int,
+                     alias: str = "groups_sum"):
+    """GROUPS BETWEEN n PRECEDING AND m FOLLOWING frame emulation.
+
+    The reference parses GROUPS frames (WindowDescription.h:32); Spark
+    lacks them.  Rewrite: dense_rank over the ORDER BY column turns
+    peer groups into consecutive integers, and a RANGE frame over that
+    rank is exactly a GROUPS frame.  Two window passes over the same
+    partitioning — one shuffle."""
+    w_rank = Window.partitionBy(*keys).orderBy(order_col)
+    ranked = df.withColumn("__grp_rank", F.dense_rank().over(w_rank))
+    w_groups = (Window.partitionBy(*keys).orderBy("__grp_rank")
+                .rangeBetween(-preceding, following))
+    return (ranked.withColumn(alias, F.sum(value_col).over(w_groups))
+            .drop("__grp_rank"))
+
+
 def lag_in_frame(value: Column | str, offset: int, w: WindowSpec) -> Column:
     """lagInFrame: like lag but clamped to the frame — emulated with
     nth-from-end over a rows frame."""
