@@ -8,5 +8,9 @@ compaction is a batch job applying the same rewrite.
 """
 
 from clickhouse_core_spark.sources.mergetree import MergeTreeTable
+from clickhouse_core_spark.sources.formats import (
+    FORMAT_MAP, read_format, write_format, generate_random,
+)
 
-__all__ = ["MergeTreeTable"]
+__all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
+           "generate_random"]

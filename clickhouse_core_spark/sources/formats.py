@@ -1,0 +1,91 @@
+"""Format sources/sinks + generated sources.
+
+Reference: ~90 input / ~60 output formats registered in
+src/Formats/registerFormats.cpp:26-110; table functions numbers /
+generate_series / generateRandom
+(src/TableFunctions/registerTableFunctions.h:10-22).
+
+Spark mapping: the built-in DataFrameReader/Writer formats cover the
+mainstream set (Parquet, ORC, CSV/TSV, JSON(EachRow), Avro, text);
+exotic row formats (RowBinary, CapnProto, MsgPack...) are out of scope
+— documented, not silently dropped. generateRandom maps to spark.range
++ per-type column generators (deterministic under a seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# CH format name -> (spark format, reader options)
+FORMAT_MAP: dict = {
+    "Parquet": ("parquet", {}),
+    "ORC": ("orc", {}),
+    "CSV": ("csv", {"header": "false"}),
+    "CSVWithNames": ("csv", {"header": "true"}),
+    "TSV": ("csv", {"sep": "\t", "header": "false"}),
+    "TabSeparated": ("csv", {"sep": "\t", "header": "false"}),
+    "TSVWithNames": ("csv", {"sep": "\t", "header": "true"}),
+    "JSONEachRow": ("json", {}),
+    "NDJSON": ("json", {}),
+    "JSONLines": ("json", {}),
+    "Avro": ("avro", {}),
+    "LineAsString": ("text", {}),
+    "Raw": ("text", {}),
+}
+
+
+def read_format(spark: SparkSession, path: str, ch_format: str,
+                schema=None, **extra) -> DataFrame:
+    """file(path, format) table function analog."""
+    if ch_format not in FORMAT_MAP:
+        raise NotImplementedError(
+            f"format {ch_format!r} not mapped (see FORMAT_MAP for the "
+            f"supported set; exotic row formats are out of scope)")
+    fmt, opts = FORMAT_MAP[ch_format]
+    reader = spark.read.format(fmt).options(**{**opts, **extra})
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_format(df: DataFrame, path: str, ch_format: str,
+                 mode: str = "overwrite", **extra) -> None:
+    if ch_format not in FORMAT_MAP:
+        raise NotImplementedError(f"format {ch_format!r} not mapped")
+    fmt, opts = FORMAT_MAP[ch_format]
+    df.write.format(fmt).options(**{**opts, **extra}).mode(mode).save(path)
+
+
+_RANDOM_GEN = {
+    T.LongType: lambda seed: (F.rand(seed) * (1 << 40)).cast("long"),
+    T.IntegerType: lambda seed: (F.rand(seed) * (1 << 28)).cast("int"),
+    T.DoubleType: lambda seed: F.randn(seed) * 100.0,
+    T.FloatType: lambda seed: (F.randn(seed) * 100.0).cast("float"),
+    T.BooleanType: lambda seed: F.rand(seed) > 0.5,
+    T.StringType: lambda seed: F.concat(
+        F.lit("s_"), F.abs((F.rand(seed) * (1 << 30)).cast("long")).cast("string")),
+    T.TimestampType: lambda seed: F.timestamp_seconds(
+        (F.lit(800000000) + F.rand(seed) * 200000000).cast("long")),
+    T.DateType: lambda seed: F.date_add(
+        F.lit("1995-01-01").cast("date"), (F.rand(seed) * 3650).cast("int")),
+}
+
+
+def generate_random(spark: SparkSession, schema: T.StructType | str,
+                    n: int, seed: int = 42) -> DataFrame:
+    """generateRandom(schema, n) source: deterministic random typed rows
+    (reference src/TableFunctions/registerTableFunctions.h:22).
+
+    spark.range(n) + per-column generators — fully distributed, no
+    driver-side data."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    df = spark.range(n).toDF("__i")
+    for i, field in enumerate(schema.fields):
+        gen = _RANDOM_GEN.get(type(field.dataType))
+        if gen is None:
+            raise NotImplementedError(f"generateRandom: type {field.dataType}")
+        df = df.withColumn(field.name, gen(seed + i))
+    return df.drop("__i")

@@ -1,0 +1,86 @@
+"""Format source/sink roundtrips, generateRandom, AES functions,
+streaming session windows."""
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.functions import ch
+from clickhouse_core_spark.sources import (
+    FORMAT_MAP, generate_random, read_format, write_format,
+)
+
+
+@pytest.fixture
+def workdir():
+    d = tempfile.mkdtemp(prefix="ccs_fmt_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)],
+        "id bigint, s string, v double")
+
+
+@pytest.mark.parametrize("fmt", ["Parquet", "ORC", "CSVWithNames",
+                                 "JSONEachRow", "TSVWithNames"])
+def test_roundtrip_formats(spark, workdir, fmt):
+    df = _sample(spark)
+    path = os.path.join(workdir, fmt)
+    write_format(df, path, fmt)
+    back = read_format(spark, path, fmt, schema="id bigint, s string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_unknown_format_raises(spark, workdir):
+    with pytest.raises(NotImplementedError):
+        read_format(spark, workdir, "CapnProto")
+
+
+def test_generate_random_deterministic(spark):
+    schema = "i bigint, x double, s string, flag boolean, d date"
+    a = generate_random(spark, schema, 100, seed=7).collect()
+    b = generate_random(spark, schema, 100, seed=7).collect()
+    assert a == b
+    assert len(a) == 100
+    assert all(r["s"].startswith("s_") for r in a)
+
+
+def test_aes_encrypt_roundtrip(spark):
+    df = spark.createDataFrame([("secret payload",)], "t string")
+    key = "0123456789abcdef"  # 16 bytes = aes-128
+    out = df.select(
+        ch.decrypt("aes-128-ecb",
+                   ch.encrypt("aes-128-ecb", F.col("t"), F.lit(key)),
+                   F.lit(key)).alias("rt")).collect()[0]["rt"]
+    assert out == "secret payload"
+
+
+def test_streaming_session_window(spark):
+    d = tempfile.mkdtemp(prefix="ccs_sess_")
+    try:
+        rows = [(dt.datetime(2024, 1, 1, 0, 0, s), "u1", 1.0) for s in (0, 10, 20)]
+        rows += [(dt.datetime(2024, 1, 1, 0, 10, 0), "u1", 5.0)]  # new session
+        spark.createDataFrame(rows, "ts timestamp, k string, v double") \
+            .coalesce(1).write.mode("append").parquet(d)
+        stream = spark.readStream.schema("ts timestamp, k string, v double").parquet(d)
+        agg = (stream.withWatermark("ts", "1 minute")
+               .groupBy(F.session_window("ts", "5 minutes").alias("w"), "k")
+               .agg(F.sum("v").alias("s")))
+        q = (agg.writeStream.format("memory").queryName("sess_test")
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+            got = sorted(r["s"] for r in
+                         spark.sql("select s from sess_test").collect())
+        finally:
+            q.stop()
+        assert got == [3.0, 5.0]  # two sessions for u1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
