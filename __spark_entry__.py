@@ -25,6 +25,7 @@ from clickhouse_core_spark.operators import (
     entropy, max_intersections, interval_length_sum,
     recursive_cte, sample_by_hash,
     simple_linear_regression, welch_t_test, mann_whitney_u,
+    mean_z_test, kolmogorov_smirnov, cramers_v, theils_u, rank_corr,
     sessionize, largest_triangle_three_buckets,
     rollup_states, merge_states, Dictionary, range_join,
     agg_if, agg_or_default, agg_resample,
@@ -1391,6 +1392,132 @@ def stats_mw_q(spark, sf_dir):
     return (mann_whitney_u(s, ["user_id"], "value", "grp")
             .select("user_id", "n0", "n1", "u_stat")
             .orderBy("user_id"))
+
+
+@q("stats_mean_z_test", """
+WITH s AS (SELECT user_id, value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+           FROM events WHERE event_type IN ('purchase', 'view')),
+m AS (SELECT user_id,
+             count(*) FILTER (grp = 0) AS n0, count(*) FILTER (grp = 1) AS n1,
+             avg(value) FILTER (grp = 0) AS m0, avg(value) FILTER (grp = 1) AS m1
+      FROM s GROUP BY user_id)
+SELECT user_id, round((m0 - m1) / sqrt(1.0 / n0 + 1.0 / n1), 6) AS z_stat
+FROM m ORDER BY user_id
+""")
+def stats_mean_z_q(spark, sf_dir):
+    """meanZTest(pop_var_x, pop_var_y)(value, idx) (reference
+    src/AggregateFunctions/AggregateFunctionMeanZTest.h) with unit
+    population variances."""
+    ev = _cat(spark, sf_dir).events
+    s = (ev.filter(F.col("event_type").isin("purchase", "view"))
+         .select("user_id", "value",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp")))
+    return (mean_z_test(s, ["user_id"], "value", "grp", 1.0, 1.0)
+            .select("user_id", F.round("z_stat", 6).alias("z_stat"))
+            .orderBy("user_id"))
+
+
+@q("stats_kolmogorov_smirnov", """
+WITH s AS (SELECT user_id, value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+           FROM events WHERE event_type IN ('purchase', 'view')),
+c AS (SELECT user_id, value,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY value
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c0,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY value
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+             sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS n0,
+             sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id) AS n1
+      FROM s)
+SELECT user_id, round(max(abs(c0 / n0 - c1 / n1)), 6) AS d_stat,
+       CAST(max(n0) AS BIGINT) AS n0, CAST(max(n1) AS BIGINT) AS n1
+FROM c GROUP BY user_id ORDER BY user_id
+""")
+def stats_ks_q(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D (reference
+    src/AggregateFunctions/AggregateFunctionKolmogorovSmirnovTest.cpp):
+    max ECDF gap via a RANGE cumulative window."""
+    ev = _cat(spark, sf_dir).events
+    s = (ev.filter(F.col("event_type").isin("purchase", "view"))
+         .select("user_id", "value",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp")))
+    return (kolmogorov_smirnov(s, ["user_id"], "value", "grp")
+            .select("user_id", F.round("d_stat", 6).alias("d_stat"),
+                    F.col("n0").cast("long").alias("n0"),
+                    F.col("n1").cast("long").alias("n1"))
+            .orderBy("user_id"))
+
+
+@q("stats_cramers_v", """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS ra,
+         sum(o) OVER (PARTITION BY b) AS cb,
+         sum(o) OVER () AS n
+  FROM cells)
+SELECT round(sqrt((max(n) * sum(o * o / (ra * cb)) - max(n))
+             / (max(n) * (least(count(DISTINCT a), count(DISTINCT b)) - 1))), 6)
+       AS cramers_v
+FROM tot
+""")
+def stats_cramers_q(spark, sf_dir):
+    """cramersV(a, b) (reference cross-tab aggregate family):
+    association of order priority vs order status."""
+    o = _cat(spark, sf_dir).orders
+    return cramers_v(o, "o_orderpriority", "o_orderstatus") \
+        .select(F.round("cramers_v", 6).alias("cramers_v"))
+
+
+@q("stats_theils_u", """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS ra,
+         sum(o) OVER (PARTITION BY b) AS cb,
+         sum(o) OVER () AS n,
+         count(*) OVER (PARTITION BY a) AS rc
+  FROM cells)
+SELECT round((sum(-(ra / n) * ln(ra / n) / rc) - sum(-(o / n) * ln(o / cb)))
+             / sum(-(ra / n) * ln(ra / n) / rc), 6) AS theils_u
+FROM tot
+""")
+def stats_theils_q(spark, sf_dir):
+    """theilsU(a, b) (reference cross-tab aggregate family):
+    uncertainty coefficient U(a|b)."""
+    o = _cat(spark, sf_dir).orders
+    return theils_u(o, "o_orderpriority", "o_orderstatus") \
+        .select(F.round("theils_u", 6).alias("theils_u"))
+
+
+@q("stats_rank_corr", """
+WITH r AS (
+  SELECT l_returnflag,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+         + (count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+         rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+         + (count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+  FROM lineitem)
+SELECT l_returnflag, round(corr(rx, ry), 6) AS rank_corr
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def stats_rank_corr_q(spark, sf_dir):
+    """rankCorr(x, y) (reference
+    src/AggregateFunctions/AggregateFunctionRankCorrelation.h): Spearman
+    correlation with tie-averaged ranks."""
+    li = _cat(spark, sf_dir).lineitem
+    return (rank_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+            .select("l_returnflag", F.round("rank_corr", 6).alias("rank_corr"))
+            .transform(_small_sorted, "l_returnflag"))
 
 
 @q("sessionize_gap", """

@@ -33,6 +33,11 @@ from clickhouse_core_spark.operators.stats import (
     simple_linear_regression,
     welch_t_test,
     mann_whitney_u,
+    mean_z_test,
+    kolmogorov_smirnov,
+    cramers_v,
+    theils_u,
+    rank_corr,
     sessionize,
     largest_triangle_three_buckets,
 )

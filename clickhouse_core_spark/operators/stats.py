@@ -95,6 +95,133 @@ def mann_whitney_u(df: DataFrame, keys: Sequence[str], value_col: str,
     return out.withColumn("u_stat", u).drop("__r0")
 
 
+def mean_z_test(df: DataFrame, keys: Sequence[str], value_col: str,
+                group_col: str | Column,
+                pop_var0: float, pop_var1: float) -> DataFrame:
+    """meanZTest(pop_var_x, pop_var_y)(value, sample_index): z statistic
+    for the mean difference of the two samples given known population
+    variances (reference src/AggregateFunctions/AggregateFunctionMeanZTest.h).
+
+    z = (m0 - m1) / sqrt(v0/n0 + v1/n1) — one conditional groupBy.
+    """
+    keys = list(keys)
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    out = (df.groupBy(*keys)
+           .agg(F.count(F.when(g == 0, v)).alias("__n0"),
+                F.count(F.when(g == 1, v)).alias("__n1"),
+                F.avg(F.when(g == 0, v)).alias("__m0"),
+                F.avg(F.when(g == 1, v)).alias("__m1")))
+    z = ((F.col("__m0") - F.col("__m1"))
+         / F.sqrt(F.lit(pop_var0) / F.col("__n0")
+                  + F.lit(pop_var1) / F.col("__n1")))
+    return (out.withColumn("z_stat", z)
+            .drop("__n0", "__n1", "__m0", "__m1"))
+
+
+def kolmogorov_smirnov(df: DataFrame, keys: Sequence[str], value_col: str,
+                       group_col: str | Column) -> DataFrame:
+    """kolmogorovSmirnovTest(value, sample_index): two-sample KS
+    D statistic per key (reference
+    src/AggregateFunctions/AggregateFunctionKolmogorovSmirnovTest.cpp).
+
+    D = max over x of |ECDF0(x) - ECDF1(x)|.  Cumulative counts via a
+    RANGE window ordered by value (ties collapse correctly because RANGE
+    includes all peers), then one groupBy for the max — a single shuffle
+    on (keys) that scales like any windowed aggregate.
+    """
+    keys = list(keys)
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    w = (Window.partitionBy(*keys).orderBy(value_col)
+         .rangeBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(*keys)
+    is0 = F.when(g == 0, 1).otherwise(0)
+    is1 = F.when(g == 1, 1).otherwise(0)
+    cum = (df.withColumn("__c0", F.sum(is0).over(w))
+           .withColumn("__c1", F.sum(is1).over(w))
+           .withColumn("__n0", F.sum(is0).over(w_all))
+           .withColumn("__n1", F.sum(is1).over(w_all)))
+    d = F.abs(F.col("__c0") / F.col("__n0") - F.col("__c1") / F.col("__n1"))
+    return (cum.withColumn("__d", d).groupBy(*keys)
+            .agg(F.max("__d").alias("d_stat"),
+                 F.first("__n0").alias("n0"), F.first("__n1").alias("n1")))
+
+
+def _cell_counts(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Contingency cells with row/column totals attached via windows
+    (no joins): one groupBy shuffle + two light window passes over the
+    already-tiny cell table."""
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("__o"))
+    ra = F.sum("__o").over(Window.partitionBy(a_col))
+    cb = F.sum("__o").over(Window.partitionBy(b_col))
+    n = F.sum("__o").over(Window.partitionBy())
+    return (cells.withColumn("__ra", ra).withColumn("__cb", cb)
+            .withColumn("__n", n))
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """cramersV(a, b): association between two categorical columns
+    (reference src/AggregateFunctions/AggregateFunctionsStatisticsSimple...
+    /CrossTab.h family, cramersV registration).
+
+    chi2 over observed cells only, using
+    chi2 = n * sum(o^2 / (row_total * col_total)) - n  (algebraically
+    equal to the all-cells sum), then V = sqrt(chi2 / (n*(min(R,C)-1))).
+    """
+    cells = _cell_counts(df, a_col, b_col)
+    agg = cells.agg(
+        (F.first("__n") * F.sum(F.col("__o") * F.col("__o")
+                                / (F.col("__ra") * F.col("__cb")))
+         - F.first("__n")).alias("__chi2"),
+        F.countDistinct(a_col).alias("__r"),
+        F.countDistinct(b_col).alias("__c"),
+        F.first("__n").alias("__nn"))
+    v = F.sqrt(F.col("__chi2")
+               / (F.col("__nn") * (F.least("__r", "__c") - F.lit(1))))
+    return agg.select(v.alias("cramers_v"))
+
+
+def theils_u(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """theilsU(a, b): uncertainty coefficient U(a|b) = (H(a) - H(a|b)) / H(a)
+    (reference cross-tab family, theilsU registration).
+
+    All terms derive from the contingency cells: H(a) from row totals,
+    H(a|b) = -sum over cells (o/n)*log(o/col_total).
+    """
+    cells = _cell_counts(df, a_col, b_col)
+    o, ra, cb, n = (F.col(c) for c in ("__o", "__ra", "__cb", "__n"))
+    h_cond = F.sum(-(o / n) * F.log(o / cb))
+    # H(a): each row total counted once — divide by the #cells in the row
+    row_cells = F.count("*").over(Window.partitionBy(a_col))
+    agg = (cells.withColumn("__rc", row_cells)
+           .agg(h_cond.alias("__hc"),
+                F.sum(-(ra / n) * F.log(ra / n) / F.col("__rc")).alias("__ha")))
+    return agg.select(
+        ((F.col("__ha") - F.col("__hc")) / F.col("__ha")).alias("theils_u"))
+
+
+def rank_corr(df: DataFrame, keys: Sequence[str], x_col: str,
+              y_col: str) -> DataFrame:
+    """rankCorr(x, y): Spearman rank correlation per key (reference
+    src/AggregateFunctions/AggregateFunctionRankCorrelation.h).
+
+    Tie-averaged ranks for both columns (rank + (tie_count-1)/2, as in
+    Mann-Whitney), then Pearson corr of the ranks — two windows sharing
+    the same keys-shuffle plus one groupBy.
+    """
+    keys = list(keys)
+
+    def avg_rank(col: str) -> Column:
+        w_all = Window.partitionBy(*keys).orderBy(col)
+        w_tie = Window.partitionBy(*keys, col)
+        return F.rank().over(w_all) + (F.count("*").over(w_tie) - 1) / 2.0
+
+    ranked = (df.withColumn("__rx", avg_rank(x_col))
+              .withColumn("__ry", avg_rank(y_col)))
+    return (ranked.groupBy(*keys)
+            .agg(F.corr("__rx", "__ry").alias("rank_corr")))
+
+
 def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
                gap: str | int, session_col: str = "session_id") -> DataFrame:
     """Gap-based sessionization: a new session starts when the time

@@ -46,3 +46,63 @@ def test_sessionize_gap_breaks(spark):
     sessions = sorted((r["user_id"], r["ts"], r["session_id"]) for r in out.collect())
     assert [s[2] for s in sessions if s[0] == 1] == [0, 0, 1, 1]
     assert [s[2] for s in sessions if s[0] == 2] == [0]
+
+
+def test_ks_two_sample_matches_scipy_formula(spark):
+    rng = np.random.RandomState(1)
+    a = rng.normal(0, 1, 80)
+    b = rng.normal(0.5, 1.2, 60)
+    rows = ([(1, float(v), 0) for v in a] + [(1, float(v), 1) for v in b])
+    df = spark.createDataFrame(rows, "k int, v double, g int")
+    from clickhouse_core_spark.operators import kolmogorov_smirnov
+    row = kolmogorov_smirnov(df, ["k"], "v", "g").collect()[0]
+    # manual two-sample D over the pooled support
+    pooled = np.sort(np.concatenate([a, b]))
+    ecdf_a = np.searchsorted(np.sort(a), pooled, side="right") / len(a)
+    ecdf_b = np.searchsorted(np.sort(b), pooled, side="right") / len(b)
+    d_ref = np.max(np.abs(ecdf_a - ecdf_b))
+    assert abs(row["d_stat"] - d_ref) < 1e-12
+    assert (row["n0"], row["n1"]) == (80, 60)
+
+
+def test_mean_z_test_formula(spark):
+    rows = [(1, 10.0, 0), (1, 12.0, 0), (1, 14.0, 0),
+            (1, 20.0, 1), (1, 22.0, 1)]
+    df = spark.createDataFrame(rows, "k int, v double, g int")
+    from clickhouse_core_spark.operators import mean_z_test
+    row = mean_z_test(df, ["k"], "v", "g", 4.0, 9.0).collect()[0]
+    import math
+    z_ref = (12.0 - 21.0) / math.sqrt(4.0 / 3 + 9.0 / 2)
+    assert abs(row["z_stat"] - z_ref) < 1e-12
+
+
+def test_cramers_v_perfect_association(spark):
+    # b is a function of a -> V == 1; independent uniform -> V == 0
+    rows = [(x, "a" if x % 2 == 0 else "b", "x" if x % 2 == 0 else "y")
+            for x in range(40)]
+    df = spark.createDataFrame(rows, "i int, a string, b string")
+    from clickhouse_core_spark.operators import cramers_v, theils_u
+    assert abs(cramers_v(df, "a", "b").collect()[0]["cramers_v"] - 1.0) < 1e-12
+    assert abs(theils_u(df, "a", "b").collect()[0]["theils_u"] - 1.0) < 1e-12
+    rows_ind = [(x, "a" if x % 2 == 0 else "b", "x" if (x // 2) % 2 == 0 else "y")
+                for x in range(40)]
+    df_ind = spark.createDataFrame(rows_ind, "i int, a string, b string")
+    assert abs(cramers_v(df_ind, "a", "b").collect()[0]["cramers_v"]) < 1e-12
+    assert abs(theils_u(df_ind, "a", "b").collect()[0]["theils_u"]) < 1e-12
+
+
+def test_rank_corr_spearman(spark):
+    rng = np.random.RandomState(2)
+    x = rng.uniform(0, 1, 100)
+    y = x ** 3 + rng.normal(0, 0.01, 100)  # monotone -> spearman ~ 1
+    df = spark.createDataFrame([(1, float(a), float(b)) for a, b in zip(x, y)],
+                               "k int, x double, y double")
+    from clickhouse_core_spark.operators import rank_corr
+    r = rank_corr(df, ["k"], "x", "y").collect()[0]["rank_corr"]
+    # numpy spearman via rank-pearson
+    def ranks(v):
+        order = np.argsort(v)
+        rk = np.empty(len(v)); rk[order] = np.arange(1, len(v) + 1)
+        return rk
+    r_ref = np.corrcoef(ranks(x), ranks(y))[0, 1]
+    assert abs(r - r_ref) < 1e-9
