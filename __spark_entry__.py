@@ -20,17 +20,20 @@ from clickhouse_core_spark.operators import (
     asof_join, any_join, array_join, paste_join,
     limit_by, top_k, with_totals, group_array, histogram, with_fill,
     replacing_final, summing_final, collapsing_final,
-    window_funnel, retention, sequence_match, delta_sum,
+    window_funnel, retention, sequence_match, sequence_count,
+    sequence_next_node, delta_sum,
     exponential_moving_average, bounding_ratio, uniq_up_to,
     entropy, max_intersections, interval_length_sum,
     recursive_cte, sample_by_hash,
     simple_linear_regression, welch_t_test, mann_whitney_u,
-    mean_z_test, kolmogorov_smirnov, cramers_v, theils_u, rank_corr,
+    mean_z_test, kolmogorov_smirnov, cramers_v, theils_u, rank_corr, roc_auc,
     sessionize, largest_triangle_three_buckets,
     rollup_states, merge_states, Dictionary, range_join,
     agg_if, agg_or_default, agg_resample,
 )
-from clickhouse_core_spark.operators.aggregates import limit_with_ties, sum_map
+from clickhouse_core_spark.operators.aggregates import (
+    limit_with_ties, sum_map, top_k_weighted, bitmap_cardinalities,
+)
 from clickhouse_core_spark.operators.windows import (
     non_negative_derivative, exponential_time_decayed_sum,
     exponential_time_decayed_avg, lag_in_frame, lead_in_frame,
@@ -1073,6 +1076,111 @@ def sequence_match_q(spark, sf_dir):
                            [F.col("event_type") == "signup",
                             F.col("event_type") == "purchase"])
             .orderBy("user_id"))
+
+
+@q("sequence_count_pairs", """
+WITH c AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+         - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+           AS excess
+  FROM events)
+SELECT user_id,
+       CAST(sum(b) - greatest(max(excess), 0) AS BIGINT) AS n_matches
+FROM c GROUP BY user_id ORDER BY user_id
+""")
+def sequence_count_q(spark, sf_dir):
+    """sequenceCount('(?1).*(?2)')(ts, view, purchase): non-overlapping
+    view-then-purchase matches via the bracket-matching closed form
+    (#B - max prefix B-excess)."""
+    ev = _cat(spark, sf_dir).events
+    return (sequence_count(ev, ["user_id"], "ts",
+                           F.col("event_type") == "view",
+                           F.col("event_type") == "purchase",
+                           tiebreak=["event_id"])
+            .orderBy("user_id"))
+
+
+@q("sequence_next_node_head", """
+WITH l AS (
+  SELECT user_id, event_type, ts, event_id,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_node
+  FROM events),
+f AS (
+  SELECT user_id, next_node,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM l WHERE event_type = 'view')
+SELECT user_id, next_node FROM f WHERE rn = 1 ORDER BY user_id
+""")
+def sequence_next_node_q(spark, sf_dir):
+    """sequenceNextNode(forward, head)(ts, event_type, event='view'):
+    the event immediately after each user's first view."""
+    ev = _cat(spark, sf_dir).events
+    return (sequence_next_node(ev, ["user_id"], "ts", "event_type",
+                               F.col("event_type") == "view",
+                               tiebreak=["event_id"])
+            .orderBy("user_id"))
+
+
+@q("agg_topk_weighted", """
+WITH w AS (
+  SELECT l_suppkey, sum(l_quantity) AS wt FROM lineitem GROUP BY l_suppkey),
+r AS (SELECT l_suppkey, row_number() OVER (ORDER BY wt DESC, l_suppkey) AS rk FROM w)
+SELECT l_suppkey FROM r WHERE rk <= 10 ORDER BY l_suppkey
+""")
+def agg_topk_weighted_q(spark, sf_dir):
+    """topKWeighted(10)(l_suppkey, l_quantity) (reference
+    AggregateFunctionTopK.cpp weighted variant)."""
+    li = _cat(spark, sf_dir).lineitem
+    out = top_k_weighted(li, [], "l_suppkey", "l_quantity", 10)
+    return (out.select(F.explode("topk").alias("l_suppkey"))
+            .transform(_small_sorted, "l_suppkey"))
+
+
+@q("stats_roc_auc", """
+WITH r AS (
+  SELECT user_id, event_type = 'purchase' AS lbl,
+         rank() OVER (PARTITION BY user_id ORDER BY value)
+         + (count(*) OVER (PARTITION BY user_id, value) - 1) / 2.0 AS rk
+  FROM events WHERE event_type IN ('purchase', 'view')),
+m AS (SELECT user_id,
+             sum(rk) FILTER (lbl) AS rp,
+             count(*) FILTER (lbl) AS np,
+             count(*) FILTER (NOT lbl) AS nn
+      FROM r GROUP BY user_id)
+SELECT user_id, round((rp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+FROM m ORDER BY user_id
+""")
+def stats_roc_auc_q(spark, sf_dir):
+    """arrayAUC semantics (reference src/Functions/array/arrayAUC.cpp)
+    per user: is the event value predictive of purchase vs view?"""
+    ev = _cat(spark, sf_dir).events
+    s = ev.filter(F.col("event_type").isin("purchase", "view"))
+    return (roc_auc(s, ["user_id"], "value", F.col("event_type") == "purchase")
+            .select("user_id", F.round("auc", 6).alias("auc"))
+            .orderBy("user_id"))
+
+
+@q("agg_bitmap_ops", """
+WITH pv AS (
+  SELECT l_suppkey AS v, count(DISTINCT l_returnflag) AS g
+  FROM lineitem GROUP BY l_suppkey),
+ng AS (SELECT count(DISTINCT l_returnflag) AS n FROM lineitem)
+SELECT CAST(count(*) FILTER (g = (SELECT n FROM ng)) AS BIGINT) AS and_card,
+       CAST(count(*) AS BIGINT) AS or_card,
+       CAST(count(*) FILTER (g % 2 = 1) AS BIGINT) AS xor_card
+FROM pv
+""")
+def agg_bitmap_ops_q(spark, sf_dir):
+    """groupBitmapAnd/Or/Xor cardinalities (reference
+    AggregateFunctionGroupBitmap.cpp) over per-returnflag supplier-key
+    bitmaps — set identities on (value -> #groups), no bitmap blob."""
+    li = _cat(spark, sf_dir).lineitem
+    return bitmap_cardinalities(li, "l_returnflag", "l_suppkey")
 
 
 @q("retention_steps", """

@@ -14,6 +14,8 @@ from clickhouse_core_spark.operators.joins import (
 from clickhouse_core_spark.operators.aggregates import (
     limit_by,
     top_k,
+    top_k_weighted,
+    bitmap_cardinalities,
     with_totals,
     group_array,
     histogram,
@@ -38,6 +40,7 @@ from clickhouse_core_spark.operators.stats import (
     cramers_v,
     theils_u,
     rank_corr,
+    roc_auc,
     sessionize,
     largest_triangle_three_buckets,
 )
@@ -45,6 +48,8 @@ from clickhouse_core_spark.operators.sequence import (
     window_funnel,
     retention,
     sequence_match,
+    sequence_count,
+    sequence_next_node,
     delta_sum,
     exponential_moving_average,
     bounding_ratio,

@@ -62,6 +62,47 @@ def top_k(df: DataFrame, group: Sequence[str], value_col: str, k: int) -> DataFr
             .drop("__pairs"))
 
 
+def top_k_weighted(df: DataFrame, group: Sequence[str], value_col: str,
+                   weight_col: str, k: int) -> DataFrame:
+    """topKWeighted(k)(value, weight) per group: the k values with the
+    largest summed weight (reference
+    src/AggregateFunctions/AggregateFunctionTopK.cpp, weighted variant).
+
+    Same two-stage shape as top_k with sum(weight) in place of count.
+    """
+    group = list(group)
+    counted = (df.groupBy(*group, value_col)
+               .agg(F.sum(weight_col).alias("__w")))
+    w = Window.partitionBy(*group).orderBy(F.col("__w").desc(), F.col(value_col))
+    return (counted.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .groupBy(*group)
+            .agg(F.collect_list(F.struct("__rk", value_col)).alias("__pairs"))
+            .withColumn("topk", F.transform(F.array_sort("__pairs"),
+                                            lambda s: s[value_col]))
+            .drop("__pairs"))
+
+
+def bitmap_cardinalities(df: DataFrame, group_col: str,
+                         value_col: str) -> DataFrame:
+    """groupBitmapAnd / groupBitmapOr / groupBitmapXor cardinalities
+    across the per-group value bitmaps (reference
+    src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp).
+
+    Set-theoretic identities over (value -> #groups containing it):
+    AND = values present in every group, OR = values present anywhere,
+    XOR = values present in an odd number of groups.  Two groupBys,
+    both map-side combinable — never materializes a bitmap.
+    """
+    n_groups = df.select(group_col).distinct().count()
+    per_value = (df.groupBy(value_col)
+                 .agg(F.countDistinct(group_col).alias("__g")))
+    return per_value.agg(
+        F.count(F.when(F.col("__g") == n_groups, 1)).alias("and_card"),
+        F.count("*").alias("or_card"),
+        F.count(F.when(F.col("__g") % 2 == 1, 1)).alias("xor_card"))
+
+
 def with_totals(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column],
                 totals_marker: str = "__totals") -> DataFrame:
     """GROUP BY ... WITH TOTALS: regular grouped rows plus one grand-total

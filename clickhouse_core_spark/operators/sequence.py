@@ -157,6 +157,55 @@ def sequence_match(df: DataFrame, keys: Sequence[str], ts_col: str,
             .drop("__evs", "__pref"))
 
 
+def sequence_count(df: DataFrame, keys: Sequence[str], ts_col: str,
+                   cond_a: Column, cond_b: Column,
+                   alias: str = "n_matches",
+                   tiebreak: Sequence[str] = ()) -> DataFrame:
+    """sequenceCount('(?1).*(?2)')(ts, condA, condB): number of
+    NON-OVERLAPPING A-then-B matches per key in event-time order
+    (reference src/AggregateFunctions/AggregateFunctionSequenceMatch.h,
+    SequenceCount registration).
+
+    Greedy disjoint pairing == bracket matching, which has the closed
+    form  matched = #B - max(0, max over prefixes of (cumB - cumA)):
+    the running B-excess counts exactly the B's that can never find an
+    unused earlier A.  One window pass + one groupBy — no per-row state
+    machine, so it scales like any windowed aggregate.
+    """
+    keys = list(keys)
+    w = (Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    a = F.when(cond_a, 1).otherwise(0)
+    b = F.when(cond_b, 1).otherwise(0)
+    excess = F.sum(b).over(w) - F.sum(a).over(w)
+    return (df.withColumn("__b", b).withColumn("__x", excess)
+            .groupBy(*keys)
+            .agg((F.sum("__b")
+                  - F.greatest(F.max("__x"), F.lit(0))).cast("long").alias(alias)))
+
+
+def sequence_next_node(df: DataFrame, keys: Sequence[str], ts_col: str,
+                       event_col: str, base_cond: Column,
+                       alias: str = "next_node",
+                       tiebreak: Sequence[str] = ()) -> DataFrame:
+    """sequenceNextNode(forward, head)(ts, event, base_cond): the event
+    value immediately following the FIRST event matching ``base_cond``
+    per key (reference
+    src/AggregateFunctions/AggregateFunctionSequenceNextNode.cpp —
+    forward/head direction subset).
+
+    lead() over the event-time window, then keep the first matching row
+    per key — one shuffle.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    nxt = df.withColumn("__next", F.lead(event_col).over(w))
+    first_match = (nxt.filter(base_cond)
+                   .withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1))
+    return first_match.select(*keys, F.col("__next").alias(alias))
+
+
 def delta_sum(df: DataFrame, keys: Sequence[str], ts_col: str,
               value_col: str, alias: str = "delta_sum") -> DataFrame:
     """deltaSum(value): sum of positive deltas between consecutive rows

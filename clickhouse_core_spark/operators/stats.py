@@ -222,6 +222,32 @@ def rank_corr(df: DataFrame, keys: Sequence[str], x_col: str,
             .agg(F.corr("__rx", "__ry").alias("rank_corr")))
 
 
+def roc_auc(df: DataFrame, keys: Sequence[str], score_col: str,
+            label_col: str | Column) -> DataFrame:
+    """arrayAUC(scores, labels) semantics per key on long-form rows
+    (reference src/Functions/array/arrayAUC.cpp): area under the ROC
+    curve.
+
+    Rank-sum (Mann-Whitney) formulation with tie-averaged ranks:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) — identical to
+    the trapezoid-over-thresholds definition, and a single windowed
+    shuffle instead of a per-key quadratic pass.
+    """
+    keys = list(keys)
+    lbl = F.col(label_col) if isinstance(label_col, str) else label_col
+    w_all = Window.partitionBy(*keys).orderBy(score_col)
+    w_tie = Window.partitionBy(*keys, score_col)
+    r = F.rank().over(w_all) + (F.count("*").over(w_tie) - 1) / 2.0
+    ranked = df.withColumn("__r", r)
+    out = (ranked.groupBy(*keys)
+           .agg(F.sum(F.when(lbl, F.col("__r"))).alias("__rp"),
+                F.count(F.when(lbl, F.lit(1))).alias("__np"),
+                F.count(F.when(~lbl, F.lit(1))).alias("__nn")))
+    auc = ((F.col("__rp") - F.col("__np") * (F.col("__np") + 1) / 2.0)
+           / (F.col("__np") * F.col("__nn")))
+    return out.withColumn("auc", auc).drop("__rp", "__np", "__nn")
+
+
 def sessionize(df: DataFrame, keys: Sequence[str], ts_col: str,
                gap: str | int, session_col: str = "session_id") -> DataFrame:
     """Gap-based sessionization: a new session starts when the time

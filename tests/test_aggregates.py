@@ -70,3 +70,23 @@ def test_arg_min_max(spark):
     df = spark.createDataFrame([("x", 1, 10.0), ("y", 2, 5.0)], "n string, a int, b double")
     row = df.agg(arg_min("n", "b").alias("lo"), arg_max("n", "b").alias("hi")).first()
     assert row.lo == "y" and row.hi == "x"
+
+
+def test_top_k_weighted(spark):
+    rows = [("a", 1.0), ("a", 1.0), ("b", 5.0), ("c", 3.0)]
+    df = spark.createDataFrame(rows, "v string, w double")
+    from clickhouse_core_spark.operators import top_k_weighted
+    out = top_k_weighted(df, [], "v", "w", 2).collect()[0]["topk"]
+    assert out == ["b", "c"]  # weights: b=5, c=3, a=2
+
+
+def test_bitmap_cardinalities(spark):
+    # group g1: {1,2,3}, g2: {2,3,4}, g3: {3,4,5}
+    rows = [("g1", v) for v in (1, 2, 3)] + [("g2", v) for v in (2, 3, 4)] \
+        + [("g3", v) for v in (3, 4, 5)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    from clickhouse_core_spark.operators import bitmap_cardinalities
+    r = bitmap_cardinalities(df, "g", "v").collect()[0]
+    assert r["and_card"] == 1      # only 3 in all
+    assert r["or_card"] == 5       # 1..5
+    assert r["xor_card"] == 3      # 1,3,5 appear odd # of times

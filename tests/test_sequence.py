@@ -114,3 +114,38 @@ def test_max_intersections_and_interval_union(spark):
     assert mi == 2  # [0,10) overlaps [5,15)
     ul = interval_length_sum(df, ["k"], "s", "e").collect()[0]["interval_length_sum"]
     assert ul == 25.0  # union [0,15) + [20,30)
+
+
+def test_sequence_count_non_overlapping(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    # A B A A B B A  -> greedy pairs: (0,1), (2,4), (3,5) = 3 matches
+    evs = ["A", "B", "A", "A", "B", "B", "A"]
+    rows = [(1, t0 + dt.timedelta(minutes=i), e, i) for i, e in enumerate(evs)]
+    # B before any A never matches
+    rows += [(2, t0, "B", 0), (2, t0 + dt.timedelta(minutes=1), "A", 1),
+             (2, t0 + dt.timedelta(minutes=2), "B", 2)]
+    from pyspark.sql import functions as F
+    from clickhouse_core_spark.operators import sequence_count
+    df = spark.createDataFrame(rows, "k int, ts timestamp, e string, i int")
+    out = {r["k"]: r["n_matches"]
+           for r in sequence_count(df, ["k"], "ts", F.col("e") == "A",
+                                   F.col("e") == "B",
+                                   tiebreak=["i"]).collect()}
+    assert out == {1: 3, 2: 1}
+
+
+def test_sequence_next_node_head(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "view", 0), (1, t0 + dt.timedelta(minutes=1), "click", 1),
+            (1, t0 + dt.timedelta(minutes=2), "view", 2),
+            (2, t0, "click", 0), (2, t0 + dt.timedelta(minutes=1), "view", 1)]
+    from pyspark.sql import functions as F
+    from clickhouse_core_spark.operators import sequence_next_node
+    df = spark.createDataFrame(rows, "k int, ts timestamp, e string, i int")
+    out = {r["k"]: r["next_node"]
+           for r in sequence_next_node(df, ["k"], "ts", "e",
+                                       F.col("e") == "view",
+                                       tiebreak=["i"]).collect()}
+    assert out == {1: "click", 2: None}  # user 2's first view is last event

@@ -106,3 +106,18 @@ def test_rank_corr_spearman(spark):
         return rk
     r_ref = np.corrcoef(ranks(x), ranks(y))[0, 1]
     assert abs(r - r_ref) < 1e-9
+
+
+def test_roc_auc_matches_sklearn_formula(spark):
+    rng = np.random.RandomState(3)
+    scores = rng.uniform(0, 1, 200)
+    labels = (scores + rng.normal(0, 0.3, 200)) > 0.5
+    df = spark.createDataFrame(
+        [(1, float(s), bool(l)) for s, l in zip(scores, labels)],
+        "k int, s double, l boolean")
+    from clickhouse_core_spark.operators import roc_auc
+    auc = roc_auc(df, ["k"], "s", "l").collect()[0]["auc"]
+    # reference AUC via pairwise comparison (n small enough)
+    pos = scores[labels]; neg = scores[~labels]
+    wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
+    assert abs(auc - wins / (len(pos) * len(neg))) < 1e-12
