@@ -20,6 +20,7 @@ from clickhouse_core_spark.operators import (
     asof_join, any_join, array_join, paste_join,
     limit_by, top_k, with_totals, group_array, histogram, with_fill,
     replacing_final, summing_final, collapsing_final,
+    versioned_collapsing_final,
     window_funnel, retention, sequence_match, sequence_count,
     sequence_next_node, delta_sum,
     exponential_moving_average, bounding_ratio, uniq_up_to,
@@ -2180,6 +2181,34 @@ def final_collapsing_q(spark, sf_dir):
     return out.select("user_id", "value").orderBy("user_id")
 
 
+@q("final_versioned_collapsing", """
+WITH signed AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
+  FROM events WHERE event_type IN ('signup', 'error')),
+pv AS (
+  SELECT user_id, event_id, sum(sign) AS s,
+         max_by(value, CASE WHEN sign = 1 THEN 1 END) AS value
+  FROM signed GROUP BY user_id, event_id),
+r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM pv WHERE s > 0)
+SELECT user_id, event_id, value FROM r WHERE rn = 1 ORDER BY user_id
+""")
+def final_versioned_collapsing_q(spark, sf_dir):
+    """VersionedCollapsingMergeTree FINAL (reference
+    src/Processors/Merges/VersionedCollapsingTransform.h:15): +1/-1
+    pairs cancel per version; survivor = highest uncancelled version."""
+    ev = _cat(spark, sf_dir).events
+    signed = (ev.filter(F.col("event_type").isin("signup", "error"))
+              .select("user_id", "event_id", "value",
+                      F.when(F.col("event_type") == "signup", 1).otherwise(-1).alias("sign")))
+    out = versioned_collapsing_final(signed, ["user_id"], sign="sign",
+                                     version="event_id")
+    return out.select("user_id", "event_id", "value").orderBy("user_id")
+
+
 # ------------------------------------------------- scalar function families
 
 @q("fn_string", """
@@ -2589,6 +2618,56 @@ def fn_ch_string_extra(spark, sf_dir):
             .orderBy("p_partkey"))
 
 
+@q("fn_string_similarity", """
+SELECT p_partkey,
+       round(jaccard(lower(p_name), lower(p_type)), 6) AS jac,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev
+FROM part WHERE p_partkey < 150 ORDER BY p_partkey
+""")
+def fn_string_similarity_q(spark, sf_dir):
+    """Fuzzy string family (reference
+    src/Functions/FunctionsStringDistance.cpp): stringJaccardIndex
+    (char-set Jaccard, built-in array ops) + editDistance."""
+    p = _cat(spark, sf_dir).part
+    return (p.filter(F.col("p_partkey") < 150)
+            .select("p_partkey",
+                    F.round(ch.stringJaccardIndex(
+                        F.lower(F.col("p_name")), F.lower(F.col("p_type"))), 6)
+                    .alias("jac"),
+                    ch.editDistance(F.col("p_brand"), F.col("p_type"))
+                    .cast("long").alias("lev"))
+            .orderBy("p_partkey"))
+
+
+@q("fn_bit_ops", """
+WITH t AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_suppkey AS BIGINT) AS sk, CAST(l_partkey AS BIGINT) AS pk
+  FROM lineitem WHERE l_orderkey < 100)
+SELECT l_orderkey, l_linenumber,
+       sk & pk AS band, sk | pk AS bor, xor(sk, pk) AS bxor,
+       sk << 2 AS shl, sk >> 1 AS shr, (sk >> 3) & 1 AS bit3,
+       CAST(bit_count(sk) AS BIGINT) AS popcnt
+FROM t ORDER BY l_orderkey, l_linenumber
+""")
+def fn_bit_ops_q(spark, sf_dir):
+    """bitAnd/bitOr/bitXor/bitShiftLeft/bitShiftRight/bitTest/bitCount
+    (reference src/Functions/bitAnd.cpp family)."""
+    li = _cat(spark, sf_dir).lineitem
+    sk = F.col("l_suppkey").cast("long")
+    pk = F.col("l_partkey").cast("long")
+    return (li.filter(F.col("l_orderkey") < 100)
+            .select("l_orderkey", "l_linenumber",
+                    ch.bitAnd(sk, pk).cast("long").alias("band"),
+                    ch.bitOr(sk, pk).cast("long").alias("bor"),
+                    ch.bitXor(sk, pk).cast("long").alias("bxor"),
+                    ch.bitShiftLeft(sk, 2).cast("long").alias("shl"),
+                    ch.bitShiftRight(sk, 1).cast("long").alias("shr"),
+                    ch.bitTest(sk, 3).cast("long").alias("bit3"),
+                    ch.bitCount(sk).cast("long").alias("popcnt"))
+            .orderBy("l_orderkey", "l_linenumber"))
+
+
 @q("fn_ch_rounding", """
 SELECT o_orderkey,
        round(o_totalprice, -3) AS r_k,
@@ -2756,8 +2835,13 @@ def multimodal_decode_q(spark, sf_dir):
     is production-shaped).  Byte length doubles as the oracle-checkable
     output; decoded dims are covered by pytest."""
     d = _cat(spark, sf_dir).documents
+    # The doc_id predicate selects ~200 rows; collapse to a few input
+    # splits so the Arrow stage spins up O(1) Python workers instead of
+    # one per core (at full scale the filter is selective the same way —
+    # AQE handles post-shuffle stages, this handles the scan stage).
     blobs = (d.filter(F.col("doc_id") < 200)
-             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+             .select("doc_id", F.encode("text", "utf-8").alias("content"))
+             .coalesce(2))
     decoded = decode_images(blobs)
     return (decoded.select("doc_id",
                            F.length("content").cast("long").alias("n_bytes"))
@@ -2770,7 +2854,8 @@ def multimodal_features_q(spark, sf_dir):
     Arrow batch plumbing) — rows-only."""
     d = _cat(spark, sf_dir).documents
     blobs = (d.filter(F.col("doc_id") < 200)
-             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+             .select("doc_id", F.encode("text", "utf-8").alias("content"))
+             .coalesce(2))
     feats = extract_features(blobs, dim=8)
     return (feats.select("doc_id", F.size("features").alias("dim"))
             .orderBy("doc_id"))
@@ -2786,7 +2871,8 @@ def multimodal_frames_q(spark, sf_dir):
     10ms/byte, sample every 1000ms -> floor(dur/1000)+1 offsets."""
     d = _cat(spark, sf_dir).documents
     blobs = (d.filter(F.col("doc_id") < 200)
-             .select("doc_id", F.encode("text", "utf-8").alias("content")))
+             .select("doc_id", F.encode("text", "utf-8").alias("content"))
+             .coalesce(2))
     sampled = sample_frames(blobs, every_ms=1000)
     return (sampled.select("doc_id",
                            F.size("frame_offsets_ms").cast("long").alias("n_frames"))

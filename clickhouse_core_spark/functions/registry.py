@@ -172,6 +172,13 @@ _STR = {
         _c(x).rlike("|".join(_regex_escape(n) for n in needles)), 1).otherwise(0),
     "levenshteinDistance": lambda a, b: F.levenshtein(_c(a), _c(b)),
     "editDistance": lambda a, b: F.levenshtein(_c(a), _c(b)),
+    # stringJaccardIndex (reference src/Functions/FunctionsStringDistance.cpp):
+    # Jaccard similarity of the character SETS — pure built-in array ops.
+    "stringJaccardIndex": lambda a, b: (
+        F.size(F.array_intersect(F.array_distinct(F.split(_c(a), "")),
+                                 F.array_distinct(F.split(_c(b), ""))))
+        / F.size(F.array_union(F.array_distinct(F.split(_c(a), "")),
+                               F.array_distinct(F.split(_c(b), ""))))),
     "soundex": lambda x: F.soundex(_c(x)),
     "normalizeQuery": lambda x: F.regexp_replace(_c(x), r"\s+", " "),
     "tokens": lambda x: F.split(F.trim(F.regexp_replace(

@@ -185,6 +185,19 @@ class MergeTreeTable:
         new_part = self.insert(kept)
         self._drop_parts([p for p in parts if p != new_part])
 
+    def update_where(self, predicate: Column, assignments: dict) -> None:
+        """ALTER TABLE ... UPDATE analog (reference
+        src/Interpreters/MutationsInterpreter.h): rewrite parts with the
+        assignment expressions applied to matching rows.  Same
+        partition-rewrite shape as delete_where — mutations are
+        part rewrites in the reference too, never in-place edits."""
+        parts = self.parts()
+        updated = self.read_raw().withColumns(
+            {name: F.when(predicate, expr).otherwise(F.col(name))
+             for name, expr in assignments.items()})
+        new_part = self.insert(updated)
+        self._drop_parts([p for p in parts if p != new_part])
+
     def apply_ttl(self, expired: Column) -> None:
         """TTL compaction: drop rows where ``expired`` holds."""
         self.delete_where(expired)

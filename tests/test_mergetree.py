@@ -98,3 +98,13 @@ def test_load_roundtrip(spark, tmp_table_path):
     t2 = MergeTreeTable.load(spark, tmp_table_path)
     assert t2.engine == "replacing" and t2.version_col == "ver"
     assert t2.read(final=True).count() == 1
+
+
+def test_update_where_mutation(spark, tmp_table_path):
+    t = MergeTreeTable(spark, tmp_table_path, order_by=["k"])
+    t.insert(spark.createDataFrame([(i, float(i)) for i in range(6)],
+                                   "k int, v double"))
+    t.update_where(F.col("k") % 2 == 0, {"v": F.col("v") * 100})
+    got = dict(_rows(t.read_raw(), "k", "v"))
+    assert got == {0: 0.0, 1: 1.0, 2: 200.0, 3: 3.0, 4: 400.0, 5: 5.0}
+    assert len(t.parts()) == 1  # mutation rewrites into a single new part
