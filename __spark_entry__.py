@@ -566,22 +566,36 @@ WHERE n_supp > 1 AND n_late = 1
 GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """)
 def q21(spark, sf_dir):
+    """Single-scan formulation: ONE pass over lineitem (vs the naive
+    two-scan + three-way self-join diamond), left-joined to the F-orders
+    projection, then one (orderkey, suppkey) aggregation and an
+    orderkey window for the per-order supplier counts.  At 100 TB this
+    saves a full lineitem scan + shuffle; the orders side stays a plain
+    equi-join Catalyst can broadcast or shuffle as size dictates."""
     c = _cat(spark, sf_dir)
-    late = (c.lineitem
-            .join(c.orders.filter(F.col("o_orderstatus") == "F"),
-                  (F.col("o_orderkey") == F.col("l_orderkey"))
-                  & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days")))
-            .select("l_orderkey", "l_suppkey"))
-    per_order = (c.lineitem.groupBy(F.col("l_orderkey").alias("ok"))
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp")))
-    late_per_order = (late.groupBy(F.col("l_orderkey").alias("ok2"))
-                      .agg(F.countDistinct("l_suppkey").alias("n_late")))
-    return (late
-            .join(per_order, F.col("ok") == F.col("l_orderkey"))
-            .join(late_per_order, F.col("ok2") == F.col("l_orderkey"))
-            .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    f_orders = (c.orders.filter(F.col("o_orderstatus") == "F")
+                .select("o_orderkey", "o_orderdate"))
+    rows = (c.lineitem
+            .select("l_orderkey", "l_suppkey", "l_shipdate")
+            .join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+            .select("l_orderkey", "l_suppkey",
+                    (F.col("o_orderkey").isNotNull()
+                     & (F.col("l_shipdate")
+                        > F.col("o_orderdate") + F.expr("interval 60 days")))
+                    .cast("int").alias("__late")))
+    per_pair = (rows.groupBy("l_orderkey", "l_suppkey")
+                .agg(F.sum("__late").alias("__late_rows")))
+    w = Window.partitionBy("l_orderkey")
+    per_pair = (per_pair
+                .withColumn("__n_supp", F.count("*").over(w))
+                .withColumn("__n_late",
+                            F.count(F.when(F.col("__late_rows") > 0, 1)).over(w)))
+    qualifying = per_pair.filter((F.col("__late_rows") > 0)
+                                 & (F.col("__n_supp") > 1)
+                                 & (F.col("__n_late") == 1))
+    return (qualifying
             .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-            .groupBy("s_name").agg(F.count("*").alias("numwait"))
+            .groupBy("s_name").agg(F.sum("__late_rows").cast("long").alias("numwait"))
             .orderBy(F.col("numwait").desc(), "s_name").limit(20))
 
 
@@ -929,6 +943,34 @@ def agg_quantiles(spark, sf_dir):
                  F.percentile("l_quantity", 0.75).alias("q75"),
                  F.median("l_extendedprice").alias("med_price"))
             .orderBy("l_returnflag"))
+
+
+@q("agg_quantile_weighted", """
+WITH c AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT l_returnflag, min(l_extendedprice) AS wq50
+FROM c WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_quantile_weighted_q(spark, sf_dir):
+    """quantileExactWeighted(0.5)(x, w) (reference
+    src/AggregateFunctions/AggregateFunctionQuantileExactWeighted.cpp):
+    first value whose cumulative weight reaches the level — a RANGE
+    cumulative window (ties collapse correctly) + min over qualifying
+    rows; one shuffle on the group keys."""
+    li = _cat(spark, sf_dir).lineitem
+    w_cum = (Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+             .rangeBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("l_returnflag")
+    c = (li.withColumn("__cw", F.sum("l_quantity").over(w_cum))
+         .withColumn("__tw", F.sum("l_quantity").over(w_all)))
+    return (c.filter(F.col("__cw") >= 0.5 * F.col("__tw"))
+            .groupBy("l_returnflag")
+            .agg(F.min("l_extendedprice").alias("wq50"))
+            .transform(_small_sorted, "l_returnflag"))
 
 
 @q("agg_topk", """

@@ -3,6 +3,7 @@ from clickhouse_core_spark.streaming.windows import (
     hop,
     with_watermark,
     windowed_aggregate,
+    stateful_sessionize,
 )
 from clickhouse_core_spark.streaming.materialized import (
     MaterializedViewCascade,
@@ -10,4 +11,5 @@ from clickhouse_core_spark.streaming.materialized import (
 )
 
 __all__ = ["tumble", "hop", "with_watermark", "windowed_aggregate",
+           "stateful_sessionize",
            "MaterializedViewCascade", "dedup_within_watermark"]

@@ -76,3 +76,29 @@ def test_streaming_watermark_drops_late_rows(spark, stream_dir):
     # the 00:00 window was finalized by the watermark advance from the
     # 00:30 event; the late 100.0 contribution must not appear
     assert rows.get(_t(0)) == 1.0
+
+
+def test_stateful_sessionize_applyinpandaswithstate(spark, stream_dir):
+    from clickhouse_core_spark.streaming import stateful_sessionize
+    # user a: events at 0:10, 0:50 (same session), 10:00 (gap>5min closes
+    # first session, stays open); user b: one open session only
+    rows = [(_t(0, 10), "a", 1.0), (_t(0, 50), "a", 2.0),
+            (_t(10), "a", 4.0), (_t(0), "b", 7.0)]
+    _write_batch(spark, stream_dir, rows)
+
+    schema = "ts timestamp, k string, v double"
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    sessions = stateful_sessionize(stream, "k", "ts", "v", gap_seconds=300)
+    q = (sessions.writeStream.format("memory").queryName("sess_test")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = [(r.k, r.session_start, r.session_end, r.n_events, r.v_sum)
+               for r in spark.sql("select * from sess_test").collect()]
+    finally:
+        q.stop()
+
+    t0 = int(_t(0, 10).replace(tzinfo=dt.timezone.utc).timestamp())
+    t1 = int(_t(0, 50).replace(tzinfo=dt.timezone.utc).timestamp())
+    # only user a's FIRST session is closed (by the 10:00 event)
+    assert got == [("a", t0, t1, 2, 3.0)]
