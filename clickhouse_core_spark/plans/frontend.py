@@ -144,6 +144,8 @@ _RULES: dict = {
     "uniqhll12": _fn("approx_count_distinct"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "countif": _fn("count_if"),
+    # CH allows count() with no argument
+    "count": lambda a: "count(*)" if not [x for x in a if x.strip()] else f"count({', '.join(a)})",
     "sumif": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",
     "avgif": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
     "minif": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
@@ -169,6 +171,19 @@ _PARAMETRIC: dict = {
     "quantiletdigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiledd": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # topK(k)(x): exact small-k variant of the reference's space-saving
+    # sketch — per-group quadratic over DISTINCT values (fine for the
+    # low-cardinality columns topK targets); most-frequent first, value
+    # as tie-break via struct sort.
+    "topk": lambda p, a: (
+        f"slice(transform(array_sort(transform(array_distinct(collect_list({a[0]})), "
+        f"v -> struct(-size(filter(collect_list({a[0]}), y -> y = v)) AS neg, v AS val))), "
+        f"s -> s.val), 1, {p[0]})"),
+    "topkweighted": lambda p, a: (
+        f"slice(transform(array_sort(transform(array_distinct(collect_list({a[0]})), "
+        f"v -> struct(-aggregate(filter(collect_list(struct({a[0]} AS _x, {a[1]} AS _w)), "
+        f"q -> q._x = v), cast(0.0 AS double), (acc, q) -> acc + q._w) AS neg, v AS val))), "
+        f"s -> s.val), 1, {p[0]})"),
     "uniqupto": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
 }
 
@@ -248,8 +263,10 @@ def _parse_args(sql: str, i: int) -> tuple[list[str], int]:
             cur.append(sql[i:j])
             i = j
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
+        elif c == "]":
+            depth -= 1
         elif c == ")":
             depth -= 1
             if depth == 0:
@@ -266,6 +283,54 @@ def _parse_args(sql: str, i: int) -> tuple[list[str], int]:
     return [a.strip() for a in args], i + 1
 
 
+_EXPR_KEYWORDS = {
+    "select", "where", "and", "or", "not", "when", "then", "else", "in",
+    "as", "on", "by", "having", "from", "union", "all", "distinct",
+    "between", "like", "ilike", "case", "array",
+}
+
+
+def _bracket_is_literal(out: list) -> bool:
+    """A '[' opens an array literal (vs an index) when it sits in
+    expression position: start of input, after an operator/open paren/
+    comma, or after a keyword."""
+    prev = "".join(out).rstrip()
+    if not prev:
+        return True
+    ch = prev[-1]
+    if ch in "(,=<>+-*/%|[":
+        return True
+    m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", prev)
+    return bool(m) and m.group(1).lower() in _EXPR_KEYWORDS
+
+
+def _split_bracket(sql: str, i: int) -> tuple[list, int]:
+    """Parse '[...]' starting at i; return top-level element strings and
+    the index just past the closing bracket."""
+    assert sql[i] == "["
+    depth = 0
+    j = i
+    parts, start = [], i + 1
+    n = len(sql)
+    while j < n:
+        c = sql[j]
+        if c in "'\"":
+            j = _skip_string(sql, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+            if depth == 0 and c == "]":
+                parts.append(sql[start:j])
+                return parts, j + 1
+        elif c == "," and depth == 1:
+            parts.append(sql[start:j])
+            start = j + 1
+        j += 1
+    raise ValueError("unbalanced [ in expression")
+
+
 def _translate_expr(sql: str) -> str:
     """Rewrite known CH function calls (recursively) in an expression."""
     out = []
@@ -277,6 +342,18 @@ def _translate_expr(sql: str) -> str:
             j = _skip_string(sql, i)
             out.append(sql[i:j])
             i = j
+            continue
+        if c == "[" and _bracket_is_literal(out):
+            elems, after = _split_bracket(sql, i)
+            inner = ", ".join(_translate_expr(e.strip()) for e in elems
+                              if e.strip())
+            # `x IN [..]` takes a value list, not an array value
+            prev_kw = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", "".join(out))
+            if prev_kw and prev_kw.group(1).lower() == "in":
+                out.append(f"({inner})")
+            else:
+                out.append(f"array({inner})")
+            i = after
             continue
         m = _IDENT.match(sql, i)
         if not m:

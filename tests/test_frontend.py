@@ -88,3 +88,31 @@ def test_limit_by(spark):
 def test_array_join_explode(spark):
     df = ch_sql(spark, "SELECT arrayJoin(array(1, 2, 3)) AS x")
     assert sorted(r["x"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_zero_arg_count(spark):
+    r = ch_sql(spark, "SELECT count() AS n FROM orders").collect()[0]
+    assert r["n"] > 0
+
+
+def test_array_literals(spark):
+    r = ch_sql(spark, "SELECT [1, 2, 3] AS a, has([1, 2], 2) AS h, "
+                      "arrayMap(x -> x * 2, [1, 2]) AS m").collect()[0]
+    assert r["a"] == [1, 2, 3] and r["h"] is True and r["m"] == [2, 4]
+    nested = ch_sql(spark, "SELECT [[1], [2, 3]] AS n").collect()[0]
+    assert nested["n"] == [[1], [2, 3]]
+
+
+def test_in_array_literal_is_value_list(spark):
+    r = ch_sql(spark, "SELECT count() AS n FROM orders "
+                      "WHERE o_orderstatus IN ['F', 'O']").collect()[0]
+    assert r["n"] > 0
+
+
+def test_parametric_topk(spark):
+    r = ch_sql(spark, "SELECT topK(2)(o_orderstatus) AS t FROM orders").collect()[0]
+    assert len(r["t"]) == 2
+    # weighted: heaviest first
+    r2 = ch_sql(spark, "SELECT topKWeighted(1)(o_orderstatus, o_totalprice) "
+                       "AS t FROM orders").collect()[0]
+    assert len(r2["t"]) == 1
