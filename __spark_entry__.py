@@ -1122,23 +1122,31 @@ def sequence_match_q(spark, sf_dir):
 
 
 @q("sequence_count_pairs", """
-WITH c AS (
+WITH f AS (
   SELECT user_id,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
-         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-         - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-           AS excess
-  FROM events)
-SELECT user_id,
-       CAST(sum(b) - greatest(max(excess), 0) AS BIGINT) AS n_matches
-FROM c GROUP BY user_id ORDER BY user_id
+         CASE WHEN event_type = 'view' THEN 1 ELSE 2 END AS m,
+         lead(CASE WHEN event_type = 'view' THEN 1 ELSE 2 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_type IN ('view', 'purchase')),
+c AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN m = 1 AND nxt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_matches
+  FROM f GROUP BY user_id)
+SELECT u.user_id, coalesce(c.n_matches, 0) AS n_matches
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN c USING (user_id) ORDER BY u.user_id
 """)
 def sequence_count_q(spark, sf_dir):
-    """sequenceCount('(?1).*(?2)')(ts, view, purchase): non-overlapping
-    view-then-purchase matches via the bracket-matching closed form
-    (#B - max prefix B-excess)."""
+    """sequenceCount('(?1).*(?2)')(ts, view, purchase): sequential
+    restart-after-match view-then-purchase matches (reference
+    AggregateFunctionSequenceMatch.cpp countMatches semantics).  The
+    DuckDB oracle uses the disjoint-condition equivalence: the restart
+    DFA completes exactly one match per A-run -> B-run boundary, so the
+    count equals the number of A-followed-directly-by-B adjacencies in
+    the filtered A/B event sequence — an independent derivation of the
+    same semantics (list_reduce is avoided: DuckDB 1.0 miscomputes it
+    over grouped lists)."""
     ev = _cat(spark, sf_dir).events
     return (sequence_count(ev, ["user_id"], "ts",
                            F.col("event_type") == "view",

@@ -158,11 +158,13 @@ _STR = {
     "match": lambda x, rx: _c(x).rlike(rx).cast("int"),
     "extract": lambda x, rx: F.regexp_extract(_c(x), rx, 1),
     "extractAll": lambda x, rx: F.regexp_extract_all(_c(x), F.lit(rx), F.lit(1)),
-    "replaceOne": lambda x, pat, rep: F.regexp_replace(
-        _c(x), _regex_escape(pat), rep.replace("$", "\\$") if isinstance(rep, str) else rep),
+    # replaceOne/replaceRegexpOne substitute only the FIRST occurrence
+    # (reference src/Functions/ReplaceStringImpl.h replace_first) — Spark
+    # has no replace-first builtin, so splice around the first match.
+    "replaceOne": lambda x, pat, rep: _replace_one(_c(x), pat, rep),
     "replaceAll": lambda x, pat, rep: F.replace(_c(x), F.lit(pat), F.lit(rep)),
     "replaceRegexpAll": lambda x, rx, rep: F.regexp_replace(_c(x), rx, rep),
-    "replaceRegexpOne": lambda x, rx, rep: F.regexp_replace(_c(x), rx, rep),  # doc: CH replaces first only
+    "replaceRegexpOne": lambda x, rx, rep: _replace_regexp_one(_c(x), rx, rep),
     "startsWith": lambda x, p: F.startswith(_c(x), _c(p)).cast("int"),
     "endsWith": lambda x, p: F.endswith(_c(x), _c(p)).cast("int"),
     "countSubstrings": lambda x, n: (
@@ -198,6 +200,30 @@ def _regex_escape(s: str) -> str:
         else:
             out.append(chh)
     return "".join(out)
+
+
+def _replace_one(x: Column, pat, rep) -> Column:
+    """First-occurrence literal replace: splice around instr()."""
+    pat_c, rep_c = _c(pat), _c(rep)
+    pos = F.instr(x, pat_c)
+    spliced = F.concat(F.substring(x, F.lit(1), pos - 1), rep_c,
+                       F.substring(x, pos + F.length(pat_c),
+                                   F.length(x)))
+    return F.when(pos > 0, spliced).otherwise(x)
+
+
+def _replace_regexp_one(x: Column, rx, rep) -> Column:
+    """First-occurrence regexp replace with backref support: run
+    regexp_replace only on the prefix that ends exactly at the end of
+    the first match (leftmost matching ⇒ that prefix contains exactly
+    one match), then append the untouched tail."""
+    pos = F.regexp_instr(x, _c(rx))
+    end = pos + F.length(F.regexp_substr(x, _c(rx)))
+    head = F.substring(x, F.lit(1), end - 1)
+    tail = F.substring(x, end, F.length(x))
+    return F.when(pos > 0,
+                  F.concat(F.regexp_replace(head, _c(rx), rep), tail)
+                  ).otherwise(x)
 
 
 # --------------------------------------------------------------------- URL
@@ -356,8 +382,13 @@ _MATH = {
     "minus": lambda a, b: _c(a) - _c(b),
     "multiply": lambda a, b: _c(a) * _c(b),
     "divide": lambda a, b: _c(a) / _c(b),
-    "intDiv": lambda a, b: F.floor(_c(a) / _c(b)).cast("long"),
-    "intDivOrZero": lambda a, b: F.when(_c(b) != 0, F.floor(_c(a) / _c(b)).cast("long")).otherwise(0),
+    # C++ integer division truncates toward zero (reference
+    # src/Functions/DivisionUtils.h checkedDivision): intDiv(-7, 2) = -3,
+    # not floor's -4.  a - a%b is exactly divisible (Spark % keeps the
+    # dividend's sign, matching C++), so the quotient is the truncation.
+    "intDiv": lambda a, b: ((_c(a) - (_c(a) % _c(b))) / _c(b)).cast("long"),
+    "intDivOrZero": lambda a, b: F.when(
+        _c(b) != 0, ((_c(a) - (_c(a) % _c(b))) / _c(b)).cast("long")).otherwise(0),
     "modulo": lambda a, b: _c(a) % _c(b),
     "moduloOrZero": lambda a, b: F.when(_c(b) != 0, _c(a) % _c(b)).otherwise(0),
     "positiveModulo": lambda a, b: F.pmod(_c(a), _c(b)),

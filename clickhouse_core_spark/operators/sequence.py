@@ -162,26 +162,41 @@ def sequence_count(df: DataFrame, keys: Sequence[str], ts_col: str,
                    alias: str = "n_matches",
                    tiebreak: Sequence[str] = ()) -> DataFrame:
     """sequenceCount('(?1).*(?2)')(ts, condA, condB): number of
-    NON-OVERLAPPING A-then-B matches per key in event-time order
-    (reference src/AggregateFunctions/AggregateFunctionSequenceMatch.h,
-    SequenceCount registration).
+    sequential A-then-B matches per key in event-time order, where the
+    scan RESTARTS after each completed match (reference
+    src/AggregateFunctions/AggregateFunctionSequenceMatch.cpp:761 —
+    ``countMatches`` re-enters the DFA from the start after a match, so
+    for A,B,A,A,B,B it returns 2, not the maximum disjoint pairing 3).
 
-    Greedy disjoint pairing == bracket matching, which has the closed
-    form  matched = #B - max(0, max over prefixes of (cumB - cumA)):
-    the running B-excess counts exactly the B's that can never find an
-    unused earlier A.  One window pass + one groupBy — no per-row state
-    machine, so it scales like any windowed aggregate.
+    Fold over the per-key time-sorted event array with ``F.aggregate``
+    (pure Catalyst expressions, no Python).  Accumulator encodes
+    ``2*count + state`` (state 0 = awaiting A, 1 = awaiting B); both
+    transitions — A seen while awaiting A, B seen while awaiting B —
+    add exactly 1, so ``count = acc >> 1``.  Non-matching events are
+    skipped at collect time (collect_list drops the NULLs the WHEN
+    produces), keeping per-key state proportional to matching events
+    only — the same state shape the reference keeps.
     """
     keys = list(keys)
-    w = (Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
-         .rowsBetween(Window.unboundedPreceding, 0))
-    a = F.when(cond_a, 1).otherwise(0)
-    b = F.when(cond_b, 1).otherwise(0)
-    excess = F.sum(b).over(w) - F.sum(a).over(w)
-    return (df.withColumn("__b", b).withColumn("__x", excess)
-            .groupBy(*keys)
-            .agg((F.sum("__b")
-                  - F.greatest(F.max("__x"), F.lit(0))).cast("long").alias(alias)))
+    mask = (F.when(cond_a, 1).otherwise(0)
+            + F.when(cond_b, 2).otherwise(0)).cast("int")
+    ev_struct = F.struct(F.col(ts_col).alias("__t"),
+                         *[F.col(t).alias(f"__tb{i}")
+                           for i, t in enumerate(tiebreak)],
+                         mask.alias("__m"))
+    per_key = (df.groupBy(*keys)
+               .agg(F.array_sort(
+                   F.collect_list(F.when(mask != 0, ev_struct))).alias("__evs")))
+
+    def step(acc, e):
+        return (F.when((acc % 2 == 0) & (e["__m"].bitwiseAND(1) == 1), acc + 1)
+                .when((acc % 2 == 1) & (e["__m"].bitwiseAND(2) == 2), acc + 1)
+                .otherwise(acc))
+
+    return (per_key.withColumn(
+        alias, F.aggregate("__evs", F.lit(0), step,
+                           lambda acc: F.shiftright(acc, 1).cast("long")))
+        .drop("__evs"))
 
 
 def sequence_next_node(df: DataFrame, keys: Sequence[str], ts_col: str,

@@ -91,6 +91,8 @@ def rollup_states(df: DataFrame, keys: Sequence[str],
         aggs.append(quantile_state(F.col(c).cast("double")).alias(f"{c}__q_state"))
     for c in sum_cols:
         aggs.append(F.sum(c).alias(f"{c}__sum"))
+        # non-null count so a routed avg can divide by the F.avg denominator
+        aggs.append(F.count(c).alias(f"{c}__cnt"))
     aggs.append(F.count("*").alias("__rows"))
     return df.groupBy(*keys).agg(*aggs)
 
@@ -113,6 +115,9 @@ def merge_states(states: DataFrame, keys: Sequence[str],
         elif f_.name.endswith("__sum"):
             base = f_.name[:-len("__sum")]
             aggs.append(F.sum(f_.name).alias(f"{base}_sum"))
+        elif f_.name.endswith("__cnt"):
+            base = f_.name[:-len("__cnt")]
+            aggs.append(F.sum(f_.name).alias(f"{base}_cnt"))
         elif f_.name == "__rows":
             aggs.append(F.sum("__rows").alias("rows"))
     return states.groupBy(*keys).agg(*aggs)

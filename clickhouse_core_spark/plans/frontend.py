@@ -85,8 +85,21 @@ _RULES: dict = {
     "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 1)",
     "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)",
     "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
-    "replaceone": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    # first-occurrence-only (reference ReplaceStringImpl.h replace_first):
+    # splice around the first match instead of aliasing to replace-all
+    "replaceone": lambda a: (
+        f"CASE WHEN instr({a[0]}, {a[1]}) > 0 THEN "
+        f"concat(substring({a[0]}, 1, instr({a[0]}, {a[1]}) - 1), {a[2]}, "
+        f"substring({a[0]}, instr({a[0]}, {a[1]}) + length({a[1]}), length({a[0]}))) "
+        f"ELSE {a[0]} END"),
     "replaceregexpall": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    "replaceregexpone": lambda a: (
+        f"CASE WHEN regexp_instr({a[0]}, {a[1]}) > 0 THEN "
+        f"concat(regexp_replace(substring({a[0]}, 1, regexp_instr({a[0]}, {a[1]}) "
+        f"+ length(regexp_substr({a[0]}, {a[1]})) - 1), {a[1]}, {a[2]}), "
+        f"substring({a[0]}, regexp_instr({a[0]}, {a[1]}) "
+        f"+ length(regexp_substr({a[0]}, {a[1]})), length({a[0]}))) "
+        f"ELSE {a[0]} END"),
     "startswith": _fn("startswith"), "endswith": _fn("endswith"),
     "splitbychar": lambda a: f"split({a[1]}, {_regex_quote(a[0])})",
     "splitbystring": lambda a: f"split({a[1]}, {_regex_quote(a[0])})",
@@ -104,8 +117,11 @@ _RULES: dict = {
     "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
     "assumenotnull": lambda a: a[0],
     # math
-    "intdiv": lambda a: f"CAST(floor({a[0]} / {a[1]}) AS BIGINT)",
-    "intdivorzero": lambda a: f"IF({a[1]} = 0, 0, CAST(floor({a[0]} / {a[1]}) AS BIGINT))",
+    # C++ division truncates toward zero (DivisionUtils.h): a - a%b is
+    # exactly divisible and Spark % keeps the dividend's sign.
+    "intdiv": lambda a: f"CAST(({a[0]} - ({a[0]} % {a[1]})) / {a[1]} AS BIGINT)",
+    "intdivorzero": lambda a: (f"IF({a[1]} = 0, 0, "
+                               f"CAST(({a[0]} - ({a[0]} % {a[1]})) / {a[1]} AS BIGINT))"),
     "modulo": lambda a: f"({a[0]} % {a[1]})",
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",

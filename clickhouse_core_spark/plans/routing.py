@@ -54,15 +54,18 @@ class SummaryRouter:
                   measures: dict[str, tuple[str, str]]) -> DataFrame:
         """``measures``: output name -> (kind, base column). kind in
         {'sum','count','min','max','avg'}. Routes to a summary when one
-        covers the request (avg needs sum+count partials named
-        '<col>__sum'/'__rows' by convention — rollup_states emits these).
+        covers the request (avg needs sum + non-null-count partials named
+        '<col>__sum'/'<col>__cnt' by convention — build_summary and
+        rollup_states emit these).
         """
         group_keys = list(group_keys)
         # avg decomposes into sum+count
         needed: list[str] = []
         for name, (kind, col) in measures.items():
             if kind == "avg":
-                needed += [f"{col}__sum", "__rows"]
+                # avg must divide by the NON-NULL count (F.avg semantics);
+                # __rows would skew the routed answer when col has NULLs
+                needed += [f"{col}__sum", f"{col}__cnt"]
             else:
                 needed.append(f"{col}__{kind}" if kind != "count" else "__rows")
 
@@ -72,7 +75,8 @@ class SummaryRouter:
                 aggs: list[Column] = []
                 for name, (kind, col) in measures.items():
                     if kind == "avg":
-                        aggs.append((F.sum(f"{col}__sum") / F.sum("__rows")).alias(name))
+                        aggs.append((F.sum(f"{col}__sum")
+                                     / F.sum(f"{col}__cnt")).alias(name))
                     elif kind == "count":
                         aggs.append(F.sum("__rows").alias(name))
                     else:
@@ -99,6 +103,9 @@ def build_summary(base: DataFrame, keys: Sequence[str],
     for c in sum_cols:
         aggs.append(F.sum(c).alias(f"{c}__sum"))
         measures[f"{c}__sum"] = ("sum", c)
+        # non-null count so routed avg = sum/cnt matches F.avg on NULLs
+        aggs.append(F.count(c).alias(f"{c}__cnt"))
+        measures[f"{c}__cnt"] = ("count_col", c)
     for c in min_cols:
         aggs.append(F.min(c).alias(f"{c}__min"))
         measures[f"{c}__min"] = ("min", c)

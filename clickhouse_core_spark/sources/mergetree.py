@@ -181,7 +181,9 @@ class MergeTreeTable:
         rows (reference lightweight delete rewrites the _row_exists mask;
         a partition rewrite is the Spark-native equivalent)."""
         parts = self.parts()
-        kept = self.read_raw().filter(~predicate)
+        # delete only rows where the predicate is TRUE: NOT NULL is NULL
+        # and would drop NULL-predicate rows too, so coalesce to FALSE
+        kept = self.read_raw().filter(~F.coalesce(predicate, F.lit(False)))
         new_part = self.insert(kept)
         self._drop_parts([p for p in parts if p != new_part])
 

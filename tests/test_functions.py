@@ -53,6 +53,21 @@ def test_multi_if_and_int_div(spark):
     assert _one(spark, ch.intDiv(F.lit(7), F.lit(2))) == 3
     assert _one(spark, ch.intDivOrZero(F.lit(7), F.lit(0))) == 0
     assert _one(spark, ch.moduloOrZero(F.lit(7), F.lit(0))) == 0
+    # C++ integer division truncates toward zero: -7/2 = -3, not floor's -4
+    assert _one(spark, ch.intDiv(F.lit(-7), F.lit(2))) == -3
+    assert _one(spark, ch.intDiv(F.lit(7), F.lit(-2))) == -3
+    assert _one(spark, ch.intDivOrZero(F.lit(-7), F.lit(2))) == -3
+
+
+def test_replace_one_first_occurrence(spark):
+    # replaceOne / replaceRegexpOne substitute only the FIRST occurrence
+    assert _one(spark, ch.replaceOne(F.lit("ababab"), "ab", "X")) == "Xabab"
+    assert _one(spark, ch.replaceOne(F.lit("hello"), "zz", "X")) == "hello"
+    assert _one(spark, ch.replaceRegexpOne(F.lit("a1b2c3"), "[0-9]", "#")) == "a#b2c3"
+    # backrefs work and later matches stay untouched
+    assert _one(spark, ch.replaceRegexpOne(F.lit("foo123bar456"),
+                                           "([0-9]+)", "<$1>")) == "foo<123>bar456"
+    assert _one(spark, ch.replaceAll(F.lit("ababab"), "ab", "X")) == "XXX"
 
 
 def test_string_functions(spark):

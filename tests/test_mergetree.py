@@ -91,6 +91,16 @@ def test_delete_where_and_ttl(spark, tmp_table_path):
     assert _rows(t.read_raw(), "k") == [(3,), (4,), (5,), (6,)]
 
 
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_table_path):
+    # ALTER DELETE removes only rows where the predicate is TRUE; a
+    # NULL predicate (NULL comparison) must KEEP the row
+    t = MergeTreeTable(spark, tmp_table_path, order_by=["k"])
+    t.insert(spark.createDataFrame([(1, 5.0), (2, None), (3, 20.0)],
+                                   "k int, v double"))
+    t.delete_where(F.col("v") > 10.0)
+    assert _rows(t.read_raw(), "k") == [(1,), (2,)]
+
+
 def test_load_roundtrip(spark, tmp_table_path):
     t = MergeTreeTable(spark, tmp_table_path, order_by=["k"],
                        engine="replacing", version_col="ver")

@@ -65,6 +65,20 @@ def test_summary_router_routes_and_matches(spark, catalog):
         assert abs(r[k]["avg_price"] - d[k]["avg_price"]) < 1e-6
 
 
+def test_summary_router_avg_with_nulls(spark):
+    # routed avg must divide by the NON-NULL count, matching F.avg
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 20.0), ("b", None), ("b", 4.0)],
+        "k string, v double")
+    router = SummaryRouter(df)
+    router.register(build_summary(df, ["k"], sum_cols=["v"]))
+    routed = {r["k"]: r["avg_v"]
+              for r in router.aggregate(["k"], {"avg_v": ("avg", "v")}).collect()}
+    direct = {r["k"]: r["avg_v"]
+              for r in df.groupBy("k").agg(F.avg("v").alias("avg_v")).collect()}
+    assert routed == direct == {"a": 15.0, "b": 4.0}
+
+
 def test_summary_router_falls_back(spark, catalog):
     o = catalog.orders
     router = SummaryRouter(o)

@@ -119,7 +119,9 @@ def test_max_intersections_and_interval_union(spark):
 def test_sequence_count_non_overlapping(spark):
     import datetime as dt
     t0 = dt.datetime(2024, 1, 1)
-    # A B A A B B A  -> greedy pairs: (0,1), (2,4), (3,5) = 3 matches
+    # A B A A B B A -> sequential restart-after-match scan (reference
+    # AggregateFunctionSequenceMatch.cpp countMatches): match (0,1),
+    # restart, match (2,4), restart, no further B after an A = 2.
     evs = ["A", "B", "A", "A", "B", "B", "A"]
     rows = [(1, t0 + dt.timedelta(minutes=i), e, i) for i, e in enumerate(evs)]
     # B before any A never matches
@@ -132,7 +134,12 @@ def test_sequence_count_non_overlapping(spark):
            for r in sequence_count(df, ["k"], "ts", F.col("e") == "A",
                                    F.col("e") == "B",
                                    tiebreak=["i"]).collect()}
-    assert out == {1: 3, 2: 1}
+    assert out == {1: 2, 2: 1}
+    # keys whose events never match either condition still appear with 0
+    df2 = spark.createDataFrame([(3, t0, "C", 0)], "k int, ts timestamp, e string, i int")
+    out2 = sequence_count(df2, ["k"], "ts", F.col("e") == "A",
+                          F.col("e") == "B", tiebreak=["i"]).collect()
+    assert out2[0]["n_matches"] == 0
 
 
 def test_sequence_next_node_head(spark):
