@@ -1871,7 +1871,8 @@ def embedding_near_dup_q(spark, sf_dir):
     e = _cat(spark, sf_dir).embeddings
     as_double = e.withColumn("embedding",
                              F.transform("embedding", lambda x: x.cast("double")))
-    return (embedding_near_duplicates(as_double, threshold=0.3, bits=4)
+    return (embedding_near_duplicates(as_double, threshold=0.3, bits=4,
+                                      dim=64)
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 

@@ -188,16 +188,36 @@ def paste_join(
 
     Positional semantics require a total order; callers must supply the
     sort for each side (the reference relies on physical block order,
-    which has no distributed analog).  Implemented as row_number over a
-    global window + equi-join on the row number; fine for the moderate
-    result sets PASTE JOIN is used for, but inherently a single-partition
-    sort — documented limitation.
+    which has no distributed analog).  Scale-safe global row numbering
+    (zipWithIndex shape, no single-partition window): range-partition by
+    the order keys, per-partition row_number, then add per-partition
+    offsets computed from a prefix sum over the (tiny) partition-count
+    table — the data itself never funnels through one task.
     """
-    wl = Window.orderBy(*left_order)
-    wr = Window.orderBy(*right_order)
-    l_num = left.withColumn("__rn", F.row_number().over(wl))
-    r_num = right.withColumn("__rn", F.row_number().over(wr))
+    l_num = _global_row_number(left, left_order)
+    r_num = _global_row_number(right, right_order)
     dup = [c for c in r_num.columns if c in l_num.columns and c != "__rn"]
     for c in dup:
         r_num = r_num.withColumnRenamed(c, f"{c}_r")
     return l_num.join(r_num, on="__rn", how="inner").drop("__rn")
+
+
+def _global_row_number(df: DataFrame, order: Sequence[Column | str],
+                       out: str = "__rn") -> DataFrame:
+    """1-based global row numbers in ``order`` without a global-window
+    single-partition sort: repartitionByRange aligns partition ids with
+    the global order, row_number runs per partition, and cross-partition
+    offsets come from a prefix sum over one row per partition."""
+    ranged = (df.repartitionByRange(*order)
+              .withColumn("__pid", F.spark_partition_id()))
+    w = Window.partitionBy("__pid").orderBy(*order)
+    local = ranged.withColumn("__lrn", F.row_number().over(w))
+    cnts = local.groupBy("__pid").agg(F.count("*").alias("__c"))
+    # one row per partition: the global window here is over ~hundreds of
+    # rows of metadata, not the data
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (cnts.withColumn("__off", F.coalesce(F.sum("__c").over(woff),
+                                                F.lit(0))).drop("__c"))
+    return (local.join(F.broadcast(offs), on="__pid")
+            .withColumn(out, (F.col("__lrn") + F.col("__off")).cast("long"))
+            .drop("__pid", "__lrn", "__off"))

@@ -3,8 +3,8 @@
 Exact dedup is a hash-groupBy; near-dup families (MinHash+LSH, SimHash,
 n-gram Jaccard) follow the standard shingle → signature → band → bucket
 equi-join shape so candidate generation is a shuffle on band keys, never
-an all-pairs cross join.  Everything except SimHash's bit-packing stays
-in built-in JVM expressions; SimHash uses an Arrow-batched pandas UDF.
+an all-pairs cross join.  Everything — including SimHash's bit-vote
+fingerprint fold — is built-in JVM expressions; no Python in any hot path.
 
 At 100 TB: the only shuffles are (a) the band-key groupBy whose
 fan-out is bands × docs, and (b) the final representative join — both
@@ -14,11 +14,9 @@ linear in corpus size.  Candidate verification is per-bucket.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 # Mersenne prime 2^61-1: universal-hash modulus; keeps (a*x+b) % p exact
 # in signed 64-bit after pmod on the xxhash base values.
@@ -175,40 +173,30 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
 
 def simhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", hamming_threshold: int = 3,
-                  block_bits: int = 4) -> DataFrame:
+                  n_blocks: int | None = None) -> DataFrame:
     """SimHash near-dup removal: 64-bit fingerprints, candidate pairs
-    from matching any of ``block_bits`` 16-bit blocks (the standard
-    Charikar pigeonhole blocking: a pair within hamming distance d must
-    agree on at least one of d+1 blocks), verified with exact hamming
-    distance.
+    from agreeing on any of ``n_blocks`` disjoint bit blocks (standard
+    Charikar pigeonhole blocking: ≤d differing bits spread over d+1
+    disjoint blocks leave ≥1 block diff-free, so recall is total at
+    ``n_blocks = hamming_threshold + 1`` — the default), verified with
+    exact hamming distance.  More blocks ⇒ narrower keys ⇒ more
+    candidate pairs; fewer blocks forfeits the recall guarantee.
 
-    Fingerprinting is a vectorized pandas UDF (bit-packing 64 weighted
-    sums has no reasonable built-in expression form); everything after
-    is equi-joins.
+    Fingerprinting is pure JVM expressions (no Python in the hot path):
+    token hashes via ``transform(tokens, xxhash64)``, then ONE
+    ``F.aggregate`` fold whose accumulator is the 64-slot bit-vote
+    array — each token updates all 64 votes via ``zip_with`` with a
+    column-typed shift amount (``call_function('shiftright', h, i)``;
+    the PySpark wrapper restricts numBits to a literal but the Catalyst
+    ShiftRight expression accepts any int expression).  Single pass
+    over each document's tokens, whole-stage-codegen friendly.
     """
-    from pyspark.sql.functions import pandas_udf
+    sh = df.withColumn("__simhash",
+                       simhash64_expr(_tokens(F.col(text_col))))
 
-    @pandas_udf(LongType())
-    def simhash64(tokens: pd.Series) -> pd.Series:
-        out = np.zeros(len(tokens), dtype=np.int64)
-        for row_i, toks in enumerate(tokens):
-            if toks is None or len(toks) == 0:
-                continue
-            # deterministic 64-bit token hashes via numpy (FNV-1a)
-            acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                h = np.int64(np.uint64(hash_fnv1a(t)))
-                bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sign = (acc > 0).astype(np.uint64)
-            out[row_i] = np.int64((sign << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-        return pd.Series(out)
-
-    sh = df.withColumn("__tokens", _tokens(F.col(text_col)))
-    sh = sh.withColumn("__simhash", simhash64("__tokens")).drop("__tokens")
-
-    n_blocks = hamming_threshold + 1 if block_bits is None else block_bits
-    width = 64 // n_blocks
+    if n_blocks is None:
+        n_blocks = hamming_threshold + 1
+    width = max(64 // n_blocks, 1)
     block_key = [
         F.struct(F.lit(bi).alias("b"),
                  F.shiftrightunsigned(F.col("__simhash"), bi * width)
@@ -233,14 +221,34 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
             .select(*df.columns))
 
 
-def hash_fnv1a(s: str) -> int:
-    """Deterministic 64-bit FNV-1a string hash (pure python, used inside
-    the SimHash pandas UDF — per-token, not per-row-pair)."""
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+def simhash64_expr(tokens: Column) -> Column:
+    """64-bit Charikar SimHash of a token array as a single Catalyst
+    expression: per token t, hash h = xxhash64(t) votes +1/-1 on each
+    bit position; the fingerprint sets bit i when the vote sum is
+    positive.  One fold over the tokens with an array<int> accumulator;
+    bit extraction uses ShiftRight with a column shift amount via
+    call_function (exact for 64-bit longs, unlike float pow tricks)."""
+    idx = F.sequence(F.lit(0), F.lit(63))
+
+    def vote(acc, t):
+        h = F.xxhash64(t)
+        return F.zip_with(
+            acc, idx,
+            lambda a, i: a + (F.call_function("shiftright", h, i)
+                              .bitwiseAND(F.lit(1)) * 2 - 1).cast("int"))
+
+    def pack(acc):
+        return F.aggregate(
+            F.zip_with(acc, idx,
+                       lambda a, i: F.when(
+                           a > 0, F.call_function("shiftleft",
+                                                  F.lit(1).cast("long"), i))
+                       .otherwise(F.lit(0).cast("long"))),
+            F.lit(0).cast("long"), lambda s, x: s.bitwiseOR(x))
+
+    fp = F.aggregate(tokens, F.array_repeat(F.lit(0).cast("int"), 64),
+                     vote, pack)
+    return F.coalesce(fp, F.lit(0).cast("long"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

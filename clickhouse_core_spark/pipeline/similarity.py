@@ -103,13 +103,19 @@ def lsh_ann_topk(df: DataFrame, query: Sequence[float], k: int,
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
-                              bits: int = 8, seed: int = 42) -> DataFrame:
+                              bits: int = 8, seed: int = 42,
+                              dim: int | None = None) -> DataFrame:
     """All pairs with cosine >= threshold, blocked by LSH bucket
     (candidates must share the full signature; at 0.95+ cosine the
     collision probability per bit is >0.93, so recall stays high while
-    the join is an equi-join on the bucket)."""
-    sample = df.select(vec_col).first()
-    dim = len(sample[vec_col])
+    the join is an equi-join on the bucket).
+
+    Pass ``dim`` (embedding dimensionality) to keep plan construction
+    metadata-only; when omitted, one row is fetched to infer it — a
+    driver round-trip that triggers a job before the real one."""
+    if dim is None:
+        sample = df.select(vec_col).first()
+        dim = len(sample[vec_col])
     planes = _hyperplanes(dim, bits, seed)
     b = df.select(F.col(id_col), F.col(vec_col),
                   lsh_bucket(F.col(vec_col), planes).alias("__bucket"))

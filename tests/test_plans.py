@@ -84,3 +84,27 @@ def test_sample_by_hash_pushes_past_projection(catalog):
     # scan stage (no Exchange between scan and filter)
     plan = _plan(df)
     assert plan.index("Filter") > plan.index("Scan parquet") or "Exchange" not in plan
+
+
+def test_paste_join_no_global_data_window(spark):
+    # scale gate: paste_join's row numbering must never sort the DATA in
+    # one partition — every row_number window is partitioned by __pid;
+    # the only global window runs over the per-partition count table
+    from clickhouse_core_spark.operators import paste_join
+    left = spark.range(1000).withColumnRenamed("id", "a")
+    right = spark.range(1000).withColumnRenamed("id", "b")
+    plan = _plan(paste_join(left, right, ["a"], ["b"]))
+    for line in plan.splitlines():
+        if "row_number()" in line:
+            assert "__pid" in line, f"global-window row_number: {line}"
+
+
+def test_simhash_fingerprint_is_jvm_only(spark):
+    # scale gate: no Python evaluation (BatchEvalPython / ArrowEvalPython
+    # / FlatMapsInPandas) anywhere in the simhash dedup plan
+    from clickhouse_core_spark.pipeline import simhash_dedup
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    plan = _plan(simhash_dedup(df))
+    assert "Python" not in plan and "Pandas" not in plan
