@@ -50,6 +50,7 @@ from clickhouse_core_spark.pipeline.multimodal import (
     decode_images, extract_features, sample_frames,
 )
 from clickhouse_core_spark.functions import ch
+from clickhouse_core_spark.plans import ch_sql, register_mergetree_sql
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -2978,6 +2979,167 @@ def embedding_block_pairs_q(spark, sf_dir):
             .filter(F.col("cosine") >= 0.2)
             .select("id_a", "id_b", "cosine")
             .orderBy("id_a", "id_b"))
+
+
+
+# ------------------------------------- CH-SQL clause surface (frontend)
+
+@q("ch_sql_final", """
+WITH rv AS (
+  SELECT o_orderkey, 1 AS ver, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderkey, 2 AS ver, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey < 500)
+SELECT o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY ver DESC) AS rn
+  FROM rv)
+WHERE rn = 1 AND o_orderkey < 1000 ORDER BY o_orderkey
+""")
+def ch_sql_final_q(spark, sf_dir):
+    """SELECT ... FROM t FINAL through the SQL frontend (reference FINAL
+    modifier, src/Parsers/ParserSelectQuery.h:10): the replacing-merge
+    view pair is registered by register_mergetree_sql, the query text
+    stays pure ClickHouse SQL."""
+    o = _cat(spark, sf_dir).orders
+    base = o.select("o_orderkey", F.lit(1).alias("ver"), "o_totalprice")
+    bump = (o.filter(F.col("o_orderkey") < 500)
+            .select("o_orderkey", F.lit(2).alias("ver"),
+                    (F.col("o_totalprice") * 2).alias("o_totalprice")))
+    register_mergetree_sql(spark, "orders_rv", base.unionByName(bump),
+                           engine="replacing", keys=["o_orderkey"],
+                           version="ver")
+    return ch_sql(spark, """
+        SELECT o_orderkey, o_totalprice FROM orders_rv FINAL
+        WHERE o_orderkey < 1000 ORDER BY o_orderkey""")
+
+
+@q("ch_sql_sample", """
+SELECT CAST(count(*) AS BIGINT) AS n, sum(l_extendedprice) AS rev
+FROM lineitem
+WHERE (l_orderkey * 2654435761) % 4294967296 < 1073741824
+""")
+def ch_sql_sample_q(spark, sf_dir):
+    """SAMPLE 0.25 through the SQL frontend: deterministic Knuth-hash
+    range on the declared sampling key (reference SAMPLE clause,
+    src/Parsers/ParserSelectQuery.h:10; key comes from DDL SAMPLE BY,
+    here via sample_by metadata) — the oracle reproduces the identical
+    subset arithmetically."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark,
+                  "SELECT count(*) AS n, sum(l_extendedprice) AS rev "
+                  "FROM lineitem SAMPLE 0.25",
+                  sample_by={"lineitem": "l_orderkey"})
+
+
+@q("ch_sql_array_join", """
+SELECT w, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(o_orderpriority, '-')) AS w
+      FROM orders WHERE o_orderkey < 1000)
+GROUP BY w ORDER BY n DESC, w LIMIT 20
+""")
+def ch_sql_array_join_q(spark, sf_dir):
+    """ARRAY JOIN through the SQL frontend -> LATERAL VIEW posexplode
+    (reference src/Interpreters/ArrayJoinAction.h)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT w, count(*) AS n FROM orders
+        ARRAY JOIN splitByChar('-', o_orderpriority) AS w
+        WHERE o_orderkey < 1000
+        GROUP BY w ORDER BY n DESC, w LIMIT 20""")
+
+
+@q("ch_sql_with_totals", """
+SELECT o_orderstatus, sum(o_totalprice) AS s, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), ())
+ORDER BY o_orderstatus
+""")
+def ch_sql_with_totals_q(spark, sf_dir):
+    """GROUP BY ... WITH TOTALS through the SQL frontend -> GROUPING
+    SETS ((keys), ()) (reference WITH TOTALS,
+    src/Parsers/ParserSelectQuery.h:10)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderstatus, sum(o_totalprice) AS s, count(*) AS n
+        FROM orders GROUP BY o_orderstatus WITH TOTALS
+        ORDER BY o_orderstatus""")
+
+
+@q("ch_sql_limit_by_expr", """
+SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr FROM (
+  SELECT o_orderkey, o_orderdate,
+         row_number() OVER (PARTITION BY year(o_orderdate)
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3 ORDER BY yr, o_orderkey
+""")
+def ch_sql_limit_by_expr_q(spark, sf_dir):
+    """LIMIT n BY f(x) with a function-call BY key (regression for the
+    r1 mistranslation: the old cols regex rejected parens and emitted
+    the CH text verbatim)."""
+    _cat(spark, sf_dir)
+    return (ch_sql(spark, """
+        SELECT o_orderkey, toYear(o_orderdate) AS yr FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3 BY toYear(o_orderdate)""")
+        .orderBy("yr", "o_orderkey"))
+
+
+# ------------------------------------- Coalescing / GraphiteRollup FINAL
+
+@q("final_coalescing", """
+WITH cv AS (
+  SELECT o_orderkey AS k, 1 AS ver, o_totalprice AS price,
+         CAST(NULL AS VARCHAR) AS prio
+  FROM orders WHERE o_orderkey < 2000
+  UNION ALL
+  SELECT o_orderkey, 2, NULL, o_orderpriority
+  FROM orders WHERE o_orderkey < 500)
+SELECT k,
+       arg_max(price, CASE WHEN price IS NOT NULL THEN ver END) AS price,
+       arg_max(prio, CASE WHEN prio IS NOT NULL THEN ver END) AS prio,
+       CAST(max(ver) AS INT) AS ver
+FROM cv GROUP BY k ORDER BY k
+""")
+def final_coalescing_q(spark, sf_dir):
+    """CoalescingMergeTree FINAL (reference
+    src/Processors/Merges/CoalescingSortedTransform.h:14): partial-row
+    upserts coalesce into the latest non-NULL value per column."""
+    from clickhouse_core_spark.operators import coalescing_final
+    o = _cat(spark, sf_dir).orders
+    v1 = (o.filter(F.col("o_orderkey") < 2000)
+          .select(F.col("o_orderkey").alias("k"), F.lit(1).alias("ver"),
+                  F.col("o_totalprice").alias("price"),
+                  F.lit(None).cast("string").alias("prio")))
+    v2 = (o.filter(F.col("o_orderkey") < 500)
+          .select(F.col("o_orderkey").alias("k"), F.lit(2).alias("ver"),
+                  F.lit(None).cast("double").alias("price"),
+                  F.col("o_orderpriority").alias("prio")))
+    return (coalescing_final(v1.unionByName(v2), ["k"], order_col="ver")
+            .orderBy("k"))
+
+
+@q("graphite_rollup_tiers", """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS t,
+         CASE WHEN 1706745600 - CAST(floor(epoch(ts)) AS BIGINT) >= 1209600
+              THEN 86400 ELSE 3600 END AS prec,
+         value
+  FROM events)
+SELECT event_type, t - (t % prec) AS time_bucket, avg(value) AS value
+FROM g GROUP BY event_type, t - (t % prec)
+ORDER BY event_type, time_bucket
+""")
+def graphite_rollup_q(spark, sf_dir):
+    """GraphiteMergeTree age-tiered rollup (reference
+    src/Processors/Merges/Algorithms/GraphiteRollupSortedAlgorithm.h:10):
+    events older than 14 days (vs the fixed merge time 2024-02-01) land
+    in daily buckets, newer ones hourly; value averages per bucket."""
+    from clickhouse_core_spark.operators import graphite_rollup
+    ev = _cat(spark, sf_dir).events
+    return (graphite_rollup(ev, retentions=[(0, 3600), (14 * 86400, 86400)],
+                            now=1706745600, path_col="event_type",
+                            time_col="ts", value_col="value")
+            .orderBy("event_type", "time_bucket"))
 
 
 # ---------------------------------------------------------------- contract

@@ -63,6 +63,8 @@ from clickhouse_core_spark.operators.final import (
     summing_final,
     collapsing_final,
     versioned_collapsing_final,
+    coalescing_final,
+    graphite_rollup,
 )
 
 __all__ = [
@@ -80,5 +82,5 @@ __all__ = [
     "exponential_moving_average", "bounding_ratio", "uniq_up_to",
     "entropy", "max_intersections", "interval_length_sum",
     "replacing_final", "summing_final", "collapsing_final",
-    "versioned_collapsing_final",
+    "versioned_collapsing_final", "coalescing_final", "graphite_rollup",
 ]

@@ -90,3 +90,62 @@ def versioned_collapsing_final(df: DataFrame, keys: Sequence[str],
     w = Window.partitionBy(*keys).orderBy(F.col(version).desc())
     return (alive.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def coalescing_final(df: DataFrame, keys: Sequence[str],
+                     order_col: str | None = None) -> DataFrame:
+    """CoalescingMergeTree FINAL: per key, each non-key column takes its
+    LATEST NON-NULL value across the merged rows — partial-row upserts
+    coalesce into one complete row (reference
+    src/Processors/Merges/CoalescingSortedTransform.h:14, a
+    SummingSortedAlgorithm configured to keep last-non-NULL).
+
+    max_by over a rank that is NULL when the value is NULL: one shuffle
+    with map-side partial aggregation, like summing_final."""
+    keys = list(keys)
+    rank = F.col(order_col) if order_col else F.lit(1)
+    aggs = []
+    for c in df.columns:
+        if c in keys or c == order_col:
+            continue
+        aggs.append(F.max_by(c, F.when(F.col(c).isNotNull(), rank)).alias(c))
+    if order_col:
+        aggs.append(F.max(order_col).alias(order_col))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def graphite_rollup(df: DataFrame, retentions: Sequence[tuple[int, int]],
+                    now, path_col: str = "path", time_col: str = "time",
+                    value_col: str = "value",
+                    version_col: str | None = None,
+                    agg: str = "avg") -> DataFrame:
+    """GraphiteMergeTree rollup (reference
+    src/Processors/Merges/Algorithms/GraphiteRollupSortedAlgorithm.h:10):
+    per metric path, rows whose age (relative to ``now``, the merge
+    time) reaches a retention rule's ``age`` are re-bucketed to that
+    rule's ``precision`` seconds; ``value`` aggregates within the bucket
+    with the configured function and ``version`` keeps its max.
+
+    ``retentions``: [(age_seconds, precision_seconds), ...]; the rule
+    with the LARGEST age <= row age applies (rules sorted here).  Pass
+    ``now`` explicitly (epoch seconds) — determinism over current_time
+    keeps the operator oracle-able and re-runnable.
+
+    Pure groupBy: the precision pick is a CASE chain, the bucket is
+    integer arithmetic — one shuffle on (path, bucket)."""
+    # build the CASE chain in ascending age order: each when() overrides
+    # the previous, so the largest matching age ends up winning
+    rules = sorted(retentions, key=lambda r: r[0])
+    t = F.unix_timestamp(F.col(time_col)) \
+        if dict(df.dtypes)[time_col] == "timestamp" else F.col(time_col).cast("long")
+    age = F.lit(int(now)) - t
+    prec = F.lit(1)
+    for age_s, prec_s in rules:
+        prec = F.when(age >= age_s, F.lit(prec_s)).otherwise(prec)
+    bucket = (t - (t % prec)).alias("time_bucket")
+    agg_fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+              "any": F.first}[agg]
+    aggs = [agg_fn(value_col).alias(value_col)]
+    if version_col:
+        aggs.append(F.max(version_col).alias(version_col))
+    return (df.groupBy(F.col(path_col), bucket).agg(*aggs))

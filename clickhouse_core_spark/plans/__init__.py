@@ -7,8 +7,10 @@ work is the dialect frontend that rewrites ClickHouse SQL surface forms
 into Spark SQL equivalents.
 """
 
-from clickhouse_core_spark.plans.frontend import ch_sql, translate_ch_sql, apply_date_preimage
+from clickhouse_core_spark.plans.frontend import (
+    ch_sql, translate_ch_sql, apply_date_preimage, register_mergetree_sql)
 from clickhouse_core_spark.plans.routing import SummaryRouter, Summary, build_summary
 
 __all__ = ["ch_sql", "translate_ch_sql", "apply_date_preimage",
+           "register_mergetree_sql",
            "SummaryRouter", "Summary", "build_summary"]

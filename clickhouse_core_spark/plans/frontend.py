@@ -434,10 +434,251 @@ def _split_select(body: str) -> tuple[str, str]:
 _FORMAT_RE = re.compile(r"\s+FORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_RE = re.compile(r"\s+SETTINGS\s+[\w]+\s*=\s*[^,;]+(\s*,\s*[\w]+\s*=\s*[^,;]+)*\s*;?\s*$",
                           re.IGNORECASE)
-_LIMIT_BY_RE = re.compile(
-    r"^(?P<body>.*?)\s+LIMIT\s+(?P<n>\d+)\s+BY\s+(?P<cols>[\w,\s`.]+?)"
-    r"(?P<tail>\s+LIMIT\s+\d+)?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL)
+
+
+def _top_level_set(sql: str) -> set[int]:
+    """Indices of characters at paren depth 0 and outside strings."""
+    tops: set[int] = set()
+    i, depth, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            tops.add(i)
+        i += 1
+    return tops
+
+
+# ---------------------------------------------------- CH SELECT clauses
+# FINAL / SAMPLE / ARRAY JOIN / WITH TOTALS / LIMIT BY are core CH SELECT
+# grammar (reference src/Parsers/ParserSelectQuery.h:10); each rewrites
+# to a Spark-SQL equivalent that reaches the same operators the
+# DataFrame API uses.
+
+_FINAL_RE = re.compile(
+    r"\bFROM\s+(`?\w+`?)((?:\s+AS)?\s+(?!FINAL\b|SAMPLE\b)\w+)?\s+FINAL\b",
+    re.IGNORECASE)
+
+
+def _rewrite_final(sql: str) -> str:
+    """``FROM t [alias] FINAL`` -> ``FROM t__final [alias]``.
+
+    Convention: ``t__final`` is a registered view carrying the engine's
+    merge semantics (see :func:`register_mergetree_sql`, which registers
+    both views from a MergeTreeTable or raw DataFrame)."""
+    return _FINAL_RE.sub(
+        lambda m: f"FROM {m.group(1).strip('`')}__final{m.group(2) or ''}", sql)
+
+
+_SAMPLE_RE = re.compile(
+    r"\bFROM\s+(`?\w+`?)((?:\s+AS)?\s+(?!SAMPLE\b)\w+)?"
+    r"\s+SAMPLE\s+([0-9.]+)(?:\s+OFFSET\s+([0-9.]+))?",
+    re.IGNORECASE)
+
+# Knuth multiplicative hash: deterministic, and expressible identically
+# in Spark SQL and DuckDB (unlike xxhash64), so SAMPLE stays oracle-able.
+_SAMPLE_MULT = 2654435761
+_SAMPLE_MOD = 1 << 32
+
+
+def _rewrite_sample(sql: str, sample_by: dict[str, str] | None) -> str:
+    """``FROM t SAMPLE f [OFFSET o]`` -> deterministic hash-range filter
+    on the table's declared sampling key (CH reads the key from the DDL
+    ``SAMPLE BY`` clause; here it arrives via ``sample_by={'t': 'expr'}``).
+
+    Row-selection: key belongs to the sample when
+    ``(key * 2654435761) % 2^32`` falls in ``[o*2^32, (o+f)*2^32)`` — the
+    same subset every run, on both engines."""
+    def sub(m: re.Match) -> str:
+        t = m.group(1).strip("`")
+        alias = (m.group(2) or "").strip() or t
+        frac = float(m.group(3))
+        off = float(m.group(4) or 0.0)
+        if frac > 1.0:
+            raise ValueError(
+                f"SAMPLE {m.group(3)}: row-count samples are not supported; "
+                "use a fraction in (0, 1]")
+        if not sample_by or t not in sample_by:
+            raise ValueError(
+                f"SAMPLE over table '{t}' needs its sampling key: pass "
+                "sample_by={'%s': '<column expr>'} (the CH DDL SAMPLE BY "
+                "clause analog)" % t)
+        key = sample_by[t]
+        lo = int(off * _SAMPLE_MOD)
+        hi = int(min(off + frac, 1.0) * _SAMPLE_MOD)
+        cond = (f"pmod(CAST({key} AS BIGINT) * {_SAMPLE_MULT}, "
+                f"{_SAMPLE_MOD}) >= {lo} AND "
+                f"pmod(CAST({key} AS BIGINT) * {_SAMPLE_MULT}, "
+                f"{_SAMPLE_MOD}) < {hi}")
+        return f"FROM (SELECT * FROM {t} WHERE {cond}) {alias}"
+    return _SAMPLE_RE.sub(sub, sql)
+
+
+_ARRAY_JOIN_RE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
+_CLAUSE_STOP_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+    re.IGNORECASE)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, start, i, depth, n = [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            i = _skip_string(s, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """``[LEFT] ARRAY JOIN arr1 [AS a1][, arr2 AS a2 ...]`` ->
+    ``LATERAL VIEW [OUTER] posexplode(arr1)`` plus positional
+    ``element_at`` lookups for the remaining arrays (CH iterates multiple
+    arrays in lockstep, not as a cross product — reference
+    src/Interpreters/ArrayJoinAction.h).
+
+    Element naming follows CH scoping: the first item's alias becomes
+    the lateral-view output column directly; for the implicit form
+    (``ARRAY JOIN arr`` — the element takes the array's own name) the
+    source column is renamed away in a ``SELECT * EXCEPT`` subquery so
+    the element name resolves unambiguously; later lockstep items are
+    substituted as ``element_at(arr_i, pos + 1)`` references."""
+    tops = _top_level_set(sql)
+    m = next((mm for mm in _ARRAY_JOIN_RE.finditer(sql)
+              if mm.start() in tops), None)
+    if m is None:
+        return sql
+    outer = bool(m.group(1))
+    stop = next((mm for mm in _CLAUSE_STOP_RE.finditer(sql, m.end())
+                 if mm.start() in tops), None)
+    end = stop.start() if stop else len(sql)
+    items = _split_top_commas(sql[m.end():end])
+    prefix, suffix = sql[:m.start()], sql[end:]
+
+    parsed = []   # (expr, alias, implicit)
+    for item in items:
+        am = re.search(r"^(.*?)\s+AS\s+(`?\w+`?)\s*$", item,
+                       re.IGNORECASE | re.DOTALL)
+        expr = (am.group(1) if am else item).strip()
+        alias = am.group(2).strip("`") if am else (
+            expr if re.fullmatch(r"\w+", expr) else None)
+        if alias is None:
+            raise ValueError(
+                f"ARRAY JOIN item needs AS alias: {item!r}")
+        parsed.append((expr, alias, am is None))
+
+    implicit = [(i, e) for i, (e, a, imp) in enumerate(parsed) if imp]
+    if implicit:
+        # rename each implicitly-joined array column out of the way so
+        # the element can take its name: FROM t -> FROM (SELECT *
+        # EXCEPT (arr), arr AS __ajsrcN FROM t) t
+        fm = None
+        for mm in re.finditer(r"\bFROM\s+(`?\w+`?)((?:\s+AS)?\s+\w+)?\s*$",
+                              prefix, re.IGNORECASE):
+            fm = mm
+        if fm is None:
+            raise ValueError(
+                "implicit ARRAY JOIN (no AS alias) needs a single-table "
+                "FROM clause; alias the elements explicitly instead")
+        table = fm.group(1).strip("`")
+        tail_alias = (fm.group(2) or "").strip() or table
+        cols = [e for _, e in implicit]
+        renames = {e: f"__ajsrc{i}" for i, e in implicit}
+        sub_q = (f"(SELECT * EXCEPT ({', '.join(cols)}), "
+                 + ", ".join(f"{c} AS {renames[c]}" for c in cols)
+                 + f" FROM {table}) {tail_alias}")
+        prefix = prefix[:fm.start()] + "FROM " + sub_q
+        parsed = [(renames.get(e, e) if imp else e, a, imp)
+                  for (e, a, imp) in parsed]
+
+    first_expr, first_alias, _ = parsed[0]
+    lateral = (f" LATERAL VIEW {'OUTER ' if outer else ''}"
+               f"posexplode({first_expr}) __aj AS __ajp, {first_alias} ")
+
+    subs = [(a, f"element_at({e}, __ajp + 1)") for e, a, _ in parsed[1:]]
+    if subs:
+        # keep output names: a bare projection item `y` must become
+        # `element_at(...) AS y`, so mark the AS occurrence with a
+        # placeholder the substitution pass can't touch
+        proj_m = re.search(r"^(\s*SELECT\s+)(.*)$", prefix,
+                           re.IGNORECASE | re.DOTALL)
+        head, proj = proj_m.group(1), proj_m.group(2)
+        fm2 = list(re.finditer(r"\bFROM\b", proj, re.IGNORECASE))[-1]
+        proj_body, from_rest = proj[:fm2.start()], proj[fm2.start():]
+        fixed = []
+        for it in _split_top_commas(proj_body):
+            for k, (a, _) in enumerate(subs):
+                if it == a:
+                    it = f"{a} AS \x00{k}\x00"
+                    break
+            fixed.append(it)
+        prefix = head + ", ".join(fixed) + " " + from_rest
+
+        def apply_subs(text: str) -> str:
+            for a, repl in subs:
+                text = re.sub(rf"(?<![\w.`]){re.escape(a)}\b", repl, text)
+            for k, (a, _) in enumerate(subs):
+                text = text.replace(f"\x00{k}\x00", a)
+            return text
+        prefix, suffix = apply_subs(prefix), apply_subs(suffix)
+
+    return prefix + lateral + suffix
+
+
+_TOTALS_RE = re.compile(
+    r"\bGROUP\s+BY\s+(.*?)\s+WITH\s+TOTALS\b", re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_with_totals(sql: str) -> str:
+    """``GROUP BY k... WITH TOTALS`` -> ``GROUP BY GROUPING SETS
+    ((k...), ())``: the per-group rows plus one grand-total row (CH
+    emits the totals in a separate block; the NULL-keyed extra row is
+    the flattened-relational equivalent)."""
+    tops = _top_level_set(sql)
+    m = next((mm for mm in _TOTALS_RE.finditer(sql)
+              if mm.start() in tops), None)
+    if m is None:
+        return sql
+    keys = m.group(1).strip()
+    return (sql[:m.start()]
+            + f"GROUP BY GROUPING SETS (({keys}), ())"
+            + sql[m.end():])
+
+
+_LIMIT_BY_START_RE = re.compile(r"\bLIMIT\s+(\d+)\s+BY\b", re.IGNORECASE)
+_PLAIN_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+\s*;?\s*$", re.IGNORECASE)
+
+
+def _match_limit_by(sql: str):
+    """Locate a top-level ``LIMIT n BY <exprs>``; the BY list may contain
+    function calls — it runs to the trailing plain LIMIT (if any) or the
+    end of the query.  Returns (body, n, cols, tail) or None."""
+    tops = _top_level_set(sql)
+    m = next((mm for mm in _LIMIT_BY_START_RE.finditer(sql)
+              if mm.start() in tops), None)
+    if m is None:
+        return None
+    rest = sql[m.end():]
+    tm = next((mm for mm in _PLAIN_LIMIT_RE.finditer(rest)
+               if (mm.start() + m.end()) in tops), None)
+    cols = (rest[:tm.start()] if tm else rest).strip().rstrip(";").strip()
+    tail = " " + tm.group(0).rstrip("; \t\n") if tm else ""
+    return sql[:m.start()].rstrip(), m.group(1), cols, tail
 
 
 # Date-converter preimage rewrite (reference
@@ -473,17 +714,20 @@ def apply_date_preimage(sql: str) -> str:
     return _PREIMAGE_RE.sub(_preimage_sub, sql)
 
 
-def translate_ch_sql(sql: str) -> str:
+def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     """Translate a ClickHouse SELECT into Spark SQL text."""
     sql = sql.strip().rstrip(";")
     sql = _FORMAT_RE.sub("", sql)
     sql = _SETTINGS_RE.sub("", sql)
     sql = apply_date_preimage(sql)
+    sql = _rewrite_final(sql)
+    sql = _rewrite_sample(sql, sample_by)
+    sql = _rewrite_array_join(sql)
+    sql = _rewrite_with_totals(sql)
 
-    m = _LIMIT_BY_RE.match(sql)
-    if m and " BY " in sql.upper():
-        body, n, cols = m.group("body"), m.group("n"), m.group("cols").strip()
-        tail = m.group("tail") or ""
+    m = _match_limit_by(sql)
+    if m:
+        body, n, cols, tail = m
         # ORDER BY inside body (if any) drives the per-group ranking
         om = re.search(r"\sORDER\s+BY\s+(.+)$", body, re.IGNORECASE | re.DOTALL)
         if om:
@@ -509,7 +753,36 @@ def translate_ch_sql(sql: str) -> str:
     return sql
 
 
-def ch_sql(spark, sql: str):
+def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None):
     """Run a ClickHouse-dialect query on Spark (tables must be
-    registered as views, e.g. via Catalog.register_all)."""
-    return spark.sql(translate_ch_sql(sql))
+    registered as views, e.g. via Catalog.register_all; FINAL needs the
+    ``<name>__final`` view from :func:`register_mergetree_sql`)."""
+    return spark.sql(translate_ch_sql(sql, sample_by=sample_by))
+
+
+def register_mergetree_sql(spark, name: str, df, engine: str = "replacing",
+                           keys=(), version: str | None = None,
+                           sign: str | None = None,
+                           sum_cols=None) -> None:
+    """Register ``name`` (raw appended rows) and ``name__final`` (the
+    engine's merge semantics applied at read time) as temp views, so
+    ``ch_sql`` can serve ``SELECT ... FROM name FINAL`` (reference FINAL
+    modifier, src/Parsers/ParserSelectQuery.h:10; engine merge rules
+    src/Storages/MergeTree/registerStorageMergeTree.cpp:931-937)."""
+    from ..operators import final as _final
+    df.createOrReplaceTempView(name)
+    keys = list(keys)
+    if engine == "replacing":
+        fin = _final.replacing_final(df, keys, version=version)
+    elif engine == "summing":
+        fin = _final.summing_final(df, keys, sum_cols=sum_cols)
+    elif engine == "collapsing":
+        fin = _final.collapsing_final(df, keys, sign=sign)
+    elif engine == "versioned_collapsing":
+        fin = _final.versioned_collapsing_final(df, keys, sign=sign,
+                                                version=version)
+    elif engine == "coalescing":
+        fin = _final.coalescing_final(df, keys)
+    else:
+        raise ValueError(f"unknown merge engine: {engine}")
+    fin.createOrReplaceTempView(f"{name}__final")

@@ -42,6 +42,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clickhouse_core_spark.operators.final import (
+    coalescing_final,
     collapsing_final,
     replacing_final,
     summing_final,
@@ -49,7 +50,7 @@ from clickhouse_core_spark.operators.final import (
 )
 
 _ENGINES = ("merge_tree", "replacing", "summing", "collapsing",
-            "versioned_collapsing")
+            "versioned_collapsing", "coalescing")
 
 
 class MergeTreeTable:
@@ -160,6 +161,9 @@ class MergeTreeTable:
             return versioned_collapsing_final(df, self.key_cols,
                                               sign=self.sign_col,
                                               version=self.version_col)
+        if self.engine == "coalescing":
+            return coalescing_final(df, self.key_cols,
+                                    order_col=self.version_col)
         return df
 
     # ------------------------------------------------------------ background

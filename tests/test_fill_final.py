@@ -64,3 +64,34 @@ def test_versioned_collapsing_final(spark):
         "k int, ver int, sign int, v double")
     out = versioned_collapsing_final(df, ["k"], sign="sign", version="ver").collect()
     assert [(r.k, r.ver, r.v) for r in out] == [(1, 2, 20.0)]
+
+
+def test_coalescing_final(spark):
+    from clickhouse_core_spark.operators import coalescing_final
+    df = spark.createDataFrame(
+        [(1, 1, None, "x"), (1, 2, 5, None), (2, 1, 7, "y")],
+        "k int, ver int, a int, b string")
+    rows = {r["k"]: (r["a"], r["b"])
+            for r in coalescing_final(df, ["k"], order_col="ver").collect()}
+    # per column: latest NON-NULL wins (partial-row upserts coalesce)
+    assert rows == {1: (5, "x"), 2: (7, "y")}
+
+
+def test_graphite_rollup(spark):
+    import datetime as dt
+    from clickhouse_core_spark.operators import graphite_rollup
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp())
+    now = t0 + 40 * 86400
+    rows = []
+    # recent rows (age < 30d): keep hourly buckets; old rows: daily
+    for i in range(4):
+        rows.append(("cpu", t0 + 39 * 86400 + i * 1800, float(i), 1))  # recent
+        rows.append(("cpu", t0 + i * 1800, float(i), 1))               # old
+    df = spark.createDataFrame(rows, "path string, time long, value double, ver int")
+    out = graphite_rollup(df, retentions=[(0, 3600), (30 * 86400, 86400)],
+                          now=now, version_col="ver")
+    got = sorted((r["time_bucket"], r["value"]) for r in out.collect())
+    old_day = [g for g in got if g[0] == t0]
+    assert old_day == [(t0, 1.5)]          # 4 old rows -> one daily bucket, avg
+    recent = [g for g in got if g[0] >= t0 + 39 * 86400]
+    assert len(recent) == 2                # 2 hourly buckets of 2 rows each

@@ -116,3 +116,72 @@ def test_parametric_topk(spark):
     r2 = ch_sql(spark, "SELECT topKWeighted(1)(o_orderstatus, o_totalprice) "
                        "AS t FROM orders").collect()[0]
     assert len(r2["t"]) == 1
+
+
+def test_limit_by_expression_key(spark):
+    # LIMIT n BY f(x): function-call BY keys must translate (regression:
+    # the old regex silently passed the CH text through to Spark)
+    df = ch_sql(spark, """
+        SELECT o_orderkey, o_orderdate FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2 BY toYear(o_orderdate)
+    """)
+    rows = df.collect()
+    from collections import Counter
+    per_year = Counter(r["o_orderdate"].year for r in rows)
+    assert per_year and all(v <= 2 for v in per_year.values())
+
+
+def test_final_clause(spark):
+    from clickhouse_core_spark.plans.frontend import register_mergetree_sql
+    df = spark.createDataFrame([(1, 1, "a"), (1, 2, "b"), (2, 1, "c")],
+                               "k int, ver int, v string")
+    register_mergetree_sql(spark, "t_final_test", df, engine="replacing",
+                           keys=["k"], version="ver")
+    rows = ch_sql(spark, "SELECT k, v FROM t_final_test FINAL ORDER BY k").collect()
+    assert [tuple(r) for r in rows] == [(1, "b"), (2, "c")]
+
+
+def test_sample_clause_deterministic(spark):
+    out1 = ch_sql(spark, "SELECT count(*) AS n FROM lineitem SAMPLE 0.25",
+                  sample_by={"lineitem": "l_orderkey"}).collect()[0]["n"]
+    out2 = ch_sql(spark, "SELECT count(*) AS n FROM lineitem SAMPLE 0.25",
+                  sample_by={"lineitem": "l_orderkey"}).collect()[0]["n"]
+    total = ch_sql(spark, "SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert out1 == out2            # deterministic subset
+    assert 0 < out1 < total        # a real sample
+    with pytest.raises(ValueError, match="sampling key"):
+        ch_sql(spark, "SELECT 1 FROM lineitem SAMPLE 0.5")
+
+
+def test_array_join_forms(spark):
+    spark.createDataFrame(
+        [(1, [10, 20], ["a", "b"]), (2, [30], ["c"]), (3, [], [])],
+        "id int, arr array<int>, tags array<string>",
+    ).createOrReplaceTempView("aj_t")
+    got = ch_sql(spark, "SELECT id, x FROM aj_t ARRAY JOIN arr AS x "
+                        "ORDER BY id, x").collect()
+    assert [tuple(r) for r in got] == [(1, 10), (1, 20), (2, 30)]
+    # implicit alias: element takes the array's own name
+    got = ch_sql(spark, "SELECT id, arr FROM aj_t ARRAY JOIN arr "
+                        "ORDER BY id, arr").collect()
+    assert [tuple(r) for r in got] == [(1, 10), (1, 20), (2, 30)]
+    # lockstep multi-array, not a cross product
+    got = ch_sql(spark, "SELECT id, x, tg FROM aj_t ARRAY JOIN arr AS x, "
+                        "tags AS tg ORDER BY id, x").collect()
+    assert [tuple(r) for r in got] == [(1, 10, "a"), (1, 20, "b"), (2, 30, "c")]
+    # LEFT ARRAY JOIN keeps empty-array rows
+    got = ch_sql(spark, "SELECT id, x FROM aj_t LEFT ARRAY JOIN arr AS x "
+                        "ORDER BY id, x").collect()
+    assert (3, None) in [tuple(r) for r in got]
+
+
+def test_with_totals(spark):
+    rows = ch_sql(spark, """
+        SELECT o_orderstatus, sum(o_totalprice) AS s
+        FROM orders GROUP BY o_orderstatus WITH TOTALS
+    """).collect()
+    per_group = [r for r in rows if r["o_orderstatus"] is not None]
+    totals = [r for r in rows if r["o_orderstatus"] is None]
+    assert len(totals) == 1
+    assert abs(totals[0]["s"] - sum(r["s"] for r in per_group)) < 1e-4
