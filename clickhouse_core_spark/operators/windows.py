@@ -111,3 +111,55 @@ def lag_in_frame(value: Column | str, offset: int, w: WindowSpec) -> Column:
 def lead_in_frame(value: Column | str, offset: int, w: WindowSpec) -> Column:
     value = F.col(value) if isinstance(value, str) else value
     return F.first(value).over(w.rowsBetween(offset, offset))
+
+
+def exponential_time_decayed_table(df, keys, ts_col, value_col,
+                                   decay_seconds: float,
+                                   tiebreak=(),
+                                   out_sum: str = "dsum",
+                                   out_avg: str = "davg"):
+    """Numerically-stable exponentialTimeDecayedSum/Avg over arbitrary
+    time spans (reference WindowTransform.cpp:1617+).
+
+    The Column-returning forms above use the rebased-weight window trick,
+    which overflows double once the partition's time span exceeds
+    ~700 * decay: exp((t - t0)/decay) saturates.  This DataFrame-level
+    variant folds the per-key time-sorted events with the decay
+    RECURRENCE  s_i = v_i + s_{i-1} * exp(-(t_i - t_{i-1})/decay)  whose
+    factors never exceed 1 — stable for any span.  Same state contract
+    as window_funnel: one key's events are folded as an array.
+
+    Returns df columns ``keys + tiebreak + [out_sum, out_avg]``.
+    """
+    keys = list(keys)
+    tiebreak = list(tiebreak)
+    ev = F.struct(
+        (F.unix_micros(F.col(ts_col)) / 1e6).alias("t"),
+        *[F.col(c).alias(c) for c in tiebreak],
+        F.col(value_col).cast("double").alias("v"))
+    per_key = (df.groupBy(*keys)
+               .agg(F.array_sort(F.collect_list(ev)).alias("__evs")))
+
+    init = F.struct(
+        F.lit(None).cast("double").alias("pt"),
+        F.lit(0.0).alias("s"), F.lit(0.0).alias("c"),
+        F.array().cast("array<struct<s:double,c:double>>").alias("out"))
+
+    def step(acc, e):
+        decay = F.when(acc["pt"].isNull(), F.lit(1.0)) \
+                 .otherwise(F.exp((acc["pt"] - e["t"]) / F.lit(decay_seconds)))
+        s = acc["s"] * decay + e["v"]
+        c = acc["c"] * decay + 1
+        return F.struct(
+            e["t"].alias("pt"), s.alias("s"), c.alias("c"),
+            F.concat(acc["out"], F.array(F.struct(
+                s.alias("s"), c.alias("c")))).alias("out"))
+
+    folded = (per_key.withColumn(
+        "__out", F.aggregate("__evs", init, step, lambda a: a["out"]))
+        .withColumn("__z", F.explode(F.arrays_zip("__evs", "__out")))
+        .select(*keys,
+                *[F.col(f"__z.__evs.{c}").alias(c) for c in tiebreak],
+                F.col("__z.__out.s").alias(out_sum),
+                (F.col("__z.__out.s") / F.col("__z.__out.c")).alias(out_avg)))
+    return folded

@@ -94,8 +94,14 @@ def with_language_id(df: DataFrame, text_col: str = "text",
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",
                      out_col: str = "fingerprint") -> DataFrame:
-    """64-bit content fingerprint of the normalized text (whitespace
+    """60-bit content fingerprint of the normalized text (whitespace
     collapsed, lowercased, punctuation stripped) — the exact-dedup key,
-    exposed as a column for incremental pipelines."""
+    exposed as a column for incremental pipelines.
+
+    Derived from md5 (first 15 hex digits as a BIGINT) rather than an
+    engine-private hash so the same document fingerprints identically
+    on any engine — the cross-system handoff a training pipeline needs
+    (and what makes the operator oracle-checkable)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+", " "))
-    return df.withColumn(out_col, F.xxhash64(norm))
+    return df.withColumn(
+        out_col, F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long"))
