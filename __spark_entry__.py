@@ -3208,6 +3208,32 @@ def embedding_block_pairs_q(spark, sf_dir):
 
 
 
+
+@q("source_csv_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_csv_roundtrip_q(spark, sf_dir):
+    """Non-parquet source path: write nation through the CH-format sink
+    mapping (CSVWithNames) and read it back through the format source
+    mapping (reference format registry,
+    src/Formats/registerFormats.cpp:26-110) — the oracle reads the
+    original table, so the whole sink->source roundtrip is value-checked."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format, write_format
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "csv_roundtrip")
+    write_format(nat, path, "CSVWithNames")
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    return (read_format(spark, path, "CSVWithNames", schema=schema)
+            .orderBy("n_nationkey"))
+
+
 # ------------------------------------- CH-SQL clause surface (frontend)
 
 @q("ch_sql_final", """

@@ -11,6 +11,10 @@ from clickhouse_core_spark.sources.mergetree import MergeTreeTable
 from clickhouse_core_spark.sources.formats import (
     FORMAT_MAP, read_format, write_format, generate_random,
 )
+from clickhouse_core_spark.sources.external import (
+    jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
+)
 
 __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
-           "generate_random"]
+           "generate_random", "jdbc_options", "external_table",
+           "lakehouse_table", "LAKEHOUSE_FORMATS"]

@@ -9,7 +9,15 @@ from clickhouse_core_spark.streaming.materialized import (
     MaterializedViewCascade,
     dedup_within_watermark,
 )
+from clickhouse_core_spark.streaming.sources import (
+    kafka_options,
+    kafka_source,
+    parse_value_stream,
+    file_queue_source,
+)
 
 __all__ = ["tumble", "hop", "with_watermark", "windowed_aggregate",
            "stateful_sessionize",
-           "MaterializedViewCascade", "dedup_within_watermark"]
+           "MaterializedViewCascade", "dedup_within_watermark",
+           "kafka_options", "kafka_source", "parse_value_stream",
+           "file_queue_source"]
