@@ -2607,6 +2607,63 @@ def fn_ch_geo_q(spark, sf_dir):
             .orderBy("user_id"))
 
 
+_PIP_POLY = [(-50.0, -50.0), (50.0, -40.0), (60.0, 55.0), (-45.0, 60.0)]
+
+
+def _geohash_oracle_sql() -> str:
+    """DuckDB mirror of the geohash closed form (precision 6: 15 lon
+    bits / 15 lat bits) and ray-cast parity, so the oracle checks the
+    exact bit arithmetic rather than a reimplementation."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = []
+    for k in range(6):
+        terms = []
+        for i in range(5):
+            j = 5 * k + i
+            src = "lon_i" if j % 2 == 0 else "lat_i"
+            terms.append(f"((({src} >> {14 - j // 2}) & 1) * {1 << (4 - i)})")
+        chars.append(f"substr('{alphabet}', CAST({' + '.join(terms)} AS INT) + 1, 1)")
+    gh6 = " || ".join(chars)
+    conds = []
+    n = len(_PIP_POLY)
+    for idx in range(n):
+        x1, y1 = _PIP_POLY[idx]
+        x2, y2 = _PIP_POLY[(idx + 1) % n]
+        if y1 == y2:
+            continue
+        conds.append(f"CAST((({y1} > lat) <> ({y2} > lat)) AND "
+                     f"(lon < {x2 - x1} * (lat - {y1}) / {y2 - y1} + {x1}) AS INT)")
+    pip = f"({' + '.join(conds)}) % 2"
+    return f"""
+WITH c AS (
+  SELECT event_id,
+         CAST(event_id % 3600 AS DOUBLE) / 10.0 - 180.0 AS lon,
+         CAST(user_id % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat
+  FROM events),
+b AS (
+  SELECT event_id, lon, lat,
+         LEAST(32767, GREATEST(0, CAST(floor((lon + 180.0) / 360.0 * 32768.0) AS BIGINT))) AS lon_i,
+         LEAST(32767, GREATEST(0, CAST(floor((lat + 90.0) / 180.0 * 32768.0) AS BIGINT))) AS lat_i
+  FROM c)
+SELECT event_id, {gh6} AS gh6, {pip} AS in_poly
+FROM b ORDER BY event_id LIMIT 200
+"""
+
+
+@q("fn_ch_geohash", _geohash_oracle_sql())
+def fn_ch_geohash_q(spark, sf_dir):
+    """geohashEncode + pointInPolygon (reference
+    src/Functions/geohashEncode.cpp, src/Functions/pointInPolygon.cpp)
+    on coordinates synthesized from event/user ids."""
+    ev = _cat(spark, sf_dir).events
+    lon = (F.col("event_id") % 3600).cast("double") / 10.0 - 180.0
+    lat = (F.col("user_id") % 1700).cast("double") / 10.0 - 85.0
+    return (ev.select("event_id",
+                      ch.geohashEncode(lon, lat, 6).alias("gh6"),
+                      ch.pointInPolygon(lon, lat, _PIP_POLY).alias("in_poly"))
+            .orderBy("event_id").limit(200))
+
+
 @q("fn_decimal_arithmetic", """
 SELECT l_orderkey, l_linenumber,
        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
@@ -3174,15 +3231,18 @@ b AS (SELECT vec_id, v, {_lsh_bucket_sql(4, 42)} AS bucket FROM e)
 SELECT vec_id,
        list_cosine_similarity(v, CAST({_lit_dvec(_unit_query_vec(64))}
                                       AS DOUBLE[])) AS score
-FROM b WHERE bucket = {_query_sig(_unit_query_vec(64), 4, 42)}
+FROM b WHERE bucket IN ({", ".join(str(s) for s in sorted(
+    {_query_sig(_unit_query_vec(64), 4, 42)}
+    | {_query_sig(_unit_query_vec(64), 4, 42) ^ (1 << i) for i in range(4)}))})
 ORDER BY score DESC, vec_id LIMIT 10
 """)
 def ann_lsh_topk_q(spark, sf_dir):
-    """LSH-bucketed approximate NN.  Deterministic given the seed, so
-    the oracle replays the bucket filter (plane constants baked into
-    the SQL) and the cosine ranking exactly."""
+    """LSH-bucketed approximate NN with hamming-1 multi-probe.
+    Deterministic given the seed, so the oracle replays the probe-set
+    bucket filter (plane constants baked into the SQL) and the cosine
+    ranking exactly."""
     e = _cat(spark, sf_dir).embeddings
-    return lsh_ann_topk(e, _unit_query_vec(64), k=10, bits=4)
+    return lsh_ann_topk(e, _unit_query_vec(64), k=10, bits=4, multiprobe=1)
 
 
 @q("embedding_block_pairs", """

@@ -565,7 +565,87 @@ _MISC = {
     "toTypeName": lambda x: F.typeof(_c(x)) if hasattr(F, "typeof") else F.lit("unknown"),
     "greatCircleDistance": lambda lon1, lat1, lon2, lat2: _great_circle(lon1, lat1, lon2, lat2),
     "geoDistance": lambda lon1, lat1, lon2, lat2: _great_circle(lon1, lat1, lon2, lat2),
+    "geohashEncode": lambda lon, lat, precision=12: _geohash_encode(lon, lat, precision),
+    "geohashDecode": lambda s: _geohash_decode(s),
+    "pointInPolygon": lambda x, y, polygon: _point_in_polygon(x, y, polygon),
 }
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode(lon, lat, precision=12) -> Column:
+    """Base-32 geohash via the closed form: bit i of the interleaved
+    stream is bit (n-1-i/2) of floor(frac * 2^n) — no interval
+    refinement loop, everything stays in codegen-able integer ops
+    (reference src/Functions/geohashEncode.cpp, GeoHash.h)."""
+    p = int(precision)
+    total = 5 * p
+    nlon, nlat = (total + 1) // 2, total // 2
+    lon_i = F.least(F.lit((1 << nlon) - 1), F.greatest(F.lit(0), F.floor(
+        (_c(lon) + 180.0) / 360.0 * float(1 << nlon)).cast("long")))
+    lat_i = F.least(F.lit((1 << nlat) - 1), F.greatest(F.lit(0), F.floor(
+        (_c(lat) + 90.0) / 180.0 * float(1 << nlat)).cast("long")))
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH32])
+    chars = []
+    for k in range(p):
+        val = F.lit(0).cast("long")
+        for i in range(5):
+            j = 5 * k + i
+            if j % 2 == 0:
+                bit = F.shiftright(lon_i, nlon - 1 - j // 2).bitwiseAND(F.lit(1))
+            else:
+                bit = F.shiftright(lat_i, nlat - 1 - j // 2).bitwiseAND(F.lit(1))
+            val = val + bit * F.lit(1 << (4 - i))
+        chars.append(F.element_at(alphabet, val.cast("int") + 1))
+    return F.concat(*chars)
+
+
+def _geohash_decode(s, max_chars: int = 12) -> Column:
+    """Inverse closed form: each base-32 char contributes static
+    power-of-two fractions to the lon/lat binary expansions; returns the
+    cell CENTER as struct(longitude, latitude) like the reference
+    (src/Functions/geohashDecode.cpp).  Handles variable-length input up
+    to ``max_chars`` via length guards."""
+    s = _c(s)
+    length = F.length(s)
+    alphabet = F.array(*[F.lit(c) for c in _GEOHASH32])
+    lon_frac, lat_frac = F.lit(0.0), F.lit(0.0)
+    for k in range(max_chars):
+        idx = F.when(length > k,
+                     (F.array_position(alphabet, F.substring(s, k + 1, 1)) - 1)
+                     .cast("int")).otherwise(F.lit(0))
+        for i in range(5):
+            j = 5 * k + i
+            bit = F.shiftright(idx, 4 - i).bitwiseAND(F.lit(1)).cast("double")
+            if j % 2 == 0:
+                lon_frac = lon_frac + bit * F.lit(0.5 ** (j // 2 + 1))
+            else:
+                lat_frac = lat_frac + bit * F.lit(0.5 ** (j // 2 + 1))
+    nlon = F.floor((length * 5 + 1) / 2).cast("double")
+    nlat = F.floor(length * 5 / 2).cast("double")
+    lon = F.lit(-180.0) + 360.0 * lon_frac + 360.0 * F.pow(F.lit(2.0), -nlon - 1)
+    lat = F.lit(-90.0) + 180.0 * lat_frac + 180.0 * F.pow(F.lit(2.0), -nlat - 1)
+    return F.struct(lon.alias("longitude"), lat.alias("latitude"))
+
+
+def _point_in_polygon(x, y, polygon) -> Column:
+    """Ray-casting point-in-polygon for a plan-time-literal polygon
+    (list of (x, y) vertices), unrolled to built-in expressions; result
+    is crossing-count parity as UInt8-like int (reference
+    src/Functions/pointInPolygon.cpp).  Horizontal edges contribute no
+    crossing and are skipped at plan time."""
+    px, py = _c(x), _c(y)
+    inside = F.lit(False)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = float(polygon[i][0]), float(polygon[i][1])
+        x2, y2 = float(polygon[(i + 1) % n][0]), float(polygon[(i + 1) % n][1])
+        if y1 == y2:
+            continue
+        crosses = (((F.lit(y1) > py) != (F.lit(y2) > py)) &
+                   (px < F.lit(x2 - x1) * (py - F.lit(y1)) / F.lit(y2 - y1) + F.lit(x1)))
+        inside = F.when(crosses, ~inside).otherwise(inside)
+    return inside.cast("int")
 
 
 def _great_circle(lon1, lat1, lon2, lat2) -> Column:

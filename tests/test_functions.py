@@ -92,6 +92,29 @@ def test_round_to_exp2_and_age(spark):
     assert _one(spark, ch.roundDuration(F.lit(95))) == 60
 
 
+def test_geohash_encode_known_value(spark):
+    # canonical example: (lat 42.6, lon -5.6) -> "ezs42"
+    assert _one(spark, ch.geohashEncode(F.lit(-5.6), F.lit(42.6), 5)) == "ezs42"
+    assert _one(spark, ch.geohashEncode(F.lit(-5.6), F.lit(42.6), 9)) == "ezs42e44y"
+
+
+def test_geohash_decode_roundtrip(spark):
+    for lon, lat, p in [(-5.6, 42.6, 6), (151.2, -33.86, 8), (0.0, 0.0, 4)]:
+        gh = _one(spark, ch.geohashEncode(F.lit(lon), F.lit(lat), p))
+        dec = _one(spark, ch.geohashDecode(F.lit(gh)))
+        cell_lon = 360.0 / (1 << ((5 * p + 1) // 2))
+        cell_lat = 180.0 / (1 << (5 * p // 2))
+        assert abs(dec["longitude"] - lon) <= cell_lon
+        assert abs(dec["latitude"] - lat) <= cell_lat
+
+
+def test_point_in_polygon(spark):
+    square = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    assert _one(spark, ch.pointInPolygon(F.lit(5.0), F.lit(5.0), square)) == 1
+    assert _one(spark, ch.pointInPolygon(F.lit(15.0), F.lit(5.0), square)) == 0
+    assert _one(spark, ch.pointInPolygon(F.lit(-1.0), F.lit(-1.0), square)) == 0
+
+
 def test_registry_size():
     # the coverage claim in SURVEY §2.8: a substantial mapped surface
     assert len(CH_FUNCTIONS) >= 250

@@ -78,6 +78,25 @@ def test_lsh_ann_returns_bucket_subset(spark):
     assert 7 in got  # identical vector always lands in the query's bucket
 
 
+def test_lsh_ann_multiprobe_recall(spark):
+    # 30 near-neighbors of the query inside 470 background vectors: the
+    # true top-10 are the planted ones, and hamming-1 multi-probe must
+    # recover >= 90% of what exact search finds.
+    rng = np.random.RandomState(3)
+    q = rng.standard_normal(16)
+    near = q + 0.15 * rng.standard_normal((30, 16))
+    far = rng.standard_normal((470, 16))
+    vecs = np.vstack([near, far])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>")
+    qf = [float(x) for x in q]
+    exact = {r.vec_id for r in cosine_topk(df, qf, 10).collect()}
+    approx = {r.vec_id
+              for r in lsh_ann_topk(df, qf, 10, bits=8, multiprobe=1).collect()}
+    assert len(exact & approx) >= 9
+
+
 def test_token_count(spark):
     df = _docs(spark, [(1, "one two  three"), (2, ""), (3, "  ")])
     out = {r.doc_id: r.token_count for r in with_token_count(df).collect()}
