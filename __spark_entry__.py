@@ -35,6 +35,11 @@ from clickhouse_core_spark.operators import (
 )
 from clickhouse_core_spark.operators.aggregates import (
     limit_with_ties, sum_map, top_k_weighted, bitmap_cardinalities,
+    sparkbar, group_array_insert_at, group_array_sorted,
+    group_array_intersect, single_value_or_null, sum_count, any_heavy,
+)
+from clickhouse_core_spark.operators.stats import (
+    contingency, cramers_v_bias_corrected, anova,
 )
 from clickhouse_core_spark.operators.windows import (
     non_negative_derivative, exponential_time_decayed_sum,
@@ -3453,6 +3458,192 @@ def graphite_rollup_q(spark, sf_dir):
                             now=1706745600, path_col="event_type",
                             time_col="ts", value_col="value")
             .orderBy("event_type", "time_bucket"))
+
+
+# ------------------------------------------------- aggregate breadth (r2)
+
+@q("agg_sparkbar", """
+WITH t AS (SELECT event_type, CAST(user_id % 100 AS DOUBLE) AS x,
+                  event_id % 7 + 1 AS y FROM events),
+s AS (SELECT event_type,
+             LEAST(19, GREATEST(0, CAST(floor((x - 0.0) / 100.0 * 20) AS INT))) AS b,
+             sum(y) AS v
+      FROM t GROUP BY 1, 2),
+m AS (SELECT event_type, max(v) AS vmax FROM s GROUP BY 1),
+grid AS (SELECT m.event_type, g.i AS b, m.vmax
+         FROM m CROSS JOIN generate_series(0, 19) g(i)),
+j AS (SELECT grid.event_type, grid.b, s.v, grid.vmax
+      FROM grid LEFT JOIN s ON s.event_type = grid.event_type AND s.b = grid.b)
+SELECT event_type,
+       string_agg(CASE WHEN v IS NULL OR v <= 0 THEN ' '
+                       ELSE ['▁','▂','▃','▄','▅','▆','▇','█'][CAST(
+                           LEAST(8, GREATEST(1, ceil(8.0 * v / vmax))) AS INT)]
+                  END, '' ORDER BY b) AS bar
+FROM j GROUP BY event_type ORDER BY event_type
+""")
+def agg_sparkbar_q(spark, sf_dir):
+    """sparkbar(20, 0, 100)(x, y) (reference
+    src/AggregateFunctions/AggregateFunctionSparkbar.cpp); integer y so
+    bucket sums are exact on both engines."""
+    ev = _cat(spark, sf_dir).events
+    t = ev.select("event_type",
+                  (F.col("user_id") % 100).cast("double").alias("x"),
+                  (F.col("event_id") % 7 + 1).alias("y"))
+    return _small_sorted(
+        sparkbar(t, ["event_type"], "x", "y", width=20, x_min=0.0, x_max=100.0),
+        "event_type")
+
+
+@q("agg_group_array_insert_at", """
+WITH t AS (SELECT o_orderpriority, o_orderkey % 8 AS pos, o_custkey AS val
+           FROM orders),
+s AS (SELECT o_orderpriority, pos, min(val) AS v
+      FROM t WHERE pos >= 0 AND pos < 8 GROUP BY 1, 2),
+grid AS (SELECT DISTINCT s.o_orderpriority, g.i AS pos
+         FROM s CROSS JOIN generate_series(0, 7) g(i)),
+j AS (SELECT grid.o_orderpriority, grid.pos, COALESCE(s.v, 0) AS v
+      FROM grid LEFT JOIN s USING (o_orderpriority, pos))
+SELECT o_orderpriority, list(v ORDER BY pos) AS arr
+FROM j GROUP BY 1 ORDER BY 1
+""")
+def agg_group_array_insert_at_q(spark, sf_dir):
+    """groupArrayInsertAt(0, 8)(custkey, orderkey % 8) (reference
+    src/AggregateFunctions/AggregateFunctionGroupArrayInsertAt.h);
+    duplicate slots resolve to min for determinism."""
+    o = _cat(spark, sf_dir).orders
+    t = o.select("o_orderpriority", (F.col("o_orderkey") % 8).alias("pos"),
+                 F.col("o_custkey").alias("val"))
+    return _small_sorted(
+        group_array_insert_at(t, ["o_orderpriority"], "val", "pos",
+                              size=8, default=0),
+        "o_orderpriority")
+
+
+@q("agg_group_array_sorted", """
+SELECT l_returnflag, (list_sort(list(l_quantity)))[1:5] AS arr
+FROM lineitem GROUP BY 1 ORDER BY 1
+""")
+def agg_group_array_sorted_q(spark, sf_dir):
+    """groupArraySorted(5)(qty) (reference
+    src/AggregateFunctions/AggregateFunctionGroupArraySorted.cpp)."""
+    li = _cat(spark, sf_dir).lineitem
+    return _small_sorted(
+        group_array_sorted(li, ["l_returnflag"], "l_quantity", n=5),
+        "l_returnflag")
+
+
+@q("agg_group_array_intersect", """
+WITH t AS (SELECT event_type,
+                  list_distinct([user_id % 5, user_id % 7, user_id % 3,
+                                 CAST(1 AS BIGINT)]) AS arr
+           FROM events),
+r AS (SELECT event_type, count(*) AS nrows FROM t GROUP BY 1),
+e AS (SELECT event_type, unnest(arr) AS elem FROM t),
+c AS (SELECT event_type, elem, count(*) AS cnt FROM e GROUP BY 1, 2)
+SELECT c.event_type, list_sort(list(elem)) AS arr
+FROM c JOIN r USING (event_type) WHERE cnt = nrows
+GROUP BY c.event_type ORDER BY c.event_type
+""")
+def agg_group_array_intersect_q(spark, sf_dir):
+    """groupArrayIntersect (reference
+    src/AggregateFunctions/AggregateFunctionGroupArrayIntersect.cpp):
+    elements present in every row's array, via explode + containment
+    counts (linear shuffles, no per-group quadratic work)."""
+    ev = _cat(spark, sf_dir).events
+    t = ev.select("event_type", F.array_distinct(F.array(
+        F.col("user_id") % 5, F.col("user_id") % 7, F.col("user_id") % 3,
+        F.lit(1).cast("long"))).alias("arr"))
+    return _small_sorted(
+        group_array_intersect(t, ["event_type"], "arr"), "event_type")
+
+
+@q("agg_single_value_sum_count", """
+SELECT o_orderpriority,
+       CASE WHEN count(DISTINCT upper(o_orderpriority)) = 1
+            THEN min(upper(o_orderpriority)) END AS sv_const,
+       CASE WHEN count(DISTINCT o_orderstatus) = 1
+            THEN min(o_orderstatus) END AS sv_var,
+       sum(o_totalprice) AS sc_sum,
+       count(o_totalprice) AS sc_count
+FROM orders GROUP BY 1 ORDER BY 1
+""")
+def agg_single_value_sum_count_q(spark, sf_dir):
+    """singleValueOrNull + sumCount (reference
+    src/AggregateFunctions/AggregateFunctionSingleValueOrNull.cpp,
+    AggregateFunctionSumCount.cpp): sv_const is single-valued per group
+    (returns it), sv_var is multi-valued (returns NULL)."""
+    o = _cat(spark, sf_dir).orders
+    g = o.groupBy("o_orderpriority").agg(
+        single_value_or_null(F.upper(F.col("o_orderpriority"))).alias("sv_const"),
+        single_value_or_null(F.col("o_orderstatus")).alias("sv_var"),
+        sum_count("o_totalprice").alias("__sc"))
+    return _small_sorted(
+        g.select("o_orderpriority", "sv_const", "sv_var",
+                 F.col("__sc.sum").alias("sc_sum"),
+                 F.col("__sc.count").alias("sc_count")),
+        "o_orderpriority")
+
+
+@q("agg_any_heavy", """
+WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT o_orderstatus, o_orderpriority AS heavy,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      FROM c)
+SELECT o_orderstatus, heavy FROM r WHERE rn = 1 ORDER BY o_orderstatus
+""")
+def agg_any_heavy_q(spark, sf_dir):
+    """anyHeavy (reference
+    src/AggregateFunctions/AggregateFunctionAnyHeavy.cpp, heavy-hitter
+    sketch) as its deterministic exact refinement: modal value, ties
+    toward the smallest."""
+    o = _cat(spark, sf_dir).orders
+    return _small_sorted(any_heavy(o, ["o_orderstatus"], "o_orderpriority"),
+                         "o_orderstatus")
+
+
+@q("stats_contingency_family", """
+WITH t AS (SELECT event_type AS a, user_id % 5 AS b FROM events),
+c AS (SELECT a, b, count(*) AS o FROM t GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM c GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM c GROUP BY 1),
+n AS (SELECT sum(o) AS n FROM c),
+x AS (SELECT (SELECT n FROM n) * sum(o * o / (ra.ra * cb.cb))
+              - (SELECT n FROM n) AS chi2,
+             count(DISTINCT c.a) AS r, count(DISTINCT c.b) AS cc,
+             (SELECT n FROM n) AS n
+      FROM c JOIN ra USING (a) JOIN cb USING (b))
+SELECT sqrt(chi2 / (chi2 + n)) AS contingency,
+       sqrt(greatest(0.0, chi2 / n - (r - 1) * (cc - 1) / (n - 1))
+            / least(r - pow(r - 1, 2) / (n - 1) - 1,
+                    cc - pow(cc - 1, 2) / (n - 1) - 1)) AS cramers_v_bc
+FROM x
+""")
+def stats_contingency_family_q(spark, sf_dir):
+    """contingency + cramersVBiasCorrected (reference cross-tab family,
+    src/AggregateFunctions/AggregateFunctionCramersVBiasCorrected.cpp)."""
+    ev = _cat(spark, sf_dir).events
+    t = ev.select("event_type", (F.col("user_id") % 5).alias("b"))
+    return (contingency(t, "event_type", "b")
+            .crossJoin(cramers_v_bias_corrected(t, "event_type", "b")))
+
+
+@q("stats_anova", """
+WITH per AS (SELECT event_type, count(value) AS c, sum(value) AS s,
+                    sum(value * value) AS ss
+             FROM events WHERE value IS NOT NULL GROUP BY 1),
+tot AS (SELECT sum(c) AS n, sum(s) AS ts, sum(ss) AS tss,
+               count(*) AS k, sum(s * s / c) AS sb FROM per)
+SELECT ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)) AS f_statistic
+FROM tot
+""")
+def stats_anova_q(spark, sf_dir):
+    """analysisOfVariance (reference
+    src/AggregateFunctions/AggregateFunctionAnalysisOfVariance.cpp):
+    one-way F statistic from per-group (count, sum, sum-of-squares)."""
+    ev = _cat(spark, sf_dir).events
+    return anova(ev, "event_type", "value")
 
 
 # ---------------------------------------------------------------- contract

@@ -19,6 +19,13 @@ from clickhouse_core_spark.operators.aggregates import (
     with_totals,
     group_array,
     histogram,
+    sparkbar,
+    group_array_insert_at,
+    group_array_sorted,
+    group_array_intersect,
+    single_value_or_null,
+    sum_count,
+    any_heavy,
 )
 from clickhouse_core_spark.operators.fill import with_fill
 from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
@@ -38,6 +45,9 @@ from clickhouse_core_spark.operators.stats import (
     mean_z_test,
     kolmogorov_smirnov,
     cramers_v,
+    contingency,
+    cramers_v_bias_corrected,
+    anova,
     theils_u,
     rank_corr,
     roc_auc,
@@ -70,6 +80,9 @@ from clickhouse_core_spark.operators.final import (
 __all__ = [
     "asof_join", "any_join", "array_join", "paste_join",
     "limit_by", "top_k", "with_totals", "group_array", "histogram",
+    "sparkbar", "group_array_insert_at", "group_array_sorted",
+    "group_array_intersect", "single_value_or_null", "sum_count", "any_heavy",
+    "contingency", "cramers_v_bias_corrected", "anova",
     "with_fill", "recursive_cte", "sample_by_hash",
     "uniq_state", "uniq_merge", "uniq_theta_state", "uniq_theta_estimate",
     "quantile_state", "quantile_merge", "rollup_states", "merge_states",

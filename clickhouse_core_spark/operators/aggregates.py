@@ -189,6 +189,127 @@ def sum_map(df: DataFrame, keys: Sequence[str], map_col: str,
                 F.array_sort(F.collect_list(F.struct("__mk", "__sv")))).alias(alias)))
 
 
+_SPARKBAR_LEVELS = ["▁", "▂", "▃", "▄", "▅", "▆", "▇", "█"]
+
+
+def sparkbar(df: DataFrame, keys: Sequence[str], x_col: str, y_col: str,
+             width: int, x_min: float, x_max: float,
+             alias: str = "bar") -> DataFrame:
+    """sparkbar(width, x_min, x_max)(x, y): unicode bar chart of
+    sum(y) bucketed by x (reference
+    src/AggregateFunctions/AggregateFunctionSparkbar.cpp).
+
+    Contract: ``width`` equal buckets over [x_min, x_max); level of a
+    non-empty bucket is ceil(8 * v / vmax) clamped to [1, 8]; empty or
+    non-positive buckets render as a space.  Two groupBy shuffles over
+    an already-small (groups × width) cell table; the render is a
+    transform over a literal sequence — fully JVM-side.
+    """
+    keys = list(keys)
+    span = (x_max - x_min) or 1.0
+    bucket = F.least(F.lit(width - 1), F.greatest(F.lit(0), F.floor(
+        (F.col(x_col) - F.lit(x_min)) / F.lit(span) * width).cast("int")))
+    sums = (df.withColumn("__b", bucket)
+            .groupBy(*keys, "__b").agg(F.sum(y_col).alias("__v")))
+    g = (sums.groupBy(*keys)
+         .agg(F.map_from_entries(F.collect_list(F.struct("__b", "__v"))).alias("__m"),
+              F.max("__v").alias("__vmax")))
+    levels = F.array(*[F.lit(c) for c in _SPARKBAR_LEVELS])
+    def _char(i):
+        v = F.element_at(F.col("__m"), i)
+        lvl = F.least(F.lit(8), F.greatest(F.lit(1), F.ceil(
+            F.lit(8.0) * v / F.col("__vmax")).cast("int")))
+        return F.when(v.isNull() | (v <= 0), F.lit(" ")).otherwise(
+            F.element_at(levels, lvl))
+    bar = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(width - 1)), _char))
+    return g.select(*keys, bar.alias(alias))
+
+
+def group_array_insert_at(df: DataFrame, keys: Sequence[str],
+                          value_col: str, pos_col: str, size: int,
+                          default=None, alias: str = "arr") -> DataFrame:
+    """groupArrayInsertAt(default, size)(value, pos): array with
+    ``value`` placed at index ``pos`` (0-based), ``default`` elsewhere
+    (reference src/AggregateFunctions/AggregateFunctionGroupArrayInsertAt.h).
+    Duplicate positions resolve to the minimum value (the reference
+    keeps an arbitrary one; min is the deterministic refinement).
+    """
+    keys = list(keys)
+    slots = (df.filter((F.col(pos_col) >= 0) & (F.col(pos_col) < size))
+             .groupBy(*keys, pos_col).agg(F.min(value_col).alias("__v")))
+    g = (slots.groupBy(*keys)
+         .agg(F.map_from_entries(
+             F.collect_list(F.struct(F.col(pos_col).cast("int").alias("k"),
+                                     F.col("__v").alias("v")))).alias("__m")))
+    fill = F.lit(default)
+    arr = F.transform(F.sequence(F.lit(0), F.lit(size - 1)),
+                      lambda i: F.coalesce(F.element_at(F.col("__m"), i), fill))
+    return g.select(*keys, arr.alias(alias))
+
+
+def group_array_sorted(df: DataFrame, keys: Sequence[str], value_col: str,
+                       n: int, alias: str = "arr") -> DataFrame:
+    """groupArraySorted(n)(value): the n smallest values, ascending
+    (reference src/AggregateFunctions/AggregateFunctionGroupArraySorted.cpp).
+    collect_list + array_sort + slice — partial aggregation applies to
+    the collect; the sort runs on an already-grouped array."""
+    return (df.groupBy(*keys)
+            .agg(F.slice(F.array_sort(F.collect_list(value_col)), 1, n)
+                 .alias(alias)))
+
+
+def group_array_intersect(df: DataFrame, keys: Sequence[str], arr_col: str,
+                          alias: str = "arr") -> DataFrame:
+    """groupArrayIntersect(arr): elements present in EVERY row's array
+    within the group, sorted (reference
+    src/AggregateFunctions/AggregateFunctionGroupArrayIntersect.cpp).
+
+    explode-distinct → count rows containing each element → keep
+    elements whose containment count equals the group's row count.
+    Linear shuffles; no per-group quadratic work.
+    """
+    keys = list(keys)
+    rows = df.groupBy(*keys).agg(F.count("*").alias("__nrows"))
+    elems = (df.select(*keys, F.explode(F.array_distinct(arr_col)).alias("__e"))
+             .groupBy(*keys, "__e").agg(F.count("*").alias("__c")))
+    return (elems.join(rows, keys)
+            .filter(F.col("__c") == F.col("__nrows"))
+            .groupBy(*keys)
+            .agg(F.array_sort(F.collect_list("__e")).alias(alias)))
+
+
+def single_value_or_null(col: Column | str) -> Column:
+    """singleValueOrNull(x): the value if the group holds exactly one
+    distinct non-null value, else NULL (reference
+    src/AggregateFunctions/AggregateFunctionSingleValueOrNull.cpp)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.countDistinct(c) == 1, F.min(c)).otherwise(F.lit(None))
+
+
+def sum_count(col: Column | str) -> Column:
+    """sumCount(x) → struct(sum, count) (reference
+    src/AggregateFunctions/AggregateFunctionSumCount.cpp)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.struct(F.sum(c).alias("sum"), F.count(c).alias("count"))
+
+
+def any_heavy(df: DataFrame, keys: Sequence[str], value_col: str,
+              alias: str = "heavy") -> DataFrame:
+    """anyHeavy(x): a heavily-repeated value per group (reference
+    src/AggregateFunctions/AggregateFunctionAnyHeavy.cpp, heavy-hitter
+    sketch).  Deterministic exact refinement: the modal value, ties
+    broken toward the smallest — two groupBy shuffles, both with
+    map-side partial aggregation."""
+    keys = list(keys)
+    counts = df.groupBy(*keys, value_col).agg(F.count("*").alias("__c"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__c").desc(),
+                                          F.col(value_col).asc())
+    return (counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*keys, F.col(value_col).alias(alias)))
+
+
 def arg_min(value: Column | str, by: Column | str) -> Column:
     """argMin(value, by) → Spark min_by (same semantics)."""
     return F.min_by(value, by)

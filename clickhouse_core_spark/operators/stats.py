@@ -181,6 +181,67 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     return agg.select(v.alias("cramers_v"))
 
 
+def contingency(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """contingency(a, b): Pearson contingency coefficient
+    sqrt(chi2 / (chi2 + n)) (reference cross-tab family, contingency
+    registration in src/AggregateFunctions/registerAggregateFunctions.cpp)."""
+    cells = _cell_counts(df, a_col, b_col)
+    agg = cells.agg(
+        (F.first("__n") * F.sum(F.col("__o") * F.col("__o")
+                                / (F.col("__ra") * F.col("__cb")))
+         - F.first("__n")).alias("__chi2"),
+        F.first("__n").alias("__nn"))
+    c = F.sqrt(F.col("__chi2") / (F.col("__chi2") + F.col("__nn")))
+    return agg.select(c.alias("contingency"))
+
+
+def cramers_v_bias_corrected(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """cramersVBiasCorrected(a, b): Bergsma-Wicher corrected V
+    (reference AggregateFunctionCramersVBiasCorrected.cpp):
+    phi2' = max(0, phi2 - (R-1)(C-1)/(n-1)), R' = R - (R-1)^2/(n-1),
+    C' = C - (C-1)^2/(n-1), V = sqrt(phi2' / min(R'-1, C'-1))."""
+    cells = _cell_counts(df, a_col, b_col)
+    agg = cells.agg(
+        (F.first("__n") * F.sum(F.col("__o") * F.col("__o")
+                                / (F.col("__ra") * F.col("__cb")))
+         - F.first("__n")).alias("__chi2"),
+        F.countDistinct(a_col).alias("__r"),
+        F.countDistinct(b_col).alias("__c"),
+        F.first("__n").alias("__nn"))
+    n, r, c = F.col("__nn"), F.col("__r"), F.col("__c")
+    phi2 = F.col("__chi2") / n
+    phi2c = F.greatest(F.lit(0.0),
+                       phi2 - (r - 1) * (c - 1) / (n - 1))
+    rc = r - (r - 1) * (r - 1) / (n - 1)
+    cc = c - (c - 1) * (c - 1) / (n - 1)
+    v = F.sqrt(phi2c / F.least(rc - 1, cc - 1))
+    return agg.select(v.alias("cramers_v_bc"))
+
+
+def anova(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """analysisOfVariance(value, group): one-way ANOVA F-statistic
+    (reference src/AggregateFunctions/AggregateFunctionAnalysisOfVariance.cpp).
+
+    F = (SSB / (k-1)) / (SSW / (n-k)); both sums of squares derive from
+    per-group (count, sum, sum of squares) — one groupBy shuffle over
+    group cardinality, then a single-row reduction."""
+    per = (df.filter(F.col(value_col).isNotNull())
+           .groupBy(group_col)
+           .agg(F.count(value_col).alias("__c"),
+                F.sum(value_col).alias("__s"),
+                F.sum(F.col(value_col) * F.col(value_col)).alias("__ss")))
+    tot = per.agg(F.sum("__c").alias("__n"),
+                  F.sum("__s").alias("__ts"),
+                  F.sum("__ss").alias("__tss"),
+                  F.count("*").alias("__k"),
+                  F.sum(F.col("__s") * F.col("__s") / F.col("__c")).alias("__sb"))
+    n, ts, tss, k, sb = (F.col(c) for c in ("__n", "__ts", "__tss", "__k", "__sb"))
+    ssb = sb - ts * ts / n
+    ssw = tss - sb
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    return tot.select(f_stat.alias("f_statistic"))
+
+
 def theils_u(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """theilsU(a, b): uncertainty coefficient U(a|b) = (H(a) - H(a|b)) / H(a)
     (reference cross-tab family, theilsU registration).

@@ -90,3 +90,87 @@ def test_bitmap_cardinalities(spark):
     assert r["and_card"] == 1      # only 3 in all
     assert r["or_card"] == 5       # 1..5
     assert r["xor_card"] == 3      # 1,3,5 appear odd # of times
+
+
+def test_sparkbar(spark):
+    from clickhouse_core_spark.operators import sparkbar
+    rows = [("g", float(x), y) for x, y in
+            [(0, 1), (1, 2), (2, 4), (3, 8), (5, 8)]]
+    df = spark.createDataFrame(rows, "k string, x double, y long")
+    out = sparkbar(df, ["k"], "x", "y", width=6, x_min=0.0, x_max=6.0).collect()
+    # levels: ceil(8*v/8) -> 1,2,4,8,_,8 ; bucket 4 empty -> space
+    assert out[0].bar == "▁▂▄█ █"
+
+
+def test_group_array_insert_at(spark):
+    from clickhouse_core_spark.operators import group_array_insert_at
+    df = spark.createDataFrame(
+        [("g", 0, 10), ("g", 2, 30), ("g", 2, 25), ("g", 9, 99)],
+        "k string, pos int, v int")
+    out = group_array_insert_at(df, ["k"], "v", "pos", size=4, default=0).collect()
+    assert out[0].arr == [10, 0, 25, 0]  # dup pos -> min; out-of-range dropped
+
+
+def test_group_array_sorted(spark):
+    from clickhouse_core_spark.operators import group_array_sorted
+    df = spark.createDataFrame([("g", v) for v in [5, 3, 9, 1, 7]],
+                               "k string, v int")
+    out = group_array_sorted(df, ["k"], "v", n=3).collect()
+    assert out[0].arr == [1, 3, 5]
+
+
+def test_group_array_intersect(spark):
+    from clickhouse_core_spark.operators import group_array_intersect
+    df = spark.createDataFrame(
+        [("g", [1, 2, 3]), ("g", [2, 3, 4]), ("g", [3, 2, 9])],
+        "k string, arr array<int>")
+    out = group_array_intersect(df, ["k"], "arr").collect()
+    assert out[0].arr == [2, 3]
+
+
+def test_single_value_or_null_and_sum_count(spark):
+    from clickhouse_core_spark.operators import single_value_or_null, sum_count
+    df = spark.createDataFrame([("a", 1, 5), ("a", 1, 7), ("b", 2, 9)],
+                               "k string, c int, v int")
+    out = (df.groupBy("k")
+           .agg(single_value_or_null("c").alias("sv"),
+                sum_count("v").alias("sc"))
+           .orderBy("k").collect())
+    assert out[0].sv == 1 and out[0].sc == (12, 2)
+    assert out[1].sv == 2 and out[1].sc == (9, 1)
+
+
+def test_single_value_or_null_multivalued(spark):
+    from clickhouse_core_spark.operators import single_value_or_null
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, c int")
+    out = df.groupBy("k").agg(single_value_or_null("c").alias("sv")).collect()
+    assert out[0].sv is None
+
+
+def test_any_heavy_mode_with_ties(spark):
+    from clickhouse_core_spark.operators import any_heavy
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", "y"), ("g", "y"), ("g", "z"), ("g", "z")],
+        "k string, v string")
+    out = any_heavy(df, ["k"], "v").collect()
+    assert out[0].heavy == "y"  # tie between y and z -> smallest
+
+
+def test_anova_known_value(spark):
+    from clickhouse_core_spark.operators import anova
+    # groups [1,2,3] and [4,5,6]: SSB=13.5, SSW=4, F = 13.5/(4/4) = 13.5
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double")
+    out = anova(df, "g", "v").collect()
+    assert abs(out[0].f_statistic - 13.5) < 1e-9
+
+
+def test_contingency_bounds(spark):
+    from clickhouse_core_spark.operators import contingency, cramers_v_bias_corrected
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2), ("a", 2), ("b", 1)],
+        "x string, y int")
+    c = contingency(df, "x", "y").collect()[0].contingency
+    v = cramers_v_bias_corrected(df, "x", "y").collect()[0].cramers_v_bc
+    assert 0.0 <= c <= 1.0 and 0.0 <= v <= 1.0
