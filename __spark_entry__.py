@@ -40,6 +40,11 @@ from clickhouse_core_spark.operators.aggregates import (
 )
 from clickhouse_core_spark.operators.stats import (
     contingency, cramers_v_bias_corrected, anova,
+    categorical_information_value,
+)
+from clickhouse_core_spark.operators.aggregates import min_map, max_map
+from clickhouse_core_spark.sources import (
+    RowPolicy, apply_row_policies, CheckConstraint, with_check_constraints,
 )
 from clickhouse_core_spark.operators.windows import (
     non_negative_derivative, exponential_time_decayed_sum,
@@ -3644,6 +3649,88 @@ def stats_anova_q(spark, sf_dir):
     one-way F statistic from per-group (count, sum, sum-of-squares)."""
     ev = _cat(spark, sf_dir).events
     return anova(ev, "event_type", "value")
+
+
+@q("agg_min_max_map", """
+WITH s AS (SELECT user_id, event_type AS k, min(value) AS mnv, max(value) AS mxv
+           FROM events GROUP BY user_id, event_type)
+SELECT user_id, list(k ORDER BY k) AS ks,
+       list(mnv ORDER BY k) AS mns, list(mxv ORDER BY k) AS mxs
+FROM s GROUP BY user_id ORDER BY user_id
+""")
+def agg_min_max_map_q(spark, sf_dir):
+    """minMap/maxMap (reference
+    src/AggregateFunctions/AggregateFunctionSumMap.h, minMap/maxMap
+    registrations): element-wise min/max over map values per group."""
+    ev = _cat(spark, sf_dir).events
+    mapped = ev.select("user_id",
+                       F.create_map(F.col("event_type"), F.col("value")).alias("m"))
+    mn = min_map(mapped, ["user_id"], "m", alias="mn")
+    mx = max_map(mapped, ["user_id"], "m", alias="mx")
+    return (mn.join(mx, "user_id")
+            .select("user_id",
+                    F.map_keys("mn").alias("ks"),
+                    F.map_values("mn").alias("mns"),
+                    F.map_values("mx").alias("mxs"))
+            .orderBy("user_id"))
+
+
+@q("stats_categorical_iv", """
+WITH g AS (SELECT event_type,
+                  sum(CAST(user_id % 2 AS DOUBLE)) AS g,
+                  sum(1.0 - CAST(user_id % 2 AS DOUBLE)) AS b
+           FROM events GROUP BY 1),
+t AS (SELECT g.*, sum(g) OVER () AS tg, sum(b) OVER () AS tb FROM g)
+SELECT sum(CASE WHEN g > 0 AND b > 0
+                THEN (g / tg - b / tb) * ln((g / tg) / (b / tb))
+                ELSE 0.0 END) AS civ
+FROM t
+""")
+def stats_categorical_iv_q(spark, sf_dir):
+    """categoricalInformationValue (reference
+    src/AggregateFunctions/AggregateFunctionCategoricalInformationValue.cpp)
+    with tag = user_id % 2."""
+    ev = _cat(spark, sf_dir).events
+    t = ev.select("event_type", (F.col("user_id") % 2).alias("tag"))
+    return categorical_information_value(t, "event_type", "tag")
+
+
+@q("row_policy_select", """
+SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+FROM orders
+WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F') AND o_totalprice < 150000
+GROUP BY 1 ORDER BY 1
+""")
+def row_policy_select_q(spark, sf_dir):
+    """Row policies injected at read time (reference
+    src/Access/RowPolicy.h:46 — permissive policies OR together,
+    restrictive AND): the filter lands in the scan like any user
+    predicate, so pushdown/pruning still apply."""
+    pols = [RowPolicy("open", "o_orderstatus = 'O'", frozenset({"analyst"})),
+            RowPolicy("filled", "o_orderstatus = 'F'", frozenset({"analyst"})),
+            RowPolicy("small", "o_totalprice < 150000", restrictive=True)]
+    o = apply_row_policies(_cat(spark, sf_dir).orders, pols, "analyst")
+    return _small_sorted(
+        o.groupBy("o_orderpriority").agg(F.count("*").alias("n"),
+                                         F.sum("o_totalprice").alias("total")),
+        "o_orderpriority")
+
+
+@q("check_constraints_insert", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderkey % 1000 = 0 ORDER BY o_orderkey
+""")
+def check_constraints_insert_q(spark, sf_dir):
+    """CHECK constraints on the insert path (reference
+    src/Storages/ConstraintsDescription.h,
+    CheckConstraintsTransform.cpp): distributed assert_true guards that
+    fail the job on the first violating row; all rows here satisfy the
+    constraints, so the result equals the unguarded select."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") % 1000 == 0)
+    guarded = with_check_constraints(
+        o, [CheckConstraint("pos_price", "o_totalprice > 0"),
+            CheckConstraint("valid_status", "o_orderstatus IN ('O','F','P')")])
+    return guarded.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
 
 
 # ---------------------------------------------------------------- contract

@@ -26,6 +26,8 @@ from clickhouse_core_spark.operators.aggregates import (
     single_value_or_null,
     sum_count,
     any_heavy,
+    min_map,
+    max_map,
 )
 from clickhouse_core_spark.operators.fill import with_fill
 from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
@@ -48,6 +50,7 @@ from clickhouse_core_spark.operators.stats import (
     contingency,
     cramers_v_bias_corrected,
     anova,
+    categorical_information_value,
     theils_u,
     rank_corr,
     roc_auc,
@@ -83,6 +86,7 @@ __all__ = [
     "sparkbar", "group_array_insert_at", "group_array_sorted",
     "group_array_intersect", "single_value_or_null", "sum_count", "any_heavy",
     "contingency", "cramers_v_bias_corrected", "anova",
+    "categorical_information_value", "min_map", "max_map",
     "with_fill", "recursive_cte", "sample_by_hash",
     "uniq_state", "uniq_merge", "uniq_theta_state", "uniq_theta_estimate",
     "quantile_state", "quantile_merge", "rollup_states", "merge_states",

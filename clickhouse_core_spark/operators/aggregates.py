@@ -172,21 +172,39 @@ def histogram(df: DataFrame, value_col: str, bins: int,
             .select("bucket", "lo", "hi", "cnt"))
 
 
+def _agg_map(df: DataFrame, keys: Sequence[str], map_col: str,
+             agg_fn, alias: str) -> DataFrame:
+    """Shared shape for sumMap/minMap/maxMap: explode → groupBy(key,
+    map_key) partial-aggregates map-side, then the maps are reassembled
+    with map_from_entries — two shuffles total but each fully parallel;
+    no skew beyond the key distribution itself."""
+    keys = list(keys)
+    exploded = df.select(*keys, F.explode(map_col).alias("__mk", "__mv"))
+    agged = exploded.groupBy(*keys, "__mk").agg(agg_fn("__mv").alias("__sv"))
+    return (agged.groupBy(*keys)
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__mk", "__sv")))).alias(alias)))
+
+
 def sum_map(df: DataFrame, keys: Sequence[str], map_col: str,
             alias: str = "sum_map") -> DataFrame:
     """sumMap: element-wise sum of map values per group
-    (reference src/AggregateFunctions/AggregateFunctionSumMap.h).
+    (reference src/AggregateFunctions/AggregateFunctionSumMap.h)."""
+    return _agg_map(df, keys, map_col, F.sum, alias)
 
-    explode → groupBy(key, map_key) partial-aggregates map-side, then the
-    maps are reassembled with map_from_entries — two shuffles total but
-    each fully parallel; no skew beyond the key distribution itself.
-    """
-    keys = list(keys)
-    exploded = df.select(*keys, F.explode(map_col).alias("__mk", "__mv"))
-    summed = exploded.groupBy(*keys, "__mk").agg(F.sum("__mv").alias("__sv"))
-    return (summed.groupBy(*keys)
-            .agg(F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("__mk", "__sv")))).alias(alias)))
+
+def min_map(df: DataFrame, keys: Sequence[str], map_col: str,
+            alias: str = "min_map") -> DataFrame:
+    """minMap: element-wise min of map values per group (reference
+    src/AggregateFunctions/AggregateFunctionSumMap.h, minMap
+    registration)."""
+    return _agg_map(df, keys, map_col, F.min, alias)
+
+
+def max_map(df: DataFrame, keys: Sequence[str], map_col: str,
+            alias: str = "max_map") -> DataFrame:
+    """maxMap: element-wise max of map values per group."""
+    return _agg_map(df, keys, map_col, F.max, alias)
 
 
 _SPARKBAR_LEVELS = ["▁", "▂", "▃", "▄", "▅", "▆", "▇", "█"]

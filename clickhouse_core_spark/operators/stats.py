@@ -242,6 +242,30 @@ def anova(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return tot.select(f_stat.alias("f_statistic"))
 
 
+def categorical_information_value(df: DataFrame, cat_col: str, tag_col: str,
+                                  alias: str = "civ") -> DataFrame:
+    """categoricalInformationValue(cat, tag) (reference
+    src/AggregateFunctions/AggregateFunctionCategoricalInformationValue.cpp):
+    IV = sum over category values of (g/G - b/B) * ln((g/G)/(b/B)) where
+    g/b are tag=1 / tag=0 counts.  Categories with a zero cell
+    contribute 0 (the reference's log term degenerates there).
+
+    One groupBy over category cardinality, totals via a window over the
+    tiny category table, single-row result."""
+    tag = F.col(tag_col).cast("double")
+    g = (df.groupBy(cat_col)
+         .agg(F.sum(tag).alias("__g"),
+              F.sum(F.lit(1.0) - tag).alias("__b")))
+    w = Window.partitionBy()
+    gg = (g.withColumn("__tg", F.sum("__g").over(w))
+          .withColumn("__tb", F.sum("__b").over(w)))
+    gr = F.col("__g") / F.col("__tg")
+    br = F.col("__b") / F.col("__tb")
+    term = F.when((F.col("__g") > 0) & (F.col("__b") > 0),
+                  (gr - br) * F.log(gr / br)).otherwise(F.lit(0.0))
+    return gg.agg(F.sum(term).alias(alias))
+
+
 def theils_u(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """theilsU(a, b): uncertainty coefficient U(a|b) = (H(a) - H(a|b)) / H(a)
     (reference cross-tab family, theilsU registration).

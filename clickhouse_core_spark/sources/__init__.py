@@ -14,7 +14,14 @@ from clickhouse_core_spark.sources.formats import (
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
 )
+from clickhouse_core_spark.sources.policies import (
+    RowPolicy, apply_row_policies, CheckConstraint, ConstraintViolation,
+    with_check_constraints, validate_constraints,
+)
 
 __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
            "generate_random", "jdbc_options", "external_table",
-           "lakehouse_table", "LAKEHOUSE_FORMATS"]
+           "lakehouse_table", "LAKEHOUSE_FORMATS",
+           "RowPolicy", "apply_row_policies", "CheckConstraint",
+           "ConstraintViolation", "with_check_constraints",
+           "validate_constraints"]
