@@ -39,6 +39,9 @@ FORMAT_MAP: dict = {
 def read_format(spark: SparkSession, path: str, ch_format: str,
                 schema=None, **extra) -> DataFrame:
     """file(path, format) table function analog."""
+    if ch_format in ("Arrow", "ArrowStream"):
+        return read_arrow(spark, path, schema=schema,
+                          stream=(ch_format == "ArrowStream"))
     if ch_format not in FORMAT_MAP:
         raise NotImplementedError(
             f"format {ch_format!r} not mapped (see FORMAT_MAP for the "
@@ -48,6 +51,49 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def read_arrow(spark: SparkSession, path: str, schema=None,
+               stream: bool = False) -> DataFrame:
+    """Arrow / ArrowStream input format (reference
+    src/Processors/Formats/Impl/ArrowBlockInputFormat.h, registered in
+    src/Formats/registerFormats.cpp).
+
+    Distributed decode: files ship as binary blobs through the
+    `binaryFile` source (one row per file, splittable across executors)
+    and each executor opens the IPC payload with pyarrow inside
+    mapInArrow — record batches flow back over Arrow with no per-row
+    Python cost.  When ``schema`` is omitted, one file's IPC schema is
+    read driver-side (footer metadata only, not the data)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    if schema is None:
+        pattern = _os.path.join(path, "*") if _os.path.isdir(path) else path
+        candidates = sorted(_glob.glob(pattern)) or [path]
+        with open(candidates[0], "rb") as fh:
+            buf = fh.read()
+        opener = pa.ipc.open_stream if stream else pa.ipc.open_file
+        schema = from_arrow_schema(opener(pa.BufferReader(buf)).schema)
+
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+
+    def _decode(it):
+        for rb in it:
+            for blob in rb.column(0).to_pylist():
+                opener = pa.ipc.open_stream if stream else pa.ipc.open_file
+                reader = opener(pa.BufferReader(blob))
+                if stream:
+                    yield from reader
+                else:
+                    for i in range(reader.num_record_batches):
+                        yield reader.get_batch(i)
+
+    return blobs.mapInArrow(_decode, schema)
 
 
 def write_format(df: DataFrame, path: str, ch_format: str,

@@ -84,3 +84,27 @@ def test_streaming_session_window(spark):
         assert got == [3.0, 5.0]  # two sessions for u1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_arrow_ipc_file_roundtrip(spark, workdir):
+    import pyarrow as pa
+    tbl = pa.table({"id": [1, 2, 3], "s": ["a", "b", "c"],
+                    "v": [1.5, 2.5, None]})
+    p = os.path.join(workdir, "data.arrow")
+    with pa.ipc.new_file(p, tbl.schema) as w:
+        w.write_table(tbl)
+    back = read_format(spark, p, "Arrow")
+    assert sorted(map(tuple, back.collect())) == \
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", None)]
+
+
+def test_arrow_stream_multiple_files(spark, workdir):
+    import pyarrow as pa
+    d = os.path.join(workdir, "arrs")
+    os.makedirs(d)
+    for i in range(3):
+        tbl = pa.table({"id": [i * 10, i * 10 + 1]})
+        with pa.ipc.new_stream(os.path.join(d, f"{i}.arrows"), tbl.schema) as w:
+            w.write_table(tbl)
+    back = read_format(spark, d, "ArrowStream")
+    assert sorted(r.id for r in back.collect()) == [0, 1, 10, 11, 20, 21]
