@@ -49,31 +49,39 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 def decode_images(df: DataFrame, content_col: str = "content",
                   out_prefix: str = "img") -> DataFrame:
     """Decode image binaries to (width, height, n_pixels) metadata via
-    an Arrow-batched mapInPandas pass — batch shape and schema are the
-    production contract; the decode itself is stubbed.
+    a mapInArrow pass — record batches are consumed and produced as raw
+    Arrow, skipping the pandas conversion on both sides (a codec only
+    needs the byte buffers).  Batch shape and schema are the production
+    contract; the decode itself is stubbed.
 
-    Real implementation would call PIL/turbojpeg per batch here.
+    Real implementation would call PIL/turbojpeg per buffer here.
     """
+    import pyarrow as pa
+
     out_schema = StructType(df.schema.fields + [
         StructField(f"{out_prefix}_width", IntegerType()),
         StructField(f"{out_prefix}_height", IntegerType()),
         StructField(f"{out_prefix}_pixels", LongType()),
     ])
+    content_idx = df.schema.names.index(content_col)
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    def batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for rb in it:
             if not DETERMINISTIC_FAKE:
                 raise NotImplementedError("image codecs unavailable in this container")
             dims = [_fake_dims(bytes(b)) if b is not None else (0, 0)
-                    for b in pdf[content_col]]
-            pdf[f"{out_prefix}_width"] = np.array([d[0] for d in dims], dtype=np.int32)
-            pdf[f"{out_prefix}_height"] = np.array([d[1] for d in dims], dtype=np.int32)
-            pdf[f"{out_prefix}_pixels"] = (
-                pdf[f"{out_prefix}_width"].astype(np.int64)
-                * pdf[f"{out_prefix}_height"].astype(np.int64))
-            yield pdf
+                    for b in rb.column(content_idx).to_pylist()]
+            arrays = list(rb.columns) + [
+                pa.array([d[0] for d in dims], pa.int32()),
+                pa.array([d[1] for d in dims], pa.int32()),
+                pa.array([d[0] * d[1] for d in dims], pa.int64()),
+            ]
+            names = list(rb.schema.names) + [
+                f"{out_prefix}_width", f"{out_prefix}_height",
+                f"{out_prefix}_pixels"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.mapInPandas(batches, schema=out_schema)
+    return df.mapInArrow(batches, schema=out_schema)
 
 
 def extract_features(df: DataFrame, content_col: str = "content",
