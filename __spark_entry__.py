@@ -42,7 +42,12 @@ from clickhouse_core_spark.operators.stats import (
     contingency, cramers_v_bias_corrected, anova,
     categorical_information_value,
 )
-from clickhouse_core_spark.operators.aggregates import min_map, max_map
+from clickhouse_core_spark.operators.aggregates import (
+    min_map, max_map, group_array_last,
+)
+from clickhouse_core_spark.operators.stats import (
+    corr_matrix, covar_samp_matrix,
+)
 from clickhouse_core_spark.sources import (
     RowPolicy, apply_row_policies, CheckConstraint, with_check_constraints,
 )
@@ -3693,6 +3698,50 @@ def stats_categorical_iv_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     t = ev.select("event_type", (F.col("user_id") % 2).alias("tag"))
     return categorical_information_value(t, "event_type", "tag")
+
+
+@q("stats_corr_matrix", """
+WITH t AS (SELECT value AS a, CAST(user_id % 10 AS DOUBLE) AS b,
+                  CAST(event_id % 7 AS DOUBLE) AS c FROM events)
+SELECT [[corr(a, a), corr(a, b), corr(a, c)],
+        [corr(a, b), corr(b, b), corr(b, c)],
+        [corr(a, c), corr(b, c), corr(c, c)]] AS corr_matrix,
+       [[covar_samp(a, a), covar_samp(a, b), covar_samp(a, c)],
+        [covar_samp(a, b), covar_samp(b, b), covar_samp(b, c)],
+        [covar_samp(a, c), covar_samp(b, c), covar_samp(c, c)]] AS covar_matrix
+FROM t
+""")
+def stats_corr_matrix_q(spark, sf_dir):
+    """corrMatrix + covarSampMatrix (reference
+    src/AggregateFunctions/AggregateFunctionVarianceMatrix.cpp): one
+    aggregate pass over the upper triangle, mirrored to full
+    array<array<double>>."""
+    ev = _cat(spark, sf_dir).events
+    t = ev.select(F.col("value").alias("a"),
+                  (F.col("user_id") % 10).cast("double").alias("b"),
+                  (F.col("event_id") % 7).cast("double").alias("c"))
+    return (corr_matrix(t, ["a", "b", "c"])
+            .crossJoin(covar_samp_matrix(t, ["a", "b", "c"])))
+
+
+@q("agg_group_array_last", """
+WITH o AS (SELECT o_orderpriority, o_orderkey, o_custkey FROM orders),
+g AS (SELECT o_orderpriority, count(*) AS cnt,
+             list(o_custkey ORDER BY o_orderkey) AS l
+      FROM o GROUP BY 1)
+SELECT o_orderpriority,
+       list_slice(l, CAST(greatest(1, cnt - 2) AS BIGINT), cnt) AS arr
+FROM g ORDER BY o_orderpriority
+""")
+def agg_group_array_last_q(spark, sf_dir):
+    """groupArrayLast(3) ordered by o_orderkey (reference
+    src/AggregateFunctions/AggregateFunctionGroupArray.h, Last
+    variant)."""
+    o = _cat(spark, sf_dir).orders
+    return _small_sorted(
+        group_array_last(o, ["o_orderpriority"], "o_custkey",
+                         "o_orderkey", n=3),
+        "o_orderpriority")
 
 
 @q("row_policy_select", """

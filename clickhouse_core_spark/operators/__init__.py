@@ -28,6 +28,7 @@ from clickhouse_core_spark.operators.aggregates import (
     any_heavy,
     min_map,
     max_map,
+    group_array_last,
 )
 from clickhouse_core_spark.operators.fill import with_fill
 from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
@@ -51,6 +52,9 @@ from clickhouse_core_spark.operators.stats import (
     cramers_v_bias_corrected,
     anova,
     categorical_information_value,
+    corr_matrix,
+    covar_samp_matrix,
+    covar_pop_matrix,
     theils_u,
     rank_corr,
     roc_auc,
@@ -87,6 +91,8 @@ __all__ = [
     "group_array_intersect", "single_value_or_null", "sum_count", "any_heavy",
     "contingency", "cramers_v_bias_corrected", "anova",
     "categorical_information_value", "min_map", "max_map",
+    "group_array_last", "corr_matrix", "covar_samp_matrix",
+    "covar_pop_matrix",
     "with_fill", "recursive_cte", "sample_by_hash",
     "uniq_state", "uniq_merge", "uniq_theta_state", "uniq_theta_estimate",
     "quantile_state", "quantile_merge", "rollup_states", "merge_states",

@@ -277,6 +277,19 @@ def group_array_sorted(df: DataFrame, keys: Sequence[str], value_col: str,
                  .alias(alias)))
 
 
+def group_array_last(df: DataFrame, keys: Sequence[str], value_col: str,
+                     order_col: str, n: int, alias: str = "arr") -> DataFrame:
+    """groupArrayLast(n)(value): the last n values in ``order_col``
+    order, oldest-first (reference
+    src/AggregateFunctions/AggregateFunctionGroupArray.h, Last variant —
+    its "last inserted" becomes an explicit deterministic order here).
+    """
+    pairs = F.array_sort(F.collect_list(F.struct(order_col, value_col)))
+    last_n = F.reverse(F.slice(F.reverse(pairs), 1, n))
+    return (df.groupBy(*keys)
+            .agg(F.transform(last_n, lambda s: s[value_col]).alias(alias)))
+
+
 def group_array_intersect(df: DataFrame, keys: Sequence[str], arr_col: str,
                           alias: str = "arr") -> DataFrame:
     """groupArrayIntersect(arr): elements present in EVERY row's array

@@ -242,6 +242,41 @@ def anova(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return tot.select(f_stat.alias("f_statistic"))
 
 
+def _pairwise_matrix(df: DataFrame, cols: Sequence[str], pair_fn,
+                     alias: str) -> DataFrame:
+    """Shared shape for corrMatrix / covarSampMatrix / covarPopMatrix
+    (reference src/AggregateFunctions/AggregateFunctionVarianceMatrix.cpp):
+    one aggregate pass computing the upper triangle, mirrored into a
+    full array<array<double>> — single shuffle regardless of column
+    count."""
+    cols = list(cols)
+    n = len(cols)
+    aggs = [pair_fn(cols[i], cols[j]).alias(f"__m_{i}_{j}")
+            for i in range(n) for j in range(i, n)]
+    g = df.agg(*aggs)
+    rows = [F.array(*[F.col(f"__m_{min(i, j)}_{max(i, j)}") for j in range(n)])
+            for i in range(n)]
+    return g.select(F.array(*rows).alias(alias))
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str],
+                alias: str = "corr_matrix") -> DataFrame:
+    """corrMatrix(x1, ..., xn): pairwise Pearson correlation matrix."""
+    return _pairwise_matrix(df, cols, F.corr, alias)
+
+
+def covar_samp_matrix(df: DataFrame, cols: Sequence[str],
+                      alias: str = "covar_matrix") -> DataFrame:
+    """covarSampMatrix(x1, ..., xn): pairwise sample covariance matrix."""
+    return _pairwise_matrix(df, cols, F.covar_samp, alias)
+
+
+def covar_pop_matrix(df: DataFrame, cols: Sequence[str],
+                     alias: str = "covar_matrix") -> DataFrame:
+    """covarPopMatrix(x1, ..., xn): pairwise population covariance."""
+    return _pairwise_matrix(df, cols, F.covar_pop, alias)
+
+
 def categorical_information_value(df: DataFrame, cat_col: str, tag_col: str,
                                   alias: str = "civ") -> DataFrame:
     """categoricalInformationValue(cat, tag) (reference

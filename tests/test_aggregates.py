@@ -174,3 +174,23 @@ def test_contingency_bounds(spark):
     c = contingency(df, "x", "y").collect()[0].contingency
     v = cramers_v_bias_corrected(df, "x", "y").collect()[0].cramers_v_bc
     assert 0.0 <= c <= 1.0 and 0.0 <= v <= 1.0
+
+
+def test_group_array_last(spark):
+    from clickhouse_core_spark.operators import group_array_last
+    df = spark.createDataFrame(
+        [("g", 1, "a"), ("g", 3, "c"), ("g", 2, "b"), ("h", 1, "x")],
+        "k string, o int, v string")
+    out = {r.k: r.arr for r in
+           group_array_last(df, ["k"], "v", "o", n=2).collect()}
+    assert out["g"] == ["b", "c"]  # last two by order, oldest-first
+    assert out["h"] == ["x"]       # group smaller than n
+
+
+def test_corr_matrix_identity_diagonal(spark):
+    from clickhouse_core_spark.operators import corr_matrix
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 5.9)], "x double, y double")
+    m = corr_matrix(df, ["x", "y"]).collect()[0].corr_matrix
+    assert abs(m[0][0] - 1.0) < 1e-9 and abs(m[1][1] - 1.0) < 1e-9
+    assert abs(m[0][1] - m[1][0]) < 1e-12 and m[0][1] > 0.99
