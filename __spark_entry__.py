@@ -3312,6 +3312,33 @@ def source_csv_roundtrip_q(spark, sf_dir):
 
 # ------------------------------------- CH-SQL clause surface (frontend)
 
+@q("ch_sql_prewhere_qualify", """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+  WHERE o_orderstatus = 'F' AND o_totalprice > 1000)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM r WHERE rn <= 2 ORDER BY o_orderpriority, rn
+""")
+def ch_sql_prewhere_qualify_q(spark, sf_dir):
+    """PREWHERE + QUALIFY through the SQL frontend (reference
+    src/Parsers/ParserSelectQuery.h:10): PREWHERE merges into WHERE
+    (Spark pushdown gives the same scan-time placement), QUALIFY wraps
+    the projection and filters on the window alias."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+        PREWHERE o_orderstatus = 'F'
+        WHERE o_totalprice > 1000
+        QUALIFY rn <= 2
+        ORDER BY o_orderpriority, rn""")
+
+
 @q("ch_sql_final", """
 WITH rv AS (
   SELECT o_orderkey, 1 AS ver, o_totalprice FROM orders

@@ -660,6 +660,66 @@ def _rewrite_with_totals(sql: str) -> str:
             + sql[m.end():])
 
 
+_PREWHERE_RE = re.compile(r"\bPREWHERE\b", re.IGNORECASE)
+_PREWHERE_STOP_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|UNION"
+    r"|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+
+
+def _rewrite_prewhere(sql: str) -> str:
+    """``PREWHERE pre [WHERE cond]`` -> ``WHERE (pre) [AND (cond)]``.
+
+    PREWHERE is a scan-time filter hint (reference
+    src/Parsers/ParserSelectQuery.h:10, evaluated early by
+    src/Storages/MergeTree/MergeTreeWhereOptimizer.h) — Spark's
+    predicate pushdown gives WHERE the same scan-time placement, so the
+    clauses merge.  Top-level only (subquery PREWHERE is out of scope).
+    """
+    tops = _top_level_set(sql)
+    m = next((mm for mm in _PREWHERE_RE.finditer(sql)
+              if mm.start() in tops), None)
+    if m is None:
+        return sql
+    stop = next((sm for sm in _PREWHERE_STOP_RE.finditer(sql, m.end())
+                 if sm.start() in tops), None)
+    if stop is not None and stop.group(1).upper() == "WHERE":
+        pre = sql[m.end():stop.start()].strip()
+        wend = next((sm for sm in _PREWHERE_STOP_RE.finditer(sql, stop.end())
+                     if sm.start() in tops), None)
+        end = wend.start() if wend else len(sql)
+        cond = sql[stop.end():end].strip()
+        return (sql[:m.start()] + f"WHERE ({pre}) AND ({cond}) "
+                + sql[end:])
+    end = stop.start() if stop else len(sql)
+    pre = sql[m.end():end].strip()
+    return sql[:m.start()] + f"WHERE ({pre}) " + sql[end:]
+
+
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_QUALIFY_STOP_RE = re.compile(
+    r"\b(ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """``SELECT ... QUALIFY pred`` -> ``SELECT * FROM (SELECT ...)
+    WHERE pred``: post-window filtering (reference QUALIFY clause,
+    src/Parsers/ParserSelectQuery.h:10).  The predicate must reference
+    window results by their projection alias (the wrapped subquery
+    exposes aliases, not window expressions)."""
+    tops = _top_level_set(sql)
+    m = next((mm for mm in _QUALIFY_RE.finditer(sql)
+              if mm.start() in tops), None)
+    if m is None:
+        return sql
+    stop = next((sm for sm in _QUALIFY_STOP_RE.finditer(sql, m.end())
+                 if sm.start() in tops), None)
+    end = stop.start() if stop else len(sql)
+    pred = sql[m.end():end].strip()
+    body = sql[:m.start()].strip()
+    tail = sql[end:]
+    return f"SELECT * FROM ({body}) WHERE {pred} {tail}"
+
+
 _LIMIT_BY_START_RE = re.compile(r"\bLIMIT\s+(\d+)\s+BY\b", re.IGNORECASE)
 _PLAIN_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+\s*;?\s*$", re.IGNORECASE)
 
@@ -722,8 +782,10 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = apply_date_preimage(sql)
     sql = _rewrite_final(sql)
     sql = _rewrite_sample(sql, sample_by)
+    sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_with_totals(sql)
+    sql = _rewrite_qualify(sql)
 
     m = _match_limit_by(sql)
     if m:

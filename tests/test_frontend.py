@@ -185,3 +185,39 @@ def test_with_totals(spark):
     totals = [r for r in rows if r["o_orderstatus"] is None]
     assert len(totals) == 1
     assert abs(totals[0]["s"] - sum(r["s"] for r in per_group)) < 1e-4
+
+
+def test_prewhere_alone_translates():
+    out = translate_ch_sql("SELECT x FROM t PREWHERE a > 1 ORDER BY x")
+    assert "PREWHERE" not in out.upper()
+    assert "WHERE" in out and "(a > 1)" in out
+
+
+def test_prewhere_merges_with_where(spark):
+    df = ch_sql(spark, """
+        SELECT o_orderkey FROM orders
+        PREWHERE o_orderstatus = 'F'
+        WHERE o_totalprice > 100000
+        ORDER BY o_orderkey LIMIT 5""")
+    rows = df.collect()
+    assert len(rows) == 5
+    native = ch_sql(spark, """
+        SELECT o_orderkey FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+        ORDER BY o_orderkey LIMIT 5""").collect()
+    assert [r.o_orderkey for r in rows] == [r.o_orderkey for r in native]
+
+
+def test_qualify_filters_window_results(spark):
+    from collections import Counter
+    df = ch_sql(spark, """
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+        QUALIFY rn <= 2
+        ORDER BY o_orderpriority, rn""")
+    rows = df.collect()
+    per = Counter(r.o_orderpriority for r in rows)
+    assert per and all(v <= 2 for v in per.values())
+    assert all(r.rn <= 2 for r in rows)
