@@ -43,7 +43,7 @@ from clickhouse_core_spark.operators.stats import (
     categorical_information_value,
 )
 from clickhouse_core_spark.operators.aggregates import (
-    min_map, max_map, group_array_last,
+    min_map, max_map, group_array_last, quantile_exact,
 )
 from clickhouse_core_spark.operators.stats import (
     corr_matrix, covar_samp_matrix,
@@ -3725,6 +3725,56 @@ def stats_categorical_iv_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     t = ev.select("event_type", (F.col("user_id") % 2).alias("tag"))
     return categorical_information_value(t, "event_type", "tag")
+
+
+@q("agg_quantile_exact_variants", """
+WITH d AS (SELECT l_returnflag AS k, CAST(l_quantity AS DOUBLE) AS v,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_quantity) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem WHERE l_quantity IS NOT NULL)
+SELECT k,
+  min(CASE WHEN rn = floor(0.25 * n) + 1 THEN v END) AS q_exact,
+  min(CASE WHEN rn = (CASE WHEN n % 2 = 1 THEN floor(n / 2) + 1
+                           ELSE n / 2 END) THEN v END) AS q_low,
+  min(CASE WHEN rn = floor(n / 2) + 1 THEN v END) AS q_high,
+  min(CASE WHEN rn = greatest(1, least(CAST(floor(0.25 * (n + 1)) AS BIGINT), n - 1))
+           THEN v END)
+    + min(0.25 * (n + 1) - greatest(1, least(CAST(floor(0.25 * (n + 1)) AS BIGINT), n - 1)))
+    * (min(CASE WHEN rn = greatest(1, least(CAST(floor(0.25 * (n + 1)) AS BIGINT), n - 1)) + 1
+            THEN v END)
+       - min(CASE WHEN rn = greatest(1, least(CAST(floor(0.25 * (n + 1)) AS BIGINT), n - 1))
+             THEN v END)) AS q_exc,
+  min(CASE WHEN rn = greatest(1, least(CAST(floor(0.75 * (n - 1) + 1) AS BIGINT), n - 1))
+           THEN v END)
+    + min(0.75 * (n - 1) + 1 - greatest(1, least(CAST(floor(0.75 * (n - 1) + 1) AS BIGINT), n - 1)))
+    * (min(CASE WHEN rn = greatest(1, least(CAST(floor(0.75 * (n - 1) + 1) AS BIGINT), n - 1)) + 1
+            THEN v END)
+       - min(CASE WHEN rn = greatest(1, least(CAST(floor(0.75 * (n - 1) + 1) AS BIGINT), n - 1))
+             THEN v END)) AS q_inc
+FROM d GROUP BY k ORDER BY k
+""")
+def agg_quantile_exact_variants_q(spark, sf_dir):
+    """quantileExact/Low/High/Exclusive/Inclusive (reference
+    src/AggregateFunctions/QuantileExact.h:96,263,345,144,209) via
+    distributed rank selection — no per-group array materialization."""
+    li = _cat(spark, sf_dir).lineitem
+    parts = [
+        quantile_exact(li, ["l_returnflag"], "l_quantity", 0.25,
+                       "exact", alias="q_exact"),
+        quantile_exact(li, ["l_returnflag"], "l_quantity", 0.5,
+                       "low", alias="q_low"),
+        quantile_exact(li, ["l_returnflag"], "l_quantity", 0.5,
+                       "high", alias="q_high"),
+        quantile_exact(li, ["l_returnflag"], "l_quantity", 0.25,
+                       "exclusive", alias="q_exc"),
+        quantile_exact(li, ["l_returnflag"], "l_quantity", 0.75,
+                       "inclusive", alias="q_inc"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, "l_returnflag")
+    return _small_sorted(out.withColumnRenamed("l_returnflag", "k"), "k")
 
 
 @q("stats_corr_matrix", """

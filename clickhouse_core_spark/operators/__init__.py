@@ -29,6 +29,7 @@ from clickhouse_core_spark.operators.aggregates import (
     min_map,
     max_map,
     group_array_last,
+    quantile_exact,
 )
 from clickhouse_core_spark.operators.fill import with_fill
 from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
@@ -92,7 +93,7 @@ __all__ = [
     "contingency", "cramers_v_bias_corrected", "anova",
     "categorical_information_value", "min_map", "max_map",
     "group_array_last", "corr_matrix", "covar_samp_matrix",
-    "covar_pop_matrix",
+    "covar_pop_matrix", "quantile_exact",
     "with_fill", "recursive_cte", "sample_by_hash",
     "uniq_state", "uniq_merge", "uniq_theta_state", "uniq_theta_estimate",
     "quantile_state", "quantile_merge", "rollup_states", "merge_states",

@@ -341,6 +341,55 @@ def any_heavy(df: DataFrame, keys: Sequence[str], value_col: str,
             .select(*keys, F.col(value_col).alias(alias)))
 
 
+def quantile_exact(df: DataFrame, keys: Sequence[str], value_col: str,
+                   level: float, variant: str = "exact",
+                   alias: str = "q") -> DataFrame:
+    """quantileExact / ExactLow / ExactHigh / ExactExclusive /
+    ExactInclusive (reference src/AggregateFunctions/QuantileExact.h:96,
+    263, 345, 144, 209) as distributed rank selection: one window pass
+    assigns per-group ranks, then a conditional aggregate picks (or
+    interpolates between) the target rank(s).  No per-group array
+    materialization — the sort is the window's, spillable and parallel.
+
+    Rank formulas (1-based rank over the ascending non-null sort):
+      exact:     floor(level*n)+1           (n-1 -> last when level=1)
+      low@0.5:   floor(n/2)+1 if n odd else n/2   (python median_low)
+      high@0.5:  floor(n/2)+1                      (python median_high)
+      exclusive: h = level*(n+1)   -> interpolate arr[k], arr[k+1]
+      inclusive: h = level*(n-1)+1 -> same, PERCENTILE.INC
+    """
+    keys = list(keys)
+    lvl = float(level)
+    wo = Window.partitionBy(*keys).orderBy(value_col)
+    wa = Window.partitionBy(*keys)
+    d = (df.filter(F.col(value_col).isNotNull())
+         .withColumn("__rn", F.row_number().over(wo))
+         .withColumn("__n", F.count("*").over(wa)))
+    n, rn = F.col("__n"), F.col("__rn")
+    v = F.col(value_col).cast("double")
+    if variant in ("exact", "low", "high"):
+        rank = F.when(F.lit(lvl) < 1.0,
+                      F.floor(F.lit(lvl) * n)).otherwise(n - 1) + 1
+        if variant == "low" and lvl == 0.5:
+            rank = F.when(n % 2 == 1, F.floor(n / 2) + 1).otherwise(n / 2)
+        elif variant == "high" and lvl == 0.5:
+            rank = F.floor(n / 2) + 1
+        return d.groupBy(*keys).agg(
+            F.min(F.when(rn == rank, v)).alias(alias))
+    if variant not in ("exclusive", "inclusive"):
+        raise ValueError(f"unknown quantile variant: {variant}")
+    if variant == "exclusive":
+        h = F.lit(lvl) * (n + 1)
+    else:
+        h = F.lit(lvl) * (n - 1) + 1
+    k = F.greatest(F.lit(1).cast("long"),
+                   F.least(F.floor(h).cast("long"), (n - 1).cast("long")))
+    vlo = F.min(F.when(rn == k, v))
+    vhi = F.min(F.when(rn == k + 1, v))
+    frac = F.min(h - k)
+    return d.groupBy(*keys).agg((vlo + frac * (vhi - vlo)).alias(alias))
+
+
 def arg_min(value: Column | str, by: Column | str) -> Column:
     """argMin(value, by) → Spark min_by (same semantics)."""
     return F.min_by(value, by)

@@ -194,3 +194,18 @@ def test_corr_matrix_identity_diagonal(spark):
     m = corr_matrix(df, ["x", "y"]).collect()[0].corr_matrix
     assert abs(m[0][0] - 1.0) < 1e-9 and abs(m[1][1] - 1.0) < 1e-9
     assert abs(m[0][1] - m[1][0]) < 1e-12 and m[0][1] > 0.99
+
+
+def test_quantile_exact_variants_known_values(spark):
+    from clickhouse_core_spark.operators import quantile_exact
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    def q(level, variant):
+        return quantile_exact(df, ["k"], "v", level, variant).collect()[0].q
+    assert q(0.5, "low") == 3.0    # statistics.median_low
+    assert q(0.5, "high") == 4.0   # statistics.median_high
+    assert q(0.5, "exact") == 4.0  # arr[floor(0.5*6)] = arr[3] (0-based)
+    # PERCENTILE.EXC(0.25): h = 0.25*7 = 1.75 -> 1 + 0.75*(2-1) = 1.75
+    assert abs(q(0.25, "exclusive") - 1.75) < 1e-9
+    # PERCENTILE.INC(0.25): h = 0.25*5+1 = 2.25 -> 2 + 0.25*(3-2) = 2.25
+    assert abs(q(0.25, "inclusive") - 2.25) < 1e-9
