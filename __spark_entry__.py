@@ -3339,6 +3339,28 @@ def ch_sql_prewhere_qualify_q(spark, sf_dir):
         ORDER BY o_orderpriority, rn""")
 
 
+@q("ch_sql_with_fill", """
+WITH base AS (SELECT user_id % 30 AS slot, CAST(count(*) AS BIGINT) AS n
+              FROM events WHERE user_id % 7 = 0 AND user_id % 30 < 25
+              GROUP BY 1),
+spine AS (SELECT unnest(generate_series(0, 29)) AS slot)
+SELECT spine.slot AS slot, base.n AS n
+FROM spine LEFT JOIN base USING (slot) ORDER BY slot
+""")
+def ch_sql_with_fill_q(spark, sf_dir):
+    """ORDER BY ... WITH FILL FROM/TO through the SQL frontend
+    (reference src/Parsers/ParserSelectQuery.h:10, FillingTransform):
+    the clause routes to the with_fill operator; absent slots carry
+    NULL counts.  Our TO is inclusive (operator contract, see
+    operators/fill.py)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT user_id % 30 AS slot, count(*) AS n
+        FROM events WHERE user_id % 7 = 0 AND user_id % 30 < 25
+        GROUP BY slot
+        ORDER BY slot WITH FILL FROM 0 TO 29""")
+
+
 @q("ch_sql_final", """
 WITH rv AS (
   SELECT o_orderkey, 1 AS ver, o_totalprice FROM orders

@@ -815,11 +815,43 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     return sql
 
 
+_WITH_FILL_RE = re.compile(
+    r"ORDER\s+BY\s+(`?\w+`?)\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?\s*$",
+    re.IGNORECASE)
+
+
+def _fill_literal(tok: str | None):
+    if tok is None:
+        return None
+    f = float(tok)
+    return int(f) if f.is_integer() else f
+
+
 def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None):
     """Run a ClickHouse-dialect query on Spark (tables must be
     registered as views, e.g. via Catalog.register_all; FINAL needs the
-    ``<name>__final`` view from :func:`register_mergetree_sql`)."""
-    return spark.sql(translate_ch_sql(sql, sample_by=sample_by))
+    ``<name>__final`` view from :func:`register_mergetree_sql`).
+
+    ``ORDER BY col WITH FILL [FROM x] [TO y] [STEP s]`` (reference
+    src/Parsers/ParserSelectQuery.h:10, FillingTransform) is detected
+    here rather than rewritten to SQL text: the base query runs, then
+    the :func:`~clickhouse_core_spark.operators.fill.with_fill`
+    operator supplies the missing progression rows.  Single-column
+    ORDER BY only — multi-key WITH FILL needs the DataFrame API."""
+    text = sql.strip().rstrip(";")
+    m = _WITH_FILL_RE.search(text)
+    if m:
+        from ..operators.fill import with_fill
+        col = m.group(1).strip("`")
+        base = text[:m.start()].rstrip()
+        df = spark.sql(translate_ch_sql(base, sample_by=sample_by))
+        filled = with_fill(df, col,
+                           step=_fill_literal(m.group(4)) or 1,
+                           from_val=_fill_literal(m.group(2)),
+                           to_val=_fill_literal(m.group(3)))
+        return filled.orderBy(col)
+    return spark.sql(translate_ch_sql(text, sample_by=sample_by))
 
 
 def register_mergetree_sql(spark, name: str, df, engine: str = "replacing",

@@ -221,3 +221,15 @@ def test_qualify_filters_window_results(spark):
     per = Counter(r.o_orderpriority for r in rows)
     assert per and all(v <= 2 for v in per.values())
     assert all(r.rn <= 2 for r in rows)
+
+
+def test_with_fill_sql_clause(spark):
+    df = ch_sql(spark, """
+        SELECT o_orderkey % 5 AS slot, count(*) AS n
+        FROM orders WHERE o_orderkey % 5 IN (0, 2)
+        GROUP BY slot
+        ORDER BY slot WITH FILL FROM 0 TO 4""")
+    rows = df.collect()
+    assert [r.slot for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[1].n is None and rows[3].n is None  # filled slots
+    assert rows[0].n > 0 and rows[2].n > 0
