@@ -1524,6 +1524,40 @@ def dict_get_q(spark, sf_dir):
     return step2.select("o_orderkey", "c_name", "n_name").orderBy("o_orderkey")
 
 
+@q("dict_hierarchy", """
+SELECT c_custkey,
+       CAST(c_nationkey AS BIGINT) || ',' || CAST(100 + n_regionkey AS BIGINT)
+           AS chain,
+       CAST(CASE WHEN 100 + n_regionkey = 101 THEN 1 ELSE 0 END AS INT)
+           AS in_region_101
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_custkey < 300
+ORDER BY c_custkey
+""")
+def dict_hierarchy_q(spark, sf_dir):
+    """dictGetHierarchy / dictIsIn over a synthetic 2-level hierarchy
+    (nation -> region offset by 100; reference
+    src/Dictionaries/HierarchyDictionariesUtils.h)."""
+    c = _cat(spark, sf_dir)
+    dim = (c.nation.select(F.col("n_nationkey").cast("long").alias("k"),
+                           (F.lit(100) + F.col("n_regionkey"))
+                           .cast("long").alias("parent"))
+           .unionByName(c.region.select(
+               (F.lit(100) + F.col("r_regionkey")).cast("long").alias("k"),
+               F.lit(None).cast("long").alias("parent"))))
+    d = Dictionary(dim, ["k"])
+    cust = c.customer.filter(F.col("c_custkey") < 300)
+    out = d.get_hierarchy(cust, "c_nationkey", "parent",
+                          out_col="__h", max_depth=3)
+    return (out.select(
+        "c_custkey",
+        F.concat_ws(",", F.transform("__h", lambda x: x.cast("string")))
+        .alias("chain"),
+        F.array_contains("__h", F.lit(101).cast("long")).cast("int")
+        .alias("in_region_101"))
+        .orderBy("c_custkey"))
+
+
 @q("range_join_bucketed", """
 WITH iv AS (SELECT user_id, value AS s, value + 15.0 AS e, event_id AS iv_id
             FROM events WHERE event_type = 'signup'),

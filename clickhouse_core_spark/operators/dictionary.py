@@ -67,6 +67,49 @@ class Dictionary:
                 .drop("__hit", *[f"__dk_{k}" for k in self.key_cols]))
 
 
+    def get_hierarchy(self, df: DataFrame, key_col: str, parent_col: str,
+                      out_col: str = "hierarchy",
+                      max_depth: int = 10) -> DataFrame:
+        """dictGetHierarchy (reference
+        src/Dictionaries/HierarchyDictionariesUtils.h): the ancestor
+        chain [key, parent, grandparent, ...] following ``parent_col``
+        in the dictionary until NULL.
+
+        Unrolled as ``max_depth`` broadcast joins (hierarchies are
+        shallow dimension data; each hop is a map-side lookup, no
+        shuffle of ``df``)."""
+        key = self.key_cols[0]
+        dim = self.source.select(F.col(key).cast("long").alias("__k"),
+                                 F.col(parent_col).cast("long").alias("__p"))
+        dim = F.broadcast(dim)
+        out = (df.withColumn(out_col, F.array(F.col(key_col).cast("long")))
+               .withColumn("__cur", F.col(key_col).cast("long")))
+        for _ in range(max_depth):
+            out = (out.join(dim, out["__cur"] == dim["__k"], "left")
+                   .withColumn(out_col,
+                               F.when(F.col("__p").isNotNull(),
+                                      F.concat(F.col(out_col),
+                                               F.array(F.col("__p"))))
+                               .otherwise(F.col(out_col)))
+                   .withColumn("__cur", F.col("__p"))
+                   .drop("__k", "__p"))
+        return out.drop("__cur")
+
+    def is_in(self, df: DataFrame, key_col: str, parent_col: str,
+              ancestor, flag: str = "dict_is_in",
+              max_depth: int = 10) -> DataFrame:
+        """dictIsIn(child, ancestor) (reference
+        src/Functions/dictGet...; hierarchy membership): 1 when
+        ``ancestor`` appears in the child's ancestor chain."""
+        anc = F.lit(ancestor) if not isinstance(ancestor, Column) else ancestor
+        out = self.get_hierarchy(df, key_col, parent_col,
+                                 out_col="__h", max_depth=max_depth)
+        return (out.withColumn(flag,
+                               F.array_contains(F.col("__h"),
+                                                anc.cast("long")).cast("int"))
+                .drop("__h"))
+
+
 def range_join(left: DataFrame, right: DataFrame,
                left_point: str, right_start: str, right_end: str,
                on: Sequence[str] = (),

@@ -73,3 +73,17 @@ def test_range_join_bucketed_equals_naive(spark):
     b = sorted((r["pid"], r["ivid"]) for r in bucketed.collect())
     assert n == b
     assert (100, 200) in b and (102, 200) not in b  # half-open interval
+
+
+def test_dictionary_hierarchy_and_is_in(spark):
+    # 1 -> 10 -> 100 (root); 2 -> 10; 3 orphan (parent missing from dict)
+    dim = spark.createDataFrame(
+        [(1, 10), (2, 10), (10, 100), (100, None)], "k long, parent long")
+    facts = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    d = Dictionary(dim, ["k"])
+    out = d.get_hierarchy(facts, "k", "parent", out_col="h", max_depth=5)
+    rows = {r["k"]: list(r["h"]) for r in out.collect()}
+    assert rows == {1: [1, 10, 100], 2: [2, 10, 100], 3: [3]}
+    flags = {r["k"]: r["dict_is_in"]
+             for r in d.is_in(facts, "k", "parent", 10, max_depth=5).collect()}
+    assert flags == {1: 1, 2: 1, 3: 0}
