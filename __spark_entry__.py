@@ -66,7 +66,7 @@ from clickhouse_core_spark.pipeline.similarity import (
 from clickhouse_core_spark.pipeline.multimodal import (
     decode_images, extract_features, sample_frames,
 )
-from clickhouse_core_spark.functions import ch
+from clickhouse_core_spark.functions import ch, CH_FUNCTIONS
 from clickhouse_core_spark.plans import ch_sql, register_mergetree_sql
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2992,6 +2992,204 @@ def fn_ch_conditional_math(spark, sf_dir):
                     ch.modulo(k, 7).alias("m7"),
                     ch.sign(t - 200000).alias("sgn"),
                     ch.greatest(t, 250000.0).alias("g"))
+            .orderBy("o_orderkey"))
+
+
+@q("fn_array_breadth", """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding[1:6], x -> CAST(round(x * 3) AS INT)) AS ints,
+         embedding AS e
+  FROM embeddings WHERE vec_id < 50)
+SELECT vec_id,
+       CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+       CAST(coalesce(list_min(list_filter(list_transform(range(1, len(e) + 1),
+             i -> CASE WHEN e[i] > 0 THEN i ELSE NULL END),
+             v -> v IS NOT NULL)), 0) AS BIGINT) AS first_pos_idx,
+       CAST(coalesce(list_max(list_filter(list_transform(range(1, len(e) + 1),
+             i -> CASE WHEN e[i] < 0 THEN i ELSE NULL END),
+             v -> v IS NOT NULL)), 0) AS BIGINT) AS last_neg_idx,
+       list_transform(range(1, len(ints) + 1),
+             i -> CAST(len(list_filter(ints[1:i], y -> y = ints[i])) AS INT))
+           AS enum_uniq,
+       list_concat(ints[3:], ints[:2]) AS rot2,
+       list_concat(ints[3:], [0, 0]) AS shl2,
+       CAST(list_sum(list_transform(range(1, 4),
+             i -> abs(CAST(e[i] AS DOUBLE) - CAST(e[i + 3] AS DOUBLE))))
+           AS DOUBLE) AS l1_prefix
+FROM base ORDER BY vec_id
+""")
+def fn_array_breadth(spark, sf_dir):
+    """Array long-tail (reference src/Functions/array/*): enumerate,
+    rotate/shift, first/last index, L-distances."""
+    e = _cat(spark, sf_dir).embeddings
+    base = (e.filter(F.col("vec_id") < 50)
+            .select("vec_id", F.col("embedding").alias("e"),
+                    F.transform(F.slice("embedding", 1, 6),
+                                lambda x: F.round(x * 3).cast("int")).alias("ints")))
+    emb, ints = F.col("e"), F.col("ints")
+    return (base.select(
+        "vec_id",
+        ch.arrayCount(lambda x: x > 0, emb).alias("n_pos"),
+        CH_FUNCTIONS["arrayFirstIndex"](lambda x: x > 0, emb).alias("first_pos_idx"),
+        CH_FUNCTIONS["arrayLastIndex"](lambda x: x < 0, emb).alias("last_neg_idx"),
+        ch.arrayEnumerateUniq(ints).alias("enum_uniq"),
+        ch.arrayRotateLeft(ints, 2).alias("rot2"),
+        ch.arrayShiftLeft(ints, 2).alias("shl2"),
+        ch.L1Distance(F.slice(emb, 1, 3), F.slice(emb, 4, 3))
+        .cast("double").alias("l1_prefix"))
+        .orderBy("vec_id"))
+
+
+@q("fn_map_breadth", """
+SELECT c_custkey,
+       [c_custkey, c_custkey + 1, c_custkey + 3] AS madd_keys,
+       [CAST(1 AS INT), 12, 20] AS madd_vals,
+       [CAST(1 AS INT), 10, 20] AS mupd_vals,
+       [CAST(10 AS INT), 0, 20] AS mpop_vals
+FROM customer WHERE c_custkey < 40 ORDER BY c_custkey
+""")
+def fn_map_breadth(spark, sf_dir):
+    """Map arithmetic/fill (reference src/Functions/map.cpp,
+    mapPopulateSeries.cpp); maps are emitted as sorted key/value arrays
+    so the comparison is representation-independent."""
+    c = _cat(spark, sf_dir).customer
+    k = F.col("c_custkey")
+    m1 = F.map_from_arrays(F.array(k, k + 1), F.array(F.lit(1), F.lit(2)))
+    m2 = F.map_from_arrays(F.array(k + 1, k + 3), F.array(F.lit(10), F.lit(20)))
+    madd = CH_FUNCTIONS["mapAdd"](m1, m2)
+    mupd = CH_FUNCTIONS["mapSort"](CH_FUNCTIONS["mapUpdate"](m1, m2))
+    mpop = CH_FUNCTIONS["mapPopulateSeries"](m2)
+    return (c.filter(k < 40)
+            .select("c_custkey",
+                    F.map_keys(madd).alias("madd_keys"),
+                    F.map_values(madd).alias("madd_vals"),
+                    F.map_values(mupd).alias("mupd_vals"),
+                    F.map_values(mpop).alias("mpop_vals"))
+            .orderBy("c_custkey"))
+
+
+@q("fn_datetime_breadth", """
+SELECT o_orderkey,
+       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+       CAST(isoyear(o_orderdate) AS INT) AS iso_year,
+       CAST(isoyear(o_orderdate) * 100 + weekofyear(o_orderdate) AS BIGINT)
+           AS year_week,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS rel_day,
+       CAST(date_diff('day', DATE '1858-11-17', o_orderdate) AS BIGINT) AS mjd,
+       monthname(o_orderdate) AS month_nm,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS next_q,
+       CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS BIGINT) AS age_days
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_datetime_breadth(spark, sf_dir):
+    """Datetime long-tail (reference DateTimeTransforms.h): ISO
+    week/year, relative day numbers, julian day, generic dateAdd/age."""
+    o = _cat(spark, sf_dir).orders
+    d = F.col("o_orderdate")
+    return (o.filter(F.col("o_orderkey") < 300)
+            .select("o_orderkey",
+                    ch.toISOWeek(d).cast("int").alias("iso_week"),
+                    ch.toISOYear(d).cast("int").alias("iso_year"),
+                    ch.toYearWeek(d).cast("long").alias("year_week"),
+                    ch.toRelativeDayNum(d).alias("rel_day"),
+                    ch.toModifiedJulianDay(d).alias("mjd"),
+                    ch.monthName(d).alias("month_nm"),
+                    ch.dateAdd("quarter", 1, d).alias("next_q"),
+                    ch.age("day", d, F.lit("1998-12-01").cast("date"))
+                    .alias("age_days"))
+            .orderBy("o_orderkey"))
+
+
+@q("fn_readable_format", """
+WITH v AS (SELECT o_orderkey,
+                  CAST(CAST(round(o_totalprice) AS BIGINT) * 1024 + 1 AS DOUBLE) AS b,
+                  CAST(CAST(round(o_totalprice) AS BIGINT) * 2 AS DOUBLE) AS q
+           FROM orders WHERE o_orderkey < 300)
+SELECT o_orderkey,
+       CASE WHEN abs(b) >= 1073741824.0 THEN printf('%.2f GiB', b / 1073741824.0)
+            WHEN abs(b) >= 1048576.0 THEN printf('%.2f MiB', b / 1048576.0)
+            WHEN abs(b) >= 1024.0 THEN printf('%.2f KiB', b / 1024.0)
+            ELSE printf('%.2f B', b) END AS readable_size,
+       CASE WHEN abs(q) >= 1000000.0 THEN printf('%.2f million', q / 1000000.0)
+            WHEN abs(q) >= 1000.0 THEN printf('%.2f thousand', q / 1000.0)
+            ELSE printf('%.2f ', q) END AS readable_qty
+FROM v ORDER BY o_orderkey
+""")
+def fn_readable_format(spark, sf_dir):
+    """formatReadable family (reference src/Functions/formatReadable.h)."""
+    o = _cat(spark, sf_dir).orders
+    # even-integer inputs: Java %.2f rounds the double's SHORTEST decimal
+    # repr (HALF_UP), C printf rounds the exact binary value — they only
+    # disagree on exact .xx5 ties, which even integers can't produce.
+    t = F.round("o_totalprice").cast("long")
+    return (o.filter(F.col("o_orderkey") < 300)
+            .select("o_orderkey",
+                    ch.formatReadableSize((t * 1024 + 1).cast("double"))
+                    .alias("readable_size"),
+                    ch.formatReadableQuantity((t * 2).cast("double"))
+                    .alias("readable_qty"))
+            .orderBy("o_orderkey"))
+
+
+@q("fn_string_search_breadth", """
+SELECT doc_id,
+       array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vowel_runs,
+       CAST(coalesce(least(nullif(strpos(text, 'the'), 0),
+                           nullif(strpos(text, 'and'), 0)), 0) AS BIGINT)
+           AS first_hit,
+       CAST(regexp_matches(' ' || text || ' ',
+            '[^A-Za-z0-9_]the[^A-Za-z0-9_]') AS INT) AS has_the,
+       translate(lang, 'aeiou', 'AEIOU') AS lang_tr
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""")
+def fn_string_search_breadth(spark, sf_dir):
+    """multiSearch*/hasToken/countMatches/substringIndex/translate
+    (reference FunctionsStringSearch.h, substringIndex.cpp)."""
+    d = _cat(spark, sf_dir).documents
+    t = F.col("text")
+    return (d.filter(F.col("doc_id") < 200)
+            .select("doc_id",
+                    ch.substringIndex(t, " ", 3).alias("first3"),
+                    ch.countMatches(t, "[aeiou]+").alias("vowel_runs"),
+                    ch.multiSearchFirstPosition(t, ["the", "and"])
+                    .cast("long").alias("first_hit"),
+                    ch.hasToken(t, "the").alias("has_the"),
+                    ch.translate(F.col("lang"), "aeiou", "AEIOU")
+                    .alias("lang_tr"))
+            .orderBy("doc_id"))
+
+
+@q("fn_bit_conv_breadth", """
+SELECT o_orderkey,
+       CAST(bit_count(xor(o_orderkey, o_orderkey + 1)) AS INT) AS bhd,
+       CAST(CASE WHEN (o_orderkey >> 2) & 1 = 1 OR (o_orderkey >> 4) & 1 = 1
+                 THEN 1 ELSE 0 END AS INT) AS bta,
+       CAST(coalesce(try_cast(o_orderpriority[1:1] AS BIGINT), 0) AS BIGINT)
+           AS prio_num,
+       CAST(coalesce(try_cast(o_orderstatus AS BIGINT), 0) AS BIGINT)
+           AS status_num,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN 'fizz'
+                 WHEN o_orderkey % 3 = 1 THEN 'one' ELSE 'two' END AS VARCHAR)
+           AS mod_label
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_bit_conv_breadth(spark, sf_dir):
+    """bitHammingDistance/bitTestAny/toInt64OrZero/transform lookup
+    (reference FunctionsCoding, FunctionsConversion.h, transform.cpp)."""
+    o = _cat(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    return (o.filter(k < 300)
+            .select("o_orderkey",
+                    ch.bitHammingDistance(k, k + 1).alias("bhd"),
+                    CH_FUNCTIONS["bitTestAny"](k, 2, 4).alias("bta"),
+                    CH_FUNCTIONS["toInt64OrZero"](
+                        F.substring("o_orderpriority", 1, 1)).alias("prio_num"),
+                    CH_FUNCTIONS["toInt64OrZero"](
+                        F.col("o_orderstatus")).alias("status_num"),
+                    CH_FUNCTIONS["transform"](
+                        k % 3, [0, 1], ["fizz", "one"], "two").alias("mod_label"))
             .orderBy("o_orderkey"))
 
 

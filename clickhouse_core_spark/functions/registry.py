@@ -658,9 +658,411 @@ def _great_circle(lon1, lat1, lon2, lat2) -> Column:
     return F.lit(2.0 * 6371000.0) * F.asin(F.sqrt(a))
 
 
+# ---------------------------------------------------- breadth: arrays (2)
+# Reference: src/Functions/array/ — the long tail beyond the core set.
+# All pure built-in/higher-order expressions; quadratic forms are only
+# used where CH semantics require per-position lookback (short arrays).
+
+def _arr_first_index(f, a) -> Column:
+    idx = F.filter(F.transform(_c(a), lambda x, i: F.when(f(x), i + 1)
+                               .otherwise(0)), lambda v: v > 0)
+    return F.coalesce(F.element_at(idx, 1), F.lit(0)).cast("long")
+
+
+def _arr_last_index(f, a) -> Column:
+    idx = F.filter(F.transform(_c(a), lambda x, i: F.when(f(x), i + 1)
+                               .otherwise(0)), lambda v: v > 0)
+    return F.coalesce(F.element_at(idx, -1), F.lit(0)).cast("long")
+
+
+def _arr_cum_sum_non_negative(a) -> Column:
+    # true left fold (clamping makes each step depend on the prior one)
+    step = lambda acc, x: F.struct(
+        F.concat(acc["r"], F.array(F.greatest(acc["s"] + x.cast("double"),
+                                              F.lit(0.0)))).alias("r"),
+        F.greatest(acc["s"] + x.cast("double"), F.lit(0.0)).alias("s"))
+    init = F.struct(F.array().cast("array<double>").alias("r"),
+                    F.lit(0.0).alias("s"))
+    return F.aggregate(_c(a), init, step, lambda acc: acc["r"])
+
+
+def _arr_rotate_left(a, n) -> Column:
+    arr = _c(a)
+    k = F.pmod(_c(n), F.greatest(F.size(arr), F.lit(1)))
+    return F.concat(F.slice(arr, k + 1, F.size(arr) - k), F.slice(arr, 1, k))
+
+
+_ARR2 = {
+    "arrayCount": lambda f, a: F.size(F.filter(_c(a), f)).cast("long"),
+    "arrayFirst": lambda f, a: F.element_at(F.filter(_c(a), f), 1),
+    "arrayLast": lambda f, a: F.element_at(F.filter(_c(a), f), -1),
+    "arrayFirstOrNull": lambda f, a: F.element_at(F.filter(_c(a), f), 1),
+    "arrayLastOrNull": lambda f, a: F.element_at(F.filter(_c(a), f), -1),
+    "arrayFirstIndex": _arr_first_index,
+    "arrayLastIndex": _arr_last_index,
+    # occurrence counter among equal preceding elements (arrayEnumerateUniq.cpp)
+    "arrayEnumerateUniq": lambda a: F.transform(
+        _c(a), lambda x, i: F.size(F.filter(F.slice(_c(a), 1, i + 1),
+                                            lambda y: y == x))),
+    # dense id = position of the value's first occurrence order
+    "arrayEnumerateDense": lambda a: F.transform(
+        _c(a), lambda x: F.array_position(F.array_distinct(_c(a)), x).cast("int")),
+    "arrayProduct": lambda a: F.aggregate(
+        _c(a), F.lit(1.0), lambda acc, x: acc * x.cast("double")),
+    "arrayCumSumNonNegative": _arr_cum_sum_non_negative,
+    "arrayResize": lambda a, n, fill=0: F.when(
+        F.size(_c(a)) >= _c(n), F.slice(_c(a), 1, _c(n))).otherwise(
+        F.concat(_c(a), F.array_repeat(F.lit(fill), _c(n) - F.size(_c(a))))),
+    "arrayWithConstant": lambda n, v: F.array_repeat(_c(v), _c(n)),
+    "arrayRotateLeft": _arr_rotate_left,
+    "arrayRotateRight": lambda a, n: _arr_rotate_left(
+        a, F.size(_c(a)) - F.pmod(_c(n), F.greatest(F.size(_c(a)), F.lit(1)))),
+    "arrayShiftLeft": lambda a, n, fill=0: F.concat(
+        F.slice(_c(a), _c(n) + 1, F.greatest(F.size(_c(a)) - _c(n), F.lit(0))),
+        F.array_repeat(F.lit(fill), F.least(_c(n), F.size(_c(a))))),
+    "arrayShiftRight": lambda a, n, fill=0: F.concat(
+        F.array_repeat(F.lit(fill), F.least(_c(n), F.size(_c(a)))),
+        F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - _c(n), F.lit(0)))),
+    "arrayJaccardIndex": lambda a, b: (
+        F.size(F.array_intersect(_c(a), _c(b))).cast("double")
+        / F.size(F.array_union(_c(a), _c(b)))),
+    "arrayShingles": lambda a, n: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(_c(a)) - _c(n) + 1, F.lit(0))),
+        lambda i: F.slice(_c(a), i, _c(n))),
+    "L1Distance": lambda a, b: F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: F.abs(x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v),
+    "L2Distance": lambda a, b: F.sqrt(F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v.cast("double"))),
+    "LinfDistance": lambda a, b: F.array_max(
+        F.zip_with(_c(a), _c(b), lambda x, y: F.abs(x.cast("double") - y))),
+    "cosineDistance": lambda a, b: 1.0 - (
+        F.aggregate(F.zip_with(_c(a), _c(b),
+                    lambda x, y: x.cast("double") * y), F.lit(0.0),
+                    lambda acc, v: acc + v)
+        / (F.sqrt(F.aggregate(_c(a), F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+           * F.sqrt(F.aggregate(_c(b), F.lit(0.0),
+                                lambda acc, x: acc + x.cast("double") * x)))),
+}
+
+# ------------------------------------------------------ breadth: maps (2)
+# Reference: src/Functions/map.cpp, mapPopulateSeries.cpp. Missing-key
+# lookups use try_element_at (ANSI-safe NULL instead of error).
+
+
+def _map_add(m1, m2, op) -> Column:
+    keys = F.array_union(F.map_keys(_c(m1)), F.map_keys(_c(m2)))
+    return F.map_from_arrays(
+        F.array_sort(keys),
+        F.transform(F.array_sort(keys),
+                    lambda k: op(F.coalesce(F.try_element_at(_c(m1), k), F.lit(0)),
+                                 F.coalesce(F.try_element_at(_c(m2), k), F.lit(0)))))
+
+
+_MAP2 = {
+    "mapFromArrays": lambda k, v: F.map_from_arrays(_c(k), _c(v)),
+    "mapConcat": lambda *ms: F.map_concat(*[_c(m) for m in ms]),
+    "mapFilter": lambda f, m: F.map_filter(_c(m), f),
+    "mapContainsKeyLike": lambda m, p: F.exists(
+        F.map_keys(_c(m)), lambda k: k.like(p)).cast("int"),
+    "mapExtractKeyLike": lambda m, p: F.map_filter(_c(m), lambda k, v: k.like(p)),
+    "mapAdd": lambda m1, m2: _map_add(m1, m2, lambda a, b: a + b),
+    "mapSubtract": lambda m1, m2: _map_add(m1, m2, lambda a, b: a - b),
+    # values from m2 win on key conflicts (reference mapUpdate semantics)
+    "mapUpdate": lambda m1, m2: F.map_concat(
+        F.map_filter(_c(m1), lambda k, v: ~F.array_contains(F.map_keys(_c(m2)), k)),
+        _c(m2)),
+    "mapSort": lambda m: F.map_from_arrays(
+        F.array_sort(F.map_keys(_c(m))),
+        F.transform(F.array_sort(F.map_keys(_c(m))),
+                    lambda k: F.try_element_at(_c(m), k))),
+    # fill integer key gaps [min(keys) .. max(keys) | max_key] with 0
+    "mapPopulateSeries": lambda m, max_key=None: F.map_from_arrays(
+        F.sequence(F.array_min(F.map_keys(_c(m))),
+                   _c(max_key) if max_key is not None
+                   else F.array_max(F.map_keys(_c(m)))),
+        F.transform(F.sequence(F.array_min(F.map_keys(_c(m))),
+                               _c(max_key) if max_key is not None
+                               else F.array_max(F.map_keys(_c(m)))),
+                    lambda k: F.coalesce(F.try_element_at(_c(m), k), F.lit(0)))),
+}
+
+# -------------------------------------------------- breadth: datetime (2)
+# Reference: DateTimeTransforms.h long tail + parseDateTimeBestEffort.
+
+
+def _iso_thursday(x) -> Column:
+    # the Thursday of x's ISO week decides its ISO year
+    dow = ((F.dayofweek(_c(x)) + 5) % 7) + 1  # Mon=1..Sun=7
+    return F.date_add(_c(x).cast("date"), (4 - dow).cast("int"))
+
+
+_BEST_EFFORT_FMTS = ["dd/MM/yyyy HH:mm:ss", "dd/MM/yyyy", "yyyyMMddHHmmss",
+                     "yyyyMMdd", "dd.MM.yyyy", "MM/dd/yyyy HH:mm:ss",
+                     "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd"]
+
+
+def _parse_best_effort(x) -> Column:
+    """parseDateTimeBestEffort (src/IO/parseDateTimeBestEffort.cpp):
+    try ISO first, then the common unambiguous layouts."""
+    c = _c(x)
+    return F.coalesce(F.try_to_timestamp(c),
+                      *[F.try_to_timestamp(c, F.lit(f))
+                        for f in _BEST_EFFORT_FMTS])
+
+
+_DT2 = {
+    "toISOWeek": lambda x: F.weekofyear(_c(x)),
+    "toWeek": lambda x, mode=3: F.weekofyear(_c(x)),  # mode 3 = ISO; others unsupported
+    "toISOYear": lambda x: F.year(_iso_thursday(x)),
+    "toYearWeek": lambda x: (F.year(_iso_thursday(x)) * 100
+                             + F.weekofyear(_c(x))),
+    "toTime": lambda x: F.timestamp_seconds(
+        F.lit(86400) + F.pmod(F.unix_timestamp(_c(x)), F.lit(86400))),
+    "toStartOfFiveMinutes": lambda x: F.timestamp_seconds(
+        (F.unix_timestamp(_c(x)) / 300).cast("long") * 300),
+    "toStartOfTenMinutes": lambda x: F.timestamp_seconds(
+        (F.unix_timestamp(_c(x)) / 600).cast("long") * 600),
+    "toStartOfSecond": lambda x: F.date_trunc("second", _c(x)),
+    "toMillisecond": lambda x: F.date_format(_c(x), "SSS").cast("int"),
+    "timeSlot": lambda x: F.timestamp_seconds(
+        (F.unix_timestamp(_c(x)) / 1800).cast("long") * 1800),
+    "monthName": lambda x: F.date_format(_c(x), "MMMM"),
+    "toRelativeYearNum": lambda x: F.year(_c(x)).cast("long"),
+    "toRelativeMonthNum": lambda x: (F.year(_c(x)) * 12 + F.month(_c(x))).cast("long"),
+    "toRelativeDayNum": lambda x: F.datediff(_c(x), F.lit("1970-01-01")).cast("long"),
+    "toRelativeHourNum": lambda x: (F.unix_timestamp(_c(x)) / 3600).cast("long"),
+    "toRelativeMinuteNum": lambda x: (F.unix_timestamp(_c(x)) / 60).cast("long"),
+    "toRelativeSecondNum": lambda x: F.unix_timestamp(_c(x)),
+    "makeDate": lambda y, m, d: F.make_date(_c(y), _c(m), _c(d)),
+    "makeDateTime": lambda y, mo, d, h, mi, s: F.make_timestamp(
+        _c(y), _c(mo), _c(d), _c(h), _c(mi), _c(s)),
+    "parseDateTimeBestEffort": _parse_best_effort,
+    "parseDateTimeBestEffortOrNull": _parse_best_effort,
+    "parseDateTime": lambda x, fmt: F.to_timestamp(_c(x), _mysql_fmt(fmt)),
+    "parseDateTimeOrNull": lambda x, fmt: F.try_to_timestamp(
+        _c(x), F.lit(_mysql_fmt(fmt))),
+    "fromUnixTimestamp64Milli": lambda x: F.timestamp_millis(_c(x)),
+    "fromUnixTimestamp64Micro": lambda x: F.timestamp_micros(_c(x)),
+    "toUnixTimestamp64Milli": lambda x: F.unix_millis(_c(x)),
+    "toUnixTimestamp64Micro": lambda x: F.unix_micros(_c(x)),
+    "toModifiedJulianDay": lambda x: F.datediff(
+        _c(x), F.lit("1858-11-17")).cast("long"),
+    "fromModifiedJulianDay": lambda n: F.date_add(
+        F.lit("1858-11-17").cast("date"), _c(n).cast("int")),
+    "toDaysSinceYearZero": lambda x: (
+        F.datediff(_c(x), F.lit("1970-01-01")) + 719528).cast("long"),
+    "age": lambda unit, a, b: _date_diff(unit, a, b),
+    "dateAdd": lambda unit, n, x: _date_add_unit(unit, n, x),
+    "dateSub": lambda unit, n, x: _date_add_unit(unit, -n, x),
+    "timestampAdd": lambda x, n, unit: _date_add_unit(unit, n, x),
+}
+
+
+def _date_add_unit(unit: str, n, x) -> Column:
+    unit = unit.lower()
+    if unit in ("year", "yy", "yyyy"):
+        return F.add_months(_c(x), 12 * n)
+    if unit in ("quarter", "qq"):
+        return F.add_months(_c(x), 3 * n)
+    if unit in ("month", "mm"):
+        return F.add_months(_c(x), n)
+    if unit in ("week", "wk"):
+        return F.date_add(_c(x), 7 * n)
+    if unit in ("day", "dd"):
+        return F.date_add(_c(x), n)
+    if unit in ("hour", "hh"):
+        return F.timestamp_seconds(F.unix_timestamp(_c(x)) + 3600 * n)
+    if unit in ("minute", "mi"):
+        return F.timestamp_seconds(F.unix_timestamp(_c(x)) + 60 * n)
+    if unit in ("second", "ss"):
+        return F.timestamp_seconds(F.unix_timestamp(_c(x)) + n)
+    raise ValueError(f"unsupported dateAdd unit {unit}")
+
+
+# ------------------------------------------- breadth: readable formatting
+# Reference: src/Functions/formatReadable.h — humanized sizes/quantities.
+
+
+def _readable(x, base: float, units: list[str]) -> Column:
+    v = _c(x).cast("double")
+    out = F.format_string(f"%.2f {units[0]}", v)
+    scale = 1.0
+    for u in units[1:]:
+        scale *= base
+        out = F.when(F.abs(v) >= scale,
+                     F.format_string(f"%.2f {u}", v / scale)).otherwise(out)
+    return out
+
+
+_READABLE = {
+    "formatReadableSize": lambda x: _readable(
+        x, 1024.0, ["B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB"]),
+    "formatReadableDecimalSize": lambda x: _readable(
+        x, 1000.0, ["B", "KB", "MB", "GB", "TB", "PB", "EB"]),
+    "formatReadableQuantity": lambda x: _readable(
+        x, 1000.0, ["", "thousand", "million", "billion", "trillion",
+                    "quadrillion"]),
+}
+
+# --------------------------------------------- breadth: strings/search (2)
+# Reference: FunctionsStringSearch.h multiSearch*, FunctionsStringSimilarity.
+
+
+def _multi_positions(h, needles) -> Column:
+    return F.array(*[F.instr(_c(h), n).cast("long") for n in needles])
+
+
+_STR2 = {
+    "substringIndex": lambda x, d, n: F.substring_index(_c(x), d, n),
+    "translate": lambda x, frm, to: F.translate(_c(x), frm, to),
+    "countMatches": lambda x, rx: F.size(
+        F.regexp_extract_all(_c(x), F.lit(rx), F.lit(0))).cast("long"),
+    "ngrams": lambda x, n: F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(_c(x)) - n + 1, F.lit(0))),
+        lambda i: F.substring(_c(x), i, F.lit(n))),
+    "byteHammingDistance": lambda a, b: (
+        F.size(F.filter(F.zip_with(F.split(_c(a), ""), F.split(_c(b), ""),
+                                   lambda x, y: x != y),
+                        lambda v: v)).cast("long")),
+    "multiSearchAllPositions": _multi_positions,
+    "multiSearchFirstPosition": lambda h, needles: F.coalesce(
+        F.array_min(F.filter(_multi_positions(h, needles), lambda p: p > 0)),
+        F.lit(0)),
+    "multiSearchFirstIndex": lambda h, needles: F.coalesce(
+        F.array_position(
+            _multi_positions(h, needles),
+            F.array_min(F.filter(_multi_positions(h, needles),
+                                 lambda p: p > 0))),
+        F.lit(0)).cast("long"),
+    "hasToken": lambda h, tok: _c(h).rlike(
+        r"(?<![A-Za-z0-9_])" + _regex_escape(tok) + r"(?![A-Za-z0-9_])"
+    ).cast("int"),
+    "hasTokenOrNull": lambda h, tok: _c(h).rlike(
+        r"(?<![A-Za-z0-9_])" + _regex_escape(tok) + r"(?![A-Za-z0-9_])"
+    ).cast("int"),
+    "positionUTF8": lambda h, n: F.instr(_c(h), n).cast("long"),
+    "substringUTF8": lambda x, pos, ln=8192: F.substring(_c(x), pos, ln),
+    "isValidUTF8": (lambda x: F.is_valid_utf8(_c(x)).cast("int"))
+    if hasattr(F, "is_valid_utf8") else (lambda x: F.lit(1)),
+}
+
+# -------------------------------------------------- breadth: bit ops (2)
+
+
+_BIT2 = {
+    "bitRotateLeft": lambda x, n: F.shiftleft(_c(x).cast("long"), n)
+    .bitwiseOR(F.shiftrightunsigned(_c(x).cast("long"), 64 - n)),
+    "bitRotateRight": lambda x, n: F.shiftrightunsigned(_c(x).cast("long"), n)
+    .bitwiseOR(F.shiftleft(_c(x).cast("long"), 64 - n)),
+    "bitTestAll": lambda x, *bits: F.lit(True).cast("boolean") if not bits else
+    _bit_test_fold(x, bits, all_of=True),
+    "bitTestAny": lambda x, *bits: _bit_test_fold(x, bits, all_of=False),
+    "bitHammingDistance": lambda a, b: F.bit_count(
+        _c(a).bitwiseXOR(_c(b))).cast("int"),
+}
+
+
+def _bit_test_fold(x, bits, all_of: bool) -> Column:
+    tests = [F.shiftright(_c(x), int(b)).bitwiseAND(F.lit(1)) == 1 for b in bits]
+    out = tests[0]
+    for t in tests[1:]:
+        out = (out & t) if all_of else (out | t)
+    return out.cast("int")
+
+
+# ------------------------------------- breadth: type conversion / logical
+# Reference: FunctionsConversion.h OrZero/OrNull variants; CH type names.
+
+_CH_TYPE_TO_SPARK = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "uint8": "SMALLINT", "uint16": "INT", "uint32": "BIGINT",
+    "uint64": "DECIMAL(20,0)", "float32": "FLOAT", "float64": "DOUBLE",
+    "string": "STRING", "date": "DATE", "datetime": "TIMESTAMP",
+    "bool": "BOOLEAN",
+}
+
+
+def _accurate_cast(x, ch_type: str) -> Column:
+    t = _CH_TYPE_TO_SPARK.get(ch_type.lower().strip())
+    if t is None:
+        raise ValueError(f"accurateCast: unmapped CH type {ch_type!r}")
+    return _c(x).cast(t)
+
+
+_CONV2 = {
+    "toInt8OrZero": lambda x: F.coalesce(_c(x).try_cast("tinyint"), F.lit(0)),
+    "toInt16OrZero": lambda x: F.coalesce(_c(x).try_cast("smallint"), F.lit(0)),
+    "toInt32OrZero": lambda x: F.coalesce(_c(x).try_cast("int"), F.lit(0)),
+    "toInt64OrZero": lambda x: F.coalesce(_c(x).try_cast("bigint"), F.lit(0)),
+    "toFloat64OrZero": lambda x: F.coalesce(_c(x).try_cast("double"), F.lit(0.0)),
+    "toFloat32OrZero": lambda x: F.coalesce(_c(x).try_cast("float"), F.lit(0.0)),
+    "toDate32": lambda x: F.to_date(_c(x)),
+    "toDateTime64": lambda x, scale=3: F.to_timestamp(_c(x)),
+    "toDecimal32": lambda x, s: _c(x).cast(f"decimal(9,{int(s)})"),
+    "toDecimal64": lambda x, s: _c(x).cast(f"decimal(18,{int(s)})"),
+    "toDecimal128": lambda x, s: _c(x).cast(f"decimal(38,{int(s)})"),
+    "accurateCast": _accurate_cast,
+    "accurateCastOrNull": lambda x, t: _c(x).try_cast(
+        _CH_TYPE_TO_SPARK.get(t.lower().strip(), t)),
+    "toNullable": lambda x: _c(x),
+    "equals": lambda a, b: (_c(a) == _c(b)).cast("int"),
+    "notEquals": lambda a, b: (_c(a) != _c(b)).cast("int"),
+    "less": lambda a, b: (_c(a) < _c(b)).cast("int"),
+    "greater": lambda a, b: (_c(a) > _c(b)).cast("int"),
+    "lessOrEquals": lambda a, b: (_c(a) <= _c(b)).cast("int"),
+    "greaterOrEquals": lambda a, b: (_c(a) >= _c(b)).cast("int"),
+    "and": lambda *xs: _logical_fold(xs, lambda a, b: a & b),
+    "or": lambda *xs: _logical_fold(xs, lambda a, b: a | b),
+    "not": lambda x: (~(_c(x).cast("boolean"))).cast("int"),
+    "xor": lambda a, b: (_c(a).cast("boolean") != _c(b).cast("boolean")).cast("int"),
+}
+
+
+def _logical_fold(xs, op) -> Column:
+    out = _c(xs[0]).cast("boolean")
+    for x in xs[1:]:
+        out = op(out, _c(x).cast("boolean"))
+    return out.cast("int")
+
+
+# ---------------------------------------------------- breadth: misc (2)
+
+
+def _bar(x, lo, hi, width=80) -> Column:
+    """bar() (src/Functions/bar.cpp) with whole-block resolution (the
+    reference renders eighth-blocks; documented simplification)."""
+    frac = (_c(x).cast("double") - lo) / (hi - lo)
+    n = F.greatest(F.least(F.round(frac * width).cast("int"), F.lit(int(width))),
+                   F.lit(0))
+    return F.repeat(F.lit("█"), n)
+
+
+def _transform_lookup(x, frm, to, default=None) -> Column:
+    """transform(x, [from...], [to...], default)
+    (src/Functions/transform.cpp): positional value translation."""
+    idx = F.array_position(F.array(*[F.lit(v) for v in frm]), _c(x))
+    hit = F.element_at(F.array(*[F.lit(v) for v in to]), idx.cast("int"))
+    return F.when(idx > 0, hit).otherwise(
+        _c(default) if default is not None else _c(x))
+
+
+_MISC2 = {
+    "bar": _bar,
+    "transform": _transform_lookup,
+    "isZeroOrNull": lambda x: (_c(x).isNull() | (_c(x) == 0)).cast("int"),
+    "ifNotFinite": lambda x, alt: F.when(
+        F.isnan(_c(x)) | (F.abs(_c(x)) == float("inf")), _c(alt)).otherwise(_c(x)),
+    "nanToNull": lambda x: F.when(F.isnan(_c(x)), F.lit(None)).otherwise(_c(x)),
+}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
-            _JSON, _MISC):
+            _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
+            _CONV2, _MISC2):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn
