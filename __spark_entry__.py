@@ -32,6 +32,7 @@ from clickhouse_core_spark.operators import (
     sessionize, largest_triangle_three_buckets,
     rollup_states, merge_states, Dictionary, range_join,
     agg_if, agg_or_default, agg_resample,
+    group_array_moving_sum, group_array_moving_avg,
 )
 from clickhouse_core_spark.operators.aggregates import (
     limit_with_ties, sum_map, top_k_weighted, bitmap_cardinalities,
@@ -3191,6 +3192,33 @@ def fn_bit_conv_breadth(spark, sf_dir):
                     CH_FUNCTIONS["transform"](
                         k % 3, [0, 1], ["fizz", "one"], "two").alias("mod_label"))
             .orderBy("o_orderkey"))
+
+
+@q("agg_moving_sum_avg", """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms
+  FROM events WHERE user_id < 40)
+SELECT user_id,
+       array_agg(round(ms, 4) ORDER BY ts, event_id) AS moving_sum3,
+       array_agg(round(ms / 3.0, 4) ORDER BY ts, event_id) AS moving_avg3
+FROM s GROUP BY user_id ORDER BY user_id
+""")
+def agg_moving_sum_avg(spark, sf_dir):
+    """groupArrayMovingSum/Avg(3) (reference
+    src/AggregateFunctions/AggregateFunctionMovingImpl.h) over events."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("user_id") < 40)
+    ms = group_array_moving_sum(ev, ["user_id"], "value", "ts", window=3,
+                                tiebreak=["event_id"], alias="moving_sum3")
+    ma = group_array_moving_avg(ev, ["user_id"], "value", "ts", window=3,
+                                tiebreak=["event_id"], alias="moving_avg3")
+    out = ms.join(ma, "user_id")
+    rnd = lambda c: F.transform(F.col(c), lambda x: F.round(x, 4))
+    return (out.select("user_id",
+                       rnd("moving_sum3").alias("moving_sum3"),
+                       rnd("moving_avg3").alias("moving_avg3"))
+            .orderBy("user_id"))
 
 
 # ------------------------------------------------- streaming (batch analog)

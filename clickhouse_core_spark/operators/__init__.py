@@ -22,6 +22,8 @@ from clickhouse_core_spark.operators.aggregates import (
     sparkbar,
     group_array_insert_at,
     group_array_sorted,
+    group_array_moving_sum,
+    group_array_moving_avg,
     group_array_intersect,
     single_value_or_null,
     sum_count,
@@ -69,6 +71,7 @@ from clickhouse_core_spark.operators.sequence import (
     sequence_count,
     sequence_next_node,
     delta_sum,
+    delta_sum_timestamp,
     exponential_moving_average,
     bounding_ratio,
     uniq_up_to,
@@ -89,6 +92,7 @@ __all__ = [
     "asof_join", "any_join", "array_join", "paste_join",
     "limit_by", "top_k", "with_totals", "group_array", "histogram",
     "sparkbar", "group_array_insert_at", "group_array_sorted",
+    "group_array_moving_sum", "group_array_moving_avg",
     "group_array_intersect", "single_value_or_null", "sum_count", "any_heavy",
     "contingency", "cramers_v_bias_corrected", "anova",
     "categorical_information_value", "min_map", "max_map",
@@ -103,6 +107,7 @@ __all__ = [
     "simple_linear_regression", "welch_t_test", "mann_whitney_u",
     "sessionize", "largest_triangle_three_buckets",
     "window_funnel", "retention", "sequence_match", "delta_sum",
+    "delta_sum_timestamp",
     "exponential_moving_average", "bounding_ratio", "uniq_up_to",
     "entropy", "max_intersections", "interval_length_sum",
     "replacing_final", "summing_final", "collapsing_final",

@@ -398,3 +398,63 @@ def arg_min(value: Column | str, by: Column | str) -> Column:
 def arg_max(value: Column | str, by: Column | str) -> Column:
     """argMax(value, by) → Spark max_by."""
     return F.max_by(value, by)
+
+
+def group_array_moving_sum(df: DataFrame, keys: Sequence[str],
+                           value_col: str, order_col: str,
+                           window: int | None = None,
+                           tiebreak: Sequence[str] = (),
+                           alias: str = "arr",
+                           _combine=None) -> DataFrame:
+    """groupArrayMovingSum([window])(value): per-group array whose i-th
+    element is the sum of the last ``window`` values up to position i in
+    ``order_col`` order (reference
+    src/AggregateFunctions/AggregateFunctionMovingImpl.h — its
+    insertion order becomes an explicit deterministic order here; no
+    window = running sum over the whole prefix).
+
+    collect_list is the only shuffle-side aggregate; the moving sums run
+    as higher-order expressions on the grouped array (per-group
+    quadratic in array length — the same memory class the reference's
+    in-memory deque has)."""
+    keys = list(keys)
+    pairs = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("__o"),
+        *[F.col(t).alias(f"__tb{i}") for i, t in enumerate(tiebreak)],
+        F.col(value_col).cast("double").alias("__v"))))
+    vals = F.transform(pairs, lambda s: s["__v"])
+    combine = _combine or (lambda seg, width: F.aggregate(
+        seg, F.lit(0.0), lambda acc, x: acc + x))
+
+    def moving(arr):
+        def elem(x, i):
+            if window is None:
+                start, width = F.lit(1), i + 1
+            else:
+                start = F.greatest(i + 2 - F.lit(int(window)), F.lit(1))
+                width = F.least(i + 1, F.lit(int(window)))
+            return combine(F.slice(arr, start, width), width)
+        return F.transform(arr, elem)
+
+    return (df.groupBy(*keys)
+            .agg(moving(vals).alias("__mv"))
+            .withColumnRenamed("__mv", alias))
+
+
+def group_array_moving_avg(df: DataFrame, keys: Sequence[str],
+                           value_col: str, order_col: str,
+                           window: int | None = None,
+                           tiebreak: Sequence[str] = (),
+                           alias: str = "arr") -> DataFrame:
+    """groupArrayMovingAvg([window])(value): moving mean counterpart of
+    :func:`group_array_moving_sum`. The reference divides by the WINDOW
+    SIZE even during warm-up (src/AggregateFunctions/
+    AggregateFunctionMovingImpl.h: ``sum / window_size``; with no window
+    parameter, by the total number of rows), so early elements are
+    damped — [1,2,3,4] with window 2 → [0.5, 1.5, 2.5, 3.5]."""
+    out = group_array_moving_sum(df, keys, value_col, order_col,
+                                 window=window, tiebreak=tiebreak,
+                                 alias=alias)
+    div = (F.lit(float(window)) if window is not None
+           else F.size(F.col(alias)).cast("double"))
+    return out.withColumn(alias, F.transform(F.col(alias), lambda x: x / div))

@@ -341,3 +341,10 @@ def interval_length_sum(df: DataFrame, keys: Sequence[str],
     contrib = F.greatest(F.col(end_col) - eff_start, F.lit(0.0))
     return (df.withColumn("__len", contrib)
             .groupBy(*keys).agg(F.sum("__len").alias(alias)))
+
+
+# deltaSumTimestamp(value, ts) (reference
+# src/AggregateFunctions/AggregateFunctionDeltaSumTimestamp.h) exists in
+# the reference only to make merge order explicit — our delta_sum already
+# orders by the timestamp column, so the two coincide.
+delta_sum_timestamp = delta_sum

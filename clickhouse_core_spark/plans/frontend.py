@@ -201,6 +201,14 @@ _PARAMETRIC: dict = {
         f"q -> q._x = v), cast(0.0 AS double), (acc, q) -> acc + q._w) AS neg, v AS val))), "
         f"s -> s.val), 1, {p[0]})"),
     "uniqupto": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    # quantileGK(accuracy)(level)(x) collapses to Spark's Greenwald-Khanna
+    # approx_percentile(x, level, accuracy) — the same sketch family
+    # (reference src/AggregateFunctions/AggregateFunctionGroupArraySorted…
+    # quantileGK.cpp).
+    "quantilegk": lambda p, a: (
+        f"approx_percentile({a[0]}, {p[1] if len(p) > 1 else 0.5}, {p[0]})"),
+    "grouparraysorted": lambda p, a: (
+        f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"),
 }
 
 

@@ -209,3 +209,22 @@ def test_quantile_exact_variants_known_values(spark):
     assert abs(q(0.25, "exclusive") - 1.75) < 1e-9
     # PERCENTILE.INC(0.25): h = 0.25*5+1 = 2.25 -> 2 + 0.25*(3-2) = 2.25
     assert abs(q(0.25, "inclusive") - 2.25) < 1e-9
+
+
+def test_group_array_moving_sum_avg(spark):
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate([1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    from clickhouse_core_spark.operators import (
+        group_array_moving_sum, group_array_moving_avg)
+    ms = group_array_moving_sum(df, ["k"], "v", "ts", window=2).collect()[0]["arr"]
+    assert ms == [1.0, 3.0, 5.0, 7.0]
+    ms_all = group_array_moving_sum(df, ["k"], "v", "ts").collect()[0]["arr"]
+    assert ms_all == [1.0, 3.0, 6.0, 10.0]
+    # reference divides by the window size even during warm-up
+    ma = group_array_moving_avg(df, ["k"], "v", "ts", window=2).collect()[0]["arr"]
+    assert ma == [0.5, 1.5, 2.5, 3.5]
+    ma_all = group_array_moving_avg(df, ["k"], "v", "ts").collect()[0]["arr"]
+    assert ma_all == [0.25, 0.75, 1.5, 2.5]

@@ -233,3 +233,13 @@ def test_with_fill_sql_clause(spark):
     assert [r.slot for r in rows] == [0, 1, 2, 3, 4]
     assert rows[1].n is None and rows[3].n is None  # filled slots
     assert rows[0].n > 0 and rows[2].n > 0
+
+
+def test_quantile_gk_parametric(spark, catalog):
+    from clickhouse_core_spark.plans import ch_sql
+    df = ch_sql(spark, """
+        SELECT l_returnflag, quantileGK(100, 0.5)(l_quantity) AS med
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert all(1 <= r["med"] <= 50 for r in rows)
