@@ -61,6 +61,7 @@ from clickhouse_core_spark.pipeline import (
     exact_dedup, minhash_lsh_dedup, simhash_dedup, ngram_jaccard_pairs,
     cosine_topk, lsh_ann_topk, embedding_near_duplicates,
     with_token_count, with_quality_score, with_language_id, with_fingerprint,
+    with_pii_redacted, with_gopher_signals, benchmark_contamination,
 )
 from clickhouse_core_spark.pipeline.similarity import (
     cosine_similarity, _hyperplanes)
@@ -3219,6 +3220,100 @@ def agg_moving_sum_avg(spark, sf_dir):
                        rnd("moving_sum3").alias("moving_sum3"),
                        rnd("moving_avg3").alias("moving_avg3"))
             .orderBy("user_id"))
+
+
+@q("pipeline_pii_redact", """
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com ip 10.0.' ||
+         (doc_id % 256) || '.7 tel +1-202-555-01' || (doc_id % 89) AS t
+  FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           '\\+\\d{1,3}[-. ]\\d{2,4}[-. ]\\d{3,4}[-. ]\\d{3,4}\\b', '<PHONE>', 'g')
+           AS text_redacted
+FROM synth ORDER BY doc_id
+""")
+def pipeline_pii_redact(spark, sf_dir):
+    """PII scrub pass (emails/IPs/phones -> typed tokens) over a
+    deterministically PII-injected corpus; patterns are the RE2-safe
+    subset so the redaction is engine-portable."""
+    d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    k = F.col("doc_id")
+    synth = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"), k,
+                 F.lit("@example.com ip 10.0."), k % 256,
+                 F.lit(".7 tel +1-202-555-01"), k % 89).alias("text"))
+    return (with_pii_redacted(synth)
+            .select("doc_id", "text_redacted").orderBy("doc_id"))
+
+
+@q("pipeline_gopher_signals", """
+WITH synth AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS t
+  FROM documents WHERE doc_id < 200),
+w AS (
+  SELECT doc_id, t,
+         string_split_regex(trim(t), '\\s+') AS words,
+         string_split(t, chr(10)) AS lines
+  FROM synth)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS gq_n_words,
+       round(CAST(list_sum(list_transform(words, w2 -> CAST(length(w2) AS DOUBLE)))
+             AS DOUBLE) / len(words), 6) AS gq_mean_word_len,
+       round(CAST(len(list_filter(words, w2 -> regexp_matches(w2, '[A-Za-z]')))
+             AS DOUBLE) / len(words), 6) AS gq_alpha_word_frac,
+       round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+           AS gq_dup_line_frac
+FROM w ORDER BY doc_id
+""")
+def pipeline_gopher_signals(spark, sf_dir):
+    """Gopher-style repetition/quality signals (Rae et al. 2021 §A1.1)
+    over a corpus with synthesized line structure."""
+    d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    synth = d.select("doc_id",
+                     F.replace(F.col("text"), F.lit(" table "),
+                               F.lit("\n")).alias("text"))
+    out = with_gopher_signals(synth)
+    return (out.select("doc_id", "gq_n_words",
+                       F.round("gq_mean_word_len", 6).alias("gq_mean_word_len"),
+                       F.round("gq_alpha_word_frac", 6).alias("gq_alpha_word_frac"),
+                       F.round("gq_dup_line_frac", 6).alias("gq_dup_line_frac"))
+            .orderBy("doc_id"))
+
+
+@q("pipeline_contamination", """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+                            ' +') AS t
+  FROM documents),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+3], ' '))) AS sh
+  FROM toks),
+bl AS (
+  SELECT list(DISTINCT s) AS bench FROM (
+    SELECT unnest(sh) AS s FROM shingled WHERE doc_id % 25 = 0))
+SELECT doc_id,
+       round(CAST(len(list_intersect(sh, bench)) AS DOUBLE) / len(sh), 6)
+           AS contamination
+FROM shingled, bl ORDER BY doc_id
+""")
+def pipeline_contamination(spark, sf_dir):
+    """Benchmark n-gram contamination fraction (GPT-3 appendix C-style
+    decontamination): word 4-shingle overlap of every document against
+    a broadcast benchmark shingle set (docs with doc_id % 25 == 0)."""
+    d = _cat(spark, sf_dir).documents
+    bench = d.filter(F.col("doc_id") % 25 == 0).select("text")
+    out = benchmark_contamination(d, bench, shingle_k=4)
+    return (out.select("doc_id",
+                       F.round("contamination", 6).alias("contamination"))
+            .orderBy("doc_id"))
 
 
 # ------------------------------------------------- streaming (batch analog)

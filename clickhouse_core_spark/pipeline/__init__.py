@@ -26,6 +26,9 @@ from clickhouse_core_spark.pipeline.text import (
     with_quality_score,
     with_language_id,
     with_fingerprint,
+    with_pii_redacted,
+    with_gopher_signals,
+    benchmark_contamination,
 )
 
 __all__ = [
@@ -33,5 +36,6 @@ __all__ = [
     "simhash_dedup", "ngram_jaccard_pairs",
     "cosine_topk", "embedding_near_duplicates", "lsh_ann_topk",
     "with_token_count", "with_quality_score", "with_language_id",
-    "with_fingerprint",
+    "with_fingerprint", "with_pii_redacted", "with_gopher_signals",
+    "benchmark_contamination",
 ]

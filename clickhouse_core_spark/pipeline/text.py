@@ -105,3 +105,118 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+", " "))
     return df.withColumn(
         out_col, F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long"))
+
+
+# PII patterns: RE2-compatible subset (no lookaround) so the same
+# pattern strings run identically on Java regex (Spark) and RE2
+# (DuckDB/ripgrep-class engines) — cross-engine portability is part of
+# the redaction contract.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}[-. ]\d{3,4}\b", "<PHONE>"),
+}
+
+
+def with_pii_redacted(df: DataFrame, text_col: str = "text",
+                      out_col: str = "text_redacted",
+                      kinds=("email", "ip", "phone")) -> DataFrame:
+    """Redact PII spans (emails, IPv4s, international-format phones)
+    with typed placeholder tokens — the standard pre-training scrub
+    pass.  A chain of regexp_replace expressions: JVM-side, streaming
+    through codegen, no Python.  Order matters (emails before phones so
+    digit runs inside addresses aren't half-redacted)."""
+    out = F.col(text_col)
+    for kind in kinds:
+        pat, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out)
+
+
+def with_gopher_signals(df: DataFrame, text_col: str = "text",
+                        prefix: str = "gq_") -> DataFrame:
+    """Gopher-style document quality signals (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 repetition/quality filters),
+    computed as pure built-in expressions:
+
+    - ``{prefix}n_words``          tokens
+    - ``{prefix}mean_word_len``    mean token length
+    - ``{prefix}alpha_word_frac``  fraction of tokens containing a letter
+    - ``{prefix}symbol_ratio``     (# of '#' or '...' occurrences) / tokens
+    - ``{prefix}dup_line_frac``    1 - distinct lines / lines
+    - ``{prefix}bullet_line_frac`` fraction of lines starting with a bullet
+
+    Filters (e.g. keep 3 <= mean_word_len <= 10, dup_line_frac < 0.3)
+    stay user-side predicates over these columns.
+    """
+    # regexp strip: F.trim removes only spaces, not newlines/tabs
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    words = F.split(stripped, r"\s+")
+    n_words = F.when(F.length(stripped) == 0, F.lit(0)) \
+        .otherwise(F.size(words)).cast("long")
+    mean_len = F.when(n_words > 0,
+                      F.aggregate(words, F.lit(0.0),
+                                  lambda acc, w: acc + F.length(w))
+                      / n_words).otherwise(F.lit(0.0))
+    alpha_frac = F.when(n_words > 0,
+                        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+                        .cast("double") / n_words).otherwise(F.lit(0.0))
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = F.when(n_words > 0,
+                          (n_hash + n_ellipsis).cast("double") / n_words) \
+        .otherwise(F.lit(0.0))
+    lines = F.split(F.col(text_col), "\n", -1)
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines) \
+        .otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]")))
+        .cast("double") / n_lines).otherwise(F.lit(0.0))
+    return (df.withColumn(f"{prefix}n_words", n_words)
+            .withColumn(f"{prefix}mean_word_len", mean_len)
+            .withColumn(f"{prefix}alpha_word_frac", alpha_frac)
+            .withColumn(f"{prefix}symbol_ratio", symbol_ratio)
+            .withColumn(f"{prefix}dup_line_frac", dup_line_frac)
+            .withColumn(f"{prefix}bullet_line_frac", bullet_frac))
+
+
+def benchmark_contamination(df: DataFrame, bench: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            bench_text_col: str = "text",
+                            shingle_k: int = 4,
+                            out_col: str = "contamination") -> DataFrame:
+    """Benchmark-contamination score: fraction of each document's
+    distinct word ``shingle_k``-shingles that appear anywhere in the
+    benchmark corpus (the n-gram-overlap decontamination check run
+    before training; GPT-3 appendix C / PaLM §7 style).
+
+    Scale shape: documents shingle to 64-bit hashes (one pass, built-in
+    expressions — pipeline.dedup's shingle table); the benchmark's
+    distinct shingle set is collected as a DataFrame and BROADCAST to
+    the probe side (benchmarks are ~10^5-10^7 shingles — dimension-table
+    sized next to a 100 TB corpus), so the probe is a map-side semi
+    join: no shuffle of the corpus.
+    """
+    from .dedup import _shingle_hash_table
+
+    doc_sh = _shingle_hash_table(df, text_col, id_col, shingle_k)
+    bench_set = (_shingle_hash_table(
+        bench.select(F.col(bench_text_col).alias("__bt"),
+                     F.monotonically_increasing_id().alias("__bid")),
+        "__bt", "__bid", shingle_k)
+        .select(F.explode("__shingles").alias("__h")).distinct())
+    probe = doc_sh.select("__id", F.size("__shingles").alias("__n"),
+                          F.explode("__shingles").alias("__h"))
+    hits = (probe.join(F.broadcast(bench_set), on="__h", how="left_semi")
+            .groupBy("__id", "__n").agg(F.count("*").alias("__hits")))
+    frac = (doc_sh.select("__id")
+            .join(hits, on="__id", how="left")
+            .select("__id", (F.coalesce(F.col("__hits"), F.lit(0))
+                             / F.coalesce(F.col("__n"), F.lit(1)))
+                    .alias(out_col)))
+    return df.join(frac, on=df[id_col] == frac["__id"], how="left") \
+        .drop("__id").fillna({out_col: 0.0})

@@ -1,6 +1,7 @@
 """Tests for the training-data pipeline operators (dedup, similarity,
 text, multimodal plumbing)."""
 
+import pytest
 import numpy as np
 
 from pyspark.sql import functions as F
@@ -147,3 +148,48 @@ def test_multimodal_features_and_frames(spark):
     assert len(feats) == 4
     frames = sample_frames(df, every_ms=100).collect()[0].frame_offsets_ms
     assert frames[0] == 0 and len(frames) > 1
+
+
+def test_pii_redaction(spark):
+    from clickhouse_core_spark.pipeline import with_pii_redacted
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "server at 10.0.255.7 port 80"),
+         (3, "call +1-800-555-0199 today"),
+         (4, "clean text, nothing to scrub 1.2 3.4")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["text_redacted"]
+           for r in with_pii_redacted(df).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> port 80"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text, nothing to scrub 1.2 3.4"
+
+
+def test_gopher_signals(spark):
+    from clickhouse_core_spark.pipeline import with_gopher_signals
+    text = "- alpha beta\n- alpha beta\ngamma ### ...\n"
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id int, text string")
+    rows = {r["doc_id"]: r for r in with_gopher_signals(df).collect()}
+    r = rows[1]
+    assert r["gq_n_words"] == 9                           # bullets/symbols count as tokens
+    assert r["gq_dup_line_frac"] == pytest.approx(0.25)   # 4 lines (incl trailing ''), 3 distinct
+    assert r["gq_bullet_line_frac"] == pytest.approx(0.5)
+    assert r["gq_symbol_ratio"] == pytest.approx(4 / 9)   # 3 hashes + 1 ellipsis
+    assert r["gq_alpha_word_frac"] == pytest.approx(5 / 9)
+    assert rows[2]["gq_n_words"] == 0
+    assert rows[2]["gq_mean_word_len"] == 0.0
+
+
+def test_benchmark_contamination(spark):
+    from clickhouse_core_spark.pipeline import benchmark_contamination
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"),      # shares shingles with bench
+         (2, "x y z w q r")],     # disjoint
+        "doc_id int, text string")
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    out = {r["doc_id"]: r["contamination"]
+           for r in benchmark_contamination(docs, bench, shingle_k=4).collect()}
+    # doc1 shingles: abcd bcde cdef; bench: abcd bcde -> 2/3
+    assert out[1] == pytest.approx(2 / 3)
+    assert out[2] == 0.0
