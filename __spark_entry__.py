@@ -3316,6 +3316,30 @@ def pipeline_contamination(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("win_running_neighbor", """
+SELECT user_id, event_id,
+       round(coalesce(value - lag(value) OVER w, 0), 6) AS run_diff,
+       round(coalesce(lead(value, 1) OVER w, -1.0), 6) AS nxt,
+       round(lag(value, 2) OVER w, 6) AS prev2
+FROM events WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+""")
+def win_running_neighbor(spark, sf_dir):
+    """runningDifference / neighbor as explicit-order window ops
+    (reference src/Functions/runningDifference.h, neighbor.cpp — the
+    deprecated block forms, recast on a deterministic window)."""
+    from clickhouse_core_spark.operators.windows import (
+        running_difference, neighbor)
+    ev = _cat(spark, sf_dir).events.filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", "event_id",
+                      F.round(running_difference("value", w), 6).alias("run_diff"),
+                      F.round(neighbor("value", 1, w, -1.0), 6).alias("nxt"),
+                      F.round(neighbor("value", -2, w), 6).alias("prev2"))
+            .orderBy("user_id", "event_id"))
+
+
 # ------------------------------------------------- streaming (batch analog)
 
 @q("stream_tumble_1h", """

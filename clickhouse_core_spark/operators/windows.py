@@ -163,3 +163,26 @@ def exponential_time_decayed_table(df, keys, ts_col, value_col,
                 F.col("__z.__out.s").alias(out_sum),
                 (F.col("__z.__out.s") / F.col("__z.__out.c")).alias(out_avg)))
     return folded
+
+
+def running_difference(value: Column | str, w: WindowSpec) -> Column:
+    """runningDifference(x) (reference src/Functions/runningDifference.h):
+    difference to the previous row, 0 on the first row.  The reference
+    computes this per block (order = insertion order); here the order is
+    the explicit window spec — the deterministic refinement of the same
+    contract (the reference docs themselves deprecate the block form in
+    favor of window functions)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return v - F.lag(v, 1, None).over(w) if False else \
+        F.coalesce(v - F.lag(v).over(w), F.lit(0))
+
+
+def neighbor(value: Column | str, offset: int, w: WindowSpec,
+             default=None) -> Column:
+    """neighbor(x, offset[, default]) (reference
+    src/Functions/neighbor.cpp): the value ``offset`` rows away in the
+    window order; ``default`` (NULL if omitted) past the edge."""
+    v = F.col(value) if isinstance(value, str) else value
+    if offset >= 0:
+        return F.lead(v, offset, default).over(w)
+    return F.lag(v, -offset, default).over(w)

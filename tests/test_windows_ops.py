@@ -62,3 +62,23 @@ def test_lag_lead_in_frame(spark):
            .orderBy("o").collect())
     assert [r.lg for r in out] == [None, 0, 10, 20]
     assert [r.ld for r in out] == [10, 20, 30, None]
+
+
+def test_running_difference_and_neighbor(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from clickhouse_core_spark.operators.windows import (
+        running_difference, neighbor)
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 13.0), (1, 3, 11.0), (2, 1, 5.0)],
+        "k int, i int, v double")
+    w = Window.partitionBy("k").orderBy("i")
+    out = df.select("k", "i", running_difference("v", w).alias("rd"),
+                    neighbor("v", 1, w, -1.0).alias("nxt"),
+                    neighbor("v", -1, w).alias("prv"))
+    rows = {(r["k"], r["i"]): (r["rd"], r["nxt"], r["prv"])
+            for r in out.collect()}
+    assert rows[(1, 1)] == (0.0, 13.0, None)
+    assert rows[(1, 2)] == (3.0, 11.0, 10.0)
+    assert rows[(1, 3)] == (-2.0, -1.0, 13.0)
+    assert rows[(2, 1)] == (0.0, -1.0, None)
