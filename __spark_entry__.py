@@ -3689,6 +3689,35 @@ def source_csv_roundtrip_q(spark, sf_dir):
             .orderBy("n_nationkey"))
 
 
+@q("source_jdbc_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_jdbc_roundtrip_q(spark, sf_dir):
+    """External-DB engine path (reference
+    src/Storages/registerStorages.cpp:60-100, StorageMySQL.h analog):
+    write nation into an embedded Derby database over spark JDBC, read
+    it back through :func:`external_table` — a REAL end-to-end JDBC
+    source (Derby's driver ships with Spark), value-checked against the
+    original table.  MySQL/Postgres/SQLite differ only in driver jar and
+    URL scheme (the jdbc_options translation, pinned by pytest)."""
+    import os as _os
+    import re as _re
+    from clickhouse_core_spark.sources import external_table
+    slug = _re.sub(r"\W+", "_", sf_dir)
+    db = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                       "spark-warehouse", f"derby_rt{slug}")
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    (nat.write.format("jdbc")
+     .option("url", f"jdbc:derby:{db};create=true")
+     .option("dbtable", "nation_rt").option("driver", driver)
+     .mode("overwrite").save())
+    return (external_table(spark, "JDBC", url=f"jdbc:derby:{db}",
+                           table="nation_rt", driver=driver)
+            .orderBy("n_nationkey"))
+
+
 # ------------------------------------- CH-SQL clause surface (frontend)
 
 @q("ch_sql_prewhere_qualify", """

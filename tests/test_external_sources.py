@@ -112,3 +112,20 @@ def test_file_queue_source_streams_new_files(spark, tmp_path):
     q.awaitTermination(60)
     rows = sorted(tuple(r) for r in spark.sql("SELECT * FROM file_queue_t").collect())
     assert rows == [(1, "one"), (2, "two")]
+
+
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    """Real end-to-end JDBC read: Spark bundles the Derby embedded
+    driver, so the external_table path runs against an actual database
+    (not just option translation)."""
+    from clickhouse_core_spark.sources import external_table
+    db = str(tmp_path / "derby_db")
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(10).selectExpr("id", "CAST(id * 1.5 AS DOUBLE) AS v")
+    (df.write.format("jdbc").option("url", f"jdbc:derby:{db};create=true")
+     .option("dbtable", "t_rt").option("driver", driver)
+     .mode("overwrite").save())
+    back = external_table(spark, "JDBC", url=f"jdbc:derby:{db}",
+                          table="t_rt", driver=driver)
+    rows = sorted((r["id"], r["v"]) for r in back.collect())
+    assert rows == [(i, i * 1.5) for i in range(10)]
