@@ -33,6 +33,7 @@ from clickhouse_core_spark.operators import (
     rollup_states, merge_states, Dictionary, range_join,
     agg_if, agg_or_default, agg_resample,
     group_array_moving_sum, group_array_moving_avg,
+    group_array_sample,
 )
 from clickhouse_core_spark.operators.aggregates import (
     limit_with_ties, sum_map, top_k_weighted, bitmap_cardinalities,
@@ -3220,6 +3221,24 @@ def agg_moving_sum_avg(spark, sf_dir):
                        rnd("moving_sum3").alias("moving_sum3"),
                        rnd("moving_avg3").alias("moving_avg3"))
             .orderBy("user_id"))
+
+
+@q("agg_group_array_sample", """
+WITH b AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+         md5('7|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)) AS hh
+  FROM lineitem)
+SELECT l_returnflag, (array_agg(v ORDER BY hh, v))[1:5] AS sample5
+FROM b GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_group_array_sample_q(spark, sf_dir):
+    """groupArraySample(5, 7) — deterministic md5-draw refinement of the
+    reference's reservoir (AggregateFunctionGroupArray.h Sample)."""
+    li = _cat(spark, sf_dir).lineitem.select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("v"))
+    return (group_array_sample(li, ["l_returnflag"], "v", 5, seed=7,
+                               alias="sample5")
+            .orderBy("l_returnflag"))
 
 
 @q("pipeline_pii_redact", """

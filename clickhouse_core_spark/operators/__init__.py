@@ -22,6 +22,7 @@ from clickhouse_core_spark.operators.aggregates import (
     sparkbar,
     group_array_insert_at,
     group_array_sorted,
+    group_array_sample,
     group_array_moving_sum,
     group_array_moving_avg,
     group_array_intersect,
@@ -93,6 +94,7 @@ __all__ = [
     "limit_by", "top_k", "with_totals", "group_array", "histogram",
     "sparkbar", "group_array_insert_at", "group_array_sorted",
     "group_array_moving_sum", "group_array_moving_avg",
+    "group_array_sample",
     "group_array_intersect", "single_value_or_null", "sum_count", "any_heavy",
     "contingency", "cramers_v_bias_corrected", "anova",
     "categorical_information_value", "min_map", "max_map",

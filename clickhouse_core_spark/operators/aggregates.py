@@ -458,3 +458,24 @@ def group_array_moving_avg(df: DataFrame, keys: Sequence[str],
     div = (F.lit(float(window)) if window is not None
            else F.size(F.col(alias)).cast("double"))
     return out.withColumn(alias, F.transform(F.col(alias), lambda x: x / div))
+
+
+def group_array_sample(df: DataFrame, keys: Sequence[str], value_col: str,
+                       max_size: int, seed: int = 123456,
+                       alias: str = "arr") -> DataFrame:
+    """groupArraySample(max_size[, seed])(value) (reference
+    src/AggregateFunctions/AggregateFunctionGroupArray.h, Sample
+    variant): up to ``max_size`` values drawn pseudo-randomly per group.
+
+    The reference's reservoir depends on row arrival order; our
+    deterministic refinement keeps the ``max_size`` values with the
+    smallest md5(seed || value) — a uniform, engine-portable draw (md5
+    rather than an engine-private hash so an external system — or the
+    DuckDB oracle — reproduces the exact sample)."""
+    keyed = F.array_sort(F.collect_list(F.struct(
+        F.md5(F.concat_ws("|", F.lit(str(seed)),
+                          F.col(value_col).cast("string"))).alias("__h"),
+        F.col(value_col).alias("__v"))))
+    return (df.groupBy(*keys)
+            .agg(F.transform(F.slice(keyed, 1, max_size),
+                             lambda s: s["__v"]).alias(alias)))
