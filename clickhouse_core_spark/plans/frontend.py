@@ -175,6 +175,9 @@ _RULES: dict = {
     "grouparrayarray": lambda a: f"flatten(collect_list({a[0]}))",
     "groupbitand": _fn("bit_and"), "groupbitor": _fn("bit_or"),
     "groupbitxor": _fn("bit_xor"),
+    # sumKahan: Spark's double sum; the compensation term is an accuracy
+    # nicety below the engine contract's tolerance (AggregateFunctionSumKahan)
+    "sumkahan": _fn("sum"),
     # misc
     "generateuuidv4": lambda a: "uuid()",
     "materialize": lambda a: a[0], "identity": lambda a: a[0],

@@ -1,0 +1,98 @@
+"""Quantile variant edge cases: timing buckets, bfloat16 truncation,
+deterministic reservoir, interpolated-weighted boundaries."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.operators import (
+    quantile_timing,
+    quantile_bfloat16,
+    bfloat16_expr,
+    quantile_deterministic,
+    quantile_interpolated_weighted,
+)
+
+
+def _one(df, alias="q"):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0][alias]
+
+
+def test_timing_small_exact(spark):
+    # values < 1024 are counted exactly: median of 1..101 is 51
+    df = spark.range(1, 102).select(F.lit("k").alias("k"),
+                                    F.col("id").alias("v"))
+    assert _one(quantile_timing(df, ["k"], "v", 0.5)) == 51
+
+
+def test_timing_big_bucket_midpoint(spark):
+    # 2000 falls in bucket floor((2000-1024)/16)=61 -> 1024+61*16+8 = 2008
+    df = spark.createDataFrame([("k", 2000)] * 5, "k string, v int")
+    assert _one(quantile_timing(df, ["k"], "v", 0.5)) == 1024 + 61 * 16 + 8
+
+
+def test_timing_clamps_at_30000(spark):
+    df = spark.createDataFrame([("k", 50_000), ("k", 99_999), ("k", 1)],
+                               "k string, v int")
+    assert _one(quantile_timing(df, ["k"], "v", 0.9)) == 30000
+
+
+def test_bfloat16_truncation_values(spark):
+    # 1.0 and powers of two are exact in bfloat16; 1/3 truncates to
+    # 0.33203125 = 85/256 (7 mantissa bits, toward zero)
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (1.0 / 3.0,), (0.0,), (-1.0 / 3.0,)],
+        "v double")
+    out = {r["v"]: r["b"] for r in
+           df.select("v", bfloat16_expr("v").alias("b")).collect()}
+    assert out[1.0] == 1.0 and out[2.0] == 2.0 and out[0.0] == 0.0
+    assert out[1.0 / 3.0] == pytest.approx(85 / 256, abs=0)
+    assert out[-1.0 / 3.0] == pytest.approx(-85 / 256, abs=0)
+
+
+def test_bfloat16_quantile_weighted(spark):
+    df = spark.createDataFrame([("k", 1.0, 1), ("k", 2.0, 10)],
+                               "k string, v double, w int")
+    assert _one(quantile_bfloat16(df, ["k"], "v", 0.5, weight_col="w")) == 2.0
+
+
+def test_deterministic_small_group_interpolates(spark):
+    # n=4, level 0.5 -> index 1.5 -> midpoint of 2nd and 3rd
+    df = spark.createDataFrame([("k", v, v) for v in [10, 20, 30, 40]],
+                               "k string, v int, det int")
+    assert _one(quantile_deterministic(df, ["k"], "v", "det", 0.5)) == 25.0
+
+
+def test_deterministic_sampling_bound(spark):
+    # with max_samples=2 only 2 rows survive; same determinator set ->
+    # same sample -> stable result across runs
+    df = spark.createDataFrame([("k", v, v) for v in range(100)],
+                               "k string, v int, det int")
+    a = _one(quantile_deterministic(df, ["k"], "v", "det", 0.5, max_samples=2))
+    b = _one(quantile_deterministic(df, ["k"], "v", "det", 0.5, max_samples=2))
+    assert a == b and not math.isnan(a)
+
+
+def test_interp_weighted_uniform_matches_reference_formula(spark):
+    # values 1..10, weight 1: x_i = (i - 0.5)/10; level 0.33 sits
+    # between x_3=0.25 and x_4=0.35 -> 3 + (0.33-0.25)/0.1 = 3.8
+    df = spark.createDataFrame([("k", v, 1) for v in range(1, 11)],
+                               "k string, v int, w int")
+    assert _one(quantile_interpolated_weighted(df, ["k"], "v", "w", 0.33)) \
+        == pytest.approx(3.8)
+
+
+def test_interp_weighted_flat_extrapolation(spark):
+    df = spark.createDataFrame([("k", 5, 1), ("k", 7, 1)],
+                               "k string, v int, w int")
+    # level below x_0=0.25 -> first value; above x_1=0.75 -> last value
+    assert _one(quantile_interpolated_weighted(df, ["k"], "v", "w", 0.01)) == 5.0
+    assert _one(quantile_interpolated_weighted(df, ["k"], "v", "w", 0.99)) == 7.0
+
+
+def test_interp_weighted_single_value(spark):
+    df = spark.createDataFrame([("k", 42, 3)], "k string, v int, w int")
+    assert _one(quantile_interpolated_weighted(df, ["k"], "v", "w", 0.5)) == 42.0
