@@ -3381,6 +3381,100 @@ def agg_bitwise_uniq_any_q(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("fn_vector_math", """
+SELECT vec_id,
+       round(list_sum(list_transform(list_zip(embedding, embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS dot_self,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       round(list_sum(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
+       round(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))), 4) AS linf_norm,
+       round(list_sum(list_transform(list_zip(embedding, list_reverse(embedding)),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), 4) AS l2sq_rev
+FROM embeddings WHERE vec_id < 100 ORDER BY vec_id
+""")
+def fn_vector_math_q(spark, sf_dir):
+    """Vector math family (reference src/Functions/array/arrayDistance.cpp):
+    dotProduct, L2Norm, L1Norm, LinfNorm, L2SquaredDistance as pure
+    zip_with/aggregate expressions — the same JVM-side shape the ANN
+    operators use."""
+    e = _cat(spark, sf_dir).embeddings
+    emb, rev = F.col("embedding"), F.reverse(F.col("embedding"))
+    return (e.filter(F.col("vec_id") < 100)
+            .select("vec_id",
+                    F.round(ch.dotProduct(emb, emb), 4).alias("dot_self"),
+                    F.round(ch.L2Norm(emb), 4).alias("l2_norm"),
+                    F.round(ch.L1Norm(emb), 4).alias("l1_norm"),
+                    F.round(ch.LinfNorm(emb), 4).alias("linf_norm"),
+                    F.round(ch.L2SquaredDistance(emb, rev), 4).alias("l2sq_rev"))
+            .orderBy("vec_id"))
+
+
+@q("fn_text_hash_ngram", """
+WITH g AS (
+  SELECT p_partkey, p_name, p_type,
+         list_transform(range(1, GREATEST(len(p_name) - 2, 0) + 1),
+                        i -> substr(p_name, CAST(i AS INT), 4)) AS ga,
+         list_transform(range(1, GREATEST(len(p_type) - 2, 0) + 1),
+                        i -> substr(p_type, CAST(i AS INT), 4)) AS gb
+  FROM part WHERE p_partkey < 300)
+SELECT p_partkey,
+       CAST(CASE WHEN jh >= 2147483648 THEN jh - 4294967296 ELSE jh END AS INT) AS java_h,
+       round(CASE WHEN len(ga) + len(gb) = 0 THEN 0.0
+             ELSE 1.0 - 2.0 * CAST(list_sum(list_transform(list_distinct(ga),
+                  g2 -> LEAST(len(list_filter(ga, x -> x = g2)),
+                              len(list_filter(gb, x -> x = g2))))) AS DOUBLE)
+                  / (len(ga) + len(gb)) END, 6) AS ngram_dist,
+       CAST(len(list_filter(string_split_regex(p_name, '[^A-Za-z]+'),
+                            x -> x != '')) AS INT) AS n_alpha
+FROM (SELECT *, list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, len(p_name) + 1),
+                             i -> CAST(ascii(substr(p_name, CAST(i AS INT), 1)) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 4294967296) AS jh
+      FROM g)
+ORDER BY p_partkey
+""")
+def fn_text_hash_ngram_q(spark, sf_dir):
+    """javaHash (FunctionsHashing.h JavaHashImpl), ngramDistance
+    (FunctionsStringSimilarity.cpp) and alphaTokens
+    (src/Functions/alphaTokens.cpp) over part names."""
+    p = _cat(spark, sf_dir).part
+    return (p.filter(F.col("p_partkey") < 300)
+            .select("p_partkey",
+                    ch.javaHash(F.col("p_name")).alias("java_h"),
+                    F.round(ch.ngramDistance(F.col("p_name"),
+                                             F.col("p_type")), 6)
+                    .alias("ngram_dist"),
+                    F.size(ch.alphaTokens(F.col("p_name"))).cast("int")
+                    .alias("n_alpha"))
+            .orderBy("p_partkey"))
+
+
+@q("fn_time_slots", """
+WITH t AS (SELECT event_id, ts,
+                  CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) AS t0
+           FROM events WHERE event_id < 300)
+SELECT event_id,
+       t0 AS first_slot,
+       CAST(floor((epoch(ts) + 3600 - t0) / 1800) + 1 AS INT) AS n_slots
+FROM t ORDER BY event_id
+""")
+def fn_time_slots_q(spark, sf_dir):
+    """timeSlots(ts, 3600) (src/Functions/timeSlots.cpp): slot starts
+    covering [ts, ts+1h] at the default 1800 s granularity."""
+    ev = _cat(spark, sf_dir).events
+    slots = ch.timeSlots(F.col("ts"), 3600)
+    return (ev.filter(F.col("event_id") < 300)
+            .select("event_id",
+                    F.unix_timestamp(F.element_at(slots, 1)).alias("first_slot"),
+                    F.size(slots).cast("int").alias("n_slots"))
+            .orderBy("event_id"))
+
+
 @q("pipeline_pii_redact", """
 WITH synth AS (
   SELECT doc_id,

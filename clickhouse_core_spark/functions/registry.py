@@ -1059,10 +1059,213 @@ _MISC2 = {
 }
 
 
+# ------------------------------------------------- breadth: vector math
+# Reference: src/Functions/array/arrayDistance.cpp (L1/L2/Linf/Lp
+# distances and norms over arrays), src/Functions/array/arrayAUC.cpp.
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(_c(a), _c(b),
+                                  lambda x, y: x.cast("double") * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _lp_norm(a, p) -> Column:
+    pw = F.lit(p).cast("double") if not isinstance(p, Column) else p
+    return F.pow(F.aggregate(_c(a), F.lit(0.0),
+                             lambda acc, x: acc + F.pow(F.abs(x.cast("double")), pw)),
+                 1.0 / pw)
+
+
+def _l2_norm(a) -> Column:
+    return F.sqrt(F.aggregate(_c(a), F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x))
+
+
+def _array_roc_auc(scores, labels) -> Column:
+    """arrayROCAUC(scores, labels) (src/Functions/array/arrayAUC.cpp:131):
+    trapezoid area under the ROC curve == Mann-Whitney rank statistic
+    with average ranks on tied scores: (R+ - P(P+1)/2) / (P*N)."""
+    s, lab = _c(scores), _c(labels)
+    pos = F.size(F.filter(lab, lambda x: x > 0)).cast("double")
+    neg = F.size(lab).cast("double") - pos
+    ranks = F.transform(s, lambda x: (
+        F.size(F.filter(s, lambda y: y < x))
+        + F.size(F.filter(s, lambda y: y <= x)) + 1).cast("double") / 2.0)
+    pos_rank_sum = F.aggregate(
+        F.zip_with(ranks, lab,
+                   lambda r, m: F.when(m > 0, r).otherwise(F.lit(0.0))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return F.when((pos > 0) & (neg > 0),
+                  (pos_rank_sum - pos * (pos + 1) / 2.0) / (pos * neg))
+
+
+_VEC = {
+    "dotProduct": _dot,
+    "scalarProduct": _dot,
+    "L2SquaredDistance": lambda a, b: F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v.cast("double")),
+    "LpDistance": lambda a, b, p: _lp_norm(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") - y), p),
+    "L1Norm": lambda a: F.aggregate(
+        _c(a), F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))),
+    "L2Norm": _l2_norm,
+    "L2SquaredNorm": lambda a: F.aggregate(
+        _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x),
+    "LinfNorm": lambda a: F.array_max(
+        F.transform(_c(a), lambda x: F.abs(x.cast("double")))),
+    "LpNorm": lambda a, p: _lp_norm(a, p),
+    "L1Normalize": lambda a: F.transform(
+        _c(a), lambda x: x.cast("double") / F.aggregate(
+            _c(a), F.lit(0.0), lambda acc, y: acc + F.abs(y.cast("double")))),
+    "L2Normalize": lambda a: F.transform(
+        _c(a), lambda x: x.cast("double") / _l2_norm(a)),
+    "arrayROCAUC": _array_roc_auc,
+    "arrayAUC": _array_roc_auc,    # pre-rename alias (arrayAUC.cpp:531)
+}
+
+# ---------------------------------------- breadth: misc long tail (3)
+# Reference: FunctionsStringSimilarity.cpp (ngramDistance),
+# src/Functions/visitParamExtract* -> simpleJSON* family,
+# src/Functions/dateName.cpp, timeSlots.cpp, FunctionsAES,
+# src/Functions/array/arrayRandomSample.cpp, FunctionsHashing.h
+# (javaHash/hiveHash).
+
+
+def _char_ngrams(s, n: int = 4) -> Column:
+    s = _c(s)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
+        lambda i: F.substring(s, i, n))
+
+
+def _ngram_distance(a, b) -> Column:
+    """ngramDistance(a, b) (FunctionsStringSimilarity.cpp:296-303):
+    symmetric difference of 4-gram multisets over the total count —
+    1 - 2*common/(n1+n2).  The reference counts hashed grams (CRC-based,
+    collisions fold); we count the grams themselves, which is the
+    collision-free limit of the same metric."""
+    ga, gb = _char_ngrams(a), _char_ngrams(b)
+    na, nb = F.size(ga), F.size(gb)
+    common = F.aggregate(
+        F.array_distinct(ga), F.lit(0),
+        lambda acc, g: acc + F.least(
+            F.size(F.filter(ga, lambda x: x == g)),
+            F.size(F.filter(gb, lambda x: x == g))))
+    return F.when(na + nb == 0, F.lit(0.0)).otherwise(
+        1.0 - 2.0 * common.cast("double") / (na + nb))
+
+
+_DATE_NAME_PART = {
+    "year": "yyyy", "month": "MMMM", "weekday": "EEEE", "day": "d",
+    "hour": "H", "minute": "m", "second": "s",
+}
+
+
+def _date_name(part, d) -> Column:
+    if not isinstance(part, str):
+        raise ValueError("dateName: part must be a literal string")
+    p = part.lower()
+    if p in _DATE_NAME_PART:
+        return F.date_format(_c(d), _DATE_NAME_PART[p])
+    if p == "quarter":
+        return F.quarter(_c(d)).cast("string")
+    if p == "week":
+        return F.weekofyear(_c(d)).cast("string")
+    if p == "dayofyear":
+        return F.dayofyear(_c(d)).cast("string")
+    raise ValueError(f"dateName: unsupported part {part!r}")
+
+
+def _time_slots(start, duration, size=1800) -> Column:
+    """timeSlots(t, duration[, size]) (src/Functions/timeSlots.cpp):
+    slot starts (t rounded down to size) covering [t, t+duration]."""
+    t0 = F.floor(F.unix_timestamp(_c(start)) / _c(size)) * _c(size)
+    return F.transform(
+        F.sequence(t0.cast("long"),
+                   (F.unix_timestamp(_c(start)) + _c(duration)).cast("long"),
+                   _c(size).cast("long")),
+        F.timestamp_seconds)
+
+
+_AES_MODE = {"aes-128-ecb": "ECB", "aes-192-ecb": "ECB", "aes-256-ecb": "ECB",
+             "aes-128-gcm": "GCM", "aes-192-gcm": "GCM", "aes-256-gcm": "GCM",
+             "aes-128-cbc": "CBC", "aes-192-cbc": "CBC", "aes-256-cbc": "CBC"}
+
+
+def _aes(fn, mode, data, key, iv=None):
+    if not isinstance(mode, str) or mode.lower() not in _AES_MODE:
+        raise ValueError(f"encrypt/decrypt: unsupported mode {mode!r}")
+    m = F.lit(_AES_MODE[mode.lower()])
+    pad = F.lit("DEFAULT")
+    if iv is not None:
+        return fn(_c(data), _c(key), m, pad, _c(iv))
+    return fn(_c(data), _c(key), m, pad)
+
+
+def _java_hash(s) -> Column:
+    """javaHash(s) (FunctionsHashing.h JavaHashImpl): s[0]*31^(n-1)+...
+    over UTF-16 code units, 32-bit wrap.  ascii() reads code points, so
+    the contract here is exact for BMP text (the common case); surrogate
+    pairs diverge."""
+    s = _c(s)
+    acc = F.aggregate(
+        F.sequence(F.lit(1), F.length(s)),
+        F.lit(0).cast("long"),
+        lambda a, i: F.pmod(a * 31 + F.ascii(F.substring(s, i, 1)),
+                            F.lit(4294967296).cast("long")))
+    signed = F.when(acc >= 2147483648, acc - 4294967296).otherwise(acc)
+    # sequence(1, 0) would count down; empty input is hash 0
+    return F.when(F.length(s) == 0, F.lit(0)).otherwise(signed).cast("int")
+
+
+_MISC3 = {
+    "ngramDistance": _ngram_distance,
+    "ngramSearch": lambda a, b: 1.0 - _ngram_distance(a, b),
+    "alphaTokens": lambda s: F.filter(
+        F.split(_c(s), "[^A-Za-z]+"), lambda t: t != ""),
+    "splitByNonAlpha": lambda s: F.filter(
+        F.split(_c(s), r"[\s\p{Punct}]+"), lambda t: t != ""),
+    "dateName": _date_name,
+    "timeSlots": _time_slots,
+    "encrypt": lambda mode, d, k, iv=None: _aes(F.aes_encrypt, mode, d, k, iv),
+    "decrypt": lambda mode, d, k, iv=None: _aes(F.aes_decrypt, mode, d, k, iv),
+    "tryDecrypt": lambda mode, d, k, iv=None: _aes(F.try_aes_decrypt, mode, d, k, iv),
+    "aesEncryptMysql": lambda mode, d, k: _aes(F.aes_encrypt, mode, d, k),
+    "aesDecryptMysql": lambda mode, d, k: _aes(F.aes_decrypt, mode, d, k),
+    "randExponential": lambda lam: -F.log(F.lit(1.0) - F.rand()) / _c(lam),
+    "simpleJSONExtractString": lambda j, k: F.get_json_object(
+        _c(j), F.format_string("$.%s", _c(k)) if isinstance(k, Column) else f"$.{k}"),
+    "simpleJSONExtractRaw": lambda j, k: F.get_json_object(_c(j), f"$.{k}"),
+    "simpleJSONExtractInt": lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("long"),
+    "simpleJSONExtractFloat": lambda j, k: F.get_json_object(_c(j), f"$.{k}").cast("double"),
+    "simpleJSONExtractBool": lambda j, k: (
+        F.get_json_object(_c(j), f"$.{k}") == "true").cast("int"),
+    "simpleJSONHas": lambda j, k: F.get_json_object(_c(j), f"$.{k}").isNotNull().cast("int"),
+    "visitParamExtractString": lambda j, k: F.get_json_object(_c(j), f"$.{k}"),
+    "visitParamExtractRaw": lambda j, k: F.get_json_object(_c(j), f"$.{k}"),
+    "visitParamHas": lambda j, k: F.get_json_object(_c(j), f"$.{k}").isNotNull().cast("int"),
+    "JSONExtractKeysAndValues": lambda j: F.map_entries(
+        F.from_json(_c(j), "map<string,string>")),
+    "JSONExtractValues": lambda j: F.map_values(
+        F.from_json(_c(j), "map<string,string>")),
+    # deterministic md5-draw refinement of the reference's PRNG sample
+    # (arrayRandomSample.cpp) — same contract as groupArraySample
+    "arrayRandomSample": lambda a, k: F.transform(
+        F.slice(F.array_sort(F.transform(
+            _c(a), lambda x: F.struct(F.md5(x.cast("string")).alias("h"),
+                                      x.alias("v")))), 1, _c(k)),
+        lambda s: s["v"]),
+    "javaHash": _java_hash,
+    "hiveHash": lambda s: _java_hash(s).cast("long").bitwiseAND(0x7FFFFFFF).cast("int"),
+}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _MISC2):
+            _CONV2, _MISC2, _VEC, _MISC3):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -160,3 +160,43 @@ def test_bit_conv_misc_breadth(spark):
     assert one(spark, f["ifNotFinite"](float("inf"), -1.0)) == -1.0
     assert one(spark, f["nanToNull"](float("nan"))) is None
     assert one(spark, ch.arrayProduct(F.array(F.lit(2), F.lit(5)))) == 10.0
+
+
+def test_vector_math_breadth(spark):
+    f = CH_FUNCTIONS
+    a = F.array(F.lit(3.0), F.lit(4.0))
+    b = F.array(F.lit(1.0), F.lit(1.0))
+    assert one(spark, f["dotProduct"](a, b)) == 7.0
+    assert one(spark, f["L2SquaredDistance"](a, b)) == 13.0
+    assert one(spark, f["L2Norm"](a)) == 5.0
+    assert one(spark, f["L1Norm"](a)) == 7.0
+    assert one(spark, f["LinfNorm"](a)) == 4.0
+    assert one(spark, f["LpNorm"](a, 2.0)) == pytest.approx(5.0)
+    assert one(spark, f["L2Normalize"](a)) == [0.6, 0.8]
+    # reference docstring example: arrayROCAUC([0.1,0.4,0.35,0.8],[0,0,1,1]) = 0.75
+    s = F.array(*[F.lit(x) for x in [0.1, 0.4, 0.35, 0.8]])
+    lab = F.array(*[F.lit(x) for x in [0, 0, 1, 1]])
+    assert one(spark, f["arrayROCAUC"](s, lab)) == pytest.approx(0.75)
+
+
+def test_misc_longtail_breadth(spark):
+    f = CH_FUNCTIONS
+    assert one(spark, f["javaHash"]("abc")) == 96354         # Java "abc".hashCode()
+    assert one(spark, f["javaHash"]("")) == 0
+    assert one(spark, f["hiveHash"]("abc")) == 96354
+    assert one(spark, f["ngramDistance"]("abcd", "abcd")) == 0.0
+    assert one(spark, f["ngramDistance"]("abcdef", "uvwxyz")) == 1.0
+    assert one(spark, f["alphaTokens"]("ab1cd--ef")) == ["ab", "cd", "ef"]
+    assert one(spark, f["dateName"]("month", F.lit("2021-04-05").cast("date"))) == "April"
+    assert one(spark, f["simpleJSONExtractInt"]('{"a": 7}', "a")) == 7
+    assert one(spark, f["simpleJSONHas"]('{"a": 7}', "b")) == 0
+    key = "0123456789abcdef0123456789abcdef"
+    enc = f["encrypt"]("aes-256-ecb", F.lit("secret"), F.lit(key))
+    assert one(spark, f["decrypt"]("aes-256-ecb", enc, F.lit(key)).cast("string")) == "secret"
+    # deterministic draw: same input -> same sample
+    arr = F.array(*[F.lit(i) for i in range(10)])
+    assert one(spark, f["arrayRandomSample"](arr, 3)) == one(
+        spark, f["arrayRandomSample"](arr, 3))
+    assert one(spark, f["randExponential"](2.0)) >= 0.0
+    slots = f["timeSlots"](F.lit("2021-01-01 10:05:00").cast("timestamp"), 3700)
+    assert one(spark, F.size(slots)) == 3
