@@ -1230,10 +1230,14 @@ _MISC3 = {
     "dateName": _date_name,
     "timeSlots": _time_slots,
     "encrypt": lambda mode, d, k, iv=None: _aes(F.aes_encrypt, mode, d, k, iv),
-    "decrypt": lambda mode, d, k, iv=None: _aes(F.aes_decrypt, mode, d, k, iv),
-    "tryDecrypt": lambda mode, d, k, iv=None: _aes(F.try_aes_decrypt, mode, d, k, iv),
+    # reference decrypt returns String (FunctionsAES.cpp), not binary
+    "decrypt": lambda mode, d, k, iv=None: _aes(
+        F.aes_decrypt, mode, d, k, iv).cast("string"),
+    "tryDecrypt": lambda mode, d, k, iv=None: _aes(
+        F.try_aes_decrypt, mode, d, k, iv).cast("string"),
     "aesEncryptMysql": lambda mode, d, k: _aes(F.aes_encrypt, mode, d, k),
-    "aesDecryptMysql": lambda mode, d, k: _aes(F.aes_decrypt, mode, d, k),
+    "aesDecryptMysql": lambda mode, d, k: _aes(
+        F.aes_decrypt, mode, d, k).cast("string"),
     "randExponential": lambda lam: -F.log(F.lit(1.0) - F.rand()) / _c(lam),
     "simpleJSONExtractString": lambda j, k: F.get_json_object(
         _c(j), F.format_string("$.%s", _c(k)) if isinstance(k, Column) else f"$.{k}"),
