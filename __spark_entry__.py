@@ -1419,20 +1419,20 @@ def interval_length_q(spark, sf_dir):
 
 
 @q("agg_sum_map", """
-WITH s AS (SELECT user_id, event_type AS k, sum(value) AS v
-           FROM events GROUP BY user_id, event_type)
-SELECT user_id, list(k ORDER BY k) AS ks, list(v ORDER BY k) AS vs
-FROM s GROUP BY user_id ORDER BY user_id
+SELECT user_id, event_type AS k, round(sum(value), 6) AS v
+FROM events GROUP BY user_id, event_type ORDER BY user_id, k
 """)
 def agg_sum_map_q(spark, sf_dir):
+    """sumMap (reference AggregateFunctionSumMap.h) — the map result is
+    exploded to scalar (key, value) rows so the driver's hash comparator
+    can grade it (arrays are unhashable in its pandas factorize path)."""
     ev = _cat(spark, sf_dir).events
     mapped = ev.select("user_id",
                        F.create_map(F.col("event_type"), F.col("value")).alias("m"))
     summed = sum_map(mapped, ["user_id"], "m", alias="sm")
-    return (summed.select("user_id",
-                          F.map_keys("sm").alias("ks"),
-                          F.map_values("sm").alias("vs"))
-            .orderBy("user_id"))
+    return (summed.select("user_id", F.explode("sm").alias("k", "v"))
+            .select("user_id", "k", F.round("v", 6).alias("v"))
+            .orderBy("user_id", "k"))
 
 
 @q("agg_topk_array", """
@@ -1442,13 +1442,16 @@ ranked AS (
   SELECT user_id, event_type, row_number() OVER (
     PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rk
   FROM counted)
-SELECT user_id, list(event_type ORDER BY rk) AS topk
-FROM ranked WHERE rk <= 2 GROUP BY user_id ORDER BY user_id
+SELECT user_id, CAST(rk - 1 AS INT) AS pos, event_type AS topk
+FROM ranked WHERE rk <= 2 ORDER BY user_id, pos
 """)
 def agg_topk_array_q(spark, sf_dir):
+    """topK (reference AggregateFunctionTopK.cpp) — positions exploded
+    to scalar rows for the driver's hash comparator."""
     ev = _cat(spark, sf_dir).events
     return (top_k(ev, ["user_id"], "event_type", k=2)
-            .select("user_id", "topk").orderBy("user_id"))
+            .select("user_id", F.posexplode("topk").alias("pos", "topk"))
+            .orderBy("user_id", "pos"))
 
 
 @q("agg_combinators", """
@@ -2749,8 +2752,9 @@ WITH m AS (SELECT user_id, event_type AS k, sum(value) AS v
            FROM events GROUP BY user_id, event_type),
 agg AS (SELECT user_id, list(k ORDER BY k) AS ks, list(v ORDER BY k) AS vs
         FROM m GROUP BY user_id)
-SELECT user_id, ks,
-       list_transform(vs, x -> round(x * 2, 6)) AS doubled,
+SELECT user_id, array_to_string(ks, ',') AS ks,
+       array_to_string(list_transform(vs,
+           x -> CAST(round(x * 2, 6) AS VARCHAR)), ',') AS doubled,
        CAST(len(ks) AS INT) AS n_keys,
        round(vs[1], 6) AS first_v
 FROM agg ORDER BY user_id
@@ -2758,7 +2762,8 @@ FROM agg ORDER BY user_id
 def fn_ch_map_tuple_q(spark, sf_dir):
     """Map construction + transform_values + element access (reference
     src/Functions/map.cpp / FunctionsMapMiscellaneous) — emitted as
-    sorted key/value arrays for hash comparison."""
+    comma-joined sorted key/value strings so the driver hasher can
+    grade scalar cells."""
     ev = _cat(spark, sf_dir).events
     summed = (ev.groupBy("user_id", "event_type")
               .agg(F.sum("value").alias("v")))
@@ -2768,8 +2773,10 @@ def fn_ch_map_tuple_q(spark, sf_dir):
                   .alias("m")))
     doubled = F.transform_values("m", lambda k, v: F.round(v * 2, 6))
     return (mapped.select("user_id",
-                          F.map_keys("m").alias("ks"),
-                          F.map_values(doubled).alias("doubled"),
+                          F.array_join(F.map_keys("m"), ",").alias("ks"),
+                          F.array_join(F.transform(
+                              F.map_values(doubled),
+                              lambda x: x.cast("string")), ",").alias("doubled"),
                           F.size(F.map_keys("m")).cast("int").alias("n_keys"),
                           F.round(F.element_at(F.map_values("m"), 1), 6).alias("first_v"))
             .orderBy("user_id"))
@@ -2886,7 +2893,7 @@ def fn_ch_encoding(spark, sf_dir):
 SELECT p_partkey,
        levenshtein(p_brand, 'Brand#10') AS lev,
        CAST(length(p_name) - length(replace(p_name, ' ', '')) AS BIGINT) AS n_spaces,
-       string_split(p_type, ' ') AS words,
+       array_to_string(string_split(p_type, ' '), '|') AS words,
        CASE WHEN p_name SIMILAR TO '.*(red|blue).*' THEN 1 ELSE 0 END AS has_color,
        repeat('*', p_size % 5) AS stars,
        left(p_name, 3) AS l3, right(p_name, 3) AS r3
@@ -2898,7 +2905,8 @@ def fn_ch_string_extra(spark, sf_dir):
             .select("p_partkey",
                     ch.levenshteinDistance(F.col("p_brand"), F.lit("Brand#10")).alias("lev"),
                     ch.countSubstrings(F.col("p_name"), " ").alias("n_spaces"),
-                    ch.splitByChar(" ", F.col("p_type")).alias("words"),
+                    F.array_join(ch.splitByChar(" ", F.col("p_type")), "|")
+                    .alias("words"),
                     ch.multiSearchAny(F.col("p_name"), ["red", "blue"]).alias("has_color"),
                     ch.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
                     ch.left(F.col("p_name"), 3).alias("l3"),
@@ -3017,11 +3025,13 @@ SELECT vec_id,
        CAST(coalesce(list_max(list_filter(list_transform(range(1, len(e) + 1),
              i -> CASE WHEN e[i] < 0 THEN i ELSE NULL END),
              v -> v IS NOT NULL)), 0) AS BIGINT) AS last_neg_idx,
-       list_transform(range(1, len(ints) + 1),
-             i -> CAST(len(list_filter(ints[1:i], y -> y = ints[i])) AS INT))
+       array_to_string(list_transform(range(1, len(ints) + 1),
+             i -> CAST(len(list_filter(ints[1:i], y -> y = ints[i])) AS VARCHAR)), ',')
            AS enum_uniq,
-       list_concat(ints[3:], ints[:2]) AS rot2,
-       list_concat(ints[3:], [0, 0]) AS shl2,
+       array_to_string(list_transform(list_concat(ints[3:], ints[:2]),
+             x -> CAST(x AS VARCHAR)), ',') AS rot2,
+       array_to_string(list_transform(list_concat(ints[3:], [0, 0]),
+             x -> CAST(x AS VARCHAR)), ',') AS shl2,
        CAST(list_sum(list_transform(range(1, 4),
              i -> abs(CAST(e[i] AS DOUBLE) - CAST(e[i + 3] AS DOUBLE))))
            AS DOUBLE) AS l1_prefix
@@ -3041,9 +3051,15 @@ def fn_array_breadth(spark, sf_dir):
         ch.arrayCount(lambda x: x > 0, emb).alias("n_pos"),
         CH_FUNCTIONS["arrayFirstIndex"](lambda x: x > 0, emb).alias("first_pos_idx"),
         CH_FUNCTIONS["arrayLastIndex"](lambda x: x < 0, emb).alias("last_neg_idx"),
-        ch.arrayEnumerateUniq(ints).alias("enum_uniq"),
-        ch.arrayRotateLeft(ints, 2).alias("rot2"),
-        ch.arrayShiftLeft(ints, 2).alias("shl2"),
+        F.array_join(F.transform(ch.arrayEnumerateUniq(ints),
+                                 lambda x: x.cast("string")), ",")
+        .alias("enum_uniq"),
+        F.array_join(F.transform(ch.arrayRotateLeft(ints, 2),
+                                 lambda x: x.cast("string")), ",")
+        .alias("rot2"),
+        F.array_join(F.transform(ch.arrayShiftLeft(ints, 2),
+                                 lambda x: x.cast("string")), ",")
+        .alias("shl2"),
         ch.L1Distance(F.slice(emb, 1, 3), F.slice(emb, 4, 3))
         .cast("double").alias("l1_prefix"))
         .orderBy("vec_id"))
@@ -3051,16 +3067,16 @@ def fn_array_breadth(spark, sf_dir):
 
 @q("fn_map_breadth", """
 SELECT c_custkey,
-       [c_custkey, c_custkey + 1, c_custkey + 3] AS madd_keys,
-       [CAST(1 AS INT), 12, 20] AS madd_vals,
-       [CAST(1 AS INT), 10, 20] AS mupd_vals,
-       [CAST(10 AS INT), 0, 20] AS mpop_vals
+       array_to_string([c_custkey, c_custkey + 1, c_custkey + 3], ',') AS madd_keys,
+       '1,12,20' AS madd_vals,
+       '1,10,20' AS mupd_vals,
+       '10,0,20' AS mpop_vals
 FROM customer WHERE c_custkey < 40 ORDER BY c_custkey
 """)
 def fn_map_breadth(spark, sf_dir):
     """Map arithmetic/fill (reference src/Functions/map.cpp,
-    mapPopulateSeries.cpp); maps are emitted as sorted key/value arrays
-    so the comparison is representation-independent."""
+    mapPopulateSeries.cpp); maps emitted as comma-joined sorted
+    key/value strings so every output cell is scalar."""
     c = _cat(spark, sf_dir).customer
     k = F.col("c_custkey")
     m1 = F.map_from_arrays(F.array(k, k + 1), F.array(F.lit(1), F.lit(2)))
@@ -3068,12 +3084,14 @@ def fn_map_breadth(spark, sf_dir):
     madd = CH_FUNCTIONS["mapAdd"](m1, m2)
     mupd = CH_FUNCTIONS["mapSort"](CH_FUNCTIONS["mapUpdate"](m1, m2))
     mpop = CH_FUNCTIONS["mapPopulateSeries"](m2)
+    join_ = lambda col: F.array_join(
+        F.transform(col, lambda x: x.cast("string")), ",")
     return (c.filter(k < 40)
             .select("c_custkey",
-                    F.map_keys(madd).alias("madd_keys"),
-                    F.map_values(madd).alias("madd_vals"),
-                    F.map_values(mupd).alias("mupd_vals"),
-                    F.map_values(mpop).alias("mpop_vals"))
+                    join_(F.map_keys(madd)).alias("madd_keys"),
+                    join_(F.map_values(madd)).alias("madd_vals"),
+                    join_(F.map_values(mupd)).alias("mupd_vals"),
+                    join_(F.map_values(mpop)).alias("mpop_vals"))
             .orderBy("c_custkey"))
 
 
@@ -3208,24 +3226,33 @@ WITH s AS (
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ms
   FROM events WHERE user_id < 40)
 SELECT user_id,
-       array_agg(round(ms, 4) ORDER BY ts, event_id) AS moving_sum3,
-       array_agg(round(ms / 3.0, 4) ORDER BY ts, event_id) AS moving_avg3
-FROM s GROUP BY user_id ORDER BY user_id
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1
+            AS INT) AS pos,
+       round(ms, 4) AS moving_sum3,
+       round(ms / 3.0, 4) AS moving_avg3
+FROM s ORDER BY user_id, pos
 """)
 def agg_moving_sum_avg(spark, sf_dir):
     """groupArrayMovingSum/Avg(3) (reference
-    src/AggregateFunctions/AggregateFunctionMovingImpl.h) over events."""
+    src/AggregateFunctions/AggregateFunctionMovingImpl.h) over events;
+    arrays posexploded to scalar rows for the driver hasher."""
     ev = _cat(spark, sf_dir).events.filter(F.col("user_id") < 40)
     ms = group_array_moving_sum(ev, ["user_id"], "value", "ts", window=3,
                                 tiebreak=["event_id"], alias="moving_sum3")
     ma = group_array_moving_avg(ev, ["user_id"], "value", "ts", window=3,
                                 tiebreak=["event_id"], alias="moving_avg3")
-    out = ms.join(ma, "user_id")
     rnd = lambda c: F.transform(F.col(c), lambda x: F.round(x, 4))
-    return (out.select("user_id",
-                       rnd("moving_sum3").alias("moving_sum3"),
-                       rnd("moving_avg3").alias("moving_avg3"))
-            .orderBy("user_id"))
+    out = (ms.join(ma, "user_id")
+           .select("user_id", rnd("moving_sum3").alias("moving_sum3"),
+                   rnd("moving_avg3").alias("moving_avg3")))
+    return (out.select(
+        "user_id",
+        F.posexplode(F.arrays_zip("moving_sum3", "moving_avg3"))
+        .alias("pos", "z"))
+        .select("user_id", "pos",
+                F.col("z.moving_sum3").alias("moving_sum3"),
+                F.col("z.moving_avg3").alias("moving_avg3"))
+        .orderBy("user_id", "pos"))
 
 
 @q("agg_group_array_sample", """
@@ -3233,17 +3260,22 @@ WITH b AS (
   SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
          md5('7|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)) AS hh
   FROM lineitem)
-SELECT l_returnflag, (array_agg(v ORDER BY hh, v))[1:5] AS sample5
-FROM b GROUP BY l_returnflag ORDER BY l_returnflag
+SELECT l_returnflag,
+       CAST(generate_subscripts((array_agg(v ORDER BY hh, v))[1:5], 1) - 1
+            AS INT) AS pos,
+       unnest((array_agg(v ORDER BY hh, v))[1:5]) AS v
+FROM b GROUP BY l_returnflag ORDER BY l_returnflag, pos
 """)
 def agg_group_array_sample_q(spark, sf_dir):
     """groupArraySample(5, 7) — deterministic md5-draw refinement of the
-    reference's reservoir (AggregateFunctionGroupArray.h Sample)."""
+    reference's reservoir (AggregateFunctionGroupArray.h Sample);
+    posexploded to scalar rows for the driver hasher."""
     li = _cat(spark, sf_dir).lineitem.select(
         "l_returnflag", F.col("l_quantity").cast("long").alias("v"))
     return (group_array_sample(li, ["l_returnflag"], "v", 5, seed=7,
                                alias="sample5")
-            .orderBy("l_returnflag"))
+            .select("l_returnflag", F.posexplode("sample5").alias("pos", "v"))
+            .orderBy("l_returnflag", "pos"))
 
 
 @q("agg_quantile_timing", """
@@ -3356,7 +3388,7 @@ SELECT l_returnflag,
        bit_and(l_linenumber) AS b_and,
        bit_or(l_linenumber)  AS b_or,
        bit_xor(l_linenumber) AS b_xor,
-       list_sort(list(DISTINCT l_linestatus)) AS uniq_arr,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS uniq_arr,
        (list(CASE WHEN l_quantity > 25 THEN NULL ELSE l_linestatus END
              ORDER BY l_orderkey, l_linenumber))[1] AS any_rn
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -3375,7 +3407,8 @@ def agg_bitwise_uniq_any_q(spark, sf_dir):
             .agg(F.bit_and("l_linenumber").alias("b_and"),
                  F.bit_or("l_linenumber").alias("b_or"),
                  F.bit_xor("l_linenumber").alias("b_xor"),
-                 group_uniq_array(F.col("l_linestatus")).alias("uniq_arr"),
+                 F.array_join(group_uniq_array(F.col("l_linestatus")), ",")
+                 .alias("uniq_arr"),
                  any_respect_nulls("__p", F.col("l_orderkey"),
                                    F.col("l_linenumber")).alias("any_rn"))
             .orderBy("l_returnflag"))
@@ -4223,33 +4256,43 @@ grid AS (SELECT DISTINCT s.o_orderpriority, g.i AS pos
          FROM s CROSS JOIN generate_series(0, 7) g(i)),
 j AS (SELECT grid.o_orderpriority, grid.pos, COALESCE(s.v, 0) AS v
       FROM grid LEFT JOIN s USING (o_orderpriority, pos))
-SELECT o_orderpriority, list(v ORDER BY pos) AS arr
-FROM j GROUP BY 1 ORDER BY 1
+SELECT o_orderpriority, CAST(pos AS INT) AS pos, v
+FROM j ORDER BY o_orderpriority, pos
 """)
 def agg_group_array_insert_at_q(spark, sf_dir):
     """groupArrayInsertAt(0, 8)(custkey, orderkey % 8) (reference
     src/AggregateFunctions/AggregateFunctionGroupArrayInsertAt.h);
-    duplicate slots resolve to min for determinism."""
+    duplicate slots resolve to min for determinism; slots posexploded to
+    scalar rows for the driver hasher."""
     o = _cat(spark, sf_dir).orders
     t = o.select("o_orderpriority", (F.col("o_orderkey") % 8).alias("pos"),
                  F.col("o_custkey").alias("val"))
-    return _small_sorted(
-        group_array_insert_at(t, ["o_orderpriority"], "val", "pos",
-                              size=8, default=0),
-        "o_orderpriority")
+    out = group_array_insert_at(t, ["o_orderpriority"], "val", "pos",
+                                size=8, default=0)
+    arr_col = [c for c in out.columns if c != "o_orderpriority"][0]
+    return (out.select("o_orderpriority",
+                       F.posexplode(arr_col).alias("pos", "v"))
+            .orderBy("o_orderpriority", "pos"))
 
 
 @q("agg_group_array_sorted", """
-SELECT l_returnflag, (list_sort(list(l_quantity)))[1:5] AS arr
-FROM lineitem GROUP BY 1 ORDER BY 1
+WITH g AS (SELECT l_returnflag, (list_sort(list(l_quantity)))[1:5] AS arr
+           FROM lineitem GROUP BY 1)
+SELECT l_returnflag,
+       CAST(generate_subscripts(arr, 1) - 1 AS INT) AS pos,
+       unnest(arr) AS v
+FROM g ORDER BY l_returnflag, pos
 """)
 def agg_group_array_sorted_q(spark, sf_dir):
     """groupArraySorted(5)(qty) (reference
-    src/AggregateFunctions/AggregateFunctionGroupArraySorted.cpp)."""
+    src/AggregateFunctions/AggregateFunctionGroupArraySorted.cpp);
+    posexploded to scalar rows for the driver hasher."""
     li = _cat(spark, sf_dir).lineitem
-    return _small_sorted(
-        group_array_sorted(li, ["l_returnflag"], "l_quantity", n=5),
-        "l_returnflag")
+    out = group_array_sorted(li, ["l_returnflag"], "l_quantity", n=5)
+    arr_col = [c for c in out.columns if c != "l_returnflag"][0]
+    return (out.select("l_returnflag",
+                       F.posexplode(arr_col).alias("pos", "v"))
+            .orderBy("l_returnflag", "pos"))
 
 
 @q("agg_group_array_intersect", """
@@ -4260,21 +4303,24 @@ WITH t AS (SELECT event_type,
 r AS (SELECT event_type, count(*) AS nrows FROM t GROUP BY 1),
 e AS (SELECT event_type, unnest(arr) AS elem FROM t),
 c AS (SELECT event_type, elem, count(*) AS cnt FROM e GROUP BY 1, 2)
-SELECT c.event_type, list_sort(list(elem)) AS arr
+SELECT c.event_type, elem
 FROM c JOIN r USING (event_type) WHERE cnt = nrows
-GROUP BY c.event_type ORDER BY c.event_type
+ORDER BY c.event_type, elem
 """)
 def agg_group_array_intersect_q(spark, sf_dir):
     """groupArrayIntersect (reference
     src/AggregateFunctions/AggregateFunctionGroupArrayIntersect.cpp):
     elements present in every row's array, via explode + containment
-    counts (linear shuffles, no per-group quadratic work)."""
+    counts (linear shuffles, no per-group quadratic work); result
+    exploded to scalar rows for the driver hasher."""
     ev = _cat(spark, sf_dir).events
     t = ev.select("event_type", F.array_distinct(F.array(
         F.col("user_id") % 5, F.col("user_id") % 7, F.col("user_id") % 3,
         F.lit(1).cast("long"))).alias("arr"))
-    return _small_sorted(
-        group_array_intersect(t, ["event_type"], "arr"), "event_type")
+    out = group_array_intersect(t, ["event_type"], "arr")
+    arr_col = [c for c in out.columns if c != "event_type"][0]
+    return (out.select("event_type", F.explode(arr_col).alias("elem"))
+            .orderBy("event_type", "elem"))
 
 
 @q("agg_single_value_sum_count", """
@@ -4367,27 +4413,24 @@ def stats_anova_q(spark, sf_dir):
 
 
 @q("agg_min_max_map", """
-WITH s AS (SELECT user_id, event_type AS k, min(value) AS mnv, max(value) AS mxv
-           FROM events GROUP BY user_id, event_type)
-SELECT user_id, list(k ORDER BY k) AS ks,
-       list(mnv ORDER BY k) AS mns, list(mxv ORDER BY k) AS mxs
-FROM s GROUP BY user_id ORDER BY user_id
+SELECT user_id, event_type AS k, min(value) AS mnv, max(value) AS mxv
+FROM events GROUP BY user_id, event_type ORDER BY user_id, k
 """)
 def agg_min_max_map_q(spark, sf_dir):
     """minMap/maxMap (reference
     src/AggregateFunctions/AggregateFunctionSumMap.h, minMap/maxMap
-    registrations): element-wise min/max over map values per group."""
+    registrations): element-wise min/max over map values per group;
+    maps exploded to scalar (key, min, max) rows for the driver
+    hasher."""
     ev = _cat(spark, sf_dir).events
     mapped = ev.select("user_id",
                        F.create_map(F.col("event_type"), F.col("value")).alias("m"))
     mn = min_map(mapped, ["user_id"], "m", alias="mn")
     mx = max_map(mapped, ["user_id"], "m", alias="mx")
-    return (mn.join(mx, "user_id")
-            .select("user_id",
-                    F.map_keys("mn").alias("ks"),
-                    F.map_values("mn").alias("mns"),
-                    F.map_values("mx").alias("mxs"))
-            .orderBy("user_id"))
+    mn_rows = mn.select("user_id", F.explode("mn").alias("k", "mnv"))
+    mx_rows = mx.select("user_id", F.explode("mx").alias("k", "mxv"))
+    return (mn_rows.join(mx_rows, ["user_id", "k"])
+            .orderBy("user_id", "k"))
 
 
 @q("stats_categorical_iv", """
@@ -4462,26 +4505,42 @@ def agg_quantile_exact_variants_q(spark, sf_dir):
 
 @q("stats_corr_matrix", """
 WITH t AS (SELECT value AS a, CAST(user_id % 10 AS DOUBLE) AS b,
-                  CAST(event_id % 7 AS DOUBLE) AS c FROM events)
-SELECT [[corr(a, a), corr(a, b), corr(a, c)],
-        [corr(a, b), corr(b, b), corr(b, c)],
-        [corr(a, c), corr(b, c), corr(c, c)]] AS corr_matrix,
-       [[covar_samp(a, a), covar_samp(a, b), covar_samp(a, c)],
-        [covar_samp(a, b), covar_samp(b, b), covar_samp(b, c)],
-        [covar_samp(a, c), covar_samp(b, c), covar_samp(c, c)]] AS covar_matrix
-FROM t
+                  CAST(event_id % 7 AS DOUBLE) AS c FROM events),
+m AS (
+  SELECT * FROM (VALUES
+    (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2))
+  AS v(i, j)),
+a AS (SELECT [[corr(a, a), corr(a, b), corr(a, c)],
+              [corr(a, b), corr(b, b), corr(b, c)],
+              [corr(a, c), corr(b, c), corr(c, c)]] AS cm,
+             [[covar_samp(a, a), covar_samp(a, b), covar_samp(a, c)],
+              [covar_samp(a, b), covar_samp(b, b), covar_samp(b, c)],
+              [covar_samp(a, c), covar_samp(b, c), covar_samp(c, c)]] AS vm
+      FROM t)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       round(cm[i + 1][j + 1], 6) AS corr_v,
+       round(vm[i + 1][j + 1], 6) AS covar_v
+FROM a CROSS JOIN m ORDER BY i, j
 """)
 def stats_corr_matrix_q(spark, sf_dir):
     """corrMatrix + covarSampMatrix (reference
     src/AggregateFunctions/AggregateFunctionVarianceMatrix.cpp): one
-    aggregate pass over the upper triangle, mirrored to full
-    array<array<double>>."""
+    aggregate pass over the upper triangle, mirrored to full matrix and
+    exploded to (i, j, value) rows for the driver hasher."""
     ev = _cat(spark, sf_dir).events
     t = ev.select(F.col("value").alias("a"),
                   (F.col("user_id") % 10).cast("double").alias("b"),
                   (F.col("event_id") % 7).cast("double").alias("c"))
-    return (corr_matrix(t, ["a", "b", "c"])
-            .crossJoin(covar_samp_matrix(t, ["a", "b", "c"])))
+    m = (corr_matrix(t, ["a", "b", "c"])
+         .crossJoin(covar_samp_matrix(t, ["a", "b", "c"])))
+    cm, vm = m.columns[0], m.columns[1]
+    return (m.select(F.posexplode(F.arrays_zip(cm, vm)).alias("i", "r"))
+            .select("i", F.posexplode(F.arrays_zip(f"r.{cm}", f"r.{vm}"))
+                    .alias("j", "c2"))
+            .select("i", "j",
+                    F.round(F.col(f"c2.{cm}"), 6).alias("corr_v"),
+                    F.round(F.col(f"c2.{vm}"), 6).alias("covar_v"))
+            .orderBy("i", "j"))
 
 
 @q("agg_group_array_last", """
@@ -4490,18 +4549,23 @@ g AS (SELECT o_orderpriority, count(*) AS cnt,
              list(o_custkey ORDER BY o_orderkey) AS l
       FROM o GROUP BY 1)
 SELECT o_orderpriority,
-       list_slice(l, CAST(greatest(1, cnt - 2) AS BIGINT), cnt) AS arr
-FROM g ORDER BY o_orderpriority
+       CAST(generate_subscripts(
+           list_slice(l, CAST(greatest(1, cnt - 2) AS BIGINT), cnt), 1) - 1
+           AS INT) AS pos,
+       unnest(list_slice(l, CAST(greatest(1, cnt - 2) AS BIGINT), cnt)) AS v
+FROM g ORDER BY o_orderpriority, pos
 """)
 def agg_group_array_last_q(spark, sf_dir):
     """groupArrayLast(3) ordered by o_orderkey (reference
     src/AggregateFunctions/AggregateFunctionGroupArray.h, Last
-    variant)."""
+    variant); posexploded to scalar rows for the driver hasher."""
     o = _cat(spark, sf_dir).orders
-    return _small_sorted(
-        group_array_last(o, ["o_orderpriority"], "o_custkey",
-                         "o_orderkey", n=3),
-        "o_orderpriority")
+    out = group_array_last(o, ["o_orderpriority"], "o_custkey",
+                           "o_orderkey", n=3)
+    arr_col = [c for c in out.columns if c != "o_orderpriority"][0]
+    return (out.select("o_orderpriority",
+                       F.posexplode(arr_col).alias("pos", "v"))
+            .orderBy("o_orderpriority", "pos"))
 
 
 @q("row_policy_select", """
@@ -4573,7 +4637,8 @@ def _driver_checked_names() -> set[str]:
                 checked.add(name)
                 continue
             ok = (row.get("hash_match")
-                  or (row.get("rows_match") and row.get("err") == "no_oracle"))
+                  or (row.get("err") == "no_oracle"
+                      and row.get("spark_rows") is not None))
             if ok:  # failed entries rotate back to the front for re-grading
                 checked.add(name)
     return checked

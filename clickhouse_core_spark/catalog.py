@@ -22,7 +22,18 @@ _NANOS_TS_COLUMNS = {"events": ("ts",)}
 
 
 def _normalize_nanos(df: DataFrame, cols: tuple[str, ...] | None = None) -> DataFrame:
-    """Cast known nanosecond-long columns to timestamps (µs truncation)."""
+    """Normalize timestamp columns to session-zoned TIMESTAMP.
+
+    Two fixture shapes arrive here:
+    - parquet TIMESTAMP(NANOS) read as long (nanosAsLong conf): truncate
+      to µs like DuckDB and build a timestamp;
+    - parquet timestamp[us] without timezone → Spark TIMESTAMP_NTZ:
+      cast to timestamp_ltz.  The session timezone is pinned UTC
+      (_RUNTIME_CONF), so the wall-clock values are preserved exactly
+      and match DuckDB's epoch(ts) semantics, while downstream code
+      (unix_micros, cast to double, window math) only has to handle the
+      one LTZ type.
+    """
     for field in df.schema.fields:
         want = cols is not None and field.name in cols
         auto = cols is None and field.name == "ts" and field.dataType.typeName() == "long"
@@ -32,6 +43,8 @@ def _normalize_nanos(df: DataFrame, cols: tuple[str, ...] | None = None) -> Data
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 # The driver's synthetic star schema (TESTDATA.md / FIXTURES.md).

@@ -136,8 +136,9 @@ def graphite_rollup(df: DataFrame, retentions: Sequence[tuple[int, int]],
     # build the CASE chain in ascending age order: each when() overrides
     # the previous, so the largest matching age ends up winning
     rules = sorted(retentions, key=lambda r: r[0])
-    t = F.unix_timestamp(F.col(time_col)) \
-        if dict(df.dtypes)[time_col] == "timestamp" else F.col(time_col).cast("long")
+    t = F.unix_timestamp(F.col(time_col).cast("timestamp")) \
+        if dict(df.dtypes)[time_col] in ("timestamp", "timestamp_ntz") \
+        else F.col(time_col).cast("long")
     age = F.lit(int(now)) - t
     prec = F.lit(1)
     for age_s, prec_s in rules:

@@ -51,19 +51,22 @@ def _shingle_hash_table(df: DataFrame, text_col: str, id_col: str,
     """(id, __shingles: array<long>) — xxhash64 of each distinct word
     k-shingle per document.
 
-    Single-pass construction: tokenize once behind an Exchange
-    (repartition on id), then a transform over shingle offsets hashing
-    ``slice(tokens, i, k)``.  The Exchange is load-bearing: without it
-    CollapseProject inlines the tokenizer regexp into every transform
-    element — O(len²) regexp work per document.  With it, this is one
-    shuffle total and ~3× faster than an explode+window+groupBy shape.
-    Documents with fewer than k tokens hash the whole normalized text
-    as their single shingle (concat_ws of all tokens == normalized
-    text, so the fallback needs no second scan).
+    Single-pass construction: tokenize once behind a Generate barrier,
+    then a transform over shingle offsets hashing ``slice(tokens, i,
+    k)``.  The barrier is load-bearing: without it CollapseProject
+    inlines the tokenizer regexp into every transform element — O(len²)
+    regexp work per document.  ``explode(array(tokens))`` emits exactly
+    one row per document but is a Generate node Catalyst cannot collapse
+    projections through — the same fence a ``repartition(id)`` Exchange
+    gives, with ZERO shuffle (the Exchange variant moved the whole
+    corpus once; at 100 TB that was the dominant cost of signature
+    construction).  Documents with fewer than k tokens hash the whole
+    normalized text as their single shingle (concat_ws of all tokens ==
+    normalized text, so the fallback needs no second scan).
     """
-    toks = (df.select(F.col(id_col).alias("__id"),
-                      _tokens(F.col(text_col)).alias("__toks"))
-            .repartition(F.col("__id")))
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(F.array(_tokens(F.col(text_col))))
+                     .alias("__toks"))
     n = F.size("__toks")
     full = F.array_distinct(F.transform(
         F.sequence(F.lit(0), n - k),
@@ -147,9 +150,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                         F.col("__shingles").alias("sh_a"), "__band")
     rhs = banded.select(F.col("__id").alias("id_b"),
                         F.col("__shingles").alias("sh_b"), "__band")
+    # No pair-level dropDuplicates before verification: that would
+    # shuffle every candidate pair WITH its shingle-array payload.  A
+    # pair surfacing from multiple bands just re-verifies map-side
+    # (bounded by `bands`), and the representative groupBy().min()
+    # downstream absorbs duplicates for free.
     pairs = (lhs.join(rhs, on="__band")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+             .filter(F.col("id_a") < F.col("id_b")))
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -207,9 +214,10 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     banded = banded.persist()  # self-join diamond: simhash UDF runs once
     lhs = banded.select(F.col("__id").alias("id_a"), F.col("__simhash").alias("h_a"), "__blk")
     rhs = banded.select(F.col("__id").alias("id_b"), F.col("__simhash").alias("h_b"), "__blk")
+    # no pair-level distinct: hamming verify is map-side on two longs,
+    # and the representative groupBy().min() absorbs duplicate pairs
     pairs = (lhs.join(rhs, on="__blk")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+             .filter(F.col("id_a") < F.col("id_b")))
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     similar = pairs.filter(hamming <= hamming_threshold).select("id_a", "id_b")
 
@@ -260,20 +268,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Blocking via MinHash bands over char n-grams (not all-pairs), then
     exact Jaccard verification on the distinct n-gram sets.
     """
-    # Linear char-gram construction: explode offsets against a
-    # materialized normalized column (the Generate node is an optimizer
-    # barrier, so the normalizer regexp runs once per document).
+    # Linear char-gram construction entirely within each document row:
+    # normalize once behind a Generate barrier (one row per doc — the
+    # barrier stops CollapseProject from inlining the normalizer regexp
+    # into every gram), then hash each offset's substring with a
+    # transform.  The previous shape exploded one row PER GRAM and
+    # re-assembled with groupBy/collect_set — a full shuffle of every
+    # gram occurrence (~8 bytes × corpus characters); this shape needs
+    # no shuffle at all before banding.
     normed = df.select(F.col(id_col).alias("__id"),
-                       _normalized(F.col(text_col)).alias("__norm"))
-    offsets = normed.select(
-        "__id", "__norm",
-        F.explode(F.sequence(F.lit(1),
-                             F.greatest(F.length("__norm") - (ngram - 1),
-                                        F.lit(1)))).alias("__i"))
-    base = (offsets
-            .select("__id",
-                    F.xxhash64(F.expr(f"substring(__norm, __i, {int(ngram)})")).alias("__g"))
-            .groupBy("__id").agg(F.collect_set("__g").alias("__grams")))
+                       F.explode(F.array(_normalized(F.col(text_col))))
+                       .alias("__norm"))
+    base = normed.select(
+        "__id",
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.length("__norm") - (ngram - 1), F.lit(1))),
+            lambda i: F.xxhash64(
+                F.call_function("substring", F.col("__norm"), i,
+                                F.lit(int(ngram)))))).alias("__grams"))
     rows_per_band = num_hashes // bands
     base = base.withColumn("__sig", _signature_expr("__grams", num_hashes, 7))
     band_keys = F.array(*[
@@ -285,12 +298,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     banded = banded.persist()  # self-join diamond: gram table computes once
     lhs = banded.select(F.col("__id").alias("id_a"), F.col("__grams").alias("g_a"), "__band")
     rhs = banded.select(F.col("__id").alias("id_b"), F.col("__grams").alias("g_b"), "__band")
+    # Verify BEFORE deduplicating pairs: the distinct then shuffles only
+    # the few threshold-passing (id_a, id_b, jaccard) triples, not every
+    # candidate pair with its gram-array payload.  A pair surfacing from
+    # multiple bands re-verifies map-side (bounded by `bands`).
     pairs = (lhs.join(rhs, on="__band")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+             .filter(F.col("id_a") < F.col("id_b")))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
     return (pairs.withColumn("jaccard",
                              F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+            .select("id_a", "id_b", "jaccard")
+            .dropDuplicates(["id_a", "id_b"]))

@@ -1,0 +1,43 @@
+"""Gate against driver-fixture type divergence.
+
+Round-2 lesson: pytest fixtures that build in-session DataFrames get
+TIMESTAMP (LTZ) columns, while the driver's parquet fixtures carry
+timestamp[us]-no-tz → TIMESTAMP_NTZ.  Five entries crashed only under
+the driver.  This module analyzes EVERY registered entry against the
+real /root/testdata parquet so a type mismatch fails locally:
+
+- building the DataFrame forces Catalyst analysis (AnalysisException on
+  e.g. unix_micros(TIMESTAMP_NTZ)) without running a job;
+- any oracle-graded entry whose output schema contains array/map
+  columns is flagged — the driver's pandas-factorize hash comparator
+  cannot hash numpy arrays (round-2 agg_sum_map / agg_topk_array).
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Entries that eagerly run driver-side iteration / persist on build;
+# analysis still covers them via the cheap first iteration at sf0.001.
+_QUERIES = entry_mod.queries()
+_ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_entry_analyzes_on_driver_parquet(spark, name):
+    df = _QUERIES[name](spark, SF_DIR)
+    schema = df.schema  # forces analysis
+    if name in _ORACLES:
+        bad = [f.name for f in schema.fields
+               if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+        assert not bad, (
+            f"{name} emits non-scalar columns {bad}; the driver's hash "
+            f"comparator cannot grade arrays/maps — explode to scalar rows")
