@@ -135,29 +135,32 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     rows_per_band = num_hashes // bands
     sh = _shingle_hash_table(df, text_col, id_col, shingle_k)
     with_sig = sh.withColumn("minhash", _signature_expr("__shingles", num_hashes, seed))
+    # the shingle/signature table feeds four consumers (band lhs/rhs,
+    # verify lhs/rhs): persist so the signature chain computes once
+    with_sig = with_sig.persist()
 
     band_keys = F.array(*[
         F.xxhash64(F.lit(bi), F.concat_ws(",", F.transform(
             F.slice("minhash", bi * rows_per_band + 1, rows_per_band),
             lambda c: c.cast("string"))))
         for bi in range(bands)])
-    banded = with_sig.select("__id", "__shingles", F.explode(band_keys).alias("__band"))
-    # the self-join below is a diamond: without persist the whole
-    # shingle+signature chain computes twice (once per side)
-    banded = banded.persist()
+    # Band join on NARROW rows (id, band) — never duplicate the shingle
+    # arrays across candidate pairs; with skewed buckets (duplicate
+    # clusters) the wide variant materializes |bucket|² array copies.
+    banded = with_sig.select("__id", F.explode(band_keys).alias("__band"))
+    pairs = (banded.alias("l").join(banded.alias("r"), on="__band")
+             .select(F.col("l.__id").alias("id_a"),
+                     F.col("r.__id").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))  # narrow: 16-byte rows
 
-    lhs = banded.select(F.col("__id").alias("id_a"),
-                        F.col("__shingles").alias("sh_a"), "__band")
-    rhs = banded.select(F.col("__id").alias("id_b"),
-                        F.col("__shingles").alias("sh_b"), "__band")
-    # No pair-level dropDuplicates before verification: that would
-    # shuffle every candidate pair WITH its shingle-array payload.  A
-    # pair surfacing from multiple bands just re-verifies map-side
-    # (bounded by `bands`), and the representative groupBy().min()
-    # downstream absorbs duplicates for free.
-    pairs = (lhs.join(rhs, on="__band")
-             .filter(F.col("id_a") < F.col("id_b")))
-
+    # verification payload joined back by id (linear shuffles)
+    sh_only = with_sig.select("__id", "__shingles")
+    pairs = (pairs
+             .join(sh_only.select(F.col("__id").alias("id_a"),
+                                  F.col("__shingles").alias("sh_a")), "id_a")
+             .join(sh_only.select(F.col("__id").alias("id_b"),
+                                  F.col("__shingles").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     similar = (pairs
@@ -294,20 +297,25 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             F.slice("__sig", bi * rows_per_band + 1, rows_per_band),
             lambda c: c.cast("string"))))
         for bi in range(bands)])
-    banded = base.select("__id", "__grams", F.explode(band_keys).alias("__band"))
-    banded = banded.persist()  # self-join diamond: gram table computes once
-    lhs = banded.select(F.col("__id").alias("id_a"), F.col("__grams").alias("g_a"), "__band")
-    rhs = banded.select(F.col("__id").alias("id_b"), F.col("__grams").alias("g_b"), "__band")
-    # Verify BEFORE deduplicating pairs: the distinct then shuffles only
-    # the few threshold-passing (id_a, id_b, jaccard) triples, not every
-    # candidate pair with its gram-array payload.  A pair surfacing from
-    # multiple bands re-verifies map-side (bounded by `bands`).
-    pairs = (lhs.join(rhs, on="__band")
-             .filter(F.col("id_a") < F.col("id_b")))
+    base = base.persist()  # feeds band lhs/rhs + verify lhs/rhs
+    # Narrow band join (id, band only) → dedupe 16-byte pair rows →
+    # join gram arrays back by id for verification.  Keeps the skewed
+    # bucket self-join from materializing |bucket|² gram-array copies.
+    banded = base.select("__id", F.explode(band_keys).alias("__band"))
+    pairs = (banded.alias("l").join(banded.alias("r"), on="__band")
+             .select(F.col("l.__id").alias("id_a"),
+                     F.col("r.__id").alias("id_b"))
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    grams = base.select("__id", "__grams")
+    pairs = (pairs
+             .join(grams.select(F.col("__id").alias("id_a"),
+                                F.col("__grams").alias("g_a")), "id_a")
+             .join(grams.select(F.col("__id").alias("id_b"),
+                                F.col("__grams").alias("g_b")), "id_b"))
     inter = F.size(F.array_intersect("g_a", "g_b"))
     union = F.size("g_a") + F.size("g_b") - inter
     return (pairs.withColumn("jaccard",
                              F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
             .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-            .dropDuplicates(["id_a", "id_b"]))
+            .select("id_a", "id_b", "jaccard"))
