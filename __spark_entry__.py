@@ -64,7 +64,8 @@ from clickhouse_core_spark.operators.windows import (
     groups_frame_sum,
 )
 from clickhouse_core_spark.pipeline import (
-    exact_dedup, minhash_lsh_dedup, simhash_dedup, ngram_jaccard_pairs,
+    exact_dedup, minhash_lsh_dedup, simhash_dedup, md5_hash60,
+    ngram_jaccard_pairs,
     cosine_topk, lsh_ann_topk, embedding_near_duplicates,
     with_token_count, with_quality_score, with_language_id, with_fingerprint,
     with_pii_redacted, with_gopher_signals, benchmark_contamination,
@@ -3710,11 +3711,36 @@ def dedup_minhash_q(spark, sf_dir):
             .select("doc_id").orderBy("doc_id"))
 
 
-@q("dedup_simhash")
+@q("dedup_simhash", """
+WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),
+                '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split_regex(norm, '\\s+')) AS t FROM n),
+h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+votes AS (SELECT doc_id, i,
+                 sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(range(64)) AS i) GROUP BY doc_id, i),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS fp
+       FROM votes GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+neigh AS (SELECT id_b AS id, id_a AS n FROM pairs
+          UNION ALL SELECT id_a, id_b FROM pairs),
+rep AS (SELECT id, min(n) AS rep FROM neigh GROUP BY id)
+SELECT d.doc_id FROM documents d LEFT JOIN rep ON rep.id = d.doc_id
+WHERE rep.rep IS NULL OR rep.rep >= d.doc_id ORDER BY d.doc_id
+""")
 def dedup_simhash_q(spark, sf_dir):
-    """SimHash near-dup dedup — rows-only check."""
+    """SimHash near-dup dedup, cross-checked against a brute-force
+    all-pairs hamming oracle: the portable md5-derived token hash
+    (dedup.md5_hash60) lets DuckDB rebuild the exact 64-bit Charikar
+    fingerprints, pair on hamming <= 3, and replay the min-neighbor
+    contraction.  An adversarial recall gate for the pigeonhole
+    blocking (4 disjoint 16-bit blocks guarantee recall at d <= 3)."""
     d = _cat(spark, sf_dir).documents
-    return (simhash_dedup(d, "text", "doc_id", hamming_threshold=3)
+    return (simhash_dedup(d, "text", "doc_id", hamming_threshold=3,
+                          token_hash=md5_hash60)
             .select("doc_id").orderBy("doc_id"))
 
 
@@ -3857,17 +3883,28 @@ def multimodal_decode_q(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-@q("multimodal_features")
+@q("multimodal_features", """
+SELECT doc_id, CAST(i AS INT) AS i,
+       round((('0x' || substr(md5(text || '|' || i), 1, 15))::BIGINT
+              % 2000 - 1000) / 1000.0, 6) AS feat
+FROM documents CROSS JOIN (SELECT unnest(range(8)) AS i)
+WHERE doc_id < 200 ORDER BY doc_id, i
+""")
 def multimodal_features_q(spark, sf_dir):
-    """Feature extraction over binary columns (stubbed encoder; real
-    Arrow batch plumbing) — rows-only."""
+    """Feature extraction over binary columns through the real
+    mapInPandas Arrow plumbing; the stub encoder is a portable
+    md5-derived pseudo-embedding, so DuckDB re-computes every feature
+    value exactly — the oracle checks batch shape, schema, and values
+    end-to-end."""
     d = _cat(spark, sf_dir).documents
     blobs = (d.filter(F.col("doc_id") < 200)
              .select("doc_id", F.encode("text", "utf-8").alias("content"))
              .coalesce(2))
     feats = extract_features(blobs, dim=8)
-    return (feats.select("doc_id", F.size("features").alias("dim"))
-            .orderBy("doc_id"))
+    return (feats.select("doc_id", F.posexplode("features").alias("i", "f"))
+            .select("doc_id", "i",
+                    F.round(F.col("f").cast("double"), 6).alias("feat"))
+            .orderBy("doc_id", "i"))
 
 
 @q("multimodal_frame_sample", """

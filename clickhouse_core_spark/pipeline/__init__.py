@@ -11,6 +11,7 @@ verification happens only within buckets.
 
 from clickhouse_core_spark.pipeline.dedup import (
     exact_dedup,
+    md5_hash60,
     minhash_signatures,
     minhash_lsh_dedup,
     simhash_dedup,
@@ -32,7 +33,7 @@ from clickhouse_core_spark.pipeline.text import (
 )
 
 __all__ = [
-    "exact_dedup", "minhash_signatures", "minhash_lsh_dedup",
+    "exact_dedup", "md5_hash60", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_dedup", "ngram_jaccard_pairs",
     "cosine_topk", "embedding_near_duplicates", "lsh_ann_topk",
     "with_token_count", "with_quality_score", "with_language_id",

@@ -181,9 +181,18 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     return out
 
 
+def md5_hash60(c: Column) -> Column:
+    """Portable 60-bit hash: first 15 hex digits of md5 as a long.
+    Slower than xxhash64 but exactly re-computable in any SQL engine
+    (DuckDB: ``('0x' || substr(md5(x), 1, 15))::BIGINT``) — used by
+    oracle entries to make hash-derived operators cross-checkable."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
 def simhash_dedup(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", hamming_threshold: int = 3,
-                  n_blocks: int | None = None) -> DataFrame:
+                  n_blocks: int | None = None,
+                  token_hash=None) -> DataFrame:
     """SimHash near-dup removal: 64-bit fingerprints, candidate pairs
     from agreeing on any of ``n_blocks`` disjoint bit blocks (standard
     Charikar pigeonhole blocking: ≤d differing bits spread over d+1
@@ -202,7 +211,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     over each document's tokens, whole-stage-codegen friendly.
     """
     sh = df.withColumn("__simhash",
-                       simhash64_expr(_tokens(F.col(text_col))))
+                       simhash64_expr(_tokens(F.col(text_col)),
+                                      token_hash=token_hash))
 
     if n_blocks is None:
         n_blocks = hamming_threshold + 1
@@ -232,17 +242,21 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
             .select(*df.columns))
 
 
-def simhash64_expr(tokens: Column) -> Column:
+def simhash64_expr(tokens: Column, token_hash=None) -> Column:
     """64-bit Charikar SimHash of a token array as a single Catalyst
-    expression: per token t, hash h = xxhash64(t) votes +1/-1 on each
-    bit position; the fingerprint sets bit i when the vote sum is
-    positive.  One fold over the tokens with an array<int> accumulator;
-    bit extraction uses ShiftRight with a column shift amount via
-    call_function (exact for 64-bit longs, unlike float pow tricks)."""
+    expression: per token t, hash h = token_hash(t) (default xxhash64)
+    votes +1/-1 on each bit position; the fingerprint sets bit i when
+    the vote sum is positive.  One fold over the tokens with an
+    array<int> accumulator; bit extraction uses ShiftRight with a
+    column shift amount via call_function (exact for 64-bit longs,
+    unlike float pow tricks).  Pass ``token_hash=md5_hash60`` for a
+    fingerprint re-computable outside Spark (oracle entries)."""
+    if token_hash is None:
+        token_hash = F.xxhash64
     idx = F.sequence(F.lit(0), F.lit(63))
 
     def vote(acc, t):
-        h = F.xxhash64(t)
+        h = token_hash(t)
         return F.zip_with(
             acc, idx,
             lambda a, i: a + (F.call_function("shiftright", h, i)

@@ -89,7 +89,15 @@ def extract_features(df: DataFrame, content_col: str = "content",
     """Feature-extraction stub: deterministic pseudo-embedding of the
     binary content (real impl: a vision/audio encoder per Arrow batch).
     Output is array<float> of ``dim`` — matches the embeddings table
-    contract so downstream similarity ops compose."""
+    contract so downstream similarity ops compose.
+
+    The fake is portable: feature i = (md5_60bit(content || '|' || i)
+    mod 2000 - 1000) / 1000, where md5_60bit is the first 15 hex digits
+    of the md5 as an integer — re-computable in any SQL engine, so the
+    full mapInPandas plumbing is oracle-checkable end-to-end (values in
+    [-1, 1) at 1e-3 granularity survive float32 exactly at 6 dp)."""
+    import hashlib
+
     from pyspark.sql.types import ArrayType, FloatType
 
     out_schema = StructType(df.schema.fields + [
@@ -104,9 +112,11 @@ def extract_features(df: DataFrame, content_col: str = "content",
                 if b is None:
                     feats.append(None)
                     continue
-                seed = int.from_bytes(bytes(b)[:8].ljust(8, b"\0"), "little") % (2**32)
-                rng = np.random.RandomState(seed)
-                feats.append(rng.standard_normal(dim).astype(np.float32).tolist())
+                raw = bytes(b)
+                feats.append(np.array(
+                    [(int(hashlib.md5(raw + b"|%d" % i).hexdigest()[:15], 16)
+                      % 2000 - 1000) / 1000.0
+                     for i in range(dim)], dtype=np.float32).tolist())
             pdf[out_col] = feats
             yield pdf
 
