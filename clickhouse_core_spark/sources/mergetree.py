@@ -64,7 +64,8 @@ class MergeTreeTable:
                  key_cols: Sequence[str] | None = None,
                  version_col: str | None = None,
                  sign_col: str | None = None,
-                 sum_cols: Sequence[str] | None = None):
+                 sum_cols: Sequence[str] | None = None,
+                 bloom_filter_cols: Sequence[str] = ()):
         if engine not in _ENGINES:
             raise ValueError(f"engine must be one of {_ENGINES}")
         self.spark = spark
@@ -78,6 +79,13 @@ class MergeTreeTable:
         self.version_col = version_col
         self.sign_col = sign_col
         self.sum_cols = list(sum_cols) if sum_cols else None
+        # Skip-index analog (reference
+        # src/Storages/MergeTree/MergeTreeIndexBloomFilter.h:1): parquet
+        # bloom filters on high-cardinality columns NOT in the sort key.
+        # The sort key already prunes via row-group min/max stats; bloom
+        # filters give point-lookup row-group skipping on columns whose
+        # values are scattered across the file.
+        self.bloom_filter_cols = list(bloom_filter_cols)
         os.makedirs(path, exist_ok=True)
         self._write_meta()
 
@@ -92,6 +100,7 @@ class MergeTreeTable:
             "partition_by": self.partition_by, "key_cols": self.key_cols,
             "version_col": self.version_col, "sign_col": self.sign_col,
             "sum_cols": self.sum_cols,
+            "bloom_filter_cols": self.bloom_filter_cols,
         }
         with open(self._meta_path(), "w") as fh:
             json.dump(meta, fh)
@@ -104,7 +113,8 @@ class MergeTreeTable:
                    order_by=meta["order_by"], partition_by=meta["partition_by"],
                    engine=meta["engine"], key_cols=meta["key_cols"],
                    version_col=meta["version_col"], sign_col=meta["sign_col"],
-                   sum_cols=meta["sum_cols"])
+                   sum_cols=meta["sum_cols"],
+                   bloom_filter_cols=meta.get("bloom_filter_cols", ()))
 
     # ----------------------------------------------------------------- parts
 
@@ -126,6 +136,8 @@ class MergeTreeTable:
             writer = writer.repartition(*[F.col(c) for c in self.partition_by])
         writer = writer.sortWithinPartitions(*self.order_by)
         w = writer.write.mode("overwrite")
+        for col in self.bloom_filter_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(part_dir)
