@@ -4012,6 +4012,37 @@ def source_csv_roundtrip_q(spark, sf_dir):
             .orderBy("n_nationkey"))
 
 
+@q("source_protobuf_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_protobuf_roundtrip_q(spark, sf_dir):
+    """Protobuf format path (reference
+    src/Formats/registerFormats.cpp:57-60): encode nation rows to the
+    varint-length-delimited wire stream, write it as a Protobuf-format
+    file, read it back through the format source mapping with the
+    wire-format decoder (the spark-protobuf JVM path engages instead
+    when the connector jar is deployed).  Identity oracle checks the
+    full encode -> frame -> decode loop value-for-value."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    from clickhouse_core_spark.sources.protobuf import encode_length_delimited
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "pb_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.bin"), "wb") as fh:
+        fh.write(encode_length_delimited(rows, schema))
+    return (read_format(spark, path, "Protobuf", schema=schema)
+            .orderBy("n_nationkey"))
+
+
 @q("source_jdbc_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

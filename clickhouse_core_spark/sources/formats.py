@@ -42,6 +42,11 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
     if ch_format in ("Arrow", "ArrowStream"):
         return read_arrow(spark, path, schema=schema,
                           stream=(ch_format == "ArrowStream"))
+    if ch_format in ("Protobuf", "ProtobufList"):
+        from clickhouse_core_spark.sources.protobuf import read_protobuf
+        if schema is None:
+            raise ValueError("Protobuf reading needs an explicit schema")
+        return read_protobuf(spark, path, schema, **extra)
     if ch_format not in FORMAT_MAP:
         raise NotImplementedError(
             f"format {ch_format!r} not mapped (see FORMAT_MAP for the "

@@ -41,7 +41,7 @@ def kafka_options(broker_list: str, topic_list: str,
 
 
 def parse_value_stream(df: DataFrame, ch_format: str,
-                       schema=None) -> DataFrame:
+                       schema=None, **fmt_kwargs) -> DataFrame:
     """Parse the ``value`` column of a message stream according to a CH
     format name — the StorageKafka message-parsing stage
     (StorageKafka.h kafka_format setting).  Works on any DataFrame with
@@ -58,11 +58,20 @@ def parse_value_stream(df: DataFrame, ch_format: str,
         return (df.select(F.from_csv(v, schema.simpleString(),
                                      {"sep": sep}).alias("__r"))
                 .select("__r.*"))
+    if ch_format in ("Protobuf", "ProtobufSingle"):
+        # one message per Kafka value (reference kafka_format=Protobuf,
+        # src/Formats/registerFormats.cpp:57-60); JVM from_protobuf when
+        # the connector jar + a descriptor are supplied, wire-format
+        # fallback otherwise
+        from clickhouse_core_spark.sources.protobuf import from_protobuf_column
+        return from_protobuf_column(df, "value",
+                                    fmt_kwargs.pop("message_name", "Message"),
+                                    schema=schema, **fmt_kwargs)
     if ch_format in ("LineAsString", "Raw"):
         return df.select(v.alias("line"))
     raise NotImplementedError(
         f"kafka format {ch_format!r} not mapped (JSONEachRow/CSV/TSV/"
-        "LineAsString supported)")
+        "Protobuf/LineAsString supported)")
 
 
 def kafka_source(spark: SparkSession, broker_list: str, topic_list: str,
