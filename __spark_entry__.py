@@ -2070,6 +2070,45 @@ def win_exp_decayed_q(spark, sf_dir):
             .orderBy("user_id", "event_id"))
 
 
+@q("win_exp_decayed_column", """
+WITH e AS (SELECT user_id, event_id, value, epoch(ts) AS t FROM events)
+SELECT e1.user_id, e1.event_id,
+       round((SELECT sum(e2.value * exp((e2.t - e1.t) / 604800.0)) FROM e e2
+              WHERE e2.user_id = e1.user_id
+                AND (e2.t < e1.t OR (e2.t = e1.t AND e2.event_id <= e1.event_id))),
+             4) AS dsum,
+       round((SELECT sum(exp((e2.t - e1.t) / 604800.0)) FROM e e2
+              WHERE e2.user_id = e1.user_id
+                AND (e2.t < e1.t OR (e2.t = e1.t AND e2.event_id <= e1.event_id))),
+             4) AS dcnt,
+       round((SELECT max(e2.value * exp((e2.t - e1.t) / 604800.0)) FROM e e2
+              WHERE e2.user_id = e1.user_id
+                AND (e2.t < e1.t OR (e2.t = e1.t AND e2.event_id <= e1.event_id))),
+             4) AS dmax
+FROM e e1 ORDER BY e1.user_id, e1.event_id
+""")
+def win_exp_decayed_column_q(spark, sf_dir):
+    """exponentialTimeDecayed{Sum,Count,Max} COLUMN variants (reference
+    WindowTransform.cpp:1617,1714,1789) — the rebased-weight window
+    trick, valid while partition span << 700 * decay (here 30 days vs a
+    1-week decay: rel <= 4.3).  Complements win_exp_time_decayed, which
+    exercises the span-stable recurrence fold."""
+    from clickhouse_core_spark.operators.windows import (
+        exponential_time_decayed_count, exponential_time_decayed_max)
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    decay = 604800.0
+    return (ev.select(
+        "user_id", "event_id",
+        F.round(exponential_time_decayed_sum("value", "ts", decay, w), 4)
+        .alias("dsum"),
+        F.round(exponential_time_decayed_count("ts", decay, w), 4)
+        .alias("dcnt"),
+        F.round(exponential_time_decayed_max("value", "ts", decay, w), 4)
+        .alias("dmax"))
+        .orderBy("user_id", "event_id"))
+
+
 @q("win_lag_in_frame", """
 SELECT user_id, event_id,
        first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
