@@ -58,6 +58,7 @@ from clickhouse_core_spark.operators.stats import (
 from clickhouse_core_spark.sources import (
     RowPolicy, apply_row_policies, CheckConstraint, with_check_constraints,
 )
+from clickhouse_core_spark.operators.timeseries import time_series_to_grid
 from clickhouse_core_spark.operators.windows import (
     non_negative_derivative, exponential_time_decayed_sum,
     exponential_time_decayed_avg, lag_in_frame, lead_in_frame,
@@ -4711,6 +4712,141 @@ def check_constraints_insert_q(spark, sf_dir):
         o, [CheckConstraint("pos_price", "o_totalprice > 0"),
             CheckConstraint("valid_status", "o_orderstatus IN ('O','F','P')")])
     return guarded.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+# ------------------------------------------- timeSeries*ToGrid family (r3)
+
+# Shared grid over the fixture's January 2024 span: start Jan 2, end
+# Jan 30, 6-hour step (113 points), 12-hour staleness window.
+_TS_GRID = (1704153600.0, 1706572800.0, 21600.0, 43200.0)
+
+_TS_ORACLE_BASE = """
+WITH s0 AS (SELECT event_type, epoch(ts) AS t, max(value) AS v
+            FROM events GROUP BY 1, 2),
+g AS (SELECT e.event_type, 1704153600.0 + r.i * 21600.0 AS gt
+      FROM (SELECT DISTINCT event_type FROM events) e, range(0, 113) r(i)),
+w AS (SELECT g.event_type, g.gt, s.t, s.v,
+             lag(s.v) OVER (PARTITION BY g.event_type, g.gt ORDER BY s.t) AS pv
+      FROM g JOIN s0 s ON s.event_type = g.event_type
+                      AND s.t >= g.gt - 43200.0 AND s.t <= g.gt)
+"""
+
+
+@q("ts_rate_to_grid", _TS_ORACLE_BASE + """,
+a AS (SELECT event_type, gt, count(*) AS n, min(t) AS t0, max(t) AS t1,
+             arg_min(v, t) AS v0, arg_max(v, t) AS v1,
+             sum(CASE WHEN v < pv THEN pv ELSE 0.0 END) AS resets
+      FROM w GROUP BY 1, 2),
+c AS (SELECT event_type, gt, v1 - v0 + resets AS vd, t1 - t0 AS ti,
+             t0 - (gt - 43200.0) AS d0, gt - t1 AS d1, v0,
+             (t1 - t0) / (n - 1) AS avg_dur
+      FROM a WHERE n >= 2 AND t1 > t0),
+d AS (SELECT event_type, gt, vd, ti, v0,
+             CASE WHEN d0 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE d0 END AS dts0,
+             CASE WHEN d1 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE d1 END AS dte
+      FROM c),
+f AS (SELECT event_type, gt, vd, ti, dte,
+             CASE WHEN vd > 0 AND v0 >= 0
+                  THEN least(ti * (v0 / vd), dts0) ELSE dts0 END AS dts
+      FROM d)
+SELECT g.event_type, CAST(g.gt AS BIGINT) AS grid_ts,
+       round(f.vd * ((f.ti + f.dts + f.dte) / f.ti) / 43200.0, 6) AS rate
+FROM g LEFT JOIN f ON f.event_type = g.event_type AND f.gt = g.gt
+ORDER BY g.event_type, grid_ts
+""")
+def ts_rate_to_grid_q(spark, sf_dir):
+    """timeSeriesRateToGrid (reference
+    src/AggregateFunctions/AggregateFunctionTimeseriesExtrapolatedValue.h):
+    PromQL rate on a regular grid — counter resets accumulated in-window,
+    Prometheus boundary extrapolation clamped at the counter zero point.
+    Oracle replays the identical formula in SQL."""
+    ev = _cat(spark, sf_dir).events
+    out = time_series_to_grid(ev, ["event_type"], "ts", "value",
+                              *_TS_GRID, kind="rate")
+    return (out.select("event_type",
+                       F.col("grid_ts").cast("long").alias("grid_ts"),
+                       F.round("result", 6).alias("rate"))
+            .orderBy("event_type", "grid_ts"))
+
+
+@q("ts_delta_to_grid", _TS_ORACLE_BASE + """,
+a AS (SELECT event_type, gt, count(*) AS n, min(t) AS t0, max(t) AS t1,
+             arg_min(v, t) AS v0, arg_max(v, t) AS v1
+      FROM w GROUP BY 1, 2),
+c AS (SELECT event_type, gt, v1 - v0 AS vd, t1 - t0 AS ti,
+             t0 - (gt - 43200.0) AS d0, gt - t1 AS d1,
+             (t1 - t0) / (n - 1) AS avg_dur
+      FROM a WHERE n >= 2 AND t1 > t0),
+d AS (SELECT event_type, gt, vd, ti,
+             CASE WHEN d0 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE d0 END AS dts,
+             CASE WHEN d1 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE d1 END AS dte
+      FROM c)
+SELECT g.event_type, CAST(g.gt AS BIGINT) AS grid_ts,
+       round(d.vd * ((d.ti + d.dts + d.dte) / d.ti), 6) AS delta
+FROM g LEFT JOIN d ON d.event_type = g.event_type AND d.gt = g.gt
+ORDER BY g.event_type, grid_ts
+""")
+def ts_delta_to_grid_q(spark, sf_dir):
+    """timeSeriesDeltaToGrid — gauge delta with Prometheus
+    extrapolation, no reset handling, no window division."""
+    ev = _cat(spark, sf_dir).events
+    out = time_series_to_grid(ev, ["event_type"], "ts", "value",
+                              *_TS_GRID, kind="delta")
+    return (out.select("event_type",
+                       F.col("grid_ts").cast("long").alias("grid_ts"),
+                       F.round("result", 6).alias("delta"))
+            .orderBy("event_type", "grid_ts"))
+
+
+@q("ts_instant_rate_grid", _TS_ORACLE_BASE + """,
+r AS (SELECT event_type, gt, t, v,
+             row_number() OVER (PARTITION BY event_type, gt ORDER BY t DESC) AS rk
+      FROM w),
+p AS (SELECT l.event_type, l.gt,
+             round(CASE WHEN l.v < o.v THEN l.v ELSE l.v - o.v END
+                   / (l.t - o.t), 6) AS irate,
+             round(l.v - o.v, 6) AS idelta
+      FROM r l JOIN r o ON l.event_type = o.event_type AND l.gt = o.gt
+                        AND l.rk = 1 AND o.rk = 2)
+SELECT g.event_type, CAST(g.gt AS BIGINT) AS grid_ts, p.irate, p.idelta
+FROM g LEFT JOIN p ON p.event_type = g.event_type AND p.gt = g.gt
+ORDER BY g.event_type, grid_ts
+""")
+def ts_instant_rate_grid_q(spark, sf_dir):
+    """timeSeriesInstantRateToGrid + InstantDeltaToGrid (reference
+    AggregateFunctionTimeseriesInstantValue.h): last two samples per
+    grid point; irate treats a decrease as a counter reset."""
+    ev = _cat(spark, sf_dir).events
+    ir = time_series_to_grid(ev, ["event_type"], "ts", "value",
+                             *_TS_GRID, kind="instant_rate", out_col="ir")
+    idl = time_series_to_grid(ev, ["event_type"], "ts", "value",
+                              *_TS_GRID, kind="instant_delta", out_col="idl")
+    return (ir.join(idl, ["event_type", "grid_ts"])
+            .select("event_type",
+                    F.col("grid_ts").cast("long").alias("grid_ts"),
+                    F.round("ir", 6).alias("irate"),
+                    F.round("idl", 6).alias("idelta"))
+            .orderBy("event_type", "grid_ts"))
+
+
+@q("ts_resample_grid", _TS_ORACLE_BASE + """,
+a AS (SELECT event_type, gt, arg_max(v, t) AS lv FROM w GROUP BY 1, 2)
+SELECT g.event_type, CAST(g.gt AS BIGINT) AS grid_ts,
+       round(a.lv, 6) AS resampled
+FROM g LEFT JOIN a ON a.event_type = g.event_type AND a.gt = g.gt
+ORDER BY g.event_type, grid_ts
+""")
+def ts_resample_grid_q(spark, sf_dir):
+    """timeSeriesResampleToGridWithStaleness (reference
+    AggregateFunctionTimeseriesToGridSparse.h): newest in-window sample
+    per grid point, NULL past the staleness window."""
+    ev = _cat(spark, sf_dir).events
+    out = time_series_to_grid(ev, ["event_type"], "ts", "value",
+                              *_TS_GRID, kind="resample")
+    return (out.select("event_type",
+                       F.col("grid_ts").cast("long").alias("grid_ts"),
+                       F.round("result", 6).alias("resampled"))
+            .orderBy("event_type", "grid_ts"))
 
 
 # ---------------------------------------------------------------- contract

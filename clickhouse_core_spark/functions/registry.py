@@ -1229,12 +1229,24 @@ _MISC3 = {
         F.split(_c(s), r"[\s\p{Punct}]+"), lambda t: t != ""),
     "dateName": _date_name,
     "timeSlots": _time_slots,
+    # Type-mapping policy vs the reference (FunctionsAES.h returns CH
+    # String — arbitrary bytes — for BOTH directions): CH String is
+    # binary-safe, Spark StringType is UTF-8.  Ciphertext is almost
+    # never valid UTF-8, so encrypt keeps Spark binary (the faithful
+    # carrier for CH String bytes); decrypt casts to string because
+    # recovered plaintexts are overwhelmingly text and callers compare
+    # them as strings.  Fidelity limit: a NON-UTF-8 plaintext is
+    # corrupted by that cast — use the *Binary variants below to keep
+    # raw bytes.
     "encrypt": lambda mode, d, k, iv=None: _aes(F.aes_encrypt, mode, d, k, iv),
-    # reference decrypt returns String (FunctionsAES.cpp), not binary
     "decrypt": lambda mode, d, k, iv=None: _aes(
         F.aes_decrypt, mode, d, k, iv).cast("string"),
+    "decryptBinary": lambda mode, d, k, iv=None: _aes(
+        F.aes_decrypt, mode, d, k, iv),
     "tryDecrypt": lambda mode, d, k, iv=None: _aes(
         F.try_aes_decrypt, mode, d, k, iv).cast("string"),
+    "tryDecryptBinary": lambda mode, d, k, iv=None: _aes(
+        F.try_aes_decrypt, mode, d, k, iv),
     "aesEncryptMysql": lambda mode, d, k: _aes(F.aes_encrypt, mode, d, k),
     "aesDecryptMysql": lambda mode, d, k: _aes(
         F.aes_decrypt, mode, d, k).cast("string"),
