@@ -47,6 +47,12 @@ from clickhouse_core_spark.operators.stats import (
 from clickhouse_core_spark.operators.aggregates import (
     min_map, max_map, group_array_last, quantile_exact,
     group_uniq_array, any_respect_nulls, any_last_respect_nulls,
+    sum_map_filtered, sum_mapped_arrays, min_mapped_arrays,
+    max_mapped_arrays, group_concat,
+)
+from clickhouse_core_spark.operators.jsonpaths import distinct_json_paths
+from clickhouse_core_spark.operators.sequence import (
+    max_intersections_position, sequence_match_events,
 )
 from clickhouse_core_spark.operators.quantiles import (
     quantile_timing, quantile_bfloat16, quantile_deterministic,
@@ -4712,6 +4718,179 @@ def check_constraints_insert_q(spark, sf_dir):
         o, [CheckConstraint("pos_price", "o_totalprice > 0"),
             CheckConstraint("valid_status", "o_orderstatus IN ('O','F','P')")])
     return guarded.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+
+
+# ------------------------------------------- aggregate long tail (r3)
+
+@q("agg_group_concat", """
+WITH g AS (SELECT o_orderpriority,
+                  (list(CAST(o_custkey AS VARCHAR) ORDER BY o_orderkey))[1:5] AS arr
+           FROM orders GROUP BY 1)
+SELECT o_orderpriority, array_to_string(arr, '|') AS gconcat
+FROM g ORDER BY o_orderpriority
+""")
+def agg_group_concat_q(spark, sf_dir):
+    """groupConcat('|', 5)(custkey) ordered by orderkey (reference
+    src/AggregateFunctions/AggregateFunctionGroupConcat.cpp)."""
+    o = _cat(spark, sf_dir).orders
+    return (group_concat(o, ["o_orderpriority"], "o_custkey",
+                         order=["o_orderkey"], sep="|", limit=5)
+            .orderBy("o_orderpriority"))
+
+
+@q("agg_sum_map_filtered", """
+SELECT user_id, event_type AS k, round(sum(value), 6) AS v
+FROM events WHERE event_type IN ('view', 'click')
+GROUP BY user_id, event_type ORDER BY user_id, k
+""")
+def agg_sum_map_filtered_q(spark, sf_dir):
+    """sumMapFiltered(['view','click']) (reference
+    AggregateFunctionSumMap.h Filtered variant) — the allow-list filter
+    runs before the shuffle; output exploded for the driver hasher."""
+    ev = _cat(spark, sf_dir).events
+    mapped = ev.select("user_id",
+                       F.create_map(F.col("event_type"), F.col("value")).alias("m"))
+    summed = sum_map_filtered(mapped, ["user_id"], "m",
+                              ["view", "click"], alias="sm")
+    return (summed.select("user_id", F.explode("sm").alias("k", "v"))
+            .select("user_id", "k", F.round("v", 6).alias("v"))
+            .orderBy("user_id", "k"))
+
+
+@q("agg_mapped_arrays", """
+WITH z AS (
+  SELECT l_orderkey, unnest(['rf_' || l_returnflag, 'ls_' || l_linestatus]) AS k,
+         unnest([l_quantity, l_extendedprice]) AS v
+  FROM lineitem)
+SELECT k, round(sum(v), 4) AS sum_v, round(min(v), 4) AS min_v,
+       round(max(v), 4) AS max_v
+FROM z GROUP BY k ORDER BY k
+""")
+def agg_mapped_arrays_q(spark, sf_dir):
+    """sum/min/maxMappedArrays((keys_arr, vals_arr)) (reference
+    AggregateFunctionSumMap.h *MappedArrays registrations) over parallel
+    key/value arrays; three aggregates joined on the exploded key."""
+    li = _cat(spark, sf_dir).lineitem
+    t = li.select(
+        F.array(F.concat(F.lit("rf_"), "l_returnflag"),
+                F.concat(F.lit("ls_"), "l_linestatus")).alias("ks"),
+        F.array("l_quantity", "l_extendedprice").alias("vs"))
+    s = sum_mapped_arrays(t, [], "ks", "vs", alias="sm")
+    mn = min_mapped_arrays(t, [], "ks", "vs", alias="mn")
+    mx = max_mapped_arrays(t, [], "ks", "vs", alias="mx")
+    srow = s.select(F.explode("sm").alias("k", "sum_v"))
+    mnrow = mn.select(F.explode("mn").alias("k", "min_v"))
+    mxrow = mx.select(F.explode("mx").alias("k", "max_v"))
+    return (srow.join(mnrow, "k").join(mxrow, "k")
+            .select("k", F.round("sum_v", 4).alias("sum_v"),
+                    F.round("min_v", 4).alias("min_v"),
+                    F.round("max_v", 4).alias("max_v"))
+            .orderBy("k"))
+
+
+@q("max_intersections_position_sweep", """
+WITH ev AS (
+  SELECT user_id, value AS p, 1 AS d FROM events
+  UNION ALL
+  SELECT user_id, value + 20.0 AS p, -1 AS d FROM events),
+sweep AS (
+  SELECT user_id, p,
+         sum(d) OVER (PARTITION BY user_id ORDER BY p, d
+                      ROWS UNBOUNDED PRECEDING) AS depth,
+         row_number() OVER (PARTITION BY user_id ORDER BY p, d) AS rn
+  FROM ev),
+mx AS (SELECT user_id, max(depth) AS m FROM sweep GROUP BY user_id)
+SELECT s.user_id, round(min_by(s.p, s.rn), 6) AS position
+FROM sweep s JOIN mx USING (user_id) WHERE s.depth = mx.m
+GROUP BY s.user_id ORDER BY s.user_id
+""")
+def max_intersections_position_q(spark, sf_dir):
+    """maxIntersectionsPosition (reference
+    AggregateFunctionMaxIntersections.cpp:34): leftmost point where the
+    max overlap of [value, value+20] intervals is first attained."""
+    ev = _cat(spark, sf_dir).events
+    iv = ev.select("user_id", F.col("value").alias("s"),
+                   (F.col("value") + 20.0).alias("e"))
+    return (max_intersections_position(iv, ["user_id"], "s", "e")
+            .select("user_id", F.round("position", 6).alias("position"))
+            .orderBy("user_id"))
+
+
+@q("sequence_match_events_chain", """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+t1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t > t1.t GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t > t2.t GROUP BY 1)
+SELECT t1.user_id, t1.t AS ts_view, t2.t AS ts_click, t3.t AS ts_purchase
+FROM t1 JOIN t2 USING (user_id) JOIN t3 USING (user_id)
+ORDER BY user_id
+""")
+def sequence_match_events_q(spark, sf_dir):
+    """sequenceMatchEvents('(?1).*(?2).*(?3)') (reference
+    AggregateFunctionSequenceMatch.cpp:719): timestamps bound to each
+    step of the first (greedy-earliest) view→click→purchase chain.
+    Event times are unique per user in the fixtures, so the strict-'>'
+    SQL chain is exact."""
+    ev = _cat(spark, sf_dir).events
+    out = sequence_match_events(
+        ev, ["user_id"], "ts",
+        [F.col("event_type") == "view", F.col("event_type") == "click",
+         F.col("event_type") == "purchase"])
+    return (out.filter(F.size("match_events") == 3)
+            .select("user_id",
+                    F.element_at("match_events", 1).alias("ts_view"),
+                    F.element_at("match_events", 2).alias("ts_click"),
+                    F.element_at("match_events", 3).alias("ts_purchase"))
+            .orderBy("user_id"))
+
+
+@q("agg_distinct_json_paths", """
+WITH j AS (
+  SELECT CASE WHEN event_type = 'purchase'
+              THEN json_object('et', event_type,
+                               'nested', json_object('v', value,
+                                                     'flag', user_id % 2 = 0),
+                               'amount', value)
+              ELSE json_object('et', event_type,
+                               'nested', json_object('v', value,
+                                                     'flag', user_id % 2 = 0))
+         END AS js FROM events),
+l0 AS (SELECT js, unnest(json_keys(js)) AS k0 FROM j),
+typed0 AS (SELECT k0 AS path, json_type(js, '$.' || k0) AS t, js
+           FROM l0),
+leaf0 AS (SELECT path, t FROM typed0 WHERE t != 'OBJECT'),
+l1 AS (SELECT js, path AS p0, unnest(json_keys(js, '$.' || path)) AS k1
+       FROM typed0 WHERE t = 'OBJECT'),
+leaf1 AS (SELECT p0 || '.' || k1 AS path,
+                 json_type(js, '$.' || p0 || '.' || k1) AS t FROM l1),
+u AS (SELECT path, t FROM leaf0 UNION SELECT path, t FROM leaf1)
+SELECT DISTINCT path,
+       CASE t WHEN 'VARCHAR' THEN 'String' WHEN 'DOUBLE' THEN 'Float64'
+              WHEN 'BIGINT' THEN 'Int64' WHEN 'UBIGINT' THEN 'Int64'
+              WHEN 'BOOLEAN' THEN 'Bool' WHEN 'ARRAY' THEN 'Array'
+              WHEN 'OBJECT' THEN 'Object' WHEN 'NULL' THEN 'Null'
+              ELSE t END AS jtype
+FROM u ORDER BY path, jtype
+""")
+def agg_distinct_json_paths_q(spark, sf_dir):
+    """distinctJSONPathsAndTypes (reference
+    src/AggregateFunctions/AggregateFunctionDistinctJSONPaths.cpp):
+    schema discovery over a JSON column — nested paths via a bounded
+    level walk, leaf types re-derived (documented heuristic).  The JSON
+    is synthesized from events columns identically on both sides; the
+    'amount' path only exists when purchases exist in the data."""
+    ev = _cat(spark, sf_dir).events
+    nested = F.struct(F.col("value").alias("v"),
+                      (F.col("user_id") % 2 == 0).alias("flag"))
+    j = ev.select(F.to_json(F.struct(
+        F.col("event_type").alias("et"),
+        nested.alias("nested"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .alias("amount"))).alias("js"))
+    return (distinct_json_paths(j, "js", max_depth=3, with_types=True)
+            .orderBy("path", "jtype"))
 
 
 # ------------------------------------------- timeSeries*ToGrid family (r3)

@@ -37,7 +37,14 @@ from clickhouse_core_spark.operators.aggregates import (
     sum_kahan,
     any_respect_nulls,
     any_last_respect_nulls,
+    sum_map_filtered,
+    sum_mapped_arrays,
+    min_mapped_arrays,
+    max_mapped_arrays,
+    group_concat,
 )
+from clickhouse_core_spark.operators.jsonpaths import distinct_json_paths
+from clickhouse_core_spark.operators.timeseries import time_series_to_grid
 from clickhouse_core_spark.operators.quantiles import (
     quantile_timing,
     quantile_bfloat16,
@@ -80,8 +87,10 @@ from clickhouse_core_spark.operators.sequence import (
     window_funnel,
     retention,
     sequence_match,
+    sequence_match_events,
     sequence_count,
     sequence_next_node,
+    max_intersections_position,
     delta_sum,
     delta_sum_timestamp,
     exponential_moving_average,
@@ -127,6 +136,10 @@ __all__ = [
     "delta_sum_timestamp",
     "exponential_moving_average", "bounding_ratio", "uniq_up_to",
     "entropy", "max_intersections", "interval_length_sum",
+    "sum_map_filtered", "sum_mapped_arrays", "min_mapped_arrays",
+    "max_mapped_arrays", "group_concat", "distinct_json_paths",
+    "time_series_to_grid", "sequence_match_events",
+    "max_intersections_position",
     "replacing_final", "summing_final", "collapsing_final",
     "versioned_collapsing_final", "coalescing_final", "graphite_rollup",
 ]

@@ -207,6 +207,77 @@ def max_map(df: DataFrame, keys: Sequence[str], map_col: str,
     return _agg_map(df, keys, map_col, F.max, alias)
 
 
+def sum_map_filtered(df: DataFrame, keys: Sequence[str], map_col: str,
+                     keys_to_keep: Sequence, alias: str = "sum_map") -> DataFrame:
+    """sumMapFiltered(keys_to_keep)(map) (reference
+    src/AggregateFunctions/AggregateFunctionSumMap.h, Filtered variant):
+    sumMap restricted to an allow-list of map keys.  The filter runs
+    map-side BEFORE the shuffle, so the exchange carries only wanted
+    keys.  sumMapFilteredWithOverflow coincides here: Spark long/double
+    arithmetic is already the reference's WithOverflow behavior for the
+    mapped Spark types."""
+    allow = F.array(*[F.lit(k) for k in keys_to_keep])
+    filtered = df.withColumn(
+        map_col, F.map_filter(map_col, lambda k, _: F.array_contains(allow, k)))
+    return _agg_map(filtered, keys, map_col, F.sum, alias)
+
+
+sum_map_filtered_with_overflow = sum_map_filtered
+
+
+def _agg_mapped_arrays(df: DataFrame, keys: Sequence[str], karr_col: str,
+                       varr_col: str, agg_fn, alias: str) -> DataFrame:
+    """sum/min/maxMappedArrays((keys_array, values_array)) (reference
+    AggregateFunctionSumMap.h, *MappedArrays registrations): the two
+    parallel arrays zip to (key, value) pairs, then aggregate per map
+    key like sumMap.  Same two-shuffle shape as _agg_map."""
+    keys = list(keys)
+    pairs = df.select(*keys, F.explode(F.arrays_zip(
+        F.col(karr_col).alias("k"), F.col(varr_col).alias("v"))).alias("__p"))
+    agged = (pairs.select(*keys, F.col("__p.k").alias("__mk"),
+                          F.col("__p.v").alias("__mv"))
+             .groupBy(*keys, "__mk").agg(agg_fn("__mv").alias("__sv")))
+    return (agged.groupBy(*keys)
+            .agg(F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__mk", "__sv")))).alias(alias)))
+
+
+def sum_mapped_arrays(df, keys, karr_col, varr_col, alias="sum_map"):
+    return _agg_mapped_arrays(df, keys, karr_col, varr_col, F.sum, alias)
+
+
+def min_mapped_arrays(df, keys, karr_col, varr_col, alias="min_map"):
+    return _agg_mapped_arrays(df, keys, karr_col, varr_col, F.min, alias)
+
+
+def max_mapped_arrays(df, keys, karr_col, varr_col, alias="max_map"):
+    return _agg_mapped_arrays(df, keys, karr_col, varr_col, F.max, alias)
+
+
+def group_concat(df: DataFrame, keys: Sequence[str], value_col: str,
+                 order: Sequence[str], sep: str = ",",
+                 limit: int | None = None,
+                 alias: str = "gconcat") -> DataFrame:
+    """groupConcat[(sep[, limit])](x) (reference
+    src/AggregateFunctions/AggregateFunctionGroupConcat.cpp): values
+    joined with ``sep``; at most ``limit`` values when given.  The
+    reference concatenates in insertion order — made deterministic here
+    with an explicit ``order`` column list (same refinement as
+    groupArray*)."""
+    keys = list(keys)
+    order = list(order)
+    collected = (df.groupBy(*keys)
+                 .agg(F.array_sort(F.collect_list(F.struct(
+                     *[F.col(o).alias(f"__o{i}") for i, o in enumerate(order)],
+                     F.col(value_col).cast("string").alias("__v"))))
+                     .alias("__arr")))
+    arr = F.col("__arr")
+    if limit is not None:
+        arr = F.slice(arr, 1, int(limit))
+    joined = F.array_join(F.transform(arr, lambda s: s["__v"]), sep)
+    return collected.select(*keys, joined.alias(alias))
+
+
 _SPARKBAR_LEVELS = ["▁", "▂", "▃", "▄", "▅", "▆", "▇", "█"]
 
 

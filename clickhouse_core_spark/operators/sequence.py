@@ -322,6 +322,76 @@ def max_intersections(df: DataFrame, keys: Sequence[str],
             .groupBy(*keys).agg(F.max("__depth").cast("int").alias(alias)))
 
 
+def max_intersections_position(df: DataFrame, keys: Sequence[str],
+                               start_col: str, end_col: str,
+                               alias: str = "position") -> DataFrame:
+    """maxIntersectionsPosition(start, end): leftmost position where the
+    maximum interval overlap is first attained (reference
+    src/AggregateFunctions/AggregateFunctionMaxIntersections.cpp:34 —
+    points sorted by (position, weight) so ends precede starts at equal
+    position; the position recorded is the first point whose running
+    depth strictly exceeds every earlier depth and equals the max).
+
+    Same sweep as max_intersections plus a min_by over the first
+    max-depth attainment.
+    """
+    keys = list(keys)
+    events = df.select(
+        *keys,
+        F.explode(F.array(
+            F.struct(F.col(start_col).alias("__p"), F.lit(1).alias("__d")),
+            F.struct(F.col(end_col).alias("__p"), F.lit(-1).alias("__d")),
+        )).alias("__e")
+    ).select(*keys, "__e.__p", "__e.__d")
+    w = (Window.partitionBy(*keys).orderBy("__p", "__d")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(*keys)
+    depth = F.sum("__d").over(w)
+    swept = (events.withColumn("__depth", depth)
+             .withColumn("__rn", F.row_number().over(
+                 Window.partitionBy(*keys).orderBy("__p", "__d")))
+             .withColumn("__max", F.max("__depth").over(w_all)))
+    return (swept.filter(F.col("__depth") == F.col("__max"))
+            .groupBy(*keys)
+            .agg(F.min_by("__p", "__rn").alias(alias)))
+
+
+def sequence_match_events(df: DataFrame, keys: Sequence[str], ts_col: str,
+                          conds: Sequence[Column],
+                          alias: str = "match_events") -> DataFrame:
+    """sequenceMatchEvents('(?1).*(?2)...')(ts, cond1..condN) (reference
+    src/AggregateFunctions/AggregateFunctionSequenceMatch.cpp:719):
+    the timestamps of the events bound to each (?N) in the FIRST match —
+    the backtracking matcher binds each step to the earliest eligible
+    event, so for the supported '(?i) then (?j)' pattern subset the
+    result is the greedy earliest chain; empty array when no match.
+
+    Same fold as sequence_match with a timestamp-accumulating state.
+    """
+    n = len(conds)
+    keys = list(keys)
+    # microsecond precision: second-truncated timestamps collide across
+    # events and make the greedy chain order ambiguous vs any oracle
+    ev = df.select(*keys,
+                   F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+                   _match_mask(conds).alias("__m"))
+    per_key = (ev.filter(F.col("__m") != 0)
+               .groupBy(*keys)
+               .agg(F.array_sort(F.collect_list(F.struct("__t", "__m"))).alias("__evs")))
+
+    def step(acc, e):
+        want = F.size(acc)
+        hit = _bit(e["__m"], want)
+        return F.when(want >= n, acc).otherwise(
+            F.when(hit, F.concat(acc, F.array(e["__t"]))).otherwise(acc))
+
+    matched = F.aggregate(
+        "__evs", F.array().cast("array<long>"), step,
+        lambda acc: F.when(F.size(acc) >= n, acc)
+        .otherwise(F.array().cast("array<long>")))
+    return per_key.withColumn(alias, matched).drop("__evs")
+
+
 def interval_length_sum(df: DataFrame, keys: Sequence[str],
                         start_col: str, end_col: str,
                         alias: str = "interval_length_sum") -> DataFrame:

@@ -228,3 +228,77 @@ def test_group_array_moving_sum_avg(spark):
     assert ma == [0.5, 1.5, 2.5, 3.5]
     ma_all = group_array_moving_avg(df, ["k"], "v", "ts").collect()[0]["arr"]
     assert ma_all == [0.25, 0.75, 1.5, 2.5]
+
+
+def test_group_concat(spark):
+    from clickhouse_core_spark.operators import group_concat
+    df = spark.createDataFrame(
+        [("a", 3, "z"), ("a", 1, "x"), ("a", 2, "y"), ("b", 1, "q")],
+        "g string, o int, v string")
+    got = {r.g: r.gconcat
+           for r in group_concat(df, ["g"], "v", ["o"], sep="-").collect()}
+    assert got == {"a": "x-y-z", "b": "q"}
+    got2 = {r.g: r.gconcat
+            for r in group_concat(df, ["g"], "v", ["o"], sep="-", limit=2).collect()}
+    assert got2["a"] == "x-y"
+
+
+def test_sum_map_filtered(spark):
+    from pyspark.sql import functions as F
+    from clickhouse_core_spark.operators import sum_map_filtered
+    df = spark.createDataFrame([(1, {"a": 1.0, "b": 2.0}),
+                                (1, {"a": 3.0, "c": 9.0})],
+                               "g int, m map<string,double>")
+    row = sum_map_filtered(df, ["g"], "m", ["a", "b"], alias="sm").first()
+    assert dict(row.sm) == {"a": 4.0, "b": 2.0}  # 'c' filtered out
+
+
+def test_mapped_arrays(spark):
+    from clickhouse_core_spark.operators import (
+        max_mapped_arrays, min_mapped_arrays, sum_mapped_arrays)
+    df = spark.createDataFrame(
+        [(["x", "y"], [1.0, 10.0]), (["y", "z"], [20.0, 5.0])],
+        "ks array<string>, vs array<double>")
+    assert dict(sum_mapped_arrays(df, [], "ks", "vs").first().sum_map) == \
+        {"x": 1.0, "y": 30.0, "z": 5.0}
+    assert dict(min_mapped_arrays(df, [], "ks", "vs").first().min_map) == \
+        {"x": 1.0, "y": 10.0, "z": 5.0}
+    assert dict(max_mapped_arrays(df, [], "ks", "vs").first().max_map) == \
+        {"x": 1.0, "y": 20.0, "z": 5.0}
+
+
+def test_max_intersections_position(spark):
+    from clickhouse_core_spark.operators import max_intersections_position
+    # [1,5) [2,6) [3,7): depth 3 first attained at position 3
+    df = spark.createDataFrame([(1, 1.0, 5.0), (1, 2.0, 6.0), (1, 3.0, 7.0),
+                                (2, 0.0, 1.0)], "g int, s double, e double")
+    got = {r.g: r.position for r in
+           max_intersections_position(df, ["g"], "s", "e").collect()}
+    assert got == {1: 3.0, 2: 0.0}
+
+
+def test_sequence_match_events(spark):
+    from pyspark.sql import functions as F
+    from clickhouse_core_spark.operators import sequence_match_events
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:01", "A"), (1, "2024-01-01 00:00:02", "A"),
+         (1, "2024-01-01 00:00:03", "B"), (1, "2024-01-01 00:00:04", "B"),
+         (2, "2024-01-01 00:00:01", "B")],
+        "g int, ts string, e string").withColumn("ts", F.to_timestamp("ts"))
+    out = {r.g: list(r.match_events) for r in sequence_match_events(
+        df, ["g"], "ts",
+        [F.col("e") == "A", F.col("e") == "B"]).collect()}
+    base = 1704067200_000000
+    assert out[1] == [base + 1_000000, base + 3_000000]  # earliest chain
+    assert out[2] == []
+
+
+def test_distinct_json_paths(spark):
+    from clickhouse_core_spark.operators import distinct_json_paths
+    df = spark.createDataFrame(
+        [('{"a": {"b": 1, "c": "x"}, "d": 2.5}',),
+         ('{"a": {"b": 7}, "e": true, "f": null}',)], "j string")
+    rows = distinct_json_paths(df, "j", with_types=True).collect()
+    got = {(r.path, r.jtype) for r in rows}
+    assert got == {("a.b", "Int64"), ("a.c", "String"), ("d", "Float64"),
+                   ("e", "Bool"), ("f", "Null")}
