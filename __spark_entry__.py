@@ -4720,6 +4720,55 @@ def check_constraints_insert_q(spark, sf_dir):
     return guarded.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
 
 
+@q("fn_conv_or_default", """
+WITH t AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 2 = 0 THEN CAST(p_size AS VARCHAR)
+              ELSE 'n/a' END AS s,
+         CASE WHEN p_partkey % 3 = 0
+              THEN '1995-05-0' || CAST(p_partkey % 9 + 1 AS VARCHAR)
+              ELSE 'bad' END AS ds,
+         p_partkey * 1000000000 + 123456789 AS ns
+  FROM part WHERE p_partkey < 200)
+SELECT p_partkey,
+       COALESCE(TRY_CAST(s AS INT), -7) AS i_def,
+       COALESCE(TRY_CAST(s AS DOUBLE), -1.5) AS f_def,
+       COALESCE(TRY_CAST(ds AS DATE), DATE '1970-01-01') AS d_def,
+       (ns // 1000) * 1000 AS ns_rt,
+       round(degrees(2 * asin(sqrt(
+           sin(radians(CAST(p_partkey % 60 AS DOUBLE) - 10.0) / 2)
+             * sin(radians(CAST(p_partkey % 60 AS DOUBLE) - 10.0) / 2)
+           + cos(radians(10.0)) * cos(radians(CAST(p_partkey % 60 AS DOUBLE)))
+             * sin(radians(20.0 - 5.0) / 2) * sin(radians(20.0 - 5.0) / 2)))),
+           4) AS gc_angle
+FROM t ORDER BY p_partkey
+""")
+def fn_conv_or_default_q(spark, sf_dir):
+    """toInt32OrDefault / toFloat64OrDefault / toDateOrDefault
+    (reference FunctionsConversion.h OrDefault variants),
+    to/fromUnixTimestamp64Nano round trip (µs-precision truncation),
+    greatCircleAngle (degrees of arc)."""
+    p = _cat(spark, sf_dir).part.filter(F.col("p_partkey") < 200)
+    s = F.when(F.col("p_partkey") % 2 == 0,
+               F.col("p_size").cast("string")).otherwise(F.lit("n/a"))
+    ds = F.when(F.col("p_partkey") % 3 == 0,
+                F.concat(F.lit("1995-05-0"),
+                         (F.col("p_partkey") % 9 + 1).cast("string"))) \
+          .otherwise(F.lit("bad"))
+    ns = F.col("p_partkey") * F.lit(1000000000) + F.lit(123456789)
+    lat2 = (F.col("p_partkey") % 60).cast("double")
+    return (p.select(
+        "p_partkey",
+        CH_FUNCTIONS["toInt32OrDefault"](s, F.lit(-7)).alias("i_def"),
+        CH_FUNCTIONS["toFloat64OrDefault"](s, F.lit(-1.5)).alias("f_def"),
+        CH_FUNCTIONS["toDateOrDefault"](ds).alias("d_def"),
+        CH_FUNCTIONS["toUnixTimestamp64Nano"](
+            CH_FUNCTIONS["fromUnixTimestamp64Nano"](ns)).alias("ns_rt"),
+        F.round(CH_FUNCTIONS["greatCircleAngle"](
+            F.lit(5.0), F.lit(10.0), F.lit(20.0), lat2), 4).alias("gc_angle"))
+        .orderBy("p_partkey"))
+
+
 # ------------------------------------------- aggregate long tail (r3)
 
 @q("agg_group_concat", """

@@ -1007,6 +1007,13 @@ _CONV2 = {
     "accurateCast": _accurate_cast,
     "accurateCastOrNull": lambda x, t: _c(x).try_cast(
         _CH_TYPE_TO_SPARK.get(t.lower().strip(), t)),
+    "fromUnixTimestamp64Second": lambda x: F.timestamp_seconds(_c(x)),
+    # integer div: double division loses µs precision at epoch-nanos scale
+    "fromUnixTimestamp64Nano": lambda x: F.timestamp_micros(
+        F.call_function("div", _c(x), F.lit(1000))),
+    "toUnixTimestamp64Second": lambda x: F.unix_seconds(_c(x)),
+    # µs is Spark timestamp precision: nanos are zero-padded
+    "toUnixTimestamp64Nano": lambda x: F.unix_micros(_c(x)) * 1000,
     "toNullable": lambda x: _c(x),
     "equals": lambda a, b: (_c(a) == _c(b)).cast("int"),
     "notEquals": lambda a, b: (_c(a) != _c(b)).cast("int"),
@@ -1278,10 +1285,37 @@ _MISC3 = {
 }
 
 
+# OrDefault conversion family (reference FunctionsConversion.h
+# OrDefault variants): try_cast, falling back to an explicit default or
+# the type's zero value.
+def _to_or_default(spark_type: str, zero):
+    def conv(x, default=None):
+        fallback = _c(default) if default is not None else F.lit(zero).cast(spark_type)
+        return F.coalesce(_c(x).try_cast(spark_type), fallback)
+    return conv
+
+
+_CONV3 = {
+    f"to{ch_name}OrDefault": _to_or_default(spark_t, zero)
+    for ch_name, spark_t, zero in [
+        ("Int8", "tinyint", 0), ("Int16", "smallint", 0),
+        ("Int32", "int", 0), ("Int64", "bigint", 0),
+        ("UInt8", "smallint", 0), ("UInt16", "int", 0),
+        ("UInt32", "bigint", 0), ("UInt64", "decimal(20,0)", 0),
+        ("Float32", "float", 0.0), ("Float64", "double", 0.0),
+        ("Date", "date", "1970-01-01"), ("Date32", "date", "1970-01-01"),
+        ("DateTime", "timestamp", "1970-01-01 00:00:00"),
+        ("DateTime64", "timestamp", "1970-01-01 00:00:00"),
+    ]
+}
+_CONV3["greatCircleAngle"] = lambda lon1, lat1, lon2, lat2: F.degrees(
+    _great_circle(lon1, lat1, lon2, lat2) / F.lit(6371000.0))
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _MISC2, _VEC, _MISC3):
+            _CONV2, _CONV3, _MISC2, _VEC, _MISC3):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn
