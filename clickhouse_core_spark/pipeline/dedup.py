@@ -37,6 +37,18 @@ def _seeded_hash(seed: int):
     return h
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    input arrives under-split (a small corpus in few parquet files
+    would otherwise run the signature/fingerprint expressions in one
+    task).  At real scale inputs already carry >= defaultParallelism
+    splits and this is a no-op — no exchange is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _normalized(text: Column) -> Column:
     """Lowercase, strip non-alphanumerics to single spaces."""
     return F.trim(F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}]+", " "))
@@ -64,9 +76,9 @@ def _shingle_hash_table(df: DataFrame, text_col: str, id_col: str,
     normalized text as their single shingle (concat_ws of all tokens ==
     normalized text, so the fallback needs no second scan).
     """
-    toks = df.select(F.col(id_col).alias("__id"),
-                     F.explode(F.array(_tokens(F.col(text_col))))
-                     .alias("__toks"))
+    toks = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(_tokens(F.col(text_col)))).alias("__toks"))
     n = F.size("__toks")
     full = F.array_distinct(F.transform(
         F.sequence(F.lit(0), n - k),
@@ -210,9 +222,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     ShiftRight expression accepts any int expression).  Single pass
     over each document's tokens, whole-stage-codegen friendly.
     """
-    sh = df.withColumn("__simhash",
-                       simhash64_expr(_tokens(F.col(text_col)),
-                                      token_hash=token_hash))
+    sh = _ensure_parallelism(df).withColumn(
+        "__simhash", simhash64_expr(_tokens(F.col(text_col)),
+                                    token_hash=token_hash))
 
     if n_blocks is None:
         n_blocks = hamming_threshold + 1
@@ -293,9 +305,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # re-assembled with groupBy/collect_set — a full shuffle of every
     # gram occurrence (~8 bytes × corpus characters); this shape needs
     # no shuffle at all before banding.
-    normed = df.select(F.col(id_col).alias("__id"),
-                       F.explode(F.array(_normalized(F.col(text_col))))
-                       .alias("__norm"))
+    normed = _ensure_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array(_normalized(F.col(text_col)))).alias("__norm"))
     base = normed.select(
         "__id",
         F.array_distinct(F.transform(
