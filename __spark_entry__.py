@@ -4249,6 +4249,42 @@ def ch_sql_with_totals_q(spark, sf_dir):
         ORDER BY o_orderstatus""")
 
 
+@q("ch_sql_agg_aliases", """
+WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+           FROM orders GROUP BY 1, 2),
+tk AS (SELECT o_orderpriority, o_orderstatus AS top_status FROM (
+         SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY cnt DESC, o_orderstatus) AS rk FROM c) WHERE rk = 1),
+m AS (SELECT o_orderpriority, CAST(min(o_custkey) AS VARCHAR) AS gc,
+             sum(o_custkey) AS s, CAST(count(o_custkey) AS BIGINT) AS n
+      FROM orders GROUP BY 1)
+SELECT m.o_orderpriority, tk.top_status, m.gc, m.s, m.n
+FROM m JOIN tk USING (o_orderpriority) ORDER BY o_orderpriority
+""")
+def ch_sql_agg_aliases_q(spark, sf_dir):
+    """approx_top_k (topK alias), groupConcat(sep), sumCount and
+    arrayElement through the CH-SQL frontend (reference
+    AggregateFunctionTopK.cpp alias registrations,
+    AggregateFunctionGroupConcat.cpp, AggregateFunctionSumCount.cpp,
+    src/Functions/array/arrayElement.cpp — CH arrays are 1-based).
+    groupConcat's arbitrary insertion order is pinned by feeding it
+    exactly one value per group."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderpriority,
+               arrayElement(approx_top_k(1)(o_orderstatus), 1) AS top_status,
+               groupConcat(';')(mn) AS gc,
+               sumCount(o_custkey).col1 AS s,
+               sumCount(o_custkey).col2 AS n
+        FROM (SELECT o_orderpriority, o_orderstatus, o_custkey,
+                     CASE WHEN row_number() OVER (
+                         PARTITION BY o_orderpriority ORDER BY o_custkey,
+                         o_orderkey) = 1
+                          THEN CAST(o_custkey AS STRING) END AS mn
+              FROM orders)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+
 @q("ch_sql_limit_by_expr", """
 SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr FROM (
   SELECT o_orderkey, o_orderdate,

@@ -152,6 +152,10 @@ _RULES: dict = {
     "arrayconcat": _fn("concat"), "arrayflatten": _fn("flatten"),
     "arrayslice": lambda a: f"slice({', '.join(a)})",
     "arrayintersect": _fn("array_intersect"),
+    # CH arrays are 1-based; element_at matches.  NOTE: bare subscript
+    # syntax `arr[1]` is NOT rewritten (Spark parses it 0-based) — use
+    # arrayElement in CH-SQL queries; documented in LIMITS.md.
+    "arrayelement": _fn("element_at"),
     "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
     # aggregates
     "grouparray": _fn("collect_list"), "groupuniqarray": _fn("collect_set"),
@@ -178,6 +182,11 @@ _RULES: dict = {
     # sumKahan: Spark's double sum; the compensation term is an accuracy
     # nicety below the engine contract's tolerance (AggregateFunctionSumKahan)
     "sumkahan": _fn("sum"),
+    "sumcount": lambda a: f"struct(sum({a[0]}), count({a[0]}))",
+    # groupConcat(x) — insertion-order concat; CH order is arbitrary, so
+    # any order satisfies the contract (deterministic form: the
+    # parametric groupConcat(sep)(x) + ORDER BY in the query)
+    "groupconcat": lambda a: f"array_join(collect_list(CAST({a[0]} AS STRING)), ',')",
     # misc
     "generateuuidv4": lambda a: "uuid()",
     "materialize": lambda a: a[0], "identity": lambda a: a[0],
@@ -212,7 +221,18 @@ _PARAMETRIC: dict = {
         f"approx_percentile({a[0]}, {p[1] if len(p) > 1 else 0.5}, {p[0]})"),
     "grouparraysorted": lambda p, a: (
         f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"),
+    "groupconcat": lambda p, a: (
+        f"array_join(collect_list(CAST({a[0]} AS STRING)), {p[0]})"),
+    "grouparraylast": lambda p, a: (
+        f"slice(collect_list({a[0]}), "
+        f"greatest(size(collect_list({a[0]})) - {p[0]} + 1, 1), {p[0]})"),
 }
+
+# reference registers approx_top_k/approx_top_sum as aliases of
+# topK/topKWeighted (src/AggregateFunctions/AggregateFunctionTopK.cpp)
+_PARAMETRIC["approx_top_k"] = _PARAMETRIC["topk"]
+_PARAMETRIC["approx_top_count"] = _PARAMETRIC["topk"]
+_PARAMETRIC["approx_top_sum"] = _PARAMETRIC["topkweighted"]
 
 
 def _case_when(args: list[str]) -> str:
