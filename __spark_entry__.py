@@ -3675,6 +3675,63 @@ def win_running_neighbor(spark, sf_dir):
 
 # ------------------------------------------------- streaming (batch analog)
 
+@q("stream_session_window", """
+WITH o AS (SELECT user_id, ts, value,
+                  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) > 1800
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            IS NULL
+                       THEN 1 ELSE 0 END AS brk
+           FROM events WHERE user_id < 30),
+s AS (SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS total
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
+""")
+def stream_session_window_q(spark, sf_dir):
+    """session_window(ts, gap) — the streaming session-window operator
+    (reference src/Storages/WindowView/StorageWindowView.h:28 window-view
+    session firing), run on the batch-equivalent path: Spark's
+    ``F.session_window`` merges events closer than the 30-min gap.
+    Oracle replays the gap-break logic with window functions.  A
+    session's start is its first event time (session_window.start)."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("user_id") < 30)
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total"))
+            .select("user_id",
+                    F.unix_micros(F.col("w.start").cast("timestamp"))
+                    .alias("session_start"), "n_events", "total")
+            .orderBy("user_id", "session_start"))
+
+
+@q("stream_dedup_ingest", """
+WITH r AS (SELECT *, row_number() OVER (
+               PARTITION BY event_id ORDER BY ts, user_id) AS rk
+           FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+FROM r WHERE rk = 1
+""")
+def stream_dedup_ingest_q(spark, sf_dir):
+    """Ingest dedup — the reference drops re-delivered blocks by token
+    (src/Storages/MergeTree/MergeTreeDataWriter + insert_deduplication);
+    streaming path is dropDuplicatesWithinWatermark, whose batch
+    equivalent dropDuplicates(id) keeps one row per id.  The doubled
+    input (union with itself) must collapse back to one row per
+    event_id."""
+    ev = _cat(spark, sf_dir).events
+    doubled = ev.unionByName(ev)
+    deduped = doubled.dropDuplicates(["event_id"])
+    return deduped.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("event_id").cast("long").alias("n_ids"))
+
+
 @q("stream_tumble_1h", """
 SELECT date_trunc('hour', ts) AS wstart,
        CAST(count(*) AS BIGINT) AS cnt, sum(value) AS total
