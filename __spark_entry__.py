@@ -4813,6 +4813,51 @@ def check_constraints_insert_q(spark, sf_dir):
     return guarded.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
 
 
+@q("agg_quantile_exact_variants", """
+WITH v AS (SELECT l_returnflag, l_quantity AS x FROM lineitem),
+s AS (SELECT l_returnflag, list_sort(list(x)) AS arr, count(*) AS n
+      FROM v GROUP BY 1)
+SELECT l_returnflag,
+       arr[CAST(CASE WHEN n % 2 = 1 THEN floor(n / 2)
+                     ELSE floor(n / 2) - 1 END + 1 AS BIGINT)] AS med_low,
+       arr[CAST(floor(n / 2) + 1 AS BIGINT)] AS med_high,
+       arr[CAST(least(floor(0.25 * n), n - 1) + 1 AS BIGINT)] AS q25_low,
+       round(CASE WHEN floor(0.3 * (n + 1)) >= n THEN arr[n]
+                  WHEN floor(0.3 * (n + 1)) < 1 THEN arr[1]
+                  ELSE arr[CAST(floor(0.3 * (n + 1)) AS BIGINT)]
+                       + (0.3 * (n + 1) - floor(0.3 * (n + 1)))
+                         * (arr[CAST(floor(0.3 * (n + 1)) + 1 AS BIGINT)]
+                            - arr[CAST(floor(0.3 * (n + 1)) AS BIGINT)])
+             END, 6) AS q30_exc,
+       round(arr[CAST(floor(0.3 * (n - 1) + 1) AS BIGINT)]
+             + (0.3 * (n - 1) + 1 - floor(0.3 * (n - 1) + 1))
+               * (arr[CAST(floor(0.3 * (n - 1) + 1) + 1 AS BIGINT)]
+                  - arr[CAST(floor(0.3 * (n - 1) + 1) AS BIGINT)]), 6) AS q30_inc
+FROM s ORDER BY l_returnflag
+""")
+def agg_quantile_exact_variants_q(spark, sf_dir):
+    """quantileExactLow/High (median_low/median_high rounding,
+    QuantileExact.h:263,345) + quantileExactExclusive/Inclusive (Excel
+    PERCENTILE.EXC/.INC, QuantileExact.h:129,191) over lineitem
+    quantities."""
+    li = _cat(spark, sf_dir).lineitem.select("l_returnflag",
+                                             F.col("l_quantity").alias("x"))
+    from clickhouse_core_spark.operators.quantiles import (
+        quantile_exact_exclusive, quantile_exact_high,
+        quantile_exact_inclusive, quantile_exact_low)
+    k = ["l_returnflag"]
+    ml = quantile_exact_low(li, k, "x", 0.5, alias="med_low")
+    mh = quantile_exact_high(li, k, "x", 0.5, alias="med_high")
+    ql = quantile_exact_low(li, k, "x", 0.25, alias="q25_low")
+    qe = quantile_exact_exclusive(li, k, "x", 0.3, alias="q30_exc")
+    qi = quantile_exact_inclusive(li, k, "x", 0.3, alias="q30_inc")
+    return (ml.join(mh, k).join(ql, k).join(qe, k).join(qi, k)
+            .select("l_returnflag", "med_low", "med_high", "q25_low",
+                    F.round("q30_exc", 6).alias("q30_exc"),
+                    F.round("q30_inc", 6).alias("q30_inc"))
+            .orderBy("l_returnflag"))
+
+
 @q("fn_conv_or_default", """
 WITH t AS (
   SELECT p_partkey,

@@ -51,7 +51,8 @@ def _histogram_quantile(counts: DataFrame, keys: Sequence[str],
 
 
 def quantile_timing(df: DataFrame, keys: Sequence[str], value_col: str,
-                    level: float, alias: str = "q") -> DataFrame:
+                    level: float, alias: str = "q",
+                    weight_col: str | None = None) -> DataFrame:
     """quantileTiming(level)(value) (QuantileTiming.h:241).
 
     Bucket key: x < 1024 exact; 1024 <= x < 30000 in 16-wide buckets;
@@ -71,9 +72,11 @@ def quantile_timing(df: DataFrame, keys: Sequence[str], value_col: str,
                      * _TIMING_PRECISION + _TIMING_SMALL + _TIMING_PRECISION // 2)
                     .cast("long"))
               .otherwise(F.lit(_TIMING_BIG).cast("long")))
+    w = (F.count("*") if weight_col is None
+         else F.sum(F.col(weight_col).cast("long")))  # TimingWeighted
     counts = (df.filter(F.col(value_col).isNotNull())
               .groupBy(*keys, bucket.alias("__b"))
-              .agg(F.count("*").alias("__w")))
+              .agg(w.alias("__w")))
     return _histogram_quantile(counts, keys, "__b", "__w", level, alias)
 
 
@@ -106,6 +109,96 @@ def quantile_bfloat16(df: DataFrame, keys: Sequence[str], value_col: str,
               .groupBy(*keys, bfloat16_expr(value_col).alias("__b"))
               .agg(F.sum(w).alias("__w")))
     return _histogram_quantile(counts, keys, "__b", "__w", level, alias)
+
+
+def _nth_sorted(df: DataFrame, keys: Sequence[str], value_col: str,
+                n_of_s, alias: str) -> DataFrame:
+    """Value at 0-based index ``n_of_s(group_size)`` of the per-group
+    sorted values (ties among equal values are index-irrelevant)."""
+    keys = list(keys)
+    wo = Window.partitionBy(*keys).orderBy(value_col)
+    wa = Window.partitionBy(*keys)
+    d = (df.filter(F.col(value_col).isNotNull())
+         .withColumn("__rn", F.row_number().over(wo))
+         .withColumn("__s", F.count("*").over(wa)))
+    n = n_of_s(F.col("__s"))
+    return (d.filter(F.col("__rn") == n + 1)
+            .groupBy(*keys).agg(F.min(value_col).alias(alias)))
+
+
+def quantile_exact_low(df: DataFrame, keys: Sequence[str], value_col: str,
+                       level: float, alias: str = "q") -> DataFrame:
+    """quantileExactLow (reference QuantileExact.h:263): python
+    statistics.median_low at level 0.5 (even size takes the LOWER of the
+    middle pair); otherwise the element at floor(level * size)."""
+    def n_of_s(s):
+        if level == 0.5:
+            return F.when(s % 2 == 1, F.floor(s / 2)) \
+                    .otherwise(F.floor(s / 2) - 1).cast("long")
+        return F.least(F.floor(F.lit(float(level)) * s), s - 1).cast("long")
+    return _nth_sorted(df, keys, value_col, n_of_s, alias)
+
+
+def quantile_exact_high(df: DataFrame, keys: Sequence[str], value_col: str,
+                        level: float, alias: str = "q") -> DataFrame:
+    """quantileExactHigh (QuantileExact.h:345): statistics.median_high
+    at 0.5 (even size takes the UPPER middle); else floor(level*size)."""
+    def n_of_s(s):
+        if level == 0.5:
+            return F.floor(s / 2).cast("long")
+        return F.least(F.floor(F.lit(float(level)) * s), s - 1).cast("long")
+    return _nth_sorted(df, keys, value_col, n_of_s, alias)
+
+
+def _excel_quantile(df: DataFrame, keys: Sequence[str], value_col: str,
+                    h_of_s, alias: str) -> DataFrame:
+    """Shared Excel-style interpolation: h = h_of_s(size), n = floor(h),
+    result = arr[n-1] + (h - n) * (arr[n] - arr[n-1]) (1-based),
+    clamped to min/max outside [1, size)."""
+    keys = list(keys)
+    wo = Window.partitionBy(*keys).orderBy(value_col)
+    wa = Window.partitionBy(*keys)
+    d = (df.filter(F.col(value_col).isNotNull())
+         .withColumn("__rn", F.row_number().over(wo))
+         .withColumn("__s", F.count("*").over(wa)))
+    v = F.col(value_col).cast("double")
+    h = h_of_s(F.col("__s"))
+    n = F.floor(h).cast("long")
+    d = (d.withColumn("__h", h).withColumn("__n", n)
+         .withColumn("__vlo", F.when(F.col("__rn") == n, v))
+         .withColumn("__vhi", F.when(F.col("__rn") == n + 1, v)))
+    agg = (d.groupBy(*keys)
+           .agg(F.first("__h").alias("__h"), F.first("__n").alias("__n"),
+                F.first("__s").alias("__s"),
+                F.min("__vlo").alias("__vlo"), F.min("__vhi").alias("__vhi"),
+                F.min(v).alias("__mn"), F.max(v).alias("__mx")))
+    hn, nn, sn = F.col("__h"), F.col("__n"), F.col("__s")
+    res = (F.when(nn >= sn, F.col("__mx"))
+           .when(nn < 1, F.col("__mn"))
+           .otherwise(F.col("__vlo")
+                      + (hn - nn) * (F.col("__vhi") - F.col("__vlo"))))
+    return agg.select(*keys, res.alias(alias))
+
+
+def quantile_exact_exclusive(df: DataFrame, keys: Sequence[str],
+                             value_col: str, level: float,
+                             alias: str = "q") -> DataFrame:
+    """quantileExactExclusive — Excel PERCENTILE.EXC / R-6
+    (QuantileExact.h:129): h = level * (size + 1).  Level must be
+    strictly inside (0, 1)."""
+    if not 0.0 < level < 1.0:
+        raise ValueError("quantileExactExclusive needs 0 < level < 1")
+    return _excel_quantile(df, keys, value_col,
+                           lambda s: F.lit(float(level)) * (s + 1), alias)
+
+
+def quantile_exact_inclusive(df: DataFrame, keys: Sequence[str],
+                             value_col: str, level: float,
+                             alias: str = "q") -> DataFrame:
+    """quantileExactInclusive — Excel PERCENTILE.INC / R-7
+    (QuantileExact.h:191): h = level * (size - 1) + 1."""
+    return _excel_quantile(df, keys, value_col,
+                           lambda s: F.lit(float(level)) * (s - 1) + 1, alias)
 
 
 def quantile_deterministic(df: DataFrame, keys: Sequence[str],

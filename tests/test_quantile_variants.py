@@ -96,3 +96,40 @@ def test_interp_weighted_flat_extrapolation(spark):
 def test_interp_weighted_single_value(spark):
     df = spark.createDataFrame([("k", 42, 3)], "k string, v int, w int")
     assert _one(quantile_interpolated_weighted(df, ["k"], "v", "w", 0.5)) == 42.0
+
+
+def test_quantile_exact_low_high_median(spark):
+    from clickhouse_core_spark.operators.quantiles import (
+        quantile_exact_high, quantile_exact_low)
+    # even-size group: low takes the lower middle, high the upper
+    df = spark.createDataFrame([(1, v) for v in [1.0, 2.0, 3.0, 4.0]],
+                               "g int, x double")
+    assert quantile_exact_low(df, ["g"], "x", 0.5).first().q == 2.0
+    assert quantile_exact_high(df, ["g"], "x", 0.5).first().q == 3.0
+    # odd size: both take the middle
+    df3 = spark.createDataFrame([(1, v) for v in [1.0, 2.0, 9.0]],
+                                "g int, x double")
+    assert quantile_exact_low(df3, ["g"], "x", 0.5).first().q == 2.0
+    assert quantile_exact_high(df3, ["g"], "x", 0.5).first().q == 2.0
+
+
+def test_quantile_exact_exclusive_inclusive_excel(spark):
+    import statistics
+    from clickhouse_core_spark.operators.quantiles import (
+        quantile_exact_exclusive, quantile_exact_inclusive)
+    vals = [15.0, 20.0, 35.0, 40.0, 50.0]
+    df = spark.createDataFrame([(1, v) for v in vals], "g int, x double")
+    # PERCENTILE.EXC(0.4) over [15,20,35,40,50] = 26 (Excel doc example)
+    assert quantile_exact_exclusive(df, ["g"], "x", 0.4).first().q == \
+        pytest.approx(26.0)
+    # PERCENTILE.INC == numpy linear / statistics.quantiles(inclusive)
+    assert quantile_exact_inclusive(df, ["g"], "x", 0.25).first().q == \
+        pytest.approx(sorted(vals)[1] * 0.0 + 20.0 + 0.0)  # h=2.0 -> 20
+
+
+def test_quantile_timing_weighted(spark):
+    from clickhouse_core_spark.operators.quantiles import quantile_timing
+    # weight 3 on value 10 shifts the median to 10
+    df = spark.createDataFrame([(1, 10.0, 3), (1, 500.0, 1)],
+                               "g int, x double, w int")
+    assert quantile_timing(df, ["g"], "x", 0.5, weight_col="w").first().q == 10
