@@ -4342,6 +4342,27 @@ def ch_sql_agg_aliases_q(spark, sf_dir):
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
 
+@q("ch_sql_subscripts", """
+SELECT p_partkey,
+       string_split(p_type, ' ')[1] AS w1,
+       string_split(p_type, ' ')[-1] AS wlast,
+       [p_size, p_size * 2, p_size * 3][2] AS mid
+FROM part WHERE p_partkey < 150 ORDER BY p_partkey
+""")
+def ch_sql_subscripts_q(spark, sf_dir):
+    """CH 1-based array subscripts (reference
+    src/Functions/array/arrayElement.cpp — arr[1] is the first element,
+    arr[-1] the last) through the SQL frontend: bare subscripts rewrite
+    to element_at, never Spark's 0-based native indexing."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT p_partkey,
+               splitByChar(' ', p_type)[1] AS w1,
+               splitByChar(' ', p_type)[-1] AS wlast,
+               [p_size, p_size * 2, p_size * 3][2] AS mid
+        FROM part WHERE p_partkey < 150 ORDER BY p_partkey""")
+
+
 @q("ch_sql_limit_by_expr", """
 SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr FROM (
   SELECT o_orderkey, o_orderdate,

@@ -152,9 +152,8 @@ _RULES: dict = {
     "arrayconcat": _fn("concat"), "arrayflatten": _fn("flatten"),
     "arrayslice": lambda a: f"slice({', '.join(a)})",
     "arrayintersect": _fn("array_intersect"),
-    # CH arrays are 1-based; element_at matches.  NOTE: bare subscript
-    # syntax `arr[1]` is NOT rewritten (Spark parses it 0-based) — use
-    # arrayElement in CH-SQL queries; documented in LIMITS.md.
+    # CH arrays are 1-based; element_at matches.  Bare subscript syntax
+    # `arr[1]` is also rewritten to element_at (_wrap_subscript).
     "arrayelement": _fn("element_at"),
     "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
     # aggregates
@@ -378,6 +377,46 @@ def _split_bracket(sql: str, i: int) -> tuple[list, int]:
     raise ValueError("unbalanced [ in expression")
 
 
+def _wrap_subscript(prev: str, idx_expr: str) -> str | None:
+    """Rewrite the trailing operand of ``prev`` into
+    ``element_at(operand, idx)`` — CH subscripts are 1-based on arrays
+    (negative = from the end) and key-based on maps, which is exactly
+    element_at; Spark's native ``[]`` is 0-based on arrays and would
+    silently shift every element.  Returns None when the operand can't
+    be identified (caller passes the subscript through unchanged)."""
+    s = prev.rstrip()
+    trail = prev[len(s):]
+    if s.endswith(")") or s.endswith("]"):
+        # string-aware forward scan: opener position matching the final
+        # close (a backward scan can't skip quoted content reliably)
+        stack: list[int] = []
+        opener = None
+        k = 0
+        while k < len(s):
+            ch = s[k]
+            if ch in "'\"":
+                k = _skip_string(s, k)
+                continue
+            if ch in "([":
+                stack.append(k)
+            elif ch in ")]":
+                op = stack.pop() if stack else None
+                if k == len(s) - 1:
+                    opener = op
+            k += 1
+        if opener is None:
+            return None
+        m = re.search(r"[\w.`]+\s*$", s[:opener])
+        start = m.start() if m else opener
+    else:
+        m = re.search(r"[\w.`]+$", s)
+        if not m:
+            return None
+        start = m.start()
+    operand = s[start:]
+    return s[:start] + f"element_at({operand}, {idx_expr})" + trail
+
+
 def _translate_expr(sql: str) -> str:
     """Rewrite known CH function calls (recursively) in an expression."""
     out = []
@@ -390,16 +429,27 @@ def _translate_expr(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
-        if c == "[" and _bracket_is_literal(out):
+        if c == "[":
+            if _bracket_is_literal(out):
+                elems, after = _split_bracket(sql, i)
+                inner = ", ".join(_translate_expr(e.strip()) for e in elems
+                                  if e.strip())
+                # `x IN [..]` takes a value list, not an array value
+                prev_kw = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", "".join(out))
+                if prev_kw and prev_kw.group(1).lower() == "in":
+                    out.append(f"({inner})")
+                else:
+                    out.append(f"array({inner})")
+                i = after
+                continue
+            # subscript position: CH 1-based / negative-from-end
             elems, after = _split_bracket(sql, i)
-            inner = ", ".join(_translate_expr(e.strip()) for e in elems
-                              if e.strip())
-            # `x IN [..]` takes a value list, not an array value
-            prev_kw = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", "".join(out))
-            if prev_kw and prev_kw.group(1).lower() == "in":
-                out.append(f"({inner})")
+            idx = _translate_expr(", ".join(e.strip() for e in elems))
+            wrapped = _wrap_subscript("".join(out), idx)
+            if wrapped is None:
+                out.append(sql[i:after])
             else:
-                out.append(f"array({inner})")
+                out = [wrapped]
             i = after
             continue
         m = _IDENT.match(sql, i)

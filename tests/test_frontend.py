@@ -243,3 +243,16 @@ def test_quantile_gk_parametric(spark, catalog):
     rows = df.collect()
     assert len(rows) == 3
     assert all(1 <= r["med"] <= 50 for r in rows)
+
+
+def test_subscripts_are_one_based(spark):
+    from clickhouse_core_spark.plans import ch_sql
+    row = ch_sql(spark, """
+        SELECT [10, 20, 30][1] AS first_el,
+               [10, 20, 30][-1] AS last_el,
+               splitByChar(',', 'a,b,c')[2] AS second_tok,
+               map('k', 7)['k'] AS by_key,
+               [[1, 2], [3, 4]][2][1] AS nested
+    """).first()
+    assert (row.first_el, row.last_el, row.second_tok,
+            row.by_key, row.nested) == (10, 30, "b", 7, 3)
