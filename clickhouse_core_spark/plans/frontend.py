@@ -186,6 +186,16 @@ _RULES: dict = {
     # any order satisfies the contract (deterministic form: the
     # parametric groupConcat(sep)(x) + ORDER BY in the query)
     "groupconcat": lambda a: f"array_join(collect_list(CAST({a[0]} AS STRING)), ',')",
+    # tuples: CH tuple(a, b) with positional access t.1 / tupleElement
+    # (src/Functions/tuple.cpp, tupleElement.cpp).  named_struct pins
+    # the field names to col1..colN so positional access is stable
+    # (bare struct() would name fields after the argument columns).
+    "tuple": lambda a: "named_struct(" + ", ".join(
+        f"'col{i + 1}', {x}" for i, x in enumerate(a)) + ")",
+    "tupleelement": lambda a: (
+        f"({a[0]}).col{a[1]}" if a[1].strip().isdigit()
+        else f"({a[0]}).{a[1].strip()[1:-1]}"
+        if a[1].strip()[:1] in "'\"" else f"({a[0]}).{a[1].strip()}"),
     # misc
     "generateuuidv4": lambda a: "uuid()",
     "materialize": lambda a: a[0], "identity": lambda a: a[0],
@@ -452,6 +462,16 @@ def _translate_expr(sql: str) -> str:
                 out = [wrapped]
             i = after
             continue
+        if c == "." and i + 1 < n and sql[i + 1].isdigit() \
+                and "".join(out).rstrip().endswith(")"):
+            # positional access on a parenthesized/tuple() expression;
+            # a numeric literal can never end with ')'
+            k = i + 1
+            while k < n and sql[k].isdigit():
+                k += 1
+            out.append(f".col{sql[i + 1:k]}")
+            i = k
+            continue
         m = _IDENT.match(sql, i)
         if not m:
             out.append(c)
@@ -485,6 +505,14 @@ def _translate_expr(sql: str) -> str:
             continue
         out.append(name)
         i = j
+        # CH positional tuple access `t.1` -> `.col1` (decimal literals
+        # can't reach here: _IDENT never matches a leading digit)
+        while i + 1 < n and sql[i] == "." and sql[i + 1].isdigit():
+            k = i + 1
+            while k < n and sql[k].isdigit():
+                k += 1
+            out.append(f".col{sql[i + 1:k]}")
+            i = k
     return "".join(out)
 
 

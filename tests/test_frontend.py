@@ -256,3 +256,13 @@ def test_subscripts_are_one_based(spark):
     """).first()
     assert (row.first_el, row.last_el, row.second_tok,
             row.by_key, row.nested) == (10, 30, "b", 7, 3)
+
+
+def test_tuple_positional_access(spark):
+    from clickhouse_core_spark.plans import ch_sql
+    row = ch_sql(spark, """
+        SELECT tuple(5, 'x').2 AS snd,
+               tupleElement(tuple(7, 8), 1) AS fst,
+               tuple(1, 2).1 + 1.5 AS mixed
+    """).first()
+    assert (row.snd, row.fst, row.mixed) == ("x", 7, 2.5)
