@@ -160,7 +160,9 @@ _RULES: dict = {
     "grouparray": _fn("collect_list"), "groupuniqarray": _fn("collect_set"),
     "uniq": _fn("approx_count_distinct"),
     "uniqcombined": _fn("approx_count_distinct"),
+    "uniqcombined64": _fn("approx_count_distinct"),
     "uniqhll12": _fn("approx_count_distinct"),
+    "uniqtheta": _fn("approx_count_distinct"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "countif": _fn("count_if"),
     # CH allows count() with no argument
