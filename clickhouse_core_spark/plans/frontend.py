@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import re
 
+from pyspark.sql import functions as F
+
 # ---------------------------------------------------------------- rules
 # Each rule: callable(list[str]) -> str (args already translated).
 
@@ -939,7 +941,22 @@ def _fill_literal(tok: str | None):
     return int(f) if f.is_integer() else f
 
 
-def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None):
+_EXPLAIN_RE = re.compile(
+    r"^EXPLAIN(?:\s+(?:AST|SYNTAX|QUERY\s+TREE|PLAN|PIPELINE|ESTIMATE))?"
+    r"(?:\s+\w+\s*=\s*\d+\s*,?)*\s+(SELECT\b.*|WITH\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+_INSERT_RE = re.compile(r"^INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\b.*|WITH\b.*)$",
+                        re.IGNORECASE | re.DOTALL)
+_DELETE_RE = re.compile(
+    r"^(?:ALTER\s+TABLE\s+`?(\w+)`?\s+DELETE|DELETE\s+FROM\s+`?(\w+)`?)"
+    r"\s+WHERE\s+(.*)$", re.IGNORECASE | re.DOTALL)
+_UPDATE_RE = re.compile(
+    r"^ALTER\s+TABLE\s+`?(\w+)`?\s+UPDATE\s+(.*?)\s+WHERE\s+(.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
+           tables: dict | None = None):
     """Run a ClickHouse-dialect query on Spark (tables must be
     registered as views, e.g. via Catalog.register_all; FINAL needs the
     ``<name>__final`` view from :func:`register_mergetree_sql`).
@@ -949,8 +966,59 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None):
     here rather than rewritten to SQL text: the base query runs, then
     the :func:`~clickhouse_core_spark.operators.fill.with_fill`
     operator supplies the missing progression rows.  Single-column
-    ORDER BY only — multi-key WITH FILL needs the DataFrame API."""
+    ORDER BY only — multi-key WITH FILL needs the DataFrame API.
+
+    Statement surface beyond SELECT (``tables`` maps view names to
+    MergeTreeTable objects for the mutating forms):
+
+    - ``EXPLAIN [AST|SYNTAX|PLAN|PIPELINE|ESTIMATE] SELECT ...`` →
+      Spark ``EXPLAIN EXTENDED`` of the translated query (reference
+      src/Interpreters/InterpreterExplainQuery.h; the CH mode keywords
+      all collapse to Spark's plan dump — there is one optimizer here);
+    - ``INSERT INTO t SELECT ...`` → translated select appended as a
+      new part via MergeTreeTable.insert (reference
+      src/Interpreters/InterpreterInsertQuery.h);
+    - ``ALTER TABLE t DELETE WHERE ...`` / ``DELETE FROM t WHERE ...``
+      → MergeTreeTable.delete_where (InterpreterDeleteQuery.cpp:105);
+    - ``ALTER TABLE t UPDATE c = e, ... WHERE ...`` →
+      MergeTreeTable.update_where (MutationsInterpreter.h).
+    """
     text = sql.strip().rstrip(";")
+
+    m = _EXPLAIN_RE.match(text)
+    if m:
+        return spark.sql("EXPLAIN EXTENDED "
+                         + translate_ch_sql(m.group(1), sample_by=sample_by))
+    m = _INSERT_RE.match(text)
+    if m:
+        name, select = m.group(1), m.group(2)
+        table = (tables or {}).get(name)
+        if table is None:
+            raise ValueError(f"INSERT needs a MergeTreeTable for {name!r} "
+                             f"(pass tables={{name: table}})")
+        table.insert(ch_sql(spark, select, sample_by=sample_by))
+        return None
+    m = _DELETE_RE.match(text)
+    if m:
+        name = m.group(1) or m.group(2)
+        table = (tables or {}).get(name)
+        if table is None:
+            raise ValueError(f"DELETE needs a MergeTreeTable for {name!r}")
+        table.delete_where(F.expr(_translate_expr(m.group(3))))
+        return None
+    m = _UPDATE_RE.match(text)
+    if m:
+        name, assigns, cond = m.group(1), m.group(2), m.group(3)
+        table = (tables or {}).get(name)
+        if table is None:
+            raise ValueError(f"UPDATE needs a MergeTreeTable for {name!r}")
+        assignments = {}
+        for part in _split_top_commas(assigns):
+            col, _, expr = part.partition("=")
+            assignments[col.strip().strip("`")] = F.expr(_translate_expr(expr.strip()))
+        table.update_where(F.expr(_translate_expr(cond)), assignments)
+        return None
+
     m = _WITH_FILL_RE.search(text)
     if m:
         from ..operators.fill import with_fill

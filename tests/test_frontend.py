@@ -266,3 +266,29 @@ def test_tuple_positional_access(spark):
                tuple(1, 2).1 + 1.5 AS mixed
     """).first()
     assert (row.snd, row.fst, row.mixed) == ("x", 7, 2.5)
+
+
+def test_explain_statement(spark, catalog):
+    from clickhouse_core_spark.plans import ch_sql
+    out = ch_sql(spark, "EXPLAIN PLAN SELECT count(*) FROM nation")
+    text = "\n".join(r[0] for r in out.collect())
+    assert "Physical Plan" in text or "Aggregate" in text
+
+
+def test_insert_delete_update_statements(spark, tmp_path):
+    from clickhouse_core_spark.plans import ch_sql
+    from clickhouse_core_spark.sources import MergeTreeTable
+    t = MergeTreeTable(spark, str(tmp_path / "mt"), order_by=["k"])
+    spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)],
+                          "k int, v double").createOrReplaceTempView("src_rows")
+    tables = {"mt": t}
+    ch_sql(spark, "INSERT INTO mt SELECT k, v FROM src_rows", tables=tables)
+    assert t.read_raw().count() == 3
+    ch_sql(spark, "ALTER TABLE mt UPDATE v = v * 10 WHERE k = 2",
+           tables=tables)
+    got = {r.k: r.v for r in t.read_raw().collect()}
+    assert got[2] == 200.0 and got[1] == 10.0
+    ch_sql(spark, "ALTER TABLE mt DELETE WHERE k = 1", tables=tables)
+    assert sorted(r.k for r in t.read_raw().collect()) == [2, 3]
+    ch_sql(spark, "DELETE FROM mt WHERE v >= 200", tables=tables)
+    assert sorted(r.k for r in t.read_raw().collect()) == [3]
