@@ -8,9 +8,10 @@ into Spark SQL equivalents.
 """
 
 from clickhouse_core_spark.plans.frontend import (
-    ch_sql, translate_ch_sql, apply_date_preimage, register_mergetree_sql)
+    ch_sql, translate_ch_sql, apply_date_preimage, register_mergetree_sql,
+    create_table_sql)
 from clickhouse_core_spark.plans.routing import SummaryRouter, Summary, build_summary
 
 __all__ = ["ch_sql", "translate_ch_sql", "apply_date_preimage",
-           "register_mergetree_sql",
+           "register_mergetree_sql", "create_table_sql",
            "SummaryRouter", "Summary", "build_summary"]

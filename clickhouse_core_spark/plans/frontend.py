@@ -1033,6 +1033,94 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     return spark.sql(translate_ch_sql(text, sample_by=sample_by))
 
 
+_CREATE_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.*)\)\s*"
+    r"ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*(.*)$",
+    re.IGNORECASE | re.DOTALL)
+_ENGINE_NAMES = {
+    "mergetree": "merge_tree",
+    "replacingmergetree": "replacing",
+    "summingmergetree": "summing",
+    "collapsingmergetree": "collapsing",
+    "versionedcollapsingmergetree": "versioned_collapsing",
+    "coalescingmergetree": "coalescing",
+}
+
+
+def create_table_sql(spark, sql: str, base_dir: str):
+    """``CREATE TABLE name (cols...) ENGINE = <engine>[(args)] [ORDER BY
+    ...] [PARTITION BY ...]`` → a managed :class:`MergeTreeTable` at
+    ``base_dir/name`` (reference src/Parsers/ParserCreateQuery.h,
+    registerStorageMergeTree.cpp:931-937 — engine args are the version /
+    sign / summed columns).  Column types map via the same CH→Spark
+    table the conversion functions use; the schema is recorded so the
+    empty table can still serve typed reads.
+
+    Returns the MergeTreeTable; register it in a ``tables=`` dict to
+    reach it from ch_sql INSERT/ALTER statements.
+    """
+    import os as _os
+
+    from ..functions.registry import _CH_TYPE_TO_SPARK
+    from ..sources.mergetree import MergeTreeTable
+
+    text = sql.strip().rstrip(";")
+    m = _CREATE_RE.match(text)
+    if m is None:
+        raise ValueError("unsupported CREATE TABLE form")
+    name, cols_src, engine_raw, engine_args, tail = m.groups()
+    engine = _ENGINE_NAMES.get(engine_raw.lower())
+    if engine is None:
+        raise NotImplementedError(f"engine {engine_raw!r} not mapped "
+                                  f"(MergeTree family only)")
+    args = [a.strip().strip("`") for a in (engine_args or "").split(",")
+            if a.strip()]
+    order_by: list[str] = []
+    partition_by: list[str] = []
+    mo = re.search(r"ORDER\s+BY\s+\(?([^)]+?)\)?\s*(?:PARTITION\s+BY|SETTINGS|$)",
+                   tail, re.IGNORECASE | re.DOTALL)
+    if mo:
+        order_by = [c.strip().strip("`") for c in mo.group(1).split(",")
+                    if c.strip()]
+    mp = re.search(r"PARTITION\s+BY\s+\(?([^)]+?)\)?\s*(?:ORDER\s+BY|SETTINGS|$)",
+                   tail, re.IGNORECASE | re.DOTALL)
+    if mp:
+        partition_by = [c.strip().strip("`") for c in mp.group(1).split(",")
+                        if c.strip()]
+
+    schema_parts = []
+    for coldef in _split_top_commas(cols_src):
+        toks = coldef.strip().split(None, 1)
+        if len(toks) < 2:
+            continue
+        cname = toks[0].strip("`")
+        ch_type = re.sub(r"\(.*", "", toks[1].strip()).strip()
+        spark_t = _CH_TYPE_TO_SPARK.get(ch_type.lower(), None)
+        if spark_t is None:
+            # Nullable(X) / LowCardinality(X) wrappers
+            inner = re.match(r"(?:Nullable|LowCardinality)\((\w+)",
+                             toks[1].strip(), re.IGNORECASE)
+            spark_t = _CH_TYPE_TO_SPARK.get(
+                inner.group(1).lower() if inner else "", "STRING")
+        schema_parts.append(f"`{cname}` {spark_t}")
+
+    kwargs: dict = {}
+    if engine == "replacing":
+        kwargs["version_col"] = args[0] if args else None
+    elif engine in ("collapsing", "versioned_collapsing"):
+        kwargs["sign_col"] = args[0] if args else None
+        if engine == "versioned_collapsing" and len(args) > 1:
+            kwargs["version_col"] = args[1]
+    elif engine == "summing" and args:
+        kwargs["sum_cols"] = args
+    table = MergeTreeTable(spark, _os.path.join(base_dir, name),
+                           order_by=order_by,
+                           partition_by=partition_by, engine=engine,
+                           **kwargs)
+    table.schema_ddl = ", ".join(schema_parts)
+    return table
+
+
 def register_mergetree_sql(spark, name: str, df, engine: str = "replacing",
                            keys=(), version: str | None = None,
                            sign: str | None = None,

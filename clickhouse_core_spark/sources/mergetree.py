@@ -134,7 +134,8 @@ class MergeTreeTable:
             # repartition on the partition key so each output partition
             # directory is written by few tasks (avoids small-file blowup)
             writer = writer.repartition(*[F.col(c) for c in self.partition_by])
-        writer = writer.sortWithinPartitions(*self.order_by)
+        if self.order_by:
+            writer = writer.sortWithinPartitions(*self.order_by)
         w = writer.write.mode("overwrite")
         for col in self.bloom_filter_cols:
             w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")

@@ -292,3 +292,22 @@ def test_insert_delete_update_statements(spark, tmp_path):
     assert sorted(r.k for r in t.read_raw().collect()) == [2, 3]
     ch_sql(spark, "DELETE FROM mt WHERE v >= 200", tables=tables)
     assert sorted(r.k for r in t.read_raw().collect()) == [3]
+
+
+def test_create_table_ddl(spark, tmp_path):
+    from clickhouse_core_spark.plans import ch_sql, create_table_sql
+    t = create_table_sql(spark, """
+        CREATE TABLE metrics (
+            k Int64, ver UInt32, name Nullable(String), v Float64
+        ) ENGINE = ReplacingMergeTree(ver) ORDER BY k PARTITION BY name
+    """, str(tmp_path))
+    assert t.engine == "replacing" and t.version_col == "ver"
+    assert t.order_by == ["k"] and t.partition_by == ["name"]
+    spark.createDataFrame(
+        [(1, 1, "a", 1.0), (1, 2, "a", 5.0), (2, 1, "b", 3.0)],
+        "k long, ver long, name string, v double"
+    ).createOrReplaceTempView("m_src")
+    ch_sql(spark, "INSERT INTO metrics SELECT * FROM m_src",
+           tables={"metrics": t})
+    fin = {r.k: r.v for r in t.read(final=True).collect()}
+    assert fin == {1: 5.0, 2: 3.0}  # replacing keeps max version
