@@ -892,6 +892,10 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = sql.strip().rstrip(";")
     sql = _FORMAT_RE.sub("", sql)
     sql = _SETTINGS_RE.sub("", sql)
+    # GLOBAL is a distribution hint (broadcast the right side to every
+    # shard); Spark's planner owns that decision — drop the keyword
+    sql = _GLOBAL_JOIN_RE.sub("", sql)
+    sql = _rewrite_any_join(sql)
     sql = apply_date_preimage(sql)
     sql = _rewrite_final(sql)
     sql = _rewrite_sample(sql, sample_by)
@@ -939,6 +943,81 @@ def _fill_literal(tok: str | None):
         return None
     f = float(tok)
     return int(f) if f.is_integer() else f
+
+
+_GLOBAL_JOIN_RE = re.compile(r"\bGLOBAL\s+(?=(ANY|ALL|ASOF|LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI|JOIN)\b)",
+                             re.IGNORECASE)
+
+_ASOF_RE = re.compile(
+    r"\bFROM\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(?!ASOF\b)(\w+))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+`?(\w+)`?(?:\s+AS\s+(\w+)|\s+(?!ON\b)(\w+))?"
+    r"\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|QUALIFY|HAVING)\b|$)",
+    re.IGNORECASE | re.DOTALL)
+
+_ANY_JOIN_RE = re.compile(
+    r"\b(LEFT\s+)?ANY\s+(LEFT\s+)?JOIN\s+`?(\w+)`?\s+USING\s*\(([^)]*)\)",
+    re.IGNORECASE)
+
+
+def _rewrite_any_join(sql: str) -> str:
+    """``ANY LEFT JOIN t USING (k, ...)`` (reference join strictness,
+    src/Parsers/ParserJoin — ANY keeps at most one right row per key)
+    → LEFT JOIN against a per-key-deduplicated subquery.  The kept row
+    is the first under the key ordering — the deterministic refinement
+    of the reference's pick-any (same contract as operators.any_join).
+    USING form only; the ON form needs the DataFrame API."""
+    def sub(m: re.Match) -> str:
+        keys = ", ".join(k.strip().strip("`") for k in m.group(4).split(","))
+        first_key = keys.split(",")[0].strip()
+        t = m.group(3)
+        return (f"LEFT JOIN (SELECT * FROM ("
+                f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+                f"ORDER BY {first_key}) AS __any_rn FROM {t}) "
+                f"WHERE __any_rn = 1) AS {t} USING ({keys})")
+    return _ANY_JOIN_RE.sub(sub, sql)
+
+
+def _rewrite_asof_join(spark, sql: str) -> str:
+    """``FROM a ASOF [LEFT] JOIN b ON a.k = b.k AND a.ts >= b.ts``
+    (reference ASOF strictness, src/Interpreters/joinDispatch.h) — the
+    matched section is executed through operators.asof_join (bucketed
+    equi-join, never a range join) and re-registered as a temp view the
+    remaining SQL selects from."""
+    m = _ASOF_RE.search(sql)
+    if m is None:
+        return sql
+    from ..operators.joins import asof_join
+    lt = m.group(1)
+    la = m.group(2) or m.group(3) or lt
+    how = "left" if m.group(4) else "inner"
+    rt = m.group(5)
+    ra = m.group(6) or m.group(7) or rt
+    conds = [c.strip() for c in re.split(r"\bAND\b", m.group(8),
+                                         flags=re.IGNORECASE)]
+    on, ineq = [], None
+    qual = re.compile(rf"^(?:{la}|{lt})\.(\w+)\s*(=|>=|<=|>|<)\s*"
+                      rf"(?:{ra}|{rt})\.(\w+)$", re.IGNORECASE)
+    for c in conds:
+        mm = qual.match(c.strip())
+        if not mm:
+            raise NotImplementedError(
+                f"ASOF JOIN condition {c!r} not of the form l.col OP r.col")
+        lcol, op, rcol = mm.groups()
+        if op == "=":
+            if lcol != rcol:
+                raise NotImplementedError(
+                    "ASOF equi-keys must share a column name in SQL form")
+            on.append(lcol)
+        else:
+            ineq = (lcol, op, rcol)
+    if ineq is None:
+        raise NotImplementedError("ASOF JOIN needs one inequality condition")
+    out = asof_join(spark.table(lt), spark.table(rt), on=on,
+                    left_ts=ineq[0], right_ts=ineq[2],
+                    inequality=ineq[1], how=how)
+    view = f"__asof_{lt}_{rt}"
+    out.createOrReplaceTempView(view)
+    return sql[:m.start()] + f"FROM {view}" + sql[m.end():]
 
 
 _EXPLAIN_RE = re.compile(
@@ -1018,6 +1097,9 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             assignments[col.strip().strip("`")] = F.expr(_translate_expr(expr.strip()))
         table.update_where(F.expr(_translate_expr(cond)), assignments)
         return None
+
+    if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", text, re.IGNORECASE):
+        text = _rewrite_asof_join(spark, text)
 
     m = _WITH_FILL_RE.search(text)
     if m:

@@ -311,3 +311,32 @@ def test_create_table_ddl(spark, tmp_path):
            tables={"metrics": t})
     fin = {r.k: r.v for r in t.read(final=True).collect()}
     assert fin == {1: 5.0, 2: 3.0}  # replacing keeps max version
+
+
+def test_asof_join_sql(spark):
+    from clickhouse_core_spark.plans import ch_sql
+    spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 15.0)],
+                          "k int, t double").createOrReplaceTempView("asof_l")
+    spark.createDataFrame([(1, 5.0, "a"), (1, 18.0, "b"), (2, 99.0, "c")],
+                          "k int, t double, tag string"
+                          ).createOrReplaceTempView("asof_r")
+    rows = ch_sql(spark, """
+        SELECT k, t, tag FROM asof_l ASOF LEFT JOIN asof_r
+        ON asof_l.k = asof_r.k AND asof_l.t >= asof_r.t
+        ORDER BY k, t""").collect()
+    got = [(r.k, r.t, r.tag) for r in rows]
+    assert got == [(1, 10.0, "a"), (1, 20.0, "b"), (2, 15.0, None)]
+
+
+def test_any_join_sql_and_global(spark):
+    from clickhouse_core_spark.plans import ch_sql, translate_ch_sql
+    spark.createDataFrame([(1, "x"), (2, "y")],
+                          "k int, lv string").createOrReplaceTempView("any_l")
+    spark.createDataFrame([(1, "r1"), (1, "r2"), (2, "r3")],
+                          "k int, rv string").createOrReplaceTempView("any_r")
+    rows = ch_sql(spark, """
+        SELECT k, lv, rv FROM any_l ANY LEFT JOIN any_r USING (k)
+        ORDER BY k""").collect()
+    assert len(rows) == 2  # one right row per key, not a fanout
+    assert "GLOBAL" not in translate_ch_sql(
+        "SELECT * FROM a GLOBAL ANY LEFT JOIN b USING (k)").upper()
