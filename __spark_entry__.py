@@ -4363,6 +4363,44 @@ def ch_sql_subscripts_q(spark, sf_dir):
         FROM part WHERE p_partkey < 150 ORDER BY p_partkey""")
 
 
+@q("ch_sql_asof_join", """
+WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, epoch_us(ts) AS pt, value FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT v.user_id, v.event_id, v.t,
+             (SELECT max(p.pt) FROM p
+              WHERE p.user_id = v.user_id AND p.pt <= v.t) AS mt
+      FROM v)
+SELECT j.user_id, j.event_id,
+       round(coalesce((SELECT max(p.value) FROM p
+                       WHERE p.user_id = j.user_id AND p.pt = j.mt), -1.0), 6)
+           AS last_purchase
+FROM j ORDER BY user_id, event_id
+""")
+def ch_sql_asof_join_q(spark, sf_dir):
+    """ASOF LEFT JOIN through the SQL frontend (reference ASOF
+    strictness, src/Interpreters/joinDispatch.h): each view event picks
+    the latest purchase at-or-before it.  The SQL form routes through
+    the bucketed asof_join operator.  Purchase timestamps are unique
+    per user in the fixture, so the max-value disambiguation in the
+    oracle is inert."""
+    ev = _cat(spark, sf_dir).events
+    (ev.filter(F.col("event_type") == "view")
+     .select("user_id", "event_id", F.unix_micros("ts").alias("t"))
+     .createOrReplaceTempView("asof_views"))
+    (ev.filter(F.col("event_type") == "purchase")
+     .select("user_id", F.unix_micros("ts").alias("pt"), "value")
+     .createOrReplaceTempView("asof_purchases"))
+    return ch_sql(spark, """
+        SELECT user_id, event_id,
+               round(coalesce(value, -1.0), 6) AS last_purchase
+        FROM asof_views ASOF LEFT JOIN asof_purchases
+        ON asof_views.user_id = asof_purchases.user_id
+           AND asof_views.t >= asof_purchases.pt
+        ORDER BY user_id, event_id""")
+
+
 @q("ch_sql_limit_by_expr", """
 SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr FROM (
   SELECT o_orderkey, o_orderdate,
