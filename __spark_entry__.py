@@ -3852,12 +3852,13 @@ WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),
                 '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm FROM documents),
 g AS (SELECT doc_id, list_distinct(list_transform(
           range(1, greatest(length(norm) - 1, 2)),
-          i -> substring(norm, CAST(i AS INT), 3))) AS g FROM n),
+          i -> hash(substring(norm, CAST(i AS INT), 3)))) AS g FROM n),
 p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             1.0 * len(list_intersect(a.g, b.g))
-             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+             len(list_intersect(a.g, b.g)) AS i,
+             len(a.g) AS la, len(b.g) AS lb
       FROM g a JOIN g b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8 ORDER BY id_a, id_b
+SELECT id_a, id_b, 1.0 * i / (la + lb - i) AS jaccard
+FROM p WHERE 1.0 * i / (la + lb - i) >= 0.8 ORDER BY id_a, id_b
 """)
 def ngram_jaccard_q(spark, sf_dir):
     """Char-3-gram Jaccard similar pairs via MinHash-band blocking.
