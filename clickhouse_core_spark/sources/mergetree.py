@@ -221,6 +221,28 @@ class MergeTreeTable:
         """TTL compaction: drop rows where ``expired`` holds."""
         self.delete_where(expired)
 
+    def parts_info(self) -> DataFrame:
+        """system.parts analog (reference
+        src/Storages/System/StorageSystemParts.cpp): one row per part
+        with name, row count, compressed bytes on disk, and file count —
+        the operational introspection surface compaction policies read.
+        Metadata-only: parquet footers, no data scan."""
+        import pyarrow.parquet as pq
+
+        rows = []
+        for part in self.parts():
+            n_rows = n_bytes = n_files = 0
+            for root, _dirs, files in os.walk(part):
+                for f in files:
+                    fp = os.path.join(root, f)
+                    if f.endswith(".parquet"):
+                        n_rows += pq.ParquetFile(fp).metadata.num_rows
+                        n_files += 1
+                    n_bytes += os.path.getsize(fp)
+            rows.append((os.path.basename(part), n_rows, n_bytes, n_files))
+        return self.spark.createDataFrame(
+            rows, "part string, rows long, bytes_on_disk long, files int")
+
     def _drop_parts(self, parts: Sequence[str]) -> None:
         import shutil
         for p in parts:

@@ -166,3 +166,13 @@ def test_bloom_filter_cols_roundtrip_via_load(spark, tmp_path):
                        bloom_filter_cols=["v"])
     t.insert(spark.createDataFrame([(1, 10)], "k int, v int"))
     assert MergeTreeTable.load(spark, str(tmp_path / "t")).bloom_filter_cols == ["v"]
+
+
+def test_parts_info_system_view(spark, tmp_table_path):
+    t = MergeTreeTable(spark, tmp_table_path, order_by=["k"])
+    t.insert(spark.createDataFrame([(1,), (2,)], "k int"))
+    t.insert(spark.createDataFrame([(3,)], "k int"))
+    info = t.parts_info().collect()
+    assert len(info) == 2
+    assert sorted(r.rows for r in info) == [1, 2]
+    assert all(r.bytes_on_disk > 0 and r.files >= 1 for r in info)
