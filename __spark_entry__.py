@@ -4873,7 +4873,7 @@ def check_constraints_insert_q(spark, sf_dir):
     return guarded.select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
 
 
-@q("agg_quantile_exact_variants", """
+@q("agg_quantile_excel_variants", """
 WITH v AS (SELECT l_returnflag, l_quantity AS x FROM lineitem),
 s AS (SELECT l_returnflag, list_sort(list(x)) AS arr, count(*) AS n
       FROM v GROUP BY 1)
@@ -4969,7 +4969,7 @@ def fn_conv_or_default_q(spark, sf_dir):
 
 # ------------------------------------------- aggregate long tail (r3)
 
-@q("agg_group_concat", """
+@q("agg_group_concat_limit", """
 WITH g AS (SELECT o_orderpriority,
                   (list(CAST(o_custkey AS VARCHAR) ORDER BY o_orderkey))[1:5] AS arr
            FROM orders GROUP BY 1)

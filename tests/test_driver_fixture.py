@@ -31,6 +31,17 @@ _QUERIES = entry_mod.queries()
 _ORACLES = entry_mod.oracle_sql()
 
 
+def test_entry_names_are_unique():
+    """A reused @q name silently shadows the earlier entry (dict
+    overwrite) — two r3 entries were lost this way before this gate."""
+    import re
+    text = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")).read()
+    names = re.findall(r'@q\("([a-z0-9_]+)"', text)
+    dups = sorted({n for n in names if names.count(n) > 1})
+    assert not dups, f"duplicate entry names shadow earlier entries: {dups}"
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_entry_analyzes_on_driver_parquet(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
