@@ -99,9 +99,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     dominates partitioning).
     """
     content = _normalized(F.col(text_col)) if normalize else F.col(text_col)
-    w = Window.partitionBy(F.xxhash64(content), content).orderBy(id_col)
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    # hash aggregation, not a window: min_by partial-aggregates
+    # map-side, so duplicate rows collapse BEFORE the shuffle — on a
+    # duplicate-heavy corpus the exchange carries one row per distinct
+    # text, not one per input row (the former row_number window
+    # shuffled and sorted everything)
+    return (df.groupBy(F.xxhash64(content).alias("__h"),
+                       content.alias("__c"))
+            .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__r"))
+            .select("__r.*"))
 
 
 def _signature_expr(shingles_col: str, num_hashes: int, seed: int) -> Column:
