@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^61-1: universal-hash modulus; keeps (a*x+b) % p exact

@@ -108,3 +108,40 @@ def test_simhash_fingerprint_is_jvm_only(spark):
         "doc_id long, text string")
     plan = _plan(simhash_dedup(df))
     assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_timeseries_grid_no_range_join(spark):
+    # samples explode onto grid cells and equi-join: the plan must not
+    # contain a nested-loop/cartesian strategy for the grid attachment
+    from clickhouse_core_spark.operators.timeseries import time_series_to_grid
+    df = spark.createDataFrame([("a", 10.0, 1.0), ("a", 20.0, 2.0)],
+                               "s string, ts double, v double")
+    out = time_series_to_grid(df, ["s"], "ts", "v", 10.0, 100.0, 10.0, 30.0,
+                              "rate")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    # min_by must partial-aggregate map-side (duplicates collapse
+    # before the exchange)
+    from clickhouse_core_spark.pipeline import exact_dedup
+    df = spark.createDataFrame([(1, "a"), (2, "a")], "doc_id long, text string")
+    plan = _plan(exact_dedup(df))
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower()
+
+
+def test_minhash_band_join_carries_no_arrays(spark):
+    # the band self-join's shuffle must move only (id, band) — shingle
+    # arrays join back AFTER candidate dedup
+    from clickhouse_core_spark.pipeline.dedup import minhash_lsh_dedup
+    df = spark.createDataFrame([(i, "w%d x y z" % (i % 3)) for i in range(10)],
+                               "doc_id long, text string")
+    plan = _plan(minhash_lsh_dedup(df))
+    # the SMJ/shuffled-hash join on __band must not list __shingles in
+    # its output columns: find the join line(s) keyed on __band
+    band_join_lines = [ln for ln in plan.splitlines()
+                       if "__band" in ln and "Join" in ln]
+    assert band_join_lines, "no band join found in plan"
+    assert all("__shingles" not in ln for ln in band_join_lines)
