@@ -970,7 +970,7 @@ def _rewrite_any_join(sql: str) -> str:
         keys = ", ".join(k.strip().strip("`") for k in m.group(4).split(","))
         first_key = keys.split(",")[0].strip()
         t = m.group(3)
-        return (f"LEFT JOIN (SELECT * FROM ("
+        return (f"LEFT JOIN (SELECT * EXCEPT (__any_rn) FROM ("
                 f"SELECT *, row_number() OVER (PARTITION BY {keys} "
                 f"ORDER BY {first_key}) AS __any_rn FROM {t}) "
                 f"WHERE __any_rn = 1) AS {t} USING ({keys})")
