@@ -42,9 +42,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     input arrives under-split (a small corpus in few parquet files
     would otherwise run the signature/fingerprint expressions in one
     task).  At real scale inputs already carry >= defaultParallelism
-    splits and this is a no-op — no exchange is added."""
+    splits and this is a no-op — no exchange is added.
+
+    Probes ``inputFiles()`` (metadata-only) rather than
+    ``rdd.getNumPartitions()``: materializing the RDD under AQE can
+    eagerly execute upstream query stages."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 
