@@ -895,6 +895,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
+    sql = _rewrite_star_replace(sql)
     sql = _rewrite_any_join(sql)
     sql = apply_date_preimage(sql)
     sql = _rewrite_final(sql)
@@ -943,6 +944,32 @@ def _fill_literal(tok: str | None):
         return None
     f = float(tok)
     return int(f) if f.is_integer() else f
+
+
+_STAR_REPLACE_RE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)
+
+
+def _rewrite_star_replace(sql: str) -> str:
+    """``SELECT * REPLACE (expr AS col, ...)`` (reference star modifier,
+    src/Parsers/ParserTablesInSelectQuery / ASTAsterisk REPLACE) →
+    ``* EXCEPT (cols...), expr AS col, ...``.  Spark supports EXCEPT
+    natively; the replaced columns move to the end of the projection
+    (CH keeps their position — positional divergence only, names and
+    values identical)."""
+    m = _STAR_REPLACE_RE.search(sql)
+    if m is None:
+        return sql
+    open_paren = m.end() - 1
+    items, after = _parse_args(sql, open_paren)
+    names = []
+    for item in items:
+        am = re.search(r"\bAS\s+`?(\w+)`?\s*$", item.strip(), re.IGNORECASE)
+        if am is None:
+            raise ValueError(f"REPLACE item {item!r} needs 'expr AS col'")
+        names.append(am.group(1))
+    repl = (f"* EXCEPT ({', '.join(names)}), "
+            + ", ".join(i.strip() for i in items))
+    return _rewrite_star_replace(sql[:m.start()] + repl + sql[after:])
 
 
 _GLOBAL_JOIN_RE = re.compile(r"\bGLOBAL\s+(?=(ANY|ALL|ASOF|LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI|JOIN)\b)",

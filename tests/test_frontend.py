@@ -340,3 +340,13 @@ def test_any_join_sql_and_global(spark):
     assert len(rows) == 2  # one right row per key, not a fanout
     assert "GLOBAL" not in translate_ch_sql(
         "SELECT * FROM a GLOBAL ANY LEFT JOIN b USING (k)").upper()
+
+
+def test_star_except_and_replace(spark):
+    from clickhouse_core_spark.plans import ch_sql
+    spark.createDataFrame([(1, 2, 3)], "a int, b int, c int"
+                          ).createOrReplaceTempView("star_t")
+    r1 = ch_sql(spark, "SELECT * EXCEPT (b) FROM star_t").first()
+    assert r1.asDict() == {"a": 1, "c": 3}
+    r2 = ch_sql(spark, "SELECT * REPLACE (b * 10 AS b) FROM star_t").first()
+    assert r2.asDict() == {"a": 1, "c": 3, "b": 20}
