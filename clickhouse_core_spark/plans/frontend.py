@@ -895,6 +895,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
+    sql = _rewrite_scalar_with(sql)
     sql = _rewrite_star_replace(sql)
     sql = _rewrite_any_join(sql)
     sql = apply_date_preimage(sql)
@@ -944,6 +945,48 @@ def _fill_literal(tok: str | None):
         return None
     f = float(tok)
     return int(f) if f.is_integer() else f
+
+
+_SCALAR_WITH_RE = re.compile(r"^\s*WITH\s+", re.IGNORECASE)
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """CH scalar WITH aliases — ``WITH <expr> AS <name>, ... SELECT``
+    (reference ParserWithElement: CH allows constant/expression aliases
+    alongside subquery CTEs; Spark's WITH takes only subqueries).
+    Scalar items are removed from the WITH list and substituted as
+    parenthesized expressions at each use site; subquery CTEs
+    (``name AS (SELECT ...)``) stay."""
+    m = _SCALAR_WITH_RE.match(sql)
+    if m is None:
+        return sql
+    # find the end of the WITH item list: the top-level SELECT
+    tops = _top_level_set(sql)
+    sm = next((mm for mm in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE)
+               if mm.start() in tops), None)
+    if sm is None:
+        return sql
+    items = _split_top_commas(sql[m.end():sm.start()])
+    keep, subs = [], {}
+    for item in items:
+        it = item.strip()
+        if re.match(r"^`?\w+`?\s+AS\s*\(", it, re.IGNORECASE):
+            keep.append(it)  # subquery CTE
+            continue
+        am = re.search(r"^(.*\S)\s+AS\s+`?(\w+)`?$", it,
+                       re.IGNORECASE | re.DOTALL)
+        if am:  # scalar expression or scalar subquery alias
+            subs[am.group(2)] = am.group(1).strip()
+        else:
+            keep.append(it)
+    if not subs:
+        return sql
+    body = sql[sm.start():]
+    for name, expr in subs.items():
+        body = re.sub(rf"(?<![\w.`]){re.escape(name)}(?![\w`])",
+                      f"({expr})", body)
+    head = f"WITH {', '.join(keep)} " if keep else ""
+    return head + body
 
 
 _STAR_REPLACE_RE = re.compile(r"\*\s+REPLACE\s*\(", re.IGNORECASE)

@@ -350,3 +350,19 @@ def test_star_except_and_replace(spark):
     assert r1.asDict() == {"a": 1, "c": 3}
     r2 = ch_sql(spark, "SELECT * REPLACE (b * 10 AS b) FROM star_t").first()
     assert r2.asDict() == {"a": 1, "c": 3, "b": 20}
+
+
+def test_scalar_with_aliases(spark, catalog):
+    from clickhouse_core_spark.plans import ch_sql
+    row = ch_sql(spark, """
+        WITH 2 + 3 AS five, 'AFRICA' AS target
+        SELECT five * 2 AS ten, count(*) AS n
+        FROM region WHERE r_name = target
+    """).first()
+    assert (row.ten, row.n) == (10, 1)
+    # mixed scalar + subquery CTE
+    row2 = ch_sql(spark, """
+        WITH 10 AS lim, big AS (SELECT r_regionkey FROM region)
+        SELECT count(*) AS n FROM big WHERE r_regionkey < lim
+    """).first()
+    assert row2.n == 5
