@@ -221,6 +221,42 @@ class MergeTreeTable:
         """TTL compaction: drop rows where ``expired`` holds."""
         self.delete_where(expired)
 
+    def apply_column_ttl(self, expired: Column, columns: Sequence[str]) -> None:
+        """Column-level TTL (reference
+        src/Storages/TTLDescription.h / TTLColumnAlgorithm): expired
+        rows keep existing but the listed columns reset to NULL — the
+        part-rewrite analog of the reference's column TTL merge."""
+        self.update_where(
+            expired, {c: F.lit(None) for c in columns})
+
+    def apply_ttl_group_by(self, expired: Column,
+                           group_by: Sequence[str],
+                           aggregates: dict) -> None:
+        """TTL ... GROUP BY (reference TTLAggregationAlgorithm,
+        src/Processors/TTL/TTLAggregationAlgorithm.h): expired rows
+        collapse to one row per ``group_by`` with the given aggregate
+        expressions (column -> aggregated Column); fresh rows pass
+        through untouched.  One part rewrite, aggregation only over the
+        expired slice."""
+        parts = self.parts()
+        raw = self.read_raw()
+        cond = F.coalesce(expired, F.lit(False))
+        fresh = raw.filter(~cond)
+        expired_rows = raw.filter(cond)
+        agg_exprs = []
+        for col in raw.columns:
+            if col in group_by:
+                continue
+            expr = aggregates.get(col)
+            if expr is None:
+                expr = F.min(col)  # deterministic placeholder for
+                # non-aggregated, non-key columns (reference picks any)
+            agg_exprs.append(expr.alias(col))
+        rolled = (expired_rows.groupBy(*group_by).agg(*agg_exprs)
+                  .select(*raw.columns))
+        new_part = self.insert(fresh.unionByName(rolled))
+        self._drop_parts([p for p in parts if p != new_part])
+
     def parts_info(self) -> DataFrame:
         """system.parts analog (reference
         src/Storages/System/StorageSystemParts.cpp): one row per part

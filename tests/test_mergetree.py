@@ -176,3 +176,24 @@ def test_parts_info_system_view(spark, tmp_table_path):
     assert len(info) == 2
     assert sorted(r.rows for r in info) == [1, 2]
     assert all(r.bytes_on_disk > 0 and r.files >= 1 for r in info)
+
+
+def test_column_ttl_nulls_expired_columns(spark, tmp_table_path):
+    t = MergeTreeTable(spark, tmp_table_path, order_by=["k"])
+    t.insert(spark.createDataFrame(
+        [(1, 100, "old"), (2, 200, "new")], "k int, age int, payload string"))
+    t.apply_column_ttl(F.col("age") > 150, ["payload"])
+    got = {r.k: r.payload for r in t.read_raw().collect()}
+    assert got == {1: "old", 2: None}
+
+
+def test_ttl_group_by_rolls_up_expired(spark, tmp_table_path):
+    t = MergeTreeTable(spark, tmp_table_path, order_by=["g"])
+    t.insert(spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 1, 20.0), ("b", 0, 5.0), ("b", 0, 7.0)],
+        "g string, old int, v double"))
+    t.apply_ttl_group_by(F.col("old") == 1, ["g"],
+                         {"v": F.sum("v"), "old": F.max("old")})
+    rows = sorted((r.g, r.old, r.v) for r in t.read_raw().collect())
+    # expired 'a' rows collapsed to one summed row; fresh 'b' rows intact
+    assert rows == [("a", 1, 30.0), ("b", 0, 5.0), ("b", 0, 7.0)]
