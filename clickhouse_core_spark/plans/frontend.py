@@ -241,6 +241,38 @@ _PARAMETRIC: dict = {
         f"greatest(size(collect_list({a[0]})) - {p[0]} + 1, 1), {p[0]})"),
 }
 
+def _excel_exclusive_sql(p, a):
+    """quantileExactExclusive(level)(x) — Excel PERCENTILE.EXC / R-6
+    (QuantileExact.h:129) as one SQL aggregate expression."""
+    arr = f"array_sort(collect_list({a[0]}))"
+    sz = f"size({arr})"
+    h = f"({p[0]} * ({sz} + 1))"
+    n = f"CAST(floor({h}) AS INT)"
+    return (f"(CASE WHEN {n} >= {sz} THEN element_at({arr}, {sz}) "
+            f"WHEN {n} < 1 THEN element_at({arr}, 1) "
+            f"ELSE element_at({arr}, {n}) + ({h} - {n}) * "
+            f"(element_at({arr}, {n} + 1) - element_at({arr}, {n})) END)")
+
+
+_PARAMETRIC["quantileexactexclusive"] = _excel_exclusive_sql
+# PERCENTILE.INC / R-7 is exactly Spark's percentile()
+_PARAMETRIC["quantileexactinclusive"] = \
+    lambda p, a: f"percentile({a[0]}, {p[0]})"
+_PARAMETRIC["quantileexactlow"] = lambda p, a: (
+    f"element_at(array_sort(collect_list({a[0]})), "
+    f"CAST(floor({p[0]} * size(array_sort(collect_list({a[0]})))) AS INT) + 1)"
+    if p[0].strip() != "0.5" else
+    f"element_at(array_sort(collect_list({a[0]})), "
+    f"CAST(CASE WHEN size(collect_list({a[0]})) % 2 = 1 "
+    f"THEN floor(size(collect_list({a[0]})) / 2) "
+    f"ELSE floor(size(collect_list({a[0]})) / 2) - 1 END AS INT) + 1)")
+_PARAMETRIC["quantileexacthigh"] = lambda p, a: (
+    f"element_at(array_sort(collect_list({a[0]})), "
+    f"CAST(floor({p[0]} * size(array_sort(collect_list({a[0]})))) AS INT) + 1)"
+    if p[0].strip() != "0.5" else
+    f"element_at(array_sort(collect_list({a[0]})), "
+    f"CAST(floor(size(collect_list({a[0]})) / 2) AS INT) + 1)")
+
 # reference registers approx_top_k/approx_top_sum as aliases of
 # topK/topKWeighted (src/AggregateFunctions/AggregateFunctionTopK.cpp)
 _PARAMETRIC["approx_top_k"] = _PARAMETRIC["topk"]

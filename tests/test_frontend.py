@@ -366,3 +366,18 @@ def test_scalar_with_aliases(spark, catalog):
         SELECT count(*) AS n FROM big WHERE r_regionkey < lim
     """).first()
     assert row2.n == 5
+
+
+def test_quantile_exact_sql_forms(spark):
+    from clickhouse_core_spark.plans import ch_sql
+    spark.createDataFrame([(float(v),) for v in [15, 20, 35, 40, 50]],
+                          "x double").createOrReplaceTempView("qx")
+    row = ch_sql(spark, """
+        SELECT quantileExactExclusive(0.4)(x) AS exc,
+               quantileExactInclusive(0.25)(x) AS inc,
+               quantileExactLow(0.5)(x) AS lo,
+               quantileExactHigh(0.5)(x) AS hi
+        FROM qx""").first()
+    assert row.exc == pytest.approx(26.0)   # Excel doc example
+    assert row.inc == pytest.approx(20.0)
+    assert (row.lo, row.hi) == (35.0, 35.0)  # odd size: both the middle
