@@ -4044,6 +4044,31 @@ def ann_cosine_topk_q(spark, sf_dir):
     return cosine_topk(as_double, _unit_query_vec(64), k=10)
 
 
+@q("ann_ivf_topk", f"""
+SELECT vec_id,
+       round(list_cosine_similarity(
+           list_transform(embedding, x -> CAST(x AS DOUBLE)),
+           CAST({_unit_query_vec(64)!r} AS DOUBLE[])), 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF inverted-file ANN (pipeline.similarity.ivf_topk) in the
+    exhaustive-probe configuration (n_probe = n_centroids), which
+    provably equals brute-force cosine top-k — the oracle checks the
+    whole k-means training + cluster-probe machinery end-to-end.
+    Sub-exhaustive probing (the actual scale path: scan ~n_probe/
+    n_centroids of the corpus, or partition-prune when written
+    clustered by centroid) is recall-gated in tests/test_pipeline.py."""
+    e = _cat(spark, sf_dir).embeddings
+    as_double = e.withColumn("embedding",
+                             F.transform("embedding", lambda x: x.cast("double")))
+    from clickhouse_core_spark.pipeline import ivf_topk
+    out = ivf_topk(as_double, _unit_query_vec(64), k=10,
+                   n_centroids=4, n_probe=4, iterations=1)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 @q("ann_lsh_topk", f"""
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -20,6 +20,7 @@ from clickhouse_core_spark.pipeline.dedup import (
 from clickhouse_core_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_ann_topk,
 )
 from clickhouse_core_spark.pipeline.text import (
@@ -35,7 +36,7 @@ from clickhouse_core_spark.pipeline.text import (
 __all__ = [
     "exact_dedup", "md5_hash60", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_dedup", "ngram_jaccard_pairs",
-    "cosine_topk", "embedding_near_duplicates", "lsh_ann_topk",
+    "cosine_topk", "embedding_near_duplicates", "ivf_topk", "lsh_ann_topk",
     "with_token_count", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_pii_redacted", "with_gopher_signals",
     "benchmark_contamination",

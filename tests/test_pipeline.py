@@ -193,3 +193,34 @@ def test_benchmark_contamination(spark):
     # doc1 shingles: abcd bcde cdef; bench: abcd bcde -> 2/3
     assert out[1] == pytest.approx(2 / 3)
     assert out[2] == 0.0
+
+
+def test_ivf_topk_exhaustive_equals_bruteforce(spark):
+    import random
+    from clickhouse_core_spark.pipeline import cosine_topk, ivf_topk
+    rnd = random.Random(3)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = [rnd.uniform(-1, 1) for _ in range(8)]
+    exact = [r.vec_id for r in cosine_topk(df, q, 10).collect()]
+    # n_probe == n_centroids: IVF becomes exhaustive => identical result
+    full = [r.vec_id for r in
+            ivf_topk(df, q, 10, n_centroids=8, n_probe=8).collect()]
+    assert full == exact
+
+
+def test_ivf_topk_probe_recall(spark):
+    import random
+    from clickhouse_core_spark.pipeline import cosine_topk, ivf_topk
+    rnd = random.Random(5)
+    # planted cluster near the query + background noise
+    q = [1.0] * 8
+    rows = [(i, [1.0 + rnd.uniform(-0.05, 0.05) for _ in range(8)])
+            for i in range(20)]
+    rows += [(100 + i, [rnd.uniform(-1, 1) for _ in range(8)])
+             for i in range(180)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {r.vec_id for r in cosine_topk(df, q, 10).collect()}
+    approx = {r.vec_id for r in
+              ivf_topk(df, q, 10, n_centroids=8, n_probe=2).collect()}
+    assert len(exact & approx) >= 9  # >=0.9 recall on the planted cluster
