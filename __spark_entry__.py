@@ -4044,6 +4044,42 @@ def ann_cosine_topk_q(spark, sf_dir):
     return cosine_topk(as_double, _unit_query_vec(64), k=10)
 
 
+@q("projection_routing", """
+SELECT l_returnflag,
+       round(sum(l_extendedprice), 4) AS total,
+       round(avg(l_quantity), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS n,
+       max(l_discount) AS max_disc
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def projection_routing_q(spark, sf_dir):
+    """Aggregate-projection routing (reference
+    src/Processors/QueryPlan/Optimizations/optimizeUseAggregateProjection.cpp):
+    the query aggregates over (l_returnflag) and is answered FROM a
+    pre-aggregated (l_returnflag, l_linestatus) summary — sums/counts
+    re-aggregate losslessly, avg decomposes to sum/cnt.  The oracle
+    aggregates the base table directly, so the routed answer must match
+    exactly."""
+    from clickhouse_core_spark.plans.routing import SummaryRouter, build_summary
+    li = _cat(spark, sf_dir).lineitem
+    summary = build_summary(li, ["l_returnflag", "l_linestatus"],
+                            sum_cols=["l_extendedprice", "l_quantity"],
+                            max_cols=["l_discount"])
+    router = SummaryRouter(li).register(summary)
+    routed = router.aggregate(
+        ["l_returnflag"],
+        {"total": ("sum", "l_extendedprice"),
+         "avg_qty": ("avg", "l_quantity"),
+         "n": ("count", "*"),
+         "max_disc": ("max", "l_discount")})
+    return (routed.select("l_returnflag",
+                          F.round("total", 4).alias("total"),
+                          F.round("avg_qty", 6).alias("avg_qty"),
+                          F.col("n").cast("long").alias("n"),
+                          "max_disc")
+            .orderBy("l_returnflag"))
+
+
 @q("ann_ivf_topk", f"""
 SELECT vec_id,
        round(list_cosine_similarity(
