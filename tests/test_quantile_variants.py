@@ -133,3 +133,26 @@ def test_quantile_timing_weighted(spark):
     df = spark.createDataFrame([(1, 10.0, 3), (1, 500.0, 1)],
                                "g int, x double, w int")
     assert quantile_timing(df, ["g"], "x", 0.5, weight_col="w").first().q == 10
+
+
+def test_exact_variants_match_statistics_module_across_sizes(spark):
+    import random
+    import statistics
+    from clickhouse_core_spark.operators.quantiles import (
+        quantile_exact_high, quantile_exact_inclusive, quantile_exact_low)
+    rnd = random.Random(11)
+    groups = {g: [round(rnd.uniform(0, 100), 3) for _ in range(g)]
+              for g in range(1, 25)}
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "g int, x double")
+
+    lo = {r.g: r.q for r in quantile_exact_low(df, ["g"], "x", 0.5).collect()}
+    hi = {r.g: r.q for r in quantile_exact_high(df, ["g"], "x", 0.5).collect()}
+    inc = {r.g: r.q for r in
+           quantile_exact_inclusive(df, ["g"], "x", 0.3).collect()}
+    for g, vals in groups.items():
+        assert lo[g] == statistics.median_low(vals), g
+        assert hi[g] == statistics.median_high(vals), g
+        if len(vals) >= 2:
+            want = statistics.quantiles(vals, n=10, method="inclusive")[2]
+            assert inc[g] == pytest.approx(want), g
