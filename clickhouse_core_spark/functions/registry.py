@@ -121,8 +121,13 @@ def _mysql_fmt(fmt: str) -> str:
 # concat.cpp, trim.cpp, ...), FunctionsStringSearch.h, splitByChar.cpp.
 
 _STR = {
-    "length": lambda x: F.length(_c(x)).cast("long"),
+    # CH String is raw bytes: length() counts BYTES
+    # (src/Functions/lengthString... length.cpp); lengthUTF8 counts code
+    # points.  octet_length vs length is exactly that split in Spark.
+    "length": lambda x: F.octet_length(_c(x)).cast("long"),
     "lengthUTF8": lambda x: F.length(_c(x)).cast("long"),
+    "char_length": lambda x: F.length(_c(x)).cast("long"),
+    "character_length": lambda x: F.length(_c(x)).cast("long"),
     "empty": lambda x: (F.length(_c(x)) == 0).cast("int"),
     "notEmpty": lambda x: (F.length(_c(x)) > 0).cast("int"),
     "lower": lambda x: F.lower(_c(x)),

@@ -79,6 +79,8 @@ _RULES: dict = {
     "toint64ornull": lambda a: f"TRY_CAST({a[0]} AS BIGINT)",
     "tofloat64ornull": lambda a: f"TRY_CAST({a[0]} AS DOUBLE)",
     # strings
+    # CH length() = bytes (String is binary-safe); lengthUTF8 = chars
+    "length": _fn("octet_length"),
     "lengthutf8": _fn("length"), "lowerutf8": _fn("lower"), "upperutf8": _fn("upper"),
     "empty": lambda a: f"(length({a[0]}) = 0)",
     "notempty": lambda a: f"(length({a[0]}) > 0)",
