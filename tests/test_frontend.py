@@ -381,3 +381,10 @@ def test_quantile_exact_sql_forms(spark):
     assert row.exc == pytest.approx(26.0)   # Excel doc example
     assert row.inc == pytest.approx(20.0)
     assert (row.lo, row.hi) == (35.0, 35.0)  # odd size: both the middle
+
+
+def test_describe_show_passthrough(spark, catalog):
+    from clickhouse_core_spark.plans import ch_sql
+    cols = {r[0] for r in ch_sql(spark, "DESCRIBE TABLE nation").collect()}
+    assert {"n_nationkey", "n_name"} <= cols
+    assert "tableName" in ch_sql(spark, "SHOW TABLES").columns
