@@ -5316,6 +5316,35 @@ def ts_instant_rate_grid_q(spark, sf_dir):
             .orderBy("event_type", "grid_ts"))
 
 
+@q("ts_last_two_samples", _TS_ORACLE_BASE + """,
+r AS (SELECT event_type, gt, t, v,
+             row_number() OVER (PARTITION BY event_type, gt ORDER BY t DESC) AS rk
+      FROM w),
+p AS (SELECT l.event_type, l.gt, l.t AS ts1, round(l.v, 6) AS v1,
+             o.t AS ts2, round(o.v, 6) AS v2
+      FROM r l LEFT JOIN r o ON l.event_type = o.event_type AND l.gt = o.gt
+                             AND o.rk = 2
+      WHERE l.rk = 1)
+SELECT g.event_type, CAST(g.gt AS BIGINT) AS grid_ts,
+       p.ts1, p.v1, p.ts2, p.v2
+FROM g LEFT JOIN p ON p.event_type = g.event_type AND p.gt = g.gt
+ORDER BY g.event_type, grid_ts
+""")
+def ts_last_two_samples_q(spark, sf_dir):
+    """timeSeriesLastTwoSamples (reference
+    AggregateFunctionTimeseriesInstantValue.h Bucket last-2 state —
+    registered as the mergeable state carrier for instant functions):
+    the newest and second-newest in-window samples per grid point."""
+    ev = _cat(spark, sf_dir).events
+    out = time_series_to_grid(ev, ["event_type"], "ts", "value",
+                              *_TS_GRID, kind="last_two")
+    return (out.select("event_type",
+                       F.col("grid_ts").cast("long").alias("grid_ts"),
+                       "ts1", F.round("v1", 6).alias("v1"),
+                       "ts2", F.round("v2", 6).alias("v2"))
+            .orderBy("event_type", "grid_ts"))
+
+
 @q("ts_resample_grid", _TS_ORACLE_BASE + """,
 a AS (SELECT event_type, gt, arg_max(v, t) AS lv FROM w GROUP BY 1, 2)
 SELECT g.event_type, CAST(g.gt AS BIGINT) AS grid_ts,
