@@ -425,3 +425,58 @@ def largest_triangle_three_buckets(df: DataFrame, keys: Sequence[str],
     return (b.withColumn("__keep", keep_rank)
             .filter(F.col("__keep") == 1)
             .drop("__bkt", "__rn", "__n", "__keep"))
+
+
+def gradient_linear_regression(df: DataFrame, feature_cols: Sequence[str],
+                               label_col: str, learning_rate: float = 0.1,
+                               iterations: int = 10,
+                               l2: float = 0.0) -> DataFrame:
+    """stochasticLinearRegression's deterministic refinement (reference
+    src/AggregateFunctions/AggregateFunctionMLMethod.h — its minibatch
+    SGD state is merge-order-dependent, so no reproducible distributed
+    contract exists; full-batch gradient descent is the order-free limit
+    of the same method and shares the hyperparameter surface).
+
+    Features are standardized first (the reference recommends the same);
+    each iteration is ONE aggregation computing the exact batch gradient
+    g_j = mean(residual * x_j), applied driver-side to the tiny weight
+    vector.  Scale shape: iterations × one map-side-combinable
+    aggregation over the data; state on the driver is len(features)+1
+    floats.  Returns a single row: weights w_1..w_n (standardized
+    space), bias, and the de-standardized raw-space coefficients.
+    """
+    feats = list(feature_cols)
+    n = len(feats)
+    stats = df.agg(
+        *[F.avg(c).alias(f"m{i}") for i, c in enumerate(feats)],
+        *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(feats)],
+        F.avg(label_col).alias("my")).first()
+    means = [float(stats[f"m{i}"]) for i in range(n)]
+    stds = [float(stats[f"s{i}"]) or 1.0 for i in range(n)]
+
+    std_cols = [((F.col(c) - F.lit(means[i])) / F.lit(stds[i])).alias(f"x{i}")
+                for i, c in enumerate(feats)]
+    base = df.select(*std_cols, F.col(label_col).cast("double").alias("y"))
+
+    w = [0.0] * n
+    b = 0.0
+    for _ in range(int(iterations)):
+        pred = F.lit(b)
+        for i in range(n):
+            pred = pred + F.lit(w[i]) * F.col(f"x{i}")
+        resid = pred - F.col("y")
+        grads = base.agg(
+            *[F.avg(resid * F.col(f"x{i}")).alias(f"g{i}") for i in range(n)],
+            F.avg(resid).alias("gb")).first()
+        for i in range(n):
+            w[i] -= learning_rate * (float(grads[f"g{i}"]) + l2 * w[i])
+        b -= learning_rate * float(grads["gb"])
+
+    spark = df.sparkSession
+    raw_w = [w[i] / stds[i] for i in range(n)]
+    raw_b = b - sum(raw_w[i] * means[i] for i in range(n))
+    row = tuple(w) + (b,) + tuple(raw_w) + (raw_b,)
+    schema = (", ".join(f"w{i} double" for i in range(n)) + ", bias double, "
+              + ", ".join(f"raw_w{i} double" for i in range(n))
+              + ", raw_bias double")
+    return spark.createDataFrame([row], schema)

@@ -121,3 +121,21 @@ def test_roc_auc_matches_sklearn_formula(spark):
     pos = scores[labels]; neg = scores[~labels]
     wins = sum((p > n) + 0.5 * (p == n) for p in pos for n in neg)
     assert abs(auc - wins / (len(pos) * len(neg))) < 1e-12
+
+
+def test_gradient_linreg_converges_to_closed_form(spark):
+    # well-conditioned synthetic y = 3*x1 - 2*x2 + 5 + 0: GD must
+    # approach the exact coefficients
+    import random
+    from clickhouse_core_spark.operators.stats import gradient_linear_regression
+    rnd = random.Random(2)
+    rows = []
+    for _ in range(500):
+        x1, x2 = rnd.uniform(0, 10), rnd.uniform(0, 10)
+        rows.append((x1, x2, 3.0 * x1 - 2.0 * x2 + 5.0))
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y double")
+    r = gradient_linear_regression(df, ["f1", "f2"], "y",
+                                   learning_rate=0.3, iterations=60).first()
+    assert abs(r.raw_w0 - 3.0) < 0.05
+    assert abs(r.raw_w1 + 2.0) < 0.05
+    assert abs(r.raw_bias - 5.0) < 0.3
