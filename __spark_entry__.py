@@ -4082,6 +4082,48 @@ def stats_gradient_linreg_q(spark, sf_dir):
                       F.round("bias", 6).alias("bias"))
 
 
+@q("stats_gradient_logreg", """
+WITH RECURSIVE d AS (SELECT CAST(user_id % 10 AS DOUBLE) AS f1,
+                            value AS f2,
+                            CASE WHEN event_type = 'purchase'
+                                 THEN 1.0 ELSE 0.0 END AS y FROM events),
+st AS (SELECT avg(f1) AS m1, stddev_pop(f1) AS s1,
+              avg(f2) AS m2, stddev_pop(f2) AS s2 FROM d),
+d2 AS (SELECT (f1 - st.m1) / st.s1 AS x1, (f2 - st.m2) / st.s2 AS x2, y
+       FROM d, st),
+it AS (
+  SELECT 0 AS step, CAST(0.0 AS DOUBLE) AS w1,
+         CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS b
+  UNION ALL
+  SELECT step + 1,
+         w1 - 0.5 * (SELECT avg((1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2)))
+                                 - y) * x1) FROM d2),
+         w2 - 0.5 * (SELECT avg((1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2)))
+                                 - y) * x2) FROM d2),
+         b  - 0.5 * (SELECT avg(1.0 / (1.0 + exp(-(b + w1 * x1 + w2 * x2)))
+                                - y) FROM d2)
+  FROM it WHERE step < 6)
+SELECT round(w1, 6) AS w0, round(w2, 6) AS w1, round(b, 6) AS bias
+FROM it WHERE step = 6
+""")
+def stats_gradient_logreg_q(spark, sf_dir):
+    """stochasticLogisticRegression's deterministic refinement
+    (reference AggregateFunctionMLMethod.h): full-batch log-loss GD
+    predicting purchase events; every sigmoid gradient step replayed in
+    a DuckDB recursive CTE."""
+    from clickhouse_core_spark.operators.stats import (
+        gradient_logistic_regression)
+    ev = _cat(spark, sf_dir).events
+    d = ev.select((F.col("user_id") % 10).cast("double").alias("f1"),
+                  F.col("value").alias("f2"),
+                  (F.col("event_type") == "purchase").cast("double").alias("y"))
+    out = gradient_logistic_regression(d, ["f1", "f2"], "y",
+                                       learning_rate=0.5, iterations=6)
+    return out.select(F.round("w0", 6).alias("w0"),
+                      F.round("w1", 6).alias("w1"),
+                      F.round("bias", 6).alias("bias"))
+
+
 @q("projection_routing", """
 SELECT l_returnflag,
        round(sum(l_extendedprice), 4) AS total,

@@ -480,3 +480,44 @@ def gradient_linear_regression(df: DataFrame, feature_cols: Sequence[str],
               + ", ".join(f"raw_w{i} double" for i in range(n))
               + ", raw_bias double")
     return spark.createDataFrame([row], schema)
+
+
+def gradient_logistic_regression(df: DataFrame, feature_cols: Sequence[str],
+                                 label_col: str, learning_rate: float = 0.5,
+                                 iterations: int = 10) -> DataFrame:
+    """stochasticLogisticRegression's deterministic refinement
+    (reference AggregateFunctionMLMethod.h LogisticRegression traits):
+    full-batch gradient descent on the log-loss, sigma(z) computed with
+    built-in exp — same order-free contract as
+    gradient_linear_regression.  Label must be 0/1.
+    """
+    feats = list(feature_cols)
+    n = len(feats)
+    stats = df.agg(
+        *[F.avg(c).alias(f"m{i}") for i, c in enumerate(feats)],
+        *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(feats)]).first()
+    means = [float(stats[f"m{i}"]) for i in range(n)]
+    stds = [float(stats[f"s{i}"]) or 1.0 for i in range(n)]
+    base = df.select(
+        *[((F.col(c) - F.lit(means[i])) / F.lit(stds[i])).alias(f"x{i}")
+          for i, c in enumerate(feats)],
+        F.col(label_col).cast("double").alias("y"))
+
+    w = [0.0] * n
+    b = 0.0
+    for _ in range(int(iterations)):
+        z = F.lit(b)
+        for i in range(n):
+            z = z + F.lit(w[i]) * F.col(f"x{i}")
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        resid = sig - F.col("y")
+        grads = base.agg(
+            *[F.avg(resid * F.col(f"x{i}")).alias(f"g{i}") for i in range(n)],
+            F.avg(resid).alias("gb")).first()
+        for i in range(n):
+            w[i] -= learning_rate * float(grads[f"g{i}"])
+        b -= learning_rate * float(grads["gb"])
+
+    row = tuple(w) + (b,)
+    schema = ", ".join(f"w{i} double" for i in range(n)) + ", bias double"
+    return df.sparkSession.createDataFrame([row], schema)

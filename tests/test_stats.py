@@ -139,3 +139,19 @@ def test_gradient_linreg_converges_to_closed_form(spark):
     assert abs(r.raw_w0 - 3.0) < 0.05
     assert abs(r.raw_w1 + 2.0) < 0.05
     assert abs(r.raw_bias - 5.0) < 0.3
+
+
+def test_gradient_logreg_learns_separator(spark):
+    # x1 > 0 => label 1: a separable problem; weight on x1 must be
+    # strongly positive after training
+    import random
+    from clickhouse_core_spark.operators.stats import (
+        gradient_logistic_regression)
+    rnd = random.Random(4)
+    rows = [(x, rnd.uniform(-1, 1), 1.0 if x > 0 else 0.0)
+            for x in (rnd.uniform(-5, 5) for _ in range(400))]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y double")
+    r = gradient_logistic_regression(df, ["f1", "f2"], "y",
+                                     learning_rate=1.0, iterations=40).first()
+    assert r.w0 > 1.0          # decisive weight on the separating axis
+    assert abs(r.w1) < 0.5     # noise axis stays small
