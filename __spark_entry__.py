@@ -4124,6 +4124,26 @@ def stats_gradient_logreg_q(spark, sf_dir):
                       F.round("bias", 6).alias("bias"))
 
 
+@q("fn_aes_roundtrip", """
+SELECT doc_id, lang AS plain, lang AS recovered,
+       CAST(NULL AS VARCHAR) AS bad_key
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""")
+def fn_aes_roundtrip_q(spark, sf_dir):
+    """encrypt/decrypt/tryDecrypt (reference src/Functions/FunctionsAES.h,
+    aes-256-ecb mode): DuckDB has no AES, so the oracle is the identity
+    contract — decrypt(encrypt(x)) == x, and tryDecrypt under a wrong
+    key yields NULL (never throws)."""
+    d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    key = "k" * 32
+    enc = CH_FUNCTIONS["encrypt"]("aes-256-ecb", F.col("lang"), F.lit(key))
+    dec = CH_FUNCTIONS["decrypt"]("aes-256-ecb", enc, F.lit(key))
+    bad = CH_FUNCTIONS["tryDecrypt"]("aes-256-ecb", enc, F.lit("x" * 32))
+    return (d.select("doc_id", F.col("lang").alias("plain"),
+                     dec.alias("recovered"), bad.alias("bad_key"))
+            .orderBy("doc_id"))
+
+
 @q("projection_routing", """
 SELECT l_returnflag,
        round(sum(l_extendedprice), 4) AS total,
