@@ -4563,6 +4563,31 @@ def ch_sql_asof_join_q(spark, sf_dir):
         ORDER BY user_id, event_id""")
 
 
+@q("ch_sql_lambdas", """
+SELECT p_partkey,
+       (list_transform([p_size, p_size + 1, p_size + 2], x -> x * 2))[2]
+           AS mapped_mid,
+       len(list_filter([p_size, p_size * 2, 3], x -> x > 5)) AS n_big,
+       CASE WHEN len(list_filter([p_size, 60], x -> x >= 50)) > 0
+            THEN 1 ELSE 0 END AS has_ge50
+FROM part WHERE p_partkey < 150 ORDER BY p_partkey
+""")
+def ch_sql_lambdas_q(spark, sf_dir):
+    """CH higher-order lambdas through the SQL frontend (reference
+    src/Functions/array/arrayMap.cpp family — note CH's argument order
+    is (lambda, array), Spark's is (array, lambda); the translator
+    swaps them)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT p_partkey,
+               arrayMap(x -> x * 2, [p_size, p_size + 1, p_size + 2])[2]
+                   AS mapped_mid,
+               CAST(size(arrayFilter(x -> x > 5, [p_size, p_size * 2, 3]))
+                    AS BIGINT) AS n_big,
+               CAST(arrayExists(x -> x >= 50, [p_size, 60]) AS INT) AS has_ge50
+        FROM part WHERE p_partkey < 150 ORDER BY p_partkey""")
+
+
 @q("ch_sql_limit_by_expr", """
 SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr FROM (
   SELECT o_orderkey, o_orderdate,
