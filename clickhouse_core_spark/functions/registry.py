@@ -461,7 +461,7 @@ _ARR = {
     "arrayExists": lambda f, a: F.exists(_c(a), f).cast("int"),
     "arrayAll": lambda f, a: F.forall(_c(a), f).cast("int"),
     "arrayFold": lambda f, a, init: F.aggregate(_c(a), _c(init), f),
-    "arrayReduce": None,  # name-dispatched aggregate; frontend concern
+    "arrayReduce": lambda agg, a: _array_reduce(agg, a),
     "arraySum": lambda a: F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")),
     "arrayAvg": lambda a: (F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
                            / F.size(_c(a))),
@@ -504,6 +504,41 @@ _ARR = {
     "tuple": lambda *xs: F.struct(*[_c(x) for x in xs]),
     "tupleElement": lambda t, i: _c(t)[f"col{i}" if isinstance(i, int) else i],
 }
+
+
+def _array_reduce(agg_name, arr) -> Column:
+    """arrayReduce('agg', arr) (reference
+    src/Functions/array/arrayReduce.cpp): apply an aggregate-function
+    NAME to array elements.  The name must be a Python string literal
+    (the reference requires a constant too); the supported set covers
+    the names users reach for on arrays."""
+    a = _c(arr)
+    name = str(agg_name).strip("'\"").lower()
+    dsum = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    dispatch = {
+        "sum": lambda: dsum,
+        "min": lambda: F.array_min(a),
+        "max": lambda: F.array_max(a),
+        "count": lambda: F.size(a).cast("long"),
+        "avg": lambda: dsum / F.size(a),
+        "any": lambda: F.element_at(a, 1),
+        "anylast": lambda: F.element_at(a, -1),
+        "uniqexact": lambda: F.size(F.array_distinct(a)).cast("long"),
+        "uniq": lambda: F.size(F.array_distinct(a)).cast("long"),
+        # median over the sorted array: lower-middle element (the
+        # quantileExactLow rounding)
+        "median": lambda: F.element_at(
+            F.array_sort(a), ((F.size(a) + 1) / 2).cast("int")),
+        "product": lambda: F.aggregate(
+            a, F.lit(1.0), lambda acc, x: acc * x.cast("double")),
+        "grouparray": lambda: a,
+        "groupuniqarray": lambda: F.array_sort(F.array_distinct(a)),
+    }
+    if name not in dispatch:
+        raise NotImplementedError(
+            f"arrayReduce: aggregate {name!r} not mapped "
+            f"(supported: {sorted(dispatch)})")
+    return dispatch[name]()
 
 
 def _array_cum_sum(a) -> Column:

@@ -200,3 +200,20 @@ def test_misc_longtail_breadth(spark):
     assert one(spark, f["randExponential"](2.0)) >= 0.0
     slots = f["timeSlots"](F.lit("2021-01-01 10:05:00").cast("timestamp"), 3700)
     assert one(spark, F.size(slots)) == 3
+
+
+def test_array_reduce_dispatch(spark):
+    from clickhouse_core_spark.functions import CH_FUNCTIONS
+    f = CH_FUNCTIONS["arrayReduce"]
+    arr = F.array(F.lit(3.0), F.lit(1.0), F.lit(3.0), F.lit(2.0))
+    row = spark.range(1).select(
+        f("sum", arr).alias("s"), f("min", arr).alias("mn"),
+        f("count", arr).alias("c"), f("avg", arr).alias("a"),
+        f("uniqExact", arr).alias("u"), f("median", arr).alias("md"),
+        f("product", arr).alias("p")).first()
+    assert (row.s, row.mn, row.c, row.a, row.u, row.p) == \
+        (9.0, 1.0, 4, 2.25, 3, 18.0)
+    assert row.md == 2.0  # lower middle of [1,2,3,3]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="arrayReduce"):
+        f("corr", arr)
