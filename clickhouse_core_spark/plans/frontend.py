@@ -160,6 +160,7 @@ _RULES: dict = {
     # `arr[1]` is also rewritten to element_at (_wrap_subscript).
     "arrayelement": _fn("element_at"),
     "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
+    "arrayreduce": lambda a: _array_reduce_sql(a),
     # aggregates
     "grouparray": _fn("collect_list"), "groupuniqarray": _fn("collect_set"),
     "uniq": _fn("approx_count_distinct"),
@@ -280,6 +281,28 @@ _PARAMETRIC["quantileexacthigh"] = lambda p, a: (
 _PARAMETRIC["approx_top_k"] = _PARAMETRIC["topk"]
 _PARAMETRIC["approx_top_count"] = _PARAMETRIC["topk"]
 _PARAMETRIC["approx_top_sum"] = _PARAMETRIC["topkweighted"]
+
+
+def _array_reduce_sql(a: list[str]) -> str:
+    """arrayReduce('agg', arr) SQL form (reference
+    src/Functions/array/arrayReduce.cpp) — constant-name dispatch."""
+    name = a[0].strip().strip("'\"").lower()
+    arr = a[1]
+    forms = {
+        "sum": f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)",
+        "min": f"array_min({arr})",
+        "max": f"array_max({arr})",
+        "count": f"CAST(size({arr}) AS BIGINT)",
+        "avg": f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+               f" / size({arr})",
+        "any": f"element_at({arr}, 1)",
+        "anylast": f"element_at({arr}, -1)",
+        "uniqexact": f"CAST(size(array_distinct({arr})) AS BIGINT)",
+        "uniq": f"CAST(size(array_distinct({arr})) AS BIGINT)",
+    }
+    if name not in forms:
+        raise NotImplementedError(f"arrayReduce: aggregate {name!r} not mapped")
+    return forms[name]
 
 
 def _case_when(args: list[str]) -> str:

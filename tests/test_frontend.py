@@ -388,3 +388,13 @@ def test_describe_show_passthrough(spark, catalog):
     cols = {r[0] for r in ch_sql(spark, "DESCRIBE TABLE nation").collect()}
     assert {"n_nationkey", "n_name"} <= cols
     assert "tableName" in ch_sql(spark, "SHOW TABLES").columns
+
+
+def test_array_reduce_sql(spark):
+    from clickhouse_core_spark.plans import ch_sql
+    row = ch_sql(spark, """
+        SELECT arrayReduce('sum', [1.0, 2.0, 3.0]) AS s,
+               arrayReduce('uniqExact', [1, 1, 2]) AS u,
+               arrayReduce('anyLast', [7, 8, 9]) AS al
+    """).first()
+    assert (row.s, row.u, row.al) == (6.0, 2, 9)
