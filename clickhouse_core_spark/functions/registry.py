@@ -386,17 +386,26 @@ _MATH = {
     "plus": lambda a, b: _c(a) + _c(b),
     "minus": lambda a, b: _c(a) - _c(b),
     "multiply": lambda a, b: _c(a) * _c(b),
-    "divide": lambda a, b: _c(a) / _c(b),
+    # try_divide / try_mod instead of `/` and `%`: identical results in
+    # non-ANSI sessions (both yield NULL on a zero divisor), but they stay
+    # NULL instead of throwing when the session runs with
+    # spark.sql.ansi.enabled=true (Spark 4 default) — entries must be
+    # session-proof.
+    "divide": lambda a, b: F.try_divide(_c(a), _c(b)),
     # C++ integer division truncates toward zero (reference
     # src/Functions/DivisionUtils.h checkedDivision): intDiv(-7, 2) = -3,
     # not floor's -4.  a - a%b is exactly divisible (Spark % keeps the
     # dividend's sign, matching C++), so the quotient is the truncation.
-    "intDiv": lambda a, b: ((_c(a) - (_c(a) % _c(b))) / _c(b)).cast("long"),
+    "intDiv": lambda a, b: F.try_divide(
+        _c(a) - F.try_mod(_c(a), _c(b)), _c(b)).cast("long"),
     "intDivOrZero": lambda a, b: F.when(
-        _c(b) != 0, ((_c(a) - (_c(a) % _c(b))) / _c(b)).cast("long")).otherwise(0),
-    "modulo": lambda a, b: _c(a) % _c(b),
-    "moduloOrZero": lambda a, b: F.when(_c(b) != 0, _c(a) % _c(b)).otherwise(0),
-    "positiveModulo": lambda a, b: F.pmod(_c(a), _c(b)),
+        _c(b) != 0,
+        F.try_divide(_c(a) - F.try_mod(_c(a), _c(b)), _c(b)).cast("long")
+    ).otherwise(0),
+    "modulo": lambda a, b: F.try_mod(_c(a), _c(b)),
+    "moduloOrZero": lambda a, b: F.when(
+        _c(b) != 0, F.try_mod(_c(a), _c(b))).otherwise(0),
+    "positiveModulo": lambda a, b: F.when(_c(b) != 0, F.pmod(_c(a), _c(b))),
     "negate": lambda x: -_c(x),
     "abs": lambda x: F.abs(_c(x)),
     "sqrt": lambda x: F.sqrt(_c(x)),
