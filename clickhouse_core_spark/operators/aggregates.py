@@ -255,7 +255,7 @@ def max_mapped_arrays(df, keys, karr_col, varr_col, alias="max_map"):
 
 
 def group_concat(df: DataFrame, keys: Sequence[str], value_col: str,
-                 order: Sequence[str], sep: str = ",",
+                 order: Sequence[str], sep: str = "",
                  limit: int | None = None,
                  alias: str = "gconcat") -> DataFrame:
     """groupConcat[(sep[, limit])](x) (reference

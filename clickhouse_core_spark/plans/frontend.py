@@ -191,8 +191,10 @@ _RULES: dict = {
     "sumcount": lambda a: f"struct(sum({a[0]}), count({a[0]}))",
     # groupConcat(x) — insertion-order concat; CH order is arbitrary, so
     # any order satisfies the contract (deterministic form: the
-    # parametric groupConcat(sep)(x) + ORDER BY in the query)
-    "groupconcat": lambda a: f"array_join(collect_list(CAST({a[0]} AS STRING)), ',')",
+    # parametric groupConcat(sep)(x) + ORDER BY in the query).  Default
+    # delimiter is the EMPTY string (AggregateFunctionGroupConcat.cpp:207
+    # `String delimiter;` — only set from parameters[0]).
+    "groupconcat": lambda a: f"array_join(collect_list(CAST({a[0]} AS STRING)), '')",
     # tuples: CH tuple(a, b) with positional access t.1 / tupleElement
     # (src/Functions/tuple.cpp, tupleElement.cpp).  named_struct pins
     # the field names to col1..colN so positional access is stable
@@ -237,7 +239,11 @@ _PARAMETRIC: dict = {
         f"approx_percentile({a[0]}, {p[1] if len(p) > 1 else 0.5}, {p[0]})"),
     "grouparraysorted": lambda p, a: (
         f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"),
+    # groupConcat(sep)(x) / groupConcat(sep, N)(x): the two-parameter form
+    # keeps only the first N values (AggregateFunctionGroupConcat.cpp:221-235)
     "groupconcat": lambda p, a: (
+        f"array_join(slice(collect_list(CAST({a[0]} AS STRING)), 1, {p[1]}), {p[0]})"
+        if len(p) > 1 else
         f"array_join(collect_list(CAST({a[0]} AS STRING)), {p[0]})"),
     "grouparraylast": lambda p, a: (
         f"slice(collect_list({a[0]}), "
@@ -261,9 +267,14 @@ _PARAMETRIC["quantileexactexclusive"] = _excel_exclusive_sql
 # PERCENTILE.INC / R-7 is exactly Spark's percentile()
 _PARAMETRIC["quantileexactinclusive"] = \
     lambda p, a: f"percentile({a[0]}, {p[0]})"
+# index capped at size (QuantileExact.h: `level < 1 ? level * size :
+# size - 1`) so level >= 1 returns the max instead of indexing past the
+# array (NULL, or an error under ANSI) — mirrors the DataFrame
+# operator's F.least(..., s - 1).
 _PARAMETRIC["quantileexactlow"] = lambda p, a: (
     f"element_at(array_sort(collect_list({a[0]})), "
-    f"CAST(floor({p[0]} * size(array_sort(collect_list({a[0]})))) AS INT) + 1)"
+    f"CAST(least(floor({p[0]} * size(array_sort(collect_list({a[0]})))) + 1, "
+    f"size(array_sort(collect_list({a[0]})))) AS INT))"
     if p[0].strip() != "0.5" else
     f"element_at(array_sort(collect_list({a[0]})), "
     f"CAST(CASE WHEN size(collect_list({a[0]})) % 2 = 1 "
@@ -271,7 +282,8 @@ _PARAMETRIC["quantileexactlow"] = lambda p, a: (
     f"ELSE floor(size(collect_list({a[0]})) / 2) - 1 END AS INT) + 1)")
 _PARAMETRIC["quantileexacthigh"] = lambda p, a: (
     f"element_at(array_sort(collect_list({a[0]})), "
-    f"CAST(floor({p[0]} * size(array_sort(collect_list({a[0]})))) AS INT) + 1)"
+    f"CAST(least(floor({p[0]} * size(array_sort(collect_list({a[0]})))) + 1, "
+    f"size(array_sort(collect_list({a[0]})))) AS INT))"
     if p[0].strip() != "0.5" else
     f"element_at(array_sort(collect_list({a[0]})), "
     f"CAST(floor(size(collect_list({a[0]})) / 2) AS INT) + 1)")
@@ -1040,8 +1052,24 @@ def _rewrite_scalar_with(sql: str) -> str:
         return sql
     body = sql[sm.start():]
     for name, expr in subs.items():
-        body = re.sub(rf"(?<![\w.`]){re.escape(name)}(?![\w`])",
-                      f"({expr})", body)
+        # substitute only OUTSIDE string literals — a bare re.sub would
+        # rewrite alias-shaped text inside '...' constants.
+        pat = re.compile(rf"(?<![\w.`]){re.escape(name)}(?![\w`])")
+        out, i, n = [], 0, len(body)
+        while i < n:
+            if body[i] in "'\"":
+                j = _skip_string(body, i)
+                out.append(body[i:j])
+                i = j
+                continue
+            m2 = pat.match(body, i)
+            if m2:
+                out.append(f"({expr})")
+                i = m2.end()
+                continue
+            out.append(body[i])
+            i += 1
+        body = "".join(out)
     head = f"WITH {', '.join(keep)} " if keep else ""
     return head + body
 
@@ -1087,17 +1115,21 @@ _ANY_JOIN_RE = re.compile(
 
 
 def _rewrite_any_join(sql: str) -> str:
-    """``ANY LEFT JOIN t USING (k, ...)`` (reference join strictness,
-    src/Parsers/ParserJoin — ANY keeps at most one right row per key)
-    → LEFT JOIN against a per-key-deduplicated subquery.  The kept row
-    is the first under the key ordering — the deterministic refinement
-    of the reference's pick-any (same contract as operators.any_join).
-    USING form only; the ON form needs the DataFrame API."""
+    """``[LEFT] ANY [LEFT] JOIN t USING (k, ...)`` (reference join
+    strictness, src/Parsers/ParserJoin — ANY keeps at most one right row
+    per key) → a join against a per-key-deduplicated subquery.  Bare
+    ``ANY JOIN`` has INNER strictness in ClickHouse (unmatched left rows
+    are dropped); only the LEFT forms keep them.  Which right row is kept
+    is unspecified in the reference and unspecified here too (pick-any
+    contract; operators.any_join offers an explicit order for
+    deterministic refinement).  USING form only; the ON form needs the
+    DataFrame API."""
     def sub(m: re.Match) -> str:
         keys = ", ".join(k.strip().strip("`") for k in m.group(4).split(","))
         first_key = keys.split(",")[0].strip()
         t = m.group(3)
-        return (f"LEFT JOIN (SELECT * EXCEPT (__any_rn) FROM ("
+        how = "LEFT JOIN" if (m.group(1) or m.group(2)) else "JOIN"
+        return (f"{how} (SELECT * EXCEPT (__any_rn) FROM ("
                 f"SELECT *, row_number() OVER (PARTITION BY {keys} "
                 f"ORDER BY {first_key}) AS __any_rn FROM {t}) "
                 f"WHERE __any_rn = 1) AS {t} USING ({keys})")

@@ -398,3 +398,65 @@ def test_array_reduce_sql(spark):
                arrayReduce('anyLast', [7, 8, 9]) AS al
     """).first()
     assert (row.s, row.u, row.al) == (6.0, 2, 9)
+
+
+def test_any_join_inner_strictness(spark):
+    """Bare ANY JOIN is ANY INNER in ClickHouse: unmatched left rows are
+    DROPPED (ADVICE r3 — was rewritten to LEFT JOIN unconditionally)."""
+    from clickhouse_core_spark.plans import ch_sql, translate_ch_sql
+    spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")],
+                          "k int, lv string").createOrReplaceTempView("anyi_l")
+    spark.createDataFrame([(1, "r1"), (1, "r2")],
+                          "k int, rv string").createOrReplaceTempView("anyi_r")
+    rows = ch_sql(spark, """
+        SELECT k, lv, rv FROM anyi_l ANY JOIN anyi_r USING (k)
+        ORDER BY k""").collect()
+    # inner: only k=1 survives, exactly once
+    assert [(r.k, r.lv) for r in rows] == [(1, "x")]
+    # LEFT forms still keep unmatched left rows with NULL
+    rows_l = ch_sql(spark, """
+        SELECT k, lv, rv FROM anyi_l ANY LEFT JOIN anyi_r USING (k)
+        ORDER BY k""").collect()
+    assert [(r.k, r.rv is None) for r in rows_l] == [
+        (1, False), (2, True), (3, True)]
+    up = translate_ch_sql("SELECT * FROM a ANY JOIN b USING (k)").upper()
+    assert "LEFT JOIN" not in up
+
+
+def test_scalar_with_skips_string_literals(spark):
+    """WITH 5 AS x must not rewrite 'x' inside string constants
+    (ADVICE r3 — bare re.sub corrupted literal text)."""
+    from clickhouse_core_spark.plans import ch_sql
+    row = ch_sql(spark,
+                 "WITH 5 AS x SELECT 'x marks' AS s, x AS v").first()
+    assert (row.s, row.v) == ("x marks", 5)
+
+
+def test_group_concat_reference_defaults(spark):
+    """groupConcat defaults to the EMPTY delimiter and the two-parameter
+    form groupConcat(sep, N)(x) honors the limit
+    (AggregateFunctionGroupConcat.cpp)."""
+    from clickhouse_core_spark.plans import ch_sql
+    spark.createDataFrame([(1, "a"), (1, "b"), (1, "c")],
+                          "g int, v string").createOrReplaceTempView("gc_t")
+    row = ch_sql(spark, """
+        SELECT groupConcat(v) AS bare,
+               groupConcat('-')(v) AS sep,
+               groupConcat('-', 2)(v) AS lim
+        FROM (SELECT g, v FROM gc_t ORDER BY v) GROUP BY g""").first()
+    assert sorted(row.bare) == ["a", "b", "c"] and len(row.bare) == 3
+    assert sorted(row.sep.split("-")) == ["a", "b", "c"]
+    assert len(row.lim.split("-")) == 2
+
+
+def test_quantile_exact_low_high_level_one(spark):
+    """level >= 1 must return the max, not index past the array
+    (QuantileExact.h caps at size - 1; ADVICE r3)."""
+    from clickhouse_core_spark.plans import ch_sql
+    spark.createDataFrame([(float(v),) for v in [15, 20, 35, 40, 50]],
+                          "x double").createOrReplaceTempView("qx1")
+    row = ch_sql(spark, """
+        SELECT quantileExactLow(1.0)(x) AS lo,
+               quantileExactHigh(1.0)(x) AS hi
+        FROM qx1""").first()
+    assert (row.lo, row.hi) == (50.0, 50.0)
