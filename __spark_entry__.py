@@ -153,7 +153,7 @@ def q1(spark, sf_dir):
 
 @q("q3_shipping_priority", """
 SELECT l_orderkey,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
        o_orderdate
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -172,14 +172,19 @@ def q3(spark, sf_dir):
             .join(c.lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")),
                   F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("l_orderkey", "o_orderdate")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            # round(,4): the sum's true value has exactly 4 decimal digits
+            # (2dp price × 2dp discount), so both engines round to the SAME
+            # double — the raw sums differ in the last ULP by add order and
+            # the driver hashes exact doubles.
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
             .select("l_orderkey", "revenue", "o_orderdate")
             .orderBy(F.col("revenue").desc(), "l_orderkey")
             .limit(10))
 
 
 @q("q5_local_supplier_volume", """
-SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -205,7 +210,8 @@ def q5(spark, sf_dir):
             .join(F.broadcast(c.region.filter(F.col("r_name") == "ASIA")),
                   F.col("n_regionkey") == F.col("r_regionkey"))
             .groupBy("n_name")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
             .transform(_small_sorted, F.col("revenue").desc(), "n_name"))
 
 
@@ -229,7 +235,7 @@ def q6(spark, sf_dir):
 
 
 @q("q10_returned_items", """
-SELECT c_custkey, c_name, sum(l_extendedprice * (1 - l_discount)) AS revenue, n_name
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, n_name
 FROM customer JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -251,7 +257,8 @@ def q10(spark, sf_dir):
                   F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "n_name")
             .orderBy(F.col("revenue").desc(), "c_custkey")
             .limit(20))
@@ -325,7 +332,7 @@ def q4(spark, sf_dir):
 
 
 @q("q7_volume_shipping", """
-SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue
 FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INT) AS l_year,
              l_extendedprice * (1 - l_discount) AS volume
@@ -356,13 +363,15 @@ def q7(spark, sf_dir):
                     | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
             .withColumn("l_year", F.year("l_shipdate").cast("int"))
             .groupBy("supp_nation", "cust_nation", "l_year")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+                 .alias("revenue"))
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
 @q("q8_market_share", """
 SELECT o_year,
-       sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) / sum(volume) AS mkt_share
+       round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) / sum(volume), 10)
+           AS mkt_share
 FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
              n2.n_name AS nation
@@ -397,13 +406,14 @@ def q8(spark, sf_dir):
             .withColumn("o_year", F.year("o_orderdate").cast("int"))
             .withColumn("volume", vol)
             .groupBy("o_year")
-            .agg((F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0))
-                  / F.sum("volume")).alias("mkt_share"))
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_2", F.col("volume")).otherwise(0))
+                / F.sum("volume"), 10).alias("mkt_share"))
             .orderBy("o_year"))
 
 
 @q("q9_product_profit", """
-SELECT nation, o_year, sum(profit) AS sum_profit
+SELECT nation, o_year, round(sum(profit), 4) AS sum_profit
 FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS profit
       FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -425,7 +435,7 @@ def q9(spark, sf_dir):
                     F.year("o_orderdate").cast("int").alias("o_year"),
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
             .groupBy("nation", "o_year")
-            .agg(F.sum("profit").alias("sum_profit"))
+            .agg(F.round(F.sum("profit"), 4).alias("sum_profit"))
             .orderBy("nation", F.col("o_year").desc()))
 
 
@@ -541,7 +551,7 @@ def q17(spark, sf_dir):
 
 
 @q("q19_discounted_revenue", """
-SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -557,7 +567,7 @@ def q19(spark, sf_dir):
                & F.col("l_quantity").between(20, 30)))
     return (c.lineitem.join(c.part, F.col("p_partkey") == F.col("l_partkey"))
             .filter(cond)
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
                  .alias("revenue")))
 
 
@@ -863,10 +873,10 @@ def paste_join_q(spark, sf_dir):
 @q("agg_stats", """
 SELECT l_returnflag,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-       avg(l_extendedprice) AS avg_price,
-       stddev_samp(l_extendedprice) AS sd_price,
-       var_samp(l_quantity) AS var_qty,
-       corr(l_quantity, l_extendedprice) AS corr_qp,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(stddev_samp(l_extendedprice), 6) AS sd_price,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 10) AS corr_qp,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """)
@@ -875,10 +885,10 @@ def agg_stats(spark, sf_dir):
     return (li.groupBy("l_returnflag")
             .agg(F.min("l_quantity").alias("min_qty"),
                  F.max("l_quantity").alias("max_qty"),
-                 F.avg("l_extendedprice").alias("avg_price"),
-                 F.stddev_samp("l_extendedprice").alias("sd_price"),
-                 F.var_samp("l_quantity").alias("var_qty"),
-                 F.corr("l_quantity", "l_extendedprice").alias("corr_qp"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
+                 F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 10).alias("corr_qp"),
                  F.countDistinct("l_suppkey").alias("n_supp"))
             .transform(_small_sorted, "l_returnflag"))
 
@@ -1045,7 +1055,8 @@ WITH b AS (
               ELSE least(floor(value / 20.0) + 1, 10) END AS BIGINT) AS bucket
   FROM events)
 SELECT bucket, CAST(count(*) AS BIGINT) AS cnt,
-       (bucket - 1) * 20.0 AS lo, bucket * 20.0 AS hi
+       CAST((bucket - 1) * 20.0 AS DOUBLE) AS lo,
+       CAST(bucket * 20.0 AS DOUBLE) AS hi
 FROM b GROUP BY bucket ORDER BY bucket
 """)
 def agg_histogram(spark, sf_dir):
@@ -1382,12 +1393,14 @@ def uniq_up_to_q(spark, sf_dir):
 WITH c AS (SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
            FROM events GROUP BY user_id, event_type),
 t AS (SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS tot FROM c)
-SELECT user_id, sum(-(c / tot) * log2(c / tot)) AS entropy
+SELECT user_id, round(sum(-(c / tot) * log2(c / tot)), 8) AS entropy
 FROM t GROUP BY user_id ORDER BY user_id
 """)
 def entropy_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
-    return entropy(ev, ["user_id"], "event_type").orderBy("user_id")
+    return (entropy(ev, ["user_id"], "event_type")
+            .withColumn("entropy", F.round("entropy", 8))
+            .orderBy("user_id"))
 
 
 @q("max_intersections_sweep", """
@@ -1602,15 +1615,17 @@ def range_join_q(spark, sf_dir):
 
 @q("stats_linreg", """
 SELECT l_returnflag,
-       covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity) AS k,
-       avg(l_extendedprice) - covar_pop(l_quantity, l_extendedprice)
-         / var_pop(l_quantity) * avg(l_quantity) AS b
+       round(covar_pop(l_quantity, l_extendedprice) / var_pop(l_quantity), 6) AS k,
+       round(avg(l_extendedprice) - covar_pop(l_quantity, l_extendedprice)
+         / var_pop(l_quantity) * avg(l_quantity), 6) AS b
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """)
 def stats_linreg_q(spark, sf_dir):
     li = _cat(spark, sf_dir).lineitem
     return (simple_linear_regression(li, ["l_returnflag"],
                                      "l_quantity", "l_extendedprice")
+            .withColumn("k", F.round("k", 6))
+            .withColumn("b", F.round("b", 6))
             .transform(_small_sorted, "l_returnflag"))
 
 
@@ -1625,9 +1640,9 @@ m AS (SELECT user_id,
              var_samp(value) FILTER (grp = 1) AS s1
       FROM s GROUP BY user_id)
 SELECT user_id,
-       (m0 - m1) / sqrt(s0 / n0 + s1 / n1) AS t_stat,
-       pow(s0 / n0 + s1 / n1, 2)
-       / (pow(s0 / n0, 2) / (n0 - 1) + pow(s1 / n1, 2) / (n1 - 1)) AS dof
+       round((m0 - m1) / sqrt(s0 / n0 + s1 / n1), 8) AS t_stat,
+       round(pow(s0 / n0 + s1 / n1, 2)
+       / (pow(s0 / n0, 2) / (n0 - 1) + pow(s1 / n1, 2) / (n1 - 1)), 8) AS dof
 FROM m ORDER BY user_id
 """)
 def stats_welch_q(spark, sf_dir):
@@ -1636,6 +1651,8 @@ def stats_welch_q(spark, sf_dir):
          .select("user_id", "value",
                  F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("grp")))
     return (welch_t_test(s, ["user_id"], "value", "grp")
+            .withColumn("t_stat", F.round("t_stat", 8))
+            .withColumn("dof", F.round("dof", 8))
             .transform(_small_sorted, "user_id"))
 
 
@@ -1882,19 +1899,21 @@ def win_lag_lead(spark, sf_dir):
 
 @q("win_frames_rows", """
 SELECT user_id, event_id,
-       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_sum,
-       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_sum,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
 FROM events ORDER BY user_id, event_id
 """)
 def win_frames_rows(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (ev.select("user_id", "event_id",
-                      F.sum("value").over(w.rowsBetween(-2, 0)).alias("moving_sum"),
-                      F.sum("value").over(
-                          w.rowsBetween(Window.unboundedPreceding, 0)).alias("running_sum"))
+                      F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 4)
+                      .alias("moving_sum"),
+                      F.round(F.sum("value").over(
+                          w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+                      .alias("running_sum"))
             .orderBy("user_id", "event_id"))
 
 
@@ -1978,8 +1997,8 @@ WITH r AS (
          dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS gr
   FROM events)
 SELECT user_id, event_id,
-       sum(value) OVER (PARTITION BY user_id ORDER BY gr
-                        RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS groups_sum
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY gr
+                        RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 4) AS groups_sum
 FROM r ORDER BY user_id, event_id
 """)
 def win_groups_frame_q(spark, sf_dir):
@@ -1988,7 +2007,8 @@ def win_groups_frame_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     return (groups_frame_sum(ev, ["user_id"], "event_type", "value",
                              preceding=1, following=0)
-            .select("user_id", "event_id", "groups_sum")
+            .select("user_id", "event_id",
+                    F.round("groups_sum", 4).alias("groups_sum"))
             .orderBy("user_id", "event_id"))
 
 
@@ -2694,10 +2714,10 @@ WITH pts AS (
          CAST(user_id % 170 AS DOUBLE) / 2.0 - 42.0 AS lat
   FROM events GROUP BY user_id)
 SELECT user_id,
-       2.0 * 6371000.0 * asin(sqrt(
+       round(2.0 * 6371000.0 * asin(sqrt(
          pow(sin(radians(48.85 - lat) / 2), 2)
          + cos(radians(lat)) * cos(radians(48.85))
-         * pow(sin(radians(2.35 - lon) / 2), 2))) AS dist_to_paris
+         * pow(sin(radians(2.35 - lon) / 2), 2))), 2) AS dist_to_paris
 FROM pts ORDER BY user_id
 """)
 def fn_ch_geo_q(spark, sf_dir):
@@ -2708,8 +2728,8 @@ def fn_ch_geo_q(spark, sf_dir):
            .agg(((F.col("user_id") % 360).cast("double") - 180.0).alias("lon"),
                 ((F.col("user_id") % 170).cast("double") / 2.0 - 42.0).alias("lat")))
     return (pts.select("user_id",
-                       ch.greatCircleDistance(F.col("lon"), F.col("lat"),
-                                              F.lit(2.35), F.lit(48.85))
+                       F.round(ch.greatCircleDistance(F.col("lon"), F.col("lat"),
+                                                      F.lit(2.35), F.lit(48.85)), 2)
                        .alias("dist_to_paris"))
             .orderBy("user_id"))
 
@@ -3388,7 +3408,7 @@ def agg_quantile_bfloat16_q(spark, sf_dir):
 
 
 @q("agg_quantile_deterministic", """
-SELECT o_orderpriority, quantile_cont(o_totalprice, 0.9) AS q_det
+SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.9), 4) AS q_det
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """)
 def agg_quantile_deterministic_q(spark, sf_dir):
@@ -3400,6 +3420,7 @@ def agg_quantile_deterministic_q(spark, sf_dir):
     o = _cat(spark, sf_dir).orders
     return (quantile_deterministic(o, ["o_orderpriority"], "o_totalprice",
                                    "o_orderkey", 0.9, alias="q_det")
+            .withColumn("q_det", F.round("q_det", 4))
             .orderBy("o_orderpriority"))
 
 
@@ -3742,13 +3763,13 @@ def stream_dedup_ingest_q(spark, sf_dir):
 
 @q("stream_tumble_1h", """
 SELECT date_trunc('hour', ts) AS wstart,
-       CAST(count(*) AS BIGINT) AS cnt, sum(value) AS total
+       CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS total
 FROM events GROUP BY 1 ORDER BY wstart
 """)
 def stream_tumble(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"))
-            .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
+            .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
             .select(F.col("w.start").alias("wstart"), "cnt", "total")
             .transform(_small_sorted, "wstart"))
 
@@ -3758,13 +3779,13 @@ WITH assigned AS (
   SELECT date_trunc('hour', ts) AS w0, value FROM events
   UNION ALL
   SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w0, value FROM events)
-SELECT w0 AS wstart, CAST(count(*) AS BIGINT) AS cnt, sum(value) AS total
+SELECT w0 AS wstart, CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS total
 FROM assigned GROUP BY w0 ORDER BY wstart
 """)
 def stream_hop(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
-            .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
+            .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("total"))
             .select(F.col("w.start").alias("wstart"), "cnt", "total")
             .transform(_small_sorted, "wstart"))
 
@@ -4217,22 +4238,26 @@ def ann_ivf_topk_q(spark, sf_dir):
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
            FROM embeddings),
-b AS (SELECT vec_id, v, {_lsh_bucket_sql(4, 42)} AS bucket FROM e)
-SELECT vec_id,
-       list_cosine_similarity(v, CAST({_lit_dvec(_unit_query_vec(64))}
-                                      AS DOUBLE[])) AS score
-FROM b WHERE bucket IN ({", ".join(str(s) for s in sorted(
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(4, 42)} AS bucket FROM e),
+ranked AS (
+  SELECT vec_id,
+         list_cosine_similarity(v, CAST({_lit_dvec(_unit_query_vec(64))}
+                                        AS DOUBLE[])) AS score
+  FROM b WHERE bucket IN ({", ".join(str(s) for s in sorted(
     {_query_sig(_unit_query_vec(64), 4, 42)}
     | {_query_sig(_unit_query_vec(64), 4, 42) ^ (1 << i) for i in range(4)}))})
-ORDER BY score DESC, vec_id LIMIT 10
+  ORDER BY score DESC, vec_id LIMIT 10)
+SELECT vec_id, round(score, 6) AS score FROM ranked
 """)
 def ann_lsh_topk_q(spark, sf_dir):
     """LSH-bucketed approximate NN with hamming-1 multi-probe.
     Deterministic given the seed, so the oracle replays the probe-set
     bucket filter (plane constants baked into the SQL) and the cosine
-    ranking exactly."""
+    ranking exactly.  Scores rounded to 6dp for the hash compare (dot-
+    product accumulation order differs across engines at ~1e-10)."""
     e = _cat(spark, sf_dir).embeddings
-    return lsh_ann_topk(e, _unit_query_vec(64), k=10, bits=4, multiprobe=1)
+    return (lsh_ann_topk(e, _unit_query_vec(64), k=10, bits=4, multiprobe=1)
+            .select("vec_id", F.round("score", 6).alias("score")))
 
 
 @q("embedding_block_pairs", """
@@ -4841,10 +4866,10 @@ x AS (SELECT (SELECT n FROM n) * sum(o * o / (ra.ra * cb.cb))
              count(DISTINCT c.a) AS r, count(DISTINCT c.b) AS cc,
              (SELECT n FROM n) AS n
       FROM c JOIN ra USING (a) JOIN cb USING (b))
-SELECT sqrt(chi2 / (chi2 + n)) AS contingency,
-       sqrt(greatest(0.0, chi2 / n - (r - 1) * (cc - 1) / (n - 1))
+SELECT round(sqrt(chi2 / (chi2 + n)), 10) AS contingency,
+       round(sqrt(greatest(0.0, chi2 / n - (r - 1) * (cc - 1) / (n - 1))
             / least(r - pow(r - 1, 2) / (n - 1) - 1,
-                    cc - pow(cc - 1, 2) / (n - 1) - 1)) AS cramers_v_bc
+                    cc - pow(cc - 1, 2) / (n - 1) - 1)), 10) AS cramers_v_bc
 FROM x
 """)
 def stats_contingency_family_q(spark, sf_dir):
@@ -4853,7 +4878,9 @@ def stats_contingency_family_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     t = ev.select("event_type", (F.col("user_id") % 5).alias("b"))
     return (contingency(t, "event_type", "b")
-            .crossJoin(cramers_v_bias_corrected(t, "event_type", "b")))
+            .crossJoin(cramers_v_bias_corrected(t, "event_type", "b"))
+            .select(F.round("contingency", 10).alias("contingency"),
+                    F.round("cramers_v_bc", 10).alias("cramers_v_bc")))
 
 
 @q("stats_anova", """
@@ -4862,7 +4889,8 @@ WITH per AS (SELECT event_type, count(value) AS c, sum(value) AS s,
              FROM events WHERE value IS NOT NULL GROUP BY 1),
 tot AS (SELECT sum(c) AS n, sum(s) AS ts, sum(ss) AS tss,
                count(*) AS k, sum(s * s / c) AS sb FROM per)
-SELECT ((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)) AS f_statistic
+SELECT round(((sb - ts * ts / n) / (k - 1)) / ((tss - sb) / (n - k)), 8)
+    AS f_statistic
 FROM tot
 """)
 def stats_anova_q(spark, sf_dir):
@@ -4870,7 +4898,8 @@ def stats_anova_q(spark, sf_dir):
     src/AggregateFunctions/AggregateFunctionAnalysisOfVariance.cpp):
     one-way F statistic from per-group (count, sum, sum-of-squares)."""
     ev = _cat(spark, sf_dir).events
-    return anova(ev, "event_type", "value")
+    return (anova(ev, "event_type", "value")
+            .withColumn("f_statistic", F.round("f_statistic", 8)))
 
 
 @q("agg_min_max_map", """
@@ -5030,7 +5059,7 @@ def agg_group_array_last_q(spark, sf_dir):
 
 
 @q("row_policy_select", """
-SELECT o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 4) AS total
 FROM orders
 WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F') AND o_totalprice < 150000
 GROUP BY 1 ORDER BY 1
@@ -5046,7 +5075,8 @@ def row_policy_select_q(spark, sf_dir):
     o = apply_row_policies(_cat(spark, sf_dir).orders, pols, "analyst")
     return _small_sorted(
         o.groupBy("o_orderpriority").agg(F.count("*").alias("n"),
-                                         F.sum("o_totalprice").alias("total")),
+                                         F.round(F.sum("o_totalprice"), 4)
+                                         .alias("total")),
         "o_orderpriority")
 
 

@@ -20,13 +20,21 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from clickhouse_core_spark import get_spark  # noqa: E402
 
 
+# STRICT=1: compare floats EXACTLY (the driver's hasher does) instead of
+# rounding to 6dp — catches last-ULP libm divergences and decimal-scale
+# rendering differences before the driver's 50-entry rotation does.
+STRICT = os.environ.get("STRICT", "") == "1"
+
+
 def norm_cell(v):
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        return v if STRICT else round(v, 6)
+    if STRICT and type(v).__name__ == "Decimal":
+        return str(v)
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     return v

@@ -52,3 +52,13 @@ def test_entry_analyzes_on_driver_parquet(spark, name):
         assert not bad, (
             f"{name} emits non-scalar columns {bad}; the driver's hash "
             f"comparator cannot grade arrays/maps — explode to scalar rows")
+        # r3 lesson (fn_decimal_arithmetic): the driver's hasher is
+        # sensitive to decimal scale RENDERING, so exact-equal decimals
+        # can hash-mismatch across engines.  Entries must carry results
+        # as DOUBLE/STRING (decimal math inside the query stays exact).
+        dec = [f.name for f in schema.fields
+               if isinstance(f.dataType, T.DecimalType)]
+        assert not dec, (
+            f"{name} emits DECIMAL columns {dec}; cast to DOUBLE or "
+            f"STRING on both sides — the driver hasher is representation-"
+            f"sensitive (see fn_decimal_arithmetic, r3)")
