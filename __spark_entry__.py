@@ -5528,6 +5528,84 @@ def ts_resample_grid_q(spark, sf_dir):
             .orderBy("event_type", "grid_ts"))
 
 
+# --------------------------------------------- bitmap state algebra (r4)
+
+
+@q("agg_bitmap_algebra", """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+t AS (SELECT DISTINCT event_type, user_id FROM events),
+m AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS card,
+             CAST(count(*) FILTER (
+                 user_id IN (SELECT user_id FROM v)) AS BIGINT) AS and_card
+      FROM t GROUP BY event_type),
+n AS (SELECT CAST(count(*) AS BIGINT) AS vcard FROM v)
+SELECT event_type, card, and_card,
+       card + (SELECT vcard FROM n) - and_card AS or_card,
+       card + (SELECT vcard FROM n) - 2 * and_card AS xor_card,
+       card - and_card AS andnot_card
+FROM m ORDER BY event_type
+""")
+def agg_bitmap_algebra_q(spark, sf_dir):
+    """groupBitmapState + bitmapAnd/Or/Xor/AndnotCardinality over real
+    bitmap states (reference
+    src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp,
+    src/Functions/FunctionsBitmap.cpp): per-event-type user-id states,
+    each compared against the 'view' state.  The states are sorted
+    array<long>; the algebra is Catalyst array set ops.  The single-row
+    baseline state broadcasts — the per-type states never reshuffle."""
+    from clickhouse_core_spark.operators import (
+        group_bitmap_state, bitmap_cardinality, bitmap_and_cardinality,
+        bitmap_or_cardinality, bitmap_xor_cardinality,
+        bitmap_andnot_cardinality)
+    ev = _cat(spark, sf_dir).events
+    states = group_bitmap_state(ev, ["event_type"], "user_id", alias="bm")
+    base = (states.filter(F.col("event_type") == "view")
+            .select(F.col("bm").alias("vbm")))
+    return (states.crossJoin(F.broadcast(base))
+            .select("event_type",
+                    bitmap_cardinality("bm").alias("card"),
+                    bitmap_and_cardinality("bm", "vbm").alias("and_card"),
+                    bitmap_or_cardinality("bm", "vbm").alias("or_card"),
+                    bitmap_xor_cardinality("bm", "vbm").alias("xor_card"),
+                    bitmap_andnot_cardinality("bm", "vbm").alias("andnot_card"))
+            .orderBy("event_type"))
+
+
+@q("agg_bitmap_merge_rollup", """
+WITH s AS (SELECT DISTINCT event_type, user_id % 50 AS bucket, user_id
+           FROM events),
+per AS (SELECT event_type, bucket,
+             CAST(count(*) AS BIGINT) AS card FROM s GROUP BY 1, 2),
+all_u AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS or_card
+          FROM s GROUP BY 1),
+odd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS xor_card
+        FROM (SELECT event_type, user_id, count(DISTINCT bucket) AS nb
+              FROM s GROUP BY 1, 2) z
+        WHERE nb % 2 = 1 GROUP BY event_type)
+SELECT a.event_type, a.or_card, coalesce(o.xor_card, 0) AS xor_card
+FROM all_u a LEFT JOIN odd o ON a.event_type = o.event_type
+ORDER BY a.event_type
+""")
+def agg_bitmap_merge_rollup_q(spark, sf_dir):
+    """groupBitmapOr / groupBitmapXor merging pre-built states (the
+    -State/-Merge rollup shape): build (event_type, bucket) user states,
+    then merge across buckets per event_type.  Mirrors the reference's
+    bitmap state rollup without re-scanning raw rows."""
+    from clickhouse_core_spark.operators import (
+        group_bitmap_state, group_bitmap_or, group_bitmap_xor)
+    ev = _cat(spark, sf_dir).events
+    states = group_bitmap_state(
+        ev.withColumn("bucket", F.col("user_id") % 50),
+        ["event_type", "bucket"], "user_id", alias="bm")
+    ors = (group_bitmap_or(states, ["event_type"], "bm")
+           .select("event_type", F.size("bm_or").cast("long").alias("or_card")))
+    xors = (group_bitmap_xor(states, ["event_type"], "bm")
+            .select("event_type",
+                    F.size("bm_xor").cast("long").alias("xor_card")))
+    return ors.join(xors, "event_type").orderBy("event_type")
+
+
 # ---------------------------------------------------------------- contract
 
 

@@ -1361,10 +1361,36 @@ _CONV3["greatCircleAngle"] = lambda lon1, lat1, lon2, lat2: F.degrees(
     _great_circle(lon1, lat1, lon2, lat2) / F.lit(6371000.0))
 
 
+# Bitmap state algebra (reference src/Functions/FunctionsBitmap.cpp) —
+# states are sorted array<long>; implementations in operators/bitmaps.py.
+from clickhouse_core_spark.operators import bitmaps as _bm  # noqa: E402
+
+_BITMAP = {
+    "bitmapBuild": _bm.bitmap_build,
+    "bitmapToArray": _bm.bitmap_to_array,
+    "bitmapCardinality": _bm.bitmap_cardinality,
+    "bitmapAnd": _bm.bitmap_and,
+    "bitmapOr": _bm.bitmap_or,
+    "bitmapXor": _bm.bitmap_xor,
+    "bitmapAndnot": _bm.bitmap_andnot,
+    "bitmapAndCardinality": _bm.bitmap_and_cardinality,
+    "bitmapOrCardinality": _bm.bitmap_or_cardinality,
+    "bitmapXorCardinality": _bm.bitmap_xor_cardinality,
+    "bitmapAndnotCardinality": _bm.bitmap_andnot_cardinality,
+    "bitmapContains": _bm.bitmap_contains,
+    "bitmapHasAll": _bm.bitmap_has_all,
+    "bitmapHasAny": _bm.bitmap_has_any,
+    "bitmapMin": _bm.bitmap_min,
+    "bitmapMax": _bm.bitmap_max,
+    "bitmapSubsetInRange": _bm.bitmap_subset_in_range,
+    "bitmapSubsetLimit": _bm.bitmap_subset_limit,
+    "subBitmap": _bm.sub_bitmap,
+}
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _CONV3, _MISC2, _VEC, _MISC3):
+            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -122,15 +122,20 @@ _RULES: dict = {
     "assumenotnull": lambda a: a[0],
     # math
     # C++ division truncates toward zero (DivisionUtils.h): a - a%b is
-    # exactly divisible and Spark % keeps the dividend's sign.
-    "intdiv": lambda a: f"CAST(({a[0]} - ({a[0]} % {a[1]})) / {a[1]} AS BIGINT)",
-    "intdivorzero": lambda a: (f"IF({a[1]} = 0, 0, "
-                               f"CAST(({a[0]} - ({a[0]} % {a[1]})) / {a[1]} AS BIGINT))"),
-    "modulo": lambda a: f"({a[0]} % {a[1]})",
+    # exactly divisible and Spark % keeps the dividend's sign.  try_mod/
+    # try_divide instead of %-and-/: identical non-ANSI results, NULL
+    # instead of throwing under spark.sql.ansi.enabled=true.
+    "intdiv": lambda a: (f"CAST(try_divide({a[0]} - try_mod({a[0]}, {a[1]}), "
+                         f"{a[1]}) AS BIGINT)"),
+    "intdivorzero": lambda a: (
+        f"IF({a[1]} = 0, 0, CAST(try_divide({a[0]} - "
+        f"try_mod({a[0]}, {a[1]}), {a[1]}) AS BIGINT))"),
+    "modulo": lambda a: f"try_mod({a[0]}, {a[1]})",
+    "moduloorzero": lambda a: f"coalesce(try_mod({a[0]}, {a[1]}), 0)",
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "multiply": lambda a: f"({a[0]} * {a[1]})",
-    "divide": lambda a: f"({a[0]} / {a[1]})",
+    "divide": lambda a: f"try_divide({a[0]}, {a[1]})",
     "negate": lambda a: f"(-{a[0]})",
     "ln": _fn("log"), "exp2": lambda a: f"power(2, {a[0]})",
     "exp10": lambda a: f"power(10, {a[0]})",
@@ -161,6 +166,35 @@ _RULES: dict = {
     "arrayelement": _fn("element_at"),
     "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
     "arrayreduce": lambda a: _array_reduce_sql(a),
+    # bitmap state algebra (FunctionsBitmap.cpp): states are sorted
+    # array<long> — see operators/bitmaps.py for the DataFrame forms
+    "bitmapbuild": lambda a: f"array_sort(array_distinct({a[0]}))",
+    "bitmaptoarray": lambda a: f"array_sort({a[0]})",
+    "bitmapcardinality": lambda a: f"CAST(size({a[0]}) AS BIGINT)",
+    "bitmapand": lambda a: f"array_sort(array_intersect({a[0]}, {a[1]}))",
+    "bitmapor": lambda a: f"array_sort(array_union({a[0]}, {a[1]}))",
+    "bitmapxor": lambda a: (
+        f"array_sort(array_except(array_union({a[0]}, {a[1]}), "
+        f"array_intersect({a[0]}, {a[1]})))"),
+    "bitmapandnot": lambda a: f"array_sort(array_except({a[0]}, {a[1]}))",
+    "bitmapandcardinality": lambda a: (
+        f"CAST(size(array_intersect({a[0]}, {a[1]})) AS BIGINT)"),
+    "bitmaporcardinality": lambda a: (
+        f"CAST(size(array_union({a[0]}, {a[1]})) AS BIGINT)"),
+    "bitmapxorcardinality": lambda a: (
+        f"CAST(size(array_except(array_union({a[0]}, {a[1]}), "
+        f"array_intersect({a[0]}, {a[1]}))) AS BIGINT)"),
+    "bitmapandnotcardinality": lambda a: (
+        f"CAST(size(array_except({a[0]}, {a[1]})) AS BIGINT)"),
+    "bitmapcontains": lambda a: f"array_contains({a[0]}, {a[1]})",
+    "bitmaphasall": lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
+    "bitmaphasany": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    "bitmapmin": _fn("array_min"), "bitmapmax": _fn("array_max"),
+    "bitmapsubsetinrange": lambda a: (
+        f"filter({a[0]}, x -> x >= {a[1]} AND x < {a[2]})"),
+    "bitmapsubsetlimit": lambda a: (
+        f"slice(filter({a[0]}, x -> x >= {a[1]}), 1, {a[2]})"),
+    "subbitmap": lambda a: f"slice({a[0]}, {a[1]} + 1, {a[2]})",
     # aggregates
     "grouparray": _fn("collect_list"), "groupuniqarray": _fn("collect_set"),
     "uniq": _fn("approx_count_distinct"),
@@ -185,6 +219,10 @@ _RULES: dict = {
     "grouparrayarray": lambda a: f"flatten(collect_list({a[0]}))",
     "groupbitand": _fn("bit_and"), "groupbitor": _fn("bit_or"),
     "groupbitxor": _fn("bit_xor"),
+    # groupBitmap(x) returns the state's cardinality
+    # (AggregateFunctionGroupBitmap.cpp); the state itself is
+    # operators.group_bitmap_state
+    "groupbitmap": lambda a: f"CAST(count(DISTINCT {a[0]}) AS BIGINT)",
     # sumKahan: Spark's double sum; the compensation term is an accuracy
     # nicety below the engine contract's tolerance (AggregateFunctionSumKahan)
     "sumkahan": _fn("sum"),

@@ -460,3 +460,47 @@ def test_quantile_exact_low_high_level_one(spark):
                quantileExactHigh(1.0)(x) AS hi
         FROM qx1""").first()
     assert (row.lo, row.hi) == (50.0, 50.0)
+
+
+def test_bitmap_sql_surface(spark):
+    """bitmap* scalar algebra + groupBitmap through the CH-SQL frontend
+    (FunctionsBitmap.cpp / AggregateFunctionGroupBitmap.cpp)."""
+    from clickhouse_core_spark.plans import ch_sql
+    row = ch_sql(spark, """
+        SELECT bitmapCardinality(bitmapBuild([1, 2, 2, 3])) AS card,
+               bitmapAndCardinality(bitmapBuild([1, 2, 3]),
+                                    bitmapBuild([2, 3, 4])) AS andc,
+               bitmapXor(bitmapBuild([1, 2]), bitmapBuild([2, 3])) AS xr,
+               bitmapHasAll(bitmapBuild([1, 2, 3]), bitmapBuild([1, 3])) AS hall,
+               bitmapSubsetInRange(bitmapBuild([1, 5, 9]), 2, 9) AS rng,
+               subBitmap(bitmapBuild([10, 20, 30, 40]), 1, 2) AS sb
+    """).first()
+    assert (row.card, row.andc) == (3, 2)
+    assert row.xr == [1, 3]
+    assert row.hall is True
+    assert row.rng == [5]
+    assert row.sb == [20, 30]
+    spark.createDataFrame([(1, 10), (1, 10), (1, 20), (2, 30)],
+                          "g int, u int").createOrReplaceTempView("bm_t")
+    rows = ch_sql(spark, """
+        SELECT g, groupBitmap(u) AS c FROM bm_t GROUP BY g ORDER BY g
+    """).collect()
+    assert [(r.g, r.c) for r in rows] == [(1, 2), (2, 1)]
+
+
+def test_sql_division_ansi_safe(spark):
+    """intDiv/modulo/divide SQL forms must not throw under ANSI mode
+    (same contract as the Column registry — VERDICT r3 item 3)."""
+    from clickhouse_core_spark.plans import ch_sql
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        row = ch_sql(spark, """
+            SELECT intDiv(-7, 2) AS i, intDiv(7, 0) AS iz,
+                   intDivOrZero(7, 0) AS ioz, modulo(7, 0) AS mz,
+                   moduloOrZero(7, 0) AS moz, divide(7, 0) AS dz
+        """).first()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert (row.i, row.iz, row.ioz, row.mz, row.moz, row.dz) == (
+        -3, None, 0, None, 0, None)
