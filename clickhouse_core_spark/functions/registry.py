@@ -266,11 +266,13 @@ _URL = {
 # dotted string via pure arithmetic (no UDF).
 
 _IP = {
+    # try_element_at/try_cast: malformed addresses yield NULL instead of
+    # an ANSI-mode error (the reference throws; OrNull escape documented)
     "IPv4StringToNum": lambda x: (
-        F.element_at(F.split(_c(x), r"\."), 1).cast("long") * 16777216
-        + F.element_at(F.split(_c(x), r"\."), 2).cast("long") * 65536
-        + F.element_at(F.split(_c(x), r"\."), 3).cast("long") * 256
-        + F.element_at(F.split(_c(x), r"\."), 4).cast("long")),
+        F.try_element_at(F.split(_c(x), r"\."), F.lit(1)).try_cast("long") * 16777216
+        + F.try_element_at(F.split(_c(x), r"\."), F.lit(2)).try_cast("long") * 65536
+        + F.try_element_at(F.split(_c(x), r"\."), F.lit(3)).try_cast("long") * 256
+        + F.try_element_at(F.split(_c(x), r"\."), F.lit(4)).try_cast("long")),
     "IPv4NumToString": lambda x: F.concat_ws(
         ".",
         (_c(x) / 16777216).cast("long") % 256,
@@ -336,9 +338,14 @@ _ROUND = {
     "trunc": lambda x: _c(x).cast("long"),
     "roundToExp2": lambda x: F.when(_c(x) < 1, 0).otherwise(
         F.pow(F.lit(2.0), F.floor(F.log2(_c(x)))).cast("long")),
-    "roundDown": lambda x, arr: F.element_at(
-        F.filter(F.array_sort(F.array(*[F.lit(v) for v in arr])),
-                 lambda v: v <= _c(x)), -1),
+    # below the lowest bound the reference returns the bound itself
+    # (src/Functions/roundDown.cpp); try_element_at also keeps the empty
+    # filter result ANSI-safe
+    "roundDown": lambda x, arr: F.coalesce(
+        F.try_element_at(
+            F.filter(F.array_sort(F.array(*[F.lit(v) for v in arr])),
+                     lambda v: v <= _c(x)), F.lit(-1)),
+        F.lit(min(arr))),
     "roundDuration": lambda x: _round_to_set(x, [1, 10, 30, 60, 120, 180, 240, 300,
                                                  600, 1200, 1800, 3600, 7200, 18000, 36000]),
     "roundAge": lambda x: _round_to_set(x, [1, 18, 25, 35, 45, 55]),
@@ -455,7 +462,11 @@ _MATH["gcd"] = _gcd_expr
 _ARR = {
     "array": lambda *xs: F.array(*[_c(x) for x in xs]),
     "arrayConcat": lambda *xs: F.concat(*[_c(x) for x in xs]),
-    "arrayElement": lambda a, i: F.element_at(_c(a), i),
+    # try_element_at: out-of-range yields NULL in every session mode
+    # (ANSI element_at throws; CH returns the type default — NULL is our
+    # Nullable-column analog)
+    "arrayElement": lambda a, i: F.try_element_at(
+        _c(a), i if isinstance(i, Column) else F.lit(i)),
     "has": lambda a, v: F.array_contains(_c(a), v).cast("int"),
     "hasAny": lambda a, b: F.arrays_overlap(_c(a), _c(b)).cast("int"),
     "hasAll": lambda a, b: (F.size(F.array_except(_c(b), _c(a))) == 0).cast("int"),
@@ -491,7 +502,7 @@ _ARR = {
     "arrayCumSum": lambda a: _array_cum_sum(a),
     "arrayDifference": lambda a: F.zip_with(
         _c(a),
-        F.concat(F.array(F.element_at(_c(a), 1)),
+        F.concat(F.array(F.try_element_at(_c(a), F.lit(1))),
                  F.slice(_c(a), 1, F.greatest(F.size(_c(a)) - 1, F.lit(0)))),
         lambda x, p: x - p),  # pairs a[i] with a[i-1]; first yields 0
     "arrayCompact": lambda a: _array_compact(a),
@@ -530,13 +541,13 @@ def _array_reduce(agg_name, arr) -> Column:
         "max": lambda: F.array_max(a),
         "count": lambda: F.size(a).cast("long"),
         "avg": lambda: dsum / F.size(a),
-        "any": lambda: F.element_at(a, 1),
-        "anylast": lambda: F.element_at(a, -1),
+        "any": lambda: F.try_element_at(a, F.lit(1)),
+        "anylast": lambda: F.try_element_at(a, F.lit(-1)),
         "uniqexact": lambda: F.size(F.array_distinct(a)).cast("long"),
         "uniq": lambda: F.size(F.array_distinct(a)).cast("long"),
         # median over the sorted array: lower-middle element (the
         # quantileExactLow rounding)
-        "median": lambda: F.element_at(
+        "median": lambda: F.try_element_at(
             F.array_sort(a), ((F.size(a) + 1) / 2).cast("int")),
         "product": lambda: F.aggregate(
             a, F.lit(1.0), lambda acc, x: acc * x.cast("double")),
@@ -560,7 +571,9 @@ def _array_cum_sum(a) -> Column:
 
 def _array_compact(a) -> Column:
     arr = _c(a)
-    return F.filter(arr, lambda x, i: (i == 0) | (x != F.element_at(arr, i)))
+    # try_element_at: boolean OR does not guarantee short-circuit, so the
+    # i == 0 guard alone would still evaluate element_at(arr, 0)
+    return F.filter(arr, lambda x, i: (i == 0) | (x != F.try_element_at(arr, i)))
 
 
 # --------------------------------------------------------------------- JSON
@@ -715,13 +728,13 @@ def _great_circle(lon1, lat1, lon2, lat2) -> Column:
 def _arr_first_index(f, a) -> Column:
     idx = F.filter(F.transform(_c(a), lambda x, i: F.when(f(x), i + 1)
                                .otherwise(0)), lambda v: v > 0)
-    return F.coalesce(F.element_at(idx, 1), F.lit(0)).cast("long")
+    return F.coalesce(F.try_element_at(idx, F.lit(1)), F.lit(0)).cast("long")
 
 
 def _arr_last_index(f, a) -> Column:
     idx = F.filter(F.transform(_c(a), lambda x, i: F.when(f(x), i + 1)
                                .otherwise(0)), lambda v: v > 0)
-    return F.coalesce(F.element_at(idx, -1), F.lit(0)).cast("long")
+    return F.coalesce(F.try_element_at(idx, F.lit(-1)), F.lit(0)).cast("long")
 
 
 def _arr_cum_sum_non_negative(a) -> Column:
@@ -743,10 +756,12 @@ def _arr_rotate_left(a, n) -> Column:
 
 _ARR2 = {
     "arrayCount": lambda f, a: F.size(F.filter(_c(a), f)).cast("long"),
-    "arrayFirst": lambda f, a: F.element_at(F.filter(_c(a), f), 1),
-    "arrayLast": lambda f, a: F.element_at(F.filter(_c(a), f), -1),
-    "arrayFirstOrNull": lambda f, a: F.element_at(F.filter(_c(a), f), 1),
-    "arrayLastOrNull": lambda f, a: F.element_at(F.filter(_c(a), f), -1),
+    "arrayFirst": lambda f, a: F.try_element_at(F.filter(_c(a), f), F.lit(1)),
+    "arrayLast": lambda f, a: F.try_element_at(F.filter(_c(a), f), F.lit(-1)),
+    "arrayFirstOrNull": lambda f, a: F.try_element_at(
+        F.filter(_c(a), f), F.lit(1)),
+    "arrayLastOrNull": lambda f, a: F.try_element_at(
+        F.filter(_c(a), f), F.lit(-1)),
     "arrayFirstIndex": _arr_first_index,
     "arrayLastIndex": _arr_last_index,
     # occurrence counter among equal preceding elements (arrayEnumerateUniq.cpp)
@@ -1100,7 +1115,11 @@ def _transform_lookup(x, frm, to, default=None) -> Column:
     """transform(x, [from...], [to...], default)
     (src/Functions/transform.cpp): positional value translation."""
     idx = F.array_position(F.array(*[F.lit(v) for v in frm]), _c(x))
-    hit = F.element_at(F.array(*[F.lit(v) for v in to]), idx.cast("int"))
+    # greatest(idx, 1): index 0 (no match) must never reach element_at —
+    # CASE WHEN does not guarantee the untaken branch goes unevaluated
+    # under whole-stage codegen, and index 0 errors in every mode
+    hit = F.try_element_at(F.array(*[F.lit(v) for v in to]),
+                           F.greatest(idx, F.lit(1)).cast("int"))
     return F.when(idx > 0, hit).otherwise(
         _c(default) if default is not None else _c(x))
 

@@ -162,8 +162,9 @@ _RULES: dict = {
     "arrayslice": lambda a: f"slice({', '.join(a)})",
     "arrayintersect": _fn("array_intersect"),
     # CH arrays are 1-based; element_at matches.  Bare subscript syntax
-    # `arr[1]` is also rewritten to element_at (_wrap_subscript).
-    "arrayelement": _fn("element_at"),
+    # `arr[1]` is also rewritten to try_element_at (_wrap_subscript);
+    # try_ keeps out-of-range NULL under ANSI sessions.
+    "arrayelement": _fn("try_element_at"),
     "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
     "arrayreduce": lambda a: _array_reduce_sql(a),
     # bitmap state algebra (FunctionsBitmap.cpp): states are sorted
@@ -535,7 +536,9 @@ def _wrap_subscript(prev: str, idx_expr: str) -> str | None:
             return None
         start = m.start()
     operand = s[start:]
-    return s[:start] + f"element_at({operand}, {idx_expr})" + trail
+    # try_element_at: out-of-range subscripts yield NULL instead of an
+    # ANSI-mode error (sessions must be able to run with ANSI on)
+    return s[:start] + f"try_element_at({operand}, {idx_expr})" + trail
 
 
 def _translate_expr(sql: str) -> str:
