@@ -13,6 +13,7 @@ from clickhouse_core_spark.sources.formats import (
 )
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
+    mongodb_options, redis_options, mongodb_table, redis_table,
 )
 from clickhouse_core_spark.sources.policies import (
     RowPolicy, apply_row_policies, CheckConstraint, ConstraintViolation,
@@ -22,6 +23,8 @@ from clickhouse_core_spark.sources.policies import (
 __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
            "generate_random", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
+           "mongodb_options", "redis_options", "mongodb_table",
+           "redis_table",
            "RowPolicy", "apply_row_policies", "CheckConstraint",
            "ConstraintViolation", "with_check_constraints",
            "validate_constraints"]

@@ -89,6 +89,66 @@ def external_table(spark: SparkSession, engine: str, **kw) -> DataFrame:
     return spark.read.format("jdbc").options(**jdbc_options(engine, **kw)).load()
 
 
+def mongodb_options(*, database: str, collection: str,
+                    host: str | None = None, port: int = 27017,
+                    user: str | None = None, password: str | None = None,
+                    uri: str | None = None, **extra) -> dict:
+    """Translate a CH ``MongoDB('host:port', 'database', 'collection',
+    'user', 'password')`` declaration (src/Storages/StorageMongoDB.h,
+    registerStorages.cpp:90-95) into Spark MongoDB-connector reader
+    options (``spark.read.format("mongodb")``; connector jar is a
+    deploy-time artifact, same contract as the JDBC drivers).
+
+    The connector pushes filters and projections into the aggregation
+    pipeline and splits collections by partitioner — the scale story
+    matches the JDBC ranged read."""
+    if uri is None:
+        if host is None:
+            raise ValueError("MongoDB needs host or an explicit uri")
+        cred = f"{user}:{password}@" if user is not None else ""
+        uri = f"mongodb://{cred}{host}:{port}"
+    opts = {"connection.uri": uri, "database": database,
+            "collection": collection}
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def redis_options(*, table: str, host: str | None = None, port: int = 6379,
+                  db_index: int = 0, password: str | None = None,
+                  key_column: str | None = None, **extra) -> dict:
+    """Translate a CH ``Redis('host:port', db_index, 'password',
+    'primary_key')`` declaration (src/Storages/StorageRedis.h,
+    registerStorages.cpp:96-100) into spark-redis reader options
+    (``spark.read.format("org.apache.spark.sql.redis")``).
+
+    Redis in the reference is a KEY-VALUE dimension store (direct-join
+    source); the Spark analog reads hashes under ``table:*`` keys into a
+    DataFrame — broadcast it, exactly like operators.dictionary."""
+    if host is None:
+        raise ValueError("Redis needs a host")
+    opts = {"table": table, "host": host, "port": str(port),
+            "dbNum": str(db_index)}
+    if password is not None:
+        opts["auth"] = password
+    if key_column is not None:
+        opts["key.column"] = key_column
+    opts.update({k: str(v) for k, v in extra.items()})
+    return opts
+
+
+def mongodb_table(spark: SparkSession, **kw) -> DataFrame:
+    """Read a MongoDB collection (StorageMongoDB analog); needs the
+    mongo-spark connector jar on the classpath."""
+    return spark.read.format("mongodb").options(**mongodb_options(**kw)).load()
+
+
+def redis_table(spark: SparkSession, **kw) -> DataFrame:
+    """Read a Redis table (StorageRedis analog); needs the spark-redis
+    jar on the classpath."""
+    return (spark.read.format("org.apache.spark.sql.redis")
+            .options(**redis_options(**kw)).load())
+
+
 def lakehouse_table(spark: SparkSession, kind: str, path: str,
                     **options) -> DataFrame:
     """Read a Delta/Iceberg/Hudi table (registerStorages.cpp:38-56

@@ -13,8 +13,13 @@ SF_DIR_MED = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MED", "/root/testdata/sf0.0
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[8]",
-                  extra_conf={"spark.sql.shuffle.partitions": "8"})
+    extra = {"spark.sql.shuffle.partitions": "8"}
+    # CI-style ANSI run: SPARK_GRAFT_TEST_ANSI=1 forces the Spark 4
+    # default ANSI mode so session-sensitive expressions fail locally
+    # instead of in the driver's session.
+    if os.environ.get("SPARK_GRAFT_TEST_ANSI") == "1":
+        extra["spark.sql.ansi.enabled"] = "true"
+    s = get_spark("tests", master="local[8]", extra_conf=extra)
     yield s
 
 

@@ -129,3 +129,28 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
                           table="t_rt", driver=driver)
     rows = sorted((r["id"], r["v"]) for r in back.collect())
     assert rows == [(i, i * 1.5) for i in range(10)]
+
+
+def test_mongodb_options_mapping():
+    from clickhouse_core_spark.sources import mongodb_options
+    o = mongodb_options(host="m1", database="shop", collection="orders",
+                        user="u", password="p")
+    assert o["connection.uri"] == "mongodb://u:p@m1:27017"
+    assert (o["database"], o["collection"]) == ("shop", "orders")
+    # explicit uri passthrough + extra options stringified
+    o2 = mongodb_options(uri="mongodb://rs0/;rs1/", database="d",
+                         collection="c", sampleSize=500)
+    assert o2["connection.uri"].startswith("mongodb://rs0")
+    assert o2["sampleSize"] == "500"
+    with pytest.raises(ValueError, match="host or an explicit uri"):
+        mongodb_options(database="d", collection="c")
+
+
+def test_redis_options_mapping():
+    from clickhouse_core_spark.sources import redis_options
+    o = redis_options(table="dim_user", host="r1", port=6380, db_index=2,
+                      password="s3c", key_column="user_id")
+    assert o == {"table": "dim_user", "host": "r1", "port": "6380",
+                 "dbNum": "2", "auth": "s3c", "key.column": "user_id"}
+    with pytest.raises(ValueError, match="needs a host"):
+        redis_options(table="t")
