@@ -119,7 +119,10 @@ def agg_for_each(agg_name: str, array_col: Column | str) -> Column:
     idxs = F.sequence(F.lit(1), max_len)
 
     def col_at(i):
-        vals = F.filter(F.transform(rows, lambda r: F.element_at(r, i)),
+        # try_element_at: rows shorter than max_len must yield NULL (then
+        # filtered) in every session mode — plain element_at throws under
+        # ANSI when i exceeds the row's length
+        vals = F.filter(F.transform(rows, lambda r: F.try_element_at(r, i)),
                         lambda v: v.isNotNull())
         if agg_name == "sum":
             return F.aggregate(vals, F.lit(0.0), lambda a, x: a + x.cast("double"))

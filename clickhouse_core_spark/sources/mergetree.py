@@ -65,7 +65,8 @@ class MergeTreeTable:
                  version_col: str | None = None,
                  sign_col: str | None = None,
                  sum_cols: Sequence[str] | None = None,
-                 bloom_filter_cols: Sequence[str] = ()):
+                 bloom_filter_cols: Sequence[str] = (),
+                 token_index_cols: Sequence[str] = ()):
         if engine not in _ENGINES:
             raise ValueError(f"engine must be one of {_ENGINES}")
         self.spark = spark
@@ -86,6 +87,16 @@ class MergeTreeTable:
         # filters give point-lookup row-group skipping on columns whose
         # values are scattered across the file.
         self.bloom_filter_cols = list(bloom_filter_cols)
+        # tokenbf_v1 full-text skip index analog (reference
+        # src/Storages/MergeTree/MergeTreeIndexBloomFilterText.h:152):
+        # per part, a sidecar parquet of DISTINCT (token, file) pairs for
+        # each indexed text column, written with a parquet bloom filter
+        # on the token column.  A hasToken probe is then an equality
+        # lookup on the sidecar (bloom + dictionary row-group skipping —
+        # predicates Spark actually pushes to parquet, unlike
+        # array_contains) that prunes the main scan to the files
+        # containing the token.
+        self.token_index_cols = list(token_index_cols)
         os.makedirs(path, exist_ok=True)
         self._write_meta()
 
@@ -101,6 +112,7 @@ class MergeTreeTable:
             "version_col": self.version_col, "sign_col": self.sign_col,
             "sum_cols": self.sum_cols,
             "bloom_filter_cols": self.bloom_filter_cols,
+            "token_index_cols": self.token_index_cols,
         }
         with open(self._meta_path(), "w") as fh:
             json.dump(meta, fh)
@@ -114,7 +126,8 @@ class MergeTreeTable:
                    engine=meta["engine"], key_cols=meta["key_cols"],
                    version_col=meta["version_col"], sign_col=meta["sign_col"],
                    sum_cols=meta["sum_cols"],
-                   bloom_filter_cols=meta.get("bloom_filter_cols", ()))
+                   bloom_filter_cols=meta.get("bloom_filter_cols", ()),
+                   token_index_cols=meta.get("token_index_cols", ()))
 
     # ----------------------------------------------------------------- parts
 
@@ -142,7 +155,67 @@ class MergeTreeTable:
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(part_dir)
+        if self.token_index_cols:
+            self._write_token_index(part_dir)
         return part_dir
+
+    # ------------------------------------------------- tokenbf skip index
+
+    @staticmethod
+    def _tokenize(col: Column) -> Column:
+        """Reference token extractor (SplitTokenExtractor,
+        MergeTreeIndexBloomFilterText.h): maximal alphanumeric runs,
+        lowercased for case-insensitive probes."""
+        return F.array_distinct(F.filter(
+            F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda t: t != ""))
+
+    def _token_idx_dir(self, part_dir: str, col: str) -> str:
+        return os.path.join(part_dir, "_token_idx", col)
+
+    def _write_token_index(self, part_dir: str) -> None:
+        """Build the per-part token sidecar: distinct (token, file) rows
+        per indexed column, bloom-filtered on token.  One extra pass over
+        the fresh part — the same write-time cost profile as the
+        reference's index granule build."""
+        df = (self.spark.read.parquet(part_dir)
+              .withColumn("__file", F.col("_metadata.file_path")))
+        for col in self.token_index_cols:
+            idx = (df.select(F.explode(self._tokenize(F.col(col)))
+                             .alias("token"), "__file")
+                   .distinct())
+            (idx.repartition(1).sortWithinPartitions("token")
+             .write.mode("overwrite")
+             .option("parquet.bloom.filter.enabled#token", "true")
+             .parquet(self._token_idx_dir(part_dir, col)))
+
+    def files_with_token(self, col: str, token: str) -> list[str]:
+        """Skip-index probe: the main-table files whose token sidecar
+        contains ``token``.  The equality predicate reaches the parquet
+        reader (PushedFilters), where bloom + dictionary filters skip
+        row groups — the tokenbf granule-skip analog."""
+        if col not in self.token_index_cols:
+            raise ValueError(f"no token index on column {col!r}")
+        idx_dirs = [self._token_idx_dir(p, col) for p in self.parts()]
+        idx_dirs = [d for d in idx_dirs if os.path.isdir(d)]
+        if not idx_dirs:
+            return []
+        idx = self.spark.read.parquet(*idx_dirs)
+        rows = (idx.filter(F.col("token") == token.lower())
+                .select("__file").distinct().collect())
+        return [r["__file"] for r in rows]
+
+    def scan_with_token(self, col: str, token: str) -> DataFrame:
+        """hasToken(col, token)-filtered scan that reads ONLY the files
+        the token index admits (file-list pruning is split planning —
+        the same driver-side decision as partition pruning).  Falls back
+        to an empty result without touching the main table when no file
+        matches."""
+        files = self.files_with_token(col, token)
+        if not files:
+            return self.read_raw().filter(F.lit(False))
+        pat = r"(?i)(^|[^\p{L}\p{N}])" + token + r"($|[^\p{L}\p{N}])"
+        return (self.spark.read.parquet(*files)
+                .filter(F.col(col).rlike(pat)))
 
     # ----------------------------------------------------------------- reads
 

@@ -197,3 +197,58 @@ def test_ttl_group_by_rolls_up_expired(spark, tmp_table_path):
     rows = sorted((r.g, r.old, r.v) for r in t.read_raw().collect())
     # expired 'a' rows collapsed to one summed row; fresh 'b' rows intact
     assert rows == [("a", 1, 30.0), ("b", 0, 5.0), ("b", 0, 7.0)]
+
+
+def test_token_index_prunes_files(spark, tmp_path):
+    """tokenbf_v1 full-text skip-index analog (reference
+    src/Storages/MergeTree/MergeTreeIndexBloomFilterText.h:152): a
+    hasToken probe through the token sidecar reads ONLY the main-table
+    files containing the token, and the result matches the full-scan
+    rlike filter."""
+    rows = []
+    # 8 distinct "topic" tokens, each confined to a contiguous doc_id
+    # block; repartitionByRange keeps each block in its own file(s)
+    for i in range(4000):
+        topic = f"topic{i // 500}"
+        rows.append((i, f"document {i} about {topic} and data"))
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          .repartitionByRange(8, "doc_id"))
+    t = MergeTreeTable(spark, str(tmp_path / "toks"), order_by=["doc_id"],
+                       token_index_cols=["text"])
+    t.insert(df)
+
+    def _norm(uri):
+        return "/" + uri.split(":", 1)[-1].lstrip("/")
+
+    hits = {_norm(f) for f in t.files_with_token("text", "topic3")}
+    all_files = {_norm(f) for f in t.read_raw().inputFiles()}
+    assert 0 < len(hits) < len(all_files)  # real pruning, not all files
+
+    pruned = t.scan_with_token("text", "topic3")
+    assert {_norm(f) for f in pruned.inputFiles()} <= hits
+    expect = (t.read_raw()
+              .filter(F.col("text").rlike(r"(^|[^\p{L}\p{N}])topic3($|[^\p{L}\p{N}])"))
+              .count())
+    assert pruned.count() == expect == 500
+
+    # absent token: no main-table read at all
+    assert t.scan_with_token("text", "zzzmissing").count() == 0
+
+
+def test_token_index_sidecar_invisible_to_main_read(spark, tmp_path):
+    """The _token_idx sidecar lives inside the part directory but is
+    underscore-prefixed, so the main parquet read never sees it."""
+    t = MergeTreeTable(spark, str(tmp_path / "tk2"), order_by=["doc_id"],
+                       token_index_cols=["text"])
+    t.insert(spark.createDataFrame([(1, "hello world")],
+                                   "doc_id long, text string"))
+    assert t.read_raw().columns == ["doc_id", "text"]
+    assert t.read_raw().count() == 1
+    # survives metadata roundtrip and compaction rebuilds the index
+    t2 = MergeTreeTable.load(spark, str(tmp_path / "tk2"))
+    assert t2.token_index_cols == ["text"]
+    t2.insert(spark.createDataFrame([(2, "more hello text")],
+                                    "doc_id long, text string"))
+    t2.compact()
+    assert len(t2.files_with_token("text", "hello")) >= 1
+    assert t2.scan_with_token("text", "hello").count() == 2
