@@ -611,21 +611,23 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """)
 def q21(spark, sf_dir):
     """Single-scan formulation: ONE pass over lineitem (vs the naive
-    two-scan + three-way self-join diamond), left-joined to the F-orders
-    projection, then one (orderkey, suppkey) aggregation and an
-    orderkey window for the per-order supplier counts.  At 100 TB this
-    saves a full lineitem scan + shuffle; the orders side stays a plain
-    equi-join Catalyst can broadcast or shuffle as size dictates."""
+    two-scan + three-way self-join diamond), INNER-joined to the
+    F-orders projection — only F-orders can qualify, and an F-order's
+    per-order supplier counts need only its own lineitems, so the inner
+    join drops non-qualifying orders' pairs BEFORE the aggregation and
+    window instead of after (r3 carried them through as __late=0 and
+    filtered at the end: ~2x the agg/window volume).  At 100 TB this
+    saves a full lineitem scan + shuffle vs naive, and the downstream
+    shuffle carries only F-order pairs."""
     c = _cat(spark, sf_dir)
     f_orders = (c.orders.filter(F.col("o_orderstatus") == "F")
                 .select("o_orderkey", "o_orderdate"))
     rows = (c.lineitem
             .select("l_orderkey", "l_suppkey", "l_shipdate")
-            .join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+            .join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"))
             .select("l_orderkey", "l_suppkey",
-                    (F.col("o_orderkey").isNotNull()
-                     & (F.col("l_shipdate")
-                        > F.col("o_orderdate") + F.expr("interval 60 days")))
+                    (F.col("l_shipdate")
+                     > F.col("o_orderdate") + F.expr("interval 60 days"))
                     .cast("int").alias("__late")))
     per_pair = (rows.groupBy("l_orderkey", "l_suppkey")
                 .agg(F.sum("__late").alias("__late_rows")))

@@ -297,17 +297,10 @@ _ENC = {
     "base64Decode": lambda x: F.unbase64(_c(x)).cast("string"),
     "tryBase64Decode": lambda x: F.unbase64(_c(x)).cast("string"),
     "char": lambda *xs: F.concat(*[F.char(_c(x)) for x in xs]),
-    # reference src/Functions/FunctionsAES.cpp (aes-...-ecb/gcm modes)
-    "encrypt": lambda mode, x, key: F.aes_encrypt(
-        _c(x).cast("binary"), _c(key).cast("binary"), F.lit(_aes_mode(mode))),
-    "decrypt": lambda mode, x, key: F.aes_decrypt(
-        _c(x), _c(key).cast("binary"), F.lit(_aes_mode(mode))).cast("string"),
+    # encrypt/decrypt live in _MISC3 (single registration with the
+    # documented binary-out/string-in type policy + IV + try variants —
+    # reference src/Functions/FunctionsAES.cpp)
 }
-
-
-def _aes_mode(ch_mode: str) -> str:
-    # 'aes-128-ecb' -> 'ECB', 'aes-256-gcm' -> 'GCM'
-    return ch_mode.rsplit("-", 1)[-1].upper()
 
 # ------------------------------------------------------------------ hashing
 # Reference: src/Functions/FunctionsHashing.h. cityHash64/sipHash64 have

@@ -62,3 +62,28 @@ def test_entry_analyzes_on_driver_parquet(spark, name):
             f"{name} emits DECIMAL columns {dec}; cast to DOUBLE or "
             f"STRING on both sides — the driver hasher is representation-"
             f"sensitive (see fn_decimal_arithmetic, r3)")
+
+
+SF_DIR_MED = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MED",
+                            "/root/testdata/sf0.01")
+
+_FN_ENTRIES = sorted(n for n in _QUERIES if n.startswith("fn_"))
+
+
+@pytest.mark.parametrize("name", _FN_ENTRIES)
+def test_fn_entry_executes_on_fixture_edges_under_ansi(spark, name):
+    """r3 lesson generalized (fn_ch_conditional_math REMAINDER_BY_ZERO):
+    the sf0.01 fixture carries edge rows — o_orderkey=0, empty strings,
+    NULLs — and the driver's session runs with ANSI enabled.  Execute
+    every fn_* entry's full expression set against the real fixture
+    under ANSI so a session-sensitive expression fails here, not in the
+    driver."""
+    if not os.path.isdir(SF_DIR_MED):
+        pytest.skip("sf0.01 fixture not present")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = _QUERIES[name](spark, SF_DIR_MED).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+    assert rows  # fixture-backed entries always produce rows
