@@ -4343,6 +4343,115 @@ def source_protobuf_roundtrip_q(spark, sf_dir):
             .orderBy("n_nationkey"))
 
 
+@q("source_rowbinary_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_rowbinary_roundtrip_q(spark, sf_dir):
+    """RowBinaryWithNamesAndTypes path (reference
+    src/Processors/Formats/Impl/BinaryRowInputFormat.cpp): encode nation
+    rows to the public RowBinary wire layout (LEB128-length strings,
+    little-endian fixed numerics, null-prefix bytes), read back through
+    the distributed blob decoder. Identity oracle value-checks the full
+    encode -> decode loop."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    from clickhouse_core_spark.sources.rowformats import encode_rowbinary
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "rb_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.bin"), "wb") as fh:
+        fh.write(encode_rowbinary(rows, schema, with_names=True,
+                                  with_types=True))
+    return (read_format(spark, path, "RowBinaryWithNamesAndTypes",
+                        schema=schema).orderBy("n_nationkey"))
+
+
+@q("source_msgpack_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_msgpack_roundtrip_q(spark, sf_dir):
+    """MsgPack path (reference
+    src/Processors/Formats/Impl/MsgPackRowInputFormat.cpp): pure-Python
+    msgpack-spec codec (fixint/int8-64, fixstr/str8-32, float64, nil),
+    num_columns top-level values per row, distributed blob decode."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    from clickhouse_core_spark.sources.rowformats import encode_msgpack
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "mp_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.msgpack"), "wb") as fh:
+        fh.write(encode_msgpack(rows, schema))
+    return (read_format(spark, path, "MsgPack", schema=schema)
+            .orderBy("n_nationkey"))
+
+
+@q("source_tskv_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_tskv_roundtrip_q(spark, sf_dir):
+    """TSKV path (reference
+    src/Processors/Formats/Impl/TSKVRowInputFormat.cpp): k=v<TAB>k=v
+    lines written and decoded entirely JVM-side (concat_ws out,
+    str_to_map back) — zero Python in the data path."""
+    import os as _os
+    from clickhouse_core_spark.sources import read_format
+    from clickhouse_core_spark.sources.rowformats import write_tskv
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "tskv_roundtrip")
+    write_tskv(nat, path)
+    return (read_format(spark, path, "TSKV",
+                        schema="n_nationkey int, n_name string, "
+                               "n_regionkey int")
+            .orderBy("n_nationkey"))
+
+
+@q("source_values_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_values_roundtrip_q(spark, sf_dir):
+    """Values format path (reference
+    src/Processors/Formats/Impl/ValuesBlockInputFormat.cpp): render
+    (v1, 'v2', ...) tuples, read back through the quote-aware
+    tokenizer (commas/parens inside string literals survive)."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    from clickhouse_core_spark.sources.rowformats import format_values
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "values_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.values"), "w") as fh:
+        fh.write(format_values(rows, schema))
+    return (read_format(spark, path, "Values", schema=schema)
+            .orderBy("n_nationkey"))
+
+
 @q("source_jdbc_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

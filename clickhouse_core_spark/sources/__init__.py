@@ -11,6 +11,12 @@ from clickhouse_core_spark.sources.mergetree import MergeTreeTable
 from clickhouse_core_spark.sources.formats import (
     FORMAT_MAP, read_format, write_format, generate_random,
 )
+from clickhouse_core_spark.sources.rowformats import (
+    encode_rowbinary, read_rowbinary, encode_msgpack, read_msgpack,
+    read_tskv, write_tskv, read_json_compact_each_row,
+    write_json_compact_each_row, read_regexp, read_values, format_values,
+    read_custom_separated,
+)
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
     mongodb_options, redis_options, mongodb_table, redis_table,
@@ -21,6 +27,11 @@ from clickhouse_core_spark.sources.policies import (
 )
 
 __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
+           "encode_rowbinary", "read_rowbinary", "encode_msgpack",
+           "read_msgpack", "read_tskv", "write_tskv",
+           "read_json_compact_each_row", "write_json_compact_each_row",
+           "read_regexp", "read_values", "format_values",
+           "read_custom_separated",
            "generate_random", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
            "mongodb_options", "redis_options", "mongodb_table",

@@ -7,9 +7,13 @@ generate_series / generateRandom
 
 Spark mapping: the built-in DataFrameReader/Writer formats cover the
 mainstream set (Parquet, ORC, CSV/TSV, JSON(EachRow), Avro, text);
-exotic row formats (RowBinary, CapnProto, MsgPack...) are out of scope
-— documented, not silently dropped. generateRandom maps to spark.range
-+ per-type column generators (deterministic under a seed).
+RowBinary(+WithNames/+WithNamesAndTypes), MsgPack, TSKV,
+JSONCompactEachRow(+WithNames), Values, Regexp and CustomSeparated are
+implemented in rowformats.py (pure-Python public wire layouts for the
+binary pair, Catalyst expressions for the text trio).  Remaining
+exotics (CapnProto, Native, Npy...) are out of scope — documented,
+not silently dropped. generateRandom maps to spark.range + per-type
+column generators (deterministic under a seed).
 """
 
 from __future__ import annotations
@@ -47,6 +51,47 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
         if schema is None:
             raise ValueError("Protobuf reading needs an explicit schema")
         return read_protobuf(spark, path, schema, **extra)
+    if ch_format.startswith("RowBinary"):
+        from clickhouse_core_spark.sources.rowformats import read_rowbinary
+        if schema is None:
+            raise ValueError("RowBinary reading needs an explicit schema")
+        return read_rowbinary(
+            spark, path, schema,
+            with_names=ch_format in ("RowBinaryWithNames",
+                                     "RowBinaryWithNamesAndTypes"),
+            with_types=ch_format == "RowBinaryWithNamesAndTypes")
+    if ch_format == "MsgPack":
+        from clickhouse_core_spark.sources.rowformats import read_msgpack
+        if schema is None:
+            raise ValueError("MsgPack reading needs an explicit schema")
+        return read_msgpack(spark, path, schema)
+    if ch_format == "TSKV":
+        from clickhouse_core_spark.sources.rowformats import read_tskv
+        if schema is None:
+            raise ValueError("TSKV reading needs an explicit schema")
+        return read_tskv(spark, path, schema)
+    if ch_format.startswith("JSONCompactEachRow"):
+        from clickhouse_core_spark.sources.rowformats import (
+            read_json_compact_each_row)
+        if schema is None:
+            raise ValueError("JSONCompactEachRow needs an explicit schema")
+        return read_json_compact_each_row(
+            spark, path, schema,
+            with_names=ch_format != "JSONCompactEachRow")
+    if ch_format == "Values":
+        from clickhouse_core_spark.sources.rowformats import read_values
+        if schema is None:
+            raise ValueError("Values reading needs an explicit schema")
+        return read_values(spark, path, schema)
+    if ch_format == "Regexp":
+        from clickhouse_core_spark.sources.rowformats import read_regexp
+        if schema is None or "pattern" not in extra:
+            raise ValueError("Regexp format needs schema + pattern=")
+        return read_regexp(spark, path, schema, **extra)
+    if ch_format == "CustomSeparated":
+        from clickhouse_core_spark.sources.rowformats import (
+            read_custom_separated)
+        return read_custom_separated(spark, path, schema=schema, **extra)
     if ch_format not in FORMAT_MAP:
         raise NotImplementedError(
             f"format {ch_format!r} not mapped (see FORMAT_MAP for the "

@@ -48,8 +48,12 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
-    spark = get_spark("correctness", master="local[8]",
-                      extra_conf={"spark.sql.shuffle.partitions": "8"})
+    extra = {"spark.sql.shuffle.partitions": "8"}
+    # ANSI=1 mirrors the driver's session (Spark 4 defaults ANSI on); every
+    # entry must be session-proof, so run the gate both ways.
+    if os.environ.get("ANSI", "") == "1":
+        extra["spark.sql.ansi.enabled"] = "true"
+    spark = get_spark("correctness", master="local[8]", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
