@@ -3296,6 +3296,44 @@ def fn_bit_conv_breadth(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("fn_compat_breadth", """
+SELECT n_nationkey,
+       CAST(floor(n_nationkey / 5.0) + 1 AS BIGINT) AS wb,
+       n_name AS kv,
+       CAST(len(regexp_extract_all(n_name, '([A-Z]+)', 1)) AS INT) AS ngroups,
+       substr(n_name, 2, 3) AS bs,
+       CAST(hamming(n_name, reverse(n_name)) AS BIGINT) AS mm,
+       CAST(((n_nationkey - 12) % 7 + 7) % 7 AS INT) AS pm,
+       round(CAST(2 AS DOUBLE) * 400.0 * 7.848879734349086
+             / ((n_nationkey + 100.0) * 0.03 * (n_nationkey + 100.0) * 0.03),
+             6) AS mss
+FROM nation ORDER BY n_nationkey
+""")
+def fn_compat_breadth(spark, sf_dir):
+    """Compat/alias surface (reference registerAlias sweep:
+    widthBucket.cpp, extractKeyValuePairs.cpp:254 str_to_map,
+    extractAllGroups.h, byteSlice.cpp, FunctionsStringDistance.cpp:525
+    mismatches, modulo.cpp positive_modulo, minSampleSize.cpp)."""
+    n = _cat(spark, sf_dir).nation
+    k = F.col("n_nationkey")
+    return (n.select(
+        "n_nationkey",
+        ch.width_bucket(k.cast("double"), F.lit(0.0), F.lit(25.0),
+                        F.lit(5)).alias("wb"),
+        F.element_at(ch.str_to_map(F.concat(F.lit("k:"), F.col("n_name"))),
+                     "k").alias("kv"),
+        F.size(ch.extractAllGroupsVertical(
+            F.col("n_name"), "([A-Z]+)")).alias("ngroups"),
+        ch.byteSlice(F.col("n_name"), 2, 3).alias("bs"),
+        ch.mismatches(F.col("n_name"),
+                      F.reverse(F.col("n_name"))).alias("mm"),
+        ch.positive_modulo(k - 12, F.lit(7)).cast("int").alias("pm"),
+        F.round(ch.minSampleSizeContinuous(
+            (k + 100).cast("double"), F.lit(20.0), 0.03, 0.8, 0.05)
+            ["minimum_sample_size"], 6).alias("mss"))
+        .orderBy("n_nationkey"))
+
+
 @q("agg_moving_sum_avg", """
 WITH s AS (
   SELECT user_id, ts, event_id,

@@ -1399,13 +1399,207 @@ _BITMAP = {
     "subBitmap": _bm.sub_bitmap,
 }
 
+def _min_sample_size_continuous(baseline, sigma, mde, power, alpha):
+    """minSampleSizeContinuous(baseline, sigma, mde, power, alpha) ->
+    struct(minimum_sample_size, detect_range_lower, detect_range_upper)
+    (reference src/Functions/minSampleSize.cpp:83-168; mde/power/alpha
+    are constant args there too, so the normal quantiles are computed
+    driver-side and the per-row work stays Catalyst)."""
+    from statistics import NormalDist
+    z = NormalDist().inv_cdf(1.0 - alpha / 2) + NormalDist().inv_cdf(power)
+    delta = _c(baseline) * F.lit(float(mde))
+    mss = (F.lit(2.0) * _c(sigma) * _c(sigma) * F.lit(z * z)
+           / (delta * delta))
+    return F.struct(mss.alias("minimum_sample_size"),
+                    (_c(baseline) - delta).alias("detect_range_lower"),
+                    (_c(baseline) + delta).alias("detect_range_upper"))
+
+
+def _min_sample_size_conversion(p1, mde, power, alpha):
+    """minSampleSizeConversion(p1, mde, power, alpha) (reference
+    src/Functions/minSampleSize.cpp:240-276): two-proportion test,
+    (z_{1-a/2}*sqrt(2*pbar*qbar) + z_power*sqrt(p1*q1+p2*q2))^2 / mde^2."""
+    from statistics import NormalDist
+    za = NormalDist().inv_cdf(1.0 - alpha / 2)
+    zp = NormalDist().inv_cdf(power)
+    p1c = _c(p1)
+    p2 = p1c + F.lit(float(mde))
+    q1, q2 = F.lit(1.0) - p1c, F.lit(1.0) - p2
+    p_bar = (p1c + p2) / F.lit(2.0)
+    q_bar = F.lit(1.0) - p_bar
+    root = (F.lit(za) * F.sqrt(F.lit(2.0) * p_bar * q_bar)
+            + F.lit(zp) * F.sqrt(p1c * q1 + p2 * q2))
+    mss = root * root / F.lit(float(mde) ** 2)
+    return F.struct(mss.alias("minimum_sample_size"),
+                    (p1c - F.lit(float(mde))).alias("detect_range_lower"),
+                    (p1c + F.lit(float(mde))).alias("detect_range_upper"))
+
+
+def _extract_all_groups(s, pattern: str, horizontal: bool = False):
+    """extractAllGroupsVertical/Horizontal (reference
+    src/Functions/extractAllGroups.h): group count comes from compiling
+    the constant pattern driver-side; per-row extraction is
+    regexp_extract_all per group — JVM-side."""
+    import re as _re
+    ngroups = _re.compile(pattern).groups
+    per_group = [F.regexp_extract_all(_c(s), F.lit(pattern), i + 1)
+                 for i in range(ngroups)]
+    if horizontal:
+        return F.array(*per_group)
+    zipped = F.arrays_zip(*[g.alias(f"g{i}") for i, g in
+                            enumerate(per_group)])
+    return F.transform(zipped, lambda st: F.array(
+        *[st[f"g{i}"] for i in range(ngroups)]))
+
+
+def _json_merge_patch_udf():
+    """RFC 7386 JSON merge patch (reference
+    src/Functions/jsonMergePatch.cpp) — rapidjson there, Python json in
+    an Arrow-batched pandas_udf here (niche function, not a hot path)."""
+    import json
+
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    def merge(target, patch):
+        if not isinstance(patch, dict):
+            return patch
+        out = dict(target) if isinstance(target, dict) else {}
+        for k, v in patch.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    def _merge(a: pd.Series, b: pd.Series) -> pd.Series:
+        res = []
+        for x, y in zip(a, b):
+            if x is None or y is None:
+                res.append(None)
+                continue
+            res.append(json.dumps(
+                merge(json.loads(x), json.loads(y)),
+                separators=(",", ":"), sort_keys=True))
+        return pd.Series(res)
+
+    # real (non-string) annotations: the module-level
+    # `from __future__ import annotations` would stringify a decorator's
+    # view of the hints, so set them explicitly
+    _merge.__annotations__ = {"a": pd.Series, "b": pd.Series,
+                              "return": pd.Series}
+    return pandas_udf(_merge, "string")
+
+
+# MySQL/ANSI-compat names + reference registerAlias surface (each alias
+# line cites the reference file that registers it).
+_COMPAT = {
+    # widthBucket.cpp:283-290 (+ width_bucket alias)
+    "widthBucket": lambda x, lo, hi, n: F.width_bucket(
+        _c(x), _c(lo), _c(hi), _c(n)),
+    # extractKeyValuePairs.cpp:245-256 (str_to_map/mapFromString aliases).
+    # Quoting-character handling needs the reference's state machine;
+    # the regex delimiters cover the unquoted form.
+    "extractKeyValuePairs": lambda s, kv=":", pairs=", ;": F.str_to_map(
+        _c(s), F.lit("[" + pairs.replace(" ", r"\s") + "]+"),
+        F.lit(__import__("re").escape(kv))),
+    # extractAllGroups.h (Vertical/Horizontal named variants)
+    "extractAllGroupsVertical": lambda s, p: _extract_all_groups(s, p),
+    "extractAllGroupsHorizontal": lambda s, p: _extract_all_groups(
+        s, p, horizontal=True),
+    "extractGroups": lambda s, p: F.element_at(
+        _extract_all_groups(s, p), 1),
+    # minSampleSize.cpp
+    "minSampleSizeContinuous": _min_sample_size_continuous,
+    "minSampleSizeConversion": _min_sample_size_conversion,
+    # jsonMergePatch.cpp
+    "jsonMergePatch": lambda a, b: _json_merge_patch_udf()(_c(a), _c(b)),
+    # DateTimeTransforms: toTimeZone changes the DISPLAY timezone of a
+    # CH DateTime; Spark timestamps are zone-less instants, so the
+    # instant is unchanged (comparisons/arithmetic agree with CH).
+    "toTimeZone": lambda ts, tz: _c(ts),
+    "timeZone": lambda: F.current_timezone(),
+    "serverTimeZone": lambda: F.current_timezone(),
+    "timeZoneOf": lambda ts: F.current_timezone(),
+    # timezoneOffset(ts): UTC offset in seconds of the session zone at ts
+    "timeZoneOffset": lambda ts: (
+        F.unix_timestamp(F.from_utc_timestamp(_c(ts), F.current_timezone()))
+        - F.unix_timestamp(_c(ts))).cast("int"),
+    # byteSlice (reference src/Functions/byteSlice.cpp): byte-addressed
+    # substring; Spark substring on a binary cast is byte-addressed, the
+    # string cast back assumes the slice lands on UTF-8 boundaries.
+    "byteSlice": lambda s, off, ln: F.substring(
+        _c(s).cast("binary"), off, ln).cast("string"),
+    # misc server introspection (IFunctionOverloadResolver constants)
+    "currentDatabase": lambda: F.current_database(),
+    "currentSchemas": lambda _b=True: F.array(F.current_database()),
+    "currentUser": lambda: F.current_user(),
+    "connectionId": lambda: F.lit(0).cast("bigint"),  # connectionId.cpp
+    "displayName": lambda: F.current_database(),
+    "hostName": lambda: F.lit(__import__("socket").gethostname()),
+    "version": lambda: F.lit("clickhouse-core-spark"),
+}
+
+
+# Pure-rename aliases: CH registerAlias(name, target) surface where the
+# target implementation already exists in this registry.
+_ALIAS_NAMES = {
+    "width_bucket": "widthBucket",           # widthBucket.cpp:290
+    "str_to_map": "extractKeyValuePairs",    # extractKeyValuePairs.cpp:254
+    "mapFromString": "extractKeyValuePairs",  # extractKeyValuePairs.cpp:255
+    "date_bin": "toStartOfInterval",         # toStartOfInterval.cpp:434
+    "curdate": "today",                      # today.cpp:88
+    "current_date": "today",
+    "TO_DAYS": "toDaysSinceYearZero",        # toDaysSinceYearZero.cpp:23
+    "FROM_UNIXTIME": "fromUnixTimestamp",    # fromUnixTimestamp alias
+    "TO_UNIXTIME": "toUnixTimestamp",
+    "str_to_date": "parseDateTimeOrNull",    # parseDateTime.cpp MySQL alias
+    "FROM_BASE64": "base64Decode",           # FunctionBase64Conversion.h
+    "TO_BASE64": "base64Encode",
+    "INET_ATON": "IPv4StringToNum",          # coding.cpp aliases
+    "INET_NTOA": "IPv4NumToString",
+    "lcase": "lower", "ucase": "upper",      # registerAlias Case::Insensitive
+    "ceiling": "ceil",
+    "rand32": "rand",                        # rand.cpp
+    "timestampDiff": "dateDiff",             # dateDiff.cpp:471
+    "timestamp_diff": "dateDiff",
+    "TIMESTAMP_DIFF": "dateDiff",
+    "mismatches": "byteHammingDistance",     # FunctionsStringDistance.cpp:525
+    "splitByAlpha": "alphaTokens",           # FunctionsStringArray.cpp
+    "positive_modulo": "positiveModulo",     # modulo.cpp
+    "pmod": "positiveModulo",
+    "normL1": "L1Norm", "normL2": "L2Norm",  # array/vector aliases
+    "normL2Squared": "L2SquaredNorm", "normLinf": "LinfNorm",
+    "normLp": "LpNorm",
+    "distanceL1": "L1Distance", "distanceL2": "L2Distance",
+    "distanceL2Squared": "L2SquaredDistance",
+    "distanceLinf": "LinfDistance", "distanceLp": "LpDistance",
+    "normalizeL1": "L1Normalize", "normalizeL2": "L2Normalize",
+    "minSampleSizeContinous": "minSampleSizeContinuous",  # .cpp:287 typo alias
+    "visitParamExtractInt": "simpleJSONExtractInt",
+    "visitParamExtractFloat": "simpleJSONExtractFloat",
+    "visitParamExtractBool": "simpleJSONExtractBool",
+    "visitParamExtractUInt": "simpleJSONExtractInt",
+    "current_database": "currentDatabase",
+    "current_user": "currentUser",
+    "current_schemas": "currentSchemas",
+    "connection_id": "connectionId",
+    "hostname": "hostName",
+    "fullHostName": "hostName",
+}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP):
+            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _COMPAT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn
+
+for alias, target in _ALIAS_NAMES.items():
+    if target in CH_FUNCTIONS:
+        CH_FUNCTIONS[alias] = CH_FUNCTIONS[target]
 
 # attribute-style access: ch.toYear(col)
 ch = SimpleNamespace(**CH_FUNCTIONS)

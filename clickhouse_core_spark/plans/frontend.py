@@ -216,6 +216,24 @@ _RULES: dict = {
     "stddevpop": _fn("stddev_pop"), "stddevsamp": _fn("stddev_samp"),
     "varpop": _fn("var_pop"), "varsamp": _fn("var_samp"),
     "covarpop": _fn("covar_pop"), "covarsamp": _fn("covar_samp"),
+    # *Stable variants (AggregateFunctionStatisticsSimple.cpp): same
+    # results via a numerically stable algorithm — Spark's moment aggs
+    # already use a stable one-pass formulation, so they alias.
+    "stddevpopstable": _fn("stddev_pop"),
+    "stddevsampstable": _fn("stddev_samp"),
+    "varpopstable": _fn("var_pop"), "varsampstable": _fn("var_samp"),
+    "covarpopstable": _fn("covar_pop"),
+    "covarsampstable": _fn("covar_samp"),
+    "corrstable": _fn("corr"),
+    # any/anyLast RESPECT NULLS registrations
+    # (AggregateFunctionAny.cpp): Spark first/last default to
+    # ignoreNulls=false, which IS respect-nulls.
+    "any_respect_nulls": _fn("first"),
+    "anylast_respect_nulls": _fn("last"),
+    # sumWithOverflow keeps the input type and lets it wrap
+    # (AggregateFunctionSumWithOverflow) — Spark's sum over
+    # long/double is already non-promoting for those carriers.
+    "sumwithoverflow": _fn("sum"),
     "median": _fn("median"),
     "grouparrayarray": lambda a: f"flatten(collect_list({a[0]}))",
     "groupbitand": _fn("bit_and"), "groupbitor": _fn("bit_or"),
