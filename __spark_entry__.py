@@ -3334,6 +3334,52 @@ def fn_compat_breadth(spark, sf_dir):
         .orderBy("n_nationkey"))
 
 
+@q("fn_uuid_snowflake", """
+SELECT o_orderkey,
+       concat(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8), '-',
+              substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 4), '-',
+              substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 4), '-',
+              substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 4), '-',
+              substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 12)) AS uu,
+       CAST(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) * 4194304 AS BIGINT)
+           AS sid,
+       CAST(o_orderdate AS TIMESTAMP) AS snap_back
+FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+""")
+def fn_uuid_snowflake(spark, sf_dir):
+    """UUID coding + snowflake-ID family (reference
+    src/Functions/FunctionsCodingUUID.cpp, dateTimeToSnowflakeID.cpp,
+    snowflakeIDToDateTime.cpp): synthesize a UUID from md5 bytes via
+    UUIDNumToString(UUIDStringToNum-compatible binary), convert an
+    order date to a snowflake ID (ms << 22) and round-trip it back."""
+    o = _cat(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    ts = F.col("o_orderdate").cast("timestamp")
+    sid = ch.dateTimeToSnowflakeID(ts)
+    return (o.filter(k < 200)
+            .select("o_orderkey",
+                    ch.UUIDNumToString(
+                        F.unhex(F.md5(k.cast("string")))).alias("uu"),
+                    sid.alias("sid"),
+                    ch.snowflakeIDToDateTime64(sid).alias("snap_back"))
+            .orderBy("o_orderkey"))
+
+
+@q("source_generate_random", None)
+def source_generate_random(spark, sf_dir):
+    """generateRandom table source (reference
+    src/TableFunctions/registerTableFunctions.h:22): deterministic under
+    a seed, fully distributed (spark.range + column generators).
+    Rows-only driver check by design — the value distribution is
+    Spark-PRNG-specific, so no cross-engine oracle exists; pytest pins
+    determinism and type coverage."""
+    from clickhouse_core_spark.sources import generate_random
+    df = generate_random(
+        spark, "id bigint, name string, score double, flag boolean, "
+               "d date, ts timestamp", n=1000, seed=7)
+    return df.orderBy("id").limit(100)
+
+
 @q("agg_moving_sum_avg", """
 WITH s AS (
   SELECT user_id, ts, event_id,

@@ -1491,6 +1491,108 @@ def _json_merge_patch_udf():
     return pandas_udf(_merge, "string")
 
 
+# ------------------------------------------------- UUID / Snowflake / ULID
+# Reference: src/Functions/FunctionsCodingUUID.cpp,
+# generateUUIDv4/v7.cpp, snowflake.cpp, snowflakeIDToDateTime.cpp,
+# dateTimeToSnowflakeID.cpp, FunctionsCodingULID.cpp, generateULID.cpp.
+# Spark has no UUID type; UUIDs are canonical lowercase strings and the
+# "FixedString(16)" byte form is BinaryType — same carrier the
+# reference's String-typed functions use.
+
+_UUID_RE = ("^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-"
+            "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$")
+_ZERO_UUID = "00000000-0000-0000-0000-000000000000"
+_SNOWFLAKE_EPOCH = 1288834974657  # snowflake.cpp:43 (Twitter epoch, ms)
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def _uuid_valid(s):
+    return _c(s).rlike(_UUID_RE)
+
+
+def _uuid_dashes(hex32):
+    """Insert canonical dashes into a 32-char hex string."""
+    return F.lower(F.concat(
+        F.substring(hex32, 1, 8), F.lit("-"), F.substring(hex32, 9, 4),
+        F.lit("-"), F.substring(hex32, 13, 4), F.lit("-"),
+        F.substring(hex32, 17, 4), F.lit("-"), F.substring(hex32, 21, 12)))
+
+
+def _ulid_time_ms(s):
+    """First 10 Crockford-base32 chars of a ULID = 48-bit unix ms
+    (FunctionsCodingULID.cpp ULIDStringToDateTime)."""
+    alphabet = F.array(*[F.lit(c) for c in _CROCKFORD])
+    chars = F.split(F.upper(F.substring(_c(s), 1, 10)), "")
+    chars = F.filter(chars, lambda c: c != "")
+    return F.aggregate(
+        chars, F.lit(0).cast("long"),
+        lambda acc, c: acc * 32 + (F.array_position(alphabet, c) - 1))
+
+
+_UUIDF = {
+    "toUUID": lambda s: F.when(_uuid_valid(s), F.lower(_c(s))),
+    "toUUIDOrNull": lambda s: F.when(_uuid_valid(s), F.lower(_c(s))),
+    "toUUIDOrZero": lambda s: F.coalesce(
+        F.when(_uuid_valid(s), F.lower(_c(s))), F.lit(_ZERO_UUID)),
+    "toUUIDOrDefault": lambda s, d=None: F.coalesce(
+        F.when(_uuid_valid(s), F.lower(_c(s))),
+        _c(d) if d is not None else F.lit(_ZERO_UUID)),
+    "UUIDStringToNum": lambda s: F.unhex(F.translate(_c(s), "-", "")),
+    "UUIDNumToString": lambda b: _uuid_dashes(F.hex(_c(b))),
+    # UUIDv7: first 48 bits = unix ms (generateUUIDv7.cpp layout)
+    "UUIDv7ToDateTime": lambda u: F.timestamp_millis(F.conv(
+        F.substring(F.translate(_c(u), "-", ""), 1, 12), 16, 10)
+        .cast("long")),
+    "generateUUIDv7": lambda: _uuid_dashes(F.concat(
+        F.lpad(F.hex(F.unix_millis(F.current_timestamp())), 12, "0"),
+        F.lit("7"),
+        F.substring(F.sha2(F.rand().cast("string"), 256), 1, 3),
+        F.lit("8"),  # variant bits ~ '10xx'
+        F.substring(F.sha2(F.rand().cast("string"), 256), 4, 15))),
+    "serverUUID": lambda: F.lit(_ZERO_UUID),  # single-server constant
+    # Snowflake (snowflake.cpp: 41-bit ms + 22-bit machine/seq)
+    "generateSnowflakeID": lambda: (
+        F.shiftleft(F.unix_millis(F.current_timestamp()), 22)
+        + (F.rand() * 4194304).cast("long")),
+    "snowflakeToDateTime": lambda x: F.timestamp_seconds(
+        ((F.shiftright(_c(x).cast("long"), 22) + F.lit(_SNOWFLAKE_EPOCH))
+         / 1000).cast("long")),
+    "snowflakeToDateTime64": lambda x: F.timestamp_millis(
+        F.shiftright(_c(x).cast("long"), 22) + F.lit(_SNOWFLAKE_EPOCH)),
+    "dateTimeToSnowflake": lambda ts: F.shiftleft(
+        F.unix_timestamp(_c(ts)) * 1000 - F.lit(_SNOWFLAKE_EPOCH), 22),
+    "dateTime64ToSnowflake": lambda ts: F.shiftleft(
+        F.unix_millis(_c(ts)) - F.lit(_SNOWFLAKE_EPOCH), 22),
+    # snowflakeID* family (epoch defaults to 0 — snowflakeIDToDateTime.cpp:77)
+    "snowflakeIDToDateTime": lambda x, epoch=0: F.timestamp_seconds(
+        ((F.shiftright(_c(x).cast("long"), 22) + F.lit(int(epoch)))
+         / 1000).cast("long")),
+    "snowflakeIDToDateTime64": lambda x, epoch=0: F.timestamp_millis(
+        F.shiftright(_c(x).cast("long"), 22) + F.lit(int(epoch))),
+    # Spark timestamps are always sub-second, so the ID form keeps ms
+    # (the reference's DateTime argument truncates to seconds only
+    # because the TYPE does)
+    "dateTimeToSnowflakeID": lambda ts, epoch=0: F.shiftleft(
+        F.unix_millis(_c(ts)) - F.lit(int(epoch)), 22),
+    "dateTime64ToSnowflakeID": lambda ts, epoch=0: F.shiftleft(
+        F.unix_millis(_c(ts)) - F.lit(int(epoch)), 22),
+    # ULID
+    "ULIDStringToDateTime": lambda s: F.timestamp_millis(_ulid_time_ms(s)),
+    "generateULID": lambda: F.concat(
+        F.translate(F.lpad(F.lower(F.conv(
+            F.unix_millis(F.current_timestamp()).cast("string"), 10, 32)),
+            10, "0"), "0123456789abcdefghijklmnopqrstuv", _CROCKFORD),
+        F.translate(F.lpad(F.lower(F.conv(
+            (F.rand() * F.lit(float(1 << 40))).cast("long").cast("string"),
+            10, 32)), 8, "0"),
+            "0123456789abcdefghijklmnopqrstuv", _CROCKFORD),
+        F.translate(F.lpad(F.lower(F.conv(
+            (F.rand() * F.lit(float(1 << 40))).cast("long").cast("string"),
+            10, 32)), 8, "0"),
+            "0123456789abcdefghijklmnopqrstuv", _CROCKFORD)),
+}
+
+
 # MySQL/ANSI-compat names + reference registerAlias surface (each alias
 # line cites the reference file that registers it).
 _COMPAT = {
@@ -1592,7 +1694,7 @@ _ALIAS_NAMES = {
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _COMPAT):
+            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _UUIDF, _COMPAT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn
