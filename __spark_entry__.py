@@ -3380,6 +3380,50 @@ def source_generate_random(spark, sf_dir):
     return df.orderBy("id").limit(100)
 
 
+@q("graph_connected_components", """
+WITH s AS (
+  SELECT o_orderkey AS k, o_orderpriority AS p,
+         lag(o_orderkey) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderkey) AS prv
+  FROM orders WHERE o_orderkey < 3000),
+g AS (
+  SELECT k, p,
+         sum(CASE WHEN prv IS NULL OR k - prv > 4 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY p ORDER BY k) AS isl
+  FROM s)
+SELECT CAST(k AS BIGINT) AS node,
+       CAST(min(k) OVER (PARTITION BY p, isl) AS BIGINT) AS label
+FROM g ORDER BY node
+""")
+def graph_connected_components_q(spark, sf_dir):
+    """Distributed connected components (large-star/small-star,
+    pipeline/graphs.py) — the transitive-closure upgrade over
+    dedup's single-pass min-of-neighbors contraction.  Edge set:
+    consecutive orderkeys within an order priority at gap <= 4, which
+    makes every component a maximal run — exactly computable by the
+    oracle's gaps-and-islands window, while the engine solves it as a
+    general graph."""
+    from pyspark.sql import Window
+    from clickhouse_core_spark.pipeline import connected_components
+    o = (_cat(spark, sf_dir).orders
+         .filter(F.col("o_orderkey") < 3000)
+         .select(F.col("o_orderkey").cast("long").alias("k"),
+                 "o_orderpriority"))
+    w = Window.partitionBy("o_orderpriority").orderBy("k")
+    nxt = F.lead("k").over(w)
+    edges = (o.withColumn("nxt", nxt)
+             .filter(F.col("nxt").isNotNull() &
+                     ((F.col("nxt") - F.col("k")) <= 4))
+             .select(F.col("k").alias("src"), F.col("nxt").alias("dst")))
+    labels = connected_components(edges)
+    # isolated nodes label themselves
+    out = (o.select("k")
+           .join(labels, o["k"] == labels["node"], "left")
+           .select(F.col("k").alias("node"),
+                   F.coalesce("label", "k").alias("label")))
+    return out.orderBy("node")
+
+
 @q("agg_moving_sum_avg", """
 WITH s AS (
   SELECT user_id, ts, event_id,

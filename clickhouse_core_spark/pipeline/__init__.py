@@ -17,6 +17,10 @@ from clickhouse_core_spark.pipeline.dedup import (
     simhash_dedup,
     ngram_jaccard_pairs,
 )
+from clickhouse_core_spark.pipeline.graphs import (
+    connected_components,
+    dedup_clusters,
+)
 from clickhouse_core_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_duplicates,
@@ -36,6 +40,7 @@ from clickhouse_core_spark.pipeline.text import (
 __all__ = [
     "exact_dedup", "md5_hash60", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_dedup", "ngram_jaccard_pairs",
+    "connected_components", "dedup_clusters",
     "cosine_topk", "embedding_near_duplicates", "ivf_topk", "lsh_ann_topk",
     "with_token_count", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_pii_redacted", "with_gopher_signals",

@@ -145,16 +145,18 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       num_hashes: int = 64, bands: int = 16,
                       shingle_k: int = 3, jaccard_threshold: float = 0.8,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42, transitive: bool = False) -> DataFrame:
     """MinHash + LSH near-duplicate removal.
 
     1. signatures (built-in exprs);
     2. band keys: xxhash64 of each band's slice → explode → candidate
        buckets (equi-join blocking, no cross join);
     3. verify candidate pairs with true Jaccard over distinct shingles;
-    4. map every doc to the min id of its similar-neighborhood (single
-       pass; transitive chains longer than one hop are handled by the
-       min-over-neighbors contraction being applied to both endpoints).
+    4. map every doc to a representative: by default the min id of its
+       DIRECT similar-neighborhood (single pass); with
+       ``transitive=True`` the min id of its full duplicate cluster via
+       :func:`pipeline.graphs.connected_components` (large-star/
+       small-star), so chains A~B~C with A≁C keep exactly one doc.
 
     Returns the deduplicated DataFrame (original columns).
     """
@@ -194,11 +196,17 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
                .filter(F.col("__j") >= jaccard_threshold)
                .select("id_a", "id_b"))
 
-    # Representative: min neighbor id (including self); applied via a
-    # left join so isolated docs keep themselves.
-    neigh = (similar.select(F.col("id_b").alias("__id"), F.col("id_a").alias("__n"))
-             .union(similar.select(F.col("id_a").alias("__id"), F.col("id_b").alias("__n"))))
-    rep = neigh.groupBy("__id").agg(F.min("__n").alias("__rep"))
+    if transitive:
+        from clickhouse_core_spark.pipeline.graphs import connected_components
+        rep = (connected_components(similar, src="id_a", dst="id_b")
+               .select(F.col("node").alias("__id"),
+                       F.col("label").alias("__rep")))
+    else:
+        # Representative: min neighbor id (including self); applied via a
+        # left join so isolated docs keep themselves.
+        neigh = (similar.select(F.col("id_b").alias("__id"), F.col("id_a").alias("__n"))
+                 .union(similar.select(F.col("id_a").alias("__id"), F.col("id_b").alias("__n"))))
+        rep = neigh.groupBy("__id").agg(F.min("__n").alias("__rep"))
     out = (df.join(rep, on=df[id_col] == rep["__id"], how="left")
            .withColumn("__keep", F.col("__rep").isNull() |
                        (F.col("__rep") >= F.col(id_col)))
