@@ -3424,6 +3424,41 @@ def graph_connected_components_q(spark, sf_dir):
     return out.orderBy("node")
 
 
+@q("agg_argminmax_combinator", """
+WITH m AS (
+  SELECT o_orderpriority AS p, min(o_orderdate) AS dmin,
+         max(o_orderdate) AS dmax
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority,
+       round(sum(CASE WHEN o.o_orderdate = m.dmin
+                      THEN CAST(o.o_totalprice AS DOUBLE) END), 4) AS sam,
+       round(avg(CASE WHEN o.o_orderdate = m.dmax
+                      THEN CAST(o.o_totalprice AS DOUBLE) END), 4) AS aam,
+       CAST(arg_min(CAST(o.o_totalprice AS DOUBLE), o.o_orderkey)
+            AS DOUBLE) AS any_am
+FROM orders o JOIN m ON o.o_orderpriority = m.p
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""")
+def agg_argminmax_combinator(spark, sf_dir):
+    """-ArgMin/-ArgMax combinators (reference
+    src/AggregateFunctions/Combinators/AggregateFunctionCombinatorsArgMinArgMax.cpp):
+    sumArgMin(price, date) = revenue on each priority's earliest order
+    date; avgArgMax on the latest; anyArgMin over the unique orderkey
+    (= min_by, deterministic because the key is unique)."""
+    from clickhouse_core_spark.operators.combinators import (
+        agg_arg_max, agg_arg_min)
+    o = _cat(spark, sf_dir).orders
+    price = F.col("o_totalprice").cast("double")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.round(agg_arg_min("sum", price, F.col("o_orderdate")),
+                         4).alias("sam"),
+                 F.round(agg_arg_max("avg", price, F.col("o_orderdate")),
+                         4).alias("aam"),
+                 agg_arg_min("any", price,
+                             F.col("o_orderkey")).alias("any_am"))
+            .orderBy("o_orderpriority"))
+
+
 @q("agg_moving_sum_avg", """
 WITH s AS (
   SELECT user_id, ts, event_id,

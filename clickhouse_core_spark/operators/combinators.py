@@ -138,6 +138,63 @@ def agg_for_each(agg_name: str, array_col: Column | str) -> Column:
     return F.transform(idxs, col_at)
 
 
+def _arg_extreme_vals(value: Column | str, key: Column | str,
+                      use_min: bool) -> Column:
+    """Array of ``value`` over the rows where ``key`` hits its group
+    extreme — the shared core of -ArgMin/-ArgMax.  One collect_list +
+    HOF filter: still a single aggregation pass."""
+    v = F.col(value) if isinstance(value, str) else value
+    k = F.col(key) if isinstance(key, str) else key
+    pairs = F.collect_list(F.struct(k.alias("k"), v.alias("v")))
+    keys_arr = F.transform(pairs, lambda s: s["k"])
+    extreme = F.array_min(keys_arr) if use_min else F.array_max(keys_arr)
+    return F.transform(F.filter(pairs, lambda s: s["k"] == extreme),
+                       lambda s: s["v"])
+
+
+def _reduce_vals(vals: Column, agg_name: str) -> Column:
+    if agg_name == "sum":
+        return F.aggregate(vals, F.lit(0.0),
+                           lambda a, x: a + x.cast("double"))
+    if agg_name == "avg":
+        return (F.aggregate(vals, F.lit(0.0),
+                            lambda a, x: a + x.cast("double"))
+                / F.size(vals))
+    if agg_name == "min":
+        return F.array_min(vals)
+    if agg_name == "max":
+        return F.array_max(vals)
+    if agg_name == "count":
+        return F.size(vals).cast("long")
+    if agg_name == "any":
+        return F.element_at(vals, 1)
+    raise ValueError(f"unsupported -ArgMin/-ArgMax base {agg_name}")
+
+
+def agg_arg_min(agg_name: str, value: Column | str,
+                key: Column | str) -> Column:
+    """-ArgMin combinator: ``fooArgMin(value, key)`` applies foo to the
+    value(s) at the group's minimal key
+    (AggregateFunctionCombinatorsArgMinArgMax.cpp).  anyArgMin is
+    exactly Spark's min_by."""
+    if agg_name == "any":
+        v = F.col(value) if isinstance(value, str) else value
+        k = F.col(key) if isinstance(key, str) else key
+        return F.min_by(v, k)
+    return _reduce_vals(_arg_extreme_vals(value, key, True), agg_name)
+
+
+def agg_arg_max(agg_name: str, value: Column | str,
+                key: Column | str) -> Column:
+    """-ArgMax combinator (see :func:`agg_arg_min`); anyArgMax =
+    max_by."""
+    if agg_name == "any":
+        v = F.col(value) if isinstance(value, str) else value
+        k = F.col(key) if isinstance(key, str) else key
+        return F.max_by(v, k)
+    return _reduce_vals(_arg_extreme_vals(value, key, False), agg_name)
+
+
 def agg_resample(df: DataFrame, keys: Sequence[str], agg: Column,
                  resample_col: str, start, stop, step) -> DataFrame:
     """-Resample combinator: split the group by value buckets of

@@ -267,6 +267,36 @@ _RULES: dict = {
     "materialize": lambda a: a[0], "identity": lambda a: a[0],
 }
 
+
+def _arg_mm_sql(base: str, a, ext_fn: str) -> str:
+    """-ArgMin/-ArgMax combinator SQL rewrite
+    (AggregateFunctionCombinatorsArgMinArgMax.cpp): fooArgMin(v, k) =
+    foo over values at the group's minimal k.  One collect_list +
+    HOF filter — still a single aggregation."""
+    pairs = f"collect_list(struct({a[1]} AS k, {a[0]} AS v))"
+    ext = f"{ext_fn}(transform({pairs}, t -> t.k))"
+    vals = f"transform(filter({pairs}, s -> s.k = {ext}), s -> s.v)"
+    if base == "sum":
+        return (f"aggregate({vals}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE))")
+    if base == "avg":
+        return (f"(aggregate({vals}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + CAST(x AS DOUBLE)) / size({vals}))")
+    if base == "min":
+        return f"array_min({vals})"
+    if base == "max":
+        return f"array_max({vals})"
+    return f"CAST(size({vals}) AS BIGINT)"  # count
+
+
+_RULES["anyargmin"] = _fn("min_by")
+_RULES["anyargmax"] = _fn("max_by")
+for _base in ("sum", "avg", "min", "max", "count"):
+    _RULES[f"{_base}argmin"] = (
+        lambda a, b=_base: _arg_mm_sql(b, a, "array_min"))
+    _RULES[f"{_base}argmax"] = (
+        lambda a, b=_base: _arg_mm_sql(b, a, "array_max"))
+
 # Parametric aggregates f(params)(args) -> spark form
 _PARAMETRIC: dict = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
