@@ -3459,6 +3459,40 @@ def agg_argminmax_combinator(spark, sf_dir):
             .orderBy("o_orderpriority"))
 
 
+@q("agg_totals_having_modes", """
+WITH t AS (SELECT 0.5 * sum(CAST(o_totalprice AS DOUBLE)) AS thr
+           FROM orders),
+g AS (SELECT (o_orderkey % 4 = 0) AS big,
+             sum(CAST(o_totalprice AS DOUBLE)) AS s
+      FROM orders GROUP BY (o_orderkey % 4 = 0)),
+p AS (SELECT big, s FROM g, t WHERE s > thr)
+SELECT big, round(s, 4) AS s, false AS is_totals FROM p
+UNION ALL
+SELECT NULL AS big, round((SELECT sum(s) FROM p), 4) AS s,
+       true AS is_totals
+ORDER BY is_totals, big
+""")
+def agg_totals_having_modes(spark, sf_dir):
+    """WITH TOTALS under totals_mode=after_having_exclusive (reference
+    Settings.cpp:873 default, SettingsEnums.h TotalsMode): the derived
+    grouping (orderkey % 4 = 0) is a structural 25/75 split at ANY
+    scale factor, HAVING (s > 50% of global revenue, a one-row driver
+    scalar) keeps only the 75% bucket, and the totals row re-aggregates
+    ONLY the passing group via the semi-join path — so totals != grand
+    total, pinning the exclusive mode."""
+    from clickhouse_core_spark.operators.aggregates import with_totals
+    o = (_cat(spark, sf_dir).orders
+         .withColumn("big", F.col("o_orderkey") % 4 == 0))
+    price = F.col("o_totalprice").cast("double")
+    thr = o.agg((F.sum(price) * 0.5).alias("t")).first().t  # 1-row scalar
+    out = with_totals(o, ["big"], [F.sum(price).alias("s")],
+                      having=F.col("s") > thr,
+                      totals_mode="after_having_exclusive")
+    return (out.select("big", F.round("s", 4).alias("s"),
+                       F.col("__totals").alias("is_totals"))
+            .orderBy("is_totals", "big"))
+
+
 @q("agg_moving_sum_avg", """
 WITH s AS (
   SELECT user_id, ts, event_id,

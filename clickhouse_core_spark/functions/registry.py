@@ -284,6 +284,32 @@ _IP = {
         (_c(x).bitwiseOR(F.lit((1 << (32 - bits)) - 1))).alias("hi")),
     "isIPv4String": lambda x: _c(x).rlike(
         r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$").cast("int"),
+    # isIPv6String: full/compressed colon-hex forms (structure check;
+    # the reference additionally validates via inet_pton)
+    "isIPv6String": lambda x: _c(x).rlike(
+        r"^([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}$|"
+        r"^(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?::"
+        r"(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?$").cast("int"),
+    # toIPv4/toIPv6 OrDefault/OrNull (FunctionsConversion.h IP forms):
+    # carrier is the canonical string (Spark has no IP type)
+    "toIPv4OrNull": lambda x: F.when(_c(x).rlike(
+        r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}(25[0-5]|2[0-4]\d|1?\d?\d)$"),
+        _c(x)),
+    "toIPv4OrDefault": lambda x, d="0.0.0.0": F.coalesce(
+        F.when(_c(x).rlike(
+            r"^((25[0-5]|2[0-4]\d|1?\d?\d)\.){3}"
+            r"(25[0-5]|2[0-4]\d|1?\d?\d)$"), _c(x)),
+        _c(d) if isinstance(d, Column) else F.lit(d)),
+    "toIPv6OrNull": lambda x: F.when(_c(x).rlike(
+        r"^([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}$|"
+        r"^(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?::"
+        r"(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?$"), F.lower(_c(x))),
+    "toIPv6OrDefault": lambda x, d="::": F.coalesce(
+        F.when(_c(x).rlike(
+            r"^([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}$|"
+            r"^(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?::"
+            r"(([0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})?$"), F.lower(_c(x))),
+        _c(d) if isinstance(d, Column) else F.lit(d)),
 }
 
 # ----------------------------------------------------------------- encoding
@@ -1061,6 +1087,30 @@ _CONV2 = {
     "toDecimal32": lambda x, s: _c(x).cast(f"decimal(9,{int(s)})"),
     "toDecimal64": lambda x, s: _c(x).cast(f"decimal(18,{int(s)})"),
     "toDecimal128": lambda x, s: _c(x).cast(f"decimal(38,{int(s)})"),
+    # OrZero/OrNull/OrDefault decimal forms (FunctionsConversion.h);
+    # Decimal256 exceeds Spark's 38-digit ceiling — documented out.
+    "toDecimal32OrZero": lambda x, s: F.coalesce(
+        _c(x).try_cast(f"decimal(9,{int(s)})"),
+        F.lit(0).cast(f"decimal(9,{int(s)})")),
+    "toDecimal64OrZero": lambda x, s: F.coalesce(
+        _c(x).try_cast(f"decimal(18,{int(s)})"),
+        F.lit(0).cast(f"decimal(18,{int(s)})")),
+    "toDecimal128OrZero": lambda x, s: F.coalesce(
+        _c(x).try_cast(f"decimal(38,{int(s)})"),
+        F.lit(0).cast(f"decimal(38,{int(s)})")),
+    "toDecimal32OrNull": lambda x, s: _c(x).try_cast(f"decimal(9,{int(s)})"),
+    "toDecimal64OrNull": lambda x, s: _c(x).try_cast(f"decimal(18,{int(s)})"),
+    "toDecimal128OrNull": lambda x, s: _c(x).try_cast(
+        f"decimal(38,{int(s)})"),
+    "toDecimal32OrDefault": lambda x, s, d=0: F.coalesce(
+        _c(x).try_cast(f"decimal(9,{int(s)})"),
+        F.lit(d).cast(f"decimal(9,{int(s)})")),
+    "toDecimal64OrDefault": lambda x, s, d=0: F.coalesce(
+        _c(x).try_cast(f"decimal(18,{int(s)})"),
+        F.lit(d).cast(f"decimal(18,{int(s)})")),
+    "toDecimal128OrDefault": lambda x, s, d=0: F.coalesce(
+        _c(x).try_cast(f"decimal(38,{int(s)})"),
+        F.lit(d).cast(f"decimal(38,{int(s)})")),
     "accurateCast": _accurate_cast,
     "accurateCastOrNull": lambda x, t: _c(x).try_cast(
         _CH_TYPE_TO_SPARK.get(t.lower().strip(), t)),

@@ -104,17 +104,40 @@ def bitmap_cardinalities(df: DataFrame, group_col: str,
 
 
 def with_totals(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column],
-                totals_marker: str = "__totals") -> DataFrame:
+                totals_marker: str = "__totals",
+                having: Column | None = None,
+                totals_mode: str = "after_having_exclusive") -> DataFrame:
     """GROUP BY ... WITH TOTALS: regular grouped rows plus one grand-total
     row where every key is NULL and ``totals_marker`` is true.
 
+    ``totals_mode`` mirrors the reference setting (Settings.cpp:873,
+    default AFTER_HAVING_EXCLUSIVE; SettingsEnums.h TotalsMode) when a
+    ``having`` predicate (over the aggregated columns) is given:
+
+    - ``before_having``: totals over ALL source rows; HAVING filters
+      only the grouped rows.
+    - ``after_having_exclusive``: totals over rows belonging to groups
+      that passed HAVING (semi-join of source rows to passing keys).
+    - ``after_having_inclusive``: totals over all rows, like
+      before_having, but named per the reference's mode (``auto`` maps
+      here too — the row-count threshold heuristic collapses to
+      inclusive without a cluster-wide stats exchange).
+
     Implemented with ``rollup``-style union of a global aggregate —
-    Catalyst computes both branches from a shared scan, and the global
-    aggregate's shuffle is a single-row exchange.
+    Catalyst computes both branches from a shared scan; the global
+    aggregate's shuffle is a single-row exchange; the exclusive mode
+    adds one broadcast-ready semi join on the (small) passing key set.
     """
     keys = list(keys)
     grouped = df.groupBy(*keys).agg(*aggs).withColumn(totals_marker, F.lit(False))
-    total = df.groupBy().agg(*aggs)
+    if having is not None:
+        grouped = grouped.filter(having)
+    if having is not None and totals_mode == "after_having_exclusive":
+        passing = grouped.select(*keys)
+        total_src = df.join(passing, on=keys, how="left_semi")
+    else:
+        total_src = df
+    total = total_src.groupBy().agg(*aggs)
     for k in keys:
         total = total.withColumn(k, F.lit(None).cast(df.schema[k].dataType))
     total = total.select(*grouped.columns[:-1]).withColumn(totals_marker, F.lit(True))
