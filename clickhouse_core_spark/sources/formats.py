@@ -88,6 +88,9 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
         if schema is None or "pattern" not in extra:
             raise ValueError("Regexp format needs schema + pattern=")
         return read_regexp(spark, path, schema, **extra)
+    if ch_format == "Npy":
+        from clickhouse_core_spark.sources.rowformats import read_npy
+        return read_npy(spark, path, **extra)
     if ch_format == "CustomSeparated":
         from clickhouse_core_spark.sources.rowformats import (
             read_custom_separated)

@@ -567,6 +567,100 @@ def format_values(rows: list[dict], schema: T.StructType) -> str:
     return ", ".join(parts)
 
 
+# ------------------------------------------------------------------- Npy
+
+_NPY_DTYPES = {
+    "int8": T.ByteType(), "int16": T.ShortType(), "int32": T.IntegerType(),
+    "int64": T.LongType(), "uint8": T.ShortType(), "uint16": T.IntegerType(),
+    "uint32": T.LongType(), "float32": T.FloatType(),
+    "float64": T.DoubleType(), "bool": T.BooleanType(),
+}
+
+
+def read_npy(spark: SparkSession, path: str,
+             column: str = "array") -> DataFrame:
+    """Npy input format (reference
+    src/Processors/Formats/Impl/NpyRowInputFormat.cpp): one .npy file →
+    one column; 1-D arrays give scalar rows, 2-D arrays give
+    array-typed rows (one per outer row).  Blobs ship via binaryFile
+    and numpy parses executor-side — one task per file, the same
+    distribution contract as the other binary formats.  String dtypes
+    (<U/S) map to StringType."""
+    import glob as _glob
+    import io as _io
+    import os as _os
+
+    import numpy as np
+
+    # schema from one file's header (driver reads the 128-byte header
+    # region only in spirit; np.load of the first file is metadata-cheap
+    # for schema inference on the small leading file)
+    pattern = _os.path.join(path, "*") if _os.path.isdir(path) else path
+    candidates = sorted(_glob.glob(pattern)) or [path]
+    first = np.load(candidates[0], allow_pickle=False)
+    kind = first.dtype.kind
+    if kind in ("U", "S"):
+        base: T.DataType = T.StringType()
+    else:
+        base = _NPY_DTYPES.get(first.dtype.name)
+        if base is None:
+            raise NotImplementedError(
+                f"Npy dtype {first.dtype} not mapped")
+    if first.ndim == 1:
+        out_type: T.DataType = base
+    elif first.ndim == 2:
+        out_type = T.ArrayType(base)
+    else:
+        raise NotImplementedError(
+            f"Npy ndim {first.ndim} (reference supports 1-D and "
+            f"fixed-shape nested)")
+    schema = T.StructType([T.StructField(column, out_type, True)])
+
+    blobs = spark.read.format("binaryFile").load(path).select("content")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals: list = []
+            for blob in pdf["content"]:
+                arr = np.load(_io.BytesIO(bytes(blob)), allow_pickle=False)
+                if arr.dtype.kind in ("U", "S"):
+                    arr = arr.astype(str)
+                if arr.ndim == 1:
+                    vals.extend(arr.tolist())
+                else:
+                    vals.extend([row.tolist() for row in arr])
+            yield pd.DataFrame({column: vals}, columns=[column])
+
+    return blobs.mapInPandas(batches, schema=schema)
+
+
+def write_npy(df: DataFrame, path: str, column: str | None = None) -> None:
+    """Npy output: one .npy file per partition (executor-local numpy
+    save — the partitioned-sink analog of the reference's single-column
+    NpyOutputFormat)."""
+    import io as _io
+    import os as _os
+
+    import numpy as np
+
+    col = column or df.columns[0]
+    _os.makedirs(path, exist_ok=True)
+
+    def _save(it):
+        import socket
+        import uuid as _uuid
+        rows = [r[0] for batch in it for r in batch.itertuples(index=False)]
+        if rows:
+            buf = _io.BytesIO()
+            np.save(buf, np.asarray(rows), allow_pickle=False)
+            fname = _os.path.join(path, f"part-{_uuid.uuid4().hex}.npy")
+            with open(fname, "wb") as fh:
+                fh.write(buf.getvalue())
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    (df.select(col).mapInPandas(_save, "n long")).collect()
+
+
 # ---------------------------------------------------------- CustomSeparated
 
 def read_custom_separated(spark: SparkSession, path: str,

@@ -160,6 +160,38 @@ def test_custom_separated(spark, workdir):
         (1, "a", 1.5), (2, "b", 2.5)]
 
 
+def test_npy_roundtrip_1d(spark, workdir):
+    import numpy as np
+    from clickhouse_core_spark.sources import read_npy, write_npy
+    np.save(os.path.join(workdir, "a.npy"),
+            np.array([1.5, -2.25, 3.0], dtype=np.float64))
+    df = read_npy(spark, workdir, column="v")
+    assert sorted(r.v for r in df.collect()) == [-2.25, 1.5, 3.0]
+    out = os.path.join(workdir, "out")
+    write_npy(df, out, column="v")
+    back = read_npy(spark, out, column="v")
+    assert sorted(r.v for r in back.collect()) == [-2.25, 1.5, 3.0]
+
+
+def test_npy_2d_arrays(spark, workdir):
+    import numpy as np
+    from clickhouse_core_spark.sources import read_npy
+    np.save(os.path.join(workdir, "m.npy"),
+            np.array([[1, 2], [3, 4]], dtype=np.int64))
+    rows = sorted(tuple(r.array) for r in
+                  read_npy(spark, workdir).collect())
+    assert rows == [(1, 2), (3, 4)]
+
+
+def test_npy_strings(spark, workdir):
+    import numpy as np
+    from clickhouse_core_spark.sources import read_npy
+    np.save(os.path.join(workdir, "s.npy"),
+            np.array(["aa", "bb"], dtype="<U2"))
+    assert sorted(r.array for r in read_npy(spark, workdir).collect()) == \
+        ["aa", "bb"]
+
+
 # ------------------------------------------------------- codec property tests
 
 _scalar_row = st.fixed_dictionaries({
