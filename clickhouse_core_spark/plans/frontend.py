@@ -289,6 +289,19 @@ def _arg_mm_sql(base: str, a, ext_fn: str) -> str:
     return f"CAST(size({vals}) AS BIGINT)"  # count
 
 
+# median* aliases = quantile*(0.5) (reference AggregateFunctionQuantile*
+# registrations all alias a median form)
+_RULES["medianexact"] = lambda a: f"percentile({a[0]}, 0.5)"
+_RULES["mediantiming"] = lambda a: f"percentile({a[0]}, 0.5)"
+_RULES["medianbfloat16"] = lambda a: f"percentile({a[0]}, 0.5)"
+_RULES["mediandeterministic"] = lambda a: f"percentile({a[0]}, 0.5)"
+_RULES["mediantdigest"] = lambda a: f"approx_percentile({a[0]}, 0.5)"
+_RULES["mediandd"] = lambda a: f"approx_percentile({a[0]}, 0.5)"
+_RULES["medianexactlow"] = (
+    lambda a: _PARAMETRIC["quantileexactlow"](["0.5"], a))
+_RULES["medianexacthigh"] = (
+    lambda a: _PARAMETRIC["quantileexacthigh"](["0.5"], a))
+
 _RULES["anyargmin"] = _fn("min_by")
 _RULES["anyargmax"] = _fn("max_by")
 for _base in ("sum", "avg", "min", "max", "count"):
@@ -1045,6 +1058,36 @@ def apply_date_preimage(sql: str) -> str:
     return _PREIMAGE_RE.sub(_preimage_sub, sql)
 
 
+_NUMBERS_TVF_RE = re.compile(
+    r"\bnumbers\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
+_GENSERIES_TVF_RE = re.compile(
+    r"\bgenerate_series\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE)
+
+
+def _rewrite_numbers_tvf(sql: str) -> str:
+    """numbers(N) / numbers(offset, N) / generate_series(a, b[, step])
+    table functions (reference
+    src/TableFunctions/registerTableFunctions.h:10-12) → Spark's range()
+    TVF wrapped to carry the CH column names ``number`` /
+    ``generate_series`` (generate_series is END-INCLUSIVE in CH)."""
+    def num_sub(m):
+        if m.group(2) is not None:
+            a = int(m.group(1))
+            return (f"(SELECT id AS number FROM "
+                    f"range({a}, {a + int(m.group(2))}))")
+        return f"(SELECT id AS number FROM range({int(m.group(1))}))"
+
+    def gs_sub(m):
+        a, b = int(m.group(1)), int(m.group(2))
+        step = int(m.group(3) or 1)
+        return (f"(SELECT id AS generate_series FROM "
+                f"range({a}, {b + 1}, {step}))")
+
+    sql = _NUMBERS_TVF_RE.sub(num_sub, sql)
+    return _GENSERIES_TVF_RE.sub(gs_sub, sql)
+
+
 def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     """Translate a ClickHouse SELECT into Spark SQL text."""
     sql = sql.strip().rstrip(";")
@@ -1053,6 +1096,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
+    sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_star_replace(sql)
     sql = _rewrite_any_join(sql)

@@ -504,3 +504,26 @@ def test_sql_division_ansi_safe(spark):
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert (row.i, row.iz, row.ioz, row.mz, row.moz, row.dz) == (
         -3, None, 0, None, 0, None)
+
+
+def test_numbers_tvf_sql(spark):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    assert [r.n for r in ch_sql(
+        spark, "SELECT number AS n FROM numbers(3) ORDER BY n").collect()] \
+        == [0, 1, 2]
+    assert ch_sql(spark,
+                  "SELECT sum(number) AS s FROM numbers(10, 5)").first().s \
+        == 60
+    # generate_series is end-inclusive in CH
+    assert [r.g for r in ch_sql(
+        spark, "SELECT generate_series AS g FROM generate_series(2, 8, 3)"
+    ).collect()] == [2, 5, 8]
+
+
+def test_median_alias_family_sql(spark, catalog):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    row = ch_sql(spark, """
+        SELECT medianExact(o_orderkey) AS me, medianExactLow(o_orderkey) AS ml,
+               medianTDigest(o_orderkey) AS mt
+        FROM orders""").first()
+    assert row.ml <= row.me + 1e-9 and row.mt > 0
