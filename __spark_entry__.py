@@ -3493,6 +3493,42 @@ def agg_totals_having_modes(spark, sf_dir):
             .orderBy("is_totals", "big"))
 
 
+@q("udf_surface_macro_exec", """
+SELECT o_orderkey,
+       round(CAST(o_totalprice AS DOUBLE) * 0.9, 4) AS discounted,
+       CAST(len(CAST(o_orderpriority AS VARCHAR)) AS INT) AS prio_len
+FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+""")
+def udf_surface_macro_exec(spark, sf_dir):
+    """UDF surface end-to-end (reference §2.10:
+    UserDefinedSQLFunctionFactory.h macro expansion +
+    UserDefinedExecutableFunction.h process boundary): a SQL-lambda
+    macro inlines into the plan (zero execution boundary), and an
+    executable UDF runs as an Arrow-batched pandas_udf."""
+    from clickhouse_core_spark.functions.udf import (
+        call_function, create_function, register_executable_udf)
+    create_function("discount90",
+                    lambda c: F.round(c.cast("double") * 0.9, 4))
+    import pandas as _pd
+
+    def _strlen(s):
+        return s.str.len().astype("int32")
+
+    # real annotations (module-level `from __future__ import annotations`
+    # would stringify inline hints for the pandas_udf type inspector)
+    _strlen.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+    register_executable_udf(spark, "udf_strlen", _strlen, "int")
+    o = _cat(spark, sf_dir).orders
+    return (o.filter(F.col("o_orderkey") < 400)
+            .select("o_orderkey",
+                    call_function("discount90",
+                                  F.col("o_totalprice")).alias("discounted"),
+                    F.call_function("udf_strlen",
+                                    F.col("o_orderpriority").cast("string"))
+                    .alias("prio_len"))
+            .orderBy("o_orderkey"))
+
+
 @q("agg_moving_sum_avg", """
 WITH s AS (
   SELECT user_id, ts, event_id,
