@@ -348,6 +348,11 @@ _PARAMETRIC: dict = {
     "grouparraylast": lambda p, a: (
         f"slice(collect_list({a[0]}), "
         f"greatest(size(collect_list({a[0]})) - {p[0]} + 1, 1), {p[0]})"),
+    # groupArray(N)(x): first N values (insertion order is arbitrary in
+    # the reference too — any-N contract, AggregateFunctionGroupArray.h)
+    "grouparray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "groupuniqarray": lambda p, a: (
+        f"slice(array_sort(array_distinct(collect_list({a[0]}))), 1, {p[0]})"),
 }
 
 def _excel_exclusive_sql(p, a):
@@ -1065,6 +1070,53 @@ _GENSERIES_TVF_RE = re.compile(
     re.IGNORECASE)
 
 
+# CH type names appearing in CAST(x AS T) / x::T — mapped to Spark SQL
+# type names (FunctionsConversion.h type registry)
+_CH_CAST_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+    "int64": "BIGINT", "uint8": "SMALLINT", "uint16": "INT",
+    "uint32": "BIGINT", "uint64": "DECIMAL(20,0)", "float32": "FLOAT",
+    "float64": "DOUBLE", "string": "STRING", "date": "DATE",
+    "date32": "DATE", "datetime": "TIMESTAMP", "datetime64": "TIMESTAMP",
+    "bool": "BOOLEAN", "uuid": "STRING",
+}
+_CAST_TYPE_RE = re.compile(
+    r"(\bAS\s+)(" + "|".join(_CH_CAST_TYPES) + r")\b(\s*\))",
+    re.IGNORECASE)
+_COLONCOLON_TYPE_RE = re.compile(
+    r"::(" + "|".join(_CH_CAST_TYPES) + r")\b", re.IGNORECASE)
+
+
+def _rewrite_cast_types(sql: str) -> str:
+    """CAST(x AS UInt32) / x::DateTime — translate CH type names."""
+    sql = _CAST_TYPE_RE.sub(
+        lambda m: m.group(1) + _CH_CAST_TYPES[m.group(2).lower()]
+        + m.group(3), sql)
+    return _COLONCOLON_TYPE_RE.sub(
+        lambda m: "::" + _CH_CAST_TYPES[m.group(1).lower()], sql)
+
+
+_LIMIT_TIES_RE = re.compile(
+    r"^(?P<body>.+\bORDER\s+BY\s+(?P<order>.+?))\s+LIMIT\s+(?P<n>\d+)"
+    r"\s+WITH\s+TIES\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """LIMIT n WITH TIES (reference LimitStep.h:16 with_ties): keep all
+    rows tying with the n-th — rank() <= n over the same ordering."""
+    m = _LIMIT_TIES_RE.match(sql)
+    if not m:
+        return sql
+    order = m.group("order").strip()
+    om = re.search(r"(.+)\bORDER\s+BY\s+" + re.escape(order) + r"\s*$",
+                   m.group("body"), re.IGNORECASE | re.DOTALL)
+    inner = om.group(1).strip() if om else m.group("body")
+    return (f"SELECT * EXCEPT (__rk) FROM (SELECT *, rank() OVER "
+            f"(ORDER BY {order}) AS __rk FROM ({inner})) "
+            f"WHERE __rk <= {m.group('n')} ORDER BY {order}")
+
+
 def _rewrite_numbers_tvf(sql: str) -> str:
     """numbers(N) / numbers(offset, N) / generate_series(a, b[, step])
     table functions (reference
@@ -1097,6 +1149,8 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
     sql = _rewrite_numbers_tvf(sql)
+    sql = _rewrite_cast_types(sql)
+    sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_star_replace(sql)
     sql = _rewrite_any_join(sql)

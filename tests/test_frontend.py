@@ -527,3 +527,30 @@ def test_median_alias_family_sql(spark, catalog):
                medianTDigest(o_orderkey) AS mt
         FROM orders""").first()
     assert row.ml <= row.me + 1e-9 and row.mt > 0
+
+
+def test_limit_with_ties_sql(spark, catalog):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    out = ch_sql(spark, """
+        SELECT o_orderstatus FROM orders
+        ORDER BY o_orderstatus LIMIT 2 WITH TIES""").collect()
+    # ties on the 2nd value keep every row of that status
+    assert len(out) >= 2 and len({r.o_orderstatus for r in out}) == 1
+    # no __rk leak
+    assert out[0].asDict().keys() == {"o_orderstatus"}
+
+
+def test_cast_ch_type_names_sql(spark):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    row = ch_sql(spark, "SELECT CAST('12' AS UInt32) AS u, "
+                        "'2024-01-02'::Date AS d, '5'::Float64 AS f").first()
+    assert row.u == 12 and str(row.d) == "2024-01-02" and row.f == 5.0
+
+
+def test_group_array_parametric_sql(spark, catalog):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    row = ch_sql(spark, """
+        SELECT groupArray(3)(o_orderkey) AS g
+        FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10)
+    """).first()
+    assert row.g == [0, 1, 2]
