@@ -145,3 +145,30 @@ def test_minhash_band_join_carries_no_arrays(spark):
                        if "__band" in ln and "Join" in ln]
     assert band_join_lines, "no band join found in plan"
     assert all("__shingles" not in ln for ln in band_join_lines)
+
+
+def test_tskv_jsoncompact_decode_is_jvm_only(spark, tmp_path):
+    # scale gate: the text row formats decode with Catalyst expressions
+    # only — no Python evaluation nodes in the plan
+    import os
+    from clickhouse_core_spark.sources import (
+        read_format, write_tskv, write_json_compact_each_row)
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)],
+                               "id bigint, s string, v double")
+    p1, p2 = str(tmp_path / "tskv"), str(tmp_path / "jc")
+    write_tskv(df, p1)
+    write_json_compact_each_row(df, p2)
+    for path, fmt in ((p1, "TSKV"), (p2, "JSONCompactEachRow")):
+        plan = _plan(read_format(spark, path, fmt,
+                                 schema="id bigint, s string, v double"))
+        assert "Python" not in plan and "Pandas" not in plan, fmt
+
+
+def test_connected_components_round_is_two_shuffles(spark):
+    # scale gate: one large-star + small-star alternation = bounded
+    # exchange count (groupBy-min twice + dedup), never a cross join
+    from clickhouse_core_spark.pipeline.graphs import _star_round
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (9, 3)], "u bigint, v bigint")
+    plan = _plan(_star_round(edges))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
