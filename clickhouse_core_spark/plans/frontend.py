@@ -265,6 +265,14 @@ _RULES: dict = {
     # misc
     "generateuuidv4": lambda a: "uuid()",
     "materialize": lambda a: a[0], "identity": lambda a: a[0],
+    # range(n) / range(a, b[, step]) scalar array (range.cpp) —
+    # end-EXCLUSIVE vs Spark sequence's inclusive end
+    "range": lambda a: (
+        f"CASE WHEN ({a[0]}) <= 0 THEN array() "
+        f"ELSE sequence(0, ({a[0]}) - 1) END" if len(a) == 1 else
+        f"CASE WHEN ({a[1]}) <= ({a[0]}) THEN array() "
+        f"ELSE sequence({a[0]}, ({a[1]}) - 1"
+        + (f", {a[2]}" if len(a) > 2 else "") + ") END"),
 }
 
 
@@ -607,6 +615,48 @@ def _wrap_subscript(prev: str, idx_expr: str) -> str | None:
     return s[:start] + f"try_element_at({operand}, {idx_expr})" + trail
 
 
+# Aggregate bases that compose with the -If / -Array combinator
+# suffixes in SQL (AggregateFunctionIf.h / AggregateFunctionArray.h —
+# any aggregate composes in the reference; this is the set with exact
+# Spark rewrites).  sumIf/avgIf/minIf/maxIf/countIf keep their
+# dedicated rules above.
+_IF_BASES = {"any", "anylast", "argmin", "argmax", "uniq", "uniqexact",
+             "uniqcombined", "uniqcombined64", "uniqhll12", "stddevpop",
+             "stddevsamp", "varpop", "varsamp", "covarpop", "covarsamp",
+             "corr", "median", "grouparray", "groupuniqarray", "sum",
+             "avg", "min", "max"}
+_ARRAY_BASES = {
+    "sum": lambda flat: (f"aggregate({flat}, CAST(0 AS DOUBLE), "
+                         f"(a, x) -> a + CAST(x AS DOUBLE))"),
+    "avg": lambda flat: (f"(aggregate({flat}, CAST(0 AS DOUBLE), "
+                         f"(a, x) -> a + CAST(x AS DOUBLE)) / size({flat}))"),
+    "min": lambda flat: f"array_min({flat})",
+    "max": lambda flat: f"array_max({flat})",
+    "count": lambda flat: f"CAST(size({flat}) AS BIGINT)",
+    "uniq": lambda flat: f"CAST(size(array_distinct({flat})) AS BIGINT)",
+    "uniqexact": lambda flat: (
+        f"CAST(size(array_distinct({flat})) AS BIGINT)"),
+}
+
+
+def _try_suffix_combinator(lname: str, targs: list) -> str | None:
+    """Generic fooIf(args..., cond) / fooArray(arr) SQL rewrites for
+    aggregate bases without a dedicated rule."""
+    if lname.endswith("if") and len(targs) >= 2:
+        base = lname[:-2]
+        if base in _IF_BASES and base in _RULES:
+            cond = targs[-1]
+            wrapped = [f"CASE WHEN {cond} THEN {a} END"
+                       for a in targs[:-1]]
+            return _RULES[base](wrapped)
+    if lname.endswith("array") and len(targs) == 1:
+        base = lname[:-5]
+        if base in _ARRAY_BASES:
+            flat = f"flatten(collect_list({targs[0]}))"
+            return _ARRAY_BASES[base](flat)
+    return None
+
+
 def _translate_expr(sql: str) -> str:
     """Rewrite known CH function calls (recursively) in an expression."""
     out = []
@@ -677,10 +727,22 @@ def _translate_expr(sql: str) -> str:
                 out.append(_PARAMETRIC[lname](targs, targs2))
                 i = after2
                 continue
+            # range() is Spark's TVF in FROM position (the numbers()
+            # rewrite emits it) but CH's scalar array function in
+            # expressions — dispatch on the preceding keyword
+            if lname == "range":
+                prev = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$",
+                                 "".join(out))
+                if prev and prev.group(1).lower() in ("from", "join"):
+                    out.append(f"{name}({', '.join(targs)})")
+                    i = after
+                    continue
             if lname in _RULES:
                 out.append(_RULES[lname](targs))
             else:
-                out.append(f"{name}({', '.join(targs)})")
+                combi = _try_suffix_combinator(lname, targs)
+                out.append(combi if combi is not None
+                           else f"{name}({', '.join(targs)})")
             i = after
             continue
         out.append(name)
@@ -1380,6 +1442,37 @@ _UPDATE_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+_COLUMNS_APPLY_RE = re.compile(
+    r"COLUMNS\(\s*'([^']+)'\s*\)(?:\s+APPLY\s*\(\s*(\w+)\s*\))?",
+    re.IGNORECASE)
+
+
+def _rewrite_columns_apply(spark, sql: str) -> str:
+    """``COLUMNS('regex') [APPLY(fn)]`` dynamic-column star modifier
+    (reference src/Parsers/ASTColumnsMatcher.h, ASTColumnsTransformers.h)
+    — expanded against the schema of the (single) FROM table."""
+    m = _COLUMNS_APPLY_RE.search(sql)
+    if not m:
+        return sql
+    tm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*)", sql, re.IGNORECASE)
+    if not tm:
+        return sql
+    try:
+        cols = spark.table(tm.group(1)).columns
+    except Exception:
+        return sql
+
+    def sub(mm):
+        rx = re.compile(mm.group(1))
+        matched = [c for c in cols if rx.search(c)]
+        fn = mm.group(2)
+        if fn:
+            return ", ".join(f"{fn}(`{c}`) AS `{fn}({c})`" for c in matched)
+        return ", ".join(f"`{c}`" for c in matched)
+
+    return _COLUMNS_APPLY_RE.sub(sub, sql)
+
+
 def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
            tables: dict | None = None):
     """Run a ClickHouse-dialect query on Spark (tables must be
@@ -1443,6 +1536,12 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             assignments[col.strip().strip("`")] = F.expr(_translate_expr(expr.strip()))
         table.update_where(F.expr(_translate_expr(cond)), assignments)
         return None
+
+    # system.one: the reference's 1-row dummy table
+    # (src/Storages/System/StorageSystemOne.h)
+    text = re.sub(r"\bFROM\s+system\.one\b",
+                  "FROM (SELECT 0 AS dummy)", text, flags=re.IGNORECASE)
+    text = _rewrite_columns_apply(spark, text)
 
     if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", text, re.IGNORECASE):
         text = _rewrite_asof_join(spark, text)

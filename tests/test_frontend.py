@@ -554,3 +554,35 @@ def test_group_array_parametric_sql(spark, catalog):
         FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10)
     """).first()
     assert row.g == [0, 1, 2]
+
+
+def test_suffix_combinators_sql(spark, catalog):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    row = ch_sql(spark, """
+        SELECT anyIf(o_orderkey, o_orderstatus = 'F') AS a,
+               uniqExactIf(o_custkey, o_totalprice > 100000) AS u,
+               medianIf(o_totalprice, o_orderstatus = 'F') AS m
+        FROM orders""").first()
+    assert row.u >= 0 and row.m is not None
+    # -Array aggregates across the group's arrays
+    assert ch_sql(spark, "SELECT sumArray([1, 2, 3]) AS sa "
+                         "FROM system.one").first().sa == 6.0
+
+
+def test_range_scalar_and_system_one(spark):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    row = ch_sql(spark, "SELECT range(4) AS r, range(0) AS e, "
+                        "range(2, 5) AS ab FROM system.one").first()
+    assert row.r == [0, 1, 2, 3] and row.e == [] and row.ab == [2, 3, 4]
+    # numbers() TVF still routes to range TVF untouched
+    assert ch_sql(spark, "SELECT sum(number) AS s FROM numbers(4)"
+                  ).first().s == 6
+
+
+def test_columns_apply_sql(spark, catalog):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    df = ch_sql(spark,
+                "SELECT COLUMNS('o_(orderkey|custkey)') APPLY(max) "
+                "FROM orders")
+    assert set(df.columns) == {"max(o_orderkey)", "max(o_custkey)"}
+    assert df.first()["max(o_orderkey)"] > 0
