@@ -4984,6 +4984,30 @@ def ch_sql_limit_by_expr_q(spark, sf_dir):
         .orderBy("yr", "o_orderkey"))
 
 
+@q("ch_sql_round4_surface", """
+SELECT CAST(o_orderstatus AS VARCHAR) AS st,
+       CAST(min(o_orderkey) AS BIGINT) AS any_f,
+       CAST(count(DISTINCT CASE WHEN o_totalprice > 100000
+                                THEN o_custkey END) AS BIGINT) AS u_big,
+       CAST(12 AS BIGINT) AS cast_u,
+       CAST(10.0 AS DOUBLE) AS rng
+FROM orders GROUP BY o_orderstatus ORDER BY st
+""")
+def ch_sql_round4_surface_q(spark, sf_dir):
+    """Round-4 SQL-surface batch through ch_sql: suffix -If combinators
+    (AggregateFunctionIf.h generic composition), CH type names in CAST
+    (FunctionsConversion.h), scalar range() (range.cpp), minIf as the
+    deterministic any* stand-in."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderstatus::String AS st,
+               minIf(o_orderkey, o_orderstatus = o_orderstatus) AS any_f,
+               uniqExactIf(o_custkey, o_totalprice > 100000) AS u_big,
+               CAST('12' AS UInt32) AS cast_u,
+               arraySum(arrayMap(x -> toFloat64(x), range(5))) AS rng
+        FROM orders GROUP BY o_orderstatus ORDER BY st""")
+
+
 # ------------------------------------- Coalescing / GraphiteRollup FINAL
 
 @q("final_coalescing", """
