@@ -16,6 +16,7 @@ from clickhouse_core_spark.sources.rowformats import (
     read_tskv, write_tskv, read_json_compact_each_row,
     write_json_compact_each_row, read_regexp, read_values, format_values,
     read_custom_separated, read_npy, write_npy,
+    decode_rowbinary, decode_msgpack,
 )
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
@@ -32,6 +33,7 @@ __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
            "read_json_compact_each_row", "write_json_compact_each_row",
            "read_regexp", "read_values", "format_values",
            "read_custom_separated", "read_npy", "write_npy",
+           "decode_rowbinary", "decode_msgpack",
            "generate_random", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
            "mongodb_options", "redis_options", "mongodb_table",

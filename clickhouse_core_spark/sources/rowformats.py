@@ -209,6 +209,31 @@ def read_rowbinary(spark: SparkSession, path: str, schema: T.StructType,
     return blobs.mapInPandas(batches, schema=schema)
 
 
+def decode_rowbinary(df: DataFrame, schema: T.StructType,
+                     value_col: str = "value",
+                     with_names: bool = False,
+                     with_types: bool = False) -> DataFrame:
+    """Decode a binary column carrying RowBinary payloads (the Kafka
+    message shape — reference Kafka engine + kafka_format='RowBinary',
+    src/Storages/Kafka/KafkaSource.cpp format plumbing).  One payload
+    may carry multiple rows; works on batch and streaming frames."""
+    schema = _schema(schema)
+    names = [f.name for f in schema.fields]
+    idx = df.columns.index(value_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[dict] = []
+            for blob in pdf.iloc[:, idx]:
+                if blob is not None:
+                    rows.extend(_decode_rowbinary_blob(
+                        bytes(blob), schema, with_names, with_types))
+            yield pd.DataFrame(
+                {n: [r.get(n) for r in rows] for n in names}, columns=names)
+
+    return df.mapInPandas(batches, schema=schema)
+
+
 # -------------------------------------------------------------------- MsgPack
 
 def _mp_encode_value(out: bytearray, v, dt: T.DataType) -> None:
@@ -365,6 +390,34 @@ def read_msgpack(spark: SparkSession, path: str,
                 {c: [r.get(c) for r in rows] for c in names}, columns=names)
 
     return blobs.mapInPandas(batches, schema=schema)
+
+
+def decode_msgpack(df: DataFrame, schema: T.StructType,
+                   value_col: str = "value") -> DataFrame:
+    """Decode a binary column of MsgPack payloads (Kafka message shape;
+    same contract as :func:`decode_rowbinary`)."""
+    schema = _schema(schema)
+    names = [f.name for f in schema.fields]
+    idx = df.columns.index(value_col)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[dict] = []
+            for blob in pdf.iloc[:, idx]:
+                if blob is None:
+                    continue
+                buf = bytes(blob)
+                pos, n = 0, len(buf)
+                while pos < n:
+                    row = {}
+                    for f in schema.fields:
+                        v, pos = _mp_decode_value(buf, pos)
+                        row[f.name] = v
+                    rows.append(row)
+            yield pd.DataFrame(
+                {c: [r.get(c) for r in rows] for c in names}, columns=names)
+
+    return df.mapInPandas(batches, schema=schema)
 
 
 # ----------------------------------------------------------------- TSKV (JVM)

@@ -233,3 +233,32 @@ def test_msgpack_codec_property(rows):
                 assert got[k] == want[k]
             else:
                 assert got[k] == want[k]
+
+
+def test_decode_rowbinary_value_column(spark):
+    from clickhouse_core_spark.sources import decode_rowbinary
+    blob1 = encode_rowbinary(ROWS[:2], SCHEMA)
+    blob2 = encode_rowbinary(ROWS[2:], SCHEMA)
+    df = spark.createDataFrame([(bytearray(blob1),), (bytearray(blob2),)],
+                               "value binary")
+    _assert_matches(decode_rowbinary(df, SCHEMA))
+
+
+def test_decode_msgpack_value_column(spark):
+    from clickhouse_core_spark.sources import decode_msgpack
+    df = spark.createDataFrame(
+        [(bytearray(encode_msgpack(ROWS, SCHEMA)),)], "value binary")
+    _assert_matches(decode_msgpack(df, SCHEMA))
+
+
+def test_decode_rowbinary_streaming(spark, workdir):
+    # streaming frames accept the same decoder (rate source smoke)
+    import pyspark.sql.functions as F
+    from clickhouse_core_spark.sources import decode_rowbinary
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", "2")
+              .load()
+              .select(F.lit(bytearray(encode_rowbinary(ROWS[:1], SCHEMA)))
+                      .alias("value")))
+    out = decode_rowbinary(stream, SCHEMA)
+    assert out.isStreaming and [f.name for f in out.schema.fields] == \
+        [f.name for f in SCHEMA.fields]
