@@ -1537,6 +1537,35 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         table.update_where(F.expr(_translate_expr(cond)), assignments)
         return None
 
+    # CREATE [MATERIALIZED] VIEW name AS SELECT ... (reference
+    # src/Parsers/ParserCreateQuery.h; StorageMaterializedView.h) —
+    # temp view over the translated select; MATERIALIZED additionally
+    # persists (the batch analog of the reference's stored inner table;
+    # the streaming cascade lives in streaming/materialized.py)
+    mv = re.match(
+        r"^CREATE\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(\w+)`?\s+AS\s+(SELECT\b.*)$",
+        text, re.IGNORECASE | re.DOTALL)
+    if mv:
+        df = ch_sql(spark, mv.group(3), sample_by=sample_by,
+                    tables=tables)
+        if mv.group(1):
+            df = df.persist()
+        df.createOrReplaceTempView(mv.group(2))
+        return df
+
+    # SELECT ... INTO OUTFILE 'path' [FORMAT fmt]
+    # (src/Parsers/ParserQueryWithOutput.cpp): run the select and write
+    # through the format sink mapping
+    mo = re.search(r"\sINTO\s+OUTFILE\s+'([^']+)'\s*(?:FORMAT\s+(\w+))?\s*$",
+                   text, re.IGNORECASE)
+    if mo:
+        from ..sources.formats import write_format
+        df = ch_sql(spark, text[:mo.start()], sample_by=sample_by,
+                    tables=tables)
+        write_format(df, mo.group(1), mo.group(2) or "CSVWithNames")
+        return df
+
     # system.one: the reference's 1-row dummy table
     # (src/Storages/System/StorageSystemOne.h)
     text = re.sub(r"\bFROM\s+system\.one\b",

@@ -586,3 +586,20 @@ def test_columns_apply_sql(spark, catalog):
                 "FROM orders")
     assert set(df.columns) == {"max(o_orderkey)", "max(o_custkey)"}
     assert df.first()["max(o_orderkey)"] > 0
+
+
+def test_create_view_and_outfile(spark, catalog, tmp_path):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    ch_sql(spark, "CREATE VIEW v_round4 AS SELECT o_orderstatus, "
+                  "count() AS c FROM orders GROUP BY o_orderstatus")
+    assert ch_sql(spark, "SELECT sum(c) AS t FROM v_round4").first().t > 0
+    ch_sql(spark, "CREATE MATERIALIZED VIEW mv_round4 AS "
+                  "SELECT max(o_orderkey) AS m FROM orders")
+    assert spark.table("mv_round4").first().m > 0
+    out = str(tmp_path / "outfile_csv")
+    df = ch_sql(spark, f"SELECT o_orderkey FROM orders "
+                       f"ORDER BY o_orderkey LIMIT 5 "
+                       f"INTO OUTFILE '{out}' FORMAT CSVWithNames")
+    assert df.count() == 5
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 5
