@@ -112,6 +112,33 @@ class Catalog:
             if os.path.exists(self.path(name)):
                 self.table(name).createOrReplaceTempView(name)
 
+    def register_system_tables(self) -> None:
+        """Introspection views mirroring the reference's system database
+        (src/Storages/System/StorageSystemTables.cpp, ...Columns.cpp;
+        system.one at StorageSystemOne.h).  Spark temp views can't carry
+        a ``system.`` qualifier, so the CH names map to ``system_*``
+        (ch_sql also rewrites ``FROM system.one`` directly)."""
+        spark = self.spark
+        rows = []
+        col_rows = []
+        for name in STANDARD_TABLES:
+            if not os.path.exists(self.path(name)):
+                continue
+            df = self.table(name)
+            rows.append((name, "MergeTree", self.path(name)))
+            for pos, f in enumerate(df.schema.fields):
+                col_rows.append((name, f.name, f.dataType.simpleString(),
+                                 pos + 1))
+        spark.createDataFrame(
+            rows, "name string, engine string, data_path string"
+        ).createOrReplaceTempView("system_tables")
+        spark.createDataFrame(
+            col_rows,
+            "table string, name string, type string, position int"
+        ).createOrReplaceTempView("system_columns")
+        spark.createDataFrame([(0,)], "dummy int") \
+            .createOrReplaceTempView("system_one")
+
 
 def load_catalog(spark: SparkSession, base_dir: str, register: bool = True) -> Catalog:
     cat = Catalog(spark, base_dir)

@@ -1570,6 +1570,11 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     # (src/Storages/System/StorageSystemOne.h)
     text = re.sub(r"\bFROM\s+system\.one\b",
                   "FROM (SELECT 0 AS dummy)", text, flags=re.IGNORECASE)
+    # system.tables / system.columns -> the Catalog's introspection
+    # views (Catalog.register_system_tables)
+    text = re.sub(r"\bsystem\.(tables|columns)\b",
+                  lambda m: f"system_{m.group(1)}", text,
+                  flags=re.IGNORECASE)
     text = _rewrite_columns_apply(spark, text)
 
     if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", text, re.IGNORECASE):

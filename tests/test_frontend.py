@@ -603,3 +603,14 @@ def test_create_view_and_outfile(spark, catalog, tmp_path):
     assert df.count() == 5
     back = spark.read.option("header", "true").csv(out)
     assert back.count() == 5
+
+
+def test_system_tables_introspection(spark, catalog):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    catalog.register_system_tables()
+    names = {r.name for r in ch_sql(
+        spark, "SELECT name FROM system.tables").collect()}
+    assert {"orders", "lineitem"} <= names
+    cols = ch_sql(spark, "SELECT name, type FROM system.columns "
+                         "WHERE table = 'orders' ORDER BY position").collect()
+    assert cols[0].name == "o_orderkey"
