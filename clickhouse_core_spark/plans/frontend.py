@@ -1473,6 +1473,35 @@ def _rewrite_columns_apply(spark, sql: str) -> str:
     return _COLUMNS_APPLY_RE.sub(sub, sql)
 
 
+# Query-result cache (reference src/Interpreters/Cache/QueryCache.h,
+# SETTINGS use_query_cache): keyed by normalized query text; entries
+# are persisted DataFrames, so a hit skips translation AND
+# recomputation (Spark recomputes lazily from the persisted blocks).
+_QUERY_CACHE: dict = {}
+
+
+def clear_query_cache() -> None:
+    """SYSTEM DROP QUERY CACHE analog."""
+    for df in _QUERY_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _QUERY_CACHE.clear()
+
+
+def ch_sql_cached(spark, sql: str, **kwargs):
+    """ch_sql with the query cache engaged (use_query_cache=1)."""
+    key = " ".join(sql.split())
+    if key in _QUERY_CACHE:
+        return _QUERY_CACHE[key]
+    df = ch_sql(spark, sql, **kwargs)
+    if df is not None and hasattr(df, "persist"):
+        df = df.persist()
+        _QUERY_CACHE[key] = df
+    return df
+
+
 def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
            tables: dict | None = None):
     """Run a ClickHouse-dialect query on Spark (tables must be
@@ -1502,6 +1531,16 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
       MergeTreeTable.update_where (MutationsInterpreter.h).
     """
     text = sql.strip().rstrip(";")
+
+    # SETTINGS use_query_cache = 1 routes through the result cache
+    qc = re.search(r"use_query_cache\s*=\s*1'?", text, re.IGNORECASE)
+    if qc:
+        cleaned = re.sub(r"(,\s*)?use_query_cache\s*=\s*1'?", "", text,
+                         flags=re.IGNORECASE)
+        cleaned = re.sub(r"\bSETTINGS\s*$", "", cleaned,
+                         flags=re.IGNORECASE).rstrip().rstrip(",")
+        return ch_sql_cached(spark, cleaned, sample_by=sample_by,
+                             tables=tables)
 
     m = _EXPLAIN_RE.match(text)
     if m:

@@ -614,3 +614,16 @@ def test_system_tables_introspection(spark, catalog):
     cols = ch_sql(spark, "SELECT name, type FROM system.columns "
                          "WHERE table = 'orders' ORDER BY position").collect()
     assert cols[0].name == "o_orderkey"
+
+
+def test_query_cache(spark, catalog):
+    from clickhouse_core_spark.plans import frontend as fe
+    fe.clear_query_cache()
+    q = "SELECT count() AS c FROM orders SETTINGS use_query_cache = 1"
+    df1 = fe.ch_sql(spark, q)
+    df2 = fe.ch_sql(spark, q)
+    assert df1 is df2           # same cached frame object
+    assert df1.first().c > 0
+    assert len(fe._QUERY_CACHE) == 1
+    fe.clear_query_cache()
+    assert not fe._QUERY_CACHE
