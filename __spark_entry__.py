@@ -5008,6 +5008,32 @@ def ch_sql_round4_surface_q(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus ORDER BY st""")
 
 
+@q("agg_quantile_weighted", """
+WITH rep AS (
+  SELECT o_orderstatus AS st, CAST(o_totalprice AS DOUBLE) AS x,
+         unnest(range(CAST(1 + o_orderkey % 3 AS BIGINT))) AS i
+  FROM orders)
+SELECT st, round(quantile_cont(x, 0.5), 4) AS qw,
+       round(quantile_cont(x, 0.9), 4) AS q90
+FROM rep GROUP BY st ORDER BY st
+""")
+def agg_quantile_weighted(spark, sf_dir):
+    """quantileExactWeighted / quantileTimingWeighted family (reference
+    AggregateFunctionQuantile.cpp weighted registrations): weights map
+    to Spark percentile's integral frequency argument; the oracle
+    expands rows by weight (the definition of weighted quantile)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderstatus AS st,
+               round(quantileExactWeighted(0.5)(
+                   CAST(o_totalprice AS Float64), 1 + o_orderkey % 3), 4)
+                   AS qw,
+               round(quantileTimingWeighted(0.9)(
+                   CAST(o_totalprice AS Float64), 1 + o_orderkey % 3), 4)
+                   AS q90
+        FROM orders GROUP BY o_orderstatus ORDER BY st""")
+
+
 # ------------------------------------- Coalescing / GraphiteRollup FINAL
 
 @q("final_coalescing", """

@@ -356,6 +356,27 @@ _PARAMETRIC: dict = {
     "grouparraylast": lambda p, a: (
         f"slice(collect_list({a[0]}), "
         f"greatest(size(collect_list({a[0]})) - {p[0]} + 1, 1), {p[0]})"),
+    # quantile sketch variants (AggregateFunctionQuantile.cpp
+    # registrations): timing/bfloat16/deterministic collapse to exact
+    # percentile on Spark (same-or-tighter error contract); weighted
+    # forms use percentile's integral frequency argument
+    "quantiletiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantilebfloat16": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantiledeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileexactweighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"),
+    "quantiletimingweighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"),
+    "quantileinterpolatedweighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"),
+    "quantiletdigestweighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"),
+    "quantilesexact": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"),
+    "quantilestiming": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"),
+    "quantilestdigest": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"),
     # groupArray(N)(x): first N values (insertion order is arbitrary in
     # the reference too — any-N contract, AggregateFunctionGroupArray.h)
     "grouparray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
