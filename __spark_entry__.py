@@ -5034,6 +5034,37 @@ def agg_quantile_weighted(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus ORDER BY st""")
 
 
+@q("agg_skew_kurt_family", """
+WITH s AS (SELECT o_orderstatus AS st, CAST(o_totalprice AS DOUBLE) AS x
+           FROM orders),
+mu AS (SELECT st, avg(x) AS m FROM s GROUP BY st),
+c AS (SELECT s.st, s.x - mu.m AS d FROM s JOIN mu ON s.st = mu.st),
+mo AS (SELECT st, CAST(count(*) AS DOUBLE) AS n, avg(d*d) AS m2,
+              avg(d*d*d) AS m3, avg(d*d*d*d) AS m4
+       FROM c GROUP BY st)
+SELECT st,
+       round(m3 / pow(m2, 1.5), 6) AS sp,
+       round(m3 / pow(m2 * n / (n - 1), 1.5), 6) AS ss,
+       round(m4 / pow(m2, 2), 6) AS kp,
+       round(m4 / pow(m2 * n / (n - 1), 2), 6) AS ks
+FROM mo ORDER BY st
+""")
+def agg_skew_kurt_family(spark, sf_dir):
+    """skewPop/skewSamp/kurtPop/kurtSamp (reference
+    AggregateFunctionStatisticsSimple.h:162-196, Moments.h getMoment3/4:
+    POPULATION central moment over population/sample variance^k) —
+    the *Samp forms are NOT Spark's excess-kurtosis/G1, they scale by
+    ((n-1)/n)^k; the oracle recomputes from two-pass central moments."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderstatus AS st,
+               round(skewPop(CAST(o_totalprice AS Float64)), 6) AS sp,
+               round(skewSamp(CAST(o_totalprice AS Float64)), 6) AS ss,
+               round(kurtPop(CAST(o_totalprice AS Float64)), 6) AS kp,
+               round(kurtSamp(CAST(o_totalprice AS Float64)), 6) AS ks
+        FROM orders GROUP BY o_orderstatus ORDER BY st""")
+
+
 # ------------------------------------- Coalescing / GraphiteRollup FINAL
 
 @q("final_coalescing", """

@@ -216,6 +216,19 @@ _RULES: dict = {
     "stddevpop": _fn("stddev_pop"), "stddevsamp": _fn("stddev_samp"),
     "varpop": _fn("var_pop"), "varsamp": _fn("var_samp"),
     "covarpop": _fn("covar_pop"), "covarsamp": _fn("covar_samp"),
+    # skew/kurt (AggregateFunctionStatisticsSimple.h:162-196 +
+    # Moments.h): skewPop = m3/varPop^1.5 = Spark skewness;
+    # kurtPop = m4/varPop² = Spark kurtosis + 3 (Spark reports excess);
+    # the *Samp forms divide the same POPULATION central moment by the
+    # SAMPLE variance, i.e. scale by ((n-1)/n)^{1.5 or 2}
+    "skewpop": _fn("skewness"),
+    "skewsamp": lambda a: (
+        f"(skewness({a[0]}) * power((count({a[0]}) - 1) "
+        f"/ CAST(count({a[0]}) AS DOUBLE), 1.5))"),
+    "kurtpop": lambda a: f"(kurtosis({a[0]}) + 3)",
+    "kurtsamp": lambda a: (
+        f"((kurtosis({a[0]}) + 3) * power((count({a[0]}) - 1) "
+        f"/ CAST(count({a[0]}) AS DOUBLE), 2))"),
     # *Stable variants (AggregateFunctionStatisticsSimple.cpp): same
     # results via a numerically stable algorithm — Spark's moment aggs
     # already use a stable one-pass formulation, so they alias.
