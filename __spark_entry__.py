@@ -165,11 +165,19 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """)
 def q3(spark, sf_dir):
+    """lineitem is the streamed fact side: the dimension pipeline
+    (customer ⨝ orders, both filtered) broadcasts; writing it
+    customer-first let Catalyst broadcast the filtered LINEITEM at
+    small SF (borderline under the 64m threshold) — a plan that
+    inverts at 100 TB.  Fact-streams-dims-broadcast holds at any
+    scale."""
     c = _cat(spark, sf_dir)
-    return (c.customer.filter(F.col("c_mktsegment") == "BUILDING")
-            .join(c.orders.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
-                  F.col("c_custkey") == F.col("o_custkey"))
-            .join(c.lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")),
+    dims = (c.customer.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(c.orders.filter(F.col("o_orderdate")
+                                  < F.lit("1998-03-15").cast("timestamp")),
+                  F.col("c_custkey") == F.col("o_custkey")))
+    return (c.lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+            .join(F.broadcast(dims),
                   F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("l_orderkey", "o_orderdate")
             # round(,4): the sum's true value has exactly 4 decimal digits
@@ -197,14 +205,19 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """)
 def q5(spark, sf_dir):
+    """lineitem streams; the year-filtered orders ⨝ customer pipeline
+    is the build side (AQE broadcasts it at small SF, shuffles both at
+    real scale) — the inverted formulation broadcast the FACT table."""
     c = _cat(spark, sf_dir)
-    return (c.customer
-            .join(c.orders.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
-                F.col("c_custkey") == F.col("o_custkey"))
-            .join(c.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
-            .join(c.supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+    cust_orders = (c.customer
+                   .join(c.orders.filter(
+                       (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                       & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+                       F.col("c_custkey") == F.col("o_custkey")))
+    return (c.lineitem
+            .join(cust_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c.supplier,
+                  (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .join(F.broadcast(c.nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .join(F.broadcast(c.region.filter(F.col("r_name") == "ASIA")),
@@ -247,14 +260,17 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """)
 def q10(spark, sf_dir):
+    """Returned-lineitem fact streams; the 6-month orders ⨝ customer
+    pipeline is the build side (same fact-vs-dims inversion fix as
+    q3/q5)."""
     c = _cat(spark, sf_dir)
-    return (c.customer
-            .join(c.orders.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))),
-                F.col("c_custkey") == F.col("o_custkey"))
-            .join(c.lineitem.filter(F.col("l_returnflag") == "R"),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
+    cust_orders = (c.customer
+                   .join(c.orders.filter(
+                       (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                       & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))),
+                       F.col("c_custkey") == F.col("o_custkey")))
+    return (c.lineitem.filter(F.col("l_returnflag") == "R")
+            .join(cust_orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
@@ -292,11 +308,16 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20
 """)
 def q18(spark, sf_dir):
+    """Aggregate lineitem FIRST (sum_qty needs only l_orderkey), apply
+    the HAVING filter, then join orders against the surviving tiny key
+    set — at any scale this replaces a fact-fact join with a partial
+    agg + filtered equi-join (the surviving set broadcasts)."""
     c = _cat(spark, sf_dir)
-    return (c.orders.join(c.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
-            .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
-            .agg(F.sum("l_quantity").alias("sum_qty"))
-            .filter(F.col("sum_qty") > 150)
+    big = (c.lineitem.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150))
+    return (c.orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+            .select("o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
             .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
             .limit(20))
 
