@@ -1589,6 +1589,23 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
                              f"(pass tables={{name: table}})")
         table.insert(ch_sql(spark, select, sample_by=sample_by))
         return None
+
+    # OPTIMIZE TABLE t [FINAL] -> background-merge-now, i.e. compaction
+    # (reference src/Interpreters/InterpreterOptimizeQuery.h)
+    m = re.match(r"^OPTIMIZE\s+TABLE\s+`?(\w+)`?(\s+FINAL)?\s*$", text,
+                 re.IGNORECASE)
+    if m:
+        table = (tables or {}).get(m.group(1))
+        if table is None:
+            raise ValueError(f"OPTIMIZE needs a MergeTreeTable for "
+                             f"{m.group(1)!r}")
+        table.compact()
+        return None
+
+    # SYSTEM DROP QUERY CACHE (QueryCache.h)
+    if re.match(r"^SYSTEM\s+DROP\s+QUERY\s+CACHE\s*$", text, re.IGNORECASE):
+        clear_query_cache()
+        return None
     m = _DELETE_RE.match(text)
     if m:
         name = m.group(1) or m.group(2)

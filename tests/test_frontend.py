@@ -627,3 +627,20 @@ def test_query_cache(spark, catalog):
     assert len(fe._QUERY_CACHE) == 1
     fe.clear_query_cache()
     assert not fe._QUERY_CACHE
+
+
+def test_optimize_table_and_system_drop(spark, tmp_path):
+    from clickhouse_core_spark.plans import frontend as fe
+    from clickhouse_core_spark.sources.mergetree import MergeTreeTable
+    t = MergeTreeTable(spark, str(tmp_path / "opt_t"), order_by=["k"])
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    t.insert(df.filter("k = 1"))
+    t.insert(df.filter("k = 2"))
+    n_parts = len(t.parts())
+    fe.ch_sql(spark, "OPTIMIZE TABLE opt_t FINAL", tables={"opt_t": t})
+    assert len(t.parts()) <= n_parts
+    assert t.read().count() == 2
+    fe.ch_sql(spark, "SELECT 1 AS x SETTINGS use_query_cache = 1")
+    assert fe._QUERY_CACHE
+    fe.ch_sql(spark, "SYSTEM DROP QUERY CACHE")
+    assert not fe._QUERY_CACHE
