@@ -1643,9 +1643,81 @@ _UUIDF = {
 }
 
 
+def _format_readable_time_delta(sec):
+    """formatReadableTimeDelta (reference
+    src/Functions/formatReadableTimeDelta.cpp:178-210): units year=365d,
+    month=30.5d; nonzero units joined with ', ', ' and ' before the
+    terminal seconds unit (always shown)."""
+    s = F.floor(F.abs(_c(sec).cast("double"))).cast("long")
+    sign = F.when(_c(sec) < 0, F.lit("-")).otherwise(F.lit(""))
+    units = [("year", 365 * 86400), ("month", int(30.5 * 86400)),
+             ("day", 86400), ("hour", 3600), ("minute", 60)]
+    parts = []
+    rem = s
+    for name, width in units:
+        cnt = F.floor(rem / F.lit(width)).cast("long")
+        rem = rem % F.lit(width)
+        parts.append(F.when(cnt > 0, F.concat(
+            cnt.cast("string"), F.lit(" " + name),
+            F.when(cnt != 1, F.lit("s")).otherwise(F.lit("")))))
+    secs = rem
+    last = F.concat(secs.cast("string"), F.lit(" second"),
+                    F.when(secs != 1, F.lit("s")).otherwise(F.lit("")))
+    arr = F.filter(F.array(*parts), lambda x: x.isNotNull())
+    body = F.when(F.size(arr) > 0,
+                  F.concat(F.array_join(arr, ", "), F.lit(" and "), last)
+                  ).otherwise(last)
+    return F.concat(sign, body)
+
+
+def _change_part(part: str):
+    """changeYear/Month/Day/Hour/Minute/Second (reference
+    src/Functions/changeDate.cpp): rebuild the timestamp with one
+    component replaced (invalid combinations -> NULL via
+    try_make_timestamp, the OrNull-style refinement of the reference's
+    saturation)."""
+    def fn(ts, v):
+        t = _c(ts).cast("timestamp")
+        comp = {
+            "year": F.year(t), "month": F.month(t),
+            "day": F.dayofmonth(t), "hour": F.hour(t),
+            "minute": F.minute(t), "second": F.second(t),
+        }
+        comp[part] = _c(v) if isinstance(v, Column) else F.lit(int(v))
+        return F.try_make_timestamp(
+            comp["year"], comp["month"], comp["day"],
+            comp["hour"], comp["minute"], comp["second"].cast("double"))
+    return fn
+
+
 # MySQL/ANSI-compat names + reference registerAlias surface (each alias
 # line cites the reference file that registers it).
 _COMPAT = {
+    "formatReadableTimeDelta": _format_readable_time_delta,
+    "changeYear": _change_part("year"),
+    "changeMonth": _change_part("month"),
+    "changeDay": _change_part("day"),
+    "changeHour": _change_part("hour"),
+    "changeMinute": _change_part("minute"),
+    "changeSecond": _change_part("second"),
+    # toInterval* (FunctionsConversion.h interval forms): day-time
+    # intervals via make_dt_interval, year-month via make_interval
+    "toIntervalSecond": lambda n: F.make_dt_interval(
+        F.lit(0), F.lit(0), F.lit(0), _c(n).cast("double")),
+    "toIntervalMinute": lambda n: F.make_dt_interval(
+        F.lit(0), F.lit(0), _c(n).cast("int")),
+    "toIntervalHour": lambda n: F.make_dt_interval(
+        F.lit(0), _c(n).cast("int")),
+    "toIntervalDay": lambda n: F.make_dt_interval(_c(n).cast("int")),
+    "toIntervalWeek": lambda n: F.make_dt_interval(
+        (_c(n) * 7).cast("int")),
+    "toIntervalMonth": lambda n: F.make_interval(
+        F.lit(0), _c(n).cast("int")),
+    "toIntervalQuarter": lambda n: F.make_interval(
+        F.lit(0), (_c(n) * 3).cast("int")),
+    "toIntervalYear": lambda n: F.make_interval(_c(n).cast("int")),
+    "nowInBlock": lambda: F.current_timestamp(),  # nowInBlock.cpp
+    "UTCTimestamp": lambda: F.current_timestamp(),  # UTC session
     # widthBucket.cpp:283-290 (+ width_bucket alias)
     "widthBucket": lambda x, lo, hi, n: F.width_bucket(
         _c(x), _c(lo), _c(hi), _c(n)),

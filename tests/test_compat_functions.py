@@ -125,3 +125,40 @@ def test_respect_nulls_agg_sql(spark):
 def test_registry_size_monotonic():
     # the registry should keep covering the reference's alias surface
     assert len(CH_FUNCTIONS) >= 540
+
+
+def test_format_readable_time_delta(spark):
+    assert _one(spark, ch.formatReadableTimeDelta(F.lit(36806453))) == \
+        "1 year, 2 months and 53 seconds"
+    assert _one(spark, ch.formatReadableTimeDelta(F.lit(0))) == "0 seconds"
+    assert _one(spark, ch.formatReadableTimeDelta(F.lit(-61))) == \
+        "-1 minute and 1 second"
+    assert _one(spark, ch.formatReadableTimeDelta(F.lit(3661))) == \
+        "1 hour, 1 minute and 1 second"
+
+
+def test_change_date_parts(spark):
+    import datetime as dt
+    assert _one(spark, ch.changeMonth(
+        F.lit("2024-01-15 10:30:00"), 7)) == \
+        dt.datetime(2024, 7, 15, 10, 30)
+    # invalid result (Feb 29 in a non-leap year) -> NULL
+    assert _one(spark, ch.changeYear(
+        F.lit("2024-02-29 10:00:00"), 2023)) is None
+    assert _one(spark, ch.changeSecond(
+        F.lit("2024-01-15 10:30:11"), 59)) == \
+        dt.datetime(2024, 1, 15, 10, 30, 59)
+
+
+def test_to_interval_family(spark):
+    import datetime as dt
+    r = spark.range(1).select(
+        (F.lit("2024-01-01").cast("timestamp")
+         + ch.toIntervalDay(F.lit(10))).alias("d"),
+        (F.lit("2024-01-31").cast("date")
+         + ch.toIntervalMonth(F.lit(1))).alias("m"),
+        (F.lit("2024-01-01").cast("timestamp")
+         + ch.toIntervalHour(F.lit(25))).alias("h")).first()
+    assert r.d == dt.datetime(2024, 1, 11)
+    assert r.m == dt.date(2024, 2, 29)  # month-end clamp
+    assert r.h == dt.datetime(2024, 1, 2, 1)
