@@ -5086,6 +5086,60 @@ def agg_skew_kurt_family(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus ORDER BY st""")
 
 
+@q("pipeline_stratified_sample", """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#42')),
+                               1, 15)) AS BIGINT)
+      / 1152921504606846976.0
+      < CASE lang WHEN 'en' THEN 0.9 WHEN 'es' THEN 0.4 ELSE 0.2 END
+ORDER BY doc_id
+""")
+def pipeline_stratified_sample(spark, sf_dir):
+    """Deterministic stratified corpus sampling (pipeline/sampling.py):
+    per-language keep fractions decided by a portable md5 id-hash —
+    reproducible across runs, engines and partitionings (df.sample is
+    none of those).  The oracle recomputes the identical hash in
+    DuckDB, so the kept SET (not just its size) is value-checked."""
+    from clickhouse_core_spark.pipeline import stratified_sample
+    docs = _cat(spark, sf_dir).documents
+    return (stratified_sample(docs, {"en": 0.9, "es": 0.4},
+                              strata_col="lang", default_fraction=0.2)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
+@q("pipeline_pack_token_budget", """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 16 AS bucket
+  FROM documents),
+c AS (
+  SELECT doc_id, bucket,
+         sum(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+  FROM b)
+SELECT doc_id,
+       concat(CAST(bucket AS VARCHAR), '-',
+              CAST(greatest(CAST(floor((cum - 1) / 20000) AS BIGINT), 0)
+                   AS VARCHAR)) AS shard
+FROM c ORDER BY doc_id
+""")
+def pipeline_pack_token_budget(spark, sf_dir):
+    """Token-budget shard packing (pipeline/sampling.py): documents
+    hash into 16 independent streams, a per-stream running token total
+    cuts a shard every 20k tokens — no global sort, parallelism =
+    bucket count.  Portable md5 bucket hash so the oracle reproduces
+    the exact shard assignment."""
+    from clickhouse_core_spark.pipeline import pack_token_budget
+    docs = _cat(spark, sf_dir).documents
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("decimal(20,0)").cast("long"),
+        F.lit(16))
+    out = pack_token_budget(docs, budget=20000, token_col="n_chars",
+                            n_buckets=16, bucket=bucket)
+    return out.select("doc_id", "shard").orderBy("doc_id")
+
+
 # ------------------------------------- Coalescing / GraphiteRollup FINAL
 
 @q("final_coalescing", """

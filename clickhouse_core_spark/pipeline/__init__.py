@@ -21,6 +21,11 @@ from clickhouse_core_spark.pipeline.graphs import (
     connected_components,
     dedup_clusters,
 )
+from clickhouse_core_spark.pipeline.sampling import (
+    deterministic_sample,
+    stratified_sample,
+    pack_token_budget,
+)
 from clickhouse_core_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_duplicates,
@@ -41,6 +46,7 @@ __all__ = [
     "exact_dedup", "md5_hash60", "minhash_signatures", "minhash_lsh_dedup",
     "simhash_dedup", "ngram_jaccard_pairs",
     "connected_components", "dedup_clusters",
+    "deterministic_sample", "stratified_sample", "pack_token_budget",
     "cosine_topk", "embedding_near_duplicates", "ivf_topk", "lsh_ann_topk",
     "with_token_count", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_pii_redacted", "with_gopher_signals",
