@@ -5029,7 +5029,7 @@ def ch_sql_round4_surface_q(spark, sf_dir):
         FROM orders GROUP BY o_orderstatus ORDER BY st""")
 
 
-@q("agg_quantile_weighted", """
+@q("agg_quantile_weighted_sql", """
 WITH rep AS (
   SELECT o_orderstatus AS st, CAST(o_totalprice AS DOUBLE) AS x,
          unnest(range(CAST(1 + o_orderkey % 3 AS BIGINT))) AS i
@@ -5038,7 +5038,7 @@ SELECT st, round(quantile_cont(x, 0.5), 4) AS qw,
        round(quantile_cont(x, 0.9), 4) AS q90
 FROM rep GROUP BY st ORDER BY st
 """)
-def agg_quantile_weighted(spark, sf_dir):
+def agg_quantile_weighted_sql(spark, sf_dir):
     """quantileExactWeighted / quantileTimingWeighted family (reference
     AggregateFunctionQuantile.cpp weighted registrations): weights map
     to Spark percentile's integral frequency argument; the oracle
