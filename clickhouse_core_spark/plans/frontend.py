@@ -323,6 +323,13 @@ _RULES["medianexactlow"] = (
 _RULES["medianexacthigh"] = (
     lambda a: _PARAMETRIC["quantileexacthigh"](["0.5"], a))
 
+# lagInFrame/leadInFrame are CH's lag/lead (WindowTransform.cpp:2269 —
+# CH has no bare lag/lead). Spark's lag/lead ignore the frame clause;
+# the frame-clamped distinction matters only for frames narrower than
+# the offset (operators/windows.py lag_in_frame covers that exactly).
+_RULES["laginframe"] = lambda a: f"lag({', '.join(a)})"
+_RULES["leadinframe"] = lambda a: f"lead({', '.join(a)})"
+
 _RULES["anyargmin"] = _fn("min_by")
 _RULES["anyargmax"] = _fn("max_by")
 for _base in ("sum", "avg", "min", "max", "count"):
