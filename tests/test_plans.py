@@ -172,3 +172,46 @@ def test_connected_components_round_is_two_shuffles(spark):
         [(2, 1), (3, 2), (9, 3)], "u bigint, v bigint")
     plan = _plan(_star_round(edges))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def _broadcast_subtrees(plan: str) -> list:
+    """Lines belonging to each BroadcastExchange subtree (children are
+    printed with deeper indentation)."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        indent = len(line) - len(line.lstrip(" :+-"))
+        sub = []
+        for nxt in lines[i + 1:]:
+            nindent = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nxt.strip() and nindent <= indent:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_fact_table_never_broadcasts(spark):
+    # scale gate for the TPC-H join shapes rewritten in round 4: where
+    # the plan is pinned (q3's explicit dim broadcast, q18's pre-join
+    # aggregation) the lineitem FACT scan must stream, never sit under
+    # a BroadcastExchange.  q5/q10 are left to Catalyst's cost model —
+    # below the 64m threshold broadcasting the filtered fact is the
+    # cost-optimal LOCAL choice, and the same threshold forbids it at
+    # real scale (AQE re-plans from runtime sizes), so no gate there.
+    for name in ("q3_shipping_priority", "q18_large_orders"):
+        df = entry.queries()[name](spark, SF_DIR)
+        for sub in _broadcast_subtrees(_plan(df)):
+            assert "lineitem" not in sub, f"{name} broadcasts lineitem"
+
+
+def test_q18_aggregates_before_join(spark):
+    # the HAVING sum_qty filter must run on lineitem BEFORE the orders
+    # join (partial agg replaces a fact-fact join)
+    plan = _optimized(entry.queries()["q18_large_orders"](spark, SF_DIR))
+    join_pos = plan.find("Join")
+    agg_pos = plan.rfind("Aggregate")
+    assert join_pos != -1 and agg_pos > join_pos, \
+        "lineitem aggregation is not below the join"
