@@ -5140,6 +5140,36 @@ def pipeline_pack_token_budget(spark, sf_dir):
     return out.select("doc_id", "shard").orderBy("doc_id")
 
 
+@q("ch_sql_array_json_breadth", """
+SELECT o_orderkey,
+       CAST(o_orderkey + 2 AS BIGINT) AS cum3,
+       CAST(o_orderkey AS BIGINT) AS diff_last,
+       CAST(len(CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS jlen,
+       CAST(o_orderkey % 5 AS BIGINT) AS jint,
+       CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS fin
+FROM orders WHERE o_orderkey < 250 ORDER BY o_orderkey
+""")
+def ch_sql_array_json_breadth(spark, sf_dir):
+    """Round-4 SQL rule batch: arrayCumSum/arrayDifference
+    (src/Functions/array/arrayCumSum.cpp, arrayDifference.cpp), typed
+    JSONExtract*/JSONLength (FunctionsJSON.cpp), isFinite
+    (FunctionsMiscellaneous) — scalarized for the driver hasher."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderkey,
+               CAST(element_at(arrayCumSum([1, 1, o_orderkey]), 3)
+                    AS Int64) AS cum3,
+               CAST(element_at(arrayDifference([0, 0, o_orderkey]), 3)
+                    AS Int64) AS diff_last,
+               CAST(JSONLength(concat('{"a": [',
+                    repeat('1,', length(toString(o_orderkey)) - 1),
+                    '1]}'), 'a') AS Int64) AS jlen,
+               JSONExtractInt(concat('{"v": ', toString(o_orderkey % 5),
+                                     '}'), 'v') AS jint,
+               isFinite(divide(1.0, o_orderkey % 2)) AS fin
+        FROM orders WHERE o_orderkey < 250 ORDER BY o_orderkey""")
+
+
 # ------------------------------------- Coalescing / GraphiteRollup FINAL
 
 @q("final_coalescing", """
