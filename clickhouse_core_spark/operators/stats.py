@@ -482,6 +482,27 @@ def gradient_linear_regression(df: DataFrame, feature_cols: Sequence[str],
     return spark.createDataFrame([row], schema)
 
 
+def eval_ml_method(weights: Sequence[float], bias: float,
+                   feature_cols: Sequence[str | Column],
+                   kind: str = "linear") -> Column:
+    """evalMLMethod(state, features...) (reference
+    src/Functions/evalMLMethod.cpp + AggregateFunctionMLMethod.h
+    predict): apply a trained linear/logistic state to feature columns.
+    The state here is the (weights, bias) row produced by
+    :func:`gradient_linear_regression` /
+    :func:`gradient_logistic_regression` (raw-space coefficients);
+    prediction is a pure Catalyst expression — no Python per row."""
+    pred = F.lit(float(bias))
+    for w, c in zip(weights, feature_cols):
+        col = F.col(c) if isinstance(c, str) else c
+        pred = pred + F.lit(float(w)) * col.cast("double")
+    if kind == "logistic":
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-pred))
+    if kind != "linear":
+        raise ValueError(f"evalMLMethod: unknown kind {kind!r}")
+    return pred
+
+
 def gradient_logistic_regression(df: DataFrame, feature_cols: Sequence[str],
                                  label_col: str, learning_rate: float = 0.5,
                                  iterations: int = 10) -> DataFrame:

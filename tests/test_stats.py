@@ -155,3 +155,22 @@ def test_gradient_logreg_learns_separator(spark):
                                      learning_rate=1.0, iterations=40).first()
     assert r.w0 > 1.0          # decisive weight on the separating axis
     assert abs(r.w1) < 0.5     # noise axis stays small
+
+
+def test_eval_ml_method_roundtrip(spark):
+    # train on an exact linear relation, then evalMLMethod must recover it
+    import pyspark.sql.functions as F
+    from clickhouse_core_spark.operators.stats import (
+        eval_ml_method, gradient_linear_regression)
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + 3)) for i in range(50)], "x double, y double")
+    w = gradient_linear_regression(df, ["x"], "y", learning_rate=0.5,
+                                   iterations=60).first()
+    pred = df.withColumn("p", eval_ml_method(
+        [w.raw_w0], w.raw_bias, ["x"])).select(
+        F.max(F.abs(F.col("p") - F.col("y"))).alias("err")).first().err
+    assert pred < 0.05
+    # logistic shape: output in (0, 1)
+    probs = df.withColumn("p", eval_ml_method(
+        [w.raw_w0], w.raw_bias, ["x"], kind="logistic")).select("p").collect()
+    assert all(0.0 <= r.p <= 1.0 for r in probs)
