@@ -328,6 +328,53 @@ _RULES["medianexactlow"] = (
 _RULES["medianexacthigh"] = (
     lambda a: _PARAMETRIC["quantileexacthigh"](["0.5"], a))
 
+# string/array/bit SQL forms (round-4 fuzz batch; registry had the
+# DataFrame forms already)
+_RULES["tofixedstring"] = lambda a: f"rpad({a[0]}, {a[1]}, chr(0))"
+_RULES["countmatches"] = lambda a: (
+    f"size(regexp_extract_all({a[0]}, {a[1]}, 0))")
+_RULES["positioncaseinsensitive"] = lambda a: (
+    f"locate(lower({a[1]}), lower({a[0]}))")
+_RULES["substringindex"] = lambda a: (
+    f"substring_index({a[0]}, {a[1]}, {a[2]})")
+_RULES["arrayreversesort"] = lambda a: f"reverse(array_sort({a[0]}))"
+_RULES["arraypartialsort"] = lambda a: (
+    # first-n-sorted contract; the tail's order is unspecified in the
+    # reference, so a full sort satisfies it (arrayPartialSort.cpp)
+    f"array_sort({a[1]})")
+_RULES["arrayrotateleft"] = lambda a: (
+    f"concat(slice({a[0]}, pmod({a[1]}, size({a[0]})) + 1, "
+    f"size({a[0]}) - pmod({a[1]}, size({a[0]}))), "
+    f"slice({a[0]}, 1, pmod({a[1]}, size({a[0]}))))")
+_RULES["arrayrotateright"] = lambda a: (
+    f"concat(slice({a[0]}, pmod(-({a[1]}), size({a[0]})) + 1, "
+    f"size({a[0]}) - pmod(-({a[1]}), size({a[0]}))), "
+    f"slice({a[0]}, 1, pmod(-({a[1]}), size({a[0]}))))")
+_RULES["arrayshiftleft"] = lambda a: (
+    f"concat(slice({a[0]}, ({a[1]}) + 1, size({a[0]}) - ({a[1]})), "
+    f"array_repeat({a[2] if len(a) > 2 else 'NULL'}, {a[1]}))")
+_RULES["arrayshiftright"] = lambda a: (
+    f"concat(array_repeat({a[2] if len(a) > 2 else 'NULL'}, {a[1]}), "
+    f"slice({a[0]}, 1, size({a[0]}) - ({a[1]})))")
+_RULES["arrayresize"] = lambda a: (
+    f"CASE WHEN ({a[1]}) <= size({a[0]}) THEN slice({a[0]}, 1, {a[1]}) "
+    f"ELSE concat({a[0]}, array_repeat("
+    f"{a[2] if len(a) > 2 else 'NULL'}, ({a[1]}) - size({a[0]}))) END")
+_RULES["arraypushback"] = lambda a: f"array_append({a[0]}, {a[1]})"
+_RULES["arraypushfront"] = lambda a: f"array_prepend({a[0]}, {a[1]})"
+_RULES["arraypopback"] = lambda a: f"slice({a[0]}, 1, size({a[0]}) - 1)"
+_RULES["arraypopfront"] = lambda a: f"slice({a[0]}, 2, size({a[0]}) - 1)"
+_RULES["bitshiftleft"] = lambda a: f"shiftleft({a[0]}, {a[1]})"
+_RULES["bitshiftright"] = lambda a: f"shiftright({a[0]}, {a[1]})"
+_RULES["bitrotateleft"] = lambda a: (
+    f"(shiftleft(CAST({a[0]} AS BIGINT), {a[1]}) | "
+    f"shiftrightunsigned(CAST({a[0]} AS BIGINT), 64 - ({a[1]})))")
+_RULES["bitrotateright"] = lambda a: (
+    f"(shiftrightunsigned(CAST({a[0]} AS BIGINT), {a[1]}) | "
+    f"shiftleft(CAST({a[0]} AS BIGINT), 64 - ({a[1]})))")
+_RULES["intexp2"] = lambda a: f"shiftleft(CAST(1 AS BIGINT), {a[0]})"
+_RULES["intexp10"] = lambda a: f"CAST(power(10, {a[0]}) AS BIGINT)"
+
 # float classification (FunctionsMiscellaneous): CH returns UInt8 0/1
 _RULES["isnan"] = lambda a: f"CAST(isnan({a[0]}) AS INT)"
 _RULES["isfinite"] = lambda a: (

@@ -644,3 +644,30 @@ def test_optimize_table_and_system_drop(spark, tmp_path):
     assert fe._QUERY_CACHE
     fe.ch_sql(spark, "SYSTEM DROP QUERY CACHE")
     assert not fe._QUERY_CACHE
+
+
+def test_array_rotate_shift_resize_sql(spark):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    r = ch_sql(spark, """
+        SELECT arrayRotateLeft([1,2,3,4], 1) AS rl,
+               arrayRotateRight([1,2,3,4], 1) AS rr,
+               arrayShiftLeft([1,2,3], 1, 0) AS sl,
+               arrayResize([1,2,3], 5, 0) AS rz,
+               arrayPushBack([1,2], 3) AS pb,
+               arrayPopFront([1,2,3]) AS pf FROM system.one""").first()
+    assert r.rl == [2, 3, 4, 1] and r.rr == [4, 1, 2, 3]
+    assert r.sl == [2, 3, 0] and r.rz == [1, 2, 3, 0, 0]
+    assert r.pb == [1, 2, 3] and r.pf == [2, 3]
+
+
+def test_string_bit_misc_sql(spark):
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    r = ch_sql(spark, """
+        SELECT countMatches('aaa', 'a') AS cm,
+               positionCaseInsensitive('Hello', 'hello') AS pci,
+               substringIndex('a.b.c', '.', 2) AS si,
+               length(toFixedString('ab', 4)) AS fx,
+               bitRotateLeft(1, 1) AS brl,
+               intExp2(10) AS e2 FROM system.one""").first()
+    assert (r.cm, r.pci, r.si, r.fx, r.brl, r.e2) == \
+        (3, 1, "a.b", 4, 2, 1024)
