@@ -502,8 +502,12 @@ def test_sql_division_ansi_safe(spark):
         """).first()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
-    assert (row.i, row.iz, row.ioz, row.mz, row.moz, row.dz) == (
-        -3, None, 0, None, 0, None)
+    import math
+    # divide(7, 0) = +inf: CH float-division semantics
+    # (FunctionBinaryArithmetic.h DivideFloatingImpl)
+    assert (row.i, row.iz, row.ioz, row.mz, row.moz) == (
+        -3, None, 0, None, 0)
+    assert row.dz == math.inf
 
 
 def test_numbers_tvf_sql(spark):
