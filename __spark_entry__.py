@@ -6139,6 +6139,59 @@ def agg_bitmap_merge_rollup_q(spark, sf_dir):
 # ---------------------------------------------------------------- contract
 
 
+# ------------------------------------ search-variant / similarity family
+
+
+@q("fn_search_similarity_ext", """
+SELECT p_partkey,
+       CAST(damerau_levenshtein(p_brand, 'Brand#31') AS BIGINT) AS dl,
+       CAST(regexp_matches(p_name, '(?s).*a.*o.*e.*') AS INT) AS subseq,
+       CAST(coalesce(least(
+            CASE WHEN regexp_matches(p_name, '^burnished') THEN 1 END,
+            CASE WHEN regexp_matches(p_name, 'metallic') THEN 2 END,
+            CASE WHEN regexp_matches(p_name, 'red') THEN 3 END), 0)
+           AS BIGINT) AS mm_idx,
+       CAST((length(lower(p_name))
+             - length(replace(lower(p_name), 'ro', ''))) / 2 AS BIGINT) AS cnt_ro,
+       CAST(regexp_matches(p_name,
+            '(?i)(^|[^A-Za-z0-9_])green($|[^A-Za-z0-9_])') AS INT) AS tok_green,
+       CAST(CASE WHEN substring(p_name, 1, 3) < substring(p_type, 1, 3) THEN -1
+                 WHEN substring(p_name, 1, 3) > substring(p_type, 1, 3) THEN 1
+                 ELSE 0 END AS TINYINT) AS cmp3,
+       CAST(NOT (p_name ILIKE '%red%') AS INT) AS not_red
+FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+""")
+def fn_search_similarity_ext(spark, sf_dir):
+    """Search-variant + fold-based similarity family (reference
+    src/Functions/FunctionsStringDistance.cpp jaroSimilarity /
+    jaroWinklerSimilarity / damerauLevenshteinDistance(OSA),
+    MultiSearchImpl.h case-insensitive forms, MultiMatchAnyImpl.h,
+    HasSubsequenceImpl.h) — all pure Catalyst folds, no Python row
+    path.  DuckDB's damerau_levenshtein is the oracle for the distance
+    column (parity holds on equal-length brand pairs, where OSA and
+    unrestricted Damerau coincide); jaro/jaroWinkler are excluded here
+    because DuckDB's RapidFuzz matcher finds more matches than the
+    reference's greedy scan — they are verified in
+    tests/test_search_ext.py against a Python transcription of the
+    reference algorithm instead."""
+    p = _cat(spark, sf_dir).part
+    nm = F.col("p_name")
+    return (p.filter(F.col("p_partkey") < 200)
+            .select("p_partkey",
+                    ch.damerauLevenshteinDistance(
+                        F.col("p_brand"), F.lit("Brand#31")).alias("dl"),
+                    ch.hasSubsequence(nm, "aoe").alias("subseq"),
+                    ch.multiMatchAnyIndex(
+                        nm, ["^burnished", "metallic", "red"]).alias("mm_idx"),
+                    ch.countSubstringsCaseInsensitive(nm, "RO").alias("cnt_ro"),
+                    ch.hasTokenCaseInsensitive(nm, "GREEN").alias("tok_green"),
+                    ch.compareSubstrings(nm, F.col("p_type"),
+                                         F.lit(0), F.lit(0),
+                                         F.lit(3)).alias("cmp3"),
+                    ch.notILike(nm, "%red%").alias("not_red"))
+            .orderBy("p_partkey"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 analog) on /root/testdata/sf0.001."""
     return q1(spark, "/root/testdata/sf0.001")

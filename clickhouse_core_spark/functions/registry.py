@@ -1818,10 +1818,16 @@ _ALIAS_NAMES = {
 }
 
 
+from clickhouse_core_spark.functions import search_ext as _sx  # noqa: E402
+
+_SEARCH_EXT, _SEARCH_EXT_ALIASES = _sx.build(_ngram_distance)
+_ALIAS_NAMES.update(_SEARCH_EXT_ALIASES)
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _UUIDF, _COMPAT):
+            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _UUIDF, _COMPAT,
+            _SEARCH_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -337,6 +337,55 @@ _RULES["positioncaseinsensitive"] = lambda a: (
     f"locate(lower({a[1]}), lower({a[0]}))")
 _RULES["substringindex"] = lambda a: (
     f"substring_index({a[0]}, {a[1]}, {a[2]})")
+# search-variant family (MultiSearchImpl.h / HasSubsequenceImpl.h
+# case-insensitive forms; UTF8 forms are the base impl — Spark strings
+# are code-point addressed)
+_RULES["countsubstringscaseinsensitive"] = lambda a: (
+    f"((length(lower({a[0]})) - length(replace(lower({a[0]}), "
+    f"lower({a[1]}), ''))) DIV length({a[1]}))")
+_RULES["countmatchescaseinsensitive"] = lambda a: (
+    f"size(regexp_extract_all({a[0]}, concat('(?i)', {a[1]}), 0))")
+_RULES["notilike"] = lambda a: f"(NOT ({a[0]} ILIKE {a[1]}))"
+_RULES["hassubsequence"] = lambda a: (
+    # chars-in-order-with-gaps; needle must be a string literal
+    f"CAST({a[0]} RLIKE concat('(?s).*', "
+    f"array_join(transform(split({a[1]}, ''), "
+    f"c -> concat('\\\\Q', c, '\\\\E.*')), '')) AS INT)")
+_RULES["hassubsequencecaseinsensitive"] = lambda a: (
+    f"CAST(lower({a[0]}) RLIKE concat('(?s).*', "
+    f"array_join(transform(split(lower({a[1]}), ''), "
+    f"c -> concat('\\\\Q', c, '\\\\E.*')), '')) AS INT)")
+_RULES["hassubstr"] = lambda a: (
+    f"(CASE WHEN size({a[1]}) = 0 THEN 1 ELSE CAST(exists("
+    f"sequence(1, greatest(size({a[0]}) - size({a[1]}) + 1, 1)), "
+    f"i -> i <= size({a[0]}) - size({a[1]}) + 1 AND "
+    f"slice({a[0]}, i, size({a[1]})) = {a[1]}) AS INT) END)")
+_RULES["comparesubstrings"] = lambda a: (
+    f"(CASE WHEN substring({a[0]}, ({a[2]}) + 1, {a[4]}) < "
+    f"substring({a[1]}, ({a[3]}) + 1, {a[4]}) THEN -1 "
+    f"WHEN substring({a[0]}, ({a[2]}) + 1, {a[4]}) > "
+    f"substring({a[1]}, ({a[3]}) + 1, {a[4]}) THEN 1 ELSE 0 END)")
+_RULES["multimatchany"] = lambda a: (
+    f"CAST(exists({a[1]}, p -> {a[0]} RLIKE p) AS INT)")
+_RULES["multimatchallindices"] = lambda a: (
+    f"filter(transform(sequence(1, size({a[1]})), "
+    f"i -> CASE WHEN {a[0]} RLIKE element_at({a[1]}, i) THEN i END), "
+    f"v -> v IS NOT NULL)")
+_RULES["multimatchanyindex"] = lambda a: (
+    f"coalesce(array_min(filter(transform(sequence(1, size({a[1]})), "
+    f"i -> CASE WHEN {a[0]} RLIKE element_at({a[1]}, i) THEN i END), "
+    f"v -> v IS NOT NULL)), 0)")
+for _ci_name, _base_name in [
+        ("positioncaseinsensitiveutf8", "positioncaseinsensitive"),
+        ("multisearchanyutf8", "multisearchany"),
+        ("hassubsequenceutf8", "hassubsequence"),
+        ("hassubsequencecaseinsensitiveutf8", "hassubsequencecaseinsensitive"),
+        ("editdistanceutf8", "editdistance"),
+        ("levenshteindistanceutf8", "levenshteindistance"),
+        ("reverseutf8", "reverse"), ("translateutf8", "translate"),
+        ("initcaputf8", "initcap")]:
+    if _base_name in _RULES:
+        _RULES[_ci_name] = _RULES[_base_name]
 _RULES["arrayreversesort"] = lambda a: f"reverse(array_sort({a[0]}))"
 _RULES["arraypartialsort"] = lambda a: (
     # first-n-sorted contract; the tail's order is unspecified in the
