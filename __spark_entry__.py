@@ -6192,6 +6192,48 @@ def fn_search_similarity_ext(spark, sf_dir):
             .orderBy("p_partkey"))
 
 
+@q("fn_datetime_ext", """
+SELECT o_orderkey,
+       CAST(date_diff('second', TIMESTAMP '1995-01-01',
+            CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS td,
+       strftime(o_orderdate, '%Y/%m/%d') AS fmt_joda,
+       CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d')
+            AS TIMESTAMP) AS parsed_joda,
+       CAST(o_orderdate AS DATE) AS days_roundtrip,
+       CAST(make_date(CAST(year(o_orderdate) AS INT),
+                      CAST(month(o_orderdate) AS INT),
+                      CAST(day(o_orderdate) AS INT)) AS DATE) AS ymd_date,
+       CAST(o_orderdate + INTERVAL 2 DAY AS TIMESTAMP) AS plus2d,
+       CAST(date_diff('day', DATE '1858-11-17',
+            CAST(o_orderdate AS DATE)) AS BIGINT) AS mjd
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_datetime_ext(spark, sf_dir):
+    """Datetime long-tail (reference src/Functions/parseDateTime.cpp
+    *InJodaSyntax forms, fromDaysSinceYearZero.cpp, timeDiff alias,
+    toModifiedJulianDay.cpp): Joda-format round-trip, year-zero day
+    round-trip, YYYYMMDDToDate digit decomposition, interval addDate —
+    all Catalyst built-ins."""
+    o = _cat(spark, sf_dir).orders
+    d = F.col("o_orderdate")
+    fmt = ch.formatDateTimeInJodaSyntax(d, "yyyy/MM/dd")
+    return (o.filter(F.col("o_orderkey") < 300)
+            .select("o_orderkey",
+                    ch.timeDiff(F.lit("1995-01-01").cast("timestamp"),
+                                d).alias("td"),
+                    fmt.alias("fmt_joda"),
+                    ch.parseDateTimeInJodaSyntax(
+                        fmt, "yyyy/MM/dd").alias("parsed_joda"),
+                    ch.fromDaysSinceYearZero(
+                        ch.toDaysSinceYearZero(d)).alias("days_roundtrip"),
+                    ch.YYYYMMDDToDate(
+                        F.year(d) * 10000 + F.month(d) * 100
+                        + F.dayofmonth(d)).alias("ymd_date"),
+                    ch.addDate(d, F.expr("INTERVAL 2 DAY")).alias("plus2d"),
+                    ch.toModifiedJulianDay(d).alias("mjd"))
+            .orderBy("o_orderkey"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 analog) on /root/testdata/sf0.001."""
     return q1(spark, "/root/testdata/sf0.001")

@@ -949,6 +949,80 @@ _DT2 = {
 }
 
 
+# ------------------------------------------- datetime long-tail (round 4)
+# Reference: src/Functions/now64.cpp, makeDate.cpp (makeDateTime64),
+# parseDateTime.cpp (*InJodaSyntax — Joda tokens are what Spark's
+# DateTimeFormatter already speaks), fromDaysSinceYearZero.cpp,
+# timeDiff -> dateDiff('second') alias, UTCTimestamp.cpp
+# (to/fromUTCTimestamp), formatDateTime.cpp (*InJodaSyntax).
+
+_EPOCH_TS = "1970-01-01 00:00:00"
+
+
+def _parse_joda_or_zero(x, fmt):
+    return F.coalesce(F.try_to_timestamp(_c(x), F.lit(fmt)),
+                      F.lit(_EPOCH_TS).cast("timestamp"))
+
+
+_DT3 = {
+    # Spark timestamps are fixed µs precision; the precision argument is
+    # accepted for surface parity and ignored (documented LIMITS.md
+    # class: cosmetic precision)
+    "now64": lambda p=3, tz=None: F.current_timestamp(),
+    "makeDateTime64": lambda y, mo, d, h, mi, s, *rest: F.make_timestamp(
+        _c(y), _c(mo), _c(d), _c(h), _c(mi), _c(s)),
+    # timeDiff(t1, t2) = t2 - t1 in seconds (registerAlias of
+    # dateDiff('second'))
+    "timeDiff": lambda a, b: (
+        F.unix_timestamp(_c(b)) - F.unix_timestamp(_c(a))).cast("long"),
+    "addDate": lambda d, iv: _c(d) + _c(iv),
+    "subDate": lambda d, iv: _c(d) - _c(iv),
+    "toUTCTimestamp": lambda ts, tz: F.to_utc_timestamp(_c(ts), _c(tz)),
+    "fromUTCTimestamp": lambda ts, tz: F.from_utc_timestamp(_c(ts), _c(tz)),
+    "parseDateTimeInJodaSyntax": lambda x, fmt, tz=None: F.to_timestamp(
+        _c(x), fmt),
+    "parseDateTimeInJodaSyntaxOrNull": lambda x, fmt, tz=None:
+        F.try_to_timestamp(_c(x), F.lit(fmt)),
+    "parseDateTimeInJodaSyntaxOrZero": lambda x, fmt, tz=None:
+        _parse_joda_or_zero(x, fmt),
+    "parseDateTimeOrZero": lambda x, fmt: F.coalesce(
+        F.try_to_timestamp(_c(x), F.lit(_mysql_fmt(fmt))),
+        F.lit(_EPOCH_TS).cast("timestamp")),
+    "formatDateTimeInJodaSyntax": lambda x, fmt, tz=None: F.date_format(
+        _c(x), fmt),
+    "fromUnixTimestampInJodaSyntax": lambda x, fmt, tz=None: F.date_format(
+        F.timestamp_seconds(_c(x)), fmt),
+    # inverse of toDaysSinceYearZero (0000-01-01 proleptic epoch shift
+    # 719528 = days 0000-01-01 .. 1970-01-01)
+    "fromDaysSinceYearZero": lambda n: F.date_add(
+        F.lit("1970-01-01").cast("date"), (_c(n) - 719528).cast("int")),
+    "fromDaysSinceYearZero32": lambda n: F.date_add(
+        F.lit("1970-01-01").cast("date"), (_c(n) - 719528).cast("int")),
+    "toModifiedJulianDayOrNull": lambda x: F.when(
+        F.try_to_timestamp(_c(x).cast("string")).isNotNull()
+        | _c(x).cast("string").rlike(r"^\d{4}-\d{2}-\d{2}$"),
+        F.datediff(_c(x).cast("date"), F.lit("1858-11-17"))).cast("long"),
+    "fromModifiedJulianDayOrNull": lambda n: F.date_add(
+        F.lit("1858-11-17").cast("date"),
+        _c(n).try_cast("int")),
+    "toMillisecond": lambda x: F.floor(
+        F.pmod(F.unix_micros(_c(x).cast("timestamp")), 1000000) / 1000
+    ).cast("int"),
+    # YYYYMMDDhhmmssToDateTime(n) (src/Functions/
+    # fromDaysSinceYearZero.cpp sibling family): digit-decomposed parse
+    "YYYYMMDDhhmmssToDateTime": lambda n: F.to_timestamp(
+        F.lpad(_c(n).cast("decimal(20,0)").cast("string"), 14, "0"),
+        "yyyyMMddHHmmss"),
+    "YYYYMMDDhhmmssToDateTime64": lambda n, p=3: F.to_timestamp(
+        F.lpad(_c(n).cast("decimal(20,0)").cast("string"), 14, "0"),
+        "yyyyMMddHHmmss"),
+    "YYYYMMDDToDate": lambda n: F.to_date(
+        F.lpad(_c(n).cast("long").cast("string"), 8, "0"), "yyyyMMdd"),
+    "YYYYMMDDToDate32": lambda n: F.to_date(
+        F.lpad(_c(n).cast("long").cast("string"), 8, "0"), "yyyyMMdd"),
+}
+
+
 def _date_add_unit(unit: str, n, x) -> Column:
     unit = unit.lower()
     if unit in ("year", "yy", "yyyy"):
@@ -1809,6 +1883,13 @@ _ALIAS_NAMES = {
     "visitParamExtractFloat": "simpleJSONExtractFloat",
     "visitParamExtractBool": "simpleJSONExtractBool",
     "visitParamExtractUInt": "simpleJSONExtractInt",
+    # MySQL-compat datetime aliases (registerAlias Case::Insensitive,
+    # src/Functions/toDayOfMonth.cpp etc.)
+    "DAYOFMONTH": "toDayOfMonth", "DAYOFWEEK": "toDayOfWeek",
+    "DAYOFYEAR": "toDayOfYear", "LAST_DAY": "toLastDayOfMonth",
+    "FROM_DAYS": "fromDaysSinceYearZero", "DATE_FORMAT": "formatDateTime",
+    "UTC_timestamp": "UTCTimestamp", "MILLISECOND": "toMillisecond",
+    "DATE_DIFF": "dateDiff", "yearweek": "toYearWeek",
     "current_database": "currentDatabase",
     "current_user": "currentUser",
     "current_schemas": "currentSchemas",
@@ -1827,7 +1908,7 @@ CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _UUIDF, _COMPAT,
-            _SEARCH_EXT):
+            _SEARCH_EXT, _DT3):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -31,7 +31,8 @@ from pyspark.sql import functions as F
 
 
 def _c(x) -> Column:
-    return x if isinstance(x, Column) else F.col(x)
+    # registry convention: non-Column args are LITERALS
+    return x if isinstance(x, Column) else F.lit(x)
 
 
 def _regex_escape(s: str) -> str:

@@ -337,6 +337,46 @@ _RULES["positioncaseinsensitive"] = lambda a: (
     f"locate(lower({a[1]}), lower({a[0]}))")
 _RULES["substringindex"] = lambda a: (
     f"substring_index({a[0]}, {a[1]}, {a[2]})")
+# datetime long-tail (now64.cpp, parseDateTime.cpp *InJodaSyntax,
+# fromDaysSinceYearZero.cpp, UTCTimestamp.cpp)
+_RULES["now64"] = lambda a: "current_timestamp()"
+_RULES["timediff"] = lambda a: (
+    f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))")
+_RULES["adddate"] = lambda a: f"({a[0]} + {a[1]})"
+_RULES["subdate"] = lambda a: f"({a[0]} - {a[1]})"
+_RULES["toutctimestamp"] = lambda a: f"to_utc_timestamp({a[0]}, {a[1]})"
+_RULES["fromutctimestamp"] = lambda a: f"from_utc_timestamp({a[0]}, {a[1]})"
+_RULES["parsedatetimeinjodasyntax"] = lambda a: (
+    f"to_timestamp({a[0]}, {a[1]})")
+_RULES["parsedatetimeinjodasyntaxornull"] = lambda a: (
+    f"try_to_timestamp({a[0]}, {a[1]})")
+_RULES["parsedatetimeinjodasyntaxorzero"] = lambda a: (
+    f"coalesce(try_to_timestamp({a[0]}, {a[1]}), "
+    f"CAST('1970-01-01 00:00:00' AS TIMESTAMP))")
+_RULES["parsedatetime64injodasyntax"] = _RULES["parsedatetimeinjodasyntax"]
+_RULES["parsedatetime64injodasyntaxornull"] = \
+    _RULES["parsedatetimeinjodasyntaxornull"]
+_RULES["parsedatetime64injodasyntaxorzero"] = \
+    _RULES["parsedatetimeinjodasyntaxorzero"]
+_RULES["formatdatetimeinjodasyntax"] = lambda a: (
+    f"date_format({a[0]}, {a[1]})")
+_RULES["fromunixtimestampinjodasyntax"] = lambda a: (
+    f"date_format(timestamp_seconds({a[0]}), {a[1]})")
+_RULES["fromdayssinceyearzero"] = lambda a: (
+    f"date_add(DATE'1970-01-01', CAST(({a[0]}) - 719528 AS INT))")
+_RULES["fromdayssinceyearzero32"] = _RULES["fromdayssinceyearzero"]
+_RULES["tomillisecond"] = lambda a: (
+    f"CAST(floor(pmod(unix_micros(CAST({a[0]} AS TIMESTAMP)), 1000000) "
+    f"/ 1000) AS INT)")
+_RULES["yyyymmddhhmmsstodatetime"] = lambda a: (
+    f"to_timestamp(lpad(CAST(CAST({a[0]} AS DECIMAL(20,0)) AS STRING), "
+    f"14, '0'), 'yyyyMMddHHmmss')")
+_RULES["yyyymmddtodate"] = lambda a: (
+    f"to_date(lpad(CAST(CAST({a[0]} AS BIGINT) AS STRING), 8, '0'), "
+    f"'yyyyMMdd')")
+_RULES["makedatetime64"] = lambda a: (
+    f"make_timestamp({', '.join(a[:6])})")
+
 # search-variant family (MultiSearchImpl.h / HasSubsequenceImpl.h
 # case-insensitive forms; UTF8 forms are the base impl — Spark strings
 # are code-point addressed)

@@ -92,9 +92,9 @@ def test_similarity_against_reference_transcription(spark):
     df = spark.createDataFrame(PAIRS, "a string, b string")
     rows = df.select(
         "a", "b",
-        ch.jaroSimilarity("a", "b").alias("jaro"),
-        ch.jaroWinklerSimilarity("a", "b").alias("jw"),
-        ch.damerauLevenshteinDistance("a", "b").alias("dl"),
+        ch.jaroSimilarity(F.col("a"), F.col("b")).alias("jaro"),
+        ch.jaroWinklerSimilarity(F.col("a"), F.col("b")).alias("jw"),
+        ch.damerauLevenshteinDistance(F.col("a"), F.col("b")).alias("dl"),
     ).collect()
     assert len(rows) == len(PAIRS)
     for r in rows:
@@ -109,11 +109,11 @@ def test_similarity_on_fixture_names(spark):
     part = spark.read.parquet(f"{SF_DIR}/part.parquet").limit(40)
     rows = part.select(
         "p_name",
-        ch.jaroSimilarity("p_name", F.lit("burnished seashell")).alias("j"),
+        ch.jaroSimilarity(F.col("p_name"), F.lit("burnished seashell")).alias("j"),
         ch.jaroWinklerSimilarity(
-            "p_name", F.lit("burnished seashell")).alias("jw"),
+            F.col("p_name"), F.lit("burnished seashell")).alias("jw"),
         ch.damerauLevenshteinDistance(
-            "p_name", F.lit("burnished seashell")).alias("dl"),
+            F.col("p_name"), F.lit("burnished seashell")).alias("dl"),
     ).collect()
     for r in rows:
         assert r.j == pytest.approx(
@@ -129,18 +129,15 @@ def test_multi_search_variants(spark):
         [("Hello World",), ("no match here",), ("WORLDWIDE web",)],
         "s string")
     rows = df.select(
-        ch.multiSearchAnyCaseInsensitive("s", ["world", "xyz"]).alias("any"),
-        ch.multiSearchFirstPositionCaseInsensitive(
-            "s", ["world", "web"]).alias("fp"),
-        ch.multiSearchFirstIndexCaseInsensitive(
-            "s", ["zzz", "world"]).alias("fi"),
-        ch.multiSearchAllPositionsCaseInsensitive(
-            "s", ["o", "w"]).alias("ap"),
-        ch.countSubstringsCaseInsensitive("s", "L").alias("cs"),
-        ch.hasTokenCaseInsensitive("s", "world").alias("tok"),
-        ch.hasSubsequence("s", "Hlo").alias("sub"),
-        ch.hasSubsequenceCaseInsensitive("s", "hLO").alias("subci"),
-        ch.notILike("s", "%world%").alias("nil"),
+        ch.multiSearchAnyCaseInsensitive(F.col("s"), ["world", "xyz"]).alias("any"),
+        ch.multiSearchFirstPositionCaseInsensitive(F.col("s"), ["world", "web"]).alias("fp"),
+        ch.multiSearchFirstIndexCaseInsensitive(F.col("s"), ["zzz", "world"]).alias("fi"),
+        ch.multiSearchAllPositionsCaseInsensitive(F.col("s"), ["o", "w"]).alias("ap"),
+        ch.countSubstringsCaseInsensitive(F.col("s"), "L").alias("cs"),
+        ch.hasTokenCaseInsensitive(F.col("s"), "world").alias("tok"),
+        ch.hasSubsequence(F.col("s"), "Hlo").alias("sub"),
+        ch.hasSubsequenceCaseInsensitive(F.col("s"), "hLO").alias("subci"),
+        ch.notILike(F.col("s"), "%world%").alias("nil"),
     ).collect()
     assert [r.any for r in rows] == [1, 0, 1]
     assert [r.fp for r in rows] == [7, 0, 1]
@@ -156,9 +153,9 @@ def test_multi_search_variants(spark):
 def test_multi_match_and_containment(spark):
     df = spark.createDataFrame([("abc123",), ("xyz",)], "s string")
     rows = df.select(
-        ch.multiMatchAny("s", [r"\d+", "^q"]).alias("any"),
-        ch.multiMatchAnyIndex("s", ["^q", r"\d+"]).alias("idx"),
-        ch.multiMatchAllIndices("s", ["^a", r"\d", "z$"]).alias("all"),
+        ch.multiMatchAny(F.col("s"), [r"\d+", "^q"]).alias("any"),
+        ch.multiMatchAnyIndex(F.col("s"), ["^q", r"\d+"]).alias("idx"),
+        ch.multiMatchAllIndices(F.col("s"), ["^a", r"\d", "z$"]).alias("all"),
     ).collect()
     assert [r.any for r in rows] == [1, 0]
     assert [r.idx for r in rows] == [2, 0]
@@ -168,7 +165,7 @@ def test_multi_match_and_containment(spark):
         [([1, 2, 3, 4], [2, 3]), ([1, 2, 3], [3, 2]),
          ([], []), ([1], [])],
         "a array<int>, b array<int>")
-    got = [r.h for r in arr.select(ch.hasSubstr("a", "b").alias("h")).collect()]
+    got = [r.h for r in arr.select(ch.hasSubstr(F.col("a"), F.col("b")).alias("h")).collect()]
     assert got == [1, 0, 1, 1]
 
 
