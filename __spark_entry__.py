@@ -6234,6 +6234,90 @@ def fn_datetime_ext(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("fn_collections_ext", """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding[1:6],
+                        x -> CAST(round(x * 3) AS INT)) AS ints,
+         list_transform(embedding[1:4],
+                        x -> CAST(x AS DOUBLE)) AS preds,
+         list_transform(embedding[4:7],
+                        x -> CAST(abs(x) + 1 AS DOUBLE)) AS labs
+  FROM embeddings WHERE vec_id < 50)
+SELECT vec_id,
+       array_to_string(list_transform(
+           list_reduce(list_transform(range(1, len(ints) + 1),
+               i -> CASE WHEN i = 1 OR ints[i] <> 0
+                         THEN [ints[i]] ELSE [] END),
+               (acc, e) -> CASE WHEN len(e) = 1 THEN list_append(acc, e[1])
+                   ELSE list_append(acc, acc[-1]) END),
+           x -> CAST(x AS VARCHAR)), ',') AS fill_s,
+       CAST(1 + len(list_filter(range(2, len(ints) + 1),
+           i -> ints[i] < 0)) AS INT) AS split_n,
+       array_to_string(list_transform(list_sort(list_distinct(
+           list_concat(ints, [0, 1]))), x -> CAST(x AS VARCHAR)), ',')
+           AS union_s,
+       coalesce(array_to_string(list_transform(list_sort(list_filter(
+           list_distinct(list_concat(ints, [0, 1])),
+           e -> NOT (list_contains(ints, e) AND list_contains([0, 1], e)))),
+           x -> CAST(x AS VARCHAR)), ','), '') AS sd_s,
+       round((0.5 * (len(labs) + 1)
+          - list_sum(list_transform(range(1, len(labs) + 1),
+              j -> list_transform(list_sort(list_zip(preds,
+                       range(1, len(preds) + 1), labs)), s -> s[3])[j]
+                   * (len(labs) - j + 1)))
+            / list_sum(labs)) / len(labs), 6) AS gini_pred,
+       round((0.5 * (len(labs) + 1)
+          - list_sum(list_transform(range(1, len(labs) + 1),
+              j -> list_sort(labs)[j] * (len(labs) - j + 1)))
+            / list_sum(labs)) / len(labs), 6) AS gini_labels,
+       coalesce(array_to_string(list_transform(list_filter(range(0, 64),
+           b -> (vec_id >> b) & 1 = 1),
+           b -> CAST(CAST(pow(2.0, b) AS BIGINT) AS VARCHAR)), ','), '')
+           AS bitmask_s
+FROM base ORDER BY vec_id
+""")
+def fn_collections_ext(spark, sf_dir):
+    """Array long-tail round 2 (reference src/Functions/array/
+    arrayFill.cpp, arraySplit.cpp, arrayUnion/arraySymmetricDifference
+    in arrayIntersect.cpp, arrayNormalizedGini.cpp,
+    bitmaskToList.cpp): fold-based fill, split-segment count, sorted
+    set ops, exact normalized-Gini components, bitmask decomposition —
+    pure Catalyst folds, array outputs carried as joined strings for
+    the driver hasher."""
+    e = _cat(spark, sf_dir).embeddings
+    base = (e.filter(F.col("vec_id") < 50)
+            .select("vec_id",
+                    F.transform(F.slice("embedding", 1, 6),
+                                lambda x: F.round(x * 3).cast("int"))
+                    .alias("ints"),
+                    F.transform(F.slice("embedding", 1, 4),
+                                lambda x: x.cast("double")).alias("preds"),
+                    F.transform(F.slice("embedding", 4, 4),
+                                lambda x: (F.abs(x) + 1).cast("double"))
+                    .alias("labs")))
+    gini = ch.arrayNormalizedGini(F.col("preds"), F.col("labs"))
+    return (base.select(
+        "vec_id",
+        F.array_join(F.transform(
+            ch.arrayFill(lambda x: x != 0, F.col("ints")),
+            lambda x: x.cast("string")), ",").alias("fill_s"),
+        F.size(ch.arraySplit(lambda x: x < 0, F.col("ints")))
+        .cast("int").alias("split_n"),
+        F.array_join(F.transform(
+            F.array_sort(ch.arrayUnion(F.col("ints"),
+                                       F.array(F.lit(0), F.lit(1)))),
+            lambda x: x.cast("string")), ",").alias("union_s"),
+        F.array_join(F.transform(
+            F.array_sort(ch.arraySymmetricDifference(
+                F.col("ints"), F.array(F.lit(0), F.lit(1)))),
+            lambda x: x.cast("string")), ",").alias("sd_s"),
+        F.round(gini["col1"], 6).alias("gini_pred"),
+        F.round(gini["col2"], 6).alias("gini_labels"),
+        ch.bitmaskToList(F.col("vec_id")).alias("bitmask_s"))
+        .orderBy("vec_id"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 analog) on /root/testdata/sf0.001."""
     return q1(spark, "/root/testdata/sf0.001")

@@ -1900,15 +1900,18 @@ _ALIAS_NAMES = {
 
 
 from clickhouse_core_spark.functions import search_ext as _sx  # noqa: E402
+from clickhouse_core_spark.functions import collections_ext as _cx  # noqa: E402
 
 _SEARCH_EXT, _SEARCH_EXT_ALIASES = _sx.build(_ngram_distance)
 _ALIAS_NAMES.update(_SEARCH_EXT_ALIASES)
+_COLL_EXT, _COLL_EXT_ALIASES = _cx.build()
+_ALIAS_NAMES.update(_COLL_EXT_ALIASES)
 
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _UUIDF, _COMPAT,
-            _SEARCH_EXT, _DT3):
+            _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

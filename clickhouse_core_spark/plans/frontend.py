@@ -337,6 +337,78 @@ _RULES["positioncaseinsensitive"] = lambda a: (
     f"locate(lower({a[1]}), lower({a[0]}))")
 _RULES["substringindex"] = lambda a: (
     f"substring_index({a[0]}, {a[1]}, {a[2]})")
+def _apply_lambda(lam: str, *arg_exprs: str) -> str:
+    """Textually beta-reduce a Spark-syntax lambda: ``x -> body`` with
+    one arg, ``(k, v) -> body`` with two.  Used by the fold-based array
+    rules, which must apply the user lambda to element_at(...) rather
+    than pass it through."""
+    head, _, body = lam.partition("->")
+    params = [p.strip().strip("()") for p in head.strip().strip("()")
+              .split(",")]
+    for p, e in zip(params, arg_exprs):
+        body = re.sub(rf"(?<![\w.`]){re.escape(p)}\b", f"({e})", body)
+    return body.strip()
+
+
+# array fill/split/set-op/shuffle family
+# (arrayFill.cpp, arraySplit.cpp, arrayIntersect.cpp arrayUnion/
+# arraySymmetricDifference, arrayShuffle.cpp, bitmaskToList.cpp)
+def _seq1_sql(n: str) -> str:
+    return f"filter(sequence(1, greatest({n}, 1)), i_ -> i_ <= {n})"
+
+
+_RULES["arrayfill"] = lambda a: (
+    f"aggregate({_seq1_sql(f'size({a[1]})')}, slice({a[1]}, 1, 0), "
+    f"(acc_, i_) -> concat(acc_, array(CASE WHEN i_ = 1 OR "
+    f"({_apply_lambda(a[0], f'element_at({a[1]}, i_)')}) "
+    f"THEN element_at({a[1]}, i_) ELSE element_at(acc_, -1) END)))")
+_RULES["arrayreversefill"] = lambda a: (
+    "reverse(" + _RULES["arrayfill"]([a[0], f"reverse({a[1]})"]) + ")")
+_RULES["arraysplit"] = lambda a: (
+    f"transform(concat(array(1), filter({_seq1_sql(f'size({a[1]})')}, "
+    f"i_ -> i_ > 1 AND ({_apply_lambda(a[0], f'element_at({a[1]}, i_)')}))), "
+    f"(s_, k_) -> slice({a[1]}, s_, CAST(coalesce(try_element_at("
+    f"concat(array(1), filter({_seq1_sql(f'size({a[1]})')}, "
+    f"i_ -> i_ > 1 AND ({_apply_lambda(a[0], f'element_at({a[1]}, i_)')}))), "
+    f"CAST(k_ + 2 AS INT)), size({a[1]}) + 1) - s_ AS INT)))")
+_RULES["arrayunion"] = lambda a: (
+    f"array_distinct(concat({', '.join(a)}))")
+_RULES["arraysymmetricdifference"] = lambda a: (
+    f"filter(array_distinct(concat({', '.join(a)})), e_ -> NOT ("
+    + " AND ".join(f"array_contains({x}, e_)" for x in a) + "))")
+_RULES["arrayshuffle"] = lambda a: (
+    f"transform(array_sort(transform({a[0]}, (x_, i_) -> "
+    f"struct(xxhash64(CAST(x_ AS STRING), i_, "
+    f"{a[1] if len(a) > 1 else '0'}) AS h, x_ AS v))), s_ -> s_.v)")
+_RULES["arraypartialshuffle"] = lambda a: _RULES["arrayshuffle"](
+    [a[0]] + ([a[2]] if len(a) > 2 else []))
+_RULES["mapapply"] = lambda a: (
+    f"map_from_entries(transform(map_entries({a[1]}), e_ -> "
+    f"{_apply_lambda(a[0], 'e_.key', 'e_.value')}))")
+_RULES["mapexists"] = lambda a: (
+    f"CAST(exists(map_entries({a[1]}), e_ -> "
+    f"{_apply_lambda(a[0], 'e_.key', 'e_.value')}) AS INT)")
+_RULES["mapall"] = lambda a: (
+    f"CAST(forall(map_entries({a[1]}), e_ -> "
+    f"{_apply_lambda(a[0], 'e_.key', 'e_.value')}) AS INT)")
+_RULES["mapcontainsvalue"] = lambda a: (
+    f"CAST(array_contains(map_values({a[0]}), {a[1]}) AS INT)")
+_RULES["mapcontainsvaluelike"] = lambda a: (
+    f"CAST(exists(map_values({a[0]}), v_ -> v_ LIKE {a[1]}) AS INT)")
+_RULES["mapextractvaluelike"] = lambda a: (
+    f"map_filter({a[0]}, (k_, v_) -> v_ LIKE {a[1]})")
+_RULES["bitpositionstoarray"] = lambda a: (
+    f"filter(sequence(0, 63), b_ -> getbit(CAST({a[0]} AS BIGINT), b_) = 1)")
+_RULES["bitmasktoarray"] = lambda a: (
+    f"transform(filter(sequence(0, 63), "
+    f"b_ -> getbit(CAST({a[0]} AS BIGINT), b_) = 1), "
+    f"b_ -> CASE WHEN b_ = 63 THEN -9223372036854775808 "
+    f"ELSE CAST(pow(2.0, b_) AS BIGINT) END)")
+_RULES["bitmasktolist"] = lambda a: (
+    "array_join(transform(" + _RULES["bitmasktoarray"](a)
+    + ", v_ -> CAST(v_ AS STRING)), ',')")
+
+
 # datetime long-tail (now64.cpp, parseDateTime.cpp *InJodaSyntax,
 # fromDaysSinceYearZero.cpp, UTCTimestamp.cpp)
 _RULES["now64"] = lambda a: "current_timestamp()"
