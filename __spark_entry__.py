@@ -2965,6 +2965,89 @@ def fn_ch_ip(spark, sf_dir):
             .orderBy("user_id"))
 
 
+@q("fn_ipv6_tuple_vec", """
+WITH g AS (
+  SELECT p_partkey,
+         p_partkey % 65534 + 1 AS a,
+         (p_partkey * 7) % 65534 + 1 AS b,
+         (p_partkey * 13) % 65534 + 1 AS c
+  FROM part WHERE p_partkey < 300)
+SELECT p_partkey,
+       lower(printf('%x', a) || ':' || printf('%x', b) || '::'
+             || printf('%x', c)) AS addr,
+       lower(printf('%04x', a) || printf('%04x', b)
+             || '00000000000000000000' || printf('%04x', c)) AS packed_hex,
+       lower(printf('%x', a) || ':' || printf('%x', b) || '::'
+             || printf('%x', c)) AS canon,
+       a + c AS tp1, b + a AS tp2,
+       CAST(a AS BIGINT) * 3 AS t31, CAST(b AS BIGINT) * 3 AS t32
+FROM g ORDER BY p_partkey
+""")
+def fn_ipv6_tuple_vec(spark, sf_dir):
+    """IPv6StringToNum/NumToString roundtrip (FunctionsCoding.h) plus
+    tuplePlus/tupleMultiplyByNumber (vectorFunctions.cpp:1578-1648) on
+    fixture-derived addresses with a single interior zero run (so the
+    canonical compressed form is predictable in plain SQL)."""
+    p = _cat(spark, sf_dir).part
+    g = (p.filter(F.col("p_partkey") < 300)
+         .select("p_partkey",
+                 (F.col("p_partkey") % 65534 + 1).cast("long").alias("a"),
+                 ((F.col("p_partkey") * 7) % 65534 + 1).cast("long").alias("b"),
+                 ((F.col("p_partkey") * 13) % 65534 + 1).cast("long").alias("c")))
+    addr = F.lower(F.concat(F.hex(F.col("a")), F.lit(":"), F.hex(F.col("b")),
+                            F.lit("::"), F.hex(F.col("c"))))
+    packed = ch.IPv6StringToNum(addr)
+    return (g.select(
+        "p_partkey", addr.alias("addr"),
+        F.lower(F.hex(packed)).alias("packed_hex"),
+        ch.IPv6NumToString(packed).alias("canon"),
+        F.element_at(ch.tuplePlus(F.array(F.col("a"), F.col("b")),
+                                  F.array(F.col("c"), F.col("a"))), 1)
+        .alias("tp1"),
+        F.element_at(ch.tuplePlus(F.array(F.col("a"), F.col("b")),
+                                  F.array(F.col("c"), F.col("a"))), 2)
+        .alias("tp2"),
+        F.element_at(ch.tupleMultiplyByNumber(
+            F.array(F.col("a"), F.col("b")), F.lit(3)), 1).alias("t31"),
+        F.element_at(ch.tupleMultiplyByNumber(
+            F.array(F.col("a"), F.col("b")), F.lit(3)), 2).alias("t32"))
+        .orderBy("p_partkey"))
+
+
+@q("fn_jump_consistent_hash", """
+WITH RECURSIVE keys AS (
+  SELECT p_partkey,
+         CAST(p_partkey AS HUGEINT) * 2654435761 AS k
+  FROM part WHERE p_partkey < 300),
+it AS (
+  SELECT p_partkey, k, CAST(-1 AS BIGINT) AS b, CAST(0 AS BIGINT) AS j
+  FROM keys
+  UNION ALL
+  SELECT p_partkey,
+         (k * 2862933555777941757 + 1) % CAST('18446744073709551616' AS HUGEINT),
+         j,
+         CAST(FLOOR(CAST(j + 1 AS DOUBLE) * (2147483648.0 /
+           CAST(((k * 2862933555777941757 + 1)
+                 % CAST('18446744073709551616' AS HUGEINT))
+                // 8589934592 + 1 AS DOUBLE))) AS BIGINT)
+  FROM it WHERE j < 64)
+SELECT p_partkey, max_by(b, j) AS bucket
+FROM it WHERE j >= 64 GROUP BY p_partkey ORDER BY p_partkey
+""")
+def fn_jump_consistent_hash(spark, sf_dir):
+    """jumpConsistentHash(key, 64) (reference
+    src/Functions/jumpConsistentHash.cpp — the public Lamport/Veach
+    algorithm); the oracle replays the exact LCG iteration as a
+    recursive CTE in 128-bit integer arithmetic."""
+    p = _cat(spark, sf_dir).part
+    return (p.filter(F.col("p_partkey") < 300)
+            .select("p_partkey",
+                    ch.jumpConsistentHash(
+                        (F.col("p_partkey").cast("long") * 2654435761), 64)
+                    .cast("long").alias("bucket"))
+            .orderBy("p_partkey"))
+
+
 @q("fn_ch_encoding", """
 SELECT doc_id,
        upper(hex(encode(substring(text, 1, 8)))) AS hx,

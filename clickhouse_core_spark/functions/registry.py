@@ -437,6 +437,15 @@ _MATH = {
     "moduloOrZero": lambda a, b: F.when(
         _c(b) != 0, F.try_mod(_c(a), _c(b))).otherwise(0),
     "positiveModulo": lambda a, b: F.when(_c(b) != 0, F.pmod(_c(a), _c(b))),
+    # OrNull division variants (divide.cpp:70, intDiv.cpp:171,
+    # moduloOrNull.cpp): NULL instead of inf/throw on a zero divisor
+    "divideOrNull": lambda a, b: F.try_divide(_c(a).cast("double"), _c(b)),
+    "intDivOrNull": lambda a, b: F.when(
+        _c(b) != 0,
+        F.try_divide(_c(a) - F.try_mod(_c(a), _c(b)), _c(b)).cast("long")),
+    "moduloOrNull": lambda a, b: F.try_mod(_c(a), _c(b)),
+    "positiveModuloOrNull": lambda a, b: F.when(
+        _c(b) != 0, F.pmod(_c(a), _c(b))),
     "negate": lambda x: -_c(x),
     "abs": lambda x: F.abs(_c(x)),
     "sqrt": lambda x: F.sqrt(_c(x)),
@@ -1322,6 +1331,198 @@ _VEC = {
     "arrayAUC": _array_roc_auc,    # pre-rename alias (arrayAUC.cpp:531)
 }
 
+
+# ------------------------------------- tuple/vector arithmetic family
+# Reference: src/Functions/vectorFunctions.cpp registerVectorFunctions
+# (tuplePlus..tupleIntDivOrZeroByNumber, vectorSum/vectorDifference
+# aliases, L*Normalize).  CH operates on Tuples; the carrier here is
+# array<numeric>, consistent with the _VEC norm/distance family above.
+
+
+def _tuple_divide_elem(x: Column, y: Column) -> Column:
+    # CH divide semantics per element (Float64, /0 -> signed inf)
+    return F.when(y == 0, x.cast("double") * F.lit(float("inf"))) \
+            .otherwise(x.cast("double") / y)
+
+
+def _tuple_intdiv_elem(x: Column, y: Column) -> Column:
+    return F.try_divide(x - F.try_mod(x, y), y).cast("long")
+
+
+_VEC2 = {
+    "tuplePlus": lambda a, b: F.zip_with(_c(a), _c(b), lambda x, y: x + y),
+    "tupleMinus": lambda a, b: F.zip_with(_c(a), _c(b), lambda x, y: x - y),
+    "tupleMultiply": lambda a, b: F.zip_with(_c(a), _c(b),
+                                             lambda x, y: x * y),
+    "tupleDivide": lambda a, b: F.zip_with(_c(a), _c(b), _tuple_divide_elem),
+    "tupleModulo": lambda a, b: F.zip_with(_c(a), _c(b),
+                                           lambda x, y: F.try_mod(x, y)),
+    "tupleIntDiv": lambda a, b: F.zip_with(_c(a), _c(b), _tuple_intdiv_elem),
+    "tupleIntDivOrZero": lambda a, b: F.zip_with(
+        _c(a), _c(b),
+        lambda x, y: F.coalesce(_tuple_intdiv_elem(x, y), F.lit(0))),
+    "tupleNegate": lambda a: F.transform(_c(a), lambda x: -x),
+    "tupleMultiplyByNumber": lambda a, n: F.transform(
+        _c(a), lambda x: x * _c(n)),
+    "tupleDivideByNumber": lambda a, n: F.transform(
+        _c(a), lambda x: _tuple_divide_elem(x, _c(n))),
+    "tupleModuloByNumber": lambda a, n: F.transform(
+        _c(a), lambda x: F.try_mod(x, _c(n))),
+    "tupleIntDivByNumber": lambda a, n: F.transform(
+        _c(a), lambda x: _tuple_intdiv_elem(x, _c(n))),
+    "tupleIntDivOrZeroByNumber": lambda a, n: F.transform(
+        _c(a), lambda x: F.coalesce(_tuple_intdiv_elem(x, _c(n)), F.lit(0))),
+    "LinfNormalize": lambda a: F.transform(
+        _c(a), lambda x: x.cast("double") / F.array_max(
+            F.transform(_c(a), lambda y: F.abs(y.cast("double"))))),
+    "LpNormalize": lambda a, p: F.transform(
+        _c(a), lambda x: x.cast("double") / _lp_norm(a, p)),
+}
+
+
+# ------------------------------------------------ consistent hashing
+# Reference: src/Functions/jumpConsistentHash.cpp (the public
+# Lamport/Veach jump-consistent-hash algorithm) and
+# kostikConsistentHash.cpp.  The LCG state is an unsigned 64-bit
+# multiply-add mod 2^64, emulated with 16-bit limbs so the fold stays a
+# pure JVM-side Catalyst expression under any ANSI setting (signed
+# longs never overflow: each partial product <= 4*65535^2 + carry).
+# Iteration count 64 covers n <= 32768 with failure probability
+# ~ln(n)^64/64! < 1e-25 (expected jumps is ln(n)); beyond that the
+# result equals the reference's with that same probability.
+
+_JUMP_C = 2862933555777941757
+_JUMP_LIMBS = [(_JUMP_C >> s) & 0xFFFF for s in (0, 16, 32, 48)]
+
+
+def _jump_consistent_hash(key, n) -> Column:
+    k = _c(key).cast("long")
+    nb = _c(n).cast("long") if isinstance(n, Column) else F.lit(int(n)).cast("long")
+    c0, c1, c2, c3 = [F.lit(c).cast("long") for c in _JUMP_LIMBS]
+    m16 = F.lit(0xFFFF).cast("long")
+    init = F.struct(
+        F.lit(-1).cast("long").alias("b"), F.lit(0).cast("long").alias("j"),
+        k.bitwiseAND(m16).alias("k0"),
+        F.shiftrightunsigned(k, 16).bitwiseAND(m16).alias("k1"),
+        F.shiftrightunsigned(k, 32).bitwiseAND(m16).alias("k2"),
+        F.shiftrightunsigned(k, 48).bitwiseAND(m16).alias("k3"))
+
+    def step(st, _i):
+        k0, k1, k2, k3 = st["k0"], st["k1"], st["k2"], st["k3"]
+        p0 = k0 * c0 + 1          # key = key*C + 1 (mod 2^64)
+        p1 = k0 * c1 + k1 * c0 + F.shiftright(p0, 16)
+        p2 = k0 * c2 + k1 * c1 + k2 * c0 + F.shiftright(p1, 16)
+        p3 = k0 * c3 + k1 * c2 + k2 * c1 + k3 * c0 + F.shiftright(p2, 16)
+        r0, r1 = p0.bitwiseAND(m16), p1.bitwiseAND(m16)
+        r2, r3 = p2.bitwiseAND(m16), p3.bitwiseAND(m16)
+        hi31 = (r3 * 32768 + F.shiftright(r2, 1))      # key >> 33
+        nj = F.floor((st["j"] + 1).cast("double")
+                     * (F.lit(2147483648.0) / (hi31 + 1).cast("double"))) \
+              .cast("long")
+        active = st["j"] < nb
+        return F.struct(
+            F.when(active, st["j"]).otherwise(st["b"]).alias("b"),
+            F.when(active, nj).otherwise(st["j"]).alias("j"),
+            F.when(active, r0).otherwise(k0).alias("k0"),
+            F.when(active, r1).otherwise(k1).alias("k1"),
+            F.when(active, r2).otherwise(k2).alias("k2"),
+            F.when(active, r3).otherwise(k3).alias("k3"))
+
+    out = F.aggregate(F.sequence(F.lit(1), F.lit(64)), init, step)
+    return out["b"].cast("int")
+
+
+# --------------------------------------------------- IPv6 conversions
+# Reference: src/Functions/FunctionsCoding.h IPv6StringToNum /
+# IPv6NumToString (inet_pton/formatIPv6 semantics).  Carrier for the
+# "num" side is binary(16) (CH FixedString(16)); parsing expands `::`
+# and embedded dotted-quad tails, formatting compresses the leftmost
+# longest zero run per RFC 5952 and prints IPv4-mapped tails dotted.
+
+
+def _ipv6_group_fill(x) -> Column:
+    """Expand an IPv6 string into 8 zero-padded hex groups (array)."""
+    s = F.lower(_c(x))
+    # embedded IPv4 tail -> two hex groups
+    v4 = F.regexp_extract(s, r"((\d{1,3}\.){3}\d{1,3})$", 1)
+    v4num = (
+        F.try_element_at(F.split(v4, r"\."), F.lit(1)).try_cast("long") * 16777216
+        + F.try_element_at(F.split(v4, r"\."), F.lit(2)).try_cast("long") * 65536
+        + F.try_element_at(F.split(v4, r"\."), F.lit(3)).try_cast("long") * 256
+        + F.try_element_at(F.split(v4, r"\."), F.lit(4)).try_cast("long"))
+    s = F.when(v4 != "", F.concat(
+        F.regexp_replace(s, r"(\d{1,3}\.){3}\d{1,3}$", ""),
+        F.lower(F.lpad(F.hex(F.shiftright(v4num, 16)), 4, "0")), F.lit(":"),
+        F.lower(F.lpad(F.hex(v4num.bitwiseAND(F.lit(65535).cast("long"))), 4, "0"))
+    )).otherwise(s)
+    halves = F.split(s, "::", -1)
+    left = F.filter(F.split(F.element_at(halves, 1), ":"), lambda g: g != "")
+    right = F.when(F.size(halves) > 1,
+                   F.filter(F.split(F.element_at(halves, 2), ":"),
+                            lambda g: g != "")).otherwise(F.array())
+    fill = F.array_repeat(F.lit("0"), (8 - F.size(left) - F.size(right)).cast("int"))
+    groups = F.when(F.size(halves) > 1,
+                    F.concat(left, fill, right)).otherwise(left)
+    return F.transform(groups, lambda g: F.lpad(g, 4, "0"))
+
+
+def _ipv6_string_to_num(x) -> Column:
+    groups = _ipv6_group_fill(x)
+    return F.when(F.size(groups) == 8,
+                  F.unhex(F.array_join(groups, ""))).cast("binary")
+
+
+def _ipv6_num_to_string(x) -> Column:
+    h = F.lower(F.hex(_c(x)))          # 32 hex chars
+    groups = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda i: F.regexp_replace(F.substring(h, i * 4 + 1, 4),
+                                   r"^0+(.)", "$1"))
+    joined = F.array_join(groups, ":")
+    s2 = F.concat(F.lit(":"), joined, F.lit(":"))
+    out = joined
+    # leftmost longest zero run (>=2 groups) -> "::"; probe k=8..2 and
+    # take the first (longest) match, splicing at its first offset
+    for k in range(2, 9):
+        seg = ":" + "0:" * k           # ":0:0:" etc. (len 2k+1)
+        pos = F.locate(seg, s2)
+        out = F.when(pos > 0, F.concat(
+            F.substring(s2, 1, pos - 1), F.lit("::"),
+            F.substring(s2, pos + 2 * k + 1, 2147483647))).otherwise(out)
+    out = F.regexp_replace(F.regexp_replace(out, r"^:([^:])", "$1"),
+                           r"([^:]):$", "$1")
+    # IPv4-mapped ::ffff:a.b.c.d prints the dotted tail (formatIPv6)
+    tailn = F.conv(F.substring(h, 25, 8), 16, 10).cast("long")
+    dotted = F.concat_ws(
+        ".", F.shiftright(tailn, 24).bitwiseAND(F.lit(255).cast("long")),
+        F.shiftright(tailn, 16).bitwiseAND(F.lit(255).cast("long")),
+        F.shiftright(tailn, 8).bitwiseAND(F.lit(255).cast("long")),
+        tailn.bitwiseAND(F.lit(255).cast("long")))
+    return F.when(h.startswith("00000000000000000000ffff"),
+                  F.concat(F.lit("::ffff:"), dotted)).otherwise(out)
+
+
+_IP2 = {
+    "IPv6StringToNum": _ipv6_string_to_num,
+    "IPv6StringToNumOrNull": _ipv6_string_to_num,   # NULL on malformed
+    "IPv6NumToString": _ipv6_num_to_string,
+    "IPv6StringToNumOrDefault": lambda x, d=None: F.coalesce(
+        _ipv6_string_to_num(x),
+        _c(d) if d is not None else F.unhex(F.lit("0" * 32))),
+}
+
+
+_HASH2 = {
+    "jumpConsistentHash": _jump_consistent_hash,
+    # kostikConsistentHash (an O(1) popcount-based algorithm needing the
+    # native consistent_hashing lib) maps to jump consistent hashing:
+    # same contract class (stable assignment, ~1/n movement on resize),
+    # different bucket values — documented in LIMITS.md like the
+    # cityHash64 -> xxhash64 mapping.
+    "kostikConsistentHash": _jump_consistent_hash,
+    "yandexConsistentHash": _jump_consistent_hash,
+}
+
 # ---------------------------------------- breadth: misc long tail (3)
 # Reference: FunctionsStringSimilarity.cpp (ngramDistance),
 # src/Functions/visitParamExtract* -> simpleJSON* family,
@@ -1896,6 +2097,17 @@ _ALIAS_NAMES = {
     "connection_id": "connectionId",
     "hostname": "hostName",
     "fullHostName": "hostName",
+    # vectorFunctions.cpp:1579-1581 / modulo.cpp / FORMAT_BYTES
+    "vectorSum": "tuplePlus",
+    "vectorDifference": "tupleMinus",
+    "normalizeLinf": "LinfNormalize",
+    "normalizeLp": "LpNormalize",
+    "modOrNull": "moduloOrNull",
+    "pmodOrNull": "positiveModuloOrNull",
+    "positive_modulo_or_null": "positiveModuloOrNull",
+    "FORMAT_BYTES": "formatReadableSize",
+    "INET6_ATON": "IPv6StringToNum",
+    "INET6_NTOA": "IPv6NumToString",
 }
 
 
@@ -1910,8 +2122,8 @@ _ALIAS_NAMES.update(_COLL_EXT_ALIASES)
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _CONV3, _MISC2, _VEC, _MISC3, _BITMAP, _UUIDF, _COMPAT,
-            _SEARCH_EXT, _DT3, _COLL_EXT):
+            _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2, _MISC3,
+            _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn
