@@ -652,14 +652,23 @@ def q21(spark, sf_dir):
                     .cast("int").alias("__late")))
     per_pair = (rows.groupBy("l_orderkey", "l_suppkey")
                 .agg(F.sum("__late").alias("__late_rows")))
-    w = Window.partitionBy("l_orderkey")
-    per_pair = (per_pair
-                .withColumn("__n_supp", F.count("*").over(w))
-                .withColumn("__n_late",
-                            F.count(F.when(F.col("__late_rows") > 0, 1)).over(w)))
-    qualifying = per_pair.filter((F.col("__late_rows") > 0)
-                                 & (F.col("__n_supp") > 1)
-                                 & (F.col("__n_late") == 1))
+    # Per-order counts as a second HASH aggregation instead of a window:
+    # the window formulation re-shuffles the pairs by orderkey AND sorts
+    # each partition; this shuffles the same pairs but stays hash-only
+    # (map-side partial agg), and when exactly one supplier is late the
+    # max() over the singleton struct extracts it without a join-back.
+    per_order = (per_pair.groupBy("l_orderkey")
+                 .agg(F.count("*").alias("__n_supp"),
+                      F.count(F.when(F.col("__late_rows") > 0, 1))
+                      .alias("__n_late"),
+                      F.max(F.when(F.col("__late_rows") > 0,
+                                   F.struct(F.col("l_suppkey").alias("sk"),
+                                            F.col("__late_rows").alias("lr"))))
+                      .alias("__qual")))
+    qualifying = (per_order
+                  .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+                  .select(F.col("__qual.sk").alias("l_suppkey"),
+                          F.col("__qual.lr").alias("__late_rows")))
     return (qualifying
             .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
             .groupBy("s_name").agg(F.sum("__late_rows").cast("long").alias("numwait"))
