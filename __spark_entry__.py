@@ -84,6 +84,7 @@ from clickhouse_core_spark.pipeline.multimodal import (
 )
 from clickhouse_core_spark.functions import ch, CH_FUNCTIONS
 from clickhouse_core_spark.plans import ch_sql, register_mergetree_sql
+from clickhouse_core_spark.plans import kql as kql_query
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -3055,6 +3056,50 @@ def fn_jump_consistent_hash(spark, sf_dir):
                         (F.col("p_partkey").cast("long") * 2654435761), 64)
                     .cast("long").alias("bucket"))
             .orderBy("p_partkey"))
+
+
+@q("kql_filter_summarize", """
+SELECT l_linestatus, floor(l_quantity / 10) * 10 AS qb,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 4) AS qty, max(l_extendedprice) AS mx
+FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+GROUP BY l_linestatus, floor(l_quantity / 10) * 10
+ORDER BY l_linestatus, qb
+""")
+def kql_filter_summarize(spark, sf_dir):
+    """KQL dialect end-to-end (reference src/Parsers/Kusto/
+    ParserKQLQuery.h, ParserKQLSummarize.cpp): where + summarize-by-bin
+    (bin alias rule) + project + sort translated to Catalyst ops."""
+    _cat(spark, sf_dir)          # registers the temp views kql resolves
+    return kql_query(spark, """
+      lineitem
+      | where l_returnflag == 'R' and l_quantity > 40
+      | summarize n = count(), qty = sum(l_quantity),
+                  mx = max(l_extendedprice) by l_linestatus, qb = bin(l_quantity, 10)
+      | project l_linestatus, qb, n, qty = round(qty, 4), mx
+      | sort by l_linestatus asc, qb asc
+    """)
+
+
+@q("kql_string_predicates_top", """
+SELECT p_partkey, upper(substring(p_name, 1, 5)) AS nm, p_retailprice
+FROM part
+WHERE instr(lower(p_name), 'red') > 0
+  AND p_retailprice BETWEEN 920 AND 980
+ORDER BY p_retailprice DESC, p_partkey LIMIT 100
+""")
+def kql_string_predicates_top(spark, sf_dir):
+    """KQL string predicates (ParserKQLOperators.cpp `contains`,
+    `between (a .. b)`), extend with 0-based substring, sort + take."""
+    _cat(spark, sf_dir)
+    return kql_query(spark, """
+      part
+      | where p_name contains 'RED' and p_retailprice between (920 .. 980)
+      | extend nm = toupper(substring(p_name, 0, 5))
+      | sort by p_retailprice desc, p_partkey asc
+      | take 100
+      | project p_partkey, nm, p_retailprice
+    """)
 
 
 @q("fn_ch_encoding", """

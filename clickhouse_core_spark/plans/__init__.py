@@ -11,7 +11,8 @@ from clickhouse_core_spark.plans.frontend import (
     ch_sql, translate_ch_sql, apply_date_preimage, register_mergetree_sql,
     create_table_sql)
 from clickhouse_core_spark.plans.routing import SummaryRouter, Summary, build_summary
+from clickhouse_core_spark.plans.kql import kql
 
 __all__ = ["ch_sql", "translate_ch_sql", "apply_date_preimage",
            "register_mergetree_sql", "create_table_sql",
-           "SummaryRouter", "Summary", "build_summary"]
+           "SummaryRouter", "Summary", "build_summary", "kql"]

@@ -1,0 +1,164 @@
+"""KQL dialect frontend (reference src/Parsers/Kusto/ParserKQLQuery.h)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.plans import kql
+
+
+@pytest.fixture(scope="module")
+def customers(spark):
+    rows = [
+        ("Alice", "Engineer", "MS", 30, "2024-01-05 10:00:00"),
+        ("bob", "Engineer", "BS", 25, "2024-01-06 11:30:00"),
+        ("Carol", "Manager", "PhD", 41, "2024-02-01 09:15:00"),
+        ("dave", "Analyst", "BS", 25, "2024-02-03 23:59:00"),
+        ("Eve", "Engineer", "MS", 35, "2024-03-10 00:10:00"),
+        ("frank thompson", "Manager", None, 52, "2024-03-11 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "Name string, Occupation string, Education string, Age int, Joined string"
+    ).withColumn("Joined", F.to_timestamp("Joined"))
+    df.createOrReplaceTempView("Customers")
+    return df
+
+
+def test_where_project_sort(spark, customers):
+    out = kql(spark, """
+      Customers
+      | where Age < 40 and Occupation == 'Engineer'
+      | project Name, Age
+      | sort by Age asc, Name asc
+    """).collect()
+    assert [(r["Name"], r["Age"]) for r in out] == \
+        [("bob", 25), ("Alice", 30), ("Eve", 35)]
+
+
+def test_sort_defaults_desc(spark, customers):
+    out = kql(spark, "Customers | project Age | sort by Age | take 2").collect()
+    assert [r["Age"] for r in out] == [52, 41]
+
+
+def test_summarize_alias_rules(spark, customers):
+    # count() -> count_, count(Age) -> count_Age (KQL_ReleaseNote.md)
+    out = kql(spark, """
+      Customers | summarize count(), count(Age), avg(Age) by Occupation
+      | sort by Occupation asc
+    """)
+    assert out.columns == ["Occupation", "count_", "count_Age", "avg_Age"]
+    rows = {r["Occupation"]: (r["count_"], r["avg_Age"]) for r in out.collect()}
+    assert rows["Engineer"] == (3, 30.0)
+    assert rows["Manager"][0] == 2
+
+
+def test_summarize_bin_keeps_column_name(spark, customers):
+    out = kql(spark, "Customers | summarize count() by bin(Age, 10)")
+    assert out.columns == ["Age", "count_"]
+    got = {int(r["Age"]): r["count_"] for r in out.collect()}
+    assert got == {20: 2, 30: 2, 40: 1, 50: 1}
+
+
+def test_bin_datetime_timespan(spark, customers):
+    out = kql(spark, """
+      Customers | summarize n=count() by day = bin(Joined, 1d) | sort by day asc
+    """).collect()
+    assert out[0]["day"].day == 5 and out[0]["n"] == 1
+    assert len(out) == 6
+
+
+def test_string_predicates(spark, customers):
+    # contains is case-insensitive; contains_cs is not
+    assert kql(spark, "Customers | where Name contains 'ALICE'").count() == 1
+    assert kql(spark, "Customers | where Name contains_cs 'ALICE'").count() == 0
+    assert kql(spark, "Customers | where Name startswith 'al'").count() == 1
+    assert kql(spark, "Customers | where Name !startswith 'al'").count() == 5
+    # has = whole-term match
+    assert kql(spark, "Customers | where Name has 'thompson'").count() == 1
+    assert kql(spark, "Customers | where Name has 'thomp'").count() == 0
+    assert kql(spark, "Customers | where Name hasprefix 'thomp'").count() == 1
+    assert kql(spark, "Customers | where Name =~ 'ALICE'").count() == 1
+    assert kql(spark, "Customers | where Age between (25 .. 30)").count() == 3
+    assert kql(spark, "Customers | where Age !between (25 .. 30)").count() == 3
+    assert kql(spark,
+               "Customers | where Occupation in~ ('engineer', 'MANAGER')"
+               ).count() == 5
+    assert kql(spark, "Customers | where Name matches regex '^[A-Z]'").count() == 3
+
+
+def test_extend_and_scalars(spark, customers):
+    out = kql(spark, """
+      Customers
+      | extend NameLen = strlen(Name), Upper = toupper(Name),
+               Sub = substring(Name, 0, 2)
+      | where Name == 'Alice'
+      | project NameLen, Upper, Sub
+    """).first()
+    assert (out["NameLen"], out["Upper"], out["Sub"]) == (5, "ALICE", "Al")
+
+
+def test_iif_isempty_toint(spark, customers):
+    out = kql(spark, """
+      Customers
+      | extend Grp = iif(Age < 30, 'young', 'old'),
+               NoEdu = isempty(Education), N = toint('12x')
+      | where Name == 'frank thompson'
+      | project Grp, NoEdu, N
+    """).first()
+    assert out["Grp"] == "old" and out["NoEdu"] is True and out["N"] is None
+
+
+def test_top_distinct_count(spark, customers):
+    out = kql(spark, "Customers | top 2 by Age").collect()
+    assert [r["Age"] for r in out] == [52, 41]
+    assert kql(spark, "Customers | distinct Occupation").count() == 3
+    assert kql(spark, "Customers | count").first()["Count"] == 6
+
+
+def test_project_away_rename(spark, customers):
+    out = kql(spark, """
+      Customers | project-away Joined, Education | project-rename Who = Name
+    """)
+    assert out.columns == ["Who", "Occupation", "Age"]
+
+
+def test_print_and_datetime_literal(spark):
+    r = kql(spark, "print x = strcat('a', 'b'), y = 1 + 2, "
+                   "d = datetime(2024-05-01 00:00:00)").first()
+    assert r["x"] == "ab" and r["y"] == 3
+    assert r["d"].year == 2024 and r["d"].month == 5
+
+
+def test_dcount_percentile_argmax(spark, customers):
+    out = kql(spark, """
+      Customers | summarize dcount(Occupation), percentile(Age, 50),
+                            oldest = arg_max(Age, Name)
+    """).first()
+    assert out["dcount_Occupation"] == 3
+    assert out["percentile_Age_50"] == 32.5
+    assert out["oldest"] == "frank thompson"
+
+
+def test_mv_expand(spark):
+    df = spark.createDataFrame([(1, [10, 20])], "id int, xs array<int>")
+    out = kql(spark, "T | mv-expand xs", tables={"T": df}).collect()
+    assert [(r["id"], r["xs"]) for r in out] == [(1, 10), (1, 20)]
+
+
+def test_unmapped_operator_raises(spark, customers):
+    with pytest.raises(NotImplementedError):
+        kql(spark, "Customers | join (Customers) on Name")
+
+
+def test_fixture_tables(spark, catalog):
+    out = kql(spark, """
+      lineitem
+      | where l_quantity > 45 and l_returnflag == 'R'
+      | summarize n = count(), qty = sum(l_quantity) by l_linestatus
+      | sort by l_linestatus asc
+    """).collect()
+    exp = (catalog.lineitem.filter((F.col("l_quantity") > 45)
+                                   & (F.col("l_returnflag") == "R"))
+           .groupBy("l_linestatus")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+           .orderBy("l_linestatus").collect())
+    assert [tuple(r) for r in out] == [tuple(r) for r in exp]
