@@ -85,6 +85,7 @@ from clickhouse_core_spark.pipeline.multimodal import (
 from clickhouse_core_spark.functions import ch, CH_FUNCTIONS
 from clickhouse_core_spark.plans import ch_sql, register_mergetree_sql
 from clickhouse_core_spark.plans import kql as kql_query
+from clickhouse_core_spark.plans import prql as prql_query
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -3078,6 +3079,30 @@ def kql_filter_summarize(spark, sf_dir):
                   mx = max(l_extendedprice) by l_linestatus, qb = bin(l_quantity, 10)
       | project l_linestatus, qb, n, qty = round(qty, 4), mx
       | sort by l_linestatus asc, qb asc
+    """)
+
+
+@q("prql_pipeline", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 4) AS tp,
+       round(avg(o_totalprice), 4) AS avg_tp
+FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def prql_pipeline(spark, sf_dir):
+    """PRQL dialect end-to-end (reference executeQuery.cpp:997
+    dialect=prql; public PRQL spec semantics): from/filter/group/
+    aggregate/derive/select/sort translated to Catalyst ops."""
+    _cat(spark, sf_dir)
+    return prql_query(spark, """
+      from orders
+      filter o_orderstatus == 'F' && o_totalprice > 1000
+      group {o_orderpriority} (aggregate {n = count this,
+                                          s = sum o_totalprice,
+                                          a = average o_totalprice})
+      derive {tp = round(s, 4), avg_tp = round(a, 4)}
+      select {o_orderpriority, n, tp, avg_tp}
+      sort {o_orderpriority}
     """)
 
 

@@ -12,7 +12,8 @@ from clickhouse_core_spark.plans.frontend import (
     create_table_sql)
 from clickhouse_core_spark.plans.routing import SummaryRouter, Summary, build_summary
 from clickhouse_core_spark.plans.kql import kql
+from clickhouse_core_spark.plans.prql import prql
 
 __all__ = ["ch_sql", "translate_ch_sql", "apply_date_preimage",
            "register_mergetree_sql", "create_table_sql",
-           "SummaryRouter", "Summary", "build_summary", "kql"]
+           "SummaryRouter", "Summary", "build_summary", "kql", "prql"]
