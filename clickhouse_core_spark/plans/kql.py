@@ -386,6 +386,69 @@ def _sort(df: DataFrame, body: str) -> DataFrame:
     return df.orderBy(*cols)
 
 
+def _make_series(df: DataFrame, body: str) -> DataFrame:
+    """``make-series a = agg(x) [default = d], ... on Axis from start
+    to end step span [by keys]`` (ParserKQLMakeSeries.cpp): one row per
+    group with a dense value array per aggregate (default-filled empty
+    bins) plus the bin-start Axis array.  Shape: one shuffle to the
+    (keys, bin) partial aggregation, one to reassemble per group —
+    the same two-phase layout as timeSeries*ToGrid."""
+    m = re.match(
+        r"^(?P<aggs>.+?)\s+on\s+(?P<axis>[\w.]+)\s+from\s+(?P<start>.+?)"
+        r"\s+to\s+(?P<end>.+?)\s+step\s+(?P<step>\S+)(?:\s+by\s+(?P<keys>.+))?$",
+        body.strip(), re.I | re.S)
+    if not m:
+        raise ValueError(f"unparsable make-series: {body!r}")
+    axis = m.group("axis")
+    start_sql = _fix_expr(m.group("start"))
+    end_sql = _fix_expr(m.group("end"))
+    sec = _span_seconds(m.group("step"))
+    if sec is None:
+        raise ValueError(f"make-series step must be a timespan: {m.group('step')}")
+    step = int(sec) if float(sec).is_integer() else sec
+    keys = ([k.strip() for k in _split_top_commas(m.group("keys"))]
+            if m.group("keys") else [])
+
+    aggs, defaults, names = [], [], []
+    counter = [0]
+    for item in _split_top_commas(m.group("aggs")):
+        dm = re.match(r"^(.*?)\s+default\s*=\s*(\S+)\s*$", item.strip(), re.I | re.S)
+        default = dm.group(2) if dm else "0"
+        col = _agg_to_column(dm.group(1) if dm else item, counter)
+        # the alias is the last name in the Column's plan string
+        name = col._jc.toString().split(" AS ")[-1].strip("`")
+        aggs.append(col)
+        defaults.append(default)
+        names.append(name)
+
+    start_s = F.unix_timestamp(F.expr(start_sql))
+    end_s = F.unix_timestamp(F.expr(end_sql))
+    n_bins = F.ceil((end_s - start_s).cast("double") / F.lit(step)).cast("int")
+    bin_i = F.floor((F.unix_timestamp(F.col(axis)) - start_s) / F.lit(step)) \
+        .cast("int")
+    binned = (df.filter((F.col(axis) >= F.expr(start_sql))
+                        & (F.col(axis) < F.expr(end_sql)))
+              .withColumn("__bin", bin_i)
+              .groupBy(*keys, "__bin").agg(*aggs))
+    per_group = binned.groupBy(*keys).agg(
+        F.max(n_bins).alias("__n"),
+        *[F.map_from_entries(F.collect_list(
+            F.struct(F.col("__bin"), F.col(nm)))).alias(f"__m_{nm}")
+          for nm in names])
+    def _series_col(nm: str, d: str) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.col("__n") - 1),
+            lambda j: F.coalesce(F.try_element_at(F.col(f"__m_{nm}"), j),
+                                 F.expr(_fix_expr(d)).cast("double"))).alias(nm)
+
+    series_cols = [_series_col(nm, d) for nm, d in zip(names, defaults)]
+    axis_col = F.transform(
+        F.sequence(F.lit(0), F.col("__n") - 1),
+        lambda j: F.timestamp_seconds(F.unix_timestamp(F.expr(start_sql))
+                                      + j.cast("long") * F.lit(step))).alias(axis)
+    return per_group.select(*keys, *series_cols, axis_col)
+
+
 def kql(spark: SparkSession, query: str,
         tables: dict[str, DataFrame] | None = None) -> DataFrame:
     """Run a KQL tabular query; table names resolve from ``tables`` or
@@ -459,6 +522,8 @@ def kql(spark: SparkSession, query: str,
         elif op == "mv-expand":
             col = body.strip()
             df = df.withColumn(col, F.explode(F.col(col)))
+        elif op == "make-series":
+            df = _make_series(df, body)
         else:
             raise NotImplementedError(f"KQL operator '{op}' is not mapped "
                                       "(reference subset: ParserKQL*.cpp)")

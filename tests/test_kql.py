@@ -162,3 +162,21 @@ def test_fixture_tables(spark, catalog):
            .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
            .orderBy("l_linestatus").collect())
     assert [tuple(r) for r in out] == [tuple(r) for r in exp]
+
+
+def test_make_series(spark, customers):
+    out = kql(spark, """
+      Customers
+      | make-series n = count() default = 0
+        on Joined from datetime(2024-01-01 00:00:00) to datetime(2024-04-01 00:00:00)
+        step 30d by Occupation
+      | sort by Occupation asc
+    """).collect()
+    by_occ = {r["Occupation"]: (list(r["n"]), r["Joined"]) for r in out}
+    # 91 days / 30d step -> 4 bins starting 2024-01-01
+    assert all(len(v[0]) == 4 for v in by_occ.values())
+    assert by_occ["Engineer"][0] == [2.0, 0.0, 1.0, 0.0]
+    # Feb 1 / Feb 3 land in the second 30-day bin (Jan 31 .. Mar 1)
+    assert by_occ["Manager"][0] == [0.0, 1.0, 1.0, 0.0]
+    assert by_occ["Analyst"][0] == [0.0, 1.0, 0.0, 0.0]
+    assert by_occ["Engineer"][1][0].month == 1 and by_occ["Engineer"][1][0].day == 1
