@@ -3082,6 +3082,51 @@ def kql_filter_summarize(spark, sf_dir):
     """)
 
 
+@q("fn_conv_matrix_datetime_math", """
+SELECT o_orderkey,
+       try_cast(CAST(o_orderkey AS VARCHAR) AS INT) AS i32,
+       CAST(CASE WHEN o_orderkey BETWEEN 0 AND 255 THEN o_orderkey
+                 ELSE 0 END AS INT) AS u8,
+       o_orderdate + to_milliseconds(o_orderkey) AS ms_ts,
+       o_orderdate - to_hours(5) AS h_ts,
+       round(ln((1 + o_orderkey / 1000.0) + sqrt((1 + o_orderkey / 1000.0) * (1 + o_orderkey / 1000.0) - 1)), 10) AS ah,
+       CAST(gcd(o_orderkey, 36) AS BIGINT) AS g,
+       CAST(lcm(o_orderkey % 12 + 1, 18) AS BIGINT) AS l,
+       CAST(factorial(CAST(o_orderkey % 10 AS INT)) AS BIGINT) AS fct,
+       CAST(strftime(o_orderdate, '%Y%m%d%H%M%S') AS BIGINT) AS n14,
+       CAST(date_trunc('week', make_date(
+           CAST(isoyear(CAST(o_orderdate AS DATE)) AS INT), 1, 4)) AS DATE)
+           AS isoy,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE))
+            + to_days(6) AS DATE) AS ldw
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+""")
+def fn_conv_matrix_datetime_math(spark, sf_dir):
+    """Round-4 long-tail closure sample: OrNull/OrZero conversion
+    matrix with unsigned range checks (FunctionsConversion.h), granular
+    datetime arithmetic (FunctionDateOrDateTimeAddInterval.h), inverse
+    hyperbolics, Euclid-fold gcd/lcm, factorial, toYYYYMMDDhhmmss,
+    toStartOfISOYear, toLastDayOfWeek (DateTimeTransforms.h)."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 2000)
+    s = F.col("o_orderkey").cast("string")
+    d = F.col("o_orderdate").cast("date")
+    return (o.select(
+        "o_orderkey",
+        ch.toInt32OrNull(s).alias("i32"),
+        ch.toUInt8OrZero(s).cast("int").alias("u8"),
+        ch.addMilliseconds(F.col("o_orderdate"), F.col("o_orderkey"))
+        .alias("ms_ts"),
+        ch.subtractHours(F.col("o_orderdate"), F.lit(5)).alias("h_ts"),
+        F.round(ch.acosh(1 + F.col("o_orderkey") / 1000.0), 10).alias("ah"),
+        ch.gcd(F.col("o_orderkey"), F.lit(36)).cast("long").alias("g"),
+        ch.lcm(F.col("o_orderkey") % 12 + 1, F.lit(18)).cast("long").alias("l"),
+        ch.factorial(F.col("o_orderkey") % 10).cast("long").alias("fct"),
+        ch.toYYYYMMDDhhmmss(F.col("o_orderdate")).alias("n14"),
+        ch.toStartOfISOYear(d).alias("isoy"),
+        ch.toLastDayOfWeek(d).alias("ldw"))
+        .orderBy("o_orderkey"))
+
+
 @q("prql_pipeline", """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        round(sum(o_totalprice), 4) AS tp,

@@ -481,10 +481,11 @@ import math as _math  # noqa: E402
 
 
 def _gcd_expr(a, b) -> Column:
-    # literal-only gcd (both args literal ints); column gcd is out of scope
     if not isinstance(a, Column) and not isinstance(b, Column):
         return F.lit(_math.gcd(int(a), int(b)))
-    raise NotImplementedError("gcd on columns: use a rewritten expression")
+    # column gcd: fixed-depth Euclid fold (_euclid_gcd, defined with the
+    # math long-tail section below) — stays a Catalyst expression
+    return _euclid_gcd(a, b)
 
 
 _MATH["gcd"] = _gcd_expr
@@ -2108,6 +2109,21 @@ _ALIAS_NAMES = {
     "FORMAT_BYTES": "formatReadableSize",
     "INET6_ATON": "IPv6StringToNum",
     "INET6_NTOA": "IPv6NumToString",
+    # parseDateTime{32,64}BestEffort width aliases + US variants
+    # (FunctionsConversion.cpp registrations; the BestEffort parser here
+    # already accepts both - and / forms, so US maps to the same parse)
+    "parseDateTime32BestEffort": "parseDateTimeBestEffort",
+    "parseDateTime64BestEffort": "parseDateTimeBestEffort",
+    "parseDateTime32BestEffortOrNull": "parseDateTimeBestEffortOrNull",
+    "parseDateTime64BestEffortOrNull": "parseDateTimeBestEffortOrNull",
+    "parseDateTimeBestEffortUS": "parseDateTimeBestEffort",
+    "parseDateTimeBestEffortUSOrNull": "parseDateTimeBestEffortOrNull",
+    "parseDateTime64OrNull": "parseDateTimeOrNull",
+    "parseDateTime64OrZero": "parseDateTimeOrZero",
+    "startsWithUTF8": "startsWith",      # byte==codepoint prefix on UTF-8 text
+    "endsWithUTF8": "endsWith",
+    "divideDecimal": "divide",           # divideDecimal.cpp (result scale arg
+    "multiplyDecimal": "multiply",       # handled by Spark decimal rules)
 }
 
 
@@ -2119,11 +2135,196 @@ _ALIAS_NAMES.update(_SEARCH_EXT_ALIASES)
 _COLL_EXT, _COLL_EXT_ALIASES = _cx.build()
 _ALIAS_NAMES.update(_COLL_EXT_ALIASES)
 
+# ----------------------------------- breadth: conversion matrix closure
+# Reference: FunctionsConversion.h — every to<T>OrNull / to<T>OrZero
+# width the reference registers (Int128/256, UInt128/256, Decimal256,
+# BFloat16 exceed Spark's type system — documented in LIMITS.md).
+
+
+def _conv_or_null(t: str, umax: int | None = None):
+    if umax is None:
+        return lambda x: _c(x).try_cast(t)
+    # unsigned carrier is the next-wider signed type; CH's string parse
+    # range-checks (readIntTextImpl), so out-of-range -> NULL explicitly
+    # (bound as decimal-from-string literal — 2^64-1 exceeds the py4j
+    # long range; built lazily, lit() needs an active session)
+    bound_str = str(umax)
+    return lambda x: F.when(
+        (_c(x).try_cast(t) >= 0)
+        & (_c(x).try_cast(t) <= F.lit(bound_str).cast("decimal(38,0)")),
+        _c(x).try_cast(t))
+
+
+def _conv_or_zero(t: str, zero, umax: int | None = None):
+    inner = _conv_or_null(t, umax)
+    return lambda x: F.coalesce(inner(x), F.lit(zero).cast(t))
+
+
+_CONV4 = {}
+for _chn, _spt, _z, _umax in [
+        ("Int8", "tinyint", 0, None), ("Int16", "smallint", 0, None),
+        ("Int32", "int", 0, None), ("Int64", "bigint", 0, None),
+        ("UInt8", "smallint", 0, 255), ("UInt16", "int", 0, 65535),
+        ("UInt32", "bigint", 0, 4294967295),
+        ("UInt64", "decimal(20,0)", 0, (1 << 64) - 1),
+        ("Float32", "float", 0.0, None), ("Float64", "double", 0.0, None),
+        ("Date", "date", "1970-01-01", None),
+        ("Date32", "date", "1970-01-01", None),
+        ("DateTime", "timestamp", "1970-01-01 00:00:00", None),
+        ("DateTime64", "timestamp", "1970-01-01 00:00:00", None)]:
+    _CONV4[f"to{_chn}OrNull"] = _conv_or_null(_spt, _umax)
+    _CONV4[f"to{_chn}OrZero"] = _conv_or_zero(_spt, _z, _umax)
+_CONV4["toDateTime32"] = lambda x: F.to_timestamp(_c(x))
+_CONV4["toJSONString"] = lambda x: F.to_json(_c(x))
+_CONV4["JSONArrayLength"] = lambda x: F.json_array_length(_c(x))
+_CONV4["toDecimalString"] = lambda x, s: F.format_number(
+    _c(x).cast("double"), F.lit(s)).cast("string")
+
+
+# -------------------------------- breadth: datetime long-tail closure
+# Reference: FunctionDateOrDateTimeAddInterval.h (add/subtract*
+# registrations), DateTimeTransforms.h (toStartOfISOYear,
+# toLastDayOfWeek, toYYYYMMDDhhmmss, toStartOf*second).  Sub-second
+# carrier is µs (Spark timestamps), so nanosecond forms truncate —
+# same policy as the DateTime64(3) default scale.
+
+
+def _add_seconds_frac(x, n, scale: float) -> Column:
+    return F.timestamp_micros(
+        F.unix_micros(_c(x).cast("timestamp"))
+        + (_c(n) * F.lit(scale * 1e6)).cast("long"))
+
+
+_DT4 = {
+    "addQuarters": lambda x, n: F.add_months(_c(x), _c(n) * 3),
+    "subtractQuarters": lambda x, n: F.add_months(_c(x), -_c(n) * 3),
+    "subtractWeeks": lambda x, n: F.date_sub(_c(x), _c(n) * 7),
+    "subtractHours": lambda x, n: _add_seconds_frac(x, -_c(n), 3600.0),
+    "subtractMinutes": lambda x, n: _add_seconds_frac(x, -_c(n), 60.0),
+    "subtractSeconds": lambda x, n: _add_seconds_frac(x, -_c(n), 1.0),
+    "addMilliseconds": lambda x, n: _add_seconds_frac(x, _c(n), 1e-3),
+    "subtractMilliseconds": lambda x, n: _add_seconds_frac(x, -_c(n), 1e-3),
+    "addMicroseconds": lambda x, n: _add_seconds_frac(x, _c(n), 1e-6),
+    "subtractMicroseconds": lambda x, n: _add_seconds_frac(x, -_c(n), 1e-6),
+    # µs carrier: nanoseconds round toward the containing microsecond
+    "addNanoseconds": lambda x, n: _add_seconds_frac(x, _c(n), 1e-9),
+    "subtractNanoseconds": lambda x, n: _add_seconds_frac(x, -_c(n), 1e-9),
+    # ISO year start = Monday of the week containing January 4th of
+    # the ISO year (reuses the toISOYear Thursday-shift helper)
+    "toStartOfISOYear": lambda x: F.date_trunc(
+        "week", F.make_date(F.year(_iso_thursday(x)),
+                            F.lit(1), F.lit(4))).cast("date"),
+    "toLastDayOfWeek": lambda x: F.date_add(
+        F.date_trunc("week", _c(x)).cast("date"), 6),
+    "toStartOfMillisecond": lambda x: F.timestamp_micros(
+        (F.unix_micros(_c(x).cast("timestamp")) / 1000).cast("long") * 1000),
+    "toStartOfMicrosecond": lambda x: _c(x).cast("timestamp"),
+    "toStartOfNanosecond": lambda x: _c(x).cast("timestamp"),
+    "toYYYYMMDDhhmmss": lambda x: F.date_format(
+        _c(x), "yyyyMMddHHmmss").cast("long"),
+    # streaming WINDOW VIEW helpers (src/Functions/FunctionsTimeWindow.cpp):
+    # tumbleStart == toStartOfInterval; ends add one window width
+    "tumbleStart": lambda x, sec: F.timestamp_seconds(
+        F.floor(F.unix_timestamp(_c(x)) / _c(sec)) * _c(sec)),
+    "tumbleEnd": lambda x, sec: F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(_c(x)) / _c(sec)) + 1) * _c(sec)),
+}
+
+
+# ------------------------------------ breadth: math long-tail closure
+# Reference: FunctionMathUnary.h (inverse hyperbolics), factorial.cpp,
+# FunctionsBinaryArithmetic.h (gcd/lcm via checked Euclid), max2.cpp.
+
+
+def _euclid_gcd(a, b) -> Column:
+    """gcd by a fixed-depth Euclid fold (92 iterations covers the
+    64-bit Fibonacci worst case); stays a Catalyst expression."""
+    init = F.struct(F.abs(_c(a)).cast("long").alias("x"),
+                    F.abs(_c(b)).cast("long").alias("y"))
+    step = lambda st, _i: F.when(  # noqa: E731
+        st["y"] != 0,
+        F.struct(st["y"].alias("x"), F.try_mod(st["x"], st["y"]).alias("y"))
+    ).otherwise(st)
+    return F.aggregate(F.sequence(F.lit(1), F.lit(92)), init, step)["x"]
+
+
+_MATH3 = {
+    "acosh": lambda x: F.log(_c(x) + F.sqrt(_c(x) * _c(x) - 1)),
+    "asinh": lambda x: F.log(_c(x) + F.sqrt(_c(x) * _c(x) + 1)),
+    "atanh": lambda x: F.log((1 + _c(x)) / (1 - _c(x))) / 2,
+    "hypot": lambda a, b: F.sqrt(_c(a) * _c(a) + _c(b) * _c(b)),
+    "min2": lambda a, b: F.least(_c(a).cast("double"), _c(b).cast("double")),
+    "max2": lambda a, b: F.greatest(_c(a).cast("double"), _c(b).cast("double")),
+    # factorial throws beyond 20 in the reference; NULL here (ANSI-safe)
+    "factorial": lambda n: F.when(
+        (_c(n) >= 0) & (_c(n) <= 20),
+        F.aggregate(F.sequence(F.lit(1).cast("long"),
+                               F.greatest(_c(n).cast("long"), F.lit(1).cast("long"))),
+                    F.lit(1).cast("long"), lambda acc, i: acc * i)),
+    "lcm": lambda a, b: F.when(
+        (_c(a) != 0) & (_c(b) != 0),
+        F.abs(F.try_divide(_c(a).cast("long"), _euclid_gcd(a, b)).cast("long")
+              * _c(b).cast("long"))).otherwise(0),
+    "countDigits": lambda x: F.length(F.abs(_c(x)).cast("string")
+                                      .substr(F.lit(1), F.instr(
+                                          F.concat(F.abs(_c(x)).cast("string"),
+                                                   F.lit(".")), ".") - 1)),
+    "moduloLegacy": lambda a, b: F.try_mod(_c(a), _c(b)),   # modulo.cpp alias
+    "throwIf": lambda c, msg="value is non-zero": F.when(
+        _c(c).cast("boolean"), F.raise_error(F.lit(msg))).otherwise(F.lit(0)),
+    "indexHint": lambda *xs: F.lit(True),    # planner hint: always-true
+    "kql_array_sort_asc": lambda a: F.array_sort(_c(a)),
+    "kql_array_sort_desc": lambda a: F.reverse(F.array_sort(_c(a))),
+    "tupleConcat": lambda *xs: F.concat(*[_c(x) for x in xs]),
+    "tupleHammingDistance": lambda a, b: F.aggregate(
+        F.zip_with(_c(a), _c(b),
+                   lambda x, y: F.when(x != y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v),
+    "regexpExtract": lambda s, p, g=1: F.regexp_extract(_c(s), p, g),
+    "regexpQuoteMeta": lambda s: F.regexp_replace(
+        _c(s), r"([\\.\[\]\{\}\(\)\*\+\?\|\^\$])", r"\\$1"),
+}
+
+
+# ------------------------------------- breadth: hash-alias long tail
+# Reference: FunctionsHashing.h registrations.  Same mapping policy as
+# cityHash64 (LIMITS.md): names whose exact bits need the native hash
+# libraries map to xxhash64 — same distributional contract, different
+# bits; persisted reference hash values will not match.  SHA224/SHA384
+# and CRC32IEEE are bit-exact (Spark sha2/crc32 are the real
+# algorithms).
+
+_HASH3 = {
+    "SHA224": lambda x: F.unhex(F.sha2(_c(x).cast("binary"), 224)),
+    "SHA384": lambda x: F.unhex(F.sha2(_c(x).cast("binary"), 384)),
+    "CRC32IEEE": lambda x: F.crc32(_c(x).cast("binary")),
+    "CRC64": lambda x: F.xxhash64(_c(x)),          # doc-note mapping
+    "murmurHash2_32": lambda *xs: F.hash(*[_c(x) for x in xs]),
+    "murmurHash3_32": lambda *xs: F.hash(*[_c(x) for x in xs]),
+    "murmurHash2_64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "murmurHash3_64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "murmurHash3_128": lambda x: F.unhex(F.md5(_c(x).cast("binary"))),
+    "sipHash128": lambda x: F.unhex(F.md5(_c(x).cast("binary"))),
+    "metroHash64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "farmFingerprint64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "wyHash64": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "xxh3": lambda *xs: F.xxhash64(*[_c(x) for x in xs]),
+    "halfMD5": lambda x: F.conv(
+        F.substring(F.md5(_c(x).cast("binary")), 1, 16), 16, 10)
+        .cast("decimal(20,0)"),
+    "gccMurmurHash": lambda *xs: F.hash(*[_c(x) for x in xs]),
+    "kafkaMurmurHash": lambda *xs: F.hash(*[_c(x) for x in xs]),
+    "javaHashUTF16LE": lambda s: _java_hash(s),
+    "URLHash": lambda u, n=None: F.xxhash64(_c(u)),
+}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
-            _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2, _MISC3,
-            _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
+            _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
+            _DT4, _MATH3, _HASH3, _MISC3, _BITMAP, _UUIDF, _COMPAT,
+            _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -1,0 +1,126 @@
+"""Round-4 long-tail closure: conversion OrNull/OrZero matrix, granular
+datetime arithmetic, inverse hyperbolics, Euclid gcd/lcm folds, hash
+aliases (reference FunctionsConversion.h,
+FunctionDateOrDateTimeAddInterval.h, FunctionsHashing.h)."""
+
+import datetime
+import hashlib
+import math
+import zlib
+
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.functions.registry import ch
+
+
+def test_conversion_matrix_bounds(spark):
+    r = spark.range(1).select(
+        ch.toInt8OrNull(F.lit("127")).alias("i8"),
+        ch.toInt8OrNull(F.lit("128")).alias("i8o"),
+        ch.toUInt8OrZero(F.lit("255")).alias("u8"),
+        ch.toUInt8OrZero(F.lit("256")).alias("u8o"),
+        ch.toUInt16OrNull(F.lit("70000")).alias("u16o"),
+        ch.toUInt32OrNull(F.lit("4294967295")).alias("u32"),
+        ch.toUInt64OrNull(F.lit("18446744073709551615")).alias("u64"),
+        ch.toFloat32OrNull(F.lit("bogus")).alias("f32"),
+        ch.toDateOrZero(F.lit("bogus")).alias("d0"),
+        ch.toDateTimeOrNull(F.lit("2024-05-01 10:00:00")).alias("ts"),
+    ).first()
+    assert r["i8"] == 127 and r["i8o"] is None
+    assert r["u8"] == 255 and r["u8o"] == 0 and r["u16o"] is None
+    assert r["u32"] == 4294967295
+    assert int(r["u64"]) == 18446744073709551615
+    assert r["f32"] is None
+    assert r["d0"] == datetime.date(1970, 1, 1)
+    assert r["ts"].hour == 10
+
+
+def test_datetime_granular_arithmetic(spark):
+    ts = F.lit("2024-05-01 00:00:00").cast("timestamp")
+    r = spark.range(1).select(
+        ch.addMilliseconds(ts, F.lit(1500)).alias("ms"),
+        ch.subtractMicroseconds(ts, F.lit(1)).alias("us"),
+        ch.addQuarters(F.lit("2024-05-01").cast("date"), F.lit(2)).alias("q"),
+        ch.subtractWeeks(F.lit("2024-05-01").cast("date"), F.lit(1)).alias("w"),
+        ch.subtractHours(ts, F.lit(2)).alias("h"),
+        ch.toStartOfISOYear(F.lit("2021-01-10").cast("date")).alias("iso"),
+        ch.toLastDayOfWeek(F.lit("2024-05-01").cast("date")).alias("ldow"),
+        ch.toStartOfMillisecond(
+            F.lit("2024-05-01 00:00:00.123456").cast("timestamp")).alias("tms"),
+        ch.toYYYYMMDDhhmmss(F.lit("2024-05-01 12:34:56").cast("timestamp"))
+        .alias("n14"),
+        ch.tumbleStart(F.lit("2024-05-01 10:17:00").cast("timestamp"),
+                       F.lit(3600)).alias("tst"),
+        ch.tumbleEnd(F.lit("2024-05-01 10:17:00").cast("timestamp"),
+                     F.lit(3600)).alias("ten"),
+    ).first()
+    assert str(r["ms"]) == "2024-05-01 00:00:01.500000"
+    assert str(r["us"]) == "2024-04-30 23:59:59.999999"
+    assert str(r["q"]) == "2024-11-01" and str(r["w"]) == "2024-04-24"
+    assert str(r["h"]) == "2024-04-30 22:00:00"
+    assert str(r["iso"]) == "2021-01-04"      # ISO-2021 week 1 Monday
+    assert str(r["ldow"]) == "2024-05-05"     # Sunday of that week
+    assert str(r["tms"]) == "2024-05-01 00:00:00.123000"
+    assert r["n14"] == 20240501123456
+    assert str(r["tst"]) == "2024-05-01 10:00:00"
+    assert str(r["ten"]) == "2024-05-01 11:00:00"
+
+
+def test_math_longtail(spark):
+    r = spark.range(1).select(
+        ch.acosh(F.lit(2.0)).alias("ac"),
+        ch.asinh(F.lit(1.5)).alias("as"),
+        ch.atanh(F.lit(0.5)).alias("at"),
+        ch.hypot(F.lit(3.0), F.lit(4.0)).alias("hy"),
+        ch.min2(F.lit(3), F.lit(7.5)).alias("mn"),
+        ch.max2(F.lit(3), F.lit(7.5)).alias("mx"),
+        ch.factorial(F.lit(20)).alias("f20"),
+        ch.factorial(F.lit(0)).alias("f0"),
+        ch.factorial(F.lit(21)).alias("f21"),
+        ch.gcd(F.col("id") + 12, F.lit(18)).alias("g"),
+        ch.lcm(F.lit(12), F.lit(18)).alias("l"),
+        ch.countDigits(F.lit(-12345)).alias("cd"),
+        ch.tupleHammingDistance(F.array(F.lit(1), F.lit(2)),
+                                F.array(F.lit(1), F.lit(3))).alias("thd"),
+        ch.throwIf(F.lit(0), "boom").alias("ok"),
+    ).first()
+    assert abs(r["ac"] - math.acosh(2.0)) < 1e-12
+    assert abs(r["as"] - math.asinh(1.5)) < 1e-12
+    assert abs(r["at"] - math.atanh(0.5)) < 1e-12
+    assert r["hy"] == 5.0 and r["mn"] == 3.0 and r["mx"] == 7.5
+    assert r["f20"] == math.factorial(20) and r["f0"] == 1
+    assert r["f21"] is None                  # reference throws; NULL here
+    assert r["g"] == 6 and r["l"] == 36
+    assert r["cd"] == 5 and r["thd"] == 1 and r["ok"] == 0
+
+
+def test_gcd_matches_python_across_values(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 12, 270, 987654321, 2**62)
+         for b in (1, 7, 18, 646, 123456789)], "a long, b long")
+    rows = df.select("a", "b", ch.gcd(F.col("a"), F.col("b")).alias("g")).collect()
+    for r in rows:
+        assert r["g"] == math.gcd(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_hash_aliases_exact_and_mapped(spark):
+    r = spark.range(1).select(
+        ch.SHA224(F.lit("abc")).alias("s224"),
+        ch.SHA384(F.lit("abc")).alias("s384"),
+        ch.CRC32IEEE(F.lit("123456789")).alias("crc"),
+        ch.halfMD5(F.lit("abc")).alias("h"),
+        ch.murmurHash3_64(F.lit("abc")).alias("m"),
+    ).first()
+    assert bytes(r["s224"]).hex() == hashlib.sha224(b"abc").hexdigest()
+    assert bytes(r["s384"]).hex() == hashlib.sha384(b"abc").hexdigest()
+    assert r["crc"] == zlib.crc32(b"123456789")
+    assert int(r["h"]) == int(hashlib.md5(b"abc").hexdigest()[:16], 16)
+    assert isinstance(r["m"], int)
+
+
+def test_throwif_raises_when_true(spark):
+    import pytest as _pt
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    with _pt.raises((Py4JJavaError, SparkRuntimeException, Exception)):
+        spark.range(1).select(ch.throwIf(F.lit(1), "boom")).collect()
