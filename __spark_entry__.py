@@ -2950,6 +2950,58 @@ def fn_ch_url(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("fn_url_longtail", """
+WITH u AS (SELECT doc_id,
+                  'https://www.sub' || CAST(doc_id % 7 AS VARCHAR) ||
+                  '.example.com:' || CAST(8000 + doc_id % 100 AS VARCHAR) ||
+                  '/a/b' || CAST(doc_id % 5 AS VARCHAR) ||
+                  '?x=1&y=' || CAST(doc_id AS VARCHAR) || '#f' AS url
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       8000 + doc_id % 100 AS prt,
+       'https://sub' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com:' || CAST(8000 + doc_id % 100 AS VARCHAR) ||
+         '/a/b' || CAST(doc_id % 5 AS VARCHAR) ||
+         '?x=1&y=' || CAST(doc_id AS VARCHAR) || '#f' AS nw,
+       'x=1&y=' || CAST(doc_id AS VARCHAR) || '#f' AS qsf,
+       'https://www.sub' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com:' || CAST(8000 + doc_id % 100 AS VARCHAR) ||
+         '/a/b' || CAST(doc_id % 5 AS VARCHAR) AS cqsf,
+       'https://www.sub' || CAST(doc_id % 7 AS VARCHAR) ||
+         '.example.com:' || CAST(8000 + doc_id % 100 AS VARCHAR) ||
+         '/a/b' || CAST(doc_id % 5 AS VARCHAR) ||
+         '?y=' || CAST(doc_id AS VARCHAR) || '#f' AS cut_x,
+       'example' AS fss, 'example.com' AS cut_fss,
+       'x,y' AS pnames
+FROM u ORDER BY doc_id
+""")
+def fn_url_longtail(spark, sf_dir):
+    """URL long-tail (src/Functions/URL/): port, cutWWW,
+    queryStringAndFragment, cutQueryStringAndFragment, cutURLParameter,
+    firstSignificantSubdomain (reference label-before-TLD semantics),
+    cutToFirstSignificantSubdomain, extractURLParameterNames."""
+    d = _cat(spark, sf_dir).documents
+    url = F.concat(
+        F.lit("https://www.sub"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com:"), (8000 + F.col("doc_id") % 100).cast("string"),
+        F.lit("/a/b"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("?x=1&y="), F.col("doc_id").cast("string"), F.lit("#f"))
+    return (d.filter(F.col("doc_id") < 200)
+            .withColumn("__u", url)
+            .select("doc_id",
+                    ch.port(F.col("__u")).cast("long").alias("prt"),
+                    ch.cutWWW(F.col("__u")).alias("nw"),
+                    ch.queryStringAndFragment(F.col("__u")).alias("qsf"),
+                    ch.cutQueryStringAndFragment(F.col("__u")).alias("cqsf"),
+                    ch.cutURLParameter(F.col("__u"), "x").alias("cut_x"),
+                    ch.firstSignificantSubdomain(F.col("__u")).alias("fss"),
+                    ch.cutToFirstSignificantSubdomain(F.col("__u"))
+                    .alias("cut_fss"),
+                    F.array_join(ch.extractURLParameterNames(F.col("__u")), ",")
+                    .alias("pnames"))
+            .orderBy("doc_id"))
+
+
 @q("fn_ch_ip", """
 WITH ips AS (
   SELECT user_id,

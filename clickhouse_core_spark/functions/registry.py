@@ -18,6 +18,8 @@ wrapper documenting the contract; nothing row-at-a-time.
 
 from __future__ import annotations
 
+import re
+
 from types import SimpleNamespace
 
 from pyspark.sql import Column
@@ -243,9 +245,10 @@ _URL = {
         F.parse_url(_c(x), F.lit("HOST")), r"^www\.", ""),
     "topLevelDomain": lambda x: F.element_at(
         F.split(F.parse_url(_c(x), F.lit("HOST")), r"\."), -1),
-    "firstSignificantSubdomain": lambda x: F.element_at(
-        F.split(F.regexp_replace(F.parse_url(_c(x), F.lit("HOST")), r"^www\.", ""),
-                r"\."), 1),
+    # ExtractFirstSignificantSubdomain.h: the label before the TLD,
+    # stepping over compound public suffixes (full gperf public-suffix
+    # list replaced by the common-compound subset below — LIMITS.md)
+    "firstSignificantSubdomain": lambda x: _fss_extract(x, cut=False),
     "path": lambda x: F.parse_url(_c(x), F.lit("PATH")),
     "pathFull": lambda x: F.concat_ws(
         "?", F.parse_url(_c(x), F.lit("PATH")), F.parse_url(_c(x), F.lit("QUERY"))),
@@ -2122,6 +2125,16 @@ _ALIAS_NAMES = {
     "parseDateTime64OrZero": "parseDateTimeOrZero",
     "startsWithUTF8": "startsWith",      # byte==codepoint prefix on UTF-8 text
     "endsWithUTF8": "endsWith",
+    # RFC 3986 strict-parse variants: this frontend's regex parse is
+    # already scheme-strict, so the RFC names alias the plain forms
+    "domainRFC": "domain",
+    "domainWithoutWWWRFC": "domainWithoutWWW",
+    "topLevelDomainRFC": "topLevelDomain",
+    "portRFC": "port",
+    "firstSignificantSubdomainRFC": "firstSignificantSubdomain",
+    "cutToFirstSignificantSubdomainRFC": "cutToFirstSignificantSubdomain",
+    "cutToFirstSignificantSubdomainWithWWW": "cutToFirstSignificantSubdomain",
+    "cutToFirstSignificantSubdomainWithWWWRFC": "cutToFirstSignificantSubdomain",
     "divideDecimal": "divide",           # divideDecimal.cpp (result scale arg
     "multiplyDecimal": "multiply",       # handled by Spark decimal rules)
 }
@@ -2319,11 +2332,185 @@ _HASH3 = {
 }
 
 
+# --------------------------------------- breadth: URL/MAC/XML long tail
+# Reference: src/Functions/URL/ (URLHierarchy.cpp, port.cpp,
+# cutURLParameter.cpp, extractURLParameterNames.cpp),
+# FunctionsCodingIP.cpp:636 formatMAC (uppercase hex bytes),
+# decodeXMLComponent.cpp, extractTextFromHTML.cpp.
+
+_URL_HOST_RE = r"^[a-z0-9]+://[^/?#]+"
+
+
+def _url_rest_chunks(u) -> Column:
+    """Cumulative-hierarchy building blocks: (host-part, first separator,
+    chunk list) per URLHierarchy.cpp's tokenizer — each chunk is
+    [seps]token[one-sep]; elements end after each separator."""
+    hp = F.regexp_extract(_c(u), _URL_HOST_RE, 0)
+    rest = F.substr(_c(u), F.length(hp) + 1)
+    sep0 = F.substring(rest, 1, 1)
+    chunks = F.regexp_extract_all(F.substr(rest, F.lit(2)),
+                                  F.lit(r"[/?#]*[^/?#]+[/?#]?"), 0)
+    return hp, sep0, chunks
+
+
+def _url_hierarchy(u) -> Column:
+    hp, sep0, chunks = _url_rest_chunks(u)
+    cums = F.transform(
+        F.sequence(F.lit(1), F.size(chunks)),
+        lambda i: F.concat(hp, sep0, F.array_join(F.slice(chunks, 1, i), "")))
+    return F.when((hp != "") & (sep0 != ""),
+                  F.concat(F.array(F.concat(hp, sep0)), cums)) \
+            .when(hp != "", F.array(hp)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def _url_path_hierarchy(u) -> Column:
+    hp, sep0, chunks = _url_rest_chunks(u)
+    return F.when(
+        (hp != "") & (sep0 != ""),
+        F.transform(F.sequence(F.lit(1), F.size(chunks)),
+                    lambda i: F.concat(sep0, F.array_join(
+                        F.slice(chunks, 1, i), "")))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def _cut_url_parameter(u, name) -> Column:
+    if isinstance(name, Column):
+        raise NotImplementedError("cutURLParameter needs a literal name")
+    pat = rf"(?<=[?&]){re.escape(name)}=[^&#]*&?"
+    trimmed = F.regexp_replace(_c(u), pat, "")
+    return F.regexp_replace(trimmed, r"[?&](#|$)", "$1")
+
+
+# Common compound public suffixes; the reference consults the full
+# gperf-compiled public-suffix list (tldLookup) — this subset covers
+# the frequent two-level suffixes and is a documented refinement.
+_COMPOUND_SUFFIXES = [
+    "co.uk", "org.uk", "net.uk", "gov.uk", "ac.uk", "me.uk", "ltd.uk",
+    "plc.uk", "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "com.br", "net.br",
+    "org.br", "gov.br", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "co.in", "net.in",
+    "org.in", "gov.in", "ac.in", "co.kr", "or.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx", "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "gov.za", "com.ar", "com.sg", "com.hk",
+    "com.tw", "com.my", "co.id", "co.th", "com.vn", "com.ua",
+    "com.pl", "com.ru", "spb.ru", "msk.ru",
+]
+
+
+def _fss_extract(u, cut: bool) -> Column:
+    """ExtractFirstSignificantSubdomain.h: fss = label before the last
+    dot, or before a compound public suffix; cut=True keeps the suffix
+    (cutToFirstSignificantSubdomain)."""
+    dom = F.regexp_replace(F.parse_url(_c(u), F.lit("HOST")), r"^www\.", "")
+    labs = F.split(dom, r"\.")
+    n = F.size(labs)
+    comp = F.concat(F.element_at(labs, -2), F.lit("."),
+                    F.element_at(labs, -1))
+    is_comp = comp.isin(_COMPOUND_SUFFIXES) & (n >= 3)
+    if cut:
+        return (F.when(n <= 1, dom)
+                .when(is_comp, F.array_join(F.slice(labs, n - 2, 3), "."))
+                .otherwise(F.array_join(F.slice(labs, n - 1, 2), ".")))
+    return (F.when(n <= 1, dom)
+            .when(is_comp, F.element_at(labs, -3))
+            .otherwise(F.element_at(labs, -2)))
+
+
+def _first_significant_cut(u) -> Column:
+    return _fss_extract(u, cut=True)
+
+
+_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&#39;", "'"), ("&nbsp;", " "),
+                 ("&amp;", "&")]        # &amp; last so it can't re-expand
+
+
+def _decode_xml(x) -> Column:
+    c = _c(x)
+    for ent, ch_ in _XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch_))
+    return c
+
+
+def _encode_xml(x) -> Column:
+    c = F.replace(_c(x), F.lit("&"), F.lit("&amp;"))
+    for ent, ch_ in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                     ("&apos;", "'")]:
+        c = F.replace(c, F.lit(ch_), F.lit(ent))
+    return c
+
+
+def _mac_byte(n, shift: int) -> Column:
+    return F.upper(F.lpad(F.hex(F.shiftright(_c(n), shift)
+                                .bitwiseAND(F.lit(255).cast("long"))), 2, "0"))
+
+
+_URL2 = {
+    "port": lambda u, d=0: F.coalesce(
+        F.regexp_extract(_c(u), r"^(?:[a-z0-9]+://)?[^/?#:]+:(\d+)", 1)
+        .try_cast("int"), F.lit(d).cast("int")),
+    "cutWWW": lambda u: F.regexp_replace(
+        _c(u), r"^((?:[a-z0-9]+://)?)www\.", "$1"),
+    "queryStringAndFragment": lambda u: F.when(
+        _c(u).contains("?"), F.substr(_c(u), F.instr(_c(u), "?") + 1)
+    ).when(_c(u).contains("#"),
+           F.substr(_c(u), F.instr(_c(u), "#"))).otherwise(F.lit("")),
+    "cutQueryStringAndFragment": lambda u: F.regexp_replace(
+        _c(u), r"[?#].*$", ""),
+    "cutURLParameter": _cut_url_parameter,
+    "extractURLParameterNames": lambda u: F.filter(
+        F.transform(F.split(F.regexp_extract(_c(u), r"\?([^#]*)", 1), "&"),
+                    lambda kv: F.substring_index(kv, "=", 1)),
+        lambda nm: nm != ""),
+    "URLHierarchy": _url_hierarchy,
+    "URLPathHierarchy": _url_path_hierarchy,
+    "cutToFirstSignificantSubdomain": _first_significant_cut,
+    "firstLine": lambda x: F.substring_index(
+        F.substring_index(_c(x), "\n", 1), "\r", 1),
+    "decodeXMLComponent": _decode_xml,
+    "decodeHTMLComponent": _decode_xml,
+    "encodeXMLComponent": _encode_xml,
+    # extractTextFromHTML.cpp: drop script/style subtrees, strip tags,
+    # collapse whitespace
+    "extractTextFromHTML": lambda x: F.trim(F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                _c(x), r"(?is)<(script|style)\b.*?</\1\s*>", " "),
+            r"(?s)<[^>]*>", " "),
+        r"\s+", " ")),
+    "MACNumToString": lambda n: F.concat_ws(
+        ":", _mac_byte(n, 40), _mac_byte(n, 32), _mac_byte(n, 24),
+        _mac_byte(n, 16), _mac_byte(n, 8), _mac_byte(n, 0)),
+    "MACStringToNum": lambda s: F.conv(
+        F.regexp_replace(_c(s), ":", ""), 16, 10).cast("long"),
+    "MACStringToOUI": lambda s: F.conv(
+        F.substring(F.regexp_replace(_c(s), ":", ""), 1, 6), 16, 10)
+        .cast("long"),
+    "IPv4ToIPv6": lambda n: F.unhex(F.concat(
+        F.lit("00000000000000000000ffff"),
+        F.lpad(F.lower(F.hex(_c(n).cast("long"))), 8, "0"))),
+    "IPv4NumToStringClassC": lambda n: F.concat_ws(
+        ".",
+        (_c(n) / 16777216).cast("long") % 256,
+        (_c(n) / 65536).cast("long") % 256,
+        (_c(n) / 256).cast("long") % 256, F.lit("xxx")),
+    "UUIDToNum": lambda u: F.unhex(F.regexp_replace(_c(u), "-", "")),
+    "UUIDNumToString": lambda b: F.lower(F.concat_ws(
+        "-",
+        F.substring(F.hex(_c(b)), 1, 8), F.substring(F.hex(_c(b)), 9, 4),
+        F.substring(F.hex(_c(b)), 13, 4), F.substring(F.hex(_c(b)), 17, 4),
+        F.substring(F.hex(_c(b)), 21, 12))),
+}
+_URL2 = {k: v for k, v in _URL2.items() if v is not None}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
-            _DT4, _MATH3, _HASH3, _MISC3, _BITMAP, _UUIDF, _COMPAT,
+            _DT4, _MATH3, _HASH3, _URL2, _MISC3, _BITMAP, _UUIDF, _COMPAT,
             _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
