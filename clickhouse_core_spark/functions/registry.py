@@ -2506,12 +2506,89 @@ _URL2 = {
 _URL2 = {k: v for k, v in _URL2.items() if v is not None}
 
 
+# ----------------------- breadth: scalar text-hash (minhash/simhash)
+# Reference: src/Functions/FunctionsStringHash.cpp — ngram/wordShingle
+# SimHash (Charikar fingerprint over char n-grams / word k-shingles)
+# and MinHash (Tuple(UInt64,UInt64): combine of the k smallest /
+# k largest distinct shingle hashes; Arg variants return the shingles
+# themselves).  Hash primitive is xxhash64 (LIMITS.md cityHash policy:
+# same contract, different bits); UTF8 variants coincide because Spark
+# strings are already unicode.
+
+from clickhouse_core_spark.pipeline.dedup import simhash64_expr  # noqa: E402
+
+
+def _word_shingles(s, k: int = 3) -> Column:
+    toks = F.filter(F.split(_c(s), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, k), " "))) \
+        .otherwise(F.when(F.size(toks) > 0,
+                          F.array(F.array_join(toks, " ")))
+                   .otherwise(F.array().cast("array<string>")))
+
+
+def _minhash_tuple(shingles: Column, hashnum: int = 6) -> Column:
+    hs = F.array_sort(F.array_distinct(
+        F.transform(shingles, lambda t: F.xxhash64(t))))
+    lo = F.slice(hs, 1, hashnum)
+    hi = F.reverse(F.slice(hs, F.greatest(
+        F.size(hs) - (hashnum - 1), F.lit(1)), hashnum))
+    combine = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+    return F.struct(combine(lo).alias("h1"), combine(hi).alias("h2"))
+
+
+def _minhash_arg_tuple(shingles: Column, hashnum: int = 6) -> Column:
+    ranked = F.array_sort(F.array_distinct(
+        F.transform(shingles,
+                    lambda t: F.struct(F.xxhash64(t).alias("h"),
+                                       t.alias("s")))))
+    lo = F.transform(F.slice(ranked, 1, hashnum), lambda x: x["s"])
+    hi = F.transform(F.reverse(F.slice(ranked, F.greatest(
+        F.size(ranked) - (hashnum - 1), F.lit(1)), hashnum)),
+        lambda x: x["s"])
+    return F.struct(lo.alias("min_args"), hi.alias("max_args"))
+
+
+def _ngrams_of(s, n, ci: bool) -> Column:
+    src = F.lower(_c(s)) if ci else _c(s)
+    n = n if not isinstance(n, Column) else 4
+    # strings shorter than n have no n-grams (sequence(1,0) counts DOWN
+    # in Spark, which would fabricate two empty grams)
+    return F.when(F.length(src) >= n, _char_ngrams(src, n)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+_TEXTHASH = {}
+for _vn, _ci in [("", False), ("CaseInsensitive", True),
+                 ("UTF8", False), ("CaseInsensitiveUTF8", True)]:
+    _TEXTHASH[f"ngramSimHash{_vn}"] = (
+        lambda s, n=4, ci=_ci: simhash64_expr(_ngrams_of(s, n, ci)))
+    _TEXTHASH[f"wordShingleSimHash{_vn}"] = (
+        lambda s, k=3, ci=_ci: simhash64_expr(
+            _word_shingles(F.lower(_c(s)) if ci else s, k)))
+    _TEXTHASH[f"ngramMinHash{_vn}"] = (
+        lambda s, n=4, hashnum=6, ci=_ci: _minhash_tuple(
+            _ngrams_of(s, n, ci), hashnum))
+    _TEXTHASH[f"wordShingleMinHash{_vn}"] = (
+        lambda s, k=3, hashnum=6, ci=_ci: _minhash_tuple(
+            _word_shingles(F.lower(_c(s)) if ci else s, k), hashnum))
+    _TEXTHASH[f"ngramMinHashArg{_vn}"] = (
+        lambda s, n=4, hashnum=6, ci=_ci: _minhash_arg_tuple(
+            _ngrams_of(s, n, ci), hashnum))
+    _TEXTHASH[f"wordShingleMinHashArg{_vn}"] = (
+        lambda s, k=3, hashnum=6, ci=_ci: _minhash_arg_tuple(
+            _word_shingles(F.lower(_c(s)) if ci else s, k), hashnum))
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
-            _DT4, _MATH3, _HASH3, _URL2, _MISC3, _BITMAP, _UUIDF, _COMPAT,
-            _SEARCH_EXT, _DT3, _COLL_EXT):
+            _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _MISC3, _BITMAP,
+            _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -93,3 +93,42 @@ def test_ipv4_to_ipv6_and_uuid_num(spark):
     assert r["m"] == "::ffff:192.168.1.1"
     assert r["uu"] == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
     assert r["cc"] == "192.168.1.xxx"
+
+
+def test_scalar_minhash_simhash_family(spark):
+    # reference src/Functions/FunctionsStringHash.cpp (xxhash64 carrier
+    # per the LIMITS.md cityHash policy)
+    texts = [("the quick brown fox jumps over the lazy dog",),
+             ("the quick brown fox jumps over the lazy cat",),
+             ("completely different content here about spark engines",),
+             ("THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG",),
+             ("ab",), ("",)]
+    df = spark.createDataFrame(texts, "t string")
+    out = df.select(
+        "t",
+        ch.ngramSimHash(F.col("t")).alias("nsh"),
+        ch.ngramSimHashCaseInsensitive(F.col("t")).alias("nshci"),
+        ch.wordShingleSimHash(F.col("t")).alias("wsh"),
+        ch.ngramMinHash(F.col("t")).alias("nmh"),
+        ch.wordShingleMinHash(F.col("t")).alias("wmh"),
+        ch.ngramMinHashArg(F.col("t")).alias("nmha"),
+    ).collect()
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    r0, r1, r2, r3, r_ab, r_empty = out
+    # near-dups are hamming-close, unrelated text is far
+    assert ham(r0["nsh"], r1["nsh"]) < ham(r0["nsh"], r2["nsh"])
+    assert ham(r0["wsh"], r1["wsh"]) < ham(r0["wsh"], r2["wsh"])
+    # case-insensitive variants collapse case; sensitive ones don't
+    assert r0["nshci"] == r3["nshci"] and r0["nsh"] != r3["nsh"]
+    # minhash tuple halves differ; Arg variant returns the shingles
+    assert r0["nmh"]["h1"] != r0["nmh"]["h2"]
+    assert len(r0["nmha"]["min_args"]) == 6
+    assert all(len(a) == 4 for a in r0["nmha"]["min_args"])
+    # identical text -> identical tuple
+    assert r0["nmh"] == out[0]["nmh"]
+    # shorter than the gram size -> empty shingle set -> fingerprint 0
+    assert r_ab["nsh"] == 0 and r_empty["nsh"] == 0
+    assert r_ab["wsh"] != 0      # one word still forms a shingle
