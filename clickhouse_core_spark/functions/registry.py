@@ -2583,12 +2583,180 @@ for _vn, _ci in [("", False), ("CaseInsensitive", True),
             _word_shingles(F.lower(_c(s)) if ci else s, k), hashnum))
 
 
+# ------------------- breadth: IP ranges, readable parses, bit curves
+# Reference: src/Functions/isIPAddressContainedIn.cpp,
+# FunctionsCodingIP.cpp (IPv6CIDRToRange, cutIPv6),
+# parseReadableSize.cpp, parseTimeDelta.cpp, mortonEncode.cpp.
+
+
+def _ip4_in_range(addr_num: Column, pfx_num: Column, bits: Column) -> Column:
+    shift = (32 - bits).cast("int")
+    sru = lambda c: F.call_function("shiftrightunsigned", c, shift)  # noqa: E731
+    return (sru(addr_num) == sru(pfx_num)) | (bits == 0)
+
+
+def _ip6_in_range(addr_hex: Column, pfx_hex: Column, bits: Column) -> Column:
+    nib = F.floor(bits / 4).cast("int")
+    rem = (bits % 4).cast("int")
+    whole = (F.substring(addr_hex, F.lit(1), nib)
+             == F.substring(pfx_hex, F.lit(1), nib))
+    a_nib = F.conv(F.substring(addr_hex, nib + 1, F.lit(1)), 16, 10).cast("int")
+    p_nib = F.conv(F.substring(pfx_hex, nib + 1, F.lit(1)), 16, 10).cast("int")
+    part = F.when(rem == 0, F.lit(True)).otherwise(
+        F.call_function("shiftright", a_nib, (4 - rem).cast("int"))
+        == F.call_function("shiftright", p_nib, (4 - rem).cast("int")))
+    return whole & part
+
+
+def _is_ip_in_range(addr, cidr) -> Column:
+    a, c = _c(addr), _c(cidr)
+    pfx = F.substring_index(c, "/", 1)
+    bits = F.substring_index(c, "/", -1).try_cast("int")
+    v4 = _ip4_in_range(
+        CH_FUNCTIONS["IPv4StringToNum"](a).cast("long"),
+        CH_FUNCTIONS["IPv4StringToNum"](pfx).cast("long"), bits)
+    v6 = _ip6_in_range(F.lower(F.hex(_ipv6_string_to_num(a))),
+                       F.lower(F.hex(_ipv6_string_to_num(pfx))), bits)
+    return F.when(c.contains(":") | a.contains(":"), v6) \
+            .otherwise(v4).cast("int")
+
+
+def _morton_encode(x, y) -> Column:
+    """mortonEncode(x, y): bit-interleave two 32-bit coordinates into a
+    64-bit Z-curve index — pure bitwise fold, no overflow possible."""
+    xs, ys = _c(x).cast("long"), _c(y).cast("long")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)), F.lit(0).cast("long"),
+        lambda acc, i: acc
+        .bitwiseOR(F.call_function(
+            "shiftleft", F.call_function("shiftright", xs, i)
+            .bitwiseAND(F.lit(1).cast("long")), i * 2))
+        .bitwiseOR(F.call_function(
+            "shiftleft", F.call_function("shiftright", ys, i)
+            .bitwiseAND(F.lit(1).cast("long")), i * 2 + 1)))
+
+
+def _morton_part(code, parity: int) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)), F.lit(0).cast("long"),
+        lambda acc, i: acc.bitwiseOR(F.call_function(
+            "shiftleft",
+            F.call_function("shiftright", _c(code), i * 2 + parity)
+            .bitwiseAND(F.lit(1).cast("long")), i)))
+
+
+_READABLE_UNITS = [
+    ("kib", 1024.0), ("mib", 1024.0 ** 2), ("gib", 1024.0 ** 3),
+    ("tib", 1024.0 ** 4), ("pib", 1024.0 ** 5), ("eib", 1024.0 ** 6),
+    ("kb", 1e3), ("mb", 1e6), ("gb", 1e9), ("tb", 1e12), ("pb", 1e15),
+    ("eb", 1e18), ("b", 1.0),
+]
+
+
+def _parse_readable_size(x) -> Column:
+    s = F.trim(F.lower(_c(x)))
+    num = F.regexp_extract(s, r"^([0-9]*\.?[0-9]+)", 1).try_cast("double")
+    unit = F.trim(F.regexp_extract(s, r"^[0-9]*\.?[0-9]+\s*([a-z]+)$", 1))
+    mult = F.lit(None).cast("double")
+    for u, m in _READABLE_UNITS:
+        mult = F.when(unit == u, F.lit(m)).otherwise(mult)
+    return F.ceil(num * mult).try_cast("decimal(20,0)")
+
+
+_TIMEDELTA_SECONDS = [
+    ("years", 365 * 86400.0), ("year", 365 * 86400.0), ("yr", 365 * 86400.0),
+    ("y", 365 * 86400.0),
+    ("months", 30.5 * 86400.0), ("month", 30.5 * 86400.0),
+    ("weeks", 7 * 86400.0), ("week", 7 * 86400.0), ("w", 7 * 86400.0),
+    ("days", 86400.0), ("day", 86400.0), ("d", 86400.0),
+    ("hours", 3600.0), ("hour", 3600.0), ("hr", 3600.0), ("h", 3600.0),
+    ("minutes", 60.0), ("minute", 60.0), ("min", 60.0), ("m", 60.0),
+    ("milliseconds", 1e-3), ("millisecond", 1e-3), ("ms", 1e-3),
+    ("microseconds", 1e-6), ("microsecond", 1e-6), ("us", 1e-6),
+    ("nanoseconds", 1e-9), ("nanosecond", 1e-9), ("ns", 1e-9),
+    ("seconds", 1.0), ("second", 1.0), ("sec", 1.0), ("s", 1.0),
+]
+
+
+def _parse_time_delta(x) -> Column:
+    """parseTimeDelta('1 hour 30 minutes' / '1h30m') -> seconds
+    (parseTimeDelta.cpp unit table, months = 30.5 d, years = 365 d)."""
+    s = F.lower(_c(x))
+    pairs = F.regexp_extract_all(
+        s, F.lit(r"([0-9]*\.?[0-9]+)\s*([a-z]+)"), 0)
+
+    def to_sec(p):
+        num = F.regexp_extract(p, r"([0-9]*\.?[0-9]+)", 1).cast("double")
+        unit = F.regexp_extract(p, r"([a-z]+)$", 1)
+        mult = F.lit(None).cast("double")
+        for u, m in _TIMEDELTA_SECONDS:
+            mult = F.when(unit == u, F.lit(m)).otherwise(mult)
+        return num * mult
+
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, p: acc + to_sec(p))
+
+
+def _byte_swap(x, nbytes: int = 8) -> Column:
+    """byteSwap on an nbytes-wide integer (byteSwap.cpp; width is the
+    value's type in the reference — explicit here, default 64-bit)."""
+    v = _c(x).cast("long")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(nbytes - 1)), F.lit(0).cast("long"),
+        lambda acc, i: acc.bitwiseOR(F.call_function(
+            "shiftleft",
+            F.call_function("shiftright", v, i * 8)
+            .bitwiseAND(F.lit(255).cast("long")),
+            (nbytes - 1) * 8 - i * 8)))
+
+
+_IPRANGE = {
+    "isIPAddressInRange": _is_ip_in_range,
+    "IPv6CIDRToRange": lambda a, bits: F.struct(
+        _ipv6_cidr_bound(a, bits, low=True).alias("lo"),
+        _ipv6_cidr_bound(a, bits, low=False).alias("hi")),
+    "cutIPv6": lambda a, bytes_v6=0, bytes_v4=0: _ipv6_num_to_string(
+        F.unhex(F.concat(
+            F.substring(F.lower(F.hex(_c(a))), 1, 32 - int(bytes_v6) * 2),
+            F.lit("0" * (int(bytes_v6) * 2))))),
+    "parseReadableSize": _parse_readable_size,
+    "parseReadableSizeOrNull": _parse_readable_size,
+    "parseReadableSizeOrZero": lambda x: F.coalesce(
+        _parse_readable_size(x), F.lit(0).cast("decimal(20,0)")),
+    "parseTimeDelta": _parse_time_delta,
+    "mortonEncode": _morton_encode,
+    "mortonDecode": lambda n, code: F.struct(
+        _morton_part(code, 0).alias("x"), _morton_part(code, 1).alias("y")),
+    "byteSwap": _byte_swap,
+    "rowNumberInAllBlocks": None,   # window op: operators/windows.py
+}
+_IPRANGE = {k: v for k, v in _IPRANGE.items() if v is not None}
+
+
+def _ipv6_cidr_bound(a, bits, low: bool) -> Column:
+    """128-bit CIDR bound via hex-nibble arithmetic (no int128)."""
+    h = F.lower(F.hex(_c(a)))
+    bits_c = _c(bits).cast("int") if isinstance(bits, Column) else F.lit(int(bits))
+    nib = F.floor(bits_c / 4).cast("int")
+    rem = (bits_c % 4).cast("int")
+    keep = F.substring(h, F.lit(1), nib)
+    a_nib = F.conv(F.substring(h, nib + 1, F.lit(1)), 16, 10).cast("int")
+    mask_hi = F.lit(15) - (F.call_function(
+        "shiftleft", F.lit(1), (4 - rem)) - 1)     # high `rem` bits of nibble
+    part = F.when(rem == 0, F.lit("")).otherwise(F.lower(F.hex(
+        a_nib.bitwiseAND(mask_hi)
+        + (F.lit(0) if low else (F.call_function(
+            "shiftleft", F.lit(1), (4 - rem)) - 1)))))
+    fill_len = (F.lit(32) - nib - F.when(rem == 0, 0).otherwise(1)).cast("int")
+    fill = F.substring(F.lit(("0" if low else "f") * 32), F.lit(1), fill_len)
+    return F.unhex(F.concat(keep, part, fill))
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
-            _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _MISC3, _BITMAP,
-            _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
+            _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC3,
+            _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn
