@@ -2137,6 +2137,15 @@ _ALIAS_NAMES = {
     "cutToFirstSignificantSubdomainWithWWWRFC": "cutToFirstSignificantSubdomain",
     "divideDecimal": "divide",           # divideDecimal.cpp (result scale arg
     "multiplyDecimal": "multiply",       # handled by Spark decimal rules)
+    "FQDN": "hostName",                  # getFQDNOrHostName fallback path
+    "fqdn": "hostName",
+    "concatAssumeInjective": "concat",   # optimizer hint form of concat
+    "concatWithSeparatorAssumeInjective": "concatWithSeparator",
+    # MySQL-mode AES: identical to the openssl mode for keys of exact
+    # cipher length (MySQL key folding for long keys is not replicated)
+    "aes_encrypt_mysql": "encrypt",
+    "aes_decrypt_mysql": "decrypt",
+    "extractKeyValuePairsWithEscaping": "extractKeyValuePairs",
 }
 
 
@@ -2751,12 +2760,116 @@ def _ipv6_cidr_bound(a, bits, low: bool) -> Column:
     return F.unhex(F.concat(keep, part, fill))
 
 
+# ----------------------------- breadth: misc closure (round 4 tail)
+# Reference: dateTrunc.cpp, FunctionBase64Conversion.h (URL alphabet),
+# base32 (FunctionBase32Conversion), erf/erfc (FunctionMathUnary.h),
+# URL form-encoding, accurateCastOrDefault.
+
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def _base32_encode(x) -> Column:
+    """RFC 4648 base32 over the input bytes: 5-byte groups -> 8 chars,
+    '=' padding — one Catalyst fold over the hex representation."""
+    h = F.hex(_c(x).cast("binary"))
+    nbytes = F.length(h) / 2
+    ngroups = F.ceil(nbytes / 5).cast("int")
+    alphabet = F.lit(_B32_ALPHABET)
+
+    def group_exact(g):
+        chunk = F.rpad(F.substring(h, (g - 1) * 10 + 1, 10), 10, "0")
+        v = F.conv(chunk, 16, 10).cast("long")   # < 2^40: fits a long
+        used = F.least(nbytes - (g - 1) * 5, F.lit(5).cast("double"))
+        nchars = F.ceil(used * 8 / 5).cast("int")
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(7)), F.lit(""),
+            lambda acc, j: F.concat(acc, F.when(
+                j < nchars,
+                F.substring(alphabet,
+                            F.call_function("shiftright", v,
+                                            (35 - j * 5).cast("int"))
+                            .bitwiseAND(F.lit(31).cast("long")).cast("int") + 1,
+                            1)).otherwise(F.lit("="))))
+
+    # sequence(1, 0) counts DOWN in Spark: guard the empty input
+    return F.when(ngroups >= 1, F.aggregate(
+        F.sequence(F.lit(1), ngroups), F.lit(""),
+        lambda acc, g: F.concat(acc, group_exact(g)))).otherwise(F.lit(""))
+
+
+def _base32_decode(x, lenient: bool = False) -> Column:
+    s = F.upper(F.regexp_replace(_c(x), "=+$", ""))
+    ngroups = F.ceil(F.length(s) / 8).cast("int")
+
+    def group_hex(g):
+        chunk = F.substring(s, (g - 1) * 8 + 1, 8)
+        nchars = F.length(chunk)
+        v = F.aggregate(
+            F.sequence(F.lit(1), F.lit(8)), F.lit(0).cast("long"),
+            lambda acc, j: F.when(
+                j <= nchars,
+                acc * 32 + (F.instr(F.lit(_B32_ALPHABET),
+                                    F.substring(chunk, j, 1)) - 1))
+            .otherwise(acc * 32))
+        nbytes = F.floor(nchars * 5 / 8).cast("int")
+        return F.substring(F.lpad(F.hex(v), 10, "0"), 1, nbytes * 2)
+
+    hexstr = F.when(ngroups >= 1, F.aggregate(
+        F.sequence(F.lit(1), ngroups), F.lit(""),
+        lambda acc, g: F.concat(acc, group_hex(g)))).otherwise(F.lit(""))
+    return F.unhex(hexstr).cast("string")
+
+
+def _erf_expr(x) -> Column:
+    """erf via the Abramowitz–Stegun 7.1.26 rational approximation
+    (|error| <= 1.5e-7 — documented divergence from libm's last-ULP
+    in LIMITS.md; erfc = 1 - erf)."""
+    v = F.abs(_c(x).cast("double"))
+    t = 1.0 / (1.0 + 0.3275911 * v)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    res = 1.0 - poly * F.exp(-v * v)
+    return F.signum(_c(x)) * res
+
+
+_MISC4 = {
+    "dateTrunc": lambda unit, x: F.date_trunc(
+        unit if isinstance(unit, str) else unit, _c(x)),
+    "base64URLEncode": lambda x: F.regexp_replace(F.translate(
+        F.base64(_c(x).cast("binary")), "+/", "-_"), "=+$", ""),
+    "base64URLDecode": lambda x: F.unbase64(F.rpad(
+        F.translate(_c(x), "-_", "+/"),
+        (F.ceil(F.length(_c(x)) / 4) * 4).cast("int"), "=")).cast("string"),
+    "tryBase64URLDecode": lambda x: F.unbase64(F.rpad(
+        F.translate(_c(x), "-_", "+/"),
+        (F.ceil(F.length(_c(x)) / 4) * 4).cast("int"), "=")).cast("string"),
+    "base32Encode": _base32_encode,
+    "base32Decode": _base32_decode,
+    "tryBase32Decode": _base32_decode,
+    "erf": _erf_expr,
+    "erfc": lambda x: 1.0 - _erf_expr(x),
+    "decodeURLFormComponent": lambda x: F.url_decode(
+        F.regexp_replace(_c(x), r"\+", "%20")),
+    "encodeURLFormComponent": lambda x: F.regexp_replace(
+        F.url_encode(_c(x)), "%20", "+"),
+    "accurateCastOrDefault": lambda x, t, d=None: F.coalesce(
+        _c(x).try_cast(_CH_TYPE_TO_SPARK.get(t.lower().strip(), t)),
+        (_c(d) if d is not None else F.lit(0))
+        .cast(_CH_TYPE_TO_SPARK.get(t.lower().strip(), t))),
+    "unbin": lambda x: F.unhex(F.lpad(F.lower(F.hex(
+        F.conv(_c(x), 2, 10).cast("long"))),
+        (F.ceil(F.length(_c(x)) / 8) * 2).cast("int"), "0")).cast("string"),
+    "toStringCutToZero": lambda x: F.substring_index(
+        _c(x).cast("string"), "\x00", 1),
+}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
-            _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC3,
-            _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
+            _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
+            _MISC3, _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

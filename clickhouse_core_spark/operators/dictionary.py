@@ -22,6 +22,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# CH type name -> Spark carrier for the typed dictGet<T>[OrDefault]
+# family (UInt64 -> decimal(20,0), IP/UUID -> canonical strings:
+# SURVEY §1.2); covers dictGetInt8..dictGetUUID + OrDefault forms.
+DICT_GET_TYPES = {
+    "Int8": "tinyint", "Int16": "smallint", "Int32": "int", "Int64": "bigint",
+    "UInt8": "smallint", "UInt16": "int", "UInt32": "bigint",
+    "UInt64": "decimal(20,0)", "Float32": "float", "Float64": "double",
+    "Date": "date", "DateTime": "timestamp", "String": "string",
+    "UUID": "string", "IPv4": "string", "IPv6": "string",
+}
+
+
 class Dictionary:
     """dictGet / dictHas over a key->attributes dimension table."""
 
@@ -65,6 +77,76 @@ class Dictionary:
         return (df.join(F.broadcast(dim), cond, "left")
                 .withColumn(flag, F.col("__hit").isNotNull().cast("int"))
                 .drop("__hit", *[f"__dk_{k}" for k in self.key_cols]))
+
+
+    def get_typed(self, df: DataFrame, type_name: str,
+                  attrs: Mapping[str, str],
+                  on: Mapping[str, str] | None = None,
+                  defaults: Mapping[str, object] | None = None) -> DataFrame:
+        """Typed dictGet<T>/dictGet<T>OrDefault family (reference
+        src/Functions/FunctionsExternalDictionaries.h registrations:
+        dictGetInt8..dictGetUInt64, Float32/64, Date, DateTime, String,
+        UUID, IPv4/IPv6 + their OrDefault forms): the generic broadcast
+        lookup with the result cast to the requested carrier type.
+        ``type_name`` is the CH type name, e.g. "Int32"."""
+        spark_t = DICT_GET_TYPES[type_name]
+        out = self.get(df, attrs, on=on, defaults=defaults)
+        for col in attrs.values():
+            out = out.withColumn(col, F.col(col).try_cast(spark_t))
+        return out
+
+    def get_or_null(self, df: DataFrame, attrs: Mapping[str, str],
+                    on: Mapping[str, str] | None = None) -> DataFrame:
+        """dictGetOrNull: NULL on missing key — the generic lookup's
+        default behavior, named for parity."""
+        return self.get(df, attrs, on=on)
+
+    def get_children(self, df: DataFrame, key_col: str, parent_col: str,
+                     out_col: str = "children") -> DataFrame:
+        """dictGetChildren (HierarchyDictionariesUtils.h): direct
+        children of each key — one broadcast reverse-lookup join against
+        the parent->keys aggregation of the dictionary."""
+        key = self.key_cols[0]
+        kids = (self.source
+                .groupBy(F.col(parent_col).cast("long").alias("__p"))
+                .agg(F.array_sort(F.collect_list(F.col(key).cast("long")))
+                     .alias("__kids")))
+        out = (df.join(F.broadcast(kids),
+                       df[key_col].cast("long") == kids["__p"], "left")
+               .withColumn(out_col, F.coalesce(
+                   F.col("__kids"), F.array().cast("array<bigint>")))
+               .drop("__p", "__kids"))
+        return out
+
+    def get_descendants(self, df: DataFrame, key_col: str, parent_col: str,
+                        out_col: str = "descendants",
+                        max_depth: int = 10) -> DataFrame:
+        """dictGetDescendants: all transitive children, unrolled as
+        ``max_depth`` broadcast expansion joins (same shallow-dimension
+        contract as get_hierarchy)."""
+        key = self.key_cols[0]
+        kids = (self.source
+                .groupBy(F.col(parent_col).cast("long").alias("__p"))
+                .agg(F.collect_list(F.col(key).cast("long")).alias("__kids")))
+        kids = F.broadcast(kids)
+        out = (df.withColumn(out_col, F.array().cast("array<bigint>"))
+               .withColumn("__frontier", F.array(F.col(key_col).cast("long"))))
+        for _ in range(max_depth):
+            expanded = (out.select("*", F.explode_outer("__frontier").alias("__f"))
+                        .join(kids, F.col("__f") == kids["__p"], "left")
+                        .drop("__p"))
+            grp = [c for c in out.columns if c not in ("__frontier",)]
+            out = (expanded.groupBy(*grp)
+                   .agg(F.array_distinct(F.flatten(F.collect_list(
+                       F.coalesce(F.col("__kids"),
+                                  F.array().cast("array<bigint>")))))
+                       .alias("__next")))
+            out = (out.withColumn(out_col, F.array_distinct(
+                       F.concat(F.col(out_col), F.col("__next"))))
+                   .withColumn("__frontier", F.col("__next"))
+                   .drop("__next"))
+        return out.withColumn(out_col, F.array_sort(out_col)) \
+                  .drop("__frontier")
 
 
     def get_hierarchy(self, df: DataFrame, key_col: str, parent_col: str,

@@ -124,3 +124,50 @@ def test_throwif_raises_when_true(spark):
     from pyspark.errors.exceptions.captured import SparkRuntimeException
     with _pt.raises((Py4JJavaError, SparkRuntimeException, Exception)):
         spark.range(1).select(ch.throwIf(F.lit(1), "boom")).collect()
+
+
+def test_base32_base64url_roundtrip(spark):
+    import base64 as b64
+    texts = ["hello world!", "a", "ab", "abc", "abcd", "abcde", ""]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        "t", ch.base32Encode(F.col("t")).alias("e"),
+        ch.base32Decode(ch.base32Encode(F.col("t"))).alias("rt"),
+        ch.base64URLEncode(F.col("t")).alias("u"),
+        ch.base64URLDecode(ch.base64URLEncode(F.col("t"))).alias("urt"),
+    ).collect()
+    for r in rows:
+        assert r["e"] == b64.b32encode(r["t"].encode()).decode(), r["t"]
+        assert r["rt"] == r["t"]
+        assert r["u"] == b64.urlsafe_b64encode(
+            r["t"].encode()).decode().rstrip("=")
+        assert r["urt"] == r["t"]
+
+
+def test_erf_erfc_approximation(spark):
+    vals = [-2.5, -1.0, -0.3, 0.0, 0.5, 1.5, 3.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = df.select("x", ch.erf(F.col("x")).alias("e"),
+                     ch.erfc(F.col("x")).alias("c")).collect()
+    for r in rows:
+        assert abs(r["e"] - math.erf(r["x"])) < 2e-7, r["x"]
+        assert abs(r["c"] - math.erfc(r["x"])) < 2e-7, r["x"]
+
+
+def test_misc_closure(spark):
+    r = spark.range(1).select(
+        ch.dateTrunc("month", F.lit("2024-05-17").cast("date")).alias("dt"),
+        ch.decodeURLFormComponent(F.lit("a+b%21")).alias("form"),
+        ch.encodeURLFormComponent(F.lit("a b!")).alias("enc"),
+        ch.accurateCastOrDefault(F.lit("12x"), "Int32", 7).alias("acd"),
+        ch.accurateCastOrDefault(F.lit("12"), "Int32").alias("acd2"),
+        ch.unbin(F.lit("0110000101100010")).alias("ub"),
+        ch.toStringCutToZero(F.lit("abc\x00def")).alias("cz"),
+        ch.FQDN().alias("fq"),
+        ch.concatAssumeInjective(F.lit("a"), F.lit("b")).alias("ci"),
+    ).first()
+    assert str(r["dt"]).startswith("2024-05-01")
+    assert r["form"] == "a b!" and r["enc"] == "a+b%21"
+    assert r["acd"] == 7 and r["acd2"] == 12
+    assert r["ub"] == "ab" and r["cz"] == "abc"
+    assert isinstance(r["fq"], str) and r["ci"] == "ab"

@@ -87,3 +87,36 @@ def test_dictionary_hierarchy_and_is_in(spark):
     flags = {r["k"]: r["dict_is_in"]
              for r in d.is_in(facts, "k", "parent", 10, max_depth=5).collect()}
     assert flags == {1: 1, 2: 1, 3: 0}
+
+
+def test_dict_get_typed_and_or_null(spark):
+    from clickhouse_core_spark.operators.dictionary import (
+        Dictionary, DICT_GET_TYPES)
+    dim = spark.createDataFrame(
+        [(1, "42", "a"), (2, "77", "b")], "k int, v string, s string")
+    d = Dictionary(dim, ["k"])
+    df = spark.createDataFrame([(1,), (2,), (9,)], "k int")
+    out = d.get_typed(df, "Int64", {"v": "vv"}).orderBy("k").collect()
+    assert [r["vv"] for r in out] == [42, 77, None]
+    assert dict(out[0].asDict())["vv"] == 42
+    out2 = d.get_or_null(df, {"s": "sv"}).orderBy("k").collect()
+    assert [r["sv"] for r in out2] == ["a", "b", None]
+    # all reference-registered type names resolve to a Spark carrier
+    for t in ("Int8", "UInt64", "Float32", "Date", "DateTime", "String",
+              "UUID", "IPv4", "IPv6"):
+        assert t in DICT_GET_TYPES
+
+
+def test_dict_children_descendants(spark):
+    from clickhouse_core_spark.operators.dictionary import Dictionary
+    # 1 -> (2, 3); 2 -> (4,); 4 -> (5,)
+    dim = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 2), (5, 4), (1, None)], "k int, parent int")
+    d = Dictionary(dim, ["k"])
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    kids = {r["k"]: r["children"]
+            for r in d.get_children(df, "k", "parent").collect()}
+    assert kids == {1: [2, 3], 2: [4], 3: []}
+    desc = {r["k"]: sorted(r["descendants"])
+            for r in d.get_descendants(df, "k", "parent").collect()}
+    assert desc == {1: [2, 3, 4, 5], 2: [4, 5], 3: []}
