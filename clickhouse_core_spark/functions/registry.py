@@ -2864,12 +2864,158 @@ _MISC4 = {
 }
 
 
+# -------------- breadth: JSON path scalars, z-test, series, NLP shims
+# Reference: src/Functions/JSONPaths? (JSONAllPaths* register in
+# src/Functions/FunctionsJSONPaths.cpp), ztest.cpp,
+# seriesOutliersDetectTukey.cpp, FunctionsTextClassification.h.
+
+import statistics as _statistics  # noqa: E402
+
+from clickhouse_core_spark.pipeline.text import (  # noqa: E402
+    _STOPWORDS as _LANG_STOPWORDS, _tokens as _lang_tokens)
+
+
+def _json_level_entries(entries: Column, depth: int) -> list[Column]:
+    """Bounded-depth JSON path walk as one expression per level:
+    entries = array<struct<key,value>> with dotted prefixes."""
+    levels = [entries]
+    for _ in range(depth - 1):
+        nested = F.filter(levels[-1], lambda e: e["value"].rlike(r"^\s*\{"))
+        nxt = F.flatten(F.transform(
+            nested,
+            lambda e: F.transform(
+                F.map_entries(F.from_json(e["value"], "map<string,string>")),
+                lambda e2: F.struct(
+                    F.concat(e["key"], F.lit("."), e2["key"]).alias("key"),
+                    e2["value"].alias("value")))))
+        levels.append(nxt)
+    return levels
+
+
+def _json_all_paths(j, depth: int = 3, with_types: bool = False) -> Column:
+    root = F.map_entries(F.from_json(_c(j), "map<string,string>"))
+    levels = _json_level_entries(root, depth)
+    allp = F.concat(*levels)
+    if not with_types:
+        return F.array_sort(F.transform(allp, lambda e: e["key"]))
+    return F.map_from_entries(F.array_sort(F.transform(
+        allp, lambda e: F.struct(e["key"].alias("k"),
+                                 _jtype_scalar(e["value"]).alias("t")))))
+
+
+def _jtype_scalar(v: Column) -> Column:
+    return (F.when(v.isNull(), "Null")
+            .when(v.rlike(r"^\s*\{"), "Object")
+            .when(v.rlike(r"^\s*\["), "Array")
+            .when(v.isin("true", "false"), "Bool")
+            .when(v.rlike(r"^-?\d+$"), "Int64")
+            .when(v.rlike(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"), "Float64")
+            .otherwise("String"))
+
+
+def _proportions_ztest(sx, sy, tx, ty, conf=0.95, usevar: str = "unpooled") -> Column:
+    """proportionsZTest (ztest.cpp:145-210): z statistic, two-sided
+    p-value and CI for the difference of two proportions.  The normal
+    quantile for the CI is computed driver-side from the literal
+    confidence level; the p-value CDF uses the erf approximation."""
+    sx, sy = _c(sx).cast("double"), _c(sy).cast("double")
+    tx, ty = _c(tx).cast("double"), _c(ty).cast("double")
+    px, py = sx / tx, sy / ty
+    diff = px - py
+    se = F.sqrt(px * (1 - px) / tx + py * (1 - py) / ty)
+    if usevar == "unpooled":
+        z = diff / se
+    else:
+        pp = (sx + sy) / (tx + ty)
+        z = diff / F.sqrt(pp * (1 - pp) * (1 / tx + 1 / ty))
+    # p = 2*(1 - Phi(|z|)) = erfc(|z|/sqrt(2))
+    p = 1.0 - _erf_expr(F.abs(z) / F.lit(_math.sqrt(2.0)))
+    zq = _statistics.NormalDist().inv_cdf(1.0 - (1.0 - float(conf)) / 2.0)
+    bad = (sx == 0) | (sy == 0) | (sx > tx) | (sy > ty) | (tx + ty == 0)
+    nanlit = F.lit(float("nan"))
+    mk = lambda c: F.when(bad, nanlit).otherwise(c)  # noqa: E731
+    return F.struct(mk(z).alias("z_statistic"), mk(p).alias("p_value"),
+                    mk(diff - zq * se).alias("confidence_interval_low"),
+                    mk(diff + zq * se).alias("confidence_interval_high"))
+
+
+def _tukey_quantile(sorted_arr: Column, n: Column, p: float) -> Column:
+    pp = n.cast("double") * F.lit(float(p))
+    idx = pp.cast("long")
+    exact = pp == F.floor(pp)
+    return F.when(
+        exact, (F.element_at(sorted_arr, idx.cast("int"))
+                + F.element_at(sorted_arr, (idx + 1).cast("int"))) / 2.0) \
+        .otherwise(F.element_at(sorted_arr, F.ceil(pp).cast("int")))
+
+
+def _series_outliers_tukey(arr, min_p: float = 0.25, max_p: float = 0.75,
+                           k: float = 1.5) -> Column:
+    """seriesOutliersDetectTukey: per-element outlier score
+    min(x - lower_fence, 0) + max(x - upper_fence, 0) with the
+    reference's exact quantile-index rule (<4 points -> NULL instead of
+    the reference's exception — ANSI-safe policy)."""
+    a = F.transform(_c(arr), lambda x: x.cast("double"))
+    s = F.array_sort(a)
+    n = F.size(a)
+    q1 = _tukey_quantile(s, n, min_p)
+    q2 = _tukey_quantile(s, n, max_p)
+    lower = q1 - F.lit(float(k)) * (q2 - q1)
+    upper = q2 + F.lit(float(k)) * (q2 - q1)
+    return F.when(n >= 4, F.transform(
+        a, lambda x: F.least(x - lower, F.lit(0.0))
+        + F.greatest(x - upper, F.lit(0.0))))
+
+
+def _detect_language(s) -> Column:
+    """detectLanguage (FunctionsTextClassification.h): the same
+    stopword-vote heuristic as pipeline.text.with_language_id — the
+    reference uses FastText models (not in this container); LIMITS.md."""
+    toks = _lang_tokens(_c(s))
+    entries = []
+    for prio, (lang, words) in enumerate(sorted(_LANG_STOPWORDS.items())):
+        arr = F.array(*[F.lit(w) for w in words])
+
+        def contains_in(a):
+            return lambda t: F.array_contains(a, t)
+
+        hits = F.size(F.filter(toks, contains_in(arr)))
+        entries.append(F.struct(hits.alias("hits"), F.lit(-prio).alias("prio"),
+                                F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+_MISC5 = {
+    "JSONAllPaths": lambda j: _json_all_paths(j, 3, False),
+    "JSONAllPathsWithTypes": lambda j: _json_all_paths(j, 3, True),
+    # Dynamic maps to JSON strings in this engine (SURVEY §1.2), so the
+    # Dynamic/SharedData path introspection coincides with JSONAllPaths
+    "JSONDynamicPaths": lambda j: _json_all_paths(j, 3, False),
+    "JSONDynamicPathsWithTypes": lambda j: _json_all_paths(j, 3, True),
+    "JSONSharedDataPaths": lambda j: _json_all_paths(j, 3, False),
+    "JSONSharedDataPathsWithTypes": lambda j: _json_all_paths(j, 3, True),
+    "proportionsZTest": _proportions_ztest,
+    "seriesOutliersDetectTukey": _series_outliers_tukey,
+    "detectLanguage": _detect_language,
+    "detectLanguageUnknown": _detect_language,
+    # charset of Spark strings is always UTF-8 once parsed
+    "detectCharset": lambda s: F.lit("UTF-8"),
+    # theta-sketch set algebra (uniqTheta*.cpp); states are DataSketches
+    # binaries from operators.sketches.uniq_theta_state
+    "uniqThetaUnion": lambda a, b: F.theta_union(_c(a), _c(b)),
+    "uniqThetaIntersect": lambda a, b: F.theta_intersection(_c(a), _c(b)),
+    "uniqThetaNot": lambda a, b: F.theta_difference(_c(a), _c(b)),
+}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
-            _MISC3, _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3, _COLL_EXT):
+            _MISC5, _MISC3, _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3,
+            _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

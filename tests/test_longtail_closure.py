@@ -171,3 +171,74 @@ def test_misc_closure(spark):
     assert r["acd"] == 7 and r["acd2"] == 12
     assert r["ub"] == "ab" and r["cz"] == "abc"
     assert isinstance(r["fq"], str) and r["ci"] == "ab"
+
+
+def test_json_all_paths_and_types(spark):
+    import json as _json
+    j = _json.dumps({"a": 1, "b": {"c": "x", "d": {"e": True}}, "f": [1, 2]})
+    r = spark.range(1).select(
+        ch.JSONAllPaths(F.lit(j)).alias("p"),
+        ch.JSONAllPathsWithTypes(F.lit(j)).alias("pt")).first()
+    assert r["p"] == ["a", "b", "b.c", "b.d", "b.d.e", "f"]
+    assert r["pt"]["a"] == "Int64" and r["pt"]["b"] == "Object"
+    assert r["pt"]["b.d.e"] == "Bool" and r["pt"]["f"] == "Array"
+
+
+def test_proportions_ztest(spark):
+    r = spark.range(1).select(ch.proportionsZTest(
+        F.lit(10), F.lit(11), F.lit(100), F.lit(101), 0.95, "unpooled")
+        .alias("z")).first()["z"]
+    px, py, tx, ty = 10 / 100, 11 / 101, 100, 101
+    se = math.sqrt(px * (1 - px) / tx + py * (1 - py) / ty)
+    zref = (px - py) / se
+    assert abs(r["z_statistic"] - zref) < 1e-12
+    assert abs(r["p_value"] - math.erfc(abs(zref) / math.sqrt(2))) < 1e-6
+    import statistics as st
+    zq = st.NormalDist().inv_cdf(0.975)
+    assert abs(r["confidence_interval_low"] - ((px - py) - zq * se)) < 1e-12
+    assert abs(r["confidence_interval_high"] - ((px - py) + zq * se)) < 1e-12
+    # zero successes -> NaN row (reference contract)
+    r2 = spark.range(1).select(ch.proportionsZTest(
+        F.lit(0), F.lit(5), F.lit(10), F.lit(10)).alias("z")).first()["z"]
+    assert math.isnan(r2["z_statistic"])
+
+
+def test_series_outliers_tukey(spark):
+    vals = [-3.0, 2.0, 15.0, 3.0, 5.0, 6.0, 4.5, 5.0, 100.0]
+    r = spark.range(1).select(ch.seriesOutliersDetectTukey(
+        F.array(*[F.lit(v) for v in vals])).alias("t")).first()["t"]
+    # reference-exact quantile rule: q1/q3 over the sorted series
+    s = sorted(vals); n = len(s)
+
+    def q(p):
+        pp = n * p
+        if pp == int(pp):
+            return (s[int(pp) - 1] + s[int(pp)]) / 2
+        return s[math.ceil(pp) - 1]
+
+    q1, q3 = q(0.25), q(0.75)
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    exp = [min(v - lo, 0.0) + max(v - hi, 0.0) for v in vals]
+    assert r == exp
+    # short series -> NULL (reference throws; ANSI-safe here)
+    r2 = spark.range(1).select(ch.seriesOutliersDetectTukey(
+        F.array(F.lit(1.0), F.lit(2.0))).alias("t")).first()["t"]
+    assert r2 is None
+
+
+def test_detect_language_and_theta_ops(spark):
+    rows = spark.createDataFrame(
+        [("the cat sat on the mat and the dog was there",),
+         ("el gato y el perro en la casa de la madre",),
+         ("12345 67890",)], "t string") \
+        .select(ch.detectLanguage(F.col("t")).alias("l")).collect()
+    assert [r["l"] for r in rows] == ["en", "es", "und"]
+    df = spark.range(10).select(
+        F.theta_sketch_agg(F.col("id")).alias("a"),
+        F.theta_sketch_agg(F.col("id") + 5).alias("b"))
+    r = df.select(
+        F.theta_sketch_estimate(ch.uniqThetaUnion(F.col("a"), F.col("b"))).alias("u"),
+        F.theta_sketch_estimate(ch.uniqThetaIntersect(F.col("a"), F.col("b"))).alias("i"),
+        F.theta_sketch_estimate(ch.uniqThetaNot(F.col("a"), F.col("b"))).alias("n"),
+    ).first()
+    assert (r["u"], r["i"], r["n"]) == (15.0, 5.0, 5.0)
