@@ -3179,6 +3179,110 @@ def fn_conv_matrix_datetime_math(spark, sf_dir):
         .orderBy("o_orderkey"))
 
 
+_MORTON_TERMS = " + ".join(
+    f"(((a // {1 << i}) % 2) * {4 ** i} + ((b // {1 << i}) % 2) * {2 * 4 ** i})"
+    for i in range(10))
+
+
+@q("fn_morton_parse_ztest", f"""
+WITH g AS (SELECT p_partkey,
+                  p_partkey % 1024 AS a, (p_partkey * 7) % 1024 AS b,
+                  p_partkey % 50 + 1 AS sx, p_partkey % 40 + 1 AS sy
+           FROM part WHERE p_partkey < 500)
+SELECT p_partkey,
+       CAST({_MORTON_TERMS} AS BIGINT) AS morton,
+       CAST((p_partkey % 100 + 1) * 1024 AS BIGINT) AS rs,
+       CAST((p_partkey % 24) * 3600 + (p_partkey % 60) * 60 AS DOUBLE) AS td,
+       round(((sx / 100.0) - (sy / 90.0))
+             / sqrt((sx / 100.0) * (1 - sx / 100.0) / 100.0
+                    + (sy / 90.0) * (1 - sy / 90.0) / 90.0), 10) AS zstat,
+       round(((sx / 100.0) - (sy / 90.0))
+             - 1.959963984540054 * sqrt((sx / 100.0) * (1 - sx / 100.0) / 100.0
+                    + (sy / 90.0) * (1 - sy / 90.0) / 90.0), 10) AS ci_lo
+FROM g ORDER BY p_partkey
+""")
+def fn_morton_parse_ztest(spark, sf_dir):
+    """mortonEncode bit-interleave (mortonEncode.cpp, exact),
+    parseReadableSize / parseTimeDelta (parseReadableSize.cpp,
+    parseTimeDelta.cpp), proportionsZTest z-statistic + CI bound
+    (ztest.cpp; p-value column omitted — its normal CDF is the
+    documented erf approximation)."""
+    p = _cat(spark, sf_dir).part.filter(F.col("p_partkey") < 500)
+    a = (F.col("p_partkey") % 1024).cast("long")
+    b = ((F.col("p_partkey") * 7) % 1024).cast("long")
+    sx, sy = F.col("p_partkey") % 50 + 1, F.col("p_partkey") % 40 + 1
+    zt = ch.proportionsZTest(sx, sy, F.lit(100), F.lit(90), 0.95, "unpooled")
+    return (p.select(
+        "p_partkey",
+        ch.mortonEncode(a, b).alias("morton"),
+        ch.parseReadableSize(
+            F.concat((F.col("p_partkey") % 100 + 1).cast("string"),
+                     F.lit(" KiB"))).cast("long").alias("rs"),
+        ch.parseTimeDelta(
+            F.concat((F.col("p_partkey") % 24).cast("string"), F.lit("h"),
+                     (F.col("p_partkey") % 60).cast("string"), F.lit("m")))
+        .alias("td"),
+        F.round(zt["z_statistic"], 10).alias("zstat"),
+        F.round(zt["confidence_interval_low"], 10).alias("ci_lo"))
+        .orderBy("p_partkey"))
+
+
+@q("fn_codec_roundtrips", """
+SELECT doc_id,
+       regexp_replace(replace(replace(
+           to_base64(encode(substring(text, 1, 24))), '+', '-'), '/', '_'),
+           '=+$', '') AS u64,
+       substring(text, 1, 24) AS b32rt,
+       substring(text, 1, 24) AS u64rt
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+""")
+def fn_codec_roundtrips(spark, sf_dir):
+    """base64URLEncode (RFC 4648 URL alphabet, bit-exact vs DuckDB's
+    to_base64 + translation) and base32 encode/decode roundtrip
+    identity (FunctionBase64Conversion.h, base32 codec)."""
+    d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    s = F.substring("text", 1, 24)
+    return (d.select(
+        "doc_id",
+        ch.base64URLEncode(s).alias("u64"),
+        ch.base32Decode(ch.base32Encode(s)).alias("b32rt"),
+        ch.base64URLDecode(ch.base64URLEncode(s)).alias("u64rt"))
+        .orderBy("doc_id"))
+
+
+@q("fn_ip_in_range", """
+WITH g AS (
+  SELECT user_id,
+         '10.' || CAST(user_id % 256 AS VARCHAR) || '.' ||
+         CAST((user_id * 7) % 256 AS VARCHAR) || '.' ||
+         CAST((user_id * 13) % 256 AS VARCHAR) AS ip,
+         CAST(10 AS BIGINT) * 16777216 + (user_id % 256) * 65536
+           + ((user_id * 7) % 256) * 256 + ((user_id * 13) % 256) AS ipnum,
+         user_id % 17 + 8 AS bits
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(CASE WHEN (ipnum >> (32 - bits))
+                  = (CAST(167772160 AS BIGINT) >> (32 - bits))
+            THEN 1 ELSE 0 END AS INT) AS in_range
+FROM g ORDER BY user_id
+""")
+def fn_ip_in_range(spark, sf_dir):
+    """isIPAddressInRange CIDR membership
+    (isIPAddressContainedIn.cpp) against a varying prefix length."""
+    ev = _cat(spark, sf_dir).events.groupBy("user_id").agg(
+        F.concat(F.lit("10."), (F.col("user_id") % 256).cast("string"),
+                 F.lit("."), ((F.col("user_id") * 7) % 256).cast("string"),
+                 F.lit("."), ((F.col("user_id") * 13) % 256).cast("string"))
+        .alias("ip"),
+        (F.col("user_id") % 17 + 8).cast("string").alias("bits"))
+    return (ev.select(
+        "user_id",
+        ch.isIPAddressInRange(
+            F.col("ip"), F.concat(F.lit("10.0.0.0/"), F.col("bits")))
+        .alias("in_range"))
+        .orderBy("user_id"))
+
+
 @q("prql_pipeline", """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
        round(sum(o_totalprice), 4) AS tp,
