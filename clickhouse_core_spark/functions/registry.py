@@ -2250,6 +2250,21 @@ _DT4 = {
         F.floor(F.unix_timestamp(_c(x)) / _c(sec)) * _c(sec)),
     "tumbleEnd": lambda x, sec: F.timestamp_seconds(
         (F.floor(F.unix_timestamp(_c(x)) / _c(sec)) + 1) * _c(sec)),
+    # hop windows: the hop-grid-aligned window containing x
+    # (FunctionsTimeWindow.cpp hopStart/hopEnd)
+    "hopStart": lambda x, hop_sec, win_sec=None: F.timestamp_seconds(
+        F.floor(F.unix_timestamp(_c(x)) / _c(hop_sec)) * _c(hop_sec)),
+    "hopEnd": lambda x, hop_sec, win_sec=None: F.timestamp_seconds(
+        F.floor(F.unix_timestamp(_c(x)) / _c(hop_sec)) * _c(hop_sec)
+        + _c(win_sec if win_sec is not None else hop_sec)),
+    # windowID == toUInt32(tumbleEnd) (StorageWindowView.cpp)
+    "windowID": lambda x, sec: (
+        (F.floor(F.unix_timestamp(_c(x)) / _c(sec)) + 1) * _c(sec))
+        .cast("long"),
+    # LowCardinality is a storage encoding; Spark's dictionary encoding
+    # is automatic in Parquet/Tungsten — the logical value is unchanged
+    "toLowCardinality": lambda x: _c(x),
+    "lowCardinalityKeys": lambda x: _c(x),
 }
 
 
