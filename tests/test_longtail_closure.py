@@ -242,3 +242,19 @@ def test_detect_language_and_theta_ops(spark):
         F.theta_sketch_estimate(ch.uniqThetaNot(F.col("a"), F.col("b"))).alias("n"),
     ).first()
     assert (r["u"], r["i"], r["n"]) == (15.0, 5.0, 5.0)
+
+
+def test_hop_window_id_lowcardinality(spark):
+    ts = F.lit("2024-05-01 10:17:00").cast("timestamp")
+    r = spark.range(1).select(
+        ch.hopStart(ts, F.lit(600), F.lit(3600)).alias("hs"),
+        ch.hopEnd(ts, F.lit(600), F.lit(3600)).alias("he"),
+        ch.windowID(ts, F.lit(3600)).alias("wid"),
+        ch.tumbleEnd(ts, F.lit(3600)).alias("te"),
+        ch.toLowCardinality(F.lit("x")).alias("lc")).first()
+    assert str(r["hs"]) == "2024-05-01 10:10:00"
+    assert str(r["he"]) == "2024-05-01 11:10:00"
+    # windowID == epoch seconds of tumbleEnd (StorageWindowView.cpp)
+    import calendar
+    assert r["wid"] == calendar.timegm(r["te"].timetuple())
+    assert r["lc"] == "x"
