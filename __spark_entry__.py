@@ -4266,6 +4266,52 @@ def pipeline_gopher_signals(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("pipeline_quality_score_model", """
+WITH synth AS (
+  SELECT doc_id, replace(text, ' table ', chr(10)) AS t
+  FROM documents WHERE doc_id < 200),
+w AS (
+  SELECT doc_id, t,
+         string_split_regex(trim(t), '\\s+') AS words,
+         string_split(t, chr(10)) AS lines
+  FROM synth),
+f AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(words, w2 -> CAST(length(w2) AS DOUBLE)))
+              AS DOUBLE) / len(words) AS mwl,
+         CAST(len(list_filter(words, w2 -> regexp_matches(w2, '[A-Za-z]')))
+              AS DOUBLE) / len(words) AS alpha,
+         CAST((len(string_split(t, '#')) - 1)
+              + (len(string_split(t, '...')) - 1) AS DOUBLE)
+              / len(words) AS sym,
+         1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup,
+         CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+              AS DOUBLE) / len(lines) AS bullet
+  FROM w)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-4.0 + 0.7 * mwl + 2.0 * alpha - 3.0 * sym
+                                - 2.0 * dup - 1.0 * bullet))), 6)
+           AS quality_prob
+FROM f ORDER BY doc_id
+""")
+def pipeline_quality_score_model(spark, sf_dir):
+    """Quality-classifier scoring path (pipeline.text
+    score_quality_classifier): Gopher signals + evalMLMethod logistic
+    dot product as ONE Catalyst projection, fixed literal weights so
+    the oracle replays the exact model.  (Training is oracle-covered
+    separately by the gradient_logistic_regression entry.)"""
+    from clickhouse_core_spark.pipeline.text import score_quality_classifier
+    d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    synth = d.select("doc_id",
+                     F.replace(F.col("text"), F.lit(" table "),
+                               F.lit("\n")).alias("text"))
+    scored = score_quality_classifier(
+        synth, [0.7, 2.0, -3.0, -2.0, -1.0], -4.0)
+    return (scored.select("doc_id",
+                          F.round("quality_prob", 6).alias("quality_prob"))
+            .orderBy("doc_id"))
+
+
 @q("pipeline_contamination", """
 WITH toks AS (
   SELECT doc_id,

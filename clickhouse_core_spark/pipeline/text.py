@@ -184,6 +184,78 @@ def with_gopher_signals(df: DataFrame, text_col: str = "text",
             .withColumn(f"{prefix}bullet_line_frac", bullet_frac))
 
 
+_QUALITY_FEATURES = ("gq_mean_word_len", "gq_alpha_word_frac",
+                     "gq_symbol_ratio", "gq_dup_line_frac",
+                     "gq_bullet_line_frac")
+
+
+def train_quality_classifier(labeled: DataFrame, text_col: str = "text",
+                             label_col: str = "label",
+                             learning_rate: float = 0.5,
+                             iterations: int = 10):
+    """End-to-end quality-classifier training for a data pipeline:
+    Gopher signal extraction (with_gopher_signals) feeding the
+    deterministic full-batch logistic GD
+    (operators.stats.gradient_logistic_regression — the order-free
+    refinement of the reference's stochasticLogisticRegression).
+    Returns the trained one-row DataFrame of raw-space (weights, bias).
+
+    Scale shape: signal extraction is per-row expressions;
+    each GD iteration is one map-side-combinable aggregation; driver
+    state is len(features)+1 floats.
+    """
+    from pyspark.sql import functions as _F
+
+    from clickhouse_core_spark.operators.stats import (
+        gradient_logistic_regression)
+    feats = with_gopher_signals(labeled, text_col)
+    cols = list(_QUALITY_FEATURES)
+    model = gradient_logistic_regression(
+        feats, cols, label_col,
+        learning_rate=learning_rate, iterations=iterations).first()
+    # de-standardize (the GD trains in standardized feature space):
+    # w_raw_i = w_i / s_i ; bias_raw = bias - sum(w_i * m_i / s_i)
+    stats = feats.agg(
+        *[_F.avg(c).alias(f"m{i}") for i, c in enumerate(cols)],
+        *[_F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(cols)]).first()
+    n = len(cols)
+    w_raw, shift = [], 0.0
+    for i in range(n):
+        s = float(stats[f"s{i}"]) or 1.0
+        w_raw.append(float(model[f"w{i}"]) / s)
+        shift += float(model[f"w{i}"]) * float(stats[f"m{i}"]) / s
+    bias_raw = float(model["bias"]) - shift
+    row = tuple(float(model[f"w{i}"]) for i in range(n)) \
+        + (float(model["bias"]),) + tuple(w_raw) + (bias_raw,)
+    schema = (", ".join(f"w{i} double" for i in range(n)) + ", bias double, "
+              + ", ".join(f"w{i}_raw double" for i in range(n))
+              + ", bias_raw double")
+    return labeled.sparkSession.createDataFrame([row], schema)
+
+
+def score_quality_classifier(df: DataFrame, weights, bias: float | None = None,
+                             text_col: str = "text",
+                             out_col: str = "quality_prob") -> DataFrame:
+    """Score documents with a trained quality classifier: the same
+    Gopher signal expressions + evalMLMethod's logistic dot product —
+    the whole scoring path is one Catalyst projection, no Python per
+    row and no shuffle (the 100 TB-right shape for corpus filtering).
+    ``weights`` is the feature-ordered coefficient list (or the row
+    returned by train_quality_classifier)."""
+    from clickhouse_core_spark.operators.stats import eval_ml_method
+    if hasattr(weights, "asDict"):      # trained row passthrough
+        row = weights.asDict()
+        bias = float(row.get("bias_raw", row.get("bias")))
+        weights = [float(row[f"w{i}_raw"] if f"w{i}_raw" in row
+                         else row[f"w{i}"])
+                   for i in range(len(_QUALITY_FEATURES))]
+    feats = with_gopher_signals(df, text_col)
+    score = eval_ml_method(list(weights), float(bias),
+                           list(_QUALITY_FEATURES), kind="logistic")
+    keep = df.columns
+    return feats.withColumn(out_col, score).select(*keep, out_col)
+
+
 def benchmark_contamination(df: DataFrame, bench: DataFrame,
                             text_col: str = "text", id_col: str = "doc_id",
                             bench_text_col: str = "text",

@@ -224,3 +224,31 @@ def test_ivf_topk_probe_recall(spark):
     approx = {r.vec_id for r in
               ivf_topk(df, q, 10, n_centroids=8, n_probe=2).collect()}
     assert len(exact & approx) >= 9  # >=0.9 recall on the planted cluster
+
+
+def test_quality_classifier_train_score(spark, catalog):
+    from pyspark.sql import functions as F
+
+    from clickhouse_core_spark.pipeline.text import (
+        train_quality_classifier, score_quality_classifier,
+        with_gopher_signals)
+    docs = catalog.documents
+    lab = (with_gopher_signals(docs)
+           .withColumn("label", (F.col("gq_mean_word_len") > 4.5).cast("int"))
+           .select("doc_id", "text", "label"))
+    assert lab.filter("label = 1").count() > 0
+    assert lab.filter("label = 0").count() > 0
+    model = train_quality_classifier(lab).first()
+    # mean-word-len weight must be positive (it defines the label)
+    assert model["w0"] > 0
+    scored = score_quality_classifier(docs, model)
+    assert scored.columns == docs.columns + ["quality_prob"]
+    j = scored.join(lab.select("doc_id", "label"), "doc_id")
+    by = {r["label"]: r["p"] for r in
+          j.groupBy("label").agg(F.avg("quality_prob").alias("p")).collect()}
+    assert by[1] > by[0]
+    # explicit-weights path matches the row path
+    w = [model[f"w{i}_raw"] for i in range(5)]
+    s2 = score_quality_classifier(docs, w, model["bias_raw"])
+    assert s2.orderBy("doc_id").first()["quality_prob"] == \
+        scored.orderBy("doc_id").first()["quality_prob"]
