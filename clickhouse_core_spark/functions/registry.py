@@ -3024,13 +3024,70 @@ _MISC5 = {
 }
 
 
+# ------------------------------ breadth: reinterpret / partial sort
+# Reference: src/Functions/reinterpretAs.cpp — reinterpret the raw
+# little-endian bytes of a value as another fixed-width type.  String
+# bytes come from encode(s, UTF-8); integers narrow/sign-wrap via cast.
+
+
+def _le_bytes_to_long(s, width: int) -> Column:
+    h = F.lower(F.hex(F.encode(_c(s).cast("string"), "UTF-8")))
+
+    def byte_at(i: int) -> Column:
+        b = F.substring(h, i * 2 + 1, 2)
+        return F.when(b == "", F.lit(0).cast("long")) \
+                .otherwise(F.conv(b, 16, 10).cast("long"))
+
+    acc = F.lit(0).cast("long")
+    for i in range(width):
+        acc = acc.bitwiseOR(F.call_function(
+            "shiftleft", byte_at(i), F.lit(i * 8)))
+    return acc
+
+
+def _long_to_le_string(n, trim: bool) -> Column:
+    v = _c(n).cast("long")
+    h = F.concat(*[
+        F.lpad(F.lower(F.hex(F.call_function("shiftright", v, F.lit(i * 8))
+                             .bitwiseAND(F.lit(255).cast("long")))), 2, "0")
+        for i in range(8)])
+    if trim:
+        h = F.regexp_replace(h, "(00)+$", "")
+    return F.unhex(h).cast("string")
+
+
+_REINTERP = {
+    "reinterpretAsUInt8": lambda s: _le_bytes_to_long(s, 1).cast("smallint"),
+    "reinterpretAsUInt16": lambda s: _le_bytes_to_long(s, 2).cast("int"),
+    "reinterpretAsUInt32": lambda s: _le_bytes_to_long(s, 4).cast("bigint"),
+    "reinterpretAsUInt64": lambda s: _le_bytes_to_long(s, 8),
+    "reinterpretAsInt8": lambda s: _le_bytes_to_long(s, 1).cast("tinyint"),
+    "reinterpretAsInt16": lambda s: _le_bytes_to_long(s, 2).cast("smallint"),
+    "reinterpretAsInt32": lambda s: _le_bytes_to_long(s, 4).cast("int"),
+    "reinterpretAsInt64": lambda s: _le_bytes_to_long(s, 8),
+    "reinterpretAsString": lambda n: _long_to_le_string(n, trim=True),
+    "reinterpretAsFixedString": lambda n: _long_to_le_string(n, trim=False),
+    "reinterpretAsDate": lambda s: F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        _le_bytes_to_long(s, 2).cast("int")),
+    "reinterpretAsDateTime": lambda s: F.timestamp_seconds(
+        _le_bytes_to_long(s, 4)),
+    # arrayPartialSort: the reference sorts the first `limit` positions
+    # and leaves the rest arbitrary (arrayPartialSort.cpp); a full sort
+    # satisfies that contract deterministically
+    "arrayPartialSort": lambda limit, a: F.array_sort(_c(a)),
+    "arrayPartialReverseSort": lambda limit, a: F.reverse(
+        F.array_sort(_c(a))),
+}
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
-            _MISC5, _MISC3, _BITMAP, _UUIDF, _COMPAT, _SEARCH_EXT, _DT3,
-            _COLL_EXT):
+            _MISC5, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
+            _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

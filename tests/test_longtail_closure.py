@@ -258,3 +258,28 @@ def test_hop_window_id_lowcardinality(spark):
     import calendar
     assert r["wid"] == calendar.timegm(r["te"].timetuple())
     assert r["lc"] == "x"
+
+
+def test_reinterpret_family(spark):
+    import struct
+    r = spark.range(1).select(
+        ch.reinterpretAsUInt32(F.lit("abcd")).alias("u32"),
+        ch.reinterpretAsUInt16(F.lit("ab")).alias("u16"),
+        ch.reinterpretAsUInt8(F.lit("a")).alias("u8"),
+        ch.reinterpretAsInt64(F.lit("abcdefgh")).alias("i64"),
+        ch.reinterpretAsInt8(F.lit("\xff")).alias("i8"),
+        ch.reinterpretAsString(F.lit(97 + 98 * 256)).alias("s"),
+        ch.reinterpretAsFixedString(F.lit(97)).alias("fs"),
+        ch.reinterpretAsDate(F.lit("\x01\x00")).alias("d"),
+        ch.reinterpretAsDateTime(F.lit("\x10\x00\x00\x00")).alias("dt"),
+        ch.arrayPartialSort(2, F.array(F.lit(3), F.lit(1), F.lit(2))).alias("ps"),
+        ch.arrayPartialReverseSort(2, F.array(F.lit(3), F.lit(1), F.lit(2)))
+        .alias("prs"),
+    ).first()
+    assert r["u32"] == struct.unpack("<I", b"abcd")[0]
+    assert r["u16"] == struct.unpack("<H", b"ab")[0] and r["u8"] == 97
+    assert r["i64"] == struct.unpack("<q", b"abcdefgh")[0]
+    assert r["s"] == "ab" and len(r["fs"]) == 8
+    assert str(r["d"]) == "1970-01-02"
+    assert r["dt"].minute == 0 and r["dt"].second == 16
+    assert r["ps"] == [1, 2, 3] and r["prs"] == [3, 2, 1]
