@@ -666,8 +666,51 @@ _MISC = {
     "geoDistance": lambda lon1, lat1, lon2, lat2: _great_circle(lon1, lat1, lon2, lat2),
     "geohashEncode": lambda lon, lat, precision=12: _geohash_encode(lon, lat, precision),
     "geohashDecode": lambda s: _geohash_decode(s),
+    "geohashesInBox": lambda lon_min, lat_min, lon_max, lat_max, p=4:
+        _geohashes_in_box(lon_min, lat_min, lon_max, lat_max, p),
     "pointInPolygon": lambda x, y, polygon: _point_in_polygon(x, y, polygon),
 }
+
+def _geohashes_in_box(lon_min, lat_min, lon_max, lat_max,
+                      precision=4) -> Column:
+    """geohashesInBox (reference src/Functions/geohashesInBox.cpp,
+    GeoHash.h gridIndexes): all precision-p geohash cells intersecting
+    the box — cell-index ranges from the closed-form grid, one
+    flattened nested transform (no per-cell Python).  Degenerate or
+    oversized requests (> 100k cells) yield an empty array (the
+    reference throws)."""
+    p = int(precision)
+    total = 5 * p
+    nlon, nlat = (total + 1) // 2, total // 2
+    w = 360.0 / float(1 << nlon)
+    h = 180.0 / float(1 << nlat)
+    i0 = F.greatest(F.lit(0).cast("long"),
+                    F.floor((_c(lon_min) + 180.0) / w).cast("long"))
+    i1 = F.least(F.lit((1 << nlon) - 1).cast("long"),
+                 (F.ceil((_c(lon_max) + 180.0) / w) - 1).cast("long"))
+    j0 = F.greatest(F.lit(0).cast("long"),
+                    F.floor((_c(lat_min) + 90.0) / h).cast("long"))
+    j1 = F.least(F.lit((1 << nlat) - 1).cast("long"),
+                 (F.ceil((_c(lat_max) + 90.0) / h) - 1).cast("long"))
+    n_cells = (i1 - i0 + 1) * (j1 - j0 + 1)
+    # clamp BOTH sequence bounds: with literal corners Catalyst
+    # constant-folds the sequences regardless of the when() guard, so
+    # an oversized request must never materialize the full grid
+    i1c = F.least(i1, i0 + 99999)
+    per_j = F.greatest(F.lit(1).cast("long"),
+                       F.floor(100000 / (i1c - i0 + 1)).cast("long"))
+    j1c = F.least(j1, j0 + per_j - 1)   # clamped grid <= 100k cells
+    cells = F.flatten(F.transform(
+        F.sequence(i0, i1c),
+        lambda li: F.transform(
+            F.sequence(j0, j1c),
+            lambda lj: _geohash_encode(
+                F.lit(-180.0) + (li.cast("double") + 0.5) * w,
+                F.lit(-90.0) + (lj.cast("double") + 0.5) * h, p))))
+    return F.when((i1 >= i0) & (j1 >= j0) & (n_cells <= 100000),
+                  F.array_sort(cells)) \
+            .otherwise(F.array().cast("array<string>"))
+
 
 _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 

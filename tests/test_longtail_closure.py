@@ -283,3 +283,22 @@ def test_reinterpret_family(spark):
     assert str(r["d"]) == "1970-01-02"
     assert r["dt"].minute == 0 and r["dt"].second == 16
     assert r["ps"] == [1, 2, 3] and r["prs"] == [3, 2, 1]
+
+
+def test_geohashes_in_box(spark):
+    r = spark.range(1).select(
+        ch.geohashesInBox(F.lit(-1.0), F.lit(51.0), F.lit(0.5), F.lit(51.8), 3)
+        .alias("g3"),
+        ch.geohashesInBox(F.lit(13.0), F.lit(52.0), F.lit(13.1), F.lit(52.1), 5)
+        .alias("g5"),
+        ch.geohashesInBox(F.lit(-180.0), F.lit(-90.0), F.lit(180.0),
+                          F.lit(90.0), 12).alias("too_many"),
+    ).first()
+    assert r["g3"] == ["gcp", "u10"]          # London-area 3-char cells
+    assert len(r["g5"]) == 12 and all(len(g) == 5 for g in r["g5"])
+    # every returned cell's decoded center lies in (or adjacent to) the box
+    for g in r["g5"]:
+        lon, lat = spark.range(1).select(
+            ch.geohashDecode(F.lit(g)).alias("d")).first()["d"]
+        assert 12.9 < lon < 13.2 and 51.9 < lat < 52.2, g
+    assert r["too_many"] == []                # >100k cells -> empty
