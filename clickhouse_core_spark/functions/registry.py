@@ -519,6 +519,8 @@ _ARR = {
     "arrayAll": lambda f, a: F.forall(_c(a), f).cast("int"),
     "arrayFold": lambda f, a, init: F.aggregate(_c(a), _c(init), f),
     "arrayReduce": lambda agg, a: _array_reduce(agg, a),
+    "arrayReduceInRanges": lambda agg, rng, a: _array_reduce_in_ranges(
+        agg, rng, a),
     "arraySum": lambda a: F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double")),
     "arrayAvg": lambda a: (F.aggregate(_c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
                            / F.size(_c(a))),
@@ -596,6 +598,20 @@ def _array_reduce(agg_name, arr) -> Column:
             f"arrayReduce: aggregate {name!r} not mapped "
             f"(supported: {sorted(dispatch)})")
     return dispatch[name]()
+
+
+def _array_reduce_in_ranges(agg_name, ranges, arr) -> Column:
+    """arrayReduceInRanges('agg', [(start,len)...], arr)
+    (src/Functions/array/arrayReduceInRanges.cpp): arrayReduce over
+    each 1-based (start, length) slice; ranges is an array of 2-field
+    structs or 2-element arrays."""
+    a = _c(arr)
+    return F.transform(
+        _c(ranges),
+        lambda r: _array_reduce(
+            agg_name,
+            F.slice(a, F.element_at(r, 1).cast("int"),
+                    F.element_at(r, 2).cast("int"))))
 
 
 def _array_cum_sum(a) -> Column:
@@ -3121,7 +3137,41 @@ _REINTERP = {
     "arrayPartialSort": lambda limit, a: F.array_sort(_c(a)),
     "arrayPartialReverseSort": lambda limit, a: F.reverse(
         F.array_sort(_c(a))),
+    # bitmapTransform (FunctionsBitmap.cpp): replace from->to values in
+    # the sorted-array bitmap carrier
+    "bitmapTransform": lambda bm, frm, to: F.array_sort(F.array_distinct(
+        F.transform(_c(bm), lambda x: F.coalesce(
+            F.try_element_at(F.map_from_arrays(_c(frm), _c(to)), x), x)))),
+    # stringBytes* (stringBytes.cpp): statistics over the UTF-8 bytes
+    "stringBytesUniq": lambda s: F.size(F.array_distinct(_str_bytes(s))),
+    "stringBytesEntropy": lambda s: _string_bytes_entropy(s),
+    # DateLUTImpl.h:701/:965
+    "toRelativeWeekNum": lambda d: F.floor(
+        (F.datediff(_c(d).cast("date"), F.lit("1970-01-01").cast("date"))
+         + 7 - F.weekday(_c(d))) / 7).cast("long"),
+    "toRelativeQuarterNum": lambda d: (
+        F.year(_c(d)) * 4 + F.floor((F.month(_c(d)) - 1) / 3)).cast("long"),
 }
+
+
+def _str_bytes(s) -> Column:
+    h = F.lower(F.hex(F.encode(_c(s).cast("string"), "UTF-8")))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(h) / 2, F.lit(1)).cast("int")),
+        lambda i: F.substring(h, (i - 1) * 2 + 1, 2))
+
+
+def _string_bytes_entropy(s) -> Column:
+    """Shannon entropy (bits) of the byte-value distribution."""
+    bts = _str_bytes(s)
+    n = F.size(bts).cast("double")
+    uniq = F.array_distinct(bts)
+    probs = F.transform(
+        uniq, lambda b: F.size(F.filter(bts, lambda x: x == b))
+        .cast("double") / n)
+    return F.when(F.length(_c(s)) > 0, -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p))) \
+        .otherwise(F.lit(0.0))
 
 
 CH_FUNCTIONS: dict = {}

@@ -302,3 +302,25 @@ def test_geohashes_in_box(spark):
             ch.geohashDecode(F.lit(g)).alias("d")).first()["d"]
         assert 12.9 < lon < 13.2 and 51.9 < lat < 52.2, g
     assert r["too_many"] == []                # >100k cells -> empty
+
+
+def test_reduce_ranges_bitmap_bytes_relative(spark):
+    r = spark.range(1).select(
+        ch.arrayReduceInRanges(
+            "sum", F.array(F.array(F.lit(1), F.lit(2)),
+                           F.array(F.lit(2), F.lit(3))),
+            F.array(*[F.lit(v) for v in [10, 20, 30, 40, 50]])).alias("rir"),
+        ch.bitmapTransform(F.array(F.lit(1), F.lit(2), F.lit(3)),
+                           F.array(F.lit(2)), F.array(F.lit(9))).alias("bt"),
+        ch.stringBytesUniq(F.lit("hello")).alias("sbu"),
+        ch.stringBytesEntropy(F.lit("aabb")).alias("sbe"),
+        ch.toRelativeWeekNum(F.lit("1970-01-01").cast("date")).alias("w1"),
+        ch.toRelativeWeekNum(F.lit("1970-01-05").cast("date")).alias("w2"),
+        ch.toRelativeQuarterNum(F.lit("2024-05-01").cast("date")).alias("q"),
+    ).first()
+    assert r["rir"] == [30.0, 90.0]
+    assert r["bt"] == [1, 3, 9]
+    assert r["sbu"] == 4 and abs(r["sbe"] - 1.0) < 1e-12
+    # DateLUTImpl.h:701 — Thursday epoch start is week 0, next Monday week 1
+    assert r["w1"] == 0 and r["w2"] == 1
+    assert r["q"] == 2024 * 4 + 1
