@@ -2205,6 +2205,7 @@ _ALIAS_NAMES = {
     "aes_encrypt_mysql": "encrypt",
     "aes_decrypt_mysql": "decrypt",
     "extractKeyValuePairsWithEscaping": "extractKeyValuePairs",
+    "simpleJSONExtractUInt": "simpleJSONExtractInt",
 }
 
 
@@ -3174,12 +3175,79 @@ def _string_bytes_entropy(s) -> Column:
         .otherwise(F.lit(0.0))
 
 
+# ------------------------------------ breadth: final closure shims
+# Reference: FunctionsConversion.cpp (BestEffort OrZero widths),
+# pointInEllipses.cpp, FunctionsHashing.h (keyed sipHash registrations),
+# variant/dynamic introspection over the JSON carrier (SURVEY §1.2).
+
+_EPOCH_TS = "1970-01-01 00:00:00"
+
+
+def _point_in_ellipses(x, y, *params) -> Column:
+    """pointInEllipses(x, y, x0, y0, a0, b0, x1, y1, a1, b1, ...):
+    1 when the point is inside ANY of the axis-aligned ellipses."""
+    if len(params) % 4 != 0 or not params:
+        raise ValueError("pointInEllipses needs 4 args per ellipse")
+    hit = F.lit(False)
+    for i in range(0, len(params), 4):
+        cx, cy, a, b = (_c(p).cast("double") for p in params[i:i + 4])
+        dx, dy = _c(x).cast("double") - cx, _c(y).cast("double") - cy
+        hit = hit | ((dx * dx) / (a * a) + (dy * dy) / (b * b) <= 1.0)
+    return hit.cast("int")
+
+
+_MISC6 = {
+    "parseDateTimeBestEffortOrZero": lambda s, *a: F.coalesce(
+        CH_FUNCTIONS["parseDateTimeBestEffortOrNull"](s),
+        F.lit(_EPOCH_TS).cast("timestamp")),
+    "toIPv4OrZero": lambda s: F.coalesce(
+        CH_FUNCTIONS["toIPv4OrNull"](s), F.lit("0.0.0.0")),
+    "toIPv6OrZero": lambda s: F.coalesce(
+        CH_FUNCTIONS["toIPv6OrNull"](s), F.lit("::")),
+    "toValidUTF8": lambda s: _c(s).cast("string"),  # Spark strings are valid
+    "toMonthNumSinceEpoch": lambda d: (
+        (F.year(_c(d)) - 1970) * 12 + F.month(_c(d)) - 1).cast("long"),
+    "toYearNumSinceEpoch": lambda d: (F.year(_c(d)) - 1970).cast("long"),
+    "pointInEllipses": _point_in_ellipses,
+    # keyed sipHash variants: key folded in as leading hash inputs
+    # (same LIMITS.md mapping policy as cityHash -> xxhash64)
+    "sipHash64Keyed": lambda k, *xs: F.xxhash64(_c(k), *[_c(x) for x in xs]),
+    "sipHash128Keyed": lambda k, *xs: F.unhex(F.md5(F.concat_ws(
+        "\x00", _c(k).cast("string"),
+        *[_c(x).cast("string") for x in xs]))),
+    "sipHash128Reference": lambda x: F.unhex(F.md5(_c(x).cast("binary"))),
+    "sipHash128ReferenceKeyed": lambda k, *xs: F.unhex(F.md5(F.concat_ws(
+        "\x00", _c(k).cast("string"),
+        *[_c(x).cast("string") for x in xs]))),
+    # Variant/Dynamic carrier is JSON text (SURVEY §1.2)
+    "variantType": lambda j: _jtype_scalar(_c(j)),
+    "dynamicType": lambda j: _jtype_scalar(_c(j)),
+    "variantElement": lambda j, t: F.when(
+        _jtype_scalar(_c(j)) == t,
+        _c(j).try_cast(_CH_TYPE_TO_SPARK.get(str(t).lower(), "string"))),
+    "dynamicElement": lambda j, t: F.when(
+        _jtype_scalar(_c(j)) == t,
+        _c(j).try_cast(_CH_TYPE_TO_SPARK.get(str(t).lower(), "string"))),
+    "simpleJSONExtractUInt2": None,    # alias added below
+}
+_MISC6 = {k: v for k, v in _MISC6.items() if v is not None}
+for _ch_name in ("parseDateTime32BestEffortOrZero",
+                 "parseDateTime64BestEffortOrZero",
+                 "parseDateTimeBestEffortUSOrZero",
+                 "parseDateTime64BestEffortUSOrZero"):
+    _MISC6[_ch_name] = _MISC6["parseDateTimeBestEffortOrZero"]
+_MISC6["parseDateTime64BestEffortUS"] = \
+    lambda s, *a: CH_FUNCTIONS["parseDateTimeBestEffort"](s)
+_MISC6["parseDateTime64BestEffortUSOrNull"] = \
+    lambda s, *a: CH_FUNCTIONS["parseDateTimeBestEffortOrNull"](s)
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
-            _MISC5, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
+            _MISC5, _MISC6, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
             _SEARCH_EXT, _DT3, _COLL_EXT):
     for name, fn in fam.items():
         if fn is not None:

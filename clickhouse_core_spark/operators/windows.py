@@ -177,6 +177,32 @@ def running_difference(value: Column | str, w: WindowSpec) -> Column:
         F.coalesce(v - F.lag(v).over(w), F.lit(0))
 
 
+def running_difference_starting_with_first_value(value: Column | str,
+                                                 w: WindowSpec) -> Column:
+    """runningDifferenceStartingWithFirstValue (same registration file
+    as runningDifference): the first row yields its own value instead
+    of 0."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.coalesce(v - F.lag(v).over(w), v)
+
+
+def running_accumulate(value: Column | str, w: WindowSpec) -> Column:
+    """runningAccumulate(agg_state) (reference
+    src/Functions/runningAccumulate.cpp): cumulative aggregation in
+    window order — for the sum state this is the running-total window
+    (the reference's block-order semantics map to the explicit window
+    spec, the same deprecation note as runningDifference)."""
+    v = F.col(value) if isinstance(value, str) else value
+    return F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def row_number_in_all_blocks(w: WindowSpec) -> Column:
+    """rowNumberInAllBlocks() — 0-based global row number in window
+    order (rowNumberInBlock coincides: blocks are an execution detail
+    the DataFrame model doesn't expose)."""
+    return F.row_number().over(w) - 1
+
+
 def neighbor(value: Column | str, offset: int, w: WindowSpec,
              default=None) -> Column:
     """neighbor(x, offset[, default]) (reference

@@ -82,3 +82,22 @@ def test_running_difference_and_neighbor(spark):
     assert rows[(1, 2)] == (3.0, 11.0, 10.0)
     assert rows[(1, 3)] == (-2.0, -1.0, 13.0)
     assert rows[(2, 1)] == (0.0, -1.0, None)
+
+
+def test_running_accumulate_and_variants(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_core_spark.operators.windows import (
+        running_accumulate, running_difference_starting_with_first_value,
+        row_number_in_all_blocks)
+    df = spark.createDataFrame([(1, 10), (2, 15), (3, 21)], "i int, v int")
+    w = Window.orderBy("i")
+    out = df.select(
+        "i",
+        running_accumulate("v", w).alias("acc"),
+        running_difference_starting_with_first_value("v", w).alias("rd"),
+        row_number_in_all_blocks(w).alias("rn")).orderBy("i").collect()
+    assert [r["acc"] for r in out] == [10, 25, 46]
+    assert [r["rd"] for r in out] == [10, 5, 6]
+    assert [r["rn"] for r in out] == [0, 1, 2]
