@@ -3444,6 +3444,75 @@ def fn_ch_rounding(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("fn_gamma_family", """
+SELECT o_orderkey,
+       round(lgamma(o_totalprice / 30000.0 + 1.5), 9) AS lg_pos,
+       round(gamma(CAST(o_orderkey % 6 AS DOUBLE) + 0.5), 8) AS tg_small,
+       round(lgamma(-(CAST(o_orderkey % 6 AS DOUBLE)) - 0.5), 8) AS lg_neg,
+       round(gamma(-(CAST(o_orderkey % 6 AS DOUBLE)) - 0.5), 8) AS tg_neg,
+       CAST(factorial(CAST(o_orderkey % 21 AS INTEGER)) AS BIGINT) AS fact
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_gamma_family(spark, sf_dir):
+    """lgamma/tgamma via the Lanczos g=7 expression (reference
+    src/Functions/lgamma.cpp, tgamma.cpp — libm there; |rel err| < 1e-13
+    here, LIMITS.md) and exact factorial 0..20
+    (src/Functions/factorial.cpp).  Negative domain exercises the
+    sign-carrying reflection branch."""
+    o = _cat(spark, sf_dir).orders
+    k = F.col("o_orderkey")
+    m6 = (k % 6).cast("double")
+    return (o.filter(k < 300)
+            .select("o_orderkey",
+                    F.round(ch.lgamma(F.col("o_totalprice") / 30000.0 + 1.5), 9)
+                    .alias("lg_pos"),
+                    F.round(ch.tgamma(m6 + 0.5), 8).alias("tg_small"),
+                    F.round(ch.lgamma(-m6 - 0.5), 8).alias("lg_neg"),
+                    F.round(ch.tgamma(-m6 - 0.5), 8).alias("tg_neg"),
+                    ch.factorial(k % 21).alias("fact"))
+            .orderBy("o_orderkey"))
+
+
+@q("fn_unicode_codecs", """
+WITH d AS (SELECT doc_id, substr(text, 1, 24) AS s,
+                  'unit' || CAST(doc_id % 50 AS VARCHAR) || 'a' || chr(776) || 'x.example'
+                      AS accented
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       nfc_normalize(accented) AS nfc,
+       nfc_normalize(accented) AS nfc_of_nfd,
+       s AS puny_rt,
+       s AS b58_rt,
+       nfc_normalize(accented) AS idna_rt
+FROM d ORDER BY doc_id
+""")
+def fn_unicode_codecs(spark, sf_dir):
+    """Unicode TR15 normalization + RFC 3492 punycode + base58 + IDNA
+    roundtrips (reference src/Functions/normalizeString.cpp,
+    punycode.cpp, idna.cpp, FunctionBase58Conversion.h).  Oracle
+    strategy: DuckDB nfc_normalize checks NFC directly and
+    NFC∘NFD = NFC; the codec pairs are checked decode(encode(x)) = x —
+    an exact contract for a correct codec pair and DuckDB-expressible.
+    idnaDecode(idnaEncode(d)) is identity for already-lowercase
+    labels (IDNA 2003 and UTS46 agree there)."""
+    d = (_cat(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200)
+         .select("doc_id",
+                 F.substring("text", 1, 24).alias("s"),
+                 F.concat(F.lit("unit"),
+                          (F.col("doc_id") % 50).cast("string"),
+                          F.lit("a\u0308x.example")).alias("accented")))
+    return (d.select(
+        "doc_id",
+        ch.normalizeUTF8NFC(F.col("accented")).alias("nfc"),
+        ch.normalizeUTF8NFC(ch.normalizeUTF8NFD(F.col("accented")))
+        .alias("nfc_of_nfd"),
+        ch.punycodeDecode(ch.punycodeEncode(F.col("s"))).alias("puny_rt"),
+        ch.base58Decode(ch.base58Encode(F.col("s"))).alias("b58_rt"),
+        ch.idnaDecode(ch.idnaEncode(F.col("accented"))).alias("idna_rt"))
+        .orderBy("doc_id"))
+
+
 @q("fn_ch_conditional_math", """
 SELECT o_orderkey,
        CASE WHEN o_totalprice > 300000 THEN 'big'

@@ -2217,6 +2217,11 @@ _ALIAS_NAMES.update(_SEARCH_EXT_ALIASES)
 _COLL_EXT, _COLL_EXT_ALIASES = _cx.build()
 _ALIAS_NAMES.update(_COLL_EXT_ALIASES)
 
+from clickhouse_core_spark.functions import unicode_ext as _ux  # noqa: E402
+
+_UNICODE_EXT, _UNICODE_EXT_ALIASES = _ux.build()
+_ALIAS_NAMES.update(_UNICODE_EXT_ALIASES)
+
 # ----------------------------------- breadth: conversion matrix closure
 # Reference: FunctionsConversion.h — every to<T>OrNull / to<T>OrZero
 # width the reference registers (Int128/256, UInt128/256, Decimal256,
@@ -2907,7 +2912,65 @@ def _erf_expr(x) -> Column:
     return F.signum(_c(x)) * res
 
 
+# Lanczos approximation (g=7, 9 terms — Numerical Recipes / Boost public
+# coefficients): |rel error| < 1e-13 over the real line away from poles.
+# Reference registers lgamma/tgamma via libm (src/Functions/FunctionMathUnary.h
+# registrations lgamma.cpp, tgamma.cpp); documented near-libm divergence.
+_LANCZOS_G = 7.0
+_LANCZOS = (0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+            771.32342877765313, -176.61502916214059, 12.507343278686905,
+            -0.13857109526572012, 9.9843695780195716e-6,
+            1.5056327351493116e-7)
+
+
+def _lgamma_pos(z: Column) -> Column:
+    """ln Γ(z) for z >= 0.5 via Lanczos; z is a double Column."""
+    zm1 = z - 1.0
+    a = F.lit(_LANCZOS[0])
+    for i in range(1, 9):
+        a = a + F.lit(_LANCZOS[i]) / (zm1 + float(i))
+    t = zm1 + _LANCZOS_G + 0.5
+    return (F.lit(0.9189385332046727)  # 0.5*ln(2π)
+            + (zm1 + 0.5) * F.log(t) - t + F.log(a))
+
+
+def _lgamma_expr(x) -> Column:
+    """lgamma = ln|Γ(x)|; reflection ln(π/|sin(πx)|) − lnΓ(1−x) for
+    x < 0.5.  Poles (non-positive integers) yield NULL (Spark log(0)),
+    not ±inf — documented divergence."""
+    v = _c(x).cast("double")
+    refl = (F.lit(1.1447298858494002)  # ln(π)
+            - F.log(F.abs(F.sin(F.lit(_math.pi) * v)))
+            - _lgamma_pos(1.0 - v))
+    return F.when(v >= 0.5, _lgamma_pos(v)).otherwise(refl)
+
+
+def _tgamma_expr(x) -> Column:
+    """Γ(x) = exp(lnΓ(x)); x < 0.5 via the sign-carrying reflection
+    Γ(x) = π / (sin(πx) · Γ(1−x)) — try_divide keeps poles NULL under
+    ANSI sessions."""
+    v = _c(x).cast("double")
+    refl = F.try_divide(
+        F.lit(_math.pi),
+        F.sin(F.lit(_math.pi) * v) * F.exp(_lgamma_pos(1.0 - v)))
+    return F.when(v >= 0.5, F.exp(_lgamma_pos(v))).otherwise(refl)
+
+
+# factorial(n): exact UInt64 for 0..20 (src/Functions/factorial.cpp —
+# the reference errors above 20; here out-of-range -> NULL)
+def _factorial_expr(x) -> Column:
+    n = _c(x).cast("long")
+    out = F.when(n == 0, F.lit(1).cast("long"))
+    for i in range(1, 21):
+        out = out.when(n == i, F.lit(_math.factorial(i)).cast("long"))
+    return out
+
+
 _MISC4 = {
+    "lgamma": _lgamma_expr,
+    "tgamma": _tgamma_expr,
+    "gamma": _tgamma_expr,
+    "factorial": _factorial_expr,
     "dateTrunc": lambda unit, x: F.date_trunc(
         unit if isinstance(unit, str) else unit, _c(x)),
     "base64URLEncode": lambda x: F.regexp_replace(F.translate(
@@ -3248,7 +3311,7 @@ for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
             _MISC5, _MISC6, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
-            _SEARCH_EXT, _DT3, _COLL_EXT):
+            _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

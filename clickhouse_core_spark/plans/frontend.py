@@ -330,6 +330,42 @@ _RULES["medianexacthigh"] = (
 
 # string/array/bit SQL forms (round-4 fuzz batch; registry had the
 # DataFrame forms already)
+# gamma family (lgamma.cpp / tgamma.cpp / factorial.cpp) — same Lanczos
+# g=7 expression the registry emits (functions/registry.py _lgamma_pos),
+# rendered as inline SQL.
+def _lanczos_sql(z: str) -> str:
+    """ln Γ(z) for z >= 0.5 as a SQL string (z pre-parenthesized)."""
+    terms = "0.99999999999980993" + "".join(
+        f" + ({c!r}) / ({z} - 1 + {i})" for i, c in enumerate(
+            (676.5203681218851, -1259.1392167224028, 771.32342877765313,
+             -176.61502916214059, 12.507343278686905, -0.13857109526572012,
+             9.9843695780195716e-6, 1.5056327351493116e-7), start=1))
+    t = f"({z} + 6.5)"  # z - 1 + g + 0.5, g = 7
+    return (f"(0.9189385332046727 + ({z} - 0.5) * ln({t}) - {t}"
+            f" + ln({terms}))")
+
+
+def _lgamma_sql(a):
+    z = f"(CAST({a[0]} AS DOUBLE))"
+    return (f"(CASE WHEN {z} >= 0.5 THEN {_lanczos_sql(z)} "
+            f"ELSE 1.1447298858494002 - ln(abs(sin(pi() * {z}))) "
+            f"- {_lanczos_sql(f'(1.0 - {z})')} END)")
+
+
+def _tgamma_sql(a):
+    z = f"(CAST({a[0]} AS DOUBLE))"
+    return (f"(CASE WHEN {z} >= 0.5 THEN exp({_lanczos_sql(z)}) "
+            f"ELSE try_divide(pi(), sin(pi() * {z}) * "
+            f"exp({_lanczos_sql(f'(1.0 - {z})')})) END)")
+
+
+_RULES["lgamma"] = _lgamma_sql
+_RULES["tgamma"] = _tgamma_sql
+_RULES["factorial"] = lambda a: (
+    f"element_at(array({', '.join(str(__import__('math').factorial(i)) + 'L' for i in range(21))}), "
+    f"CAST(CASE WHEN CAST({a[0]} AS BIGINT) BETWEEN 0 AND 20 "
+    f"THEN CAST({a[0]} AS BIGINT) + 1 END AS INT))")
+
 _RULES["tofixedstring"] = lambda a: f"rpad({a[0]}, {a[1]}, chr(0))"
 _RULES["countmatches"] = lambda a: (
     f"size(regexp_extract_all({a[0]}, {a[1]}, 0))")

@@ -1,0 +1,99 @@
+"""Unicode/IDN codecs (functions/unicode_ext.py) and the Lanczos gamma
+family (functions/registry.py lgamma/tgamma/factorial; SQL forms in
+plans/frontend.py).
+
+Reference: src/Functions/normalizeString.cpp, punycode.cpp, idna.cpp,
+FunctionBase58Conversion.h, lgamma.cpp, tgamma.cpp, factorial.cpp.
+"""
+
+import hashlib
+import math
+import unicodedata
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.functions import CH_FUNCTIONS, ch
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+SAMPLE = "Mädchen café ﬁn ⅠⅡ"
+
+
+def test_normalize_utf8_forms(spark):
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        got = one(spark, CH_FUNCTIONS[f"normalizeUTF8{form}"](F.lit(SAMPLE)))
+        assert got == unicodedata.normalize(form, SAMPLE), form
+
+
+def test_punycode_roundtrip(spark):
+    for s in ("München", "hello", "ünïcødé-рус", ""):
+        enc = one(spark, ch.punycodeEncode(F.lit(s)))
+        assert enc == s.encode("punycode").decode("ascii")
+        assert one(spark, ch.punycodeDecode(F.lit(enc))) == s
+    # invalid punycode: decode -> NULL, tryDecode -> ''
+    assert one(spark, ch.punycodeDecode(F.lit("not!!valid~~"))) is None
+    assert one(spark, ch.tryPunycodeDecode(F.lit("not!!valid~~"))) == ""
+
+
+def test_idna_encode_decode(spark):
+    assert one(spark, ch.idnaEncode(F.lit("bücher.example.de"))) == \
+        "xn--bcher-kva.example.de"
+    assert one(spark, ch.idnaDecode(F.lit("xn--bcher-kva.example.de"))) == \
+        "bücher.example.de"
+    assert one(spark, ch.idnaEncode(F.lit(""))) == ""
+    # invalid (overlong label) -> NULL vs '' for the try form
+    bad = "x" * 80 + ".example"
+    assert one(spark, ch.idnaEncode(F.lit(bad))) is None
+    assert one(spark, ch.tryIdnaEncode(F.lit(bad))) == ""
+    # best-effort decode passes invalid labels through
+    assert one(spark, ch.idnaDecode(F.lit("plain.example"))) == \
+        "plain.example"
+
+
+def test_base58_bitcoin_alphabet(spark):
+    # reference doc example: base58Encode('Encoded') = '3dc8KtHrwM'
+    assert one(spark, ch.base58Encode(F.lit("Encoded"))) == "3dc8KtHrwM"
+    assert one(spark, ch.base58Decode(F.lit("3dc8KtHrwM"))) == "Encoded"
+    for s in ("hello world", "", "\x00\x00lead", "ünïcødé"):
+        rt = one(spark, ch.base58Decode(ch.base58Encode(F.lit(s))))
+        assert rt == s, repr(s)
+    # '0' is not in the alphabet
+    assert one(spark, ch.base58Decode(F.lit("0O"))) is None
+    assert one(spark, ch.tryBase58Decode(F.lit("0O"))) == ""
+
+
+def test_hashlib_long_tail(spark):
+    assert one(spark, ch.RIPEMD160(F.lit("abc"))) == \
+        hashlib.new("ripemd160", b"abc").hexdigest()
+    assert one(spark, ch.SHA512_256(F.lit("abc"))) == \
+        hashlib.new("sha512_256", b"abc").hexdigest()
+
+
+@pytest.mark.parametrize("x", [0.1, 0.5, 1.0, 2.0, 3.7, 10.0, 100.0,
+                               -0.5, -1.5, -3.7])
+def test_lgamma_tgamma_registry(spark, x):
+    lg = one(spark, ch.lgamma(F.lit(x)))
+    tg = one(spark, ch.tgamma(F.lit(x)))
+    assert abs(lg - math.lgamma(x)) < 1e-10
+    assert abs(tg - math.gamma(x)) / abs(math.gamma(x)) < 1e-11
+
+
+def test_factorial_exact(spark):
+    for n in (0, 1, 5, 20):
+        assert one(spark, ch.factorial(F.lit(n))) == math.factorial(n)
+    assert one(spark, ch.factorial(F.lit(21))) is None
+    assert one(spark, ch.factorial(F.lit(-1))) is None
+
+
+def test_gamma_sql_frontend(spark):
+    from clickhouse_core_spark.plans.frontend import _translate_expr
+    sql = _translate_expr(
+        "SELECT lgamma(5.5) AS lg, tgamma(-2.5) AS tg, factorial(12) AS f")
+    row = spark.sql(sql).first()
+    assert abs(row.lg - math.lgamma(5.5)) < 1e-10
+    assert abs(row.tg - math.gamma(-2.5)) < 1e-11
+    assert row.f == math.factorial(12)
