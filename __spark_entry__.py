@@ -5106,6 +5106,34 @@ def source_rowbinary_roundtrip_q(spark, sf_dir):
                         schema=schema).orderBy("n_nationkey"))
 
 
+@q("source_native_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_native_roundtrip_q(spark, sf_dir):
+    """ClickHouse Native format path (reference
+    src/Formats/NativeReader.cpp / NativeWriter.cpp): encode nation rows
+    to the public columnar block layout (varint header, per-column name +
+    type strings, little-endian columnar payloads), read back through the
+    self-describing schema-inference path — exercising header parse,
+    CH->Spark type mapping, and the distributed columnar decode."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import encode_native, read_native
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType(), False),
+        T.StructField("n_name", T.StringType(), False),
+        T.StructField("n_regionkey", T.IntegerType(), False)])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "native_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.native"), "wb") as fh:
+        fh.write(encode_native(rows, schema, block_rows=10))
+    return read_native(spark, path).orderBy("n_nationkey")
+
+
 @q("source_msgpack_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

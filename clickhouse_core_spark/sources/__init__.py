@@ -18,6 +18,9 @@ from clickhouse_core_spark.sources.rowformats import (
     read_custom_separated, read_npy, write_npy,
     decode_rowbinary, decode_msgpack,
 )
+from clickhouse_core_spark.sources.nativefmt import (
+    encode_native, read_native, decode_native, infer_native_schema,
+)
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
     mongodb_options, redis_options, mongodb_table, redis_table,
@@ -34,6 +37,8 @@ __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
            "read_regexp", "read_values", "format_values",
            "read_custom_separated", "read_npy", "write_npy",
            "decode_rowbinary", "decode_msgpack",
+           "encode_native", "read_native", "decode_native",
+           "infer_native_schema",
            "generate_random", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
            "mongodb_options", "redis_options", "mongodb_table",

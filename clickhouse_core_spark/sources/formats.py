@@ -11,7 +11,7 @@ RowBinary(+WithNames/+WithNamesAndTypes), MsgPack, TSKV,
 JSONCompactEachRow(+WithNames), Values, Regexp and CustomSeparated are
 implemented in rowformats.py (pure-Python public wire layouts for the
 binary pair, Catalyst expressions for the text trio).  Remaining
-exotics (CapnProto, Native, Npy...) are out of scope — documented,
+exotics (CapnProto...) are out of scope — documented,
 not silently dropped. generateRandom maps to spark.range + per-type
 column generators (deterministic under a seed).
 """
@@ -60,6 +60,9 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
             with_names=ch_format in ("RowBinaryWithNames",
                                      "RowBinaryWithNamesAndTypes"),
             with_types=ch_format == "RowBinaryWithNamesAndTypes")
+    if ch_format == "Native":
+        from clickhouse_core_spark.sources.nativefmt import read_native
+        return read_native(spark, path, schema=schema)
     if ch_format == "MsgPack":
         from clickhouse_core_spark.sources.rowformats import read_msgpack
         if schema is None:

@@ -1,0 +1,152 @@
+"""ClickHouse Native format codec roundtrips (reference
+src/Formats/NativeReader.cpp / NativeWriter.cpp; layout documented in
+sources/nativefmt.py)."""
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import types as T
+
+from clickhouse_core_spark.sources import read_format
+from clickhouse_core_spark.sources.nativefmt import (
+    decode_native_blob, encode_native, infer_native_schema, read_native,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("name", T.StringType(), True),
+    T.StructField("score", T.DoubleType(), True),
+    T.StructField("flag", T.BooleanType(), True),
+    T.StructField("small", T.IntegerType(), True),
+    T.StructField("tags", T.ArrayType(T.LongType()), True),
+])
+
+ROWS = [
+    {"id": 1, "name": "alpha", "score": 1.5, "flag": True, "small": -3,
+     "tags": [1, 2, 3]},
+    {"id": 2, "name": "béta✓", "score": -2.25, "flag": False, "small": 0,
+     "tags": []},
+    {"id": 3, "name": None, "score": None, "flag": None, "small": None,
+     "tags": None},
+    {"id": -9, "name": "", "score": 0.0, "flag": True, "small": 2 ** 30,
+     "tags": [-5]},
+]
+
+
+@pytest.fixture
+def workdir():
+    d = tempfile.mkdtemp(prefix="ccs_native_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _key(r):
+    # Native has no Nullable(Array) (the reference forbids it) — a NULL
+    # array encodes as the empty array
+    tags = r["tags"]
+    return (r["id"], r["name"], r["score"], r["flag"], r["small"],
+            tuple(tags) if tags is not None else ())
+
+
+def test_blob_roundtrip_pure_python():
+    blob = encode_native(ROWS, SCHEMA)
+    names, types, cols = decode_native_blob(blob)
+    assert names == [f.name for f in SCHEMA.fields]
+    assert types[0] == "Int64" and types[1] == "Nullable(String)"
+    assert cols["id"] == [1, 2, 3, -9]
+    assert cols["name"] == ["alpha", "béta✓", None, ""]
+    assert cols["tags"][0] == [1, 2, 3]
+
+
+def test_multi_block_concat():
+    blob = encode_native(ROWS, SCHEMA, block_rows=2)  # forces 2 blocks
+    _n, _t, cols = decode_native_blob(blob)
+    assert cols["id"] == [1, 2, 3, -9]
+
+
+def test_schema_inference():
+    blob = encode_native(ROWS, SCHEMA)
+    inferred = infer_native_schema(blob)
+    assert [f.name for f in inferred.fields] == \
+        [f.name for f in SCHEMA.fields]
+    assert isinstance(inferred["score"].dataType, T.DoubleType)
+    assert inferred["name"].nullable and not inferred["id"].nullable
+
+
+def test_read_native_spark(spark, workdir):
+    blob = encode_native(ROWS, SCHEMA)
+    with open(os.path.join(workdir, "data.native"), "wb") as fh:
+        fh.write(blob)
+    # explicit schema
+    df = read_format(spark, workdir, "Native", schema=SCHEMA)
+    assert sorted(_key(r.asDict()) for r in df.collect()) == \
+        sorted(_key(r) for r in ROWS)
+    # self-describing inference path
+    df2 = read_native(spark, workdir)
+    assert sorted(_key(r.asDict()) for r in df2.collect()) == \
+        sorted(_key(r) for r in ROWS)
+
+
+def test_datetime_and_date_columns(spark, workdir):
+    schema = T.StructType([
+        T.StructField("d", T.DateType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ])
+    rows = [{"d": dt.date(2021, 3, 14),
+             "ts": dt.datetime(2021, 3, 14, 9, 26, 53, 589793)},
+            {"d": dt.date(1970, 1, 1), "ts": dt.datetime(1970, 1, 1)}]
+    blob = encode_native(rows, schema)
+    _n, types, cols = decode_native_blob(blob)
+    assert types == ["Date", "DateTime64(6)"]
+    assert cols["d"] == [dt.date(2021, 3, 14), dt.date(1970, 1, 1)]
+    assert cols["ts"][0] == dt.datetime(2021, 3, 14, 9, 26, 53, 589793)
+
+
+def test_uint64_reinterpret():
+    # decoding a UInt64 column with the top bit set lands on the
+    # two's-complement long; re-encoding restores the original bytes
+    import struct
+    from clickhouse_core_spark.sources.nativefmt import (
+        _decode_column, _encode_column)
+    out = bytearray()
+    _encode_column(out, [-1], "UInt64")         # 2^64 - 1
+    assert bytes(out) == struct.pack("<Q", (1 << 64) - 1)
+    vals, _ = _decode_column(bytes(out), 0, "UInt64", 1)
+    assert vals == [-1]
+
+
+def test_unmapped_type_raises():
+    with pytest.raises(NotImplementedError, match="LowCardinality"):
+        from clickhouse_core_spark.sources.nativefmt import _ch_type_to_spark
+        _ch_type_to_spark("LowCardinality(String)")
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1),
+    st.one_of(st.none(), st.text(max_size=40)),
+    st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                   width=64)),
+    st.one_of(st.none(), st.lists(st.integers(min_value=-10 ** 9,
+                                              max_value=10 ** 9),
+                                  max_size=5)),
+), max_size=30))
+def test_native_property_roundtrip(tuples):
+    schema = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.StringType(), True),
+        T.StructField("c", T.DoubleType(), True),
+        T.StructField("d", T.ArrayType(T.IntegerType()), True),
+    ])
+    rows = [{"a": a, "b": b, "c": c, "d": d} for a, b, c, d in tuples]
+    _n, _t, cols = decode_native_blob(encode_native(rows, schema,
+                                                    block_rows=7))
+    assert cols.get("a", []) == [r["a"] for r in rows]
+    assert cols.get("b", []) == [r["b"] for r in rows]
+    assert cols.get("c", []) == [r["c"] for r in rows]
+    assert cols.get("d", []) == [r["d"] if r["d"] is not None else []
+                                 for r in rows]
