@@ -2222,6 +2222,16 @@ from clickhouse_core_spark.functions import unicode_ext as _ux  # noqa: E402
 _UNICODE_EXT, _UNICODE_EXT_ALIASES = _ux.build()
 _ALIAS_NAMES.update(_UNICODE_EXT_ALIASES)
 
+from clickhouse_core_spark.functions import purehash as _ph  # noqa: E402
+
+_PUREHASH, _PUREHASH_ALIASES = _ph.build()
+# hashlib's OpenSSL may already provide MD4 on some builds — that path
+# (unicode_ext) wins; the pure-Python RFC 1320 fold is the fallback.
+for _k in list(_PUREHASH):
+    if _k in _UNICODE_EXT:
+        del _PUREHASH[_k]
+_ALIAS_NAMES.update(_PUREHASH_ALIASES)
+
 # ----------------------------------- breadth: conversion matrix closure
 # Reference: FunctionsConversion.h — every to<T>OrNull / to<T>OrZero
 # width the reference registers (Int128/256, UInt128/256, Decimal256,
@@ -3311,7 +3321,7 @@ for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
             _MISC5, _MISC6, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
-            _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT):
+            _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT, _PUREHASH):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

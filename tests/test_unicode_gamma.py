@@ -97,3 +97,14 @@ def test_gamma_sql_frontend(spark):
     assert abs(row.lg - math.lgamma(5.5)) < 1e-10
     assert abs(row.tg - math.gamma(-2.5)) < 1e-11
     assert row.f == math.factorial(12)
+
+
+def test_keccak256_md4(spark):
+    # Ethereum-variant keccak (SHA3_FLAGS_KECCAK, 0x01 padding) and
+    # RFC 1320 MD4 — public test vectors
+    assert one(spark, ch.keccak256(F.lit(""))) == \
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+    assert one(spark, ch.keccak256(F.lit("abc"))) == \
+        "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
+    assert one(spark, ch.MD4(F.lit("abc"))) == \
+        "a448017aaf21d8525fc10ae87aa6729d"
