@@ -3444,6 +3444,44 @@ def fn_ch_rounding(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("fn_hilbert_curve", """
+WITH RECURSIVE pts AS (
+  SELECT p_partkey AS k,
+         CAST(p_partkey % 1024 AS BIGINT) AS x,
+         CAST((p_partkey * 2654435761) % 1024 AS BIGINT) AS y
+  FROM part WHERE p_partkey < 300),
+walk AS (
+  SELECT k, x, y, 31 AS sh, CAST(0 AS BIGINT) AS code, 4 AS st FROM pts
+  UNION ALL
+  SELECT k, x, y, sh - 1,
+         code + (t % 4) * CAST(power(4, sh) AS BIGINT),
+         t - (t % 4)
+  FROM (SELECT k, x, y, sh, code,
+               list_extract([4,1,11,2,0,15,5,6,10,9,3,12,14,7,13,8],
+                 st + CAST((x // CAST(power(2, sh) AS BIGINT)) % 2 AS INT) * 2
+                    + CAST((y // CAST(power(2, sh) AS BIGINT)) % 2 AS INT) + 1)
+                 AS t
+        FROM walk WHERE sh >= 0) s)
+SELECT k, x, y, code, x AS dec_x, y AS dec_y
+FROM walk WHERE sh = -1 ORDER BY k
+""")
+def fn_hilbert_curve(spark, sf_dir):
+    """Hilbert 2-D curve encode/decode, bit-exact vs the reference's LUT
+    walk (src/Functions/hilbertEncode2DLUT.h, hilbertDecode2DLUT.h,
+    bit_step=1 tables).  Oracle: DuckDB recursive-CTE replay of the SAME
+    public LUT algorithm (the jumpConsistentHash oracle pattern); decode
+    is checked as the identity roundtrip."""
+    p = _cat(spark, sf_dir).part.filter(F.col("p_partkey") < 300)
+    x = (F.col("p_partkey") % 1024).cast("long")
+    y = ((F.col("p_partkey") * 2654435761) % 1024).cast("long")
+    code = ch.hilbertEncode(x, y)
+    dec = ch.hilbertDecode(2, code)
+    return (p.select(F.col("p_partkey").alias("k"), x.alias("x"),
+                     y.alias("y"), code.alias("code"),
+                     dec["x"].alias("dec_x"), dec["y"].alias("dec_y"))
+            .orderBy("k"))
+
+
 @q("fn_gamma_family", """
 SELECT o_orderkey,
        round(lgamma(o_totalprice / 30000.0 + 1.5), 9) AS lg_pos,

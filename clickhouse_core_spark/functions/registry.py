@@ -2744,6 +2744,77 @@ def _morton_part(code, parity: int) -> Column:
             .bitwiseAND(F.lit(1).cast("long")), i)))
 
 
+# Hilbert 2-D curve, bit-exact vs the reference's LUT walk
+# (src/Functions/hilbertEncode2DLUT.h / hilbertDecode2DLUT.h, bit_step=1
+# tables).  The reference runs used_bits iterations with a
+# parity-dependent initial state; padding to a FIXED 32 iterations from
+# the LEFT state is equivalent (a zero step from state 0<->4 emits zero
+# bits and toggles the state, landing on exactly the reference's initial
+# state after the pad) — so the fold below unrolls to constant depth.
+_HILBERT_ENC_LUT = (4, 1, 11, 2, 0, 15, 5, 6, 10, 9, 3, 12, 14, 7, 13, 8)
+_HILBERT_DEC_LUT = (4, 1, 3, 10, 0, 6, 7, 13, 15, 9, 8, 2, 11, 14, 12, 5)
+
+
+def _hilbert_encode_2d(x, y) -> Column:
+    """hilbertEncode(x, y) -> UInt64 code (long two's-complement
+    carrier).  Bitwise OR accumulation — no arithmetic overflow, so
+    ANSI-safe up to the full 32-bit coordinate range."""
+    xs, ys = _c(x).cast("long"), _c(y).cast("long")
+    lut = F.array(*[F.lit(v) for v in _HILBERT_ENC_LUT])
+    init = F.struct(F.lit(0).cast("long").alias("code"),
+                    F.lit(4).alias("st"))
+
+    def step(acc, sh):
+        xb = (F.call_function("shiftright", xs, sh)
+              .bitwiseAND(F.lit(1).cast("long"))).cast("int")
+        yb = (F.call_function("shiftright", ys, sh)
+              .bitwiseAND(F.lit(1).cast("long"))).cast("int")
+        t = F.element_at(lut, acc["st"] + xb * 2 + yb + 1)
+        return F.struct(
+            acc["code"].bitwiseOR(F.call_function(
+                "shiftleft", (t % 4).cast("long"), sh * 2)).alias("code"),
+            (t - t % 4).alias("st"))
+
+    res = F.aggregate(F.sequence(F.lit(31), F.lit(0), F.lit(-1)), init,
+                      step, lambda acc: acc["code"])
+    # reference returns 0 for coordinates wider than 32 bits
+    out_of_range = (xs < 0) | (ys < 0) | \
+        (xs.bitwiseOR(ys) >= F.lit(1 << 32).cast("long"))
+    return F.when(out_of_range, F.lit(0).cast("long")).otherwise(res)
+
+
+def _hilbert_decode_2d(code) -> Column:
+    """hilbertDecode(2, code) -> (x, y) struct.  Accepts long or the
+    decimal(20,0) UInt64 carrier; the full unsigned range decodes via
+    logical (unsigned) chunk shifts."""
+    d = _c(code).cast("decimal(21,0)")
+    signed = F.when(
+        d >= F.lit("9223372036854775808").cast("decimal(21,0)"),
+        (d - F.lit("18446744073709551616").cast("decimal(22,0)"))
+        .cast("long")).otherwise(d.cast("long"))
+    lut = F.array(*[F.lit(v) for v in _HILBERT_DEC_LUT])
+    init = F.struct(F.lit(0).cast("long").alias("x"),
+                    F.lit(0).cast("long").alias("y"),
+                    F.lit(4).alias("st"))
+
+    def step(acc, i):
+        hb = (F.call_function("shiftrightunsigned", signed, i * 2)
+              .bitwiseAND(F.lit(3).cast("long"))).cast("int")
+        t = F.element_at(lut, acc["st"] + hb + 1)
+        xb = F.shiftright(t % 4, 1).cast("long")
+        yb = (t % 2).cast("long")
+        return F.struct(
+            acc["x"].bitwiseOR(
+                F.call_function("shiftleft", xb, i)).alias("x"),
+            acc["y"].bitwiseOR(
+                F.call_function("shiftleft", yb, i)).alias("y"),
+            (t - t % 4).alias("st"))
+
+    return F.aggregate(
+        F.sequence(F.lit(31), F.lit(0), F.lit(-1)), init, step,
+        lambda acc: F.struct(acc["x"].alias("x"), acc["y"].alias("y")))
+
+
 _READABLE_UNITS = [
     ("kib", 1024.0), ("mib", 1024.0 ** 2), ("gib", 1024.0 ** 3),
     ("tib", 1024.0 ** 4), ("pib", 1024.0 ** 5), ("eib", 1024.0 ** 6),
@@ -2825,6 +2896,9 @@ _IPRANGE = {
     "mortonEncode": _morton_encode,
     "mortonDecode": lambda n, code: F.struct(
         _morton_part(code, 0).alias("x"), _morton_part(code, 1).alias("y")),
+    "hilbertEncode": lambda x, y=None: (
+        _c(x).cast("long") if y is None else _hilbert_encode_2d(x, y)),
+    "hilbertDecode": lambda n, code: _hilbert_decode_2d(code),
     "byteSwap": _byte_swap,
     "rowNumberInAllBlocks": None,   # window op: operators/windows.py
 }

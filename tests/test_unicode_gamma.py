@@ -108,3 +108,43 @@ def test_keccak256_md4(spark):
         "4e03657aea45a94fc7d47ba826c8d667c0d1e6e33a64a036ec44f58fa12d6c45"
     assert one(spark, ch.MD4(F.lit("abc"))) == \
         "a448017aaf21d8525fc10ae87aa6729d"
+
+
+# pure-Python replication of the reference's LUT walk (variable
+# iterations — src/Functions/hilbertEncode2DLUT.h, bit_step=1)
+_H_ENC = (4, 1, 11, 2, 0, 15, 5, 6, 10, 9, 3, 12, 14, 7, 13, 8)
+
+
+def _ref_hilbert(x, y):
+    used = (x | y).bit_length()
+    if used > 32:
+        return 0
+    state, code = (4 if used % 2 == 0 else 0), 0
+    for sh in range(used - 1, -1, -1):
+        t = _H_ENC[state | (((x >> sh) & 1) << 1) | ((y >> sh) & 1)]
+        state = t & 12
+        code |= (t & 3) << (2 * sh)
+    return code
+
+
+def test_hilbert_encode_bit_exact(spark):
+    import random
+    random.seed(11)
+    pts = [(0, 0), (1, 0), (0, 1), (2 ** 32 - 1, 2 ** 32 - 1),
+           (2 ** 31, 5)] + \
+        [(random.getrandbits(32), random.getrandbits(32))
+         for _ in range(20)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    rows = df.select(
+        "x", "y",
+        ch.hilbertEncode(F.col("x"), F.col("y")).alias("c"),
+        ch.hilbertDecode(2, ch.hilbertEncode(F.col("x"), F.col("y")))
+        .alias("d")).collect()
+    for r in rows:
+        assert (r.c & ((1 << 64) - 1)) == _ref_hilbert(r.x, r.y)
+        assert (r.d.x, r.d.y) == (r.x, r.y)   # decode = encode inverse
+
+
+def test_hilbert_out_of_range_and_1d(spark):
+    assert one(spark, ch.hilbertEncode(F.lit(1 << 33), F.lit(1))) == 0
+    assert one(spark, ch.hilbertEncode(F.lit(42))) == 42  # 1-D identity
