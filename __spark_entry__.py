@@ -3444,6 +3444,70 @@ def fn_ch_rounding(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+_U64 = 18446744073709551616
+_INTHASH_ORACLE = f"""
+WITH t AS (SELECT o_orderkey AS k,
+                  CAST(o_orderkey * 2654435761 % 1000000007 AS UBIGINT) AS x
+           FROM orders WHERE o_orderkey < 500),
+a0 AS (SELECT k, x, xor(x, CAST({0x4CF2D2BAAE6DA887} AS UBIGINT)) AS v FROM t),
+a1 AS (SELECT k, x, xor(v, v >> 33) AS v FROM a0),
+a2 AS (SELECT k, x, CAST((
+           CAST(v & 4294967295 AS HUGEINT) * {0xFF51AFD7ED558CCD}
+           + ((CAST(v >> 32 AS HUGEINT) * {0xFF51AFD7ED558CCD})
+              % 4294967296) * 4294967296) % {_U64} AS UBIGINT) AS v FROM a1),
+a3 AS (SELECT k, x, xor(v, v >> 33) AS v FROM a2),
+a4 AS (SELECT k, x, CAST((
+           CAST(v & 4294967295 AS HUGEINT) * {0xC4CEB9FE1A85EC53}
+           + ((CAST(v >> 32 AS HUGEINT) * {0xC4CEB9FE1A85EC53})
+              % 4294967296) * 4294967296) % {_U64} AS UBIGINT) AS v FROM a3),
+a5 AS (SELECT k, x, xor(v, v >> 33) AS v FROM a4),
+b0 AS (SELECT k, x, v AS h64,
+              xor(x, CAST({0x75D9543DE018BF45} AS UBIGINT)) AS w FROM a5),
+b1 AS (SELECT k, x, h64, CAST((CAST(xor(w, {(1 << 64) - 1}) AS HUGEINT)
+              + (CAST(w AS HUGEINT) * {1 << 18}) % {_U64})
+              % {_U64} AS UBIGINT) AS w FROM b0),
+b2 AS (SELECT k, x, h64, xor(w, (w >> 31) |
+              CAST((CAST(w AS HUGEINT) * {1 << 33}) % {_U64} AS UBIGINT))
+              AS w FROM b1),
+b3 AS (SELECT k, x, h64, CAST((CAST(w AS HUGEINT) * 21) % {_U64} AS UBIGINT)
+              AS w FROM b2),
+b4 AS (SELECT k, x, h64, xor(w, (w >> 11) |
+              CAST((CAST(w AS HUGEINT) * {1 << 53}) % {_U64} AS UBIGINT))
+              AS w FROM b3),
+b5 AS (SELECT k, x, h64, CAST((CAST(w AS HUGEINT)
+              + (CAST(w AS HUGEINT) * {1 << 6}) % {_U64})
+              % {_U64} AS UBIGINT) AS w FROM b4),
+b6 AS (SELECT k, x, h64, xor(w, (w >> 22) |
+              CAST((CAST(w AS HUGEINT) * {1 << 42}) % {_U64} AS UBIGINT))
+              AS w FROM b5)
+SELECT k, CAST(h64 AS VARCHAR) AS h64,
+       CAST(w & 4294967295 AS BIGINT) AS h32
+FROM b6 ORDER BY k
+"""
+
+
+@q("fn_int_hash", _INTHASH_ORACLE)
+def fn_int_hash(spark, sf_dir):
+    """intHash64 / intHash32, bit-exact mod-2^64 (reference
+    src/Common/HashTable/Hash.h via FunctionsHashing.h IntHash*Impl;
+    the engine's bitwise 64-bit ALU at functions/registry.py
+    _u64_mul_const keeps every step ANSI-safe).  Oracle: DuckDB
+    UBIGINT/HUGEINT replay of the same public bit-mix; the unsigned
+    64-bit result transits as a decimal-rendered string."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 500)
+    x = (F.col("o_orderkey") * 2654435761 % 1000000007).cast("long")
+    h64 = ch.intHash64(x)
+    u64 = F.when(
+        h64 < 0,
+        h64.cast("decimal(20,0)")
+        + F.lit("18446744073709551616").cast("decimal(21,0)")
+    ).otherwise(h64.cast("decimal(21,0)")).cast("decimal(20,0)")
+    return (o.select(F.col("o_orderkey").alias("k"),
+                     u64.cast("string").alias("h64"),
+                     ch.intHash32(x).alias("h32"))
+            .orderBy("k"))
+
+
 @q("fn_hilbert_curve", """
 WITH RECURSIVE pts AS (
   SELECT p_partkey AS k,

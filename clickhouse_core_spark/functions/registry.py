@@ -1443,6 +1443,82 @@ _VEC2 = {
 }
 
 
+# ------------------------------------------- exact mod-2^64 integer hashes
+# Reference: src/Functions/FunctionsHashing.h IntHash32Impl / IntHash64Impl
+# over src/Common/HashTable/Hash.h intHash32/intHash64 (the MurmurHash3
+# finalizer).  Long arithmetic would overflow (ANSI throws), so the ALU
+# below is bitwise-only: adds via 32-bit halves, constant multiplies via
+# 16-bit limb partial products, recomposed with shifts+OR — every step a
+# Catalyst expression, exact mod 2^64 under any session.
+
+_L32 = 0xFFFFFFFF
+
+
+def _u64_add(a: Column, b: Column) -> Column:
+    m32 = F.lit(_L32).cast("long")
+    sl = a.bitwiseAND(m32) + b.bitwiseAND(m32)
+    sh = (F.shiftrightunsigned(a, 32) + F.shiftrightunsigned(b, 32)
+          + F.shiftrightunsigned(sl, 32))
+    return F.shiftleft(sh.bitwiseAND(m32), 32).bitwiseOR(sl.bitwiseAND(m32))
+
+
+def _u64_mul_const(x: Column, c: int) -> Column:
+    m16 = F.lit(0xFFFF).cast("long")
+    xs = [F.shiftrightunsigned(x, s).bitwiseAND(m16) for s in (0, 16, 32, 48)]
+    cs = [(c >> s) & 0xFFFF for s in (0, 16, 32, 48)]
+    p0 = xs[0] * cs[0]
+    p1 = xs[0] * cs[1] + xs[1] * cs[0] + F.shiftright(p0, 16)
+    p2 = xs[0] * cs[2] + xs[1] * cs[1] + xs[2] * cs[0] + F.shiftright(p1, 16)
+    p3 = (xs[0] * cs[3] + xs[1] * cs[2] + xs[2] * cs[1] + xs[3] * cs[0]
+          + F.shiftright(p2, 16))
+    return (p0.bitwiseAND(m16)
+            .bitwiseOR(F.shiftleft(p1.bitwiseAND(m16), 16))
+            .bitwiseOR(F.shiftleft(p2.bitwiseAND(m16), 32))
+            .bitwiseOR(F.shiftleft(p3.bitwiseAND(m16), 48)))
+
+
+def _u64_rotr(x: Column, n: int) -> Column:
+    return F.shiftrightunsigned(x, n).bitwiseOR(F.shiftleft(x, 64 - n))
+
+
+def _int_hash64(x) -> Column:
+    """intHash64: murmur3 finalizer over key ^ 0x4CF2D2BAAE6DA887.
+
+    The step chain runs as an F.aggregate fold with when()-dispatch so
+    the accumulator stays a LEAF of each step expression — chaining the
+    steps directly would duplicate the whole prior subtree at every
+    reference and blow the Catalyst tree up exponentially (measured:
+    ~70 s analysis+codegen for the naive form, <1 s for the fold)."""
+    k0 = _c(x).cast("long").bitwiseXOR(F.lit(0x4CF2D2BAAE6DA887).cast("long"))
+
+    def step(k, i):
+        return (F.when((i == 2), _u64_mul_const(k, 0xFF51AFD7ED558CCD))
+                .when((i == 4), _u64_mul_const(k, 0xC4CEB9FE1A85EC53))
+                .otherwise(k.bitwiseXOR(F.shiftrightunsigned(k, 33))))
+
+    return F.aggregate(F.sequence(F.lit(1), F.lit(5)), k0, step)
+
+
+def _int_hash32(x) -> Column:
+    """intHash32: Hash.h bit-mix over key ^ 0x75D9543DE018BF45, low 32
+    bits kept (multiply-by-21 expanded to shift-adds).  Fold-dispatched
+    for the same linear-tree reason as _int_hash64."""
+    k0 = _c(x).cast("long").bitwiseXOR(F.lit(0x75D9543DE018BF45).cast("long"))
+
+    def step(k, i):
+        return (
+            F.when(i == 1, _u64_add(F.bitwise_not(k), F.shiftleft(k, 18)))
+            .when(i == 2, k.bitwiseXOR(_u64_rotr(k, 31)))
+            .when(i == 3, _u64_add(_u64_add(
+                F.shiftleft(k, 4), F.shiftleft(k, 2)), k))   # * 21
+            .when(i == 4, k.bitwiseXOR(_u64_rotr(k, 11)))
+            .when(i == 5, _u64_add(k, F.shiftleft(k, 6)))
+            .otherwise(k.bitwiseXOR(_u64_rotr(k, 22))))
+
+    out = F.aggregate(F.sequence(F.lit(1), F.lit(6)), k0, step)
+    return out.bitwiseAND(F.lit(_L32).cast("long"))
+
+
 # ------------------------------------------------ consistent hashing
 # Reference: src/Functions/jumpConsistentHash.cpp (the public
 # Lamport/Veach jump-consistent-hash algorithm) and
@@ -2221,6 +2297,16 @@ from clickhouse_core_spark.functions import unicode_ext as _ux  # noqa: E402
 
 _UNICODE_EXT, _UNICODE_EXT_ALIASES = _ux.build()
 _ALIAS_NAMES.update(_UNICODE_EXT_ALIASES)
+
+from clickhouse_core_spark.functions import sqids_codec as _sq  # noqa: E402
+
+_SQIDS, _SQIDS_ALIASES = _sq.build()
+_ALIAS_NAMES.update(_SQIDS_ALIASES)
+
+from clickhouse_core_spark.functions import fuzzymatch as _fz  # noqa: E402
+
+_FUZZY, _FUZZY_ALIASES = _fz.build()
+_ALIAS_NAMES.update(_FUZZY_ALIASES)
 
 from clickhouse_core_spark.functions import purehash as _ph  # noqa: E402
 
@@ -3389,13 +3475,92 @@ _MISC6["parseDateTime64BestEffortUSOrNull"] = \
     lambda s, *a: CH_FUNCTIONS["parseDateTimeBestEffortOrNull"](s)
 
 
+# ------------------------------------------- round-4 closure batch
+# Small named gaps from the registration diff vs the reference
+# (clamp.cpp, sigmoid via FunctionMathUnary, FunctionsHashing.h
+# IntHash32/64Impl, blockNumber.cpp / rowNumberInBlock.cpp,
+# FunctionsConversion.h toIPv4/toIPv6, defaultValueOfTypeName.cpp,
+# isNotDistinctFrom.cpp, getSubcolumn.cpp, toCustomWeek.cpp weekyear).
+
+_TYPE_DEFAULTS = {
+    "string": "", "date": "1970-01-01", "float32": 0.0, "float64": 0.0,
+}
+
+
+def _default_value_of_type(t) -> Column:
+    name = str(t).strip().strip("'\"")
+    spark_t = _CH_TYPE_TO_SPARK.get(name.lower(), name.lower())
+    if spark_t in ("string",):
+        return F.lit("")
+    if spark_t == "date":
+        return F.lit("1970-01-01").cast("date")
+    if spark_t == "timestamp":
+        return F.lit("1970-01-01 00:00:00").cast("timestamp")
+    if spark_t in ("float", "double"):
+        return F.lit(0.0).cast(spark_t)
+    return F.lit(0).cast(spark_t)
+
+
+_MISC7 = {
+    "intHash32": _int_hash32,
+    "intHash64": _int_hash64,
+    "clamp": lambda x, lo, hi: F.least(F.greatest(_c(x), _c(lo)), _c(hi)),
+    "sigmoid": lambda x: 1.0 / (1.0 + F.exp(-_c(x).cast("double"))),
+    "basename": lambda x: F.element_at(F.split(_c(x), "/"), -1),
+    "mapContainsKey": lambda m, k: F.map_contains_key(_c(m), k).cast("int"),
+    "toBool": lambda x: _c(x).cast("boolean"),
+    # ISO week-year = calendar year of that week's Thursday
+    "toWeekYear": lambda x: F.year(F.date_add(
+        F.to_date(F.date_trunc("week", _c(x))), 3)),
+    "toWeekOfWeekYear": lambda x: F.weekofyear(_c(x)),
+    "isNotDistinctFrom": lambda a, b: _c(a).eqNullSafe(_c(b)).cast("int"),
+    "getSubcolumn": lambda x, name: _c(x).getField(
+        str(name).strip("'\"") if not isinstance(name, Column) else name),
+    # block ≈ Spark partition (documented mapping): blockNumber is the
+    # partition id; rowNumberInBlock is the low 33 bits of
+    # monotonically_increasing_id (its in-partition counter)
+    "blockNumber": lambda: F.spark_partition_id().cast("long"),
+    "rowNumberInBlock": lambda: F.monotonically_increasing_id()
+    .bitwiseAND(F.lit((1 << 33) - 1).cast("long")),
+    "blockSerializedSize": None,   # server introspection — out of scope
+    "visibleWidth": lambda x: F.char_length(_c(x).cast("string")),
+    "space": lambda n: F.repeat(F.lit(" "), _c(n).cast("int")),
+    "instr": lambda s, sub: F.locate(sub, _c(s)) if isinstance(sub, str)
+    else F.call_function("instr", _c(s), _c(sub)),
+    "printf": lambda fmt, *a: (
+        F.format_string(fmt, *[_c(x) for x in a]) if isinstance(fmt, str)
+        else F.call_function("format_string", _c(fmt),
+                             *[_c(x) for x in a])),
+    "defaultValueOfTypeName": _default_value_of_type,
+    # toIPv4/toIPv6: parse + canonical text form (the engine's carrier
+    # for IP types is the canonical string)
+    "toIPv4": lambda x: _IP["IPv4NumToString"](_IP["IPv4StringToNum"](x)),
+    "toIPv6": lambda x: _ipv6_num_to_string(_ipv6_string_to_num(x)),
+    "parseDateTime64": lambda s, *a: CH_FUNCTIONS["parseDateTime"](
+        s, *[x for x in a if not isinstance(x, int)]),
+    "timestamp": lambda s, *a: _c(s).cast("timestamp"),
+}
+_MISC7 = {k: v for k, v in _MISC7.items() if v is not None}
+
+_ALIAS_NAMES.update({
+    "mod": "modulo",
+    "flatten": "arrayFlatten",
+    "truncate": "trunc",
+    "toStartOfFiveMinute": "toStartOfFiveMinutes",
+    "extractAllGroups": "extractAllGroupsVertical",
+    "week": "toWeek",
+    "time_bucket": "toStartOfInterval",
+})
+
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
             _CONV4, _CONV2, _CONV3, _MISC2, _VEC, _VEC2, _IP2, _HASH2,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
             _MISC5, _MISC6, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
-            _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT, _PUREHASH):
+            _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT, _PUREHASH, _MISC7,
+            _SQIDS, _FUZZY):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

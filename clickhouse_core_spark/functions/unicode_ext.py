@@ -163,6 +163,20 @@ def build() -> tuple[dict, dict]:
         "idna_tryenc", lambda v: _idna_encode(v, ""))
     fns["idnaDecode"] = _lazy_str_udf("idna_dec", _idna_decode)
 
+    # convertCharset(s, from, to) (src/Functions/convertCharset.cpp —
+    # ICU there, stdlib codecs here; charsets must be literals).  The
+    # value transits as from-charset bytes latin1-wrapped in the string
+    # carrier (CH String is binary-safe; latin1 is the lossless map).
+    def convert_charset(x, frm, to):
+        f, t = str(frm).strip("'\""), str(to).strip("'\"")
+        fn = _lazy_str_udf(
+            f"charset_{f}_{t}",
+            lambda v: v.encode("latin1", "replace").decode(f, "replace")
+            .encode(t, "replace").decode("latin1"))
+        return fn(x)
+
+    fns["convertCharset"] = convert_charset
+
     fns["base58Encode"] = _lazy_str_udf("b58_enc", _base58_encode)
     fns["base58Decode"] = _lazy_str_udf("b58_dec", _base58_decode)
     fns["tryBase58Decode"] = _lazy_str_udf(

@@ -1,0 +1,113 @@
+"""Round-4 closure batch: exact intHash32/64, sqids codec,
+multiFuzzyMatch literal subset, convertCharset, and the small named
+gaps (clamp/sigmoid/basename/blockNumber/...).
+
+Reference: src/Common/HashTable/Hash.h, src/Functions/sqid.cpp,
+src/Functions/MultiMatchAnyImpl.h, src/Functions/convertCharset.cpp,
+clamp.cpp, blockNumber.cpp.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.functions import ch
+
+_M = (1 << 64) - 1
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first().v
+
+
+def _ref_inthash64(x):
+    x = (x ^ 0x4CF2D2BAAE6DA887) & _M
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & _M
+    x ^= x >> 33
+    x = (x * 0xC4CEB9FE1A85EC53) & _M
+    x ^= x >> 33
+    return x
+
+
+def _ref_inthash32(x):
+    k = (x ^ 0x75D9543DE018BF45) & _M
+    k = ((~k) + (k << 18)) & _M
+    k ^= ((k >> 31) | (k << 33)) & _M
+    k = (k * 21) & _M
+    k ^= ((k >> 11) | (k << 53)) & _M
+    k = (k + (k << 6)) & _M
+    k ^= ((k >> 22) | (k << 42)) & _M
+    return k & 0xFFFFFFFF
+
+
+def test_inthash_bit_exact(spark):
+    import random
+    random.seed(5)
+    vals = [0, 1, -1, 2 ** 62] + [random.getrandbits(63) for _ in range(15)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    for r in df.select("x", ch.intHash64(F.col("x")).alias("h64"),
+                       ch.intHash32(F.col("x")).alias("h32")).collect():
+        assert (r.h64 & _M) == _ref_inthash64(r.x & _M)
+        assert r.h32 == _ref_inthash32(r.x & _M)
+
+
+def test_sqids_roundtrip(spark):
+    # spec vector: encode([1,2,3]) = '86Rf07'
+    assert one(spark, ch.sqidEncode(F.lit(1), F.lit(2), F.lit(3))) == \
+        "86Rf07"
+    assert one(spark, ch.sqidDecode(F.lit("86Rf07"))) == [1, 2, 3]
+    assert one(spark, ch.sqidDecode(ch.sqidEncode(
+        F.lit(0), F.lit(999999), F.lit(42)))) == [0, 999999, 42]
+    assert one(spark, ch.sqidDecode(F.lit("!!not-alphabet"))) == []
+
+
+def test_multi_fuzzy_match(spark):
+    s = F.lit("the quick brown fox")
+    assert one(spark, ch.multiFuzzyMatchAny(s, 1, ["quikc", "zzz"])) == 1
+    assert one(spark, ch.multiFuzzyMatchAny(s, 0, ["quikc"])) == 0
+    assert one(spark, ch.multiFuzzyMatchAnyIndex(
+        s, 1, ["zzz", "brwn"])) == 2
+    assert one(spark, ch.multiFuzzyMatchAllIndices(
+        s, 2, ["quik", "fxo", "mmmmm"])) == [1, 2]
+    with pytest.raises(NotImplementedError, match="hyperscan"):
+        ch.multiFuzzyMatchAny(s, 1, ["a.*b"])
+
+
+def test_convert_charset(spark):
+    # utf-8 bytes (latin1-wrapped) -> latin1 text of those bytes
+    got = one(spark, ch.convertCharset(F.lit("cafÃ©"),
+                                       "utf-8", "latin1"))
+    assert got == "café"
+
+
+def test_closure_smalls(spark):
+    row = spark.range(1).select(
+        ch.clamp(F.lit(-5), 0, 10).alias("cl"),
+        ch.sigmoid(F.lit(100.0)).alias("sg"),
+        ch.basename(F.lit("a/b/c/file.bin")).alias("bn"),
+        ch.mapContainsKey(F.create_map(F.lit("k"), F.lit(1)),
+                          "k").alias("mk"),
+        ch.toBool(F.lit(1)).alias("tb"),
+        ch.toWeekOfWeekYear(F.lit("2021-01-01").cast("date")).alias("wk"),
+        ch.getSubcolumn(F.struct(F.lit(7).alias("f")), "f").alias("sc"),
+        ch.blockNumber().alias("blk"),
+        ch.rowNumberInBlock().alias("rib"),
+        ch.printf(F.lit("%d-%s"), F.lit(5), F.lit("x")).alias("pf"),
+        ch.defaultValueOfTypeName("Int32").alias("dv"),
+        ch.toIPv6(F.lit("2001:0db8:0000:0000:0000:0000:0000:0001"))
+        .alias("ip6"),
+    ).first()
+    assert row.cl == 0 and row.sg == pytest.approx(1.0)
+    assert row.bn == "file.bin" and row.mk == 1 and row.tb is True
+    assert row.wk == 53 and row.sc == 7 and row.rib == 0
+    assert row.pf == "5-x" and row.dv == 0
+    assert row.ip6 == "2001:db8::1"
+
+
+def test_closure_aliases(spark):
+    from clickhouse_core_spark.functions import CH_FUNCTIONS
+    for alias, target in (("mod", "modulo"), ("flatten", "arrayFlatten"),
+                          ("truncate", "trunc"), ("sqid", "sqidEncode"),
+                          ("extractAllGroups", "extractAllGroupsVertical"),
+                          ("time_bucket", "toStartOfInterval")):
+        assert CH_FUNCTIONS[alias] is CH_FUNCTIONS[target], alias
