@@ -3444,6 +3444,45 @@ def fn_ch_rounding(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("fn_series_period_fft", """
+WITH vals AS (
+  SELECT r_regionkey AS k, j,
+         sin(2 * pi() * j / (4.0 + r_regionkey))
+         + 0.25 * cos(2 * pi() * j / 29.0) AS v
+  FROM region, range(0, 64) t(j)),
+bins AS (
+  SELECT k, i,
+         sqrt(pow(sum(v * cos(2 * pi() * i * j / 64.0)), 2)
+              + pow(sum(v * sin(2 * pi() * i * j / 64.0)), 2)) AS mag
+  FROM vals, range(1, 31) b(i)
+  GROUP BY k, i),
+best AS (
+  SELECT k, i, row_number() OVER (PARTITION BY k
+                                  ORDER BY mag DESC, i ASC) AS rn
+  FROM bins)
+SELECT k, CAST(floor(60.0 / i + 0.5) AS DOUBLE) AS period
+FROM best WHERE rn = 1 ORDER BY k
+""")
+def fn_series_period_fft(spark, sf_dir):
+    """seriesPeriodDetectFFT (reference src/Functions/
+    seriesPeriodDetectFFT.cpp — pocketfft there, numpy rfft here: the
+    same discrete transform).  Oracle: DuckDB replays the DFT naively
+    (O(n²) cos/sin sums) and the same dominant-bin walk
+    (spec_len=(64-1)//2, bins 1..30, period = floor(60/idx + 0.5));
+    the synthetic per-region series has a well-separated dominant
+    peak, so float summation order cannot flip the argmax."""
+    import math as m
+    r = _cat(spark, sf_dir).region
+    k = F.col("r_regionkey").cast("double")
+    series = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: F.sin(F.lit(2 * m.pi) * j.cast("double") / (4.0 + k))
+        + F.lit(0.25) * F.cos(F.lit(2 * m.pi) * j.cast("double") / 29.0))
+    return (r.select(F.col("r_regionkey").alias("k"),
+                     ch.seriesPeriodDetectFFT(series).alias("period"))
+            .orderBy("k"))
+
+
 _U64 = 18446744073709551616
 _INTHASH_ORACLE = f"""
 WITH t AS (SELECT o_orderkey AS k,

@@ -2303,6 +2303,11 @@ from clickhouse_core_spark.functions import sqids_codec as _sq  # noqa: E402
 _SQIDS, _SQIDS_ALIASES = _sq.build()
 _ALIAS_NAMES.update(_SQIDS_ALIASES)
 
+from clickhouse_core_spark.functions import seriesfns as _sf  # noqa: E402
+
+_SERIESF, _SERIESF_ALIASES = _sf.build()
+_ALIAS_NAMES.update(_SERIESF_ALIASES)
+
 from clickhouse_core_spark.functions import fuzzymatch as _fz  # noqa: E402
 
 _FUZZY, _FUZZY_ALIASES = _fz.build()
@@ -3560,7 +3565,7 @@ for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
             _MISC5, _MISC6, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
             _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT, _PUREHASH, _MISC7,
-            _SQIDS, _FUZZY):
+            _SQIDS, _FUZZY, _SERIESF):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -111,3 +111,38 @@ def test_closure_aliases(spark):
                           ("extractAllGroups", "extractAllGroupsVertical"),
                           ("time_bucket", "toStartOfInterval")):
         assert CH_FUNCTIONS[alias] is CH_FUNCTIONS[target], alias
+
+
+def test_series_period_detect_fft(spark):
+    import math
+    # clean sinusoid of period 8 over 64 points -> exact 8.0
+    vals = [math.sin(2 * math.pi * i / 8) for i in range(64)]
+    df = spark.createDataFrame([(vals,), ([1.0, 1.0, 1.0, 1.0, 1.0],),
+                                ([1.0, 2.0],)], "a array<double>")
+    got = [r.p for r in df.select(
+        ch.seriesPeriodDetectFFT(F.col("a")).alias("p")).collect()]
+    assert got[0] == 8.0
+    assert got[1] == 0.0            # flat series
+    # reference yields NaN for < 4 points; NaN transits as NULL
+    # through the Arrow double carrier
+    assert got[2] is None or math.isnan(got[2])
+
+
+def test_series_decompose(spark):
+    import math
+    # seasonal [3,-3] + linear trend: classical decomposition recovers
+    # the components in the interior
+    period = 2
+    vals = [i * 0.5 + (3.0 if i % 2 == 0 else -3.0) for i in range(40)]
+    df = spark.createDataFrame([(vals,)], "a array<double>")
+    comp = df.select(ch.seriesDecomposeSTL(F.col("a"), period)
+                     .alias("c")).first().c
+    seasonal, trend, resid = comp
+    assert len(seasonal) == len(trend) == len(resid) == 40
+    for i in range(4, 36):
+        assert abs(seasonal[i] - (3.0 if i % 2 == 0 else -3.0)) < 1e-9
+        assert abs(trend[i] - i * 0.5) < 0.26   # MA lag on linear trend
+        assert abs(resid[i]) < 0.26
+    # reconstruction is exact everywhere by construction
+    for i in range(40):
+        assert abs(seasonal[i] + trend[i] + resid[i] - vals[i]) < 1e-9
