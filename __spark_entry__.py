@@ -3444,6 +3444,42 @@ def fn_ch_rounding(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("dedup_semantic", """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+u AS (SELECT vec_id, v FROM e
+      UNION ALL SELECT vec_id + 1000, v FROM e),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM u a JOIN u b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.95),
+neigh AS (SELECT id_b AS id, id_a AS nb FROM p
+          UNION ALL SELECT id_a, id_b FROM p),
+rep AS (SELECT id, min(nb) AS rep FROM neigh GROUP BY id)
+SELECT u.vec_id FROM u LEFT JOIN rep r ON u.vec_id = r.id
+WHERE r.rep IS NULL OR r.rep >= u.vec_id ORDER BY u.vec_id
+""")
+def dedup_semantic_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup (pipeline.similarity.semantic_dedup;
+    method: Abbas et al. 2023, arXiv:2303.09540).  The fixture corpus
+    has no >=0.95-cosine pairs, so the entry plants an exact duplicate
+    of every embedding at vec_id+1000 — identical vectors provably
+    co-cluster (same argmin expression), so the k-means-blocked pair
+    join must find every planted pair.  Oracle: brute-force all-pairs
+    cosine dedup with the same min-neighbor contraction — an
+    adversarial recall check on the clustering blocking, the
+    dedup_minhash_lsh oracle pattern."""
+    from clickhouse_core_spark.pipeline import semantic_dedup
+    e = (_cat(spark, sf_dir).embeddings
+         .select("vec_id", F.transform(
+             "embedding", lambda x: x.cast("double")).alias("embedding")))
+    u = e.union(e.select((F.col("vec_id") + 1000).alias("vec_id"),
+                         "embedding"))
+    out = semantic_dedup(u, threshold=0.95, n_centroids=4, iterations=1,
+                         seed=7)
+    return out.select("vec_id").orderBy("vec_id")
+
+
 @q("fn_series_period_fft", """
 WITH vals AS (
   SELECT r_regionkey AS k, j,

@@ -31,6 +31,7 @@ from clickhouse_core_spark.pipeline.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_ann_topk,
+    semantic_dedup,
 )
 from clickhouse_core_spark.pipeline.text import (
     with_token_count,
@@ -48,6 +49,7 @@ __all__ = [
     "connected_components", "dedup_clusters",
     "deterministic_sample", "stratified_sample", "pack_token_budget",
     "cosine_topk", "embedding_near_duplicates", "ivf_topk", "lsh_ann_topk",
+    "semantic_dedup",
     "with_token_count", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_pii_redacted", "with_gopher_signals",
     "benchmark_contamination",

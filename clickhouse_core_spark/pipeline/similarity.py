@@ -217,3 +217,58 @@ def ivf_topk(df: DataFrame, query, k: int, n_centroids: int = 16,
                     .alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   n_centroids: int = 16, iterations: int = 3,
+                   seed: int = 7, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   transitive: bool = False) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means-cluster the embeddings,
+    compare pairs only WITHIN a cluster, drop rows whose cosine to a
+    smaller-id cluster-mate exceeds ``threshold``.
+
+    Scale shape: the pair join is an equi-join on the centroid id —
+    never all-pairs across the corpus; cluster count scales the blocking
+    (at 100 TB raise ``n_centroids`` so clusters stay executor-sized and
+    write the corpus partitioned by centroid, making the self-join
+    co-located).  Representative choice is the deterministic min-id
+    (the paper keeps a random/low-centroid-distance exemplar — any
+    single-keeper contract satisfies SemDeDup; min-id is
+    oracle-checkable).  ``transitive=True`` upgrades the single-pass
+    min-of-neighbors contraction to full connected components, same as
+    minhash_lsh_dedup.
+
+    Returns the deduplicated DataFrame (original columns).
+    """
+    assigned, _cents = ivf_assignments(df, n_centroids, iterations, seed,
+                                       vec_col, id_col)
+    slim = assigned.select(F.col(id_col), F.col(vec_col), "__centroid")
+    lhs = slim.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).alias("v_a"), "__centroid")
+    rhs = slim.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).alias("v_b"), "__centroid")
+    similar = (lhs.join(rhs, on="__centroid")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .filter(cosine_similarity(F.col("v_a"), F.col("v_b"))
+                       >= threshold)
+               .select("id_a", "id_b"))
+
+    if transitive:
+        from clickhouse_core_spark.pipeline.graphs import (
+            connected_components)
+        rep = (connected_components(similar, src="id_a", dst="id_b")
+               .select(F.col("node").alias("__id"),
+                       F.col("label").alias("__rep")))
+    else:
+        neigh = (similar.select(F.col("id_b").alias("__id"),
+                                F.col("id_a").alias("__n"))
+                 .union(similar.select(F.col("id_a").alias("__id"),
+                                       F.col("id_b").alias("__n"))))
+        rep = neigh.groupBy("__id").agg(F.min("__n").alias("__rep"))
+    return (df.join(rep, on=df[id_col] == rep["__id"], how="left")
+            .withColumn("__keep", F.col("__rep").isNull()
+                        | (F.col("__rep") >= F.col(id_col)))
+            .filter(F.col("__keep"))
+            .select(*df.columns))

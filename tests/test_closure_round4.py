@@ -146,3 +146,22 @@ def test_series_decompose(spark):
     # reconstruction is exact everywhere by construction
     for i in range(40):
         assert abs(seasonal[i] + trend[i] + resid[i] - vals[i]) < 1e-9
+
+
+def test_semantic_dedup_planted(spark):
+    import random
+    from clickhouse_core_spark.pipeline import semantic_dedup
+    random.seed(19)
+    rows = [(i, [random.gauss(0, 1) for _ in range(16)]) for i in range(40)]
+    # plant exact duplicates of ids 0..9 at ids 100..109
+    rows += [(100 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r.vec_id for r in semantic_dedup(
+        df, threshold=0.99, n_centroids=3, iterations=2,
+        seed=5).collect())
+    assert kept == list(range(40))  # originals survive, copies dropped
+    # transitive mode agrees on pairwise-only duplicates
+    kept_t = sorted(r.vec_id for r in semantic_dedup(
+        df, threshold=0.99, n_centroids=3, iterations=2, seed=5,
+        transitive=True).collect())
+    assert kept_t == list(range(40))
