@@ -1690,6 +1690,45 @@ def stats_welch_q(spark, sf_dir):
             .transform(_small_sorted, "user_id"))
 
 
+@q("stats_student_ttest", """
+WITH s AS (SELECT user_id, value,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+           FROM events WHERE event_type IN ('purchase', 'view')),
+m AS (SELECT user_id,
+             count(*) FILTER (grp = 0) AS n0, count(*) FILTER (grp = 1) AS n1,
+             avg(value) FILTER (grp = 0) AS m0, avg(value) FILTER (grp = 1) AS m1,
+             var_samp(value) FILTER (grp = 0) AS s0,
+             var_samp(value) FILTER (grp = 1) AS s1
+      FROM s GROUP BY user_id)
+SELECT user_id,
+       round((m0 - m1) / sqrt((((n0 - 1) * s0 + (n1 - 1) * s1)
+             / (n0 + n1 - 2)) * (1.0 / n0 + 1.0 / n1)), 8) AS t_stat,
+       CAST(n0 + n1 - 2 AS DOUBLE) AS dof,
+       round(sum(value * CAST(grp + 1 AS DOUBLE)) FILTER (TRUE)
+             / NULLIF(sum(CAST(grp + 1 AS DOUBLE)), 0), 8) AS aw
+FROM m JOIN s USING (user_id)
+GROUP BY user_id, n0, n1, m0, m1, s0, s1 ORDER BY user_id
+""")
+def stats_student_q(spark, sf_dir):
+    """studentTTest (pooled variance, AggregateFunctionTTest.h) +
+    avgWeighted (AggregateFunctionAvgWeighted.cpp) over the same
+    two-sample split."""
+    from clickhouse_core_spark.operators import avg_weighted, student_t_test
+    ev = _cat(spark, sf_dir).events
+    s = (ev.filter(F.col("event_type").isin("purchase", "view"))
+         .select("user_id", "value",
+                 F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                 .alias("grp")))
+    t = (student_t_test(s, ["user_id"], "value", "grp")
+         .withColumn("t_stat", F.round("t_stat", 8)))
+    aw = avg_weighted(
+        s.withColumn("w", (F.col("grp") + 1).cast("double")),
+        ["user_id"], "value", "w", alias="aw")
+    return (t.join(aw.select("user_id", F.round("aw", 8).alias("aw")),
+                   "user_id")
+            .transform(_small_sorted, "user_id"))
+
+
 @q("stats_mann_whitney", """
 WITH s AS (SELECT user_id, value,
                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp

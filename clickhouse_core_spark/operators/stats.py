@@ -70,6 +70,46 @@ def welch_t_test(df: DataFrame, keys: Sequence[str], value_col: str,
             .drop("__n0", "__n1", "__m0", "__m1", "__s0", "__s1"))
 
 
+def student_t_test(df: DataFrame, keys: Sequence[str], value_col: str,
+                   group_col: str | Column) -> DataFrame:
+    """studentTTest(value, sample_index) (reference
+    src/AggregateFunctions/AggregateFunctionTTest.h StudentTTestData):
+    equal-variance two-sample t — pooled variance
+    sp² = ((n0-1)s0² + (n1-1)s1²) / (n0+n1-2),
+    t = (m0-m1)/sqrt(sp²(1/n0 + 1/n1)), dof = n0+n1-2.
+    Same one-pass conditional-aggregate shape as welch_t_test."""
+    keys = list(keys)
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    v = F.col(value_col)
+    v0 = F.when(g == 0, v)
+    v1 = F.when(g == 1, v)
+    out = (df.groupBy(*keys)
+           .agg(F.count(v0).alias("__n0"), F.count(v1).alias("__n1"),
+                F.avg(v0).alias("__m0"), F.avg(v1).alias("__m1"),
+                F.var_samp(v0).alias("__s0"), F.var_samp(v1).alias("__s1")))
+    n0, n1 = F.col("__n0"), F.col("__n1")
+    sp2 = ((n0 - 1) * F.col("__s0") + (n1 - 1) * F.col("__s1")) \
+        / (n0 + n1 - 2)
+    t = (F.col("__m0") - F.col("__m1")) \
+        / F.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
+    return (out.withColumn("t_stat", t)
+            .withColumn("dof", (n0 + n1 - 2).cast("double"))
+            .drop("__n0", "__n1", "__m0", "__m1", "__s0", "__s1"))
+
+
+def avg_weighted(df: DataFrame, keys: Sequence[str], value_col: str,
+                 weight_col: str, alias: str = "avg_weighted") -> DataFrame:
+    """avgWeighted(x, w) = sum(x*w)/sum(w) (reference
+    src/AggregateFunctions/AggregateFunctionAvgWeighted.cpp); NULL when
+    the weight sum is zero, matching the reference's NaN contract class
+    (carrier divergence documented: Spark emits NULL where CH emits
+    NaN)."""
+    num = F.sum(F.col(value_col) * F.col(weight_col))
+    den = F.sum(F.col(weight_col))
+    return (df.groupBy(*list(keys))
+            .agg(F.when(den != 0, num / den).alias(alias)))
+
+
 def mann_whitney_u(df: DataFrame, keys: Sequence[str], value_col: str,
                    group_col: str | Column) -> DataFrame:
     """mannWhitneyUTest(value, sample_index): U statistic for sample 0

@@ -263,6 +263,9 @@ _RULES: dict = {
     # sumKahan: Spark's double sum; the compensation term is an accuracy
     # nicety below the engine contract's tolerance (AggregateFunctionSumKahan)
     "sumkahan": _fn("sum"),
+    # avgWeighted(x, w) = Σxw/Σw (AggregateFunctionAvgWeighted.cpp)
+    "avgweighted": lambda a: (
+        f"(sum(({a[0]}) * ({a[1]})) / nullif(sum({a[1]}), 0))"),
     "sumcount": lambda a: f"struct(sum({a[0]}), count({a[0]}))",
     # groupConcat(x) — insertion-order concat; CH order is arbitrary, so
     # any order satisfies the contract (deterministic form: the
