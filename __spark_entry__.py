@@ -3483,6 +3483,48 @@ def fn_ch_rounding(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("fn_array_pr_auc", """
+WITH t AS (SELECT vec_id % 4 AS b, embedding[1] AS sc,
+                  CAST(vec_id % 2 = 0 AS INT) AS lab
+           FROM embeddings WHERE vec_id < 200),
+ord AS (SELECT b, sc, lab,
+               row_number() OVER (PARTITION BY b ORDER BY sc DESC) AS rn
+        FROM t),
+c AS (SELECT b, sc,
+             sum(lab) OVER (PARTITION BY b ORDER BY rn) AS tp,
+             sum(1 - lab) OVER (PARTITION BY b ORDER BY rn) AS fp,
+             row_number() OVER (PARTITION BY b, sc ORDER BY rn DESC) AS inv
+      FROM ord),
+g AS (SELECT b, sc, tp, fp FROM c WHERE inv = 1),
+s AS (SELECT b, tp, fp,
+             lag(tp, 1, 0) OVER (PARTITION BY b ORDER BY sc DESC) AS ptp
+      FROM g)
+SELECT b, CASE WHEN max(tp) = 0 THEN 0.0
+          ELSE round(sum(1.0 * tp / (tp + fp) * (tp - ptp)) / max(tp), 9)
+          END AS pr_auc
+FROM s GROUP BY b ORDER BY b
+""")
+def fn_array_pr_auc(spark, sf_dir):
+    """arrayAUCPR (src/Functions/array/arrayAUC.cpp is_pr branch):
+    right-Riemann precision-recall area.  Oracle: DuckDB window replay —
+    cumulative TP/FP at each distinct-score threshold, the same
+    TP_n/(TP_n+FP_n)·(TP_n−TP_{n−1}) increments, scaled by total
+    positives."""
+    e = (_cat(spark, sf_dir).embeddings
+         .filter(F.col("vec_id") < 200)
+         .select((F.col("vec_id") % 4).alias("b"),
+                 F.struct(F.col("embedding")[0].cast("double").alias("sc"),
+                          (F.col("vec_id") % 2 == 0).cast("int")
+                          .alias("lab")).alias("p")))
+    g = e.groupBy("b").agg(F.collect_list("p").alias("ps"))
+    return (g.select(
+        "b",
+        F.round(ch.arrayAUCPR(F.transform("ps", lambda p: p["sc"]),
+                              F.transform("ps", lambda p: p["lab"])), 9)
+        .alias("pr_auc"))
+        .orderBy("b"))
+
+
 @q("dedup_semantic", """
 WITH e AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1395,6 +1395,53 @@ _VEC = {
 }
 
 
+def _array_pr_auc(scores, labels) -> Column:
+    """arrayAUCPR / arrayPRAUC (src/Functions/array/arrayAUC.cpp:131,
+    is_pr branch): right-Riemann sum over the sorted-by-score-desc
+    walk — area += TP_n/(TP_n+FP_n) · (TP_n − TP_{n−1}) at every
+    threshold change, scaled by total positives; empty input or no
+    positive labels → 0.0 (the reference's degenerate contract)."""
+    s, lab = _c(scores), _c(labels)
+    pairs = F.array_sort(F.zip_with(s, lab, lambda x, y: F.struct(
+        (-x.cast("double")).alias("ns"),
+        F.when(y > 0, 1).otherwise(0).cast("long").alias("l"))))
+    init = F.struct(
+        F.lit(None).cast("double").alias("thr"),
+        F.lit(0).cast("long").alias("ptp"),
+        F.lit(0).cast("long").alias("tp"),
+        F.lit(0).cast("long").alias("fp"),
+        F.lit(0.0).alias("area"))
+
+    def step(acc, e):
+        changed = acc["thr"].isNotNull() & (e["ns"] != acc["thr"])
+        area2 = F.when(
+            changed,
+            acc["area"] + acc["tp"].cast("double")
+            / (acc["tp"] + acc["fp"]) * (acc["tp"] - acc["ptp"])
+        ).otherwise(acc["area"])
+        ptp2 = F.when(changed, acc["tp"]).otherwise(acc["ptp"])
+        return F.struct(
+            e["ns"].alias("thr"), ptp2.alias("ptp"),
+            (acc["tp"] + e["l"]).alias("tp"),
+            (acc["fp"] + 1 - e["l"]).alias("fp"),
+            area2.alias("area"))
+
+    def finish(st):
+        flush = F.when(
+            st["tp"] + st["fp"] > 0,
+            st["tp"].cast("double") / (st["tp"] + st["fp"])
+            * (st["tp"] - st["ptp"])).otherwise(F.lit(0.0))
+        total = st["area"] + flush
+        return F.when(st["tp"] == 0, F.lit(0.0)) \
+            .otherwise(total / st["tp"])
+
+    return F.aggregate(pairs, init, step, finish)
+
+
+_VEC["arrayAUCPR"] = _array_pr_auc
+_VEC["arrayPRAUC"] = _array_pr_auc
+
+
 # ------------------------------------- tuple/vector arithmetic family
 # Reference: src/Functions/vectorFunctions.cpp registerVectorFunctions
 # (tuplePlus..tupleIntDivOrZeroByNumber, vectorSum/vectorDifference

