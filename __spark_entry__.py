@@ -3483,6 +3483,34 @@ def fn_ch_rounding(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
+@q("text_chunk_windows", """
+WITH d AS (SELECT doc_id,
+                  string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                               ' ') AS toks
+           FROM documents WHERE doc_id < 100),
+x AS (SELECT doc_id, toks, len(toks) AS n,
+             greatest(CAST(ceil((len(toks) - 8) / 24.0) AS INT), 1) AS nw
+      FROM d),
+e AS (SELECT doc_id, toks, n, UNNEST(range(nw)) AS i FROM x)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(toks[(CAST(i AS INT) * 24 + 1):
+                            (CAST(i AS INT) * 24 + 32)], ' ') AS chunk_text,
+       CAST(least(n - i * 24, 32) AS BIGINT) AS chunk_tokens
+FROM e ORDER BY doc_id, chunk_id
+""")
+def text_chunk_windows(spark, sf_dir):
+    """Context-window chunking (pipeline.text.chunk_documents):
+    max_tokens=32, overlap=8 whitespace-token windows — the standard
+    LLM-training document-windowing step, pure Catalyst
+    (split -> sequence -> slice -> posexplode, map-side only).  Oracle:
+    DuckDB replays the same window arithmetic with list slicing."""
+    from clickhouse_core_spark.pipeline import chunk_documents
+    d = (_cat(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 100).select("doc_id", "text"))
+    return (chunk_documents(d, max_tokens=32, overlap=8)
+            .orderBy("doc_id", "chunk_id"))
+
+
 @q("fn_array_pr_auc", """
 WITH t AS (SELECT vec_id % 4 AS b, embedding[1] AS sc,
                   CAST(vec_id % 2 = 0 AS INT) AS lab

@@ -41,6 +41,7 @@ from clickhouse_core_spark.pipeline.text import (
     with_pii_redacted,
     with_gopher_signals,
     benchmark_contamination,
+    chunk_documents,
 )
 
 __all__ = [
@@ -52,5 +53,5 @@ __all__ = [
     "semantic_dedup",
     "with_token_count", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_pii_redacted", "with_gopher_signals",
-    "benchmark_contamination",
+    "benchmark_contamination", "chunk_documents",
 ]

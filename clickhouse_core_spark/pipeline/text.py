@@ -292,3 +292,44 @@ def benchmark_contamination(df: DataFrame, bench: DataFrame,
                     .alias(out_col)))
     return df.join(frac, on=df[id_col] == frac["__id"], how="left") \
         .drop("__id").fillna({out_col: 0.0})
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into whitespace-token windows of
+    ``max_tokens`` with ``overlap`` tokens of left-context carry-over —
+    the standard context-window chunking step of an LLM training
+    pipeline (documents longer than the model context are windowed, not
+    truncated).
+
+    Pure Catalyst: split → sequence of window starts → per-start
+    slice + rejoin → posexplode.  One Generate per document, no Python,
+    no shuffle (map-side; chunk_id is deterministic so downstream
+    dedup/shuffles key cleanly).
+
+    Output: original columns (minus ``text_col``) + ``chunk_id`` (long,
+    0-based), ``chunk_text``, ``chunk_tokens`` (long).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # window starts: 0, step, 2*step, ... while start < n (>=1 window)
+    n_windows = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)),
+        F.lit(1)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.struct(
+            F.concat_ws(" ", F.slice(toks, i * step + 1, max_tokens))
+            .alias("t"),
+            F.least(n - i * step, F.lit(max_tokens)).cast("long")
+            .alias("k")))
+    other = [c for c in df.columns if c != text_col]
+    return (df.withColumn("__chunks", chunks)
+            .select(*other, F.posexplode("__chunks").alias("chunk_id", "__c"))
+            .select(*other, F.col("chunk_id").cast("long"),
+                    F.col("__c.t").alias("chunk_text"),
+                    F.col("__c.k").alias("chunk_tokens")))

@@ -252,3 +252,23 @@ def test_quality_classifier_train_score(spark, catalog):
     s2 = score_quality_classifier(docs, w, model["bias_raw"])
     assert s2.orderBy("doc_id").first()["quality_prob"] == \
         scored.orderBy("doc_id").first()["quality_prob"]
+
+
+def test_chunk_documents_windows(spark):
+    from clickhouse_core_spark.pipeline import chunk_documents
+    import pytest as _pt
+    from pyspark.sql import functions as F
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short text")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=4, overlap=1).collect()
+    d1 = sorted([(r.chunk_id, r.chunk_text, r.chunk_tokens)
+                 for r in out if r.doc_id == 1])
+    # starts at 0,3,6 — ceil((10-1)/3) = 3 windows fully cover the
+    # 10 tokens with 1-token overlap
+    assert d1 == [(0, "w0 w1 w2 w3", 4), (1, "w3 w4 w5 w6", 4),
+                  (2, "w6 w7 w8 w9", 4)]
+    d2 = [(r.chunk_id, r.chunk_text) for r in out if r.doc_id == 2]
+    assert d2 == [(0, "short text")]
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=4, overlap=4)
