@@ -5392,6 +5392,36 @@ def source_rowbinary_roundtrip_q(spark, sf_dir):
                         schema=schema).orderBy("n_nationkey"))
 
 
+@q("source_capnproto_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_capnproto_roundtrip_q(spark, sf_dir):
+    """CapnProto flat-struct path (reference
+    src/Processors/Formats/Impl/CapnProtoRowInputFormat.cpp): encode
+    nation rows with the public capnp encoding-spec layout (buddy
+    slot allocation, segment framing, byte-list Text pointers), read
+    back through the distributed message walker.  Identity oracle
+    value-checks the wire roundtrip."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import (encode_capnproto,
+                                               read_format)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "capnp_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.capnp.bin"), "wb") as fh:
+        fh.write(encode_capnproto(rows, schema))
+    return (read_format(spark, path, "CapnProto", schema=schema)
+            .orderBy("n_nationkey"))
+
+
 @q("source_native_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

@@ -21,6 +21,9 @@ from clickhouse_core_spark.sources.rowformats import (
 from clickhouse_core_spark.sources.nativefmt import (
     encode_native, read_native, decode_native, infer_native_schema,
 )
+from clickhouse_core_spark.sources.capnproto import (
+    encode_capnproto, read_capnproto, decode_capnproto_blob,
+)
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
     mongodb_options, redis_options, mongodb_table, redis_table,
@@ -39,6 +42,7 @@ __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
            "decode_rowbinary", "decode_msgpack",
            "encode_native", "read_native", "decode_native",
            "infer_native_schema",
+           "encode_capnproto", "read_capnproto", "decode_capnproto_blob",
            "generate_random", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
            "mongodb_options", "redis_options", "mongodb_table",

@@ -60,6 +60,11 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
             with_names=ch_format in ("RowBinaryWithNames",
                                      "RowBinaryWithNamesAndTypes"),
             with_types=ch_format == "RowBinaryWithNamesAndTypes")
+    if ch_format == "CapnProto":
+        from clickhouse_core_spark.sources.capnproto import read_capnproto
+        if schema is None:
+            raise ValueError("CapnProto reading needs an explicit schema")
+        return read_capnproto(spark, path, schema)
     if ch_format == "Native":
         from clickhouse_core_spark.sources.nativefmt import read_native
         return read_native(spark, path, schema=schema)

@@ -150,3 +150,51 @@ def test_native_property_roundtrip(tuples):
     assert cols.get("c", []) == [r["c"] for r in rows]
     assert cols.get("d", []) == [r["d"] if r["d"] is not None else []
                                  for r in rows]
+
+
+# ------------------------------------------------------------ CapnProto
+def test_capnproto_roundtrip_spark(spark, workdir):
+    from clickhouse_core_spark.sources.capnproto import encode_capnproto
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("small", T.ShortType())])
+    rows = [{"id": 1, "name": "alpha", "score": 1.5, "flag": True,
+             "small": -3},
+            {"id": -9, "name": "ünïcødé", "score": -0.25, "flag": False,
+             "small": 300}]
+    with open(os.path.join(workdir, "rows.capnp.bin"), "wb") as fh:
+        fh.write(encode_capnproto(rows, schema))
+    df = read_format(spark, workdir, "CapnProto", schema=schema)
+    got = sorted((r.id, r.name, r.score, r.flag, r.small)
+                 for r in df.collect())
+    assert got == sorted((r["id"], r["name"], r["score"], r["flag"],
+                          r["small"]) for r in rows)
+
+
+def test_capnproto_unsupported_type():
+    from clickhouse_core_spark.sources.capnproto import _layout
+    with pytest.raises(NotImplementedError, match="CapnProto"):
+        _layout(T.StructType([
+            T.StructField("a", T.ArrayType(T.LongType()))]))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=-2 ** 63, max_value=2 ** 63 - 1),
+    st.one_of(st.none(), st.text(max_size=30)),
+    st.booleans(),
+), max_size=20))
+def test_capnproto_property_roundtrip(tuples):
+    from clickhouse_core_spark.sources.capnproto import (
+        decode_capnproto_blob, encode_capnproto)
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+        T.StructField("c", T.BooleanType())])
+    rows = [{"a": a, "b": b, "c": c} for a, b, c in tuples]
+    out = decode_capnproto_blob(encode_capnproto(rows, schema), schema)
+    assert [(r["a"], r["b"], r["c"]) for r in out] == \
+        [(r["a"], r["b"], r["c"]) for r in rows]
