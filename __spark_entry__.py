@@ -5392,6 +5392,96 @@ def source_rowbinary_roundtrip_q(spark, sf_dir):
                         schema=schema).orderBy("n_nationkey"))
 
 
+@q("source_bson_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_bson_roundtrip_q(spark, sf_dir):
+    """BSONEachRow path (reference src/Processors/Formats/Impl/
+    BSONEachRowRowInputFormat.cpp): pure-Python bsonspec.org codec
+    (int32-framed documents, typed elements), distributed blob decode.
+    Identity oracle value-checks the wire roundtrip."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import encode_bson, read_format
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "bson_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.bson"), "wb") as fh:
+        fh.write(encode_bson(rows, schema))
+    return (read_format(spark, path, "BSONEachRow", schema=schema)
+            .orderBy("n_nationkey"))
+
+
+@q("source_mysqldump_read", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_nationkey < 10 ORDER BY n_nationkey
+""")
+def source_mysqldump_read_q(spark, sf_dir):
+    """MySQLDump input (reference src/Processors/Formats/Impl/
+    MySQLDumpRowInputFormat.cpp): INSERT statements parsed back to rows
+    with the quote-aware Values tokenizer, filtered to one table."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType())])
+    nat = (_cat(spark, sf_dir).nation
+           .filter(F.col("n_nationkey") < 10)
+           .select("n_nationkey", "n_name", "n_regionkey"))
+    rows = [r.asDict() for r in nat.collect()]
+    vals = ", ".join(
+        "({}, '{}', {})".format(r["n_nationkey"],
+                                r["n_name"].replace("'", "''"),
+                                r["n_regionkey"]) for r in rows)
+    dump = ("-- dump\nCREATE TABLE nation (k int);\n"
+            f"INSERT INTO `nation` VALUES {vals};\n"
+            "INSERT INTO other VALUES (99, 'zz', 9);\n")
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "mysqldump_read")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "dump.sql"), "w") as fh:
+        fh.write(dump)
+    return (read_format(spark, path, "MySQLDump", schema=schema,
+                        table="nation")
+            .orderBy("n_nationkey"))
+
+
+@q("source_json_columns_roundtrip", """
+SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+""")
+def source_json_columns_roundtrip_q(spark, sf_dir):
+    """JSONColumns document format (reference src/Processors/Formats/
+    Impl/JSONColumnsBlockInputFormat.cpp): columnar JSON document
+    zipped back to rows with arrays_zip + explode — pure Catalyst."""
+    import json as _json
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    schema = T.StructType([
+        T.StructField("r_regionkey", T.IntegerType()),
+        T.StructField("r_name", T.StringType())])
+    reg = _cat(spark, sf_dir).region.select("r_regionkey", "r_name")
+    rows = sorted((r.r_regionkey, r.r_name) for r in reg.collect())
+    doc = _json.dumps({"r_regionkey": [r[0] for r in rows],
+                       "r_name": [r[1] for r in rows]})
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "jsoncols_roundtrip")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "doc.json"), "w") as fh:
+        fh.write(doc)
+    return (read_format(spark, path, "JSONColumns", schema=schema)
+            .orderBy("r_regionkey"))
+
+
 @q("source_capnproto_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

@@ -24,6 +24,14 @@ from clickhouse_core_spark.sources.nativefmt import (
 from clickhouse_core_spark.sources.capnproto import (
     encode_capnproto, read_capnproto, decode_capnproto_blob,
 )
+from clickhouse_core_spark.sources.bsonfmt import (
+    encode_bson, decode_bson_blob, read_bson,
+)
+from clickhouse_core_spark.sources.jsonforms import (
+    read_json_document, read_json_columns, read_json_object_each_row,
+    read_json_as_string, read_mysql_dump, read_form, read_one, read_null,
+    format_markdown, format_vertical, format_sql_insert, format_xml,
+)
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
     mongodb_options, redis_options, mongodb_table, redis_table,
@@ -43,6 +51,12 @@ __all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
            "encode_native", "read_native", "decode_native",
            "infer_native_schema",
            "encode_capnproto", "read_capnproto", "decode_capnproto_blob",
+           "encode_bson", "decode_bson_blob", "read_bson",
+           "read_json_document", "read_json_columns",
+           "read_json_object_each_row", "read_json_as_string",
+           "read_mysql_dump", "read_form", "read_one", "read_null",
+           "format_markdown", "format_vertical", "format_sql_insert",
+           "format_xml",
            "generate_random", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
            "mongodb_options", "redis_options", "mongodb_table",

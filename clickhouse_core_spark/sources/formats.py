@@ -37,6 +37,10 @@ FORMAT_MAP: dict = {
     "Avro": ("avro", {}),
     "LineAsString": ("text", {}),
     "Raw": ("text", {}),
+    # Hive default text serde: \x01 field separator, \N nulls
+    # (src/Processors/Formats/Impl/HiveTextRowInputFormat.cpp)
+    "HiveText": ("csv", {"sep": "\x01", "header": "false",
+                         "nullValue": "\\N"}),
 }
 
 
@@ -60,6 +64,55 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
             with_names=ch_format in ("RowBinaryWithNames",
                                      "RowBinaryWithNamesAndTypes"),
             with_types=ch_format == "RowBinaryWithNamesAndTypes")
+    if ch_format in ("JSON", "JSONCompact"):
+        from clickhouse_core_spark.sources.jsonforms import (
+            read_json_document)
+        if schema is None:
+            raise ValueError(f"{ch_format} reading needs an explicit schema")
+        return read_json_document(spark, path, schema,
+                                  compact=ch_format == "JSONCompact")
+    if ch_format in ("JSONColumns", "JSONColumnsWithMetadata",
+                     "JSONCompactColumns"):
+        from clickhouse_core_spark.sources.jsonforms import (
+            read_json_columns)
+        if schema is None:
+            raise ValueError(f"{ch_format} reading needs an explicit schema")
+        return read_json_columns(
+            spark, path, schema,
+            compact=ch_format == "JSONCompactColumns")
+    if ch_format == "JSONObjectEachRow":
+        from clickhouse_core_spark.sources.jsonforms import (
+            read_json_object_each_row)
+        if schema is None:
+            raise ValueError(f"{ch_format} reading needs an explicit schema")
+        return read_json_object_each_row(spark, path, schema, **extra)
+    if ch_format in ("JSONAsString", "JSONAsObject"):
+        from clickhouse_core_spark.sources.jsonforms import (
+            read_json_as_string)
+        return read_json_as_string(spark, path, **extra)
+    if ch_format == "MySQLDump":
+        from clickhouse_core_spark.sources.jsonforms import read_mysql_dump
+        if schema is None:
+            raise ValueError("MySQLDump reading needs an explicit schema")
+        return read_mysql_dump(spark, path, schema, **extra)
+    if ch_format == "Form":
+        from clickhouse_core_spark.sources.jsonforms import read_form
+        if schema is None:
+            raise ValueError("Form reading needs an explicit schema")
+        return read_form(spark, path, schema)
+    if ch_format == "One":
+        from clickhouse_core_spark.sources.jsonforms import read_one
+        return read_one(spark)
+    if ch_format == "Null":
+        from clickhouse_core_spark.sources.jsonforms import read_null
+        if schema is None:
+            raise ValueError("Null format needs a schema for the empty frame")
+        return read_null(spark, schema)
+    if ch_format == "BSONEachRow":
+        from clickhouse_core_spark.sources.bsonfmt import read_bson
+        if schema is None:
+            raise ValueError("BSONEachRow reading needs an explicit schema")
+        return read_bson(spark, path, schema)
     if ch_format == "CapnProto":
         from clickhouse_core_spark.sources.capnproto import read_capnproto
         if schema is None:
