@@ -59,3 +59,62 @@ def register_python_udtf(spark: SparkSession, name: str, cls,
     """Executable-table-function analog via Python UDTF (Spark 3.5+)."""
     from pyspark.sql.functions import udtf
     spark.udtf.register(name, udtf(cls, returnType=return_type))
+
+
+def register_sql_scalar_udfs(spark: SparkSession) -> list[str]:
+    """Register the UDF-backed scalar long tail as SQL-callable
+    functions, so CH-SQL text (and plain spark.sql) can call the names
+    that have no Catalyst form: normalizeUTF8NF*, punycode/idna/base58
+    codecs, RIPEMD160/SHA512_256/keccak256/MD4, sqidDecode,
+    seriesPeriodDetectFFT.
+
+    Column-level callers use the registry (`ch.*`) directly — this is
+    only the SQL-name bridge (reference: every function name is
+    SQL-callable; src/Functions/FunctionFactory.h).  Returns the list
+    of registered names.
+    """
+    import hashlib as _hl
+    import unicodedata as _ud
+
+    from clickhouse_core_spark.functions import sqids_codec as _sq
+    from clickhouse_core_spark.functions import purehash as _ph
+    from clickhouse_core_spark.functions import unicode_ext as _ux
+
+    STR = "string"
+    regs: list[tuple[str, Callable, str]] = [
+        ("punycodeEncode", _ux._punycode_encode, STR),
+        ("punycodeDecode", _ux._punycode_decode, STR),
+        ("tryPunycodeDecode", lambda v: _ux._punycode_decode(v, ""), STR),
+        ("idnaEncode", _ux._idna_encode, STR),
+        ("tryIdnaEncode", lambda v: _ux._idna_encode(v, ""), STR),
+        ("idnaDecode", _ux._idna_decode, STR),
+        ("base58Encode", _ux._base58_encode, STR),
+        ("base58Decode", _ux._base58_decode, STR),
+        ("tryBase58Decode", lambda v: _ux._base58_decode(v, ""), STR),
+        ("keccak256", lambda v: _ph.keccak256(v.encode()).hex(), STR),
+        ("sqidDecode", _sq.sqid_decode, "array<bigint>"),
+    ]
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        regs.append((f"normalizeUTF8{form}",
+                     lambda v, _f=form: _ud.normalize(_f, v), STR))
+    for name, algo in (("RIPEMD160", "ripemd160"),
+                       ("SHA512_256", "sha512_256")):
+        if _ux._hashlib_available(algo):
+            regs.append((name, lambda v, _a=algo: _hl.new(
+                _a, v.encode()).hexdigest(), STR))
+    if not _ux._hashlib_available("md4"):
+        regs.append(("MD4", lambda v: _ph.md4(v.encode()).hex(), STR))
+
+    from clickhouse_core_spark.functions import seriesfns as _sf
+    registered = []
+    for name, fn, rtype in regs:
+        wrapped = (lambda _fn: lambda v: None if v is None
+                   else _fn(v))(fn)
+        spark.udf.register(name, wrapped, rtype)
+        registered.append(name)
+    spark.udf.register(
+        "seriesPeriodDetectFFT",
+        lambda v: None if v is None else _sf.period_detect_fft(list(v)),
+        "double")
+    registered.append("seriesPeriodDetectFFT")
+    return registered

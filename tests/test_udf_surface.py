@@ -43,3 +43,16 @@ def test_python_udtf(spark):
                          "pos int, word string")
     out = spark.sql("SELECT * FROM split_words('a b c')").collect()
     assert [(r["pos"], r["word"]) for r in out] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_register_sql_scalar_udfs(spark):
+    from clickhouse_core_spark.functions.udf import register_sql_scalar_udfs
+    names = register_sql_scalar_udfs(spark)
+    assert "punycodeEncode" in names and "keccak256" in names
+    row = spark.sql(
+        "SELECT punycodeEncode('München') AS p, "
+        "normalizeUTF8NFKC('ﬁn') AS n, "
+        "base58Decode(base58Encode('round trip')) AS rt, "
+        "sqidDecode('86Rf07') AS s").first()
+    assert row.p == "Mnchen-3ya" and row.n == "fin"
+    assert row.rt == "round trip" and row.s == [1, 2, 3]
