@@ -215,3 +215,28 @@ def test_q18_aggregates_before_join(spark):
     agg_pos = plan.rfind("Aggregate")
     assert join_pos != -1 and agg_pos > join_pos, \
         "lineitem aggregation is not below the join"
+
+
+def test_chunk_documents_no_shuffle(spark):
+    # context-window chunking must stay map-side: split -> Generate,
+    # zero Exchange in the physical plan (SCALE.md round-4 contract)
+    from clickhouse_core_spark.pipeline import chunk_documents
+    df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(chunk_documents(df.select("doc_id", "text"),
+                                 max_tokens=32, overlap=8))
+    assert "Exchange" not in plan, "chunking introduced a shuffle"
+    assert "Generate" in plan
+
+
+def test_semantic_dedup_blocks_on_centroid(spark):
+    # the SemDeDup pair join must be an equi-join keyed by the centroid
+    # id — never a cartesian/broadcast-nested-loop over the corpus
+    from clickhouse_core_spark.pipeline import semantic_dedup
+    df = (spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+          .select("vec_id", F.transform(
+              "embedding", lambda x: x.cast("double")).alias("embedding")))
+    plan = _optimized(semantic_dedup(df, threshold=0.95, n_centroids=4,
+                                     iterations=1))
+    assert "__centroid" in plan
+    assert "CartesianProduct" not in _plan(
+        semantic_dedup(df, threshold=0.95, n_centroids=4, iterations=1))
