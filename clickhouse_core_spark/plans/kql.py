@@ -118,7 +118,10 @@ _PRED_OPS: list[tuple[str, object]] = [
 ]
 
 
-# scalar function renames (KustoFunctions/KQLStringFunctions.cpp etc.)
+# scalar function renames (KustoFunctions/KQLStringFunctions.cpp,
+# KQLDateTimeFunctions.cpp, KQLDynamicFunctions.cpp — the direct
+# name-for-name subset of the factory table at
+# KustoFunctions/KQLFunctionFactory.cpp)
 _FN_MAP = {
     "strlen": "length", "tolower": "lower", "toupper": "upper",
     "strcat": "concat", "tostring": "string",
@@ -128,12 +131,125 @@ _FN_MAP = {
     "now": "current_timestamp", "pow": "power",
     "strcat_delim": "concat_ws", "countof": "_kql_countof",
     "indexof": "_kql_indexof",
+    # datetime
+    "dayofmonth": "day", "dayofyear": "dayofyear", "getmonth": "month",
+    "getyear": "year", "hourofday": "hour", "monthofyear": "month",
+    "week_of_year": "weekofyear", "todatetime": "to_timestamp",
+    "unixtime_seconds_todatetime": "timestamp_seconds",
+    "unixtime_milliseconds_todatetime": "timestamp_millis",
+    "unixtime_microseconds_todatetime": "timestamp_micros",
+    # string / encoding
+    "strrep": "repeat", "url_decode": "url_decode",
+    "url_encode": "url_encode", "replace_regex": "regexp_replace",
+    "base64_encode_tostring": "base64",
+    # math / misc
+    "isnan": "isnan", "toboolean": "boolean",
+    # dynamic / array / bag (the engine's dynamic carrier is a JSON
+    # string, so bag_keys = json_object_keys)
+    "array_length": "size", "array_concat": "concat",
+    "array_reverse": "reverse", "pack_array": "array", "pack": "map",
+    "set_union": "array_union", "set_intersect": "array_intersect",
+    "set_difference": "array_except", "set_has_element": "array_contains",
+    "bag_keys": "json_object_keys",
+    # summarize-context binary aggregates
+    "binary_all_and": "bit_and", "binary_all_or": "bit_or",
+    "binary_all_xor": "bit_xor",
 }
+
+
+def _args_of(m) -> list:
+    return _split_top_commas(m.group(1))
+
+
+_A = r"((?:[^()]|\([^()]*\))*)"
+
+# template rewrites: KQL call -> Spark SQL expression (arg reorders,
+# 0-vs-1-based indexing, composite expressions)
+_FN_TEMPLATES: list = [
+    (rf"\barray_index_of\({_A}\)",
+     lambda a: f"(array_position({a[0]}, {a[1]}) - 1)"),
+    (rf"\barray_sum\({_A}\)",
+     lambda a: f"aggregate({a[0]}, cast(0.0 AS DOUBLE), "
+               f"(s_, x_) -> s_ + x_)"),
+    (rf"\barray_slice\({_A}\)",
+     lambda a: f"slice({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}) + 1)"),
+    (rf"\barray_ii?f+\({_A}\)",
+     lambda a: f"transform({a[0]}, (c_, i_) -> IF(boolean(c_), "
+               f"element_at({a[1]}, i_ + 1), element_at({a[2]}, i_ + 1)))"),
+    (rf"\bextract_all\({_A}\)",
+     lambda a: f"regexp_extract_all({a[1]}, {a[0]}, 1)"),
+    (rf"\bextract_?json\({_A}\)",
+     lambda a: f"get_json_object({a[1]}, {a[0]})"),
+    (rf"\bstrcmp\({_A}\)",
+     lambda a: f"(CASE WHEN {a[0]} = {a[1]} THEN 0 "
+               f"WHEN {a[0]} < {a[1]} THEN -1 ELSE 1 END)"),
+    (rf"\bbase64_decode_tostring\({_A}\)",
+     lambda a: f"cast(unbase64({a[0]}) AS STRING)"),
+    (rf"\bparse_urlquery\({_A}\)",
+     lambda a: f"to_json(str_to_map(regexp_replace({a[0]}, "
+               f"'^[^?]*[?]', ''), '&', '='))"),
+    (rf"\bparse_url\({_A}\)",
+     lambda a: f"to_json(named_struct("
+               f"'Scheme', parse_url({a[0]}, 'PROTOCOL'), "
+               f"'Host', parse_url({a[0]}, 'HOST'), "
+               f"'Path', parse_url({a[0]}, 'PATH'), "
+               f"'Query String', coalesce(parse_url({a[0]}, 'QUERY'), '')))"),
+    (rf"\bparse_version\({_A}\)",
+     lambda a: f"cast(concat_ws('', transform(concat(split({a[0]}, "
+               f"'[.]'), array_repeat('0', greatest(4 - size(split({a[0]}, "
+               f"'[.]')), 0))), p_ -> lpad(p_, 8, '0'))) AS DECIMAL(38,0))"),
+    (rf"\bparse_csv\({_A}\)",
+     lambda a: f"split({a[0]}, ',')"),
+    (rf"\bparse_command_line\({_A}\)",
+     lambda a: f"split(trim({a[0]}), '\\\\s+')"),
+    (rf"\bparse_json\({_A}\)",
+     lambda a: a[0]),        # dynamic carrier IS the JSON string
+    (rf"\bjaccard_index\({_A}\)",
+     lambda a: f"(size(array_intersect({a[0]}, {a[1]})) "
+               f"/ size(array_union({a[0]}, {a[1]})))"),
+    (rf"\bmake_datetime\({_A}\)",
+     lambda a: "make_timestamp(" + ", ".join(
+         (a + ["0", "0", "0"])[:6]) + ")"),
+    (rf"\bmake_timespan\({_A}\)",
+     lambda a: "make_interval(0, 0, 0, {}, {}, {}, {})".format(
+         *(a if len(a) == 4
+           else (["0"] + a if len(a) == 3 else ["0", a[0], a[1], "0"])))),
+    (rf"\bdatetime_add\({_A}\)",
+     lambda a: f"timestampadd({a[0].strip(chr(39))}, {a[1]}, {a[2]})"),
+    (rf"\bdatetime_diff\({_A}\)",
+     lambda a: f"timestampdiff({a[0].strip(chr(39))}, {a[2]}, {a[1]})"),
+    (rf"\bdatetime_part\({_A}\)",
+     lambda a: f"date_part({a[0]}, {a[1]})"),
+    # KQL dayofweek returns days-since-Sunday (0..6); emitted uppercase
+    # so the (case-sensitive) template cannot re-match its own output
+    (rf"\bdayofweek\({_A}\)",
+     lambda a: f"(DAYOFWEEK({a[0]}) - 1)"),
+    # endof*: start of next period minus 1 microsecond (the engine's
+    # tick; KQL's 100 ns tick is below Spark timestamp precision)
+    (rf"\bendofday\({_A}\)",
+     lambda a: f"(date_trunc('DAY', {a[0]}) + INTERVAL 1 DAY "
+               f"- INTERVAL 1 MICROSECOND)"),
+    (rf"\bendofweek\({_A}\)",
+     lambda a: f"(date_trunc('WEEK', {a[0]}) + INTERVAL 7 DAY "
+               f"- INTERVAL 1 MICROSECOND)"),
+    (rf"\bendofmonth\({_A}\)",
+     lambda a: f"(date_trunc('MONTH', {a[0]}) + INTERVAL 1 MONTH "
+               f"- INTERVAL 1 MICROSECOND)"),
+    (rf"\bendofyear\({_A}\)",
+     lambda a: f"(date_trunc('YEAR', {a[0]}) + INTERVAL 1 YEAR "
+               f"- INTERVAL 1 MICROSECOND)"),
+]
 
 
 def _fix_expr(e: str) -> str:
     """KQL scalar expression -> Spark SQL expression text."""
     e = e.strip()
+    # @'verbatim' strings: backslashes are literal (no escapes) —
+    # double them for Spark's escaping string literals
+    e = re.sub(r"@'([^']*)'",
+               lambda m: "'" + m.group(1).replace("\\", "\\\\") + "'", e)
+    e = re.sub(r'@"([^"]*)"',
+               lambda m: '"' + m.group(1).replace("\\", "\\\\") + '"', e)
     # datetime(...) literal (quoted or bare)
     e = re.sub(r"\bdatetime\(\s*'?\"?([^)'\"]+?)'?\"?\s*\)",
                lambda m: f"timestamp'{m.group(1).strip()}'", e)
@@ -198,6 +314,16 @@ def _fix_expr(e: str) -> str:
                    lambda m, t=trunc: f"date_trunc('{t}', {m.group(1)})", e)
     e = re.sub(r"\bformat_datetime\(((?:[^()]|\([^()]*\))*)\)",
                lambda m: "date_format(" + m.group(1) + ")", e)
+    # template rewrites (arg reorders / composite expressions) — repeat
+    # until stable so nested template calls resolve inside-out
+    changed = True
+    while changed:
+        changed = False
+        for pat, build in _FN_TEMPLATES:
+            m2 = re.search(pat, e)
+            if m2:
+                e = e[:m2.start()] + build(_args_of(m2)) + e[m2.end():]
+                changed = True
     # plain renames
     for k, v in _FN_MAP.items():
         e = re.sub(rf"\b{k}\(", f"{v}(", e)

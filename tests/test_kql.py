@@ -180,3 +180,26 @@ def test_make_series(spark, customers):
     assert by_occ["Manager"][0] == [0.0, 1.0, 1.0, 0.0]
     assert by_occ["Analyst"][0] == [0.0, 1.0, 0.0, 0.0]
     assert by_occ["Engineer"][1][0].month == 1 and by_occ["Engineer"][1][0].day == 1
+
+
+def test_kql_function_extensions(spark):
+    import datetime as dtm
+    r = kql(spark, """print a = array_index_of(pack_array(10,20,30), 20),
+      s = array_sum(pack_array(1.5, 2.5)),
+      e = extract_all(@'(\\d+)', 'a1b22c333'),
+      j = extractjson('$.k', '{"k": 7}'),
+      c = strcmp('a', 'b'),
+      b = base64_decode_tostring(base64_encode_tostring('hi')),
+      v = parse_version('1.2.3'),
+      dd = datetime_diff('day', datetime(2021-01-03), datetime(2021-01-01)),
+      dw = dayofweek(datetime(2021-01-03)),
+      eod = endofmonth(datetime(2021-02-10)),
+      ji = jaccard_index(pack_array(1,2,3), pack_array(2,3,4)),
+      md = make_datetime(2021, 2, 3),
+      so = set_difference(pack_array(1,2,3), pack_array(2))""").first()
+    assert r.a == 1 and r.s == 4.0 and r.e == ["1", "22", "333"]
+    assert r.j == "7" and r.c == -1 and r.b == "hi"
+    assert r.v == 1000000020000000300000000
+    assert r.dd == 2 and r.dw == 0 and r.ji == 0.5
+    assert str(r.eod).startswith("2021-02-28 23:59:59")
+    assert r.md == dtm.datetime(2021, 2, 3) and sorted(r.so) == [1, 3]
