@@ -3346,6 +3346,42 @@ def prql_pipeline(spark, sf_dir):
     """)
 
 
+@q("kql_scalar_function_table", """
+SELECT o_orderkey,
+       CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00',
+                     o_orderdate) AS BIGINT) AS dsince,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       strftime(date_trunc('month', o_orderdate)
+                + INTERVAL 1 MONTH - INTERVAL 1 microsecond,
+                '%Y-%m-%d') AS eom_day,
+       CAST(len(string_split(o_orderpriority, ',')) AS INT) AS nparts,
+       CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+            WHEN o_orderpriority < '1-URGENT' THEN -1 ELSE 1 END AS cmpv
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def kql_scalar_function_table(spark, sf_dir):
+    """Round-4 KQL scalar-function additions end-to-end
+    (KustoFunctions/KQLDateTimeFunctions.cpp, KQLStringFunctions.cpp):
+    datetime_diff/monthofyear/dayofweek/endofmonth/parse_csv/strcmp in
+    a KQL pipeline against the orders fixture."""
+    _cat(spark, sf_dir)
+    return kql_query(spark, """
+      orders
+      | where o_orderkey < 300
+      | project o_orderkey,
+                dsince = datetime_diff('day', o_orderdate,
+                                       datetime(1995-01-01)),
+                mo = monthofyear(o_orderdate),
+                dow = dayofweek(o_orderdate),
+                eom_day = format_datetime(endofmonth(o_orderdate),
+                                          'yyyy-MM-dd'),
+                nparts = array_length(parse_csv(o_orderpriority)),
+                cmpv = strcmp(o_orderpriority, '1-URGENT')
+      | sort by o_orderkey asc
+    """)
+
+
 @q("kql_string_predicates_top", """
 SELECT p_partkey, upper(substring(p_name, 1, 5)) AS nm, p_retailprice
 FROM part
