@@ -3575,6 +3575,27 @@ _MISC7 = {
     "rowNumberInBlock": lambda: F.monotonically_increasing_id()
     .bitwiseAND(F.lit((1 << 33) - 1).cast("long")),
     "blockSerializedSize": None,   # server introspection — out of scope
+    # ranked enumerate with default depth == the plain form
+    # (arrayEnumerateRanked.h: clear_depth=1, max_array_depth=1);
+    # deeper rankings raise by name
+    "arrayEnumerateDenseRanked": lambda a, *depth: (
+        CH_FUNCTIONS["arrayEnumerateDense"](a) if not depth
+        else (_ for _ in ()).throw(NotImplementedError(
+            "arrayEnumerateDenseRanked: only the default depth "
+            "(= arrayEnumerateDense) is supported"))),
+    "arrayEnumerateUniqRanked": lambda a, *depth: (
+        CH_FUNCTIONS["arrayEnumerateUniq"](a) if not depth
+        else (_ for _ in ()).throw(NotImplementedError(
+            "arrayEnumerateUniqRanked: only the default depth "
+            "(= arrayEnumerateUniq) is supported"))),
+    # validateNestedArraySizes(cond, arr1, arr2, ...): true when all
+    # arrays share one length (Nested column invariant,
+    # src/Functions/validateNestedArraySizes.cpp)
+    "validateNestedArraySizes": lambda cond, *arrs: (
+        ~_c(cond).cast("boolean") | (
+            F.size(F.array_distinct(
+                F.array(*[F.size(_c(a)) for a in arrs]))) == 1)
+    ).cast("int"),
     "visibleWidth": lambda x: F.char_length(_c(x).cast("string")),
     "space": lambda n: F.repeat(F.lit(" "), _c(n).cast("int")),
     "instr": lambda s, sub: F.locate(sub, _c(s)) if isinstance(sub, str)

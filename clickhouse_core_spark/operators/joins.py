@@ -221,3 +221,23 @@ def _global_row_number(df: DataFrame, order: Sequence[Column | str],
     return (local.join(F.broadcast(offs), on="__pid")
             .withColumn(out, (F.col("__lrn") + F.col("__off")).cast("long"))
             .drop("__pid", "__lrn", "__off"))
+
+
+def flatten_tuple(df, col: str, prefix: str | None = None,
+                  drop: bool = True):
+    """flattenTuple(t) (reference src/Functions/flattenTuple.cpp):
+    expand a struct column into top-level columns named
+    ``<prefix><field>`` (prefix defaults to ``<col>.``, matching the
+    reference's dotted-subcolumn naming)."""
+    from pyspark.sql import functions as F
+    pre = f"{col}." if prefix is None else prefix
+    fields = df.schema[col].dataType.fieldNames()
+    out = df.select("*", *[F.col(col).getField(f).alias(f"{pre}{f}")
+                           for f in fields])
+    return out.drop(col) if drop else out
+
+
+def tuple_names(df, col: str) -> list:
+    """tupleNames(t) (src/Functions/tupleNames.cpp): the struct's field
+    names — schema metadata, so a plan-time list, not a Column."""
+    return list(df.schema[col].dataType.fieldNames())

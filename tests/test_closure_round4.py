@@ -165,3 +165,30 @@ def test_semantic_dedup_planted(spark):
         df, threshold=0.99, n_centroids=3, iterations=2, seed=5,
         transitive=True).collect())
     assert kept_t == list(range(40))
+
+
+def test_flatten_tuple_and_names(spark):
+    from clickhouse_core_spark.operators import flatten_tuple, tuple_names
+    df = spark.range(2).select(
+        F.struct(F.lit(1).alias("a"), F.lit("x").alias("b")).alias("t"),
+        "id")
+    flat = flatten_tuple(df, "t")
+    assert flat.columns == ["id", "t.a", "t.b"]
+    assert tuple_names(df, "t") == ["a", "b"]
+
+
+def test_ranked_enumerate_and_nested_sizes(spark):
+    row = spark.range(1).select(
+        ch.arrayEnumerateDenseRanked(
+            F.array(F.lit(10), F.lit(20), F.lit(10))).alias("d"),
+        ch.arrayEnumerateUniqRanked(
+            F.array(F.lit(5), F.lit(5))).alias("u"),
+        ch.validateNestedArraySizes(
+            F.lit(True), F.array(F.lit(1)), F.array(F.lit(2))).alias("ok"),
+        ch.validateNestedArraySizes(
+            F.lit(True), F.array(F.lit(1)),
+            F.array(F.lit(2), F.lit(3))).alias("bad")).first()
+    assert row.d == [1, 2, 1] and row.u == [1, 2]
+    assert row.ok == 1 and row.bad == 0
+    with pytest.raises(NotImplementedError, match="depth"):
+        ch.arrayEnumerateDenseRanked(F.array(F.lit(1)), 2)
