@@ -5428,6 +5428,57 @@ def source_rowbinary_roundtrip_q(spark, sf_dir):
                         schema=schema).orderBy("n_nationkey"))
 
 
+@q("mergetree_projection_agg", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(sum(l_extendedprice) / count(*), 6) AS avg_price
+FROM lineitem WHERE l_orderkey < 5000
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def mergetree_projection_agg(spark, sf_dir):
+    """MergeTree projections (reference src/Storages/MergeTree/
+    MergeTreeProjections.h + the optimize_use_projections routing):
+    a partial-aggregate side table serves the covered aggregation —
+    the projection stores sum/count/min partials per key group and the
+    query re-aggregates them (associative merge), never touching the
+    base rows.  Oracle: DuckDB aggregates the base table directly."""
+    import os as _os
+    from clickhouse_core_spark.sources import (MergeTreeTable,
+                                               add_projection,
+                                               select_aggregate)
+    li = (_cat(spark, sf_dir).lineitem
+          .filter(F.col("l_orderkey") < 5000)
+          .select("l_orderkey", "l_returnflag", "l_linestatus",
+                  "l_quantity", "l_extendedprice"))
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "mt_projection")
+    import shutil as _sh
+    _sh.rmtree(path, ignore_errors=True)
+    t = MergeTreeTable(spark, path, order_by=["l_orderkey"])
+    t.insert(li)
+    add_projection(t, "by_flag_status",
+                   keys=["l_returnflag", "l_linestatus"],
+                   aggs={"sum_qty": ("sum", "l_quantity"),
+                         "cnt": ("count", None),
+                         "min_price": ("min", "l_extendedprice"),
+                         "avg_price": ("avg", "l_extendedprice")})
+    out, route = select_aggregate(
+        t, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum", "l_quantity"), "cnt": ("count", None),
+         "min_price": ("min", "l_extendedprice"),
+         "avg_price": ("avg", "l_extendedprice")})
+    assert route == "by_flag_status"     # covered -> projection path
+    return (out.select("l_returnflag", "l_linestatus",
+                       F.round("sum_qty", 4).alias("sum_qty"),
+                       F.col("cnt"),
+                       F.round("min_price", 4).alias("min_price"),
+                       F.round("avg_price", 6).alias("avg_price"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
 @q("source_bson_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

@@ -7,7 +7,10 @@ FINAL semantics are read-time view rewrites (operators/final.py);
 compaction is a batch job applying the same rewrite.
 """
 
-from clickhouse_core_spark.sources.mergetree import MergeTreeTable
+from clickhouse_core_spark.sources.mergetree import (
+    MergeTreeTable, Projection, add_projection,
+    refresh_projection_with_part, select_aggregate,
+)
 from clickhouse_core_spark.sources.formats import (
     FORMAT_MAP, read_format, write_format, generate_random,
 )
@@ -41,7 +44,8 @@ from clickhouse_core_spark.sources.policies import (
     with_check_constraints, validate_constraints,
 )
 
-__all__ = ["MergeTreeTable", "FORMAT_MAP", "read_format", "write_format",
+__all__ = ["MergeTreeTable", "Projection", "add_projection",
+           "refresh_projection_with_part", "select_aggregate", "FORMAT_MAP", "read_format", "write_format",
            "encode_rowbinary", "read_rowbinary", "encode_msgpack",
            "read_msgpack", "read_tskv", "write_tskv",
            "read_json_compact_each_row", "write_json_compact_each_row",

@@ -356,3 +356,133 @@ class MergeTreeTable:
         import shutil
         for p in parts:
             shutil.rmtree(p, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- projections
+
+class Projection:
+    """Projection spec: ``keys`` group-by columns and ``aggs`` mapping
+    output alias -> (fn, source_col) with fn in sum/count/min/max/avg.
+    ``count`` ignores its source column (COUNT(*))."""
+
+    SUPPORTED = ("sum", "count", "min", "max", "avg")
+
+    def __init__(self, name: str, keys: Sequence[str],
+                 aggs: dict[str, tuple]):
+        self.name = name
+        self.keys = list(keys)
+        self.aggs = {a: (fn, col) for a, (fn, col) in aggs.items()}
+        for a, (fn, _col) in self.aggs.items():
+            if fn not in self.SUPPORTED:
+                raise ValueError(f"projection agg {fn!r} not supported")
+
+
+def _projection_partials(df, proj: "Projection"):
+    """The PARTIAL aggregate columns a projection part stores: avg is
+    carried as (sum, count) so partials re-aggregate associatively."""
+    cols = []
+    seen = set()
+    for _a, (fn, col) in proj.aggs.items():
+        if fn in ("sum", "avg") and ("sum", col) not in seen:
+            cols.append(F.sum(col).alias(f"__p_sum_{col}"))
+            seen.add(("sum", col))
+        if fn in ("count", "avg") and ("count", None) not in seen:
+            cols.append(F.count(F.lit(1)).alias("__p_count"))
+            seen.add(("count", None))
+        if fn == "min" and ("min", col) not in seen:
+            cols.append(F.min(col).alias(f"__p_min_{col}"))
+            seen.add(("min", col))
+        if fn == "max" and ("max", col) not in seen:
+            cols.append(F.max(col).alias(f"__p_max_{col}"))
+            seen.add(("max", col))
+    return df.groupBy(*proj.keys).agg(*cols)
+
+
+def _projection_dir(table: "MergeTreeTable", name: str) -> str:
+    return os.path.join(table.path, "_projections", name)
+
+
+def add_projection(table: "MergeTreeTable", name: str,
+                   keys: Sequence[str], aggs: dict[str, tuple]) -> None:
+    """ALTER TABLE ... ADD PROJECTION analog (reference
+    src/Storages/MergeTree/MergeTreeProjections.h / docs projections):
+    materialize a partial-aggregate side table grouped by ``keys``.
+
+    The side table stores PARTIALS (sum/count/min/max per key group):
+    a query grouping by any SUBSET of ``keys`` re-aggregates them —
+    the AggregatingMergeTree projection contract — so the projection is
+    |distinct keys| rows instead of the base table, and refreshing
+    after an insert is one aggregation of the NEW part only (partials
+    merge associatively)."""
+    proj = Projection(name, keys, aggs)
+    projections = getattr(table, "projections", {})
+    projections[name] = proj
+    table.projections = projections
+    _projection_partials(table.read_raw(), proj).write.mode(
+        "overwrite").parquet(_projection_dir(table, name))
+
+
+def refresh_projection_with_part(table: "MergeTreeTable", name: str,
+                                 part_df) -> None:
+    """Incremental maintenance: append the new part's partials (the
+    reference computes per-part projections at insert time)."""
+    proj = table.projections[name]
+    _projection_partials(part_df, proj).write.mode("append").parquet(
+        _projection_dir(table, name))
+
+
+def select_aggregate(table: "MergeTreeTable", keys: Sequence[str],
+                     aggs: dict[str, tuple]):
+    """Aggregate query router (reference setting
+    optimize_use_projections, src/Storages/MergeTree/
+    MergeTreeDataSelectExecutor projection analysis): serve the
+    aggregation from a covering projection when one exists (keys ⊆
+    projection keys, every agg derivable from stored partials), else
+    from the base table.  Returns (DataFrame, route) where route is the
+    projection name or 'base'."""
+    keys = list(keys)
+    want = {a: (fn, col) for a, (fn, col) in aggs.items()}
+
+    def covered(proj: Projection) -> bool:
+        if not set(keys) <= set(proj.keys):
+            return False
+        stored = {(fn2, col2) for (fn2, col2) in [
+            v for v in proj.aggs.values()]}
+        for fn, col in want.values():
+            if fn in ("sum", "avg"):
+                if not any(f in ("sum", "avg") and c == col
+                           for f, c in stored):
+                    return False
+            elif fn == "count":
+                if not any(f in ("count", "avg") for f, _c in stored):
+                    return False
+            elif (fn, col) not in stored:
+                return False
+        return True
+
+    for name, proj in getattr(table, "projections", {}).items():
+        if not covered(proj):
+            continue
+        p = table.spark.read.parquet(_projection_dir(table, name))
+        outs = []
+        for a, (fn, col) in want.items():
+            if fn == "sum":
+                outs.append(F.sum(f"__p_sum_{col}").alias(a))
+            elif fn == "count":
+                outs.append(F.sum("__p_count").alias(a))
+            elif fn == "min":
+                outs.append(F.min(f"__p_min_{col}").alias(a))
+            elif fn == "max":
+                outs.append(F.max(f"__p_max_{col}").alias(a))
+            else:  # avg = Σ partial sums / Σ partial counts
+                outs.append((F.sum(f"__p_sum_{col}")
+                             / F.sum("__p_count")).alias(a))
+        return p.groupBy(*keys).agg(*outs), name
+
+    base = table.read_raw()
+    outs = []
+    for a, (fn, col) in want.items():
+        outs.append({"sum": F.sum, "count": lambda c: F.count(F.lit(1)),
+                     "min": F.min, "max": F.max,
+                     "avg": F.avg}[fn](col).alias(a))
+    return base.groupBy(*keys).agg(*outs), "base"

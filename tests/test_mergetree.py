@@ -252,3 +252,41 @@ def test_token_index_sidecar_invisible_to_main_read(spark, tmp_path):
     t2.compact()
     assert len(t2.files_with_token("text", "hello")) >= 1
     assert t2.scan_with_token("text", "hello").count() == 2
+
+
+def test_projection_routing_and_partials(spark, tmp_path):
+    from clickhouse_core_spark.sources import (
+        MergeTreeTable, add_projection, refresh_projection_with_part,
+        select_aggregate)
+    t = MergeTreeTable(spark, str(tmp_path / "proj_t"),
+                       order_by=["k"], engine="merge_tree")
+    df1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 5.0)],
+        "g string, k int, v double")
+    t.insert(df1)
+    add_projection(t, "by_g", keys=["g"],
+                   aggs={"s": ("sum", "v"), "c": ("count", None),
+                         "mn": ("min", "v"), "av": ("avg", "v")})
+    # covered query -> routed to projection
+    out, route = select_aggregate(t, ["g"], {"s": ("sum", "v"),
+                                             "c": ("count", None),
+                                             "av": ("avg", "v")})
+    assert route == "by_g"
+    got = {r.g: (r.s, r.c, r.av) for r in out.collect()}
+    assert got == {"a": (30.0, 2, 15.0), "b": (5.0, 1, 5.0)}
+    # incremental part refresh keeps partial re-aggregation exact
+    df2 = spark.createDataFrame([("a", 4, 40.0)], "g string, k int, v double")
+    t.insert(df2)
+    refresh_projection_with_part(t, "by_g", df2)
+    out2, route2 = select_aggregate(t, ["g"], {"s": ("sum", "v"),
+                                               "mn": ("min", "v")})
+    assert route2 == "by_g"
+    got2 = {r.g: (r.s, r.mn) for r in out2.collect()}
+    assert got2 == {"a": (70.0, 10.0), "b": (5.0, 5.0)}
+    # projection result == base-table result
+    base, routeb = select_aggregate(t, ["g"], {"mx": ("max", "v")})
+    assert routeb == "base"  # max not stored? it IS not in aggs -> base
+    assert {r.g: r.mx for r in base.collect()} == {"a": 40.0, "b": 5.0}
+    # non-covered keys -> base route
+    _out3, route3 = select_aggregate(t, ["k"], {"s": ("sum", "v")})
+    assert route3 == "base"
