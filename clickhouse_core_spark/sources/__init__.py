@@ -39,13 +39,17 @@ from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
     mongodb_options, redis_options, mongodb_table, redis_table,
 )
+from clickhouse_core_spark.sources.engines import (
+    SetTable, JoinTable, BufferTable, MemoryTable,
+)
 from clickhouse_core_spark.sources.policies import (
     RowPolicy, apply_row_policies, CheckConstraint, ConstraintViolation,
     with_check_constraints, validate_constraints,
 )
 
 __all__ = ["MergeTreeTable", "Projection", "add_projection",
-           "refresh_projection_with_part", "select_aggregate", "FORMAT_MAP", "read_format", "write_format",
+           "refresh_projection_with_part", "select_aggregate",
+           "SetTable", "JoinTable", "BufferTable", "MemoryTable", "FORMAT_MAP", "read_format", "write_format",
            "encode_rowbinary", "read_rowbinary", "encode_msgpack",
            "read_msgpack", "read_tskv", "write_tskv",
            "read_json_compact_each_row", "write_json_compact_each_row",

@@ -290,3 +290,43 @@ def test_projection_routing_and_partials(spark, tmp_path):
     # non-covered keys -> base route
     _out3, route3 = select_aggregate(t, ["k"], {"s": ("sum", "v")})
     assert route3 == "base"
+
+
+def test_set_join_buffer_memory_engines(spark, tmp_path):
+    from clickhouse_core_spark.sources import (
+        BufferTable, JoinTable, MemoryTable, MergeTreeTable, SetTable)
+    # Set engine: persisted IN-set, semi/anti probe
+    s = SetTable(spark, str(tmp_path / "set"), key_cols=["k"])
+    s.insert(spark.createDataFrame([(1,), (2,)], "k int"))
+    s.insert(spark.createDataFrame([(2,), (3,)], "k int"))
+    df = spark.createDataFrame([(1, "a"), (4, "d"), (3, "c")],
+                               "k int, v string")
+    assert sorted(r.k for r in s.filter_in(df).collect()) == [1, 3]
+    assert [r.k for r in s.filter_in(df, negate=True).collect()] == [4]
+    # Join engine: ANY strictness + joinGet
+    j = JoinTable(spark, str(tmp_path / "join"), key_cols=["k"])
+    j.insert(spark.createDataFrame([(1, "x"), (1, "y"), (3, "z")],
+                                   "k int, payload string"))
+    got = {r.k: r.payload for r in j.join(df).collect()}
+    assert got[1] == "x" and got[3] == "z" and got[4] is None  # ANY pick
+    jg = j.join_get(df, "payload", out_col="p")
+    assert {r.k: r.p for r in jg.collect()}[3] == "z"
+    # Buffer engine over a MergeTree destination
+    dest = MergeTreeTable(spark, str(tmp_path / "mt"), order_by=["k"])
+    buf = BufferTable(dest, max_rows=3)
+    buf.insert(spark.createDataFrame([(1, "a")], "k int, v string"))
+    assert len(dest.parts()) == 0          # below threshold: buffered
+    assert buf.read().count() == 1         # but visible to reads
+    buf.insert(spark.createDataFrame([(2, "b"), (3, "c")],
+                                     "k int, v string"))
+    assert len(dest.parts()) == 1          # threshold tripped -> flushed
+    assert buf.read().count() == 3
+    # Memory engine
+    m = MemoryTable(spark)
+    m.insert(spark.createDataFrame([(1,)], "x int"))
+    m.insert(spark.createDataFrame([(2,)], "x int"))
+    assert sorted(r.x for r in m.read().collect()) == [1, 2]
+    m.truncate()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        m.read()
