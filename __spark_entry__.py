@@ -5428,6 +5428,50 @@ def source_rowbinary_roundtrip_q(spark, sf_dir):
                         schema=schema).orderBy("n_nationkey"))
 
 
+@q("engine_set_join", """
+WITH sel AS (SELECT DISTINCT c_nationkey FROM customer
+             WHERE c_acctbal > 9000),
+j AS (SELECT n_nationkey,
+             min(n_name) AS n_name
+      FROM nation GROUP BY n_nationkey)
+SELECT c.c_custkey, c.c_nationkey, j.n_name
+FROM customer c
+JOIN sel s ON c.c_nationkey = s.c_nationkey
+LEFT JOIN j ON c.c_nationkey = j.n_nationkey
+WHERE c.c_custkey < 400
+ORDER BY c.c_custkey
+""")
+def engine_set_join(spark, sf_dir):
+    """Set + Join engines end-to-end (reference src/Storages/
+    StorageSet.cpp, StorageJoin.cpp): membership via the persisted
+    IN-set (broadcast semi probe) then a joinGet-style lookup from the
+    persisted Join table.  Oracle: plain semi-join + any-join SQL."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.sources import JoinTable, SetTable
+    c = _cat(spark, sf_dir)
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "engine_set_join")
+    _sh.rmtree(base, ignore_errors=True)
+    st = SetTable(spark, _os.path.join(base, "set"),
+                  key_cols=["c_nationkey"])
+    st.insert(c.customer.filter(F.col("c_acctbal") > 9000)
+              .select("c_nationkey"))
+    jt = JoinTable(spark, _os.path.join(base, "join"),
+                   key_cols=["n_nationkey"])
+    jt.insert(c.nation.select("n_nationkey", "n_name"))
+    cust = (c.customer.filter(F.col("c_custkey") < 400)
+            .select("c_custkey", "c_nationkey"))
+    members = st.filter_in(cust, cols=["c_nationkey"])
+    out = jt.join_get(
+        members.withColumnRenamed("c_nationkey", "n_nationkey"),
+        "n_name")
+    return (out.select("c_custkey",
+                       F.col("n_nationkey").alias("c_nationkey"),
+                       "n_name")
+            .orderBy("c_custkey"))
+
+
 @q("mergetree_projection_agg", """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
