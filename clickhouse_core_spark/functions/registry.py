@@ -3527,6 +3527,110 @@ _MISC6["parseDateTime64BestEffortUSOrNull"] = \
     lambda s, *a: CH_FUNCTIONS["parseDateTimeBestEffortOrNull"](s)
 
 
+def _byte_at(hexstr: Column, k: Column) -> Column:
+    """Byte value k (0-based) of a hex string; 0 past the end."""
+    return F.coalesce(
+        F.nullif(F.conv(F.substring(hexstr, k * 2 + 1, 2), 16, 10), F.lit("")),
+        F.lit("0")).cast("int")
+
+
+def _bit_slice(s, off, ln=None) -> Column:
+    """bitSlice(s, offset[, length]) (src/Functions/bitSlice.cpp):
+    bit-granular substring, 1-based offset, zero-padded final byte.
+    Positive offsets/lengths only (the negative-from-end forms are not
+    mapped)."""
+    hexstr = F.hex(_c(s).cast("binary"))
+    total_bits = F.length(hexstr) * 4
+    off_c = _c(off).cast("int")
+    bits = (F.least(_c(ln).cast("int"), total_bits - off_c + 1)
+            if ln is not None else (total_bits - off_c + 1))
+    r = (off_c - 1) % 8
+    k0 = F.floor((off_c - 1) / 8).cast("int")
+    n_out = F.ceil(bits / 8.0).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_out - 1, F.lit(0)))
+
+    def out_byte(i):
+        b0 = _byte_at(hexstr, k0 + i)
+        b1 = _byte_at(hexstr, k0 + i + 1)
+        # (b0 << r | b1 >> (8-r)) & 255 with a COLUMN shift amount:
+        # via the 16-bit window b0<<8|b1 shifted right by (8-r)
+        # (division by a power of two — exact)
+        win = F.shiftleft(b0.cast("long"), 8).bitwiseOR(b1.cast("long"))
+        v = F.when(r == 0, b0.cast("long")).otherwise(
+            F.floor(win / F.pow(F.lit(2.0), (8 - r).cast("double")))
+            .cast("long").bitwiseAND(F.lit(255).cast("long")))
+        # zero out bits past the slice in the final byte
+        rem = bits - i * 8
+        keep = F.when(rem >= 8, F.lit(255).cast("long")).otherwise(
+            F.lit(256).cast("long") - F.pow(
+                F.lit(2.0), (8 - rem).cast("double")).cast("long"))
+        return v.bitwiseAND(keep)
+
+    out_hex = F.aggregate(
+        idx, F.lit(""),
+        lambda acc, i: F.concat(acc, F.lpad(F.hex(out_byte(i)), 2, "0")))
+    # BINARY out: CH String is binary-safe; a UTF-8 string cast would
+    # mangle non-UTF8 slices (cast to string yourself for text input)
+    return F.when(bits <= 0, F.lit(b"").cast("binary")).otherwise(
+        F.unhex(out_hex))
+
+
+def _bits_to_float64(bits: Column) -> Column:
+    sign = F.when(bits < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    exp = F.shiftrightunsigned(bits, 52).bitwiseAND(
+        F.lit(0x7FF).cast("long")).cast("int")
+    frac = bits.bitwiseAND(F.lit((1 << 52) - 1).cast("long"))
+    m = frac.cast("double") / F.lit(float(1 << 52))
+    return (F.when((exp == 0x7FF) & (frac == 0),
+                   sign * F.lit(float("inf")))
+            .when(exp == 0x7FF, F.lit(float("nan")))
+            .when(exp == 0, sign * m * F.lit(2.0 ** -1022))
+            .otherwise(sign * (1.0 + m)
+                       * F.pow(F.lit(2.0), (exp - 1023).cast("double"))))
+
+
+def _bits_to_float32(bits: Column) -> Column:
+    sign = F.when(F.shiftrightunsigned(bits, 31).bitwiseAND(
+        F.lit(1).cast("long")) == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    exp = F.shiftrightunsigned(bits, 23).bitwiseAND(
+        F.lit(0xFF).cast("long")).cast("int")
+    frac = bits.bitwiseAND(F.lit((1 << 23) - 1).cast("long"))
+    m = frac.cast("double") / F.lit(float(1 << 23))
+    return (F.when((exp == 0xFF) & (frac == 0), sign * F.lit(float("inf")))
+            .when(exp == 0xFF, F.lit(float("nan")))
+            .when(exp == 0, sign * m * F.lit(2.0 ** -126))
+            .otherwise(sign * (1.0 + m)
+                       * F.pow(F.lit(2.0), (exp - 127).cast("double")))
+            ).cast("float")
+
+
+def _random_chars(n, lo: int, span: int) -> Column:
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(_c(n).cast("int"), F.lit(0))),
+        F.lit(""),
+        lambda acc, _i: F.concat(acc, F.char(
+            (F.floor(F.rand() * span) + lo).cast("int"))))
+
+
+_INTERVAL_MAKERS = {
+    "second": lambda n: F.make_interval(secs=n),
+    "minute": lambda n: F.make_interval(mins=n),
+    "hour": lambda n: F.make_interval(hours=n),
+    "day": lambda n: F.make_interval(days=n),
+    "week": lambda n: F.make_interval(weeks=n),
+    "month": lambda n: F.make_interval(months=n),
+    "quarter": lambda n: F.make_interval(months=n * 3),
+    "year": lambda n: F.make_interval(years=n),
+}
+
+
+def _to_interval(n, unit) -> Column:
+    u = str(unit).strip("'\"").lower()
+    if u not in _INTERVAL_MAKERS:
+        raise NotImplementedError(f"toInterval: unit {u!r} not mapped")
+    return _INTERVAL_MAKERS[u](_c(n).cast("int"))
+
+
 # ------------------------------------------- round-4 closure batch
 # Small named gaps from the registration diff vs the reference
 # (clamp.cpp, sigmoid via FunctionMathUnary, FunctionsHashing.h
@@ -3596,6 +3700,21 @@ _MISC7 = {
             F.size(F.array_distinct(
                 F.array(*[F.size(_c(a)) for a in arrs]))) == 1)
     ).cast("int"),
+    "bitSlice": lambda s, off, ln=None: _bit_slice(s, off, ln),
+    # bit-reinterpret int carriers as IEEE-754 floats
+    # (src/Functions/reinterpretAs.cpp) — manual mantissa/exponent
+    # decomposition; every step is an exact power-of-two scaling
+    "reinterpretAsFloat64": lambda x: _bits_to_float64(
+        _c(x).cast("long")),
+    "reinterpretAsFloat32": lambda x: _bits_to_float32(
+        _c(x).cast("long").bitwiseAND(F.lit(0xFFFFFFFF).cast("long"))),
+    # random string family (rand.cpp/randomString.cpp — nondeterministic
+    # in the reference too; these draw per row from Spark's rand())
+    "randomPrintableASCII": lambda n: _random_chars(n, 32, 95),
+    "randomString": lambda n: _random_chars(n, 0, 256),
+    "randomFixedString": lambda n: _random_chars(n, 0, 256),
+    "randConstant": lambda *a: F.lit(__import__("random").random()),
+    "toInterval": lambda n, unit: _to_interval(n, unit),
     "visibleWidth": lambda x: F.char_length(_c(x).cast("string")),
     "space": lambda n: F.repeat(F.lit(" "), _c(n).cast("int")),
     "instr": lambda s, sub: F.locate(sub, _c(s)) if isinstance(sub, str)

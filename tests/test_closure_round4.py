@@ -192,3 +192,27 @@ def test_ranked_enumerate_and_nested_sizes(spark):
     assert row.ok == 1 and row.bad == 0
     with pytest.raises(NotImplementedError, match="depth"):
         ch.arrayEnumerateDenseRanked(F.array(F.lit(1)), 2)
+
+
+def test_bit_slice_and_reinterpret_floats(spark):
+    import struct
+    row = spark.range(1).select(
+        ch.bitSlice(F.lit("Hello"), 1, 8).alias("b1"),
+        ch.bitSlice(F.lit("Hello"), 2, 8).alias("b2"),
+        ch.bitSlice(F.lit("Hello"), 1, 4).alias("b3"),
+        ch.reinterpretAsFloat64(F.lit(struct.unpack(
+            "<q", struct.pack("<d", 3.141592653589793))[0])).alias("pi"),
+        ch.reinterpretAsFloat64(F.lit(struct.unpack(
+            "<q", struct.pack("<d", -2.5e-310))[0])).alias("sub"),
+        ch.reinterpretAsFloat32(F.lit(struct.unpack(
+            "<i", struct.pack("<f", -0.375))[0])).alias("f32"),
+        F.length(ch.randomPrintableASCII(F.lit(7))).alias("rl"),
+        (F.lit("2021-01-01").cast("timestamp")
+         + ch.toInterval(2, "month")).alias("ti")).first()
+    assert bytes(row.b1) == b"H"
+    assert bytes(row.b2) == bytes([((0x48 << 1) | (0x65 >> 7)) & 0xFF])
+    assert bytes(row.b3) == b"@"
+    assert row.pi == 3.141592653589793   # bit-exact, incl subnormals
+    assert row.sub == -2.5e-310
+    assert row.f32 == -0.375 and row.rl == 7
+    assert str(row.ti).startswith("2021-03-01")
