@@ -2317,6 +2317,14 @@ _ALIAS_NAMES = {
     "cutToFirstSignificantSubdomainRFC": "cutToFirstSignificantSubdomain",
     "cutToFirstSignificantSubdomainWithWWW": "cutToFirstSignificantSubdomain",
     "cutToFirstSignificantSubdomainWithWWWRFC": "cutToFirstSignificantSubdomain",
+    # Custom-TLD-list variants alias the builtin-list forms (the custom
+    # list is a server config file — documented divergence)
+    "firstSignificantSubdomainCustom": "firstSignificantSubdomain",
+    "firstSignificantSubdomainCustomRFC": "firstSignificantSubdomain",
+    "cutToFirstSignificantSubdomainCustom": "cutToFirstSignificantSubdomain",
+    "cutToFirstSignificantSubdomainCustomRFC": "cutToFirstSignificantSubdomain",
+    "cutToFirstSignificantSubdomainCustomWithWWW": "cutToFirstSignificantSubdomain",
+    "cutToFirstSignificantSubdomainCustomWithWWWRFC": "cutToFirstSignificantSubdomain",
     "divideDecimal": "divide",           # divideDecimal.cpp (result scale arg
     "multiplyDecimal": "multiply",       # handled by Spark decimal rules)
     "FQDN": "hostName",                  # getFQDNOrHostName fallback path
