@@ -904,6 +904,69 @@ def paste_join_q(spark, sf_dir):
 
 # ---------------------------------------------------------------- aggregation
 
+@q("cb_top_types_by_users", """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(count(*) AS BIGINT) AS hits,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY users DESC, event_type LIMIT 10
+""")
+def cb_top_types_by_users(spark, sf_dir):
+    """ClickBench-pattern query (the reference's own benchmark family,
+    benchmark/clickbench): top groups by distinct-user reach — one
+    hash aggregate with a distinct count, TopN on the result."""
+    ev = _cat(spark, sf_dir).events
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("users"),
+                 F.count("*").alias("hits"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .orderBy(F.col("users").desc(), "event_type").limit(10))
+
+
+@q("cb_hourly_activity", """
+SELECT CAST(date_part('hour', ts) AS INT) AS hr,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events WHERE event_type IN ('view', 'click')
+GROUP BY date_part('hour', ts)
+ORDER BY hr
+""")
+def cb_hourly_activity(spark, sf_dir):
+    """ClickBench-pattern time-bucket rollup: hour-of-day activity with
+    an exact p90 (percentile == DuckDB quantile_cont, the R-7 rule)."""
+    ev = _cat(spark, sf_dir).events
+    return (ev.filter(F.col("event_type").isin("view", "click"))
+            .groupBy(F.hour("ts").alias("hr"))
+            .agg(F.count("*").alias("hits"),
+                 F.countDistinct("user_id").alias("users"),
+                 F.round(F.percentile("value", F.lit(0.9)), 6)
+                 .alias("p90_value"))
+            .orderBy("hr"))
+
+
+@q("cb_user_sessions_topk", """
+WITH ue AS (SELECT user_id, count(*) AS n, sum(value) AS v,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY user_id)
+SELECT user_id, CAST(n AS BIGINT) AS n, round(v, 4) AS v,
+       CAST(date_diff('second', first_ts, last_ts) AS BIGINT) AS span_s
+FROM ue ORDER BY n DESC, user_id LIMIT 15
+""")
+def cb_user_sessions_topk(spark, sf_dir):
+    """ClickBench-pattern per-user rollup + TopN: activity span via
+    min/max timestamps, heaviest users first."""
+    ev = _cat(spark, sf_dir).events
+    return (ev.groupBy("user_id")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 4).alias("v"),
+                 (F.unix_timestamp(F.max("ts"))
+                  - F.unix_timestamp(F.min("ts"))).alias("span_s"))
+            .orderBy(F.col("n").desc(), "user_id").limit(15))
+
+
 @q("agg_stats", """
 SELECT l_returnflag,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
