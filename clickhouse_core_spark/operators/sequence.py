@@ -418,3 +418,40 @@ def interval_length_sum(df: DataFrame, keys: Sequence[str],
 # the reference only to make merge order explicit — our delta_sum already
 # orders by the timestamp column, so the two coincide.
 delta_sum_timestamp = delta_sum
+
+
+def running_concurrency(df: DataFrame, keys: Sequence[str],
+                        start_col: str, end_col: str,
+                        alias: str = "concurrency") -> DataFrame:
+    """runningConcurrency(begin, end) (reference
+    src/Functions/runningConcurrency.cpp): for each row (ordered by
+    begin) the number of intervals containing its begin instant —
+    intervals are [begin, end): an interval ending exactly at t does
+    not overlap one beginning at t.
+
+    Distributed sweep: union (+1 at begin, -1 at end) events, running
+    sum ordered by (t, delta) so closes at t apply before opens at t,
+    then keep the begin events.  Two window passes, no self-join —
+    survives arbitrary interval counts per key.
+    """
+    keys = list(keys)
+    opens = df.select(*keys, F.col(start_col).alias("__t"),
+                      F.lit(1).alias("__d"),
+                      F.col(start_col).alias("__b"),
+                      F.col(end_col).alias("__e"))
+    closes = df.select(*keys, F.col(end_col).alias("__t"),
+                       F.lit(-1).alias("__d"),
+                       F.lit(None).cast(df.schema[start_col].dataType)
+                       .alias("__b"),
+                       F.lit(None).cast(df.schema[end_col].dataType)
+                       .alias("__e"))
+    sweep = opens.unionByName(closes)
+    w = (Window.partitionBy(*keys)
+         .orderBy(F.col("__t"), F.col("__d"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = (sweep.withColumn("__c", F.sum("__d").over(w))
+           .filter(F.col("__d") == 1)
+           .select(*keys, F.col("__b").alias(start_col),
+                   F.col("__e").alias(end_col),
+                   F.col("__c").cast("long").alias(alias)))
+    return out

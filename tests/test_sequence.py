@@ -156,3 +156,17 @@ def test_sequence_next_node_head(spark):
                                        F.col("e") == "view",
                                        tiebreak=["i"]).collect()}
     assert out == {1: "click", 2: None}  # user 2's first view is last event
+
+
+def test_running_concurrency(spark):
+    from clickhouse_core_spark.operators import running_concurrency
+    df = spark.createDataFrame(
+        [("k", 1, 5), ("k", 2, 3), ("k", 3, 8), ("k", 5, 6),
+         ("k", 10, 11), ("z", 1, 2)],
+        "g string, b int, e int")
+    rows = sorted((r.g, r.b, r.concurrency)
+                  for r in running_concurrency(df, ["g"], "b", "e")
+                  .collect())
+    # [begin, end): an interval ending at t does not overlap a begin at t
+    assert rows == [("k", 1, 1), ("k", 2, 2), ("k", 3, 2), ("k", 5, 2),
+                    ("k", 10, 1), ("z", 1, 1)]
