@@ -39,7 +39,11 @@ def test_roundtrip_formats(spark, workdir, fmt):
 
 
 def test_unknown_format_raises(spark, workdir):
+    # DWARF is a debug-info parser — documented out (LIMITS.md)
     with pytest.raises(NotImplementedError):
+        read_format(spark, workdir, "DWARF")
+    # CapnProto is now implemented but needs a schema
+    with pytest.raises(ValueError, match="schema"):
         read_format(spark, workdir, "CapnProto")
 
 
