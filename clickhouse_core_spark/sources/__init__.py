@@ -42,6 +42,10 @@ from clickhouse_core_spark.sources.external import (
 from clickhouse_core_spark.sources.engines import (
     SetTable, JoinTable, BufferTable, MemoryTable,
 )
+from clickhouse_core_spark.sources.system import (
+    system_tables, system_columns, system_functions, system_numbers,
+    system_one, system_settings,
+)
 from clickhouse_core_spark.sources.policies import (
     RowPolicy, apply_row_policies, CheckConstraint, ConstraintViolation,
     with_check_constraints, validate_constraints,
@@ -49,7 +53,9 @@ from clickhouse_core_spark.sources.policies import (
 
 __all__ = ["MergeTreeTable", "Projection", "add_projection",
            "refresh_projection_with_part", "select_aggregate",
-           "SetTable", "JoinTable", "BufferTable", "MemoryTable", "FORMAT_MAP", "read_format", "write_format",
+           "SetTable", "JoinTable", "BufferTable", "MemoryTable",
+           "system_tables", "system_columns", "system_functions",
+           "system_numbers", "system_one", "system_settings", "FORMAT_MAP", "read_format", "write_format",
            "encode_rowbinary", "read_rowbinary", "encode_msgpack",
            "read_msgpack", "read_tskv", "write_tskv",
            "read_json_compact_each_row", "write_json_compact_each_row",

@@ -1,0 +1,71 @@
+"""system.* introspection tables.
+
+Reference: src/Storages/System/ (StorageSystemTables.cpp,
+StorageSystemColumns.cpp, StorageSystemFunctions.cpp,
+StorageSystemNumbers.cpp, StorageSystemOne.cpp,
+StorageSystemSettings.cpp).  Each maps to Spark catalog / session
+metadata rendered as a DataFrame, so ``SELECT ... FROM system.x``
+workflows port directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def system_tables(spark: SparkSession,
+                  database: str | None = None) -> DataFrame:
+    """system.tables analog: catalog tables + temp views."""
+    rows = [(t.database or "", t.name, t.tableType or "",
+             bool(t.isTemporary))
+            for t in spark.catalog.listTables(database)]
+    return spark.createDataFrame(
+        rows, "database string, name string, engine string, "
+              "is_temporary boolean")
+
+
+def system_columns(spark: SparkSession, table: str) -> DataFrame:
+    """system.columns analog for one table/view."""
+    rows = [(table, c.name, c.dataType, bool(c.nullable),
+             bool(c.isPartition))
+            for c in spark.catalog.listColumns(table)]
+    return spark.createDataFrame(
+        rows, "table string, name string, type string, "
+              "is_nullable boolean, is_in_partition_key boolean")
+
+
+def system_functions(spark: SparkSession) -> DataFrame:
+    """system.functions analog: every registered CH-name in the scalar
+    registry plus the session's SQL functions."""
+    from clickhouse_core_spark.functions import CH_FUNCTIONS
+    rows = [(n, "ch_registry") for n in sorted(CH_FUNCTIONS)]
+    return spark.createDataFrame(rows, "name string, origin string")
+
+
+def system_numbers(spark: SparkSession, limit: int,
+                   offset: int = 0) -> DataFrame:
+    """system.numbers analog (bounded — Spark plans are finite)."""
+    return spark.range(offset, offset + limit).select(
+        F.col("id").alias("number"))
+
+
+def system_one(spark: SparkSession) -> DataFrame:
+    """system.one analog: single row, ``dummy`` = 0."""
+    return spark.range(1).select(F.lit(0).cast("smallint").alias("dummy"))
+
+
+def system_settings(spark: SparkSession) -> DataFrame:
+    """system.settings analog: the session's runtime SQL conf."""
+    items = sorted(spark.sparkContext.getConf().getAll())
+    runtime = []
+    for k in ("spark.sql.shuffle.partitions", "spark.sql.ansi.enabled",
+              "spark.sql.session.timeZone",
+              "spark.sql.adaptive.enabled"):
+        try:
+            runtime.append((k, spark.conf.get(k)))
+        except Exception:
+            pass
+    seen = {k for k, _ in runtime}
+    rows = runtime + [(k, v) for k, v in items if k not in seen]
+    return spark.createDataFrame(rows, "name string, value string")

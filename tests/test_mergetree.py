@@ -330,3 +330,23 @@ def test_set_join_buffer_memory_engines(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         m.read()
+
+
+def test_system_tables_analogs(spark):
+    from clickhouse_core_spark.sources import (
+        system_columns, system_functions, system_numbers, system_one,
+        system_settings, system_tables)
+    spark.createDataFrame([(1, "a")], "k int, v string") \
+        .createOrReplaceTempView("systest_view")
+    tables = {r.name for r in system_tables(spark).collect()}
+    assert "systest_view" in tables
+    cols = {r.name: r.type for r in
+            system_columns(spark, "systest_view").collect()}
+    assert cols == {"k": "int", "v": "string"}
+    fns = {r.name for r in system_functions(spark).collect()}
+    assert {"toYear", "lgamma", "sqidEncode"} <= fns
+    assert [r.number for r in system_numbers(spark, 3, 5).collect()] == \
+        [5, 6, 7]
+    assert system_one(spark).first().dummy == 0
+    st = {r.name: r.value for r in system_settings(spark).collect()}
+    assert "spark.sql.shuffle.partitions" in st
