@@ -362,6 +362,22 @@ def _tgamma_sql(a):
             f"exp({_lanczos_sql(f'(1.0 - {z})')})) END)")
 
 
+# round-4 small-gap SQL forms (clamp.cpp, sigmoid, blockNumber.cpp ...)
+_RULES["clamp"] = lambda a: f"least(greatest({a[0]}, {a[1]}), {a[2]})"
+_RULES["sigmoid"] = lambda a: f"(1.0 / (1.0 + exp(-({a[0]}))))"
+_RULES["basename"] = lambda a: f"element_at(split({a[0]}, '/'), -1)"
+_RULES["isnotdistinctfrom"] = lambda a: f"({a[0]} <=> {a[1]})"
+_RULES["visiblewidth"] = lambda a: f"char_length(CAST({a[0]} AS STRING))"
+_RULES["toweekyear"] = lambda a: (
+    f"year(date_add(to_date(date_trunc('week', {a[0]})), 3))")
+_RULES["toweekofweekyear"] = lambda a: f"weekofyear({a[0]})"
+_RULES["blocknumber"] = lambda a: "CAST(spark_partition_id() AS BIGINT)"
+_RULES["rownumberinblock"] = lambda a: (
+    "(monotonically_increasing_id() & 8589934591)")
+_RULES["mapcontainskey"] = lambda a: (
+    f"CAST(map_contains_key({a[0]}, {a[1]}) AS INT)")
+_RULES["tobool"] = lambda a: f"CAST({a[0]} AS BOOLEAN)"
+
 _RULES["lgamma"] = _lgamma_sql
 _RULES["tgamma"] = _tgamma_sql
 _RULES["factorial"] = lambda a: (
