@@ -5491,6 +5491,37 @@ def source_rowbinary_roundtrip_q(spark, sf_dir):
                         schema=schema).orderBy("n_nationkey"))
 
 
+@q("win_running_concurrency", """
+WITH iv AS (SELECT o_custkey AS g, o_orderdate AS b,
+                   o_orderdate + INTERVAL (o_orderkey % 5 + 1) DAY AS e
+            FROM orders WHERE o_custkey < 200),
+sweep AS (SELECT g, b AS t, 1 AS d, b, e FROM iv
+          UNION ALL
+          SELECT g, e AS t, -1 AS d, NULL, NULL FROM iv),
+run AS (SELECT g, b, e, d,
+               sum(d) OVER (PARTITION BY g ORDER BY t, d
+                            ROWS UNBOUNDED PRECEDING) AS c
+        FROM sweep)
+SELECT g, b, e, CAST(c AS BIGINT) AS concurrency
+FROM run WHERE d = 1 ORDER BY g, b, e
+""")
+def win_running_concurrency(spark, sf_dir):
+    """runningConcurrency (reference src/Functions/
+    runningConcurrency.cpp): per-begin interval overlap count with the
+    [begin, end) tie rule, computed as a distributed +1/-1 sweep (no
+    self-join).  Oracle: the same sweep as DuckDB windows."""
+    from clickhouse_core_spark.operators import running_concurrency
+    o = (_cat(spark, sf_dir).orders
+         .filter(F.col("o_custkey") < 200)
+         .select(F.col("o_custkey").alias("g"),
+                 F.col("o_orderdate").alias("b"),
+                 (F.col("o_orderdate") + F.make_interval(
+                     days=(F.col("o_orderkey") % 5 + 1).cast("int")))
+                 .alias("e")))
+    return (running_concurrency(o, ["g"], "b", "e")
+            .orderBy("g", "b", "e"))
+
+
 @q("engine_set_join", """
 WITH sel AS (SELECT DISTINCT c_nationkey FROM customer
              WHERE c_acctbal > 9000),
