@@ -44,7 +44,9 @@ from clickhouse_core_spark.sources.engines import (
 )
 from clickhouse_core_spark.sources.system import (
     system_tables, system_columns, system_functions, system_numbers,
-    system_one, system_settings,
+    system_one, system_settings, has_column_in_table,
+    to_column_type_name, is_nullable_column, dump_column_structure,
+    format_prometheus,
 )
 from clickhouse_core_spark.sources.policies import (
     RowPolicy, apply_row_policies, CheckConstraint, ConstraintViolation,
@@ -55,7 +57,10 @@ __all__ = ["MergeTreeTable", "Projection", "add_projection",
            "refresh_projection_with_part", "select_aggregate",
            "SetTable", "JoinTable", "BufferTable", "MemoryTable",
            "system_tables", "system_columns", "system_functions",
-           "system_numbers", "system_one", "system_settings", "FORMAT_MAP", "read_format", "write_format",
+           "system_numbers", "system_one", "system_settings",
+           "has_column_in_table", "to_column_type_name",
+           "is_nullable_column", "dump_column_structure",
+           "format_prometheus", "FORMAT_MAP", "read_format", "write_format",
            "encode_rowbinary", "read_rowbinary", "encode_msgpack",
            "read_msgpack", "read_tskv", "write_tskv",
            "read_json_compact_each_row", "write_json_compact_each_row",

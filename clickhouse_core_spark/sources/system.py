@@ -69,3 +69,57 @@ def system_settings(spark: SparkSession) -> DataFrame:
     seen = {k for k, _ in runtime}
     rows = runtime + [(k, v) for k, v in items if k not in seen]
     return spark.createDataFrame(rows, "name string, value string")
+
+
+def has_column_in_table(spark: SparkSession, table: str,
+                        column: str) -> bool:
+    """hasColumnInTable analog (src/Functions/hasColumnInTable.cpp) —
+    catalog metadata, so a plan-time bool."""
+    return any(c.name == column for c in spark.catalog.listColumns(table))
+
+
+def to_column_type_name(df: DataFrame, column: str) -> str:
+    """toColumnTypeName analog: the column's Spark type name."""
+    return df.schema[column].dataType.simpleString()
+
+
+def is_nullable_column(df: DataFrame, column: str) -> bool:
+    """isNullable analog (schema metadata)."""
+    return bool(df.schema[column].nullable)
+
+
+def dump_column_structure(df: DataFrame, column: str) -> str:
+    """dumpColumnStructure analog: type + nullability rendering."""
+    f = df.schema[column]
+    return f"{f.name} {f.dataType.simpleString()}" + \
+        (" NULL" if f.nullable else " NOT NULL")
+
+
+def format_prometheus(df: DataFrame, max_rows: int = 10000) -> str:
+    """CH `Prometheus` output format (src/Processors/Formats/Impl/
+    PrometheusTextOutputFormat.cpp): text exposition from rows with
+    columns ``name``, ``value`` and optional ``help``, ``type``,
+    ``labels`` (map<string,string>).  Driver-side display helper like
+    the Markdown/Vertical renderers."""
+    from .jsonforms import _collect_bounded
+    rows = _collect_bounded(df, max_rows)
+    cols = set(df.columns)
+    if not {"name", "value"} <= cols:
+        raise ValueError("Prometheus format needs 'name' and 'value'")
+    out = []
+    seen_meta = set()
+    for r in rows:
+        name = r["name"]
+        if name not in seen_meta:
+            if "help" in cols and r["help"]:
+                out.append(f"# HELP {name} {r['help']}")
+            if "type" in cols and r["type"]:
+                out.append(f"# TYPE {name} {r['type']}")
+            seen_meta.add(name)
+        label_txt = ""
+        if "labels" in cols and r["labels"]:
+            items = ",".join(f'{k}="{v}"'
+                             for k, v in sorted(r["labels"].items()))
+            label_txt = "{" + items + "}"
+        out.append(f"{name}{label_txt} {r['value']}")
+    return "\n".join(out) + "\n"

@@ -350,3 +350,25 @@ def test_system_tables_analogs(spark):
     assert system_one(spark).first().dummy == 0
     st = {r.name: r.value for r in system_settings(spark).collect()}
     assert "spark.sql.shuffle.partitions" in st
+
+
+def test_introspection_helpers_and_prometheus(spark):
+    from clickhouse_core_spark.sources import (
+        dump_column_structure, format_prometheus, has_column_in_table,
+        is_nullable_column, to_column_type_name)
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    df.createOrReplaceTempView("intros_view")
+    assert has_column_in_table(spark, "intros_view", "k")
+    assert not has_column_in_table(spark, "intros_view", "zzz")
+    assert to_column_type_name(df, "k") == "int"
+    assert is_nullable_column(df, "v")
+    assert dump_column_structure(df, "k").startswith("k int")
+    m = spark.createDataFrame(
+        [("up", 1.0, "is it up", "gauge", {"job": "x"}),
+         ("up", 0.0, "is it up", "gauge", {"job": "y"})],
+        "name string, value double, help string, type string, "
+        "labels map<string,string>")
+    text = format_prometheus(m)
+    assert text.count("# HELP up is it up") == 1
+    assert '# TYPE up gauge' in text
+    assert 'up{job="x"} 1.0' in text and 'up{job="y"} 0.0' in text
