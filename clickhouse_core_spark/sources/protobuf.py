@@ -19,8 +19,10 @@ Two execution paths, same schema contract:
 
 Supported fallback field types: integral (int32/int64 varint,
 two's-complement negatives), bool, double (fixed64), float (fixed32),
-string / binary (length-delimited).  Nested messages, maps and packed
-repeated fields need the JVM path — named NotImplementedError.
+string / binary (length-delimited), repeated scalars (proto3 packed
+AND unpacked encodings), nested messages (length-delimited
+submessages) and repeated nested messages.  Maps, groups and oneof
+introspection still need the JVM path — named NotImplementedError.
 """
 
 from __future__ import annotations
@@ -96,16 +98,33 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 def _field_plan(schema: T.StructType,
                 field_numbers: dict[str, int] | None) -> dict:
-    """field number -> (name, dataType); default numbering 1..n."""
+    """field number -> (name, dataType, subplan).  subplan is the
+    recursive plan for nested messages (StructType or
+    Array(StructType)); None for scalars.  Repeated scalars map to
+    ArrayType, nested messages to StructType — round 4 extended the
+    wire fallback to both (proto3 packed + unpacked repeated encoding,
+    length-delimited submessages); deeper exotica (maps, groups,
+    oneof introspection) still need the spark-protobuf jar."""
     plan = {}
     for i, f in enumerate(schema.fields):
-        if not isinstance(f.dataType, _SCALAR_OK):
+        dt = f.dataType
+        sub = None
+        if isinstance(dt, T.StructType):
+            sub = _field_plan(dt, None)
+        elif isinstance(dt, T.ArrayType):
+            el = dt.elementType
+            if isinstance(el, T.StructType):
+                sub = _field_plan(el, None)
+            elif not isinstance(el, _SCALAR_OK):
+                raise NotImplementedError(
+                    f"protobuf wire fallback: repeated element type "
+                    f"{el.simpleString()} needs the spark-protobuf jar")
+        elif not isinstance(dt, _SCALAR_OK):
             raise NotImplementedError(
                 f"protobuf wire fallback: field {f.name!r} has type "
-                f"{f.dataType.simpleString()}; nested/repeated fields need "
-                f"the spark-protobuf jar")
+                f"{dt.simpleString()}; use the spark-protobuf jar")
         num = (field_numbers or {}).get(f.name, i + 1)
-        plan[num] = (f.name, f.dataType)
+        plan[num] = (f.name, dt, sub)
     return plan
 
 
@@ -134,6 +153,27 @@ def _coerce(val, wire_type: int, dt: T.DataType):
         f"(nested messages need the spark-protobuf jar)")
 
 
+def _unpack_packed(blob: bytes, el: T.DataType) -> list:
+    """proto3 packed repeated numerics: back-to-back varints or fixed
+    widths inside one length-delimited payload."""
+    vals, pos, n = [], 0, len(blob)
+    if isinstance(el, T.DoubleType):
+        return [struct.unpack_from("<d", blob, i)[0]
+                for i in range(0, n, 8)]
+    if isinstance(el, T.FloatType):
+        return [struct.unpack_from("<f", blob, i)[0]
+                for i in range(0, n, 4)]
+    while pos < n:
+        v, pos = _read_varint(blob, pos)
+        if isinstance(el, T.BooleanType):
+            vals.append(bool(v))
+        else:
+            if v >= 1 << 63:
+                v -= 1 << 64
+            vals.append(int(v))
+    return vals
+
+
 def _decode_one(buf: bytes, plan: dict) -> dict:
     out: dict = {}
     pos, n = 0, len(buf)
@@ -154,8 +194,22 @@ def _decode_one(buf: bytes, plan: dict) -> dict:
             pos += 4
         else:
             raise ValueError(f"unsupported wire type {wt}")
-        if num in plan:
-            name, dt = plan[num]
+        if num not in plan:
+            continue
+        name, dt, sub = plan[num]
+        if isinstance(dt, T.StructType):
+            out[name] = _decode_one(bytes(val), sub)
+        elif isinstance(dt, T.ArrayType):
+            el = dt.elementType
+            if isinstance(el, T.StructType):
+                out.setdefault(name, []).append(
+                    _decode_one(bytes(val), sub))
+            elif wt == 2 and not isinstance(el, (T.StringType,
+                                                 T.BinaryType)):
+                out.setdefault(name, []).extend(_unpack_packed(val, el))
+            else:  # unpacked occurrence (or repeated string/bytes)
+                out.setdefault(name, []).append(_coerce(val, wt, el))
+        else:
             out[name] = _coerce(val, wt, dt)
     return out
 
@@ -216,42 +270,71 @@ def encode_message(values: dict, schema: T.StructType,
     """Encode one row dict to protobuf wire bytes (test fixtures and the
     write-side analog of the reference's output format)."""
     plan = _field_plan(schema, field_numbers)
-    by_name = {name: (num, dt) for num, (name, dt) in plan.items()}
+    by_name = {name: (num, dt, sub)
+               for num, (name, dt, sub) in plan.items()}
     out = bytearray()
 
-    def put_varint(v: int) -> None:
+    def put_varint(v: int, buf: bytearray | None = None) -> None:
+        buf = out if buf is None else buf
         if v < 0:
             v += 1 << 64
         while True:
             b = v & 0x7F
             v >>= 7
-            out.append(b | (0x80 if v else 0))
+            buf.append(b | (0x80 if v else 0))
             if not v:
                 return
 
-    for name, (num, dt) in by_name.items():
-        v = values.get(name)
-        if v is None:
-            continue
-        if isinstance(dt, (T.DoubleType,)):
+    def put_scalar(num: int, dt: T.DataType, v) -> None:
+        if isinstance(dt, T.DoubleType):
             put_varint(num << 3 | 1)
-            out += struct.pack("<d", float(v))
+            out.extend(struct.pack("<d", float(v)))
         elif isinstance(dt, T.FloatType):
             put_varint(num << 3 | 5)
-            out += struct.pack("<f", float(v))
-        elif isinstance(dt, T.StringType):
-            raw = v.encode("utf-8")
+            out.extend(struct.pack("<f", float(v)))
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
             put_varint(num << 3 | 2)
             put_varint(len(raw))
-            out += raw
-        elif isinstance(dt, T.BinaryType):
-            raw = bytes(v)
-            put_varint(num << 3 | 2)
-            put_varint(len(raw))
-            out += raw
+            out.extend(raw)
         else:  # integral / bool -> varint
             put_varint(num << 3 | 0)
             put_varint(int(v))
+
+    for name, (num, dt, sub) in by_name.items():
+        v = values.get(name)
+        if v is None:
+            continue
+        if isinstance(dt, T.StructType):
+            msg = encode_message(dict(v), dt)
+            put_varint(num << 3 | 2)
+            put_varint(len(msg))
+            out.extend(msg)
+        elif isinstance(dt, T.ArrayType):
+            el = dt.elementType
+            if isinstance(el, T.StructType):
+                for item in v:
+                    msg = encode_message(dict(item), el)
+                    put_varint(num << 3 | 2)
+                    put_varint(len(msg))
+                    out.extend(msg)
+            elif isinstance(el, (T.StringType, T.BinaryType)):
+                for item in v:
+                    put_scalar(num, el, item)
+            else:  # proto3 packed numerics
+                packed = bytearray()
+                for item in v:
+                    if isinstance(el, T.DoubleType):
+                        packed.extend(struct.pack("<d", float(item)))
+                    elif isinstance(el, T.FloatType):
+                        packed.extend(struct.pack("<f", float(item)))
+                    else:
+                        put_varint(int(item), packed)
+                put_varint(num << 3 | 2)
+                put_varint(len(packed))
+                out.extend(packed)
+        else:
+            put_scalar(num, dt, v)
     return bytes(out)
 
 

@@ -113,3 +113,33 @@ def test_jvm_path_probed_not_assumed(spark):
     assert out.first().name == "alpha"
     with pytest.raises(NotImplementedError, match="spark-protobuf"):
         from_protobuf_column(df, "value", "M")
+
+
+def test_wire_fallback_repeated_and_nested(spark):
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources.protobuf import decode_protobuf
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("tags", T.ArrayType(T.IntegerType())),
+        T.StructField("names", T.ArrayType(T.StringType())),
+        T.StructField("meta", T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType())])),
+        T.StructField("subs", T.ArrayType(T.StructType([
+            T.StructField("x", T.LongType())])))])
+    rows = [{"id": 7, "tags": [1, 2, 300], "names": ["a", "bé"],
+             "meta": {"k": "kk", "n": -5},
+             "subs": [{"x": 1}, {"x": 2}]},
+            {"id": 8, "tags": [], "names": [], "meta": None,
+             "subs": []}]
+    from clickhouse_core_spark.sources.protobuf import encode_message
+    df = spark.createDataFrame(
+        [(bytearray(encode_message(r, schema)),) for r in rows],
+        "value binary")
+    out = sorted(decode_protobuf(df, schema).collect(),
+                 key=lambda r: r.id)
+    assert out[0].id == 7 and out[0].tags == [1, 2, 300]
+    assert out[0].names == ["a", "bé"]
+    assert out[0].meta.k == "kk" and out[0].meta.n == -5
+    assert [s.x for s in out[0].subs] == [1, 2]
+    assert out[1].id == 8 and (out[1].tags or []) == []
