@@ -90,8 +90,9 @@ def _ch_type_to_spark(ch: str) -> T.DataType:
         return T.TimestampType()
     if ch.startswith("DateTime"):  # DateTime('tz')
         return T.TimestampType()
+    if ch.startswith("LowCardinality(") and ch.endswith(")"):
+        return _ch_type_to_spark(ch[15:-1])
     if ch.startswith("Enum8(") or ch.startswith("Enum16(") or \
-            ch.startswith("LowCardinality(") or \
             ch.startswith("AggregateFunction("):
         raise NotImplementedError(f"Native: column type {ch!r} not mapped")
     try:
@@ -116,10 +117,77 @@ def _read_str(buf: bytes, pos: int) -> tuple[str, int]:
     return buf[pos:pos + ln].decode("utf-8"), pos + ln
 
 
+_LC_HAS_ADDITIONAL = 1 << 9
+_LC_NEED_GLOBAL = 1 << 8
+_LC_WIDTHS = {0: ("B", 1), 1: ("H", 2), 2: ("I", 4), 3: ("Q", 8)}
+
+
+def _decode_lowcardinality(buf: bytes, pos: int, inner: str, n: int):
+    """LowCardinality(T) column payload (reference
+    src/DataTypes/Serializations/SerializationLowCardinality.cpp:
+    KeysSerializationVersion u64, IndexesSerializationType u64
+    [width | HasAdditionalKeysBit], additional keys (u64 count +
+    nested-T values), u64 row count, fixed-width indexes).  The
+    shared-global-dictionary mode raises by name."""
+    _ver = struct.unpack_from("<Q", buf, pos)[0]
+    pos += 8
+    if n == 0:
+        return [], pos
+    idx_type = struct.unpack_from("<Q", buf, pos)[0]
+    pos += 8
+    if idx_type & _LC_NEED_GLOBAL:
+        raise NotImplementedError(
+            "Native: LowCardinality global-dictionary mode not mapped")
+    nullable = inner.startswith("Nullable(")
+    keys_type = inner[9:-1] if nullable else inner
+    num_keys = struct.unpack_from("<Q", buf, pos)[0]
+    pos += 8
+    keys, pos = _decode_column(buf, pos, keys_type, num_keys)
+    num_rows = struct.unpack_from("<Q", buf, pos)[0]
+    pos += 8
+    letter, w = _LC_WIDTHS[idx_type & 0xFF]
+    idxs = struct.unpack_from(f"<{num_rows}{letter}", buf, pos)
+    pos += w * num_rows
+    if nullable:
+        vals = [None if i == 0 else keys[i] for i in idxs]
+    else:
+        vals = [keys[i] for i in idxs]
+    return vals, pos
+
+
+def _encode_lowcardinality(out: bytearray, vals: list, inner: str) -> None:
+    nullable = inner.startswith("Nullable(")
+    keys_type = inner[9:-1] if nullable else inner
+    out.extend(struct.pack("<Q", 1))          # key serialization version
+    if not vals:
+        return
+    uniq: list = [_default_for(keys_type)] if nullable else []
+    index_of: dict = {}
+    idxs = []
+    for v in vals:
+        if v is None and nullable:
+            idxs.append(0)
+            continue
+        key = v if not isinstance(v, (bytearray, list)) else repr(v)
+        if key not in index_of:
+            index_of[key] = len(uniq)
+            uniq.append(v)
+        idxs.append(index_of[key])
+    width = 0 if len(uniq) <= 0xFF else 1 if len(uniq) <= 0xFFFF else 2
+    letter, _w = _LC_WIDTHS[width]
+    out.extend(struct.pack("<Q", width | _LC_HAS_ADDITIONAL))
+    out.extend(struct.pack("<Q", len(uniq)))
+    _encode_column(out, uniq, keys_type)
+    out.extend(struct.pack("<Q", len(idxs)))
+    out.extend(struct.pack(f"<{len(idxs)}{letter}", *idxs))
+
+
 def _decode_column(buf: bytes, pos: int, ch_type: str, n: int):
     """Return (values list, new pos) for one column payload."""
     import datetime as _dt
     ch_type = ch_type.strip()
+    if ch_type.startswith("LowCardinality(") and ch_type.endswith(")"):
+        return _decode_lowcardinality(buf, pos, ch_type[15:-1], n)
     if ch_type.startswith("Nullable("):
         nulls = list(buf[pos:pos + n])
         pos += n
@@ -224,6 +292,9 @@ def infer_native_schema(buf: bytes) -> T.StructType:
 def _encode_column(out: bytearray, vals: list, ch_type: str) -> None:
     import datetime as _dt
     ch_type = ch_type.strip()
+    if ch_type.startswith("LowCardinality(") and ch_type.endswith(")"):
+        _encode_lowcardinality(out, vals, ch_type[15:-1])
+        return
     if ch_type.startswith("Nullable("):
         out.extend(1 if v is None else 0 for v in vals)
         inner = ch_type[9:-1]

@@ -120,9 +120,12 @@ def test_uint64_reinterpret():
 
 
 def test_unmapped_type_raises():
-    with pytest.raises(NotImplementedError, match="LowCardinality"):
-        from clickhouse_core_spark.sources.nativefmt import _ch_type_to_spark
-        _ch_type_to_spark("LowCardinality(String)")
+    from clickhouse_core_spark.sources.nativefmt import _ch_type_to_spark
+    # LowCardinality now maps to its inner type
+    assert isinstance(_ch_type_to_spark("LowCardinality(String)"),
+                      T.StringType)
+    with pytest.raises(NotImplementedError, match="AggregateFunction"):
+        _ch_type_to_spark("AggregateFunction(sum, UInt64)")
 
 
 @settings(max_examples=25, deadline=None)
@@ -198,3 +201,23 @@ def test_capnproto_property_roundtrip(tuples):
     out = decode_capnproto_blob(encode_capnproto(rows, schema), schema)
     assert [(r["a"], r["b"], r["c"]) for r in out] == \
         [(r["a"], r["b"], r["c"]) for r in rows]
+
+
+def test_lowcardinality_column_roundtrip():
+    from clickhouse_core_spark.sources.nativefmt import (
+        _decode_column, _encode_column)
+    for ch_t, vals in (
+            ("LowCardinality(String)", ["a", "b", "a", "c"]),
+            ("LowCardinality(Nullable(String))",
+             ["x", None, "x", "y", None]),
+            ("LowCardinality(Int64)", [7, 7, -2, 7])):
+        out = bytearray()
+        _encode_column(out, vals, ch_t)
+        back, pos = _decode_column(bytes(out), 0, ch_t, len(vals))
+        assert back == vals and pos == len(out), ch_t
+    # global-dictionary mode raises by name
+    import struct
+    import pytest as _pt
+    blob = struct.pack("<QQ", 1, (1 << 8))
+    with _pt.raises(NotImplementedError, match="global"):
+        _decode_column(blob, 0, "LowCardinality(String)", 1)
