@@ -92,8 +92,9 @@ def _ch_type_to_spark(ch: str) -> T.DataType:
         return T.TimestampType()
     if ch.startswith("LowCardinality(") and ch.endswith(")"):
         return _ch_type_to_spark(ch[15:-1])
-    if ch.startswith("Enum8(") or ch.startswith("Enum16(") or \
-            ch.startswith("AggregateFunction("):
+    if ch.startswith("Enum8(") or ch.startswith("Enum16("):
+        return T.StringType()     # decoded through the value map
+    if ch.startswith("AggregateFunction("):
         raise NotImplementedError(f"Native: column type {ch!r} not mapped")
     try:
         return _CH_TO_SPARK[ch]
@@ -182,10 +183,24 @@ def _encode_lowcardinality(out: bytearray, vals: list, inner: str) -> None:
     out.extend(struct.pack(f"<{len(idxs)}{letter}", *idxs))
 
 
+def _parse_enum_map(ch_type: str) -> dict[int, str]:
+    """Enum8('a' = 1, 'b' = 2) -> {1: 'a', 2: 'b'} (the value map lives
+    in the type string itself)."""
+    import re
+    inner = ch_type[ch_type.index("(") + 1:ch_type.rindex(")")]
+    return {int(num): name for name, num in
+            re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", inner)}
+
+
 def _decode_column(buf: bytes, pos: int, ch_type: str, n: int):
     """Return (values list, new pos) for one column payload."""
     import datetime as _dt
     ch_type = ch_type.strip()
+    if ch_type.startswith("Enum8(") or ch_type.startswith("Enum16("):
+        emap = _parse_enum_map(ch_type)
+        w, letter = (1, "b") if ch_type.startswith("Enum8") else (2, "h")
+        raw = struct.unpack_from(f"<{n}{letter}", buf, pos)
+        return [emap.get(v, str(v)) for v in raw], pos + w * n
     if ch_type.startswith("LowCardinality(") and ch_type.endswith(")"):
         return _decode_lowcardinality(buf, pos, ch_type[15:-1], n)
     if ch_type.startswith("Nullable("):

@@ -221,3 +221,13 @@ def test_lowcardinality_column_roundtrip():
     blob = struct.pack("<QQ", 1, (1 << 8))
     with _pt.raises(NotImplementedError, match="global"):
         _decode_column(blob, 0, "LowCardinality(String)", 1)
+
+
+def test_enum_column_decode():
+    import struct
+    from clickhouse_core_spark.sources.nativefmt import (
+        _ch_type_to_spark, _decode_column)
+    blob = struct.pack("<3b", 1, 2, 1)
+    vals, _p = _decode_column(blob, 0, "Enum8('yes' = 1, 'no' = 2)", 3)
+    assert vals == ["yes", "no", "yes"]
+    assert isinstance(_ch_type_to_spark("Enum8('a' = 1)"), T.StringType)
