@@ -3687,6 +3687,11 @@ _MISC7 = {
     "rowNumberInBlock": lambda: F.monotonically_increasing_id()
     .bitwiseAND(F.lit((1 << 33) - 1).cast("long")),
     "blockSerializedSize": None,   # server introspection — out of scope
+    # blockSize() = rows in this block ≈ rows in this Spark partition
+    # (blockSize.cpp; same block≈partition mapping as blockNumber)
+    "blockSize": lambda: F.count(F.lit(1)).over(
+        __import__("pyspark.sql.window", fromlist=["Window"])
+        .Window.partitionBy(F.spark_partition_id())),
     # ranked enumerate with default depth == the plain form
     # (arrayEnumerateRanked.h: clear_depth=1, max_array_depth=1);
     # deeper rankings raise by name
