@@ -121,3 +121,29 @@ def merge_states(states: DataFrame, keys: Sequence[str],
         elif f_.name == "__rows":
             aggs.append(F.sum("__rows").alias("rows"))
     return states.groupBy(*keys).agg(*aggs)
+
+
+def aggregating_final(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """AggregatingMergeTree FINAL (reference
+    src/Processors/Merges/AggregatingSortedTransform.h): merge the
+    per-part partial STATES per key — HLL states union into one state,
+    KLL states fold into one state, sums/counts add — keeping every
+    state column re-mergeable (finishing stays a query-time -Merge, as
+    in the reference).  Non-state, non-key columns keep an arbitrary
+    row's value (the reference keeps the first — pick-any contract,
+    refined to F.min for determinism)."""
+    keys = list(keys)
+    aggs: list[Column] = []
+    for f_ in df.schema.fields:
+        if f_.name in keys:
+            continue
+        if f_.name.endswith("__uniq_state"):
+            aggs.append(F.hll_union_agg(f_.name).alias(f_.name))
+        elif f_.name.endswith("__q_state"):
+            aggs.append(_kll_fold(F.collect_list(f_.name)).alias(f_.name))
+        elif f_.name.endswith("__sum") or f_.name.endswith("__cnt") \
+                or f_.name == "__rows":
+            aggs.append(F.sum(f_.name).alias(f_.name))
+        else:
+            aggs.append(F.min(f_.name).alias(f_.name))
+    return df.groupBy(*keys).agg(*aggs)

@@ -50,7 +50,7 @@ from clickhouse_core_spark.operators.final import (
 )
 
 _ENGINES = ("merge_tree", "replacing", "summing", "collapsing",
-            "versioned_collapsing", "coalescing")
+            "versioned_collapsing", "coalescing", "aggregating")
 
 
 class MergeTreeTable:
@@ -247,6 +247,10 @@ class MergeTreeTable:
             return versioned_collapsing_final(df, self.key_cols,
                                               sign=self.sign_col,
                                               version=self.version_col)
+        if self.engine == "aggregating":
+            from clickhouse_core_spark.operators.sketches import (
+                aggregating_final)
+            return aggregating_final(df, self.key_cols)
         if self.engine == "coalescing":
             return coalescing_final(df, self.key_cols,
                                     order_col=self.version_col)

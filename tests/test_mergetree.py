@@ -372,3 +372,37 @@ def test_introspection_helpers_and_prometheus(spark):
     assert text.count("# HELP up is it up") == 1
     assert '# TYPE up gauge' in text
     assert 'up{job="x"} 1.0' in text and 'up{job="y"} 0.0' in text
+
+
+def test_aggregating_engine_state_merge(spark, tmp_path):
+    from clickhouse_core_spark.operators import rollup_states, merge_states
+    from clickhouse_core_spark.sources import MergeTreeTable
+    from pyspark.sql import functions as F
+    t = MergeTreeTable(spark, str(tmp_path / "agg_mt"),
+                       order_by=["g"], engine="aggregating",
+                       key_cols=["g"])
+    df1 = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(50)] +
+        [("b", i % 5, float(i)) for i in range(20)],
+        "g string, u int, v double")
+    df2 = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(40, 90)],
+        "g string, u int, v double")
+    # two parts of partial states
+    t.insert(rollup_states(df1, ["g"], uniq_cols=["u"], sum_cols=["v"]))
+    t.insert(rollup_states(df2, ["g"], uniq_cols=["u"], sum_cols=["v"]))
+    # FINAL merges states per key; finishing via merge_states
+    final = t.read(final=True)
+    assert final.count() == 2          # one merged state row per key
+    fin = {r.g: (r.u_uniq, r.v_sum, r.rows)
+           for r in merge_states(final, ["g"]).collect()}
+    # 'a' saw u in 0..89 (90 distinct, HLL ±2%), v sum = sum(0..49)+sum(40..89)
+    assert abs(fin["a"][0] - 90) <= 4
+    assert fin["a"][1] == sum(range(50)) + sum(range(40, 90))
+    assert fin["a"][2] == 100
+    assert abs(fin["b"][0] - 5) <= 1 and fin["b"][2] == 20
+    # compact() folds parts through the same merge without changing results
+    t.compact()
+    fin2 = {r.g: r.v_sum for r in
+            merge_states(t.read(final=True), ["g"]).collect()}
+    assert fin2 == {g: v for g, (_u, v, _r) in fin.items()}
