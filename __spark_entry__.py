@@ -5566,6 +5566,46 @@ def engine_set_join(spark, sf_dir):
             .orderBy("c_custkey"))
 
 
+@q("mergetree_aggregating_final", """
+SELECT l_returnflag,
+       round(sum(l_quantity), 4) AS qty_sum,
+       CAST(count(l_quantity) AS BIGINT) AS qty_cnt,
+       CAST(count(*) AS BIGINT) AS rows
+FROM lineitem WHERE l_orderkey < 8000
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def mergetree_aggregating_final(spark, sf_dir):
+    """AggregatingMergeTree end-to-end (reference
+    src/Processors/Merges/AggregatingSortedTransform.h): two parts of
+    partial states inserted separately, FINAL merges the states per
+    key, merge_states finishes them.  The exact carriers (sum/count/
+    rows) oracle against direct DuckDB aggregation; the sketch columns
+    are exercised by tests (approximate by design)."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.operators import (merge_states,
+                                                 rollup_states)
+    from clickhouse_core_spark.sources import MergeTreeTable
+    li = (_cat(spark, sf_dir).lineitem
+          .filter(F.col("l_orderkey") < 8000)
+          .select("l_orderkey", "l_returnflag", "l_quantity"))
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "mt_aggregating")
+    _sh.rmtree(path, ignore_errors=True)
+    t = MergeTreeTable(spark, path, order_by=["l_returnflag"],
+                       engine="aggregating", key_cols=["l_returnflag"])
+    t.insert(rollup_states(li.filter(F.col("l_orderkey") < 4000),
+                           ["l_returnflag"], sum_cols=["l_quantity"]))
+    t.insert(rollup_states(li.filter(F.col("l_orderkey") >= 4000),
+                           ["l_returnflag"], sum_cols=["l_quantity"]))
+    fin = merge_states(t.read(final=True), ["l_returnflag"])
+    return (fin.select("l_returnflag",
+                       F.round("l_quantity_sum", 4).alias("qty_sum"),
+                       F.col("l_quantity_cnt").alias("qty_cnt"),
+                       F.col("rows"))
+            .orderBy("l_returnflag"))
+
+
 @q("mergetree_projection_agg", """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,
