@@ -22,15 +22,23 @@ from pyspark.sql import functions as F
 
 
 def replacing_final(df: DataFrame, keys: Sequence[str],
-                    version: str | None = None) -> DataFrame:
+                    version: str | None = None,
+                    is_deleted: str | None = None) -> DataFrame:
     """ReplacingMergeTree FINAL: keep one row per key — the one with the
     greatest ``version`` (or an arbitrary-but-deterministic last row when
-    no version column is declared)."""
+    no version column is declared).  With ``is_deleted`` (the
+    ReplacingMergeTree(version, is_deleted) form,
+    src/Processors/Merges/ReplacingSortedAlgorithm.h): a key whose
+    surviving row carries is_deleted = 1 is a tombstone and is dropped
+    from the FINAL view entirely."""
     keys = list(keys)
     order = [F.col(version).desc()] if version else [F.lit(1)]
     w = Window.partitionBy(*keys).orderBy(*order)
-    return (df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+    out = (df.withColumn("__rn", F.row_number().over(w))
+           .filter(F.col("__rn") == 1).drop("__rn"))
+    if is_deleted:
+        out = out.filter(F.col(is_deleted).cast("int") != 1)
+    return out
 
 
 def summing_final(df: DataFrame, keys: Sequence[str],

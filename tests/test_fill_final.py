@@ -95,3 +95,15 @@ def test_graphite_rollup(spark):
     assert old_day == [(t0, 1.5)]          # 4 old rows -> one daily bucket, avg
     recent = [g for g in got if g[0] >= t0 + 39 * 86400]
     assert len(recent) == 2                # 2 hourly buckets of 2 rows each
+
+
+def test_replacing_final_is_deleted(spark):
+    from clickhouse_core_spark.operators import replacing_final
+    df = spark.createDataFrame(
+        [(1, 1, 0, "a"), (1, 2, 1, "a2"),     # latest is a tombstone
+         (2, 1, 0, "b"), (2, 2, 0, "b2"),     # latest survives
+         (3, 1, 1, "c"), (3, 2, 0, "c2")],    # older tombstone ignored
+        "k int, ver int, is_deleted int, v string")
+    rows = {r.k: r.v for r in replacing_final(
+        df, ["k"], version="ver", is_deleted="is_deleted").collect()}
+    assert rows == {2: "b2", 3: "c2"}          # key 1 dropped
