@@ -170,6 +170,15 @@ def prql(spark: SparkSession, query: str,
             if len(inner) == 1 and inner[0].startswith("aggregate"):
                 df = _aggregate(df.groupBy(*keys),
                                 inner[0][len("aggregate"):].strip())
+            elif len(inner) == 1 and inner[0].startswith("take"):
+                # group {k} (take n) — first-n per group in input order
+                # (PRQL's distinct idiom is `group {cols} (take 1)`)
+                from pyspark.sql import Window
+                n = int(inner[0][4:].strip())
+                w = Window.partitionBy(*keys).orderBy(*[F.lit(1)
+                                                        for _ in keys])
+                df = (df.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") <= n).drop("__rn"))
             elif len(inner) == 2 and inner[0].startswith("sort") \
                     and inner[1].startswith("take"):
                 # group {k} (sort {-x} | take n) — per-group top-n
@@ -208,6 +217,17 @@ def prql(spark: SparkSession, query: str,
                 cond = re.sub(r"\bthat\.", "r.", cond)
                 df = df.alias("l").join(right.alias("r"),
                                         F.expr(_fix_expr(cond)), how=side)
+        elif op == "append":
+            # set-op transforms (PRQL book "Append/Remove/Intersect")
+            df = df.unionByName(
+                _resolve(spark, body.strip().strip("`"), tables),
+                allowMissingColumns=True)
+        elif op == "remove":
+            df = df.exceptAll(
+                _resolve(spark, body.strip().strip("`"), tables))
+        elif op == "intersect":
+            df = df.intersectAll(
+                _resolve(spark, body.strip().strip("`"), tables))
         else:
             raise NotImplementedError(f"PRQL transform '{op}' is not mapped")
     return df

@@ -110,3 +110,21 @@ def test_fixture_pipeline(spark, catalog):
            .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("tp"))
            .orderBy("o_orderpriority").collect())
     assert [tuple(r) for r in out] == [tuple(r) for r in exp]
+
+
+def test_prql_setops_and_group_take(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (2, "y")],
+                              "k int, v string")
+    b = spark.createDataFrame([(2, "y"), (3, "z")], "k int, v string")
+    a.createOrReplaceTempView("prql_a")
+    b.createOrReplaceTempView("prql_b")
+    assert prql(spark, "from prql_a | append prql_b").count() == 5
+    assert sorted(r.k for r in
+                  prql(spark, "from prql_a | remove prql_b").collect()) \
+        == [1, 2]      # exceptAll removes one of the (2,y) duplicates
+    assert sorted(r.k for r in
+                  prql(spark, "from prql_a | intersect prql_b")
+                  .collect()) == [2]
+    # distinct idiom: group {cols} (take 1)
+    d = prql(spark, "from prql_a | group {k, v} (take 1)")
+    assert sorted((r.k, r.v) for r in d.collect()) == [(1, "x"), (2, "y")]
