@@ -650,6 +650,47 @@ def kql(spark: SparkSession, query: str,
             df = df.withColumn(col, F.explode(F.col(col)))
         elif op == "make-series":
             df = _make_series(df, body)
+        elif op == "parse":
+            # parse [kind=simple] Col with "lit" Name1 [: type] "lit" ...
+            # (ParserKQLQuery.cpp parse operator, simple mode): literals
+            # become anchors, fields become regex capture groups
+            m = re.match(r"^(?:kind\s*=\s*(\w+)\s+)?([\w.]+)\s+with\s+(.*)$",
+                         body, re.I | re.S)
+            if not m:
+                raise ValueError(f"parse expects '[kind=..] Col with "
+                                 f"pattern': {body!r}")
+            if m.group(1) and m.group(1).lower() not in ("simple",):
+                raise NotImplementedError(
+                    f"parse kind={m.group(1)} (only simple) is supported")
+            src_col, pattern = m.group(2), m.group(3).strip()
+            toks = re.findall(
+                r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|\*|[\w]+(?:\s*:\s*\w+)?)",
+                pattern)
+            regex_parts, fields = [], []
+            for t in toks:
+                if t[0] in "'\"":
+                    regex_parts.append(re.escape(t[1:-1]))
+                elif t == "*":
+                    regex_parts.append(".*?")
+                else:
+                    name = t.split(":")[0].strip()
+                    typ = (t.split(":")[1].strip().lower()
+                           if ":" in t else "string")
+                    fields.append((name, typ))
+                    regex_parts.append("(.*?)")
+            # final greedy group so a trailing field captures to the end
+            if regex_parts and regex_parts[-1] == "(.*?)":
+                regex_parts[-1] = "(.*)"
+            rx = "".join(regex_parts)
+            kql_to_spark_t = {"long": "bigint", "int": "int",
+                              "real": "double", "double": "double",
+                              "string": "string", "bool": "boolean",
+                              "datetime": "timestamp"}
+            for i, (name, typ) in enumerate(fields, start=1):
+                c = F.regexp_extract(F.col(src_col), rx, i)
+                if typ != "string":
+                    c = c.cast(kql_to_spark_t.get(typ, "string"))
+                df = df.withColumn(name, c)
         else:
             raise NotImplementedError(f"KQL operator '{op}' is not mapped "
                                       "(reference subset: ParserKQL*.cpp)")

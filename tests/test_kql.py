@@ -203,3 +203,18 @@ def test_kql_function_extensions(spark):
     assert r.dd == 2 and r.dw == 0 and r.ji == 0.5
     assert str(r.eod).startswith("2021-02-28 23:59:59")
     assert r.md == dtm.datetime(2021, 2, 3) and sorted(r.so) == [1, 3]
+
+
+def test_kql_parse_operator(spark):
+    df = spark.createDataFrame(
+        [("GET /api/users?id=42 took 15ms",),
+         ("POST /api/orders?id=7 took 230ms",)], "msg string")
+    df.createOrReplaceTempView("kql_logs")
+    out = kql(spark, """kql_logs
+      | parse msg with verb ' /api/' endpoint '?id=' uid:long ' took ' dur:long 'ms'
+      | project verb, endpoint, uid, dur""").collect()
+    assert sorted((r.verb, r.endpoint, r.uid, r.dur) for r in out) == \
+        [("GET", "users", 42, 15), ("POST", "orders", 7, 230)]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="kind"):
+        kql(spark, "kql_logs | parse kind=regex msg with a 'x' b")
