@@ -216,3 +216,41 @@ def test_bit_slice_and_reinterpret_floats(spark):
     assert row.sub == -2.5e-310
     assert row.f32 == -0.375 and row.rl == 7
     assert str(row.ti).startswith("2021-03-01")
+
+
+def test_bit_slice_property_vs_python(spark):
+    import random
+    random.seed(23)
+    cases = []
+    s = "The quick brown fox!"
+    raw = s.encode()
+    for _ in range(12):
+        off = random.randint(1, len(raw) * 8)
+        ln = random.randint(1, len(raw) * 8 - off + 1)
+        cases.append((off, ln))
+
+    def py_bit_slice(data: bytes, off: int, ln: int) -> bytes:
+        bits = "".join(f"{b:08b}" for b in data)[off - 1:off - 1 + ln]
+        bits += "0" * (-len(bits) % 8)
+        return bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+
+    sel = spark.range(1).select(*[
+        ch.bitSlice(F.lit(s), off, ln).alias(f"c{i}")
+        for i, (off, ln) in enumerate(cases)]).first()
+    for i, (off, ln) in enumerate(cases):
+        assert bytes(sel[f"c{i}"]) == py_bit_slice(raw, off, ln), (off, ln)
+
+
+def test_reinterpret_float_property(spark):
+    import random
+    import struct
+    random.seed(29)
+    doubles = [0.0, -0.0, 1.0, -1.5, 1e308, 5e-324, 2.5e-310] + \
+        [random.uniform(-1e10, 1e10) for _ in range(10)]
+    bits = [struct.unpack("<q", struct.pack("<d", v))[0] for v in doubles]
+    df = spark.createDataFrame([(b,) for b in bits], "b long")
+    got = [r.f for r in df.select(
+        ch.reinterpretAsFloat64(F.col("b")).alias("f")).collect()]
+    import math
+    for want, g in zip(doubles, got):
+        assert g == want or (math.isnan(want) and math.isnan(g)), (want, g)
