@@ -173,3 +173,27 @@ def test_array_pr_auc(spark):
     assert one(spark, ch.arrayPRAUC(
         F.array().cast("array<double>"),
         F.array().cast("array<int>"))) == 0.0
+
+
+def test_bech32_official_vectors():
+    # BIP-173 (Bech32) and BIP-350 (Bech32m) published valid strings —
+    # the polymod must classify each under its correct constant
+    from clickhouse_core_spark.functions.unicode_ext import (
+        _B32_INDEX, _BECH32M_CONST, _b32_hrp_expand, _b32_polymod)
+
+    def checksum_of(s):
+        sl = s.lower()
+        pos = sl.rfind("1")
+        data = [_B32_INDEX[c] for c in sl[pos + 1:]]
+        return _b32_polymod(_b32_hrp_expand(sl[:pos]) + data)
+
+    for s in ("A12UEL5L",
+              "abcdef1qpzry9x8gf2tvdw0s3jn54khce6mua7lmqqqxw",
+              "split1checkupstagehandshakeupstreamerranterredcaperred2y9e3w"):
+        assert checksum_of(s) == 1, s                    # Bech32
+    for s in ("A1LQFN3A",
+              "abcdef1l7aum6echk45nj3s0wdvt2fg8x9yrzpqzd3ryx",
+              "split1checkupstagehandshakeupstreamerranterredcaperredlc445v"):
+        assert checksum_of(s) == _BECH32M_CONST, s       # Bech32m
+    # corrupted checksum fails both
+    assert checksum_of("A12UEL5M") not in (1, _BECH32M_CONST)
