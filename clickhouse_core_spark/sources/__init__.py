@@ -34,6 +34,7 @@ from clickhouse_core_spark.sources.jsonforms import (
     read_json_document, read_json_columns, read_json_object_each_row,
     read_json_as_string, read_mysql_dump, read_form, read_one, read_null,
     format_markdown, format_vertical, format_sql_insert, format_xml,
+    read_template, format_template,
 )
 from clickhouse_core_spark.sources.external import (
     jdbc_options, external_table, lakehouse_table, LAKEHOUSE_FORMATS,
@@ -75,7 +76,7 @@ __all__ = ["MergeTreeTable", "Projection", "add_projection",
            "read_json_object_each_row", "read_json_as_string",
            "read_mysql_dump", "read_form", "read_one", "read_null",
            "format_markdown", "format_vertical", "format_sql_insert",
-           "format_xml",
+           "format_xml", "read_template", "format_template",
            "generate_random", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
            "mongodb_options", "redis_options", "mongodb_table",

@@ -108,6 +108,11 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
         if schema is None:
             raise ValueError("Null format needs a schema for the empty frame")
         return read_null(spark, schema)
+    if ch_format == "Template":
+        from clickhouse_core_spark.sources.jsonforms import read_template
+        if schema is None or "row_format" not in extra:
+            raise ValueError("Template format needs schema + row_format=")
+        return read_template(spark, path, schema, extra["row_format"])
     if ch_format == "BSONEachRow":
         from clickhouse_core_spark.sources.bsonfmt import read_bson
         if schema is None:

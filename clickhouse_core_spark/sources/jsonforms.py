@@ -287,3 +287,56 @@ def format_xml(df: DataFrame, max_rows: int = 10000) -> str:
         out.append("\t\t</row>")
     out += ["\t</data>", f"\t<rows>{len(rows)}</rows>", "</result>", ""]
     return "\n".join(out)
+
+
+def read_template(spark: SparkSession, path: str, schema,
+                  row_format: str) -> DataFrame:
+    """CH `Template` input (subset — reference
+    src/Processors/Formats/Impl/TemplateRowInputFormat.cpp): each line
+    matches ``row_format``, a string with ``${name}`` or
+    ``${name:Escaping}`` placeholders between literal text.  The
+    template compiles to one regex (placeholders -> capture groups,
+    literals -> anchors) evaluated JVM-side; escaping rules collapse to
+    raw capture + schema cast (CSV/JSON/Quoted un-escaping of embedded
+    delimiters is not replicated — use the dedicated formats for
+    those)."""
+    import re as _re
+    schema = _schema(schema)
+    parts = _re.split(r"(\$\{\w+(?::\w+)?\})", row_format)
+    regex, order = [], []
+    for p in parts:
+        m = _re.fullmatch(r"\$\{(\w+)(?::\w+)?\}", p)
+        if m:
+            order.append(m.group(1))
+            regex.append("(.*?)" if regex else "(.*?)")
+        elif p:
+            regex.append(_re.escape(p))
+    if regex and regex[-1] == "(.*?)":
+        regex[-1] = "(.*)"
+    rx = "^" + "".join(regex) + "$"
+    by_name = {f.name: f for f in schema.fields}
+    lines = spark.read.text(path).filter(F.trim("value") != "")
+    cols = []
+    for f in schema.fields:
+        gi = order.index(f.name) + 1 if f.name in order else None
+        if gi is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.regexp_extract("value", rx, gi)
+                        .cast(f.dataType).alias(f.name))
+    return lines.select(*cols)
+
+
+def format_template(df: DataFrame, row_format: str,
+                    max_rows: int = 10000) -> str:
+    """CH `Template` output (subset): render each row through the
+    ``${name}`` template; driver-side display helper."""
+    import re as _re
+    rows = _collect_bounded(df, max_rows)
+    out = []
+    for r in rows:
+        out.append(_re.sub(
+            r"\$\{(\w+)(?::\w+)?\}",
+            lambda m: "" if r[m.group(1)] is None else str(r[m.group(1)]),
+            row_format))
+    return "\n".join(out) + ("\n" if out else "")

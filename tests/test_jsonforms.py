@@ -161,3 +161,18 @@ def test_bson_each_row(spark, workdir):
     from clickhouse_core_spark.sources import decode_bson_blob
     known = bytes.fromhex("0c0000001061000100000000")
     assert decode_bson_blob(known) == [{"a": 1}]
+
+
+def test_template_format(spark, workdir):
+    _write(workdir, "t.txt",
+           "row 1: id=1 name=[alpha] score->1.5\n"
+           "row 2: id=2 name=[beta] score->-2.0\n")
+    df = read_format(
+        spark, workdir, "Template", schema=SCHEMA,
+        row_format="row ${id}: id=${id} name=[${name}] score->${score}")
+    assert _rows(df) == WANT
+    from clickhouse_core_spark.sources import format_template
+    txt = format_template(
+        spark.createDataFrame([(1, "a", 0.5)], SCHEMA),
+        "${name}:${score}")
+    assert txt == "a:0.5\n"
