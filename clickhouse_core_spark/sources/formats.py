@@ -8,12 +8,14 @@ generate_series / generateRandom
 Spark mapping: the built-in DataFrameReader/Writer formats cover the
 mainstream set (Parquet, ORC, CSV/TSV, JSON(EachRow), Avro, text);
 RowBinary(+WithNames/+WithNamesAndTypes), MsgPack, TSKV,
-JSONCompactEachRow(+WithNames), Values, Regexp and CustomSeparated are
-implemented in rowformats.py (pure-Python public wire layouts for the
-binary pair, Catalyst expressions for the text trio).  Remaining
-exotics (CapnProto...) are out of scope — documented,
-not silently dropped. generateRandom maps to spark.range + per-type
-column generators (deterministic under a seed).
+JSONCompactEachRow(+WithNames), Values, Regexp and CustomSeparated live
+in rowformats.py; Native (incl. LowCardinality/Enum) in nativefmt.py;
+CapnProto flat structs in capnproto.py; BSONEachRow in bsonfmt.py; the
+JSON document family, MySQLDump, Form, Template, Null/One and the
+display renderers in jsonforms.py.  Only server wire protocols
+(MySQLWire/PostgreSQLWire/ODBCDriver2) and DWARF remain out of scope —
+documented, not silently dropped.  generateRandom maps to spark.range +
+per-type column generators (deterministic under a seed).
 """
 
 from __future__ import annotations
