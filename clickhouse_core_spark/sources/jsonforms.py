@@ -314,7 +314,6 @@ def read_template(spark: SparkSession, path: str, schema,
     if regex and regex[-1] == "(.*?)":
         regex[-1] = "(.*)"
     rx = "^" + "".join(regex) + "$"
-    by_name = {f.name: f for f in schema.fields}
     lines = spark.read.text(path).filter(F.trim("value") != "")
     cols = []
     for f in schema.fields:
