@@ -241,3 +241,16 @@ def tuple_names(df, col: str) -> list:
     """tupleNames(t) (src/Functions/tupleNames.cpp): the struct's field
     names — schema metadata, so a plan-time list, not a Column."""
     return list(df.schema[col].dataType.fieldNames())
+
+
+def tuple_to_name_value_pairs(df, col: str):
+    """tupleToNameValuePairs(t) (src/Functions/tupleToNameValuePairs.cpp):
+    the struct rendered as an array of (name, value) pairs — values
+    carried as strings (the reference requires a common element type;
+    string is the engine's universal carrier)."""
+    from pyspark.sql import functions as F
+    fields = df.schema[col].dataType.fieldNames()
+    return F.array(*[
+        F.struct(F.lit(f).alias("name"),
+                 F.col(col).getField(f).cast("string").alias("value"))
+        for f in fields])

@@ -254,3 +254,11 @@ def test_reinterpret_float_property(spark):
     import math
     for want, g in zip(doubles, got):
         assert g == want or (math.isnan(want) and math.isnan(g)), (want, g)
+
+
+def test_tuple_to_name_value_pairs(spark):
+    from clickhouse_core_spark.operators import tuple_to_name_value_pairs
+    df = spark.range(1).select(
+        F.struct(F.lit(1).alias("a"), F.lit("x").alias("b")).alias("t"))
+    row = df.select(tuple_to_name_value_pairs(df, "t").alias("p")).first()
+    assert [(p.name, p.value) for p in row.p] == [("a", "1"), ("b", "x")]
