@@ -231,3 +231,28 @@ def test_enum_column_decode():
     vals, _p = _decode_column(blob, 0, "Enum8('yes' = 1, 'no' = 2)", 3)
     assert vals == ["yes", "no", "yes"]
     assert isinstance(_ch_type_to_spark("Enum8('a' = 1)"), T.StringType)
+
+
+def test_lowcardinality_block_through_spark(spark, workdir):
+    # hand-build a 2-column block (LC(String) + Int64) and read it via
+    # the full schema-inference Spark path
+    from clickhouse_core_spark.sources.nativefmt import _encode_column
+    from clickhouse_core_spark.sources.rowformats import _put_varint
+    blob = bytearray()
+    _put_varint(blob, 2)
+    _put_varint(blob, 4)
+    for name, ch_t in ((b"cat", b"LowCardinality(String)"),
+                       (b"n", b"Int64")):
+        _put_varint(blob, len(name)); blob.extend(name)
+        _put_varint(blob, len(ch_t)); blob.extend(ch_t)
+        if ch_t.startswith(b"Low"):
+            _encode_column(blob, ["x", "y", "x", "x"],
+                           "LowCardinality(String)")
+        else:
+            _encode_column(blob, [10, 20, 30, 40], "Int64")
+    with open(os.path.join(workdir, "lc.native"), "wb") as fh:
+        fh.write(bytes(blob))
+    df = read_native(spark, workdir)
+    assert df.schema["cat"].dataType.simpleString() == "string"
+    got = sorted((r.cat, r.n) for r in df.collect())
+    assert got == [("x", 10), ("x", 30), ("x", 40), ("y", 20)]
