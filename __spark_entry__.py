@@ -4203,19 +4203,43 @@ def fn_uuid_snowflake(spark, sf_dir):
             .orderBy("o_orderkey"))
 
 
-@q("source_generate_random", None)
+@q("source_generate_random", """
+WITH r AS (SELECT unnest(range(1000)) AS i),
+u AS (SELECT i,
+  ('0x' || substr(md5('7:0:'  || i), 1, 15))::BIGINT / 1152921504606846976.0 AS u_id,
+  ('0x' || substr(md5('8:0:'  || i), 1, 15))::BIGINT / 1152921504606846976.0 AS u_nm,
+  greatest(('0x' || substr(md5('9:1:' || i), 1, 15))::BIGINT
+           / 1152921504606846976.0, 1e-12) AS u_s1,
+  ('0x' || substr(md5('9:2:'  || i), 1, 15))::BIGINT / 1152921504606846976.0 AS u_s2,
+  ('0x' || substr(md5('10:0:' || i), 1, 15))::BIGINT / 1152921504606846976.0 AS u_fl,
+  ('0x' || substr(md5('11:0:' || i), 1, 15))::BIGINT / 1152921504606846976.0 AS u_d,
+  ('0x' || substr(md5('12:0:' || i), 1, 15))::BIGINT / 1152921504606846976.0 AS u_ts
+  FROM r)
+SELECT CAST(floor(u_id * 1099511627776) AS BIGINT) AS id,
+       's_' || CAST(CAST(floor(u_nm * 1073741824) AS BIGINT) AS VARCHAR)
+           AS name,
+       round(sqrt(-2 * ln(u_s1)) * cos(2 * pi() * u_s2) * 100, 6) AS score,
+       u_fl > 0.5 AS flag,
+       DATE '1995-01-01' + CAST(floor(u_d * 3650) AS INT) AS d,
+       CAST(800000000 + floor(u_ts * 200000000) AS BIGINT) AS ts_epoch
+FROM u ORDER BY id LIMIT 100
+""")
 def source_generate_random(spark, sf_dir):
     """generateRandom table source (reference
     src/TableFunctions/registerTableFunctions.h:22): deterministic under
-    a seed, fully distributed (spark.range + column generators).
-    Rows-only driver check by design — the value distribution is
-    Spark-PRNG-specific, so no cross-engine oracle exists; pytest pins
-    determinism and type coverage."""
+    a seed AND partition-layout-independent — every value is a pure
+    function of (seed, field, row id) via the portable md5 uniform
+    (sources/formats.py _u01), so any cluster size produces the same
+    table and DuckDB replays it value-for-value (the round-4 upgrade
+    from F.rand(seed), whose stream depends on partitioning)."""
     from clickhouse_core_spark.sources import generate_random
     df = generate_random(
         spark, "id bigint, name string, score double, flag boolean, "
                "d date, ts timestamp", n=1000, seed=7)
-    return df.orderBy("id").limit(100)
+    return (df.orderBy("id").limit(100)
+            .select("id", "name", F.round("score", 6).alias("score"),
+                    "flag", "d",
+                    F.unix_timestamp("ts").alias("ts_epoch")))
 
 
 @q("graph_connected_components", """

@@ -225,18 +225,41 @@ def write_format(df: DataFrame, path: str, ch_format: str,
     df.write.format(fmt).options(**{**opts, **extra}).mode(mode).save(path)
 
 
+# Portable uniform draw: md5(seed:salt:row) first 15 hex digits as a
+# 60-bit integer scaled to [0, 1).  Unlike F.rand(seed) — whose stream
+# depends on the PARTITION layout — this is a pure function of
+# (seed, salt, row id): identical on any cluster size, any partitioning,
+# and exactly re-computable in any SQL engine (the md5_hash60 pattern
+# pipeline/sampling.py uses for deterministic sampling).
+def _u01(seed: int, salt: int = 0):
+    h = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(str(seed)), F.lit(str(salt)),
+        F.col("__i").cast("string"))), 1, 15), 16, 10).cast("long")
+    return h.cast("double") / float(1 << 60)
+
+
+def _randn_portable(seed: int):
+    """Box-Muller from two portable uniforms (clamped away from 0)."""
+    import math
+    u1 = F.greatest(_u01(seed, 1), F.lit(1e-12))
+    u2 = _u01(seed, 2)
+    return F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2 * math.pi) * u2)
+
+
 _RANDOM_GEN = {
-    T.LongType: lambda seed: (F.rand(seed) * (1 << 40)).cast("long"),
-    T.IntegerType: lambda seed: (F.rand(seed) * (1 << 28)).cast("int"),
-    T.DoubleType: lambda seed: F.randn(seed) * 100.0,
-    T.FloatType: lambda seed: (F.randn(seed) * 100.0).cast("float"),
-    T.BooleanType: lambda seed: F.rand(seed) > 0.5,
+    T.LongType: lambda seed: F.floor(_u01(seed) * (1 << 40)).cast("long"),
+    T.IntegerType: lambda seed: F.floor(_u01(seed) * (1 << 28)).cast("int"),
+    T.DoubleType: lambda seed: _randn_portable(seed) * 100.0,
+    T.FloatType: lambda seed: (_randn_portable(seed) * 100.0).cast("float"),
+    T.BooleanType: lambda seed: _u01(seed) > 0.5,
     T.StringType: lambda seed: F.concat(
-        F.lit("s_"), F.abs((F.rand(seed) * (1 << 30)).cast("long")).cast("string")),
+        F.lit("s_"), F.floor(_u01(seed) * (1 << 30)).cast("long")
+        .cast("string")),
     T.TimestampType: lambda seed: F.timestamp_seconds(
-        (F.lit(800000000) + F.rand(seed) * 200000000).cast("long")),
+        (F.lit(800000000) + F.floor(_u01(seed) * 200000000)).cast("long")),
     T.DateType: lambda seed: F.date_add(
-        F.lit("1995-01-01").cast("date"), (F.rand(seed) * 3650).cast("int")),
+        F.lit("1995-01-01").cast("date"),
+        F.floor(_u01(seed) * 3650).cast("int")),
 }
 
 
