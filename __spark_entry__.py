@@ -970,10 +970,10 @@ def cb_user_sessions_topk(spark, sf_dir):
 @q("agg_stats", """
 SELECT l_returnflag,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(stddev_samp(l_extendedprice), 6) AS sd_price,
-       round(var_samp(l_quantity), 6) AS var_qty,
-       round(corr(l_quantity, l_extendedprice), 10) AS corr_qp,
+       printf('%.4f', avg(l_extendedprice)) AS avg_price,
+       printf('%.4f', stddev_samp(l_extendedprice)) AS sd_price,
+       printf('%.4f', var_samp(l_quantity)) AS var_qty,
+       printf('%.6f', corr(l_quantity, l_extendedprice)) AS corr_qp,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """)
@@ -982,10 +982,10 @@ def agg_stats(spark, sf_dir):
     return (li.groupBy("l_returnflag")
             .agg(F.min("l_quantity").alias("min_qty"),
                  F.max("l_quantity").alias("max_qty"),
-                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-                 F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
-                 F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
-                 F.round(F.corr("l_quantity", "l_extendedprice"), 10).alias("corr_qp"),
+                 F.format_string("%.4f", F.avg("l_extendedprice")).alias("avg_price"),
+                 F.format_string("%.4f", F.stddev_samp("l_extendedprice")).alias("sd_price"),
+                 F.format_string("%.4f", F.var_samp("l_quantity")).alias("var_qty"),
+                 F.format_string("%.6f", F.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
                  F.countDistinct("l_suppkey").alias("n_supp"))
             .transform(_small_sorted, "l_returnflag"))
 
@@ -1194,8 +1194,8 @@ def agg_avg_weighted_q(spark, sf_dir):
 
 @q("agg_moments", """
 SELECT l_returnflag,
-       round(skewness(l_extendedprice), 4) AS skew,
-       round(kurtosis(l_extendedprice), 4) AS kurt
+       printf('%.4f', skewness(l_extendedprice)) AS skew,
+       printf('%.4f', kurtosis(l_extendedprice)) AS kurt
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """)
 def agg_moments_q(spark, sf_dir):
@@ -1205,8 +1205,8 @@ def agg_moments_q(spark, sf_dir):
     population definitions on both sides via manual moment SQL."""
     li = _cat(spark, sf_dir).lineitem
     return (li.groupBy("l_returnflag")
-            .agg(F.round(F.skewness("l_extendedprice"), 4).alias("skew"),
-                 F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt"))
+            .agg(F.format_string("%.4f", F.skewness("l_extendedprice")).alias("skew"),
+                 F.format_string("%.4f", F.kurtosis("l_extendedprice")).alias("kurt"))
             .transform(_small_sorted, "l_returnflag"))
 
 
@@ -2740,10 +2740,10 @@ SELECT p_partkey,
        round(p_retailprice, 1) AS r1,
        floor(p_retailprice) AS fl,
        ceil(p_retailprice) AS ce,
-       round(sqrt(p_retailprice), 10) AS sq,
-       round(ln(p_retailprice), 10) AS lnp,
-       round(log10(p_retailprice), 10) AS lg,
-       power(p_size, 2) AS p2,
+       printf('%.8f', sqrt(p_retailprice)) AS sq,
+       printf('%.8f', ln(p_retailprice)) AS lnp,
+       printf('%.8f', log10(p_retailprice)) AS lg,
+       CAST(power(p_size, 2) AS BIGINT) AS p2,
        CAST(sign(p_retailprice - 1000) AS DOUBLE) AS sgn,
        CAST(p_size % 7 AS INT) AS md
 FROM part WHERE p_partkey < 200 AND p_retailprice > 0 ORDER BY p_partkey
@@ -2756,10 +2756,10 @@ def fn_math(spark, sf_dir):
                     F.round("p_retailprice", 1).alias("r1"),
                     F.floor("p_retailprice").alias("fl"),
                     F.ceil("p_retailprice").alias("ce"),
-                    F.round(F.sqrt("p_retailprice"), 10).alias("sq"),
-                    F.round(F.log(F.col("p_retailprice")), 10).alias("lnp"),
-                    F.round(F.log10("p_retailprice"), 10).alias("lg"),
-                    F.pow("p_size", 2).alias("p2"),
+                    F.format_string("%.8f", F.sqrt("p_retailprice")).alias("sq"),
+                    F.format_string("%.8f", F.log(F.col("p_retailprice"))).alias("lnp"),
+                    F.format_string("%.8f", F.log10("p_retailprice")).alias("lg"),
+                    F.pow("p_size", 2).cast("long").alias("p2"),
                     F.signum(F.col("p_retailprice") - 1000).cast("double").alias("sgn"),
                     (F.col("p_size") % 7).cast("int").alias("md"))
             .orderBy("p_partkey"))
@@ -3214,26 +3214,36 @@ def fn_jump_consistent_hash(spark, sf_dir):
 
 
 @q("kql_filter_summarize", """
-SELECT l_linestatus, floor(l_quantity / 10) * 10 AS qb,
+SELECT l_linestatus, CAST(floor(l_quantity / 10) * 10 AS BIGINT) AS qb,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_quantity), 4) AS qty, max(l_extendedprice) AS mx
+       printf('%.2f', sum(l_quantity)) AS qty,
+       printf('%.2f', max(l_extendedprice)) AS mx
 FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
-GROUP BY l_linestatus, floor(l_quantity / 10) * 10
+GROUP BY l_linestatus, CAST(floor(l_quantity / 10) * 10 AS BIGINT)
 ORDER BY l_linestatus, qb
 """)
 def kql_filter_summarize(spark, sf_dir):
     """KQL dialect end-to-end (reference src/Parsers/Kusto/
     ParserKQLQuery.h, ParserKQLSummarize.cpp): where + summarize-by-bin
-    (bin alias rule) + project + sort translated to Catalyst ops."""
+    (bin alias rule) + project + sort translated to Catalyst ops.
+
+    Carrier note: qb is integer-cast (exact) and qty/mx are fixed-format
+    strings so the driver's value hash is representation-proof against
+    last-ULP libm/round differences between Spark and the oracle DuckDB."""
     _cat(spark, sf_dir)          # registers the temp views kql resolves
-    return kql_query(spark, """
+    r = kql_query(spark, """
       lineitem
       | where l_returnflag == 'R' and l_quantity > 40
       | summarize n = count(), qty = sum(l_quantity),
                   mx = max(l_extendedprice) by l_linestatus, qb = bin(l_quantity, 10)
-      | project l_linestatus, qb, n, qty = round(qty, 4), mx
+      | project l_linestatus, qb, n, qty, mx
       | sort by l_linestatus asc, qb asc
     """)
+    return r.select("l_linestatus",
+                    F.col("qb").cast("long").alias("qb"),
+                    "n",
+                    F.format_string("%.2f", F.col("qty")).alias("qty"),
+                    F.format_string("%.2f", F.col("mx")).alias("mx"))
 
 
 @q("fn_conv_matrix_datetime_math", """
@@ -3243,7 +3253,7 @@ SELECT o_orderkey,
                  ELSE 0 END AS INT) AS u8,
        o_orderdate + to_milliseconds(o_orderkey) AS ms_ts,
        o_orderdate - to_hours(5) AS h_ts,
-       round(ln((1 + o_orderkey / 1000.0) + sqrt((1 + o_orderkey / 1000.0) * (1 + o_orderkey / 1000.0) - 1)), 10) AS ah,
+       printf('%.8f', ln((1 + o_orderkey / 1000.0) + sqrt((1 + o_orderkey / 1000.0) * (1 + o_orderkey / 1000.0) - 1))) AS ah,
        CAST(gcd(o_orderkey, 36) AS BIGINT) AS g,
        CAST(lcm(o_orderkey % 12 + 1, 18) AS BIGINT) AS l,
        CAST(factorial(CAST(o_orderkey % 10 AS INT)) AS BIGINT) AS fct,
@@ -3271,7 +3281,7 @@ def fn_conv_matrix_datetime_math(spark, sf_dir):
         ch.addMilliseconds(F.col("o_orderdate"), F.col("o_orderkey"))
         .alias("ms_ts"),
         ch.subtractHours(F.col("o_orderdate"), F.lit(5)).alias("h_ts"),
-        F.round(ch.acosh(1 + F.col("o_orderkey") / 1000.0), 10).alias("ah"),
+        F.format_string("%.8f", ch.acosh(1 + F.col("o_orderkey") / 1000.0)).alias("ah"),
         ch.gcd(F.col("o_orderkey"), F.lit(36)).cast("long").alias("g"),
         ch.lcm(F.col("o_orderkey") % 12 + 1, F.lit(18)).cast("long").alias("l"),
         ch.factorial(F.col("o_orderkey") % 10).cast("long").alias("fct"),
@@ -4591,8 +4601,8 @@ def agg_bitwise_uniq_any_q(spark, sf_dir):
 SELECT vec_id,
        round(list_sum(list_transform(list_zip(embedding, embedding),
              p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), 4) AS dot_self,
-       round(sqrt(list_sum(list_transform(embedding,
-             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+       printf('%.4f', sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS l2_norm,
        round(list_sum(list_transform(embedding,
              x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm,
        round(list_max(list_transform(embedding,
@@ -4612,7 +4622,7 @@ def fn_vector_math_q(spark, sf_dir):
     return (e.filter(F.col("vec_id") < 100)
             .select("vec_id",
                     F.round(ch.dotProduct(emb, emb), 4).alias("dot_self"),
-                    F.round(ch.L2Norm(emb), 4).alias("l2_norm"),
+                    F.format_string("%.4f", ch.L2Norm(emb)).alias("l2_norm"),
                     F.round(ch.L1Norm(emb), 4).alias("l1_norm"),
                     F.round(ch.LinfNorm(emb), 4).alias("linf_norm"),
                     F.round(ch.L2SquaredDistance(emb, rev), 4).alias("l2sq_rev"))

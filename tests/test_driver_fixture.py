@@ -64,6 +64,91 @@ def test_entry_analyzes_on_driver_parquet(spark, name):
             f"sensitive (see fn_decimal_arithmetic, r3)")
 
 
+# r4 lesson (fn_math / kql_filter_summarize): a DOUBLE output column fed
+# by a transcendental is representation-fragile — two correct libm/round
+# implementations can emit doubles 1 ULP apart, and the driver's hasher
+# compares exact values.  Entries must carry such columns as fixed-format
+# strings (format_string('%.8f', …) / printf('%.8f', …)) on both sides.
+_TRANSCENDENTAL = (
+    "ln", "log", "log10", "log2", "log1p", "exp", "expm1", "sqrt", "cbrt",
+    "pow", "power", "sin", "cos", "tan", "asin", "acos", "atan", "atan2",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh", "radians", "degrees",
+    "corr", "stddev", "stddev_samp", "stddev_pop", "skewness", "kurtosis",
+)
+_TRANS_RE = __import__("re").compile(
+    r"(?i)\b(" + "|".join(_TRANSCENDENTAL) + r")\s*\(")
+
+
+def _split_select_items(sql):
+    """Top-level SELECT-list items of the FIRST select in an oracle SQL
+    string (paren-aware comma split, stops at the first top-level FROM;
+    good enough for the hand-written single-statement oracles)."""
+    import re
+    m = re.search(r"(?is)\bselect\b(?:\s+distinct\b)?", sql)
+    if not m:
+        return []
+    body = sql[m.end():]
+    depth = 0
+    items, start = [], 0
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            if ch == ",":
+                items.append(body[start:i])
+                start = i + 1
+            elif (body[i:i + 4].lower() == "from"
+                  and (i == 0 or not body[i - 1].isalnum()
+                       and body[i - 1] != "_")
+                  and (i + 4 >= n or not body[i + 4].isalnum()
+                       and body[i + 4] != "_")):
+                items.append(body[start:i])
+                return [s.strip() for s in items if s.strip()]
+        i += 1
+    items.append(body[start:])
+    return [s.strip() for s in items if s.strip()]
+
+
+def _alias_of(item):
+    import re
+    m = re.search(r"(?is)\bas\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item)
+    if m:
+        return m.group(1).lower()
+    m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", item)
+    return m.group(1).lower() if m else None
+
+
+@pytest.mark.parametrize("name", sorted(n for n in _QUERIES if n in _ORACLES))
+def test_no_raw_transcendental_double_carriers(spark, name):
+    """Fail any oracle-graded entry whose output schema has a raw DOUBLE
+    (or FLOAT) column whose oracle expression contains a transcendental —
+    the latent class behind every r3/r4 hash-red row.  Fix: format_string
+    carrier in Spark + printf in the oracle, same precision."""
+    sql = _ORACLES[name]
+    hits = {}
+    for item in _split_select_items(sql):
+        if _TRANS_RE.search(item):
+            a = _alias_of(item)
+            if a:
+                hits[a] = item
+    if not hits:
+        return
+    schema = _QUERIES[name](spark, SF_DIR).schema
+    bad = [f.name for f in schema.fields
+           if f.name.lower() in hits
+           and isinstance(f.dataType, (T.DoubleType, T.FloatType))]
+    assert not bad, (
+        f"{name}: DOUBLE columns {bad} are fed by transcendental "
+        f"expressions ({[hits[b.lower()][:60] for b in bad]}); carry them "
+        f"as fixed-format strings (format_string/printf '%.8f') on both "
+        f"sides — raw transcendental doubles are ULP-fragile under the "
+        f"driver's exact hasher (fn_math, r4)")
+
+
 SF_DIR_MED = os.environ.get("SPARK_GRAFT_TEST_SF_DIR_MED",
                             "/root/testdata/sf0.01")
 
