@@ -5640,6 +5640,38 @@ def mergetree_aggregating_final(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("gin_token_search", """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE regexp_matches(lower(text), '(^|[^a-z0-9])vector([^a-z0-9]|$)')
+ORDER BY doc_id
+""")
+def gin_token_search(spark, sf_dir):
+    """GIN inverted-index search end-to-end (reference
+    src/Storages/MergeTree/MergeTreeIndexGin.h:145): documents loaded
+    into a MergeTree table with a GIN posting list on text (small
+    parquet.block.size → many row groups), then hasToken('vector')
+    routed through the posting list — the scan reads only admitted row
+    groups via executor-side Arrow row-group reads.  Oracle: full-scan
+    token-boundary regex."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.sources import MergeTreeTable
+    c = _cat(spark, sf_dir)
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "gin_token_search")
+    _sh.rmtree(base, ignore_errors=True)
+    t = MergeTreeTable(spark, base, order_by=["doc_id"],
+                       gin_index_cols=["text"])
+    docs = c.documents.select("doc_id", "text", "lang", "n_chars")
+    opts = {"parquet.block.size": "65536", "parquet.page.size": "16384"}
+    t.insert(docs.filter(F.col("doc_id") % 2 == 0), write_options=opts)
+    t.insert(docs.filter(F.col("doc_id") % 2 == 1), write_options=opts)
+    return (t.scan_with_token_gin("text", "vector")
+            .select("doc_id", "lang", F.col("n_chars").cast("long"))
+            .orderBy("doc_id"))
+
+
 @q("mergetree_projection_agg", """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 4) AS sum_qty,

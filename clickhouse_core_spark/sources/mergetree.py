@@ -66,7 +66,8 @@ class MergeTreeTable:
                  sign_col: str | None = None,
                  sum_cols: Sequence[str] | None = None,
                  bloom_filter_cols: Sequence[str] = (),
-                 token_index_cols: Sequence[str] = ()):
+                 token_index_cols: Sequence[str] = (),
+                 gin_index_cols: Sequence[str] = ()):
         if engine not in _ENGINES:
             raise ValueError(f"engine must be one of {_ENGINES}")
         self.spark = spark
@@ -97,6 +98,15 @@ class MergeTreeTable:
         # array_contains) that prunes the main scan to the files
         # containing the token.
         self.token_index_cols = list(token_index_cols)
+        # GIN inverted-index analog (reference
+        # src/Storages/MergeTree/MergeTreeIndexGin.h:145 — GinIndexStore
+        # keeps token → posting-list-of-granules): per part, a sidecar
+        # parquet of DISTINCT (token, file, row_group, row range) rows.
+        # Where the tokenbf sidecar answers "which FILES may contain the
+        # token", the GIN posting list answers "which ROW GROUPS DO
+        # contain it" — exact, finer-grained, and the scan path reads
+        # only those row groups (Arrow row-group reads executor-side).
+        self.gin_index_cols = list(gin_index_cols)
         os.makedirs(path, exist_ok=True)
         self._write_meta()
 
@@ -113,6 +123,7 @@ class MergeTreeTable:
             "sum_cols": self.sum_cols,
             "bloom_filter_cols": self.bloom_filter_cols,
             "token_index_cols": self.token_index_cols,
+            "gin_index_cols": self.gin_index_cols,
         }
         with open(self._meta_path(), "w") as fh:
             json.dump(meta, fh)
@@ -127,7 +138,8 @@ class MergeTreeTable:
                    version_col=meta["version_col"], sign_col=meta["sign_col"],
                    sum_cols=meta["sum_cols"],
                    bloom_filter_cols=meta.get("bloom_filter_cols", ()),
-                   token_index_cols=meta.get("token_index_cols", ()))
+                   token_index_cols=meta.get("token_index_cols", ()),
+                   gin_index_cols=meta.get("gin_index_cols", ()))
 
     # ----------------------------------------------------------------- parts
 
@@ -136,11 +148,14 @@ class MergeTreeTable:
             os.path.join(self.path, d) for d in os.listdir(self.path)
             if d.startswith("part-") and os.path.isdir(os.path.join(self.path, d)))
 
-    def insert(self, df: DataFrame) -> str:
+    def insert(self, df: DataFrame,
+               write_options: dict | None = None) -> str:
         """Write a new immutable part: partitioned by ``partition_by``,
         sorted by ``order_by`` within each file (gives Parquet row-group
         min/max stats the same pruning power as the reference's primary
-        index)."""
+        index).  ``write_options`` passes extra parquet writer options
+        (e.g. a small ``parquet.block.size`` to force multiple row
+        groups per file — the index-granularity knob)."""
         part_dir = os.path.join(self.path, f"part-{int(time.time() * 1e6):016x}")
         writer = df
         if self.partition_by:
@@ -152,11 +167,15 @@ class MergeTreeTable:
         w = writer.write.mode("overwrite")
         for col in self.bloom_filter_cols:
             w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+        for k, v in (write_options or {}).items():
+            w = w.option(k, v)
         if self.partition_by:
             w = w.partitionBy(*self.partition_by)
         w.parquet(part_dir)
         if self.token_index_cols:
             self._write_token_index(part_dir)
+        if self.gin_index_cols:
+            self._write_gin_index(part_dir)
         return part_dir
 
     # ------------------------------------------------- tokenbf skip index
@@ -216,6 +235,158 @@ class MergeTreeTable:
         pat = r"(?i)(^|[^\p{L}\p{N}])" + token + r"($|[^\p{L}\p{N}])"
         return (self.spark.read.parquet(*files)
                 .filter(F.col(col).rlike(pat)))
+
+    # ---------------------------------------------- GIN posting-list index
+
+    def _gin_idx_dir(self, part_dir: str, col: str) -> str:
+        return os.path.join(part_dir, "_gin_idx", col)
+
+    def _rowgroup_bounds(self, part_dir: str) -> list[tuple]:
+        """Parquet-footer walk: (file_uri, row_group, row_start,
+        row_end_exclusive) for every data file in the part.  Footer
+        reads are the same O(files) planning-time cost Spark itself
+        pays; at cluster scale this runs once per freshly-written part
+        at insert time, never per query."""
+        import pyarrow.parquet as pq
+        rows = []
+        for root, dirs, files in os.walk(part_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in sorted(files):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                md = pq.ParquetFile(p).metadata
+                start = 0
+                for rg in range(md.num_row_groups):
+                    n = md.row_group(rg).num_rows
+                    # Spark's _metadata.file_path renders local URIs as
+                    # file:/abs/path (single slash)
+                    rows.append(("file:" + p, rg, start, start + n))
+                    start += n
+        return rows
+
+    def _write_gin_index(self, part_dir: str) -> None:
+        """Build the per-part GIN posting list (reference
+        src/Storages/MergeTree/MergeTreeIndexGin.h:145 — token →
+        posting list of granules): DISTINCT (token, file, row_group,
+        row range) via one distributed pass over the fresh part.  Row →
+        row-group assignment is a broadcast range join of _metadata
+        .row_index against the footer bounds, so the heavy tokenize/
+        explode work is executor-side."""
+        bounds = self._rowgroup_bounds(part_dir)
+        bdf = self.spark.createDataFrame(
+            bounds, "file string, rg int, row_start long, row_end long")
+        base = (self.spark.read.parquet(part_dir)
+                .select(F.col("_metadata.file_path").alias("file"),
+                        F.col("_metadata.row_index").alias("row_index"),
+                        *self.gin_index_cols))
+        for col in self.gin_index_cols:
+            posting = (base
+                       .select("file", "row_index",
+                               F.explode(self._tokenize(F.col(col)))
+                               .alias("token"))
+                       .join(F.broadcast(bdf.withColumnRenamed("file", "bfile")),
+                             (F.col("file") == F.col("bfile"))
+                             & (F.col("row_index") >= F.col("row_start"))
+                             & (F.col("row_index") < F.col("row_end")))
+                       .select("token", "file", "rg", "row_start", "row_end")
+                       .distinct())
+            (posting.repartition(1).sortWithinPartitions("token")
+             .write.mode("overwrite")
+             .option("parquet.bloom.filter.enabled#token", "true")
+             .parquet(self._gin_idx_dir(part_dir, col)))
+
+    def _gin_postings(self, col: str, tokens: Sequence[str]) -> DataFrame:
+        if col not in self.gin_index_cols:
+            raise ValueError(f"no GIN index on column {col!r}")
+        idx_dirs = [self._gin_idx_dir(p, col) for p in self.parts()]
+        idx_dirs = [d for d in idx_dirs if os.path.isdir(d)]
+        if not idx_dirs:
+            return self.spark.createDataFrame(
+                [], "token string, file string, rg int, "
+                    "row_start long, row_end long")
+        idx = self.spark.read.parquet(*idx_dirs)
+        toks = [t.lower() for t in tokens]
+        # equality/IN probe → pushed to parquet, bloom + dictionary +
+        # sorted-by-token min/max stats skip posting row groups
+        return idx.filter(F.col("token").isin(toks))
+
+    def gin_rowgroup_stats(self, col: str, tokens: Sequence[str]) -> dict:
+        """Scan-pruning metric: admitted vs total row groups for a
+        probe — the observable the reference exposes via
+        rows_read/marks_read in system.query_log."""
+        admitted = (self._gin_postings(col, tokens)
+                    .select("file", "rg").distinct().count())
+        total = sum(len(self._rowgroup_bounds(p)) for p in self.parts())
+        return {"admitted_rowgroups": admitted, "total_rowgroups": total}
+
+    def scan_with_tokens_gin(self, col: str, tokens: Sequence[str],
+                             mode: str = "any") -> DataFrame:
+        """hasToken / hasAnyTokens / hasAllTokens-filtered scan through
+        the GIN posting list: reads ONLY the admitted row groups
+        (executor-side Arrow row-group reads), then applies the exact
+        token predicate.  mode='any' → hasAnyTokens semantics,
+        'all' → hasAllTokens (posting intersection before the scan)."""
+        if mode not in ("any", "all"):
+            raise ValueError("mode must be 'any' or 'all'")
+        toks = [t.lower() for t in tokens]
+        post = self._gin_postings(col, toks)
+        if mode == "all" and len(toks) > 1:
+            per_rg = (post.groupBy("file", "rg")
+                      .agg(F.countDistinct("token").alias("n"))
+                      .filter(F.col("n") == len(toks)))
+            pairs = [(r["file"], r["rg"]) for r in
+                     per_rg.select("file", "rg").collect()]
+        else:
+            pairs = [(r["file"], r["rg"]) for r in
+                     post.select("file", "rg").distinct().collect()]
+        if not pairs:
+            return self.read_raw().filter(F.lit(False))
+        by_file: dict[str, list[int]] = {}
+        for f, rg in pairs:
+            by_file.setdefault(f, []).append(rg)
+        scan = self._scan_rowgroups(sorted(by_file.items()))
+        pats = [r"(?i)(^|[^\p{L}\p{N}])" + t + r"($|[^\p{L}\p{N}])"
+                for t in toks]
+        conds = [F.col(col).rlike(p) for p in pats]
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = (pred | c) if mode == "any" else (pred & c)
+        return scan.filter(pred)
+
+    def scan_with_token_gin(self, col: str, token: str) -> DataFrame:
+        """hasToken(col, token) through the GIN index (the finer-grained
+        sibling of ``scan_with_token``'s file-level tokenbf pruning)."""
+        return self.scan_with_tokens_gin(col, [token], mode="any")
+
+    def _scan_rowgroups(self, file_rgs: list) -> DataFrame:
+        """Distributed row-group-granular scan: one input row per file
+        with the admitted row-group ids; each executor opens its file
+        with Arrow and reads ONLY those row groups.  This is the split
+        planning a cluster scan does with a real index — the admitted
+        list is tiny driver-side metadata (like a partition list), the
+        data never moves through the driver."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+        schema = self.spark.read.parquet(file_rgs[0][0]).schema
+        arrow_schema = to_arrow_schema(schema)
+        sdf = self.spark.createDataFrame(
+            file_rgs, "file string, rgs array<int>")
+        sdf = sdf.repartition(min(len(file_rgs), 64), "file")
+
+        def read_rgs(batches):
+            import pyarrow.parquet as pq
+            for b in batches:
+                for f, rgs in zip(b.column("file").to_pylist(),
+                                  b.column("rgs").to_pylist()):
+                    path = f
+                    if path.startswith("file:"):
+                        path = "/" + path.split(":", 1)[1].lstrip("/")
+                    t = pq.ParquetFile(path).read_row_groups(
+                        sorted(rgs), columns=list(schema.fieldNames()))
+                    t = t.cast(arrow_schema)
+                    yield from t.to_batches()
+
+        return sdf.mapInArrow(read_rgs, schema)
 
     # ----------------------------------------------------------------- reads
 

@@ -235,6 +235,67 @@ def test_token_index_prunes_files(spark, tmp_path):
     assert t.scan_with_token("text", "zzzmissing").count() == 0
 
 
+def test_gin_index_prunes_rowgroups(spark, tmp_path):
+    """True GIN inverted-index analog (reference
+    src/Storages/MergeTree/MergeTreeIndexGin.h:145): the posting list
+    maps token → (file, row_group), so a rare-token probe admits FEWER
+    ROW GROUPS than the file-level tokenbf path admits files' worth —
+    and the row-group-granular scan returns exactly the full-scan
+    result."""
+    rows = []
+    for i in range(4000):
+        topic = f"topic{i // 500}"
+        rows.append((i, f"document {i} about {topic} and data"))
+    # 2 files x many row groups: tiny parquet.block.size forces multiple
+    # row groups per file, so rg-granular pruning is visible inside files
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          .repartitionByRange(2, "doc_id"))
+    t = MergeTreeTable(spark, str(tmp_path / "gin"), order_by=["doc_id"],
+                       gin_index_cols=["text"])
+    t.insert(df, write_options={"parquet.block.size": "16384",
+                                "parquet.page.size": "4096"})
+
+    stats = t.gin_rowgroup_stats("text", ["topic3"])
+    assert stats["total_rowgroups"] > 2          # the knob worked
+    assert 0 < stats["admitted_rowgroups"] < stats["total_rowgroups"]
+
+    pruned = t.scan_with_token_gin("text", "topic3")
+    expect = (t.read_raw()
+              .filter(F.col("text").rlike(
+                  r"(^|[^\p{L}\p{N}])topic3($|[^\p{L}\p{N}])")))
+    assert pruned.count() == expect.count() == 500
+    assert sorted(r.doc_id for r in pruned.collect()) == list(
+        range(1500, 2000))
+
+    # absent token: zero admitted row groups, no main-table read
+    assert t.gin_rowgroup_stats("text", ["zzz"])["admitted_rowgroups"] == 0
+    assert t.scan_with_token_gin("text", "zzzmissing").count() == 0
+
+
+def test_gin_any_all_tokens_and_reload(spark, tmp_path):
+    """hasAnyTokens / hasAllTokens through the posting list; metadata
+    roundtrip; compaction rebuilds the sidecar."""
+    t = MergeTreeTable(spark, str(tmp_path / "gin2"), order_by=["doc_id"],
+                       gin_index_cols=["text"])
+    t.insert(spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta epsilon"),
+         (4, "zeta eta")], "doc_id long, text string"))
+    anyhit = t.scan_with_tokens_gin("text", ["alpha", "beta"], mode="any")
+    assert sorted(r.doc_id for r in anyhit.collect()) == [1, 2, 3]
+    allhit = t.scan_with_tokens_gin("text", ["alpha", "beta"], mode="all")
+    assert sorted(r.doc_id for r in allhit.collect()) == [1]
+
+    t2 = MergeTreeTable.load(spark, str(tmp_path / "gin2"))
+    assert t2.gin_index_cols == ["text"]
+    t2.insert(spark.createDataFrame([(5, "beta theta")],
+                                    "doc_id long, text string"))
+    t2.compact()
+    assert sorted(r.doc_id for r in
+                  t2.scan_with_token_gin("text", "beta").collect()) == [1, 3, 5]
+    # sidecar invisible to the main read
+    assert t2.read_raw().columns == ["doc_id", "text"]
+
+
 def test_token_index_sidecar_invisible_to_main_read(spark, tmp_path):
     """The _token_idx sidecar lives inside the part directory but is
     underscore-prefixed, so the main parquet read never sees it."""
