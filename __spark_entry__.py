@@ -5871,6 +5871,39 @@ def source_native_roundtrip_q(spark, sf_dir):
     return read_native(spark, path).orderBy("n_nationkey")
 
 
+@q("source_native_lowcard_global", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
+""")
+def source_native_lowcard_global_q(spark, sf_dir):
+    """Native LowCardinality shared-global-dictionary mode end-to-end
+    (reference src/DataTypes/Serializations/SerializationLowCardinality
+    .cpp: NeedGlobalDictionaryBit / NeedUpdateDictionary; the layout
+    MergeTree parts use under
+    low_cardinality_use_single_dictionary_for_part): nation names
+    written as LowCardinality(String) global mode across multiple
+    blocks sharing one dictionary, read back through the Spark path."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import encode_native, read_native
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType(), False),
+        T.StructField("n_name", T.StringType(), False),
+        T.StructField("n_regionkey", T.IntegerType(), False)])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = [r.asDict() for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "native_lowcard_global")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.native"), "wb") as fh:
+        fh.write(encode_native(
+            rows, schema, block_rows=7,
+            ch_types={"n_name": "LowCardinality(String)",
+                      "n_regionkey": "LowCardinality(Int32)"},
+            lc_mode="global"))
+    return read_native(spark, path).orderBy("n_nationkey")
+
+
 @q("source_msgpack_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

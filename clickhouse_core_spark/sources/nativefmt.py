@@ -97,8 +97,20 @@ def _ch_type_to_spark(ch: str) -> T.DataType:
         return _ch_type_to_spark(ch[15:-1])
     if ch.startswith("Enum8(") or ch.startswith("Enum16("):
         return T.StringType()     # decoded through the value map
+    if ch.startswith("SimpleAggregateFunction(") and ch.endswith(")"):
+        # public contract (reference src/DataTypes/
+        # DataTypeCustomSimpleAggregateFunction.cpp): serialization IS
+        # the nested type's — full interop with any writer
+        return _ch_type_to_spark(_simple_agg_inner(ch))
     if ch.startswith("AggregateFunction("):
-        raise NotImplementedError(f"Native: column type {ch!r} not mapped")
+        # opaque state carrier: varint length + bytes per value (the
+        # String framing).  Exact round-trip for states THIS engine
+        # emits (operators/sketches.py DataSketches payloads); real
+        # reference files frame states per-function
+        # (src/DataTypes/Serializations/SerializationAggregateFunction
+        # .cpp calls function->serialize with no generic length), so
+        # foreign state columns stay out of scope — see LIMITS.md
+        return T.BinaryType()
     try:
         return _CH_TO_SPARK[ch]
     except KeyError:
@@ -123,27 +135,81 @@ def _read_str(buf: bytes, pos: int) -> tuple[str, int]:
 
 _LC_HAS_ADDITIONAL = 1 << 9
 _LC_NEED_GLOBAL = 1 << 8
+_LC_NEED_UPDATE = 1 << 10
 _LC_WIDTHS = {0: ("B", 1), 1: ("H", 2), 2: ("I", 4), 3: ("Q", 8)}
 
 
-def _decode_lowcardinality(buf: bytes, pos: int, inner: str, n: int):
+def _simple_agg_inner(ch: str) -> str:
+    """SimpleAggregateFunction(name, T) -> T (T may itself contain
+    commas, e.g. Decimal — split on the FIRST top-level comma)."""
+    inner = ch[ch.index("(") + 1:ch.rindex(")")]
+    depth = 0
+    for i, c in enumerate(inner):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            return inner[i + 1:].strip()
+    raise NotImplementedError(f"Native: malformed {ch!r}")
+
+
+def _decode_lowcardinality(buf: bytes, pos: int, inner: str, n: int,
+                           state: dict | None = None):
     """LowCardinality(T) column payload (reference
     src/DataTypes/Serializations/SerializationLowCardinality.cpp:
     KeysSerializationVersion u64, IndexesSerializationType u64
-    [width | HasAdditionalKeysBit], additional keys (u64 count +
-    nested-T values), u64 row count, fixed-width indexes).  The
-    shared-global-dictionary mode raises by name."""
+    [width | HasAdditionalKeysBit | NeedGlobalDictionaryBit |
+    NeedUpdateDictionary]).
+
+    Per-block ("additional keys") mode: additional keys (u64 count +
+    nested-T values), u64 row count, fixed-width indexes.
+
+    Shared-global-dictionary mode (NeedGlobalDictionaryBit, written by
+    the reference when low_cardinality_use_single_dictionary_for_part
+    applies): the global dictionary (u64 count + nested-T values)
+    appears when NeedUpdateDictionary is set or no dictionary has been
+    seen yet on this stream, persists across blocks via ``state``, and
+    indexes < len(global) hit the global dictionary while overflow
+    indexes hit the block's additional keys at idx - len(global)
+    (mapIndexWithAdditionalKeys, SerializationLowCardinality.cpp:325).
+    For nullable T, global-dictionary position 0 is the null slot."""
     _ver = struct.unpack_from("<Q", buf, pos)[0]
     pos += 8
     if n == 0:
         return [], pos
     idx_type = struct.unpack_from("<Q", buf, pos)[0]
     pos += 8
-    if idx_type & _LC_NEED_GLOBAL:
-        raise NotImplementedError(
-            "Native: LowCardinality global-dictionary mode not mapped")
     nullable = inner.startswith("Nullable(")
     keys_type = inner[9:-1] if nullable else inner
+    if idx_type & _LC_NEED_GLOBAL:
+        have_dict = state is not None and "global" in state
+        if (idx_type & _LC_NEED_UPDATE) or not have_dict:
+            num_g = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+            gkeys, pos = _decode_column(buf, pos, keys_type, num_g)
+            if state is not None:
+                state["global"] = gkeys
+        else:
+            gkeys = state["global"]
+        add: list = []
+        if idx_type & _LC_HAS_ADDITIONAL:
+            num_a = struct.unpack_from("<Q", buf, pos)[0]
+            pos += 8
+            add, pos = _decode_column(buf, pos, keys_type, num_a)
+        num_rows = struct.unpack_from("<Q", buf, pos)[0]
+        pos += 8
+        letter, w = _LC_WIDTHS[idx_type & 0xFF]
+        idxs = struct.unpack_from(f"<{num_rows}{letter}", buf, pos)
+        pos += w * num_rows
+        g = len(gkeys)
+        vals = []
+        for i in idxs:
+            if nullable and i == 0:
+                vals.append(None)
+            else:
+                vals.append(gkeys[i] if i < g else add[i - g])
+        return vals, pos
     num_keys = struct.unpack_from("<Q", buf, pos)[0]
     pos += 8
     keys, pos = _decode_column(buf, pos, keys_type, num_keys)
@@ -159,7 +225,13 @@ def _decode_lowcardinality(buf: bytes, pos: int, inner: str, n: int):
     return vals, pos
 
 
-def _encode_lowcardinality(out: bytearray, vals: list, inner: str) -> None:
+def _encode_lowcardinality(out: bytearray, vals: list, inner: str,
+                           mode: str = "additional") -> None:
+    """mode='additional' → per-block dictionary (the wire default);
+    mode='global' → shared-global-dictionary layout (NeedGlobalDictionary
+    + NeedUpdateDictionary, dictionary inline, no additional keys) —
+    the other public layout, which our decoder also accepts from
+    reference-written part files."""
     nullable = inner.startswith("Nullable(")
     keys_type = inner[9:-1] if nullable else inner
     out.extend(struct.pack("<Q", 1))          # key serialization version
@@ -179,6 +251,14 @@ def _encode_lowcardinality(out: bytearray, vals: list, inner: str) -> None:
         idxs.append(index_of[key])
     width = 0 if len(uniq) <= 0xFF else 1 if len(uniq) <= 0xFFFF else 2
     letter, _w = _LC_WIDTHS[width]
+    if mode == "global":
+        out.extend(struct.pack(
+            "<Q", width | _LC_NEED_GLOBAL | _LC_NEED_UPDATE))
+        out.extend(struct.pack("<Q", len(uniq)))
+        _encode_column(out, uniq, keys_type)
+        out.extend(struct.pack("<Q", len(idxs)))
+        out.extend(struct.pack(f"<{len(idxs)}{letter}", *idxs))
+        return
     out.extend(struct.pack("<Q", width | _LC_HAS_ADDITIONAL))
     out.extend(struct.pack("<Q", len(uniq)))
     _encode_column(out, uniq, keys_type)
@@ -195,7 +275,8 @@ def _parse_enum_map(ch_type: str) -> dict[int, str]:
             re.findall(r"'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)", inner)}
 
 
-def _decode_column(buf: bytes, pos: int, ch_type: str, n: int):
+def _decode_column(buf: bytes, pos: int, ch_type: str, n: int,
+                   state: dict | None = None):
     """Return (values list, new pos) for one column payload."""
     import datetime as _dt
     ch_type = ch_type.strip()
@@ -205,7 +286,18 @@ def _decode_column(buf: bytes, pos: int, ch_type: str, n: int):
         raw = struct.unpack_from(f"<{n}{letter}", buf, pos)
         return [emap.get(v, str(v)) for v in raw], pos + w * n
     if ch_type.startswith("LowCardinality(") and ch_type.endswith(")"):
-        return _decode_lowcardinality(buf, pos, ch_type[15:-1], n)
+        return _decode_lowcardinality(buf, pos, ch_type[15:-1], n, state)
+    if ch_type.startswith("SimpleAggregateFunction(") and ch_type.endswith(")"):
+        # serialization is the nested type's (see _ch_type_to_spark)
+        return _decode_column(buf, pos, _simple_agg_inner(ch_type), n, state)
+    if ch_type.startswith("AggregateFunction("):
+        # opaque state carrier, String framing (see _ch_type_to_spark)
+        vals = []
+        for _ in range(n):
+            ln, pos = _read_varint(buf, pos)
+            vals.append(bytearray(buf[pos:pos + ln]))
+            pos += ln
+        return vals, pos
     if ch_type.startswith("Nullable("):
         nulls = list(buf[pos:pos + n])
         pos += n
@@ -273,13 +365,17 @@ def decode_native_blob(buf: bytes) -> tuple[list[str], list[str],
     names: list[str] = []
     types: list[str] = []
     cols: dict[str, list] = {}
+    # per-column decode state: LowCardinality shared global dictionaries
+    # persist across blocks of the same stream
+    lc_states: dict[str, dict] = {}
     while pos < total:
         ncols, pos = _read_varint(buf, pos)
         nrows, pos = _read_varint(buf, pos)
         for _ in range(ncols):
             name, pos = _read_str(buf, pos)
             ch_t, pos = _read_str(buf, pos)
-            vals, pos = _decode_column(buf, pos, ch_t, nrows)
+            vals, pos = _decode_column(buf, pos, ch_t, nrows,
+                                       lc_states.setdefault(name, {}))
             if name not in cols:
                 names.append(name)
                 types.append(ch_t)
@@ -307,11 +403,21 @@ def infer_native_schema(buf: bytes) -> T.StructType:
 
 # ------------------------------------------------------------------- encode
 
-def _encode_column(out: bytearray, vals: list, ch_type: str) -> None:
+def _encode_column(out: bytearray, vals: list, ch_type: str,
+                   lc_mode: str = "additional") -> None:
     import datetime as _dt
     ch_type = ch_type.strip()
     if ch_type.startswith("LowCardinality(") and ch_type.endswith(")"):
-        _encode_lowcardinality(out, vals, ch_type[15:-1])
+        _encode_lowcardinality(out, vals, ch_type[15:-1], lc_mode)
+        return
+    if ch_type.startswith("SimpleAggregateFunction(") and ch_type.endswith(")"):
+        _encode_column(out, vals, _simple_agg_inner(ch_type), lc_mode)
+        return
+    if ch_type.startswith("AggregateFunction("):
+        for v in vals:
+            raw = bytes(v) if v is not None else b""
+            _put_varint(out, len(raw))
+            out.extend(raw)
         return
     if ch_type.startswith("Nullable("):
         out.extend(1 if v is None else 0 for v in vals)
@@ -393,8 +499,14 @@ def _default_for(ch_type: str):
 
 
 def encode_native(rows: list[dict], schema: T.StructType,
-                  block_rows: int = 65536) -> bytes:
-    """Encode rows into Native blocks (column order = schema order)."""
+                  block_rows: int = 65536,
+                  ch_types: dict | None = None,
+                  lc_mode: str = "additional") -> bytes:
+    """Encode rows into Native blocks (column order = schema order).
+    ``ch_types`` overrides the derived ClickHouse type per column name
+    (e.g. {'name': 'LowCardinality(String)'}); ``lc_mode='global'``
+    writes LowCardinality columns in the shared-global-dictionary
+    layout."""
     schema = _schema(schema)
     out = bytearray()
     for start in range(0, max(len(rows), 1), block_rows):
@@ -404,14 +516,16 @@ def encode_native(rows: list[dict], schema: T.StructType,
         _put_varint(out, len(schema.fields))
         _put_varint(out, len(chunk))
         for f in schema.fields:
-            ch_t = _spark_type_to_ch(f.dataType, f.nullable)
+            ch_t = (ch_types or {}).get(f.name) \
+                or _spark_type_to_ch(f.dataType, f.nullable)
             raw = f.name.encode("utf-8")
             _put_varint(out, len(raw))
             out.extend(raw)
             raw = ch_t.encode("utf-8")
             _put_varint(out, len(raw))
             out.extend(raw)
-            _encode_column(out, [r.get(f.name) for r in chunk], ch_t)
+            _encode_column(out, [r.get(f.name) for r in chunk], ch_t,
+                           lc_mode)
         if not chunk:
             break
     return bytes(out)

@@ -124,8 +124,11 @@ def test_unmapped_type_raises():
     # LowCardinality now maps to its inner type
     assert isinstance(_ch_type_to_spark("LowCardinality(String)"),
                       T.StringType)
-    with pytest.raises(NotImplementedError, match="AggregateFunction"):
-        _ch_type_to_spark("AggregateFunction(sum, UInt64)")
+    # AggregateFunction now carries as opaque BINARY state
+    assert isinstance(_ch_type_to_spark("AggregateFunction(sum, UInt64)"),
+                      T.BinaryType)
+    with pytest.raises(NotImplementedError, match="not mapped"):
+        _ch_type_to_spark("Tuple(UInt8, String)")
 
 
 @settings(max_examples=25, deadline=None)
@@ -215,12 +218,98 @@ def test_lowcardinality_column_roundtrip():
         _encode_column(out, vals, ch_t)
         back, pos = _decode_column(bytes(out), 0, ch_t, len(vals))
         assert back == vals and pos == len(out), ch_t
-    # global-dictionary mode raises by name
+
+
+def test_lowcardinality_global_dictionary_mode():
+    """Shared-global-dictionary layout (reference
+    SerializationLowCardinality.cpp: NeedGlobalDictionaryBit /
+    NeedUpdateDictionary; overflow indexes hit additional keys at
+    idx - len(global), mapIndexWithAdditionalKeys :325)."""
     import struct
-    import pytest as _pt
-    blob = struct.pack("<QQ", 1, (1 << 8))
-    with _pt.raises(NotImplementedError, match="global"):
-        _decode_column(blob, 0, "LowCardinality(String)", 1)
+    from clickhouse_core_spark.sources.nativefmt import (
+        _decode_column, _encode_column)
+    # encoder global mode round-trips, incl. nullable null-slot-0
+    for ch_t, vals in (
+            ("LowCardinality(String)", ["a", "b", "a", "c", "b"]),
+            ("LowCardinality(Nullable(String))",
+             ["x", None, "x", "y", None]),
+            ("LowCardinality(Int32)", [5, 5, -1, 5])):
+        out = bytearray()
+        _encode_column(out, vals, ch_t, "global")
+        state: dict = {}
+        back, pos = _decode_column(bytes(out), 0, ch_t, len(vals), state)
+        assert back == vals and pos == len(out), ch_t
+        assert "global" in state  # dictionary captured for later blocks
+
+    # hand-built: global dict [a,b] + additional keys [c]; indexes 0,1,2
+    # → a, b, c (overflow index 2 = additional[2 - 2])
+    blob = bytearray()
+    blob.extend(struct.pack("<Q", 1))                       # key version
+    blob.extend(struct.pack("<Q", 0 | (1 << 8) | (1 << 9) | (1 << 10)))
+    blob.extend(struct.pack("<Q", 2))                       # global dict
+    for s in (b"a", b"b"):
+        blob.append(len(s)); blob.extend(s)
+    blob.extend(struct.pack("<Q", 1))                       # additional
+    blob.append(1); blob.extend(b"c")
+    blob.extend(struct.pack("<Q", 3))                       # num rows
+    blob.extend(struct.pack("<3B", 0, 1, 2))
+    vals, pos = _decode_column(bytes(blob), 0,
+                               "LowCardinality(String)", 3, {})
+    assert vals == ["a", "b", "c"] and pos == len(blob)
+
+
+def test_lowcardinality_global_dict_shared_across_blocks():
+    """A later block with NeedGlobalDictionary but NO update bit reuses
+    the dictionary captured from the earlier block (per-stream state)."""
+    import struct
+    from clickhouse_core_spark.sources.nativefmt import (
+        _encode_column, decode_native_blob)
+    from clickhouse_core_spark.sources.rowformats import _put_varint
+
+    def header(blob, nrows):
+        _put_varint(blob, 1)
+        _put_varint(blob, nrows)
+        name, ch = b"cat", b"LowCardinality(String)"
+        _put_varint(blob, len(name)); blob.extend(name)
+        _put_varint(blob, len(ch)); blob.extend(ch)
+
+    blob = bytearray()
+    header(blob, 3)
+    _encode_column(blob, ["x", "y", "x"], "LowCardinality(String)",
+                   "global")                        # dict written here
+    header(blob, 2)
+    blob.extend(struct.pack("<Q", 1))               # key version
+    blob.extend(struct.pack("<Q", 0 | (1 << 8)))    # global, NO update
+    blob.extend(struct.pack("<Q", 2))               # num rows
+    blob.extend(struct.pack("<2B", 1, 0))           # indexes into shared dict
+    names, types, cols = decode_native_blob(bytes(blob))
+    assert cols["cat"] == ["x", "y", "x", "y", "x"]
+
+
+def test_simple_and_opaque_aggregate_function_columns():
+    from clickhouse_core_spark.sources.nativefmt import (
+        _ch_type_to_spark, _decode_column, _encode_column)
+    # SimpleAggregateFunction serializes as the nested type (public
+    # contract, DataTypeCustomSimpleAggregateFunction.cpp)
+    assert _ch_type_to_spark(
+        "SimpleAggregateFunction(sum, Int64)").simpleString() == "bigint"
+    out = bytearray()
+    _encode_column(out, [10, -3, 7], "SimpleAggregateFunction(sum, Int64)")
+    vals, pos = _decode_column(bytes(out), 0,
+                               "SimpleAggregateFunction(sum, Int64)", 3)
+    assert vals == [10, -3, 7] and pos == len(out)
+    assert _ch_type_to_spark(
+        "SimpleAggregateFunction(anyLast, Nullable(String))"
+    ).simpleString() == "string"
+    # AggregateFunction carried as opaque length-prefixed state bytes
+    assert _ch_type_to_spark(
+        "AggregateFunction(uniq, UInt64)").simpleString() == "binary"
+    states = [b"\x01\x02\x03", b"", b"\xff" * 5]
+    out = bytearray()
+    _encode_column(out, states, "AggregateFunction(uniq, UInt64)")
+    vals, pos = _decode_column(bytes(out), 0,
+                               "AggregateFunction(uniq, UInt64)", 3)
+    assert [bytes(v) for v in vals] == states and pos == len(out)
 
 
 def test_enum_column_decode():
