@@ -5843,6 +5843,52 @@ def source_capnproto_roundtrip_q(spark, sf_dir):
             .orderBy("n_nationkey"))
 
 
+@q("source_capnproto_nested", """
+SELECT n_nationkey,
+       n_regionkey AS rk,
+       'R' || CAST(n_regionkey AS VARCHAR) AS label,
+       CAST(3 AS INT) AS ks_n,
+       CAST(6 * n_nationkey AS BIGINT) AS ks_sum
+FROM nation ORDER BY n_nationkey
+""")
+def source_capnproto_nested_q(spark, sf_dir):
+    """CapnProto nested-struct + typed-list path (reference
+    src/Formats/CapnProtoSerializer.cpp nested-struct field walk):
+    nation rows carried as {id, geo{rk, label}, ks: List(Int64)} —
+    struct pointers and a C=5 typed list on the wire — read back and
+    flattened to scalars (struct field projection + list fold) for the
+    hash-graded oracle."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import (encode_capnproto,
+                                               read_format)
+    geo_t = T.StructType([
+        T.StructField("rk", T.IntegerType()),
+        T.StructField("label", T.StringType())])
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("geo", geo_t),
+        T.StructField("ks", T.ArrayType(T.LongType()))])
+    nat = _cat(spark, sf_dir).nation.select("n_nationkey", "n_regionkey")
+    rows = [{"n_nationkey": r.n_nationkey,
+             "geo": {"rk": r.n_regionkey, "label": f"R{r.n_regionkey}"},
+             "ks": [r.n_nationkey, r.n_nationkey * 2, r.n_nationkey * 3]}
+            for r in nat.collect()]  # 25-row dimension table
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "capnp_nested")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.capnp.bin"), "wb") as fh:
+        fh.write(encode_capnproto(rows, schema))
+    df = read_format(spark, path, "CapnProto", schema=schema)
+    return (df.select("n_nationkey",
+                      F.col("geo.rk").alias("rk"),
+                      F.col("geo.label").alias("label"),
+                      F.size("ks").alias("ks_n"),
+                      F.aggregate("ks", F.lit(0).cast("long"),
+                                  lambda a, x: a + x).alias("ks_sum"))
+            .orderBy("n_nationkey"))
+
+
 @q("source_native_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

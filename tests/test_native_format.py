@@ -182,9 +182,91 @@ def test_capnproto_roundtrip_spark(spark, workdir):
 
 def test_capnproto_unsupported_type():
     from clickhouse_core_spark.sources.capnproto import _layout
+    # lists of pointers (composite) stay out of scope
     with pytest.raises(NotImplementedError, match="CapnProto"):
         _layout(T.StructType([
-            T.StructField("a", T.ArrayType(T.LongType()))]))
+            T.StructField("a", T.ArrayType(T.StringType()))]))
+    with pytest.raises(NotImplementedError, match="CapnProto"):
+        _layout(T.StructType([
+            T.StructField("a", T.MapType(T.StringType(), T.LongType()))]))
+
+
+def test_capnproto_typed_scalar_lists():
+    from clickhouse_core_spark.sources.capnproto import (
+        decode_capnproto_blob, encode_capnproto)
+    schema = T.StructType([
+        T.StructField("i8", T.ArrayType(T.ByteType())),
+        T.StructField("i16", T.ArrayType(T.ShortType())),
+        T.StructField("i32", T.ArrayType(T.IntegerType())),
+        T.StructField("i64", T.ArrayType(T.LongType())),
+        T.StructField("f32", T.ArrayType(T.FloatType())),
+        T.StructField("f64", T.ArrayType(T.DoubleType())),
+        T.StructField("bl", T.ArrayType(T.BooleanType())),
+        T.StructField("tag", T.StringType())])
+    rows = [
+        {"i8": [1, -2, 127], "i16": [300, -4], "i32": [1 << 20],
+         "i64": [1 << 40, -(1 << 40)], "f32": [0.5, -1.25],
+         "f64": [3.5], "bl": [True, False, True, True, False,
+                              True, False, False, True], "tag": "x"},
+        {"i8": [], "i16": None, "i32": [0], "i64": [],
+         "f32": [], "f64": [], "bl": [], "tag": None},
+    ]
+    out = decode_capnproto_blob(encode_capnproto(rows, schema), schema)
+    assert out[0] == rows[0]
+    assert out[1]["i8"] == [] and out[1]["i16"] is None
+    assert out[1]["bl"] == [] and out[1]["tag"] is None
+
+
+def test_capnproto_nested_structs():
+    from clickhouse_core_spark.sources.capnproto import (
+        decode_capnproto_blob, encode_capnproto)
+    inner = T.StructType([
+        T.StructField("x", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("flags", T.ArrayType(T.BooleanType()))])
+    deep = T.StructType([
+        T.StructField("lvl", T.IntegerType()),
+        T.StructField("leaf", inner)])
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("meta", inner),
+        T.StructField("nest", deep),
+        T.StructField("tail", T.StringType())])
+    rows = [
+        {"id": 1,
+         "meta": {"x": 42, "name": "alpha", "flags": [True, False]},
+         "nest": {"lvl": 2,
+                  "leaf": {"x": -7, "name": "leafy", "flags": []}},
+         "tail": "end"},
+        {"id": 2, "meta": None, "nest": None, "tail": None},
+    ]
+    out = decode_capnproto_blob(encode_capnproto(rows, schema), schema)
+    assert out[0] == rows[0]
+    assert out[1] == rows[1]
+
+
+def test_capnproto_nested_through_spark(spark, workdir):
+    import os
+    from clickhouse_core_spark.sources.capnproto import (
+        encode_capnproto, read_capnproto)
+    inner = T.StructType([
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType())])
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("loc", inner),
+        T.StructField("samples", T.ArrayType(T.IntegerType()))])
+    rows = [{"id": i, "loc": {"lat": i * 1.5, "lon": -i * 0.5},
+             "samples": list(range(i % 4))} for i in range(10)]
+    d = os.path.join(workdir, "capnp_nested")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "t.capnp.bin"), "wb") as fh:
+        fh.write(encode_capnproto(rows, schema))
+    got = sorted(read_capnproto(spark, d, schema).collect(),
+                 key=lambda r: r.id)
+    assert len(got) == 10
+    assert got[3].loc.lat == 4.5 and got[3].loc.lon == -1.5
+    assert got[3].samples == [0, 1, 2]
 
 
 @settings(max_examples=25, deadline=None)
