@@ -1210,6 +1210,29 @@ def agg_moments_q(spark, sf_dir):
             .transform(_small_sorted, "l_returnflag"))
 
 
+@q("agg_flamegraph", """
+SELECT l_returnflag || ';' || l_linestatus || ';q' ||
+       CAST(CAST(floor(l_quantity / 10) AS INT) AS VARCHAR) || ' ' ||
+       CAST(count(*) AS VARCHAR) AS line
+FROM lineitem WHERE l_orderkey < 20000
+GROUP BY l_returnflag, l_linestatus, CAST(floor(l_quantity / 10) AS INT)
+ORDER BY line
+""")
+def agg_flamegraph(spark, sf_dir):
+    """flameGraph aggregate (reference src/AggregateFunctions/
+    AggregateFunctionFlameGraph.cpp): traces collapse to
+    'frame1;frame2;... weight' lines via one map-side-combinable
+    groupBy on the joined stack — trace frames here derive from
+    lineitem dimensions so the oracle can rebuild the lines in SQL."""
+    from clickhouse_core_spark.operators import flame_graph
+    li = _cat(spark, sf_dir).lineitem.filter(F.col("l_orderkey") < 20000)
+    df = li.select(F.array(
+        "l_returnflag", "l_linestatus",
+        F.concat(F.lit("q"), F.floor(F.col("l_quantity") / 10)
+                 .cast("int").cast("string"))).alias("trace"))
+    return flame_graph(df, "trace").orderBy("line")
+
+
 @q("agg_uniq_approx")
 def agg_uniq_approx(spark, sf_dir):
     """approx_count_distinct (HLL++) — sketch differs from any oracle,

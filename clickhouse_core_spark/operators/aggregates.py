@@ -286,6 +286,44 @@ def max_mapped_arrays(df, keys, karr_col, varr_col, alias="max_map"):
     return _agg_mapped_arrays(df, keys, karr_col, varr_col, F.max, alias)
 
 
+def flame_graph(df: DataFrame, trace_col: str,
+                weight_col: str | None = None,
+                sep: str = ";", alias: str = "line") -> DataFrame:
+    """flameGraph(trace[, size]) (reference
+    src/AggregateFunctions/AggregateFunctionFlameGraph.cpp): aggregate
+    stack traces into the collapsed-stacks text lines flamegraph
+    tooling consumes — one line per distinct full trace,
+    'frame1;frame2;... weight'.  Distributed shape: one groupBy on the
+    joined trace string (map-side partial sums), no driver-side tree —
+    prefix totals are the renderer's job, as with perf's collapsed
+    output."""
+    w = (F.col(weight_col).cast("long") if weight_col
+         else F.lit(1).cast("long"))
+    return (df.select(F.array_join(F.col(trace_col), sep).alias("__stack"),
+                      w.alias("__w"))
+            .groupBy("__stack").agg(F.sum("__w").alias("__total"))
+            .select(F.concat_ws(" ", F.col("__stack"),
+                                F.col("__total")).alias(alias)))
+
+
+def agg_throw(throw_probability: float = 1.0):
+    """aggThrow(p) (reference
+    src/AggregateFunctions/AggregateFunctionAggThrow.cpp): a
+    test-only aggregate that throws during creation with probability p
+    — used by the reference's exception-safety tests.  Deterministic
+    here: always raises when p >= 1, never when p <= 0 (a fractional p
+    needs a random source, which this engine's deterministic test
+    contract forbids — callers pick the branch they want to test)."""
+    if throw_probability >= 1.0:
+        raise ValueError("Aggregate function aggThrow has thrown exception "
+                         "successfully")
+    if throw_probability <= 0.0:
+        return None
+    raise NotImplementedError(
+        "aggThrow: fractional throw probability needs a random source; "
+        "use 0 or 1 in deterministic tests")
+
+
 def group_concat(df: DataFrame, keys: Sequence[str], value_col: str,
                  order: Sequence[str], sep: str = "",
                  limit: int | None = None,

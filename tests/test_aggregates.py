@@ -302,3 +302,29 @@ def test_distinct_json_paths(spark):
     got = {(r.path, r.jtype) for r in rows}
     assert got == {("a.b", "Int64"), ("a.c", "String"), ("d", "Float64"),
                    ("e", "Bool"), ("f", "Null")}
+
+
+def test_flame_graph_collapsed_stacks(spark):
+    from clickhouse_core_spark.operators import flame_graph
+    df = spark.createDataFrame(
+        [(["main", "parse", "alloc"], 64),
+         (["main", "parse", "alloc"], 32),
+         (["main", "exec"], 16),
+         (["main"], 8)],
+        "trace array<string>, size int")
+    got = sorted(r.line for r in
+                 flame_graph(df, "trace", "size").collect())
+    assert got == ["main 8", "main;exec 16", "main;parse;alloc 96"]
+    # weightless form counts traces
+    got = sorted(r.line for r in flame_graph(df, "trace").collect())
+    assert got == ["main 1", "main;exec 1", "main;parse;alloc 2"]
+
+
+def test_agg_throw_contract():
+    import pytest
+    from clickhouse_core_spark.operators import agg_throw
+    with pytest.raises(ValueError, match="aggThrow"):
+        agg_throw(1.0)
+    assert agg_throw(0.0) is None
+    with pytest.raises(NotImplementedError, match="random"):
+        agg_throw(0.5)
