@@ -3269,6 +3269,44 @@ def kql_filter_summarize(spark, sf_dir):
                     F.format_string("%.2f", F.col("mx")).alias("mx"))
 
 
+@q("kql_join_union", """
+WITH a AS (
+  SELECT o.o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(l.l_linenumber) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_orderkey < 5000 AND l.l_quantity > 30 AND o.o_orderkey < 5000
+  GROUP BY o.o_orderpriority),
+b AS (
+  SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(o_custkey) AS BIGINT) AS qty
+  FROM orders WHERE o_orderkey >= 5000 AND o_orderkey < 6000
+  GROUP BY o_orderpriority)
+SELECT pri, n, qty FROM (SELECT * FROM a UNION ALL SELECT * FROM b) t
+ORDER BY pri, n, qty
+""")
+def kql_join_union(spark, sf_dir):
+    """KQL join + union end-to-end (documented superset of the
+    reference's Kusto subset — src/Parsers/Kusto/ ships no join/union
+    parser; kinds follow the public Kusto spec): $left/$right equi
+    join against a parenthesized subquery, summarize over the joined
+    shape, union with a second summarized branch."""
+    _cat(spark, sf_dir)
+    return kql_query(spark, """
+      lineitem
+      | where l_orderkey < 5000 and l_quantity > 30
+      | join kind=inner (orders | where o_orderkey < 5000)
+            on $left.l_orderkey == $right.o_orderkey
+      | summarize n = count(), qty = sum(l_linenumber) by o_orderpriority
+      | project pri = o_orderpriority, n, qty
+      | union (orders
+               | where o_orderkey >= 5000 and o_orderkey < 6000
+               | summarize n = count(), qty = sum(o_custkey)
+                     by o_orderpriority
+               | project pri = o_orderpriority, n, qty)
+      | sort by pri asc, n asc, qty asc
+    """)
+
+
 @q("fn_conv_matrix_datetime_math", """
 SELECT o_orderkey,
        try_cast(CAST(o_orderkey AS VARCHAR) AS INT) AS i32,

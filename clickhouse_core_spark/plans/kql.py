@@ -13,8 +13,18 @@ regex``) plus timespan/datetime literals
 This module translates the same surface into DataFrame operations:
 each pipe stage becomes a Catalyst transformation, expressions are
 rewritten KQL->Spark-SQL text and compiled with ``F.expr`` (JVM-side,
-no Python UDFs).  ``join``/``union``/``make-series`` are not in the
-reference's KQL subset and raise NotImplementedError by name.
+no Python UDFs).
+
+SUPERSET of the reference subset (the reference's src/Parsers/Kusto/
+has no join/union/make-series parser): ``make-series`` (default-filled
+bins), ``join`` (public Kusto kinds inner/innerunique/leftouter/
+rightouter/fullouter/leftsemi/rightsemi/leftanti/rightanti, ``on Key``
+and ``on $left.a == $right.b`` terms, right-side clash columns
+suffixed '1' per Kusto), and ``union`` (kind=outer column-superset /
+kind=inner column-intersection, table names or parenthesized
+subqueries).  innerunique dedups left keys BEFORE the join (Kusto
+contract); which duplicate row survives is unspecified there and
+nondeterministic here too.
 """
 
 from __future__ import annotations
@@ -575,6 +585,83 @@ def _make_series(df: DataFrame, body: str) -> DataFrame:
     return per_group.select(*keys, *series_cols, axis_col)
 
 
+def _source(spark: SparkSession, text: str,
+            tables: dict[str, DataFrame] | None) -> DataFrame:
+    """A join/union operand: a table name or a parenthesized KQL
+    subquery (recursive translation)."""
+    text = text.strip()
+    if text.startswith("(") and text.endswith(")"):
+        return kql(spark, text[1:-1], tables)
+    name = text.strip("`")
+    if not re.fullmatch(r"[A-Za-z_]\w*", name):
+        raise ValueError(f"KQL source must be a table or (subquery): "
+                         f"{text!r}")
+    return (tables[name] if tables is not None and name in tables
+            else spark.table(name))
+
+
+_KQL_JOIN_KINDS = {
+    "inner": "inner", "innerunique": "inner",
+    "leftouter": "left", "rightouter": "right", "fullouter": "full",
+    "leftsemi": "left_semi", "leftanti": "left_anti",
+    "rightsemi": "right_semi", "rightanti": "right_anti",
+}
+
+
+def _join(spark: SparkSession, left: DataFrame, body: str,
+          tables: dict[str, DataFrame] | None) -> DataFrame:
+    """Public Kusto join: ``join [kind=K] (RightSource) on Terms``.
+    Terms: ``Key`` (same-name equi) or ``$left.a == $right.b``.
+    Right-side columns clashing with left names get the Kusto '1'
+    suffix; semi/anti kinds return one side's columns only.  The right
+    kinds run as a swapped left_semi/left_anti."""
+    m = re.match(r"^(?:kind\s*=\s*(\w+)\s+)?(\(.*\)|[A-Za-z_]\w*)\s+"
+                 r"on\s+(.*)$", body, re.I | re.S)
+    if not m:
+        raise ValueError(f"KQL join expects '[kind=K] Source on "
+                         f"terms': {body!r}")
+    kind = (m.group(1) or "innerunique").lower()
+    if kind not in _KQL_JOIN_KINDS:
+        raise NotImplementedError(f"KQL join kind={kind}")
+    right = _source(spark, m.group(2), tables)
+    pairs: list[tuple[str, str]] = []
+    for t in _split_top_commas(m.group(3)):
+        t = t.strip()
+        mm = re.match(r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", t)
+        if mm:
+            pairs.append((mm.group(1), mm.group(2)))
+        elif re.fullmatch(r"[A-Za-z_]\w*", t):
+            pairs.append((t, t))
+        else:
+            raise NotImplementedError(f"KQL join term {t!r} (only Key "
+                                      f"and $left.a == $right.b)")
+    if kind in ("rightsemi", "rightanti"):
+        how = "left_semi" if kind == "rightsemi" else "left_anti"
+        cond = None
+        for lk, rk in pairs:
+            c = right[rk] == left[lk]
+            cond = c if cond is None else (cond & c)
+        return right.join(left, cond, how)
+    if kind in ("leftsemi", "leftanti"):
+        cond = None
+        for lk, rk in pairs:
+            c = left[lk] == right[rk]
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond, _KQL_JOIN_KINDS[kind])
+    if kind == "innerunique":
+        # Kusto dedups the LEFT side on the join keys before joining;
+        # the surviving duplicate row is unspecified there too
+        left = left.dropDuplicates([lk for lk, _ in pairs])
+    renames = {c: c + "1" for c in right.columns if c in left.columns}
+    for old, new in renames.items():
+        right = right.withColumnRenamed(old, new)
+    cond = None
+    for lk, rk in pairs:
+        c = left[lk] == right[renames.get(rk, rk)]
+        cond = c if cond is None else (cond & c)
+    return left.join(right, cond, _KQL_JOIN_KINDS[kind])
+
+
 def kql(spark: SparkSession, query: str,
         tables: dict[str, DataFrame] | None = None) -> DataFrame:
     """Run a KQL tabular query; table names resolve from ``tables`` or
@@ -650,6 +737,22 @@ def kql(spark: SparkSession, query: str,
             df = df.withColumn(col, F.explode(F.col(col)))
         elif op == "make-series":
             df = _make_series(df, body)
+        elif op == "join":
+            df = _join(spark, df, body, tables)
+        elif op == "union":
+            m = re.match(r"^(?:kind\s*=\s*(\w+)\s+)?(.*)$", body,
+                         re.I | re.S)
+            kind = (m.group(1) or "outer").lower()
+            if kind not in ("outer", "inner"):
+                raise NotImplementedError(f"KQL union kind={kind}")
+            for src in _split_top_commas(m.group(2)):
+                other = _source(spark, src, tables)
+                if kind == "inner":
+                    common = [c for c in df.columns if c in other.columns]
+                    df = df.select(*common).unionByName(
+                        other.select(*common))
+                else:
+                    df = df.unionByName(other, allowMissingColumns=True)
         elif op == "parse":
             # parse [kind=simple] Col with "lit" Name1 [: type] "lit" ...
             # (ParserKQLQuery.cpp parse operator, simple mode): literals

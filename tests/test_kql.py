@@ -145,8 +145,9 @@ def test_mv_expand(spark):
 
 
 def test_unmapped_operator_raises(spark, customers):
+    # join/union are mapped since r5; fork remains unmapped
     with pytest.raises(NotImplementedError):
-        kql(spark, "Customers | join (Customers) on Name")
+        kql(spark, "Customers | fork (where Age > 1)")
 
 
 def test_fixture_tables(spark, catalog):
@@ -218,3 +219,87 @@ def test_kql_parse_operator(spark):
     import pytest as _pt
     with _pt.raises(NotImplementedError, match="kind"):
         kql(spark, "kql_logs | parse kind=regex msg with a 'x' b")
+
+
+@pytest.fixture(scope="module")
+def depts(spark):
+    rows = [("Engineer", "R&D", 10), ("Manager", "Ops", 20),
+            ("Sales", "GTM", 30)]
+    df = spark.createDataFrame(rows, "Occupation string, Dept string, Code int")
+    df.createOrReplaceTempView("Depts")
+    return df
+
+
+def test_join_same_name_key_kinds(spark, customers, depts):
+    out = kql(spark, """
+      Customers
+      | join kind=inner Depts on Occupation
+      | project Name, Dept
+      | sort by Name asc
+    """)
+    got = [(r.Name, r.Dept) for r in out.collect()]
+    assert ("Alice", "R&D") in got and ("Carol", "Ops") in got
+    assert len(got) == 5  # dave the Analyst has no dept row
+    # right key surfaces with the Kusto '1' suffix
+    cols = kql(spark, "Customers | join kind=inner Depts on Occupation",
+               None).columns
+    assert "Occupation" in cols and "Occupation1" in cols
+
+    anti = kql(spark, """
+      Customers | join kind=leftanti Depts on Occupation | project Name
+    """)
+    assert sorted(r.Name for r in anti.collect()) == ["dave"]
+    semi = kql(spark, """
+      Customers | join kind=leftsemi Depts on Occupation
+    """)
+    assert semi.count() == 5 and "Dept" not in semi.columns
+    rsemi = kql(spark, """
+      Customers | join kind=rightsemi Depts on Occupation | project Dept
+    """)
+    assert sorted(r.Dept for r in rsemi.collect()) == ["Ops", "R&D"]
+    ranti = kql(spark, """
+      Customers | join kind=rightanti Depts on Occupation | project Dept
+    """)
+    assert sorted(r.Dept for r in ranti.collect()) == ["GTM"]
+
+
+def test_join_dollar_terms_and_subquery(spark, customers, depts):
+    out = kql(spark, """
+      Customers
+      | join kind=leftouter (Depts | where Code < 25)
+            on $left.Occupation == $right.Occupation
+      | project Name, Dept
+      | sort by Name asc
+    """)
+    got = {r.Name: r.Dept for r in out.collect()}
+    assert got["Alice"] == "R&D" and got["dave"] is None
+
+
+def test_join_innerunique_dedups_left(spark, customers, depts):
+    out = kql(spark, """
+      Customers
+      | join Depts on Occupation
+      | project Occupation, Dept
+    """)
+    rows = [(r.Occupation, r.Dept) for r in out.collect()]
+    assert sorted(set(rows)) == sorted(rows)  # one row per left key
+    assert set(rows) == {("Engineer", "R&D"), ("Manager", "Ops")}
+
+
+def test_union_outer_and_inner(spark, customers, depts):
+    out = kql(spark, """
+      Customers | project Name, Occupation
+      | union (Depts | project Occupation, Dept)
+    """)
+    assert out.count() == 9
+    assert set(out.columns) == {"Name", "Occupation", "Dept"}
+    inner = kql(spark, """
+      Customers | project Name, Occupation
+      | union kind=inner (Depts | project Occupation, Dept)
+    """)
+    assert inner.columns == ["Occupation"] and inner.count() == 9
+
+
+def test_join_unknown_kind_raises(spark, customers, depts):
+    with pytest.raises(NotImplementedError, match="kind=cross"):
+        kql(spark, "Customers | join kind=cross Depts on Occupation")
