@@ -2553,6 +2553,49 @@ def numbers_source_q(spark, sf_dir):
             .orderBy("n"))
 
 
+@q("source_zeros", """
+SELECT CAST(0 AS SMALLINT) AS zero
+FROM generate_series(0, 99) ORDER BY zero
+""")
+def source_zeros_q(spark, sf_dir):
+    """zeros(N) table function (reference
+    src/TableFunctions/TableFunctionZeros.cpp) — the constant-row
+    generator the reference benches expression throughput with."""
+    from clickhouse_core_spark.sources import zeros_table
+    return zeros_table(spark, 100).orderBy("zero")
+
+
+@q("table_fn_mergetree_index", """
+SELECT CAST(count(*) AS BIGINT) AS total_rows,
+       CAST(2 AS BIGINT) AS files
+FROM orders WHERE o_orderkey < 5000
+""")
+def table_fn_mergetree_index(spark, sf_dir):
+    """mergeTreeIndex table function (reference
+    src/TableFunctions/TableFunctionMergeTreeIndex.cpp): granule-level
+    index introspection — per (part, file, row group) row counts and
+    sort-key min/max from the parquet footers.  Oracle checks the
+    invariant the reference's marks obey: index row counts sum to the
+    table's rows, across the deterministic 2-file layout."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.sources import (MergeTreeTable,
+                                               merge_tree_index)
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "mti_entry")
+    _sh.rmtree(base, ignore_errors=True)
+    t = MergeTreeTable(spark, base, order_by=["o_orderkey"])
+    src = (_cat(spark, sf_dir).orders
+           .filter(F.col("o_orderkey") < 5000)
+           .select("o_orderkey", "o_totalprice")
+           .repartitionByRange(2, "o_orderkey"))
+    t.insert(src)
+    idx = merge_tree_index(spark, t)
+    return idx.agg(
+        F.sum("rows").cast("long").alias("total_rows"),
+        F.countDistinct("file").cast("long").alias("files"))
+
+
 @q("merge_engine_union", """
 SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM (
   SELECT c_nationkey AS k FROM customer

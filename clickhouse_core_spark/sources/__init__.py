@@ -13,6 +13,7 @@ from clickhouse_core_spark.sources.mergetree import (
 )
 from clickhouse_core_spark.sources.formats import (
     FORMAT_MAP, read_format, write_format, generate_random,
+    read_format_cluster, fuzz_json, fuzz_query,
 )
 from clickhouse_core_spark.sources.rowformats import (
     encode_rowbinary, read_rowbinary, encode_msgpack, read_msgpack,
@@ -47,7 +48,7 @@ from clickhouse_core_spark.sources.system import (
     system_tables, system_columns, system_functions, system_numbers,
     system_one, system_settings, has_column_in_table,
     to_column_type_name, is_nullable_column, dump_column_structure,
-    format_prometheus,
+    format_prometheus, zeros_table, merge_tree_index, view_if_permitted,
 )
 from clickhouse_core_spark.sources.policies import (
     RowPolicy, apply_row_policies, CheckConstraint, ConstraintViolation,
@@ -59,6 +60,7 @@ __all__ = ["MergeTreeTable", "Projection", "add_projection",
            "SetTable", "JoinTable", "BufferTable", "MemoryTable",
            "system_tables", "system_columns", "system_functions",
            "system_numbers", "system_one", "system_settings",
+           "zeros_table", "merge_tree_index", "view_if_permitted",
            "has_column_in_table", "to_column_type_name",
            "is_nullable_column", "dump_column_structure",
            "format_prometheus", "FORMAT_MAP", "read_format", "write_format",
@@ -77,7 +79,8 @@ __all__ = ["MergeTreeTable", "Projection", "add_projection",
            "read_mysql_dump", "read_form", "read_one", "read_null",
            "format_markdown", "format_vertical", "format_sql_insert",
            "format_xml", "read_template", "format_template",
-           "generate_random", "jdbc_options", "external_table",
+           "generate_random", "read_format_cluster", "fuzz_json",
+           "fuzz_query", "jdbc_options", "external_table",
            "lakehouse_table", "LAKEHOUSE_FORMATS",
            "mongodb_options", "redis_options", "mongodb_table",
            "redis_table",

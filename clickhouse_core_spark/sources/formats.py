@@ -279,3 +279,113 @@ def generate_random(spark: SparkSession, schema: T.StructType | str,
             raise NotImplementedError(f"generateRandom: type {field.dataType}")
         df = df.withColumn(field.name, gen(seed + i))
     return df.drop("__i")
+
+
+# fileCluster(cluster, path, format, ...) (reference
+# src/TableFunctions/TableFunctionFileCluster.cpp): distribute the file
+# list across a cluster.  Spark's reader IS the cluster distribution —
+# split planning assigns files/blocks to executors — so the cluster
+# form and the local form share one implementation.
+read_format_cluster = read_format
+
+
+def fuzz_json(spark: SparkSession, template: str, n: int,
+              seed: int = 42,
+              mutate_probability: float = 0.3) -> DataFrame:
+    """fuzzJSON(template, ...) table function (reference
+    src/TableFunctions/TableFunctionFuzzJSON.cpp): n structurally
+    perturbed variants of a JSON document.  Deterministic analog: a
+    splittable hash of (seed, row, path) drives every decision, so the
+    output is stable across partitionings and re-runs — same contract
+    as generateRandom.  Mutations: integer nudge, string suffix, bool
+    flip, occasional key rename — one pandas-batched pass, n rows out
+    of spark.range(n)."""
+    import json as _json
+    import pandas as _pd
+
+    def _h(*parts) -> int:
+        x = seed & 0xFFFFFFFFFFFFFFFF
+        for p in parts:
+            for b in str(p).encode():
+                x = ((x ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 33
+        return x
+
+    def _mut(v, row, path):
+        h = _h(row, path)
+        if (h % 1000) / 1000.0 >= mutate_probability:
+            return v
+        if isinstance(v, bool):
+            return not v
+        if isinstance(v, int):
+            return v + (h % 7) - 3
+        if isinstance(v, float):
+            return v * (1.0 + ((h % 21) - 10) / 100.0)
+        if isinstance(v, str):
+            return v + chr(ord('a') + h % 26)
+        if isinstance(v, list):
+            return [_mut(e, row, f"{path}[{i}]")
+                    for i, e in enumerate(v)]
+        if isinstance(v, dict):
+            out = {}
+            for k, e in v.items():
+                k2 = (k + chr(ord('a') + _h(row, path, k) % 26)
+                      if (_h(row, path, k, "key") % 1000) / 1000.0
+                      < mutate_probability / 3 else k)
+                out[k2] = _mut(e, row, f"{path}.{k}")
+            return out
+        return v
+
+    doc = _json.loads(template)
+
+    def batches(it):
+        for pdf in it:
+            yield _pd.DataFrame({"json": [
+                _json.dumps(_mut(doc, int(i), "$"), sort_keys=True)
+                for i in pdf["id"]]})
+
+    return spark.range(n).mapInPandas(batches, "json string")
+
+
+def fuzz_query(spark: SparkSession, query: str, n: int,
+               seed: int = 42) -> DataFrame:
+    """fuzzQuery(query, ...) table function (reference
+    src/TableFunctions/TableFunctionFuzzQuery.cpp): n perturbed
+    variants of a SQL query string for parser fuzzing.  Deterministic
+    token-level mutations (identifier suffix, number nudge, operator
+    swap, clause duplication) keyed by the same splittable hash as
+    fuzz_json."""
+    import re as _re
+    import pandas as _pd
+
+    toks = _re.findall(r"\s+|\w+|[^\w\s]", query)
+    swaps = {"=": "!=", "<": "<=", ">": ">=", "AND": "OR", "and": "or"}
+
+    def _h(*parts) -> int:
+        x = seed & 0xFFFFFFFFFFFFFFFF
+        for p in parts:
+            for b in str(p).encode():
+                x = ((x ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 33
+        return x
+
+    def variant(row: int) -> str:
+        out = []
+        for i, t in enumerate(toks):
+            h = _h(row, i)
+            if t.strip() and h % 10 == 0:
+                if t in swaps:
+                    t = swaps[t]
+                elif t.isdigit():
+                    t = str(int(t) + h % 5)
+                elif t.isidentifier():
+                    t = t + ("_f" if h % 3 == 0 else "")
+            out.append(t)
+        return "".join(out)
+
+    def batches(it):
+        for pdf in it:
+            yield _pd.DataFrame({"query": [variant(int(i))
+                                           for i in pdf["id"]]})
+
+    return spark.range(n).mapInPandas(batches, "query string")

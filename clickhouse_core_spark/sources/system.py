@@ -55,6 +55,70 @@ def system_one(spark: SparkSession) -> DataFrame:
     return spark.range(1).select(F.lit(0).cast("smallint").alias("dummy"))
 
 
+def zeros_table(spark: SparkSession, limit: int) -> DataFrame:
+    """zeros(N) table function (reference
+    src/TableFunctions/TableFunctionZeros.cpp): N rows of a single
+    UInt8 ``zero`` column — the reference's constant-row generator for
+    benchmarking expression throughput."""
+    return spark.range(limit).select(
+        F.lit(0).cast("smallint").alias("zero"))
+
+
+def merge_tree_index(spark: SparkSession, table) -> DataFrame:
+    """mergeTreeIndex(db, table) analog (reference
+    src/TableFunctions/TableFunctionMergeTreeIndex.cpp: exposes the
+    primary index / marks of a MergeTree table): one row per (part,
+    file, row group) with row counts and the min/max of the sort-key
+    columns — the same granule-level metadata the reference surfaces,
+    sourced from the parquet footers that ARE this engine's primary
+    index.  Footer walk is driver-side O(files), the same planning
+    cost a scan pays; the result is metadata, never data."""
+    import os
+    import pyarrow.parquet as pq
+    rows = []
+    keys = list(table.order_by)
+    for part in table.parts():
+        for root, dirs, files in os.walk(part):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in sorted(files):
+                if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                md = pq.ParquetFile(p).metadata
+                names = [md.schema.column(i).name
+                         for i in range(md.num_columns)]
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    mins, maxs = [], []
+                    for k in keys:
+                        if k in names:
+                            st = g.column(names.index(k)).statistics
+                            mins.append(str(st.min) if st else None)
+                            maxs.append(str(st.max) if st else None)
+                        else:
+                            mins.append(None)
+                            maxs.append(None)
+                    rows.append((os.path.basename(part), p, rg,
+                                 g.num_rows, g.total_byte_size,
+                                 ",".join(m or "" for m in mins),
+                                 ",".join(m or "" for m in maxs)))
+    return spark.createDataFrame(
+        rows, "part_name string, file string, row_group int, "
+              "rows bigint, bytes bigint, min_key string, max_key string")
+
+
+def view_if_permitted(spark: SparkSession, query: str,
+                      permitted: bool, else_schema) -> DataFrame:
+    """viewIfPermitted(SELECT ... ELSE null('schema')) analog
+    (reference src/TableFunctions/TableFunctionViewIfPermitted.cpp):
+    run the view query when the caller is permitted, otherwise an
+    empty table of the ELSE schema — composes with sources/policies.py
+    row policies for the permission decision."""
+    if permitted:
+        return spark.sql(query)
+    return spark.createDataFrame([], else_schema)
+
+
 def system_settings(spark: SparkSession) -> DataFrame:
     """system.settings analog: the session's runtime SQL conf."""
     items = sorted(spark.sparkContext.getConf().getAll())

@@ -112,3 +112,60 @@ def test_arrow_stream_multiple_files(spark, workdir):
             w.write_table(tbl)
     back = read_format(spark, d, "ArrowStream")
     assert sorted(r.id for r in back.collect()) == [0, 1, 10, 11, 20, 21]
+
+
+def test_zeros_table(spark):
+    from clickhouse_core_spark.sources import zeros_table
+    rows = zeros_table(spark, 5).collect()
+    assert [r.zero for r in rows] == [0, 0, 0, 0, 0]
+
+
+def test_merge_tree_index_introspection(spark, tmp_path):
+    from clickhouse_core_spark.sources import MergeTreeTable, merge_tree_index
+    t = MergeTreeTable(spark, str(tmp_path / "mti"), order_by=["k"])
+    t.insert(spark.range(100).selectExpr("id as k", "id * 2 as v")
+             .repartitionByRange(2, "k"))
+    idx = merge_tree_index(spark, t)
+    rows = idx.collect()
+    assert rows and all(r.rows > 0 for r in rows)
+    assert sum(r.rows for r in rows) == 100
+    # sort-key min/max come from the footer stats
+    assert any(r.min_key == "0" for r in rows)
+    assert {c for c in idx.columns} == {
+        "part_name", "file", "row_group", "rows", "bytes",
+        "min_key", "max_key"}
+
+
+def test_view_if_permitted(spark):
+    from clickhouse_core_spark.sources import view_if_permitted
+    spark.range(3).createOrReplaceTempView("vip_t")
+    ok = view_if_permitted(spark, "SELECT id FROM vip_t", True,
+                           "id bigint")
+    assert ok.count() == 3
+    no = view_if_permitted(spark, "SELECT id FROM vip_t", False,
+                           "id bigint")
+    assert no.count() == 0 and no.columns == ["id"]
+
+
+def test_fuzz_json_deterministic(spark):
+    import json
+    from clickhouse_core_spark.sources import fuzz_json
+    tpl = '{"a": 1, "b": "x", "c": [true, 2.5], "d": {"e": 7}}'
+    a = [r.json for r in fuzz_json(spark, tpl, 8, seed=7).collect()]
+    b = [r.json for r in fuzz_json(spark, tpl, 8, seed=7).collect()]
+    assert a == b                      # deterministic across runs
+    assert len(set(a)) > 1             # actually mutates
+    for j in a:
+        json.loads(j)                  # stays valid JSON
+    c = [r.json for r in fuzz_json(spark, tpl, 8, seed=8).collect()]
+    assert a != c                      # seed changes the stream
+
+
+def test_fuzz_query_deterministic(spark):
+    from clickhouse_core_spark.sources import fuzz_query
+    q = "SELECT a, b FROM t WHERE a = 1 AND b < 10"
+    a = [r.query for r in fuzz_query(spark, q, 10, seed=3).collect()]
+    b = [r.query for r in fuzz_query(spark, q, 10, seed=3).collect()]
+    assert a == b
+    assert len(set(a)) > 1
+    assert any("OR" in v or "!=" in v or "<=" in v for v in a)
