@@ -4824,6 +4824,38 @@ def pipeline_pii_redact(spark, sf_dir):
             .select("doc_id", "text_redacted").orderBy("doc_id"))
 
 
+@q("pipeline_lm_perplexity", """
+WITH toks AS (
+  SELECT doc_id, t.tok AS tok
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+       AS t(tok)
+  WHERE t.tok <> '' AND doc_id < 200),
+uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT (SELECT count(*) FROM toks) AS n,
+               (SELECT count(*) FROM uni) AS v)
+SELECT doc_id, printf('%.6f', avg(-ln((c + 1.0) / (n + v)))) AS nll
+FROM toks JOIN uni USING (tok) CROSS JOIN tot
+GROUP BY doc_id ORDER BY doc_id
+""")
+def pipeline_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): train an
+    add-1 unigram model over the corpus with two aggregations, score
+    each document's mean negative log-likelihood with one equi-join —
+    the head/middle/tail fluency statistic, no external model file.
+    Carrier is a fixed-format string (transcendental + sum-order
+    noise)."""
+    from clickhouse_core_spark.pipeline import (score_ngram_lm,
+                                                train_ngram_lm)
+    d = (_cat(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    uni, tot = train_ngram_lm(d, order=1, alpha=1.0)
+    scored = score_ngram_lm(d, uni, tot)
+    return (scored.select("doc_id",
+                          F.format_string("%.6f", F.col("nll"))
+                          .alias("nll"))
+            .orderBy("doc_id"))
+
+
 @q("pipeline_gopher_signals", """
 WITH synth AS (
   SELECT doc_id, replace(text, ' table ', chr(10)) AS t

@@ -40,6 +40,8 @@ from clickhouse_core_spark.pipeline.text import (
     with_fingerprint,
     with_pii_redacted,
     with_gopher_signals,
+    train_ngram_lm,
+    score_ngram_lm,
     benchmark_contamination,
     chunk_documents,
 )
@@ -53,5 +55,6 @@ __all__ = [
     "semantic_dedup",
     "with_token_count", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_pii_redacted", "with_gopher_signals",
+    "train_ngram_lm", "score_ngram_lm",
     "benchmark_contamination", "chunk_documents",
 ]

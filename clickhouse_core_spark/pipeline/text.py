@@ -333,3 +333,76 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
             .select(*other, F.col("chunk_id").cast("long"),
                     F.col("__c.t").alias("chunk_text"),
                     F.col("__c.k").alias("chunk_tokens")))
+
+
+def train_ngram_lm(docs: DataFrame, text_col: str = "text",
+                   order: int = 1, alpha: float = 1.0):
+    """CCNet-style corpus language model: add-alpha-smoothed n-gram
+    counts trained with plain aggregations (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"
+    — the quality signal there is a KenLM perplexity; this is the same
+    statistic from an in-corpus n-gram model, no external model file).
+
+    Returns (counts DataFrame, totals dict).  order=1: counts are
+    (tok, c).  order=2: additionally (prev, tok, c2) bigram rows in a
+    second DataFrame.  All shuffles key on tokens — the vocabulary —
+    so state is vocab-sized, not corpus-sized; at 100 TB the counts
+    table shards fine and the scoring join is a plain equi-join
+    (broadcast when the vocab is small)."""
+    if order not in (1, 2):
+        raise ValueError("order must be 1 or 2")
+    toks = (docs.select(F.posexplode(_tokens(F.col(text_col)))
+                        .alias("pos", "tok"))
+            .filter(F.col("tok") != ""))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    agg = uni.agg(F.sum("c").alias("n"), F.count("*").alias("v")).first()
+    totals = {"n": int(agg["n"] or 0), "v": int(agg["v"] or 0),
+              "alpha": float(alpha)}
+    if order == 1:
+        return uni, totals
+    pairs = (docs.select(_tokens(F.col(text_col)).alias("ts"))
+             .select(F.explode(F.expr(
+                 "transform(sequence(1, size(ts) - 1), "
+                 "i -> struct(ts[i-1] as prev, ts[i] as tok))")).alias("p"))
+             .select("p.prev", "p.tok")
+             .filter((F.col("prev") != "") & (F.col("tok") != "")))
+    bi = pairs.groupBy("prev", "tok").agg(F.count("*").alias("c2"))
+    return (uni, bi), totals
+
+
+def score_ngram_lm(docs: DataFrame, model, totals: dict,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   out_col: str = "nll") -> DataFrame:
+    """Per-document mean negative log-likelihood under the trained
+    model (lower = more fluent under the corpus distribution — the
+    CCNet head/middle/tail quality split statistic).  Unigram:
+    -ln((c+a)/(n+a*v)) averaged over tokens; bigram model conditions
+    on the previous token with add-alpha backoff to the unigram
+    denominator.  One explode + one equi-join + one groupBy — all
+    JVM-side."""
+    a = float(totals["alpha"])
+    n, v = totals["n"], totals["v"]
+    if isinstance(model, tuple):
+        uni, bi = model
+        pairs = (docs.select(id_col, _tokens(F.col(text_col)).alias("ts"))
+                 .select(id_col, F.explode(F.expr(
+                     "transform(sequence(1, size(ts) - 1), "
+                     "i -> struct(ts[i-1] as prev, ts[i] as tok))"))
+                     .alias("p"))
+                 .select(id_col, "p.prev", "p.tok")
+                 .filter((F.col("prev") != "") & (F.col("tok") != "")))
+        joined = (pairs
+                  .join(bi, ["prev", "tok"], "left")
+                  .join(uni.withColumnRenamed("tok", "prev")
+                        .withColumnRenamed("c", "cprev"), ["prev"], "left"))
+        p = ((F.coalesce(F.col("c2"), F.lit(0)) + a)
+             / (F.coalesce(F.col("cprev"), F.lit(0)) + a * v))
+    else:
+        uni = model
+        toksd = (docs.select(id_col, F.explode(_tokens(F.col(text_col)))
+                             .alias("tok"))
+                 .filter(F.col("tok") != ""))
+        joined = toksd.join(uni, ["tok"], "left")
+        p = (F.coalesce(F.col("c"), F.lit(0)) + a) / (n + a * v)
+    return (joined.groupBy(id_col)
+            .agg(F.avg(-F.log(p)).alias(out_col)))

@@ -272,3 +272,40 @@ def test_chunk_documents_windows(spark):
     assert d2 == [(0, "short text")]
     with _pt.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_ngram_lm_unigram_scores(spark):
+    import math
+    from clickhouse_core_spark.pipeline import score_ngram_lm, train_ngram_lm
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the the the the"),
+         (3, "zyx qwv jkl")],
+        "doc_id long, text string")
+    uni, tot = train_ngram_lm(docs, order=1, alpha=1.0)
+    counts = {r.tok: r.c for r in uni.collect()}
+    assert counts["the"] == 6 and counts["cat"] == 1
+    assert tot["n"] == sum(counts.values()) and tot["v"] == len(counts)
+    scored = {r.doc_id: r.nll
+              for r in score_ngram_lm(docs, uni, tot).collect()}
+    # doc 2 is all high-frequency tokens -> most fluent (lowest nll)
+    assert scored[2] < scored[1] < scored[3]
+    # exact value check for doc 2: all tokens 'the' (c=6)
+    expect = -math.log((6 + 1.0) / (tot["n"] + tot["v"]))
+    assert abs(scored[2] - expect) < 1e-12
+
+
+def test_ngram_lm_bigram_conditions_on_prev(spark):
+    from clickhouse_core_spark.pipeline import score_ngram_lm, train_ngram_lm
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "b a b a b a"), (3, "a a a b b b")],
+        "doc_id long, text string")
+    (uni, bi), tot = train_ngram_lm(docs, order=2, alpha=0.5)
+    c2 = {(r.prev, r.tok): r.c2 for r in bi.collect()}
+    assert c2[("a", "b")] == 6 and c2[("b", "a")] == 5
+    assert c2.get(("a", "a")) == 2 and c2.get(("b", "b")) == 2
+    scored = {r.doc_id: r.nll
+              for r in score_ngram_lm(docs, (uni, bi), tot).collect()}
+    # alternating docs follow the dominant bigrams -> lower nll than
+    # the run-structured doc
+    assert scored[1] < scored[3] and scored[2] < scored[3]
