@@ -6086,6 +6086,44 @@ def source_native_lowcard_global_q(spark, sf_dir):
     return read_native(spark, path).orderBy("n_nationkey")
 
 
+@q("source_rowbinary_defaults", """
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation ORDER BY n_nationkey
+""")
+def source_rowbinary_defaults_q(spark, sf_dir):
+    """RowBinaryWithDefaults (reference registration in
+    src/Processors/Formats/Impl/BinaryRowInputFormat.cpp): every
+    column prefixed by a use-default byte; omitted values decode to
+    the column's type default (String -> '').  Every 5th nation name
+    ships as a default to exercise both branches."""
+    import os as _os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    from clickhouse_core_spark.sources.rowformats import encode_rowbinary
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType(), False),
+        T.StructField("n_name", T.StringType(), False),
+        T.StructField("n_regionkey", T.IntegerType(), False)])
+    nat = _cat(spark, sf_dir).nation.select(
+        "n_nationkey", "n_name", "n_regionkey")
+    rows = []
+    for r in nat.collect():  # 25-row dimension table
+        d = r.asDict()
+        if d["n_nationkey"] % 5 == 0:
+            d["n_name"] = None          # -> default byte on the wire
+        rows.append(d)
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "rb_defaults")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "nation.bin"), "wb") as fh:
+        fh.write(encode_rowbinary(rows, schema, with_defaults=True))
+    return (read_format(spark, path, "RowBinaryWithDefaults",
+                        schema=schema)
+            .orderBy("n_nationkey"))
+
+
 @q("source_msgpack_roundtrip", """
 SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey
 """)

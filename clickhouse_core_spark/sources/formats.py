@@ -65,14 +65,21 @@ def read_format(spark: SparkSession, path: str, ch_format: str,
             spark, path, schema,
             with_names=ch_format in ("RowBinaryWithNames",
                                      "RowBinaryWithNamesAndTypes"),
-            with_types=ch_format == "RowBinaryWithNamesAndTypes")
-    if ch_format in ("JSON", "JSONCompact"):
+            with_types=ch_format == "RowBinaryWithNamesAndTypes",
+            with_defaults=ch_format == "RowBinaryWithDefaults")
+    if ch_format in ("JSON", "JSONCompact", "JSONStrings",
+                     "JSONCompactStrings"):
         from clickhouse_core_spark.sources.jsonforms import (
             read_json_document)
         if schema is None:
             raise ValueError(f"{ch_format} reading needs an explicit schema")
-        return read_json_document(spark, path, schema,
-                                  compact=ch_format == "JSONCompact")
+        return read_json_document(
+            spark, path, schema,
+            compact=ch_format in ("JSONCompact", "JSONCompactStrings"),
+            strings=ch_format in ("JSONStrings", "JSONCompactStrings"))
+    if ch_format == "RawBLOB":
+        from clickhouse_core_spark.sources.jsonforms import read_raw_blob
+        return read_raw_blob(spark, path, **extra)
     if ch_format in ("JSONColumns", "JSONColumnsWithMetadata",
                      "JSONCompactColumns"):
         from clickhouse_core_spark.sources.jsonforms import (
@@ -389,3 +396,36 @@ def fuzz_query(spark: SparkSession, query: str, n: int,
                                            for i in pdf["id"]]})
 
     return spark.range(n).mapInPandas(batches, "query string")
+
+
+def decode_avro_confluent(df: DataFrame, value_col: str,
+                          reader_schema_json: str,
+                          accepted_ids=None,
+                          out_col: str = "avro") -> DataFrame:
+    """AvroConfluent (reference
+    src/Processors/Formats/Impl/AvroRowInputFormat.cpp, Confluent wire
+    framing): each message is 0x00 magic + 4-byte big-endian schema id
+    + Avro binary.  Decodes the payload with ``reader_schema_json``
+    (standard Avro schema-evolution contract: writers registered under
+    ``accepted_ids`` must resolve to this reader schema); rows whose
+    magic/id don't match decode to NULL.  The schema-registry FETCH is
+    a deploy-time concern — pass the resolved schema JSON; no registry
+    runs in this container.  Needs the spark-avro module (Spark ships
+    it as an external jar) — raises with the module name if absent."""
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "AvroConfluent needs the spark-avro module on the "
+            "classpath (org.apache.spark:spark-avro)") from e
+    payload = F.expr(
+        f"substring({value_col}, 6, length({value_col}) - 5)")
+    sid = F.conv(F.hex(F.expr(f"substring({value_col}, 2, 4)")),
+                 16, 10).cast("long")
+    cond = (F.expr(f"substring({value_col}, 1, 1)")
+            == F.lit(bytes([0])))
+    if accepted_ids is not None:
+        cond = cond & sid.isin([int(i) for i in accepted_ids])
+    decoded = from_avro(payload, reader_schema_json)
+    return df.withColumn("schema_id", sid) \
+             .withColumn(out_col, F.when(cond, decoded))

@@ -45,10 +45,13 @@ def _wholetext(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_json_document(spark: SparkSession, path: str, schema,
-                       compact: bool = False) -> DataFrame:
-    """CH `JSON` / `JSONCompact` input: one document per file with
-    meta/data sections; `data` rows are objects (JSON) or positional
-    arrays (JSONCompact)."""
+                       compact: bool = False,
+                       strings: bool = False) -> DataFrame:
+    """CH `JSON` / `JSONCompact` / `JSONStrings` / `JSONCompactStrings`
+    input: one document per file with meta/data sections; `data` rows
+    are objects (JSON) or positional arrays (JSONCompact); the Strings
+    variants carry every value as a quoted string (parsed as strings,
+    cast to the schema — the reference's type-from-schema rule)."""
     schema = _schema(schema)
     if compact:
         arr = T.ArrayType(T.ArrayType(T.StringType()))
@@ -58,11 +61,36 @@ def read_json_document(spark: SparkSession, path: str, schema,
         cols = [F.col("r")[i].cast(f.dataType).alias(f.name)
                 for i, f in enumerate(schema.fields)]
         return parsed.select(*cols)
+    if strings:
+        str_schema = T.StructType([
+            T.StructField(f.name, T.StringType(), True)
+            for f in schema.fields])
+        doc = T.StructType([
+            T.StructField("data", T.ArrayType(str_schema))])
+        return (_wholetext(spark, path)
+                .select(F.explode(F.from_json("value", doc)["data"])
+                        .alias("r"))
+                .select(*[F.col("r")[f.name].cast(f.dataType)
+                          .alias(f.name) for f in schema.fields]))
     doc = T.StructType([T.StructField("data", T.ArrayType(schema))])
     return (_wholetext(spark, path)
             .select(F.explode(F.from_json("value", doc)["data"])
                     .alias("r"))
             .select("r.*"))
+
+
+def read_raw_blob(spark: SparkSession, path: str,
+                  column: str = "raw",
+                  as_string: bool = False) -> DataFrame:
+    """CH `RawBLOB` input (reference
+    src/Processors/Formats/Impl/RawBLOBRowInputFormat.cpp): the whole
+    file is ONE value of a single binary/String column — the format
+    the reference uses to ingest opaque payloads."""
+    df = (spark.read.format("binaryFile").load(path)
+          .select(F.col("content").alias(column)))
+    if as_string:
+        df = df.select(F.col(column).cast("string").alias(column))
+    return df
 
 
 def read_json_columns(spark: SparkSession, path: str, schema,
@@ -287,6 +315,34 @@ def format_xml(df: DataFrame, max_rows: int = 10000) -> str:
         out.append("\t\t</row>")
     out += ["\t</data>", f"\t<rows>{len(rows)}</rows>", "</result>", ""]
     return "\n".join(out)
+
+
+def format_json_each_row_with_progress(df: DataFrame,
+                                       max_rows: int = 10000,
+                                       strings: bool = False,
+                                       compact: bool = False) -> str:
+    """CH `JSON[Compact][Strings]EachRowWithProgress` output (reference
+    src/Processors/Formats/Impl/JSONEachRowWithProgressRowOutputFormat
+    .cpp): each row wrapped as {"row": ...} with a terminal
+    {"progress": {...}} event.  Progress here is the deterministic
+    final snapshot (rows read) — the streaming server interleaves
+    intermediate ones, which a bounded renderer has no source for."""
+    import json as _json
+    rows = _collect_bounded(df, max_rows)
+    out = []
+    for r in rows:
+        if compact:
+            vals = [r[c] for c in df.columns]
+            payload = [str(v) if strings and v is not None else v
+                       for v in vals]
+        else:
+            payload = {c: (str(r[c]) if strings and r[c] is not None
+                           else r[c]) for c in df.columns}
+        out.append(_json.dumps({"row": payload}, default=str))
+    out.append(_json.dumps({"progress": {
+        "read_rows": str(len(rows)), "read_bytes": "0",
+        "total_rows_to_read": str(len(rows))}}))
+    return "\n".join(out) + "\n"
 
 
 def read_template(spark: SparkSession, path: str, schema,

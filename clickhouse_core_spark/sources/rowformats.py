@@ -86,11 +86,16 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
 
 def encode_rowbinary(rows: list[dict], schema: T.StructType,
                      with_names: bool = False,
-                     with_types: bool = False) -> bytes:
-    """Encode rows to RowBinary(/WithNames/WithNamesAndTypes) bytes
-    (reference src/Processors/Formats/Impl/BinaryRowOutputFormat.cpp:
-    values back-to-back, String = varint length + utf8, fixed-width
-    little-endian numerics, nullable prefixed by a 0/1 byte)."""
+                     with_types: bool = False,
+                     with_defaults: bool = False) -> bytes:
+    """Encode rows to RowBinary(/WithNames/WithNamesAndTypes/
+    WithDefaults) bytes (reference
+    src/Processors/Formats/Impl/BinaryRowOutputFormat.cpp: values
+    back-to-back, String = varint length + utf8, fixed-width
+    little-endian numerics, nullable prefixed by a 0/1 byte).
+    WithDefaults prefixes EVERY column with a byte — 1 means "use the
+    column default, no value follows", 0 means the normal
+    serialization follows (RowBinaryWithDefaults registration)."""
     import datetime as _dt
     out = bytearray()
     if with_names or with_types:
@@ -112,6 +117,11 @@ def encode_rowbinary(rows: list[dict], schema: T.StructType,
     for r in rows:
         for f in schema.fields:
             v = r.get(f.name)
+            if with_defaults:
+                if v is None:
+                    out.append(1)   # column default, no value
+                    continue
+                out.append(0)
             if f.nullable:
                 out.append(1 if v is None else 0)
                 if v is None:
@@ -140,8 +150,28 @@ def encode_rowbinary(rows: list[dict], schema: T.StructType,
     return bytes(out)
 
 
+def _rb_default(f: "T.StructField"):
+    if f.nullable:
+        return None
+    dt = f.dataType
+    if isinstance(dt, T.StringType):
+        return ""
+    if isinstance(dt, T.BinaryType):
+        return bytearray()
+    if isinstance(dt, T.DateType):
+        import datetime as _dt
+        return _dt.date(1970, 1, 1)
+    if isinstance(dt, T.TimestampType):
+        import datetime as _dt
+        return _dt.datetime(1970, 1, 1)
+    if isinstance(dt, T.BooleanType):
+        return False
+    return 0
+
+
 def _decode_rowbinary_blob(buf: bytes, schema: T.StructType,
-                           with_names: bool, with_types: bool) -> list[dict]:
+                           with_names: bool, with_types: bool,
+                           with_defaults: bool = False) -> list[dict]:
     import datetime as _dt
     pos = 0
     if with_names or with_types:
@@ -155,6 +185,12 @@ def _decode_rowbinary_blob(buf: bytes, schema: T.StructType,
     while pos < n:
         row: dict = {}
         for f in schema.fields:
+            if with_defaults:
+                use_default = buf[pos]
+                pos += 1
+                if use_default:
+                    row[f.name] = _rb_default(f)
+                    continue
             if f.nullable:
                 is_null = buf[pos]
                 pos += 1
@@ -190,7 +226,8 @@ def _decode_rowbinary_blob(buf: bytes, schema: T.StructType,
 
 def read_rowbinary(spark: SparkSession, path: str, schema: T.StructType,
                    with_names: bool = False,
-                   with_types: bool = False) -> DataFrame:
+                   with_types: bool = False,
+                   with_defaults: bool = False) -> DataFrame:
     """RowBinary file source: blobs via binaryFile (one task per file,
     executor-local decode), Arrow-batched back to the JVM."""
     schema = _schema(schema)
@@ -202,7 +239,8 @@ def read_rowbinary(spark: SparkSession, path: str, schema: T.StructType,
             rows: list[dict] = []
             for blob in pdf["content"]:
                 rows.extend(_decode_rowbinary_blob(
-                    bytes(blob), schema, with_names, with_types))
+                    bytes(blob), schema, with_names, with_types,
+                    with_defaults))
             yield pd.DataFrame(
                 {n: [r.get(n) for r in rows] for n in names}, columns=names)
 

@@ -169,3 +169,105 @@ def test_fuzz_query_deterministic(spark):
     assert a == b
     assert len(set(a)) > 1
     assert any("OR" in v or "!=" in v or "<=" in v for v in a)
+
+
+def test_rowbinary_with_defaults_roundtrip(spark, tmp_path):
+    import os
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources.rowformats import (
+        _decode_rowbinary_blob, encode_rowbinary)
+    schema = T.StructType([
+        T.StructField("i", T.LongType(), False),
+        T.StructField("s", T.StringType(), False),
+        T.StructField("x", T.DoubleType(), True)])
+    rows = [{"i": 1, "s": "a", "x": 2.5},
+            {"i": None, "s": None, "x": None},   # all defaults
+            {"i": 3, "s": "c", "x": None}]
+    blob = encode_rowbinary(rows, schema, with_defaults=True)
+    back = _decode_rowbinary_blob(blob, schema, False, False,
+                                  with_defaults=True)
+    assert back[0] == rows[0]
+    assert back[1] == {"i": 0, "s": "", "x": None}  # type defaults
+    assert back[2] == {"i": 3, "s": "c", "x": None}
+    # through the read_format dispatch
+    from clickhouse_core_spark.sources import read_format
+    d = tmp_path / "rbd"; d.mkdir()
+    (d / "t.bin").write_bytes(blob)
+    df = read_format(spark, str(d), "RowBinaryWithDefaults", schema=schema)
+    assert df.count() == 3
+
+
+def test_json_strings_formats(spark, tmp_path):
+    from pyspark.sql import types as T
+    from clickhouse_core_spark.sources import read_format
+    schema = T.StructType([
+        T.StructField("a", T.IntegerType()),
+        T.StructField("b", T.StringType())])
+    d1 = tmp_path / "js"; d1.mkdir()
+    (d1 / "t.json").write_text(
+        '{"meta": [], "data": [{"a": "1", "b": "x"}, '
+        '{"a": "2", "b": "y"}], "rows": 2}')
+    got = sorted((r.a, r.b) for r in
+                 read_format(spark, str(d1), "JSONStrings",
+                             schema=schema).collect())
+    assert got == [(1, "x"), (2, "y")]
+    d2 = tmp_path / "jcs"; d2.mkdir()
+    (d2 / "t.json").write_text(
+        '{"meta": [], "data": [["3", "z"], ["4", "w"]], "rows": 2}')
+    got = sorted((r.a, r.b) for r in
+                 read_format(spark, str(d2), "JSONCompactStrings",
+                             schema=schema).collect())
+    assert got == [(3, "z"), (4, "w")]
+
+
+def test_raw_blob(spark, tmp_path):
+    from clickhouse_core_spark.sources import read_format
+    d = tmp_path / "blob"; d.mkdir()
+    (d / "x.bin").write_bytes(b"\x00\x01payload\xff")
+    rows = read_format(spark, str(d), "RawBLOB").collect()
+    assert len(rows) == 1 and bytes(rows[0].raw) == b"\x00\x01payload\xff"
+
+
+def test_json_each_row_with_progress_renderer(spark):
+    import json
+    from clickhouse_core_spark.sources.jsonforms import (
+        format_json_each_row_with_progress)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n int, s string")
+    out = format_json_each_row_with_progress(df.orderBy("n"))
+    lines = [json.loads(l) for l in out.strip().splitlines()]
+    assert lines[0] == {"row": {"n": 1, "s": "a"}}
+    assert lines[-1]["progress"]["read_rows"] == "2"
+    compact = format_json_each_row_with_progress(
+        df.orderBy("n"), compact=True, strings=True)
+    lines = [json.loads(l) for l in compact.strip().splitlines()]
+    assert lines[0] == {"row": ["1", "a"]}
+
+
+def test_avro_confluent_decode(spark):
+    import pytest
+    try:
+        from pyspark.sql.avro.functions import to_avro
+    except ImportError:
+        pytest.skip("spark-avro module not available")
+    from pyspark.sql import functions as F
+    from clickhouse_core_spark.sources.formats import decode_avro_confluent
+    sch = ('{"type": "record", "name": "r", "fields": '
+           '[{"name": "n", "type": "long"}, '
+           '{"name": "s", "type": "string"}]}')
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "n long, s string")
+    try:
+        framed = df.select(F.concat(
+            F.lit(bytes([0])), F.lit(bytes([0, 0, 0, 7])),
+            to_avro(F.struct("n", "s"), sch)).alias("value"))
+        out = decode_avro_confluent(framed, "value", sch,
+                                    accepted_ids=[7])
+        rows = sorted((r.schema_id, r.avro.n, r.avro.s)
+                      for r in out.collect())
+    except Exception as e:  # jar absent at runtime
+        if "avro" in str(e).lower():
+            pytest.skip(f"spark-avro jar not on classpath: {e}")
+        raise
+    assert rows == [(7, 1, "a"), (7, 2, "b")]
+    # wrong id -> NULL struct
+    bad = decode_avro_confluent(framed, "value", sch, accepted_ids=[9])
+    assert all(r.avro is None for r in bad.collect())
