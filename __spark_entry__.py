@@ -4824,6 +4824,40 @@ def pipeline_pii_redact(spark, sf_dir):
             .select("doc_id", "text_redacted").orderBy("doc_id"))
 
 
+@q("dedup_paragraph", """
+WITH synth AS (
+  SELECT doc_id, replace(text, ' table ', chr(10) || chr(10)) AS t
+  FROM documents WHERE doc_id < 150),
+paras AS (
+  SELECT doc_id, u.x.para AS para, u.x.pos AS pos FROM synth,
+  unnest(list_transform(string_split(t, chr(10) || chr(10)),
+         (x, i) -> struct_pack(para := x, pos := i - 1))) AS u(x)
+  WHERE length(trim(u.x.para)) > 0),
+w AS (SELECT para, min(doc_id * 1000000 + pos) AS k FROM paras GROUP BY para),
+kept AS (SELECT p.doc_id, p.para, p.pos FROM paras p, w
+         WHERE p.para = w.para AND p.doc_id * 1000000 + p.pos = w.k),
+agg AS (SELECT doc_id, string_agg(para, chr(10) || chr(10) ORDER BY pos)
+        AS txt FROM kept GROUP BY doc_id)
+SELECT s.doc_id, coalesce(a.txt, '') AS text_deduped
+FROM synth s LEFT JOIN agg a USING (doc_id) ORDER BY s.doc_id
+""")
+def dedup_paragraph(spark, sf_dir):
+    """Paragraph-level exact dedup (Lee et al. 2022 / RefinedWeb
+    recipe): first corpus occurrence of each paragraph survives,
+    repeats vanish everywhere, documents reassemble in order.  Two
+    hash-keyed linear shuffles (pipeline/dedup.py paragraph_dedup);
+    paragraphs synthesized from the fixture by splitting on a
+    frequent token so cross-document repeats actually occur."""
+    from clickhouse_core_spark.pipeline import paragraph_dedup
+    d = (_cat(spark, sf_dir).documents
+         .filter(F.col("doc_id") < 150)
+         .select("doc_id",
+                 F.regexp_replace("text", " table ", "\n\n").alias("text")))
+    return (paragraph_dedup(d)
+            .select("doc_id", "text_deduped")
+            .orderBy("doc_id"))
+
+
 @q("pipeline_lm_perplexity", """
 WITH toks AS (
   SELECT doc_id, t.tok AS tok

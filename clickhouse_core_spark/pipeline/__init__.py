@@ -11,6 +11,7 @@ verification happens only within buckets.
 
 from clickhouse_core_spark.pipeline.dedup import (
     exact_dedup,
+    paragraph_dedup,
     md5_hash60,
     minhash_signatures,
     minhash_lsh_dedup,
@@ -47,7 +48,8 @@ from clickhouse_core_spark.pipeline.text import (
 )
 
 __all__ = [
-    "exact_dedup", "md5_hash60", "minhash_signatures", "minhash_lsh_dedup",
+    "exact_dedup", "paragraph_dedup", "md5_hash60", "minhash_signatures",
+    "minhash_lsh_dedup",
     "simhash_dedup", "ngram_jaccard_pairs",
     "connected_components", "dedup_clusters",
     "deterministic_sample", "stratified_sample", "pack_token_budget",

@@ -13,6 +13,8 @@ linear in corpus size.  Candidate verification is per-bucket.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame
@@ -375,3 +377,41 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                              F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = "\n\n",
+                    out_col: str = "text_deduped") -> DataFrame:
+    """Paragraph-level exact dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at paragraph
+    granularity — the RefinedWeb/Falcon recipe): each distinct
+    paragraph survives ONLY at its first corpus occurrence (lowest
+    (doc, position)); repeats vanish from every other document, and
+    documents reassemble in original paragraph order (possibly empty).
+
+    Shape: posexplode → groupBy(paragraph hash) min (map-side partial
+    agg collapses repeats before the shuffle) → equi-join winners back
+    → groupBy(doc) reassemble.  Two hash-keyed shuffles, both linear
+    in the paragraph count; hot paragraphs (boilerplate) collapse
+    map-side so they cannot skew the exchange."""
+    esc = re.escape(sep)
+    paras = (df.select(F.col(id_col).alias("__d"),
+                       F.posexplode(F.split(F.col(text_col), esc))
+                       .alias("__p", "__para"))
+             .filter(F.length(F.trim("__para")) > 0))
+    # combined ordering key: first occurrence = min (doc, pos); pos is
+    # bounded far below 1e6 for any real document
+    key = F.col("__d") * 1000000 + F.col("__p")
+    winners = (paras.groupBy(F.xxhash64("__para").alias("__h"))
+               .agg(F.min(key).alias("__k")))
+    kept = (paras.join(winners,
+                       (F.xxhash64(F.col("__para")) == F.col("__h"))
+                       & (key == F.col("__k")), "left_semi"))
+    rebuilt = (kept.groupBy("__d")
+               .agg(F.concat_ws(sep, F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("__p"), F.col("__para")))),
+                   lambda s: s["__para"])).alias(out_col)))
+    return (df.join(rebuilt, df[id_col] == rebuilt["__d"], "left")
+            .drop("__d")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(""))))

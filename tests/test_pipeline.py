@@ -309,3 +309,34 @@ def test_ngram_lm_bigram_conditions_on_prev(spark):
     # alternating docs follow the dominant bigrams -> lower nll than
     # the run-structured doc
     assert scored[1] < scored[3] and scored[2] < scored[3]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from clickhouse_core_spark.pipeline import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "intro\n\nboilerplate\n\nbody one"),
+         (2, "boilerplate\n\nbody two"),
+         (3, "boilerplate"),
+         (4, "intro\n\nfresh")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.text_deduped
+           for r in paragraph_dedup(docs).collect()}
+    # doc 1 owns 'intro' and 'boilerplate' (first occurrence)
+    assert out[1] == "intro\n\nboilerplate\n\nbody one"
+    # later docs lose the repeated paragraphs, keep their own
+    assert out[2] == "body two"
+    assert out[3] == ""                # lost everything
+    assert out[4] == "fresh"
+    # original columns survive
+    cols = paragraph_dedup(docs).columns
+    assert "text" in cols and "doc_id" in cols
+
+
+def test_paragraph_dedup_order_and_custom_sep(spark):
+    from clickhouse_core_spark.pipeline import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "c|a|b"), (2, "b|x|a")], "doc_id long, text string")
+    out = {r.doc_id: r.text_deduped
+           for r in paragraph_dedup(docs, sep="|").collect()}
+    assert out[1] == "c|a|b"           # original order preserved
+    assert out[2] == "x"
