@@ -4827,7 +4827,7 @@ def pipeline_pii_redact(spark, sf_dir):
 @q("dedup_paragraph", """
 WITH synth AS (
   SELECT doc_id, replace(text, ' table ', chr(10) || chr(10)) AS t
-  FROM documents WHERE doc_id < 150),
+  FROM documents),
 paras AS (
   SELECT doc_id, u.x.para AS para, u.x.pos AS pos FROM synth,
   unnest(list_transform(string_split(t, chr(10) || chr(10)),
@@ -4850,7 +4850,6 @@ def dedup_paragraph(spark, sf_dir):
     frequent token so cross-document repeats actually occur."""
     from clickhouse_core_spark.pipeline import paragraph_dedup
     d = (_cat(spark, sf_dir).documents
-         .filter(F.col("doc_id") < 150)
          .select("doc_id",
                  F.regexp_replace("text", " table ", "\n\n").alias("text")))
     return (paragraph_dedup(d)
@@ -4863,7 +4862,7 @@ WITH toks AS (
   SELECT doc_id, t.tok AS tok
   FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
        AS t(tok)
-  WHERE t.tok <> '' AND doc_id < 200),
+  WHERE t.tok <> ''),
 uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
 tot AS (SELECT (SELECT count(*) FROM toks) AS n,
                (SELECT count(*) FROM uni) AS v)
@@ -4880,8 +4879,7 @@ def pipeline_lm_perplexity(spark, sf_dir):
     noise)."""
     from clickhouse_core_spark.pipeline import (score_ngram_lm,
                                                 train_ngram_lm)
-    d = (_cat(spark, sf_dir).documents
-         .filter(F.col("doc_id") < 200).select("doc_id", "text"))
+    d = _cat(spark, sf_dir).documents.select("doc_id", "text")
     uni, tot = train_ngram_lm(d, order=1, alpha=1.0)
     scored = score_ngram_lm(d, uni, tot)
     return (scored.select("doc_id",

@@ -57,6 +57,8 @@ HEADLINE = [
     "stream_tumble_1h",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_paragraph",
+    "pipeline_lm_perplexity",
     "text_token_count",
     "ann_cosine_topk",
     "multimodal_decode",
