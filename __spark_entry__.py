@@ -5808,6 +5808,37 @@ def mergetree_aggregating_final(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+@q("stream_live_view", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS _version
+FROM orders WHERE o_orderkey < 5000 GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def stream_live_view(spark, sf_dir):
+    """LIVE VIEW end-to-end (reference src/Storages/LiveView/
+    StorageLiveView.cpp: stored result snapshot + _version that bumps
+    only when the result hash changes): refresh materializes the
+    defining aggregate, a second refresh with an unchanged result
+    leaves the version at 1 — which the oracle pins."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.streaming import LiveView
+    c = _cat(spark, sf_dir)
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "live_view_entry")
+    _sh.rmtree(base, ignore_errors=True)
+
+    def q_fn():
+        return (c.orders.filter(F.col("o_orderkey") < 5000)
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").cast("long").alias("n")))
+
+    lv = LiveView(spark, base, q_fn)
+    lv.refresh()
+    lv.refresh()      # unchanged result: hash gate keeps version at 1
+    return lv.read().orderBy("o_orderpriority")
+
+
 @q("gin_token_search", """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents

@@ -7,6 +7,8 @@ from clickhouse_core_spark.streaming.windows import (
 )
 from clickhouse_core_spark.streaming.materialized import (
     MaterializedViewCascade,
+    LiveView,
+    RefreshableMaterializedView,
     dedup_within_watermark,
 )
 from clickhouse_core_spark.streaming.sources import (
@@ -18,6 +20,7 @@ from clickhouse_core_spark.streaming.sources import (
 
 __all__ = ["tumble", "hop", "with_watermark", "windowed_aggregate",
            "stateful_sessionize",
-           "MaterializedViewCascade", "dedup_within_watermark",
+           "MaterializedViewCascade", "LiveView",
+           "RefreshableMaterializedView", "dedup_within_watermark",
            "kafka_options", "kafka_source", "parse_value_stream",
            "file_queue_source"]

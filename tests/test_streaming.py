@@ -102,3 +102,44 @@ def test_stateful_sessionize_applyinpandaswithstate(spark, stream_dir):
     t1 = int(_t(0, 50).replace(tzinfo=dt.timezone.utc).timestamp())
     # only user a's FIRST session is closed (by the 10:00 event)
     assert got == [("a", t0, t1, 2, 3.0)]
+
+
+def test_live_view_version_bumps_only_on_change(spark, tmp_path):
+    from clickhouse_core_spark.streaming import LiveView
+    src = {"rows": [(1, "a"), (2, "b")]}
+
+    def q():
+        return spark.createDataFrame(src["rows"], "k int, v string")
+
+    lv = LiveView(spark, str(tmp_path / "lv"), q)
+    assert lv.refresh() is True and lv.version == 1
+    got = lv.read()
+    assert got.count() == 2 and got.columns == ["k", "v", "_version"]
+    assert got.first()._version == 1
+    # same result -> no version bump (the reference's hash gate)
+    assert lv.refresh() is False and lv.version == 1
+    # changed result -> bump
+    src["rows"] = [(1, "a"), (2, "b"), (3, "c")]
+    assert lv.refresh() is True and lv.version == 2
+    assert lv.read().count() == 3
+    # metadata survives a reopen
+    lv2 = LiveView(spark, str(tmp_path / "lv"), q)
+    assert lv2.version == 2 and lv2.read().count() == 3
+
+
+def test_refreshable_mv_schedule_kinds(spark, tmp_path):
+    from clickhouse_core_spark.streaming import RefreshableMaterializedView
+
+    def q():
+        return spark.createDataFrame([(1,)], "x int")
+
+    ev = RefreshableMaterializedView(
+        spark, str(tmp_path / "ev"), q, interval_s=60, kind="every")
+    assert ev.refresh_if_due(now=30.0) is True        # first tick runs
+    assert ev.refresh_if_due(now=59.0) is False       # same period
+    assert ev.refresh_if_due(now=61.0) is True        # boundary crossed
+    af = RefreshableMaterializedView(
+        spark, str(tmp_path / "af"), q, interval_s=60, kind="after")
+    assert af.refresh_if_due(now=100.0) is True
+    assert af.refresh_if_due(now=140.0) is False      # < last + 60
+    assert af.refresh_if_due(now=161.0) is True       # relative elapsed
