@@ -3350,6 +3350,70 @@ def kql_join_union(spark, sf_dir):
     """)
 
 
+@q("fn_longtail_r5", """
+SELECT o_orderkey,
+  CASE o_orderkey % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one'
+       ELSE 'more' END AS cw,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH + INTERVAL 10 DAY
+       AS DATE) AS ad,
+  'p' || CAST(o_orderkey % 5 AS VARCHAR) AS pid,
+  CAST(o_orderkey % 7 AS BIGINT) AS mn,
+  CAST(o_orderkey % 7 + 3 AS BIGINT) AS mx,
+  CAST(o_orderkey % 4 AS INT) AS lv,
+  (o_orderkey % 5 = 1 AND o_orderkey % 7 + 3 <= 10) AS cov,
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 31, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 29, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 27, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 2) || '-' ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 23, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 2) || '-' ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 19, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 2) || '-' ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 15, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 2) || '-' ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 11, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 7, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS uu,
+  CAST(year(o_orderdate) AS INT) AS cy,
+  CAST(month(o_orderdate) AS INT) AS cm,
+  CAST(day(o_orderdate) AS INT) AS cd
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_longtail_r5(spark, sf_dir):
+    """Round-5 scalar long tail through the oracle: caseWithExpression
+    (valued CASE), addTupleOfIntervals fold, mergeTreePartInfo parse +
+    coverage rule (MergeTreePartInfo.h contains()), reinterpretAsUUID
+    byte-reversal rendering (reinterpretAs.cpp doc contract), and
+    toDateTimeComponents fields."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    name = F.format_string("p%d_%d_%d_%d", k % 5, k % 7, k % 7 + 3, k % 4)
+    pi = ch.mergeTreePartInfo(name)
+    comp = ch.toDateTimeComponents(F.col("o_orderdate").cast("timestamp"))
+    return (o.select(
+        "o_orderkey",
+        ch.caseWithExpression(k % 3, 0, "zero", 1, "one", "more")
+        .alias("cw"),
+        ch.addTupleOfIntervals(F.col("o_orderdate").cast("date"),
+                               [(1, "month"), (10, "day")])
+        .cast("date").alias("ad"),
+        pi["partition_id"].alias("pid"),
+        pi["min_block"].alias("mn"),
+        pi["max_block"].alias("mx"),
+        pi["level"].alias("lv"),
+        ch.isMergeTreePartCoveredBy(name, F.lit("p1_0_10_3"))
+        .alias("cov"),
+        ch.reinterpretAsUUID(F.unhex(F.md5(k.cast("string"))))
+        .alias("uu"),
+        comp["year"].alias("cy"),
+        comp["month"].alias("cm"),
+        comp["day"].alias("cd"))
+        .orderBy("o_orderkey"))
+
+
 @q("fn_conv_matrix_datetime_math", """
 SELECT o_orderkey,
        try_cast(CAST(o_orderkey AS VARCHAR) AS INT) AS i32,

@@ -1,0 +1,412 @@
+"""Round-5 scalar long tail.
+
+Closes the remaining implementable names from the reference function
+registry sweep (REGISTER_FUNCTION constants, src/Functions/):
+
+- ``stem``: the public Porter (1980) stemming algorithm, pure Python,
+  Arrow-batched (reference src/Functions/stem.cpp uses libstemmer;
+  'english'/'porter' is the only language shipped here — other
+  languages need Snowball data files, documented in LIMITS.md).
+- ``toBFloat16`` (+OrZero/OrNull): truncation to bfloat16 precision —
+  the top 16 bits of the IEEE float32 representation (reference
+  src/DataTypes/DataTypesNumber.cpp BFloat16): numpy bit-exact.
+- ``toDateTimeComponents``: the full component struct
+  (reference src/Functions/toDateTimeComponents? — DateTimeComponents
+  in src/Common/DateLUTImpl.h), year..microsecond.
+- ``reinterpretAsUUID``: first 16 little-endian bytes rendered as a
+  UUID (reference src/Functions/reinterpretAs.cpp; doc example
+  reinterpretAsUUID(reverse(unhex(H))) == H-formatted).
+- ``addTupleOfIntervals`` / ``subtractTupleOfIntervals``: fold a tuple
+  of intervals onto a date (reference src/Functions/vectorFunctions.cpp
+  FunctionDateOrDateTimeOperationTupleOfIntervals).
+- ``caseWithExpression``: CASE x WHEN a THEN .. form (the parser
+  rewrites to this internal name; native when-chain here).
+- ``fuzzBits(s, prob[, seed])``: deterministic splittable-hash bit
+  flipper (reference src/Functions/fuzzBits.cpp is random; determinism
+  follows the generateRandom contract).
+- ``randomStringUTF8(n[, seed])``: deterministic valid-UTF8 string of
+  n code points (reference src/Functions/randomStringUTF8.cpp), pure
+  Catalyst transform.
+- ``mergeTreePartInfo`` / ``isMergeTreePartCoveredBy``: parse the
+  reference part-name format ``partition_min_max_level`` and its
+  coverage rule (reference src/Storages/MergeTree/MergeTreePartInfo.h:
+  contains() — same partition, [min,max] interval containment).
+- ``initializeAggregation`` / ``finalizeAggregation`` for the
+  plain-value state family (sum/count/min/max/avg/groupArray States —
+  the states AggregatingMergeTree carries as plain columns; sketch
+  states go through operators/sketches.py, documented).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+# ----------------------------------------------------------- Porter stem
+
+_VOWELS = "aeiou"
+
+
+def _cons(w: str, i: int) -> bool:
+    ch = w[i]
+    if ch in _VOWELS:
+        return False
+    if ch == "y":
+        return True if i == 0 else not _cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    n, i, ln = 0, 0, len(stem)
+    while i < ln and _cons(stem, i):
+        i += 1
+    while i < ln:
+        while i < ln and not _cons(stem, i):
+            i += 1
+        if i >= ln:
+            break
+        n += 1
+        while i < ln and _cons(stem, i):
+            i += 1
+    return n
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return (len(w) >= 2 and w[-1] == w[-2] and _cons(w, len(w) - 1))
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    if not (_cons(w, len(w) - 3) and not _cons(w, len(w) - 2)
+            and _cons(w, len(w) - 1)):
+        return False
+    return w[-1] not in "wxy"
+
+
+def porter_stem(word: str) -> str:
+    """Porter 1980, 'An algorithm for suffix stripping' — the published
+    step tables, verbatim."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w, flag = w[:-2], True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (("ational", "ate"), ("tional", "tion"),
+                     ("enci", "ence"), ("anci", "ance"), ("izer", "ize"),
+                     ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+                     ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+                     ("ation", "ate"), ("ator", "ate"), ("alism", "al"),
+                     ("iveness", "ive"), ("fulness", "ful"),
+                     ("ousness", "ous"), ("aliti", "al"),
+                     ("iviti", "ive"), ("biliti", "ble")):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (("icate", "ic"), ("ative", ""), ("alize", "al"),
+                     ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+                     ("ness", "")):
+        if w.endswith(suf):
+            if _measure(w[:-len(suf)]) > 0:
+                w = w[:-len(suf)] + rep
+            break
+    # step 4
+    for suf in ("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+                "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+                "ous", "ive", "ize"):
+        if w.endswith(suf):
+            stem = w[:-len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and (not stem or stem[-1] not in "st"):
+                    break
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+_UDF_CACHE: dict = {}
+
+
+def _stem_udf():
+    if "stem" not in _UDF_CACHE:
+        @pandas_udf("string")
+        def f(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else porter_stem(v))
+        _UDF_CACHE["stem"] = f
+    return _UDF_CACHE["stem"]
+
+
+def stem(lang, col=None) -> Column:
+    """stem('en', word) — language argument accepted for signature
+    parity; only English/Porter ships (src/Functions/stem.cpp)."""
+    if col is None:           # stem(word) single-arg convenience
+        lang, col = "en", lang
+    if isinstance(lang, str) and lang.lower() not in (
+            "en", "english", "porter"):
+        raise NotImplementedError(
+            f"stem: language {lang!r} needs Snowball data files; only "
+            f"the published Porter/English algorithm ships")
+    return _stem_udf()(_c(col))
+
+
+# ----------------------------------------------------------- BFloat16
+
+def _bf16_udf():
+    if "bf16" not in _UDF_CACHE:
+        @pandas_udf("double")
+        def f(s: pd.Series) -> pd.Series:
+            import numpy as np
+            f32 = (s.astype("float64").to_numpy(na_value=np.nan)
+                   .astype(np.float32))
+            bits = f32.view(np.uint32) & np.uint32(0xFFFF0000)
+            out = pd.Series(bits.view(np.float32).astype(np.float64))
+            out[s.isna().values] = None
+            return out
+        _UDF_CACHE["bf16"] = f
+    return _UDF_CACHE["bf16"]
+
+
+def toBFloat16(x) -> Column:
+    return _bf16_udf()(_c(x).cast("double"))
+
+
+def toBFloat16OrNull(x) -> Column:
+    return _bf16_udf()(_c(x).try_cast("double"))
+
+
+def toBFloat16OrZero(x) -> Column:
+    return _bf16_udf()(F.coalesce(_c(x).try_cast("double"), F.lit(0.0)))
+
+
+# ----------------------------------------------- date/time components
+
+def toDateTimeComponents(x) -> Column:
+    t = _c(x)
+    return F.struct(
+        F.year(t).alias("year"), F.month(t).alias("month"),
+        F.dayofmonth(t).alias("day"), F.hour(t).alias("hour"),
+        F.minute(t).alias("minute"), F.second(t).alias("second"),
+        (F.unix_micros(t) % 1000000).cast("int").alias("microsecond"))
+
+
+# ------------------------------------------------- reinterpretAsUUID
+
+def reinterpretAsUUID(x) -> Column:
+    """First 16 little-endian bytes as a UUID string (doc contract:
+    reinterpretAsUUID(reverse(unhex(H))) renders H with dashes)."""
+    h = F.lower(F.hex(_c(x).cast("binary")))
+    h = F.rpad(F.substring(h, 1, 32), 32, "0")
+    # reverse the 16 bytes: hex pair i comes from pair 16-i
+    pairs = [F.substring(h, (15 - i) * 2 + 1, 2) for i in range(16)]
+    u = F.concat(*pairs)
+    return F.concat_ws(
+        "-", F.substring(u, 1, 8), F.substring(u, 9, 4),
+        F.substring(u, 13, 4), F.substring(u, 17, 4), F.substring(u, 21, 12))
+
+
+# ------------------------------------------- tuple-of-intervals math
+
+_INTERVAL_UNITS = {"second", "minute", "hour", "day", "week", "month",
+                   "quarter", "year"}
+
+
+def _apply_intervals(d, intervals, sign: int) -> Column:
+    out = _c(d)
+    for n, unit in intervals:
+        u = unit.lower().rstrip("s")
+        if u not in _INTERVAL_UNITS:
+            raise ValueError(f"interval unit {unit!r} not mapped")
+        out = out + F.expr(f"interval {sign * int(n)} {u}")
+    return out
+
+
+def addTupleOfIntervals(d, intervals) -> Column:
+    """addTupleOfIntervals(date, ((1,'day'), (2,'month')…)) — fold the
+    tuple left-to-right, the reference's successive application."""
+    return _apply_intervals(d, intervals, 1)
+
+
+def subtractTupleOfIntervals(d, intervals) -> Column:
+    return _apply_intervals(d, intervals, -1)
+
+
+# ------------------------------------------------ caseWithExpression
+
+def caseWithExpression(x, *args) -> Column:
+    """CASE x WHEN a THEN ra [WHEN b THEN rb]… ELSE e END — the
+    parser's internal name for the valued CASE form."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError("caseWithExpression needs when/then pairs + else")
+    v = _c(x)
+    out = None
+    for i in range(0, len(args) - 1, 2):
+        cond = v == (args[i] if isinstance(args[i], Column)
+                     else F.lit(args[i]))
+        out = F.when(cond, args[i + 1]) if out is None \
+            else out.when(cond, args[i + 1])
+    return out.otherwise(args[-1])
+
+
+# ----------------------------------------------------------- fuzzBits
+
+def fuzzBits(s, prob: float, seed: int = 42) -> Column:
+    """Deterministic analog of fuzzBits(s, prob): flip each character's
+    low bits when the splittable hash of (seed, position, char) admits
+    it.  Stays on printable ASCII by flipping within bit 1..4."""
+    p = int(max(0.0, min(1.0, float(prob))) * 1000)
+    return F.concat_ws("", F.transform(
+        F.split(_c(s), ""),
+        lambda ch, i: F.when(
+            (F.pmod(F.xxhash64(F.lit(int(seed)), i, ch), 1000) < p)
+            & (ch != ""),
+            F.chr(F.ascii(ch).bitwiseXOR(
+                F.pmod(F.xxhash64(F.lit(int(seed) + 1), i), 4) + 1))
+        ).otherwise(ch)))
+
+
+# ---------------------------------------------------- randomStringUTF8
+
+def randomStringUTF8(n, seed: int = 42) -> Column:
+    """Deterministic n valid code points (CJK block — always valid
+    UTF-8), pure Catalyst: transform over a sequence with a splittable
+    hash per position."""
+    length = _c(n).cast("int") if isinstance(n, Column) else F.lit(int(n))
+    return F.concat_ws("", F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.chr(F.pmod(F.xxhash64(F.lit(int(seed)), i), 20902)
+                        + 0x4E00)))
+
+
+# ------------------------------------------------- MergeTree part info
+
+def mergeTreePartInfo(name) -> Column:
+    """Parse the reference part name ``partition_min_max_level`` →
+    struct (reference src/Storages/MergeTree/MergeTreePartInfo.h
+    fromPartName)."""
+    c = _c(name)
+    return F.struct(
+        F.regexp_extract(c, r"^(.+)_(\d+)_(\d+)_(\d+)$", 1)
+        .alias("partition_id"),
+        F.regexp_extract(c, r"^(.+)_(\d+)_(\d+)_(\d+)$", 2).cast("long")
+        .alias("min_block"),
+        F.regexp_extract(c, r"^(.+)_(\d+)_(\d+)_(\d+)$", 3).cast("long")
+        .alias("max_block"),
+        F.regexp_extract(c, r"^(.+)_(\d+)_(\d+)_(\d+)$", 4).cast("int")
+        .alias("level"))
+
+
+def isMergeTreePartCoveredBy(a, b) -> Column:
+    """Part a covered by part b: same partition and b's block interval
+    contains a's (MergeTreePartInfo.h contains())."""
+    pa, pb = mergeTreePartInfo(a), mergeTreePartInfo(b)
+    return ((pa["partition_id"] == pb["partition_id"])
+            & (pb["min_block"] <= pa["min_block"])
+            & (pa["max_block"] <= pb["max_block"])).cast("boolean")
+
+
+# --------------------------------- initialize/finalizeAggregation
+
+def initializeAggregation(fn_name: str, x, *extra) -> Column:
+    """initializeAggregation('sumState', v) — a single-value state
+    (reference src/Functions/initializeAggregation.cpp).  Plain-value
+    state family only: sum/min/max/any state = the value, count = 1,
+    avg = (sum, count) struct, groupArray = [v].  Sketch states (uniq/
+    quantile) are built through operators/sketches.py — documented."""
+    f = fn_name.lower()
+    v = _c(x)
+    if f == "sumstate":
+        return v
+    if f == "countstate":
+        return F.lit(1).cast("long")
+    if f in ("minstate", "maxstate", "anystate", "anylaststate"):
+        return v
+    if f == "avgstate":
+        return F.struct(v.cast("double").alias("sum"),
+                        F.lit(1).cast("long").alias("count"))
+    if f == "grouparraystate":
+        return F.array(v)
+    raise NotImplementedError(
+        f"initializeAggregation: {fn_name!r} is not a plain-value "
+        f"state; sketch states go through operators/sketches.py")
+
+
+def finalizeAggregation(fn_name: str, state) -> Column:
+    """finalizeAggregation over the same plain-value state family
+    (reference src/Functions/finalizeAggregation.cpp)."""
+    f = fn_name.lower()
+    s = _c(state) if not isinstance(state, Column) else state
+    if f == "avgstate":
+        return s["sum"] / s["count"]
+    if f in ("sumstate", "countstate", "minstate", "maxstate",
+             "anystate", "anylaststate", "grouparraystate"):
+        return s
+    raise NotImplementedError(
+        f"finalizeAggregation: {fn_name!r} is not a plain-value state")
+
+
+LONGTAIL5 = {
+    "stem": stem,
+    "toBFloat16": toBFloat16,
+    "toBFloat16OrNull": toBFloat16OrNull,
+    "toBFloat16OrZero": toBFloat16OrZero,
+    "toDateTimeComponents": toDateTimeComponents,
+    "reinterpretAsUUID": reinterpretAsUUID,
+    "addTupleOfIntervals": addTupleOfIntervals,
+    "subtractTupleOfIntervals": subtractTupleOfIntervals,
+    "caseWithExpression": caseWithExpression,
+    "fuzzBits": fuzzBits,
+    "randomStringUTF8": randomStringUTF8,
+    "mergeTreePartInfo": mergeTreePartInfo,
+    "isMergeTreePartCoveredBy": isMergeTreePartCoveredBy,
+    "initializeAggregation": initializeAggregation,
+    "finalizeAggregation": finalizeAggregation,
+}

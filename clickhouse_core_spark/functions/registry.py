@@ -3758,6 +3758,8 @@ _ALIAS_NAMES.update({
 })
 
 
+from clickhouse_core_spark.functions.longtail5 import LONGTAIL5  # noqa: E402
+
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _JSON, _MISC, _ARR2, _MAP2, _DT2, _READABLE, _STR2, _BIT2,
@@ -3765,7 +3767,7 @@ for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
             _MISC5, _MISC6, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
             _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT, _PUREHASH, _MISC7,
-            _SQIDS, _FUZZY, _SERIESF):
+            _SQIDS, _FUZZY, _SERIESF, LONGTAIL5):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

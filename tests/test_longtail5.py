@@ -1,0 +1,132 @@
+"""Round-5 scalar long tail (functions/longtail5.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.functions import ch
+
+
+def test_porter_stem_vocabulary(spark):
+    from clickhouse_core_spark.functions.longtail5 import porter_stem
+    # canonical pairs from the published algorithm's step tables /
+    # reference vocabulary (end-to-end outputs)
+    for w, want in [("caresses", "caress"), ("ponies", "poni"),
+                    ("hopping", "hop"), ("relational", "relat"),
+                    ("rational", "ration"), ("electrical", "electr"),
+                    ("adjustment", "adjust"), ("replacement", "replac"),
+                    ("happy", "happi"), ("sky", "sky"),
+                    ("vietnamization", "vietnam"), ("probate", "probat"),
+                    ("controll", "control"), ("roll", "roll")]:
+        assert porter_stem(w) == want, w
+    df = spark.createDataFrame([("running",), ("flies",), (None,)],
+                               "w string")
+    got = [r.s for r in df.select(ch.stem("en", F.col("w"))
+                                  .alias("s")).collect()]
+    assert got == ["run", "fli", None]
+    with pytest.raises(NotImplementedError, match="Snowball"):
+        ch.stem("ru", F.col("w"))
+
+
+def test_bfloat16_truncation(spark):
+    import numpy as np
+    df = spark.createDataFrame(
+        [(1.0,), (3.14159265,), (65504.0,), (None,)], "x double")
+    got = [r.b for r in df.select(ch.toBFloat16(F.col("x"))
+                                  .alias("b")).collect()]
+    def bf16(v):
+        return float(np.float32(
+            np.float32(v).view(np.uint32) & 0xFFFF0000).view(np.float32))
+    f = np.float32(3.14159265)
+    want = float((np.uint32(f.view(np.uint32)) & np.uint32(0xFFFF0000))
+                 .astype(np.uint32).view(np.float32))
+    assert got[0] == 1.0
+    assert got[1] == pytest.approx(3.140625)   # bf16(pi)
+    assert got[3] is None
+    df2 = spark.createDataFrame([("2.5",), ("zz",)], "s string")
+    z = [r.v for r in df2.select(ch.toBFloat16OrZero(F.col("s"))
+                                 .alias("v")).collect()]
+    n = [r.v for r in df2.select(ch.toBFloat16OrNull(F.col("s"))
+                                 .alias("v")).collect()]
+    assert z == [2.5, 0.0] and n == [2.5, None]
+
+
+def test_datetime_components_and_uuid(spark):
+    df = spark.range(1).select(
+        F.lit("2024-03-05 07:08:09.123456").cast("timestamp").alias("t"))
+    c = df.select(ch.toDateTimeComponents(F.col("t")).alias("c")).first().c
+    assert (c.year, c.month, c.day, c.hour, c.minute, c.second,
+            c.microsecond) == (2024, 3, 5, 7, 8, 9, 123456)
+    # doc contract: reinterpretAsUUID(reverse(unhex(H))) == H formatted
+    h = "08090a0b0c0d0e0f0001020304050607"
+    df2 = spark.range(1).select(
+        F.reverse(F.unhex(F.lit(h)).cast("string")).cast("binary")
+        .alias("b"))
+    # binary reverse via expression is fiddly; feed the reversed hex
+    rev = "".join(h[i:i+2] for i in range(30, -2, -2))
+    df3 = spark.range(1).select(F.unhex(F.lit(rev)).alias("b"))
+    u = df3.select(ch.reinterpretAsUUID(F.col("b")).alias("u")).first().u
+    assert u == "08090a0b-0c0d-0e0f-0001-020304050607"
+
+
+def test_tuple_of_intervals_and_case(spark):
+    df = spark.range(1).select(F.lit("2024-01-15").cast("date").alias("d"))
+    got = df.select(
+        ch.addTupleOfIntervals(F.col("d"), [(1, "month"), (10, "day")])
+        .alias("a"),
+        ch.subtractTupleOfIntervals(F.col("d"), [(15, "day")])
+        .alias("s")).first()
+    assert str(got.a) == "2024-02-25 00:00:00" or str(got.a).startswith("2024-02-25")
+    assert str(got.s).startswith("2023-12-31")
+    df2 = spark.createDataFrame([(1,), (2,), (9,)], "x int")
+    got = [r.c for r in df2.select(
+        ch.caseWithExpression(F.col("x"), 1, "one", 2, "two", "many")
+        .alias("c")).collect()]
+    assert got == ["one", "two", "many"]
+
+
+def test_fuzz_bits_and_random_string(spark):
+    df = spark.createDataFrame([("hello world",)], "s string")
+    a = df.select(ch.fuzzBits(F.col("s"), 0.5, seed=1).alias("f")).first().f
+    b = df.select(ch.fuzzBits(F.col("s"), 0.5, seed=1).alias("f")).first().f
+    c = df.select(ch.fuzzBits(F.col("s"), 0.5, seed=2).alias("f")).first().f
+    assert a == b and a != c and len(a) == 11
+    assert df.select(ch.fuzzBits(F.col("s"), 0.0).alias("f")).first().f \
+        == "hello world"
+    r1 = spark.range(1).select(ch.randomStringUTF8(12, seed=3)
+                               .alias("r")).first().r
+    r2 = spark.range(1).select(ch.randomStringUTF8(12, seed=3)
+                               .alias("r")).first().r
+    assert r1 == r2 and len(r1) == 12
+    r1.encode("utf-8")  # valid UTF-8
+
+
+def test_mergetree_part_info(spark):
+    df = spark.createDataFrame(
+        [("202401_1_5_2", "202401_1_10_3"),
+         ("202402_1_5_2", "202401_1_10_3")], "a string, b string")
+    rows = df.select(
+        ch.mergeTreePartInfo(F.col("a")).alias("p"),
+        ch.isMergeTreePartCoveredBy(F.col("a"), F.col("b")).alias("cov")
+    ).collect()
+    p = rows[0].p
+    assert (p.partition_id, p.min_block, p.max_block, p.level) == \
+        ("202401", 1, 5, 2)
+    assert rows[0].cov is True        # same partition, contained
+    assert rows[1].cov is False       # different partition
+
+
+def test_initialize_finalize_aggregation(spark):
+    df = spark.createDataFrame([(5.0,), (7.0,)], "v double")
+    out = df.select(
+        ch.initializeAggregation("sumState", F.col("v")).alias("s"),
+        ch.initializeAggregation("countState", F.col("v")).alias("c"),
+        ch.initializeAggregation("avgState", F.col("v")).alias("a"),
+        ch.initializeAggregation("groupArrayState", F.col("v")).alias("g"))
+    row = out.first()
+    assert row.s == 5.0 and row.c == 1 and row.g == [5.0]
+    fin = out.select(ch.finalizeAggregation("avgState", F.col("a"))
+                     .alias("m")).first()
+    assert fin.m == 5.0
+    with pytest.raises(NotImplementedError, match="sketches"):
+        ch.initializeAggregation("uniqState", F.col("v"))
