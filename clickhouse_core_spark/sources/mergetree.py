@@ -505,6 +505,71 @@ class MergeTreeTable:
         new_part = self.insert(fresh.unionByName(rolled))
         self._drop_parts([p for p in parts if p != new_part])
 
+    # ------------------------------------------- backup/freeze/optimize
+
+    def optimize_deduplicate(self, by: Sequence[str] | None = None) -> None:
+        """OPTIMIZE TABLE ... DEDUPLICATE [BY cols] (reference
+        src/Interpreters/InterpreterOptimizeQuery.cpp,
+        MergeTreeDataMergerMutator deduplicate merge): rewrite all
+        parts with full-row (or BY-column-subset) duplicates dropped.
+        dropDuplicates keeps an arbitrary surviving row — the same
+        contract as the reference's dedup merge."""
+        parts = self.parts()
+        deduped = self.read_raw().dropDuplicates(
+            list(by) if by else None)
+        new_part = self.insert(deduped)
+        self._drop_parts([p for p in parts if p != new_part])
+
+    def freeze(self, backup_name: str | None = None) -> str:
+        """ALTER TABLE ... FREEZE analog (reference
+        src/Storages/StorageMergeTree freeze / shadow directory):
+        snapshot every current part into ``_shadow/<name>/``.  Parts
+        are immutable directories, so the snapshot is a plain copy
+        (a cluster deployment uses filesystem hard links or object
+        store manifests — same layout, cheaper copy)."""
+        import shutil
+        name = backup_name or f"freeze-{int(time.time() * 1e6):016x}"
+        shadow = os.path.join(self.path, "_shadow", name)
+        os.makedirs(shadow, exist_ok=True)
+        for part in self.parts():
+            dst = os.path.join(shadow, os.path.basename(part))
+            if not os.path.exists(dst):
+                shutil.copytree(part, dst)
+        shutil.copy(self._meta_path(), os.path.join(
+            shadow, "_mergetree_meta.json"))
+        return shadow
+
+    def backup(self, dest: str) -> str:
+        """BACKUP TABLE ... TO (reference src/Backups/): copy the
+        current part set + metadata to ``dest``; restore_table reads
+        it back as a full MergeTreeTable."""
+        import shutil
+        os.makedirs(dest, exist_ok=True)
+        for part in self.parts():
+            dst = os.path.join(dest, os.path.basename(part))
+            if not os.path.exists(dst):
+                shutil.copytree(part, dst)
+        shutil.copy(self._meta_path(),
+                    os.path.join(dest, "_mergetree_meta.json"))
+        return dest
+
+    @classmethod
+    def restore_table(cls, spark: SparkSession, backup_dir: str,
+                      path: str) -> "MergeTreeTable":
+        """RESTORE TABLE ... FROM (reference src/Backups/): materialize
+        a backup (or a freeze shadow) as a live table at ``path``."""
+        import shutil
+        os.makedirs(path, exist_ok=True)
+        for d in sorted(os.listdir(backup_dir)):
+            src = os.path.join(backup_dir, d)
+            dst = os.path.join(path, d)
+            if d.startswith("part-") and os.path.isdir(src) \
+                    and not os.path.exists(dst):
+                shutil.copytree(src, dst)
+        shutil.copy(os.path.join(backup_dir, "_mergetree_meta.json"),
+                    os.path.join(path, "_mergetree_meta.json"))
+        return cls.load(spark, path)
+
     def parts_info(self) -> DataFrame:
         """system.parts analog (reference
         src/Storages/System/StorageSystemParts.cpp): one row per part

@@ -467,3 +467,38 @@ def test_aggregating_engine_state_merge(spark, tmp_path):
     fin2 = {r.g: r.v_sum for r in
             merge_states(t.read(final=True), ["g"]).collect()}
     assert fin2 == {g: v for g, (_u, v, _r) in fin.items()}
+
+
+def test_optimize_deduplicate(spark, tmp_path):
+    t = MergeTreeTable(spark, str(tmp_path / "od"), order_by=["k"])
+    t.insert(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))
+    t.insert(spark.createDataFrame(
+        [(1, "a"), (3, "c"), (1, "z")], "k long, v string"))
+    t.optimize_deduplicate()                     # full-row dedup
+    rows = sorted((r.k, r.v) for r in t.read_raw().collect())
+    assert rows == [(1, "a"), (1, "z"), (2, "b"), (3, "c")]
+    t.optimize_deduplicate(by=["k"])             # BY-subset dedup
+    assert sorted(r.k for r in t.read_raw().collect()) == [1, 2, 3]
+    assert len(t.parts()) == 1
+
+
+def test_freeze_backup_restore(spark, tmp_path):
+    t = MergeTreeTable(spark, str(tmp_path / "src"), order_by=["k"],
+                       engine="replacing")
+    t.insert(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    shadow = t.freeze("snap1")
+    # freeze is a point-in-time snapshot: later inserts don't leak in
+    t.insert(spark.createDataFrame([(3, 30)], "k long, v long"))
+    assert t.read_raw().count() == 3
+    restored = MergeTreeTable.restore_table(
+        spark, shadow, str(tmp_path / "restored"))
+    assert restored.engine == "replacing"
+    assert sorted(r.k for r in restored.read_raw().collect()) == [1, 2]
+    # full backup carries everything
+    bdir = t.backup(str(tmp_path / "bk"))
+    r2 = MergeTreeTable.restore_table(spark, bdir,
+                                      str(tmp_path / "restored2"))
+    assert sorted(r.k for r in r2.read_raw().collect()) == [1, 2, 3]
+    # shadow dir stays invisible to the live table's reads
+    assert t.read_raw().count() == 3
