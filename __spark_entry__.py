@@ -967,6 +967,61 @@ def cb_user_sessions_topk(spark, sf_dir):
             .orderBy(F.col("n").desc(), "user_id").limit(15))
 
 
+@q("cb_json_props_histogram", """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT)
+       AS kb,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+       AS clicks,
+       printf('%.4f', avg(value)) AS avg_v
+FROM events
+GROUP BY CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT)
+ORDER BY kb
+""")
+def cb_json_props_histogram(spark, sf_dir):
+    """ClickBench-pattern semi-structured rollup: JSON property
+    extraction in the grouping key (the reference's JSON/Dynamic
+    column access path) + conditional aggregate, all JVM-side
+    (get_json_object, no UDF)."""
+    ev = _cat(spark, sf_dir).events
+    kb = (F.get_json_object("props", "$.k").cast("int") % 10).cast("int")
+    return (ev.groupBy(kb.alias("kb"))
+            .agg(F.count("*").alias("n"),
+                 F.count(F.when(F.col("event_type") == "click", 1))
+                 .alias("clicks"),
+                 F.format_string("%.4f", F.avg("value")).alias("avg_v"))
+            .orderBy("kb"))
+
+
+@q("cb_session_gaps", """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('second', lag(ts) OVER w, ts) > 300
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT user_id, CAST(sum(brk) AS BIGINT) AS sessions,
+       CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY user_id ORDER BY user_id
+""")
+def cb_session_gaps(spark, sf_dir):
+    """ClickBench-pattern sessionization: 300 s inactivity gap starts a
+    new session — one partitioned sort (lag window) + one hash
+    aggregate, the same two-exchange plan the reference's
+    neighbor-based session counting produces."""
+    from pyspark.sql.window import Window
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(F.lag("ts").over(w).isNull() | (gap > 300), 1).otherwise(0)
+    return (ev.select("user_id", brk.alias("brk"))
+            .groupBy("user_id")
+            .agg(F.sum("brk").cast("long").alias("sessions"),
+                 F.count("*").alias("n"))
+            .orderBy("user_id"))
+
+
 @q("agg_stats", """
 SELECT l_returnflag,
        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
