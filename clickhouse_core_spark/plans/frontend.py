@@ -1926,16 +1926,23 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         table.insert(ch_sql(spark, select, sample_by=sample_by))
         return None
 
-    # OPTIMIZE TABLE t [FINAL] -> background-merge-now, i.e. compaction
-    # (reference src/Interpreters/InterpreterOptimizeQuery.h)
-    m = re.match(r"^OPTIMIZE\s+TABLE\s+`?(\w+)`?(\s+FINAL)?\s*$", text,
-                 re.IGNORECASE)
+    # OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY cols]] -> compaction /
+    # dedup merge (reference src/Interpreters/InterpreterOptimizeQuery.h)
+    m = re.match(r"^OPTIMIZE\s+TABLE\s+`?(\w+)`?(\s+FINAL)?"
+                 r"(?:\s+DEDUPLICATE(?:\s+BY\s+([\w\s,`]+))?)?\s*$",
+                 text, re.IGNORECASE)
     if m:
         table = (tables or {}).get(m.group(1))
         if table is None:
             raise ValueError(f"OPTIMIZE needs a MergeTreeTable for "
                              f"{m.group(1)!r}")
-        table.compact()
+        if "DEDUPLICATE" in text.upper():
+            by = None
+            if m.group(3):
+                by = [c.strip(" `") for c in m.group(3).split(",")]
+            table.optimize_deduplicate(by)
+        else:
+            table.compact()
         return None
 
     # SYSTEM DROP QUERY CACHE (QueryCache.h)

@@ -650,6 +650,20 @@ def test_optimize_table_and_system_drop(spark, tmp_path):
     assert not fe._QUERY_CACHE
 
 
+def test_optimize_table_deduplicate_sql(spark, tmp_path):
+    from clickhouse_core_spark.plans import frontend as fe
+    from clickhouse_core_spark.sources.mergetree import MergeTreeTable
+    t = MergeTreeTable(spark, str(tmp_path / "opt_d"), order_by=["k"])
+    t.insert(spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (2, "z")], "k int, v string"))
+    fe.ch_sql(spark, "OPTIMIZE TABLE opt_d FINAL DEDUPLICATE",
+              tables={"opt_d": t})
+    assert t.read_raw().count() == 3       # exact dup collapsed
+    fe.ch_sql(spark, "OPTIMIZE TABLE opt_d DEDUPLICATE BY k",
+              tables={"opt_d": t})
+    assert sorted(r.k for r in t.read_raw().collect()) == [1, 2]
+
+
 def test_array_rotate_shift_resize_sql(spark):
     from clickhouse_core_spark.plans.frontend import ch_sql
     r = ch_sql(spark, """
