@@ -4998,9 +4998,15 @@ def pipeline_lm_perplexity(spark, sf_dir):
     noise)."""
     from clickhouse_core_spark.pipeline import (score_ngram_lm,
                                                 train_ngram_lm)
+    from clickhouse_core_spark.pipeline.text import _tokens
     d = _cat(spark, sf_dir).documents.select("doc_id", "text")
-    uni, tot = train_ngram_lm(d, order=1, alpha=1.0)
-    scored = score_ngram_lm(d, uni, tot)
+    # one persisted tokenize pass feeds both training aggregations and
+    # the scoring join (three corpus scans -> one)
+    toks = (d.select("doc_id", F.explode(_tokens(F.col("text")))
+            .alias("tok"))
+            .filter(F.col("tok") != "").persist())
+    uni, tot = train_ngram_lm(d, order=1, alpha=1.0, tokens=toks)
+    scored = score_ngram_lm(d, uni, tot, tokens=toks)
     return (scored.select("doc_id",
                           F.format_string("%.6f", F.col("nll"))
                           .alias("nll"))

@@ -336,7 +336,8 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
 
 
 def train_ngram_lm(docs: DataFrame, text_col: str = "text",
-                   order: int = 1, alpha: float = 1.0):
+                   order: int = 1, alpha: float = 1.0,
+                   tokens: DataFrame | None = None):
     """CCNet-style corpus language model: add-alpha-smoothed n-gram
     counts trained with plain aggregations (Wenzek et al., "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"
@@ -351,9 +352,12 @@ def train_ngram_lm(docs: DataFrame, text_col: str = "text",
     (broadcast when the vocab is small)."""
     if order not in (1, 2):
         raise ValueError("order must be 1 or 2")
-    toks = (docs.select(F.posexplode(_tokens(F.col(text_col)))
-                        .alias("pos", "tok"))
-            .filter(F.col("tok") != ""))
+    # ``tokens``: an optional prebuilt (…, tok) table — pass a persisted
+    # one to share the tokenize pass with score_ngram_lm (one corpus
+    # scan instead of three)
+    toks = tokens if tokens is not None else (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok") != ""))
     uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
     agg = uni.agg(F.sum("c").alias("n"), F.count("*").alias("v")).first()
     totals = {"n": int(agg["n"] or 0), "v": int(agg["v"] or 0),
@@ -372,7 +376,8 @@ def train_ngram_lm(docs: DataFrame, text_col: str = "text",
 
 def score_ngram_lm(docs: DataFrame, model, totals: dict,
                    text_col: str = "text", id_col: str = "doc_id",
-                   out_col: str = "nll") -> DataFrame:
+                   out_col: str = "nll",
+                   tokens: DataFrame | None = None) -> DataFrame:
     """Per-document mean negative log-likelihood under the trained
     model (lower = more fluent under the corpus distribution — the
     CCNet head/middle/tail quality split statistic).  Unigram:
@@ -399,9 +404,10 @@ def score_ngram_lm(docs: DataFrame, model, totals: dict,
              / (F.coalesce(F.col("cprev"), F.lit(0)) + a * v))
     else:
         uni = model
-        toksd = (docs.select(id_col, F.explode(_tokens(F.col(text_col)))
-                             .alias("tok"))
-                 .filter(F.col("tok") != ""))
+        toksd = tokens if tokens is not None else (
+            docs.select(id_col, F.explode(_tokens(F.col(text_col)))
+                        .alias("tok"))
+            .filter(F.col("tok") != ""))
         joined = toksd.join(uni, ["tok"], "left")
         p = (F.coalesce(F.col("c"), F.lit(0)) + a) / (n + a * v)
     return (joined.groupBy(id_col)
