@@ -502,3 +502,27 @@ def test_freeze_backup_restore(spark, tmp_path):
     assert sorted(r.k for r in r2.read_raw().collect()) == [1, 2, 3]
     # shadow dir stays invisible to the live table's reads
     assert t.read_raw().count() == 3
+
+
+def test_gin_scan_equals_full_scan_property(spark, tmp_path):
+    """Property-style parity: for every token in a random-ish corpus,
+    the GIN-pruned scan returns exactly the rows the full-scan token
+    regex returns (deterministic corpus, all tokens swept)."""
+    import itertools
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i, combo in enumerate(itertools.combinations(words, 3)):
+        rows.append((i, " ".join(combo)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = MergeTreeTable(spark, str(tmp_path / "ginp"), order_by=["doc_id"],
+                       gin_index_cols=["text"])
+    t.insert(df, write_options={"parquet.block.size": "16384"})
+    for tok in words:
+        got = sorted(r.doc_id for r in
+                     t.scan_with_token_gin("text", tok).collect())
+        want = sorted(
+            r.doc_id for r in t.read_raw().filter(
+                F.col("text").rlike(
+                    r"(^|[^\p{L}\p{N}])" + tok + r"($|[^\p{L}\p{N}])"))
+            .collect())
+        assert got == want, tok

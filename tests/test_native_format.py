@@ -427,3 +427,21 @@ def test_lowcardinality_block_through_spark(spark, workdir):
     assert df.schema["cat"].dataType.simpleString() == "string"
     got = sorted((r.cat, r.n) for r in df.collect())
     assert got == [("x", 10), ("x", 30), ("x", 40), ("y", 20)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.text(alphabet="abcXYZ", max_size=6)),
+                min_size=0, max_size=40))
+def test_lowcardinality_global_mode_property(vals):
+    """Property: the global-dictionary layout round-trips any
+    Nullable(String) column, including all-null and empty."""
+    from clickhouse_core_spark.sources.nativefmt import (
+        _decode_column, _encode_column)
+    out = bytearray()
+    _encode_column(out, vals, "LowCardinality(Nullable(String))",
+                   "global")
+    back, pos = _decode_column(bytes(out), 0,
+                               "LowCardinality(Nullable(String))",
+                               len(vals), {})
+    assert back == vals and pos == len(out)

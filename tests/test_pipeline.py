@@ -340,3 +340,16 @@ def test_paragraph_dedup_order_and_custom_sep(spark):
            for r in paragraph_dedup(docs, sep="|").collect()}
     assert out[1] == "c|a|b"           # original order preserved
     assert out[2] == "x"
+
+
+def test_paragraph_dedup_idempotent(spark):
+    from clickhouse_core_spark.pipeline import paragraph_dedup
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb\n\nc"), (2, "b\n\nd"), (3, "c\n\nd\n\na")],
+        "doc_id long, text string")
+    once = paragraph_dedup(docs).select(
+        "doc_id", F.col("text_deduped").alias("text"))
+    twice = paragraph_dedup(once).select("doc_id", "text_deduped")
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text_deduped for r in twice.collect()}
+    assert a == b                     # dedup of deduped output is a no-op
