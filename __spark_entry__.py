@@ -5519,6 +5519,35 @@ def ann_cosine_topk_q(spark, sf_dir):
     return cosine_topk(as_double, _unit_query_vec(64), k=10)
 
 
+@q("ann_ivf_index_search", f"""
+SELECT vec_id,
+       list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                              CAST({_unit_query_vec(64)!r} AS DOUBLE[])) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id LIMIT 10
+""")
+def ann_ivf_index_search_q(spark, sf_dir):
+    """Persisted IVF index end-to-end (the 100 TB ANN layout: corpus
+    parquet partitioned by centroid id + JSON centroid sidecar; a
+    probe reads only the probed partition directories — partition
+    pruning IS the inverted-file lookup, plan-gated in
+    tests/test_pipeline.py).  Exhaustive probe here, so the result
+    exactly equals brute-force cosine and the oracle."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.pipeline import (build_ivf_index,
+                                                ivf_index_search)
+    e = _cat(spark, sf_dir).embeddings
+    as_double = e.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double")))
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "ivf_index_entry")
+    _sh.rmtree(path, ignore_errors=True)
+    build_ivf_index(as_double, path, n_centroids=8, iterations=3, seed=7)
+    return ivf_index_search(spark, path, _unit_query_vec(64), 10,
+                            n_probe=8)
+
+
 @q("stats_gradient_linreg", """
 WITH RECURSIVE d AS (SELECT CAST(user_id % 10 AS DOUBLE) AS f1,
                   CAST(event_id % 7 AS DOUBLE) AS f2, value AS y FROM events),

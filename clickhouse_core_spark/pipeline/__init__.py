@@ -31,6 +31,8 @@ from clickhouse_core_spark.pipeline.similarity import (
     cosine_topk,
     embedding_near_duplicates,
     ivf_topk,
+    build_ivf_index,
+    ivf_index_search,
     lsh_ann_topk,
     semantic_dedup,
 )
@@ -53,7 +55,8 @@ __all__ = [
     "simhash_dedup", "ngram_jaccard_pairs",
     "connected_components", "dedup_clusters",
     "deterministic_sample", "stratified_sample", "pack_token_budget",
-    "cosine_topk", "embedding_near_duplicates", "ivf_topk", "lsh_ann_topk",
+    "cosine_topk", "embedding_near_duplicates", "ivf_topk",
+    "build_ivf_index", "ivf_index_search", "lsh_ann_topk",
     "semantic_dedup",
     "with_token_count", "with_quality_score", "with_language_id",
     "with_fingerprint", "with_pii_redacted", "with_gopher_signals",

@@ -272,3 +272,54 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                         | (F.col("__rep") >= F.col(id_col)))
             .filter(F.col("__keep"))
             .select(*df.columns))
+
+
+def build_ivf_index(df: DataFrame, path: str, n_centroids: int = 16,
+                    iterations: int = 3, seed: int = 7,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> None:
+    """PERSISTED IVF index — the actual 100 TB ANN layout (the scale
+    path ivf_topk's docstring promises): the corpus is written
+    partitioned by its centroid assignment, centroids go to a tiny
+    JSON sidecar.  A probe then reads ONLY the probed centroid
+    partition directories — Spark partition pruning IS the
+    inverted-file lookup, so a search touches ~n_probe/n_centroids of
+    the data with zero shuffle.  Build cost: the k-means passes (one
+    aggregation per iteration) plus one partitioned write."""
+    import json
+    import os
+    assigned, centroids = ivf_assignments(df, n_centroids, iterations,
+                                          seed, vec_col, id_col)
+    (assigned.write.mode("overwrite")
+     .partitionBy("__centroid")
+     .parquet(os.path.join(path, "data")))
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump([[int(cid), [float(x) for x in vec]]
+                   for cid, vec in centroids], fh)
+
+
+def ivf_index_search(spark, path: str, query: Sequence[float], k: int,
+                     n_probe: int = 4, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Search a persisted IVF index: rank centroids driver-side (a
+    n_centroids×dim JSON — planning metadata, like a partition list),
+    scan only the probed partitions, score with the codegen cosine.
+    n_probe >= n_centroids is exhaustive and exactly equals brute
+    force."""
+    import json
+    import os
+    with open(os.path.join(path, "centroids.json")) as fh:
+        centroids = json.load(fh)
+    qv = np.asarray(list(query), dtype=float)
+    by_dist = sorted(centroids,
+                     key=lambda cv: float(np.linalg.norm(
+                         np.asarray(cv[1]) - qv)))
+    probe = [int(cid) for cid, _ in by_dist[:max(1, n_probe)]]
+    data = spark.read.parquet(os.path.join(path, "data"))
+    return (data.filter(F.col("__centroid").isin(probe))
+            .select(F.col(id_col),
+                    cosine_similarity(F.col(vec_col),
+                                      _lit_vec(list(query)))
+                    .alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

@@ -353,3 +353,30 @@ def test_paragraph_dedup_idempotent(spark):
     a = {r.doc_id: r.text for r in once.collect()}
     b = {r.doc_id: r.text_deduped for r in twice.collect()}
     assert a == b                     # dedup of deduped output is a no-op
+
+
+def test_ivf_index_partition_pruned_search(spark, tmp_path):
+    """The persisted IVF index: exhaustive probe equals brute force,
+    and a partial probe's physical plan carries a PartitionFilters
+    entry on __centroid — partition pruning IS the inverted-file
+    lookup."""
+    from clickhouse_core_spark.pipeline import (
+        build_ivf_index, cosine_topk, ivf_index_search)
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((300, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, path, n_centroids=8, iterations=3, seed=7)
+    q = [float(x) for x in rng.standard_normal(8)]
+    exact = [(r.vec_id, round(r.score, 9)) for r in
+             cosine_topk(df, q, 10).collect()]
+    full = [(r.vec_id, round(r.score, 9)) for r in
+            ivf_index_search(spark, path, q, 10, n_probe=8).collect()]
+    assert full == exact                       # exhaustive == brute force
+    probed = ivf_index_search(spark, path, q, 10, n_probe=2)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "__centroid" in plan
+    got = {r.vec_id for r in probed.collect()}
+    assert len(got & {v for v, _ in exact}) >= 5   # decent recall at 2/8
