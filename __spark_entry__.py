@@ -4976,6 +4976,52 @@ def dedup_paragraph(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+@q("multimodal_wav_decode", """
+SELECT CAST(n AS BIGINT) AS id,
+       CAST(8000 AS INT) AS rate,
+       CAST(1 + n % 2 AS INT) AS channels,
+       CAST(16 AS INT) AS bits,
+       CAST(500 + 10 * n AS BIGINT) AS n_samples,
+       CAST((500 + 10 * n) // 8 AS BIGINT) AS duration_ms
+FROM generate_series(0, 39) t(n) ORDER BY id
+""")
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL WAV/RIFF PCM decode (no codec stub — the stdlib-complete
+    container): 40 synthesized PCM files with id-derived parameters;
+    the oracle predicts every header field independently, so a parsing
+    bug in the genuine decoder fails the hash."""
+    import io
+    import math
+    import wave as _wave
+    from clickhouse_core_spark.pipeline.multimodal import decode_wav
+
+    def mk(i):
+        buf = io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            ch = 1 + i % 2
+            n = 500 + 10 * i
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            frames = bytearray()
+            for j in range(n):
+                v = int(5000 * math.sin(2 * math.pi * 220 * j / 8000))
+                frames += v.to_bytes(2, "little", signed=True) * ch
+            w.writeframes(bytes(frames))
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(i, bytearray(mk(i))) for i in range(40)],
+        "id long, content binary")
+    return (decode_wav(df)
+            .select("id", F.col("wav_sample_rate").alias("rate"),
+                    F.col("wav_channels").alias("channels"),
+                    F.col("wav_bits").alias("bits"),
+                    F.col("wav_n_samples").alias("n_samples"),
+                    F.col("wav_duration_ms").alias("duration_ms"))
+            .orderBy("id"))
+
+
 @q("pipeline_lm_perplexity", """
 WITH toks AS (
   SELECT doc_id, t.tok AS tok

@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 MEDIA_STRUCT = StructType([
@@ -131,3 +132,69 @@ def sample_frames(df: DataFrame, content_col: str = "content",
     duration = (F.length(F.col(content_col)).cast("long") * 10)  # fake: 10ms/byte
     return df.withColumn(
         out_col, F.sequence(F.lit(0), duration, F.lit(int(every_ms))))
+
+
+def decode_wav(df: DataFrame, content_col: str = "content",
+               out_prefix: str = "wav") -> DataFrame:
+    """REAL audio decode for the one container format the standard
+    library fully specifies: WAV/RIFF PCM (no codec library needed —
+    the public RIFF chunk layout + raw PCM samples).  Emits
+    sample_rate, channels, bits, n_samples, duration_ms plus two
+    signal features computed from the PCM payload: RMS level and
+    zero-crossing count of channel 0.  Arrow-batched mapInPandas;
+    malformed/non-WAV payloads yield NULLs rather than failing the
+    batch (the ingest-pipeline contract).  Unlike decode_images this
+    path has no DETERMINISTIC_FAKE — it is the genuine decoder."""
+    import io
+    import struct as _st
+    import wave
+
+    fields = ["sample_rate", "channels", "bits", "n_samples",
+              "duration_ms", "rms", "zero_crossings"]
+    out_cols = [f"{out_prefix}_{f}" for f in fields]
+
+    def one(raw):
+        if raw is None:
+            return (None,) * 7
+        try:
+            with wave.open(io.BytesIO(bytes(raw)), "rb") as w:
+                nch, width, rate, n = (w.getnchannels(), w.getsampwidth(),
+                                       w.getframerate(), w.getnframes())
+                pcm = w.readframes(n)
+        except Exception:
+            return (None,) * 7
+        dur = int(n * 1000 / rate) if rate else None
+        if width == 2:
+            samples = np.frombuffer(pcm, dtype="<i2")
+        elif width == 1:
+            samples = np.frombuffer(pcm, dtype=np.uint8).astype(
+                np.int16) - 128
+        else:   # 24/32-bit: keep header metadata, skip signal features
+            return (rate, nch, width * 8, n, dur, None, None)
+        ch0 = samples[::nch] if nch else samples
+        if len(ch0):
+            rms = float(np.sqrt(np.mean(ch0.astype(np.float64) ** 2)))
+            sb = np.signbit(np.where(ch0 == 0, 1, ch0))  # zeros count +
+            zc = int(np.count_nonzero(np.diff(sb)))
+        else:
+            rms, zc = 0.0, 0
+        return (rate, nch, width * 8, n, dur, rms, zc)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = [one(b) for b in pdf[content_col]]
+            out = pdf.copy()
+            for i, c in enumerate(out_cols):
+                out[c] = [v[i] for v in vals]
+            yield out
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_cols[0], IntegerType()),
+           StructField(out_cols[1], IntegerType()),
+           StructField(out_cols[2], IntegerType()),
+           StructField(out_cols[3], LongType()),
+           StructField(out_cols[4], LongType()),
+           StructField(out_cols[5], DoubleType()),
+           StructField(out_cols[6], LongType())])
+    return df.mapInPandas(batches, schema)

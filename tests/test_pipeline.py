@@ -380,3 +380,44 @@ def test_ivf_index_partition_pruned_search(spark, tmp_path):
     assert "PartitionFilters" in plan and "__centroid" in plan
     got = {r.vec_id for r in probed.collect()}
     assert len(got & {v for v, _ in exact}) >= 5   # decent recall at 2/8
+
+
+def _make_wav(freq_hz, n_samples, rate=8000, channels=1):
+    import io
+    import math
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n_samples):
+            v = int(10000 * math.sin(2 * math.pi * freq_hz * i / rate))
+            for _ in range(channels):
+                frames += v.to_bytes(2, "little", signed=True)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_wav_real_pcm(spark):
+    from clickhouse_core_spark.pipeline.multimodal import decode_wav
+    wav_a = _make_wav(440, 8000)          # 1 s of A440 mono
+    wav_b = _make_wav(100, 4000, channels=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_a)), (2, bytearray(wav_b)),
+         (3, bytearray(b"not a wav")), (4, None)],
+        "id long, content binary")
+    out = {r.id: r for r in decode_wav(df).collect()}
+    a = out[1]
+    assert (a.wav_sample_rate, a.wav_channels, a.wav_bits,
+            a.wav_n_samples, a.wav_duration_ms) == (8000, 1, 16, 8000, 1000)
+    # A440 for 1 s at 8 kHz: ~880 zero crossings, RMS ~ 10000/sqrt(2)
+    assert abs(a.wav_zero_crossings - 880) <= 2
+    assert abs(a.wav_rms - 10000 / 2 ** 0.5) < 100
+    b = out[2]
+    assert (b.wav_sample_rate, b.wav_channels,
+            b.wav_duration_ms) == (8000, 2, 500)
+    assert abs(b.wav_zero_crossings - 100) <= 2   # 100 Hz for 0.5 s
+    # malformed and NULL payloads degrade to NULLs, not failures
+    assert out[3].wav_sample_rate is None and out[4].wav_rms is None
