@@ -410,3 +410,93 @@ LONGTAIL5 = {
     "initializeAggregation": initializeAggregation,
     "finalizeAggregation": finalizeAggregation,
 }
+
+
+# ------------------------------------------------ JSON long tail (r5)
+
+def _json_path(parts) -> str:
+    """CH JSON accessor varargs (keys are strings, indices are 1-based
+    ints — src/Functions/FunctionsJSON.h) → a JSONPath string.
+    Negative (from-the-end) indices are not supported by Spark's
+    variant path and raise by name."""
+    out = "$"
+    for p in parts:
+        if isinstance(p, int):
+            if p < 0:
+                raise NotImplementedError(
+                    "JSON accessor: negative (from-end) indices are "
+                    "not supported by the variant path")
+            out += f"[{p - 1}]"
+        else:
+            out += f".{p}"
+    return out
+
+
+def _variant_at(j, parts) -> Column:
+    return F.try_variant_get(F.parse_json(_c(j)), _json_path(parts),
+                             "variant")
+
+
+def JSONType(j, *path) -> Column:
+    """JSONType(json[, keys_or_indices...]) (reference
+    src/Functions/FunctionsJSON.h JSONTypeImpl): the CH type name of
+    the value; NULL when the path is absent."""
+    v = _variant_at(j, path)
+    s = F.schema_of_variant(v)
+    return (F.when(v.isNull(), F.lit(None).cast("string"))
+            .when(s == "VOID", "Null")
+            .when(s == "STRING", "String")
+            .when(s == "BOOLEAN", "Bool")
+            .when(s.startswith("ARRAY"), "Array")
+            .when(s.startswith("OBJECT") | s.startswith("STRUCT"),
+                  "Object")
+            .when(s.startswith("DECIMAL") | s.startswith("DOUBLE")
+                  | s.startswith("FLOAT"), "Float64")
+            .otherwise("Int64"))
+
+
+def JSON_EXISTS(j, *path) -> Column:
+    """JSON_EXISTS: the path resolves (a present JSON null still
+    exists — is_variant_null distinguishes it from a missing key)."""
+    v = _variant_at(j, path)
+    return v.isNotNull().cast("boolean")
+
+
+def JSON_QUERY(j, *path) -> Column:
+    """JSON_QUERY: the matched value wrapped in a JSON array (the
+    standard's match-list rendering, FunctionSQLJSON.h)."""
+    v = _variant_at(j, path)
+    return F.when(v.isNotNull(),
+                  F.concat(F.lit("["), F.to_json(v), F.lit("]")))
+
+
+def JSONExtractKeys(j, *path) -> Column:
+    """JSONExtractKeys(json[, path...]): keys of the object at the
+    path."""
+    if not path:
+        return F.json_object_keys(_c(j))
+    return F.json_object_keys(F.to_json(_variant_at(j, path)))
+
+
+def JSONExtractArrayRaw(j, *path) -> Column:
+    """JSONExtractArrayRaw: array elements as raw JSON strings."""
+    v = _variant_at(j, path)
+    return F.transform(v.cast("array<variant>"), lambda x: F.to_json(x))
+
+
+def JSONExtractUInt(j, *path) -> Column:
+    """JSONExtractUInt: unsigned extract — impossible conversions
+    (incl. negatives) yield 0, the CH mismatch contract."""
+    v = F.try_variant_get(F.parse_json(_c(j)), _json_path(path), "long")
+    return F.when(v.isNull() | (v < 0), F.lit(0).cast("long")) \
+        .otherwise(v)
+
+
+LONGTAIL5.update({
+    "JSONType": JSONType,
+    "JSON_EXISTS": JSON_EXISTS,
+    "JSON_QUERY": JSON_QUERY,
+    "JSONExtractKeys": JSONExtractKeys,
+    "JSONExtractArrayRaw": JSONExtractArrayRaw,
+    "JSONExtractUInt": JSONExtractUInt,
+})

@@ -130,3 +130,36 @@ def test_initialize_finalize_aggregation(spark):
     assert fin.m == 5.0
     with pytest.raises(NotImplementedError, match="sketches"):
         ch.initializeAggregation("uniqState", F.col("v"))
+
+
+def test_json_long_tail(spark):
+    j = ('{"a": [1, {"b": 2}, "x"], "s": "hi", "n": 1.5, "i": -7, '
+         '"f": false, "z": null}')
+    df = spark.createDataFrame([(j,)], "j string")
+    r = df.select(
+        ch.JSONType(F.col("j"), "a").alias("ta"),
+        ch.JSONType(F.col("j"), "s").alias("ts"),
+        ch.JSONType(F.col("j"), "n").alias("tn"),
+        ch.JSONType(F.col("j"), "i").alias("ti"),
+        ch.JSONType(F.col("j"), "f").alias("tf"),
+        ch.JSONType(F.col("j"), "z").alias("tz"),
+        ch.JSONType(F.col("j"), "missing").alias("tm"),
+        ch.JSON_EXISTS(F.col("j"), "z").alias("ez"),
+        ch.JSON_EXISTS(F.col("j"), "q").alias("eq"),
+        ch.JSON_QUERY(F.col("j"), "a", 2).alias("qa"),
+        ch.JSONExtractKeys(F.col("j")).alias("keys"),
+        ch.JSONExtractKeys(F.col("j"), "a", 2).alias("k2"),
+        ch.JSONExtractArrayRaw(F.col("j"), "a").alias("raw"),
+        ch.JSONExtractUInt(F.col("j"), "i").alias("ui"),
+        ch.JSONExtractUInt(F.col("j"), "a", 1).alias("u1"),
+    ).first()
+    assert (r.ta, r.ts, r.tn, r.ti, r.tf, r.tz, r.tm) == \
+        ("Array", "String", "Float64", "Int64", "Bool", "Null", None)
+    assert r.ez is True and r.eq is False
+    assert r.qa == '[{"b":2}]'
+    assert r.keys == ["a", "s", "n", "i", "f", "z"] and r.k2 == ["b"]
+    assert r.raw == ['1', '{"b":2}', '"x"']
+    assert r.ui == 0 and r.u1 == 1    # negative clamps, 1-based index
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="negative"):
+        ch.JSONExtractUInt(F.col("j"), "a", -1)
