@@ -3405,6 +3405,51 @@ def kql_join_union(spark, sf_dir):
     """)
 
 
+@q("fn_json_introspection", """
+WITH s AS (SELECT event_id,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events WHERE event_id < 2000),
+p AS (SELECT event_id, k,
+             printf('{"k": %d, "s": "v%d", "arr": [%d, %d], "z": null}',
+                    k, event_id % 5, event_id % 3, k) AS j
+      FROM s)
+SELECT event_id,
+  CASE json_type(j, '$.arr') WHEN 'ARRAY' THEN 'Array' END AS t_arr,
+  CASE WHEN json_type(j, '$.k') IN ('UBIGINT', 'BIGINT')
+       THEN 'Int64' END AS t_k,
+  json_type(j, '$.z') = 'NULL' AS ez,
+  json_type(j, '$.q') IS NOT NULL AS eq,
+  '[' || CAST(json_extract(j, '$.arr') AS VARCHAR) || ']' AS qa,
+  array_to_string(json_keys(j), ',') AS ks,
+  CAST(json_extract_string(j, '$.k') AS BIGINT) AS uk
+FROM p ORDER BY event_id
+""")
+def fn_json_introspection(spark, sf_dir):
+    """JSON introspection long tail (reference
+    src/Functions/FunctionsJSON.h JSONType/JSONExtractKeys/
+    JSONExtractUInt + src/Functions/FunctionSQLJSON.h JSON_EXISTS/
+    JSON_QUERY), powered by Spark 4 variant (parse_json/
+    try_variant_get/schema_of_variant).  The oracle rebuilds the same
+    document and introspects it with DuckDB's independent JSON
+    implementation — two engines, one type verdict."""
+    ev = _cat(spark, sf_dir).events.filter(F.col("event_id") < 2000)
+    k = F.get_json_object("props", "$.k").cast("long")
+    j = F.format_string(
+        '{"k": %d, "s": "v%d", "arr": [%d, %d], "z": null}',
+        k, F.col("event_id") % 5, F.col("event_id") % 3, k)
+    return (ev.select("event_id", j.alias("j"))
+            .select("event_id",
+                    ch.JSONType(F.col("j"), "arr").alias("t_arr"),
+                    ch.JSONType(F.col("j"), "k").alias("t_k"),
+                    ch.JSON_EXISTS(F.col("j"), "z").alias("ez"),
+                    ch.JSON_EXISTS(F.col("j"), "q").alias("eq"),
+                    ch.JSON_QUERY(F.col("j"), "arr").alias("qa"),
+                    F.concat_ws(",", ch.JSONExtractKeys(F.col("j")))
+                    .alias("ks"),
+                    ch.JSONExtractUInt(F.col("j"), "k").alias("uk"))
+            .orderBy("event_id"))
+
+
 @q("fn_longtail_r5", """
 SELECT o_orderkey,
   CASE o_orderkey % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one'
