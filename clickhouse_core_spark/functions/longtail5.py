@@ -500,3 +500,52 @@ LONGTAIL5.update({
     "JSONExtractArrayRaw": JSONExtractArrayRaw,
     "JSONExtractUInt": JSONExtractUInt,
 })
+
+
+# ---------------------------------------------- array long tail (r5)
+
+def arrayZipUnaligned(*arrs) -> Column:
+    """arrayZipUnaligned(a, b, ...) (reference
+    src/Functions/array/arrayZip.cpp unaligned registration): zip to
+    the LONGEST input, null-padding the shorter arrays (plain arrayZip
+    throws on length mismatch)."""
+    cols = [_c(a) for a in arrs]
+    n = F.greatest(*[F.size(c) for c in cols]) if len(cols) > 1 \
+        else F.size(cols[0])
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(0))),
+        lambda i: F.struct(*[
+            F.try_element_at(c, i).alias(f"{j + 1}")
+            for j, c in enumerate(cols)]))
+
+
+def arrayLevenshteinDistance(a, b) -> Column:
+    """arrayLevenshteinDistance(a, b) (reference
+    src/Functions/array/arrayLevenshteinDistance.cpp): edit distance
+    between two arrays — the classic DP as two nested Catalyst folds
+    (outer over a, inner building each new DP row left-to-right);
+    null elements compare null-safe."""
+    ca, cb = _c(a), _c(b)
+    m = F.size(cb)
+    init = F.sequence(F.lit(0), m)
+    final = F.aggregate(
+        ca, init,
+        lambda row, x: F.aggregate(
+            F.sequence(F.lit(1), m),
+            F.array(F.element_at(row, 1) + 1),
+            lambda acc, j: F.concat(acc, F.array(F.least(
+                F.element_at(acc, j.cast("int")) + 1,
+                F.element_at(row, (j + 1).cast("int")) + 1,
+                F.element_at(row, j.cast("int"))
+                + F.when(F.element_at(cb, j.cast("int")).eqNullSafe(x),
+                         0).otherwise(1))))))
+    return (F.when(m == 0, F.size(ca))
+            .when(F.size(ca) == 0, m)
+            .otherwise(F.element_at(final, (m + 1).cast("int")))
+            .cast("long"))
+
+
+LONGTAIL5.update({
+    "arrayZipUnaligned": arrayZipUnaligned,
+    "arrayLevenshteinDistance": arrayLevenshteinDistance,
+})

@@ -163,3 +163,24 @@ def test_json_long_tail(spark):
     import pytest as _pt
     with _pt.raises(NotImplementedError, match="negative"):
         ch.JSONExtractUInt(F.col("j"), "a", -1)
+
+
+def test_array_zip_unaligned_and_levenshtein(spark):
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["a", "x", "c", "d"]),
+         ([], ["q"]),
+         (["m"], [])],
+        "a array<string>, b array<string>")
+    rows = df.select(
+        ch.arrayLevenshteinDistance(F.col("a"), F.col("b")).alias("d"),
+        ch.arrayZipUnaligned(F.col("a"), F.col("b")).alias("z")).collect()
+    assert [r.d for r in rows] == [2, 1, 1]
+    z = rows[0].z
+    assert [(p["1"], p["2"]) for p in z] == \
+        [("a", "a"), ("b", "x"), ("c", "c"), (None, "d")]
+    assert [(p["1"], p["2"]) for p in rows[1].z] == [(None, "q")]
+    # classic identity checks
+    same = spark.createDataFrame([(["x", "y"], ["x", "y"])],
+                                 "a array<string>, b array<string>")
+    assert same.select(ch.arrayLevenshteinDistance(
+        F.col("a"), F.col("b")).alias("d")).first().d == 0
