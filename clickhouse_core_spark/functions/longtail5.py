@@ -549,3 +549,45 @@ LONGTAIL5.update({
     "arrayZipUnaligned": arrayZipUnaligned,
     "arrayLevenshteinDistance": arrayLevenshteinDistance,
 })
+
+
+# ------------------------------------------------------------ SVG (r5)
+
+def _svg_num(v) -> str:
+    f = float(v)
+    return str(int(f)) if f == int(f) else repr(f)
+
+
+def svg(geometry, style=None) -> Column:
+    """SVG(geometry[, style]) (reference src/Functions/svg.cpp via
+    boost::geometry::svg; observable contract from the reference docs:
+    a ring renders ``<polygon points="x,y x,y ..." style="S"/>``, a
+    point renders ``<circle cx="X" cy="Y" r="5" style="S"/>``).
+    Accepts a plan-time literal list of (x, y) vertices (the
+    pointInPolygon convention here), a literal (x, y) point, or a
+    Column of array<struct<x,y>>."""
+    st = _c(style) if isinstance(style, Column) else F.lit(style or "")
+    if isinstance(geometry, (list, tuple)) and geometry \
+            and isinstance(geometry[0], (list, tuple)):
+        pts = " ".join(f"{_svg_num(x)},{_svg_num(y)}"
+                       for x, y in geometry)
+        return F.concat(F.lit(f'<polygon points="{pts}" style="'),
+                        st, F.lit('"/>'))
+    if isinstance(geometry, (list, tuple)) and len(geometry) == 2:
+        x, y = geometry
+        return F.concat(
+            F.lit(f'<circle cx="{_svg_num(x)}" cy="{_svg_num(y)}" '
+                  f'r="5" style="'), st, F.lit('"/>'))
+    c = _c(geometry)
+
+    def num(col):
+        return F.regexp_replace(col.cast("string"), r"\.0$", "")
+
+    pts = F.array_join(F.transform(
+        c, lambda p: F.concat(num(p["x"]), F.lit(","), num(p["y"]))),
+        " ")
+    return F.concat(F.lit('<polygon points="'), pts,
+                    F.lit('" style="'), st, F.lit('"/>'))
+
+
+LONGTAIL5.update({"svg": svg, "SVG": svg})

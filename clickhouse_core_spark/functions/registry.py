@@ -3755,6 +3755,11 @@ _ALIAS_NAMES.update({
     "extractAllGroups": "extractAllGroupsVertical",
     "week": "toWeek",
     "time_bucket": "toStartOfInterval",
+    # valued/valueless CASE internal parser names (reference
+    # src/Functions/caseWithExpression.cpp, multiIf.cpp aliases)
+    "caseWithExpr": "caseWithExpression",
+    "caseWithoutExpr": "multiIf",
+    "caseWithoutExpression": "multiIf",
 })
 
 

@@ -184,3 +184,22 @@ def test_array_zip_unaligned_and_levenshtein(spark):
                                  "a array<string>, b array<string>")
     assert same.select(ch.arrayLevenshteinDistance(
         F.col("a"), F.col("b")).alias("d")).first().d == 0
+
+
+def test_svg_and_case_aliases(spark):
+    df = spark.range(1)
+    s = df.select(ch.svg([(0., 0.), (10, 0), (10, 10), (0, 10)])
+                  .alias("s")).first().s
+    assert s == '<polygon points="0,0 10,0 10,10 0,10" style=""/>'
+    p = df.select(ch.svg((3, 4.5), F.lit("stroke:blue"))
+                  .alias("s")).first().s
+    assert p == '<circle cx="3" cy="4.5" r="5" style="stroke:blue"/>'
+    df2 = spark.createDataFrame(
+        [([{"x": 1.0, "y": 2.5}, {"x": 3.0, "y": 4.0}],)],
+        "g array<struct<x:double,y:double>>")
+    assert df2.select(ch.svg(F.col("g")).alias("s")).first().s == \
+        '<polygon points="1,2.5 3,4" style=""/>'
+    # parser-internal CASE aliases resolve
+    from clickhouse_core_spark.functions import CH_FUNCTIONS
+    assert CH_FUNCTIONS["caseWithExpr"] is CH_FUNCTIONS["caseWithExpression"]
+    assert CH_FUNCTIONS["caseWithoutExpr"] is CH_FUNCTIONS["multiIf"]
