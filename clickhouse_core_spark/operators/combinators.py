@@ -209,3 +209,14 @@ def agg_resample(df: DataFrame, keys: Sequence[str], agg: Column,
             .withColumn("__bucket_lo", (F.lit(start) + F.col("__bucket") * step))
             .groupBy(*keys, "__bucket", "__bucket_lo")
             .agg(agg))
+
+
+def agg_simple_state(agg: AggFn, value: Column | str) -> Column:
+    """-SimpleState combinator (reference src/AggregateFunctions/
+    Combinators/AggregateFunctionSimpleState.h): the aggregate result
+    carried as a SimpleAggregateFunction plain value.  In this engine
+    plain values ARE the simple-state carrier (AggregatingMergeTree
+    plain columns, Native SimpleAggregateFunction(T) serializing as
+    T), so -SimpleState is the aggregate itself — the combinator
+    exists for name parity and reads as documentation at call sites."""
+    return agg(value if isinstance(value, Column) else F.col(value))

@@ -147,3 +147,22 @@ def aggregating_final(df: DataFrame, keys: Sequence[str]) -> DataFrame:
         else:
             aggs.append(F.min(f_.name).alias(f_.name))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_state_table(states: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """-MergeState combinator analog (reference
+    src/AggregateFunctions/Combinators/AggregateFunctionState.h:
+    merge states WITHOUT finalizing): re-aggregate a state table at a
+    coarser key set, keeping every column a state — the multi-level
+    rollup tree (hour -> day -> month summary tables), where only the
+    final read finishes with :func:`merge_states`."""
+    aggs: list[Column] = []
+    for f_ in states.schema.fields:
+        if f_.name.endswith("__uniq_state"):
+            aggs.append(F.hll_union_agg(f_.name).alias(f_.name))
+        elif f_.name.endswith("__q_state"):
+            aggs.append(_kll_fold(F.collect_list(f_.name)).alias(f_.name))
+        elif f_.name.endswith("__sum") or f_.name.endswith("__cnt") \
+                or f_.name == "__rows":
+            aggs.append(F.sum(f_.name).alias(f_.name))
+    return states.groupBy(*keys).agg(*aggs)

@@ -120,3 +120,37 @@ def test_dict_children_descendants(spark):
     desc = {r["k"]: sorted(r["descendants"])
             for r in d.get_descendants(df, "k", "parent").collect()}
     assert desc == {1: [2, 3, 4, 5], 2: [4, 5], 3: []}
+
+
+def test_merge_state_table_multilevel_rollup(spark):
+    """hour->day->total state tree: merging states at a coarser key
+    WITHOUT finalizing, then finishing once, equals finishing the
+    fine-grained table directly (-MergeState contract)."""
+    from clickhouse_core_spark.operators import (
+        merge_state_table, merge_states, rollup_states)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(d, h, u, float(v)) for d in (1, 2) for h in (0, 1)
+         for u, v in [(d * 10 + h, 1.0), (d * 10 + h + 1, 2.0), (99, 3.0)]],
+        "day int, hour int, uid long, v double")
+    fine = rollup_states(df, ["day", "hour"], uniq_cols=["uid"],
+                         sum_cols=["v"])
+    mid = merge_state_table(fine, ["day"])           # states stay states
+    assert {f.name for f in mid.schema.fields} == \
+        {"day", "uid__uniq_state", "v__sum", "v__cnt", "__rows"}
+    via_tree = {r.day: (r.uid_uniq, r.v_sum)
+                for r in merge_states(mid, ["day"]).collect()}
+    direct = {r.day: (r.uid_uniq, r.v_sum)
+              for r in merge_states(
+                  rollup_states(df, ["day"], uniq_cols=["uid"],
+                                sum_cols=["v"]), ["day"]).collect()}
+    assert via_tree == direct
+
+
+def test_agg_simple_state_is_plain_value(spark):
+    from clickhouse_core_spark.operators import agg_simple_state
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(1, 5.0), (1, 7.0)], "k int, v double")
+    r = df.groupBy("k").agg(
+        agg_simple_state(F.max, "v").alias("m")).first()
+    assert r.m == 7.0
