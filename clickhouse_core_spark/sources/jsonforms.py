@@ -395,3 +395,54 @@ def format_template(df: DataFrame, row_format: str,
             lambda m: "" if r[m.group(1)] is None else str(r[m.group(1)]),
             row_format))
     return "\n".join(out) + ("\n" if out else "")
+
+
+def format_pretty(df: DataFrame, variant: str = "PrettyCompact",
+                  max_rows: int = 10000) -> str:
+    """CH Pretty display family (reference
+    src/Processors/Formats/Impl/PrettyBlockOutputFormat.cpp — the CLI
+    default): box-drawing grids with the reference's alignment rule
+    (numbers right-aligned, strings left-aligned).  Variants: 'Pretty'
+    (heavy header box), 'PrettyCompact' (single-line header-in-border),
+    'PrettySpace' (borderless columns).  Bounded display renderer like
+    Markdown/Vertical — never a data path."""
+    if variant not in ("Pretty", "PrettyCompact", "PrettySpace"):
+        raise NotImplementedError(f"Pretty variant {variant!r}")
+    rows = _collect_bounded(df, max_rows)
+    cols = df.columns
+    numeric = {c: t in ("tinyint", "smallint", "int", "bigint", "float",
+                        "double") or t.startswith("decimal")
+               for c, t in df.dtypes}
+    cells = [["" if r[c] is None else str(r[c]) for c in cols]
+             for r in rows]
+    widths = [max([len(c)] + [len(row[i]) for row in cells])
+              for i, c in enumerate(cols)]
+
+    def pad(text, i):
+        w = widths[i]
+        return text.rjust(w) if numeric[cols[i]] else text.ljust(w)
+
+    out = []
+    if variant == "PrettySpace":
+        out.append("   ".join(c.ljust(widths[i]) if not numeric[cols[i]]
+                              else c.rjust(widths[i])
+                              for i, c in enumerate(cols)).rstrip())
+        for row in cells:
+            out.append("   ".join(pad(v, i)
+                                  for i, v in enumerate(row)).rstrip())
+        return "\n".join(out) + "\n"
+    if variant == "Pretty":
+        out.append("┏━" + "━┳━".join("━" * w for w in widths) + "━┓")
+        out.append("┃ " + " ┃ ".join(
+            c.ljust(widths[i]) for i, c in enumerate(cols)) + " ┃")
+        out.append("┡━" + "━╇━".join("━" * w for w in widths) + "━┩")
+    else:  # PrettyCompact: header embedded in the top border
+        segs = []
+        for i, c in enumerate(cols):
+            segs.append("─" + c + "─" * (widths[i] - len(c) + 1))
+        out.append("┌" + "┬".join(segs) + "┐")
+    for row in cells:
+        out.append("│ " + " │ ".join(pad(v, i)
+                                     for i, v in enumerate(row)) + " │")
+    out.append("└─" + "─┴─".join("─" * w for w in widths) + "─┘")
+    return "\n".join(out) + "\n"

@@ -271,3 +271,22 @@ def test_avro_confluent_decode(spark):
     # wrong id -> NULL struct
     bad = decode_avro_confluent(framed, "value", sch, accepted_ids=[9])
     assert all(r.avro is None for r in bad.collect())
+
+
+def test_pretty_formats(spark):
+    from clickhouse_core_spark.sources.jsonforms import format_pretty
+    df = spark.createDataFrame([(1, "alpha"), (22, "b")], "n int, s string")
+    compact = format_pretty(df.orderBy("n"), "PrettyCompact")
+    assert compact.splitlines() == [
+        "┌─n──┬─s─────┐",
+        "│  1 │ alpha │",
+        "│ 22 │ b     │",
+        "└────┴───────┘"]
+    pretty = format_pretty(df.orderBy("n"), "Pretty")
+    assert pretty.splitlines()[0] == "┏━━━━┳━━━━━━━┓"
+    assert "┃ n  ┃ s     ┃" in pretty
+    space = format_pretty(df.orderBy("n"), "PrettySpace")
+    assert space.splitlines() == [" n   s", " 1   alpha", "22   b"]
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        format_pretty(df, "PrettyMonoBlock")
