@@ -1151,6 +1151,17 @@ def _multi_positions(h, needles) -> Column:
 
 _STR2 = {
     "substringIndex": lambda x, d, n: F.substring_index(_c(x), d, n),
+    # Spark strings are unicode — the UTF8 variants coincide
+    "substringIndexUTF8": lambda x, d, n: F.substring_index(_c(x), d, n),
+    # overlay(s, replace, offset[, length]) (reference
+    # src/Functions/overlay.cpp) — Spark's overlay is the same contract
+    "overlay": lambda s, r, o, ln=None: (
+        F.overlay(_c(s), _c(r) if isinstance(r, Column) else F.lit(r),
+                  _c(o) if isinstance(o, Column) else F.lit(o))
+        if ln is None else
+        F.overlay(_c(s), _c(r) if isinstance(r, Column) else F.lit(r),
+                  _c(o) if isinstance(o, Column) else F.lit(o),
+                  _c(ln) if isinstance(ln, Column) else F.lit(ln))),
     "translate": lambda x, frm, to: F.translate(_c(x), frm, to),
     "countMatches": lambda x, rx: F.size(
         F.regexp_extract_all(_c(x), F.lit(rx), F.lit(0))).cast("long"),
@@ -3758,6 +3769,9 @@ _ALIAS_NAMES.update({
     # valued/valueless CASE internal parser names (reference
     # src/Functions/caseWithExpression.cpp, multiIf.cpp aliases)
     "caseWithExpr": "caseWithExpression",
+    # Date32 covers the same range as Spark's DateType — same builder
+    "makeDate32": "makeDate",
+    "overlayUTF8": "overlay",
     "caseWithoutExpr": "multiIf",
     "caseWithoutExpression": "multiIf",
 })

@@ -203,3 +203,14 @@ def test_svg_and_case_aliases(spark):
     from clickhouse_core_spark.functions import CH_FUNCTIONS
     assert CH_FUNCTIONS["caseWithExpr"] is CH_FUNCTIONS["caseWithExpression"]
     assert CH_FUNCTIONS["caseWithoutExpr"] is CH_FUNCTIONS["multiIf"]
+
+
+def test_overlay_and_aliases(spark):
+    df = spark.createDataFrame([("Spark SQL",)], "s string")
+    r = df.select(ch.overlay(F.col("s"), "ANSI ", 7, 0).alias("a"),
+                  ch.overlayUTF8(F.col("s"), "_", 6).alias("b"),
+                  ch.substringIndexUTF8(F.col("s"), " ", 1).alias("c"))\
+        .first()
+    assert (r.a, r.b, r.c) == ("Spark ANSI SQL", "Spark_SQL", "Spark")
+    from clickhouse_core_spark.functions import CH_FUNCTIONS
+    assert CH_FUNCTIONS["makeDate32"] is CH_FUNCTIONS["makeDate"]
