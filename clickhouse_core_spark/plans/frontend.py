@@ -1914,6 +1914,27 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
 
     m = _EXPLAIN_RE.match(text)
     if m:
+        # EXPLAIN ESTIMATE over a managed MergeTreeTable returns the
+        # reference's (table, parts, rows, marks) row from the part
+        # metadata — marks = parquet row groups, the granule analog
+        # (reference src/Interpreters/InterpreterExplainQuery.cpp
+        # ESTIMATE kind reads system.parts the same way)
+        if re.match(r"^EXPLAIN\s+ESTIMATE\b", text, re.IGNORECASE) \
+                and tables:
+            tm = re.search(r"\bFROM\s+`?(\w+)`?", m.group(1),
+                           re.IGNORECASE)
+            table = tables.get(tm.group(1)) if tm else None
+            if table is not None and hasattr(table, "parts_info"):
+                info = table.parts_info().agg(
+                    F.count("*").alias("parts"),
+                    F.sum("rows").alias("rows")).first()
+                marks = sum(len(table._rowgroup_bounds(p))
+                            for p in table.parts())
+                return spark.createDataFrame(
+                    [(tm.group(1), int(info["parts"] or 0),
+                      int(info["rows"] or 0), marks)],
+                    "table string, parts bigint, rows bigint, "
+                    "marks bigint")
         return spark.sql("EXPLAIN EXTENDED "
                          + translate_ch_sql(m.group(1), sample_by=sample_by))
     m = _INSERT_RE.match(text)

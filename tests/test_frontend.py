@@ -689,3 +689,19 @@ def test_string_bit_misc_sql(spark):
                intExp2(10) AS e2 FROM system.one""").first()
     assert (r.cm, r.pci, r.si, r.fx, r.brl, r.e2) == \
         (3, 1, "a.b", 4, 2, 1024)
+
+
+def test_explain_estimate_mergetree(spark, tmp_path):
+    from clickhouse_core_spark.plans import frontend as fe
+    from clickhouse_core_spark.sources.mergetree import MergeTreeTable
+    t = MergeTreeTable(spark, str(tmp_path / "est"), order_by=["k"])
+    t.insert(spark.range(100).selectExpr("id as k"))
+    t.insert(spark.range(100, 150).selectExpr("id as k"))
+    r = fe.ch_sql(spark, "EXPLAIN ESTIMATE SELECT * FROM est",
+                  tables={"est": t}).first()
+    assert r.table == "est" and r.parts == 2 and r.rows == 150
+    assert r.marks >= 2          # >= one row group per part
+    # without a managed table it stays the plan dump
+    spark.range(3).createOrReplaceTempView("est_v")
+    out = fe.ch_sql(spark, "EXPLAIN ESTIMATE SELECT * FROM est_v")
+    assert "plan" in out.columns or out.columns  # plan text frame
