@@ -591,3 +591,75 @@ def svg(geometry, style=None) -> Column:
 
 
 LONGTAIL5.update({"svg": svg, "SVG": svg})
+
+
+# ---------------------------------------- text classification (r5)
+
+# Compact valence lexicon for the tonality heuristic — common English
+# sentiment carriers with unit weights (a transparent stand-in for the
+# reference's trained model; same contract: score in [-1, 1]).
+_POS_WORDS = (
+    "good great excellent amazing wonderful love loved best happy "
+    "fantastic awesome perfect nice beautiful brilliant enjoy enjoyed "
+    "delight delightful superb outstanding positive win winning "
+    "success successful recommend impressive favorite pleased").split()
+_NEG_WORDS = (
+    "bad terrible awful horrible hate hated worst sad ugly poor "
+    "disappointing disappointed negative fail failed failure broken "
+    "wrong annoying useless boring painful problem problems angry "
+    "waste worse disgusting unfortunate").split()
+
+
+def detectTonality(s) -> Column:
+    """detectTonality (reference FunctionsTextClassification.h — a
+    trained tonality model, not in this container): documented
+    lexicon-vote heuristic, (pos - neg) / tokens clamped to [-1, 1],
+    0.0 for neutral/empty — same replacement class as the stop-word
+    detectLanguage."""
+    toks = F.filter(
+        F.split(F.lower(_c(s)), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+    pos_arr = F.array(*[F.lit(w) for w in _POS_WORDS])
+    neg_arr = F.array(*[F.lit(w) for w in _NEG_WORDS])
+    pos = F.size(F.filter(toks, lambda t: F.array_contains(pos_arr, t)))
+    neg = F.size(F.filter(toks, lambda t: F.array_contains(neg_arr, t)))
+    n = F.size(toks)
+    score = (pos - neg).cast("double") / F.greatest(n, F.lit(1))
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(-1.0))
+
+
+_PROG_MARKERS = {
+    "python": ["def ", "import ", "self.", "elif ", "lambda ", "print("],
+    "c++": ["#include", "std::", "template<", "nullptr", "::"],
+    "sql": ["select ", "from ", "where ", "group by", "join "],
+    "javascript": ["function ", "const ", "=>", "var ", "console.log"],
+    "java": ["public class", "void ", "extends ", "System.out"],
+    "go": ["func ", "package ", ":=", "go func"],
+    "rust": ["fn ", "let mut", "impl ", "-> ", "match "],
+    "shell": ["#!/bin", "echo ", "grep ", "| ", "$("],
+}
+
+
+def detectProgrammingLanguage(s) -> Column:
+    """detectProgrammingLanguage (reference
+    FunctionsTextClassification.h — trained model): marker-vote
+    heuristic over characteristic substrings; 'undefined' when nothing
+    matches (the reference's unknown verdict)."""
+    low = F.lower(_c(s))
+    entries = []
+    for prio, (lang, markers) in enumerate(sorted(_PROG_MARKERS.items())):
+        hits = None
+        for mk in markers:
+            h = F.when(F.locate(mk.lower(), low) > 0, 1).otherwise(0)
+            hits = h if hits is None else hits + h
+        entries.append(F.struct(hits.alias("hits"),
+                                F.lit(-prio).alias("prio"),
+                                F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] >= 2, best["lang"]) \
+        .otherwise(F.lit("undefined"))
+
+
+LONGTAIL5.update({
+    "detectTonality": detectTonality,
+    "detectProgrammingLanguage": detectProgrammingLanguage,
+})

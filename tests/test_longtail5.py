@@ -214,3 +214,18 @@ def test_overlay_and_aliases(spark):
     assert (r.a, r.b, r.c) == ("Spark ANSI SQL", "Spark_SQL", "Spark")
     from clickhouse_core_spark.functions import CH_FUNCTIONS
     assert CH_FUNCTIONS["makeDate32"] is CH_FUNCTIONS["makeDate"]
+
+
+def test_detect_tonality_and_programming_language(spark):
+    df = spark.createDataFrame([
+        (1, "I love this wonderful amazing product"),
+        (2, "terrible awful broken waste of money"),
+        (3, "the sky is blue"),
+        (4, "def main():\n    import os\n    print(os.getcwd())"),
+        (5, "SELECT a FROM t WHERE b GROUP BY c")], "i int, s string")
+    out = {r.i: (r.t, r.p) for r in df.select(
+        "i", ch.detectTonality(F.col("s")).alias("t"),
+        ch.detectProgrammingLanguage(F.col("s")).alias("p")).collect()}
+    assert out[1][0] > 0.3 and out[2][0] < -0.3 and out[3][0] == 0.0
+    assert out[4][1] == "python" and out[5][1] == "sql"
+    assert out[3][1] == "undefined"
