@@ -663,3 +663,103 @@ LONGTAIL5.update({
     "detectTonality": detectTonality,
     "detectProgrammingLanguage": detectProgrammingLanguage,
 })
+
+
+# ------------------------------------ kostikConsistentHash (r5, exact)
+
+def kostik_consistent_hash_py(x: int, n: int) -> int:
+    """Pure-Python reference of the public consistent-hashing scheme
+    (reference contrib/consistent-hashing/consistent_hashing.cpp —
+    TValue=uint16 split of the 64-bit key): used by tests to cross-
+    check the Catalyst expression below; both are independent
+    re-implementations of the documented bit scheme."""
+    x &= (1 << 64) - 1
+    a = x & 0xFFFF
+    b = (x >> 16) & 0xFFFF
+    c = (x >> 32) & 0xFFFF
+    d = (x >> 48) & 0xFFFF
+    if n <= 0:
+        raise ValueError("n must be positive")
+    if n == 1:
+        return 0
+
+    def chp2(cv: int, k2: int) -> int:
+        cblock = cv & (k2 - 1)
+        if cblock < 2:
+            return cblock
+        y = cblock.bit_length() - 1
+        y2 = 1 << y
+        z = bin(cblock).count("1")
+        ab = (a if z % 2 == 0 else b) & (y2 - 1)
+        return y2 + ab
+
+    k = (n - 1).bit_length()
+    k2 = 1 << k
+    large = chp2(c, k2)
+    if large < n:
+        return large
+    k21 = 1 << (k - 1)
+    shift = 16 - k
+    s64 = ((d << shift) | (c >> k)) & ((1 << 64) - 1)
+    s64 = ((s64 << (shift + 1)) | (b >> (k - 1))) & ((1 << 64) - 1)
+    s64 = ((s64 << (shift + 1)) | (a >> (k - 1))) & ((1 << 64) - 1)
+    s = s64 % (large * (large + 1))
+    large2 = s // k2 + k21
+    if large2 < n:
+        return large2
+    return chp2(c, k21)
+
+
+def kostikConsistentHash(x, n: int) -> Column:
+    """kostikConsistentHash(x, n) — BIT-EXACT vs the reference's
+    consistent-hashing contrib (src/Functions/kostikConsistentHash.cpp
+    → contrib/consistent-hashing/consistent_hashing.cpp): n is a
+    plan-time literal, so the k/k2/shift scheme constants fold and the
+    whole function is a branch tree of 64-bit ALU expressions —
+    no UDF, no shuffle."""
+    n = int(n)
+    if n <= 0:
+        raise ValueError("kostikConsistentHash: n must be positive")
+    xs = _c(x).cast("long")
+    a = xs.bitwiseAND(0xFFFF)
+    b = F.shiftrightunsigned(xs, 16).bitwiseAND(0xFFFF)
+    c = F.shiftrightunsigned(xs, 32).bitwiseAND(0xFFFF)
+    d = F.shiftrightunsigned(xs, 48).bitwiseAND(0xFFFF)
+    if n == 1:
+        return F.lit(0).cast("long")
+
+    def chp2(k2: int) -> Column:
+        cblock = c.bitwiseAND(k2 - 1)
+        # y = bit_length(cblock) - 1 for cblock >= 2; log2 of a 16-bit
+        # int in double is exact enough that floor never crosses a
+        # boundary (powers of two are exactly representable)
+        y = F.floor(F.log2(cblock.cast("double"))).cast("int")
+        # 2^y via pow: exact in double for y <= 15 (16-bit TValue)
+        y2 = F.pow(F.lit(2.0), y).cast("long")
+        z = F.bit_count(cblock)
+        ab = F.when(z % 2 == 0, a).otherwise(b).bitwiseAND(y2 - 1)
+        return F.when(cblock < 2, cblock.cast("long")) \
+            .otherwise((y2 + ab).cast("long"))
+
+    k = (n - 1).bit_length()
+    k2 = 1 << k
+    large = chp2(k2)
+    k21 = 1 << (k - 1)
+    shift = 16 - k
+    s64 = F.shiftleft(d, shift).bitwiseOR(F.shiftrightunsigned(c, k))
+    s64 = F.shiftleft(s64, shift + 1).bitwiseOR(
+        F.shiftrightunsigned(b, k - 1))
+    s64 = F.shiftleft(s64, shift + 1).bitwiseOR(
+        F.shiftrightunsigned(a, k - 1))
+    denom = large * (large + 1)
+    s = F.pmod(s64, denom)
+    large2 = F.floor(s / k2).cast("long") + F.lit(k21)
+    return F.when(large < n, large) \
+        .when(large2 < n, large2) \
+        .otherwise(chp2(k21)).cast("long")
+
+
+# overrides the earlier jumpConsistentHash stand-in: merge order puts
+# LONGTAIL5 last, so these names now resolve to the exact algorithm
+LONGTAIL5.update({"kostikConsistentHash": kostikConsistentHash,
+                  "yandexConsistentHash": kostikConsistentHash})

@@ -229,3 +229,32 @@ def test_detect_tonality_and_programming_language(spark):
     assert out[1][0] > 0.3 and out[2][0] < -0.3 and out[3][0] == 0.0
     assert out[4][1] == "python" and out[5][1] == "sql"
     assert out[3][1] == "undefined"
+
+
+def test_kostik_consistent_hash_exact(spark):
+    """Catalyst expression vs the independent pure-Python reference of
+    contrib/consistent-hashing: bit-exact across bucket counts incl.
+    powers of two and the smooth-transition band."""
+    import random
+    from clickhouse_core_spark.functions.longtail5 import (
+        kostik_consistent_hash_py)
+    rnd = random.Random(7)
+    xs = [rnd.getrandbits(64) for _ in range(200)] + [0, 1, 2 ** 63,
+                                                      2 ** 64 - 1]
+    signed = [(x - (1 << 64) if x >= 1 << 63 else x,) for x in xs]
+    df = spark.createDataFrame(signed, "x long")
+    for n in (1, 2, 5, 8, 100, 256, 1000):
+        got = [r.h for r in df.select(
+            ch.kostikConsistentHash(F.col("x"), n).alias("h")).collect()]
+        want = [kostik_consistent_hash_py(x, n) for x in xs]
+        assert got == want, n
+        assert all(0 <= g < n for g in got)
+    # consistency contract: growing n only moves keys INTO new buckets
+    for x in xs[:50]:
+        h5 = kostik_consistent_hash_py(x, 5)
+        h6 = kostik_consistent_hash_py(x, 6)
+        assert h6 == h5 or h6 == 5
+    # the registry name now resolves to the exact algorithm
+    from clickhouse_core_spark.functions import CH_FUNCTIONS
+    assert CH_FUNCTIONS["yandexConsistentHash"] \
+        is CH_FUNCTIONS["kostikConsistentHash"]
