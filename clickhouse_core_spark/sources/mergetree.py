@@ -392,13 +392,16 @@ class MergeTreeTable:
 
     def read_raw(self) -> DataFrame:
         """All appended rows, engine semantics NOT applied (the
-        reference's default non-FINAL read)."""
+        reference's default non-FINAL read); lightweight-delete masks
+        are applied (the reference's implicit `_row_exists = 1`
+        filter)."""
         parts = self.parts()
         if not parts:
             raise ValueError(f"table at {self.path} has no parts")
-        return self.spark.read.option("basePath", parts[0]) \
+        df = self.spark.read.option("basePath", parts[0]) \
             .parquet(*parts) if len(parts) == 1 else (
             self.spark.read.parquet(*parts))
+        return self._apply_delete_masks(df, parts)
 
     def read(self, final: bool = False) -> DataFrame:
         df = self.read_raw()
@@ -435,7 +438,9 @@ class MergeTreeTable:
         steps see either the old parts or the new one — both yield the
         same FINAL result."""
         parts = self.parts()
-        if len(parts) <= 1 and self.engine == "merge_tree":
+        has_masks = any(os.path.isdir(self._mask_dir(p)) for p in parts)
+        if len(parts) <= 1 and self.engine == "merge_tree" \
+                and not has_masks:
             return
         merged = self._apply_engine(self.read_raw())
         new_part = self.insert(merged)
@@ -451,6 +456,46 @@ class MergeTreeTable:
         kept = self.read_raw().filter(~F.coalesce(predicate, F.lit(False)))
         new_part = self.insert(kept)
         self._drop_parts([p for p in parts if p != new_part])
+
+    # ------------------------------------------------ lightweight delete
+
+    def _mask_dir(self, part_dir: str) -> str:
+        return os.path.join(part_dir, "_delete_mask")
+
+    def delete_where_lightweight(self, predicate: Column) -> None:
+        """Lightweight DELETE (reference
+        src/Interpreters/InterpreterDeleteQuery.cpp:105 — the
+        `_row_exists` mask model): instead of rewriting parts, write a
+        tiny per-part sidecar of deleted (file, row_index) pairs; reads
+        anti-join the mask.  Deleting 100 rows from a 100 TB table
+        costs one filtered scan + a KB-sized sidecar write — the
+        rewrite happens lazily at the next compact().  Masks accumulate
+        (append mode) across successive lightweight deletes."""
+        cond = F.coalesce(predicate, F.lit(False))
+        for part in self.parts():
+            hits = (self.spark.read.parquet(part)
+                    .withColumn("__file", F.col("_metadata.file_path"))
+                    .withColumn("__row", F.col("_metadata.row_index"))
+                    .filter(cond)
+                    .select("__file", "__row"))
+            (hits.write.mode("append")
+             .parquet(self._mask_dir(part)))
+
+    def _apply_delete_masks(self, df: DataFrame,
+                            parts: Sequence[str]) -> DataFrame:
+        mask_dirs = [self._mask_dir(p) for p in parts
+                     if os.path.isdir(self._mask_dir(p))
+                     and any(f.endswith(".parquet") for _r, _d, fs in
+                             os.walk(self._mask_dir(p)) for f in fs)]
+        if not mask_dirs:
+            return df
+        mask = self.spark.read.parquet(*mask_dirs)
+        # masks are tiny relative to data — broadcast the anti side
+        return (df.withColumn("__file", F.col("_metadata.file_path"))
+                .withColumn("__row", F.col("_metadata.row_index"))
+                .join(F.broadcast(mask), ["__file", "__row"],
+                      "left_anti")
+                .drop("__file", "__row"))
 
     def update_where(self, predicate: Column, assignments: dict) -> None:
         """ALTER TABLE ... UPDATE analog (reference

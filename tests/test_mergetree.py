@@ -526,3 +526,33 @@ def test_gin_scan_equals_full_scan_property(spark, tmp_path):
                     r"(^|[^\p{L}\p{N}])" + tok + r"($|[^\p{L}\p{N}])"))
             .collect())
         assert got == want, tok
+
+
+def test_lightweight_delete_mask(spark, tmp_path):
+    """Lightweight DELETE: rows vanish from reads via the mask sidecar
+    WITHOUT a part rewrite; compact() materializes the deletion and
+    drops the masks with the old parts."""
+    import os
+    t = MergeTreeTable(spark, str(tmp_path / "lwd"), order_by=["k"])
+    t.insert(spark.range(100).selectExpr("id as k", "id * 2 as v"))
+    parts_before = t.parts()
+    t.delete_where_lightweight(F.col("k") % 10 == 0)
+    # no rewrite: same part directories
+    assert t.parts() == parts_before
+    assert t.read_raw().count() == 90
+    assert sorted(r.k for r in
+                  t.read_raw().filter(F.col("k") < 15).collect()) == \
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 13, 14]
+    # masks accumulate across deletes
+    t.delete_where_lightweight(F.col("k") == 1)
+    assert t.read_raw().count() == 89
+    # FINAL-style reads see the mask too
+    assert t.read().count() == 89
+    # compact materializes: masks gone, data rewritten
+    t.compact()
+    assert t.read_raw().count() == 89
+    assert all(not os.path.isdir(os.path.join(p, "_delete_mask"))
+               for p in t.parts())
+    # deleting everything leaves an empty-but-valid table view
+    t.delete_where_lightweight(F.lit(True))
+    assert t.read_raw().count() == 0
