@@ -1976,7 +1976,15 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         table = (tables or {}).get(name)
         if table is None:
             raise ValueError(f"DELETE needs a MergeTreeTable for {name!r}")
-        table.delete_where(F.expr(_translate_expr(m.group(3))))
+        pred = F.expr(_translate_expr(m.group(3)))
+        # reference semantics split: `DELETE FROM t` is the LIGHTWEIGHT
+        # delete (mask sidecar, InterpreterDeleteQuery.cpp:105);
+        # `ALTER TABLE t DELETE` is the heavy mutation (part rewrite)
+        if m.group(2) is not None and \
+                hasattr(table, "delete_where_lightweight"):
+            table.delete_where_lightweight(pred)
+        else:
+            table.delete_where(pred)
         return None
     m = _UPDATE_RE.match(text)
     if m:

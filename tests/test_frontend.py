@@ -705,3 +705,19 @@ def test_explain_estimate_mergetree(spark, tmp_path):
     spark.range(3).createOrReplaceTempView("est_v")
     out = fe.ch_sql(spark, "EXPLAIN ESTIMATE SELECT * FROM est_v")
     assert "plan" in out.columns or out.columns  # plan text frame
+
+
+def test_delete_from_is_lightweight_alter_is_mutation(spark, tmp_path):
+    from clickhouse_core_spark.plans import frontend as fe
+    from clickhouse_core_spark.sources.mergetree import MergeTreeTable
+    t = MergeTreeTable(spark, str(tmp_path / "dl"), order_by=["k"])
+    t.insert(spark.range(20).selectExpr("id as k"))
+    parts = t.parts()
+    fe.ch_sql(spark, "DELETE FROM dl WHERE k < 5", tables={"dl": t})
+    assert t.parts() == parts            # lightweight: no rewrite
+    assert t.read_raw().count() == 15
+    fe.ch_sql(spark, "ALTER TABLE dl DELETE WHERE k >= 15",
+              tables={"dl": t})
+    assert t.parts() != parts            # mutation: parts rewritten
+    assert sorted(r.k for r in t.read_raw().collect()) == \
+        list(range(5, 15))
