@@ -6911,6 +6911,34 @@ def pipeline_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+@q("pipeline_mixture_sample", """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#42')),
+                             1, 15)) AS BIGINT)
+      / 1152921504606846976.0 AS h,
+    CASE lang WHEN 'en' THEN 0.7 WHEN 'es' THEN 0.3 END AS wt
+  FROM documents),
+c AS (SELECT doc_id, lang, wt,
+        sum(n_chars) OVER (PARTITION BY lang ORDER BY h, doc_id)
+          - n_chars AS prev
+      FROM d WHERE wt IS NOT NULL)
+SELECT doc_id, lang FROM c WHERE prev < wt * 50000 ORDER BY doc_id
+""")
+def pipeline_mixture_sample(spark, sf_dir):
+    """Domain-mixture token-budget sampling (DoReMi/Pile recipe class,
+    pipeline/sampling.py mixture_sample): per-language budgets 0.7/0.3
+    of 50k tokens, documents drawn in deterministic hash order until
+    each budget is crossed; unweighted domains drop.  The oracle
+    replays the identical hash ranking + running-total cutoff in
+    DuckDB, so the drawn SET is value-checked."""
+    from clickhouse_core_spark.pipeline import mixture_sample
+    docs = _cat(spark, sf_dir).documents
+    return (mixture_sample(docs, "lang", {"en": 0.7, "es": 0.3},
+                           total_tokens=50000, token_col="n_chars")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 @q("pipeline_pack_token_budget", """
 WITH b AS (
   SELECT doc_id, n_chars,

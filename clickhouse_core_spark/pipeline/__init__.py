@@ -26,6 +26,7 @@ from clickhouse_core_spark.pipeline.sampling import (
     deterministic_sample,
     stratified_sample,
     pack_token_budget,
+    mixture_sample,
 )
 from clickhouse_core_spark.pipeline.similarity import (
     cosine_topk,
@@ -55,6 +56,7 @@ __all__ = [
     "simhash_dedup", "ngram_jaccard_pairs",
     "connected_components", "dedup_clusters",
     "deterministic_sample", "stratified_sample", "pack_token_budget",
+    "mixture_sample",
     "cosine_topk", "embedding_near_duplicates", "ivf_topk",
     "build_ivf_index", "ivf_index_search", "lsh_ann_topk",
     "semantic_dedup",

@@ -83,3 +83,35 @@ def pack_token_budget(df: DataFrame, budget: int,
                F.greatest(F.col("__seq"), F.lit(0)).cast("string")))
            .drop("__cum", "__seq", "__bucket"))
     return out
+
+
+def mixture_sample(df: DataFrame, domain_col: str, weights: dict,
+                   total_tokens: int, token_col: str = "n_tokens",
+                   id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Domain-mixture sampling for training-data composition (the
+    DoReMi / Pile recipe class — public: Xie et al. 2023
+    arXiv:2305.10429, Gao et al. 2020 arXiv:2101.00027): each domain
+    gets a token budget ``weights[domain] * total_tokens``; within a
+    domain, documents are ranked by the deterministic id hash (a
+    reproducible shuffle) and kept until the running token total
+    reaches the budget.  The first document crossing the budget line
+    is kept (budgets are met-or-slightly-exceeded, never starved —
+    the usual mixing contract).
+
+    Domains absent from ``weights`` are dropped.  Deterministic across
+    runs, engines and partitionings (hash order, not randomness); one
+    window per domain partition — shuffle keyed by domain, linear.
+    """
+    entries = [kv for w in [weights] for kv in w.items()]
+    wmap = F.create_map(*[F.lit(v) for kv in entries
+                          for v in (kv[0], float(kv[1]))])
+    budget = wmap[F.col(domain_col)] * F.lit(float(total_tokens))
+    order = _unit_hash(F.col(id_col), seed)
+    w = Window.partitionBy(domain_col).orderBy(order.asc(),
+                                               F.col(id_col).asc())
+    cum = F.sum(F.col(token_col)).over(w)
+    prev = cum - F.col(token_col)
+    return (df.filter(budget.isNotNull())
+            .withColumn("__prev", prev)
+            .filter(F.col("__prev") < budget)
+            .drop("__prev"))

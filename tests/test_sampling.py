@@ -55,3 +55,28 @@ def test_pack_token_budget_deterministic(docs):
     b = sorted((r.doc_id, r.shard) for r in
                pack_token_budget(docs, 500).collect())
     assert a == b
+
+
+def test_mixture_sample_budgets_and_determinism(spark):
+    from clickhouse_core_spark.pipeline import mixture_sample
+    rows = [(i, "web" if i % 3 else "code", 100) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_tokens int")
+    out = mixture_sample(df, "domain", {"web": 0.8, "code": 0.2},
+                         total_tokens=10000)
+    per = {r.domain: r.s for r in
+           out.groupBy("domain").agg(F.sum("n_tokens").alias("s")).collect()}
+    # budgets met, never exceeded by more than one document (100 tokens)
+    assert 8000 <= per["web"] <= 8100
+    assert 2000 <= per["code"] <= 2100
+    # deterministic across invocations
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in mixture_sample(
+        df, "domain", {"web": 0.8, "code": 0.2}, 10000).collect())
+    assert a == b
+    # seed changes the drawn subset but not the budgets
+    c = sorted(r.doc_id for r in mixture_sample(
+        df, "domain", {"web": 0.8, "code": 0.2}, 10000, seed=7).collect())
+    assert a != c and len(a) == len(c)
+    # unweighted domains drop
+    out2 = mixture_sample(df, "domain", {"code": 1.0}, 2000)
+    assert {r.domain for r in out2.collect()} == {"code"}
