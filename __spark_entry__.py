@@ -3450,6 +3450,38 @@ def fn_json_introspection(spark, sf_dir):
             .orderBy("event_id"))
 
 
+@q("fn_wkt_polygon", """
+SELECT o_orderkey,
+       CAST((o_orderkey % 7 + 1) * (o_orderkey % 5 + 1) AS DOUBLE)
+         AS area,
+       CAST(2 * ((o_orderkey % 7 + 1) + (o_orderkey % 5 + 1)) AS DOUBLE)
+         AS per,
+       'POLYGON((0 0,' || CAST(o_orderkey % 7 + 1 AS VARCHAR) || ' 0,'
+         || CAST(o_orderkey % 7 + 1 AS VARCHAR) || ' '
+         || CAST(o_orderkey % 5 + 1 AS VARCHAR) || ',0 '
+         || CAST(o_orderkey % 5 + 1 AS VARCHAR) || ',0 0))' AS rt
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+""")
+def fn_wkt_polygon(spark, sf_dir):
+    """WKT + Cartesian polygon math (reference src/Functions/
+    readWkt.cpp, wkt.cpp, polygonArea.cpp, polygonPerimeter.cpp):
+    rectangles synthesized per order key round-trip through WKT parse
+    → shoelace area / edge-fold perimeter → WKT render; the oracle
+    predicts every value analytically."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 500)
+    k = F.col("o_orderkey")
+    w, h = k % 7 + 1, k % 5 + 1
+    s = F.format_string("POLYGON ((0 0, %d 0, %d %d, 0 %d, 0 0))",
+                        w, w, h, h)
+    poly = ch.readWKTPolygon(s)
+    return (o.select(
+        "o_orderkey",
+        ch.polygonAreaCartesian(poly).alias("area"),
+        ch.polygonPerimeterCartesian(poly).alias("per"),
+        ch.wkt(poly, "polygon").alias("rt"))
+        .orderBy("o_orderkey"))
+
+
 @q("fn_longtail_r5", """
 SELECT o_orderkey,
   CASE o_orderkey % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one'

@@ -763,3 +763,187 @@ def kostikConsistentHash(x, n: int) -> Column:
 # LONGTAIL5 last, so these names now resolve to the exact algorithm
 LONGTAIL5.update({"kostikConsistentHash": kostikConsistentHash,
                   "yandexConsistentHash": kostikConsistentHash})
+
+
+# ---------------------------------------- polygon / WKT family (r5)
+# Carrier conventions (matching the repo's geo functions): point =
+# struct<x:double,y:double>; ring = array<point>; polygon =
+# array<ring> (ring 0 outer, rest holes) — the reference's
+# Tuple/Array(Tuple)/Array(Array(Tuple)) shapes
+# (src/Functions/geometryConverters.h).
+
+_POINT_T = "struct<x:double,y:double>"
+
+
+def readWKTPoint(s) -> Column:
+    """readWKTPoint('POINT (x y)') (reference
+    src/Functions/readWkt.cpp) → struct<x,y>; malformed → NULL."""
+    c = _c(s)
+    x = F.regexp_extract(c, r"(?i)POINT\s*\(\s*(-?[\d.eE+]+)\s+"
+                            r"(-?[\d.eE+]+)\s*\)", 1)
+    y = F.regexp_extract(c, r"(?i)POINT\s*\(\s*(-?[\d.eE+]+)\s+"
+                            r"(-?[\d.eE+]+)\s*\)", 2)
+    out = F.struct(x.cast("double").alias("x"),
+                   y.cast("double").alias("y"))
+    return F.when((x != "") & (y != ""), out)
+
+
+def _parse_ring(ring_txt: Column) -> Column:
+    pairs = F.split(F.trim(ring_txt), r"\s*,\s*")
+    return F.transform(pairs, lambda p: F.struct(
+        F.split(F.trim(p), r"\s+")[0].cast("double").alias("x"),
+        F.split(F.trim(p), r"\s+")[1].cast("double").alias("y")))
+
+
+def readWKTRing(s) -> Column:
+    """'POLYGON ((...))' outer ring only → array<point>."""
+    inner = F.regexp_extract(_c(s), r"(?is)\(\(\s*([^()]*?)\s*\)", 1)
+    return F.when(inner != "", _parse_ring(inner))
+
+
+def readWKTPolygon(s) -> Column:
+    """readWKTPolygon: full polygon with holes →
+    array<array<point>>."""
+    body = F.regexp_extract(_c(s), r"(?is)POLYGON\s*\(\s*(.*)\s*\)\s*$", 1)
+    rings = F.filter(
+        F.split(F.regexp_replace(body, r"\)\s*,\s*\(", ")|("), r"\|"),
+        lambda r: F.trim(r) != "")
+    return F.when(body != "", F.transform(
+        rings,
+        lambda r: _parse_ring(F.regexp_replace(r, r"[()]", ""))))
+
+
+def wkt(g, kind: str | None = None) -> Column:
+    """wkt(geometry) (reference src/Functions/wkt.cpp): render point /
+    ring / polygon back to WKT.  Dispatch by the resolved Spark type
+    when available; pass ``kind`` ('point'|'ring'|'polygon') when the
+    column is not yet resolvable."""
+    c = _c(g)
+    dt = {"point": "struct", "ring": "array<struct",
+          "polygon": "array<array<"}.get(kind or "", None)
+    if dt is None:
+        try:
+            dt = c._jc.expr().dataType().simpleString()
+        except Exception:
+            dt = "struct"
+
+    def fmt(v):
+        return F.regexp_replace(v.cast("string"), r"\.0$", "")
+
+    def ring_txt(ring):
+        return F.array_join(F.transform(
+            ring, lambda p: F.concat(fmt(p["x"]), F.lit(" "),
+                                     fmt(p["y"]))), ",")
+
+    if dt and dt.startswith("array<array<"):
+        return F.concat(
+            F.lit("POLYGON("), F.array_join(F.transform(
+                c, lambda r: F.concat(F.lit("("), ring_txt(r),
+                                      F.lit(")"))), ","),
+            F.lit(")"))
+    if dt and dt.startswith("array<"):
+        return F.concat(F.lit("POLYGON(("), ring_txt(c), F.lit("))"))
+    return F.concat(F.lit("POINT("), fmt(c["x"]), F.lit(" "),
+                    fmt(c["y"]), F.lit(")"))
+
+
+def _ring_shoelace(ring: Column) -> Column:
+    """Signed shoelace sum over a ring (closing edge included even when
+    the WKT repeats the first point — the duplicate edge contributes
+    zero)."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.aggregate(
+        idx, F.lit(0.0),
+        lambda acc, i: acc
+        + (F.element_at(ring, (i + 1).cast("int"))["x"]
+           * F.element_at(ring, (F.pmod(i + 1, n) + 1).cast("int"))["y"]
+           - F.element_at(ring, (F.pmod(i + 1, n) + 1).cast("int"))["x"]
+           * F.element_at(ring, (i + 1).cast("int"))["y"]))
+
+
+def polygonAreaCartesian(poly) -> Column:
+    """polygonAreaCartesian (reference src/Functions/polygonArea.cpp,
+    boost::geometry::area): shoelace |outer| minus hole areas — pure
+    folds."""
+    p = _c(poly)
+    outer = F.abs(_ring_shoelace(F.element_at(p, 1))) / 2
+    holes = F.aggregate(
+        F.slice(p, 2, F.greatest(F.size(p) - 1, F.lit(0))),
+        F.lit(0.0), lambda acc, r: acc + F.abs(_ring_shoelace(r)) / 2)
+    return outer - holes
+
+
+def polygonPerimeterCartesian(poly) -> Column:
+    """polygonPerimeterCartesian (polygonPerimeter.cpp): sum of all
+    rings' closed-loop edge lengths."""
+    p = _c(poly)
+
+    def ring_perimeter(ring):
+        n = F.size(ring)
+        idx = F.sequence(F.lit(0), n - 1)
+        return F.aggregate(
+            idx, F.lit(0.0),
+            lambda acc, i: acc + F.sqrt(
+                F.pow(F.element_at(ring, (i + 1).cast("int"))["x"]
+                      - F.element_at(ring,
+                                     (F.pmod(i + 1, n) + 1).cast("int"))["x"],
+                      2)
+                + F.pow(F.element_at(ring, (i + 1).cast("int"))["y"]
+                        - F.element_at(
+                            ring, (F.pmod(i + 1, n) + 1).cast("int"))["y"],
+                        2)))
+
+    return F.aggregate(p, F.lit(0.0),
+                       lambda acc, r: acc + ring_perimeter(r))
+
+
+def polygonConvexHullCartesian(poly) -> Column:
+    """polygonConvexHullCartesian (polygonConvexHull.cpp): Andrew
+    monotone chain over all vertices — the sequential stack walk runs
+    in an Arrow-batched UDF (the one non-fold step in this family);
+    returns the hull as a counter-clockwise ring WITHOUT the repeated
+    closing point."""
+    if "hull" not in _UDF_CACHE:
+        @pandas_udf(f"array<{_POINT_T}>")
+        def f(s: pd.Series) -> pd.Series:
+            def hull(rings):
+                if rings is None:
+                    return None
+                pts = sorted({(float(p["x"]), float(p["y"]))
+                              for ring in rings for p in ring})
+                if len(pts) <= 2:
+                    return [{"x": x, "y": y} for x, y in pts]
+
+                def cross(o, a, b):
+                    return ((a[0] - o[0]) * (b[1] - o[1])
+                            - (a[1] - o[1]) * (b[0] - o[0]))
+
+                lower: list = []
+                for p in pts:
+                    while len(lower) >= 2 and cross(lower[-2], lower[-1],
+                                                    p) <= 0:
+                        lower.pop()
+                    lower.append(p)
+                upper: list = []
+                for p in reversed(pts):
+                    while len(upper) >= 2 and cross(upper[-2], upper[-1],
+                                                    p) <= 0:
+                        upper.pop()
+                    upper.append(p)
+                out = lower[:-1] + upper[:-1]
+                return [{"x": x, "y": y} for x, y in out]
+            return s.map(hull)
+        _UDF_CACHE["hull"] = f
+    return _UDF_CACHE["hull"](_c(poly))
+
+
+LONGTAIL5.update({
+    "readWKTPoint": readWKTPoint,
+    "readWKTRing": readWKTRing,
+    "readWKTPolygon": readWKTPolygon,
+    "wkt": wkt,
+    "polygonAreaCartesian": polygonAreaCartesian,
+    "polygonPerimeterCartesian": polygonPerimeterCartesian,
+    "polygonConvexHullCartesian": polygonConvexHullCartesian,
+})

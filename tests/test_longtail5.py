@@ -258,3 +258,34 @@ def test_kostik_consistent_hash_exact(spark):
     from clickhouse_core_spark.functions import CH_FUNCTIONS
     assert CH_FUNCTIONS["yandexConsistentHash"] \
         is CH_FUNCTIONS["kostikConsistentHash"]
+
+
+def test_wkt_polygon_family(spark):
+    df = spark.createDataFrame([
+        ("POINT (3 4.5)",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+         "(2 2, 4 2, 4 4, 2 4, 2 2))")], "pt string, pg string")
+    r = (df.select(ch.readWKTPoint(F.col("pt")).alias("p"),
+                   ch.readWKTPolygon(F.col("pg")).alias("poly"),
+                   ch.readWKTRing(F.col("pg")).alias("ring"))
+         .select("p", "ring",
+                 ch.polygonAreaCartesian(F.col("poly")).alias("area"),
+                 ch.polygonPerimeterCartesian(F.col("poly")).alias("per"),
+                 ch.wkt(F.col("p"), "point").alias("wp"),
+                 ch.wkt(F.col("poly"), "polygon").alias("wpoly"),
+                 ch.polygonConvexHullCartesian(F.col("poly"))
+                 .alias("hull"))
+         .first())
+    assert (r.p.x, r.p.y) == (3.0, 4.5)
+    assert len(r.ring) == 5 and r.ring[2]["x"] == 10.0
+    assert r.area == 96.0          # 100 outer - 4 hole
+    assert r.per == 48.0           # 40 outer + 8 hole
+    assert r.wp == "POINT(3 4.5)"
+    assert r.wpoly == ("POLYGON((0 0,10 0,10 10,0 10,0 0),"
+                       "(2 2,4 2,4 4,2 4,2 2))")
+    assert [(h["x"], h["y"]) for h in r.hull] == \
+        [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]
+    # malformed WKT degrades to NULL
+    bad = spark.createDataFrame([("nope",)], "pt string")
+    assert bad.select(ch.readWKTPoint(F.col("pt")).alias("p")) \
+        .first().p is None
