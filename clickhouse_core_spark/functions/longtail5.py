@@ -35,6 +35,27 @@ registry sweep (REGISTER_FUNCTION constants, src/Functions/):
   plain-value state family (sum/count/min/max/avg/groupArray States —
   the states AggregatingMergeTree carries as plain columns; sketch
   states go through operators/sketches.py, documented).
+- JSON introspection via Spark 4 variant (``JSONType``,
+  ``JSON_EXISTS``/``JSON_QUERY``, ``JSONExtractKeys/ArrayRaw/UInt`` —
+  reference src/Functions/FunctionsJSON.h, FunctionSQLJSON.h).
+- ``arrayZipUnaligned`` (null-padded zip) and
+  ``arrayLevenshteinDistance`` (DP as nested Catalyst folds).
+- ``svg``/``SVG`` geometry rendering (reference src/Functions/svg.cpp
+  observable contract).
+- ``kostikConsistentHash``/``yandexConsistentHash``: BIT-EXACT
+  re-expression of contrib/consistent-hashing's public bit scheme,
+  cross-checked against an independent pure-Python transcription.
+- ``detectTonality``/``detectProgrammingLanguage``: transparent
+  lexicon/marker-vote heuristics (the reference's trained models are
+  not in this container — same replacement class as detectLanguage).
+- WKT/polygon family: ``readWKTPoint/Ring/Polygon``, ``wkt`` render,
+  ``polygonAreaCartesian`` (shoelace with holes),
+  ``polygonPerimeterCartesian``, ``polygonConvexHullCartesian``
+  (Andrew monotone chain, Arrow-batched) — reference
+  src/Functions/readWkt.cpp, wkt.cpp, polygonArea.cpp; clipping
+  documented out.
+- ``overlay``/``overlayUTF8``, ``substringIndexUTF8``, ``makeDate32``
+  string/date stragglers.
 """
 
 from __future__ import annotations
