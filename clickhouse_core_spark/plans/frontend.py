@@ -1849,6 +1849,30 @@ def _rewrite_columns_apply(spark, sql: str) -> str:
 # recomputation (Spark recomputes lazily from the persisted blocks).
 _QUERY_CACHE: dict = {}
 
+# system.query_log analog (reference
+# src/Interpreters/QueryLog.h): every ch_sql invocation records
+# (sequence, original text, what the frontend produced — translated
+# Spark SQL for selects, the DDL/DML action name otherwise).  Ordered,
+# deterministic (no wall-clock); SYSTEM FLUSH LOGS is a no-op and
+# TRUNCATE query_log clears it.
+_QUERY_LOG: list = []
+
+
+def system_query_log(spark):
+    """The recorded frontend log as a DataFrame (seq, kind,
+    query, translated)."""
+    from pyspark.sql import types as _T
+    schema = _T.StructType([
+        _T.StructField("seq", _T.LongType()),
+        _T.StructField("kind", _T.StringType()),
+        _T.StructField("query", _T.StringType()),
+        _T.StructField("translated", _T.StringType())])
+    return spark.createDataFrame(list(_QUERY_LOG), schema)
+
+
+def clear_query_log() -> None:
+    _QUERY_LOG.clear()
+
 
 def clear_query_cache() -> None:
     """SYSTEM DROP QUERY CACHE analog."""
@@ -1901,6 +1925,19 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
       MergeTreeTable.update_where (MutationsInterpreter.h).
     """
     text = sql.strip().rstrip(";")
+    kind_m = re.match(r"\s*([A-Za-z]+)", text)
+    _QUERY_LOG.append([len(_QUERY_LOG),
+                       (kind_m.group(1).upper() if kind_m else ""),
+                       " ".join(text.split()), ""])
+
+    # TRUNCATE [TABLE] [system.]query_log clears the recorded log
+    if re.match(r"^TRUNCATE\s+(TABLE\s+)?(system\.)?query_log\s*$",
+                text, re.IGNORECASE):
+        _QUERY_LOG.clear()
+        return None
+    # SYSTEM FLUSH LOGS: the log is already materialized — no-op
+    if re.match(r"^SYSTEM\s+FLUSH\s+LOGS\s*$", text, re.IGNORECASE):
+        return None
 
     # SETTINGS use_query_cache = 1 routes through the result cache
     qc = re.search(r"use_query_cache\s*=\s*1'?", text, re.IGNORECASE)
@@ -2053,7 +2090,10 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
                            from_val=_fill_literal(m.group(2)),
                            to_val=_fill_literal(m.group(3)))
         return filled.orderBy(col)
-    return spark.sql(translate_ch_sql(text, sample_by=sample_by))
+    translated = translate_ch_sql(text, sample_by=sample_by)
+    if _QUERY_LOG:
+        _QUERY_LOG[-1][3] = " ".join(translated.split())
+    return spark.sql(translated)
 
 
 _CREATE_RE = re.compile(

@@ -721,3 +721,17 @@ def test_delete_from_is_lightweight_alter_is_mutation(spark, tmp_path):
     assert t.parts() != parts            # mutation: parts rewritten
     assert sorted(r.k for r in t.read_raw().collect()) == \
         list(range(5, 15))
+
+
+def test_system_query_log(spark):
+    from clickhouse_core_spark.plans import frontend as fe
+    fe.ch_sql(spark, "TRUNCATE TABLE system.query_log")
+    fe.ch_sql(spark, "SELECT toYear(o_orderdate) AS y FROM orders LIMIT 1")
+    fe.ch_sql(spark, "SYSTEM FLUSH LOGS")
+    log = fe.system_query_log(spark).collect()
+    kinds = [r.kind for r in log]
+    assert kinds == ["SELECT", "SYSTEM"]
+    sel = log[0]
+    assert "toYear" in sel.query and "year(o_orderdate)" in sel.translated
+    fe.ch_sql(spark, "TRUNCATE query_log")
+    assert fe.system_query_log(spark).count() == 0
