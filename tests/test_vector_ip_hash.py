@@ -27,8 +27,10 @@ def test_jump_consistent_hash_matches_reference(spark):
         got = [r[0] for r in
                df.select(ch.jumpConsistentHash(F.col("k"), n)).collect()]
         assert got == [_jump_ref(k, n) for k in keys], f"n={n}"
-    # kostik/yandex names resolve (documented mapping to jump)
-    assert ch.kostikConsistentHash is ch.jumpConsistentHash
+    # kostik/yandex now resolve to their own bit-exact algorithm
+    # (r5, functions/longtail5.py), no longer the jump stand-in
+    assert ch.kostikConsistentHash is not ch.jumpConsistentHash
+    assert ch.yandexConsistentHash is ch.kostikConsistentHash
 
 
 def test_ipv6_string_num_roundtrip(spark):
