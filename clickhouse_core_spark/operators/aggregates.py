@@ -657,3 +657,22 @@ def group_array_sample(df: DataFrame, keys: Sequence[str], value_col: str,
     return (df.groupBy(*keys)
             .agg(F.transform(F.slice(keyed, 1, max_size),
                              lambda s: s["__v"]).alias(alias)))
+
+
+def extremes(df: DataFrame) -> DataFrame:
+    """The ``extremes = 1`` setting's companion block (reference
+    src/Processors/Transforms/ExtremesTransform.h): two rows holding
+    the per-column minimum and maximum of the RESULT set for numeric/
+    date/timestamp columns (other columns are NULL, as the reference
+    leaves non-numeric columns defaulted).  One aggregation over the
+    result — the same single pass the reference's streaming transform
+    makes."""
+    numish = ("tinyint", "smallint", "int", "bigint", "float", "double",
+              "date", "timestamp", "timestamp_ntz")
+    kinds = {c: (t in numish or t.startswith("decimal"))
+             for c, t in df.dtypes}
+    mins = [(F.min(c) if kinds[c] else F.lit(None)).alias(c)
+            for c in df.columns]
+    maxs = [(F.max(c) if kinds[c] else F.lit(None)).alias(c)
+            for c in df.columns]
+    return df.agg(*mins).unionByName(df.agg(*maxs))

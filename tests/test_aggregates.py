@@ -328,3 +328,14 @@ def test_agg_throw_contract():
     assert agg_throw(0.0) is None
     with pytest.raises(NotImplementedError, match="random"):
         agg_throw(0.5)
+
+
+def test_extremes_block(spark):
+    from clickhouse_core_spark.operators import extremes
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (7, -1.0, "b"), (4, 9.25, "c")],
+        "n int, x double, s string")
+    rows = extremes(df).collect()
+    assert len(rows) == 2
+    assert (rows[0].n, rows[0].x, rows[0].s) == (1, -1.0, None)
+    assert (rows[1].n, rows[1].x, rows[1].s) == (7, 9.25, None)
