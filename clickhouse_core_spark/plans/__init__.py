@@ -9,11 +9,12 @@ into Spark SQL equivalents.
 
 from clickhouse_core_spark.plans.frontend import (
     ch_sql, translate_ch_sql, apply_date_preimage, register_mergetree_sql,
-    create_table_sql)
+    create_table_sql, system_query_log, clear_query_log)
 from clickhouse_core_spark.plans.routing import SummaryRouter, Summary, build_summary
 from clickhouse_core_spark.plans.kql import kql
 from clickhouse_core_spark.plans.prql import prql
 
 __all__ = ["ch_sql", "translate_ch_sql", "apply_date_preimage",
            "register_mergetree_sql", "create_table_sql",
-           "SummaryRouter", "Summary", "build_summary", "kql", "prql"]
+           "SummaryRouter", "Summary", "build_summary", "kql", "prql",
+           "system_query_log", "clear_query_log"]
