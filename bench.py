@@ -55,6 +55,8 @@ HEADLINE = [
     "funnel_window",
     "retention_steps",
     "stream_tumble_1h",
+    "cb_json_props_histogram",
+    "cb_session_gaps",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_paragraph",
