@@ -67,7 +67,8 @@ class MergeTreeTable:
                  sum_cols: Sequence[str] | None = None,
                  bloom_filter_cols: Sequence[str] = (),
                  token_index_cols: Sequence[str] = (),
-                 gin_index_cols: Sequence[str] = ()):
+                 gin_index_cols: Sequence[str] = (),
+                 column_defaults: dict | None = None):
         if engine not in _ENGINES:
             raise ValueError(f"engine must be one of {_ENGINES}")
         self.spark = spark
@@ -107,6 +108,13 @@ class MergeTreeTable:
         # contain it" — exact, finer-grained, and the scan path reads
         # only those row groups (Arrow row-group reads executor-side).
         self.gin_index_cols = list(gin_index_cols)
+        # CH DEFAULT column expressions (reference
+        # src/Processors/Transforms/AddingDefaultsTransform.h /
+        # ColumnDefault.h): column name -> SQL expression STRING
+        # (JSON-persistable); INSERT adds missing columns and fills
+        # NULLs from the expression (which may reference other
+        # inserted columns, the materialized-default contract)
+        self.column_defaults = dict(column_defaults or {})
         os.makedirs(path, exist_ok=True)
         self._write_meta()
 
@@ -124,6 +132,7 @@ class MergeTreeTable:
             "bloom_filter_cols": self.bloom_filter_cols,
             "token_index_cols": self.token_index_cols,
             "gin_index_cols": self.gin_index_cols,
+            "column_defaults": self.column_defaults,
         }
         with open(self._meta_path(), "w") as fh:
             json.dump(meta, fh)
@@ -139,7 +148,8 @@ class MergeTreeTable:
                    sum_cols=meta["sum_cols"],
                    bloom_filter_cols=meta.get("bloom_filter_cols", ()),
                    token_index_cols=meta.get("token_index_cols", ()),
-                   gin_index_cols=meta.get("gin_index_cols", ()))
+                   gin_index_cols=meta.get("gin_index_cols", ()),
+                   column_defaults=meta.get("column_defaults"))
 
     # ----------------------------------------------------------------- parts
 
@@ -157,6 +167,12 @@ class MergeTreeTable:
         (e.g. a small ``parquet.block.size`` to force multiple row
         groups per file — the index-granularity knob)."""
         part_dir = os.path.join(self.path, f"part-{int(time.time() * 1e6):016x}")
+        for name, expr_sql in self.column_defaults.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.expr(expr_sql))
+            else:
+                df = df.withColumn(
+                    name, F.coalesce(F.col(name), F.expr(expr_sql)))
         writer = df
         if self.partition_by:
             # repartition on the partition key so each output partition

@@ -556,3 +556,23 @@ def test_lightweight_delete_mask(spark, tmp_path):
     # deleting everything leaves an empty-but-valid table view
     t.delete_where_lightweight(F.lit(True))
     assert t.read_raw().count() == 0
+
+
+def test_column_defaults_on_insert(spark, tmp_path):
+    """CH DEFAULT expressions (AddingDefaultsTransform analog): missing
+    columns materialize from the expression, NULLs in present columns
+    fill in; defaults may reference other inserted columns; the
+    contract survives a metadata reload."""
+    t = MergeTreeTable(
+        spark, str(tmp_path / "defs"), order_by=["k"],
+        column_defaults={"status": "'new'", "doubled": "k * 2"})
+    t.insert(spark.createDataFrame(
+        [(1, "set"), (2, None)], "k int, status string"))
+    rows = {r.k: (r.status, r.doubled)
+            for r in t.read_raw().collect()}
+    assert rows[1] == ("set", 2)      # present value kept
+    assert rows[2] == ("new", 4)      # NULL filled, missing col built
+    t2 = MergeTreeTable.load(spark, str(tmp_path / "defs"))
+    assert t2.column_defaults == {"status": "'new'", "doubled": "k * 2"}
+    t2.insert(spark.createDataFrame([(3, None)], "k int, status string"))
+    assert {r.k: r.doubled for r in t2.read_raw().collect()}[3] == 6
