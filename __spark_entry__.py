@@ -6116,6 +6116,41 @@ def stream_live_view(spark, sf_dir):
     return lv.read().orderBy("o_orderpriority")
 
 
+@q("mergetree_column_defaults", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'unset'
+            ELSE o_orderpriority END AS pri,
+       CAST(o_orderkey * 10 AS BIGINT) AS tens
+FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey
+""")
+def mergetree_column_defaults(spark, sf_dir):
+    """CH DEFAULT column expressions on insert (reference
+    src/Processors/Transforms/AddingDefaultsTransform.h,
+    src/Storages/ColumnDefault.h): every third priority arrives NULL
+    and fills from the default literal; the 'tens' column is absent
+    from the insert entirely and materializes from an expression over
+    another inserted column."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.sources import MergeTreeTable
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "defaults_entry")
+    _sh.rmtree(base, ignore_errors=True)
+    t = MergeTreeTable(
+        spark, base, order_by=["o_orderkey"],
+        column_defaults={"pri": "'unset'",
+                         "tens": "CAST(o_orderkey * 10 AS BIGINT)"})
+    src = (_cat(spark, sf_dir).orders
+           .filter(F.col("o_orderkey") < 2000)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 3 == 0, None)
+                   .otherwise(F.col("o_orderpriority")).alias("pri")))
+    t.insert(src)
+    return (t.read_raw()
+            .select("o_orderkey", "pri", "tens")
+            .orderBy("o_orderkey"))
+
+
 @q("gin_token_search", """
 SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
