@@ -6116,6 +6116,38 @@ def stream_live_view(spark, sf_dir):
     return lv.read().orderBy("o_orderpriority")
 
 
+@q("mergetree_lightweight_delete", """
+SELECT o_orderkey, CAST(count(*) OVER () AS BIGINT) AS survivors
+FROM orders
+WHERE o_orderkey < 3000 AND o_orderkey % 7 <> 0
+ORDER BY o_orderkey
+""")
+def mergetree_lightweight_delete(spark, sf_dir):
+    """Lightweight DELETE end-to-end (reference
+    src/Interpreters/InterpreterDeleteQuery.cpp _row_exists model):
+    rows vanish via the per-part mask sidecar with NO part rewrite —
+    the entry asserts the part set is untouched before returning the
+    masked read."""
+    import os as _os
+    import shutil as _sh
+    from clickhouse_core_spark.sources import MergeTreeTable
+    base = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "spark-warehouse", "lwd_entry")
+    _sh.rmtree(base, ignore_errors=True)
+    t = MergeTreeTable(spark, base, order_by=["o_orderkey"])
+    t.insert(_cat(spark, sf_dir).orders
+             .filter(F.col("o_orderkey") < 3000).select("o_orderkey"))
+    parts_before = t.parts()
+    t.delete_where_lightweight(F.col("o_orderkey") % 7 == 0)
+    assert t.parts() == parts_before   # mask, not rewrite
+    from pyspark.sql.window import Window
+    return (t.read_raw()
+            .withColumn("survivors", F.count("*").over(
+                Window.partitionBy()).cast("long"))
+            .select("o_orderkey", "survivors")
+            .orderBy("o_orderkey"))
+
+
 @q("mergetree_column_defaults", """
 SELECT o_orderkey,
        CASE WHEN o_orderkey % 3 = 0 THEN 'unset'
