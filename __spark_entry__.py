@@ -2886,6 +2886,47 @@ def fn_math(spark, sf_dir):
             .orderBy("p_partkey"))
 
 
+@q("fn_conversion_or_family", """
+WITH t AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR)
+              WHEN p_partkey % 3 = 1 THEN 'junk'
+              ELSE CAST(-p_size AS VARCHAR) END AS s
+  FROM part WHERE p_partkey < 300)
+SELECT p_partkey, s,
+       coalesce(CASE WHEN TRY_CAST(s AS SMALLINT) BETWEEN 0 AND 255
+                     THEN TRY_CAST(s AS SMALLINT) END,
+                CAST(0 AS SMALLINT)) AS u8,
+       CASE WHEN TRY_CAST(s AS INT) BETWEEN 0 AND 65535
+            THEN TRY_CAST(s AS INT) END AS u16,
+       coalesce(TRY_CAST(s AS INT), -1) AS i32d,
+       CAST(coalesce(s IN ('1', '7', '13'), false) AS INT) AS inn,
+       CAST(coalesce(s NOT IN ('1', '7', '13'), false) AS INT) AS nni
+FROM t ORDER BY p_partkey
+""")
+def fn_conversion_or_family(spark, sf_dir):
+    """to<T>Or{Null,Zero,Default} conversion matrix + functional in()
+    forms through the SQL frontend (reference FunctionsConversion.h
+    OrDefault/OrZero/OrNull registrations with readIntTextImpl unsigned
+    range checks; src/Functions/in.cpp functional registrations —
+    plain in/notIn return 0 for NULL, global* coincide on Spark)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        WITH t AS (
+          SELECT p_partkey,
+                 CASE WHEN p_partkey % 3 = 0 THEN toString(p_size)
+                      WHEN p_partkey % 3 = 1 THEN 'junk'
+                      ELSE toString(-p_size) END AS s
+          FROM part WHERE p_partkey < 300)
+        SELECT p_partkey, s,
+               toUInt8OrZero(s) AS u8,
+               toUInt16OrNull(s) AS u16,
+               toInt32OrDefault(s, -1) AS i32d,
+               CAST(in(s, ('1', '7', '13')) AS INT) AS inn,
+               CAST(notIn(s, ('1', '7', '13')) AS INT) AS nni
+        FROM t ORDER BY p_partkey""")
+
+
 @q("fn_conditional", """
 SELECT o_orderkey,
        CASE WHEN o_totalprice > 300000 THEN 'big'
@@ -6629,10 +6670,22 @@ def source_jdbc_roundtrip_q(spark, sf_dir):
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     nat = _cat(spark, sf_dir).nation.select(
         "n_nationkey", "n_name", "n_regionkey")
-    (nat.write.format("jdbc")
-     .option("url", f"jdbc:derby:{db};create=true")
-     .option("dbtable", "nation_rt").option("driver", driver)
-     .mode("overwrite").save())
+
+    def _write():
+        (nat.write.format("jdbc")
+         .option("url", f"jdbc:derby:{db};create=true")
+         .option("dbtable", "nation_rt").option("driver", driver)
+         .mode("overwrite").save())
+
+    try:
+        _write()
+    except Exception:
+        # self-heal: a crashed prior run can leave a stale db.lck /
+        # half-written Derby db that refuses to boot — the db is a
+        # scratch roundtrip target, so wipe and recreate once
+        import shutil as _sh
+        _sh.rmtree(db, ignore_errors=True)
+        _write()
     return (external_table(spark, "JDBC", url=f"jdbc:derby:{db}",
                            table="nation_rt", driver=driver)
             .orderBy("n_nationkey"))

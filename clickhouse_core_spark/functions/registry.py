@@ -1875,25 +1875,35 @@ _MISC3 = {
 
 # OrDefault conversion family (reference FunctionsConversion.h
 # OrDefault variants): try_cast, falling back to an explicit default or
-# the type's zero value.
-def _to_or_default(spark_type: str, zero):
+# the type's zero value; unsigned widths range-check like the
+# reference's readIntTextImpl (negative / over-max input -> fallback).
+def _to_or_default(spark_type: str, zero, umax=None):
     def conv(x, default=None):
-        fallback = _c(default) if default is not None else F.lit(zero).cast(spark_type)
-        return F.coalesce(_c(x).try_cast(spark_type), fallback)
+        fallback = (_c(default).cast(spark_type) if default is not None
+                    else F.lit(zero).cast(spark_type))
+        parsed = _c(x).try_cast(spark_type)
+        if umax is not None:
+            parsed = F.when(
+                (parsed >= 0)
+                & (parsed <= F.lit(str(umax)).cast("decimal(38,0)")),
+                parsed)
+        return F.coalesce(parsed, fallback)
     return conv
 
 
 _CONV3 = {
-    f"to{ch_name}OrDefault": _to_or_default(spark_t, zero)
-    for ch_name, spark_t, zero in [
-        ("Int8", "tinyint", 0), ("Int16", "smallint", 0),
-        ("Int32", "int", 0), ("Int64", "bigint", 0),
-        ("UInt8", "smallint", 0), ("UInt16", "int", 0),
-        ("UInt32", "bigint", 0), ("UInt64", "decimal(20,0)", 0),
-        ("Float32", "float", 0.0), ("Float64", "double", 0.0),
-        ("Date", "date", "1970-01-01"), ("Date32", "date", "1970-01-01"),
-        ("DateTime", "timestamp", "1970-01-01 00:00:00"),
-        ("DateTime64", "timestamp", "1970-01-01 00:00:00"),
+    f"to{ch_name}OrDefault": _to_or_default(spark_t, zero, umax)
+    for ch_name, spark_t, zero, umax in [
+        ("Int8", "tinyint", 0, None), ("Int16", "smallint", 0, None),
+        ("Int32", "int", 0, None), ("Int64", "bigint", 0, None),
+        ("UInt8", "smallint", 0, 255), ("UInt16", "int", 0, 65535),
+        ("UInt32", "bigint", 0, 4294967295),
+        ("UInt64", "decimal(20,0)", 0, (1 << 64) - 1),
+        ("Float32", "float", 0.0, None), ("Float64", "double", 0.0, None),
+        ("Date", "date", "1970-01-01", None),
+        ("Date32", "date", "1970-01-01", None),
+        ("DateTime", "timestamp", "1970-01-01 00:00:00", None),
+        ("DateTime64", "timestamp", "1970-01-01 00:00:00", None),
     ]
 }
 _CONV3["greatCircleAngle"] = lambda lon1, lat1, lon2, lat2: F.degrees(

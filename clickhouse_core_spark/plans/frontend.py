@@ -218,6 +218,9 @@ _RULES: dict = {
     "maxif": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
     "argmin": _fn("min_by"), "argmax": _fn("max_by"),
     "any": _fn("first"), "anylast": _fn("last"),
+    # STD / STDDEV_POP are reference aliases of stddevPop
+    # (AggregateFunctionStatisticsSimple.cpp registerAlias)
+    "std": _fn("stddev_pop"),
     "stddevpop": _fn("stddev_pop"), "stddevsamp": _fn("stddev_samp"),
     "varpop": _fn("var_pop"), "varsamp": _fn("var_samp"),
     "covarpop": _fn("covar_pop"), "covarsamp": _fn("covar_samp"),
@@ -330,6 +333,64 @@ _RULES["medianexactlow"] = (
     lambda a: _PARAMETRIC["quantileexactlow"](["0.5"], a))
 _RULES["medianexacthigh"] = (
     lambda a: _PARAMETRIC["quantileexacthigh"](["0.5"], a))
+# weighted median aliases = weighted quantile at 0.5 (same registration
+# table); medianGK is parametric (accuracy)(x)
+for _mw in ("medianexactweighted", "mediantimingweighted",
+            "medianinterpolatedweighted", "medianexactweightedinterpolated",
+            "medianbfloat16weighted"):
+    _RULES[_mw] = (
+        lambda a: f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))")
+_RULES["mediantdigestweighted"] = (
+    lambda a: f"percentile({a[0]}, 0.5, CAST({a[1]} AS BIGINT))")
+
+# full to<T>Or{Null,Zero,Default} SQL matrix (FunctionsConversion.h:
+# every width the reference registers inside Spark's type ceiling;
+# unsigned forms carry in the next-wider signed type like the registry
+# and range-check like the reference's readIntTextImpl — negative or
+# over-max input falls through to NULL/zero/default)
+for _cn, _ct, _cz, _cmax in [
+        ("int8", "TINYINT", "0", None), ("int16", "SMALLINT", "0", None),
+        ("int32", "INT", "0", None), ("int64", "BIGINT", "0", None),
+        ("uint8", "SMALLINT", "0", "255"), ("uint16", "INT", "0", "65535"),
+        ("uint32", "BIGINT", "0", "4294967295"),
+        ("uint64", "DECIMAL(20,0)", "0", "18446744073709551615"),
+        ("float32", "FLOAT", "0.0", None), ("float64", "DOUBLE", "0.0", None),
+        ("date", "DATE", "DATE'1970-01-01'", None),
+        ("date32", "DATE", "DATE'1970-01-01'", None),
+        ("datetime", "TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'", None),
+        ("datetime64", "TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'", None)]:
+    if _cmax is None:
+        _try = lambda x, _t=_ct: f"TRY_CAST({x} AS {_t})"
+    else:
+        _try = (lambda x, _t=_ct, _m=_cmax:
+                f"(CASE WHEN TRY_CAST({x} AS {_t}) BETWEEN 0 AND {_m} "
+                f"THEN TRY_CAST({x} AS {_t}) END)")
+    _RULES[f"to{_cn}ornull"] = lambda a, _f=_try: _f(a[0])
+    _RULES[f"to{_cn}orzero"] = (
+        lambda a, _f=_try, _t=_ct, _z=_cz:
+        f"coalesce({_f(a[0])}, CAST({_z} AS {_t}))")
+    _RULES[f"to{_cn}ordefault"] = (
+        lambda a, _f=_try, _t=_ct, _z=_cz:
+        f"coalesce({_f(a[0])}, "
+        f"CAST({a[1] if len(a) > 1 else _z} AS {_t}))")
+
+# in-operator functional forms (reference src/Functions/in.cpp
+# registrations): nullIn keeps ANSI NULL propagation — Spark's native
+# IN semantics; plain in()/notIn() return 0 for NULL (CH contract);
+# global* are identical on Spark (every join/IN is cluster-global),
+# IgnoreSet variants differ only in prepared-set reuse, an executor
+# concern with no semantic difference
+for _inn in ("nullin", "globalnullin"):
+    _RULES[_inn] = lambda a: f"({a[0]} IN {a[1]})"
+for _inn in ("notnullin", "globalnotnullin"):
+    _RULES[_inn] = lambda a: f"({a[0]} NOT IN {a[1]})"
+for _inn in ("in", "globalin", "inignoreset", "globalinignoreset",
+             "nullinignoreset", "globalnullinignoreset"):
+    _RULES[_inn] = lambda a: f"coalesce(({a[0]} IN {a[1]}), false)"
+for _inn in ("notin", "globalnotin", "notinignoreset",
+             "globalnotinignoreset", "notnullinignoreset",
+             "globalnotnullinignoreset"):
+    _RULES[_inn] = lambda a: f"coalesce(({a[0]} NOT IN {a[1]}), false)"
 
 # string/array/bit SQL forms (round-4 fuzz batch; registry had the
 # DataFrame forms already)
@@ -694,6 +755,8 @@ _PARAMETRIC: dict = {
     # quantileGK.cpp).
     "quantilegk": lambda p, a: (
         f"approx_percentile({a[0]}, {p[1] if len(p) > 1 else 0.5}, {p[0]})"),
+    # medianGK(accuracy)(x) = quantileGK(accuracy)(0.5)(x)
+    "mediangk": lambda p, a: f"approx_percentile({a[0]}, 0.5, {p[0]})",
     "grouparraysorted": lambda p, a: (
         f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"),
     # groupConcat(sep)(x) / groupConcat(sep, N)(x): the two-parameter form
@@ -1105,6 +1168,23 @@ def _translate_expr(sql: str) -> str:
                                  "".join(out))
                 if prev and prev.group(1).lower() in ("from", "join"):
                     out.append(f"{name}({', '.join(targs)})")
+                    i = after
+                    continue
+            # 'in' is both the SQL operator (x IN (...), x NOT IN (...))
+            # and a CH functional form in(x, tuple) (src/Functions/
+            # in.cpp). Operator position = after an operand or NOT;
+            # only rewrite the functional form, which sits in
+            # expression position (start / '(' / ',' / an operator).
+            if lname == "in":
+                prev = "".join(out).rstrip()
+                ptok = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", prev)
+                operator_form = bool(prev) and not (
+                    prev[-1] in "(,=<>+-*/%|"
+                    or (ptok and ptok.group(1).lower() in _EXPR_KEYWORDS))
+                if ptok and ptok.group(1).lower() == "not":
+                    operator_form = True
+                if operator_form:
+                    out.append(f"{name} ({', '.join(targs)})")
                     i = after
                     continue
             if lname in _RULES:

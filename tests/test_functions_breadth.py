@@ -217,3 +217,54 @@ def test_array_reduce_dispatch(spark):
     import pytest as _pt
     with _pt.raises(NotImplementedError, match="arrayReduce"):
         f("corr", arr)
+
+
+def test_conversion_ordefault_matrix(spark):
+    """to<T>OrDefault (FunctionsConversion.h OrDefault registrations):
+    parse failure -> caller default (2-arg) or type zero (1-arg);
+    unsigned forms range-check like readIntTextImpl."""
+    f = CH_FUNCTIONS
+    assert one(spark, f["toInt32OrDefault"]("42")) == 42
+    assert one(spark, f["toInt32OrDefault"]("x")) == 0
+    assert one(spark, f["toInt32OrDefault"]("x", F.lit(-1))) == -1
+    assert one(spark, f["toUInt8OrDefault"]("300", F.lit(7))) == 7
+    assert one(spark, f["toUInt8OrDefault"]("-1", F.lit(7))) == 7
+    assert one(spark, f["toUInt64OrDefault"]("18446744073709551615")) \
+        is not None
+    assert one(spark, f["toFloat32OrDefault"]("bad", F.lit(1.5))) == 1.5
+    assert one(spark, f["toDateOrDefault"]("bad")) == dt.date(1970, 1, 1)
+    assert one(spark, f["toDateTime64OrDefault"]("bad")) == \
+        dt.datetime(1970, 1, 1, 0, 0)
+
+
+def test_frontend_conversion_and_in_family(spark, ch_sql_fn=None):
+    """SQL-level matrix + in() functional forms (src/Functions/in.cpp):
+    plain in/notIn coalesce NULL to false (CH contract), nullIn keeps
+    ANSI NULL propagation; global*/IgnoreSet coincide on Spark."""
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["12", "x", "300", "-5", None]}))
+    df.createOrReplaceTempView("conv_t")
+    rows = {r["s"]: r for r in ch_sql(spark, """
+        SELECT s,
+               toUInt8OrZero(s) AS u8,
+               toUInt16OrNull(s) AS u16,
+               toInt64OrDefault(s, -7) AS i64,
+               nullIn(s, ('12', '300')) AS ni,
+               notIn(s, ('12', '300')) AS nn,
+               globalIn(s, ('12', '99')) AS gi
+        FROM conv_t""").collect()}
+    assert rows["12"]["u8"] == 12 and rows["300"]["u8"] == 0
+    assert rows["-5"]["u16"] is None and rows["300"]["u16"] == 300
+    assert rows["x"]["i64"] == -7
+    assert rows["12"]["ni"] is True and rows["x"]["ni"] is False
+    assert rows[None]["ni"] is None          # nullIn propagates NULL
+    assert rows[None]["nn"] is False         # notIn coalesces to false
+    assert rows["12"]["gi"] is True and rows[None]["gi"] is False
+    agg = ch_sql(spark, """
+        SELECT medianGK(100)(CAST(s AS INT)) AS mg,
+               STD(CAST(s AS INT)) AS sd
+        FROM conv_t WHERE s IN ('12', '300')""").collect()[0]
+    assert agg["mg"] in (12, 300)
+    assert agg["sd"] == 144.0
