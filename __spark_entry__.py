@@ -2927,6 +2927,24 @@ def fn_conversion_or_family(spark, sf_dir):
         FROM t ORDER BY p_partkey""")
 
 
+@q("tvf_values_zeros", """
+WITH v AS (SELECT * FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, b)),
+     z AS (SELECT CAST(count(*) AS BIGINT) AS zn FROM range(7))
+SELECT v.a, v.b, z.zn FROM v CROSS JOIN z ORDER BY v.a
+""")
+def tvf_values_zeros(spark, sf_dir):
+    """values() + zeros() table functions end-to-end through the SQL
+    frontend (reference src/TableFunctions/TableFunctionValues.cpp,
+    TableFunctionZeros.cpp): inline tuple table with schema-string
+    column names, zeros row generator feeding an aggregate."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        WITH v AS (SELECT * FROM values('a Int32, b String',
+                                        (1, 'x'), (2, 'y'), (3, 'z'))),
+             z AS (SELECT CAST(count(*) AS BIGINT) AS zn FROM zeros(7))
+        SELECT v.a, v.b, z.zn FROM v CROSS JOIN z ORDER BY v.a""")
+
+
 @q("fn_conditional", """
 SELECT o_orderkey,
        CASE WHEN o_totalprice > 300000 THEN 'big'

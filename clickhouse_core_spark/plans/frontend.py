@@ -1649,7 +1649,58 @@ def _rewrite_numbers_tvf(sql: str) -> str:
                 f"range({a}, {b + 1}, {step}))")
 
     sql = _NUMBERS_TVF_RE.sub(num_sub, sql)
+    sql = _ZEROS_TVF_RE.sub(
+        lambda m: (f"(SELECT CAST(0 AS SMALLINT) AS zero FROM "
+                   f"range({int(m.group(1))}))"), sql)
     return _GENSERIES_TVF_RE.sub(gs_sub, sql)
+
+
+_ZEROS_TVF_RE = re.compile(r"\bzeros(?:_mt)?\(\s*(\d+)\s*\)", re.IGNORECASE)
+_VALUES_TVF_RE = re.compile(r"\bvalues\s*\(", re.IGNORECASE)
+_CH_SCHEMA_COL_RE = re.compile(
+    r"^\s*`?([A-Za-z_][A-Za-z0-9_]*)`?\s+[A-Za-z]")
+
+
+def _rewrite_values_tvf(sql: str) -> str:
+    """values('a T, b U', (..), ..) / values((..), ..) table function
+    (reference src/TableFunctions/TableFunctionValues.cpp): rewritten
+    to Spark's inline ``VALUES ... AS t(cols)``.  The schema-string
+    form carries the given column names; the bare form uses the
+    reference's ``c1..cN`` names.  Only applies in FROM position —
+    the SQL keyword ``VALUES`` never takes a '(' directly (it is
+    followed by a tuple list, which this rewrite re-emits)."""
+    out, pos = [], 0
+    for m in _VALUES_TVF_RE.finditer(sql):
+        prev = sql[:m.start()].rstrip()
+        ptok = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", prev)
+        if not (ptok and ptok.group(1).lower() in ("from", "join")):
+            continue
+        args, after = _parse_args(sql, m.end() - 1)
+        if not args:
+            continue
+        first = args[0].strip()
+        if first.startswith("'") and first.endswith("'"):
+            cols = [c for c in
+                    (_CH_SCHEMA_COL_RE.match(p) for p in
+                     first[1:-1].split(","))
+                    if c]
+            names = [c.group(1) for c in cols]
+            tuples = args[1:]
+        else:
+            arity = (len(_parse_args(first, 0)[0])
+                     if first.startswith("(") else 1)
+            names = [f"c{i + 1}" for i in range(arity)]
+            tuples = args
+        rows = ", ".join(t if t.strip().startswith("(") else f"({t})"
+                         for t in tuples)
+        out.append(sql[pos:m.start()])
+        out.append(f"(SELECT * FROM VALUES {rows} "
+                   f"AS __v({', '.join(names)}))")
+        pos = after
+    if not out:
+        return sql
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
@@ -1661,6 +1712,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
     sql = _rewrite_numbers_tvf(sql)
+    sql = _rewrite_values_tvf(sql)
     sql = _rewrite_cast_types(sql)
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_scalar_with(sql)

@@ -735,3 +735,25 @@ def test_system_query_log(spark):
     assert "toYear" in sel.query and "year(o_orderdate)" in sel.translated
     fe.ch_sql(spark, "TRUNCATE query_log")
     assert fe.system_query_log(spark).count() == 0
+
+
+def test_values_zeros_table_functions(spark):
+    """values()/zeros() table functions (reference
+    src/TableFunctions/TableFunctionValues.cpp, TableFunctionZeros.cpp):
+    schema-string and bare forms, zeros/zeros_mt zero column."""
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    rows = ch_sql(spark, """
+        SELECT * FROM values('a Int32, b String', (1, 'x'), (2, 'y'))
+        ORDER BY a""").collect()
+    assert [tuple(r) for r in rows] == [(1, "x"), (2, "y")]
+    bare = ch_sql(spark, "SELECT c1, c2 FROM values((7, 'q'), (8, 'r')) "
+                  "ORDER BY c1").collect()
+    assert [tuple(r) for r in bare] == [(7, "q"), (8, "r")]
+    z = ch_sql(spark,
+               "SELECT count(*) AS n, sum(zero) AS s FROM zeros(9)") \
+        .collect()[0]
+    assert (z["n"], z["s"]) == (9, 0)
+    # INSERT ... VALUES must not be rewritten as the table function
+    from clickhouse_core_spark.plans.frontend import translate_ch_sql
+    assert "VALUES" in translate_ch_sql("INSERT INTO t VALUES (1, 2)")
+    assert "__v" not in translate_ch_sql("INSERT INTO t VALUES (1, 2)")
