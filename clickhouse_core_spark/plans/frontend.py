@@ -1456,6 +1456,24 @@ def _rewrite_with_totals(sql: str) -> str:
     if m is None:
         return sql
     keys = m.group(1).strip()
+    # WITH CUBE/ROLLUP WITH TOTALS (ParserSelectQuery group_by_with_*
+    # flags combine): keep the modifier, add the extra grand-total row
+    # CH emits as the totals block via an appended empty grouping set
+    mod = re.search(r"\s+WITH\s+(CUBE|ROLLUP)\s*$", keys, re.IGNORECASE)
+    if mod:
+        bare = keys[:mod.start()].strip()
+        kind = mod.group(1).upper()
+        cols = [k.strip() for k in bare.split(",")]
+        if kind == "ROLLUP":
+            sets = [f"({', '.join(cols[:i])})"
+                    for i in range(len(cols), -1, -1)]
+        else:
+            sets = [f"({', '.join(c for j, c in enumerate(cols) if mask & (1 << j))})"
+                    for mask in range((1 << len(cols)) - 1, -1, -1)]
+        sets.append("()")  # the TOTALS row, on top of the modifier's own
+        return (sql[:m.start()]
+                + f"GROUP BY GROUPING SETS ({', '.join(sets)})"
+                + sql[m.end():])
     return (sql[:m.start()]
             + f"GROUP BY GROUPING SETS (({keys}), ())"
             + sql[m.end():])

@@ -71,3 +71,30 @@ def test_decimal_or_variants(spark):
     assert _one(spark, ch.toDecimal32OrNull(F.lit("bad"), 3)) is None
     assert _one(spark, ch.toDecimal128OrDefault(F.lit("bad"), 4, 9)) == \
         Decimal("9")
+
+
+def test_totals_with_cube_rollup_modifier(spark):
+    """WITH CUBE/ROLLUP WITH TOTALS combine (ParserSelectQuery
+    group_by_with_cube + group_by_with_totals flags): the modifier's
+    grouping sets survive and the TOTALS grand-total row is appended
+    as an extra empty set."""
+    import pandas as pd
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["x", "x", "y"], "c": ["p", "q", "p"],
+                      "b": [1, 2, 3]}))
+    df.createOrReplaceTempView("totals_mod_t")
+    rows = ch_sql(spark, """
+        SELECT a, c, sum(b) AS s FROM totals_mod_t
+        GROUP BY a, c WITH ROLLUP WITH TOTALS
+        ORDER BY a NULLS FIRST, c NULLS FIRST, s""").collect()
+    vals = [(r["a"], r["c"], r["s"]) for r in rows]
+    assert vals.count((None, None, 6)) == 2      # rollup total + TOTALS
+    assert (("x", None, 3) in vals) and (("y", None, 3) in vals)
+    assert ("x", "q", 2) in vals
+    cube = ch_sql(spark, """
+        SELECT a, sum(b) AS s FROM totals_mod_t
+        GROUP BY a WITH CUBE WITH TOTALS
+        ORDER BY a NULLS FIRST, s""").collect()
+    cvals = [(r["a"], r["s"]) for r in cube]
+    assert cvals.count((None, 6)) == 2
