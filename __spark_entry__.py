@@ -925,6 +925,148 @@ def cb_top_types_by_users(spark, sf_dir):
             .orderBy(F.col("users").desc(), "event_type").limit(10))
 
 
+@q("cb_minute_traffic", """
+SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS m,
+       CAST(count(*) AS BIGINT) AS hits,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+FROM events WHERE event_type <> 'error'
+GROUP BY date_trunc('minute', ts)
+HAVING count(*) > 1
+ORDER BY hits DESC, m LIMIT 25
+""")
+def cb_minute_traffic(spark, sf_dir):
+    """ClickBench Q-pattern: minute-grain traffic spikes (the
+    toStartOfMinute + count + uniq shape of ClickBench Q35-ish) through
+    the CH-SQL frontend."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT toStartOfMinute(ts) AS m,
+               count() AS hits,
+               uniqExact(user_id) AS users
+        FROM events WHERE event_type != 'error'
+        GROUP BY m HAVING count() > 1
+        ORDER BY hits DESC, m LIMIT 25""") \
+        .select(F.col("m").cast("timestamp").alias("m"),
+                F.col("hits").cast("long").alias("hits"),
+                F.col("users").cast("long").alias("users"))
+
+
+@q("cb_value_quantiles_by_type", """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def cb_value_quantiles_by_type(spark, sf_dir):
+    """ClickBench latency-quantile shape: multi-level exact quantiles
+    per dimension via the parametric quantiles(...)(x) form."""
+    _cat(spark, sf_dir)
+    r = ch_sql(spark, """
+        SELECT event_type,
+               quantiles(0.5, 0.9, 0.99)(value) AS qs,
+               count() AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    return r.select("event_type",
+                    F.round(F.element_at("qs", 1), 6).alias("p50"),
+                    F.round(F.element_at("qs", 2), 6).alias("p90"),
+                    F.round(F.element_at("qs", 3), 6).alias("p99"),
+                    F.col("n").cast("long").alias("n"))
+
+
+@q("cb_daily_uniques_errors", """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+         AS errors,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY date_trunc('day', ts) ORDER BY d
+""")
+def cb_daily_uniques_errors(spark, sf_dir):
+    """ClickBench daily-rollup shape: DAU + countIf errors + avg,
+    countIf through the combinator path."""
+    _cat(spark, sf_dir)
+    r = ch_sql(spark, """
+        SELECT toDate(toStartOfDay(ts)) AS d,
+               uniqExact(user_id) AS dau,
+               countIf(event_type = 'error') AS errors,
+               round(avg(value), 6) AS avg_value
+        FROM events GROUP BY d ORDER BY d""")
+    return r.select(F.col("d").cast("date").alias("d"),
+                    F.col("dau").cast("long").alias("dau"),
+                    F.col("errors").cast("long").alias("errors"),
+                    "avg_value")
+
+
+@q("cb_props_key_buckets", """
+SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) // 10) * 10
+         AS kb,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 4) AS total
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY kb ORDER BY kb
+""")
+def cb_props_key_buckets(spark, sf_dir):
+    """ClickBench JSON-param shape: extract a JSON property, histogram
+    it in buckets of 10 (JSONExtract + intDiv through the frontend)."""
+    _cat(spark, sf_dir)
+    r = ch_sql(spark, """
+        SELECT intDiv(toInt64OrNull(JSONExtractRaw(props, 'k')), 10) * 10
+                 AS kb,
+               count() AS n,
+               round(sum(value), 4) AS total
+        FROM events
+        WHERE JSONExtractRaw(props, 'k') IS NOT NULL
+        GROUP BY kb ORDER BY kb""")
+    return r.select(F.col("kb").cast("long").alias("kb"),
+                    F.col("n").cast("long").alias("n"), "total")
+
+
+@q("cb_heavy_users_like", """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE event_type LIKE '%ic%') AS BIGINT)
+         AS clicks
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 10
+ORDER BY n DESC, user_id LIMIT 20
+""")
+def cb_heavy_users_like(spark, sf_dir):
+    """ClickBench heavy-hitter + LIKE-filter shape."""
+    _cat(spark, sf_dir)
+    r = ch_sql(spark, """
+        SELECT user_id, count() AS n,
+               countIf(event_type LIKE '%ic%') AS clicks
+        FROM events GROUP BY user_id HAVING count() >= 10
+        ORDER BY n DESC, user_id LIMIT 20""")
+    return r.select("user_id", F.col("n").cast("long").alias("n"),
+                    F.col("clicks").cast("long").alias("clicks"))
+
+
+@q("cb_type_share_window", """
+WITH t AS (SELECT event_type, count(*) AS n FROM events
+           GROUP BY event_type)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(n * 100.0 / sum(n) OVER (), 6) AS pct
+FROM t ORDER BY n DESC, event_type
+""")
+def cb_type_share_window(spark, sf_dir):
+    """ClickBench share-of-total shape: grouped counts with a
+    whole-frame window for the percentage."""
+    _cat(spark, sf_dir)
+    r = ch_sql(spark, """
+        WITH t AS (SELECT event_type, count() AS n FROM events
+                   GROUP BY event_type)
+        SELECT event_type, n,
+               round(n * 100.0 / sum(n) OVER (), 6) AS pct
+        FROM t ORDER BY n DESC, event_type""")
+    return r.select("event_type", F.col("n").cast("long").alias("n"),
+                    F.col("pct").cast("double").alias("pct"))
+
+
 @q("cb_hourly_activity", """
 SELECT CAST(date_part('hour', ts) AS INT) AS hr,
        CAST(count(*) AS BIGINT) AS hits,
@@ -2943,6 +3085,30 @@ def tvf_values_zeros(spark, sf_dir):
                                         (1, 'x'), (2, 'y'), (3, 'z'))),
              z AS (SELECT CAST(count(*) AS BIGINT) AS zn FROM zeros(7))
         SELECT v.a, v.b, z.zn FROM v CROSS JOIN z ORDER BY v.a""")
+
+
+@q("ch_sql_expr_surface", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END AS tier,
+       EXTRACT(YEAR FROM o_orderdate) AS yr,
+       coalesce(regexp_extract(o_orderpriority, '[0-9]+'), '') AS pri_num,
+       CAST(o_custkey AS BIGINT) AS ck
+FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+""")
+def ch_sql_expr_surface(spark, sf_dir):
+    """CH expression-operator surface through the SQL frontend:
+    ternary ?: (src/Parsers/ExpressionListParsers.cpp), ANSI
+    EXTRACT(unit FROM x) beside CH extract(s, re) (extract.cpp:
+    group-less pattern returns the whole match), two-arg
+    cast(x, 'Type') (CastOverloadResolver.h)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderkey,
+               o_totalprice > 150000 ? 'hi' : 'lo' AS tier,
+               EXTRACT(YEAR FROM o_orderdate) AS yr,
+               extract(o_orderpriority, '[0-9]+') AS pri_num,
+               cast(o_custkey, 'Nullable(Int64)') AS ck
+        FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""")
 
 
 @q("fn_conditional", """

@@ -31,6 +31,18 @@ def _fn(name):
     return lambda a: f"{name}({', '.join(a)})"
 
 
+def _re_group_idx(pattern_arg: str) -> int:
+    """CH extract() returns the first capture group when the pattern
+    has one, else the whole match (src/Functions/extract.cpp) — pick
+    Spark's regexp_extract idx accordingly for literal patterns."""
+    p = pattern_arg.strip()
+    if len(p) >= 2 and p[0] == "'" and p[-1] == "'":
+        body = p[1:-1]
+        has_group = re.search(r"(?<!\\)\((?!\?)", body)
+        return 1 if has_group else 0
+    return 1  # non-literal pattern: keep the historical contract
+
+
 def _cast(t):
     return lambda a: f"CAST({a[0]} AS {t})"
 
@@ -86,7 +98,17 @@ _RULES: dict = {
     "notempty": lambda a: f"(length({a[0]}) > 0)",
     "position": lambda a: f"instr({a[0]}, {a[1]})",
     "match": lambda a: f"({a[0]} RLIKE {a[1]})",
-    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 1)",
+    # CH extract(haystack, re) vs ANSI EXTRACT(unit FROM ts) — the ANSI
+    # form arrives as a single 'unit FROM expr' argument and passes
+    # through to Spark's own EXTRACT
+    "extract": lambda a: (
+        f"EXTRACT({a[0]})" if len(a) == 1
+        else f"regexp_extract({a[0]}, {a[1]}, {_re_group_idx(a[1])})"),
+    # CH two-arg cast(x, 'Type') (src/Functions/CastOverloadResolver.h);
+    # the AS form arrives as one argument and passes through
+    "cast": lambda a: (
+        f"CAST({a[0]})" if len(a) == 1
+        else f"CAST({a[0]} AS {_ch_type_to_sql(a[1])})"),
     "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)",
     "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
     # first-occurrence-only (reference ReplaceStringImpl.h replace_first):
@@ -1617,6 +1639,150 @@ _COLONCOLON_TYPE_RE = re.compile(
     r"::(" + "|".join(_CH_CAST_TYPES) + r")\b", re.IGNORECASE)
 
 
+_TERNARY_STOP_KW = {
+    "select", "from", "where", "and", "or", "then", "else", "when",
+    "group", "order", "having", "limit", "union", "as", "on", "by",
+    "qualify", "settings", "prewhere", "end",
+}
+
+
+def _rewrite_ternary(sql: str) -> str:
+    """CH ternary ``cond ? a : b`` (src/Parsers/ExpressionListParsers.cpp
+    ternary operator) -> ``if(cond, a, b)``.  String-aware scan; the
+    condition extends left and the else-branch right to the nearest
+    same-depth boundary (comma, paren, or clause keyword).  Nested
+    ternaries resolve through repeated passes."""
+    while True:
+        # locate first '?' outside strings
+        qpos = None
+        i = 0
+        while i < len(sql):
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "?":
+                qpos = i
+                break
+            i += 1
+        if qpos is None:
+            return sql
+        # left boundary of the condition at the same paren depth
+        depth = 0
+        j = qpos - 1
+        start = 0
+        while j >= 0:
+            c = sql[j]
+            if c in "'\"":  # walk back over the string literal
+                k = j - 1
+                while k >= 0 and sql[k] != c:
+                    k -= 1
+                j = k - 1
+                continue
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    start = j + 1
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                start = j + 1
+                break
+            elif c.isalpha() or c == "_":
+                k = j
+                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                    k -= 1
+                word = sql[k + 1:j + 1].lower()
+                if depth == 0 and word in _TERNARY_STOP_KW:
+                    start = j + 1
+                    break
+                j = k
+                continue
+            j -= 1
+        else:
+            start = 0
+        cond = sql[start:qpos].strip()
+        # matching ':' (skip nested ternaries and strings)
+        depth = 0
+        nest = 0
+        i = qpos + 1
+        colon = None
+        while i < len(sql):
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "?" and depth == 0:
+                nest += 1
+            elif c == ":" and depth == 0:
+                if nest == 0:
+                    colon = i
+                    break
+                nest -= 1
+            i += 1
+        if colon is None:
+            return sql  # not a ternary (lone '?')
+        then_part = sql[qpos + 1:colon].strip()
+        # right boundary of the else-branch
+        depth = 0
+        i = colon + 1
+        end = len(sql)
+        while i < len(sql):
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                end = i
+                break
+            elif (c.isalpha() or c == "_") and depth == 0:
+                m = _IDENT.match(sql, i)
+                if m and m.group(0).lower() in _TERNARY_STOP_KW:
+                    end = i
+                    break
+                i = m.end() if m else i + 1
+                continue
+            i += 1
+        else_part = sql[colon + 1:end].strip()
+        sql = (sql[:start] + f" if({cond}, {then_part}, {else_part}) "
+               + sql[end:])
+
+
+_USING_BARE_RE = re.compile(
+    r"(\bUSING\s+)(?!\()([A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)",
+    re.IGNORECASE)
+
+
+def _rewrite_using_bare(sql: str) -> str:
+    """CH allows ``JOIN ... USING a, b`` without parentheses
+    (ParserJoin); Spark requires ``USING (a, b)``."""
+    return _USING_BARE_RE.sub(lambda m: f"{m.group(1)}({m.group(2)})",
+                              sql)
+
+
+def _ch_type_to_sql(t: str) -> str:
+    """Quoted CH type name from two-arg cast() -> Spark SQL type;
+    Nullable() unwraps (Spark columns are nullable by default)."""
+    t = t.strip().strip("'\"")
+    m = re.fullmatch(r"Nullable\s*\((.*)\)", t, re.IGNORECASE)
+    if m:
+        t = m.group(1).strip()
+    return _CH_CAST_TYPES.get(t.lower(), t)
+
+
 def _rewrite_cast_types(sql: str) -> str:
     """CAST(x AS UInt32) / x::DateTime — translate CH type names."""
     sql = _CAST_TYPE_RE.sub(
@@ -1731,6 +1897,8 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _GLOBAL_JOIN_RE.sub("", sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
+    sql = _rewrite_ternary(sql)
+    sql = _rewrite_using_bare(sql)
     sql = _rewrite_cast_types(sql)
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_scalar_with(sql)

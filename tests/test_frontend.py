@@ -757,3 +757,36 @@ def test_values_zeros_table_functions(spark):
     from clickhouse_core_spark.plans.frontend import translate_ch_sql
     assert "VALUES" in translate_ch_sql("INSERT INTO t VALUES (1, 2)")
     assert "__v" not in translate_ch_sql("INSERT INTO t VALUES (1, 2)")
+
+
+def test_ternary_extract_cast_using(spark):
+    """CH expression-surface stragglers: ternary ?: (src/Parsers/
+    ExpressionListParsers.cpp), ANSI EXTRACT(unit FROM x) alongside CH
+    extract(s, re), two-arg cast(x, 'Type') incl. Nullable unwrap,
+    bare USING a, b."""
+    import pandas as pd
+    from clickhouse_core_spark.plans.frontend import ch_sql, \
+        translate_ch_sql
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [0, 1, 2], "b": [10, 20, 30]}))
+    df.createOrReplaceTempView("surface_t")
+    rows = ch_sql(spark, """
+        SELECT a,
+               a > 0 ? b + 1 : -1 AS r,
+               a = 1 ? (a = 1 ? 'inner' : 'x') : 'outer' AS nested,
+               EXTRACT(YEAR FROM DATE'2024-03-01') AS y,
+               extract(concat('v', toString(b)), '[0-9]+') AS ex,
+               cast(b, 'Nullable(String)') AS cs
+        FROM surface_t ORDER BY a""").collect()
+    assert [r["r"] for r in rows] == [-1, 21, 31]
+    assert [r["nested"] for r in rows] == ["outer", "inner", "outer"]
+    assert rows[0]["y"] == 2024 and rows[1]["ex"] == "20"
+    assert rows[2]["cs"] == "30"
+    df.createOrReplaceTempView("su1")
+    df.createOrReplaceTempView("su2")
+    n = ch_sql(spark,
+               "SELECT count(*) AS n FROM su1 JOIN su2 USING a, b") \
+        .collect()[0]["n"]
+    assert n == 3
+    # '?' inside string literals is untouched
+    assert "?" in translate_ch_sql("SELECT 'what?' AS q")
