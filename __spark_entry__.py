@@ -3111,6 +3111,45 @@ def ch_sql_expr_surface(spark, sf_dir):
         FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""")
 
 
+@q("util_describe_exists", """
+SELECT * FROM (VALUES
+  ('n_nationkey', 'Int32', 1),
+  ('n_name', 'String', 1),
+  ('n_regionkey', 'Int32', 1)) t(name, type, ex)
+ORDER BY name
+""")
+def util_describe_exists(spark, sf_dir):
+    """DESCRIBE TABLE + EXISTS utility statements (reference
+    src/Interpreters/InterpreterDescribeQuery.h,
+    InterpreterExistsQuery.h): schema introspection with CH type
+    names (DataTypeFactory naming), cross-checked against the fixed
+    TPC-H nation schema."""
+    _cat(spark, sf_dir)
+    d = ch_sql(spark, "DESCRIBE TABLE nation") \
+        .select("name", "type")
+    ex = ch_sql(spark, "EXISTS TABLE nation") \
+        .select(F.col("result").alias("ex"))
+    return d.crossJoin(ex).orderBy("name")
+
+
+@q("tvf_format_inline", """
+SELECT * FROM (VALUES (1, 'foo', 10), (2, 'bar', 20), (3, 'baz', 30))
+  t(id, name, val)
+ORDER BY id
+""")
+def tvf_format_inline(spark, sf_dir):
+    """format(Fmt, 'inline') table function (reference
+    src/TableFunctions/TableFunctionFormat.cpp): literal JSONEachRow
+    payload through the format-reader matrix with inferred schema."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT id, name, val FROM format(JSONEachRow,
+          '{"id": 1, "name": "foo", "val": 10}\\n{"id": 2, "name": "bar", "val": 20}\\n{"id": 3, "name": "baz", "val": 30}')
+        ORDER BY id""") \
+        .select(F.col("id").cast("int").alias("id"), "name",
+                F.col("val").cast("int").alias("val"))
+
+
 @q("fn_conditional", """
 SELECT o_orderkey,
        CASE WHEN o_totalprice > 300000 THEN 'big'

@@ -2257,6 +2257,10 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     if re.match(r"^SYSTEM\s+FLUSH\s+LOGS\s*$", text, re.IGNORECASE):
         return None
 
+    util = _utility_statement(spark, text, tables)
+    if util is not _NO_MATCH:
+        return util
+
     # SETTINGS use_query_cache = 1 routes through the result cache
     qc = re.search(r"use_query_cache\s*=\s*1'?", text, re.IGNORECASE)
     if qc:
@@ -2393,6 +2397,7 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
                   lambda m: f"system_{m.group(1)}", text,
                   flags=re.IGNORECASE)
     text = _rewrite_columns_apply(spark, text)
+    text = _rewrite_format_tvf(spark, text)
 
     if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", text, re.IGNORECASE):
         text = _rewrite_asof_join(spark, text)
@@ -2412,6 +2417,271 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
     return spark.sql(translated)
+
+
+# ------------------------------------------------- utility statements
+# Reference interpreters: InterpreterShowTablesQuery.h,
+# InterpreterDescribeQuery.h, InterpreterExistsQuery.h,
+# InterpreterDropQuery.h, InterpreterRenameQuery.h,
+# InterpreterCheckQuery.h, InterpreterSetQuery.h,
+# InterpreterUseQuery.h, InterpreterKillQueryQuery.h,
+# InterpreterShowProcesslistQuery.h, InterpreterShowCreateQuery.h.
+
+_NO_MATCH = object()
+SESSION_SETTINGS: dict = {}
+_CURRENT_DATABASE = ["default"]
+
+_SPARK_TO_CH_TYPE = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "String", "date": "Date",
+    "timestamp": "DateTime64(6)", "timestamp_ntz": "DateTime64(6)",
+    "boolean": "Bool", "binary": "String",
+}
+
+
+def _spark_type_to_ch(dt) -> str:
+    """Spark type -> CH type name for DESCRIBE output
+    (DataTypeFactory names; containers recurse)."""
+    s = dt.simpleString()
+    if s in _SPARK_TO_CH_TYPE:
+        return _SPARK_TO_CH_TYPE[s]
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+    if m:
+        p, sc = int(m.group(1)), int(m.group(2))
+        width = 32 if p <= 9 else 64 if p <= 18 else 128
+        return f"Decimal{width}({sc})"
+    from pyspark.sql import types as T
+    if isinstance(dt, T.ArrayType):
+        return f"Array({_spark_type_to_ch(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return (f"Map({_spark_type_to_ch(dt.keyType)}, "
+                f"{_spark_type_to_ch(dt.valueType)})")
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(f"{f.name} {_spark_type_to_ch(f.dataType)}"
+                          for f in dt.fields)
+        return f"Tuple({inner})"
+    return s
+
+
+def _resolve_view(spark, name, tables):
+    if tables and name in tables:
+        t = tables[name]
+        return t.read() if hasattr(t, "read") else t
+    try:
+        return spark.table(name)
+    except Exception:
+        return None
+
+
+_FORMAT_TVF_RE = re.compile(r"\b(FROM|JOIN)\s+format\s*\(", re.IGNORECASE)
+_FMT_TVF_COUNT = [0]
+
+
+def _unescape_sql_literal(s: str) -> str:
+    return (s.replace("\\n", "\n").replace("\\t", "\t")
+            .replace("\\'", "'").replace("''", "'").replace("\\\\", "\\"))
+
+
+def _rewrite_format_tvf(spark, sql: str) -> str:
+    """``FROM format(Fmt, 'inline data')`` table function (reference
+    src/TableFunctions/TableFunctionFormat.cpp): materialize the
+    literal through the format-reader matrix and splice in a temp view.
+    Schema is inferred by the format reader, like the reference."""
+    m = _FORMAT_TVF_RE.search(sql)
+    if m is None:
+        return sql
+    import os
+    import tempfile
+    from ..sources.formats import read_format
+    args, after = _parse_args(sql, sql.index("(", m.end() - 1))
+    if len(args) < 2:
+        return sql
+    fmt = args[0].strip().strip("'\"")
+    lit = args[1].strip()
+    if not (lit.startswith("'") and lit.endswith("'")):
+        return sql
+    data = _unescape_sql_literal(lit[1:-1])
+    d = tempfile.mkdtemp(prefix="ch_format_tvf_")
+    ext = {"CSV": "csv", "CSVWithNames": "csv", "TSV": "tsv",
+           "TSVWithNames": "tsv", "JSONEachRow": "jsonl",
+           "JSONCompactEachRow": "jsonl", "Values": "values",
+           "TSKV": "tskv"}.get(fmt, "dat")
+    with open(os.path.join(d, f"inline.{ext}"), "w") as fh:
+        fh.write(data)
+    _FMT_TVF_COUNT[0] += 1
+    view = f"__fmt_tvf_{_FMT_TVF_COUNT[0]}"
+    # the reference infers the inline data's types
+    # (SchemaInferenceUtils.cpp); mirror with Spark's inference
+    extra = {"inferSchema": "true"} if ext in ("csv", "tsv") else {}
+    read_format(spark, d, fmt, **extra).createOrReplaceTempView(view)
+    return _rewrite_format_tvf(
+        spark, sql[:m.start()] + f"{m.group(1)} {view}" + sql[after:])
+
+
+def _utility_statement(spark, text: str, tables):
+    """SHOW/DESCRIBE/EXISTS/DROP/RENAME/EXCHANGE/TRUNCATE/CHECK/SET/
+    USE/KILL — the reference's utility-statement surface mapped onto
+    the Spark catalog and managed MergeTreeTable objects.  Returns
+    _NO_MATCH when ``text`` is not a utility statement."""
+    m = re.match(r"^SHOW\s+DATABASES\s*$", text, re.IGNORECASE)
+    if m:
+        rows = sorted(d.name for d in spark.catalog.listDatabases())
+        return spark.createDataFrame([(d,) for d in rows],
+                                     "name string")
+
+    m = re.match(r"^SHOW\s+TABLES(?:\s+FROM\s+`?(\w+)`?)?"
+                 r"(?:\s+LIKE\s+'([^']*)')?\s*$", text, re.IGNORECASE)
+    if m:
+        names = {t.name for t in spark.catalog.listTables()}
+        names |= set(tables or ())
+        pat = m.group(2)
+        if pat is not None:
+            rx = re.compile(
+                "^" + re.escape(pat).replace("%", ".*").replace("_", ".")
+                + "$", re.IGNORECASE)
+            names = {n for n in names if rx.match(n)}
+        return spark.createDataFrame([(n,) for n in sorted(names)],
+                                     "name string")
+
+    m = re.match(r"^SHOW\s+PROCESSLIST\s*$", text, re.IGNORECASE)
+    if m:
+        # single-session engine: the one live query is this statement
+        return spark.createDataFrame(
+            [("default", " ".join(text.split()), 0.0)],
+            "user string, query string, elapsed double")
+
+    m = re.match(r"^SHOW\s+CREATE\s+(?:TABLE\s+)?`?(\w+)`?\s*$",
+                 text, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        df = _resolve_view(spark, name, tables)
+        if df is None:
+            raise ValueError(f"SHOW CREATE: unknown table {name!r}")
+        t = (tables or {}).get(name)
+        engine = getattr(t, "engine", None) or "Memory"
+        eng_name = "".join(w.capitalize() for w in str(engine).split("_"))
+        cols = ", ".join(f"`{f.name}` {_spark_type_to_ch(f.dataType)}"
+                         for f in df.schema.fields)
+        order = getattr(t, "order_by", None)
+        stmt = f"CREATE TABLE {name} ({cols}) ENGINE = {eng_name}"
+        if order:
+            stmt += f" ORDER BY ({', '.join(order)})"
+        return spark.createDataFrame([(stmt,)], "statement string")
+
+    m = re.match(r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?`?(\w+)`?\s*$",
+                 text, re.IGNORECASE)
+    if m:
+        df = _resolve_view(spark, m.group(1), tables)
+        if df is None:
+            raise ValueError(f"DESCRIBE: unknown table {m.group(1)!r}")
+        rows = [(f.name, _spark_type_to_ch(f.dataType), "", "", "", "",
+                 "") for f in df.schema.fields]
+        return spark.createDataFrame(
+            rows, "name string, type string, default_type string, "
+                  "default_expression string, comment string, "
+                  "codec_expression string, ttl_expression string")
+
+    m = re.match(r"^EXISTS\s+(?:TABLE\s+)?`?(\w+)`?\s*$",
+                 text, re.IGNORECASE)
+    if m:
+        df = _resolve_view(spark, m.group(1), tables)
+        return spark.createDataFrame([(1 if df is not None else 0,)],
+                                     "result int")
+
+    m = re.match(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*$",
+                 text, re.IGNORECASE)
+    if m:
+        name = m.group(2)
+        known = (tables is not None and name in tables) or \
+            spark.catalog.tableExists(name)
+        if not known and not m.group(1):
+            raise ValueError(f"DROP TABLE: unknown table {name!r}")
+        if tables is not None:
+            tables.pop(name, None)
+        spark.catalog.dropTempView(name)
+        return None
+
+    m = re.match(r"^RENAME\s+TABLE\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$",
+                 text, re.IGNORECASE)
+    if m:
+        old, new = m.group(1), m.group(2)
+        df = _resolve_view(spark, old, tables)
+        if df is None:
+            raise ValueError(f"RENAME: unknown table {old!r}")
+        if tables is not None and old in tables:
+            tables[new] = tables.pop(old)
+        df.createOrReplaceTempView(new)
+        spark.catalog.dropTempView(old)
+        return None
+
+    m = re.match(r"^EXCHANGE\s+TABLES\s+`?(\w+)`?\s+AND\s+`?(\w+)`?\s*$",
+                 text, re.IGNORECASE)
+    if m:
+        a, b = m.group(1), m.group(2)
+        da = _resolve_view(spark, a, tables)
+        db_ = _resolve_view(spark, b, tables)
+        if da is None or db_ is None:
+            raise ValueError("EXCHANGE: both tables must exist")
+        if tables is not None:
+            ta, tb = tables.get(a), tables.get(b)
+            if ta is not None or tb is not None:
+                tables[a], tables[b] = tb, ta
+                for k in (a, b):
+                    if tables[k] is None:
+                        tables.pop(k)
+        da.createOrReplaceTempView(b)
+        db_.createOrReplaceTempView(a)
+        return None
+
+    m = re.match(r"^TRUNCATE\s+(?:TABLE\s+)?`?(\w+)`?\s*$",
+                 text, re.IGNORECASE)
+    if m:
+        name = m.group(1)
+        t = (tables or {}).get(name)
+        if t is not None and hasattr(t, "parts"):
+            t._drop_parts(t.parts())
+            return None
+        df = _resolve_view(spark, name, tables)
+        if df is None:
+            raise ValueError(f"TRUNCATE: unknown table {name!r}")
+        df.limit(0).createOrReplaceTempView(name)
+        return None
+
+    m = re.match(r"^CHECK\s+TABLE\s+`?(\w+)`?\s*$", text, re.IGNORECASE)
+    if m:
+        df = _resolve_view(spark, m.group(1), tables)
+        if df is None:
+            raise ValueError(f"CHECK TABLE: unknown table {m.group(1)!r}")
+        ok = 1
+        try:
+            df.count()  # full read = the reference's part checksum walk
+        except Exception:
+            ok = 0
+        return spark.createDataFrame([(ok,)], "result int")
+
+    m = re.match(r"^SET\s+(\w+)\s*=\s*(.+?)\s*$", text, re.IGNORECASE)
+    if m and m.group(1).lower() not in ("role",):
+        SESSION_SETTINGS[m.group(1)] = m.group(2).strip("'")
+        # settings with a direct Spark runtime equivalent apply live
+        live = {"max_threads": "spark.sql.shuffle.partitions",
+                "session_timezone": "spark.sql.session.timeZone"}
+        tgt = live.get(m.group(1).lower())
+        if tgt:
+            spark.conf.set(tgt, m.group(2).strip("'"))
+        return None
+
+    m = re.match(r"^USE\s+`?(\w+)`?\s*$", text, re.IGNORECASE)
+    if m:
+        _CURRENT_DATABASE[0] = m.group(1)
+        return None
+
+    if re.match(r"^KILL\s+QUERY\b", text, re.IGNORECASE):
+        # single-session engine: nothing to kill by the time we parse
+        return spark.createDataFrame(
+            [], "kill_status string, query_id string")
+
+    return _NO_MATCH
 
 
 _CREATE_RE = re.compile(

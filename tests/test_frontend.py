@@ -790,3 +790,68 @@ def test_ternary_extract_cast_using(spark):
     assert n == 3
     # '?' inside string literals is untouched
     assert "?" in translate_ch_sql("SELECT 'what?' AS q")
+
+
+def test_utility_statements(spark):
+    """Utility-statement surface (reference InterpreterShowTablesQuery,
+    InterpreterDescribeQuery, InterpreterExistsQuery,
+    InterpreterDropQuery, InterpreterRenameQuery, InterpreterCheckQuery,
+    InterpreterSetQuery, InterpreterShowCreateQuery)."""
+    import pandas as pd
+    from clickhouse_core_spark.plans.frontend import ch_sql, \
+        SESSION_SETTINGS
+    df = spark.createDataFrame(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    df.createOrReplaceTempView("util_t")
+    assert [r["name"] for r in
+            ch_sql(spark, "SHOW TABLES LIKE 'util_t'").collect()] \
+        == ["util_t"]
+    d = {(r["name"], r["type"])
+         for r in ch_sql(spark, "DESCRIBE TABLE util_t").collect()}
+    assert d == {("a", "Int64"), ("b", "String")}
+    assert ch_sql(spark, "EXISTS util_t").collect()[0]["result"] == 1
+    assert ch_sql(spark, "EXISTS TABLE util_nope") \
+        .collect()[0]["result"] == 0
+    assert ch_sql(spark, "CHECK TABLE util_t").collect()[0]["result"] == 1
+    ch_sql(spark, "RENAME TABLE util_t TO util_ren")
+    assert ch_sql(spark, "EXISTS util_ren").collect()[0]["result"] == 1
+    stmt = ch_sql(spark, "SHOW CREATE TABLE util_ren") \
+        .collect()[0]["statement"]
+    assert stmt.startswith("CREATE TABLE util_ren")
+    assert "`a` Int64" in stmt
+    spark.createDataFrame(pd.DataFrame({"z": [9]})) \
+        .createOrReplaceTempView("util_x")
+    ch_sql(spark, "EXCHANGE TABLES util_ren AND util_x")
+    assert spark.table("util_ren").columns == ["z"]
+    ch_sql(spark, "TRUNCATE TABLE util_x")
+    assert spark.table("util_x").count() == 0
+    ch_sql(spark, "DROP TABLE util_x")
+    assert ch_sql(spark, "EXISTS util_x").collect()[0]["result"] == 0
+    ch_sql(spark, "DROP TABLE IF EXISTS util_never")   # no raise
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        ch_sql(spark, "SET max_threads = 12")
+        assert SESSION_SETTINGS["max_threads"] == "12"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "12"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    ch_sql(spark, "USE somedb")                        # records, no-op
+    assert ch_sql(spark, "SHOW PROCESSLIST").columns \
+        == ["user", "query", "elapsed"]
+    assert ch_sql(spark, "KILL QUERY WHERE query_id = 'q'").count() == 0
+    ch_sql(spark, "DROP TABLE util_ren")
+
+
+def test_format_inline_tvf(spark):
+    """format(Fmt, 'inline') table function (reference
+    src/TableFunctions/TableFunctionFormat.cpp): literal data through
+    the format-reader matrix with schema inference."""
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    r = ch_sql(spark, "SELECT a, b FROM format(JSONEachRow, "
+               "'{\"a\": 1, \"b\": \"x\"}\\n{\"a\": 2, \"b\": \"y\"}') "
+               "ORDER BY a").collect()
+    assert [(x["a"], x["b"]) for x in r] == [(1, "x"), (2, "y")]
+    c = ch_sql(spark, "SELECT c, d, c * 2 AS c2 FROM format("
+               "CSVWithNames, 'c,d\\n1,foo\\n2,bar') ORDER BY c") \
+        .collect()
+    assert [(x["c"], x["d"], x["c2"]) for x in c] == \
+        [(1, "foo", 2), (2, "bar", 4)]
