@@ -3150,6 +3150,35 @@ def tvf_format_inline(spark, sf_dir):
                 F.col("val").cast("int").alias("val"))
 
 
+@q("ch_sql_small_forms", """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders WHERE o_orderkey < 2000)
+SELECT o_custkey, o_orderkey,
+       coalesce(NULL, 31) AS hx,
+       round(o_totalprice, 2) AS tp
+FROM ranked WHERE rn = 1
+ORDER BY o_custkey LIMIT 10 OFFSET 5
+""")
+def ch_sql_small_forms(spark, sf_dir):
+    """DISTINCT ON + MySQL-style LIMIT offset,count + ?? operator +
+    hex literal through the frontend (reference ParserSelectQuery
+    distinct_on/limit_offset forms, ExpressionListParsers ``??``,
+    ParserLiteral 0x)."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+               NULL ?? 0x1F AS hx,
+               round(o_totalprice, 2) AS tp
+        FROM orders WHERE o_orderkey < 2000
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+        LIMIT 5, 10""") \
+        .select("o_custkey", "o_orderkey",
+                F.col("hx").cast("int").alias("hx"), "tp")
+
+
 @q("fn_conditional", """
 SELECT o_orderkey,
        CASE WHEN o_totalprice > 300000 THEN 'big'

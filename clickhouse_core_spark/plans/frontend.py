@@ -61,7 +61,11 @@ _RULES: dict = {
     "tostartofhour": lambda a: f"date_trunc('hour', {a[0]})",
     "tostartofminute": lambda a: f"date_trunc('minute', {a[0]})",
     "tomonday": lambda a: f"date_trunc('week', {a[0]})",
-    "todate": _fn("to_date"), "todatetime": _fn("to_timestamp"),
+    "todate": _fn("to_date"),
+    # toDateTime[64](x[, scale][, tz]): Spark timestamps are µs-fixed,
+    # the scale argument only selects display precision in the reference
+    "todatetime": lambda a: f"to_timestamp({a[0]})",
+    "todatetime64": lambda a: f"to_timestamp({a[0]})",
     "tolastdayofmonth": _fn("last_day"),
     "today": lambda a: "current_date()", "now": lambda a: "current_timestamp()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
@@ -1536,6 +1540,119 @@ def _rewrite_prewhere(sql: str) -> str:
     return sql[:m.start()] + f"WHERE ({pre}) " + sql[end:]
 
 
+_LIMIT_OFFSET_FORM_RE = re.compile(
+    r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(?!\s*BY\b)", re.IGNORECASE)
+_COLLATE_RE = re.compile(r"\s+COLLATE\s+'[^']*'", re.IGNORECASE)
+_HEXBIN_LIT_RE = re.compile(r"\b0x([0-9A-Fa-f]+)\b|\b0b([01]+)\b")
+_DISTINCT_ON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(",
+                             re.IGNORECASE)
+_TRAILING_LIMIT_RE = re.compile(
+    r"\bLIMIT\s+\d+(\s+OFFSET\s+\d+)?\s*;?\s*$", re.IGNORECASE)
+
+
+def _rewrite_small_forms(sql: str) -> str:
+    """MySQL-style ``LIMIT offset, count`` (ParserSelectQuery limit_
+    offset form), ``COLLATE 'x'`` (dropped: binary collation — the
+    approximation is documented), and 0x/0b integer literals
+    (ParserLiteral), none of which Spark's parser accepts."""
+    sql = _LIMIT_OFFSET_FORM_RE.sub(
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
+    sql = _COLLATE_RE.sub("", sql)
+
+    # hex/binary literals outside strings
+    out, i = [], 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _HEXBIN_LIT_RE.match(sql, i)
+        if m:
+            out.append(str(int(m.group(1), 16) if m.group(1)
+                           else int(m.group(2), 2)))
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_DQ_IDENT_SHAPE = re.compile(r"[A-Za-z_][A-Za-z0-9_ ]*")
+
+
+def _rewrite_double_quoted_idents(sql: str) -> str:
+    """CH treats double quotes as identifier quoting (ANSI;
+    src/Parsers/parseIdentifierOrStringLiteral.cpp) while Spark's
+    default parser reads them as string literals — convert
+    identifier-shaped "name" segments to backticks."""
+    out, i = [], 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == '"':
+            j = _skip_string(sql, i)
+            body = sql[i + 1:j - 1]
+            if _DQ_IDENT_SHAPE.fullmatch(body):
+                out.append(f"`{body}`")
+            else:
+                out.append(sql[i:j])
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (keys) ...`` (reference ParserSelectQuery
+    distinct_on) — documented equivalent of ``LIMIT 1 BY keys``, so it
+    lowers onto the same ranked rewrite."""
+    tops = _top_level_set(sql)
+    m = next((mm for mm in _DISTINCT_ON_RE.finditer(sql)
+              if mm.start() in tops), None)
+    if m is None:
+        return sql
+    cols, after = _parse_args(sql, m.end() - 1)
+    body = sql[:m.start()] + "SELECT " + sql[after:].lstrip()
+    clause = f" LIMIT 1 BY {', '.join(cols)}"
+    tm = next((mm for mm in _TRAILING_LIMIT_RE.finditer(body)
+               if mm.start() in _top_level_set(body)), None)
+    if tm:
+        return body[:tm.start()].rstrip() + clause + " " + tm.group(0)
+    return body.rstrip().rstrip(";") + clause
+
+
+def _rewrite_null_coalesce_op(sql: str) -> str:
+    """CH ``x ?? y`` null-coalescing operator (ExpressionListParsers
+    ``??``) -> coalesce(x, y), using the ternary boundary rules."""
+    while True:
+        i = 0
+        pos = None
+        while i < len(sql) - 1:
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "?" and sql[i + 1] == "?":
+                pos = i
+                break
+            i += 1
+        if pos is None:
+            return sql
+        left_start = _expr_left_boundary(sql, pos)
+        right_end = _expr_right_boundary(sql, pos + 2)
+        left = sql[left_start:pos].strip()
+        right = sql[pos + 2:right_end].strip()
+        sql = (sql[:left_start] + f" coalesce({left}, {right}) "
+               + sql[right_end:])
+
+
 _QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
 _QUALIFY_STOP_RE = re.compile(
     r"\b(ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
@@ -1562,7 +1679,8 @@ def _rewrite_qualify(sql: str) -> str:
 
 
 _LIMIT_BY_START_RE = re.compile(r"\bLIMIT\s+(\d+)\s+BY\b", re.IGNORECASE)
-_PLAIN_LIMIT_RE = re.compile(r"\bLIMIT\s+\d+\s*;?\s*$", re.IGNORECASE)
+_PLAIN_LIMIT_RE = re.compile(
+    r"\bLIMIT\s+\d+(\s+OFFSET\s+\d+)?\s*;?\s*$", re.IGNORECASE)
 
 
 def _match_limit_by(sql: str):
@@ -1646,6 +1764,68 @@ _TERNARY_STOP_KW = {
 }
 
 
+def _expr_left_boundary(sql: str, pos: int) -> int:
+    """Start index of the expression ending just before ``pos``: walk
+    left to a same-depth comma/open-paren/clause keyword."""
+    depth = 0
+    j = pos - 1
+    while j >= 0:
+        c = sql[j]
+        if c in "'\"":  # walk back over the string literal
+            k = j - 1
+            while k >= 0 and sql[k] != c:
+                k -= 1
+            j = k - 1
+            continue
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                return j + 1
+            depth -= 1
+        elif c == "," and depth == 0:
+            return j + 1
+        elif c.isalpha() or c == "_":
+            k = j
+            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                k -= 1
+            word = sql[k + 1:j + 1].lower()
+            if depth == 0 and word in _TERNARY_STOP_KW:
+                return j + 1
+            j = k
+            continue
+        j -= 1
+    return 0
+
+
+def _expr_right_boundary(sql: str, pos: int) -> int:
+    """End index (exclusive) of the expression starting at ``pos``:
+    walk right to a same-depth comma/close-paren/clause keyword."""
+    depth = 0
+    i = pos
+    while i < len(sql):
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif c == "," and depth == 0:
+            return i
+        elif (c.isalpha() or c == "_") and depth == 0:
+            m = _IDENT.match(sql, i)
+            if m and m.group(0).lower() in _TERNARY_STOP_KW:
+                return i
+            i = m.end() if m else i + 1
+            continue
+        i += 1
+    return len(sql)
+
+
 def _rewrite_ternary(sql: str) -> str:
     """CH ternary ``cond ? a : b`` (src/Parsers/ExpressionListParsers.cpp
     ternary operator) -> ``if(cond, a, b)``.  String-aware scan; the
@@ -1653,7 +1833,8 @@ def _rewrite_ternary(sql: str) -> str:
     same-depth boundary (comma, paren, or clause keyword).  Nested
     ternaries resolve through repeated passes."""
     while True:
-        # locate first '?' outside strings
+        # locate first single '?' outside strings ('??' is the
+        # null-coalescing operator, handled separately)
         qpos = None
         i = 0
         while i < len(sql):
@@ -1662,46 +1843,15 @@ def _rewrite_ternary(sql: str) -> str:
                 i = _skip_string(sql, i)
                 continue
             if c == "?":
+                if i + 1 < len(sql) and sql[i + 1] == "?":
+                    i += 2
+                    continue
                 qpos = i
                 break
             i += 1
         if qpos is None:
             return sql
-        # left boundary of the condition at the same paren depth
-        depth = 0
-        j = qpos - 1
-        start = 0
-        while j >= 0:
-            c = sql[j]
-            if c in "'\"":  # walk back over the string literal
-                k = j - 1
-                while k >= 0 and sql[k] != c:
-                    k -= 1
-                j = k - 1
-                continue
-            if c == ")":
-                depth += 1
-            elif c == "(":
-                if depth == 0:
-                    start = j + 1
-                    break
-                depth -= 1
-            elif c == "," and depth == 0:
-                start = j + 1
-                break
-            elif c.isalpha() or c == "_":
-                k = j
-                while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
-                    k -= 1
-                word = sql[k + 1:j + 1].lower()
-                if depth == 0 and word in _TERNARY_STOP_KW:
-                    start = j + 1
-                    break
-                j = k
-                continue
-            j -= 1
-        else:
-            start = 0
+        start = _expr_left_boundary(sql, qpos)
         cond = sql[start:qpos].strip()
         # matching ':' (skip nested ternaries and strings)
         depth = 0
@@ -1728,33 +1878,7 @@ def _rewrite_ternary(sql: str) -> str:
         if colon is None:
             return sql  # not a ternary (lone '?')
         then_part = sql[qpos + 1:colon].strip()
-        # right boundary of the else-branch
-        depth = 0
-        i = colon + 1
-        end = len(sql)
-        while i < len(sql):
-            c = sql[i]
-            if c in "'\"":
-                i = _skip_string(sql, i)
-                continue
-            if c == "(":
-                depth += 1
-            elif c == ")":
-                if depth == 0:
-                    end = i
-                    break
-                depth -= 1
-            elif c == "," and depth == 0:
-                end = i
-                break
-            elif (c.isalpha() or c == "_") and depth == 0:
-                m = _IDENT.match(sql, i)
-                if m and m.group(0).lower() in _TERNARY_STOP_KW:
-                    end = i
-                    break
-                i = m.end() if m else i + 1
-                continue
-            i += 1
+        end = _expr_right_boundary(sql, colon + 1)
         else_part = sql[colon + 1:end].strip()
         sql = (sql[:start] + f" if({cond}, {then_part}, {else_part}) "
                + sql[end:])
@@ -1897,6 +2021,10 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _GLOBAL_JOIN_RE.sub("", sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
+    sql = _rewrite_small_forms(sql)
+    sql = _rewrite_double_quoted_idents(sql)
+    sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_null_coalesce_op(sql)
     sql = _rewrite_ternary(sql)
     sql = _rewrite_using_bare(sql)
     sql = _rewrite_cast_types(sql)

@@ -384,10 +384,17 @@ def test_quantile_exact_sql_forms(spark):
 
 
 def test_describe_show_passthrough(spark, catalog):
+    # r5: DESCRIBE/SHOW now emit the reference's own output shapes
+    # (InterpreterDescribeQuery 7-column block, SHOW TABLES name list)
+    # instead of passing through to Spark's versions
     from clickhouse_core_spark.plans import ch_sql
-    cols = {r[0] for r in ch_sql(spark, "DESCRIBE TABLE nation").collect()}
+    d = ch_sql(spark, "DESCRIBE TABLE nation")
+    assert d.columns[:2] == ["name", "type"]
+    cols = {r["name"] for r in d.collect()}
     assert {"n_nationkey", "n_name"} <= cols
-    assert "tableName" in ch_sql(spark, "SHOW TABLES").columns
+    st = ch_sql(spark, "SHOW TABLES")
+    assert st.columns == ["name"]
+    assert "nation" in {r["name"] for r in st.collect()}
 
 
 def test_array_reduce_sql(spark):
@@ -855,3 +862,35 @@ def test_format_inline_tvf(spark):
         .collect()
     assert [(x["c"], x["d"], x["c2"]) for x in c] == \
         [(1, "foo", 2), (2, "bar", 4)]
+
+
+def test_small_form_rewrites(spark):
+    """LIMIT offset,count / DISTINCT ON / COLLATE / 0x-0b literals /
+    ?? operator / double-quoted identifiers (reference
+    ParserSelectQuery, ExpressionListParsers, ParserLiteral)."""
+    import pandas as pd
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 1, 2, 2, 3], "b": [5, 4, 3, 2, 1],
+                      "n": [None, 7, None, 8, None]}).astype(
+                          {"n": "object"}))
+    df.createOrReplaceTempView("small_t")
+    lim = ch_sql(spark, "SELECT b FROM small_t ORDER BY b LIMIT 1, 2") \
+        .collect()
+    assert [r["b"] for r in lim] == [2, 3]
+    don = ch_sql(spark, """
+        SELECT DISTINCT ON (a) a, b FROM small_t ORDER BY a, b""") \
+        .collect()
+    assert [(r["a"], r["b"]) for r in don] == [(1, 4), (2, 2), (3, 1)]
+    lit = ch_sql(spark, "SELECT 0x1F AS h, 0b101 AS bn, "
+                 "'0x10 kept' AS s").collect()[0]
+    assert (lit["h"], lit["bn"], lit["s"]) == (31, 5, "0x10 kept")
+    co = ch_sql(spark, "SELECT a FROM small_t ORDER BY a COLLATE 'en' "
+                "LIMIT 1").collect()[0]["a"]
+    assert co == 1
+    nc = ch_sql(spark, "SELECT a, n ?? -1 AS nv FROM small_t ORDER BY a, nv") \
+        .collect()
+    assert [r["nv"] for r in nc] == [-1, 7, -1, 8, -1]
+    dq = ch_sql(spark, 'SELECT a AS "my col" FROM small_t ORDER BY a '
+                "LIMIT 1")
+    assert dq.columns == ["my col"]
