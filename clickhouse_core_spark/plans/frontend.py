@@ -2389,6 +2389,14 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     if util is not _NO_MATCH:
         return util
 
+    # CREATE TABLE ... ENGINE = <engine> [AS SELECT ...] routes to the
+    # managed-table machinery (reference InterpreterCreateQuery.h);
+    # ENGINE-less CREATE passes through to Spark's own DDL below
+    if re.match(r"^CREATE\s+TABLE\b", text, re.IGNORECASE) \
+            and re.search(r"\bENGINE\s*=", text, re.IGNORECASE):
+        return _create_table_statement(spark, text, tables,
+                                       sample_by=sample_by)
+
     # SETTINGS use_query_cache = 1 routes through the result cache
     qc = re.search(r"use_query_cache\s*=\s*1'?", text, re.IGNORECASE)
     if qc:
@@ -2826,6 +2834,88 @@ _ENGINE_NAMES = {
 }
 
 
+def _decl_type(rest: str) -> str:
+    """The type expression at the head of a column declaration tail:
+    a name plus one balanced parenthesized argument list, stopping
+    before DEFAULT/MATERIALIZED/ALIAS/CODEC/TTL/COMMENT modifiers."""
+    rest = rest.strip()
+    m = re.match(r"[A-Za-z_][A-Za-z0-9_]*", rest)
+    if not m:
+        return rest
+    i = m.end()
+    while i < len(rest) and rest[i] in " \t":
+        i += 1
+    if i < len(rest) and rest[i] == "(":
+        depth = 0
+        while i < len(rest):
+            if rest[i] == "'":
+                i = _skip_string(rest, i)
+                continue
+            if rest[i] == "(":
+                depth += 1
+            elif rest[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    i += 1
+                    break
+            i += 1
+        return rest[:i]
+    return m.group(0)
+
+
+def _ch_decl_type_to_spark(t: str) -> str:
+    """CH column-declaration type -> Spark SQL type string (reference
+    src/DataTypes/DataTypeFactory.cpp names): scalar map via the
+    conversion table; Nullable/LowCardinality unwrap; Array/Map/Tuple
+    recurse; Enum8/16 carries as STRING; FixedString(n) as STRING;
+    DateTime64(s[, tz]) as TIMESTAMP; Decimal(p, s) native."""
+    from ..functions.registry import _CH_TYPE_TO_SPARK
+    t = t.strip().strip("`")
+    low = t.lower()
+    if low in _CH_TYPE_TO_SPARK:
+        return _CH_TYPE_TO_SPARK[low]
+    m = re.fullmatch(r"(?:Nullable|LowCardinality)\s*\((.*)\)", t,
+                     re.IGNORECASE | re.DOTALL)
+    if m:
+        return _ch_decl_type_to_spark(m.group(1))
+    m = re.fullmatch(r"Array\s*\((.*)\)", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        return f"ARRAY<{_ch_decl_type_to_spark(m.group(1))}>"
+    m = re.fullmatch(r"Map\s*\((.*)\)", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        kv = _split_top_commas(m.group(1))
+        if len(kv) == 2:
+            return (f"MAP<{_ch_decl_type_to_spark(kv[0])}, "
+                    f"{_ch_decl_type_to_spark(kv[1])}>")
+    m = re.fullmatch(r"Tuple\s*\((.*)\)", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for i, f in enumerate(_split_top_commas(m.group(1))):
+            toks = f.strip().split(None, 1)
+            if len(toks) == 2 and re.fullmatch(r"`?\w+`?", toks[0]):
+                fields.append(
+                    f"{toks[0].strip('`')}: "
+                    f"{_ch_decl_type_to_spark(toks[1])}")
+            else:
+                fields.append(f"col{i + 1}: {_ch_decl_type_to_spark(f)}")
+        return f"STRUCT<{', '.join(fields)}>"
+    if re.match(r"Enum(8|16)?\s*\(", t, re.IGNORECASE) \
+            or re.match(r"FixedString\s*\(", t, re.IGNORECASE):
+        return "STRING"
+    m = re.fullmatch(r"DateTime64\s*\(.*\)", t, re.IGNORECASE)
+    if m:
+        return "TIMESTAMP"
+    m = re.fullmatch(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)", t,
+                     re.IGNORECASE)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"Decimal(32|64|128)\s*\((\d+)\)", t, re.IGNORECASE)
+    if m:
+        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
+        return f"DECIMAL({prec},{m.group(2)})"
+    return "STRING"
+
+
 def create_table_sql(spark, sql: str, base_dir: str):
     """``CREATE TABLE name (cols...) ENGINE = <engine>[(args)] [ORDER BY
     ...] [PARTITION BY ...]`` → a managed :class:`MergeTreeTable` at
@@ -2840,7 +2930,6 @@ def create_table_sql(spark, sql: str, base_dir: str):
     """
     import os as _os
 
-    from ..functions.registry import _CH_TYPE_TO_SPARK
     from ..sources.mergetree import MergeTreeTable
 
     text = sql.strip().rstrip(";")
@@ -2873,15 +2962,8 @@ def create_table_sql(spark, sql: str, base_dir: str):
         if len(toks) < 2:
             continue
         cname = toks[0].strip("`")
-        ch_type = re.sub(r"\(.*", "", toks[1].strip()).strip()
-        spark_t = _CH_TYPE_TO_SPARK.get(ch_type.lower(), None)
-        if spark_t is None:
-            # Nullable(X) / LowCardinality(X) wrappers
-            inner = re.match(r"(?:Nullable|LowCardinality)\((\w+)",
-                             toks[1].strip(), re.IGNORECASE)
-            spark_t = _CH_TYPE_TO_SPARK.get(
-                inner.group(1).lower() if inner else "", "STRING")
-        schema_parts.append(f"`{cname}` {spark_t}")
+        schema_parts.append(
+            f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
 
     kwargs: dict = {}
     if engine == "replacing":
@@ -2898,6 +2980,73 @@ def create_table_sql(spark, sql: str, base_dir: str):
                            **kwargs)
     table.schema_ddl = ", ".join(schema_parts)
     return table
+
+
+_CTAS_RE = re.compile(
+    r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+"
+    r"ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*(.*?)\s*AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _default_table_dir() -> str:
+    import os as _os
+    return _os.path.join(_os.getcwd(), "spark-warehouse", "ch_tables")
+
+
+def _create_table_statement(spark, text: str, tables, sample_by=None):
+    """CREATE TABLE ... ENGINE=... [(cols)] [AS SELECT] inside ch_sql
+    (reference src/Interpreters/InterpreterCreateQuery.h): MergeTree
+    family becomes a managed MergeTreeTable under
+    spark-warehouse/ch_tables (registered in ``tables`` when given and
+    as a temp view once it has data); Memory/other engines register the
+    (empty or CTAS) DataFrame as a temp view."""
+    m = _CTAS_RE.match(text)
+    if m:
+        name, engine_raw, engine_args, _mid, select = m.groups()
+        df = ch_sql(spark, select, sample_by=sample_by, tables=tables)
+        if engine_raw.lower() in _ENGINE_NAMES:
+            create = re.sub(r"\s+AS\s+SELECT\b.*$", "", text,
+                            flags=re.IGNORECASE | re.DOTALL)
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields)
+            create = re.sub(
+                r"(`?\w+`?\s+)(ENGINE\s*=)", r"\1(%s) \2" % cols,
+                create, count=1, flags=re.IGNORECASE)
+            t = create_table_sql(spark, create, _default_table_dir())
+            t.insert(df)
+            if tables is not None:
+                tables[name] = t
+            t.read().createOrReplaceTempView(name)
+        else:
+            df.createOrReplaceTempView(name)
+        return None
+
+    name_m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                      r"`?(\w+)`?", text, re.IGNORECASE)
+    name = name_m.group(1)
+    cm = _CREATE_RE.match(text)
+    if cm and cm.group(3).lower() in _ENGINE_NAMES:
+        t = create_table_sql(spark, text, _default_table_dir())
+        if tables is not None:
+            tables[name] = t
+        if getattr(t, "schema_ddl", None):
+            spark.createDataFrame([], t.schema_ddl) \
+                .createOrReplaceTempView(name)
+        return None
+    # non-MergeTree engine with explicit columns: empty typed view
+    if cm:
+        parts = []
+        for coldef in _split_top_commas(cm.group(2)):
+            toks = coldef.strip().split(None, 1)
+            if len(toks) < 2:
+                continue
+            parts.append(f"`{toks[0].strip('`')}` "
+                         f"{_ch_decl_type_to_spark(_decl_type(toks[1]))}")
+        spark.createDataFrame([], ", ".join(parts)) \
+            .createOrReplaceTempView(name)
+        return None
+    raise ValueError("unsupported CREATE TABLE form")
 
 
 def register_mergetree_sql(spark, name: str, df, engine: str = "replacing",
