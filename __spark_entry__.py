@@ -3000,9 +3000,10 @@ def fn_datetime(spark, sf_dir):
 @q("fn_math", """
 SELECT p_partkey,
        abs(p_retailprice - 1000) AS a,
-       round(p_retailprice, 1) AS r1,
-       floor(p_retailprice) AS fl,
-       ceil(p_retailprice) AS ce,
+       CAST(floor((CAST(round(p_retailprice * 100) AS BIGINT) + 5) / 10)
+            AS DOUBLE) / 10 AS r1,
+       CAST(floor(p_retailprice) AS BIGINT) AS fl,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ce,
        printf('%.8f', sqrt(p_retailprice)) AS sq,
        printf('%.8f', ln(p_retailprice)) AS lnp,
        printf('%.8f', log10(p_retailprice)) AS lg,
@@ -3012,11 +3013,19 @@ SELECT p_partkey,
 FROM part WHERE p_partkey < 200 AND p_retailprice > 0 ORDER BY p_partkey
 """)
 def fn_math(spark, sf_dir):
+    # Carrier discipline (driver hashes value *representations*, not numeric
+    # equality): floor/ceil are LONG on the Spark side, so the oracle must
+    # CAST AS BIGINT too (DuckDB floor(double) is DOUBLE -> 900.0 vs 900
+    # hash-mismatch).  round-to-1dp is computed half-up from exact integer
+    # cents on BOTH sides because double round() semantics differ across
+    # engines on .x5 cents (Spark HALF_UP on shortest-decimal repr vs
+    # DuckDB half-away on the binary value).
     p = _cat(spark, sf_dir).part
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
     return (p.filter((F.col("p_partkey") < 200) & (F.col("p_retailprice") > 0))
             .select("p_partkey",
                     F.abs(F.col("p_retailprice") - 1000).alias("a"),
-                    F.round("p_retailprice", 1).alias("r1"),
+                    (F.floor((cents + 5) / 10).cast("double") / 10).alias("r1"),
                     F.floor("p_retailprice").alias("fl"),
                     F.ceil("p_retailprice").alias("ce"),
                     F.format_string("%.8f", F.sqrt("p_retailprice")).alias("sq"),

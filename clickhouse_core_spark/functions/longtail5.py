@@ -262,12 +262,15 @@ def toDateTimeComponents(x) -> Column:
 # ------------------------------------------------- reinterpretAsUUID
 
 def reinterpretAsUUID(x) -> Column:
-    """First 16 little-endian bytes as a UUID string (doc contract:
-    reinterpretAsUUID(reverse(unhex(H))) renders H with dashes)."""
+    """First 16 bytes as a UUID string, each 8-byte half read little-endian
+    INDEPENDENTLY (reference doc example:
+    reinterpretAsUUID(reverse(unhex('000102030405060708090a0b0c0d0e0f')))
+    = 08090a0b-0c0d-0e0f-0001-020304050607 — i.e. text is bytes 7..0
+    then bytes 15..8, not a full 16-byte reverse)."""
     h = F.lower(F.hex(_c(x).cast("binary")))
     h = F.rpad(F.substring(h, 1, 32), 32, "0")
-    # reverse the 16 bytes: hex pair i comes from pair 16-i
-    pairs = [F.substring(h, (15 - i) * 2 + 1, 2) for i in range(16)]
+    order = list(range(7, -1, -1)) + list(range(15, 7, -1))
+    pairs = [F.substring(h, i * 2 + 1, 2) for i in order]
     u = F.concat(*pairs)
     return F.concat_ws(
         "-", F.substring(u, 1, 8), F.substring(u, 9, 4),

@@ -399,9 +399,10 @@ def paragraph_dedup(df: DataFrame, text_col: str = "text",
                        F.posexplode(F.split(F.col(text_col), esc))
                        .alias("__p", "__para"))
              .filter(F.length(F.trim("__para")) > 0))
-    # combined ordering key: first occurrence = min (doc, pos); pos is
-    # bounded far below 1e6 for any real document
-    key = F.col("__d") * 1000000 + F.col("__p")
+    # first occurrence = min (doc, pos) under STRUCT ordering — works for
+    # string ids too (an arithmetic key like id*1e6+pos silently casts a
+    # string id to NULL and collapses every document to "")
+    key = F.struct(F.col("__d"), F.col("__p"))
     winners = (paras.groupBy(F.xxhash64("__para").alias("__h"))
                .agg(F.min(key).alias("__k")))
     kept = (paras.join(winners,

@@ -1555,11 +1555,9 @@ def _rewrite_small_forms(sql: str) -> str:
     offset form), ``COLLATE 'x'`` (dropped: binary collation — the
     approximation is documented), and 0x/0b integer literals
     (ParserLiteral), none of which Spark's parser accepts."""
-    sql = _LIMIT_OFFSET_FORM_RE.sub(
-        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}", sql)
-    sql = _COLLATE_RE.sub("", sql)
-
-    # hex/binary literals outside strings
+    # one string-aware walk for ALL three forms — regex-substituting the
+    # whole text first would corrupt the patterns inside string literals
+    # (e.g. WHERE s = 'LIMIT 1, 2')
     out, i = [], 0
     while i < len(sql):
         c = sql[i]
@@ -1567,6 +1565,15 @@ def _rewrite_small_forms(sql: str) -> str:
             j = _skip_string(sql, i)
             out.append(sql[i:j])
             i = j
+            continue
+        m = _COLLATE_RE.match(sql, i)
+        if m:                       # dropped (binary collation, documented)
+            i = m.end()
+            continue
+        m = _LIMIT_OFFSET_FORM_RE.match(sql, i)
+        if m:
+            out.append(f"LIMIT {m.group(2)} OFFSET {m.group(1)}")
+            i = m.end()
             continue
         m = _HEXBIN_LIT_RE.match(sql, i)
         if m:
@@ -1868,8 +1875,14 @@ def _rewrite_ternary(sql: str) -> str:
             elif c == ")":
                 depth -= 1
             elif c == "?" and depth == 0:
+                if i + 1 < len(sql) and sql[i + 1] == "?":
+                    i += 2          # '??' null-coalesce, not a ternary
+                    continue
                 nest += 1
             elif c == ":" and depth == 0:
+                if i + 1 < len(sql) and sql[i + 1] == ":":
+                    i += 2          # '::' cast, not the ternary separator
+                    continue
                 if nest == 0:
                     colon = i
                     break

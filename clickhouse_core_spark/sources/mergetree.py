@@ -40,6 +40,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from clickhouse_core_spark.operators.final import (
     coalescing_final,
@@ -249,8 +250,11 @@ class MergeTreeTable:
         if not files:
             return self.read_raw().filter(F.lit(False))
         pat = r"(?i)(^|[^\p{L}\p{N}])" + token + r"($|[^\p{L}\p{N}])"
-        return (self.spark.read.parquet(*files)
-                .filter(F.col(col).rlike(pat)))
+        df = (self.spark.read.parquet(*files)
+              .filter(F.col(col).rlike(pat)))
+        # honor lightweight deletes (read_raw's implicit _row_exists = 1
+        # contract) on the pruned scan too
+        return self._apply_delete_masks(df, self.parts())
 
     # ---------------------------------------------- GIN posting-list index
 
@@ -361,7 +365,16 @@ class MergeTreeTable:
         by_file: dict[str, list[int]] = {}
         for f, rg in pairs:
             by_file.setdefault(f, []).append(rg)
-        scan = self._scan_rowgroups(sorted(by_file.items()))
+        # honor lightweight deletes: row-group reads bypass _metadata, so
+        # ask the Arrow reader to emit (file, absolute row) lineage and
+        # anti-join the mask pairs against it
+        mask = self._mask_df(self.parts())
+        scan = self._scan_rowgroups(sorted(by_file.items()),
+                                    with_lineage=mask is not None)
+        if mask is not None:
+            scan = (scan.join(F.broadcast(mask), ["__file", "__row"],
+                              "left_anti")
+                    .drop("__file", "__row"))
         pats = [r"(?i)(^|[^\p{L}\p{N}])" + t + r"($|[^\p{L}\p{N}])"
                 for t in toks]
         conds = [F.col(col).rlike(p) for p in pats]
@@ -375,21 +388,32 @@ class MergeTreeTable:
         sibling of ``scan_with_token``'s file-level tokenbf pruning)."""
         return self.scan_with_tokens_gin(col, [token], mode="any")
 
-    def _scan_rowgroups(self, file_rgs: list) -> DataFrame:
+    def _scan_rowgroups(self, file_rgs: list,
+                        with_lineage: bool = False) -> DataFrame:
         """Distributed row-group-granular scan: one input row per file
         with the admitted row-group ids; each executor opens its file
         with Arrow and reads ONLY those row groups.  This is the split
         planning a cluster scan does with a real index — the admitted
         list is tiny driver-side metadata (like a partition list), the
-        data never moves through the driver."""
+        data never moves through the driver.  ``with_lineage`` appends
+        (__file, __row) columns — the _metadata-equivalent identity the
+        delete-mask anti-join needs — computed executor-side from the
+        footer's row-group row offsets."""
         from pyspark.sql.pandas.types import to_arrow_schema
         schema = self.spark.read.parquet(file_rgs[0][0]).schema
+        out_schema = schema
+        if with_lineage:
+            # copy the field list — StructType(schema.fields) would alias
+            # it and .add() would mutate `schema` as well
+            out_schema = (StructType(list(schema.fields))
+                          .add("__file", "string").add("__row", "long"))
         arrow_schema = to_arrow_schema(schema)
         sdf = self.spark.createDataFrame(
             file_rgs, "file string, rgs array<int>")
         sdf = sdf.repartition(min(len(file_rgs), 64), "file")
 
         def read_rgs(batches):
+            import pyarrow as pa
             import pyarrow.parquet as pq
             for b in batches:
                 for f, rgs in zip(b.column("file").to_pylist(),
@@ -397,12 +421,32 @@ class MergeTreeTable:
                     path = f
                     if path.startswith("file:"):
                         path = "/" + path.split(":", 1)[1].lstrip("/")
-                    t = pq.ParquetFile(path).read_row_groups(
-                        sorted(rgs), columns=list(schema.fieldNames()))
-                    t = t.cast(arrow_schema)
-                    yield from t.to_batches()
+                    pf = pq.ParquetFile(path)
+                    if not with_lineage:
+                        t = pf.read_row_groups(
+                            sorted(rgs), columns=list(schema.fieldNames()))
+                        t = t.cast(arrow_schema)
+                        yield from t.to_batches()
+                        continue
+                    md = pf.metadata
+                    starts, s = [], 0
+                    for i in range(md.num_row_groups):
+                        starts.append(s)
+                        s += md.row_group(i).num_rows
+                    for rg in sorted(rgs):
+                        t = pf.read_row_groups(
+                            [rg], columns=list(schema.fieldNames()))
+                        t = t.cast(arrow_schema)
+                        n = t.num_rows
+                        t = t.append_column(
+                            "__file", pa.array([f] * n, pa.string()))
+                        t = t.append_column(
+                            "__row", pa.array(
+                                range(starts[rg], starts[rg] + n),
+                                pa.int64()))
+                        yield from t.to_batches()
 
-        return sdf.mapInArrow(read_rgs, schema)
+        return sdf.mapInArrow(read_rgs, out_schema)
 
     # ----------------------------------------------------------------- reads
 
@@ -497,15 +541,22 @@ class MergeTreeTable:
             (hits.write.mode("append")
              .parquet(self._mask_dir(part)))
 
-    def _apply_delete_masks(self, df: DataFrame,
-                            parts: Sequence[str]) -> DataFrame:
+    def _mask_df(self, parts: Sequence[str]):
+        """The accumulated lightweight-delete (file, row) pairs across
+        ``parts``, or None when no mask sidecar exists."""
         mask_dirs = [self._mask_dir(p) for p in parts
                      if os.path.isdir(self._mask_dir(p))
                      and any(f.endswith(".parquet") for _r, _d, fs in
                              os.walk(self._mask_dir(p)) for f in fs)]
         if not mask_dirs:
+            return None
+        return self.spark.read.parquet(*mask_dirs)
+
+    def _apply_delete_masks(self, df: DataFrame,
+                            parts: Sequence[str]) -> DataFrame:
+        mask = self._mask_df(parts)
+        if mask is None:
             return df
-        mask = self.spark.read.parquet(*mask_dirs)
         # masks are tiny relative to data — broadcast the anti side
         return (df.withColumn("__file", F.col("_metadata.file_path"))
                 .withColumn("__row", F.col("_metadata.row_index"))

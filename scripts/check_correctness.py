@@ -32,7 +32,13 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return v if STRICT else round(v, 6)
+        # STRICT mode mimics the driver's hasher, which hashes value
+        # REPRESENTATIONS: 900 (BIGINT) and 900.0 (DOUBLE) are equal as
+        # Python numbers but hash differently there.  Tag the kind so an
+        # int-vs-float carrier divergence fails locally too.
+        return ("f", v) if STRICT else round(v, 6)
+    if STRICT and isinstance(v, int) and not isinstance(v, bool):
+        return ("i", v)
     if STRICT and type(v).__name__ == "Decimal":
         return str(v)
     if isinstance(v, list):

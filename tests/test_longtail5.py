@@ -57,13 +57,12 @@ def test_datetime_components_and_uuid(spark):
     c = df.select(ch.toDateTimeComponents(F.col("t")).alias("c")).first().c
     assert (c.year, c.month, c.day, c.hour, c.minute, c.second,
             c.microsecond) == (2024, 3, 5, 7, 8, 9, 123456)
-    # doc contract: reinterpretAsUUID(reverse(unhex(H))) == H formatted
-    h = "08090a0b0c0d0e0f0001020304050607"
-    df2 = spark.range(1).select(
-        F.reverse(F.unhex(F.lit(h)).cast("string")).cast("binary")
-        .alias("b"))
-    # binary reverse via expression is fiddly; feed the reversed hex
-    rev = "".join(h[i:i+2] for i in range(30, -2, -2))
+    # reference doc example: each 8-byte half is read little-endian
+    # INDEPENDENTLY —
+    # reinterpretAsUUID(reverse(unhex('000102030405060708090a0b0c0d0e0f')))
+    # == '08090a0b-0c0d-0e0f-0001-020304050607'
+    h = "000102030405060708090a0b0c0d0e0f"
+    rev = "".join(h[i:i + 2] for i in range(30, -2, -2))
     df3 = spark.range(1).select(F.unhex(F.lit(rev)).alias("b"))
     u = df3.select(ch.reinterpretAsUUID(F.col("b")).alias("u")).first().u
     assert u == "08090a0b-0c0d-0e0f-0001-020304050607"

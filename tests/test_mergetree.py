@@ -558,6 +558,36 @@ def test_lightweight_delete_mask(spark, tmp_path):
     assert t.read_raw().count() == 0
 
 
+def test_lightweight_delete_masks_token_and_gin_scans(spark, tmp_path):
+    """Deleted rows must NOT reappear through the index-pruned scan
+    paths (read_raw's implicit `_row_exists = 1` contract covers ALL
+    reads in the reference): tokenbf file-pruned scans and GIN
+    row-group-granular scans both anti-join the mask sidecar."""
+    rows = [(i, f"document {i} about topic{i // 500} and data")
+            for i in range(2000)]
+    df = (spark.createDataFrame(rows, "doc_id long, text string")
+          .repartitionByRange(2, "doc_id"))
+    t = MergeTreeTable(spark, str(tmp_path / "lwdidx"), order_by=["doc_id"],
+                       token_index_cols=["text"], gin_index_cols=["text"],
+                       )
+    t.insert(df, write_options={"parquet.block.size": "16384",
+                                "parquet.page.size": "4096"})
+    assert t.scan_with_token("text", "topic1").count() == 500
+    assert t.scan_with_token_gin("text", "topic1").count() == 500
+    t.delete_where_lightweight(F.col("doc_id") % 2 == 0)
+    # both index paths honor the mask: exactly the odd half remains
+    got_tok = sorted(r.doc_id for r in
+                     t.scan_with_token("text", "topic1").collect())
+    got_gin = sorted(r.doc_id for r in
+                     t.scan_with_token_gin("text", "topic1").collect())
+    expect = [i for i in range(500, 1000) if i % 2 == 1]
+    assert got_tok == expect
+    assert got_gin == expect
+    # multi-token GIN modes honor the mask too
+    assert t.scan_with_tokens_gin("text", ["topic0", "topic1"],
+                                  mode="any").count() == 500
+
+
 def test_column_defaults_on_insert(spark, tmp_path):
     """CH DEFAULT expressions (AddingDefaultsTransform analog): missing
     columns materialize from the expression, NULLs in present columns

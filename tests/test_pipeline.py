@@ -342,6 +342,21 @@ def test_paragraph_dedup_order_and_custom_sep(spark):
     assert out[2] == "x"
 
 
+def test_paragraph_dedup_string_doc_ids(spark):
+    """String doc ids must work: the old arithmetic first-occurrence key
+    (id * 1e6 + pos) cast string ids to NULL and silently emptied every
+    document; the struct-ordered key handles any orderable id type."""
+    from clickhouse_core_spark.pipeline import paragraph_dedup
+    docs = spark.createDataFrame(
+        [("docA", "intro\n\nshared\n\nbody one"),
+         ("docB", "shared\n\nbody two")],
+        "doc_id string, text string")
+    out = {r.doc_id: r.text_deduped
+           for r in paragraph_dedup(docs).collect()}
+    assert out["docA"] == "intro\n\nshared\n\nbody one"
+    assert out["docB"] == "body two"
+
+
 def test_paragraph_dedup_idempotent(spark):
     from clickhouse_core_spark.pipeline import paragraph_dedup
     docs = spark.createDataFrame(

@@ -88,3 +88,35 @@ def test_ternary_coalesce_fuzz(spark, e):
     from clickhouse_core_spark.plans.frontend import ch_sql
     got = ch_sql(spark, f"SELECT {e} AS v").collect()[0]["v"]
     assert got == _pyeval(e)
+
+
+def test_ternary_with_cast_operator(spark):
+    """`cond ? x::Int32 : y` is a legal combination of two supported
+    forms; the colon scan must skip '::' (it used to split the ternary
+    at the cast's first colon and emit unparseable SQL)."""
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    got = ch_sql(spark, "SELECT 1 > 0 ? '7'::Int32 : 9 AS v").collect()
+    assert got[0]["v"] == 7
+    got = ch_sql(spark, "SELECT 0 > 0 ? '7'::Int32 : 9::Int64 AS v").collect()
+    assert got[0]["v"] == 9
+    # '??' inside the then-branch must not corrupt nesting either
+    got = ch_sql(spark,
+                 "SELECT 1 > 0 ? (NULL ?? 5) : 9 AS v").collect()
+    assert got[0]["v"] == 5
+
+
+def test_small_forms_inside_string_literals(spark):
+    """LIMIT offset,count / COLLATE / 0x rewrites must not fire inside
+    string literals."""
+    from clickhouse_core_spark.plans.frontend import ch_sql
+    got = ch_sql(spark, "SELECT 'LIMIT 1, 2' AS a, 'x COLLATE ''u''' "
+                        "AS b, '0x1F' AS c").collect()[0]
+    assert got["a"] == "LIMIT 1, 2"
+    assert got["b"] == "x COLLATE 'u'"
+    assert got["c"] == "0x1F"
+    # ... while the real forms still rewrite outside strings
+    rows = ch_sql(spark, "SELECT n FROM (SELECT 1 AS n UNION ALL "
+                         "SELECT 2 UNION ALL SELECT 3 ORDER BY n) "
+                         "ORDER BY n LIMIT 1, 2").collect()
+    assert [r["n"] for r in rows] == [2, 3]
+    assert ch_sql(spark, "SELECT 0x1F AS v").collect()[0]["v"] == 31
