@@ -3037,6 +3037,42 @@ def fn_math(spark, sf_dir):
             .orderBy("p_partkey"))
 
 
+def _iceberg_oracle_sql() -> str:
+    from clickhouse_core_spark.functions.iceberg import iceberg_hash_long_sql
+    h = iceberg_hash_long_sql("p.p_partkey")
+    return f"""
+SELECT p.p_partkey,
+       {h} AS h,
+       CAST(({h} & 2147483647) % 16 AS INTEGER) AS b16,
+       p.p_partkey - (((p.p_partkey % 100) + 100) % 100) AS t100,
+       substr(p.p_name, 1, 5) AS t_name
+FROM part p WHERE p.p_partkey < 500 ORDER BY p.p_partkey
+"""
+
+
+@q("fn_iceberg_transforms", _iceberg_oracle_sql())
+def fn_iceberg_transforms(spark, sf_dir):
+    """Iceberg partition transforms (reference src/Functions/ iceberg
+    functions; algorithm = public Apache Iceberg spec Appendix B):
+    bit-exact murmur3_x86_32 hash / bucket / truncate as pure Catalyst
+    expressions.  The oracle runs an INDEPENDENT DuckDB-SQL spelling of
+    the same published algorithm (functions/iceberg.py
+    iceberg_hash_long_sql), so the two engines cross-check the math."""
+    from clickhouse_core_spark.functions.iceberg import (
+        icebergBucket, icebergHash, icebergTruncate)
+    p = _cat(spark, sf_dir).part
+    return (p.filter(F.col("p_partkey") < 500)
+            .select("p_partkey",
+                    icebergHash(F.col("p_partkey"), "long").alias("h"),
+                    icebergBucket(16, F.col("p_partkey"), "long")
+                    .alias("b16"),
+                    icebergTruncate(100, F.col("p_partkey"), "long")
+                    .alias("t100"),
+                    icebergTruncate(5, F.col("p_name"), "string")
+                    .alias("t_name"))
+            .orderBy("p_partkey"))
+
+
 @q("fn_conversion_or_family", """
 WITH t AS (
   SELECT p_partkey,

@@ -962,6 +962,190 @@ def polygonConvexHullCartesian(poly) -> Column:
     return _UDF_CACHE["hull"](_c(poly))
 
 
+# --------------------------- polygon pair predicates (r6)
+# Reference: src/Functions/polygonsDistance.cpp, polygonsWithin.cpp,
+# polygonsEquals.cpp (boost::geometry cartesian strategies).  Like the
+# convex hull above, the pairwise geometry is inherently sequential per
+# row, so it runs in Arrow-batched pandas UDFs; everything stays
+# executor-side and linear in row count.
+
+def _poly_rings(poly):
+    """array<ring> value → list of list[(x, y)], closing point dropped."""
+    rings = []
+    for ring in poly:
+        pts = [(float(p["x"]), float(p["y"])) for p in ring]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        rings.append(pts)
+    return rings
+
+
+def _point_in_ring(pt, ring):
+    """Ray casting; boundary counts as inside (boost 'covered_by')."""
+    x, y = pt
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        # on-segment check
+        if (min(x1, x2) - 1e-12 <= x <= max(x1, x2) + 1e-12
+                and min(y1, y2) - 1e-12 <= y <= max(y1, y2) + 1e-12):
+            cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+            if abs(cross) < 1e-12:
+                return True
+        if (y1 > y) != (y2 > y):
+            xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xi > x:
+                inside = not inside
+    return inside
+
+
+def _point_in_polygon(pt, rings):
+    if not rings or not _point_in_ring(pt, rings[0]):
+        return False
+    for hole in rings[1:]:
+        if _point_in_ring(pt, hole):
+            # on the hole boundary still counts as covered
+            if not any(_seg_point_dist(pt, hole[i], hole[(i + 1) % len(hole)])
+                       < 1e-12 for i in range(len(hole))):
+                return False
+    return True
+
+
+def _seg_point_dist(p, a, b):
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    d2 = dx * dx + dy * dy
+    if d2 == 0:
+        return ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / d2))
+    cx, cy = ax + t * dx, ay + t * dy
+    return ((px - cx) ** 2 + (py - cy) ** 2) ** 0.5
+
+
+def _segs_intersect(a, b, c, d):
+    def orient(p, q, r):
+        v = (q[0] - p[0]) * (r[1] - p[1]) - (q[1] - p[1]) * (r[0] - p[0])
+        return 0 if abs(v) < 1e-12 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(a, b, c), orient(a, b, d)
+    o3, o4 = orient(c, d, a), orient(c, d, b)
+    if o1 != o2 and o3 != o4:
+        return True
+
+    def on(p, q, r):
+        return (orient(p, q, r) == 0
+                and min(p[0], q[0]) - 1e-12 <= r[0] <= max(p[0], q[0]) + 1e-12
+                and min(p[1], q[1]) - 1e-12 <= r[1] <= max(p[1], q[1]) + 1e-12)
+
+    return on(a, b, c) or on(a, b, d) or on(c, d, a) or on(c, d, b)
+
+
+def _all_edges(rings):
+    for ring in rings:
+        n = len(ring)
+        for i in range(n):
+            yield ring[i], ring[(i + 1) % n]
+
+
+def _seg_seg_dist(a, b, c, d):
+    if _segs_intersect(a, b, c, d):
+        return 0.0
+    return min(_seg_point_dist(c, a, b), _seg_point_dist(d, a, b),
+               _seg_point_dist(a, c, d), _seg_point_dist(b, c, d))
+
+
+def polygonsDistanceCartesian(p1, p2) -> Column:
+    """polygonsDistanceCartesian (polygonsDistance.cpp,
+    boost::geometry::distance): 0 when the polygons intersect or one
+    covers the other, else the minimum boundary-to-boundary distance."""
+    if "polydist" not in _UDF_CACHE:
+        @pandas_udf("double")
+        def f(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            def dist(a, b):
+                if a is None or b is None:
+                    return None
+                ra, rb = _poly_rings(a), _poly_rings(b)
+                if not ra or not rb or not ra[0] or not rb[0]:
+                    return None
+                if (_point_in_polygon(ra[0][0], rb)
+                        or _point_in_polygon(rb[0][0], ra)):
+                    return 0.0
+                return min(_seg_seg_dist(e1[0], e1[1], e2[0], e2[1])
+                           for e1 in _all_edges(ra)
+                           for e2 in _all_edges(rb))
+            return pd.Series([dist(a, b) for a, b in zip(s1, s2)])
+        _UDF_CACHE["polydist"] = f
+    return _UDF_CACHE["polydist"](_c(p1), _c(p2))
+
+
+def polygonsWithinCartesian(p1, p2) -> Column:
+    """polygonsWithinCartesian (polygonsWithin.cpp,
+    boost::geometry::within): every vertex of p1 covered by p2 and no
+    boundary crossing (proper segment intersections)."""
+    if "polywithin" not in _UDF_CACHE:
+        @pandas_udf("boolean")
+        def f(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            def within(a, b):
+                if a is None or b is None:
+                    return None
+                ra, rb = _poly_rings(a), _poly_rings(b)
+                if not ra or not rb:
+                    return False
+                for ring in ra:
+                    if not all(_point_in_polygon(p, rb) for p in ring):
+                        return False
+                # reject proper boundary crossings (touching allowed):
+                # a crossing leaves some a-edge midpoint outside b
+                for e1 in _all_edges(ra):
+                    mid = ((e1[0][0] + e1[1][0]) / 2,
+                           (e1[0][1] + e1[1][1]) / 2)
+                    if not _point_in_polygon(mid, rb):
+                        return False
+                return True
+            return pd.Series([within(a, b) for a, b in zip(s1, s2)],
+                             dtype="object")
+        _UDF_CACHE["polywithin"] = f
+    return _UDF_CACHE["polywithin"](_c(p1), _c(p2))
+
+
+def polygonsEqualsCartesian(p1, p2) -> Column:
+    """polygonsEqualsCartesian (polygonsEquals.cpp,
+    boost::geometry::equals): same geometry — rings compared as
+    canonical cycles (closing point dropped, rotation- and
+    orientation-insensitive), holes order-insensitive."""
+    if "polyeq" not in _UDF_CACHE:
+        @pandas_udf("boolean")
+        def f(s1: pd.Series, s2: pd.Series) -> pd.Series:
+            def canon_ring(pts):
+                if not pts:
+                    return ()
+                best = None
+                for seq in (pts, pts[::-1]):
+                    k = seq.index(min(seq))
+                    rot = tuple(seq[k:] + seq[:k])
+                    if best is None or rot < best:
+                        best = rot
+                return best
+
+            def canon(poly):
+                rings = [canon_ring(r) for r in _poly_rings(poly)]
+                return (rings[0] if rings else (),
+                        tuple(sorted(rings[1:])))
+
+            def eq(a, b):
+                if a is None or b is None:
+                    return None
+                return canon(a) == canon(b)
+            return pd.Series([eq(a, b) for a, b in zip(s1, s2)],
+                             dtype="object")
+        _UDF_CACHE["polyeq"] = f
+    return _UDF_CACHE["polyeq"](_c(p1), _c(p2))
+
+
 LONGTAIL5.update({
     "readWKTPoint": readWKTPoint,
     "readWKTRing": readWKTRing,
@@ -970,4 +1154,7 @@ LONGTAIL5.update({
     "polygonAreaCartesian": polygonAreaCartesian,
     "polygonPerimeterCartesian": polygonPerimeterCartesian,
     "polygonConvexHullCartesian": polygonConvexHullCartesian,
+    "polygonsDistanceCartesian": polygonsDistanceCartesian,
+    "polygonsWithinCartesian": polygonsWithinCartesian,
+    "polygonsEqualsCartesian": polygonsEqualsCartesian,
 })

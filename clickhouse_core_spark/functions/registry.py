@@ -3788,6 +3788,78 @@ _ALIAS_NAMES.update({
 
 
 from clickhouse_core_spark.functions.longtail5 import LONGTAIL5  # noqa: E402
+from clickhouse_core_spark.functions.iceberg import ICEBERG  # noqa: E402
+
+
+def _reinterpret_dispatch(x, t):
+    """reinterpret(x, 'Type') (src/Functions/reinterpretAs.cpp generic
+    form): dispatch to the matching reinterpretAs<Type> entry; the type
+    argument must be a literal string (it is in the reference too —
+    reinterpret's target type is a compile-time constant)."""
+    if not isinstance(t, str):
+        raise ValueError("reinterpret: type argument must be a literal "
+                         "string, e.g. reinterpret(x, 'UInt32')")
+    key = f"reinterpretAs{t.strip()}"
+    if key not in CH_FUNCTIONS:
+        raise NotImplementedError(f"reinterpret: no mapping for {t!r}")
+    return CH_FUNCTIONS[key](x)
+
+
+def _partition_id(*args):
+    """partitionId(values...) (src/Functions/partitionId.cpp →
+    MergeTreePartition::getID): single integer value -> its decimal
+    rendering; single Date -> YYYYMMDD; no args -> 'all'.  The
+    multi-value form hashes with sipHash128 (only approximated here),
+    so it raises as a named boundary rather than emitting wrong ids."""
+    if not args:
+        return F.lit("all")
+    if len(args) > 1:
+        raise NotImplementedError(
+            "partitionId: multi-column partition keys hash with "
+            "sipHash128 (bit-exact variant not implemented)")
+    s = _c(args[0]).cast("string")
+    return F.when(s.rlike(r"^\d{4}-\d{2}-\d{2}$"),
+                  F.date_format(F.to_date(s), "yyyyMMdd")).otherwise(s)
+
+
+def _has_column_in_table(*args):
+    """hasColumnInTable([db,] table, column) — catalog probe against
+    the active session's registered tables (the reference checks its
+    own catalog; src/Functions/hasColumnInTable.cpp)."""
+    from pyspark.sql import SparkSession
+    vals = [a for a in args if isinstance(a, str)]
+    if len(vals) < 2:
+        raise ValueError("hasColumnInTable needs literal (db?, table, "
+                         "column) strings")
+    col = vals[-1]
+    table = ".".join(vals[:-1])
+    spark = SparkSession.getActiveSession()
+    try:
+        names = [f.name for f in spark.table(table).schema.fields]
+    except Exception:
+        return F.lit(0).cast("tinyint")
+    return F.lit(1 if col in names else 0).cast("tinyint")
+
+
+_MISC8 = {
+    # Iceberg partition transforms (public Apache Iceberg spec,
+    # Appendix B) — see functions/iceberg.py
+    **ICEBERG,
+    "reinterpret": _reinterpret_dispatch,
+    "partitionId": _partition_id,
+    "hasColumnInTable": _has_column_in_table,
+    # interval-tuple builders (src/Functions/FunctionsOpDate.cpp
+    # addInterval/subtractInterval build tuples consumed by
+    # addTupleOfIntervals) — our interval-tuple carrier is a python
+    # list of (n, unit), so these are list builders
+    "addInterval": lambda t, iv: (
+        (list(t) if isinstance(t, (list, tuple)) and t
+         and isinstance(t[0], (list, tuple)) else [t]) + [iv]),
+    "subtractInterval": lambda t, iv: (
+        (list(t) if isinstance(t, (list, tuple)) and t
+         and isinstance(t[0], (list, tuple)) else [t])
+        + [(-iv[0], iv[1])]),
+}
 
 CH_FUNCTIONS: dict = {}
 for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
@@ -3796,7 +3868,7 @@ for fam in (_DT, _STR, _URL, _IP, _ENC, _HASH, _ROUND, _COND, _MATH, _ARR,
             _DT4, _MATH3, _HASH3, _URL2, _TEXTHASH, _IPRANGE, _MISC4,
             _MISC5, _MISC6, _REINTERP, _MISC3, _BITMAP, _UUIDF, _COMPAT,
             _SEARCH_EXT, _DT3, _COLL_EXT, _UNICODE_EXT, _PUREHASH, _MISC7,
-            _SQIDS, _FUZZY, _SERIESF, LONGTAIL5):
+            _SQIDS, _FUZZY, _SERIESF, LONGTAIL5, _MISC8):
     for name, fn in fam.items():
         if fn is not None:
             CH_FUNCTIONS[name] = fn

@@ -288,3 +288,37 @@ def test_wkt_polygon_family(spark):
     bad = spark.createDataFrame([("nope",)], "pt string")
     assert bad.select(ch.readWKTPoint(F.col("pt")).alias("p")) \
         .first().p is None
+
+
+def test_polygon_pair_predicates(spark):
+    """polygonsDistance/Within/EqualsCartesian (reference
+    polygonsDistance.cpp / polygonsWithin.cpp / polygonsEquals.cpp)."""
+    big = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    small = "POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))"
+    far = "POLYGON ((20 0, 23 0, 23 3, 20 3, 20 0))"
+    # same square written with a rotated starting vertex + reversed
+    big_rot = "POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))"
+    big_rev = "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))"
+    df = spark.createDataFrame(
+        [(big, small, far, big_rot, big_rev)],
+        "a string, b string, c string, d string, e string")
+    g = df.select(*[ch.readWKTPolygon(F.col(c)).alias(c)
+                    for c in "abcde"])
+    r = g.select(
+        ch.polygonsDistanceCartesian(F.col("a"), F.col("b")).alias("dab"),
+        ch.polygonsDistanceCartesian(F.col("a"), F.col("c")).alias("dac"),
+        ch.polygonsWithinCartesian(F.col("b"), F.col("a")).alias("w_ba"),
+        ch.polygonsWithinCartesian(F.col("a"), F.col("b")).alias("w_ab"),
+        ch.polygonsWithinCartesian(F.col("c"), F.col("a")).alias("w_ca"),
+        ch.polygonsEqualsCartesian(F.col("a"), F.col("d")).alias("e_ad"),
+        ch.polygonsEqualsCartesian(F.col("a"), F.col("e")).alias("e_ae"),
+        ch.polygonsEqualsCartesian(F.col("a"), F.col("b")).alias("e_ab"),
+    ).first()
+    assert r.dab == 0.0            # overlap → 0
+    assert abs(r.dac - 10.0) < 1e-9   # gap between x=10 and x=20
+    assert r.w_ba is True          # small inside big
+    assert r.w_ab is False
+    assert r.w_ca is False
+    assert r.e_ad is True          # rotation-insensitive
+    assert r.e_ae is True          # orientation-insensitive
+    assert r.e_ab is False
