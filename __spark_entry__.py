@@ -3831,22 +3831,22 @@ SELECT o_orderkey,
   CAST(o_orderkey % 7 + 3 AS BIGINT) AS mx,
   CAST(o_orderkey % 4 AS INT) AS lv,
   (o_orderkey % 5 = 1 AND o_orderkey % 7 + 3 <= 10) AS cov,
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 31, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 29, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 27, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 2) || '-' ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 23, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 2) || '-' ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 19, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 2) || '-' ||
   substr(md5(CAST(o_orderkey AS VARCHAR)), 15, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 2) || '-' ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 13, 2) ||
   substr(md5(CAST(o_orderkey AS VARCHAR)), 11, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 2) || '-' ||
   substr(md5(CAST(o_orderkey AS VARCHAR)), 7, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 5, 2) || '-' ||
   substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 2) ||
-  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS uu,
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) || '-' ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 31, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 29, 2) || '-' ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 27, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 25, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 23, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 21, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 19, 2) ||
+  substr(md5(CAST(o_orderkey AS VARCHAR)), 17, 2) AS uu,
   CAST(year(o_orderdate) AS INT) AS cy,
   CAST(month(o_orderdate) AS INT) AS cm,
   CAST(day(o_orderdate) AS INT) AS cd

@@ -3789,6 +3789,7 @@ _ALIAS_NAMES.update({
 
 from clickhouse_core_spark.functions.longtail5 import LONGTAIL5  # noqa: E402
 from clickhouse_core_spark.functions.iceberg import ICEBERG  # noqa: E402
+from clickhouse_core_spark.functions.h3 import H3_FUNCTIONS  # noqa: E402
 
 
 def _reinterpret_dispatch(x, t):
@@ -3845,6 +3846,9 @@ _MISC8 = {
     # Iceberg partition transforms (public Apache Iceberg spec,
     # Appendix B) — see functions/iceberg.py
     **ICEBERG,
+    # h3 index-format subset (public H3 index spec + constant tables;
+    # geographic projection functions stay out) — see functions/h3.py
+    **H3_FUNCTIONS,
     "reinterpret": _reinterpret_dispatch,
     "partitionId": _partition_id,
     "hasColumnInTable": _has_column_in_table,

@@ -140,7 +140,11 @@ _RULES: dict = {
     "leftpad": _fn("lpad"), "rightpad": _fn("rpad"),
     "levenshteindistance": _fn("levenshtein"), "editdistance": _fn("levenshtein"),
     "formatdatetime": lambda a: f"date_format({a[0]}, {_mysql_fmt_literal(a[1])})",
-    # conditionals / null
+    # conditionals / null — CH conditions are UInt8 (nonzero = true,
+    # src/Functions/if.cpp); CAST AS BOOLEAN reproduces that for
+    # numeric conds and is a no-op for boolean ones
+    "if": lambda a: (f"if(CAST({a[0]} AS BOOLEAN), {a[1]}, {a[2]})"
+                     if len(a) == 3 else f"if({', '.join(a)})"),
     "multiif": lambda a: _case_when(a),
     "ifnull": _fn("coalesce"),
     "isnull": lambda a: f"({a[0]} IS NULL)",
@@ -733,6 +737,183 @@ _RULES["jsonlength"] = lambda a: (
     f"'array<string>')), size(from_json(get_json_object({a[0]}, "
     f"{_json_path(a)}), 'map<string,string>')))")
 
+# ---- generic typed JSONExtract family (FunctionsJSON.cpp: the last
+# argument is a CH type literal; values deserialize to that type).
+# CH returns a default-constructed value on type mismatch where this
+# emits NULL — the documented difference (LIMITS.md JSON family note).
+
+_CH_SCALAR_DDL = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+    "int64": "BIGINT", "int128": "DECIMAL(38,0)",
+    "int256": "DECIMAL(38,0)", "uint8": "SMALLINT", "uint16": "INT",
+    "uint32": "BIGINT", "uint64": "DECIMAL(20,0)",
+    "uint128": "DECIMAL(38,0)", "uint256": "DECIMAL(38,0)",
+    "int": "INT", "integer": "INT", "bigint": "BIGINT",
+    "smallint": "SMALLINT", "tinyint": "TINYINT",
+    "float32": "FLOAT", "float64": "DOUBLE", "float": "FLOAT",
+    "double": "DOUBLE", "bfloat16": "FLOAT", "string": "STRING",
+    "bool": "BOOLEAN", "boolean": "BOOLEAN", "uuid": "STRING",
+    "date": "DATE", "date32": "DATE", "datetime": "TIMESTAMP",
+    "json": "STRING",
+}
+
+
+def _split_type_args(s: str) -> list:
+    out, depth, cur = [], 0, []
+    for c in s:
+        if c == "(" or c == "<":
+            depth += 1
+        elif c == ")" or c == ">":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return [x.strip() for x in out if x.strip()]
+
+
+def _ch_type_ddl(t: str):
+    """CH type text -> Spark DDL string, or ('tuple', [elem_ddl...])
+    for UNNAMED tuples (positional — no DDL form), or None when
+    unmapped."""
+    t = t.strip()
+    m = re.fullmatch(r"(?is)(?:Nullable|LowCardinality)\s*\((.*)\)", t)
+    if m:
+        return _ch_type_ddl(m.group(1))
+    low = t.lower()
+    if low in _CH_SCALAR_DDL:
+        return _CH_SCALAR_DDL[low]
+    if re.fullmatch(r"(?i)FixedString\s*\(\s*\d+\s*\)", t):
+        return "STRING"
+    if re.fullmatch(r"(?i)DateTime64\s*\(.*\)", t) \
+            or re.fullmatch(r"(?i)DateTime\s*\(.*\)", t):
+        return "TIMESTAMP"
+    m = re.fullmatch(r"(?i)Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        p = min(int(m.group(1)), 38)
+        return f"DECIMAL({p},{min(int(m.group(2)), p)})"
+    m = re.fullmatch(r"(?i)Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        p = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
+        return f"DECIMAL({p},{min(int(m.group(2)), p)})"
+    m = re.fullmatch(r"(?is)Array\s*\((.*)\)", t)
+    if m:
+        inner = _ch_type_ddl(m.group(1))
+        return (f"ARRAY<{inner}>"
+                if isinstance(inner, str) else None)
+    m = re.fullmatch(r"(?is)Map\s*\((.*)\)", t)
+    if m:
+        parts = _split_type_args(m.group(1))
+        if len(parts) == 2:
+            k, v = _ch_type_ddl(parts[0]), _ch_type_ddl(parts[1])
+            if isinstance(k, str) and isinstance(v, str):
+                return f"MAP<{k},{v}>"
+        return None
+    m = re.fullmatch(r"(?is)Tuple\s*\((.*)\)", t)
+    if m:
+        parts = _split_type_args(m.group(1))
+        named, unnamed = [], []
+        for p in parts:
+            whole = _ch_type_ddl(p)
+            if whole is not None:
+                unnamed.append(whole)
+                continue
+            nm = re.match(r"^(`[^`]*`|[A-Za-z_][A-Za-z0-9_]*)\s+(.+)$",
+                          p, re.DOTALL)
+            if not nm:
+                return None
+            d = _ch_type_ddl(nm.group(2))
+            if d is None or isinstance(d, tuple):
+                return None
+            name = nm.group(1)
+            if not name.startswith("`"):
+                name = f"`{name}`"
+            named.append(f"{name}:{d}")
+        if named and not unnamed:
+            return f"STRUCT<{','.join(named)}>"
+        if unnamed and not named \
+                and all(isinstance(u, str) for u in unnamed):
+            return ("tuple", unnamed)
+        return None
+    return None
+
+
+def _is_scalar_ddl(d: str) -> bool:
+    return not d.upper().startswith(("ARRAY<", "MAP<", "STRUCT<"))
+
+
+def _jsonextract_typed(a):
+    fallback = f"JSONExtract({', '.join(a)})"
+    ty = a[-1].strip()
+    if len(a) < 2 or not (ty.startswith("'") and ty.endswith("'")):
+        return fallback
+    ddl = _ch_type_ddl(ty[1:-1])
+    if ddl is None:
+        return fallback
+    raw = (f"get_json_object({a[0]}, {_json_path(a[:-1])})"
+           if len(a) > 2 else a[0])
+    if isinstance(ddl, tuple):
+        # unnamed tuple: positional over the object's values (order
+        # preserved by from_json's sequential parse) or the array's
+        # elements — both carried as raw-ish strings
+        vals = (f"coalesce(map_values(from_json({raw}, "
+                f"'map<string,string>')), "
+                f"from_json({raw}, 'array<string>'))")
+        fields = []
+        for i, d in enumerate(ddl[1]):
+            e = f"element_at({vals}, {i + 1})"
+            fields.append(
+                f"'col{i + 1}', "
+                + (f"CAST({e} AS {d})" if _is_scalar_ddl(d)
+                   else f"from_json({e}, '{d}')"))
+        return f"named_struct({', '.join(fields)})"
+    if _is_scalar_ddl(ddl):
+        return f"CAST({raw} AS {ddl})"
+    return f"from_json({raw}, '{ddl}')"
+
+
+def _json_kv_typed(a):
+    fallback = f"JSONExtractKeysAndValues({', '.join(a)})"
+    ty = a[-1].strip()
+    if len(a) < 2 or not (ty.startswith("'") and ty.endswith("'")):
+        return fallback
+    ddl = _ch_type_ddl(ty[1:-1])
+    if ddl is None or isinstance(ddl, tuple):
+        return fallback
+    raw = (f"get_json_object({a[0]}, {_json_path(a[:-1])})"
+           if len(a) > 2 else a[0])
+    val = ("CAST(e.value AS " + ddl + ")" if _is_scalar_ddl(ddl)
+           else f"from_json(e.value, '{ddl}')")
+    return (f"transform(map_entries(from_json({raw}, "
+            f"'map<string,string>')), "
+            f"e -> named_struct('col1', e.key, 'col2', {val}))")
+
+
+def _json_kv_raw(a):
+    raw = (f"get_json_object({a[0]}, {_json_path(a)})"
+           if len(a) > 1 else a[0])
+    return (f"transform(json_object_keys({raw}), "
+            f"k -> named_struct('col1', k, 'col2', "
+            f"to_json(try_variant_get(parse_json({raw}), "
+            f"concat('$.', k), 'variant'))))")
+
+
+def _json_key(a):
+    if len(a) < 2:
+        return f"JSONKey({', '.join(a)})"
+    raw = (f"get_json_object({a[0]}, {_json_path(a[:-1])})"
+           if len(a) > 2 else a[0])
+    return f"element_at(json_object_keys({raw}), CAST({a[-1]} AS INT))"
+
+
+_RULES["jsonextract"] = _jsonextract_typed
+_RULES["jsonextractkeysandvalues"] = _json_kv_typed
+_RULES["jsonextractkeysandvaluesraw"] = _json_kv_raw
+_RULES["jsonkey"] = _json_key
+
 _RULES["totypename"] = lambda a: f"typeof({a[0]})"
 # bar(v, lo, hi, width) (src/Functions/bar.cpp) — whole-block variant
 _RULES["bar"] = lambda a: (
@@ -889,11 +1070,86 @@ def _array_reduce_sql(a: list[str]) -> str:
     return forms[name]
 
 
+_ARRAYJOIN_FN_RE = re.compile(r"\barrayJoin\s*\(", re.IGNORECASE)
+_CLAUSE_AFTER_FROM_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|ORDER\s+BY|LIMIT|WINDOW|"
+    r"UNION|INTERSECT|EXCEPT|SETTINGS)\b", re.IGNORECASE)
+
+
+def _rewrite_arrayjoin_fn(sql: str) -> str:
+    """arrayJoin(x) used INSIDE an expression (reference
+    src/Functions/arrayJoin.cpp allows it anywhere in the select list:
+    ``SELECT arrayJoin(arr) LIKE 'a%'``): Spark's explode() generator
+    must sit at projection top level, so hoist each distinct arrayJoin
+    argument into a LATERAL VIEW explode and substitute the generated
+    column.  Identical argument texts share one expansion (CH
+    semantics); distinct arguments multiply (cartesian) exactly like
+    chained LATERAL VIEWs.  Only fires for single-SELECT statements
+    where some arrayJoin call is NOT already a whole projection item
+    (the top-level form maps to explode directly)."""
+    if len(re.findall(r"\bSELECT\b", sql, re.IGNORECASE)) != 1:
+        return sql
+    tops = _top_level_set(sql)
+    sites = []
+    for m in _ARRAYJOIN_FN_RE.finditer(sql):
+        try:
+            args, after = _parse_args(sql, sql.index("(", m.start()))
+        except Exception:
+            return sql
+        if len(args) != 1 or _ARRAYJOIN_FN_RE.search(args[0]):
+            return sql                 # nested arrayJoin: out of scope
+        sites.append((m.start(), after, args[0].strip()))
+    if not sites:
+        return sql
+    sm = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", sql, re.IGNORECASE)
+    if sm is None:
+        return sql
+    fm = next((mm for mm in re.finditer(r"\bFROM\b", sql, re.IGNORECASE)
+               if mm.start() in tops), None)
+    sel_end = fm.start() if fm else len(sql)
+    items = {it.strip() for it in
+             _split_top_commas(sql[sm.end():sel_end])}
+
+    def is_whole_item(s: int, e: int) -> bool:
+        body = sql[s:e]
+        return (body in items
+                or any(re.fullmatch(re.escape(body) + r"\s+AS\s+`?\w+`?",
+                                    it, re.IGNORECASE) for it in items))
+
+    if all(is_whole_item(s, e) for s, e, _ in sites):
+        return sql
+    # assign one alias per distinct argument text
+    arg_alias: dict[str, str] = {}
+    for _s, _e, a in sites:
+        arg_alias.setdefault(" ".join(a.split()), f"__aj{len(arg_alias) + 1}")
+    for s, e, a in sorted(sites, reverse=True):
+        sql = sql[:s] + arg_alias[" ".join(a.split())] + sql[e:]
+    lateral = " ".join(
+        f"LATERAL VIEW explode({arg}) __ajt{alias[4:]} AS {alias}"
+        for arg, alias in arg_alias.items())
+    tops = _top_level_set(sql)
+    fm = next((mm for mm in re.finditer(r"\bFROM\b", sql, re.IGNORECASE)
+               if mm.start() in tops), None)
+    if fm is None:
+        # expression-only SELECT: synthesize a one-row FROM
+        cm = next((mm for mm in
+                   _CLAUSE_AFTER_FROM_RE.finditer(sql)
+                   if mm.start() in tops), None)
+        at = cm.start() if cm else len(sql)
+        return (sql[:at].rstrip() + f" FROM (SELECT 1 AS __one) "
+                + lateral + " " + sql[at:])
+    cm = next((mm for mm in _CLAUSE_AFTER_FROM_RE.finditer(sql, fm.end())
+               if mm.start() in tops), None)
+    at = cm.start() if cm else len(sql)
+    return sql[:at].rstrip() + " " + lateral + " " + sql[at:]
+
+
 def _case_when(args: list[str]) -> str:
     parts = ["CASE"]
     i = 0
     while i + 1 < len(args):
-        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        parts.append(f"WHEN CAST({args[i]} AS BOOLEAN) "
+                     f"THEN {args[i + 1]}")
         i += 2
     if i < len(args):
         parts.append(f"ELSE {args[i]}")
@@ -1116,6 +1372,95 @@ def _try_suffix_combinator(lname: str, targs: list) -> str | None:
     return None
 
 
+_SPARK_NATIVE_FNS: set | None = None
+_BRIDGE_BY_LOWER: dict | None = None
+_NUM_LIT_RE = re.compile(r"-?\d+")
+_FLOAT_LIT_RE = re.compile(r"-?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?")
+
+
+def _bridge_registry_call(name: str, targs: list) -> str | None:
+    """Generic SQL-name bridge: a CH function that exists in
+    CH_FUNCTIONS as a Column builder but has no SQL rewrite rule and is
+    not a Spark built-in gets INLINED — build the Column against
+    F.expr(arg) inputs and render it back to SQL text through
+    Catalyst's Expression.sql().  This makes the whole ~1100-name
+    python registry callable from CH-SQL text without hand-writing a
+    SQL template per name (reference: every registered function is
+    usable in SQL, src/Functions/FunctionFactory.cpp).
+
+    Returns None (leave the call untouched) when the name is unknown,
+    Spark resolves it natively, the args carry lambdas, or the builder
+    needs conventions F.expr cannot express — the behavior is then
+    exactly the pre-bridge behavior."""
+    global _SPARK_NATIVE_FNS, _BRIDGE_BY_LOWER
+    from pyspark.sql import Column as _Col
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    if _BRIDGE_BY_LOWER is None:
+        from clickhouse_core_spark.functions import CH_FUNCTIONS
+        _BRIDGE_BY_LOWER = {k.lower(): v for k, v in CH_FUNCTIONS.items()}
+    fn = _BRIDGE_BY_LOWER.get(name.lower())
+    if fn is None:
+        return None
+    if _SPARK_NATIVE_FNS is None:
+        _SPARK_NATIVE_FNS = {
+            r.name.lower() for r in spark.catalog.listFunctions()}
+    if name.lower() in _SPARK_NATIVE_FNS:
+        return None                    # Spark's own semantics win
+    if any("->" in a for a in targs):
+        return None                    # lambda args aren't F.expr-able
+    try:
+        out = fn(*[F.expr(a) for a in targs])
+    except Exception:
+        # retry with python-literal coercion: many builders take
+        # python ints/strings for compile-time parameters (shift
+        # widths, type names, format strings)
+        def _coerce(t: str):
+            t = t.strip()
+            if _NUM_LIT_RE.fullmatch(t):
+                return int(t)
+            if _FLOAT_LIT_RE.fullmatch(t):
+                return float(t)
+            if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+                return t[1:-1].replace("''", "'").replace("\\'", "'")
+            if t.lower().startswith("array(") and t.endswith(")"):
+                elems, _after = _parse_args(t, 5)
+                vals = [_coerce(e) for e in elems]
+                if all(not isinstance(v, _Col) for v in vals):
+                    return vals
+            return F.expr(t)
+        try:
+            out = fn(*[_coerce(a) for a in targs])
+        except Exception:
+            return None
+    if not isinstance(out, _Col):
+        return None
+    try:
+        return "(" + _fix_lambda_sql(
+            spark._jsparkSession.expression(out._jc).sql()) + ")"
+    except Exception:
+        return None
+
+
+def _fix_lambda_sql(s: str) -> str:
+    """Expression.sql() renders higher-order-function lambdas in the
+    prefix form ``lambdafunction(body, v1[, v2])`` which the parser
+    does not accept — rewrite to the arrow form ``(v1, v2) -> body``.
+    Nested lambdas resolve over repeated passes (each pass rewrites one
+    outermost site; its body is revisited next iteration)."""
+    while True:
+        i = s.find("lambdafunction(")
+        if i < 0:
+            return s
+        args, after = _parse_args(s, i + len("lambdafunction"))
+        body, vars_ = args[0], [a.strip() for a in args[1:]]
+        lam = (f"{vars_[0]} -> ({body})" if len(vars_) == 1
+               else f"({', '.join(vars_)}) -> ({body})")
+        s = s[:i] + lam + s[after:]
+
+
 def _translate_expr(sql: str) -> str:
     """Rewrite known CH function calls (recursively) in an expression."""
     out = []
@@ -1217,6 +1562,8 @@ def _translate_expr(sql: str) -> str:
                 out.append(_RULES[lname](targs))
             else:
                 combi = _try_suffix_combinator(lname, targs)
+                if combi is None:
+                    combi = _bridge_registry_call(name, targs)
                 out.append(combi if combi is not None
                            else f"{name}({', '.join(targs)})")
             i = after
@@ -1973,6 +2320,20 @@ def _rewrite_numbers_tvf(sql: str) -> str:
     sql = _ZEROS_TVF_RE.sub(
         lambda m: (f"(SELECT CAST(0 AS SMALLINT) AS zero FROM "
                    f"range({int(m.group(1))}))"), sql)
+    # system.numbers is the unbounded variant, always consumed under a
+    # LIMIT (reference src/Storages/System/StorageSystemNumbers.h);
+    # Spark has no infinite TVF, so expose a wide bounded range — any
+    # query that would exhaust 2^20 rows without a LIMIT is not a
+    # query this table is for.  system.one is the 1-row dummy table.
+    sql = re.sub(r"\bsystem\.numbers_mt\b",
+                 "(SELECT id AS number FROM range(1048576))", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bsystem\.numbers\b",
+                 "(SELECT id AS number FROM range(1048576))", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bsystem\.one\b",
+                 "(SELECT CAST(0 AS SMALLINT) AS dummy)", sql,
+                 flags=re.IGNORECASE)
     return _GENSERIES_TVF_RE.sub(gs_sub, sql)
 
 
@@ -2050,6 +2411,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_sample(sql, sample_by)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)
+    sql = _rewrite_arrayjoin_fn(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_qualify(sql)
 
