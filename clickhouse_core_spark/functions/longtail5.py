@@ -962,6 +962,105 @@ def polygonConvexHullCartesian(poly) -> Column:
     return _UDF_CACHE["hull"](_c(poly))
 
 
+# --------------------------- formatReadableTimeDelta (r6)
+# Reference: src/Functions/formatReadableTimeDelta.cpp — the Duff-device
+# unit chain with ", " separators and a final " and ", months = 30.5
+# days, years = 365 days; sub-second units consume the 9-digit fixed
+# fractional string.  Sequential string assembly → Arrow-batched UDF.
+
+_FRTD_UNITS = {"nanoseconds": 1, "microseconds": 2, "milliseconds": 3,
+               "seconds": 4, "minutes": 5, "hours": 6, "days": 7,
+               "months": 8, "years": 9}
+# enum -> (multiplier, scale, name) in descending order Years..Nanos
+_FRTD_CHAIN = [(9, 365 * 86400, 0, "year"),
+               (8, int(30.5 * 86400), 0, "month"),
+               (7, 86400, 0, "day"), (6, 3600, 0, "hour"),
+               (5, 60, 0, "minute"), (4, 1, 0, "second"),
+               (3, 1, 3, "millisecond"), (2, 1, 6, "microsecond"),
+               (1, 1, 9, "nanosecond")]
+
+
+def _frtd_py(value, max_unit_str: str, min_unit_str: str):
+    import math
+    if value is None:
+        return None
+    max_unit = _FRTD_UNITS.get(max_unit_str or "years")
+    min_unit = _FRTD_UNITS.get(min_unit_str or "seconds")
+    if max_unit is None or min_unit is None:
+        raise ValueError(
+            f"formatReadableTimeDelta: unknown unit "
+            f"{max_unit_str or min_unit_str!r}")
+    if min_unit > max_unit:
+        if not min_unit_str:
+            min_unit = 1         # sub-second max: show all smaller units
+        else:
+            raise ValueError("formatReadableTimeDelta: minimum unit "
+                             "must not be greater than maximum unit")
+    v = float(value)
+    if math.isnan(v):
+        return "nan"
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    sign = "-" if v < 0 else ""
+    v = abs(v)
+    frac, whole = math.modf(v)
+    st = {"whole": whole, "frac": list(f"{frac:.9f}"[2:]),
+          "has": False, "buf": []}
+
+    def process(mult, scale, name, is_min):
+        whole_part = st["whole"]
+        if whole_part + 1.0 == whole_part:      # beyond double precision
+            st["buf"].append(
+                f"{math.floor(whole_part * 10 ** scale / mult):.0f}"
+                f" {name}s")
+            st["whole"] = 0.0
+            st["has"] = True
+            return
+        num = 0
+        if scale == 0:
+            num = int(whole_part // mult)
+            if not num and (mult != 1 or st["has"]):
+                return
+            st["whole"] = whole_part - num * mult
+        else:
+            if whole_part >= 1:
+                num += int(whole_part) * 10 ** scale
+                st["whole"] = 0.0
+            for i in range(scale):
+                num += (ord(st["frac"][i]) - 48) * 10 ** (scale - i - 1)
+                st["frac"][i] = "0"
+            if not num and (not is_min or st["has"]):
+                return
+        sep = ""
+        if st["has"]:
+            rest_zero = (st["whole"] < 1 and all(
+                c == "0" for c in st["frac"][:(4 - min_unit) * 3]))
+            sep = " and " if (is_min or rest_zero) else ", "
+        plural = "" if num == 1 else "s"
+        st["buf"].append(f"{sep}{num} {name}{plural}")
+        st["has"] = True
+
+    for enum_val, mult, scale, name in _FRTD_CHAIN:
+        if enum_val > max_unit:
+            continue
+        process(mult, scale, name, enum_val == min_unit)
+        if enum_val <= min_unit:
+            break
+    return sign + "".join(st["buf"])
+
+
+def formatReadableTimeDelta(x, maximum_unit: str = "",
+                            minimum_unit: str = "") -> Column:
+    mx, mn = str(maximum_unit or ""), str(minimum_unit or "")
+    key = f"frtd:{mx}:{mn}"
+    if key not in _UDF_CACHE:
+        @pandas_udf("string")
+        def f(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: _frtd_py(v, mx, mn))
+        _UDF_CACHE[key] = f
+    return _UDF_CACHE[key](_c(x).cast("double"))
+
+
 # --------------------------- polygon pair predicates (r6)
 # Reference: src/Functions/polygonsDistance.cpp, polygonsWithin.cpp,
 # polygonsEquals.cpp (boost::geometry cartesian strategies).  Like the
@@ -1157,4 +1256,5 @@ LONGTAIL5.update({
     "polygonsDistanceCartesian": polygonsDistanceCartesian,
     "polygonsWithinCartesian": polygonsWithinCartesian,
     "polygonsEqualsCartesian": polygonsEqualsCartesian,
+    "formatReadableTimeDelta": formatReadableTimeDelta,
 })

@@ -996,7 +996,10 @@ _DT2 = {
     "toRelativeHourNum": lambda x: (F.unix_timestamp(_c(x)) / 3600).cast("long"),
     "toRelativeMinuteNum": lambda x: (F.unix_timestamp(_c(x)) / 60).cast("long"),
     "toRelativeSecondNum": lambda x: F.unix_timestamp(_c(x)),
-    "makeDate": lambda y, m, d: F.make_date(_c(y), _c(m), _c(d)),
+    # CH coerces Bool/float args to integers (makeDate.cpp accepts any
+    # number type) — cast explicitly so make_date's INT contract holds
+    "makeDate": lambda y, m, d: F.make_date(
+        _c(y).cast("int"), _c(m).cast("int"), _c(d).cast("int")),
     "makeDateTime": lambda y, mo, d, h, mi, s: F.make_timestamp(
         _c(y), _c(mo), _c(d), _c(h), _c(mi), _c(s)),
     "parseDateTimeBestEffort": _parse_best_effort,
@@ -2087,8 +2090,11 @@ _UUIDF = {
         F.lit("8"),  # variant bits ~ '10xx'
         F.substring(F.sha2(F.rand().cast("string"), 256), 4, 15))),
     "serverUUID": lambda: F.lit(_ZERO_UUID),  # single-server constant
-    # Snowflake (snowflake.cpp: 41-bit ms + 22-bit machine/seq)
-    "generateSnowflakeID": lambda: (
+    # Snowflake (snowflake.cpp: 41-bit ms + 22-bit machine/seq).
+    # Optional args (expression salt / machine id) are accepted and
+    # ignored like the reference's expr argument — they only force
+    # distinct calls to produce distinct columns.
+    "generateSnowflakeID": lambda *a: (
         F.shiftleft(F.unix_millis(F.current_timestamp()), 22)
         + (F.rand() * 4194304).cast("long")),
     "snowflakeToDateTime": lambda x: F.timestamp_seconds(
@@ -3842,10 +3848,37 @@ def _has_column_in_table(*args):
     return F.lit(1 if col in names else 0).cast("tinyint")
 
 
+def _get_setting(name, *default):
+    """getSetting / getSettingOrDefault (src/Functions/getSetting.cpp):
+    custom settings live under spark.clickhouse_core.setting.<name> in
+    the session conf (the SETTINGS-clause analog on a Spark session);
+    unknown name -> default when given, else raises like the
+    reference."""
+    from pyspark.sql import SparkSession
+    if not isinstance(name, str):
+        raise ValueError("getSetting: name must be a literal string")
+    spark = SparkSession.getActiveSession()
+    v = None
+    if spark is not None:
+        v = spark.conf.get(f"spark.clickhouse_core.setting.{name}", None)
+    if v is None:
+        if default:
+            return _c(default[0])
+        raise ValueError(f"getSetting: unknown setting {name!r}")
+    for caster in (int, float):
+        try:
+            return F.lit(caster(v))
+        except ValueError:
+            continue
+    return F.lit(v)
+
+
 _MISC8 = {
     # Iceberg partition transforms (public Apache Iceberg spec,
     # Appendix B) — see functions/iceberg.py
     **ICEBERG,
+    "getSetting": _get_setting,
+    "getSettingOrDefault": _get_setting,
     # h3 index-format subset (public H3 index spec + constant tables;
     # geographic projection functions stay out) — see functions/h3.py
     **H3_FUNCTIONS,

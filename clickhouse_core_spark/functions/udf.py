@@ -91,19 +91,30 @@ def register_sql_scalar_udfs(spark: SparkSession) -> list[str]:
         ("base58Encode", _ux._base58_encode, STR),
         ("base58Decode", _ux._base58_decode, STR),
         ("tryBase58Decode", lambda v: _ux._base58_decode(v, ""), STR),
-        ("keccak256", lambda v: _ph.keccak256(v.encode()).hex(), STR),
+        ("keccak256", lambda v: _ph.keccak256(v.encode()), "binary"),
         ("sqidDecode", _sq.sqid_decode, "array<bigint>"),
     ]
     for form in ("NFC", "NFD", "NFKC", "NFKD"):
         regs.append((f"normalizeUTF8{form}",
                      lambda v, _f=form: _ud.normalize(_f, v), STR))
+    # digest functions return their BYTES (the reference's FixedString
+    # carrier) so corpus idioms like hex(MD4('test')) compose correctly
     for name, algo in (("RIPEMD160", "ripemd160"),
                        ("SHA512_256", "sha512_256")):
         if _ux._hashlib_available(algo):
             regs.append((name, lambda v, _a=algo: _hl.new(
-                _a, v.encode()).hexdigest(), STR))
-    if not _ux._hashlib_available("md4"):
-        regs.append(("MD4", lambda v: _ph.md4(v.encode()).hex(), STR))
+                _a, v.encode()).digest(), "binary"))
+    regs.append(("MD4", (lambda v: _hl.new("md4", v.encode()).digest())
+                 if _ux._hashlib_available("md4")
+                 else (lambda v: _ph.md4(v.encode())), "binary"))
+
+    from clickhouse_core_spark.functions import longtail5 as _lt5
+    spark.udf.register(
+        "formatReadableTimeDelta",
+        lambda *a: _lt5._frtd_py(a[0],
+                                 a[1] if len(a) > 1 else "",
+                                 a[2] if len(a) > 2 else ""),
+        "string")
 
     from clickhouse_core_spark.functions import seriesfns as _sf
     registered = []
@@ -117,4 +128,5 @@ def register_sql_scalar_udfs(spark: SparkSession) -> list[str]:
         lambda v: None if v is None else _sf.period_detect_fft(list(v)),
         "double")
     registered.append("seriesPeriodDetectFFT")
+    registered.append("formatReadableTimeDelta")
     return registered

@@ -195,7 +195,11 @@ _RULES: dict = {
     "arraydistinct": _fn("array_distinct"), "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",
     "arrayconcat": _fn("concat"), "arrayflatten": _fn("flatten"),
     "arrayslice": lambda a: f"slice({', '.join(a)})",
-    "arrayintersect": _fn("array_intersect"),
+    # variadic in CH (arrayIntersect.cpp) — fold pairwise
+    "arrayintersect": lambda a: (
+        a[0] if len(a) == 1 else
+        __import__("functools").reduce(
+            lambda acc, x: f"array_intersect({acc}, {x})", a[1:], a[0])),
     # CH arrays are 1-based; element_at matches.  Bare subscript syntax
     # `arr[1]` is also rewritten to try_element_at (_wrap_subscript);
     # try_ keeps out-of-range NULL under ANSI sessions.
@@ -788,6 +792,8 @@ def _ch_type_ddl(t: str):
         return _CH_SCALAR_DDL[low]
     if re.fullmatch(r"(?i)FixedString\s*\(\s*\d+\s*\)", t):
         return "STRING"
+    if re.fullmatch(r"(?is)Enum(8|16)?\s*\(.*\)", t):
+        return "STRING"              # enums carry their string value
     if re.fullmatch(r"(?i)DateTime64\s*\(.*\)", t) \
             or re.fullmatch(r"(?i)DateTime\s*\(.*\)", t):
         return "TIMESTAMP"
@@ -909,9 +915,64 @@ def _json_key(a):
     return f"element_at(json_object_keys({raw}), CAST({a[-1]} AS INT))"
 
 
+_TSOI_MICROS = {
+    "microsecond": 1, "millisecond": 1000, "second": 1_000_000,
+    "minute": 60_000_000, "hour": 3_600_000_000,
+    "day": 86_400_000_000, "week": 604_800_000_000,
+}
+_TSOI_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _tostartofinterval_rule(a):
+    """toStartOfInterval(ts, INTERVAL n unit | toIntervalUnit(n))
+    (reference src/Functions/toStartOfInterval.cpp): floor the
+    timestamp to a multiple of the interval since epoch.  Time units
+    floor in epoch micros (weeks shifted to Monday boundaries, CH's
+    week origin); month-family units floor the month ordinal."""
+    fallback = f"toStartOfInterval({', '.join(a)})"
+    if len(a) < 2:
+        return fallback
+    arg = a[1].strip()
+    m = re.fullmatch(r"(?is)INTERVAL\s+(\d+)\s+([A-Za-z]+)", arg)
+    if m:
+        n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+    else:
+        m = re.fullmatch(r"(?is)toInterval([A-Za-z]+)\s*\(\s*(\d+)\s*\)",
+                         arg)
+        if not m:
+            return fallback
+        n, unit = int(m.group(2)), m.group(1).lower()
+    ts = f"CAST({a[0]} AS TIMESTAMP)"
+    if unit in _TSOI_MICROS:
+        step = n * _TSOI_MICROS[unit]
+        off = 3 * 86_400_000_000 if unit == "week" else 0
+        if off:
+            return (f"timestamp_micros(CAST(floor((unix_micros({ts}) "
+                    f"+ {off}) / {step}) AS BIGINT) * {step} - {off})")
+        return (f"timestamp_micros(CAST(floor(unix_micros({ts}) "
+                f"/ {step}) AS BIGINT) * {step})")
+    if unit in _TSOI_MONTHS:
+        k = n * _TSOI_MONTHS[unit]
+        mexpr = f"(year({ts}) * 12 + month({ts}) - 1)"
+        fl = f"(CAST(floor({mexpr} / {k}) AS BIGINT) * {k})"
+        return (f"CAST(make_date(CAST({fl} / 12 AS INT), "
+                f"CAST({fl} % 12 AS INT) + 1, 1) AS TIMESTAMP)")
+    return fallback
+
+
+_RULES["tostartofinterval"] = _tostartofinterval_rule
+
+def _json_array_raw(a):
+    raw = (f"get_json_object({a[0]}, {_json_path(a)})"
+           if len(a) > 1 else a[0])
+    return (f"transform(from_json({raw}, 'array<variant>'), "
+            f"__e -> to_json(__e))")
+
+
 _RULES["jsonextract"] = _jsonextract_typed
 _RULES["jsonextractkeysandvalues"] = _json_kv_typed
 _RULES["jsonextractkeysandvaluesraw"] = _json_kv_raw
+_RULES["jsonextractarrayraw"] = _json_array_raw
 _RULES["jsonkey"] = _json_key
 
 _RULES["totypename"] = lambda a: f"typeof({a[0]})"
@@ -1068,6 +1129,100 @@ def _array_reduce_sql(a: list[str]) -> str:
     if name not in forms:
         raise NotImplementedError(f"arrayReduce: aggregate {name!r} not mapped")
     return forms[name]
+
+
+_INLINE_ALIAS_KW = {
+    "select", "from", "where", "group", "order", "having", "limit",
+    "union", "intersect", "except", "on", "by", "as", "and", "or",
+    "not", "in", "is", "null", "true", "false", "between", "like",
+    "settings", "format",
+}
+
+
+def _rewrite_inline_aliases(sql: str) -> str:
+    """CH lets any PARENTHESIZED subexpression carry an alias that is
+    visible elsewhere in the query — ``SELECT (0 AS a) ? (2 AS b) :
+    (3 AS c) AS d, a, b`` (reference ParserExpressionElement alias
+    rules; SURVEY 'non-standard SQL semantics').  Spark has no inline
+    aliases, so: strip each ``(expr AS name)`` to ``name`` and define
+    the names in a wrapping subquery under FROM (lateral column
+    aliases resolve def-to-def references).  Only depth-0 sites are
+    extracted — an inline alias inside a subquery belongs to that
+    subquery's scope."""
+    defs: list[tuple[str, str]] = []
+    while True:
+        found = False
+        i, n = 0, len(sql)
+        out: list[str] = []
+        depth = 0
+        while i < n:
+            c = sql[i]
+            if c in "'\"":
+                j = _skip_string(sql, i)
+                out.append(sql[i:j])
+                i = j
+                continue
+            if c == ")":
+                depth -= 1
+                out.append(c)
+                i += 1
+                continue
+            if c == "(":
+                prev = "".join(out).rstrip()
+                ptok = re.search(r"([A-Za-z_][A-Za-z0-9_]*)\s*$", prev)
+                is_call = bool(re.search(r"[A-Za-z_0-9`\]]$", prev)) \
+                    and not (ptok and ptok.group(1).lower()
+                             in _INLINE_ALIAS_KW | {"when", "then",
+                                                    "else", "distinct"})
+                if depth == 0 and not is_call:
+                    try:
+                        items, after = _parse_args(sql, i)
+                    except Exception:
+                        depth += 1
+                        out.append(c)
+                        i += 1
+                        continue
+                    if len(items) == 1:
+                        body = items[0].strip()
+                        m = re.fullmatch(r"(?is)(.*\S)\s+AS\s+(`?\w+`?)",
+                                         body)
+                        name = m.group(2).strip("`") if m else ""
+                        if (m and not body.upper().startswith(
+                                ("SELECT", "WITH"))
+                                and name.lower() not in _INLINE_ALIAS_KW
+                                and name.lower() not in _CH_CAST_TYPES):
+                            defs.append((name, m.group(1)))
+                            out.append(name)
+                            out.append(sql[after:])
+                            sql = "".join(out)
+                            found = True
+                            break
+                depth += 1
+                out.append(c)
+                i += 1
+                continue
+            out.append(c)
+            i += 1
+        if not found:
+            break
+    if not defs:
+        return sql
+    def_sql = ", ".join(f"({e}) AS `{nm}`" for nm, e in defs)
+    tops = _top_level_set(sql)
+    fm = next((mm for mm in re.finditer(r"\bFROM\b", sql, re.IGNORECASE)
+               if mm.start() in tops), None)
+    if fm is None:
+        cm = next((mm for mm in _CLAUSE_AFTER_FROM_RE.finditer(sql)
+                   if mm.start() in tops), None)
+        at = cm.start() if cm else len(sql)
+        return (sql[:at].rstrip() + f" FROM (SELECT {def_sql}) "
+                + sql[at:])
+    cm = next((mm for mm in _CLAUSE_AFTER_FROM_RE.finditer(sql, fm.end())
+               if mm.start() in tops), None)
+    at = cm.start() if cm else len(sql)
+    src = sql[fm.end():at].strip()
+    return (sql[:fm.start()] + f"FROM (SELECT *, {def_sql} FROM {src}) "
+            + sql[at:])
 
 
 _ARRAYJOIN_FN_RE = re.compile(r"\barrayJoin\s*\(", re.IGNORECASE)
@@ -1438,10 +1593,18 @@ def _bridge_registry_call(name: str, targs: list) -> str | None:
     if not isinstance(out, _Col):
         return None
     try:
-        return "(" + _fix_lambda_sql(
-            spark._jsparkSession.expression(out._jc).sql()) + ")"
+        rendered = _fix_lambda_sql(
+            spark._jsparkSession.expression(out._jc).sql())
     except Exception:
         return None
+    # variant_get's type argument does not survive Expression.sql()
+    # (re-parses as plain VARIANT and mismatches downstream); python
+    # UDF columns render as the unresolvable `_apply(...)` — leave
+    # both to their dedicated rules / SQL registrations
+    low = rendered.lower()
+    if "variant_get(" in low or "_apply(" in low:
+        return None
+    return "(" + rendered + ")"
 
 
 def _fix_lambda_sql(s: str) -> str:
@@ -1558,6 +1721,14 @@ def _translate_expr(sql: str) -> str:
                     out.append(f"{name} ({', '.join(targs)})")
                     i = after
                     continue
+            if lname == "tostartofinterval" and len(args) >= 2:
+                # needs the RAW second argument (INTERVAL literal or
+                # toIntervalUnit(n) call) — translation would rewrite
+                # it into an opaque make_*_interval expression first
+                out.append(_tostartofinterval_rule(
+                    [targs[0]] + [x.strip() for x in args[1:]]))
+                i = after
+                continue
             if lname in _RULES:
                 out.append(_RULES[lname](targs))
             else:
@@ -2334,6 +2505,17 @@ def _rewrite_numbers_tvf(sql: str) -> str:
     sql = re.sub(r"\bsystem\.one\b",
                  "(SELECT CAST(0 AS SMALLINT) AS dummy)", sql,
                  flags=re.IGNORECASE)
+    # a FROM-less SELECT referencing `dummy` implies FROM system.one
+    # (reference: the default table of a bare SELECT is system.one)
+    if re.search(r"\bdummy\b", sql) \
+            and not re.search(r"\bFROM\b", sql, re.IGNORECASE) \
+            and len(re.findall(r"\bSELECT\b", sql, re.IGNORECASE)) == 1:
+        cm = next((mm for mm in _CLAUSE_AFTER_FROM_RE.finditer(sql)
+                   if mm.start() in _top_level_set(sql)), None)
+        at = cm.start() if cm else len(sql)
+        sql = (sql[:at].rstrip()
+               + " FROM (SELECT CAST(0 AS SMALLINT) AS dummy) "
+               + sql[at:])
     return _GENSERIES_TVF_RE.sub(gs_sub, sql)
 
 
@@ -2398,6 +2580,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_small_forms(sql)
     sql = _rewrite_double_quoted_idents(sql)
     sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_inline_aliases(sql)
     sql = _rewrite_null_coalesce_op(sql)
     sql = _rewrite_ternary(sql)
     sql = _rewrite_using_bare(sql)
@@ -2705,6 +2888,26 @@ def clear_query_cache() -> None:
     _QUERY_CACHE.clear()
 
 
+_SQL_UDFS_DONE: set = set()
+
+
+def _ensure_sql_udfs(spark) -> None:
+    """Register the UDF-backed scalar names (MD4, keccak256, punycode,
+    normalizeUTF8NF*, ...) as SQL functions once per session so CH-SQL
+    text resolves them natively (reference: every function name is
+    SQL-callable, src/Functions/FunctionFactory.h)."""
+    key = id(spark)
+    if key in _SQL_UDFS_DONE:
+        return
+    _SQL_UDFS_DONE.add(key)
+    try:
+        from clickhouse_core_spark.functions.udf import (
+            register_sql_scalar_udfs)
+        register_sql_scalar_udfs(spark)
+    except Exception:
+        pass        # registration is best-effort; Column callers use ch.*
+
+
 def ch_sql_cached(spark, sql: str, **kwargs):
     """ch_sql with the query cache engaged (use_query_cache=1)."""
     key = " ".join(sql.split())
@@ -2745,6 +2948,7 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     - ``ALTER TABLE t UPDATE c = e, ... WHERE ...`` →
       MergeTreeTable.update_where (MutationsInterpreter.h).
     """
+    _ensure_sql_udfs(spark)
     text = sql.strip().rstrip(";")
     kind_m = re.match(r"\s*([A-Za-z]+)", text)
     _QUERY_LOG.append([len(_QUERY_LOG),
