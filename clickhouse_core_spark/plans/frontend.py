@@ -47,6 +47,40 @@ def _cast(t):
     return lambda a: f"CAST({a[0]} AS {t})"
 
 
+def _lam_parts(f: str):
+    """Split a lambda text 'vars -> body' (vars possibly
+    parenthesized)."""
+    m = re.match(r"(?s)^\s*(\(\s*[`\w\s,]+?\s*\)|[`\w]+)\s*->\s*(.*)$",
+                 f.strip())
+    return (m.group(1).strip(), m.group(2).strip()) if m else None
+
+
+def _lam_bool(f: str) -> str:
+    """CH higher-order lambdas return UInt8 (nonzero = true); Spark's
+    filter/exists/forall require BOOLEAN — wrap the body in a cast
+    (no-op when it is already boolean)."""
+    p = _lam_parts(f)
+    if p is None:
+        return f
+    return f"{p[0]} -> CAST(({p[1]}) AS BOOLEAN)"
+
+
+def _array_index_rule(a: list, which: int) -> str:
+    """arrayFirstIndex/arrayLastIndex(f, arr): 1-based position of the
+    first/last element satisfying f, 0 when none (reference
+    src/Functions/array/arrayFirstLastIndex.cpp)."""
+    name = "arrayFirstIndex" if which == 1 else "arrayLastIndex"
+    if len(a) != 2:
+        return f"{name}({', '.join(a)})"
+    p = _lam_parts(a[0])
+    if p is None or "," in p[0]:
+        return f"{name}({', '.join(a)})"
+    v = p[0].strip("()").strip()
+    return (f"coalesce(try_element_at(filter(transform({a[1]}, "
+            f"({v}, __i) -> IF(CAST(({p[1]}) AS BOOLEAN), __i + 1, "
+            f"CAST(NULL AS INT))), __p -> __p IS NOT NULL), {which}), 0)")
+
+
 _RULES: dict = {
     # datetime
     "toyear": _fn("year"), "tomonth": _fn("month"), "todayofmonth": _fn("day"),
@@ -187,10 +221,36 @@ _RULES: dict = {
     "has": lambda a: f"array_contains({a[0]}, {a[1]})",
     "indexof": lambda a: f"array_position({a[0]}, {a[1]})",
     "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
-    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
-    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
-    "arraysum": lambda a: f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)",
-    "arraymin": _fn("array_min"), "arraymax": _fn("array_max"),
+    "arrayfilter": lambda a: f"filter({a[1]}, {_lam_bool(a[0])})",
+    "arrayexists": lambda a: (
+        f"exists({a[0]}, __x -> CAST(__x AS BOOLEAN))" if len(a) == 1
+        else f"exists({a[1]}, {_lam_bool(a[0])})"),
+    "arrayall": lambda a: (
+        f"CAST(forall({a[0]}, __x -> CAST(__x AS BOOLEAN)) AS INT)"
+        if len(a) == 1
+        else f"CAST(forall({a[1]}, {_lam_bool(a[0])}) AS INT)"),
+    "arraycount": lambda a: (
+        f"size(filter({a[0]}, __x -> CAST(__x AS BOOLEAN)))"
+        if len(a) == 1
+        else f"size(filter({a[1]}, {_lam_bool(a[0])}))"),
+    "arrayfirst": lambda a: f"try_element_at(filter({a[1]}, {_lam_bool(a[0])}), 1)",
+    "arraylast": lambda a: f"try_element_at(filter({a[1]}, {_lam_bool(a[0])}), -1)",
+    "arrayfirstindex": lambda a: _array_index_rule(a, 1),
+    "arraylastindex": lambda a: _array_index_rule(a, -1),
+    "arraysum": lambda a: (
+        f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        if len(a) == 1 else
+        f"aggregate(transform({a[1]}, {a[0]}), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x)"),
+    "arrayavg": lambda a: (
+        f"aggregate({a[0]}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x, "
+        f"acc -> acc / size({a[0]}))" if len(a) == 1 else
+        f"aggregate(transform({a[1]}, {a[0]}), CAST(0.0 AS DOUBLE), "
+        f"(acc, x) -> acc + x, acc -> acc / size({a[1]}))"),
+    "arraymin": lambda a: (f"array_min({a[0]})" if len(a) == 1 else
+                           f"array_min(transform({a[1]}, {a[0]}))"),
+    "arraymax": lambda a: (f"array_max({a[0]})" if len(a) == 1 else
+                           f"array_max(transform({a[1]}, {a[0]}))"),
     "arraysort": _fn("array_sort"), "arrayreverse": _fn("reverse"),
     "arraydistinct": _fn("array_distinct"), "arrayuniq": lambda a: f"size(array_distinct({a[0]}))",
     "arrayconcat": _fn("concat"), "arrayflatten": _fn("flatten"),
@@ -357,6 +417,22 @@ def _arg_mm_sql(base: str, a, ext_fn: str) -> str:
 
 # median* aliases = quantile*(0.5) (reference AggregateFunctionQuantile*
 # registrations all alias a median form)
+# emptyArray<T>() constructors (src/Functions/array/emptyArray*.cpp)
+for _ea_name, _ea_t in (
+        ("uint8", "SMALLINT"), ("uint16", "INT"), ("uint32", "BIGINT"),
+        ("uint64", "BIGINT"), ("int8", "TINYINT"), ("int16", "SMALLINT"),
+        ("int32", "INT"), ("int64", "BIGINT"), ("float32", "FLOAT"),
+        ("float64", "DOUBLE"), ("string", "STRING"), ("date", "DATE"),
+        ("datetime", "TIMESTAMP")):
+    _RULES[f"emptyarray{_ea_name}"] = (
+        lambda a, _t=_ea_t: f"CAST(array() AS ARRAY<{_t}>)")
+
+# isDecimalOverflow(x, prec) (src/Functions/isDecimalOverflow.cpp):
+# 1 when the value needs more than `prec` decimal digits
+_RULES["isdecimaloverflow"] = lambda a: (
+    f"CAST(abs(CAST({a[0]} AS DOUBLE)) >= power(10, {a[1]}) AS INT)"
+    if len(a) == 2 else f"isDecimalOverflow({', '.join(a)})")
+
 _RULES["medianexact"] = lambda a: f"percentile({a[0]}, 0.5)"
 _RULES["mediantiming"] = lambda a: f"percentile({a[0]}, 0.5)"
 _RULES["medianbfloat16"] = lambda a: f"percentile({a[0]}, 0.5)"

@@ -122,6 +122,28 @@ def test_get_setting(spark):
         spark.conf.unset("spark.clickhouse_core.setting.custom_t")
 
 
+def test_higher_order_array_family(spark):
+    """CH lambda-first higher-order forms (arrayAll/Count/First/
+    FirstIndex/LastIndex/Sum/Min/Max — src/Functions/array/) with
+    UInt8-returning lambdas coerced to BOOLEAN."""
+    cases = {
+        "SELECT arrayAll(x -> 0, emptyArrayUInt8()) AS v": 1,
+        "SELECT arrayAll(x -> x > 1, [2, 3]) AS v": 1,
+        "SELECT arrayCount(x -> x % 2, [1,2,3,4,5]) AS v": 3,
+        "SELECT arrayFirst(x -> x > 2, [1,2,3,4]) AS v": 3,
+        "SELECT arrayFirst(x -> 0, [1,2]) AS v": None,
+        "SELECT arrayFirstIndex(x -> x > 2, [1,2,3,4]) AS v": 3,
+        "SELECT arrayFirstIndex(x -> 0, [1,2]) AS v": 0,
+        "SELECT arrayLastIndex(x -> x > 2, [1,2,3,4]) AS v": 4,
+        "SELECT arraySum(x -> x * 2, [1,2,3]) AS v": 12.0,
+        "SELECT arrayMin(x -> -x, [1,2,3]) AS v": -3,
+        "SELECT arrayExists(x -> 1, [0]) AS v": True,
+        "SELECT isDecimalOverflow(toDecimal32(1, 0), 9) AS v": 0,
+    }
+    for sql, want in cases.items():
+        assert ch_sql(spark, sql).first().v == want, sql
+
+
 def test_variadic_array_intersect(spark):
     assert _vals(spark, "SELECT arraySort(arrayIntersect([1,1,1], [3], "
                         "[2,2,2])) AS v") == [([],)]
