@@ -3156,6 +3156,142 @@ def ch_sql_expr_surface(spark, sf_dir):
         FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""")
 
 
+@q("ch_sql_higher_order_arrays", """
+SELECT o_orderkey,
+       CAST(CASE WHEN len(list_filter([o_orderkey % 3, o_orderkey % 5,
+                                       o_orderkey % 7],
+                                      x -> NOT (x > 0))) = 0
+            THEN 1 ELSE 0 END AS INT) AS all_pos,
+       CAST(len(list_filter([o_orderkey % 3, o_orderkey % 5,
+                             o_orderkey % 7],
+                            x -> x % 2 <> 0)) AS INT) AS cnt_odd,
+       CAST(coalesce(list_position(
+            list_transform([o_orderkey % 3, o_orderkey % 5,
+                            o_orderkey % 7], x -> x > 2), true), 0)
+            AS INT) AS fidx,
+       CAST(list_sum(list_transform([o_orderkey % 3, o_orderkey % 5,
+                                     o_orderkey % 7], x -> x * 2))
+            AS DOUBLE) AS dsum
+FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey
+""")
+def ch_sql_higher_order_arrays(spark, sf_dir):
+    """CH lambda-first higher-order array functions through the SQL
+    frontend (src/Functions/array/ arrayAll/arrayCount/arrayFirstIndex
+    /arraySum): lambdas return UInt8 and sit in the FIRST argument —
+    the frontend reorders to Spark's array-first builtins and coerces
+    the lambda result to BOOLEAN.  Oracle: DuckDB's list_filter /
+    list_transform / list_position spellings of the same semantics."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderkey,
+               arrayAll(x -> x > 0,
+                        [o_orderkey % 3, o_orderkey % 5, o_orderkey % 7])
+                   AS all_pos,
+               CAST(arrayCount(x -> x % 2,
+                        [o_orderkey % 3, o_orderkey % 5, o_orderkey % 7])
+                   AS Int32) AS cnt_odd,
+               CAST(arrayFirstIndex(x -> x > 2,
+                        [o_orderkey % 3, o_orderkey % 5, o_orderkey % 7])
+                   AS Int32) AS fidx,
+               arraySum(x -> x * 2,
+                        [o_orderkey % 3, o_orderkey % 5, o_orderkey % 7])
+                   AS dsum
+        FROM orders WHERE o_orderkey < 400 ORDER BY o_orderkey""")
+
+
+@q("ch_sql_inline_alias_arrayjoin", """
+SELECT o_orderkey,
+       o_orderkey % 7 + 1 AS m7p,
+       o_orderkey % 7 AS m7,
+       CAST(u.x * 10 AS BIGINT) AS aj
+FROM orders CROSS JOIN (VALUES (1), (2)) u(x)
+WHERE o_orderkey < 150 ORDER BY o_orderkey, aj
+""")
+def ch_sql_inline_alias_arrayjoin(spark, sf_dir):
+    """CH inline expression aliases — ``(expr AS name)`` visible
+    query-wide (ParserExpressionElement) — combined with arrayJoin in
+    EXPRESSION position (arrayJoin.cpp), both r6 frontend rewrites:
+    the alias hoists to a defining subquery, the arrayJoin to a
+    LATERAL VIEW explode.  Oracle: plain SQL with a VALUES cross
+    join."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT o_orderkey,
+               (o_orderkey % 7 AS m7) + 1 AS m7p,
+               m7,
+               CAST(arrayJoin([1, 2]) * 10 AS Int64) AS aj
+        FROM orders WHERE o_orderkey < 150 ORDER BY o_orderkey, aj""")
+
+
+@q("fn_h3_bits", """
+SELECT o_orderkey,
+       CAST(0 AS INT) AS res,
+       CAST(o_orderkey % 122 AS INT) AS bc,
+       CAST(1 AS INT) AS valid,
+       CAST(CASE WHEN o_orderkey % 122 IN
+                 (4,14,24,38,49,58,63,72,83,97,107,117)
+            THEN 1 ELSE 0 END AS INT) AS pent,
+       printf('%x', 576460752303423488
+              + (o_orderkey % 122) * 35184372088832
+              + 35184372088831) AS hs
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+def fn_h3_bits(spark, sf_dir):
+    """h3 index-format subset (functions/h3.py; reference
+    src/Functions/h3GetResolution.cpp etc., PUBLIC H3 bit layout):
+    build each base cell's res-0 index arithmetically and read it back
+    through h3GetResolution/h3GetBaseCell/h3IsValid/h3IsPentagon/
+    h3ToString.  The oracle recomputes the same bit arithmetic in
+    DuckDB and knows res-0 indexes are always valid and pentagonal
+    exactly on the 12 pentagon base cells."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 300)
+    idx = (F.lit(1 << 59) + (F.col("o_orderkey") % 122)
+           * F.lit(1 << 45) + F.lit((1 << 45) - 1))
+    return (o.select(
+        "o_orderkey",
+        ch.h3GetResolution(idx).alias("res"),
+        ch.h3GetBaseCell(idx).alias("bc"),
+        ch.h3IsValid(idx).alias("valid"),
+        ch.h3IsPentagon(idx).alias("pent"),
+        ch.h3ToString(idx).alias("hs"))
+        .orderBy("o_orderkey"))
+
+
+@q("fn_json_typed_extract", """
+WITH j AS (
+  SELECT o_orderkey,
+         '{"a": ' || CAST(o_orderkey AS VARCHAR) || ', "b": ["x", '
+         || CAST(o_orderkey + 1 AS VARCHAR) || ']}' AS js
+  FROM orders WHERE o_orderkey < 300)
+SELECT o_orderkey,
+       CAST(js->>'$.a' AS BIGINT) AS a_val,
+       json_keys(js)[2] AS k2,
+       CAST(len(json_keys(js)) AS INT) AS nk,
+       CAST(js->'$.b[0]' AS VARCHAR) AS b0
+FROM j ORDER BY o_orderkey
+""")
+def fn_json_typed_extract(spark, sf_dir):
+    """Typed JSONExtract family (FunctionsJSON.cpp; r6 frontend): the
+    CH type literal drives the Spark-side deserialization —
+    JSONExtract(js, 'a', 'Int64'), JSONKey ordinal access, object
+    width via size of the typed KV extraction, and an element through
+    the positional raw-array form.  Oracle: DuckDB's JSON operators
+    on identical documents."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        WITH j AS (
+          SELECT o_orderkey,
+                 concat('{"a": ', toString(o_orderkey), ', "b": ["x", ',
+                        toString(o_orderkey + 1), ']}') AS js
+          FROM orders WHERE o_orderkey < 300)
+        SELECT o_orderkey,
+               JSONExtract(js, 'a', 'Int64') AS a_val,
+               JSONKey(js, 2) AS k2,
+               CAST(JSONLength(js) AS Int32) AS nk,
+               arrayElement(JSONExtractArrayRaw(js, 'b'), 1) AS b0
+        FROM j ORDER BY o_orderkey""")
+
+
 @q("util_describe_exists", """
 SELECT * FROM (VALUES
   ('n_nationkey', 'Int32', 1),

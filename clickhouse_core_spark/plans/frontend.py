@@ -427,11 +427,29 @@ for _ea_name, _ea_t in (
     _RULES[f"emptyarray{_ea_name}"] = (
         lambda a, _t=_ea_t: f"CAST(array() AS ARRAY<{_t}>)")
 
-# isDecimalOverflow(x, prec) (src/Functions/isDecimalOverflow.cpp):
-# 1 when the value needs more than `prec` decimal digits
+# isDecimalOverflow(x[, prec]) (src/Functions/isDecimalOverflow.cpp):
+# 1 when the value needs more than `prec` decimal digits.  The 1-arg
+# form checks against the value's OWN declared precision — Spark
+# decimals cannot hold a value exceeding their precision, so that
+# form is identically 0 here (NULL-propagating).
 _RULES["isdecimaloverflow"] = lambda a: (
     f"CAST(abs(CAST({a[0]} AS DOUBLE)) >= power(10, {a[1]}) AS INT)"
-    if len(a) == 2 else f"isDecimalOverflow({', '.join(a)})")
+    if len(a) == 2 else
+    f"CAST(IF(CAST({a[0]} AS DOUBLE) IS NULL, NULL, 0) AS INT)")
+
+# arrayFold(λ(acc, x), arr, init) (src/Functions/array/arrayFold.cpp)
+# -> Spark aggregate(arr, init, λ) — same accumulator-first lambda
+_RULES["arrayfold"] = lambda a: (
+    f"aggregate({a[1]}, {a[2]}, {a[0]})" if len(a) == 3
+    else f"arrayFold({', '.join(a)})")
+
+# formatQuery / formatQuerySingleLine (src/Functions/formatQuery.cpp):
+# whitespace-normalized rendering (the reference re-prints through its
+# parser; the single-space normal form is the documented approximation)
+_RULES["formatquerysingleline"] = lambda a: (
+    f"regexp_replace(trim(TRAILING ';' FROM trim({a[0]})), "
+    f"'\\\\s+', ' ')")
+_RULES["formatquery"] = _RULES["formatquerysingleline"]
 
 _RULES["medianexact"] = lambda a: f"percentile({a[0]}, 0.5)"
 _RULES["mediantiming"] = lambda a: f"percentile({a[0]}, 0.5)"
@@ -1038,6 +1056,31 @@ def _tostartofinterval_rule(a):
 
 _RULES["tostartofinterval"] = _tostartofinterval_rule
 
+def _jsontype_rule(a):
+    """JSONType SQL form (FunctionsJSON.h JSONTypeImpl) — variant-
+    probed CH type name; hand-written text because the variant_get
+    TYPE argument does not survive the generic bridge's rendering."""
+    if len(a) == 1:
+        v = f"try_parse_json({a[0]})"
+    else:
+        v = (f"try_variant_get(try_parse_json({a[0]}), "
+             f"{_json_path(a)}, 'variant')")
+    s = f"schema_of_variant({v})"
+    return (f"(CASE WHEN ({v}) IS NULL THEN CAST(NULL AS STRING) "
+            f"WHEN {s} = 'VOID' THEN 'Null' "
+            f"WHEN {s} = 'STRING' THEN 'String' "
+            f"WHEN {s} = 'BOOLEAN' THEN 'Bool' "
+            f"WHEN {s} LIKE 'ARRAY%' THEN 'Array' "
+            f"WHEN {s} LIKE 'OBJECT%' OR {s} LIKE 'STRUCT%' "
+            f"THEN 'Object' "
+            f"WHEN {s} LIKE 'DECIMAL%' OR {s} LIKE 'DOUBLE%' "
+            f"OR {s} LIKE 'FLOAT%' THEN 'Float64' "
+            f"ELSE 'Int64' END)")
+
+
+_RULES["jsontype"] = _jsontype_rule
+
+
 def _json_array_raw(a):
     raw = (f"get_json_object({a[0]}, {_json_path(a)})"
            if len(a) > 1 else a[0])
@@ -1315,23 +1358,45 @@ def _rewrite_arrayjoin_fn(sql: str) -> str:
     argument into a LATERAL VIEW explode and substitute the generated
     column.  Identical argument texts share one expansion (CH
     semantics); distinct arguments multiply (cartesian) exactly like
-    chained LATERAL VIEWs.  Only fires for single-SELECT statements
-    where some arrayJoin call is NOT already a whole projection item
-    (the top-level form maps to explode directly)."""
-    if len(re.findall(r"\bSELECT\b", sql, re.IGNORECASE)) != 1:
-        return sql
-    tops = _top_level_set(sql)
+    chained LATERAL VIEWs.  Hoists only sites in the OUTER query —
+    a site is skipped when any enclosing paren group begins with
+    SELECT/WITH (it belongs to that subquery's scope); skips entirely
+    when every arrayJoin call is already a whole projection item (the
+    top-level form maps to explode directly)."""
     sites = []
-    for m in _ARRAYJOIN_FN_RE.finditer(sql):
-        try:
-            args, after = _parse_args(sql, sql.index("(", m.start()))
-        except Exception:
-            return sql
-        if len(args) != 1 or _ARRAYJOIN_FN_RE.search(args[0]):
-            return sql                 # nested arrayJoin: out of scope
-        sites.append((m.start(), after, args[0].strip()))
+    stack: list[bool] = []      # per open paren: is it a subquery?
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            nxt = sql[i + 1:i + 40].lstrip().upper()
+            stack.append(nxt.startswith(("SELECT", "WITH")))
+            i += 1
+            continue
+        if c == ")":
+            if stack:
+                stack.pop()
+            i += 1
+            continue
+        m = _ARRAYJOIN_FN_RE.match(sql, i)
+        if m:
+            try:
+                args, after = _parse_args(sql, sql.index("(", m.start()))
+            except Exception:
+                return sql
+            if len(args) != 1 or _ARRAYJOIN_FN_RE.search(args[0]):
+                return sql             # nested arrayJoin: out of scope
+            if not any(stack):
+                sites.append((m.start(), after, args[0].strip()))
+            i = after
+            continue
+        i += 1
     if not sites:
         return sql
+    tops = _top_level_set(sql)
     sm = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", sql, re.IGNORECASE)
     if sm is None:
         return sql
@@ -1943,7 +2008,8 @@ def _rewrite_sample(sql: str, sample_by: dict[str, str] | None) -> str:
 
 _ARRAY_JOIN_RE = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
 _CLAUSE_STOP_RE = re.compile(
-    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b",
+    r"\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT"
+    r"|(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\s+JOIN|JOIN)\b",
     re.IGNORECASE)
 
 
@@ -2003,27 +2069,50 @@ def _rewrite_array_join(sql: str) -> str:
                 f"ARRAY JOIN item needs AS alias: {item!r}")
         parsed.append((expr, alias, am is None))
 
+    if re.match(r"(?i)\s*((INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\s+)?"
+                r"JOIN\b", suffix):
+        raise ValueError(
+            "ARRAY JOIN followed by JOIN is not supported (Spark "
+            "lateral views cannot precede joins); wrap the ARRAY JOIN "
+            "side in an explicit subquery instead")
     implicit = [(i, e) for i, (e, a, imp) in enumerate(parsed) if imp]
     if implicit:
         # rename each implicitly-joined array column out of the way so
         # the element can take its name: FROM t -> FROM (SELECT *
-        # EXCEPT (arr), arr AS __ajsrcN FROM t) t
+        # EXCEPT (arr), arr AS __ajsrcN FROM t) t.  The source may be
+        # a bare table or a parenthesized subquery (with alias).
         fm = None
         for mm in re.finditer(r"\bFROM\s+(`?\w+`?)((?:\s+AS)?\s+\w+)?\s*$",
                               prefix, re.IGNORECASE):
             fm = mm
-        if fm is None:
-            raise ValueError(
-                "implicit ARRAY JOIN (no AS alias) needs a single-table "
-                "FROM clause; alias the elements explicitly instead")
-        table = fm.group(1).strip("`")
-        tail_alias = (fm.group(2) or "").strip() or table
+        if fm is not None:
+            table = fm.group(1).strip("`")
+            tail_alias = (fm.group(2) or "").strip() or table
+            src = table
+            from_start = fm.start()
+        else:
+            fm2 = None
+            for mm in re.finditer(r"\bFROM\b", prefix, re.IGNORECASE):
+                if mm.start() in _top_level_set(prefix):
+                    fm2 = mm
+            src_text = prefix[fm2.end():].strip() if fm2 else ""
+            am = re.fullmatch(r"(?s)(\(.*\))\s*(?:AS\s+)?(`?\w+`?)?",
+                              src_text) if src_text.startswith("(") \
+                else None
+            if am is None:
+                raise ValueError(
+                    "implicit ARRAY JOIN (no AS alias) needs a "
+                    "single-table or subquery FROM clause; alias the "
+                    "elements explicitly instead")
+            src = am.group(1)
+            tail_alias = (am.group(2) or "").strip("`") or "__ajsub"
+            from_start = fm2.start()
         cols = [e for _, e in implicit]
         renames = {e: f"__ajsrc{i}" for i, e in implicit}
         sub_q = (f"(SELECT * EXCEPT ({', '.join(cols)}), "
                  + ", ".join(f"{c} AS {renames[c]}" for c in cols)
-                 + f" FROM {table}) {tail_alias}")
-        prefix = prefix[:fm.start()] + "FROM " + sub_q
+                 + f" FROM {src}) {tail_alias}")
+        prefix = prefix[:from_start] + "FROM " + sub_q
         parsed = [(renames.get(e, e) if imp else e, a, imp)
                   for (e, a, imp) in parsed]
 

@@ -58,7 +58,12 @@ def split_statements(text: str) -> list[str]:
             comment = text[i:n if j < 0 else j]
             if "serverError" in comment or "clientError" in comment \
                     or "error" in comment.lower().split("{")[-1][:20]:
-                cur.append(" __EXPECT_ERROR__ ")
+                # the marker usually sits AFTER the ';' on the same
+                # line — attach it to the statement it annotates
+                if not "".join(cur).strip() and out:
+                    out[-1] += " __EXPECT_ERROR__ "
+                else:
+                    cur.append(" __EXPECT_ERROR__ ")
             i = n if j < 0 else j
             continue
         if c in "'`\"":
@@ -155,6 +160,9 @@ def main() -> int:
                 s = f"{type(e).__name__}: {signature(str(e))}"
                 sigs["FRONTEND"][s] += 1
                 examples.setdefault(s, stmt[:200])
+                if type(e).__name__ == "ParseException":
+                    with open("/tmp/parse_fails.txt", "a") as fh:
+                        fh.write(stmt.replace("\n", " ")[:500] + "\n")
                 continue
             try:
                 df.limit(20).collect()
