@@ -1250,6 +1250,56 @@ def _array_reduce_sql(a: list[str]) -> str:
     return forms[name]
 
 
+_QUANT_CMP_RE = re.compile(
+    r"(==|!=|<>|<=|>=|<|>|=)\s*(ANY|ALL)\s*\(", re.IGNORECASE)
+
+
+def _rewrite_quantified_comparisons(sql: str) -> str:
+    """``expr <op> ANY|ALL (subquery)`` (reference
+    src/Parsers/ExpressionListParsers.cpp quantified comparison;
+    Spark's parser has no quantified predicates):
+    ``= ANY`` -> IN, ``!= ALL`` -> NOT IN, and the general forms fold
+    the subquery to a scalar flag — ANY: max(op-holds) = 1 (empty ->
+    false), ALL: min(op-holds) = 1 (empty -> true)."""
+    while True:
+        m = None
+        for mm in _QUANT_CMP_RE.finditer(sql):
+            # the paren must open a subquery, not a call like any(x)
+            nxt = sql[mm.end():mm.end() + 30].lstrip().upper()
+            if nxt.startswith(("SELECT", "WITH")):
+                m = mm
+                break
+        if m is None:
+            return sql
+        op = "=" if m.group(1) == "==" else m.group(1)
+        quant = m.group(2).upper()
+        # balance the subquery parens
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] in "'\"":
+                j = _skip_string(sql, j)
+                continue
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        sub = sql[m.end():j - 1]
+        left_start = _expr_left_boundary(sql, m.start())
+        left = sql[left_start:m.start()].strip()
+        if op == "=" and quant == "ANY":
+            repl = f" {left} IN ({sub}) "
+        elif op in ("!=", "<>") and quant == "ALL":
+            repl = f" {left} NOT IN ({sub}) "
+        else:
+            agg = "max" if quant == "ANY" else "min"
+            empty = 0 if quant == "ANY" else 1
+            repl = (f" ((SELECT coalesce({agg}(CASE WHEN ({left}) {op} "
+                    f"__qv THEN 1 ELSE 0 END), {empty}) "
+                    f"FROM ({sub}) AS __qt(__qv)) = 1) ")
+        sql = sql[:left_start] + repl + sql[j:]
+
+
 _INLINE_ALIAS_KW = {
     "select", "from", "where", "group", "order", "having", "limit",
     "union", "intersect", "except", "on", "by", "as", "and", "or",
@@ -2436,9 +2486,9 @@ _CH_CAST_TYPES = {
     "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
     "int64": "BIGINT", "uint8": "SMALLINT", "uint16": "INT",
     "uint32": "BIGINT", "uint64": "DECIMAL(20,0)", "float32": "FLOAT",
-    "float64": "DOUBLE", "string": "STRING", "date": "DATE",
-    "date32": "DATE", "datetime": "TIMESTAMP", "datetime64": "TIMESTAMP",
-    "bool": "BOOLEAN", "uuid": "STRING",
+    "float64": "DOUBLE", "bfloat16": "FLOAT", "string": "STRING",
+    "date": "DATE", "date32": "DATE", "datetime": "TIMESTAMP",
+    "datetime64": "TIMESTAMP", "bool": "BOOLEAN", "uuid": "STRING",
 }
 _CAST_TYPE_RE = re.compile(
     r"(\bAS\s+)(" + "|".join(_CH_CAST_TYPES) + r")\b(\s*\))",
@@ -2603,8 +2653,55 @@ def _ch_type_to_sql(t: str) -> str:
     return _CH_CAST_TYPES.get(t.lower(), t)
 
 
+_COLONCOLON_COMPLEX_RE = re.compile(
+    r"::\s*(Nullable|LowCardinality|Array|Tuple|Map|Decimal|Decimal32|"
+    r"Decimal64|Decimal128|FixedString|DateTime64|Enum8|Enum16|Enum)"
+    r"\s*\(", re.IGNORECASE)
+_CAST_AS_COMPLEX_RE = re.compile(
+    r"(\bAS\s+)(Nullable|LowCardinality|Array|Tuple|Map|Decimal|"
+    r"Decimal32|Decimal64|Decimal128|FixedString|DateTime64|Enum8|"
+    r"Enum16|Enum)\s*\(", re.IGNORECASE)
+
+
 def _rewrite_cast_types(sql: str) -> str:
-    """CAST(x AS UInt32) / x::DateTime — translate CH type names."""
+    """CAST(x AS UInt32) / x::DateTime — translate CH type names.
+    Parenthesized type expressions (Nullable(T), Array(T), named
+    Tuple(...), Decimal(p,s), ...) translate through the same CH-type
+    -> Spark-DDL converter the typed-JSONExtract family uses;
+    ``::Dynamic`` (the any-type carrier) drops — values already flow
+    untyped here."""
+    # complex '::Type(...)' forms first (the scalar regex can't span
+    # parens); scan each match, balance the parens, convert
+    for pat, prefix_keep in ((_COLONCOLON_COMPLEX_RE, False),
+                             (_CAST_AS_COMPLEX_RE, True)):
+        pos = 0
+        while True:
+            m = pat.search(sql, pos)
+            if m is None:
+                break
+            open_i = sql.index("(", m.end() - 1)
+            depth, j = 1, open_i + 1
+            while j < len(sql) and depth:
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                j += 1
+            tname = (m.group(2) if prefix_keep else m.group(1))
+            ttext = f"{tname}{sql[open_i:j]}"
+            ddl = _ch_type_ddl(ttext)
+            if isinstance(ddl, tuple):
+                # positional tuple: struct with col1..colN names
+                ddl = ("STRUCT<" + ",".join(
+                    f"`col{i + 1}`:{d}" for i, d in enumerate(ddl[1]))
+                    + ">")
+            if ddl is None or ttext == ddl:
+                pos = m.end()           # unmapped / fixpoint: skip it
+                continue
+            lead = m.group(1) if prefix_keep else "::"
+            sql = sql[:m.start()] + lead + ddl + sql[j:]
+            pos = m.start() + len(lead + ddl)
+    sql = re.sub(r"::\s*Dynamic\b", "", sql, flags=re.IGNORECASE)
     sql = _CAST_TYPE_RE.sub(
         lambda m: m.group(1) + _CH_CAST_TYPES[m.group(2).lower()]
         + m.group(3), sql)
@@ -2740,6 +2837,11 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
+    # GLOBAL IN / GLOBAL NOT IN: same distribution-hint drop as
+    # GLOBAL JOIN (the broadcast decision is the planner's here)
+    sql = re.sub(r"\bGLOBAL\s+(?=(NOT\s+)?IN\b)", "", sql,
+                 flags=re.IGNORECASE)
+    sql = _rewrite_quantified_comparisons(sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
     sql = _rewrite_small_forms(sql)
@@ -3296,7 +3398,62 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     translated = translate_ch_sql(text, sample_by=sample_by)
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
-    return spark.sql(translated)
+    try:
+        return spark.sql(translated)
+    except Exception as e:
+        retried = _retry_alias_in_where(translated, e)
+        if retried is None:
+            raise
+        return spark.sql(retried)
+
+
+def _retry_alias_in_where(translated: str, err: Exception):
+    """CH allows SELECT-list aliases in WHERE/GROUP BY/HAVING
+    (reference QueryNormalizer alias substitution; SURVEY 'non-standard
+    SQL semantics').  Applied ONLY as an error-triggered retry: when
+    Spark reports an unresolved column whose name matches a projection
+    alias, substitute the alias's expression at its use sites and
+    re-plan — plain queries never pay for or change under this."""
+    m = re.search(r"name `([^`]+)` cannot be resolved", str(err))
+    if m is None:
+        return None
+    name = m.group(1)
+    # find `<expr> AS name` in the outermost select list
+    am = re.search(rf"\bAS\s+`?{re.escape(name)}`?\b", translated,
+                   re.IGNORECASE)
+    if am is None:
+        return None
+    start = _expr_left_boundary(translated, am.start())
+    expr = translated[start:am.start()].strip()
+    if not expr or expr.upper().startswith("SELECT"):
+        return None
+    # substitute standalone uses OUTSIDE the alias definition itself
+    out = []
+    i, n = 0, len(translated)
+    changed = False
+    while i < n:
+        c = translated[i]
+        if c in "'\"`":
+            j = _skip_string(translated, i)
+            out.append(translated[i:j])
+            i = j
+            continue
+        mm = _IDENT.match(translated, i)
+        if mm and mm.group(0) == name and not (start <= i <= am.end()):
+            nxt = translated[mm.end():mm.end() + 2].lstrip()[:1]
+            prev = "".join(out).rstrip()[-3:].upper()
+            if nxt != "(" and not prev.endswith("AS"):
+                out.append(f"({expr})")
+                changed = True
+                i = mm.end()
+                continue
+        if mm:
+            out.append(mm.group(0))
+            i = mm.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out) if changed else None
 
 
 # ------------------------------------------------- utility statements

@@ -144,6 +144,46 @@ def test_higher_order_array_family(spark):
         assert ch_sql(spark, sql).first().v == want, sql
 
 
+def test_quantified_comparisons(spark):
+    """expr <op> ANY|ALL (subquery) (ExpressionListParsers quantified
+    comparison) — = ANY -> IN, != ALL -> NOT IN, general forms fold to
+    a scalar flag (empty set: ANY false, ALL true)."""
+    cases = {
+        "select 1 == any (select number from numbers(10)) AS v": True,
+        "select 1 != all (select 1 from numbers(10)) AS v": False,
+        "select 1 < any (select number from numbers(10)) AS v": True,
+        "select 11 > all (select number from numbers(10)) AS v": True,
+        "select 1 >= all (select number from numbers(0)) AS v": True,
+        "select 1 < any (select number from numbers(0)) AS v": False,
+    }
+    for sql, want in cases.items():
+        assert ch_sql(spark, sql).first().v == want, sql
+
+
+def test_complex_cast_types(spark):
+    assert ch_sql(spark, "SELECT [1, 2, 3] :: Array(Int32) AS v") \
+        .first().v == [1, 2, 3]
+    assert ch_sql(spark, "SELECT CAST('7' AS Nullable(UInt64)) + 1 "
+                         "AS v").first().v == 8
+    assert ch_sql(spark, "SELECT 1.1::BFloat16 > 1 AS v").first().v
+    # ::Dynamic drops (the any-type carrier)
+    assert ch_sql(spark, "SELECT 43::Dynamic AS v").first().v == 43
+
+
+def test_alias_visible_in_where(spark):
+    """CH allows SELECT-list aliases in WHERE/GROUP BY (QueryNormalizer
+    substitution) — implemented as an error-triggered retry."""
+    got = [r.d for r in ch_sql(
+        spark, "SELECT number * 2 AS d FROM numbers(5) WHERE d > 4 "
+               "ORDER BY d").collect()]
+    assert got == [6, 8]
+    got = [r.a for r in ch_sql(
+        spark, "select number as a from numbers(10) where "
+               "a == any (select number from numbers(3, 3)) "
+               "ORDER BY a").collect()]
+    assert got == [3, 4, 5]
+
+
 def test_variadic_array_intersect(spark):
     assert _vals(spark, "SELECT arraySort(arrayIntersect([1,1,1], [3], "
                         "[2,2,2])) AS v") == [([],)]
