@@ -791,6 +791,41 @@ _RULES["ifnotfinite"] = lambda a: (
     f"THEN {a[1]} ELSE {a[0]} END")
 
 # array family SQL forms (src/Functions/array/)
+# FunctionArrayMapped: these accept an optional mapper lambda FIRST
+# (arrayDifference(x -> 0, a) diffs the mapped values) — the
+# dispatcher folds the lambda into transform() before the base rule
+_MAPPED_LAMBDA_FNS = {"arraydifference", "arraycumsum",
+                      "arraycumsumnonnegative", "arraycompact"}
+
+
+def _array_sort_rule(a, rev: bool = False):
+    """arraySort/arrayReverseSort[(key_lambda,) arr] — the lambda is a
+    SORT KEY (original values are returned); Spark's comparator-form
+    array_sort expresses it by substituting the key body for both
+    comparands."""
+    if len(a) == 1:
+        base = f"array_sort({a[0]})"
+        return f"reverse({base})" if rev else base
+    p = _lam_parts(a[0])
+    if p is None or "," in p[0]:
+        name = "arrayReverseSort" if rev else "arraySort"
+        return f"{name}({', '.join(a)})"
+    var = p[0].strip("()").strip()
+
+    def key(x: str) -> str:
+        return "(" + re.sub(rf"(?<![\w.`]){re.escape(var)}\b", x,
+                            p[1]) + ")"
+
+    lt, gt = ("1", "-1") if rev else ("-1", "1")
+    return (f"array_sort({a[1]}, (__l, __r) -> CASE "
+            f"WHEN {key('__l')} < {key('__r')} THEN {lt} "
+            f"WHEN {key('__l')} > {key('__r')} THEN {gt} "
+            f"ELSE 0 END)")
+
+
+_RULES["arraysort"] = _array_sort_rule
+_RULES["arrayreversesort"] = lambda a: _array_sort_rule(a, rev=True)
+
 _RULES["arrayzip"] = lambda a: f"arrays_zip({', '.join(a)})"
 _RULES["arrayenumerate"] = lambda a: f"sequence(1, size({a[0]}))"
 _RULES["arraydifference"] = lambda a: (
@@ -1912,6 +1947,10 @@ def _translate_expr(sql: str) -> str:
                     out.append(f"{name} ({', '.join(targs)})")
                     i = after
                     continue
+            if lname in _MAPPED_LAMBDA_FNS and len(targs) >= 2 \
+                    and "->" in targs[0]:
+                targs = ([f"transform({targs[1]}, {targs[0]})"]
+                         + targs[2:])
             if lname == "tostartofinterval" and len(args) >= 2:
                 # needs the RAW second argument (INTERVAL literal or
                 # toIntervalUnit(n) call) — translation would rewrite
@@ -3084,7 +3123,7 @@ _UPDATE_RE = re.compile(
 
 
 _COLUMNS_APPLY_RE = re.compile(
-    r"COLUMNS\(\s*'([^']+)'\s*\)(?:\s+APPLY\s*\(\s*(\w+)\s*\))?",
+    r"COLUMNS\(\s*'([^']*)'\s*\)(?:\s+APPLY\s*\(\s*(\w+)\s*\))?",
     re.IGNORECASE)
 
 
@@ -3095,13 +3134,20 @@ def _rewrite_columns_apply(spark, sql: str) -> str:
     m = _COLUMNS_APPLY_RE.search(sql)
     if not m:
         return sql
-    tm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*)", sql, re.IGNORECASE)
+    tm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*(?:\([^)]*\))?)", sql,
+                   re.IGNORECASE)
     if not tm:
         return sql
     try:
         cols = spark.table(tm.group(1)).columns
     except Exception:
-        return sql
+        # TVF / non-catalog source: probe the schema with a LIMIT 0
+        # plan of just the FROM part (numbers(), generate_series, ...)
+        try:
+            cols = spark.sql(translate_ch_sql(
+                f"SELECT * FROM {tm.group(1)} LIMIT 0")).columns
+        except Exception:
+            return sql
 
     def sub(mm):
         rx = re.compile(mm.group(1))
