@@ -438,10 +438,21 @@ _RULES["isdecimaloverflow"] = lambda a: (
     f"CAST(IF(CAST({a[0]} AS DOUBLE) IS NULL, NULL, 0) AS INT)")
 
 # arrayFold(λ(acc, x), arr, init) (src/Functions/array/arrayFold.cpp)
-# -> Spark aggregate(arr, init, λ) — same accumulator-first lambda
-_RULES["arrayfold"] = lambda a: (
-    f"aggregate({a[1]}, {a[2]}, {a[0]})" if len(a) == 3
-    else f"arrayFold({', '.join(a)})")
+# -> Spark aggregate(arr, init, λ) — same accumulator-first lambda.
+# CH also allows the UNPARENTHESIZED two-var form `acc,x -> body`,
+# which arg splitting breaks at the comma — reassemble it.
+def _arrayfold_rule(a):
+    if len(a) == 4 and "->" in a[1] \
+            and re.fullmatch(r"`?\w+`?", a[0].strip()):
+        v2, body = a[1].split("->", 1)
+        a = [f"({a[0].strip()}, {v2.strip()}) -> {body.strip()}",
+             a[2], a[3]]
+    if len(a) == 3:
+        return f"aggregate({a[1]}, {a[2]}, {a[0]})"
+    return f"arrayFold({', '.join(a)})"
+
+
+_RULES["arrayfold"] = _arrayfold_rule
 
 # formatQuery / formatQuerySingleLine (src/Functions/formatQuery.cpp):
 # whitespace-normalized rendering (the reference re-prints through its
@@ -947,6 +958,14 @@ def _ch_type_ddl(t: str):
             if isinstance(k, str) and isinstance(v, str):
                 return f"MAP<{k},{v}>"
         return None
+    m = re.fullmatch(r"(?is)Nested\s*\((.*)\)", t)
+    if m:
+        # Nested(a T, b U) is Array(Tuple(a T, b U)) flattened storage
+        inner = _ch_type_ddl(f"Tuple({m.group(1)})")
+        if isinstance(inner, tuple):
+            inner = ("STRUCT<" + ",".join(
+                f"`col{i + 1}`:{d}" for i, d in enumerate(inner[1])) + ">")
+        return f"ARRAY<{inner}>" if inner else None
     m = re.fullmatch(r"(?is)Tuple\s*\((.*)\)", t)
     if m:
         parts = _split_type_args(m.group(1))
@@ -1171,6 +1190,27 @@ _PARAMETRIC: dict = {
         f"q -> q._x = v), cast(0.0 AS double), (acc, q) -> acc + q._w) AS neg, v AS val))), "
         f"s -> s.val), 1, {p[0]})"),
     "uniqupto": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    # groupArrayMovingSum/Avg(N)(x) (AggregateFunctionMovingImpl):
+    # per-position sum over the trailing N collected values; the Avg
+    # variant divides by the WINDOW PARAMETER N (reference contract,
+    # not by the actual slice width)
+    "grouparraymovingsum": lambda p, a: (
+        f"transform(sequence(1, size(collect_list({a[0]}))), __i -> "
+        f"aggregate(slice(collect_list({a[0]}), "
+        f"greatest(1, __i - {p[0]} + 1), least(__i, {p[0]})), "
+        f"CAST(0.0 AS DOUBLE), (__s, __x) -> __s + __x))"),
+    "grouparraymovingavg": lambda p, a: (
+        f"transform(sequence(1, size(collect_list({a[0]}))), __i -> "
+        f"aggregate(slice(collect_list({a[0]}), "
+        f"greatest(1, __i - {p[0]} + 1), least(__i, {p[0]})), "
+        f"CAST(0.0 AS DOUBLE), (__s, __x) -> __s + __x) / {p[0]})"),
+    # groupArrayInsertAt(default)(x, pos) (AggregateFunctionGroupArray
+    # InsertAt.h): x lands at position pos, gaps take the default
+    "grouparrayinsertat": lambda p, a: (
+        f"transform(sequence(0, max({a[1]})), __i -> coalesce("
+        f"try_element_at(map_from_entries(collect_list(struct("
+        f"CAST({a[1]} AS INT), {a[0]}))), CAST(__i AS INT)), "
+        f"{p[0] if p else 'NULL'}))"),
     # quantileGK(accuracy)(level)(x) collapses to Spark's Greenwald-Khanna
     # approx_percentile(x, level, accuracy) — the same sketch family
     # (reference src/AggregateFunctions/AggregateFunctionGroupArraySorted…
@@ -1341,6 +1381,42 @@ _INLINE_ALIAS_KW = {
     "not", "in", "is", "null", "true", "false", "between", "like",
     "settings", "format",
 }
+
+
+_GROUPBY_SPAN_RE = re.compile(
+    r"\bGROUP\s+BY\s+(.*?)(?=\s+(WITH\s+(CUBE|ROLLUP|TOTALS)|HAVING|"
+    r"QUALIFY|ORDER\s+BY|LIMIT|SETTINGS|UNION|INTERSECT|EXCEPT)\b|$)",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _rewrite_groupby_item_aliases(sql: str) -> str:
+    """CH allows ``GROUP BY expr AS name`` with ``name`` selectable
+    (QueryNormalizer — same alias model as inline expression aliases):
+    wrap such items in parens so the inline-alias rewrite hoists them
+    into the defining subquery."""
+    m = next((mm for mm in _GROUPBY_SPAN_RE.finditer(sql)
+              if mm.start() in _top_level_set(sql)), None)
+    if m is None or re.search(r"(?i)\bGROUPING\s+SETS\b", m.group(1)):
+        return sql
+    items = _split_top_commas(m.group(1))
+    changed = False
+    out_items = []
+    for it in items:
+        it = it.strip()
+        am = re.fullmatch(r"(?is)(.*\S)\s+AS\s+(`?\w+`?)", it)
+        whole_group = re.fullmatch(r"(?is)\((.*)\)", it)
+        already = bool(
+            whole_group and re.fullmatch(
+                r"(?is)(.*\S)\s+AS\s+(`?\w+`?)", whole_group.group(1)))
+        if am and not already:
+            out_items.append(f"({am.group(1)} AS {am.group(2)})")
+            changed = True
+        else:
+            out_items.append(it)
+    if not changed:
+        return sql
+    return (sql[:m.start()] + "GROUP BY " + ", ".join(out_items)
+            + sql[m.end():])
 
 
 def _rewrite_inline_aliases(sql: str) -> str:
@@ -2528,6 +2604,10 @@ _CH_CAST_TYPES = {
     "float64": "DOUBLE", "bfloat16": "FLOAT", "string": "STRING",
     "date": "DATE", "date32": "DATE", "datetime": "TIMESTAMP",
     "datetime64": "TIMESTAMP", "bool": "BOOLEAN", "uuid": "STRING",
+    # IP types carry their canonical text form here (the reference
+    # stores UInt32/FixedString(16) and renders on output; validation
+    # via toIPv4OrNull/toIPv6OrNull)
+    "ipv4": "STRING", "ipv6": "STRING",
 }
 _CAST_TYPE_RE = re.compile(
     r"(\bAS\s+)(" + "|".join(_CH_CAST_TYPES) + r")\b(\s*\))",
@@ -2539,7 +2619,7 @@ _COLONCOLON_TYPE_RE = re.compile(
 _TERNARY_STOP_KW = {
     "select", "from", "where", "and", "or", "then", "else", "when",
     "group", "order", "having", "limit", "union", "as", "on", "by",
-    "qualify", "settings", "prewhere", "end",
+    "qualify", "settings", "prewhere", "end", "distinct",
 }
 
 
@@ -2693,11 +2773,11 @@ def _ch_type_to_sql(t: str) -> str:
 
 
 _COLONCOLON_COMPLEX_RE = re.compile(
-    r"::\s*(Nullable|LowCardinality|Array|Tuple|Map|Decimal|Decimal32|"
+    r"::\s*(Nullable|LowCardinality|Array|Tuple|Nested|Map|Decimal|Decimal32|"
     r"Decimal64|Decimal128|FixedString|DateTime64|Enum8|Enum16|Enum)"
     r"\s*\(", re.IGNORECASE)
 _CAST_AS_COMPLEX_RE = re.compile(
-    r"(\bAS\s+)(Nullable|LowCardinality|Array|Tuple|Map|Decimal|"
+    r"(\bAS\s+)(Nullable|LowCardinality|Array|Tuple|Nested|Map|Decimal|"
     r"Decimal32|Decimal64|Decimal128|FixedString|DateTime64|Enum8|"
     r"Enum16|Enum)\s*\(", re.IGNORECASE)
 
@@ -2886,6 +2966,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_small_forms(sql)
     sql = _rewrite_double_quoted_idents(sql)
     sql = _rewrite_distinct_on(sql)
+    sql = _rewrite_groupby_item_aliases(sql)
     sql = _rewrite_inline_aliases(sql)
     sql = _rewrite_null_coalesce_op(sql)
     sql = _rewrite_ternary(sql)
