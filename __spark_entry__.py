@@ -3292,6 +3292,34 @@ def fn_json_typed_extract(spark, sf_dir):
         FROM j ORDER BY o_orderkey""")
 
 
+@q("ch_sql_quantified_groupby", """
+SELECT g, cnt, has_big
+FROM (
+  SELECT o_orderkey % 5 AS g, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(max(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) = 1
+              AS BOOLEAN) AS has_big
+  FROM orders WHERE o_orderkey < 2000 GROUP BY o_orderkey % 5)
+WHERE g IN (SELECT r_regionkey FROM region)
+ORDER BY g
+""")
+def ch_sql_quantified_groupby(spark, sf_dir):
+    """Quantified comparisons (= ANY -> IN; general ANY folds to a
+    max-flag scalar subquery) + GROUP BY item aliases (QueryNormalizer
+    alias model), both r6 frontend rewrites, against a plain-SQL
+    oracle."""
+    _cat(spark, sf_dir)
+    return ch_sql(spark, """
+        SELECT g, count(*) AS cnt,
+               max(o_totalprice > 200000 ? 1 : 0) = 1 AS has_big
+        FROM orders
+        WHERE o_orderkey < 2000
+          AND o_orderkey % 5 == any (SELECT r_regionkey FROM region)
+        GROUP BY o_orderkey % 5 AS g
+        ORDER BY g""") \
+        .select("g", F.col("cnt").cast("long").alias("cnt"),
+                F.col("has_big").cast("boolean").alias("has_big"))
+
+
 @q("util_describe_exists", """
 SELECT * FROM (VALUES
   ('n_nationkey', 'Int32', 1),

@@ -30,6 +30,42 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.lit(x)
 
 
+def _make_date_doy(y, doy, lo_year: int, hi_year: int) -> Column:
+    """makeDate(year, dayofyear) 2-arg form (makeDate.cpp): same
+    default-on-invalid contract."""
+    yy = _c(y).cast("int")
+    dd = _c(doy).cast("int")
+    yc = F.greatest(F.least(yy, F.lit(hi_year)), F.lit(lo_year))
+    max_doy = F.dayofyear(F.make_date(yc, F.lit(12), F.lit(31)))
+    valid = yy.between(lo_year, hi_year) & dd.between(1, max_doy)
+    return (F.when(yy.isNull() | dd.isNull(), F.lit(None).cast("date"))
+            .when(valid, F.date_add(F.make_date(yc, F.lit(1), F.lit(1)),
+                                    F.greatest(dd, F.lit(1)) - 1))
+            .otherwise(F.lit("1970-01-01").cast("date")))
+
+
+def _make_date_impl(y, m, d, lo_year: int, hi_year: int) -> Column:
+    """makeDate/makeDate32 (src/Functions/makeDate.cpp): any invalid
+    or out-of-range combination yields the DEFAULT date 1970-01-01
+    (not NULL, not a clamp); NULL inputs propagate NULL.  The
+    day-in-month probe clamps its inputs so the check itself never
+    throws under ANSI."""
+    yy = _c(y).cast("int")
+    mm = _c(m).cast("int")
+    dd = _c(d).cast("int")
+    yc = F.greatest(F.least(yy, F.lit(hi_year)), F.lit(lo_year))
+    mc = F.greatest(F.least(mm, F.lit(12)), F.lit(1))
+    max_day = F.dayofmonth(F.last_day(F.make_date(yc, mc, F.lit(1))))
+    valid = (yy.between(lo_year, hi_year) & mm.between(1, 12)
+             & dd.between(1, max_day))
+    return (F.when(yy.isNull() | mm.isNull() | dd.isNull(),
+                   F.lit(None).cast("date"))
+            .when(valid, F.make_date(yc, mc,
+                                     F.greatest(F.least(dd, max_day),
+                                                F.lit(1))))
+            .otherwise(F.lit("1970-01-01").cast("date")))
+
+
 # --------------------------------------------------------------- datetime
 # Reference: src/Functions/DateTimeTransforms.h, toStartOfInterval.cpp,
 # dateDiff.cpp, formatDateTime.cpp.
@@ -357,7 +393,12 @@ _ROUND = {
     "roundBankers": lambda x, n=0: F.bround(_c(x), n),
     "floor": lambda x, n=0: (F.floor(_c(x) * (10 ** n)) / (10 ** n)) if n else F.floor(_c(x)),
     "ceil": lambda x, n=0: (F.ceil(_c(x) * (10 ** n)) / (10 ** n)) if n else F.ceil(_c(x)),
-    "trunc": lambda x: _c(x).cast("long"),
+    # truncate toward zero; optional scale keeps s decimal digits
+    # (FunctionsRound.h truncate) — BIGINT cast truncates toward zero
+    "trunc": lambda x, s=None: (
+        _c(x).cast("long") if s is None else
+        (_c(x) * F.pow(F.lit(10.0), _c(s).cast("int"))).cast("bigint")
+        / F.pow(F.lit(10.0), _c(s).cast("int"))),
     "roundToExp2": lambda x: F.when(_c(x) < 1, 0).otherwise(
         F.pow(F.lit(2.0), F.floor(F.log2(_c(x)))).cast("long")),
     # below the lowest bound the reference returns the bound itself
@@ -996,10 +1037,17 @@ _DT2 = {
     "toRelativeHourNum": lambda x: (F.unix_timestamp(_c(x)) / 3600).cast("long"),
     "toRelativeMinuteNum": lambda x: (F.unix_timestamp(_c(x)) / 60).cast("long"),
     "toRelativeSecondNum": lambda x: F.unix_timestamp(_c(x)),
-    # CH coerces Bool/float args to integers (makeDate.cpp accepts any
-    # number type) — cast explicitly so make_date's INT contract holds
-    "makeDate": lambda y, m, d: F.make_date(
-        _c(y).cast("int"), _c(m).cast("int"), _c(d).cast("int")),
+    # CH coerces Bool/float args to integers and returns the DEFAULT
+    # date (1970-01-01) for any invalid/out-of-range combination
+    # (makeDate.cpp; verified against 02243_make_date32.reference) —
+    # NULL inputs stay NULL.  Date range [1970,2149], Date32
+    # [1900,2299].
+    "makeDate": lambda y, m, d=None: (
+        _make_date_doy(y, m, 1970, 2149) if d is None
+        else _make_date_impl(y, m, d, 1970, 2149)),
+    "makeDate32": lambda y, m, d=None: (
+        _make_date_doy(y, m, 1900, 2299) if d is None
+        else _make_date_impl(y, m, d, 1900, 2299)),
     "makeDateTime": lambda y, mo, d, h, mi, s: F.make_timestamp(
         _c(y), _c(mo), _c(d), _c(h), _c(mi), _c(s)),
     "parseDateTimeBestEffort": _parse_best_effort,
@@ -3786,7 +3834,6 @@ _ALIAS_NAMES.update({
     # src/Functions/caseWithExpression.cpp, multiIf.cpp aliases)
     "caseWithExpr": "caseWithExpression",
     # Date32 covers the same range as Spark's DateType — same builder
-    "makeDate32": "makeDate",
     "overlayUTF8": "overlay",
     "caseWithoutExpr": "multiIf",
     "caseWithoutExpression": "multiIf",

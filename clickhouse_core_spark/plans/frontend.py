@@ -462,6 +462,14 @@ _RULES["formatquerysingleline"] = lambda a: (
     f"'\\\\s+', ' ')")
 _RULES["formatquery"] = _RULES["formatquerysingleline"]
 
+# CH trunc/truncate is NUMERIC truncation toward zero (FunctionsRound.h)
+# — shadow Spark's date-trunc builtin, which CH spells toStartOf*
+_RULES["trunc"] = lambda a: (
+    f"CAST({a[0]} AS BIGINT)" if len(a) == 1 else
+    f"(CAST(({a[0]}) * power(10, {a[1]}) AS BIGINT) "
+    f"/ power(10, {a[1]}))")
+_RULES["truncate"] = _RULES["trunc"]
+
 _RULES["medianexact"] = lambda a: f"percentile({a[0]}, 0.5)"
 _RULES["mediantiming"] = lambda a: f"percentile({a[0]}, 0.5)"
 _RULES["medianbfloat16"] = lambda a: f"percentile({a[0]}, 0.5)"
@@ -1783,7 +1791,17 @@ def _wrap_subscript(prev: str, idx_expr: str) -> str | None:
         start = m.start()
     operand = s[start:]
     # try_element_at: out-of-range subscripts yield NULL instead of an
-    # ANSI-mode error (sessions must be able to run with ANSI on)
+    # ANSI-mode error (sessions must be able to run with ANSI on).
+    # Index 0 still throws INVALID_INDEX_OF_ZERO in Spark — CH returns
+    # the default value there; NULL is the closest carrier.
+    idx = idx_expr.strip()
+    if re.fullmatch(r"(?i)(cast\s*\(\s*[+-]?0\s+as\s+[a-z0-9_]+\s*\)"
+                    r"|[+-]?0(\s*::\s*[a-z0-9_()]+)?)", idx):
+        # literal index 0 (possibly typed): typed NULL via a dead
+        # branch that pins the element type
+        return (s[:start]
+                + f"IF(true, NULL, try_element_at({operand}, 1))"
+                + trail)
     return s[:start] + f"try_element_at({operand}, {idx_expr})" + trail
 
 

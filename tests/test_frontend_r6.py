@@ -184,6 +184,44 @@ def test_alias_visible_in_where(spark):
     assert got == [3, 4, 5]
 
 
+def test_makedate_default_on_invalid(spark):
+    """makeDate/makeDate32 return the DEFAULT 1970-01-01 for any
+    invalid or out-of-range input (02243_make_date32.reference);
+    NULLs propagate."""
+    cases = {
+        "SELECT toString(makeDate32(1980, 10, 17)) AS v": "1980-10-17",
+        "SELECT toString(makeDate32(-1980, 10, 17)) AS v": "1970-01-01",
+        "SELECT toString(makeDate32(1984, 2, 30)) AS v": "1970-01-01",
+        "SELECT toString(makeDate32(19800, 12, 3)) AS v": "1970-01-01",
+        "SELECT toString(makeDate(1969, 8, 24)) AS v": "1970-01-01",
+        "SELECT toString(makeDate32(1901, 8, 24)) AS v": "1901-08-24",
+        "SELECT makeDate32(NULL, 1, 1) AS v": None,
+    }
+    for sql, want in cases.items():
+        assert ch_sql(spark, sql).first().v == want, sql
+
+
+def test_subscript_zero_and_moving_aggs(spark):
+    assert ch_sql(spark, "SELECT [1,2,3][0] AS v").first().v is None
+    assert ch_sql(spark, "SELECT [1,2,3][-1] AS v").first().v == 3
+    got = ch_sql(spark, "SELECT groupArrayMovingSum(3)(number) AS v "
+                        "FROM numbers(6)").first().v
+    assert got == [0.0, 1.0, 3.0, 6.0, 9.0, 12.0]
+    got = ch_sql(spark, "SELECT groupArrayMovingAvg(2)(number) AS v "
+                        "FROM numbers(4)").first().v
+    assert got == [0.0, 0.5, 1.5, 2.5]
+    got = ch_sql(spark, "SELECT arrayFold( acc,x -> acc+x*2, "
+                        "[1, 2, 3, 4], toInt64(3)) AS v").first().v
+    assert got == 23
+
+
+def test_groupby_item_aliases(spark):
+    got = [tuple(r) for r in ch_sql(
+        spark, "SELECT a, count(*) AS c FROM numbers(6) "
+               "GROUP BY number % 2 AS a ORDER BY a").collect()]
+    assert got == [(0, 3), (1, 3)]
+
+
 def test_variadic_array_intersect(spark):
     assert _vals(spark, "SELECT arraySort(arrayIntersect([1,1,1], [3], "
                         "[2,2,2])) AS v") == [([],)]
