@@ -1255,6 +1255,18 @@ _PARAMETRIC: dict = {
         f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"),
     "quantilesexact": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}))"),
+    # ExactInclusive IS the R-7 interpolation percentile computes;
+    # the exclusive plural maps each level through the single-level
+    # exclusive rewrite
+    "quantilesexactinclusive": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"),
+    "quantilesexactexclusive": lambda p, a: (
+        "array(" + ", ".join(
+            _PARAMETRIC["quantileexactexclusive"]([pp], a) for pp in p)
+        + ")"),
+    "quantilesinterpolatedweighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"),
     "quantilestiming": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}))"),
     "quantilestdigest": lambda p, a: (
@@ -2974,6 +2986,15 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
+    # CH join modifier order: SEMI/ANTI come BEFORE the direction
+    # (ParserJoin) — Spark wants LEFT SEMI/LEFT ANTI; ALL is CH's
+    # default multiplicity keyword and drops
+    sql = re.sub(r"\bSEMI\s+LEFT\s+JOIN\b", "LEFT SEMI JOIN", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bANTI\s+LEFT\s+JOIN\b", "LEFT ANTI JOIN", sql,
+                 flags=re.IGNORECASE)
+    sql = re.sub(r"\bALL\s+(?=(LEFT|RIGHT|FULL|INNER)\s+"
+                 r"(OUTER\s+)?JOIN\b)", "", sql, flags=re.IGNORECASE)
     # GLOBAL IN / GLOBAL NOT IN: same distribution-hint drop as
     # GLOBAL JOIN (the broadcast decision is the planner's here)
     sql = re.sub(r"\bGLOBAL\s+(?=(NOT\s+)?IN\b)", "", sql,
