@@ -52,9 +52,24 @@ def with_fill(
     if to_val is not None:
         bounds = bounds.withColumn("__hi", F.lit(to_val).cast(df.schema[fill_col].dataType))
 
-    spine = bounds.select(
-        *partition,
-        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step_expr)).alias(fill_col))
+    ftype = df.schema[fill_col].dataType.simpleString()
+    if ftype in ("float", "double"):
+        # sequence() takes integral/temporal bounds — generate the
+        # float progression as lo + i*step over an integer index
+        n = F.floor((F.col("__hi") - F.col("__lo")) / F.lit(step)) \
+            .cast("long")
+        spine = (bounds
+                 .select(*partition, "__lo",
+                         F.explode(F.sequence(F.lit(0).cast("long"), n))
+                         .alias("__i"))
+                 .select(*partition,
+                         (F.col("__lo") + F.col("__i") * F.lit(step))
+                         .cast(ftype).alias(fill_col)))
+    else:
+        spine = bounds.select(
+            *partition,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                                 step_expr)).alias(fill_col))
 
     joined = spine.join(df, on=partition + [fill_col], how="left")
 

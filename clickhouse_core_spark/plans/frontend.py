@@ -3053,8 +3053,9 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
 
 
 _WITH_FILL_RE = re.compile(
-    r"ORDER\s+BY\s+(`?\w+`?)\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?\s*$",
+    r"ORDER\s+BY\s+(`?\w+`?)\s+(?:ASC\s+|DESC\s+)?WITH\s+FILL"
+    r"(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?(?:\s+STEP\s+(\S+))?"
+    r"(?:\s+LIMIT\s+(\d+))?\s*$",
     re.IGNORECASE)
 
 
@@ -3555,15 +3556,24 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         from ..operators.fill import with_fill
         col = m.group(1).strip("`")
         base = text[:m.start()].rstrip()
-        df = spark.sql(translate_ch_sql(base, sample_by=sample_by))
+        df = _run_sql(spark, translate_ch_sql(base, sample_by=sample_by))
         filled = with_fill(df, col,
                            step=_fill_literal(m.group(4)) or 1,
                            from_val=_fill_literal(m.group(2)),
                            to_val=_fill_literal(m.group(3)))
-        return filled.orderBy(col)
+        filled = filled.orderBy(col)
+        if m.group(5):                  # trailing LIMIT after the fill
+            filled = filled.limit(int(m.group(5)))
+        return filled
     translated = translate_ch_sql(text, sample_by=sample_by)
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
+    return _run_sql(spark, translated)
+
+
+def _run_sql(spark, translated: str):
+    """spark.sql with the alias-in-WHERE retry (see
+    _retry_alias_in_where)."""
     try:
         return spark.sql(translated)
     except Exception as e:
