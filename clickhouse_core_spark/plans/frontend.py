@@ -2264,12 +2264,10 @@ def _rewrite_array_join(sql: str) -> str:
                 f"ARRAY JOIN item needs AS alias: {item!r}")
         parsed.append((expr, alias, am is None))
 
-    if re.match(r"(?i)\s*((INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\s+)?"
-                r"JOIN\b", suffix):
-        raise ValueError(
-            "ARRAY JOIN followed by JOIN is not supported (Spark "
-            "lateral views cannot precede joins); wrap the ARRAY JOIN "
-            "side in an explicit subquery instead")
+    join_follows = bool(
+        re.match(r"(?i)\s*((INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\s+)?"
+                 r"JOIN\b", suffix))
+    hidden: list[str] = []
     implicit = [(i, e) for i, (e, a, imp) in enumerate(parsed) if imp]
     if implicit:
         # rename each implicitly-joined array column out of the way so
@@ -2304,6 +2302,7 @@ def _rewrite_array_join(sql: str) -> str:
             from_start = fm2.start()
         cols = [e for _, e in implicit]
         renames = {e: f"__ajsrc{i}" for i, e in implicit}
+        hidden.extend(renames.values())
         sub_q = (f"(SELECT * EXCEPT ({', '.join(cols)}), "
                  + ", ".join(f"{c} AS {renames[c]}" for c in cols)
                  + f" FROM {src}) {tail_alias}")
@@ -2342,6 +2341,15 @@ def _rewrite_array_join(sql: str) -> str:
             return text
         prefix, suffix = apply_subs(prefix), apply_subs(suffix)
 
+    if join_follows:
+        # Spark lateral views cannot precede joins — wrap the exploded
+        # relation in a subquery so the JOIN applies to the expansion:
+        # SELECT P FROM F ARRAY JOIN a JOIN t ...
+        #   -> SELECT P FROM (SELECT * FROM F <lateral>) __ajq JOIN t ...
+        proj, rest = _split_select(prefix)
+        inner_star = f"* EXCEPT (__ajp{''.join(', ' + h for h in hidden)})"
+        return (f"SELECT {proj} FROM (SELECT {inner_star} FROM {rest} "
+                f"{lateral}) __ajq {suffix}")
     return prefix + lateral + suffix
 
 
