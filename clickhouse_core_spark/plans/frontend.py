@@ -1198,6 +1198,29 @@ _PARAMETRIC: dict = {
         f"q -> q._x = v), cast(0.0 AS double), (acc, q) -> acc + q._w) AS neg, v AS val))), "
         f"s -> s.val), 1, {p[0]})"),
     "uniqupto": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    # histogram(N)(x) (AggregateFunctionHistogram.h): the reference's
+    # adaptive-binning sketch is order-dependent by contract; this is
+    # the deterministic equal-width refinement over [min, max] —
+    # (lo, hi, height) triples like the reference's output shape
+    "histogram": lambda p, a: (
+        f"transform(sequence(0, {p[0]} - 1), __b -> struct("
+        f"array_min(collect_list(CAST({a[0]} AS DOUBLE))) + __b * "
+        f"((array_max(collect_list(CAST({a[0]} AS DOUBLE))) - "
+        f"array_min(collect_list(CAST({a[0]} AS DOUBLE)))) / {p[0]}) "
+        f"AS col1, "
+        f"array_min(collect_list(CAST({a[0]} AS DOUBLE))) + (__b + 1) * "
+        f"((array_max(collect_list(CAST({a[0]} AS DOUBLE))) - "
+        f"array_min(collect_list(CAST({a[0]} AS DOUBLE)))) / {p[0]}) "
+        f"AS col2, "
+        f"CAST(size(filter(collect_list(CAST({a[0]} AS DOUBLE)), "
+        f"__v -> __v >= array_min(collect_list(CAST({a[0]} AS DOUBLE))) "
+        f"+ __b * ((array_max(collect_list(CAST({a[0]} AS DOUBLE))) - "
+        f"array_min(collect_list(CAST({a[0]} AS DOUBLE)))) / {p[0]}) "
+        f"AND (__b = {p[0]} - 1 OR __v < "
+        f"array_min(collect_list(CAST({a[0]} AS DOUBLE))) + (__b + 1) * "
+        f"((array_max(collect_list(CAST({a[0]} AS DOUBLE))) - "
+        f"array_min(collect_list(CAST({a[0]} AS DOUBLE)))) / {p[0]})))) "
+        f"AS DOUBLE) AS col3))"),
     # groupArrayMovingSum/Avg(N)(x) (AggregateFunctionMovingImpl):
     # per-position sum over the trailing N collected values; the Avg
     # variant divides by the WINDOW PARAMETER N (reference contract,
