@@ -462,6 +462,18 @@ _RULES["formatquerysingleline"] = lambda a: (
     f"'\\\\s+', ' ')")
 _RULES["formatquery"] = _RULES["formatquerysingleline"]
 
+# boundingRatio(x, y) (AggregateFunctionBoundingRatio.h): slope
+# between the leftmost and rightmost points
+_RULES["boundingratio"] = lambda a: (
+    f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) "
+    f"/ (max({a[0]}) - min({a[0]})))")
+
+# isNullable (src/Functions/isNullable.cpp): whether the argument's
+# TYPE is Nullable — every Spark column/expression is nullable, so
+# this engine's truthful answer is 1 (toNullable is already the
+# identity here for the same reason)
+_RULES["isnullable"] = lambda a: "CAST(1 AS TINYINT)"
+
 # CH trunc/truncate is NUMERIC truncation toward zero (FunctionsRound.h)
 # — shadow Spark's date-trunc builtin, which CH spells toStartOf*
 _RULES["trunc"] = lambda a: (
@@ -1117,6 +1129,25 @@ def _tostartofinterval_rule(a):
 
 
 _RULES["tostartofinterval"] = _tostartofinterval_rule
+
+
+def _toyearweek_rule(a):
+    """toYearWeek(date[, mode]) (src/Functions/toYearWeek.cpp — MySQL
+    WEEK mode table).  Modes 1/3 are ISO Monday-start weeks: the year
+    is the ISO week-year (year of that week's Thursday).  Other modes
+    (Sunday-start families) are not mapped — raise by name rather
+    than emit wrong week numbers."""
+    mode = a[1].strip() if len(a) > 1 else "0"
+    if mode not in ("1", "3"):
+        raise NotImplementedError(
+            f"toYearWeek: only ISO modes 1/3 are mapped (got {mode})")
+    d = f"CAST({a[0]} AS DATE)"
+    dow_mon1 = f"(pmod(dayofweek({d}) + 5, 7) + 1)"
+    thursday = f"date_add({d}, 4 - {dow_mon1})"
+    return f"(year({thursday}) * 100 + weekofyear({d}))"
+
+
+_RULES["toyearweek"] = _toyearweek_rule
 
 def _jsontype_rule(a):
     """JSONType SQL form (FunctionsJSON.h JSONTypeImpl) — variant-
@@ -2697,9 +2728,9 @@ def _expr_left_boundary(sql: str, pos: int) -> int:
                 k -= 1
             j = k - 1
             continue
-        if c == ")":
+        if c in ")]":
             depth += 1
-        elif c == "(":
+        elif c in "([":
             if depth == 0:
                 return j + 1
             depth -= 1
@@ -2728,9 +2759,9 @@ def _expr_right_boundary(sql: str, pos: int) -> int:
         if c in "'\"":
             i = _skip_string(sql, i)
             continue
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             if depth == 0:
                 return i
             depth -= 1
