@@ -2501,6 +2501,31 @@ def _rewrite_small_forms(sql: str) -> str:
     out, i = [], 0
     while i < len(sql):
         c = sql[i]
+        # MySQL-style b'bits' / x'hex' STRING literals (ParserLiteral):
+        # decode to bytes (left-padded to whole bytes) and carry as
+        # CAST(unhex(...) AS STRING) — CH types these as String
+        if c in "bBxX" and i + 1 < len(sql) and sql[i + 1] == "'" \
+                and not (out and re.search(r"[\w`]$", out[-1])):
+            j = _skip_string(sql, i + 1)
+            body = sql[i + 2:j - 1]
+            try:
+                if c in "bB":
+                    if not re.fullmatch(r"[01]*", body):
+                        raise ValueError
+                    nbytes = (len(body) + 7) // 8
+                    hx = (int(body, 2).to_bytes(nbytes, "big").hex()
+                          if body else "")
+                else:
+                    if not re.fullmatch(r"[0-9A-Fa-f]*", body):
+                        raise ValueError
+                    hx = body.lower()
+                    if len(hx) % 2:
+                        hx = "0" + hx
+                out.append(f"CAST(unhex('{hx}') AS STRING)")
+                i = j
+                continue
+            except ValueError:
+                pass
         if c in "'\"":
             j = _skip_string(sql, i)
             out.append(sql[i:j])
