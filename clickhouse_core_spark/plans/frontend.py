@@ -1378,10 +1378,20 @@ _PARAMETRIC["approx_top_sum"] = _PARAMETRIC["topkweighted"]
 
 
 def _array_reduce_sql(a: list[str]) -> str:
-    """arrayReduce('agg', arr) SQL form (reference
-    src/Functions/array/arrayReduce.cpp) — constant-name dispatch."""
+    """arrayReduce('agg', arr...) SQL form (reference
+    src/Functions/array/arrayReduce.cpp) — constant-name dispatch.
+    The -If combinator composes (AggregateFunctionIf.h): the LAST
+    array is the condition vector; the value arrays filter to the
+    positions where it is nonzero before the base aggregate."""
     name = a[0].strip().strip("'\"").lower()
     arr = a[1]
+    if name.endswith("if") and name != "if" and len(a) >= 3:
+        base = name[:-2]
+        cond = a[-1]
+        # keep value elements whose paired condition is nonzero
+        arr = (f"transform(filter(arrays_zip({arr}, {cond}), "
+               f"__p -> CAST(__p['1'] AS BOOLEAN)), __p -> __p['0'])")
+        name = base
     forms = {
         "sum": f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)",
         "min": f"array_min({arr})",
@@ -1389,10 +1399,12 @@ def _array_reduce_sql(a: list[str]) -> str:
         "count": f"CAST(size({arr}) AS BIGINT)",
         "avg": f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
                f" / size({arr})",
-        "any": f"element_at({arr}, 1)",
-        "anylast": f"element_at({arr}, -1)",
+        "any": f"try_element_at({arr}, 1)",
+        "anylast": f"try_element_at({arr}, -1)",
         "uniqexact": f"CAST(size(array_distinct({arr})) AS BIGINT)",
         "uniq": f"CAST(size(array_distinct({arr})) AS BIGINT)",
+        "grouparray": arr,
+        "groupuniqarray": f"array_distinct({arr})",
     }
     if name not in forms:
         raise NotImplementedError(f"arrayReduce: aggregate {name!r} not mapped")
