@@ -7284,29 +7284,34 @@ def ch_sql_with_totals_q(spark, sf_dir):
 
 
 @q("ch_sql_agg_aliases", """
-WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
-           FROM orders GROUP BY 1, 2),
-tk AS (SELECT o_orderpriority, o_orderstatus AS top_status FROM (
-         SELECT *, row_number() OVER (PARTITION BY o_orderpriority
-                   ORDER BY cnt DESC, o_orderstatus) AS rk FROM c) WHERE rk = 1),
+WITH tk AS (SELECT o_orderpriority,
+                   array_to_string(list_sort(list(DISTINCT o_orderstatus)),
+                                   ',') AS top_statuses
+            FROM orders GROUP BY 1),
 m AS (SELECT o_orderpriority, CAST(min(o_custkey) AS VARCHAR) AS gc,
-             sum(o_custkey) AS s, CAST(count(o_custkey) AS BIGINT) AS n
+             CAST(sum(o_custkey) AS BIGINT) AS s,
+             CAST(count(o_custkey) AS BIGINT) AS n
       FROM orders GROUP BY 1)
-SELECT m.o_orderpriority, tk.top_status, m.gc, m.s, m.n
+SELECT m.o_orderpriority, tk.top_statuses, m.gc, m.s, m.n
 FROM m JOIN tk USING (o_orderpriority) ORDER BY o_orderpriority
 """)
 def ch_sql_agg_aliases_q(spark, sf_dir):
     """approx_top_k (topK alias), groupConcat(sep), sumCount and
-    arrayElement through the CH-SQL frontend (reference
+    arraySort/arrayStringConcat through the CH-SQL frontend (reference
     AggregateFunctionTopK.cpp alias registrations,
-    AggregateFunctionGroupConcat.cpp, AggregateFunctionSumCount.cpp,
-    src/Functions/array/arrayElement.cpp — CH arrays are 1-based).
-    groupConcat's arbitrary insertion order is pinned by feeding it
-    exactly one value per group."""
+    AggregateFunctionGroupConcat.cpp, AggregateFunctionSumCount.cpp).
+    topK's within-sketch order is insertion/count dependent, so the
+    entry takes ALL k=3 statuses (the sketch is exact at 3 distinct
+    values) and sorts them — deterministic regardless of run order;
+    the r06 red on this row was a count-tie between 'F' and 'O'
+    resolved arbitrarily by the k=1 sketch.  groupConcat's arbitrary
+    insertion order is pinned by feeding it exactly one value per
+    group."""
     _cat(spark, sf_dir)
     return ch_sql(spark, """
         SELECT o_orderpriority,
-               arrayElement(approx_top_k(1)(o_orderstatus), 1) AS top_status,
+               arrayStringConcat(arraySort(approx_top_k(3)(o_orderstatus)),
+                                 ',') AS top_statuses,
                groupConcat(';')(mn) AS gc,
                sumCount(o_custkey).col1 AS s,
                sumCount(o_custkey).col2 AS n
