@@ -172,3 +172,33 @@ def test_fn_entry_executes_on_fixture_edges_under_ansi(spark, name):
     finally:
         spark.conf.set("spark.sql.ansi.enabled", old)
     assert rows  # fixture-backed entries always produce rows
+
+
+def test_no_hugeint_oracle_output_columns():
+    """r6 lesson (ch_sql_agg_aliases): DuckDB types integer sum() as
+    HUGEINT (int128); the driver's pandas conversion renders HUGEINT
+    differently from Spark's BIGINT (object/float64 carrier), so an
+    uncast integer aggregate in an oracle is a latent hash-red even
+    when the values are identical.  Plan every oracle with DuckDB and
+    fail on any HUGEINT/UHUGEINT output column — fix is
+    CAST(... AS BIGINT) on the oracle side."""
+    import duckdb
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = {}
+    for name, sql in _ORACLES.items():
+        try:
+            rel = con.sql(sql)
+        except Exception:
+            continue  # oracle validity is the correctness gate's job
+        hits = [c for c, ty in zip(rel.columns, map(str, rel.types))
+                if ty in ("HUGEINT", "UHUGEINT")]
+        if hits:
+            bad[name] = hits
+    assert not bad, (
+        f"oracle output columns typed HUGEINT (cast to BIGINT): {bad}")
