@@ -31,6 +31,15 @@ def _fn(name):
     return lambda a: f"{name}({', '.join(a)})"
 
 
+def _pyre_to_java(pattern_arg: str) -> str:
+    """RE2/PCRE named groups ``(?P<name>...)`` → Java's ``(?<name>...)``
+    for literal pattern arguments (the reference's regexps are RE2)."""
+    p = pattern_arg.strip()
+    if len(p) >= 2 and p[0] == "'" and p[-1] == "'":
+        return "'" + p[1:-1].replace("(?P<", "(?<") + "'"
+    return pattern_arg
+
+
 def _re_group_idx(pattern_arg: str) -> int:
     """CH extract() returns the first capture group when the pattern
     has one, else the whole match (src/Functions/extract.cpp) — pick
@@ -95,11 +104,27 @@ _RULES: dict = {
     "tostartofhour": lambda a: f"date_trunc('hour', {a[0]})",
     "tostartofminute": lambda a: f"date_trunc('minute', {a[0]})",
     "tomonday": lambda a: f"date_trunc('week', {a[0]})",
-    "todate": _fn("to_date"),
-    # toDateTime[64](x[, scale][, tz]): Spark timestamps are µs-fixed,
-    # the scale argument only selects display precision in the reference
-    "todatetime": lambda a: f"to_timestamp({a[0]})",
-    "todatetime64": lambda a: f"to_timestamp({a[0]})",
+    # toDate/toDateTime[64](x[, scale][, tz]): the optional trailing
+    # string argument is a TIMEZONE, never a format (reference
+    # src/Functions/FunctionsConversion.cpp) — interpret x as an epoch
+    # or timestamp string and shift its wall clock into tz.  Spark
+    # timestamps are µs-fixed; the scale argument only selects display
+    # precision in the reference.
+    "todate": lambda a: (
+        f"to_date(convert_timezone('UTC', {a[1]}, "
+        f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ)))"
+        if len(a) == 2 and re.fullmatch(r"\s*'[A-Za-z_/+0-9-]+'\s*", a[1])
+        else f"to_date({', '.join(a)})"),
+    "todatetime": lambda a: (
+        f"convert_timezone('UTC', {a[-1]}, "
+        f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))"
+        if len(a) >= 2 and re.fullmatch(r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1])
+        else f"to_timestamp({a[0]})"),
+    "todatetime64": lambda a: (
+        f"convert_timezone('UTC', {a[-1]}, "
+        f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))"
+        if len(a) >= 3 and re.fullmatch(r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1])
+        else f"to_timestamp({a[0]})"),
     "tolastdayofmonth": _fn("last_day"),
     "today": lambda a: "current_date()", "now": lambda a: "current_timestamp()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
@@ -130,12 +155,25 @@ _RULES: dict = {
     "tofloat64ornull": lambda a: f"TRY_CAST({a[0]} AS DOUBLE)",
     # strings
     # CH length() = bytes (String is binary-safe); lengthUTF8 = chars
-    "length": _fn("octet_length"),
+    # CH length() is polymorphic: bytes for String, cardinality for
+    # Array/Map (src/Functions/array/length.cpp).  The textual
+    # translator can only see syntax, so detect collection-producing
+    # head functions; plain columns/strings keep byte semantics.
+    "length": lambda a: (
+        f"cardinality({a[0]})"
+        if re.match(r"(?is)\s*(array|map|map_from_arrays|map_from_entries|"
+                    r"map_concat|sequence|split|splitByChar|collect_list|"
+                    r"collect_set|array_\w+|transform|filter|slice|"
+                    r"flatten|range|map_keys|map_values)\s*\(|\s*\[", a[0])
+        else f"octet_length({a[0]})"),
     "lengthutf8": _fn("length"), "lowerutf8": _fn("lower"), "upperutf8": _fn("upper"),
     "empty": lambda a: f"(length({a[0]}) = 0)",
     "notempty": lambda a: f"(length({a[0]}) > 0)",
     "position": lambda a: f"instr({a[0]}, {a[1]})",
-    "match": lambda a: f"({a[0]} RLIKE {a[1]})",
+    "match": lambda a: f"({a[0]} RLIKE {_pyre_to_java(a[1])})",
+    # PostgreSQL-compat alias registered by the reference
+    # (src/Functions/match.cpp REGEXP_MATCHES)
+    "regexp_matches": lambda a: f"({a[0]} RLIKE {_pyre_to_java(a[1])})",
     # CH extract(haystack, re) vs ANSI EXTRACT(unit FROM ts) — the ANSI
     # form arrives as a single 'unit FROM expr' argument and passes
     # through to Spark's own EXTRACT
@@ -266,6 +304,11 @@ _RULES: dict = {
     "arrayelement": _fn("try_element_at"),
     "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
     "arrayreduce": lambda a: _array_reduce_sql(a),
+    # initializeAggregation('f', v...) = the aggregate f over a single
+    # row (reference src/Functions/initializeAggregation.cpp) — exactly
+    # arrayReduce over singleton arrays
+    "initializeaggregation": lambda a: _array_reduce_sql(
+        [a[0]] + [f"array({v})" for v in a[1:]]),
     # bitmap state algebra (FunctionsBitmap.cpp): states are sorted
     # array<long> — see operators/bitmaps.py for the DataFrame forms
     "bitmapbuild": lambda a: f"array_sort(array_distinct({a[0]}))",
@@ -382,7 +425,28 @@ _RULES: dict = {
         if a[1].strip()[:1] in "'\"" else f"({a[0]}).{a[1].strip()}"),
     # misc
     "generateuuidv4": lambda a: "uuid()",
-    "materialize": lambda a: a[0], "identity": lambda a: a[0],
+    # materialize(): the reference's anti-constant-folding wrapper.  A
+    # bare integer literal must NOT survive as a literal — Spark would
+    # read it as a GROUP BY/ORDER BY ordinal; `+ 0` keeps the value and
+    # type but is no longer a literal at analysis time.
+    "materialize": lambda a: (f"({a[0]} + 0)"
+                              if re.fullmatch(r"\s*[+-]?\d+\s*", a[0])
+                              else a[0]),
+    "identity": lambda a: a[0],
+    # NOT(x) over a numeric literal keeps CH's UInt8 result type so
+    # `1 != NOT (1)` compares int-to-int (FunctionsLogical.cpp);
+    # non-literal operands stay boolean NOT
+    "not": lambda a: (
+        f"IF({a[0].strip()} = 0, 1, 0)"
+        if re.fullmatch(r"[+-]?\d+(\.\d+)?", a[0].strip())
+        else ("CAST(NULL AS INT)" if a[0].strip().upper() == "NULL"
+              else f"(NOT ({a[0]}))")),
+    # sleep/sleepEachRow return 0 after delaying the block; a Spark
+    # plan has no per-block scheduling point, so emit the result value
+    # (reference src/Functions/sleep.h — the corpus uses it only for
+    # timing side-effects)
+    "sleep": lambda a: "CAST(0 AS TINYINT)",
+    "sleepeachrow": lambda a: "CAST(0 AS TINYINT)",
     # range(n) / range(a, b[, step]) scalar array (range.cpp) —
     # end-EXCLUSIVE vs Spark sequence's inclusive end
     "range": lambda a: (
@@ -1101,7 +1165,7 @@ def _tostartofinterval_rule(a):
     if len(a) < 2:
         return fallback
     arg = a[1].strip()
-    m = re.fullmatch(r"(?is)INTERVAL\s+(\d+)\s+([A-Za-z]+)", arg)
+    m = re.fullmatch(r"(?is)INTERVAL\s+'?(\d+)'?\s+([A-Za-z]+)", arg)
     if m:
         n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
     else:
@@ -1129,6 +1193,60 @@ def _tostartofinterval_rule(a):
 
 
 _RULES["tostartofinterval"] = _tostartofinterval_rule
+
+
+def _interval_seconds(arg: str) -> int | None:
+    """Parse INTERVAL 'n' UNIT / toIntervalUnit(n) to whole seconds
+    (time units only; month-family returns None)."""
+    m = re.fullmatch(r"(?is)INTERVAL\s+'?(\d+)'?\s+([A-Za-z]+)",
+                     arg.strip())
+    if not m:
+        m = re.fullmatch(r"(?is)toInterval([A-Za-z]+)\s*\(\s*(\d+)\s*\)",
+                         arg.strip())
+        if not m:
+            return None
+        n, unit = int(m.group(2)), m.group(1).lower()
+    else:
+        n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+    micros = _TSOI_MICROS.get(unit)
+    return n * micros // 1_000_000 if micros else None
+
+
+def _tumble_hop_rule(which):
+    """tumbleStart/tumbleEnd(t, INTERVAL w [, tz]) and
+    hopStart/hopEnd(t, INTERVAL hop, INTERVAL w [, tz]) (reference
+    src/Functions/FunctionsWindow.cpp): tumble floors t to the window
+    interval (week-origin Monday, same as toStartOfInterval); hop
+    floors to the HOP interval — the start of the latest hop window
+    containing t.  The trailing timezone argument selects display
+    zone in the reference and is dropped here (session-zone engine)."""
+    def rule(a):
+        args = [x for x in a
+                if not re.fullmatch(r"\s*'[A-Za-z_/+-]+'\s*", x)]
+        if which.startswith("tumble"):
+            start = _tostartofinterval_rule([args[0], args[1]])
+            iv = args[1]
+        else:
+            start = _tostartofinterval_rule([args[0], args[1]])
+            iv = args[2] if len(args) > 2 else args[1]
+        if which.endswith("start"):
+            return start
+        sec = _interval_seconds(iv)
+        if sec is not None:
+            return f"({start} + make_interval(0, 0, 0, 0, 0, 0, {sec}))"
+        return f"({start} + {iv})"
+    return rule
+
+
+for _w in ("tumblestart", "tumbleend", "hopstart", "hopend"):
+    _RULES[_w] = _tumble_hop_rule(_w)
+# tumble()/hop() scalar forms return the (start, end) tuple
+_RULES["tumble"] = lambda a: (
+    f"struct({_tumble_hop_rule('tumblestart')(a)} AS start, "
+    f"{_tumble_hop_rule('tumbleend')(a)} AS end)")
+_RULES["hop"] = lambda a: (
+    f"struct({_tumble_hop_rule('hopstart')(a)} AS start, "
+    f"{_tumble_hop_rule('hopend')(a)} AS end)")
 
 
 def _toyearweek_rule(a):
@@ -1392,6 +1510,26 @@ def _array_reduce_sql(a: list[str]) -> str:
         arr = (f"transform(filter(arrays_zip({arr}, {cond}), "
                f"__p -> CAST(__p['1'] AS BOOLEAN)), __p -> __p['0'])")
         name = base
+    # -State carries the partial as a plain array (this engine's
+    # array-backed state for the groupArray family / value vector for
+    # scalar aggregates); -Merge takes an array of such states,
+    # flattens, and applies the base (AggregateFunctionState.h /
+    # AggregateFunctionMerge.h)
+    if name.endswith("merge") and name != "merge":
+        name = name[:-5]
+        if name != "grouparrayintersect":
+            # intersect states merge by intersection (the base form
+            # below already folds arrays-of-arrays); all others union
+            arr = f"flatten({arr})"
+    elif name.endswith("state") and name != "state":
+        base = name[:-5]
+        if base in ("grouparray", "groupuniqarray", "grouparrayintersect",
+                    "sum", "min", "max", "any", "anylast", "uniq",
+                    "uniqexact", "count", "avg"):
+            return (f"array_distinct({arr})"
+                    if base == "groupuniqarray" else arr)
+        raise NotImplementedError(
+            f"arrayReduce: aggregate {name!r} not mapped")
     forms = {
         "sum": f"aggregate({arr}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)",
         "min": f"array_min({arr})",
@@ -1405,6 +1543,10 @@ def _array_reduce_sql(a: list[str]) -> str:
         "uniq": f"CAST(size(array_distinct({arr})) AS BIGINT)",
         "grouparray": arr,
         "groupuniqarray": f"array_distinct({arr})",
+        "grouparrayintersect":
+            f"aggregate(slice({arr}, 2, size({arr})), "
+            f"try_element_at({arr}, 1), "
+            f"(acc, x) -> array_intersect(acc, x))",
     }
     if name not in forms:
         raise NotImplementedError(f"arrayReduce: aggregate {name!r} not mapped")
@@ -1831,6 +1973,15 @@ def _split_bracket(sql: str, i: int) -> tuple[list, int]:
     raise ValueError("unbalanced [ in expression")
 
 
+_SQL_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "THEN", "ELSE", "WHEN",
+    "CASE", "END", "ON", "USING", "FROM", "JOIN", "BY", "AS", "HAVING",
+    "LIMIT", "OFFSET", "UNION", "ALL", "DISTINCT", "INTERVAL", "IS",
+    "BETWEEN", "LIKE", "ILIKE", "RLIKE", "EXISTS", "WITH", "SETTINGS",
+    "PREWHERE", "QUALIFY", "RETURNING", "VALUES", "ASC", "DESC",
+}
+
+
 def _wrap_subscript(prev: str, idx_expr: str) -> str | None:
     """Rewrite the trailing operand of ``prev`` into
     ``element_at(operand, idx)`` — CH subscripts are 1-based on arrays
@@ -1861,6 +2012,11 @@ def _wrap_subscript(prev: str, idx_expr: str) -> str | None:
         if opener is None:
             return None
         m = re.search(r"[\w.`]+\s*$", s[:opener])
+        # a SQL keyword before the parenthesized operand is clause
+        # syntax, not a function-call head (WITH-alias inlining can
+        # place `(expr)[i]` right after SELECT/WHERE/THEN/...)
+        if m and m.group(0).strip().strip("`").upper() in _SQL_KEYWORDS:
+            m = None
         start = m.start() if m else opener
     else:
         m = re.search(r"[\w.`]+$", s)
@@ -1873,6 +2029,12 @@ def _wrap_subscript(prev: str, idx_expr: str) -> str | None:
     # Index 0 still throws INVALID_INDEX_OF_ZERO in Spark — CH returns
     # the default value there; NULL is the closest carrier.
     idx = idx_expr.strip()
+    # an integer-literal index beyond INT range would fail element_at's
+    # INT parameter check; CH returns the out-of-range default — clamp
+    # to a still-out-of-range INT so try_element_at yields NULL
+    if re.fullmatch(r"[+-]?\d+", idx) and abs(int(idx)) > 2147483647:
+        idx_expr = "-2147483647" if idx.lstrip().startswith("-") \
+            else "2147483647"
     if re.fullmatch(r"(?i)(cast\s*\(\s*[+-]?0\s+as\s+[a-z0-9_]+\s*\)"
                     r"|[+-]?0(\s*::\s*[a-z0-9_()]+)?)", idx):
         # literal index 0 (possibly typed): typed NULL via a dead
@@ -2022,6 +2184,14 @@ def _fix_lambda_sql(s: str) -> str:
         s = s[:i] + lam + s[after:]
 
 
+_CLAUSE_STOPWORDS = {
+    "select", "where", "when", "then", "else", "and", "or", "from",
+    "join", "on", "using", "by", "having", "limit", "offset", "union",
+    "all", "distinct", "as", "between", "like", "ilike", "rlike", "is",
+    "prewhere", "qualify", "case", "interval", "over",
+}
+
+
 def _translate_expr(sql: str) -> str:
     """Rewrite known CH function calls (recursively) in an expression."""
     out = []
@@ -2080,6 +2250,12 @@ def _translate_expr(sql: str) -> str:
             k += 1
         if k < n and sql[k] == "(":
             lname = name.lower()
+            # a clause keyword before '(' is syntax, not a call head
+            # (`SELECT (expr)[i]`, `WHERE (a) AND b`, `GROUP BY (a, b)`)
+            if lname in _CLAUSE_STOPWORDS:
+                out.append(name)
+                i = j
+                continue
             args, after = _parse_args(sql, k)
             targs = [_translate_expr(a) for a in args]
             # parametric form f(params)(args)?
@@ -2718,7 +2894,8 @@ def apply_date_preimage(sql: str) -> str:
 
 
 _NUMBERS_TVF_RE = re.compile(
-    r"\bnumbers\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)", re.IGNORECASE)
+    r"\bnumbers\(\s*(\d+(?:\.\d*)?(?:[eE]\+?\d+)?)\s*"
+    r"(?:,\s*(\d+(?:\.\d*)?(?:[eE]\+?\d+)?)\s*)?\)", re.IGNORECASE)
 _GENSERIES_TVF_RE = re.compile(
     r"\bgenerate_series\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(\d+)\s*)?\)",
     re.IGNORECASE)
@@ -2978,6 +3155,111 @@ def _rewrite_limit_with_ties(sql: str) -> str:
             f"WHERE __rk <= {m.group('n')} ORDER BY {order}")
 
 
+_OPER_CHARS = set("+-*/%<>=!~^|&.")
+
+
+def _sub_nonstring(sql: str, fn) -> str:
+    """Apply ``fn`` to ``sql`` with string literals masked out as
+    ``\\x00<idx>\\x00`` placeholders (so patterns can span a call whose
+    arguments contain strings), then restore them."""
+    cur, lits = [], []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            lits.append(sql[i:j])
+            cur.append(f"\x00{len(lits) - 1}\x00")
+            i = j
+            continue
+        cur.append(c)
+        i += 1
+    masked = fn("".join(cur))
+    return re.sub(r"\x00(\d+)\x00",
+                  lambda m: lits[int(m.group(1))], masked)
+
+
+def _rewrite_numeric_bool_ops(sql: str) -> str:
+    """CH logical operators take numbers (nonzero = true) and NOT
+    returns UInt8 (reference src/Functions/FunctionsLogical.cpp).
+    Spark's are strictly boolean.  Rewrites the decidable literal
+    cases: ``NOT <num>`` → IF(x = 0, 1, 0) (int result, so ``1 != NOT
+    (1)`` keeps CH semantics), and a bare numeric/NULL literal operand
+    of OR/AND → ``(lit <> 0)`` / typed NULL.  Non-literal operands
+    (``toNullable(0) OR x``) are untyped at translation time and pass
+    through."""
+    def seg_fn(seg: str) -> str:
+        # NOT over a bare numeric literal (the parenthesized form is
+        # handled by the "not" function rule)
+        seg = re.sub(
+            r"(?i)\bNOT\s+([+-]?\d+(?:\.\d+)?)(?![\w.])",
+            lambda m: f"IF({m.group(1)} = 0, 1, 0)", seg)
+
+        def _boolable(m, lit_group, guard_between=True):
+            pre = m.string[:m.start()]
+            if guard_between:
+                # an unpaired BETWEEN before this point claims the next
+                # AND (BETWEEN lo AND hi, window frames)
+                lastb = max((mm.start() for mm in
+                             re.finditer(r"(?i)\bbetween\b", pre)),
+                            default=-1)
+                lasta = max((mm.start() for mm in
+                             re.finditer(r"(?i)\band\b", pre)),
+                            default=-1)
+                if lastb > lasta:
+                    return None
+            p = pre.rstrip()
+            if p and p[-1] in _OPER_CHARS:
+                return None  # literal is part of an arithmetic chain
+            return m.group(lit_group)
+
+        def before_op(m):
+            lit = _boolable(m, 1)
+            post = m.string[m.end():].lstrip()
+            if lit is None or (post and post[0] in _OPER_CHARS):
+                return m.group(0)
+            rep = ("CAST(NULL AS BOOLEAN)" if lit.upper() == "NULL"
+                   else f"({lit} <> 0)")
+            return f"{rep} {m.group(2)}"
+
+        seg = re.sub(
+            r"(?i)(?<![\w.])([+-]?\d+(?:\.\d+)?|NULL)\s+(OR|AND)\b",
+            before_op, seg)
+
+        def after_op(m):
+            lit = _boolable(m, 2)
+            post = m.string[m.end():].lstrip()
+            if lit is None or (post and (post[0] in _OPER_CHARS
+                                         or re.match(r"(?i)(IN|BETWEEN|LIKE|IS|PRECEDING|FOLLOWING)\b",
+                                                     post))):
+                return m.group(0)
+            rep = ("CAST(NULL AS BOOLEAN)" if lit.upper() == "NULL"
+                   else f"({lit} <> 0)")
+            return f"{m.group(1)} {rep}"
+
+        seg = re.sub(
+            r"(?i)\b(OR|AND)\s+([+-]?\d+(?:\.\d+)?|NULL)(?![\w.])",
+            after_op, seg)
+        # CH allows a bare scalar on the right of IN: `x IN 1`,
+        # `d IN toDate('…')` (src/Functions/in.cpp) — parenthesize it
+        # into the standard value list.  Only unparenthesized literals
+        # and flat calls; anything with its own parens-first is
+        # already standard.
+        def in_scalar(m):
+            v = m.group(1)
+            tm = re.match(r"(?i)tuple\s*\((.*)\)$", v.strip())
+            # IN tuple(a, b) is the value LIST, not a struct value
+            return f"IN ({tm.group(1)})" if tm else f"IN ({v})"
+
+        seg = re.sub(
+            r"(?i)\bIN\s+([+-]?\d+(?:\.\d+)?|\w+\([^()]*\)|\x00\d+\x00)"
+            r"(?=\s|$|,|\)|\x00)",
+            in_scalar, seg)
+        return seg
+
+    return _sub_nonstring(sql, seg_fn)
+
+
 def _rewrite_numbers_tvf(sql: str) -> str:
     """numbers(N) / numbers(offset, N) / generate_series(a, b[, step])
     table functions (reference
@@ -2985,11 +3267,14 @@ def _rewrite_numbers_tvf(sql: str) -> str:
     TVF wrapped to carry the CH column names ``number`` /
     ``generate_series`` (generate_series is END-INCLUSIVE in CH)."""
     def num_sub(m):
+        # the reference accepts float/scientific counts (1e2) and
+        # truncates them to integers
         if m.group(2) is not None:
-            a = int(m.group(1))
+            a = int(float(m.group(1)))
             return (f"(SELECT id AS number FROM "
-                    f"range({a}, {a + int(m.group(2))}))")
-        return f"(SELECT id AS number FROM range({int(m.group(1))}))"
+                    f"range({a}, {a + int(float(m.group(2)))}))")
+        return (f"(SELECT id AS number FROM "
+                f"range({int(float(m.group(1)))}))")
 
     def gs_sub(m):
         a, b = int(m.group(1)), int(m.group(2))
@@ -3099,6 +3384,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = re.sub(r"\bGLOBAL\s+(?=(NOT\s+)?IN\b)", "", sql,
                  flags=re.IGNORECASE)
     sql = _rewrite_quantified_comparisons(sql)
+    sql = _rewrite_numeric_bool_ops(sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
     sql = _rewrite_small_forms(sql)
@@ -3332,8 +3618,14 @@ _EXPLAIN_RE = re.compile(
     r"^EXPLAIN(?:\s+(?:AST|SYNTAX|QUERY\s+TREE|PLAN|PIPELINE|ESTIMATE))?"
     r"(?:\s+\w+\s*=\s*\d+\s*,?)*\s+(SELECT\b.*|WITH\b.*)$",
     re.IGNORECASE | re.DOTALL)
-_INSERT_RE = re.compile(r"^INSERT\s+INTO\s+`?(\w+)`?\s+(SELECT\b.*|WITH\b.*)$",
-                        re.IGNORECASE | re.DOTALL)
+_INSERT_RE = re.compile(
+    r"^INSERT\s+INTO\s+`?(\w+)`?\s*(?:\(([^()]*)\)\s*)?"
+    r"(SELECT\b.*|WITH\b.*)$",
+    re.IGNORECASE | re.DOTALL)
+_INSERT_VALUES_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?:TABLE\s+)?`?(\w+)`?\s*"
+    r"(?:\(([^()]*)\)\s*)?(?:FORMAT\s+VALUES|VALUES)\s*(.+)$",
+    re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(
     r"^(?:ALTER\s+TABLE\s+`?(\w+)`?\s+DELETE|DELETE\s+FROM\s+`?(\w+)`?)"
     r"\s+WHERE\s+(.*)$", re.IGNORECASE | re.DOTALL)
@@ -3544,15 +3836,25 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
                     "marks bigint")
         return spark.sql("EXPLAIN EXTENDED "
                          + translate_ch_sql(m.group(1), sample_by=sample_by))
+    m = _INSERT_VALUES_RE.match(text)
+    if m:
+        return _insert_values_statement(
+            spark, m.group(1), m.group(2), m.group(3), tables)
+
     m = _INSERT_RE.match(text)
     if m:
-        name, select = m.group(1), m.group(2)
-        table = (tables or {}).get(name)
-        if table is None:
-            raise ValueError(f"INSERT needs a MergeTreeTable for {name!r} "
-                             f"(pass tables={{name: table}})")
-        table.insert(ch_sql(spark, select, sample_by=sample_by))
-        return None
+        name, cols_raw, select = m.group(1), m.group(2), m.group(3)
+        df = ch_sql(spark, select, sample_by=sample_by, tables=tables)
+        if cols_raw and cols_raw.strip():
+            cols = [c.strip().strip("`") for c in cols_raw.split(",")]
+            df = df.toDF(*cols)
+        else:
+            # no column list: the reference aligns INSERT SELECT by
+            # POSITION (InterpreterInsertQuery.cpp)
+            sch = _target_schema(spark, name, (tables or {}).get(name))
+            if sch is not None and len(df.columns) <= len(sch.fields):
+                df = df.toDF(*[f.name for f in sch.fields][:len(df.columns)])
+        return _append_to_table(spark, name, df, tables)
 
     # OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY cols]] -> compaction /
     # dedup merge (reference src/Interpreters/InterpreterOptimizeQuery.h)
@@ -3571,6 +3873,7 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             table.optimize_deduplicate(by)
         else:
             table.compact()
+        _refresh_table_views(spark, m.group(1), table)
         return None
 
     # SYSTEM DROP QUERY CACHE (QueryCache.h)
@@ -3592,6 +3895,7 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             table.delete_where_lightweight(pred)
         else:
             table.delete_where(pred)
+        _refresh_table_views(spark, name, table)
         return None
     m = _UPDATE_RE.match(text)
     if m:
@@ -3604,6 +3908,7 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             col, _, expr = part.partition("=")
             assignments[col.strip().strip("`")] = F.expr(_translate_expr(expr.strip()))
         table.update_where(F.expr(_translate_expr(cond)), assignments)
+        _refresh_table_views(spark, name, table)
         return None
 
     # CREATE [MATERIALIZED] VIEW name AS SELECT ... (reference
@@ -4150,7 +4455,13 @@ def create_table_sql(spark, sql: str, base_dir: str):
             kwargs["version_col"] = args[1]
     elif engine == "summing" and args:
         kwargs["sum_cols"] = args
-    table = MergeTreeTable(spark, _os.path.join(base_dir, name),
+    path = _os.path.join(base_dir, name)
+    if _os.path.isdir(path):
+        # CREATE TABLE starts empty — clear parts left behind by an
+        # earlier session reusing the same managed-table name
+        import shutil as _shutil
+        _shutil.rmtree(path, ignore_errors=True)
+    table = MergeTreeTable(spark, path,
                            order_by=order_by,
                            partition_by=partition_by, engine=engine,
                            **kwargs)
@@ -4223,6 +4534,167 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             .createOrReplaceTempView(name)
         return None
     raise ValueError("unsupported CREATE TABLE form")
+
+
+def _split_value_tuples(body: str) -> list[str]:
+    """Split ``(a, b), (c, d), ...`` into the tuple bodies
+    (string-aware, nested-paren-aware)."""
+    tuples = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c in " \t\r\n,;":
+            i += 1
+            continue
+        if c != "(":
+            raise ValueError(
+                f"VALUES: expected '(' at {body[i:i + 24]!r}")
+        depth = 0
+        j = i
+        while j < n:
+            ch = body[j]
+            if ch in "'\"`":
+                j = _skip_string(body, j)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        tuples.append(body[i + 1:j])
+        i = j + 1
+    return tuples
+
+
+def _ch_type_default_sql(dt) -> str:
+    """The reference's type default for a column omitted from INSERT
+    (src/Interpreters/addMissingDefaults.cpp): 0 for numbers, '' for
+    strings, empty collections, the epoch for date/time.  Spark schemas
+    don't carry CH Nullable-ness, so plain types get the CH default."""
+    from pyspark.sql import types as T
+    s = dt.simpleString()
+    if isinstance(dt, T.ArrayType):
+        return f"CAST(array() AS {s})"
+    if isinstance(dt, T.MapType):
+        return f"CAST(map() AS {s})"
+    if isinstance(dt, T.StringType):
+        return "''"
+    if isinstance(dt, T.DateType):
+        return "DATE'1970-01-01'"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return f"CAST('1970-01-01 00:00:00' AS {s})"
+    if isinstance(dt, T.BooleanType):
+        return "false"
+    if isinstance(dt, T.NumericType):
+        return f"CAST(0 AS {s})"
+    return f"CAST(NULL AS {s})"
+
+
+def _refresh_table_views(spark, name: str, t) -> None:
+    """Re-register the ``name`` / ``name__final`` temp views after a
+    mutation replaced part files (a stale view holds the old file
+    list)."""
+    if t is None or not hasattr(t, "read"):
+        return
+    try:
+        t.read().createOrReplaceTempView(name)
+        t.read(final=True).createOrReplaceTempView(f"{name}__final")
+    except Exception:
+        pass
+
+
+def _target_schema(spark, name: str, t):
+    """Schema of an insert target — survives an empty (part-less)
+    MergeTreeTable by falling back to its declared DDL / the typed
+    empty view registered at CREATE time."""
+    if t is not None and hasattr(t, "read"):
+        try:
+            return t.read().schema
+        except Exception:
+            ddl = getattr(t, "schema_ddl", None)
+            if ddl:
+                return spark.createDataFrame([], ddl).schema
+    try:
+        return spark.table(name).schema
+    except Exception:
+        return None
+
+
+def _append_to_table(spark, name: str, df, tables):
+    """Append ``df`` (already aligned by column NAME, possibly a
+    subset) to a managed MergeTreeTable or a registered temp view
+    (Memory-engine analog): casts to the target schema, fills missing
+    columns with DEFAULT expressions or CH type defaults, re-registers
+    the view (reference InterpreterInsertQuery.h)."""
+    t = (tables or {}).get(name)
+    schema = _target_schema(spark, name, t)
+    if schema is None:
+        # schema-less managed table (first insert defines it) — write
+        # the frame as-is, exactly the pre-session behavior
+        if t is not None and hasattr(t, "insert"):
+            t.insert(df)
+            t.read().createOrReplaceTempView(name)
+            return None
+        raise ValueError(f"INSERT: unknown table {name!r}")
+    have = set(df.columns)
+    defaults = getattr(t, "column_defaults", None) or {}
+    out = []
+    for f in schema.fields:
+        if f.name in have:
+            out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif f.name in defaults:
+            out.append(F.expr(_translate_expr(defaults[f.name]))
+                       .cast(f.dataType).alias(f.name))
+        else:
+            out.append(F.expr(_ch_type_default_sql(f.dataType))
+                       .alias(f.name))
+    aligned = df.select(*out)
+    if t is not None and hasattr(t, "insert"):
+        t.insert(aligned)
+        t.read().createOrReplaceTempView(name)
+        try:
+            # plain MergeTree FINAL is identity; engine variants get
+            # their merge semantics applied at read time
+            t.read(final=True).createOrReplaceTempView(f"{name}__final")
+        except Exception:
+            pass
+    else:
+        spark.table(name).unionByName(aligned) \
+            .localCheckpoint(eager=True).createOrReplaceTempView(name)
+    return None
+
+
+def _insert_values_statement(spark, name: str, cols_raw, body, tables):
+    """``INSERT INTO t [(cols)] VALUES (..), (..)`` — each tuple
+    element is a CH expression (ValuesBlockInputFormat parses full
+    expressions, src/Processors/Formats/Impl/ValuesBlockInputFormat.h);
+    translated and evaluated through one inline VALUES relation."""
+    t = (tables or {}).get(name)
+    if t is None and not spark.catalog.tableExists(name):
+        raise ValueError(f"INSERT: unknown table {name!r}")
+    schema = _target_schema(spark, name, t)
+    if schema is None:
+        raise ValueError(
+            f"INSERT VALUES: no declared schema for {name!r}")
+    names = [f.name for f in schema.fields]
+    cols = ([c.strip().strip("`") for c in cols_raw.split(",")]
+            if cols_raw and cols_raw.strip() else names)
+    rows = []
+    for tup in _split_value_tuples(body):
+        elems = _split_top_commas(tup)
+        if len(elems) != len(cols):
+            raise ValueError(
+                f"INSERT VALUES: {len(elems)} values for "
+                f"{len(cols)} columns {cols}")
+        rows.append(
+            "(" + ", ".join(_translate_expr(e.strip()) for e in elems)
+            + ")")
+    quoted = ", ".join(f"`{c}`" for c in cols)
+    df = spark.sql(
+        f"SELECT * FROM VALUES {', '.join(rows)} AS __v({quoted})")
+    return _append_to_table(spark, name, df, tables)
 
 
 def register_mergetree_sql(spark, name: str, df, engine: str = "replacing",
