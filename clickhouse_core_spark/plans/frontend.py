@@ -31,6 +31,35 @@ def _fn(name):
     return lambda a: f"{name}({', '.join(a)})"
 
 
+def _cast_rule(a):
+    """Two-arg cast(x, 'Type') (src/Functions/CastOverloadResolver.cpp).
+    A Map source cast to Array(Tuple(...)) converts via map_entries
+    (the reference's Map→Array-of-pairs cast); Spark's struct cast then
+    renames/retypes the pair fields positionally."""
+    if len(a) == 1:
+        return f"CAST({a[0]})"
+    ty = _ch_type_to_sql(a[1])
+    src = a[0].strip()
+    if re.match(r"(?i)\s*array\s*<\s*struct\b", ty) and re.match(
+            r"(?i)\(*\s*(materialize\s*\(\s*)?map(_from_arrays|"
+            r"_from_entries|_concat)?\s*\(", src):
+        return f"CAST(map_entries({a[0]}) AS {ty})"
+    return f"CAST({a[0]} AS {ty})"
+
+
+def _in_value_list(rhs: str) -> str | None:
+    """Translate a functional-in RHS (array(...)/struct(...)/(...)
+    literal set) to an IN value list; None = provably empty set."""
+    r = rhs.strip()
+    m = re.fullmatch(r"(?is)(?:array|struct)\s*\((.*)\)", r)
+    if m is not None:
+        inner = m.group(1).strip()
+        return None if not inner else f"({inner})"
+    if r.startswith("("):
+        return r
+    return f"({r})"
+
+
 def _pyre_to_java(pattern_arg: str) -> str:
     """RE2/PCRE named groups ``(?P<name>...)`` → Java's ``(?<name>...)``
     for literal pattern arguments (the reference's regexps are RE2)."""
@@ -182,9 +211,7 @@ _RULES: dict = {
         else f"regexp_extract({a[0]}, {a[1]}, {_re_group_idx(a[1])})"),
     # CH two-arg cast(x, 'Type') (src/Functions/CastOverloadResolver.h);
     # the AS form arrives as one argument and passes through
-    "cast": lambda a: (
-        f"CAST({a[0]})" if len(a) == 1
-        else f"CAST({a[0]} AS {_ch_type_to_sql(a[1])})"),
+    "cast": lambda a: _cast_rule(a),
     "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)",
     "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
     # first-occurrence-only (reference ReplaceStringImpl.h replace_first):
@@ -433,12 +460,33 @@ _RULES: dict = {
                               if re.fullmatch(r"\s*[+-]?\d+\s*", a[0])
                               else a[0]),
     "identity": lambda a: a[0],
+    # DATE_ADD/DATE_SUB: CH takes (date, INTERVAL n unit) or
+    # (unit, n, date) (src/Functions/FunctionDateOrDateTimeAddInterval);
+    # Spark's date_add is (date, days) — route interval forms through
+    # arithmetic
+    "date_add": lambda a: (
+        f"({a[0]} + {a[1]})"
+        if len(a) == 2 and re.match(r"(?i)\s*INTERVAL\b", a[1])
+        else (f"({a[2]} + INTERVAL {a[1]} "
+              f"{a[0].strip().strip(chr(39))})" if len(a) == 3
+              else f"date_add({', '.join(a)})")),
+    "date_sub": lambda a: (
+        f"({a[0]} - {a[1]})"
+        if len(a) == 2 and re.match(r"(?i)\s*INTERVAL\b", a[1])
+        else (f"({a[2]} - INTERVAL {a[1]} "
+              f"{a[0].strip().strip(chr(39))})" if len(a) == 3
+              else f"date_sub({', '.join(a)})")),
+    "dateadd": lambda a: _RULES["date_add"](a),
+    "datesub": lambda a: _RULES["date_sub"](a),
+    "timestampadd": lambda a: _RULES["date_add"](a),
+    "timestampsub": lambda a: _RULES["date_sub"](a),
     # NOT(x) over a numeric literal keeps CH's UInt8 result type so
     # `1 != NOT (1)` compares int-to-int (FunctionsLogical.cpp);
     # non-literal operands stay boolean NOT
     "not": lambda a: (
-        f"IF({a[0].strip()} = 0, 1, 0)"
+        f"IF(({a[0].strip()}) = 0, 1, 0)"
         if re.fullmatch(r"[+-]?\d+(\.\d+)?", a[0].strip())
+        or re.fullmatch(r"(?si)\(?\s*IF\(.*, 1, 0\)\s*\)?", a[0].strip())
         else ("CAST(NULL AS INT)" if a[0].strip().upper() == "NULL"
               else f"(NOT ({a[0]}))")),
     # sleep/sleepEachRow return 0 after delaying the block; a Spark
@@ -582,7 +630,27 @@ for _cn, _ct, _cz, _cmax in [
         ("date32", "DATE", "DATE'1970-01-01'", None),
         ("datetime", "TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'", None),
         ("datetime64", "TIMESTAMP", "TIMESTAMP'1970-01-01 00:00:00'", None)]:
-    if _cmax is None:
+    if _ct == "DATE":
+        # numeric input = days since epoch (FunctionsConversion.h
+        # ToDateTransform32Or64), checked FIRST — Spark's string→date
+        # cast would read '19000' as a bare year; a direct int→DATE
+        # cast never reaches the analyzer (it type-errors)
+        _try = (lambda x:
+                f"(CASE WHEN TRY_CAST({x} AS BIGINT) IS NOT NULL THEN "
+                f"CASE WHEN TRY_CAST({x} AS BIGINT) BETWEEN 0 AND 65535 "
+                f"THEN date_add(DATE'1970-01-01', "
+                f"CAST(TRY_CAST({x} AS BIGINT) AS INT)) END "
+                f"ELSE TRY_CAST(TRY_CAST({x} AS STRING) AS DATE) END)")
+    elif _ct == "TIMESTAMP":
+        # numeric input = epoch seconds in the DateTime range
+        _try = (lambda x:
+                f"(CASE WHEN TRY_CAST({x} AS BIGINT) IS NOT NULL THEN "
+                f"CASE WHEN TRY_CAST({x} AS BIGINT) "
+                f"BETWEEN 0 AND 4294967295 "
+                f"THEN timestamp_seconds(TRY_CAST({x} AS BIGINT)) END "
+                f"ELSE TRY_CAST(TRY_CAST({x} AS STRING) "
+                f"AS TIMESTAMP) END)")
+    elif _cmax is None:
         _try = lambda x, _t=_ct: f"TRY_CAST({x} AS {_t})"
     else:
         _try = (lambda x, _t=_ct, _m=_cmax:
@@ -603,17 +671,28 @@ for _cn, _ct, _cz, _cmax in [
 # global* are identical on Spark (every join/IN is cluster-global),
 # IgnoreSet variants differ only in prepared-set reuse, an executor
 # concern with no semantic difference
+def _fn_in(a, neg=False, nullsafe=False):
+    lst = _in_value_list(a[1])
+    if lst is None:  # empty set: membership is decidable without x
+        return "true" if neg else "false"
+    op = "NOT IN" if neg else "IN"
+    core = f"({a[0]} {op} {lst})"
+    # plain in()/notIn() return 0 for a NULL needle (CH contract,
+    # src/Functions/in.cpp); nullIn keeps ANSI NULL propagation
+    return core if nullsafe else f"coalesce({core}, false)"
+
+
 for _inn in ("nullin", "globalnullin"):
-    _RULES[_inn] = lambda a: f"({a[0]} IN {a[1]})"
+    _RULES[_inn] = lambda a: _fn_in(a, nullsafe=True)
 for _inn in ("notnullin", "globalnotnullin"):
-    _RULES[_inn] = lambda a: f"({a[0]} NOT IN {a[1]})"
+    _RULES[_inn] = lambda a: _fn_in(a, neg=True, nullsafe=True)
 for _inn in ("in", "globalin", "inignoreset", "globalinignoreset",
              "nullinignoreset", "globalnullinignoreset"):
-    _RULES[_inn] = lambda a: f"coalesce(({a[0]} IN {a[1]}), false)"
+    _RULES[_inn] = lambda a: _fn_in(a)
 for _inn in ("notin", "globalnotin", "notinignoreset",
              "globalnotinignoreset", "notnullinignoreset",
              "globalnotnullinignoreset"):
-    _RULES[_inn] = lambda a: f"coalesce(({a[0]} NOT IN {a[1]}), false)"
+    _RULES[_inn] = lambda a: _fn_in(a, neg=True)
 
 # string/array/bit SQL forms (round-4 fuzz batch; registry had the
 # DataFrame forms already)
@@ -837,6 +916,21 @@ for _ci_name, _base_name in [
         ("initcaputf8", "initcap")]:
     if _base_name in _RULES:
         _RULES[_ci_name] = _RULES[_base_name]
+# multiSearch family over ARBITRARY needle arrays (the registry's
+# bridged forms need literal needles; these higher-order forms accept
+# any array expression — MultiSearchAllPositionsImpl semantics: 1-based
+# positions, 0 = not found)
+_RULES["multisearchany"] = lambda a: (
+    f"(exists({a[1]}, __p -> instr({a[0]}, __p) > 0))")
+_RULES["multisearchfirstindex"] = lambda a: (
+    f"coalesce(array_position(transform({a[1]}, "
+    f"__p -> instr({a[0]}, __p) > 0), true), 0)")
+_RULES["multisearchfirstposition"] = lambda a: (
+    f"coalesce(array_min(filter(transform({a[1]}, "
+    f"__p -> instr({a[0]}, __p)), __x -> __x > 0)), 0)")
+_RULES["multisearchallpositions"] = lambda a: (
+    f"transform({a[1]}, __p -> instr({a[0]}, __p))")
+_RULES["multisearchanyutf8"] = _RULES["multisearchany"]
 _RULES["arrayreversesort"] = lambda a: f"reverse(array_sort({a[0]}))"
 _RULES["arraypartialsort"] = lambda a: (
     # first-n-sorted contract; the tail's order is unspecified in the
@@ -1443,6 +1537,19 @@ _PARAMETRIC: dict = {
         f"percentile({a[0]}, array({', '.join(p)}))"),
     "quantilestdigest": lambda p, a: (
         f"approx_percentile({a[0]}, array({', '.join(p)}))"),
+    "quantilesexactweighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"),
+    "quantilestimingweighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"),
+    "quantilesbfloat16": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"),
+    "quantilesdeterministic": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"),
+    "quantilestdigestweighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), "
+        f"CAST({a[1]} AS BIGINT))"),
     # groupArray(N)(x): first N values (insertion order is arbitrary in
     # the reference too — any-N contract, AggregateFunctionGroupArray.h)
     "grouparray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
@@ -2262,10 +2369,23 @@ def _translate_expr(sql: str) -> str:
             k2 = after
             while k2 < n and sql[k2] in " \t":
                 k2 += 1
-            if k2 < n and sql[k2] == "(" and lname in _PARAMETRIC:
+            _p_base_if = (lname[:-2] if lname.endswith("if")
+                          and lname[:-2] in _PARAMETRIC else None)
+            if k2 < n and sql[k2] == "(" and (lname in _PARAMETRIC
+                                              or _p_base_if):
                 args2, after2 = _parse_args(sql, k2)
                 targs2 = [_translate_expr(a) for a in args2]
-                out.append(_PARAMETRIC[lname](targs, targs2))
+                if lname in _PARAMETRIC:
+                    out.append(_PARAMETRIC[lname](targs, targs2))
+                else:
+                    # generic parametric -If: the LAST argument is the
+                    # condition (AggregateFunctionIf.h); every builder
+                    # here aggregates via NULL-skipping collectors, so
+                    # a NULL-when-false value wrapper filters exactly
+                    cond = targs2[-1]
+                    vals = [f"(CASE WHEN {cond} THEN {v} END)"
+                            for v in targs2[:-1]]
+                    out.append(_PARAMETRIC[_p_base_if](targs, vals))
                 i = after2
                 continue
             # range() is Spark's TVF in FROM position (the numbers()
@@ -3070,12 +3190,26 @@ def _rewrite_using_bare(sql: str) -> str:
 
 def _ch_type_to_sql(t: str) -> str:
     """Quoted CH type name from two-arg cast() -> Spark SQL type;
-    Nullable() unwraps (Spark columns are nullable by default)."""
+    Nullable() unwraps (Spark columns are nullable by default); a
+    parenthesized operand (WITH-alias inlining wraps substitutions)
+    unwraps too, and complex declarations (Array/Tuple/Map/...) route
+    through the DDL converter."""
+    t = t.strip()
+    while t.startswith("(") and t.endswith(")"):
+        t = t[1:-1].strip()
     t = t.strip().strip("'\"")
     m = re.fullmatch(r"Nullable\s*\((.*)\)", t, re.IGNORECASE)
     if m:
         t = m.group(1).strip()
-    return _CH_CAST_TYPES.get(t.lower(), t)
+    mapped = _CH_CAST_TYPES.get(t.lower())
+    if mapped is not None:
+        return mapped
+    if "(" in t:
+        try:
+            return _ch_decl_type_to_spark(t)
+        except Exception:
+            return t
+    return t
 
 
 _COLONCOLON_COMPLEX_RE = re.compile(
@@ -3300,6 +3434,17 @@ def _rewrite_numbers_tvf(sql: str) -> str:
     sql = re.sub(r"\bsystem\.one\b",
                  "(SELECT CAST(0 AS SMALLINT) AS dummy)", sql,
                  flags=re.IGNORECASE)
+    # system.settings: name/value pairs of this engine's session conf
+    # analog (StorageSystemSettings.cpp) — enough for the corpus's
+    # "read one setting" probes
+    sql = re.sub(
+        r"\bsystem\.settings\b",
+        "(SELECT 'max_memory_usage' AS name, '10000000000' AS value, "
+        "0 AS changed UNION ALL SELECT 'max_threads', '32', 0 "
+        "UNION ALL SELECT 'max_block_size', '65409', 0 "
+        "UNION ALL SELECT 'join_use_nulls', '0', 0 "
+        "UNION ALL SELECT 'max_insert_block_size', '1048449', 0)",
+        sql, flags=re.IGNORECASE)
     # a FROM-less SELECT referencing `dummy` implies FROM system.one
     # (reference: the default table of a bare SELECT is system.one)
     if re.search(r"\bdummy\b", sql) \
@@ -3797,7 +3942,7 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     # managed-table machinery (reference InterpreterCreateQuery.h);
     # ENGINE-less CREATE passes through to Spark's own DDL below
     if re.match(r"^CREATE\s+TABLE\b", text, re.IGNORECASE) \
-            and re.search(r"\bENGINE\s*=", text, re.IGNORECASE):
+            and re.search(r"\bENGINE\s*=?\s*\w", text, re.IGNORECASE):
         return _create_table_statement(spark, text, tables,
                                        sample_by=sample_by)
 
@@ -4303,7 +4448,7 @@ def _utility_statement(spark, text: str, tables):
 
 _CREATE_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.*)\)\s*"
-    r"ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*(.*)$",
+    r"ENGINE\s*=?\s*(\w+)\s*(?:\(([^)]*)\))?\s*(.*)$",
     re.IGNORECASE | re.DOTALL)
 _ENGINE_NAMES = {
     "mergetree": "merge_tree",
@@ -4438,6 +4583,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
                         if c.strip()]
 
     schema_parts = []
+    col_defaults: dict[str, str] = {}
     for coldef in _split_top_commas(cols_src):
         toks = coldef.strip().split(None, 1)
         if len(toks) < 2:
@@ -4445,6 +4591,11 @@ def create_table_sql(spark, sql: str, base_dir: str):
         cname = toks[0].strip("`")
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
+        dm = re.search(r"(?i)\b(?:DEFAULT|MATERIALIZED)\s+(.+?)"
+                       r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+                       toks[1].strip())
+        if dm:
+            col_defaults[cname] = _translate_expr(dm.group(1).strip())
 
     kwargs: dict = {}
     if engine == "replacing":
@@ -4464,6 +4615,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table = MergeTreeTable(spark, path,
                            order_by=order_by,
                            partition_by=partition_by, engine=engine,
+                           column_defaults=col_defaults or None,
                            **kwargs)
     table.schema_ddl = ", ".join(schema_parts)
     return table
@@ -4471,7 +4623,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
 
 _CTAS_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+"
-    r"ENGINE\s*=\s*(\w+)\s*(?:\(([^)]*)\))?\s*(.*?)\s*AS\s+(SELECT\b.*)$",
+    r"ENGINE\s*=?\s*(\w+)\s*(?:\(([^)]*)\))?\s*(.*?)\s*AS\s+(SELECT\b.*)$",
     re.IGNORECASE | re.DOTALL)
 
 
@@ -4498,7 +4650,7 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                 f"`{f.name}` {f.dataType.simpleString()}"
                 for f in df.schema.fields)
             create = re.sub(
-                r"(`?\w+`?\s+)(ENGINE\s*=)", r"\1(%s) \2" % cols,
+                r"(`?\w+`?\s+)(ENGINE\s*=?\s*\w)", r"\1(%s) \2" % cols,
                 create, count=1, flags=re.IGNORECASE)
             t = create_table_sql(spark, create, _default_table_dir())
             t.insert(df)
