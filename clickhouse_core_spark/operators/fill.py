@@ -81,3 +81,60 @@ def with_fill(
                 raise NotImplementedError(f"interpolate strategy {how!r}")
             joined = joined.withColumn(col, F.last(col, ignorenulls=True).over(w))
     return joined.orderBy(*partition, fill_col)
+
+
+def _fill_spine(df: DataFrame, fill_col: str, step=1,
+                from_val=None, to_val=None) -> DataFrame:
+    """One-column fill spine: the arithmetic progression of
+    ``fill_col`` over [from|min, to|max] — the single-column core of
+    FillingTransform's row generator."""
+    bounds = df.groupBy().agg(F.min(fill_col).alias("__lo"),
+                              F.max(fill_col).alias("__hi"))
+    dtype = df.schema[fill_col].dataType
+    if from_val is not None:
+        bounds = bounds.withColumn("__lo", F.lit(from_val).cast(dtype))
+    if to_val is not None:
+        bounds = bounds.withColumn("__hi", F.lit(to_val).cast(dtype))
+    ftype = dtype.simpleString()
+    if isinstance(step, str):
+        step_expr = F.expr(f"interval {step}")
+    else:
+        step_expr = F.lit(step)
+    if ftype in ("float", "double") or (not isinstance(step, str)
+                                        and float(step) != int(step)):
+        n = F.floor((F.col("__hi") - F.col("__lo")) / F.lit(step)) \
+            .cast("long")
+        return (bounds
+                .select("__lo", F.explode(
+                    F.sequence(F.lit(0).cast("long"), n)).alias("__i"))
+                .select((F.col("__lo") + F.col("__i") * F.lit(step))
+                        .cast(ftype).alias(fill_col)))
+    return bounds.select(
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"),
+                             step_expr)).alias(fill_col))
+
+
+def with_fill_multi(df: DataFrame, specs, order_cols=None) -> DataFrame:
+    """Multi-key ``ORDER BY a WITH FILL, b WITH FILL STEP s`` —
+    reference FillingTransform fills each sort key's progression; with
+    several filled keys the generated rows form the cross product of
+    the per-key progressions (each key's range is global, matching the
+    reference's observed behavior on uncorrelated keys).
+
+    ``specs``: sequence of (col, step, from_val, to_val, desc).
+    Non-spine columns of generated rows carry NULL.  The tiny spines
+    cross-join BEFORE touching ``df`` (grid size = product of step
+    counts), then one left join brings the data rows in — scale cost
+    is one broadcast-able join, never a per-row loop.
+    """
+    spine = None
+    cols = []
+    for col, step, fv, tv, _desc in specs:
+        s = _fill_spine(df, col, step or 1, fv, tv)
+        cols.append(col)
+        spine = s if spine is None else spine.crossJoin(s)
+    joined = spine.join(df, on=cols, how="left")
+    order = []
+    for col, _s, _f, _t, desc in specs:
+        order.append(F.col(col).desc() if desc else F.col(col).asc())
+    return joined.orderBy(*order)

@@ -3589,6 +3589,85 @@ _WITH_FILL_RE = re.compile(
     re.IGNORECASE)
 
 
+_WITH_FILL_MULTI_RE = re.compile(
+    r"ORDER\s+BY\s+([^()]*\bWITH\s+FILL\b[^()]*)$", re.IGNORECASE)
+_FILL_ITEM_RE = re.compile(
+    r"^(`?\w+`?)\s*(ASC|DESC)?\s*"
+    r"(?:(WITH\s+FILL)(?:\s+FROM\s+(\S+))?(?:\s+TO\s+(\S+))?"
+    r"(?:\s+STEP\s+(\S+))?)?$",
+    re.IGNORECASE)
+
+_SUBQ_COUNTER = [0]
+
+
+def _matching_paren(text: str, start: int) -> int:
+    depth = 0
+    i = start
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c in "'\"`":
+            i = _skip_string(text, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _materialize_nested_selects(spark, text, sample_by, tables):
+    """A FROM/JOIN-position subquery carrying WITH FILL / WITH TOTALS
+    can't be nested textually (those clauses become DataFrame operators
+    here) — run it through ch_sql recursively, register the result as
+    a temp view, and substitute the view name (the view is lazy, so
+    this adds no materialization barrier)."""
+    pat = re.compile(r"(?is)\b(FROM|JOIN)\s*\(")
+    changed = True
+    while changed:
+        changed = False
+        for m in pat.finditer(text):
+            start = text.index("(", m.start())
+            j = _matching_paren(text, start)
+            if j < 0:
+                continue
+            inner = text[start + 1:j].strip()
+            if not re.match(r"(?is)^(SELECT|WITH)\b", inner):
+                continue
+            if not re.search(r"(?is)\bWITH\s+(FILL|TOTALS)\b", inner):
+                continue
+            df = ch_sql(spark, inner, sample_by=sample_by, tables=tables)
+            _SUBQ_COUNTER[0] += 1
+            vname = f"__chsub_{_SUBQ_COUNTER[0]}"
+            df.createOrReplaceTempView(vname)
+            text = text[:start] + " " + vname + " " + text[j + 1:]
+            changed = True
+            break
+    return text
+
+
+def _parse_multi_fill(tail: str):
+    """Parse ``col [dir] [WITH FILL [FROM..][TO..][STEP..]], ...`` into
+    with_fill_multi specs; returns (specs, order_only_cols)."""
+    specs, order_only = [], []
+    for item in _split_top_commas(tail):
+        im = _FILL_ITEM_RE.match(item.strip())
+        if im is None:
+            return [], []           # an expression key — not handled
+        col = im.group(1).strip("`")
+        desc = (im.group(2) or "").upper() == "DESC"
+        if im.group(3):
+            specs.append((col, _fill_literal(im.group(6)) or 1,
+                          _fill_literal(im.group(4)),
+                          _fill_literal(im.group(5)), desc))
+        else:
+            order_only.append(col)
+    return specs, order_only
+
+
 def _fill_literal(tok: str | None):
     if tok is None:
         return None
@@ -4100,6 +4179,11 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", text, re.IGNORECASE):
         text = _rewrite_asof_join(spark, text)
 
+    if re.search(r"(?i)WITH\s+(FILL|TOTALS)\b", text) \
+            and re.search(r"(?is)\b(FROM|JOIN)\s*\(", text):
+        text = _materialize_nested_selects(spark, text, sample_by,
+                                           tables)
+
     m = _WITH_FILL_RE.search(text)
     if m:
         from ..operators.fill import with_fill
@@ -4114,6 +4198,16 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         if m.group(5):                  # trailing LIMIT after the fill
             filled = filled.limit(int(m.group(5)))
         return filled
+
+    m = _WITH_FILL_MULTI_RE.search(text)
+    if m and m.start() in _top_level_set(text):
+        specs, order_only = _parse_multi_fill(m.group(1))
+        if specs:
+            from ..operators.fill import with_fill_multi
+            base = text[:m.start()].rstrip()
+            df = _run_sql(spark,
+                          translate_ch_sql(base, sample_by=sample_by))
+            return with_fill_multi(df, specs)
     translated = translate_ch_sql(text, sample_by=sample_by)
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
