@@ -3529,6 +3529,10 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = re.sub(r"\bGLOBAL\s+(?=(NOT\s+)?IN\b)", "", sql,
                  flags=re.IGNORECASE)
     sql = _rewrite_quantified_comparisons(sql)
+    # CH table identifiers may start with digits (01504_test); Spark
+    # needs them backticked
+    sql = _sub_nonstring(sql, lambda seg: re.sub(
+        r"(?<![\w`.$\x00])(\d+_\w*[A-Za-z]\w*)", r"`\1`", seg))
     sql = _rewrite_numeric_bool_ops(sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
@@ -4135,6 +4139,13 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         _refresh_table_views(spark, name, table)
         return None
 
+    m = re.match(r"^ALTER\s+TABLE\s+`?(\w+)`?\s+(.*)$", text,
+                 re.IGNORECASE | re.DOTALL)
+    if m and re.match(r"(?is)^(ADD|DROP|RENAME|MODIFY|MATERIALIZE|"
+                      r"CLEAR|COMMENT|RESET)\b", m.group(2)):
+        return _alter_table_statement(spark, m.group(1), m.group(2),
+                                      tables)
+
     # CREATE [MATERIALIZED] VIEW name AS SELECT ... (reference
     # src/Parsers/ParserCreateQuery.h; StorageMaterializedView.h) —
     # temp view over the translated select; MATERIALIZED additionally
@@ -4636,6 +4647,45 @@ def _ch_decl_type_to_spark(t: str) -> str:
     return "STRING"
 
 
+_STORAGE_CLAUSE_RE = (r"PARTITION\s+BY|ORDER\s+BY|PRIMARY\s+KEY|"
+                      r"SAMPLE\s+BY|SETTINGS|TTL\b|COMMENT\b")
+
+
+def _storage_clause_exprs(tail: str, kw: str) -> list[str] | None:
+    """Expression list of a storage clause (``ORDER BY toDate(d), id``)
+    — paren-balanced, cut at the next top-level storage keyword
+    (ParserCreateQuery storage definition)."""
+    m = re.search(kw + r"\s+", tail, re.IGNORECASE)
+    if not m:
+        return None
+    rest = tail[m.end():]
+    depth = 0
+    end = len(rest)
+    i = 0
+    while i < len(rest):
+        c = rest[i]
+        if c in "'\"`":
+            i = _skip_string(rest, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and re.match(r"(?i)(" + _STORAGE_CLAUSE_RE
+                                     + r")", rest[i:]) and i > 0:
+            end = i
+            break
+        i += 1
+    seg = rest[:end].strip()
+    if seg.startswith("(") and _matching_paren(seg, 0) == len(seg) - 1:
+        seg = seg[1:-1].strip()
+    if re.match(r"(?i)tuple\s*\(", seg) \
+            and _matching_paren(seg, seg.index("(")) == len(seg) - 1:
+        seg = seg[seg.index("(") + 1:-1].strip()
+    return [c.strip().strip("`") for c in _split_top_commas(seg)
+            if c.strip()]
+
+
 def create_table_sql(spark, sql: str, base_dir: str):
     """``CREATE TABLE name (cols...) ENGINE = <engine>[(args)] [ORDER BY
     ...] [PARTITION BY ...]`` → a managed :class:`MergeTreeTable` at
@@ -4665,16 +4715,16 @@ def create_table_sql(spark, sql: str, base_dir: str):
             if a.strip()]
     order_by: list[str] = []
     partition_by: list[str] = []
-    mo = re.search(r"ORDER\s+BY\s+\(?([^)]+?)\)?\s*(?:PARTITION\s+BY|SETTINGS|$)",
-                   tail, re.IGNORECASE | re.DOTALL)
-    if mo:
-        order_by = [c.strip().strip("`") for c in mo.group(1).split(",")
-                    if c.strip()]
-    mp = re.search(r"PARTITION\s+BY\s+\(?([^)]+?)\)?\s*(?:ORDER\s+BY|SETTINGS|$)",
-                   tail, re.IGNORECASE | re.DOTALL)
-    if mp:
-        partition_by = [c.strip().strip("`") for c in mp.group(1).split(",")
-                        if c.strip()]
+    ob = _storage_clause_exprs(tail, r"ORDER\s+BY")
+    if ob is not None:
+        # expression keys go through the dialect translator so
+        # F.expr() can evaluate them Spark-side
+        order_by = [c if re.fullmatch(r"\w+", c) else _translate_expr(c)
+                    for c in ob]
+    pb = _storage_clause_exprs(tail, r"PARTITION\s+BY")
+    if pb is not None:
+        partition_by = [c if re.fullmatch(r"\w+", c)
+                        else _translate_expr(c) for c in pb]
 
     schema_parts = []
     col_defaults: dict[str, str] = {}
@@ -4767,6 +4817,20 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             spark.createDataFrame([], t.schema_ddl) \
                 .createOrReplaceTempView(name)
         return None
+    # CREATE TABLE a AS b [ENGINE = X]: clone b's structure, empty
+    # (reference InterpreterCreateQuery::setProperties from-table form)
+    cl = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                  r"`?(\w+)`?\s+AS\s+`?(\w+)`?\s*"
+                  r"(?:ENGINE\s*=?\s*\w+.*)?$",
+                  text, re.IGNORECASE | re.DOTALL)
+    if cl and not re.match(r"(?is)^SELECT\b", cl.group(2)):
+        src = _resolve_view_safe(spark, cl.group(2),
+                                 (tables or {}).get(cl.group(2)))
+        if src is not None:
+            spark.createDataFrame([], src.schema) \
+                .createOrReplaceTempView(cl.group(1))
+            return None
+
     # non-MergeTree engine with explicit columns: empty typed view
     if cm:
         parts = []
@@ -4836,6 +4900,125 @@ def _ch_type_default_sql(dt) -> str:
     if isinstance(dt, T.NumericType):
         return f"CAST(0 AS {s})"
     return f"CAST(NULL AS {s})"
+
+
+def _spark_type_of_ddl(spark, ddl_type: str):
+    return spark.createDataFrame([], f"`__x` {ddl_type}") \
+        .schema.fields[0].dataType
+
+
+def _alter_table_statement(spark, name: str, body: str, tables):
+    """ALTER TABLE column operations (reference
+    src/Parsers/ParserAlterQuery.cpp / InterpreterAlterQuery): ADD /
+    DROP / RENAME / MODIFY / MATERIALIZE / CLEAR COLUMN, COMMENT,
+    MODIFY TTL/SETTING.  Managed MergeTree tables evolve their declared
+    schema (old parts are aligned at read time — missing columns fill
+    with the DEFAULT, the reference's non-mutating ADD semantics);
+    Memory/view tables transform the registered DataFrame."""
+    t = (tables or {}).get(name)
+    df = _resolve_view_safe(spark, name, t)
+    if df is None:
+        raise ValueError(f"ALTER: unknown table {name!r}")
+    for op in _split_top_commas(body):
+        o = op.strip()
+        m = re.match(r"(?is)^ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                     r"`?(\w+)`?\s+(.+?)(?:\s+AFTER\s+`?\w+`?|\s+FIRST)?$",
+                     o)
+        if m:
+            cname, rest = m.group(1), m.group(2)
+            stype = _ch_decl_type_to_spark(_decl_type(rest))
+            dm = re.search(r"(?i)\b(?:DEFAULT|MATERIALIZED)\s+(.+)$",
+                           rest)
+            dt = _spark_type_of_ddl(spark, stype)
+            dexpr = (_translate_expr(dm.group(1).strip()) if dm
+                     else _ch_type_default_sql(dt))
+            if cname not in df.columns:
+                df = df.withColumn(cname, F.expr(dexpr).cast(dt))
+            if t is not None:
+                if getattr(t, "schema_ddl", None):
+                    t.schema_ddl += f", `{cname}` {stype}"
+                if dm:
+                    t.column_defaults[cname] = dexpr
+            continue
+        m = re.match(r"(?is)^DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
+                     r"`?(\w+)`?$", o)
+        if m:
+            cname = m.group(1)
+            df = df.drop(cname)
+            if t is not None and getattr(t, "schema_ddl", None):
+                t.schema_ddl = ", ".join(
+                    c for c in _split_top_commas(t.schema_ddl)
+                    if c.strip().split()[0].strip("`") != cname)
+                t.column_defaults.pop(cname, None)
+            continue
+        m = re.match(r"(?is)^RENAME\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
+                     r"`?(\w+)`?\s+TO\s+`?(\w+)`?$", o)
+        if m:
+            df = df.withColumnRenamed(m.group(1), m.group(2))
+            if t is not None and getattr(t, "schema_ddl", None):
+                t.schema_ddl = re.sub(
+                    rf"`?{re.escape(m.group(1))}`?(\s)",
+                    rf"`{m.group(2)}`\1", t.schema_ddl, count=1)
+            continue
+        m = re.match(r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
+                     r"`?(\w+)`?\s+(.+)$", o)
+        if m:
+            cname, rest = m.group(1), m.group(2)
+            if re.match(r"(?is)^(DEFAULT|MATERIALIZED)\b", rest):
+                if t is not None:
+                    t.column_defaults[cname] = _translate_expr(
+                        re.sub(r"(?is)^(DEFAULT|MATERIALIZED)\s+", "",
+                               rest).strip())
+                continue
+            if re.match(r"(?is)^(REMOVE|COMMENT|TTL|SETTINGS)\b", rest):
+                continue
+            stype = _ch_decl_type_to_spark(_decl_type(rest))
+            dt = _spark_type_of_ddl(spark, stype)
+            if cname in df.columns:
+                df = df.withColumn(cname, F.col(cname).cast(dt))
+            if t is not None and getattr(t, "schema_ddl", None):
+                t.schema_ddl = ", ".join(
+                    (f"`{cname}` {stype}"
+                     if c.strip().split()[0].strip("`") == cname else c)
+                    for c in _split_top_commas(t.schema_ddl))
+            continue
+        if re.match(r"(?is)^(MATERIALIZE\s+COLUMN|COMMENT\s+COLUMN|"
+                    r"MODIFY\s+(TTL|SETTING|ORDER\s+BY|QUERY)|"
+                    r"RESET\s+SETTING|CLEAR\s+COLUMN|ADD\s+INDEX|"
+                    r"DROP\s+INDEX|MATERIALIZE\s+INDEX|"
+                    r"ADD\s+PROJECTION|DROP\s+PROJECTION|"
+                    r"MATERIALIZE\s+PROJECTION)\b", o):
+            # metadata / storage-layout operations with no read-path
+            # effect in this engine (defaults materialize at read,
+            # indexes rebuild from parts)
+            continue
+        raise NotImplementedError(f"ALTER operation not mapped: "
+                                  f"{o[:60]!r}")
+    df.createOrReplaceTempView(name)
+    if t is not None:
+        try:
+            t.read(final=True).createOrReplaceTempView(f"{name}__final")
+        except Exception:
+            pass
+    return None
+
+
+def _resolve_view_safe(spark, name: str, t):
+    """The registered view for ``name``, or an empty typed frame from
+    the declared DDL (part-less managed table), or None."""
+    try:
+        return spark.table(name)
+    except Exception:
+        pass
+    if t is not None:
+        ddl = getattr(t, "schema_ddl", None)
+        if ddl:
+            return spark.createDataFrame([], ddl)
+        try:
+            return t.read()
+        except Exception:
+            return None
+    return None
 
 
 def _refresh_table_views(spark, name: str, t) -> None:

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 from typing import Sequence
 
@@ -174,20 +175,28 @@ class MergeTreeTable:
             else:
                 df = df.withColumn(
                     name, F.coalesce(F.col(name), F.expr(expr_sql)))
+        # ORDER BY / PARTITION BY entries may be EXPRESSIONS
+        # (registerStorageMergeTree.cpp accepts any expression key);
+        # F.expr handles both plain columns and expressions.  Directory
+        # partitioning needs real columns — expression partition keys
+        # fall back to sort-only (the row-group stats still prune).
+        plain_parts = [c for c in self.partition_by
+                       if re.fullmatch(r"\w+", c)]
         writer = df
-        if self.partition_by:
+        if plain_parts:
             # repartition on the partition key so each output partition
             # directory is written by few tasks (avoids small-file blowup)
-            writer = writer.repartition(*[F.col(c) for c in self.partition_by])
+            writer = writer.repartition(*[F.col(c) for c in plain_parts])
         if self.order_by:
-            writer = writer.sortWithinPartitions(*self.order_by)
+            writer = writer.sortWithinPartitions(
+                *[F.expr(c) for c in self.order_by])
         w = writer.write.mode("overwrite")
         for col in self.bloom_filter_cols:
             w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
         for k, v in (write_options or {}).items():
             w = w.option(k, v)
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
+        if plain_parts:
+            w = w.partitionBy(*plain_parts)
         w.parquet(part_dir)
         if self.token_index_cols:
             self._write_token_index(part_dir)

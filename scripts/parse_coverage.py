@@ -114,12 +114,14 @@ def signature(err: str) -> str:
                   err)
     if m:
         return f"UNRESOLVED_ROUTINE `{m.group(1)}`"
+    m = re.search(r'Cannot resolve "([A-Za-z_][A-Za-z_0-9]*)\(', err)
+    fn = f" <{m.group(1)}>" if m else ""
     err = err.split("\n")[0]
     err = re.sub(r"'[^']*'", "'…'", err)
     err = re.sub(r"`[^`]*`", "`…`", err)
     err = re.sub(r"\"[^\"]*\"", '"…"', err)
     err = re.sub(r"\d+", "N", err)
-    return err[:160]
+    return (err + fn)[:160]
 
 
 def main() -> int:

@@ -75,7 +75,8 @@ def classify_and_run(spark, ch_sql, stmt: str, tables) -> str:
         if ename in ("ValueError", "NotImplementedError", "KeyError",
                      "IndexError", "ParseException") \
                 and "AnalysisException" not in ename:
-            return "FRONTEND:" + f"{ename}: {signature(msg)}"
+            head = " ".join(stmt.split()[:3])[:40]
+            return "FRONTEND:" + f"{ename}: {signature(msg)} [{head}]"
         if "AnalysisException" in ename or "UNRESOLVED" in msg \
                 or "cannot resolve" in msg:
             return "ANALYSIS:" + f"{ename}: {signature(msg)}"
