@@ -31,6 +31,58 @@ def _fn(name):
     return lambda a: f"{name}({', '.join(a)})"
 
 
+def _variant_pred(x: str, ch_t: str) -> str | None:
+    """Best-effort-parse predicate for one Variant alternative
+    (reference src/DataTypes/DataTypeVariant.cpp String→Variant cast:
+    each non-String type is tried, String is the fallback)."""
+    t = ch_t.strip()
+    low = t.lower()
+    if re.fullmatch(r"uint\d+", low):
+        return (f"(try_cast({x} AS BIGINT) IS NOT NULL "
+                f"AND try_cast({x} AS BIGINT) >= 0)")
+    if re.fullmatch(r"int\d+", low):
+        return f"(try_cast({x} AS BIGINT) IS NOT NULL)"
+    if re.fullmatch(r"float\d+", low):
+        return f"(try_cast({x} AS DOUBLE) IS NOT NULL)"
+    if low == "bool":
+        return f"(lower(CAST({x} AS STRING)) IN ('true', 'false'))"
+    if low.startswith("datetime"):
+        return (f"(CAST({x} AS STRING) RLIKE "
+                f"'^\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}}[ T]' AND "
+                f"try_cast({x} AS TIMESTAMP) IS NOT NULL)")
+    if low.startswith("date"):
+        return (f"(CAST({x} AS STRING) RLIKE "
+                f"'^\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}}$')")
+    if low.startswith("array"):
+        return (f"(trim(CAST({x} AS STRING)) RLIKE '^\\\\[.*\\\\]$')")
+    if low.startswith("uuid"):
+        return (f"(CAST({x} AS STRING) RLIKE "
+                f"'^[0-9a-fA-F-]{{36}}$')")
+    return None  # String / unsupported -> fallback handling
+
+
+def _variant_cast_sql(x: str, types_raw: str) -> str:
+    """CAST(x, 'Variant(T1, T2, ...)') → a (val STRING, typ STRING)
+    carrier struct: best-effort parse picks the first matching
+    alternative, String is the fallback, no match → NULL value with
+    type 'None' (reference DataTypeVariant String conversion)."""
+    types = [t.strip() for t in _split_top_commas(types_raw)]
+    branches = []
+    has_string = any(
+        t.lower().startswith(("string", "fixedstring",
+                              "lowcardinality")) for t in types)
+    for t in types:
+        pred = _variant_pred(x, t)
+        if pred is not None:
+            branches.append(f"WHEN {pred} THEN '{t}'")
+    fallback = "'String'" if has_string else "NULL"
+    typ = (f"CASE WHEN CAST({x} AS STRING) IS NULL THEN 'None' "
+           + " ".join(branches) + f" ELSE {fallback} END")
+    return (f"named_struct('val', CASE WHEN ({typ}) IS NULL THEN NULL "
+            f"ELSE CAST({x} AS STRING) END, 'typ', "
+            f"coalesce({typ}, 'None'))")
+
+
 def _cast_rule(a):
     """Two-arg cast(x, 'Type') (src/Functions/CastOverloadResolver.cpp).
     A Map source cast to Array(Tuple(...)) converts via map_entries
@@ -38,6 +90,13 @@ def _cast_rule(a):
     renames/retypes the pair fields positionally."""
     if len(a) == 1:
         return f"CAST({a[0]})"
+    raw = a[1].strip()
+    while raw.startswith("(") and raw.endswith(")"):
+        raw = raw[1:-1].strip()
+    raw = raw.strip().strip("'\"")
+    vm = re.fullmatch(r"(?is)Variant\s*\((.*)\)", raw)
+    if vm:
+        return _variant_cast_sql(a[0], vm.group(1))
     ty = _ch_type_to_sql(a[1])
     src = a[0].strip()
     if re.match(r"(?i)\s*array\s*<\s*struct\b", ty) and re.match(
@@ -460,6 +519,14 @@ _RULES: dict = {
                               if re.fullmatch(r"\s*[+-]?\d+\s*", a[0])
                               else a[0]),
     "identity": lambda a: a[0],
+    # Variant carrier accessors (DataTypeVariant): the cast produces a
+    # (val STRING, typ STRING) struct; variantType reads the tag,
+    # variantElement extracts-and-casts when the tag matches
+    "varianttype": lambda a: f"({a[0]}).typ",
+    "variantelement": lambda a: (
+        f"(CASE WHEN ({a[0]}).typ = {a[1]} THEN "
+        f"CAST(({a[0]}).val AS "
+        f"{_ch_type_to_sql(a[1])}) END)"),
     # DATE_ADD/DATE_SUB: CH takes (date, INTERVAL n unit) or
     # (unit, n, date) (src/Functions/FunctionDateOrDateTimeAddInterval);
     # Spark's date_add is (date, days) — route interval forms through
