@@ -1507,7 +1507,15 @@ _PARAMETRIC: dict = {
         f"v -> struct(-aggregate(filter(collect_list(struct({a[0]} AS _x, {a[1]} AS _w)), "
         f"q -> q._x = v), cast(0.0 AS double), (acc, q) -> acc + q._w) AS neg, v AS val))), "
         f"s -> s.val), 1, {p[0]})"),
-    "uniqupto": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    "uniqupto": lambda p, a: (
+        f"least(count(DISTINCT {a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}), "
+        f"{p[0]} + 1)"),
+    # -Array combinator over uniqUpTo: distinct ELEMENTS (zipped for
+    # the multi-arg form) across all rows' arrays
+    "uniquptoarray": lambda p, a: (
+        "least(CAST(size(array_distinct(flatten(collect_list("
+        + (a[0] if len(a) == 1 else f"arrays_zip({', '.join(a)})")
+        + f")))) AS BIGINT), {p[0]} + 1)"),
     # histogram(N)(x) (AggregateFunctionHistogram.h): the reference's
     # adaptive-binning sketch is order-dependent by contract; this is
     # the deterministic equal-width refinement over [min, max] —
@@ -2687,7 +2695,11 @@ def _rewrite_array_join(sql: str) -> str:
                        re.IGNORECASE | re.DOTALL)
         expr = (am.group(1) if am else item).strip()
         alias = am.group(2).strip("`") if am else (
-            expr if re.fullmatch(r"\w+", expr) else None)
+            expr if re.fullmatch(r"\w+", expr) else
+            # qualified `t.arr` takes the column's own name,
+            # like the reference's unaliased ARRAY JOIN
+            (expr.rsplit(".", 1)[1]
+             if re.fullmatch(r"\w+\.\w+", expr) else None))
         if alias is None:
             raise ValueError(
                 f"ARRAY JOIN item needs AS alias: {item!r}")
@@ -3095,6 +3107,11 @@ _CH_CAST_TYPES = {
     "int64": "BIGINT", "uint8": "SMALLINT", "uint16": "INT",
     "uint32": "BIGINT", "uint64": "DECIMAL(20,0)", "float32": "FLOAT",
     "float64": "DOUBLE", "bfloat16": "FLOAT", "string": "STRING",
+    # 128/256-bit ints carry as DECIMAL(38,0): exact within ±10^38-1,
+    # values beyond Spark's decimal ceiling overflow to NULL
+    # (documented bound, LIMITS.md)
+    "int128": "DECIMAL(38,0)", "int256": "DECIMAL(38,0)",
+    "uint128": "DECIMAL(38,0)", "uint256": "DECIMAL(38,0)",
     "date": "DATE", "date32": "DATE", "datetime": "TIMESTAMP",
     "datetime64": "TIMESTAMP", "bool": "BOOLEAN", "uuid": "STRING",
     # IP types carry their canonical text form here (the reference
@@ -3337,6 +3354,7 @@ def _rewrite_cast_types(sql: str) -> str:
 
 _LIMIT_TIES_RE = re.compile(
     r"^(?P<body>.+\bORDER\s+BY\s+(?P<order>.+?))\s+LIMIT\s+(?P<n>\d+)"
+    r"(?:\s+OFFSET\s+(?P<off>\d+))?"
     r"\s+WITH\s+TIES\s*$",
     re.IGNORECASE | re.DOTALL)
 
@@ -3351,9 +3369,13 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     om = re.search(r"(.+)\bORDER\s+BY\s+" + re.escape(order) + r"\s*$",
                    m.group("body"), re.IGNORECASE | re.DOTALL)
     inner = om.group(1).strip() if om else m.group("body")
-    return (f"SELECT * EXCEPT (__rk) FROM (SELECT *, rank() OVER "
-            f"(ORDER BY {order}) AS __rk FROM ({inner})) "
-            f"WHERE __rk <= {m.group('n')} ORDER BY {order}")
+    off = int(m.group("off") or 0)
+    out = (f"SELECT * EXCEPT (__rk) FROM (SELECT *, rank() OVER "
+           f"(ORDER BY {order}) AS __rk FROM ({inner})) "
+           f"WHERE __rk <= {int(m.group('n')) + off} ORDER BY {order}")
+    if off:
+        out += f" OFFSET {off}"
+    return out
 
 
 _OPER_CHARS = set("+-*/%<>=!~^|&.")
@@ -4081,8 +4103,11 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         _QUERY_LOG.clear()
         return None
     # SYSTEM FLUSH LOGS: the log is already materialized — no-op
-    if re.match(r"^SYSTEM\s+FLUSH\s+LOGS\s*$", text, re.IGNORECASE):
+    if re.match(r"^SYSTEM\s+FLUSH\s+LOGS\b", text, re.IGNORECASE):
         return None
+
+    text = re.sub(r"(?i)^(CREATE|SHOW\s+CREATE)\s+TEMPORARY\s+TABLE\b",
+                  lambda m: m.group(1).upper() + " TABLE", text)
 
     util = _utility_statement(spark, text, tables)
     if util is not _NO_MATCH:
@@ -4503,6 +4528,29 @@ def _utility_statement(spark, text: str, tables):
             stmt += f" ORDER BY ({', '.join(order)})"
         return spark.createDataFrame([(stmt,)], "statement string")
 
+    m = re.match(r"^SHOW\s+SETTING\s+`?(\w+)`?\s*$", text,
+                 re.IGNORECASE)
+    if m:
+        df = ch_sql(spark,
+                    f"SELECT value FROM system.settings "
+                    f"WHERE name = '{m.group(1)}'")
+        return df
+
+    m = re.match(r"^(?:DESCRIBE|DESC)\s+(format\s*\(.*\))"
+                 r"(?:\s+FORMAT\s+\w+)?\s*$",
+                 text, re.IGNORECASE | re.DOTALL)
+    if m:
+        # DESC over the format() table function: infer the schema by
+        # reading the inline literal (TableFunctionFormat + Interpreter
+        # DescribeQuery)
+        df = ch_sql(spark, f"SELECT * FROM {m.group(1)}", tables=tables)
+        rows = [(f.name, _spark_type_to_ch(f.dataType), "", "", "", "",
+                 "") for f in df.schema.fields]
+        return spark.createDataFrame(
+            rows, "name string, type string, default_type string, "
+                  "default_expression string, comment string, "
+                  "codec_expression string, ttl_expression string")
+
     m = re.match(r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?`?(\w+)`?\s*$",
                  text, re.IGNORECASE)
     if m:
@@ -4796,6 +4844,9 @@ def create_table_sql(spark, sql: str, base_dir: str):
     schema_parts = []
     col_defaults: dict[str, str] = {}
     for coldef in _split_top_commas(cols_src):
+        if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
+                    r"PRIMARY\s+KEY)\b", coldef):
+            continue            # table-level declarations, not columns
         toks = coldef.strip().split(None, 1)
         if len(toks) < 2:
             continue
@@ -4902,6 +4953,9 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
     if cm:
         parts = []
         for coldef in _split_top_commas(cm.group(2)):
+            if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
+                        r"PRIMARY\s+KEY)\b", coldef):
+                continue
             toks = coldef.strip().split(None, 1)
             if len(toks) < 2:
                 continue

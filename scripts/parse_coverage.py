@@ -121,7 +121,7 @@ def signature(err: str) -> str:
     err = re.sub(r"`[^`]*`", "`…`", err)
     err = re.sub(r"\"[^\"]*\"", '"…"', err)
     err = re.sub(r"\d+", "N", err)
-    return (err + fn)[:160]
+    return (fn.strip() + " | " + err if fn else err)[:160]
 
 
 def main() -> int:
