@@ -1,0 +1,166 @@
+"""Stateful SQL-session surface: CREATE/INSERT VALUES/ALTER/DROP flows
+(reference InterpreterCreateQuery / InterpreterInsertQuery /
+InterpreterAlterQuery; the stateless test corpus's dominant shape)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clickhouse_core_spark.plans.frontend import ch_sql  # noqa: E402
+
+
+@pytest.fixture()
+def tables():
+    return {}
+
+
+def test_insert_values_memory_engine(spark, tables):
+    ch_sql(spark, "CREATE TABLE sm1 (a UInt32, s String) ENGINE Memory",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO sm1 VALUES (1, 'x'), (2, 'y')",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO sm1 (a) VALUES (3)", tables=tables)
+    rows = ch_sql(spark, "SELECT * FROM sm1 ORDER BY a",
+                  tables=tables).collect()
+    assert [(r.a, r.s) for r in rows] == [(1, "x"), (2, "y"), (3, "")]
+    ch_sql(spark, "DROP TABLE sm1", tables=tables)
+
+
+def test_insert_values_mergetree_defaults(spark, tables):
+    ch_sql(spark, "CREATE TABLE smt (id Int64, dflt Int64 DEFAULT 54321,"
+                  " dbl Int64 DEFAULT id * 2) ENGINE MergeTree ORDER BY id",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO smt (id) VALUES (7)", tables=tables)
+    r = ch_sql(spark, "SELECT * FROM smt", tables=tables).collect()[0]
+    assert (r.id, r.dflt, r.dbl) == (7, 54321, 14)
+    ch_sql(spark, "DROP TABLE smt", tables=tables)
+
+
+def test_insert_select_positional_alignment(spark, tables):
+    ch_sql(spark, "CREATE TABLE pos1 (k UInt32, v String) ENGINE Memory",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO pos1 SELECT 5, 'five'", tables=tables)
+    r = ch_sql(spark, "SELECT * FROM pos1", tables=tables).collect()[0]
+    assert (r.k, r.v) == (5, "five")
+    ch_sql(spark, "DROP TABLE pos1", tables=tables)
+
+
+def test_values_without_commas_between_tuples(spark, tables):
+    ch_sql(spark, "CREATE TABLE nc1 (n Int32) ENGINE Memory",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO nc1 VALUES (1), (2) (3), (4)",
+           tables=tables)
+    n = ch_sql(spark, "SELECT count(*) AS c FROM nc1",
+               tables=tables).collect()[0].c
+    assert n == 4
+    ch_sql(spark, "DROP TABLE nc1", tables=tables)
+
+
+def test_alter_add_drop_rename_modify(spark, tables):
+    ch_sql(spark, "CREATE TABLE al1 (a UInt8, b String) ENGINE Memory",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO al1 VALUES (1, 'x')", tables=tables)
+    ch_sql(spark, "ALTER TABLE al1 ADD COLUMN c UInt32 DEFAULT 7",
+           tables=tables)
+    r = ch_sql(spark, "SELECT * FROM al1", tables=tables).collect()[0]
+    assert r.c == 7
+    ch_sql(spark, "ALTER TABLE al1 DROP COLUMN b, RENAME COLUMN a TO aa",
+           tables=tables)
+    row = ch_sql(spark, "SELECT * FROM al1", tables=tables).collect()[0]
+    assert row.asDict() == {"aa": 1, "c": 7}
+    ch_sql(spark, "ALTER TABLE al1 MODIFY COLUMN c Int64", tables=tables)
+    schema = ch_sql(spark, "SELECT * FROM al1", tables=tables).schema
+    assert schema["c"].dataType.simpleString() == "bigint"
+    ch_sql(spark, "DROP TABLE al1", tables=tables)
+
+
+def test_create_table_as_clone(spark, tables):
+    ch_sql(spark, "CREATE TABLE cl_src (x UInt8, y String) ENGINE Memory",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO cl_src VALUES (1, 'v')", tables=tables)
+    ch_sql(spark, "CREATE TABLE cl_dst AS cl_src ENGINE = Memory",
+           tables=tables)
+    assert ch_sql(spark, "SELECT count(*) AS c FROM cl_dst",
+                  tables=tables).collect()[0].c == 0
+    ch_sql(spark, "INSERT INTO cl_dst SELECT * FROM cl_src",
+           tables=tables)
+    assert ch_sql(spark, "SELECT count(*) AS c FROM cl_dst",
+                  tables=tables).collect()[0].c == 1
+    for t in ("cl_src", "cl_dst"):
+        ch_sql(spark, f"DROP TABLE {t}", tables=tables)
+
+
+def test_expression_order_by_key(spark, tables):
+    ch_sql(spark, "CREATE TABLE exk (d DateTime, ui UInt32) "
+                  "ENGINE = MergeTree ORDER BY toDate(d)", tables=tables)
+    ch_sql(spark, "INSERT INTO exk SELECT "
+                  "toDateTime('2020-05-05 01:00:00'), number "
+                  "FROM numbers(10)", tables=tables)
+    assert ch_sql(spark, "SELECT count(*) AS c FROM exk",
+                  tables=tables).collect()[0].c == 10
+    ch_sql(spark, "DROP TABLE exk", tables=tables)
+
+
+def test_digit_leading_table_names(spark, tables):
+    ch_sql(spark, "CREATE TABLE 01999_t (a UInt8) ENGINE Memory",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO 01999_t VALUES (9)", tables=tables)
+    assert ch_sql(spark, "SELECT a FROM 01999_t",
+                  tables=tables).collect()[0].a == 9
+    ch_sql(spark, "DROP TABLE 01999_t", tables=tables)
+
+
+def test_variant_cast_and_accessors(spark):
+    rows = ch_sql(spark, """
+        SELECT CAST('42', 'Variant(String, UInt64)') AS v1,
+               variantType(CAST('abc', 'Variant(String, UInt64)')) AS t2,
+               variantType(CAST('[1]', 'Variant(String, Array(UInt64))')) AS t3,
+               variantElement(CAST('42', 'Variant(String, UInt64)'),
+                              'UInt64') AS e4
+    """).collect()[0]
+    assert rows.v1.typ == "UInt64" and rows.t2 == "String"
+    assert rows.t3 == "Array(UInt64)" and int(rows.e4) == 42
+
+
+def test_multi_column_with_fill(spark):
+    rows = ch_sql(spark, """
+        SELECT number AS a, number % 3 AS b FROM numbers(6)
+        WHERE number % 2 = 0 ORDER BY a WITH FILL, b
+    """).collect()
+    assert [r.a for r in rows] == [0, 1, 2, 3, 4]
+    assert [r.b for r in rows] == [0, None, 2, None, 1]
+
+
+def test_with_fill_inside_subquery(spark):
+    rows = ch_sql(spark, """
+        SELECT * FROM (
+            SELECT number AS x FROM numbers(10)
+            WHERE number % 3 = 1 ORDER BY x WITH FILL STEP 2
+        ) WHERE x < 6 ORDER BY x
+    """).collect()
+    assert [r.x for r in rows] == [1, 3, 5]
+
+
+def test_limit_offset_with_ties(spark):
+    rows = ch_sql(spark, """
+        SELECT a FROM (SELECT arrayJoin([1, 1, 2, 3]) AS a)
+        ORDER BY a LIMIT 1, 1 WITH TIES
+    """).collect()
+    assert [r.a for r in rows] == [1]
+
+
+def test_mutations_refresh_views(spark, tables):
+    ch_sql(spark, "CREATE TABLE mu (k UInt32, v String) "
+                  "ENGINE MergeTree ORDER BY k", tables=tables)
+    ch_sql(spark, "INSERT INTO mu VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+           tables=tables)
+    ch_sql(spark, "ALTER TABLE mu DELETE WHERE k = 2", tables=tables)
+    ch_sql(spark, "ALTER TABLE mu UPDATE v = upper(v) WHERE k = 1",
+           tables=tables)
+    rows = ch_sql(spark, "SELECT * FROM mu ORDER BY k",
+                  tables=tables).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "A"), (3, "c")]
+    ch_sql(spark, "DROP TABLE mu", tables=tables)
