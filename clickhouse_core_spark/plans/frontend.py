@@ -288,7 +288,24 @@ _RULES: dict = {
         f"substring({a[0]}, regexp_instr({a[0]}, {a[1]}) "
         f"+ length(regexp_substr({a[0]}, {a[1]})), length({a[0]}))) "
         f"ELSE {a[0]} END"),
-    "startswith": _fn("startswith"), "endswith": _fn("endswith"),
+    # CH startsWith/endsWith also take ARRAYS (prefix/suffix test,
+    # src/Functions/startsWith.cpp GenericComparison) — detect literal
+    # collection heads textually
+    "startswith": lambda a: (
+        f"(size({a[0]}) >= size({a[1]}) AND "
+        f"slice({a[0]}, 1, size({a[1]})) = {a[1]})"
+        if re.match(r"(?is)\s*(array|\[)", a[1]) or
+        re.match(r"(?is)\s*(array|\[)", a[0])
+        else f"startswith({a[0]}, {a[1]})"),
+    "endswith": lambda a: (
+        f"(size({a[0]}) >= size({a[1]}) AND "
+        f"slice({a[0]}, -greatest(size({a[1]}), 1), size({a[1]})) "
+        f"= {a[1]})"
+        if re.match(r"(?is)\s*(array|\[)", a[1]) or
+        re.match(r"(?is)\s*(array|\[)", a[0])
+        else f"endswith({a[0]}, {a[1]})"),
+    # bitCount over any integer carrier (Int128 rides DECIMAL here)
+    "bitcount": lambda a: f"bit_count(CAST({a[0]} AS BIGINT))",
     "splitbychar": lambda a: f"split({a[1]}, {_regex_quote(a[0])})",
     "splitbystring": lambda a: f"split({a[1]}, {_regex_quote(a[0])})",
     "splitbyregexp": lambda a: f"split({a[1]}, {a[0]})",
@@ -1121,8 +1138,13 @@ _RULES["jsonextractbool"] = lambda a: (
     f"CAST(get_json_object({a[0]}, {_json_path(a)}) = 'true' AS INT)")
 _RULES["jsonhas"] = lambda a: (
     f"CAST(get_json_object({a[0]}, {_json_path(a)}) IS NOT NULL AS INT)")
+# greatest() (NULL-skipping) instead of coalesce(): under
+# spark.sql.legacy.sizeOfNull=true (non-ANSI default) size(NULL) is -1,
+# not NULL, and coalesce would take the failed branch — greatest picks
+# the parsed one in BOTH session modes (r7 lesson: green under the
+# driver's ANSI session, red locally)
 _RULES["jsonlength"] = lambda a: (
-    f"coalesce(size(from_json(get_json_object({a[0]}, {_json_path(a)}), "
+    f"greatest(size(from_json(get_json_object({a[0]}, {_json_path(a)}), "
     f"'array<string>')), size(from_json(get_json_object({a[0]}, "
     f"{_json_path(a)}), 'map<string,string>')))")
 
@@ -1507,6 +1529,12 @@ _PARAMETRIC: dict = {
         f"v -> struct(-aggregate(filter(collect_list(struct({a[0]} AS _x, {a[1]} AS _w)), "
         f"q -> q._x = v), cast(0.0 AS double), (acc, q) -> acc + q._w) AS neg, v AS val))), "
         f"s -> s.val), 1, {p[0]})"),
+    # sparkbar(width[, min, max])(x, y)
+    # (AggregateFunctionSparkbar.h): bucket x into `width` bins over
+    # [min, max] (observed bounds when omitted), sum y per bin, render
+    # each as one of 8 block glyphs scaled to the max bin; empty bin =
+    # space.  One collect_list pass; higher-order folds do the rest.
+    "sparkbar": lambda p, a: _sparkbar_sql(p, a),
     "uniqupto": lambda p, a: (
         f"least(count(DISTINCT {a[0] if len(a) == 1 else 'struct(' + ', '.join(a) + ')'}), "
         f"{p[0]} + 1)"),
@@ -1677,6 +1705,30 @@ _PARAMETRIC["approx_top_count"] = _PARAMETRIC["topk"]
 _PARAMETRIC["approx_top_sum"] = _PARAMETRIC["topkweighted"]
 
 
+def _sparkbar_sql(p: list[str], a: list[str]) -> str:
+    width = p[0].strip()
+    pairs = (f"collect_list(struct(CAST({a[0]} AS DOUBLE) AS x, "
+             f"CAST({a[1]} AS DOUBLE) AS y))")
+    if len(p) >= 3:
+        lo, hi = f"CAST({p[1]} AS DOUBLE)", f"CAST({p[2]} AS DOUBLE)"
+    else:
+        lo = f"array_min(transform({pairs}, __q -> __q.x))"
+        hi = f"array_max(transform({pairs}, __q -> __q.x))"
+    bucket = (f"CAST(least(floor((__q.x - ({lo})) * {width} / "
+              f"(({hi}) - ({lo}) + 1)), {width} - 1) AS INT)")
+    bins = (f"transform(sequence(0, {width} - 1), __i -> "
+            f"aggregate(filter({pairs}, __q -> {bucket} = __i), "
+            f"CAST(0 AS DOUBLE), "
+            f"(__acc, __q) -> __acc + greatest(__q.y, 0)))")
+    glyphs = ("array(' ', '\\u2581', '\\u2582', '\\u2583', '\\u2584', "
+              "'\\u2585', '\\u2586', '\\u2587', '\\u2588')")
+    return (f"concat_ws('', transform({bins}, __b -> element_at("
+            f"{glyphs}, CASE WHEN __b <= 0 THEN 1 ELSE "
+            f"greatest(2, CAST(ceil(__b * 8 / "
+            f"greatest(array_max({bins}), 1e-300)) AS INT) + 1) "
+            f"END)))")
+
+
 def _array_reduce_sql(a: list[str]) -> str:
     """arrayReduce('agg', arr...) SQL form (reference
     src/Functions/array/arrayReduce.cpp) — constant-name dispatch.
@@ -1705,11 +1757,20 @@ def _array_reduce_sql(a: list[str]) -> str:
             arr = f"flatten({arr})"
     elif name.endswith("state") and name != "state":
         base = name[:-5]
+        if base.endswith("merge"):
+            # MergeState: merge partial states, keep the state carrier
+            # (flatten the array-of-state-arrays)
+            inner = base[:-5]
+            out = f"flatten({arr})"
+            return (f"array_distinct({out})"
+                    if inner in ("groupuniqarray", "uniq", "uniqexact")
+                    else out)
         if base in ("grouparray", "groupuniqarray", "grouparrayintersect",
                     "sum", "min", "max", "any", "anylast", "uniq",
                     "uniqexact", "count", "avg"):
-            return (f"array_distinct({arr})"
-                    if base == "groupuniqarray" else arr)
+            if base in ("uniq", "uniqexact", "groupuniqarray"):
+                return f"array_distinct({arr})"
+            return arr
         raise NotImplementedError(
             f"arrayReduce: aggregate {name!r} not mapped")
     forms = {
@@ -3255,6 +3316,13 @@ def _rewrite_ternary(sql: str) -> str:
         then_part = sql[qpos + 1:colon].strip()
         end = _expr_right_boundary(sql, colon + 1)
         else_part = sql[colon + 1:end].strip()
+        # constant-condition fold: the reference folds `0 ? a : b`
+        # BEFORE name resolution, so the dead branch may reference
+        # nonexistent columns (00712_prewhere-era corpus pattern)
+        if re.fullmatch(r"[+-]?\d+(\.\d+)?", cond):
+            chosen = else_part if float(cond) == 0 else then_part
+            sql = sql[:start] + f" {chosen} " + sql[end:]
+            continue
         sql = (sql[:start] + f" if({cond}, {then_part}, {else_part}) "
                + sql[end:])
 
@@ -3446,7 +3514,9 @@ def _rewrite_numeric_bool_ops(sql: str) -> str:
             return f"{rep} {m.group(2)}"
 
         seg = re.sub(
-            r"(?i)(?<![\w.])([+-]?\d+(?:\.\d+)?|NULL)\s+(OR|AND)\b",
+            r"(?i)(?<![\w.])((?:toNullable|materialize)\s*\(\s*"
+            r"[+-]?\d+(?:\.\d+)?\s*\)|[+-]?\d+(?:\.\d+)?|NULL)"
+            r"\s+(OR|AND)\b",
             before_op, seg)
 
         def after_op(m):
@@ -3461,7 +3531,9 @@ def _rewrite_numeric_bool_ops(sql: str) -> str:
             return f"{m.group(1)} {rep}"
 
         seg = re.sub(
-            r"(?i)\b(OR|AND)\s+([+-]?\d+(?:\.\d+)?|NULL)(?![\w.])",
+            r"(?i)\b(OR|AND)\s+((?:toNullable|materialize)\s*\(\s*"
+            r"[+-]?\d+(?:\.\d+)?\s*\)|[+-]?\d+(?:\.\d+)?|NULL)"
+            r"(?![\w.])",
             after_op, seg)
         # CH allows a bare scalar on the right of IN: `x IN 1`,
         # `d IN toDate('…')` (src/Functions/in.cpp) — parenthesize it
@@ -3534,6 +3606,11 @@ def _rewrite_numbers_tvf(sql: str) -> str:
         "UNION ALL SELECT 'join_use_nulls', '0', 0 "
         "UNION ALL SELECT 'max_insert_block_size', '1048449', 0)",
         sql, flags=re.IGNORECASE)
+    # `SELECT * WHERE cond` (any nesting level): the implicit source
+    # is system.one — SELECT * cannot resolve without a FROM in Spark
+    sql = re.sub(r"(?is)\bSELECT\s+\*\s+WHERE\b",
+                 "SELECT * FROM (SELECT CAST(0 AS SMALLINT) AS dummy) "
+                 "WHERE", sql)
     # a FROM-less SELECT referencing `dummy` implies FROM system.one
     # (reference: the default table of a bare SELECT is system.one)
     if re.search(r"\bdummy\b", sql) \
