@@ -540,6 +540,22 @@ _RULES: dict = {
     # (val STRING, typ STRING) struct; variantType reads the tag,
     # variantElement extracts-and-casts when the tag matches
     "varianttype": lambda a: f"({a[0]}).typ",
+    # Dynamic carries as a JSON/text STRING here (SURVEY §1.2);
+    # dynamicType sniffs the carried value the way the Variant cast
+    # does, isDynamicElementInSharedData is always false (no shared
+    # binary payload in a string carrier)
+    "dynamictype": lambda a: (
+        f"(CASE WHEN {a[0]} IS NULL THEN 'None' "
+        f"WHEN try_cast({a[0]} AS BIGINT) IS NOT NULL THEN 'Int64' "
+        f"WHEN try_cast({a[0]} AS DOUBLE) IS NOT NULL THEN 'Float64' "
+        f"WHEN lower(CAST({a[0]} AS STRING)) IN ('true', 'false') "
+        f"THEN 'Bool' "
+        f"WHEN CAST({a[0]} AS STRING) RLIKE "
+        f"'^\\\\d{{4}}-\\\\d{{2}}-\\\\d{{2}}$' THEN 'Date' "
+        f"WHEN trim(CAST({a[0]} AS STRING)) RLIKE '^\\\\[.*\\\\]$' "
+        f"THEN 'Array(Nullable(String))' "
+        f"ELSE 'String' END)"),
+    "isdynamicelementinshareddata": lambda a: "false",
     "variantelement": lambda a: (
         f"(CASE WHEN ({a[0]}).typ = {a[1]} THEN "
         f"CAST(({a[0]}).val AS "
@@ -3555,6 +3571,76 @@ def _rewrite_numeric_bool_ops(sql: str) -> str:
     return _sub_nonstring(sql, seg_fn)
 
 
+def _top_commas_count(s: str) -> int:
+    depth = 0
+    n = 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c in "'\"`":
+            i = _skip_string(s, i)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            n += 1
+        i += 1
+    return n
+
+
+def _rewrite_tuple_in(sql: str) -> str:
+    """``(a, b) IN (x, y)`` — CH reads a bare N-element RHS against an
+    N-element tuple LHS as ONE tuple value (src/Functions/in.cpp);
+    Spark reads it as a 2-element scalar list.  Wrap the RHS in an
+    extra paren level so it becomes a single struct row."""
+    def seg_fn(seg: str) -> str:
+        out = seg
+        pos = 0
+        while True:
+            m = re.search(r"(?i)\)\s*(NOT\s+)?IN\s*\(", out[pos:])
+            if m is None:
+                return out
+            close_i = pos + m.start()
+            # lhs group: scan back to its opener
+            depth = 0
+            j = close_i
+            while j >= 0:
+                if out[j] == ")":
+                    depth += 1
+                elif out[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            lhs = out[j + 1:close_i]
+            open_r = pos + m.end() - 1
+            end_r = _matching_paren(out, open_r)
+            if j < 0 or end_r < 0:
+                pos = close_i + m.end() - m.start()
+                continue
+            rhs = out[open_r + 1:end_r]
+            n_l, n_r = _top_commas_count(lhs), _top_commas_count(rhs)
+            rhs_items = _split_top_commas(rhs)
+            rhs_tuples = all(x.strip().startswith("(")
+                             for x in rhs_items if x.strip())
+            if n_l > 0 and n_l == n_r and not rhs_tuples:
+                # expand to pairwise equality — sidesteps Spark's
+                # struct-field-NAME sensitivity in IN comparisons
+                l_items = _split_top_commas(lhs)
+                eq = " AND ".join(
+                    f"(({li.strip()}) = ({ri.strip()}))"
+                    for li, ri in zip(l_items, rhs_items))
+                repl = (f"(NOT ({eq}))" if m.group(1)
+                        else f"({eq})")
+                out = out[:j] + repl + out[end_r + 1:]
+                pos = j + len(repl)
+            else:
+                pos = end_r
+    return _sub_nonstring(sql, seg_fn)
+
+
 def _rewrite_numbers_tvf(sql: str) -> str:
     """numbers(N) / numbers(offset, N) / generate_series(a, b[, step])
     table functions (reference
@@ -3700,6 +3786,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _sub_nonstring(sql, lambda seg: re.sub(
         r"(?<![\w`.$\x00])(\d+_\w*[A-Za-z]\w*)", r"`\1`", seg))
     sql = _rewrite_numeric_bool_ops(sql)
+    sql = _rewrite_tuple_in(sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
     sql = _rewrite_small_forms(sql)
