@@ -3876,6 +3876,37 @@ def _matching_paren(text: str, start: int) -> int:
     return -1
 
 
+def _rewrite_joinget(text: str, tables) -> str:
+    """joinGet[OrNull]('table', 'value', key...) (StorageJoin.cpp
+    joinGet): scalar lookup against a session Join-engine table →
+    correlated scalar subquery on the registered view (Catalyst plans
+    it as a broadcast left join)."""
+    out = []
+    i = 0
+    pat = re.compile(r"(?i)\bjoinGet(OrNull)?\s*\(")
+    while True:
+        m = pat.search(text, i)
+        if m is None:
+            out.append(text[i:])
+            return "".join(out)
+        args, after = _parse_args(text, text.index("(", m.start()))
+        tname = args[0].strip().strip("'\"`").split(".")[-1]
+        t = tables.get(tname)
+        keys = getattr(t, "key_cols", None) if t is not None else None
+        if not keys or len(args) < 2 + len(keys):
+            out.append(text[i:after])
+            i = after
+            continue
+        col = args[1].strip().strip("'\"")
+        conds = " AND ".join(
+            f"`{k}` = ({args[2 + n]})" for n, k in enumerate(keys))
+        out.append(text[i:m.start()])
+        out.append(f"(SELECT any(`{col}`) FROM `{tname}` "
+                   f"WHERE {conds})")
+        i = after
+    return "".join(out)
+
+
 def _materialize_nested_selects(spark, text, sample_by, tables):
     """A FROM/JOIN-position subquery carrying WITH FILL / WITH TOTALS
     can't be nested textually (those clauses become DataFrame operators
@@ -4445,6 +4476,9 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
 
     if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", text, re.IGNORECASE):
         text = _rewrite_asof_join(spark, text)
+
+    if tables and re.search(r"(?i)\bjoinGet(OrNull)?\s*\(", text):
+        text = _rewrite_joinget(text, tables)
 
     if re.search(r"(?i)WITH\s+(FILL|TOTALS)\b", text) \
             and re.search(r"(?is)\b(FROM|JOIN)\s*\(", text):
@@ -5125,8 +5159,27 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                 continue
             parts.append(f"`{toks[0].strip('`')}` "
                          f"{_ch_decl_type_to_spark(_decl_type(toks[1]))}")
-        spark.createDataFrame([], ", ".join(parts)) \
-            .createOrReplaceTempView(name)
+        ddl = ", ".join(parts)
+        # ENGINE = Join(strictness, kind, keys...) gets a managed
+        # JoinTable so joinGet()/session joins replay the stored side
+        # (reference src/Storages/StorageJoin.cpp)
+        if cm.group(3).lower() == "join" and cm.group(4):
+            from ..sources.engines import JoinTable
+            eargs = [x.strip().strip("'\"`")
+                     for x in cm.group(4).split(",")]
+            if len(eargs) >= 3:
+                import os as _os
+                t = JoinTable(spark,
+                              _os.path.join(_default_table_dir(), name),
+                              key_cols=eargs[2:],
+                              strictness=eargs[0].lower(),
+                              kind=eargs[1].lower())
+                import shutil as _shutil
+                _shutil.rmtree(t.path, ignore_errors=True)
+                t.schema_ddl = ddl
+                if tables is not None:
+                    tables[name] = t
+        spark.createDataFrame([], ddl).createOrReplaceTempView(name)
         return None
     raise ValueError("unsupported CREATE TABLE form")
 

@@ -97,6 +97,11 @@ class JoinTable:
         return left.join(F.broadcast(self._right()), on=self.key_cols,
                          how=how or self.kind)
 
+    def read(self) -> DataFrame:
+        """The stored right side (ANY-deduplicated), for view
+        registration in SQL sessions."""
+        return self._right()
+
     def join_get(self, left: DataFrame, value_col: str,
                  out_col: str | None = None) -> DataFrame:
         """joinGet('table', 'value', key) analog
