@@ -217,6 +217,17 @@ _RULES: dict = {
     "today": lambda a: "current_date()", "now": lambda a: "current_timestamp()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
     "tounixtimestamp": _fn("unix_timestamp"),
+    # DateTime64 epoch extractors (FunctionsConversion
+    # toUnixTimestamp64*): cast through LTZ TIMESTAMP — the tz-arg
+    # toDateTime path yields NTZ, which unix_* reject
+    "tounixtimestamp64second": lambda a:
+        f"unix_seconds(CAST({a[0]} AS TIMESTAMP))",
+    "tounixtimestamp64milli": lambda a:
+        f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
+    "tounixtimestamp64micro": lambda a:
+        f"unix_micros(CAST({a[0]} AS TIMESTAMP))",
+    "tounixtimestamp64nano": lambda a:
+        f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)",
     "fromunixtimestamp": _fn("timestamp_seconds"),
     "adddays": lambda a: f"date_add({a[0]}, {a[1]})",
     "subtractdays": lambda a: f"date_sub({a[0]}, {a[1]})",
@@ -2443,6 +2454,28 @@ def _fix_lambda_sql(s: str) -> str:
         s = s[:i] + lam + s[after:]
 
 
+_TUPLE_ARG_FNS = {
+    "l1norm", "l2norm", "l2squarednorm", "linfnorm", "lpnorm",
+    "l1distance", "l2distance", "l2squareddistance", "linfdistance",
+    "lpdistance", "l1normalize", "l2normalize", "linfnormalize",
+    "lpnormalize", "cosinedistance", "dotproduct", "scalarproduct",
+    "tuplenegate", "tuplehammingdistance", "tupleplus", "tupleminus",
+    "tuplemultiply", "tupledivide", "tuplemultiplybynumber",
+    "tupledividebynumber", "tupleintdiv", "tupleintdivbynumber",
+    "tuplemodulo", "tuplemodulobynumber", "vectorsum",
+    "vectordifference", "arraysum", "arrayavg", "arraymin", "arraymax",
+}
+
+
+def _tuple_literal_to_array(x: str) -> str:
+    s = x.strip()
+    if s.startswith("(") and _matching_paren(s, 0) == len(s) - 1:
+        inner = s[1:-1]
+        if _top_commas_count(inner) >= 1:
+            return f"array({inner})"
+    return x
+
+
 _CLAUSE_STOPWORDS = {
     "select", "where", "when", "then", "else", "and", "or", "from",
     "join", "on", "using", "by", "having", "limit", "offset", "union",
@@ -2579,6 +2612,11 @@ def _translate_expr(sql: str) -> str:
                     [targs[0]] + [x.strip() for x in args[1:]]))
                 i = after
                 continue
+            if lname in _TUPLE_ARG_FNS:
+                # CH vector/tuple math accepts TUPLES; the array-based
+                # implementations here take arrays — literal paren
+                # tuples convert textually (FunctionsVectorMath)
+                targs = [_tuple_literal_to_array(x) for x in targs]
             if lname in _RULES:
                 out.append(_RULES[lname](targs))
             else:
@@ -3496,6 +3534,16 @@ def _rewrite_numeric_bool_ops(sql: str) -> str:
     (``toNullable(0) OR x``) are untyped at translation time and pass
     through."""
     def seg_fn(seg: str) -> str:
+        # WHERE/HAVING over a bare numeric literal or literal-NOT:
+        # nonzero-true (FunctionsLogical nonzero filter contract)
+        seg = re.sub(
+            r"(?i)\b(WHERE|HAVING)\s+NOT\s+([+-]?\d+(?:\.\d+)?)"
+            r"(?![\w.])(?!\s*[=<>!+\-*/%,(])",
+            lambda m: f"{m.group(1)} {m.group(2)} = 0", seg)
+        seg = re.sub(
+            r"(?i)\b(WHERE|HAVING)\s+([+-]?\d+(?:\.\d+)?)(?![\w.])"
+            r"(?!\s*(?:[=<>!+\-*/%,(]|IN\b|BETWEEN\b|LIKE\b))",
+            lambda m: f"{m.group(1)} {m.group(2)} <> 0", seg)
         # NOT over a bare numeric literal (the parenthesized form is
         # handled by the "not" function rule)
         seg = re.sub(
@@ -3770,6 +3818,15 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # CH join modifier order: SEMI/ANTI come BEFORE the direction
     # (ParserJoin) — Spark wants LEFT SEMI/LEFT ANTI; ALL is CH's
     # default multiplicity keyword and drops
+    # CH SEMI LEFT JOIN exposes the matched right row's columns
+    # (src/Interpreters/TableJoin — semi keeps one match), which
+    # Spark's LEFT SEMI does not: the USING form maps to ANY INNER
+    # (same rows, right columns available); the ON form keeps Spark's
+    # LEFT SEMI (left columns only)
+    sql = re.sub(r"\bSEMI\s+LEFT\s+JOIN\s+"
+                 r"((?:`?\w+`?|\([^()]*\))(?:\s+(?:AS\s+)?\w+)?)"
+                 r"(\s+USING)\b",
+                 r"ANY JOIN \1\2", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bSEMI\s+LEFT\s+JOIN\b", "LEFT SEMI JOIN", sql,
                  flags=re.IGNORECASE)
     sql = re.sub(r"\bANTI\s+LEFT\s+JOIN\b", "LEFT ANTI JOIN", sql,
@@ -4057,7 +4114,9 @@ _ASOF_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _ANY_JOIN_RE = re.compile(
-    r"\b(LEFT\s+)?ANY\s+(LEFT\s+)?JOIN\s+`?(\w+)`?\s+USING\s*\(([^)]*)\)",
+    r"\b(LEFT\s+)?ANY\s+(LEFT\s+)?JOIN\s+"
+    r"(`?\w+`?|\([^()]*(?:\([^()]*\)[^()]*)*\)(?:\s+(?:AS\s+)?\w+)?)"
+    r"\s+USING\s*\(([^)]*)\)",
     re.IGNORECASE)
 
 
@@ -4074,12 +4133,17 @@ def _rewrite_any_join(sql: str) -> str:
     def sub(m: re.Match) -> str:
         keys = ", ".join(k.strip().strip("`") for k in m.group(4).split(","))
         first_key = keys.split(",")[0].strip()
-        t = m.group(3)
+        t = m.group(3).strip()
+        tm = re.match(r"(?is)^(\(.*\))\s*(?:AS\s+)?(\w*)$", t)
+        if tm:
+            src, alias = tm.group(1), (tm.group(2) or "__any_r")
+        else:
+            src, alias = t, t.strip("`")
         how = "LEFT JOIN" if (m.group(1) or m.group(2)) else "JOIN"
         return (f"{how} (SELECT * EXCEPT (__any_rn) FROM ("
                 f"SELECT *, row_number() OVER (PARTITION BY {keys} "
-                f"ORDER BY {first_key}) AS __any_rn FROM {t}) "
-                f"WHERE __any_rn = 1) AS {t} USING ({keys})")
+                f"ORDER BY {first_key}) AS __any_rn FROM {src}) "
+                f"WHERE __any_rn = 1) AS {alias} USING ({keys})")
     return _ANY_JOIN_RE.sub(sub, sql)
 
 

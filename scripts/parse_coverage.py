@@ -167,7 +167,12 @@ def main() -> int:
                         fh.write(stmt.replace("\n", " ")[:500] + "\n")
                 continue
             try:
+                import time as _time
+                _t0 = _time.time()
                 df.limit(20).collect()
+                if _time.time() - _t0 > 10:
+                    print(f"SLOW {_time.time()-_t0:5.1f}s  "
+                          f"{stmt[:160]!r}", flush=True)
                 counts["OK"] += 1
             except Exception as e:
                 msg = str(e)
