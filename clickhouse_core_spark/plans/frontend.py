@@ -4833,7 +4833,8 @@ def _utility_statement(spark, text: str, tables):
         return spark.createDataFrame([(1 if df is not None else 0,)],
                                      "result int")
 
-    m = re.match(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*$",
+    m = re.match(r"^DROP\s+TABLE\s+(IF\s+EXISTS\s+)?`?(\w+)`?"
+                 r"(?:\s+SYNC)?\s*$",
                  text, re.IGNORECASE)
     if m:
         name = m.group(2)

@@ -60,7 +60,10 @@ def classify_and_run(spark, ch_sql, stmt: str, tables) -> str:
         return "SKIP"
     if _SKIP_RE.match(stmt):
         return "SKIP"
-    if _NONDET_RE.search(stmt):
+    # nondeterministic functions only disqualify result-bearing
+    # statements; DDL/INSERT with e.g. DEFAULT today() still RUNS
+    if re.match(r"(?i)\s*(select|with)\b", stmt) \
+            and _NONDET_RE.search(stmt):
         return "SKIP"
     try:
         df = ch_sql(spark, stmt, tables=tables)
