@@ -547,6 +547,18 @@ _RULES: dict = {
                               if re.fullmatch(r"\s*[+-]?\d+\s*", a[0])
                               else a[0]),
     "identity": lambda a: a[0],
+    # ignore(...) evaluates its arguments and returns 0
+    # (src/Functions/ignore.cpp); argument side effects don't exist in
+    # a Spark plan, so the constant alone is the whole contract (also
+    # absorbs `ignore(*)`, which Spark's parser would reject)
+    "ignore": lambda a: "0",
+    # blockSize() = rows in the current processing block
+    # (src/Functions/blockSize.cpp) — the partition is this engine's
+    # block; rendered with an explicit frame (the bridged Column
+    # renders an unparsable unspecifiedframe$() token in SQL text)
+    "blocksize": lambda a: (
+        "count(1) OVER (PARTITION BY spark_partition_id() "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
     # Variant carrier accessors (DataTypeVariant): the cast produces a
     # (val STRING, typ STRING) struct; variantType reads the tag,
     # variantElement extracts-and-casts when the tag matches
@@ -3933,6 +3945,42 @@ def _matching_paren(text: str, start: int) -> int:
     return -1
 
 
+def _shadow_array_join_aliases(spark, text: str) -> str:
+    """An ARRAY JOIN alias SHADOWS a same-named source column in the
+    reference (ExpressionAnalyzer array-join alias scope); Spark's
+    lateral view makes it AMBIGUOUS instead.  When the FROM is a plain
+    registered table and an alias collides with one of its columns,
+    exclude the shadowed column from the source."""
+    am = re.search(r"(?i)\b(?:LEFT\s+)?ARRAY\s+JOIN\b", text)
+    if am is None:
+        return text
+    fms = [m for m in re.finditer(r"(?i)\bFROM\s+`?(\w+)`?", text)
+           if m.end() <= am.start()]
+    if not fms:
+        return text
+    fm = fms[-1]
+    clause = text[am.end():]
+    stop = re.search(r"(?i)\b(WHERE|GROUP|ORDER|LIMIT|HAVING|SETTINGS|"
+                     r"UNION|INNER|LEFT|RIGHT|FULL|JOIN|FORMAT)\b",
+                     clause)
+    clause = clause[:stop.start()] if stop else clause
+    aliases = {a.strip("`")
+               for a in re.findall(r"(?i)\bAS\s+`?(\w+)`?", clause)}
+    if not aliases:
+        return text
+    try:
+        cols = set(spark.table(fm.group(1)).columns)
+    except Exception:
+        return text
+    shadowed = sorted(aliases & cols)
+    if not shadowed:
+        return text
+    excl = ", ".join(f"`{c}`" for c in shadowed)
+    sub = (f"FROM (SELECT * EXCEPT ({excl}) FROM `{fm.group(1)}`) "
+           f"AS {fm.group(1)}")
+    return text[:fm.start()] + sub + text[fm.end():]
+
+
 def _rewrite_joinget(text: str, tables) -> str:
     """joinGet[OrNull]('table', 'value', key...) (StorageJoin.cpp
     joinGet): scalar lookup against a session Join-engine table →
@@ -4543,6 +4591,9 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
 
     if tables and re.search(r"(?i)\bjoinGet(OrNull)?\s*\(", text):
         text = _rewrite_joinget(text, tables)
+
+    if re.search(r"(?i)\bARRAY\s+JOIN\b", text):
+        text = _shadow_array_join_aliases(spark, text)
 
     if re.search(r"(?i)WITH\s+(FILL|TOTALS)\b", text) \
             and re.search(r"(?is)\b(FROM|JOIN)\s*\(", text):
