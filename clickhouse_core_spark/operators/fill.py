@@ -114,27 +114,72 @@ def _fill_spine(df: DataFrame, fill_col: str, step=1,
                              step_expr)).alias(fill_col))
 
 
-def with_fill_multi(df: DataFrame, specs, order_cols=None) -> DataFrame:
-    """Multi-key ``ORDER BY a WITH FILL, b WITH FILL STEP s`` —
+def with_fill_multi(df: DataFrame, specs, prefix=(),
+                    order_all=None) -> DataFrame:
+    """Multi-key ``ORDER BY [p,] a WITH FILL, b WITH FILL STEP s`` —
     reference FillingTransform fills each sort key's progression; with
     several filled keys the generated rows form the cross product of
-    the per-key progressions (each key's range is global, matching the
-    reference's observed behavior on uncorrelated keys).
+    the per-key progressions.
 
-    ``specs``: sequence of (col, step, from_val, to_val, desc).
-    Non-spine columns of generated rows carry NULL.  The tiny spines
-    cross-join BEFORE touching ``df`` (grid size = product of step
-    counts), then one left join brings the data rows in — scale cost
-    is one broadcast-able join, never a per-row loop.
+    ``specs``: sequence of (col, step, from_val, to_val, desc) for the
+    WITH FILL keys.  ``prefix``: (col, desc) pairs for non-filled sort
+    keys PRECEDING the first fill key — the reference restarts the fill
+    progression per equal-prefix group, so spines are generated per
+    distinct prefix.  ``order_all``: the full ORDER BY list as
+    (col, desc) pairs in original position, used for the final sort.
+
+    Two FillingTransform invariants (src/Processors/Transforms/
+    FillingTransform.h) are honored: every ORIGINAL row is preserved
+    even when its fill-column value is off the step grid or outside
+    FROM/TO (fill only ever inserts rows), and fills never leak across
+    prefix-group boundaries.  Non-spine columns of generated rows carry
+    NULL.  Scale: bounds are one partial-aggregatable groupBy; the
+    spine grid is tiny (one row per step per group) so both the left
+    join and the anti join broadcast it — never a per-row loop.
     """
-    spine = None
-    cols = []
+    prefix = list(prefix)
+    pcols = [c for c, _d in prefix]
+    fill_cols = [s[0] for s in specs]
+
+    aggs = []
+    for col, _s, _f, _t, _d in specs:
+        aggs += [F.min(col).alias(f"__lo_{col}"),
+                 F.max(col).alias(f"__hi_{col}")]
+    bounds = (df.groupBy(*pcols) if pcols else df.groupBy()).agg(*aggs)
+
+    spine = bounds
     for col, step, fv, tv, _desc in specs:
-        s = _fill_spine(df, col, step or 1, fv, tv)
-        cols.append(col)
-        spine = s if spine is None else spine.crossJoin(s)
-    joined = spine.join(df, on=cols, how="left")
-    order = []
-    for col, _s, _f, _t, desc in specs:
-        order.append(F.col(col).desc() if desc else F.col(col).asc())
-    return joined.orderBy(*order)
+        step = step if step is not None else 1
+        dtype = df.schema[col].dataType
+        ftype = dtype.simpleString()
+        lo = (F.lit(fv).cast(dtype) if fv is not None
+              else F.col(f"__lo_{col}"))
+        hi = (F.lit(tv).cast(dtype) if tv is not None
+              else F.col(f"__hi_{col}"))
+        if isinstance(step, str):
+            spine = spine.withColumn(col, F.explode(
+                F.sequence(lo, hi, F.expr(f"interval {step}"))))
+        elif ftype in ("float", "double") or float(step) != int(step):
+            n = F.floor((hi - lo) / F.lit(step)).cast("long")
+            spine = (spine
+                     .withColumn("__i", F.explode(
+                         F.sequence(F.lit(0).cast("long"), n)))
+                     .withColumn(col, (lo + F.col("__i")
+                                       * F.lit(step)).cast(ftype))
+                     .drop("__i"))
+        else:
+            spine = spine.withColumn(col, F.explode(
+                F.sequence(lo, hi, F.lit(int(step)))))
+    spine = spine.select(*pcols, *fill_cols)
+
+    keys = pcols + fill_cols
+    joined = spine.join(df, on=keys, how="left")
+    # preserve originals the grid missed (off-step / outside FROM..TO)
+    missing = df.join(spine, on=keys, how="left_anti")
+    result = joined.unionByName(missing.select(*joined.columns))
+
+    if order_all is None:
+        order_all = prefix + [(c, d) for c, _s, _f, _t, d in specs]
+    order = [F.col(c).desc() if d else F.col(c).asc()
+             for c, d in order_all]
+    return result.orderBy(*order)

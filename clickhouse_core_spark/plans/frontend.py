@@ -260,10 +260,16 @@ _RULES: dict = {
     # head functions; plain columns/strings keep byte semantics.
     "length": lambda a: (
         f"cardinality({a[0]})"
-        if re.match(r"(?is)\s*(array|map|map_from_arrays|map_from_entries|"
-                    r"map_concat|sequence|split|splitByChar|collect_list|"
-                    r"collect_set|array_\w+|transform|filter|slice|"
-                    r"flatten|range|map_keys|map_values)\s*\(|\s*\[", a[0])
+        if (re.match(r"(?is)\s*(array|map|map_from_arrays|"
+                     r"map_from_entries|map_concat|sequence|split|"
+                     r"splitByChar|collect_list|collect_set|array_\w+|"
+                     r"transform|filter|slice|"
+                     r"flatten|range|map_keys|map_values)\s*\(|\s*\[",
+                     a[0])
+            # array_min/max/position/contains/... return SCALARS —
+            # exclude them so length() keeps byte semantics on them
+            and not re.match(r"(?is)\s*array_(min|max|position|"
+                             r"contains|size|join)\s*\(", a[0]))
         else f"octet_length({a[0]})"),
     "lengthutf8": _fn("length"), "lowerutf8": _fn("lower"), "upperutf8": _fn("upper"),
     "empty": lambda a: f"(length({a[0]}) = 0)",
@@ -3681,11 +3687,34 @@ def _rewrite_tuple_in(sql: str) -> str:
                 pos = close_i + m.end() - m.start()
                 continue
             rhs = out[open_r + 1:end_r]
+            # bare parenthesized tuple LHS only: a function call's
+            # argument list (`substring(s, 1) IN (...)`) has an
+            # identifier/backtick immediately before its "(" and must
+            # not be treated as a tuple
+            k = j - 1
+            while k >= 0 and out[k] in " \t\n":
+                k -= 1
+            lhs_is_call = k >= 0 and (out[k].isalnum()
+                                      or out[k] in "_`$")
+            if lhs_is_call and out[k] not in "`$":
+                e = k + 1
+                while k >= 0 and (out[k].isalnum() or out[k] == "_"):
+                    k -= 1
+                # a KEYWORD before "(" means a bare tuple, not a call
+                lhs_is_call = out[k + 1:e].upper() not in (
+                    "SELECT", "WHERE", "AND", "OR", "NOT", "ON",
+                    "WHEN", "THEN", "ELSE", "BY", "HAVING", "IN",
+                    "ALL", "DISTINCT", "UNION", "EXCEPT", "INTERSECT",
+                    "AS", "FROM", "PREWHERE", "QUALIFY", "SETTINGS")
+            # tuple-IN-subquery keeps SQL semantics — never expand
+            rhs_is_subq = bool(
+                re.match(r"(?is)\s*\(*\s*(SELECT|WITH)\b", rhs))
             n_l, n_r = _top_commas_count(lhs), _top_commas_count(rhs)
             rhs_items = _split_top_commas(rhs)
             rhs_tuples = all(x.strip().startswith("(")
                              for x in rhs_items if x.strip())
-            if n_l > 0 and n_l == n_r and not rhs_tuples:
+            if (n_l > 0 and n_l == n_r and not rhs_tuples
+                    and not lhs_is_call and not rhs_is_subq):
                 # expand to pairwise equality — sidesteps Spark's
                 # struct-field-NAME sensitivity in IN comparisons
                 l_items = _split_top_commas(lhs)
@@ -4044,21 +4073,25 @@ def _materialize_nested_selects(spark, text, sample_by, tables):
 
 def _parse_multi_fill(tail: str):
     """Parse ``col [dir] [WITH FILL [FROM..][TO..][STEP..]], ...`` into
-    with_fill_multi specs; returns (specs, order_only_cols)."""
-    specs, order_only = [], []
+    with_fill_multi specs; returns (specs, prefix, order_all) where
+    ``prefix`` is the (col, desc) list of non-filled sort keys BEFORE
+    the first fill key (the reference restarts fills per equal-prefix
+    group) and ``order_all`` is every key in original position."""
+    specs, prefix, order_all = [], [], []
     for item in _split_top_commas(tail):
         im = _FILL_ITEM_RE.match(item.strip())
         if im is None:
-            return [], []           # an expression key — not handled
+            return [], [], []       # an expression key — not handled
         col = im.group(1).strip("`")
         desc = (im.group(2) or "").upper() == "DESC"
+        order_all.append((col, desc))
         if im.group(3):
             specs.append((col, _fill_literal(im.group(6)) or 1,
                           _fill_literal(im.group(4)),
                           _fill_literal(im.group(5)), desc))
-        else:
-            order_only.append(col)
-    return specs, order_only
+        elif not specs:
+            prefix.append((col, desc))
+    return specs, prefix, order_all
 
 
 def _fill_literal(tok: str | None):
@@ -4617,13 +4650,14 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
 
     m = _WITH_FILL_MULTI_RE.search(text)
     if m and m.start() in _top_level_set(text):
-        specs, order_only = _parse_multi_fill(m.group(1))
+        specs, prefix, order_all = _parse_multi_fill(m.group(1))
         if specs:
             from ..operators.fill import with_fill_multi
             base = text[:m.start()].rstrip()
             df = _run_sql(spark,
                           translate_ch_sql(base, sample_by=sample_by))
-            return with_fill_multi(df, specs)
+            return with_fill_multi(df, specs, prefix=prefix,
+                                   order_all=order_all)
     translated = translate_ch_sql(text, sample_by=sample_by)
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
@@ -5214,7 +5248,23 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
     family becomes a managed MergeTreeTable under
     spark-warehouse/ch_tables (registered in ``tables`` when given and
     as a temp view once it has data); Memory/other engines register the
-    (empty or CTAS) DataFrame as a temp view."""
+    (empty or CTAS) DataFrame as a temp view.
+
+    ``IF NOT EXISTS`` on a table that already exists is a NO-OP that
+    preserves its data (reference InterpreterCreateQuery — it never
+    truncates); only a genuinely new CREATE clears the directory."""
+    ine = re.match(r"(?i)^CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+"
+                   r"`?(\w+)`?", text)
+    if ine:
+        nm = ine.group(1)
+        exists = tables is not None and nm in tables
+        if not exists:
+            try:
+                exists = spark.catalog.tableExists(nm)
+            except Exception:
+                exists = False
+        if exists:
+            return None
     m = _CTAS_RE.match(text)
     if m:
         name, engine_raw, engine_args, _mid, select = m.groups()

@@ -21,11 +21,12 @@ is a sequence of blocks, each block is
                                    then the flattened T payload
 
 This implementation covers that documented core (the layout every
-public client library re-implements) plus LowCardinality(T) in its
-per-block ("additional keys") dictionary mode and Enum8/16 decode
-(``_decode_lowcardinality``); the shared-global-dictionary
-LowCardinality mode and AggregateFunction state columns are internal
-engine layouts and raise by name.
+public client library re-implements) plus LowCardinality(T) in BOTH
+serialization modes — the per-block ("additional keys") dictionary and
+the shared-global-dictionary layout — Enum8/16 decode
+(``_decode_lowcardinality``), SimpleAggregateFunction (stored as its
+inner type), and AggregateFunction state columns surfaced as opaque
+BINARY values.
 The format is self-describing, so ``read_native`` can infer the Spark
 schema from the first blob's header.
 

@@ -1,0 +1,152 @@
+"""CH ``TabSeparated`` display rendering of collected results.
+
+Reference: the TabSeparated/TSV output format
+(src/Processors/Formats/Impl/TabSeparatedRowOutputFormat.cpp and the
+per-type text serializations under src/DataTypes/Serializations/) —
+the DEFAULT output format of the reference client and therefore the
+format every ``tests/queries/0_stateless/*.reference`` golden file is
+written in.  Re-implemented from the publicly documented text rules:
+
+  - one row per line, fields joined by TAB
+  - top-level NULL → ``\\N``;  NULL inside composites → ``NULL``
+  - strings: backslash-escaped (``\\t \\n \\r \\\\``), NOT quoted at
+    top level;  single-quoted with ``\\'`` escapes inside composites
+  - floats: shortest round-trip, integral values render bare
+    (``1`` not ``1.0``), ``inf``/``-inf``/``nan``
+  - Decimal: trailing fractional zeros trimmed
+  - Date ``YYYY-MM-DD``;  DateTime ``YYYY-MM-DD hh:mm:ss`` with the
+    fractional part only when non-zero
+  - Array ``[a,b]``, Tuple ``(a,b)``, Map ``{k:v}`` — composite
+    elements use the quoted/nested forms recursively
+  - Bool-typed columns carried as BOOLEAN render ``true``/``false``;
+    UInt8-carried predicates arrive as int and render ``1``/``0``
+
+This doubles as the engine's ``FORMAT TabSeparated`` display renderer
+(`format_tsv`) and as the comparator the corpus golden-diff harness
+(scripts/session_coverage.py) uses to grade answers against the
+reference's own expected output.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import math
+
+
+def _escape_top(s: str) -> str:
+    return (s.replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _escape_quoted(s: str) -> str:
+    return ("'" + s.replace("\\", "\\\\").replace("'", "\\'")
+            .replace("\t", "\\t").replace("\n", "\\n")
+            .replace("\r", "\\r") + "'")
+
+
+def _float_repr(f: float) -> str:
+    if math.isnan(f):
+        return "nan"
+    if math.isinf(f):
+        return "inf" if f > 0 else "-inf"
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    r = repr(f)
+    # CH scientific form has no '+' and no zero-padded exponent
+    if "e" in r:
+        mant, _, exp = r.partition("e")
+        sign = "-" if exp.startswith("-") else ""
+        r = f"{mant}e{sign}{int(exp.lstrip('+-'))}"
+    return r
+
+
+def _decimal_repr(d: _decimal.Decimal) -> str:
+    s = format(d, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s or "0"
+
+
+def _dt_repr(v: _dt.datetime) -> str:
+    base = v.strftime("%Y-%m-%d %H:%M:%S")
+    if v.microsecond:
+        frac = f"{v.microsecond:06d}".rstrip("0")
+        if len(frac) < 3:
+            frac = f"{v.microsecond:06d}"[:3]
+        return f"{base}.{frac}"
+    return base
+
+
+def render_value(v, nested: bool = False,
+                 bool_as_int: bool = False) -> str:
+    """One value in CH text form; ``nested=True`` uses the quoted
+    composite-element rules.  ``bool_as_int`` renders booleans as the
+    UInt8 carrier (``1``/``0``) the reference uses for predicates."""
+    if v is None:
+        return "NULL" if nested else "\\N"
+    if isinstance(v, bool):
+        if bool_as_int:
+            return "1" if v else "0"
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return _float_repr(v)
+    if isinstance(v, _decimal.Decimal):
+        return _decimal_repr(v)
+    if isinstance(v, _dt.datetime):
+        s = _dt_repr(v)
+        return f"'{s}'" if nested else s
+    if isinstance(v, _dt.date):
+        s = v.isoformat()
+        return f"'{s}'" if nested else s
+    if isinstance(v, (bytes, bytearray)):
+        s = bytes(v).decode("utf-8", errors="surrogateescape")
+        return _escape_quoted(s) if nested else _escape_top(s)
+    if isinstance(v, str):
+        return _escape_quoted(v) if nested else _escape_top(v)
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{render_value(k, True, bool_as_int)}:"
+            f"{render_value(x, True, bool_as_int)}"
+            for k, x in v.items()) + "}"
+    # pyspark Row (struct) exposes __fields__; render as tuple
+    if hasattr(v, "__fields__"):
+        vals = [v[i] for i in range(len(v.__fields__))]
+        return "(" + ",".join(
+            render_value(x, True, bool_as_int) for x in vals) + ")"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(
+            render_value(x, True, bool_as_int) for x in v) + "]"
+    return _escape_quoted(str(v)) if nested else _escape_top(str(v))
+
+
+def render_row(row, bool_as_int: bool = False) -> str:
+    return "\t".join(render_value(v, bool_as_int=bool_as_int)
+                     for v in row)
+
+
+def render_rows(rows, bool_as_int: bool = False) -> str:
+    return "\n".join(render_row(r, bool_as_int=bool_as_int)
+                     for r in rows)
+
+
+def format_tsv(df, max_rows: int = 100000, with_names: bool = False,
+               with_types: bool = False) -> str:
+    """CH ``TabSeparated`` / ``TSVWithNames`` display output for a
+    DataFrame (bounded collect — a display renderer, not a sink)."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError("format_tsv is a display helper; got more "
+                         f"than {max_rows} rows — limit first")
+    lines = []
+    if with_names:
+        lines.append("\t".join(_escape_top(c) for c in df.columns))
+    if with_types:
+        lines.append("\t".join(
+            f.dataType.simpleString() for f in df.schema.fields))
+    body = render_rows(rows)
+    if body:
+        lines.append(body)
+    return "\n".join(lines) + ("\n" if lines else "")

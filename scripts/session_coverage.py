@@ -1,22 +1,28 @@
 """STATEFUL coverage sweep over the reference's own stateless test
-files (PUBLIC corpus at /root/reference/tests/queries/0_stateless).
+files (PUBLIC corpus at /root/reference/tests/queries/0_stateless) —
+now with GOLDEN-OUTPUT verification against the adjacent
+``*.reference`` files (the reference's primary test layer, SURVEY §5:
+runner tests/clickhouse-test diffs each file's concatenated
+TabSeparated output against its golden file).
 
 Unlike parse_coverage.py (self-contained SELECTs only), this runner
 executes each file as a SESSION: CREATE TABLE / INSERT / SELECT /
 ALTER / OPTIMIZE / DROP run in order against a per-file ``tables``
-dict, so the large majority of the corpus — which exercises queries
-against freshly created MergeTree/Memory tables — becomes measurable.
+dict.  Every result-bearing statement's rows are rendered CH-TSV-style
+(clickhouse_core_spark.sources.tsvrender) and the file's concatenated
+output is diffed against the golden file:
 
-Outcome classes per statement:
+  file verdicts
+    VERIFIED            — byte-identical to the golden output
+    VERIFIED_UNORDERED  — same line multiset (un-ORDER-BY'd selects)
+    MISMATCH            — ran fully but the answer differs
+    RAN                 — ran, but not strictly verifiable (skipped
+                          statements, FORMAT clauses, echo markers,
+                          nondeterminism, huge results)
+    ERROR               — at least one statement failed
 
-  OK        — executed (DDL/DML ran; SELECT collected)
-  EXPECTED  — statement carries a `-- { serverError }` marker and DID
-              fail (the reference expects the failure)
-  UNEXPECTED_OK — marked-error statement that succeeded here
-  FRONTEND  — our frontend raised
-  ANALYSIS / EXEC — Spark analysis / runtime failure
-  SKIP      — client-side / session-state statement we don't model
-              (SET, SYSTEM …, CREATE DICTIONARY, …)
+  statement outcomes (as before)
+    OK / EXPECTED / UNEXPECTED_OK / FRONTEND / ANALYSIS / EXEC / SKIP
 
 Usage: python scripts/session_coverage.py [max_files] [pattern]
 """
@@ -36,6 +42,7 @@ from parse_coverage import split_statements, signature  # noqa: E402
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF = "/root/reference/tests/queries/0_stateless"
+MAX_VERIFY_ROWS = 10000
 
 # statements that are session/server state we deliberately don't model
 _SKIP_RE = re.compile(
@@ -46,44 +53,88 @@ _SKIP_RE = re.compile(
     r"database|user|role|row\s+policy|quota|settings\s+profile|"
     r"named\s+collection)|backup\b|restore\b|exchange\s+dictionaries)")
 
+# skipped statements that produce NO output in the reference client —
+# skipping them does not break golden alignment
+_SKIP_SILENT_RE = re.compile(
+    r"(?i)^\s*(set\s|use\s|grant|revoke|attach|detach|system\s+"
+    r"(reload|start|stop|flush|drop|enable|disable|sync)|"
+    r"create\s|drop\s|backup\b|restore\b)")
+
 _NONDET_RE = re.compile(
     r"(?i)\b(now|today|yesterday|rand|randCanonical|randomString|"
     r"randomPrintableASCII|generateUUIDv4|generateUUIDv7|uptime|"
     r"currentDatabase|currentUser|hostName|getMacro|version|serverUUID|"
     r"tcpPort|timezone|filesystemAvailable|getSetting)\s*\(")
 
+_FORMAT_RE = re.compile(r"(?i)\bFORMAT\s+(\w+)\s*$")
+_TSV_FORMATS = {"tabseparated", "tsv", "tabseparatedraw", "tsvraw"}
 
-def classify_and_run(spark, ch_sql, stmt: str, tables) -> str:
+
+def classify_and_run(spark, ch_sql, stmt: str, tables):
+    """Run one statement; returns (kind, rendered_output | None).
+
+    ``rendered_output`` is the CH-TSV text the statement contributes to
+    the file's golden comparison — None means 'cannot align this file'
+    (unverifiable), '' means 'ran, no output'.
+    """
     expect_error = "__EXPECT_ERROR__" in stmt
     stmt = stmt.replace("__EXPECT_ERROR__", " ").strip()
     if not stmt:
-        return "SKIP"
+        return "SKIP", ""
     if _SKIP_RE.match(stmt):
-        return "SKIP"
-    # nondeterministic functions only disqualify result-bearing
-    # statements; DDL/INSERT with e.g. DEFAULT today() still RUNS
+        # silent session statements keep golden alignment; output-
+        # bearing ones (CHECK TABLE, WATCH, KILL …) break it
+        return "SKIP", ("" if _SKIP_SILENT_RE.match(stmt) else None)
     if re.match(r"(?i)\s*(select|with)\b", stmt) \
             and _NONDET_RE.search(stmt):
-        return "SKIP"
+        return "SKIP", None
+    fmt = _FORMAT_RE.search(stmt)
+    fmt_name = fmt.group(1).lower() if fmt else None
     try:
         df = ch_sql(spark, stmt, tables=tables)
-        if df is not None:
-            df.limit(20).collect()
-        return "UNEXPECTED_OK" if expect_error else "OK"
+        if df is None:
+            return ("UNEXPECTED_OK" if expect_error else "OK"), ""
+        if fmt_name == "null":
+            df.limit(1).collect()
+            return ("UNEXPECTED_OK" if expect_error else "OK"), ""
+        rows = df.limit(MAX_VERIFY_ROWS + 1).collect()
+        kind = "UNEXPECTED_OK" if expect_error else "OK"
+        if fmt_name is not None and fmt_name not in _TSV_FORMATS:
+            return kind, None          # non-TSV display — ran only
+        if len(rows) > MAX_VERIFY_ROWS:
+            return kind, None
+        from clickhouse_core_spark.sources.tsvrender import render_rows
+        try:
+            body = render_rows(rows, bool_as_int=True)
+        except Exception:
+            return kind, None
+        return kind, (body + "\n" if rows else "")
     except Exception as e:
         if expect_error:
-            return "EXPECTED"
+            return "EXPECTED", ""
         msg = str(e)
         ename = type(e).__name__
         if ename in ("ValueError", "NotImplementedError", "KeyError",
                      "IndexError", "ParseException") \
                 and "AnalysisException" not in ename:
             head = " ".join(stmt.split()[:3])[:40]
-            return "FRONTEND:" + f"{ename}: {signature(msg)} [{head}]"
+            return "FRONTEND:" + f"{ename}: {signature(msg)} [{head}]", None
         if "AnalysisException" in ename or "UNRESOLVED" in msg \
                 or "cannot resolve" in msg:
-            return "ANALYSIS:" + f"{ename}: {signature(msg)}"
-        return "EXEC:" + f"{ename}: {signature(msg)}"
+            return "ANALYSIS:" + f"{ename}: {signature(msg)}", None
+        return "EXEC:" + f"{ename}: {signature(msg)}", None
+
+
+def first_diff(actual: str, expected: str):
+    a, b = actual.split("\n"), expected.split("\n")
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x != y:
+            return i + 1, x, y
+    if len(a) != len(b):
+        i = min(len(a), len(b))
+        return (i + 1, a[i] if i < len(a) else "<eof>",
+                b[i] if i < len(b) else "<eof>")
+    return None
 
 
 def main() -> int:
@@ -104,10 +155,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     counts = Counter()
+    verdicts = Counter()
     sigs: dict[str, Counter] = {"FRONTEND": Counter(), "ANALYSIS": Counter(),
                                 "EXEC": Counter()}
+    mismatch_sigs: Counter = Counter()
+    mismatch_examples: dict[str, tuple] = {}
     examples: dict[str, str] = {}
-    file_green = 0
     n_files = 0
     for f in files:
         try:
@@ -119,20 +172,25 @@ def main() -> int:
         n_files += 1
         before = {t.name for t in spark.catalog.listTables()}
         tables: dict = {}
-        file_ok = True
+        had_error = False
+        verifiable = "{ echo" not in text
+        out_parts: list[str] = []
         for stmt in split_statements(text):
             if len(stmt) > 4000:
                 counts["SKIP"] += 1
+                verifiable = False
                 continue
-            r = classify_and_run(spark, ch_sql, stmt, tables)
+            r, out = classify_and_run(spark, ch_sql, stmt, tables)
             kind, _, sig = r.partition(":")
             counts[kind] += 1
             if sig:
                 sigs[kind][sig] += 1
                 examples.setdefault(sig, stmt[:200])
-                file_ok = False
-            if kind == "UNEXPECTED_OK":
-                file_ok = False
+                had_error = True
+            if out is None:
+                verifiable = False
+            else:
+                out_parts.append(out)
         # clean up the file's temp views
         for t in spark.catalog.listTables():
             if t.name not in before:
@@ -140,8 +198,30 @@ def main() -> int:
                     spark.catalog.dropTempView(t.name)
                 except Exception:
                     pass
-        if file_ok:
-            file_green += 1
+        base = os.path.basename(f)
+        golden_path = f[:-4] + ".reference"
+        if had_error:
+            verdicts["ERROR"] += 1
+            continue
+        if not verifiable or not os.path.exists(golden_path):
+            verdicts["RAN"] += 1
+            continue
+        golden = open(golden_path, encoding="utf-8",
+                      errors="replace").read()
+        actual = "".join(out_parts)
+        if actual.rstrip("\n") == golden.rstrip("\n"):
+            verdicts["VERIFIED"] += 1
+        elif sorted(actual.rstrip("\n").split("\n")) \
+                == sorted(golden.rstrip("\n").split("\n")):
+            verdicts["VERIFIED_UNORDERED"] += 1
+        else:
+            verdicts["MISMATCH"] += 1
+            d = first_diff(actual.rstrip("\n"), golden.rstrip("\n"))
+            if d:
+                line_no, got, want = d
+                key = f"want={want[:60]!r} got={got[:60]!r}"
+                mismatch_sigs[key] += 1
+                mismatch_examples.setdefault(key, (base, line_no))
 
     ran = sum(counts[k] for k in
               ("OK", "UNEXPECTED_OK", "FRONTEND", "ANALYSIS", "EXEC"))
@@ -151,11 +231,24 @@ def main() -> int:
     for k in ("OK", "UNEXPECTED_OK", "FRONTEND", "ANALYSIS", "EXEC"):
         pct = 100.0 * counts[k] / ran if ran else 0
         print(f"{k:14} {counts[k]:6}  {pct:5.1f}%")
-    print(f"files fully green: {file_green}/{n_files} "
-          f"({100.0 * file_green / n_files if n_files else 0:.1f}%)")
+    nv = sum(verdicts.values())
+    print(f"\n=== golden-output file verdicts ({nv} files) ===")
+    for k in ("VERIFIED", "VERIFIED_UNORDERED", "MISMATCH", "RAN",
+              "ERROR"):
+        pct = 100.0 * verdicts[k] / nv if nv else 0
+        print(f"{k:20} {verdicts[k]:6}  {pct:5.1f}%")
+    ver = verdicts["VERIFIED"] + verdicts["VERIFIED_UNORDERED"]
+    dec = ver + verdicts["MISMATCH"]
+    if dec:
+        print(f"verified-of-decided: {ver}/{dec} "
+              f"({100.0 * ver / dec:.1f}%)")
+    print("\n--- top MISMATCH signatures ---")
+    for s, c in mismatch_sigs.most_common(25):
+        fb, ln = mismatch_examples.get(s, ("?", 0))
+        print(f"{c:5}  {s}   [{fb}:{ln}]")
     for kind in ("FRONTEND", "ANALYSIS", "EXEC"):
         print(f"\n--- top {kind} signatures ---")
-        for s, c in sigs[kind].most_common(20):
+        for s, c in sigs[kind].most_common(15):
             print(f"{c:5}  {s}")
             print(f"       e.g. {examples.get(s, '')[:150]}")
     return 0
