@@ -7181,20 +7181,131 @@ def ch_sql_prewhere_qualify_q(spark, sf_dir):
         ORDER BY o_orderpriority, rn""")
 
 
+@q("ch_sql_session_insert_alter", """
+WITH base(k, label, d_s, n) AS (VALUES
+  (1, 'a', '2000-01-01', 10),
+  (2, 'b', '2000-01-01', 20),
+  (3, 'c3', '2000-01-01', 30),
+  (4, 'd', '2001-02-03', 40))
+SELECT CAST(k AS BIGINT) AS k, label, d_s, CAST(n AS BIGINT) AS n
+FROM base ORDER BY k
+""")
+def ch_sql_session_insert_alter_q(spark, sf_dir):
+    """Scripted stateful session (reference
+    src/Interpreters/InterpreterCreateQuery.h, InterpreterInsertQuery,
+    InterpreterAlterQuery): CREATE with a DEFAULT-expression column →
+    INSERT VALUES with expression tuples + DEFAULT fill → ALTER ADD
+    COLUMN with computed DEFAULT / RENAME COLUMN / MODIFY COLUMN →
+    SELECT the final state."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s8_sess_a (k UInt32, v String, "
+                  "d Date DEFAULT toDate('2000-01-01')) "
+                  "ENGINE MergeTree ORDER BY k", tables=t)
+    ch_sql(spark, "INSERT INTO s8_sess_a (k, v) VALUES (1, 'a'), "
+                  "(2, 'b'), (3, concat('c', '3'))", tables=t)
+    ch_sql(spark, "INSERT INTO s8_sess_a VALUES "
+                  "(4, 'd', toDate('2001-02-03'))", tables=t)
+    ch_sql(spark, "ALTER TABLE s8_sess_a ADD COLUMN n UInt32 "
+                  "DEFAULT k * 10", tables=t)
+    ch_sql(spark, "ALTER TABLE s8_sess_a RENAME COLUMN v TO label",
+           tables=t)
+    ch_sql(spark, "ALTER TABLE s8_sess_a MODIFY COLUMN n Int64",
+           tables=t)
+    return ch_sql(spark, "SELECT k, label, CAST(d AS String) AS d_s, "
+                         "n FROM s8_sess_a ORDER BY k", tables=t)
+
+
+@q("ch_sql_session_mutations", """
+SELECT CAST(x AS BIGINT) AS k,
+       CASE WHEN x % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
+       round(x * 1.5 + CASE WHEN x % 2 = 1 THEN 100 ELSE 0 END, 2)
+         AS val
+FROM range(20) t(x) WHERE x % 5 != 0 ORDER BY k
+""")
+def ch_sql_session_mutations_q(spark, sf_dir):
+    """Mutation session (reference src/Interpreters/MutationsInterpreter.h):
+    INSERT SELECT → ALTER DELETE WHERE → ALTER UPDATE ... WHERE →
+    SELECT the mutated state."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s8_sess_m (k UInt32, grp String, "
+                  "val Float64) ENGINE MergeTree ORDER BY k", tables=t)
+    ch_sql(spark, "INSERT INTO s8_sess_m SELECT number, "
+                  "if(number % 2 = 0, 'even', 'odd'), number * 1.5 "
+                  "FROM numbers(20)", tables=t)
+    ch_sql(spark, "ALTER TABLE s8_sess_m DELETE WHERE k % 5 = 0",
+           tables=t)
+    ch_sql(spark, "ALTER TABLE s8_sess_m UPDATE val = val + 100 "
+                  "WHERE grp = 'odd'", tables=t)
+    return ch_sql(spark, "SELECT k, grp, round(val, 2) AS val "
+                         "FROM s8_sess_m ORDER BY k", tables=t)
+
+
+@q("ch_sql_session_join_engine", """
+WITH d(k, name) AS (VALUES (1, 'one'), (2, 'two'), (3, 'three'))
+SELECT CAST(x AS BIGINT) AS n,
+       COALESCE((SELECT name FROM d WHERE k = x % 5), '') AS nm
+FROM range(10) t(x) ORDER BY n
+""")
+def ch_sql_session_join_engine_q(spark, sf_dir):
+    """Join-engine session (reference src/Storages/StorageJoin.cpp):
+    CREATE TABLE ENGINE = Join(ANY, LEFT, k) → INSERT the build side →
+    joinGet scalar lookups (misses yield the value type's DEFAULT,
+    '' for String)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s8_sess_j (k UInt32, name String) "
+                  "ENGINE = Join(ANY, LEFT, k)", tables=t)
+    ch_sql(spark, "INSERT INTO s8_sess_j VALUES (1, 'one'), "
+                  "(2, 'two'), (3, 'three')", tables=t)
+    return ch_sql(spark, "SELECT number AS n, "
+                         "joinGet('s8_sess_j', 'name', number % 5) "
+                         "AS nm FROM numbers(10) ORDER BY n", tables=t)
+
+
+@q("ch_sql_session_partition_ops", """
+SELECT CAST(id AS BIGINT) AS id, CAST(10 AS BIGINT) AS c,
+       CAST(id * 10 AS BIGINT) AS lo, CAST(id * 10 + 9 AS BIGINT) AS hi
+FROM range(10) t(id) WHERE id != 3 ORDER BY id
+""")
+def ch_sql_session_partition_ops_q(spark, sf_dir):
+    """Partition manipulation session (reference
+    src/Storages/MergeTree/MergeTreeData.cpp dropPartition /
+    replacePartitionFrom): hive-layout slices drop/swap
+    directory-wise — a metadata operation, no data rewrite."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s8_pt_one (id UInt64, value UInt64) "
+                  "ENGINE = MergeTree PARTITION BY id ORDER BY value",
+           tables=t)
+    ch_sql(spark, "CREATE TABLE s8_pt_two (id UInt64, value UInt64) "
+                  "ENGINE = MergeTree PARTITION BY id ORDER BY value",
+           tables=t)
+    ch_sql(spark, "INSERT INTO s8_pt_one SELECT intDiv(number, 10), "
+                  "number FROM numbers(100)", tables=t)
+    ch_sql(spark, "INSERT INTO s8_pt_two SELECT intDiv(number, 10), "
+                  "number FROM numbers(100)", tables=t)
+    ch_sql(spark, "ALTER TABLE s8_pt_two DROP PARTITION 3", tables=t)
+    ch_sql(spark, "ALTER TABLE s8_pt_two REPLACE PARTITION 0 "
+                  "FROM s8_pt_one", tables=t)
+    return ch_sql(spark, """
+        SELECT CAST(id AS Int64) AS id, CAST(count() AS Int64) AS c,
+               CAST(min(value) AS Int64) AS lo,
+               CAST(max(value) AS Int64) AS hi
+        FROM s8_pt_two GROUP BY id ORDER BY id""", tables=t)
+
+
 @q("ch_sql_with_fill", """
 WITH base AS (SELECT user_id % 30 AS slot, CAST(count(*) AS BIGINT) AS n
               FROM events WHERE user_id % 7 = 0 AND user_id % 30 < 25
               GROUP BY 1),
-spine AS (SELECT unnest(generate_series(0, 29)) AS slot)
-SELECT spine.slot AS slot, base.n AS n
+spine AS (SELECT unnest(generate_series(0, 28)) AS slot)
+SELECT spine.slot AS slot, CAST(COALESCE(base.n, 0) AS BIGINT) AS n
 FROM spine LEFT JOIN base USING (slot) ORDER BY slot
 """)
 def ch_sql_with_fill_q(spark, sf_dir):
     """ORDER BY ... WITH FILL FROM/TO through the SQL frontend
     (reference src/Parsers/ParserSelectQuery.h:10, FillingTransform):
-    the clause routes to the with_fill operator; absent slots carry
-    NULL counts.  Our TO is inclusive (operator contract, see
-    operators/fill.py)."""
+    the clause routes to the row-anchored filling_transform; TO is
+    EXCLUSIVE and generated rows carry type defaults (0 counts), both
+    matching the reference's golden outputs."""
     _cat(spark, sf_dir)
     return ch_sql(spark, """
         SELECT user_id % 30 AS slot, count(*) AS n
@@ -8169,6 +8280,51 @@ def fn_conv_or_default_q(spark, sf_dir):
         F.round(CH_FUNCTIONS["greatCircleAngle"](
             F.lit(5.0), F.lit(10.0), F.lit(20.0), lat2), 4).alias("gc_angle"))
         .orderBy("p_partkey"))
+
+
+@q("fn_tuple_vector_math", """
+WITH n AS (SELECT CAST(range AS BIGINT) AS x FROM range(1, 51))
+SELECT x,
+       CAST(x + 3 * (x + 1) - 6 AS BIGINT) AS e1,
+       CAST(2 * x + 4 * (5 - x % 3) - 3 AS BIGINT) AS e2,
+       CAST(-x AS BIGINT) AS neg1,
+       round(sqrt(CAST(x*x + (x+1)*(x+1) AS DOUBLE)), 6) AS l2,
+       CAST(x + (x + 1) AS BIGINT) AS l1,
+       CAST(CAST(x != (x % 7) AS INT) + 1 AS BIGINT) AS hamm,
+       round((x * (x + 2.0) + (x + 1) * (x + 3)) /
+             (sqrt(CAST(x*x + (x+1)*(x+1) AS DOUBLE))
+              * sqrt(CAST((x+2)*(x+2) + (x+3)*(x+3) AS DOUBLE))),
+             6) AS cosim
+FROM n ORDER BY x
+""")
+def fn_tuple_vector_math_q(spark, sf_dir):
+    """General tuple/vector arithmetic (reference
+    src/Functions/vectorFunctions.cpp): binary +/-/* over tuple-valued
+    expressions (incl. materialize()-wrapped and nested calls),
+    single-element tuples, tupleNegate via unary minus, norms,
+    tupleHammingDistance, cosineDistance — through the ch_sql frontend
+    (_rewrite_tuple_arith + struct-output vector rules)."""
+    return ch_sql(spark, """
+        SELECT x,
+               CAST(tupleElement((x, 2 * x)
+                    + tupleMultiply((x + 1, 5 - x % 3),
+                                    materialize((3, 4)))
+                    - (6, 3), 1) AS BIGINT) AS e1,
+               CAST(tupleElement((x, 2 * x)
+                    + tupleMultiply((x + 1, 5 - x % 3),
+                                    materialize((3, 4)))
+                    - (6, 3), 2) AS BIGINT) AS e2,
+               CAST(tupleElement(-materialize(tuple(x)), 1)
+                    AS BIGINT) AS neg1,
+               round(L2Norm((x, x + 1)), 6) AS l2,
+               CAST(L1Norm((x, x + 1)) AS BIGINT) AS l1,
+               CAST(tupleHammingDistance((x, x + 1), (x % 7, x + 1))
+                    + 1 AS BIGINT) AS hamm,
+               round(1 - cosineDistance((x, x + 1), (x + 2, x + 3)),
+                     6) AS cosim
+        FROM (SELECT number + 1 AS x FROM numbers(50))
+        ORDER BY x
+    """)
 
 
 # ------------------------------------------- aggregate long tail (r3)

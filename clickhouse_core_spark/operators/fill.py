@@ -14,10 +14,15 @@ the spine is small — which it essentially always is.
 
 from __future__ import annotations
 
+import calendar
+import datetime as _dt
+import decimal as _decimal
+import re
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def with_fill(
@@ -180,6 +185,282 @@ def with_fill_multi(df: DataFrame, specs, prefix=(),
 
     if order_all is None:
         order_all = prefix + [(c, d) for c, _s, _f, _t, d in specs]
+    order = [F.col(c).desc() if d else F.col(c).asc()
+             for c, d in order_all]
+    return result.orderBy(*order)
+
+
+# --------------------------------------------------------------------
+# Reference-faithful FillingTransform
+# (src/Processors/Transforms/FillingTransform.h, FillingRow.cpp)
+# --------------------------------------------------------------------
+
+def _py_type_default(dtype):
+    """The reference's non-Nullable column default in python terms."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                          T.LongType)):
+        return 0
+    if isinstance(dtype, T.DecimalType):
+        return _decimal.Decimal(0)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return 0.0
+    if isinstance(dtype, T.StringType):
+        return ""
+    if isinstance(dtype, T.BooleanType):
+        return False
+    if isinstance(dtype, T.DateType):
+        return _dt.date(1970, 1, 1)
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return _dt.datetime(1970, 1, 1)
+    if isinstance(dtype, T.ArrayType):
+        return []
+    return None
+
+
+def _add_months(d, m: int):
+    y = d.year + (d.month - 1 + m) // 12
+    mo = (d.month - 1 + m) % 12 + 1
+    day = min(d.day, calendar.monthrange(y, mo)[1])
+    return d.replace(year=y, month=mo, day=day)
+
+
+def _make_adder(step, desc: bool, dtype):
+    """value -> value advanced one fill step in the sort direction.
+    Numeric steps on Date mean DAYS, on DateTime mean SECONDS
+    (FillingRow uses the type's scale unit); interval-string steps
+    ('1 day', 'INTERVAL 1 MONTH') use calendar arithmetic."""
+    is_date = isinstance(dtype, T.DateType)
+    is_ts = isinstance(dtype, (T.TimestampType, T.TimestampNTZType))
+    if isinstance(step, str):
+        m = re.match(r"(?i)\s*(?:interval\s+)?(-?\d+)\s*([a-z]+?)s?\s*$",
+                     step)
+        if m is None:
+            raise ValueError(f"WITH FILL STEP {step!r} not parseable")
+        n, unit = int(m.group(1)), m.group(2).lower()
+        if desc and n > 0:
+            n = -n
+        deltas = {"day": _dt.timedelta(days=1),
+                  "hour": _dt.timedelta(hours=1),
+                  "minute": _dt.timedelta(minutes=1),
+                  "second": _dt.timedelta(seconds=1),
+                  "week": _dt.timedelta(days=7)}
+        if unit in deltas:
+            delta = n * deltas[unit]
+            return lambda v: v + delta
+        months = {"month": 1, "quarter": 3, "year": 12}.get(unit)
+        if months is None:
+            raise ValueError(f"WITH FILL STEP unit {unit!r}")
+        return lambda v: _add_months(v, n * months)
+    eff = -step if (desc and step > 0) else step
+    if is_date:
+        delta = _dt.timedelta(days=eff)
+        return lambda v: v + delta
+    if is_ts:
+        delta = _dt.timedelta(seconds=eff)
+        return lambda v: v + delta
+    return lambda v: v + eff
+
+
+def filling_transform(df: DataFrame, specs, prefix=(), order_all=None,
+                      interpolate=None,
+                      use_defaults: bool = True) -> DataFrame:
+    """ROW-ANCHORED ``ORDER BY ... WITH FILL`` — a faithful
+    re-implementation of the reference's FillingTransform
+    (src/Processors/Transforms/FillingTransform.h, FillingRow::next):
+
+    - between each pair of consecutive sorted rows the filling tuple
+      advances lexicographically over the fill keys, one generated row
+      per step;
+    - a less-significant key only advances mid-gap when it carries an
+      explicit TO bound; otherwise it RESTARTS (FROM or type default)
+      each time a more significant key advances;
+    - FROM seeds a leading fill before the first row; TO generates a
+      trailing fill after the last row; TO is EXCLUSIVE;
+    - non-fill columns of generated rows take their TYPE DEFAULTS
+      (0 / '' / epoch — the reference's non-Nullable semantics) when
+      ``use_defaults``, else NULL;
+    - ``interpolate``: {col: None | expr} — None carries the previous
+      output row's value; an expression of the form ``col (+|-|*|/)
+      literal`` is applied to the previous output row.
+
+    Execution shape: one applyInPandas group per distinct non-filled
+    sort PREFIX; with no prefix the whole result is ONE group — the
+    same single-stream shape the reference itself uses (FillingTransform
+    runs after the final sort on the client-bound result, so the input
+    is presentation-sized by construction, not scan-sized).
+
+    ``specs``: sequence of (col, step, from_val, to_val, desc).
+    """
+    prefix = [c for c, _d in (prefix or [])]
+    cols = [s[0] for s in specs]
+    schema = df.schema
+    out_fields = [T.StructField(f.name, f.dataType, True)
+                  for f in schema.fields]
+    out_schema = T.StructType(out_fields)
+    other_cols = [f.name for f in schema.fields
+                  if f.name not in cols and f.name not in prefix]
+    defaults = {
+        f.name: (_py_type_default(f.dataType) if use_defaults else None)
+        for f in schema.fields}
+    dtypes = {f.name: f.dataType for f in schema.fields}
+
+    n = len(specs)
+    descs = [bool(s[4]) for s in specs]
+    froms = [s[2] for s in specs]
+    tos = [s[3] for s in specs]
+    adders = [_make_adder(s[1] if s[1] is not None else 1, descs[i],
+                          dtypes[cols[i]])
+              for i, s in enumerate(specs)]
+    restarts = [froms[i] if froms[i] is not None
+                else _py_type_default(dtypes[cols[i]])
+                for i in range(n)]
+    interp = dict(interpolate or {})
+
+    def less(i, a, b):
+        if a is None or b is None:
+            return False
+        return (a > b) if descs[i] else (a < b)
+
+    def interp_value(col, prev_row):
+        expr = interp[col]
+        pv = prev_row.get(col)
+        if expr is None:
+            return pv
+        m = re.match(r"\s*`?(\w+)`?\s*([-+*/])\s*([-\d.]+)\s*$", expr)
+        if m and m.group(1) == col and pv is not None:
+            k = float(m.group(3)) if "." in m.group(3) \
+                else int(m.group(3))
+            op = m.group(2)
+            try:
+                return (pv + k if op == "+" else pv - k if op == "-"
+                        else pv * k if op == "*" else pv / k)
+            except Exception:
+                return pv
+        if m and pv is None:
+            return None
+        return pv
+
+    def fill_group(pdf):
+        import pandas as pd
+        by = cols[:]
+        asc = [not d for d in descs]
+        pdf = pdf.sort_values(by=by, ascending=asc, kind="mergesort")
+        pvals = {c: (pdf[c].iloc[0] if len(pdf) else None)
+                 for c in prefix}
+        out_rows = []
+
+        def emit_fill(fill):
+            row = {c: pvals[c] for c in prefix}
+            for i, c in enumerate(cols):
+                row[c] = fill[i]
+            prev = out_rows[-1] if out_rows else None
+            star = "*" in interp      # bare INTERPOLATE: carry all
+            for c in other_cols:
+                if prev is not None and c in interp:
+                    row[c] = interp_value(c, prev)
+                elif prev is not None and star:
+                    row[c] = prev.get(c)
+                else:
+                    row[c] = defaults[c]
+            out_rows.append(row)
+
+        def advance(fill, target):
+            """FillingRow::next — advance one step toward target;
+            returns True when a row was produced."""
+            pos = None
+            for i in range(n):
+                if fill[i] != target[i]:
+                    pos = i
+                    break
+            if pos is None:
+                return False
+            if not less(pos, fill[pos], target[pos]):
+                return False
+            # less-significant columns advance mid-gap ONLY with an
+            # explicit TO bound
+            for i in range(n - 1, pos, -1):
+                if tos[i] is None or fill[i] is None:
+                    continue
+                nxt = adders[i](fill[i])
+                if less(i, nxt, tos[i]):
+                    fill[i] = nxt
+                    for j in range(i + 1, n):
+                        fill[j] = restarts[j]
+                    return True
+            nxt = adders[pos](fill[pos])
+            if tos[pos] is not None and not less(pos, nxt, tos[pos]):
+                return False
+            if less(pos, nxt, target[pos]) or nxt == target[pos]:
+                fill[pos] = nxt
+                for j in range(pos + 1, n):
+                    fill[j] = restarts[j]
+                return True
+            return False
+
+        fill = None
+        for _, r in pdf.iterrows():
+            target = [r[c] for c in cols]
+            if any(v is None or (isinstance(v, float) and v != v)
+                   for v in target):
+                out_rows.append({c: r[c] for c in pdf.columns})
+                continue
+            if fill is None:
+                seeded = False
+                if any(f is not None for f in froms):
+                    seed = [froms[i] if froms[i] is not None
+                            else target[i] for i in range(n)]
+                    for i in range(n):
+                        if froms[i] is not None \
+                                and less(i, seed[i], target[i]):
+                            seeded = True
+                            break
+                    if seeded:
+                        fill = seed
+                        emit_fill(list(fill))
+                if not seeded:
+                    fill = list(target)
+            while advance(fill, target):
+                if fill == target:
+                    break
+                emit_fill(list(fill))
+            out_rows.append({c: r[c] for c in pdf.columns})
+            fill = list(target)
+        # trailing fill toward TO bounds
+        if fill is not None and any(t is not None for t in tos):
+            guard = 0
+            while guard < 1000000:
+                guard += 1
+                advanced = False
+                for i in range(n - 1, -1, -1):
+                    if tos[i] is None or fill[i] is None:
+                        continue
+                    nxt = adders[i](fill[i])
+                    if less(i, nxt, tos[i]):
+                        fill[i] = nxt
+                        for j in range(i + 1, n):
+                            fill[j] = restarts[j]
+                        emit_fill(list(fill))
+                        advanced = True
+                        break
+                if not advanced:
+                    break
+        out = pd.DataFrame(out_rows, columns=list(pdf.columns))
+        return out
+
+    if prefix:
+        result = df.groupBy(*prefix).applyInPandas(
+            lambda pdf: fill_group(pdf).reindex(
+                columns=[f.name for f in out_fields]),
+            schema=out_schema)
+    else:
+        result = df.withColumn("__g", F.lit(1)).groupBy("__g") \
+            .applyInPandas(
+                lambda pdf: fill_group(
+                    pdf.drop(columns=["__g"])).reindex(
+                        columns=[f.name for f in out_fields]),
+                schema=out_schema)
+    if order_all is None:
+        order_all = [(c, d) for c, d in zip(cols, descs)]
     order = [F.col(c).desc() if d else F.col(c).asc()
              for c, d in order_all]
     return result.orderBy(*order)

@@ -178,6 +178,55 @@ def _array_index_rule(a: list, which: int) -> str:
             f"CAST(NULL AS INT))), __p -> __p IS NOT NULL), {which}), 0)")
 
 
+def _datediff_rule(a: list) -> str:
+    """CH dateDiff(unit, start, end[, tz]) (reference
+    src/Functions/dateDiff.cpp): BOUNDARY-CROSSING difference via the
+    toRelative*Num pair, not Spark timestampdiff's elapsed-full-units
+    — dateDiff('month', '2020-01-31', '2020-02-01') = 1."""
+    if len(a) < 3:
+        return f"datediff({', '.join(a)})"
+    unit = a[0].strip().strip("'\"").lower()
+    x, y = a[1], a[2]
+    U = {"second": "s", "s": "s", "ss": "s",
+         "minute": "mi", "mi": "mi", "n": "mi",
+         "hour": "h", "h": "h", "hh": "h",
+         "day": "d", "d": "d", "dd": "d",
+         "week": "wk", "wk": "wk", "ww": "wk",
+         "month": "mm", "mm": "mm", "m": "mm",
+         "quarter": "q", "q": "q", "qq": "q",
+         "year": "yyyy", "yyyy": "yyyy", "yy": "yyyy",
+         "millisecond": "ms", "ms": "ms",
+         "microsecond": "us", "us": "us"}
+    u = U.get(unit)
+    cx, cy = f"CAST({x} AS TIMESTAMP)", f"CAST({y} AS TIMESTAMP)"
+    if u == "s":
+        return f"(unix_timestamp({cy}) - unix_timestamp({cx}))"
+    if u == "mi":
+        return (f"(FLOOR(unix_timestamp({cy}) / 60) - "
+                f"FLOOR(unix_timestamp({cx}) / 60))")
+    if u == "h":
+        return (f"(FLOOR(unix_timestamp({cy}) / 3600) - "
+                f"FLOOR(unix_timestamp({cx}) / 3600))")
+    if u == "d":
+        return f"datediff(CAST({y} AS DATE), CAST({x} AS DATE))"
+    if u == "wk":
+        return (f"CAST(datediff(date_trunc('WEEK', {cy}), "
+                f"date_trunc('WEEK', {cx})) / 7 AS BIGINT)")
+    if u == "mm":
+        return (f"((year({y}) * 12 + month({y})) - "
+                f"(year({x}) * 12 + month({x})))")
+    if u == "q":
+        return (f"((year({y}) * 4 + quarter({y})) - "
+                f"(year({x}) * 4 + quarter({x})))")
+    if u == "yyyy":
+        return f"(year({y}) - year({x}))"
+    if u == "ms":
+        return f"(unix_millis({cy}) - unix_millis({cx}))"
+    if u == "us":
+        return f"(unix_micros({cy}) - unix_micros({cx}))"
+    return f"datediff({', '.join(a)})"
+
+
 _RULES: dict = {
     # datetime
     "toyear": _fn("year"), "tomonth": _fn("month"), "todayofmonth": _fn("day"),
@@ -237,9 +286,7 @@ _RULES: dict = {
     "addhours": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}))",
     "addminutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}))",
     "addseconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
-    "datediff": lambda a: (f"datediff({a[2]}, {a[1]})"
-                           if a[0].strip("'\" ").lower() == "day" and len(a) == 3
-                           else f"datediff({', '.join(a)})"),
+    "datediff": lambda a: _datediff_rule(a),
     "toyyyymm": lambda a: f"(year({a[0]}) * 100 + month({a[0]}))",
     "toyyyymmdd": lambda a: f"(year({a[0]}) * 10000 + month({a[0]}) * 100 + day({a[0]}))",
     # type conversion
@@ -2485,13 +2532,351 @@ _TUPLE_ARG_FNS = {
 }
 
 
-def _tuple_literal_to_array(x: str) -> str:
+def _tuple_elems(x: str):
+    """Element texts of a tuple-valued (already-translated) expression
+    when the arity is statically inferable — paren literals,
+    tuple()/struct()/named_struct() calls, array() carriers — else
+    None.  This is what lets the vector-math family keep CH's Tuple
+    OUTPUT type (struct) instead of the array carrier whenever the
+    query text pins the arity (reference
+    src/Functions/vectorFunctions.cpp operates on Tuples natively)."""
     s = x.strip()
+    while (s.startswith("(") and _matching_paren(s, 0) == len(s) - 1
+           and _top_commas_count(s[1:-1]) == 0):
+        s = s[1:-1].strip()            # unwrap redundant parens
+    if not s:
+        return None
     if s.startswith("(") and _matching_paren(s, 0) == len(s) - 1:
-        inner = s[1:-1]
+        inner = s[1:-1].strip()
+        if re.match(r"(?is)^(SELECT|WITH)\b", inner):
+            return None
         if _top_commas_count(inner) >= 1:
-            return f"array({inner})"
+            return [e.strip() for e in _split_top_commas(inner)]
+        return None
+    m = re.match(r"([A-Za-z_]\w*)\s*\(", s)
+    if m and s.endswith(")") \
+            and _matching_paren(s, m.end() - 1) == len(s) - 1:
+        f = m.group(1).lower()
+        args, _after = _parse_args(s, m.end() - 1)
+        args = [a.strip() for a in args]
+        if f in ("tuple", "struct", "array"):
+            return args or None
+        if f == "named_struct":
+            return args[1::2] or None
+    return None
+
+
+def _tuple_literal_to_array(x: str) -> str:
+    elems = _tuple_elems(x)
+    if elems is not None:
+        return f"array({', '.join(elems)})"
     return x
+
+
+# CH divide semantics per element: Float64 out, x/0 -> signed inf
+# (0/0 -> nan via 0*inf) — mirrors registry _tuple_divide_elem
+def _ch_div_expr(x: str, y: str) -> str:
+    return (f"CASE WHEN ({y}) = 0 THEN CAST({x} AS DOUBLE) * "
+            f"CAST('Infinity' AS DOUBLE) "
+            f"ELSE CAST({x} AS DOUBLE) / ({y}) END")
+
+
+def _vec_binary_rule(op: str):
+    """tuplePlus/Minus/Multiply/Divide: struct output when both args'
+    arity is inferable (keeps CH Tuple display/type semantics);
+    zip_with over array carriers otherwise."""
+    def rule(a):
+        le, ri = _tuple_elems(a[0]), _tuple_elems(a[1])
+        if le is not None and ri is not None and len(le) == len(ri):
+            if op == "/":
+                fields = ", ".join(
+                    f"'col{i + 1}', {_ch_div_expr(x, y)}"
+                    for i, (x, y) in enumerate(zip(le, ri)))
+            else:
+                fields = ", ".join(
+                    f"'col{i + 1}', (({x}) {op} ({y}))"
+                    for i, (x, y) in enumerate(zip(le, ri)))
+            return f"named_struct({fields})"
+        la = _tuple_literal_to_array(a[0])
+        ra = _tuple_literal_to_array(a[1])
+        if op == "/":
+            return (f"zip_with({la}, {ra}, (x, y) -> "
+                    f"{_ch_div_expr('x', 'y')})")
+        return f"zip_with({la}, {ra}, (x, y) -> x {op} y)"
+    return rule
+
+
+def _vec_bynumber_rule(op: str):
+    def rule(a):
+        le = _tuple_elems(a[0])
+        n = a[1]
+        if le is not None:
+            if op == "/":
+                fields = ", ".join(
+                    f"'col{i + 1}', {_ch_div_expr(x, n)}"
+                    for i, x in enumerate(le))
+            else:
+                fields = ", ".join(
+                    f"'col{i + 1}', (({x}) {op} ({n}))"
+                    for i, x in enumerate(le))
+            return f"named_struct({fields})"
+        la = _tuple_literal_to_array(a[0])
+        if op == "/":
+            return (f"transform({la}, x -> {_ch_div_expr('x', n)})")
+        return f"transform({la}, x -> x {op} ({n}))"
+    return rule
+
+
+def _vec_negate_rule(a):
+    le = _tuple_elems(a[0])
+    if le is not None:
+        fields = ", ".join(f"'col{i + 1}', (-({x}))"
+                           for i, x in enumerate(le))
+        return f"named_struct({fields})"
+    return f"transform({_tuple_literal_to_array(a[0])}, x -> -x)"
+
+
+_RULES["tupleplus"] = _vec_binary_rule("+")
+_RULES["vectorsum"] = _vec_binary_rule("+")
+_RULES["tupleminus"] = _vec_binary_rule("-")
+_RULES["vectordifference"] = _vec_binary_rule("-")
+_RULES["tuplemultiply"] = _vec_binary_rule("*")
+_RULES["tupledivide"] = _vec_binary_rule("/")
+_RULES["tuplemultiplybynumber"] = _vec_bynumber_rule("*")
+_RULES["tupledividebynumber"] = _vec_bynumber_rule("/")
+_RULES["tuplenegate"] = _vec_negate_rule
+
+
+# ---------------- tuple/vector ARITHMETIC OPERATORS over tuple-valued
+# expressions: `(1,2) + tupleMultiply((3,4), materialize((5,1)))` etc.
+# (reference src/Functions/vectorFunctions.cpp registers +,-,*,/ over
+# Tuple via the same implementations).  Raw-text pre-pass: fold each
+# binary op whose either operand is provably tuple-valued into the
+# named function, then let the rules above emit struct/array SQL.
+
+_TUPLE_RET_RAW = {
+    "tuple", "tupleplus", "tupleminus", "tuplemultiply", "tupledivide",
+    "tuplenegate", "tuplemultiplybynumber", "tupledividebynumber",
+    "tuplemodulo", "tuplemodulobynumber", "tupleintdiv",
+    "tupleintdivbynumber", "tupleintdivorzero",
+    "tupleintdivorzerobynumber", "vectorsum", "vectordifference",
+    "l1normalize", "l2normalize", "linfnormalize", "lpnormalize",
+    "normalizel1", "normalizel2", "normalizelinf", "normalizelp",
+}
+_TUPLE_WRAP_RAW = {"materialize", "tonullable", "identity",
+                   "assumenotnull"}
+
+_ARITH_LEFT_KEYWORDS = {
+    "SELECT", "WHERE", "AND", "OR", "NOT", "BY", "ON", "IN", "AS",
+    "WHEN", "THEN", "ELSE", "HAVING", "PREWHERE", "QUALIFY", "LIMIT",
+    "OFFSET", "FROM", "JOIN", "UNION", "ALL", "DISTINCT", "CASE",
+    "END", "INTERVAL", "BETWEEN", "LIKE", "ILIKE", "SETTINGS", "USING",
+    "ARRAY", "IS", "OVER", "PARTITION", "ORDER", "GROUP", "TOTALS",
+    "ROLLUP", "CUBE", "SETS", "FILL", "TO", "STEP", "TIES", "WITH",
+}
+
+
+def _is_tuple_ish(s: str) -> bool:
+    s = s.strip()
+    while s.startswith("-"):
+        s = s[1:].lstrip()
+    if not s:
+        return False
+    if s.startswith("("):
+        if _matching_paren(s, 0) != len(s) - 1:
+            return False
+        inner = s[1:-1].strip()
+        if re.match(r"(?is)^(SELECT|WITH)\b", inner):
+            return False
+        if _top_commas_count(inner) >= 1:
+            return True
+        return _is_tuple_ish(inner)
+    m = re.match(r"([A-Za-z_]\w*)\s*\(", s)
+    if m and s.endswith(")") \
+            and _matching_paren(s, m.end() - 1) == len(s) - 1:
+        f = m.group(1).lower()
+        if f in _TUPLE_RET_RAW:
+            return True
+        if f in _TUPLE_WRAP_RAW:
+            args, _after = _parse_args(s, m.end() - 1)
+            return bool(args) and _is_tuple_ish(args[0])
+    return False
+
+
+def _primary_right(s: str, i: int):
+    """(start, end) span of the primary expression beginning at/after
+    index i, or None."""
+    n = len(s)
+    while i < n and s[i] in " \t\n":
+        i += 1
+    start = i
+    if i < n and s[i] == "-":
+        i += 1
+        while i < n and s[i] in " \t\n":
+            i += 1
+    if i >= n:
+        return None
+    c = s[i]
+    if c.isalpha() or c in "_`":
+        j = i
+        while j < n and (s[j].isalnum() or s[j] in "_`."):
+            j += 1
+        k = j
+        while k < n and s[k] in " \t":
+            k += 1
+        if k < n and s[k] == "(":
+            e = _matching_paren(s, k)
+            return (start, e + 1) if e > 0 else None
+        return (start, j)
+    if c == "(":
+        e = _matching_paren(s, i)
+        return (start, e + 1) if e > 0 else None
+    if c.isdigit() or c == ".":
+        j = i
+        while j < n and (s[j].isdigit() or s[j] in ".eE"
+                         or (s[j] in "+-" and s[j - 1] in "eE")):
+            j += 1
+        return (start, j)
+    if c == "'":
+        return (start, _skip_string(s, i))
+    return None
+
+
+def _primary_left(s: str, i: int):
+    """(start, end) span of the primary expression ENDING before index
+    i (an operator position), or None when the left context is not an
+    operand (keyword, opening paren, another operator)."""
+    j = i - 1
+    while j >= 0 and s[j] in " \t\n":
+        j -= 1
+    if j < 0:
+        return None
+    end = j + 1
+    if s[j] == ")":
+        depth = 0
+        o = j
+        while o >= 0:
+            if s[o] == ")":
+                depth += 1
+            elif s[o] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            o -= 1
+        if o < 0:
+            return None
+        k = o - 1
+        while k >= 0 and s[k] in " \t":
+            k -= 1
+        w = k
+        while w >= 0 and (s[w].isalnum() or s[w] in "_`"):
+            w -= 1
+        word = s[w + 1:k + 1]
+        if word and word.upper() not in _ARITH_LEFT_KEYWORDS:
+            return (w + 1, end)
+        return (o, end)
+    if s[j].isalnum() or s[j] in "_`.":
+        w = j
+        while w >= 0 and (s[w].isalnum() or s[w] in "_`."):
+            w -= 1
+        word = s[w + 1:end]
+        if word.upper() in _ARITH_LEFT_KEYWORDS:
+            return None
+        return (w + 1, end)
+    return None
+
+
+def _rewrite_tuple_arith(sql: str) -> str:
+    low = sql.lower()
+    if ("tuple" not in low and "vectorsum" not in low
+            and "vectordifference" not in low
+            and not re.search(r"\([^()]*,[^()]*\)\s*[-+*/]", sql)
+            and not re.search(r"[-+*/]\s*\([^()]*,[^()]*\)", sql)
+            and not re.search(r"(?i)\bmaterialize\s*\(\s*\(", sql)):
+        return sql
+    opmap = {"+": "tuplePlus", "-": "tupleMinus",
+             "*": "tupleMultiply", "/": "tupleDivide"}
+
+    def seg_fn(seg: str) -> str:
+        # unary minus over a tuple-ish primary first
+        i = 0
+        while i < len(seg):
+            c = seg[i]
+            if c in "'\"`":
+                i = _skip_string(seg, i)
+                continue
+            if c == "-":
+                j = i - 1
+                while j >= 0 and seg[j] in " \t\n":
+                    j -= 1
+                left_unary = j < 0 or seg[j] in "(,=<>+-*/%"
+                if not left_unary and (seg[j].isalnum() or seg[j] == "_"):
+                    w = j
+                    while w >= 0 and (seg[w].isalnum() or seg[w] == "_"):
+                        w -= 1
+                    left_unary = (seg[w + 1:j + 1].upper()
+                                  in _ARITH_LEFT_KEYWORDS)
+                if left_unary:
+                    r = _primary_right(seg, i + 1)
+                    if r:
+                        rtxt = seg[r[0]:r[1]]
+                        if not rtxt.lstrip().startswith("-") \
+                                and _is_tuple_ish(rtxt):
+                            repl = f"tupleNegate({rtxt})"
+                            seg = seg[:i] + repl + seg[r[1]:]
+                            i += len(repl)
+                            continue
+            i += 1
+        # binary passes: * / first (precedence), then + -
+        for ops in ("*/", "+-"):
+            guard = 0
+            changed = True
+            while changed and guard < 50:
+                changed = False
+                guard += 1
+                i = 0
+                while i < len(seg):
+                    c = seg[i]
+                    if c in "'\"`":
+                        i = _skip_string(seg, i)
+                        continue
+                    if c in ops:
+                        if c == "-" and seg[i + 1:i + 2] in (">", "-"):
+                            i += 2
+                            continue
+                        if c in "+-" and i >= 2 and seg[i - 1] in "eE" \
+                                and seg[i - 2].isdigit():
+                            i += 1
+                            continue
+                        lf = _primary_left(seg, i)
+                        rt = _primary_right(seg, i + 1)
+                        if lf and rt:
+                            ltxt = seg[lf[0]:lf[1]]
+                            rtxt = seg[rt[0]:rt[1]]
+                            lt, rr = (_is_tuple_ish(ltxt),
+                                      _is_tuple_ish(rtxt))
+                            repl = None
+                            if lt and rr:
+                                repl = f"{opmap[c]}({ltxt}, {rtxt})"
+                            elif (lt or rr) and c in "*/":
+                                # tuple × scalar / scalar × tuple →
+                                # the ByNumber forms (vectorFunctions
+                                # registers both operand orders for *)
+                                if lt:
+                                    repl = (f"{opmap[c]}ByNumber"
+                                            f"({ltxt}, {rtxt})")
+                                elif c == "*":
+                                    repl = (f"tupleMultiplyByNumber"
+                                            f"({rtxt}, {ltxt})")
+                            if repl is not None:
+                                seg = seg[:lf[0]] + repl + seg[rt[1]:]
+                                changed = True
+                                i = lf[0] + len(repl)
+                                continue
+                    i += 1
+        return seg
+
+    return _sub_nonstring(sql, seg_fn)
 
 
 _CLAUSE_STOPWORDS = {
@@ -3512,7 +3897,7 @@ def _rewrite_limit_with_ties(sql: str) -> str:
     off = int(m.group("off") or 0)
     out = (f"SELECT * EXCEPT (__rk) FROM (SELECT *, rank() OVER "
            f"(ORDER BY {order}) AS __rk FROM ({inner})) "
-           f"WHERE __rk <= {int(m.group('n')) + off} ORDER BY {order}")
+           f"WHERE __rk <= {int(m.group('n')) + off} ORDER BY __rk")
     if off:
         out += f" OFFSET {off}"
     return out
@@ -3853,6 +4238,12 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = sql.strip().rstrip(";")
     sql = _FORMAT_RE.sub("", sql)
     sql = _SETTINGS_RE.sub("", sql)
+    # SETTINGS clauses also terminate SUBQUERIES (ParserSelectQuery) —
+    # strip `... SETTINGS k = v, ...` when the next token is ')'
+    if re.search(r"(?i)\bSETTINGS\s+\w+\s*=", sql):
+        sql = _sub_nonstring(sql, lambda seg: re.sub(
+            r"(?i)\s+SETTINGS\s+\w+\s*=\s*[^,;()]+"
+            r"(\s*,\s*\w+\s*=\s*[^,;()]+)*(?=\s*\))", "", seg))
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
@@ -3931,6 +4322,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
             sql += f" ORDER BY {order}"
         sql += tail
 
+    sql = _rewrite_tuple_arith(sql)
     sql = _translate_expr(sql)
     # CH allows == for equality
     sql = re.sub(r"(?<![=!<>])==", "=", sql)
@@ -4035,8 +4427,34 @@ def _rewrite_joinget(text: str, tables) -> str:
         conds = " AND ".join(
             f"`{k}` = ({args[2 + n]})" for n, k in enumerate(keys))
         out.append(text[i:m.start()])
-        out.append(f"(SELECT any(`{col}`) FROM `{tname}` "
-                   f"WHERE {conds})")
+        repl = f"(SELECT any(`{col}`) FROM `{tname}` WHERE {conds})"
+        if not m.group(1):
+            # plain joinGet yields the value type's DEFAULT on a miss
+            # (StorageJoin::joinGet); only joinGetOrNull yields NULL
+            dt = None
+            ddl = getattr(t, "schema_ddl", "") or ""
+            dm = re.search(rf"`?{re.escape(col)}`?\s+(\w+)", ddl)
+            if dm:
+                dt = dm.group(1).lower()
+            else:
+                try:
+                    dt = {f.name: f.dataType.simpleString()
+                          for f in t.read().schema.fields}.get(col)
+                except Exception:
+                    dt = None
+            if dt:
+                base = dt.split("(")[0]
+                dflt = {"string": "''", "varchar": "''",
+                        "date": "DATE '1970-01-01'",
+                        "timestamp":
+                            "TIMESTAMP '1970-01-01 00:00:00'"}.get(
+                    base,
+                    "0" if base in ("tinyint", "smallint", "int",
+                                    "bigint", "long", "float",
+                                    "double", "decimal") else None)
+                if dflt:
+                    repl = f"coalesce({repl}, {dflt})"
+        out.append(repl)
         i = after
     return "".join(out)
 
@@ -4059,7 +4477,8 @@ def _materialize_nested_selects(spark, text, sample_by, tables):
             inner = text[start + 1:j].strip()
             if not re.match(r"(?is)^(SELECT|WITH)\b", inner):
                 continue
-            if not re.search(r"(?is)\bWITH\s+(FILL|TOTALS)\b", inner):
+            if not re.search(r"(?is)\bWITH\s+(FILL|TOTALS|TIES)\b",
+                                 inner):
                 continue
             df = ch_sql(spark, inner, sample_by=sample_by, tables=tables)
             _SUBQ_COUNTER[0] += 1
@@ -4071,27 +4490,144 @@ def _materialize_nested_selects(spark, text, sample_by, tables):
     return text
 
 
-def _parse_multi_fill(tail: str):
-    """Parse ``col [dir] [WITH FILL [FROM..][TO..][STEP..]], ...`` into
-    with_fill_multi specs; returns (specs, prefix, order_all) where
-    ``prefix`` is the (col, desc) list of non-filled sort keys BEFORE
-    the first fill key (the reference restarts fills per equal-prefix
-    group) and ``order_all`` is every key in original position."""
+def _fill_value(tok: str | None):
+    """FROM/TO literal → python value: numbers, toDate[Time]('…'),
+    bare quoted date strings."""
+    if tok is None:
+        return None
+    import datetime as _dtm
+    t = tok.strip()
+    m = re.match(r"(?i)^toDate(Time)?(?:64)?\s*\(\s*'([^']+)'", t)
+    if m:
+        sv = m.group(2)
+        if m.group(1) or len(sv) > 10:
+            return _dtm.datetime.fromisoformat(sv)
+        return _dtm.date.fromisoformat(sv)
+    if t.startswith("'") and t.endswith("'"):
+        sv = t[1:-1]
+        try:
+            return (_dtm.date.fromisoformat(sv) if len(sv) <= 10
+                    else _dtm.datetime.fromisoformat(sv))
+        except ValueError:
+            return None
+    try:
+        f = float(t)
+        return int(f) if f.is_integer() else f
+    except ValueError:
+        return None
+
+
+def _fill_step(tok: str | None):
+    """STEP literal → numeric step or interval string for
+    fill.filling_transform's _make_adder."""
+    if tok is None:
+        return None
+    t = tok.strip().strip("'")
+    try:
+        f = float(t)
+        return int(f) if f.is_integer() else f
+    except ValueError:
+        pass
+    if re.match(r"(?i)^(interval\s+)?-?\d+\s*[a-z]+$", t):
+        return t
+    return "__BAD__"
+
+
+def _parse_fill_item(item: str):
+    """One ORDER BY item: returns (col, desc, spec|None) where spec is
+    (step, from, to) for WITH FILL keys; None for plain sort keys;
+    raises nothing — returns ``False`` on unsupported shapes."""
+    im = re.match(r"^(`?[\w.]+`?)\s*(ASC|DESC)?\s*(.*)$",
+                  item.strip(), re.IGNORECASE | re.DOTALL)
+    if im is None:
+        return False
+    col = im.group(1).strip("`")
+    desc = (im.group(2) or "").upper() == "DESC"
+    rest = im.group(3).strip()
+    if not rest:
+        return (col, desc, None)
+    fm = re.match(r"(?is)^WITH\s+FILL\s*(.*)$", rest)
+    if fm is None:
+        return False
+    s = fm.group(1).strip()
+    kv: dict = {}
+    while s:
+        km = re.match(r"(?is)^(FROM|TO|STEP|STALENESS)\s+(.*)$", s)
+        if km is None:
+            return False
+        kw, s2 = km.group(1).lower(), km.group(2)
+        vm = re.search(r"(?i)\b(FROM|TO|STEP|STALENESS)\b", s2)
+        if vm:
+            kv[kw], s = s2[:vm.start()].strip(), s2[vm.start():].strip()
+        else:
+            kv[kw], s = s2.strip(), ""
+    if "staleness" in kv:
+        return False                   # STALENESS not modeled
+    step = _fill_step(kv.get("step"))
+    fv, tv = _fill_value(kv.get("from")), _fill_value(kv.get("to"))
+    if step == "__BAD__" \
+            or (kv.get("from") is not None and fv is None) \
+            or (kv.get("to") is not None and tv is None):
+        return False
+    return (col, desc, (step, fv, tv))
+
+
+def _match_order_fill(text: str):
+    """Detect a trailing top-level ``ORDER BY ... WITH FILL ...
+    [INTERPOLATE ...] [LIMIT n]`` clause; returns (clause_start, specs,
+    prefix, order_all, interpolate, limit) or None."""
+    if not re.search(r"(?i)\bWITH\s+FILL\b", text):
+        return None
+    tops = _top_level_set(text)
+    last = None
+    for mm in re.finditer(r"(?i)\bORDER\s+BY\b", text):
+        if mm.start() in tops:
+            last = mm
+    if last is None:
+        return None
+    tail = text[last.end():].strip()
+    if not re.search(r"(?i)\bWITH\s+FILL\b", tail):
+        return None
+    limit_n = 0
+    lm = re.search(r"(?is)\bLIMIT\s+(\d+)\s*$", tail)
+    if lm:
+        limit_n = int(lm.group(1))
+        tail = tail[:lm.start()].strip()
+    interp: dict | None = None
+    im = re.search(r"(?is)\bINTERPOLATE\b\s*(\()?", tail)
+    if im:
+        if im.group(1):
+            close = _matching_paren(tail, im.end() - 1)
+            if close < 0 or tail[close + 1:].strip():
+                return None
+            interp = {}
+            for it in _split_top_commas(tail[im.end():close]):
+                am = re.match(r"(?is)^\s*`?(\w+)`?\s*"
+                              r"(?:AS\s+(.+))?$", it.strip())
+                if am is None:
+                    return None
+                interp[am.group(1)] = (am.group(2).strip()
+                                       if am.group(2) else None)
+        else:
+            if tail[im.end():].strip():
+                return None
+            interp = {"*": None}
+        tail = tail[:im.start()].strip()
     specs, prefix, order_all = [], [], []
     for item in _split_top_commas(tail):
-        im = _FILL_ITEM_RE.match(item.strip())
-        if im is None:
-            return [], [], []       # an expression key — not handled
-        col = im.group(1).strip("`")
-        desc = (im.group(2) or "").upper() == "DESC"
+        parsed = _parse_fill_item(item)
+        if parsed is False:
+            return None
+        col, desc, spec = parsed
         order_all.append((col, desc))
-        if im.group(3):
-            specs.append((col, _fill_literal(im.group(6)) or 1,
-                          _fill_literal(im.group(4)),
-                          _fill_literal(im.group(5)), desc))
+        if spec is not None:
+            specs.append((col, spec[0] if spec[0] is not None else 1,
+                          spec[1], spec[2], desc))
         elif not specs:
             prefix.append((col, desc))
-    return specs, prefix, order_all
+    if not specs:
+        return None
+    return (last.start(), specs, prefix, order_all, interp, limit_n)
 
 
 def _fill_literal(tok: str | None):
@@ -4402,8 +4938,79 @@ def ch_sql_cached(spark, sql: str, **kwargs):
     return df
 
 
+def _parse_set_statement(body: str, settings: dict | None) -> None:
+    """``SET name = value[, name = value]*`` (reference
+    src/Interpreters/InterpreterSetQuery.h): record each assignment in
+    the session ``settings`` dict.  Values parse as int/float/quoted
+    string/bare word."""
+    for item in _split_top_commas(body):
+        mm = re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", item, re.DOTALL)
+        if mm is None:
+            continue
+        name, raw = mm.group(1).lower(), mm.group(2).strip()
+        if re.fullmatch(r"[+-]?\d+", raw):
+            val = int(raw)
+        elif re.fullmatch(r"[+-]?\d*\.\d+", raw):
+            val = float(raw)
+        elif len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'":
+            val = raw[1:-1].replace("\\'", "'").replace("''", "'")
+        else:
+            val = raw
+        if settings is not None:
+            settings[name] = val
+
+
 def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
-           tables: dict | None = None):
+           tables: dict | None = None,
+           settings: dict | None = None):
+    """CH-dialect entry point with session SETTINGS semantics
+    (reference src/Core/Settings.cpp): ``SET`` statements update the
+    caller's ``settings`` dict; honored result-shaping settings are
+    ``limit`` / ``offset`` (applied to SELECT results on top of the
+    query's own LIMIT, per the reference's limit/offset settings) and
+    ``union_default_mode`` (bare UNION becomes UNION ALL when 'ALL').
+    Settings whose reference default already matches this engine's
+    natural semantics (``join_use_nulls=1``, ``group_by_use_nulls=0``)
+    are recorded and need no plan change; unknown/tuning settings are
+    recorded and ignored (documented permissiveness, LIMITS.md)."""
+    s = sql.strip().rstrip(";")
+    m = re.match(r"(?is)^SET\s+(?!ROLE\b|DEFAULT\b)(.+)$", s)
+    if m:
+        _parse_set_statement(m.group(1), settings)
+        # keep the legacy global-session path (SESSION_SETTINGS +
+        # live Spark-conf application) in sync
+        for item in _split_top_commas(m.group(1)):
+            sm = re.match(r"\s*`?(\w+)`?\s*=\s*(.+?)\s*$", item,
+                          re.DOTALL)
+            if sm is None:
+                continue
+            SESSION_SETTINGS[sm.group(1)] = sm.group(2).strip("'")
+            live = {"max_threads": "spark.sql.shuffle.partitions",
+                    "session_timezone": "spark.sql.session.timeZone"}
+            tgt = live.get(sm.group(1).lower())
+            if tgt:
+                spark.conf.set(tgt, sm.group(2).strip("'"))
+        return None
+    if settings and str(settings.get("union_default_mode", "")
+                        ).upper() == "ALL":
+        s2 = _sub_nonstring(sql, lambda seg: re.sub(
+            r"(?i)\bUNION\s+(?!ALL\b|DISTINCT\b)", "UNION ALL ", seg))
+        sql = s2
+    df = _ch_sql_impl(spark, sql, sample_by=sample_by, tables=tables)
+    if df is not None and settings \
+            and re.match(r"(?is)^\s*(SELECT|WITH)\b", sql):
+        off = settings.get("offset")
+        lim = settings.get("limit")
+        if off:
+            df = df.offset(int(off))
+        if lim:
+            df = df.limit(int(lim))
+    return df
+
+
+def _ch_sql_impl(spark, sql: str,
+                 sample_by: dict[str, str] | None = None,
+                 tables: dict | None = None):
     """Run a ClickHouse-dialect query on Spark (tables must be
     registered as views, e.g. via Catalog.register_all; FINAL needs the
     ``<name>__final`` view from :func:`register_mergetree_sql`).
@@ -4457,7 +5064,10 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     # managed-table machinery (reference InterpreterCreateQuery.h);
     # ENGINE-less CREATE passes through to Spark's own DDL below
     if re.match(r"^CREATE\s+TABLE\b", text, re.IGNORECASE) \
-            and re.search(r"\bENGINE\s*=?\s*\w", text, re.IGNORECASE):
+            and (re.search(r"\bENGINE\s*=?\s*\w", text, re.IGNORECASE)
+                 or re.match(r"(?is)^CREATE\s+TABLE\s+"
+                             r"(?:IF\s+NOT\s+EXISTS\s+)?`?\w+`?\s+AS\s+"
+                             r"`?\w+`?\s*$", text)):
         return _create_table_statement(spark, text, tables,
                                        sample_by=sample_by)
 
@@ -4574,7 +5184,9 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     m = re.match(r"^ALTER\s+TABLE\s+`?(\w+)`?\s+(.*)$", text,
                  re.IGNORECASE | re.DOTALL)
     if m and re.match(r"(?is)^(ADD|DROP|RENAME|MODIFY|MATERIALIZE|"
-                      r"CLEAR|COMMENT|RESET)\b", m.group(2)):
+                      r"CLEAR|COMMENT|RESET|REPLACE\s+PARTITION|"
+                      r"ATTACH\s+PARTITION|MOVE\s+PARTITION)\b",
+                      m.group(2)):
         return _alter_table_statement(spark, m.group(1), m.group(2),
                                       tables)
 
@@ -4628,36 +5240,23 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     if re.search(r"(?i)\bARRAY\s+JOIN\b", text):
         text = _shadow_array_join_aliases(spark, text)
 
-    if re.search(r"(?i)WITH\s+(FILL|TOTALS)\b", text) \
+    if re.search(r"(?i)WITH\s+(FILL|TOTALS|TIES)\b", text) \
             and re.search(r"(?is)\b(FROM|JOIN)\s*\(", text):
         text = _materialize_nested_selects(spark, text, sample_by,
                                            tables)
 
-    m = _WITH_FILL_RE.search(text)
-    if m:
-        from ..operators.fill import with_fill
-        col = m.group(1).strip("`")
-        base = text[:m.start()].rstrip()
+    fm = _match_order_fill(text)
+    if fm is not None:
+        start, specs, prefix, order_all, interp, limit_n = fm
+        from ..operators.fill import filling_transform
+        base = text[:start].rstrip()
         df = _run_sql(spark, translate_ch_sql(base, sample_by=sample_by))
-        filled = with_fill(df, col,
-                           step=_fill_literal(m.group(4)) or 1,
-                           from_val=_fill_literal(m.group(2)),
-                           to_val=_fill_literal(m.group(3)))
-        filled = filled.orderBy(col)
-        if m.group(5):                  # trailing LIMIT after the fill
-            filled = filled.limit(int(m.group(5)))
+        filled = filling_transform(df, specs, prefix=prefix,
+                                   order_all=order_all,
+                                   interpolate=interp)
+        if limit_n:
+            filled = filled.limit(limit_n)
         return filled
-
-    m = _WITH_FILL_MULTI_RE.search(text)
-    if m and m.start() in _top_level_set(text):
-        specs, prefix, order_all = _parse_multi_fill(m.group(1))
-        if specs:
-            from ..operators.fill import with_fill_multi
-            base = text[:m.start()].rstrip()
-            df = _run_sql(spark,
-                          translate_ch_sql(base, sample_by=sample_by))
-            return with_fill_multi(df, specs, prefix=prefix,
-                                   order_all=order_all)
     translated = translate_ch_sql(text, sample_by=sample_by)
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
@@ -4875,13 +5474,21 @@ def _utility_statement(spark, text: str, tables):
             stmt += f" ORDER BY ({', '.join(order)})"
         return spark.createDataFrame([(stmt,)], "statement string")
 
-    m = re.match(r"^SHOW\s+SETTING\s+`?(\w+)`?\s*$", text,
-                 re.IGNORECASE)
+    m = re.match(r"^SHOW\s+SETTING\s+(\S.*)$", text, re.IGNORECASE)
     if m:
-        df = ch_sql(spark,
-                    f"SELECT value FROM system.settings "
-                    f"WHERE name = '{m.group(1)}'")
-        return df
+        # the NAME is one identifier token, possibly backquoted; a
+        # quoted token containing operators/quotes is still a single
+        # (unknown) setting name, never an injectable predicate
+        # (reference ParserShowSettingQuery reads one identifier)
+        raw = m.group(1).strip()
+        if raw.startswith("`") and raw.endswith("`") and len(raw) >= 2:
+            raw = raw[1:-1]
+        elif not re.fullmatch(r"\w+", raw):
+            raise ValueError(f"SHOW SETTING: malformed name {raw!r}")
+        safe = raw.replace("\\", "\\\\").replace("'", "\\'")
+        return ch_sql(spark,
+                      f"SELECT value FROM system.settings "
+                      f"WHERE name = '{safe}'")
 
     m = re.match(r"^(?:DESCRIBE|DESC)\s+(format\s*\(.*\))"
                  r"(?:\s+FORMAT\s+\w+)?\s*$",
@@ -5305,6 +5912,14 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                   r"`?(\w+)`?\s+AS\s+`?(\w+)`?\s*"
                   r"(?:ENGINE\s*=?\s*\w+.*)?$",
                   text, re.IGNORECASE | re.DOTALL)
+    if cl is None:
+        # engine-BEFORE-AS clone: CREATE TABLE d ENGINE=Distributed(..)
+        # AS src (registerStorageDistributed — the structure comes
+        # from the source table)
+        cl = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                      r"`?(\w+)`?\s+ENGINE\s*=?\s*\w+\s*(?:\([^)]*\))?"
+                      r"\s*AS\s+`?(\w+)`?\s*$",
+                      text, re.IGNORECASE | re.DOTALL)
     if cl and not re.match(r"(?is)^SELECT\b", cl.group(2)):
         src = _resolve_view_safe(spark, cl.group(2),
                                  (tables or {}).get(cl.group(2)))
@@ -5445,7 +6060,7 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                     t.column_defaults[cname] = dexpr
             continue
         m = re.match(r"(?is)^DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
-                     r"`?(\w+)`?$", o)
+                     r"`?([\w.]+)`?$", o)
         if m:
             cname = m.group(1)
             df = df.drop(cname)
@@ -5456,7 +6071,7 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                 t.column_defaults.pop(cname, None)
             continue
         m = re.match(r"(?is)^RENAME\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
-                     r"`?(\w+)`?\s+TO\s+`?(\w+)`?$", o)
+                     r"`?([\w.]+)`?\s+TO\s+`?([\w.]+)`?$", o)
         if m:
             df = df.withColumnRenamed(m.group(1), m.group(2))
             if t is not None and getattr(t, "schema_ddl", None):
@@ -5465,7 +6080,7 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                     rf"`{m.group(2)}`\1", t.schema_ddl, count=1)
             continue
         m = re.match(r"(?is)^MODIFY\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
-                     r"`?(\w+)`?\s+(.+)$", o)
+                     r"`?([\w.]+)`?\s+(.+)$", o)
         if m:
             cname, rest = m.group(1), m.group(2)
             if re.match(r"(?is)^(DEFAULT|MATERIALIZED)\b", rest):
@@ -5479,12 +6094,48 @@ def _alter_table_statement(spark, name: str, body: str, tables):
             stype = _ch_decl_type_to_spark(_decl_type(rest))
             dt = _spark_type_of_ddl(spark, stype)
             if cname in df.columns:
-                df = df.withColumn(cname, F.col(cname).cast(dt))
+                df = df.withColumn(cname,
+                                   F.col(f"`{cname}`").cast(dt))
             if t is not None and getattr(t, "schema_ddl", None):
                 t.schema_ddl = ", ".join(
                     (f"`{cname}` {stype}"
                      if c.strip().split()[0].strip("`") == cname else c)
                     for c in _split_top_commas(t.schema_ddl))
+            continue
+        m = re.match(r"(?is)^(REPLACE|ATTACH)\s+PARTITION\s+"
+                     r"(?:ID\s+)?('[^']*'|[\w.-]+)\s+FROM\s+"
+                     r"`?(\w+)`?$", o)
+        if m:
+            src = (tables or {}).get(m.group(3))
+            if t is None or src is None:
+                raise ValueError(f"ALTER {m.group(1).upper()} "
+                                 f"PARTITION needs managed tables")
+            val = m.group(2).strip("'")
+            if m.group(1).upper() == "REPLACE":
+                t.replace_partition(src, val)
+            else:
+                t.attach_partition_from(src, val)
+            df = t.read()
+            continue
+        m = re.match(r"(?is)^MOVE\s+PARTITION\s+(?:ID\s+)?"
+                     r"('[^']*'|[\w.-]+)\s+TO\s+TABLE\s+`?(\w+)`?$", o)
+        if m:
+            dst = (tables or {}).get(m.group(2))
+            if t is None or dst is None:
+                raise ValueError("ALTER MOVE PARTITION needs managed "
+                                 "tables")
+            t.move_partition_to(dst, m.group(1).strip("'"))
+            dst.read().createOrReplaceTempView(m.group(2))
+            df = t.read()
+            continue
+        m = re.match(r"(?is)^DROP\s+(?:PARTITION|PART)\s+(?:ID\s+)?"
+                     r"('[^']*'|[\w.-]+)$", o)
+        if m:
+            if t is None:
+                raise ValueError("ALTER DROP PARTITION needs a "
+                                 "managed table")
+            t.drop_partition(m.group(1).strip("'"))
+            df = t.read()
             continue
         if re.match(r"(?is)^(MATERIALIZE\s+COLUMN|COMMENT\s+COLUMN|"
                     r"MODIFY\s+(TTL|SETTING|ORDER\s+BY|QUERY)|"
@@ -5576,7 +6227,10 @@ def _append_to_table(spark, name: str, df, tables):
     out = []
     for f in schema.fields:
         if f.name in have:
-            out.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            # backticks make dotted column NAMES (`n.a`) resolve
+            # literally instead of as struct-field qualifiers
+            out.append(F.col(f"`{f.name}`")
+                       .cast(f.dataType).alias(f.name))
         elif f.name in defaults:
             out.append(F.expr(_translate_expr(defaults[f.name]))
                        .cast(f.dataType).alias(f.name))

@@ -467,9 +467,20 @@ class MergeTreeTable:
         parts = self.parts()
         if not parts:
             raise ValueError(f"table at {self.path} has no parts")
-        df = self.spark.read.option("basePath", parts[0]) \
-            .parquet(*parts) if len(parts) == 1 else (
-            self.spark.read.parquet(*parts))
+        if len(parts) == 1:
+            df = self.spark.read.option("basePath", parts[0]) \
+                .parquet(parts[0])
+        else:
+            # per-part basePath keeps hive partition discovery local to
+            # each part (a multi-root read would see the part-* level
+            # as conflicting structures); unionByName tolerates
+            # ALTER-evolved schemas, missing columns fill NULL and the
+            # view layer applies declared DEFAULTs
+            dfs = [self.spark.read.option("basePath", p).parquet(p)
+                   for p in parts]
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d, allowMissingColumns=True)
         return self._apply_delete_masks(df, parts)
 
     def read(self, final: bool = False) -> DataFrame:
@@ -717,6 +728,67 @@ class MergeTreeTable:
         import shutil
         for p in parts:
             shutil.rmtree(p, ignore_errors=True)
+
+    # ------------------------------------------------ partition ops
+
+    def partition_predicate(self, value) -> Column:
+        """Row predicate selecting one partition (reference
+        MergeTreeData partition ID matching).  String-compared so
+        ``PARTITION 0`` matches an int key and ``PARTITION '2020-01'``
+        a formatted expression key alike."""
+        if not self.partition_by:
+            raise ValueError("table has no PARTITION BY")
+        expr = self.partition_by[0]
+        col = F.col(expr) if re.fullmatch(r"\w+", expr) else F.expr(expr)
+        return col.cast("string") == F.lit(str(value))
+
+    def drop_partition(self, value) -> None:
+        """ALTER TABLE ... DROP PARTITION (reference
+        MergeTreeData::dropPartition).  Hive-layout partition keys drop
+        directory slices — a metadata operation, no data movement, the
+        same O(1) cost profile as the reference's part unlinking.
+        Expression partition keys rewrite the remaining rows into a
+        fresh part (one filtered scan) and drop the old parts."""
+        import shutil
+        plain = [c for c in self.partition_by if re.fullmatch(r"\w+", c)]
+        if plain and len(plain) == len(self.partition_by):
+            for part in self.parts():
+                d = os.path.join(part, f"{plain[0]}={value}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d, ignore_errors=True)
+                # a part whose every hive slice is gone is itself gone
+                if not any(
+                        e.name.startswith(f"{plain[0]}=")
+                        for e in os.scandir(part) if e.is_dir()):
+                    shutil.rmtree(part, ignore_errors=True)
+            return
+        old = self.parts()
+        if not old:
+            return
+        kept = self.read_raw().filter(~self.partition_predicate(value))
+        self.insert(kept.localCheckpoint(eager=True))
+        self._drop_parts(old)
+
+    def attach_partition_from(self, src: "MergeTreeTable",
+                              value) -> None:
+        """ALTER TABLE dst ATTACH PARTITION v FROM src: append src's
+        slice as a new part (src keeps its data)."""
+        self.insert(src.read_raw().filter(src.partition_predicate(value)))
+
+    def replace_partition(self, src: "MergeTreeTable", value) -> None:
+        """ALTER TABLE dst REPLACE PARTITION v FROM src
+        (MergeTreeData::replacePartitionFrom): dst's slice is swapped
+        for src's."""
+        slice_df = (src.read_raw()
+                    .filter(src.partition_predicate(value))
+                    .localCheckpoint(eager=True))
+        self.drop_partition(value)
+        self.insert(slice_df)
+
+    def move_partition_to(self, dst: "MergeTreeTable", value) -> None:
+        """ALTER TABLE src MOVE PARTITION v TO TABLE dst."""
+        dst.attach_partition_from(self, value)
+        self.drop_partition(value)
 
 
 # ---------------------------------------------------------------- projections

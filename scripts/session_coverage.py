@@ -46,7 +46,7 @@ MAX_VERIFY_ROWS = 10000
 
 # statements that are session/server state we deliberately don't model
 _SKIP_RE = re.compile(
-    r"(?i)^\s*(set\s|system\s+(?!flush\s+logs)|use\s|grant|revoke|"
+    r"(?i)^\s*(set\s+role\b|system\s+(?!flush\s+logs)|use\s|grant|revoke|"
     r"kill\b|attach|detach|check\s+table|watch\b|"
     r"create\s+(dictionary|database|user|role|row\s+policy|quota|"
     r"settings\s+profile|named\s+collection)|drop\s+(dictionary|"
@@ -70,7 +70,7 @@ _FORMAT_RE = re.compile(r"(?i)\bFORMAT\s+(\w+)\s*$")
 _TSV_FORMATS = {"tabseparated", "tsv", "tabseparatedraw", "tsvraw"}
 
 
-def classify_and_run(spark, ch_sql, stmt: str, tables):
+def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
     """Run one statement; returns (kind, rendered_output | None).
 
     ``rendered_output`` is the CH-TSV text the statement contributes to
@@ -91,7 +91,7 @@ def classify_and_run(spark, ch_sql, stmt: str, tables):
     fmt = _FORMAT_RE.search(stmt)
     fmt_name = fmt.group(1).lower() if fmt else None
     try:
-        df = ch_sql(spark, stmt, tables=tables)
+        df = ch_sql(spark, stmt, tables=tables, settings=settings)
         if df is None:
             return ("UNEXPECTED_OK" if expect_error else "OK"), ""
         if fmt_name == "null":
@@ -172,6 +172,7 @@ def main() -> int:
         n_files += 1
         before = {t.name for t in spark.catalog.listTables()}
         tables: dict = {}
+        settings: dict = {}
         had_error = False
         verifiable = "{ echo" not in text
         out_parts: list[str] = []
@@ -180,7 +181,8 @@ def main() -> int:
                 counts["SKIP"] += 1
                 verifiable = False
                 continue
-            r, out = classify_and_run(spark, ch_sql, stmt, tables)
+            r, out = classify_and_run(spark, ch_sql, stmt, tables,
+                                       settings)
             kind, _, sig = r.partition(":")
             counts[kind] += 1
             if sig:

@@ -230,8 +230,10 @@ def test_with_fill_sql_clause(spark):
         GROUP BY slot
         ORDER BY slot WITH FILL FROM 0 TO 4""")
     rows = df.collect()
-    assert [r.slot for r in rows] == [0, 1, 2, 3, 4]
-    assert rows[1].n is None and rows[3].n is None  # filled slots
+    # TO is EXCLUSIVE and filled slots carry the count's type default
+    # (reference FillingTransform golden behavior)
+    assert [r.slot for r in rows] == [0, 1, 2, 3]
+    assert rows[1].n == 0 and rows[3].n == 0  # filled slots
     assert rows[0].n > 0 and rows[2].n > 0
 
 

@@ -131,7 +131,9 @@ def test_multi_column_with_fill(spark):
         WHERE number % 2 = 0 ORDER BY a WITH FILL, b
     """).collect()
     assert [r.a for r in rows] == [0, 1, 2, 3, 4]
-    assert [r.b for r in rows] == [0, None, 2, None, 1]
+    # generated rows carry type DEFAULTS (reference FillingTransform
+    # non-Nullable semantics), not NULL
+    assert [r.b for r in rows] == [0, 0, 2, 0, 1]
 
 
 def test_with_fill_inside_subquery(spark):
@@ -141,7 +143,9 @@ def test_with_fill_inside_subquery(spark):
             WHERE number % 3 = 1 ORDER BY x WITH FILL STEP 2
         ) WHERE x < 6 ORDER BY x
     """).collect()
-    assert [r.x for r in rows] == [1, 3, 5]
+    # ROW-ANCHORED fill (FillingRow::next): progression restarts from
+    # each original value — 1,(3),4,(6),7 — originals always kept
+    assert [r.x for r in rows] == [1, 3, 4]
 
 
 def test_limit_offset_with_ties(spark):
