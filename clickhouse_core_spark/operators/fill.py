@@ -251,6 +251,8 @@ def _make_adder(step, desc: bool, dtype):
         if months is None:
             raise ValueError(f"WITH FILL STEP unit {unit!r}")
         return lambda v: _add_months(v, n * months)
+    if step == 0:
+        raise ValueError("WITH FILL STEP must be non-zero")
     eff = -step if (desc and step > 0) else step
     if is_date:
         delta = _dt.timedelta(days=eff)
@@ -308,12 +310,19 @@ def filling_transform(df: DataFrame, specs, prefix=(), order_all=None,
     descs = [bool(s[4]) for s in specs]
     froms = [s[2] for s in specs]
     tos = [s[3] for s in specs]
+    stales = [s[5] if len(s) > 5 else None for s in specs]
     adders = [_make_adder(s[1] if s[1] is not None else 1, descs[i],
                           dtypes[cols[i]])
               for i, s in enumerate(specs)]
-    restarts = [froms[i] if froms[i] is not None
-                else _py_type_default(dtypes[cols[i]])
-                for i in range(n)]
+    stale_adders = [
+        _make_adder(stales[i], descs[i], dtypes[cols[i]])
+        if stales[i] is not None else None
+        for i in range(n)]
+    # initFromDefaults: a restarted key takes FROM when given, else
+    # stays NULL — a NULL fill key never advances and DISPLAYS as the
+    # column's type default (FillingRow::initFromDefaults +
+    # insertFromFillingRow)
+    restarts = [froms[i] for i in range(n)]
     interp = dict(interpolate or {})
 
     def less(i, a, b):
@@ -336,8 +345,13 @@ def filling_transform(df: DataFrame, specs, prefix=(), order_all=None,
                         else pv * k if op == "*" else pv / k)
             except Exception:
                 return pv
-        if m and pv is None:
-            return None
+        # string concat: col || 'lit'  /  concat(col, 'lit')
+        m = re.match(r"\s*`?(\w+)`?\s*\|\|\s*'([^']*)'\s*$", expr)
+        if m is None:
+            m = re.match(r"(?i)\s*concat\s*\(\s*`?(\w+)`?\s*,"
+                         r"\s*'([^']*)'\s*\)\s*$", expr)
+        if m and m.group(1) == col and isinstance(pv, str):
+            return pv + m.group(2)
         return pv
 
     def fill_group(pdf):
@@ -352,93 +366,147 @@ def filling_transform(df: DataFrame, specs, prefix=(), order_all=None,
         def emit_fill(fill):
             row = {c: pvals[c] for c in prefix}
             for i, c in enumerate(cols):
-                row[c] = fill[i]
-            prev = out_rows[-1] if out_rows else None
+                if fill[i] is None:
+                    row[c] = (_py_type_default(dtypes[c])
+                              if use_defaults else None)
+                else:
+                    row[c] = fill[i]
+            # the reference seeds INTERPOLATE on the column DEFAULT
+            # when there is no previous output row yet
+            prev = out_rows[-1] if out_rows \
+                else {c: _py_type_default(dtypes[c])
+                      for c in other_cols}
             star = "*" in interp      # bare INTERPOLATE: carry all
             for c in other_cols:
-                if prev is not None and c in interp:
+                if c in interp:
                     row[c] = interp_value(c, prev)
-                elif prev is not None and star:
+                elif star:
                     row[c] = prev.get(c)
                 else:
                     row[c] = defaults[c]
             out_rows.append(row)
 
+        anchor = [None] * n
+
+        def init_deeper(fill, k):
+            for j in range(k + 1, n):
+                fill[j] = restarts[j]
+
+        def capped(i, nxt):
+            """doJump bound checks: TO (exclusive), STALENESS window
+            from the last original row, FROM as a lower bound."""
+            if tos[i] is not None and not less(i, nxt, tos[i]):
+                return True
+            if stale_adders[i] is not None and anchor[i] is not None \
+                    and not less(i, nxt, stale_adders[i](anchor[i])):
+                return True
+            if froms[i] is not None and less(i, nxt, froms[i]):
+                return True
+            return False
+
         def advance(fill, target):
-            """FillingRow::next — advance one step toward target;
-            returns True when a row was produced."""
+            """FillingRow::next — 0 stop, 1 emit a generated row,
+            2 snapped onto the target value (no row)."""
             pos = None
             for i in range(n):
-                if fill[i] != target[i]:
+                if fill[i] is not None and target[i] is not None \
+                        and fill[i] != target[i]:
                     pos = i
                     break
             if pos is None:
-                return False
-            if not less(pos, fill[pos], target[pos]):
-                return False
-            # less-significant columns advance mid-gap ONLY with an
-            # explicit TO bound
+                return 0
+            if less(pos, target[pos], fill[pos]):
+                return 0
+            # a LESS significant key advances mid-gap only while its
+            # own TO bound has room
             for i in range(n - 1, pos, -1):
                 if tos[i] is None or fill[i] is None:
                     continue
                 nxt = adders[i](fill[i])
-                if less(i, nxt, tos[i]):
+                if not capped(i, nxt):
                     fill[i] = nxt
-                    for j in range(i + 1, n):
-                        fill[j] = restarts[j]
-                    return True
+                    init_deeper(fill, i)
+                    return 1
             nxt = adders[pos](fill[pos])
-            if tos[pos] is not None and not less(pos, nxt, tos[pos]):
-                return False
-            if less(pos, nxt, target[pos]) or nxt == target[pos]:
+            if capped(pos, nxt):
+                return 0
+            if less(pos, nxt, target[pos]):
                 fill[pos] = nxt
-                for j in range(pos + 1, n):
-                    fill[j] = restarts[j]
-                return True
+                init_deeper(fill, pos)
+                return 1
+            if nxt == target[pos]:
+                # land exactly on the target: the filling row moves but
+                # the ORIGINAL row supplies the output
+                fill[pos] = nxt
+                init_deeper(fill, pos)
+                return 2
+            return 0
+
+        def lex_less(fill, target):
+            for i in range(n):
+                if fill[i] is None or target[i] is None:
+                    continue
+                if fill[i] != target[i]:
+                    return less(i, fill[i], target[i])
             return False
 
         fill = None
-        for _, r in pdf.iterrows():
-            target = [r[c] for c in cols]
+        insert_first = False
+        for rd in pdf.to_dict("records"):
+            target = [rd[c] for c in cols]
             if any(v is None or (isinstance(v, float) and v != v)
                    for v in target):
-                out_rows.append({c: r[c] for c in pdf.columns})
+                out_rows.append(dict(rd))
                 continue
             if fill is None:
-                seeded = False
-                if any(f is not None for f in froms):
-                    seed = [froms[i] if froms[i] is not None
-                            else target[i] for i in range(n)]
-                    for i in range(n):
-                        if froms[i] is not None \
-                                and less(i, seed[i], target[i]):
-                            seeded = True
-                            break
-                    if seeded:
-                        fill = seed
-                        emit_fill(list(fill))
-                if not seeded:
-                    fill = list(target)
-            while advance(fill, target):
-                if fill == target:
-                    break
+                # seed: FROM where given, the first row's value where
+                # not (observed reference behavior on no-FROM keys)
+                fill = [froms[i] if froms[i] is not None else target[i]
+                        for i in range(n)]
+                if lex_less(fill, target):
+                    emit_fill(list(fill))
+                else:
+                    # FROM ahead of the first row — the seed value is
+                    # output before the first row that passes it
+                    # (FillingTransform should_insert_first)
+                    insert_first = True
+            elif insert_first and lex_less(fill, target):
                 emit_fill(list(fill))
-            out_rows.append({c: r[c] for c in pdf.columns})
-            fill = list(target)
-        # trailing fill toward TO bounds
-        if fill is not None and any(t is not None for t in tos):
+                insert_first = False
+            guard = 0
+            while True:
+                rstate = advance(fill, target)
+                if rstate == 0:
+                    break
+                guard += 1
+                if guard > 1000000:
+                    raise ValueError(
+                        "WITH FILL generated over 1e6 rows in one gap")
+                if rstate == 1:
+                    emit_fill(list(fill))
+            out_rows.append(dict(rd))
+            # the fill progression is NOT re-anchored on off-grid
+            # originals; only STALENESS anchors to the original row
+            anchor = list(target)
+            if not lex_less(target, fill):
+                insert_first = False
+        # suffix fill toward TO / STALENESS bounds after the last row
+        if fill is not None and (any(t is not None for t in tos)
+                                 or any(st is not None
+                                        for st in stales)):
             guard = 0
             while guard < 1000000:
                 guard += 1
                 advanced = False
                 for i in range(n - 1, -1, -1):
-                    if tos[i] is None or fill[i] is None:
+                    if fill[i] is None:
+                        continue
+                    if tos[i] is None and stale_adders[i] is None:
                         continue
                     nxt = adders[i](fill[i])
-                    if less(i, nxt, tos[i]):
+                    if not capped(i, nxt):
                         fill[i] = nxt
-                        for j in range(i + 1, n):
-                            fill[j] = restarts[j]
+                        init_deeper(fill, i)
                         emit_fill(list(fill))
                         advanced = True
                         break

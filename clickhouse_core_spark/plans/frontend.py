@@ -4324,8 +4324,9 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
 
     sql = _rewrite_tuple_arith(sql)
     sql = _translate_expr(sql)
-    # CH allows == for equality
-    sql = re.sub(r"(?<![=!<>])==", "=", sql)
+    # CH allows == for equality (string-aware: '===' literals keep)
+    sql = _sub_nonstring(
+        sql, lambda seg: re.sub(r"(?<![=!<>])==(?!=)", "=", seg))
     return sql
 
 
@@ -4497,6 +4498,8 @@ def _fill_value(tok: str | None):
         return None
     import datetime as _dtm
     t = tok.strip()
+    while t.startswith("(") and t.endswith(")") and len(t) > 2:
+        t = t[1:-1].strip()
     m = re.match(r"(?i)^toDate(Time)?(?:64)?\s*\(\s*'([^']+)'", t)
     if m:
         sv = m.group(2)
@@ -4561,15 +4564,14 @@ def _parse_fill_item(item: str):
             kv[kw], s = s2[:vm.start()].strip(), s2[vm.start():].strip()
         else:
             kv[kw], s = s2.strip(), ""
-    if "staleness" in kv:
-        return False                   # STALENESS not modeled
     step = _fill_step(kv.get("step"))
+    stale = _fill_step(kv.get("staleness"))
     fv, tv = _fill_value(kv.get("from")), _fill_value(kv.get("to"))
-    if step == "__BAD__" \
+    if step == "__BAD__" or stale == "__BAD__" \
             or (kv.get("from") is not None and fv is None) \
             or (kv.get("to") is not None and tv is None):
         return False
-    return (col, desc, (step, fv, tv))
+    return (col, desc, (step, fv, tv, stale))
 
 
 def _match_order_fill(text: str):
@@ -4588,6 +4590,14 @@ def _match_order_fill(text: str):
     tail = text[last.end():].strip()
     if not re.search(r"(?i)\bWITH\s+FILL\b", tail):
         return None
+    fsettings: dict = {}
+    sm = re.search(r"(?is)\bSETTINGS\s+(\w+\s*=.*)$", tail)
+    if sm:
+        for kvp in _split_top_commas(sm.group(1)):
+            pm = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", kvp)
+            if pm:
+                fsettings[pm.group(1).lower()] = pm.group(2).strip("'")
+        tail = tail[:sm.start()].strip()
     limit_n = 0
     lm = re.search(r"(?is)\bLIMIT\s+(\d+)\s*$", tail)
     if lm:
@@ -4622,12 +4632,29 @@ def _match_order_fill(text: str):
         order_all.append((col, desc))
         if spec is not None:
             specs.append((col, spec[0] if spec[0] is not None else 1,
-                          spec[1], spec[2], desc))
+                          spec[1], spec[2], desc, spec[3]))
         elif not specs:
             prefix.append((col, desc))
     if not specs:
         return None
-    return (last.start(), specs, prefix, order_all, interp, limit_n)
+    # validations the reference rejects with
+    # INVALID_WITH_FILL_EXPRESSION (FillingTransform::transformHeader)
+    seen: set = set()
+    for c, _d in order_all:
+        if c in seen:
+            raise ValueError(
+                f"WITH FILL: duplicate ORDER BY key {c!r}")
+        seen.add(c)
+    for sp in specs:
+        if sp[5] is not None and sp[2] is not None:
+            raise ValueError("WITH FILL: STALENESS cannot be used "
+                             "together with FROM")
+        if sp[5] is not None and not isinstance(sp[5], str):
+            if (sp[4] and sp[5] > 0) or (not sp[4] and sp[5] < 0):
+                raise ValueError("WITH FILL: STALENESS sign must "
+                                 "match the sort direction")
+    return (last.start(), specs, prefix, order_all, interp, limit_n,
+            fsettings)
 
 
 def _fill_literal(tok: str | None):
@@ -5245,12 +5272,37 @@ def _ch_sql_impl(spark, sql: str,
         text = _materialize_nested_selects(spark, text, sample_by,
                                            tables)
 
+    if re.search(r"(?i)\bWITH\s+FILL\b", text) \
+            and _SCALAR_WITH_RE.match(text):
+        # scalar WITH aliases can feed FROM/TO bounds — inline them
+        # before the fill clause is parsed
+        text = _rewrite_scalar_with(text)
     fm = _match_order_fill(text)
     if fm is not None:
-        start, specs, prefix, order_all, interp, limit_n = fm
+        start, specs, prefix, order_all, interp, limit_n, fs = fm
         from ..operators.fill import filling_transform
         base = text[:start].rstrip()
         df = _run_sql(spark, translate_ch_sql(base, sample_by=sample_by))
+        pos_ok = str(fs.get("enable_positional_arguments", "1")) != "0"
+
+        def _resolve(c):
+            if c.isdigit():
+                i = int(c)
+                if pos_ok and 1 <= i <= len(df.columns):
+                    return df.columns[i - 1]
+                return None            # a constant — ordering no-op
+            return c
+        specs = [(_resolve(sp[0]),) + tuple(sp[1:]) for sp in specs]
+        specs = [sp for sp in specs if sp[0] is not None]
+        prefix = [(c2, d2) for c2, d2 in
+                  ((_resolve(c1), d1) for c1, d1 in prefix)
+                  if c2 is not None]
+        order_all = [(c2, d2) for c2, d2 in
+                     ((_resolve(c1), d1) for c1, d1 in order_all)
+                     if c2 is not None]
+        if not specs:
+            translated = translate_ch_sql(text, sample_by=sample_by)
+            return _run_sql(spark, translated)
         filled = filling_transform(df, specs, prefix=prefix,
                                    order_all=order_all,
                                    interpolate=interp)
@@ -5673,6 +5725,20 @@ def _ch_decl_type_to_spark(t: str) -> str:
     from ..functions.registry import _CH_TYPE_TO_SPARK
     t = t.strip().strip("`")
     low = t.lower()
+    # SQL-compat aliases the reference registers in DataTypeFactory
+    # (registerAlias calls: INT/INTEGER→Int32, BIGINT→Int64, …)
+    aliases = {"int": "INT", "integer": "INT", "int1": "TINYINT",
+               "tinyint": "TINYINT", "smallint": "SMALLINT",
+               "mediumint": "INT", "bigint": "BIGINT",
+               "float": "FLOAT", "real": "FLOAT", "double": "DOUBLE",
+               "boolean": "BOOLEAN", "varchar": "STRING",
+               "char": "STRING", "text": "STRING", "blob": "BINARY",
+               "binary": "BINARY", "bytea": "BINARY",
+               "timestamp": "TIMESTAMP", "json": "STRING",
+               "object": "STRING", "uuid": "STRING",
+               "ipv4": "STRING", "ipv6": "STRING"}
+    if low in aliases:
+        return aliases[low]
     if low in _CH_TYPE_TO_SPARK:
         return _CH_TYPE_TO_SPARK[low]
     m = re.fullmatch(r"(?:Nullable|LowCardinality)\s*\((.*)\)", t,

@@ -88,6 +88,17 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
     if re.match(r"(?i)\s*(select|with)\b", stmt) \
             and _NONDET_RE.search(stmt):
         return "SKIP", None
+    if re.match(r"(?i)\s*EXPLAIN\b", stmt):
+        # EXPLAIN renders Spark's plan text — never golden-comparable
+        try:
+            df = ch_sql(spark, stmt, tables=tables, settings=settings)
+            if df is not None:
+                df.limit(5).collect()
+            return ("UNEXPECTED_OK" if expect_error else "OK"), None
+        except Exception:
+            if expect_error:
+                return "EXPECTED", ""
+            return "EXEC: explain", None
     fmt = _FORMAT_RE.search(stmt)
     fmt_name = fmt.group(1).lower() if fmt else None
     try:
@@ -99,6 +110,10 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
             return ("UNEXPECTED_OK" if expect_error else "OK"), ""
         rows = df.limit(MAX_VERIFY_ROWS + 1).collect()
         kind = "UNEXPECTED_OK" if expect_error else "OK"
+        if kind == "UNEXPECTED_OK":
+            # reference-rejected statement that ran: its output has no
+            # golden counterpart — the file can't align byte-wise
+            return kind, None
         if fmt_name is not None and fmt_name not in _TSV_FORMATS:
             return kind, None          # non-TSV display — ran only
         if len(rows) > MAX_VERIFY_ROWS:
@@ -170,6 +185,10 @@ def main() -> int:
         if "{CLICKHOUSE_DATABASE" in text or "no-parallel" in text[:400]:
             continue
         n_files += 1
+        conf_snapshot = {
+            k: spark.conf.get(k, None)
+            for k in ("spark.sql.session.timeZone",
+                      "spark.sql.shuffle.partitions")}
         before = {t.name for t in spark.catalog.listTables()}
         tables: dict = {}
         settings: dict = {}
@@ -193,6 +212,13 @@ def main() -> int:
                 verifiable = False
             else:
                 out_parts.append(out)
+        # restore live conf a SET statement may have changed
+        for k, v in conf_snapshot.items():
+            if v is not None:
+                try:
+                    spark.conf.set(k, v)
+                except Exception:
+                    pass
         # clean up the file's temp views
         for t in spark.catalog.listTables():
             if t.name not in before:

@@ -143,9 +143,9 @@ def test_with_fill_inside_subquery(spark):
             WHERE number % 3 = 1 ORDER BY x WITH FILL STEP 2
         ) WHERE x < 6 ORDER BY x
     """).collect()
-    # ROW-ANCHORED fill (FillingRow::next): progression restarts from
-    # each original value — 1,(3),4,(6),7 — originals always kept
-    assert [r.x for r in rows] == [1, 3, 4]
+    # FillingRow progression is NOT re-anchored on off-grid originals:
+    # grid 1,3,5,(7) with originals 4,7 interleaved — 1,3,4,5,7
+    assert [r.x for r in rows] == [1, 3, 4, 5]
 
 
 def test_limit_offset_with_ties(spark):
