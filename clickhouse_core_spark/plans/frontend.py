@@ -178,6 +178,25 @@ def _array_index_rule(a: list, which: int) -> str:
             f"CAST(NULL AS INT))), __p -> __p IS NOT NULL), {which}), 0)")
 
 
+def _todate_numeric_literal(a: list) -> str:
+    """CH toDate(N[, tz]) over an integer (FunctionsConversion.h):
+    N ≤ 65535 reads as DAYS since epoch (negatives clamp to 0);
+    larger values read as UNIX SECONDS clamped to the DateTime range
+    (UInt32 max → 2106-02-07)."""
+    import datetime as _dtm
+    n = int(a[0])
+    if n < 0:
+        n = 0
+    if n <= 65535:
+        d = _dtm.date(1970, 1, 1) + _dtm.timedelta(days=n)
+        return f"DATE '{d.isoformat()}'"
+    secs = min(n, 4294967295)
+    if len(a) == 2:
+        return (f"to_date(convert_timezone('UTC', {a[1]}, "
+                f"CAST(to_timestamp({secs}) AS TIMESTAMP_NTZ)))")
+    return f"to_date(to_timestamp({secs}))"
+
+
 def _datediff_rule(a: list) -> str:
     """CH dateDiff(unit, start, end[, tz]) (reference
     src/Functions/dateDiff.cpp): BOUNDARY-CROSSING difference via the
@@ -248,7 +267,9 @@ _RULES: dict = {
     # timestamps are µs-fixed; the scale argument only selects display
     # precision in the reference.
     "todate": lambda a: (
-        f"to_date(convert_timezone('UTC', {a[1]}, "
+        _todate_numeric_literal(a)
+        if re.fullmatch(r"\s*-?\d+\s*", a[0])
+        else f"to_date(convert_timezone('UTC', {a[1]}, "
         f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ)))"
         if len(a) == 2 and re.fullmatch(r"\s*'[A-Za-z_/+0-9-]+'\s*", a[1])
         else f"to_date({', '.join(a)})"),
@@ -1450,6 +1471,13 @@ def _tostartofinterval_rule(a):
             return fallback
         n, unit = int(m.group(2)), m.group(1).lower()
     ts = f"CAST({a[0]} AS TIMESTAMP)"
+    if unit == "nanosecond":
+        # timestamps carry µs here (LIMITS.md precision boundary):
+        # sub-µs floors are identity; whole-µs multiples floor in µs
+        if n % 1000 == 0 and n >= 1000:
+            unit, n = "microsecond", n // 1000
+        else:
+            return ts
     if unit in _TSOI_MICROS:
         step = n * _TSOI_MICROS[unit]
         off = 3 * 86_400_000_000 if unit == "week" else 0
@@ -1836,6 +1864,23 @@ def _array_reduce_sql(a: list[str]) -> str:
         arr = (f"transform(filter(arrays_zip({arr}, {cond}), "
                f"__p -> CAST(__p['1'] AS BOOLEAN)), __p -> __p['0'])")
         name = base
+    # -OrNull / -OrDefault (AggregateFunctionOrFill.h): NULL / the
+    # return type's default when nothing was aggregated
+    or_null = or_default = False
+    if name.endswith("ornull"):
+        name, or_null = name[:-6], True
+    elif name.endswith("ordefault"):
+        name, or_default = name[:-9], True
+    if or_null or or_default:
+        base_sql = _array_reduce_sql([f"'{name}'", arr] + a[2:])
+        if or_null:
+            return (f"CASE WHEN size({arr}) = 0 THEN NULL "
+                    f"ELSE {base_sql} END")
+        dflt = ("CAST(0.0 AS DOUBLE)"
+                if name in ("avg", "stddevsamp", "stddevpop",
+                            "varsamp", "varpop") else "0")
+        return (f"CASE WHEN size({arr}) = 0 THEN {dflt} "
+                f"ELSE {base_sql} END")
     # -State carries the partial as a plain array (this engine's
     # array-backed state for the groupArray family / value vector for
     # scalar aggregates); -Merge takes an array of such states,
@@ -1882,6 +1927,30 @@ def _array_reduce_sql(a: list[str]) -> str:
             f"aggregate(slice({arr}, 2, size({arr})), "
             f"try_element_at({arr}, 1), "
             f"(acc, x) -> array_intersect(acc, x))",
+        "stddevsamp":
+            f"sqrt((aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x * x) - "
+            f"pow(aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x), 2) / size({arr})) "
+            f"/ (size({arr}) - 1))",
+        "stddevpop":
+            f"sqrt((aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x * x) - "
+            f"pow(aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x), 2) / size({arr})) "
+            f"/ size({arr}))",
+        "varsamp":
+            f"((aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x * x) - "
+            f"pow(aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x), 2) / size({arr})) "
+            f"/ (size({arr}) - 1))",
+        "varpop":
+            f"((aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x * x) - "
+            f"pow(aggregate({arr}, CAST(0.0 AS DOUBLE), "
+            f"(acc, x) -> acc + x), 2) / size({arr})) "
+            f"/ size({arr}))",
     }
     if name not in forms:
         raise NotImplementedError(f"arrayReduce: aggregate {name!r} not mapped")
@@ -2407,6 +2476,36 @@ _ARRAY_BASES = {
 def _try_suffix_combinator(lname: str, targs: list) -> str | None:
     """Generic fooIf(args..., cond) / fooArray(arr) SQL rewrites for
     aggregate bases without a dedicated rule."""
+    # -OrNull / -OrDefault (optionally stacked under -If):
+    # AggregateFunctionOrFill.h — NULL / return-type default when no
+    # rows were aggregated
+    m = re.fullmatch(r"(avg|sum|min|max|count|stddevsamp|stddevpop|"
+                     r"varsamp|varpop|anylast|any)"
+                     r"(ornull|ordefault)(if)?", lname)
+    if m and targs:
+        base, orx, has_if = m.groups()
+        spark_fn = {"avg": "avg", "sum": "sum", "min": "min",
+                    "max": "max", "count": "count",
+                    "any": "any_value", "anylast": "any_value",
+                    "stddevsamp": "stddev_samp",
+                    "stddevpop": "stddev_pop", "varsamp": "var_samp",
+                    "varpop": "var_pop"}[base]
+        arg = targs[0] if targs else "1"
+        if has_if:
+            cond = targs[-1]
+            arg = (f"CASE WHEN {cond} THEN "
+                   f"{targs[0] if len(targs) > 1 else '1'} END")
+        core = f"{spark_fn}({arg})"
+        if base == "count" and has_if:
+            core = f"count({arg})"
+        if orx == "ornull":
+            return (core if base != "count"
+                    else f"CASE WHEN count({arg}) = 0 THEN NULL "
+                         f"ELSE count({arg}) END")
+        dflt = ("CAST(0.0 AS DOUBLE)"
+                if base in ("avg", "stddevsamp", "stddevpop",
+                            "varsamp", "varpop") else "0")
+        return f"COALESCE({core}, {dflt})"
     if lname.endswith("if") and len(targs) >= 2:
         base = lname[:-2]
         if base in _IF_BASES and base in _RULES:
@@ -2784,6 +2883,63 @@ def _primary_left(s: str, i: int):
             return None
         return (w + 1, end)
     return None
+
+
+_DT_CALL_RE = re.compile(
+    r"(?i)\b(toDateTime(?:64)?|toDate(?:32)?|now|today|yesterday|"
+    r"toStartOf\w+|parseDateTime\w*)\s*\(")
+
+
+def _rewrite_datetime_arith(sql: str) -> str:
+    """``toDateTime(...) + n`` / ``- n`` — CH integer arithmetic on
+    temporal values (seconds on DateTime, days on Date; reference
+    src/Functions/FunctionDateOrDateTimeAddInterval.h via the plus/
+    minus overloads).  Spark rejects timestamp+int, so rewrite the
+    syntactically-recognizable call forms."""
+    if not _DT_CALL_RE.search(sql):
+        return sql
+
+    def seg_fn(seg: str) -> str:
+        out = seg
+        pos = 0
+        while True:
+            m = _DT_CALL_RE.search(out, pos)
+            if m is None:
+                return out
+            o = out.index("(", m.start())
+            e = _matching_paren(out, o)
+            if e < 0:
+                pos = m.end()
+                continue
+            call = out[m.start():e + 1]
+            j = e + 1
+            while j < len(out) and out[j] in " \t\n":
+                j += 1
+            if j >= len(out) or out[j] not in "+-":
+                pos = e + 1
+                continue
+            op = out[j]
+            r = _primary_right(out, j + 1)
+            if r is None:
+                pos = e + 1
+                continue
+            rtxt = out[r[0]:r[1]].strip()
+            # leave interval forms / other temporal calls alone
+            if re.match(r"(?i)^(INTERVAL\b|toInterval|toDate|"
+                        r"toDateTime|now\b|today\b|yesterday\b|')",
+                        rtxt) or _DT_CALL_RE.match(rtxt):
+                pos = e + 1
+                continue
+            fname = m.group(1).lower()
+            if fname in ("todate", "todate32"):
+                fn = "date_add" if op == "+" else "date_sub"
+                repl = f"{fn}({call}, {rtxt})"
+            else:
+                repl = (f"({call} {op} make_interval(0, 0, 0, 0, 0, "
+                        f"0, {rtxt}))")
+            out = out[:m.start()] + repl + out[r[1]:]
+            pos = m.start() + len(repl)
+    return _sub_nonstring(sql, seg_fn)
 
 
 def _rewrite_tuple_arith(sql: str) -> str:
@@ -4323,6 +4479,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         sql += tail
 
     sql = _rewrite_tuple_arith(sql)
+    sql = _rewrite_datetime_arith(sql)
     sql = _translate_expr(sql)
     # CH allows == for equality (string-aware: '===' literals keep)
     sql = _sub_nonstring(
@@ -5094,7 +5251,8 @@ def _ch_sql_impl(spark, sql: str,
             and (re.search(r"\bENGINE\s*=?\s*\w", text, re.IGNORECASE)
                  or re.match(r"(?is)^CREATE\s+TABLE\s+"
                              r"(?:IF\s+NOT\s+EXISTS\s+)?`?\w+`?\s+AS\s+"
-                             r"`?\w+`?\s*$", text)):
+                             r"(`?\w+`?\s*$|(?:SELECT|WITH)\b)",
+                             text)):
         return _create_table_statement(spark, text, tables,
                                        sample_by=sample_by)
 
@@ -5958,6 +6116,18 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             t.read().createOrReplaceTempView(name)
         else:
             df.createOrReplaceTempView(name)
+        return None
+
+    # ENGINE-less CTAS (CREATE [TEMPORARY] TABLE t AS SELECT …): a
+    # session-scoped Memory table — a temp view, never a Spark managed
+    # table (whose warehouse location would collide across sessions)
+    m2 = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                  r"`?(\w+)`?\s+AS\s+((?:SELECT|WITH)\b.*)$", text)
+    if m2:
+        df = ch_sql(spark, m2.group(2), sample_by=sample_by,
+                    tables=tables)
+        df.localCheckpoint(eager=True) \
+            .createOrReplaceTempView(m2.group(1))
         return None
 
     name_m = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
