@@ -7292,6 +7292,36 @@ def ch_sql_session_partition_ops_q(spark, sf_dir):
         FROM s8_pt_two GROUP BY id ORDER BY id""", tables=t)
 
 
+@q("ch_sql_dictionary_ddl", """
+WITH d(id, v) AS (VALUES (1, 'one'), (2, 'two'), (3, 'three'))
+SELECT CAST(x AS BIGINT) AS k,
+       COALESCE((SELECT v FROM d WHERE id = x % 5), '?') AS v,
+       CAST(CASE WHEN x % 5 BETWEEN 1 AND 3 THEN 1 ELSE 0 END
+            AS INT) AS h
+FROM range(10) t(x) ORDER BY k
+""")
+def ch_sql_dictionary_ddl_q(spark, sf_dir):
+    """CREATE DICTIONARY DDL end-to-end (reference
+    src/Parsers/ParserCreateQuery.h dictionary form,
+    FunctionsExternalDictionaries.h): a table-sourced HASHED layout
+    with attribute DEFAULT, looked up via dictGet/dictHas — the
+    lookup plans as a broadcast-able scalar subquery."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s8_dict_src (id UInt64, v String) "
+                  "ENGINE MergeTree ORDER BY id", tables=t)
+    ch_sql(spark, "INSERT INTO s8_dict_src VALUES (1, 'one'), "
+                  "(2, 'two'), (3, 'three')", tables=t)
+    ch_sql(spark, "CREATE DICTIONARY s8_dict (id UInt64, "
+                  "v String DEFAULT '?') PRIMARY KEY id "
+                  "SOURCE(CLICKHOUSE(TABLE 's8_dict_src')) "
+                  "LAYOUT(HASHED()) LIFETIME(1)", tables=t)
+    return ch_sql(spark, """
+        SELECT CAST(number AS Int64) AS k,
+               dictGet('s8_dict', 'v', number % 5) AS v,
+               CAST(dictHas('s8_dict', number % 5) AS Int32) AS h
+        FROM numbers(10) ORDER BY k""", tables=t)
+
+
 @q("ch_sql_with_fill", """
 WITH base AS (SELECT user_id % 30 AS slot, CAST(count(*) AS BIGINT) AS n
               FROM events WHERE user_id % 7 = 0 AND user_id % 30 < 25

@@ -3281,7 +3281,8 @@ def _split_select(body: str) -> tuple[str, str]:
     raise ValueError("LIMIT BY rewrite: no top-level FROM found")
 
 
-_FORMAT_RE = re.compile(r"\s+FORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
+_FORMAT_RE = re.compile(r"\s+FORMAT\s+\w+(?=\s+SETTINGS\b|\s*;?\s*$)",
+                        re.IGNORECASE)
 _SETTINGS_RE = re.compile(r"\s+SETTINGS\s+[\w]+\s*=\s*[^,;]+(\s*,\s*[\w]+\s*=\s*[^,;]+)*\s*;?\s*$",
                           re.IGNORECASE)
 
@@ -5305,6 +5306,24 @@ def _ch_sql_impl(spark, sql: str,
     text = re.sub(r"(?i)^(CREATE|SHOW\s+CREATE)\s+TEMPORARY\s+TABLE\b",
                   lambda m: m.group(1).upper() + " TABLE", text)
 
+    if re.match(r"(?i)^CREATE\s+(OR\s+REPLACE\s+)?DICTIONARY\b",
+                text):
+        return _create_dictionary_statement(spark, text, tables)
+    dm = re.match(r"(?i)^DROP\s+DICTIONARY\s+(IF\s+EXISTS\s+)?"
+                  r"`?([\w.]+)`?\s*(?:SYNC)?\s*$", text)
+    if dm:
+        nm = dm.group(2).split(".")[-1]
+        known = tables is not None and nm in tables
+        if not known and not dm.group(1):
+            raise ValueError(f"DROP DICTIONARY: unknown {nm!r}")
+        if tables is not None:
+            tables.pop(nm, None)
+        try:
+            spark.catalog.dropTempView(nm)
+        except Exception:
+            pass
+        return None
+
     util = _utility_statement(spark, text, tables)
     if util is not _NO_MATCH:
         return util
@@ -5445,6 +5464,27 @@ def _ch_sql_impl(spark, sql: str,
     # temp view over the translated select; MATERIALIZED additionally
     # persists (the batch analog of the reference's stored inner table;
     # the streaming cascade lives in streaming/materialized.py)
+    # CREATE MATERIALIZED VIEW mv TO dst AS SELECT ... — the TO form
+    # (StorageMaterializedView TO table): every INSERT into the
+    # source propagates the select over the inserted block into dst;
+    # reading mv reads dst
+    mvt = re.match(
+        r"^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(\w+)`?\s+TO\s+`?([\w.]+)`?\s+AS\s+((?:SELECT|WITH)\b.*)$",
+        text, re.IGNORECASE | re.DOTALL)
+    if mvt and tables is not None:
+        name, dst, sel = mvt.groups()
+        dst = dst.split(".")[-1]
+        sm = re.search(r"(?is)\bFROM\s+`?(\w+)`?", sel)
+        tables.setdefault("__mv_to__", []).append(
+            {"name": name, "src": sm.group(1) if sm else None,
+             "dst": dst, "select": sel})
+        try:
+            spark.table(dst).createOrReplaceTempView(name)
+        except Exception:
+            pass
+        return None
+
     mv = re.match(
         r"^CREATE\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"`?(\w+)`?\s+AS\s+(SELECT\b.*)$",
@@ -5486,6 +5526,9 @@ def _ch_sql_impl(spark, sql: str,
 
     if tables and re.search(r"(?i)\bjoinGet(OrNull)?\s*\(", text):
         text = _rewrite_joinget(text, tables)
+
+    if tables and re.search(r"(?i)\bdict(Get|Has)", text):
+        text = _rewrite_dictget(text, tables)
 
     if re.search(r"(?i)\bARRAY\s+JOIN\b", text):
         text = _shadow_array_join_aliases(spark, text)
@@ -6214,6 +6257,19 @@ def create_table_sql(spark, sql: str, base_dir: str):
         if len(toks) < 2:
             continue
         cname = toks[0].strip("`")
+        # Nested(a T, b U) EXPANDS to sibling array columns `n.a`
+        # Array(T), `n.b` Array(U) (reference DataTypeNested /
+        # NestedUtils::flatten)
+        nm = re.match(r"(?is)^Nested\s*\((.*)\)\s*$", toks[1].strip())
+        if nm:
+            for sub in _split_top_commas(nm.group(1)):
+                st = sub.strip().split(None, 1)
+                if len(st) != 2:
+                    continue
+                schema_parts.append(
+                    f"`{cname}.{st[0].strip('`')}` ARRAY<"
+                    f"{_ch_decl_type_to_spark(_decl_type(st[1]))}>")
+            continue
         # DateTime[64]('tz') columns parse naive strings in THAT zone
         # (DataTypeDateTime timezone argument)
         tzm = re.match(r"(?i)\s*DateTime(?:64)?\s*\("
@@ -6266,6 +6322,145 @@ _CTAS_RE = re.compile(
 def _default_table_dir() -> str:
     import os as _os
     return _os.path.join(_os.getcwd(), "spark-warehouse", "ch_tables")
+
+
+class SqlDictionary:
+    """Session dictionary from CREATE DICTIONARY DDL (reference
+    src/Parsers/ParserCreateQuery.h dictionary form,
+    src/Storages/StorageDictionary.h): attribute defaults + key
+    columns + an optional source TABLE.  dictGet resolves to a scalar
+    subquery against the source view — Catalyst plans it as a
+    broadcast semi/left join, the same shape as the reference's
+    FlatDictionary lookup."""
+
+    def __init__(self, name, key_cols, columns, defaults,
+                 source_table=None):
+        self.name = name
+        self.key_cols = list(key_cols)
+        self.columns = dict(columns)          # col -> CH type string
+        self.defaults = dict(defaults)        # col -> SQL default
+        self.source_table = source_table
+
+    def attr_default(self, col: str) -> str:
+        if col in self.defaults:
+            return self.defaults[col]
+        cht = self.columns.get(col, "")
+        if re.match(r"(?i)^Nullable\b", cht):
+            return "NULL"
+        if re.match(r"(?i)^(U?Int|Float|Decimal|Bool)", cht):
+            return "0"
+        if re.match(r"(?i)^Date", cht):
+            return "DATE '1970-01-01'"
+        return "''"
+
+
+_DICT_DDL_RE = re.compile(
+    r"(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?DICTIONARY\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?`?([\w.]+)`?\s*\((.*?)\)\s*"
+    r"(PRIMARY\s+KEY\b.*)$")
+
+
+def _create_dictionary_statement(spark, text: str, tables):
+    m = _DICT_DDL_RE.match(text)
+    if m is None:
+        raise ValueError("unsupported CREATE DICTIONARY form")
+    name = m.group(1).split(".")[-1]
+    cols_src, tail = m.group(2), m.group(3)
+    columns, defaults, parts = {}, {}, []
+    for coldef in _split_top_commas(cols_src):
+        toks = coldef.strip().split(None, 1)
+        if len(toks) < 2:
+            continue
+        cname = toks[0].strip("`")
+        columns[cname] = _decl_type(toks[1])
+        dm = re.search(r"(?i)\bDEFAULT\s+(.+?)\s*$", toks[1])
+        if dm:
+            defaults[cname] = _translate_expr(dm.group(1).strip())
+        parts.append(f"`{cname}` "
+                     f"{_ch_decl_type_to_spark(_decl_type(toks[1]))}")
+    pk = re.match(r"(?is)PRIMARY\s+KEY\s+([\w,`\s]+?)(?:\s+SOURCE|"
+                  r"\s+LAYOUT|\s+LIFETIME|\s+RANGE|$)", tail)
+    keys = [k.strip().strip("`")
+            for k in (pk.group(1).split(",") if pk else [])
+            if k.strip()]
+    src = None
+    sm = re.search(r"(?i)TABLE\s+'(\w+)'", tail)
+    if sm:
+        src = sm.group(1)
+    d = SqlDictionary(name, keys, columns, defaults, source_table=src)
+    if tables is not None:
+        tables[name] = d
+    view = None
+    if src is not None:
+        view = _resolve_view_safe(spark, src, (tables or {}).get(src))
+    if view is not None:
+        view.createOrReplaceTempView(name)
+    else:
+        spark.createDataFrame([], ", ".join(parts)) \
+            .createOrReplaceTempView(name)
+    return None
+
+
+_DICTGET_RE = re.compile(
+    r"(?i)\bdict(Get|GetOrNull|GetOrDefault|Has)"
+    r"(Int8|Int16|Int32|Int64|UInt8|UInt16|UInt32|UInt64|Float32|"
+    r"Float64|Date|DateTime|String|UUID|IPv4|IPv6)?"
+    r"(OrDefault)?\s*\(")
+
+
+def _rewrite_dictget(text: str, tables) -> str:
+    """dictGet family over session dictionaries (reference
+    src/Functions/FunctionsExternalDictionaries.h): scalar subquery
+    against the source view with the attribute's declared DEFAULT on
+    a miss (dictGetOrNull → NULL, dictGetOrDefault → given value)."""
+    from ..operators.dictionary import DICT_GET_TYPES
+    out = []
+    i = 0
+    while True:
+        m = _DICTGET_RE.search(text, i)
+        if m is None:
+            out.append(text[i:])
+            return "".join(out)
+        args, after = _parse_args(text, text.index("(", m.start()))
+        dname = args[0].strip().strip("'\"`").split(".")[-1]
+        d = (tables or {}).get(dname)
+        if not isinstance(d, SqlDictionary):
+            out.append(text[i:after])
+            i = after
+            continue
+        kind = m.group(1).lower()
+        typed = m.group(2)
+        or_default = bool(m.group(3)) or kind == "getordefault"
+        out.append(text[i:m.start()])
+        if kind == "has":
+            key = ", ".join(args[1:])
+            cond = " AND ".join(
+                f"`{k}` = ({v})" for k, v in
+                zip(d.key_cols, args[1:]))
+            out.append(f"(CASE WHEN (SELECT count(*) FROM `{dname}` "
+                       f"WHERE {cond}) > 0 THEN 1 ELSE 0 END)")
+            i = after
+            continue
+        attr = args[1].strip().strip("'\"")
+        nkeys = len(d.key_cols)
+        keyargs = args[2:2 + nkeys]
+        cond = " AND ".join(
+            f"`{k}` = ({v})" for k, v in zip(d.key_cols, keyargs))
+        subq = f"(SELECT any(`{attr}`) FROM `{dname}` WHERE {cond})"
+        if kind == "getornull":
+            expr = subq
+        elif or_default:
+            dflt = args[2 + nkeys] if len(args) > 2 + nkeys \
+                else d.attr_default(attr)
+            expr = f"coalesce({subq}, {dflt})"
+        else:
+            expr = f"coalesce({subq}, {d.attr_default(attr)})"
+        if typed:
+            carrier = DICT_GET_TYPES.get(typed)
+            if carrier:
+                expr = f"CAST({expr} AS {carrier})"
+        out.append(f"({expr})")
+        i = after
 
 
 def _create_table_statement(spark, text: str, tables, sample_by=None):
@@ -6689,7 +6884,46 @@ def _append_to_table(spark, name: str, df, tables):
     else:
         spark.table(name).unionByName(aligned) \
             .localCheckpoint(eager=True).createOrReplaceTempView(name)
+    _fire_mv_triggers(spark, name, aligned, tables)
     return None
+
+
+_MV_BLOCK_COUNTER = [0]
+
+
+def _fire_mv_triggers(spark, name: str, block, tables,
+                      depth: int = 0) -> None:
+    """Propagate an inserted block through CREATE MATERIALIZED VIEW
+    ... TO targets (StorageMaterializedView push to the target table):
+    the MV select runs over the INSERTED BLOCK only and the result
+    appends to the TO table; cascading MVs chain (bounded depth)."""
+    trigs = (tables or {}).get("__mv_to__")
+    if not trigs or depth > 8:
+        return
+    for trig in list(trigs):
+        if trig.get("src") != name:
+            continue
+        _MV_BLOCK_COUNTER[0] += 1
+        vname = f"__mv_block_{_MV_BLOCK_COUNTER[0]}"
+        block.localCheckpoint(eager=True).createOrReplaceTempView(vname)
+        sel = re.sub(rf"(?is)\bFROM\s+`?{re.escape(name)}`?\b",
+                     f"FROM {vname}", trig["select"], count=1)
+        try:
+            out = ch_sql(spark, sel, tables=tables)
+            if out is not None:
+                _append_to_table(spark, trig["dst"], out, tables)
+                try:
+                    spark.table(trig["dst"]) \
+                        .createOrReplaceTempView(trig["name"])
+                except Exception:
+                    pass
+        except Exception:
+            pass
+        finally:
+            try:
+                spark.catalog.dropTempView(vname)
+            except Exception:
+                pass
 
 
 def _insert_values_statement(spark, name: str, cols_raw, body, tables):

@@ -48,8 +48,8 @@ MAX_VERIFY_ROWS = 10000
 _SKIP_RE = re.compile(
     r"(?i)^\s*(set\s+role\b|system\s+(?!flush\s+logs)|use\s|grant|revoke|"
     r"kill\b|attach|detach|check\s+table|watch\b|"
-    r"create\s+(dictionary|database|user|role|row\s+policy|quota|"
-    r"settings\s+profile|named\s+collection)|drop\s+(dictionary|"
+    r"create\s+(database|user|role|row\s+policy|quota|"
+    r"settings\s+profile|named\s+collection)|drop\s+("
     r"database|user|role|row\s+policy|quota|settings\s+profile|"
     r"named\s+collection)|backup\b|restore\b|exchange\s+dictionaries)")
 
