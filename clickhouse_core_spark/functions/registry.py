@@ -2730,12 +2730,16 @@ def _fss_extract(u, cut: bool) -> Column:
                     F.element_at(labs, -1))
     is_comp = comp.isin(_COMPOUND_SUFFIXES) & (n >= 3)
     if cut:
-        return (F.when(n <= 1, dom)
+        return F.coalesce((F.when(n <= 1, dom)
                 .when(is_comp, F.array_join(F.slice(labs, n - 2, 3), "."))
-                .otherwise(F.array_join(F.slice(labs, n - 1, 2), ".")))
-    return (F.when(n <= 1, dom)
-            .when(is_comp, F.element_at(labs, -3))
-            .otherwise(F.element_at(labs, -2)))
+                .otherwise(F.array_join(F.slice(labs, n - 1, 2),
+                                        "."))), F.lit(""))
+    # invalid/host-less input yields '' (the reference returns an
+    # empty string, never NULL)
+    return F.coalesce(
+        F.when(n <= 1, dom)
+        .when(is_comp, F.element_at(labs, -3))
+        .otherwise(F.element_at(labs, -2)), F.lit(""))
 
 
 def _first_significant_cut(u) -> Column:

@@ -357,11 +357,16 @@ _RULES: dict = {
     # the AS form arrives as one argument and passes through
     "cast": lambda a: _cast_rule(a),
     "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 1)",
-    "replaceall": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    # an EMPTY needle replaces nothing (ReplaceStringImpl — Spark's
+    # replace would prepend the replacement)
+    "replaceall": lambda a: (
+        f"CASE WHEN length({a[1]}) = 0 THEN {a[0]} "
+        f"ELSE replace({a[0]}, {a[1]}, {a[2]}) END"),
     # first-occurrence-only (reference ReplaceStringImpl.h replace_first):
     # splice around the first match instead of aliasing to replace-all
     "replaceone": lambda a: (
-        f"CASE WHEN instr({a[0]}, {a[1]}) > 0 THEN "
+        f"CASE WHEN length({a[1]}) > 0 "
+        f"AND instr({a[0]}, {a[1]}) > 0 THEN "
         f"concat(substring({a[0]}, 1, instr({a[0]}, {a[1]}) - 1), {a[2]}, "
         f"substring({a[0]}, instr({a[0]}, {a[1]}) + length({a[1]}), length({a[0]}))) "
         f"ELSE {a[0]} END"),
@@ -5946,7 +5951,15 @@ def _utility_statement(spark, text: str, tables):
         df = _resolve_view(spark, m.group(1), tables)
         if df is None:
             raise ValueError(f"DESCRIBE: unknown table {m.group(1)!r}")
-        rows = [(f.name, _spark_type_to_ch(f.dataType), "", "", "", "",
+        t = (tables or {}).get(m.group(1))
+        dflts = getattr(t, "column_defaults", None) or {}
+        nullc = getattr(t, "nullable_cols", None) or set()
+        rows = [(f.name,
+                 (f"Nullable({_spark_type_to_ch(f.dataType)})"
+                  if f.name in nullc
+                  else _spark_type_to_ch(f.dataType)),
+                 "DEFAULT" if f.name in dflts else "",
+                 dflts.get(f.name, ""), "", "",
                  "") for f in df.schema.fields]
         return spark.createDataFrame(
             rows, "name string, type string, default_type string, "
@@ -6721,8 +6734,27 @@ def _alter_table_statement(spark, name: str, body: str, tables):
             stype = _ch_decl_type_to_spark(_decl_type(rest))
             dt = _spark_type_of_ddl(spark, stype)
             if cname in df.columns:
-                df = df.withColumn(cname,
-                                   F.col(f"`{cname}`").cast(dt))
+                from pyspark.sql import types as _T
+                cur = df.schema[cname].dataType
+                if isinstance(dt, _T.StringType) \
+                        and isinstance(cur, _T.ArrayType):
+                    # Array -> String converts via the CH literal
+                    # rendering (['a','b'] / [1,2]), not Spark's cast
+                    inner = F.col(f"`{cname}`")
+                    if isinstance(cur.elementType, _T.StringType):
+                        body = F.array_join(F.transform(
+                            inner, lambda x: F.concat(
+                                F.lit("'"), x, F.lit("'"))), ",")
+                    else:
+                        body = F.array_join(
+                            F.transform(inner,
+                                        lambda x: x.cast("string")),
+                            ",")
+                    df = df.withColumn(cname, F.concat(
+                        F.lit("["), body, F.lit("]")))
+                else:
+                    df = df.withColumn(cname,
+                                       F.col(f"`{cname}`").cast(dt))
             if t is not None and getattr(t, "schema_ddl", None):
                 t.schema_ddl = ", ".join(
                     (f"`{cname}` {stype}"
@@ -6855,6 +6887,7 @@ def _append_to_table(spark, name: str, df, tables):
     in_types = {f.name: f.dataType.simpleString()
                 for f in df.schema.fields}
     out = []
+    nullable_decl = getattr(t, "nullable_cols", None)
     for f in schema.fields:
         if f.name in have:
             # backticks make dotted column NAMES (`n.a`) resolve
@@ -6864,7 +6897,15 @@ def _append_to_table(spark, name: str, df, tables):
                 # naive string into a DateTime('tz') column: the wall
                 # time reads in the COLUMN's zone, stored as instant
                 col = F.to_utc_timestamp(col, tz_map[f.name])
-            out.append(col.cast(f.dataType).alias(f.name))
+            col = col.cast(f.dataType)
+            if nullable_decl is not None \
+                    and f.name not in nullable_decl \
+                    and f.name not in defaults:
+                # NULL into a non-Nullable column takes the TYPE
+                # default (input_format_null_as_default)
+                col = F.coalesce(
+                    col, F.expr(_ch_type_default_sql(f.dataType)))
+            out.append(col.alias(f.name))
         elif f.name in defaults:
             out.append(F.expr(_translate_expr(defaults[f.name]))
                        .cast(f.dataType).alias(f.name))
