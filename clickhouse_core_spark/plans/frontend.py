@@ -1670,6 +1670,7 @@ _RULES["bar"] = _bar_rule
 # CH has no bare lag/lead). Spark's lag/lead ignore the frame clause;
 # the frame-clamped distinction matters only for frames narrower than
 # the offset (operators/windows.py lag_in_frame covers that exactly).
+_RULES["finalizeaggregation"] = lambda a: a[0]
 _RULES["laginframe"] = lambda a: f"lag({', '.join(a)})"
 _RULES["leadinframe"] = lambda a: f"lead({', '.join(a)})"
 
@@ -4506,6 +4507,19 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_null_coalesce_op(sql)
     sql = _rewrite_ternary(sql)
     sql = _rewrite_using_bare(sql)
+    # AggregateFunction(...) casts: the state carrier is opaque here —
+    # the cast passes the value through (finalizeAggregation of a
+    # finalized carrier is identity)
+    if re.search(r"(?i)\bAggregateFunction\s*\(", sql):
+        sql = re.sub(
+            r"(?is)CAST\s*\(((?:[^()]|\([^()]*\))*?)\s+AS\s+"
+            r"AggregateFunction\s*\((?:[^()]|\([^()]*\))*\)\s*\)",
+            r"(\1)", sql)
+    # aggregates OVER blockSize(): the whole result is one block in
+    # this engine, so max/min/any(blockSize()) = count(*)
+    if re.search(r"(?i)\bblockSize\s*\(", sql):
+        sql = re.sub(r"(?i)\b(?:max|min|any)\s*\(\s*blockSize"
+                     r"\s*\(\s*\)\s*\)", "count(*)", sql)
     sql = _rewrite_cast_types(sql)
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_scalar_with(sql)
@@ -6577,6 +6591,18 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                 continue
             toks = coldef.strip().split(None, 1)
             if len(toks) < 2:
+                continue
+            nm2 = re.match(r"(?is)^Nested\s*\((.*)\)\s*$",
+                           toks[1].strip())
+            if nm2:
+                # Nested(a T, ...) expands to sibling array columns
+                for sub in _split_top_commas(nm2.group(1)):
+                    st = sub.strip().split(None, 1)
+                    if len(st) != 2:
+                        continue
+                    parts.append(
+                        f"`{toks[0].strip('`')}.{st[0].strip('`')}` "
+                        f"ARRAY<{_ch_decl_type_to_spark(_decl_type(st[1]))}>")
                 continue
             parts.append(f"`{toks[0].strip('`')}` "
                          f"{_ch_decl_type_to_spark(_decl_type(toks[1]))}")

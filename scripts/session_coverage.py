@@ -81,6 +81,8 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
     stmt = stmt.replace("__EXPECT_ERROR__", " ").strip()
     if not stmt:
         return "SKIP", ""
+    if re.search(r"(?i)\btest\.(hits|visits)\b", stmt):
+        return "SKIP", None        # stateful dataset tables not shipped
     if _SKIP_RE.match(stmt):
         # silent session statements keep golden alignment; output-
         # bearing ones (CHECK TABLE, WATCH, KILL …) break it
