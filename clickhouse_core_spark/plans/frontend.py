@@ -178,6 +178,18 @@ def _array_index_rule(a: list, which: int) -> str:
             f"CAST(NULL AS INT))), __p -> __p IS NOT NULL), {which}), 0)")
 
 
+def _todatetime_numeric_literal(a: list) -> str:
+    """CH toDateTime(N[, tz]) over an integer: unix SECONDS clamped to
+    the DateTime range [0, UInt32 max] (FunctionsConversion
+    saturation)."""
+    secs = min(max(int(a[0]), 0), 4294967295)
+    if len(a) >= 2 and re.fullmatch(
+            r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1]):
+        return (f"convert_timezone('UTC', {a[-1]}, "
+                f"CAST(to_timestamp({secs}) AS TIMESTAMP_NTZ))")
+    return f"to_timestamp({secs})"
+
+
 def _todate_numeric_literal(a: list) -> str:
     """CH toDate(N[, tz]) over an integer (FunctionsConversion.h):
     N ≤ 65535 reads as DAYS since epoch (negatives clamp to 0);
@@ -274,7 +286,9 @@ _RULES: dict = {
         if len(a) == 2 and re.fullmatch(r"\s*'[A-Za-z_/+0-9-]+'\s*", a[1])
         else f"to_date({', '.join(a)})"),
     "todatetime": lambda a: (
-        f"convert_timezone('UTC', {a[-1]}, "
+        _todatetime_numeric_literal(a)
+        if re.fullmatch(r"\s*-?\d+\s*", a[0])
+        else f"convert_timezone('UTC', {a[-1]}, "
         f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))"
         if len(a) >= 2 and re.fullmatch(r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1])
         else f"to_timestamp({a[0]})"),
@@ -1157,11 +1171,14 @@ _RULES["arrayrotateright"] = lambda a: (
     f"size({a[0]}) - pmod(-({a[1]}), size({a[0]}))), "
     f"slice({a[0]}, 1, pmod(-({a[1]}), size({a[0]}))))")
 _RULES["arrayshiftleft"] = lambda a: (
-    f"concat(slice({a[0]}, ({a[1]}) + 1, size({a[0]}) - ({a[1]})), "
-    f"array_repeat({a[2] if len(a) > 2 else 'NULL'}, {a[1]}))")
+    f"concat(slice({a[0]}, LEAST({a[1]}, size({a[0]})) + 1, "
+    f"GREATEST(size({a[0]}) - ({a[1]}), 0)), "
+    f"array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
+    f"LEAST({a[1]}, size({a[0]}))))")
 _RULES["arrayshiftright"] = lambda a: (
-    f"concat(array_repeat({a[2] if len(a) > 2 else 'NULL'}, {a[1]}), "
-    f"slice({a[0]}, 1, size({a[0]}) - ({a[1]})))")
+    f"concat(array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
+    f"LEAST({a[1]}, size({a[0]}))), "
+    f"slice({a[0]}, 1, GREATEST(size({a[0]}) - ({a[1]}), 0)))")
 _RULES["arrayresize"] = lambda a: (
     f"CASE WHEN ({a[1]}) <= size({a[0]}) THEN slice({a[0]}, 1, {a[1]}) "
     f"ELSE concat({a[0]}, array_repeat("

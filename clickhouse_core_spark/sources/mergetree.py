@@ -527,7 +527,17 @@ class MergeTreeTable:
         if len(parts) <= 1 and self.engine == "merge_tree" \
                 and not has_masks:
             return
-        merged = self._apply_engine(self.read_raw())
+        raw = self.read_raw()
+        merged = self._apply_engine(raw)
+        # engine rewrites may drop their bookkeeping column (collapsing
+        # drops the sign); the merged PART must keep the table schema —
+        # surviving rows are state rows (sign = +1), matching the
+        # reference's merged-part contents
+        if self.sign_col and self.sign_col in raw.columns \
+                and self.sign_col not in merged.columns:
+            merged = merged.withColumn(
+                self.sign_col,
+                F.lit(1).cast(raw.schema[self.sign_col].dataType))
         new_part = self.insert(merged)
         self._drop_parts([p for p in parts if p != new_part])
 
