@@ -6293,6 +6293,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     col_defaults: dict[str, str] = {}
     col_timezones: dict[str, str] = {}
     nullable_cols: set[str] = set()
+    materialized_cols: set[str] = set()
     for coldef in _split_top_commas(cols_src):
         if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
                     r"PRIMARY\s+KEY)\b", coldef):
@@ -6325,11 +6326,13 @@ def create_table_sql(spark, sql: str, base_dir: str):
             nullable_cols.add(cname)
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
-        dm = re.search(r"(?i)\b(?:DEFAULT|MATERIALIZED)\s+(.+?)"
+        dm = re.search(r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
                        r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
                        toks[1].strip())
         if dm:
-            col_defaults[cname] = _translate_expr(dm.group(1).strip())
+            col_defaults[cname] = _translate_expr(dm.group(2).strip())
+            if dm.group(1).upper() == "MATERIALIZED":
+                materialized_cols.add(cname)
 
     kwargs: dict = {}
     if engine == "replacing":
@@ -6354,6 +6357,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table.schema_ddl = ", ".join(schema_parts)
     table.col_timezones = col_timezones
     table.nullable_cols = nullable_cols
+    table.materialized_cols = materialized_cols
     return table
 
 
@@ -6774,6 +6778,15 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                 continue
             if re.match(r"(?is)^(REMOVE|COMMENT|TTL|SETTINGS)\b", rest):
                 continue
+            mm2 = re.search(r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
+                            r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+                            rest)
+            if mm2 and t is not None:
+                t.column_defaults[cname] = _translate_expr(
+                    mm2.group(2).strip())
+                if mm2.group(1).upper() == "MATERIALIZED":
+                    getattr(t, "materialized_cols", set()).add(cname)
+                rest = rest[:mm2.start()].strip()
             stype = _ch_decl_type_to_spark(_decl_type(rest))
             dt = _spark_type_of_ddl(spark, stype)
             if cname in df.columns:
@@ -6837,6 +6850,22 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                 raise ValueError("ALTER DROP PARTITION needs a "
                                  "managed table")
             t.drop_partition(m.group(1).strip("'"))
+            df = t.read()
+            continue
+        m = re.match(r"(?is)^MATERIALIZE\s+COLUMN\s+`?([\w.]+)`?$",
+                     o)
+        if m and t is not None \
+                and m.group(1) in getattr(t, "materialized_cols",
+                                          set()) \
+                and m.group(1) in t.column_defaults \
+                and hasattr(t, "update_where"):
+            # MATERIALIZED-expression columns REWRITE existing parts
+            # with the current expression (MutationsInterpreter
+            # materialize-column; plain DEFAULT columns never
+            # override stored values)
+            t.update_where(
+                F.lit(True),
+                {m.group(1): F.expr(t.column_defaults[m.group(1)])})
             df = t.read()
             continue
         if re.match(r"(?is)^(MATERIALIZE\s+COLUMN|COMMENT\s+COLUMN|"
