@@ -70,6 +70,70 @@ _FORMAT_RE = re.compile(r"(?i)\bFORMAT\s+(\w+)\s*$")
 _TSV_FORMATS = {"tabseparated", "tsv", "tabseparatedraw", "tsvraw"}
 
 
+
+
+def split_statements_spans(text: str):
+    """Like parse_coverage.split_statements, plus RAW SPANS: each item
+    is (cleaned_stmt, span_start, span_end) where the span covers the
+    file text from the previous statement's ';' through this one's
+    ';' — extended to end-of-line when a trailing comment follows the
+    ';' (the corpus's `-- { serverError }` convention, which the
+    reference client also ECHOES on the same line)."""
+    out = []
+    cur = []
+    i, n = 0, len(text)
+    span_start = 0
+    expect = False
+    while i < n:
+        c = text[i]
+        if c == "-" and text[i:i + 2] == "--":
+            j = text.find("\n", i)
+            comment = text[i:n if j < 0 else j]
+            if "serverError" in comment or "clientError" in comment \
+                    or "error" in comment.lower().split("{")[-1][:20]:
+                expect = True
+            i = n if j < 0 else j
+            continue
+        if c in "'`\"":
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == c:
+                    j += 1
+                    break
+                j += 1
+            cur.append(text[i:j])
+            i = j
+            continue
+        if c == ";":
+            end = i + 1
+            # absorb a same-line trailing comment into the span
+            eol = text.find("\n", end)
+            rest = text[end:n if eol < 0 else eol]
+            if re.match(r"\s*--", rest):
+                if "serverError" in rest or "clientError" in rest:
+                    expect = True
+                end = n if eol < 0 else eol
+            stmt = "".join(cur).strip()
+            if stmt:
+                if expect:
+                    stmt += " __EXPECT_ERROR__ "
+                out.append((stmt, span_start, end))
+                span_start = end
+            cur = []
+            expect = False
+            i = end
+            continue
+        cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append((tail + (" __EXPECT_ERROR__ " if expect else ""),
+                    span_start, n))
+    return out
+
 def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
     """Run one statement; returns (kind, rendered_output | None).
 
@@ -179,6 +243,7 @@ def main() -> int:
 
     counts = Counter()
     verdicts = Counter()
+    unexpected_ok: list = []
     sigs: dict[str, Counter] = {"FRONTEND": Counter(), "ANALYSIS": Counter(),
                                 "EXEC": Counter()}
     mismatch_sigs: Counter = Counter()
@@ -207,9 +272,22 @@ def main() -> int:
         tables: dict = {}
         settings: dict = {}
         had_error = False
-        verifiable = "{ echo" not in text
+        verifiable = True
+        echo_mode = bool(re.search(r"--\s*\{\s*echo", text))
+        echo_active = False
         out_parts: list[str] = []
-        for stmt in split_statements(text):
+        for stmt, s0, s1 in split_statements_spans(text):
+            raw = text[s0:s1]
+            if echo_mode:
+                m_on = re.search(r"--\s*\{\s*echo(On)?\s*\}", raw)
+                m_off = re.search(r"--\s*\{\s*echoOff\s*\}", raw)
+                if not echo_active and m_on is not None:
+                    echo_active = True
+                    out_parts.append(raw[m_on.start():].strip() + "\n")
+                elif echo_active and m_off is not None:
+                    echo_active = False
+                elif echo_active:
+                    out_parts.append(raw.strip() + "\n")
             if len(stmt) > 4000:
                 counts["SKIP"] += 1
                 verifiable = False
@@ -218,6 +296,8 @@ def main() -> int:
                                        settings)
             kind, _, sig = r.partition(":")
             counts[kind] += 1
+            if kind == "UNEXPECTED_OK" and len(unexpected_ok) < 60:
+                unexpected_ok.append(" ".join(stmt.split())[:140])
             if sig:
                 sigs[kind][sig] += 1
                 examples.setdefault(sig, stmt[:200])
@@ -284,6 +364,10 @@ def main() -> int:
     if dec:
         print(f"verified-of-decided: {ver}/{dec} "
               f"({100.0 * ver / dec:.1f}%)")
+    print("\n--- UNEXPECTED_OK statements (reference rejects, "
+          "this engine accepts) ---")
+    for u in unexpected_ok[:40]:
+        print(f"   {u}")
     print("\n--- top MISMATCH signatures ---")
     for s, c in mismatch_sigs.most_common(25):
         fb, ln = mismatch_examples.get(s, ("?", 0))
