@@ -308,8 +308,22 @@ def filling_transform(df: DataFrame, specs, prefix=(), order_all=None,
 
     n = len(specs)
     descs = [bool(s[4]) for s in specs]
-    froms = [s[2] for s in specs]
-    tos = [s[3] for s in specs]
+
+    def _coerce_bound(v, dtype):
+        # FROM/TO literals parse as python date/datetime; the pandas
+        # column may carry the other temporal flavor
+        if v is None:
+            return None
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)) \
+                and isinstance(v, _dt.date) \
+                and not isinstance(v, _dt.datetime):
+            return _dt.datetime(v.year, v.month, v.day)
+        if isinstance(dtype, T.DateType) and isinstance(v, _dt.datetime):
+            return v.date()
+        return v
+
+    froms = [_coerce_bound(s[2], dtypes[s[0]]) for s in specs]
+    tos = [_coerce_bound(s[3], dtypes[s[0]]) for s in specs]
     stales = [s[5] if len(s) > 5 else None for s in specs]
     adders = [_make_adder(s[1] if s[1] is not None else 1, descs[i],
                           dtypes[cols[i]])

@@ -4785,6 +4785,10 @@ def _fill_step(tok: str | None):
         pass
     if re.match(r"(?i)^(interval\s+)?-?\d+\s*[a-z]+$", t):
         return t
+    m = re.match(r"(?i)^toInterval([A-Za-z]+)\s*\(\s*(-?\d+)\s*\)$",
+                 t)
+    if m:
+        return f"{m.group(2)} {m.group(1).lower()}"
     return "__BAD__"
 
 
