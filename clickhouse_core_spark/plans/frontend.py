@@ -3674,10 +3674,7 @@ def _rewrite_small_forms(sql: str) -> str:
             out.append(sql[i:j])
             i = j
             continue
-        m = _COLLATE_RE.match(sql, i)
-        if m:                       # dropped (binary collation, documented)
-            i = m.end()
-            continue
+        # COLLATE handled upstream via collate(expr, 'locale')
         m = _LIMIT_OFFSET_FORM_RE.match(sql, i)
         if m:
             out.append(f"LIMIT {m.group(2)} OFFSET {m.group(1)}")
@@ -4575,6 +4572,15 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
 
     sql = _rewrite_tuple_arith(sql)
     sql = _rewrite_datetime_arith(sql)
+    # CH `expr COLLATE 'locale'` (ParserOrderByElement) -> Spark's
+    # collate(expr, 'locale') — ICU locales sort identically
+    sql = _sub_nonstring(sql, lambda seg: re.sub(
+        r"([`\w.]+(?:\([^()]*\))?)\s+COLLATE\s+(\x00\d+\x00|'[\w-]+')",
+        r"collate(\1, \2)", seg, flags=re.IGNORECASE))
+    # unmatched LHS shapes: drop the clause (pre-r8 behavior)
+    sql = _sub_nonstring(sql, lambda seg: re.sub(
+        r"\s+COLLATE\s+(\x00\d+\x00|'[\w-]+')", "", seg,
+        flags=re.IGNORECASE))
     sql = _translate_expr(sql)
     # CH allows == for equality (string-aware: '===' literals keep)
     sql = _sub_nonstring(
@@ -5973,7 +5979,14 @@ def _utility_statement(spark, text: str, tables):
         # reading the inline literal (TableFunctionFormat + Interpreter
         # DescribeQuery)
         df = ch_sql(spark, f"SELECT * FROM {m.group(1)}", tables=tables)
-        rows = [(f.name, _spark_type_to_ch(f.dataType), "", "", "", "",
+        # schema INFERENCE yields Nullable scalars in the reference
+        # (SchemaInference; composites cannot be Nullable)
+        def _infer_name(dt):
+            ch = _spark_type_to_ch(dt)
+            if ch.startswith(("Array(", "Map(", "Tuple(")):
+                return ch
+            return f"Nullable({ch})"
+        rows = [(f.name, _infer_name(f.dataType), "", "", "", "",
                  "") for f in df.schema.fields]
         return spark.createDataFrame(
             rows, "name string, type string, default_type string, "

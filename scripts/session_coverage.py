@@ -167,6 +167,13 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
             return "EXEC: explain", None
     fmt = _FORMAT_RE.search(stmt)
     fmt_name = fmt.group(1).lower() if fmt else None
+    import threading
+    spark.sparkContext.setJobGroup("harness_stmt", stmt[:80],
+                                   interruptOnCancel=True)
+    timer = threading.Timer(
+        90.0, lambda: spark.sparkContext.cancelJobGroup("harness_stmt"))
+    timer.daemon = True
+    timer.start()
     try:
         df = ch_sql(spark, stmt, tables=tables, settings=settings)
         if df is None:
@@ -200,6 +207,8 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
         if expect_error:
             return "EXPECTED", ""
         msg = str(e)
+        if "cancelled" in msg.lower() or "interrupted" in msg.lower():
+            return "EXEC: statement timeout (90s budget)", None
         ename = type(e).__name__
         if ename in ("ValueError", "NotImplementedError", "KeyError",
                      "IndexError", "ParseException") \
@@ -210,6 +219,9 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
                 or "cannot resolve" in msg:
             return "ANALYSIS:" + f"{ename}: {signature(msg)}", None
         return "EXEC:" + f"{ename}: {signature(msg)}", None
+    finally:
+        timer.cancel()
+        spark.sparkContext.setJobGroup("", "")
 
 
 def first_diff(actual: str, expected: str):
