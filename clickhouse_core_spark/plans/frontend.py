@@ -5637,6 +5637,8 @@ def _run_sql(spark, translated: str):
         if retried is None:
             retried = _retry_ambiguous_ref(translated, e)
         if retried is None:
+            retried = _retry_collate_drop(translated, e)
+        if retried is None:
             raise
         try:
             return spark.sql(retried)
@@ -5645,6 +5647,18 @@ def _run_sql(spark, translated: str):
             if retried2 is None:
                 raise
             return spark.sql(retried2)
+
+
+def _retry_collate_drop(translated: str, err: Exception):
+    """collate() over a non-string sort key: drop the collation (the
+    pre-collation behavior; numeric order is collation-independent)."""
+    msg = str(err)
+    if "collate" not in msg.lower() \
+            or "DATATYPE_MISMATCH" not in msg:
+        return None
+    out = re.sub(r"(?is)\bcollate\s*\(((?:[^()]|\([^()]*\))*),"
+                 r"\s*'[\w-]+'\s*\)", r"\1", translated)
+    return out if out != translated else None
 
 
 def _retry_ambiguous_ref(translated: str, err: Exception):
