@@ -3023,6 +3023,75 @@ def _rewrite_datetime_arith(sql: str) -> str:
     return _sub_nonstring(sql, seg_fn)
 
 
+def _rewrite_map_literals(sql: str) -> str:
+    """CH map literals ``{'k': v, ...}`` (ParserMapOfLiterals) ->
+    ``map(k, v, ...)``.  Keys must be string/number literals — the
+    parameter syntax ``{name:Type}`` (bare identifier key) is left
+    alone."""
+    if "{" not in sql:
+        return sql
+
+    def seg_fn(seg: str) -> str:
+        guard = 0
+        pos = 0
+        while guard < 200:
+            guard += 1
+            i = seg.find("{", pos)
+            if i < 0:
+                return seg
+            depth, j = 0, i
+            while j < len(seg):
+                if seg[j] == "{":
+                    depth += 1
+                elif seg[j] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= len(seg):
+                return seg
+            inner = seg[i + 1:j]
+            if "{" in inner:
+                pos = i + 1            # innermost first
+                continue
+            if inner.strip() == "":
+                seg = seg[:i] + "map()" + seg[j + 1:]
+                pos = 0
+                continue
+            pairs = []
+            ok = True
+            for it in _split_top_commas(inner):
+                d2 = 0
+                cpos = -1
+                for k2, ch in enumerate(it):
+                    if ch in "([":
+                        d2 += 1
+                    elif ch in ")]":
+                        d2 -= 1
+                    elif ch == ":" and d2 == 0:
+                        cpos = k2
+                        break
+                if cpos < 0:
+                    ok = False
+                    break
+                key, val = it[:cpos].strip(), it[cpos + 1:].strip()
+                if not re.fullmatch(
+                        r"\x00\d+\x00|-?\d+(?:\.\d+)?", key):
+                    ok = False
+                    break
+                pairs.append((key, val))
+            if not ok:
+                pos = j + 1
+                continue
+            repl = "map(" + ", ".join(
+                f"{k}, {v}" for k, v in pairs) + ")"
+            seg = seg[:i] + repl + seg[j + 1:]
+            pos = 0
+        return seg
+
+    return _sub_nonstring(sql, seg_fn)
+
+
 def _rewrite_tuple_arith(sql: str) -> str:
     low = sql.lower()
     if ("tuple" not in low and "vectorsum" not in low
@@ -3408,9 +3477,9 @@ def _split_top_commas(s: str) -> list[str]:
         if c in "'\"":
             i = _skip_string(s, i)
             continue
-        if c in "([":
+        if c in "([{":
             depth += 1
-        elif c in ")]":
+        elif c in ")]}":
             depth -= 1
         elif c == "," and depth == 0:
             parts.append(s[start:i])
@@ -4570,6 +4639,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
             sql += f" ORDER BY {order}"
         sql += tail
 
+    sql = _rewrite_map_literals(sql)
     sql = _rewrite_tuple_arith(sql)
     sql = _rewrite_datetime_arith(sql)
     # CH `expr COLLATE 'locale'` (ParserOrderByElement) -> Spark's
@@ -7093,7 +7163,9 @@ def _insert_values_statement(spark, name: str, cols_raw, body, tables):
                 f"INSERT VALUES: {len(elems)} values for "
                 f"{len(cols)} columns {cols}")
         rows.append(
-            "(" + ", ".join(_translate_expr(e.strip()) for e in elems)
+            "(" + ", ".join(
+                _translate_expr(_rewrite_map_literals(e.strip()))
+                for e in elems)
             + ")")
     quoted = ", ".join(f"`{c}`" for c in cols)
     df = spark.sql(
