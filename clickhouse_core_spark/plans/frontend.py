@@ -3354,7 +3354,7 @@ def _split_select(body: str) -> tuple[str, str]:
     (string- and paren-aware)."""
     u = body.upper()
     assert u.lstrip().startswith("SELECT")
-    start = body.index("SELECT") + 6 if "SELECT" in body else 6
+    start = u.index("SELECT") + 6
     depth = 0
     i = start
     while i < len(body):
@@ -4199,8 +4199,17 @@ def _rewrite_limit_with_ties(sql: str) -> str:
                    m.group("body"), re.IGNORECASE | re.DOTALL)
     inner = om.group(1).strip() if om else m.group("body")
     off = int(m.group("off") or 0)
-    out = (f"SELECT * EXCEPT (__rk) FROM (SELECT *, rank() OVER "
-           f"(ORDER BY {order}) AS __rk FROM ({inner})) "
+    # rank() joins the SAME scope as the projection so an EXPRESSION
+    # sort key still sees the source columns (wrapping in another
+    # subquery would only see the renamed projection outputs)
+    try:
+        proj, rest = _split_select(inner)
+        ranked = (f"SELECT {proj}, rank() OVER (ORDER BY {order}) "
+                  f"AS __rk FROM {rest}")
+    except Exception:
+        ranked = (f"SELECT *, rank() OVER (ORDER BY {order}) "
+                  f"AS __rk FROM ({inner})")
+    out = (f"SELECT * EXCEPT (__rk) FROM ({ranked}) "
            f"WHERE __rk <= {int(m.group('n')) + off} ORDER BY __rk")
     if off:
         out += f" OFFSET {off}"
