@@ -1688,6 +1688,41 @@ _RULES["bar"] = _bar_rule
 # the frame-clamped distinction matters only for frames narrower than
 # the offset (operators/windows.py lag_in_frame covers that exactly).
 _RULES["finalizeaggregation"] = lambda a: a[0]
+
+
+def _neighbor_rule(a):
+    """neighbor(x, offset[, default]) (src/Functions/neighbor.cpp):
+    block-relative lead/lag — one stream here, so a global-order
+    window (presentation semantics; the reference deprecates it for
+    the same order-dependence)."""
+    try:
+        n = int(a[1])
+    except ValueError:
+        return f"neighbor({', '.join(a)})"
+    if n == 0:
+        return f"({a[0]})"
+    d = a[2] if len(a) > 2 else "NULL"
+    w = "OVER (ORDER BY monotonically_increasing_id())"
+    if n > 0:
+        return f"lead({a[0]}, {n}, {d}) {w}"
+    return f"lag({a[0]}, {-n}, {d}) {w}"
+
+
+_RULES["neighbor"] = _neighbor_rule
+
+
+def _todecimal256_rule(a, try_=False, zero=False):
+    sc = min(int(a[1]), 37) if re.fullmatch(r"\s*\d+\s*", a[1]) else 0
+    core = (f"TRY_CAST({a[0]} AS DECIMAL(38,{sc}))" if try_ or zero
+            else f"CAST({a[0]} AS DECIMAL(38,{sc}))")
+    return f"COALESCE({core}, 0)" if zero else core
+
+
+# Decimal256 carries at DECIMAL(38, s) — the documented precision
+# boundary (LIMITS.md); values beyond 38 digits overflow
+_RULES["todecimal256"] = lambda a: _todecimal256_rule(a)
+_RULES["todecimal256ornull"] = lambda a: _todecimal256_rule(a, try_=True)
+_RULES["todecimal256orzero"] = lambda a: _todecimal256_rule(a, zero=True)
 _RULES["laginframe"] = lambda a: f"lag({', '.join(a)})"
 _RULES["leadinframe"] = lambda a: f"lead({', '.join(a)})"
 
