@@ -3058,6 +3058,31 @@ def _rewrite_datetime_arith(sql: str) -> str:
     return _sub_nonstring(sql, seg_fn)
 
 
+def _fix_like_patterns(sql: str) -> str:
+    """Backslashes in LIKE patterns: the reference keeps ``\\x`` for a
+    non-wildcard x as a literal backslash + x (MatchImpl), while
+    Spark's LIKE rejects an escape before anything but %, _ or \\ —
+    re-escape those backslashes inside pattern literals."""
+    if not re.search(r"(?i)\bI?LIKE\s+'", sql):
+        return sql
+    out = []
+    i, n = 0, len(sql)
+    pat = re.compile(r"(?i)\b(NOT\s+)?(I?LIKE)\s+'")
+    while i < n:
+        m = pat.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            break
+        qstart = m.end() - 1
+        qend = _skip_string(sql, qstart)
+        body = sql[qstart + 1:qend - 1]
+        fixed = re.sub(r"\\\\(?![%_\\])", r"\\\\\\\\", body)
+        out.append(sql[i:qstart])
+        out.append("'" + fixed + "'")
+        i = qend
+    return "".join(out)
+
+
 def _rewrite_map_literals(sql: str) -> str:
     """CH map literals ``{'k': v, ...}`` (ParserMapOfLiterals) ->
     ``map(k, v, ...)``.  Keys must be string/number literals — the
@@ -4683,6 +4708,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
             sql += f" ORDER BY {order}"
         sql += tail
 
+    sql = _fix_like_patterns(sql)
     sql = _rewrite_map_literals(sql)
     sql = _rewrite_tuple_arith(sql)
     sql = _rewrite_datetime_arith(sql)
