@@ -3571,6 +3571,13 @@ def _rewrite_array_join(sql: str) -> str:
     stop = next((mm for mm in _CLAUSE_STOP_RE.finditer(sql, m.end())
                  if mm.start() in tops), None)
     end = stop.start() if stop else len(sql)
+    # a CHAINED `... ARRAY JOIN a AS x ARRAY JOIN x AS y` rewrites one
+    # clause per pass (the recursion below picks up the rest)
+    nxt = next((mm for mm in _ARRAY_JOIN_RE.finditer(sql, m.end())
+                if mm.start() in tops and mm.start() < end), None)
+    chained = nxt is not None
+    if chained:
+        end = nxt.start()
     items = _split_top_commas(sql[m.end():end])
     prefix, suffix = sql[:m.start()], sql[end:]
 
@@ -3674,9 +3681,11 @@ def _rewrite_array_join(sql: str) -> str:
         #   -> SELECT P FROM (SELECT * FROM F <lateral>) __ajq JOIN t ...
         proj, rest = _split_select(prefix)
         inner_star = f"* EXCEPT (__ajp{''.join(', ' + h for h in hidden)})"
-        return (f"SELECT {proj} FROM (SELECT {inner_star} FROM {rest} "
-                f"{lateral}) __ajq {suffix}")
-    return prefix + lateral + suffix
+        result = (f"SELECT {proj} FROM (SELECT {inner_star} FROM {rest} "
+                  f"{lateral}) __ajq {suffix}")
+    else:
+        result = prefix + lateral + suffix
+    return _rewrite_array_join(result) if chained else result
 
 
 _TOTALS_RE = re.compile(
