@@ -1402,6 +1402,12 @@ def _dot(a, b) -> Column:
 
 
 def _lp_norm(a, p) -> Column:
+    # the reference rejects p < 1 and non-constant p
+    # (src/Functions/vectorFunctions.cpp LpNorm checks)
+    if isinstance(p, Column):
+        raise ValueError("LpNorm: p must be a constant")
+    if float(p) < 1:
+        raise ValueError("LpNorm: p must be >= 1")
     pw = F.lit(p).cast("double") if not isinstance(p, Column) else p
     return F.pow(F.aggregate(_c(a), F.lit(0.0),
                              lambda acc, x: acc + F.pow(F.abs(x.cast("double")), pw)),

@@ -1711,6 +1711,26 @@ def _neighbor_rule(a):
 _RULES["neighbor"] = _neighbor_rule
 
 
+def _translate_fn_rule(a):
+    """translate(s, from, to) (src/Functions/translate.cpp): the
+    non-UTF8 form REQUIRES equal-length ASCII from/to maps."""
+    if len(a) == 3:
+        fm = re.fullmatch(r"\s*'([^']*)'\s*", a[1])
+        tm = re.fullmatch(r"\s*'([^']*)'\s*", a[2])
+        if fm and tm:
+            f_, t_ = fm.group(1), tm.group(1)
+            if len(f_) != len(t_):
+                raise ValueError(
+                    "translate: from/to must be the same length")
+            if not (f_.isascii() and t_.isascii()):
+                raise ValueError(
+                    "translate: non-ASCII maps need translateUTF8")
+    return f"translate({', '.join(a)})"
+
+
+_RULES["translate"] = _translate_fn_rule
+
+
 def _todecimal256_rule(a, try_=False, zero=False):
     sc = min(int(a[1]), 37) if re.fullmatch(r"\s*\d+\s*", a[1]) else 0
     core = (f"TRY_CAST({a[0]} AS DECIMAL(38,{sc}))" if try_ or zero
@@ -7047,6 +7067,25 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                 F.lit(True),
                 {m.group(1): F.expr(t.column_defaults[m.group(1)])})
             df = t.read()
+            continue
+        m = re.match(r"(?is)^ADD\s+PROJECTION\s+(?:IF\s+NOT\s+"
+                     r"EXISTS\s+)?`?(\w+)`?", o)
+        if m:
+            if t is not None:
+                if not hasattr(t, "sql_projections"):
+                    t.sql_projections = set()
+                t.sql_projections.add(m.group(1))
+            continue
+        m = re.match(r"(?is)^DROP\s+PROJECTION\s+(IF\s+EXISTS\s+)?"
+                     r"`?(\w+)`?$", o)
+        if m:
+            known = m.group(2) in getattr(t, "sql_projections", set())
+            if not known and not m.group(1):
+                raise ValueError(
+                    f"DROP PROJECTION: unknown projection "
+                    f"{m.group(2)!r}")
+            if known:
+                t.sql_projections.discard(m.group(2))
             continue
         if re.match(r"(?is)^(MATERIALIZE\s+COLUMN|COMMENT\s+COLUMN|"
                     r"MODIFY\s+(TTL|SETTING|ORDER\s+BY|QUERY)|"
