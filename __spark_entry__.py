@@ -2869,10 +2869,20 @@ WITH signed AS (
          CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
   FROM events WHERE event_type IN ('signup', 'error')),
 agg AS (
-  SELECT user_id, sum(sign) AS sign_sum,
-         max_by(value, CASE WHEN sign = 1 THEN event_id END) AS value
+  SELECT user_id,
+         sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS cn,
+         max_by(sign, event_id) AS ls,
+         max_by(value, CASE WHEN sign = 1 THEN event_id END) AS lpv,
+         min_by(value, CASE WHEN sign = -1 THEN event_id END) AS fnv
   FROM signed GROUP BY user_id)
-SELECT user_id, value FROM agg WHERE sign_sum > 0 ORDER BY user_id
+SELECT user_id, value FROM (
+  SELECT user_id, fnv AS value, 0 AS ord FROM agg
+  WHERE cn >= cp AND cn > 0 AND NOT (cp = cn AND ls != 1)
+  UNION ALL
+  SELECT user_id, lpv AS value, 1 AS ord FROM agg
+  WHERE cp >= cn AND cp > 0 AND NOT (cp = cn AND ls != 1)
+) ORDER BY user_id, value
 """)
 def final_collapsing_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
@@ -2880,7 +2890,7 @@ def final_collapsing_q(spark, sf_dir):
               .select("user_id", "event_id", "value",
                       F.when(F.col("event_type") == "signup", 1).otherwise(-1).alias("sign")))
     out = collapsing_final(signed, ["user_id"], sign="sign", order_col="event_id")
-    return out.select("user_id", "value").orderBy("user_id")
+    return out.select("user_id", "value").orderBy("user_id", "value")
 
 
 @q("final_versioned_collapsing", """

@@ -75,13 +75,44 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
     keys = list(keys)
     value_cols = [c for c in df.columns if c not in keys and c != sign]
     rank = F.col(order_col) if order_col else F.lit(1)
-    aggs = [F.sum(sign).alias("__sign_sum")]
-    for c in value_cols:
-        # surviving state = values of the max-rank +1 row; NULL rank for
-        # cancel rows keeps them out of max_by consideration.
-        aggs.append(F.max_by(c, F.when(F.col(sign) == 1, rank)).alias(c))
-    out = df.groupBy(*keys).agg(*aggs)
-    return out.filter(F.col("__sign_sum") > 0).drop("__sign_sum")
+    # CollapsingSortedAlgorithm::insertRows, faithfully:
+    #   more +1 than -1            -> keep the LAST +1 state
+    #   more -1 than +1            -> keep the FIRST -1 row
+    #   equal and last row is +1   -> keep BOTH (first -1, last +1)
+    #   equal and last row is -1   -> fully cancelled, keep nothing
+    # Without an order column the equal case collapses to nothing
+    # (insert order has no distributed analog; documented).
+    row_struct = (F.struct(*[F.col(c) for c in value_cols])
+                  if value_cols else F.struct(F.lit(0).alias("__d")))
+    g = df.groupBy(*keys).agg(
+        F.sum(F.when(F.col(sign) == 1, 1).otherwise(0)).alias("__cp"),
+        F.sum(F.when(F.col(sign) == -1, 1).otherwise(0)).alias("__cn"),
+        F.max_by(F.col(sign), rank).alias("__ls"),
+        F.max_by(row_struct,
+                 F.when(F.col(sign) == 1, rank)).alias("__lp"),
+        F.min_by(row_struct,
+                 F.when(F.col(sign) == -1, rank)).alias("__fn"))
+    cp, cn = F.col("__cp"), F.col("__cn")
+    cancelled = ((cp == cn) & (F.col("__ls") != 1)) if order_col \
+        else (cp == cn)
+    emit_neg = (cn >= cp) & (cn > 0) & ~cancelled
+    emit_pos = (cp >= cn) & (cp > 0) & ~cancelled
+    neg = F.when(emit_neg, F.struct(F.col("__fn").alias("v"),
+                                    F.lit(-1).alias("s")))
+    pos = F.when(emit_pos, F.struct(F.col("__lp").alias("v"),
+                                    F.lit(1).alias("s")))
+    rows = F.filter(F.array(neg, pos), lambda x: x.isNotNull())
+    out = g.select(*keys, F.explode(rows).alias("__r"))
+    sign_t = df.schema[sign].dataType
+    sel = []
+    for c in df.columns:
+        if c in keys:
+            sel.append(F.col(c))
+        elif c == sign:
+            sel.append(F.col("__r.s").cast(sign_t).alias(sign))
+        else:
+            sel.append(F.col(f"__r.v.{c}").alias(c))
+    return out.select(*sel)
 
 
 def versioned_collapsing_final(df: DataFrame, keys: Sequence[str],
