@@ -2729,7 +2729,11 @@ def _fss_extract(u, cut: bool) -> Column:
     """ExtractFirstSignificantSubdomain.h: fss = label before the last
     dot, or before a compound public suffix; cut=True keeps the suffix
     (cutToFirstSignificantSubdomain)."""
-    dom = F.regexp_replace(F.parse_url(_c(u), F.lit("HOST")), r"^www\.", "")
+    dom = F.regexp_replace(
+        F.coalesce(F.parse_url(_c(u), F.lit("HOST")),
+                   F.regexp_extract(_c(u),
+                                    r"^(?:[a-z]+://)?([^/?#:@ ]+)", 1)),
+        r"^www\.", "")
     labs = F.split(dom, r"\.")
     n = F.size(labs)
     comp = F.concat(F.element_at(labs, -2), F.lit("."),

@@ -384,7 +384,11 @@ _RULES: dict = {
         f"concat(substring({a[0]}, 1, instr({a[0]}, {a[1]}) - 1), {a[2]}, "
         f"substring({a[0]}, instr({a[0]}, {a[1]}) + length({a[1]}), length({a[0]}))) "
         f"ELSE {a[0]} END"),
-    "replaceregexpall": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    # empty PATTERN replaces nothing (the reference's re2 path skips
+    # empty patterns; Spark inserts between every char)
+    "replaceregexpall": lambda a: (
+        f"CASE WHEN length({a[1]}) = 0 THEN {a[0]} "
+        f"ELSE regexp_replace({a[0]}, {a[1]}, {a[2]}) END"),
     "replaceregexpone": lambda a: (
         f"CASE WHEN regexp_instr({a[0]}, {a[1]}) > 0 THEN "
         f"concat(regexp_replace(substring({a[0]}, 1, regexp_instr({a[0]}, {a[1]}) "

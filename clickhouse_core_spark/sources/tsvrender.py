@@ -35,8 +35,10 @@ import math
 
 
 def _escape_top(s: str) -> str:
+    # writeEscapedString: backslash, tab, newlines AND single quote
     return (s.replace("\\", "\\\\").replace("\t", "\\t")
-            .replace("\n", "\\n").replace("\r", "\\r"))
+            .replace("\n", "\\n").replace("\r", "\\r")
+            .replace("'", "\\'"))
 
 
 def _escape_quoted(s: str) -> str:
