@@ -3100,7 +3100,29 @@ def _fix_like_patterns(sql: str) -> str:
         qstart = m.end() - 1
         qend = _skip_string(sql, qstart)
         body = sql[qstart + 1:qend - 1]
-        fixed = re.sub(r"\\\\(?![%_\\])", r"\\\\\\\\", body)
+        # run-based: k TEXT backslashes = k//2 STRING backslashes; an
+        # ODD string count before a non-wildcard (or at the end) makes
+        # an invalid Spark pattern — escape it (the reference keeps
+        # such backslashes literal, MatchImpl)
+        fixed_parts = []
+        bi, bn = 0, len(body)
+        while bi < bn:
+            if body[bi] != "\\":
+                fixed_parts.append(body[bi])
+                bi += 1
+                continue
+            bj = bi
+            while bj < bn and body[bj] == "\\":
+                bj += 1
+            k = bj - bi
+            nxt = body[bj] if bj < bn else ""
+            if k % 2 == 0 and (k // 2) % 2 == 1 \
+                    and nxt not in ("%", "_", "\\") :
+                fixed_parts.append("\\" * (k + 2))
+            else:
+                fixed_parts.append("\\" * k)
+            bi = bj
+        fixed = "".join(fixed_parts)
         out.append(sql[i:qstart])
         out.append("'" + fixed + "'")
         i = qend
