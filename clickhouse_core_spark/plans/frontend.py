@@ -1715,6 +1715,39 @@ def _neighbor_rule(a):
 _RULES["neighbor"] = _neighbor_rule
 
 
+def _f32_bits_sql(x: str) -> str:
+    """IEEE-754 float32 bit pattern of a FLOAT-typed expression (the
+    value is exactly representable in double, so the mantissa math is
+    exact — src/Functions/reinterpretAs.cpp raw-bits semantics)."""
+    v = f"CAST(CAST({x} AS FLOAT) AS DOUBLE)"
+    a = f"ABS({v})"
+    e = f"FLOOR(LOG2({a}))"
+    return (f"(CASE WHEN {v} = 0 THEN 0 ELSE "
+            f"CAST(IF({v} < 0, 2147483648, 0) "
+            f"+ ({e} + 127) * 8388608 "
+            f"+ ROUND(({a} / POW(CAST(2.0 AS DOUBLE), {e}) - 1) "
+            f"* 8388608) AS BIGINT) END)")
+
+
+def _reinterp_int_rule(name, signed):
+    def rule(a):
+        if re.match(r"(?is)\s*(CAST\s*\(.*AS\s+FLOAT\s*\)|"
+                    r"float\s*\()", a[0]):
+            bits = _f32_bits_sql(a[0])
+            if signed:
+                return (f"(CAST({bits} AS INT))")
+            return bits
+        br = _bridge_registry_call(name, a)
+        return br if br else f"{name}({', '.join(a)})"
+    return rule
+
+
+_RULES["reinterpretasuint32"] = _reinterp_int_rule(
+    "reinterpretAsUInt32", False)
+_RULES["reinterpretasint32"] = _reinterp_int_rule(
+    "reinterpretAsInt32", True)
+
+
 def _translate_fn_rule(a):
     """translate(s, from, to) (src/Functions/translate.cpp): the
     non-UTF8 form REQUIRES equal-length ASCII from/to maps."""
