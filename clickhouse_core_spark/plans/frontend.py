@@ -5804,6 +5804,14 @@ def _ch_sql_impl(spark, sql: str,
     if tables and re.search(r"(?i)\bdict(Get|Has)", text):
         text = _rewrite_dictget(text, tables)
 
+    if tables:
+        jcols = set()
+        for tb in tables.values():
+            jcols |= getattr(tb, "json_cols", set()) or set()
+        if jcols and any(re.search(rf"\b{re.escape(c)}\s*\.", text)
+                         for c in jcols):
+            text = _rewrite_json_subcolumns(text, jcols)
+
     if re.search(r"(?i)\bARRAY\s+JOIN\b", text):
         text = _shadow_array_join_aliases(spark, text)
 
@@ -6553,6 +6561,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     col_timezones: dict[str, str] = {}
     nullable_cols: set[str] = set()
     materialized_cols: set[str] = set()
+    json_cols: set[str] = set()
     for coldef in _split_top_commas(cols_src):
         if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
                     r"PRIMARY\s+KEY)\b", coldef):
@@ -6583,6 +6592,9 @@ def create_table_sql(spark, sql: str, base_dir: str):
             col_timezones[cname] = tzm.group(1)
         if re.match(r"(?i)\s*Nullable\s*\(", _decl_type(toks[1])):
             nullable_cols.add(cname)
+        if re.match(r"(?i)\s*(JSON\b|Object\s*\()",
+                    _decl_type(toks[1])):
+            json_cols.add(cname)
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
         dm = re.search(r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
@@ -6617,6 +6629,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table.col_timezones = col_timezones
     table.nullable_cols = nullable_cols
     table.materialized_cols = materialized_cols
+    table.json_cols = json_cols
     return table
 
 
@@ -6713,6 +6726,28 @@ _DICTGET_RE = re.compile(
     r"(Int8|Int16|Int32|Int64|UInt8|UInt16|UInt32|UInt64|Float32|"
     r"Float64|Date|DateTime|String|UUID|IPv4|IPv6)?"
     r"(OrDefault)?\s*\(")
+
+
+def _rewrite_json_subcolumns(text: str, jcols) -> str:
+    """``json_col.a.b`` / ``json_col.`a/b``` over a declared JSON /
+    Object('json') column (carried as a JSON STRING here) ->
+    get_json_object(col, '$.a.b') — the reference's dynamic
+    subcolumn read (src/DataTypes/Serializations/SerializationObject).
+    Typed subcolumn hints (``.:Int64``) and array suffixes (``[]``)
+    are not modeled; values come back as strings."""
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(c) for c in sorted(jcols)) + r")"
+        r"((?:\.(?:`[^`]+`|[A-Za-z_]\w*))+)(?!\s*\()")
+    def sub(m):
+        col, path = m.group(1), m.group(2)
+        segs = re.findall(r"\.(?:`([^`]+)`|([A-Za-z_]\w*))", path)
+        parts = [a or b for a, b in segs]
+        jp = "$" + "".join(
+            f".{p}" if re.fullmatch(r"\w+", p) else f"['{p}']"
+            for p in parts)
+        lit = jp.replace("'", "''")
+        return f"get_json_object({col}, '{lit}')"
+    return pat.sub(sub, text)
 
 
 def _rewrite_dictget(text: str, tables) -> str:
