@@ -168,3 +168,111 @@ def test_mutations_refresh_views(spark, tables):
                   tables=tables).collect()
     assert [(r.k, r.v) for r in rows] == [(1, "A"), (3, "c")]
     ch_sql(spark, "DROP TABLE mu", tables=tables)
+
+
+def test_fill_staleness_and_suffix(spark, tables):
+    ch_sql(spark, "CREATE TABLE st8 (a Int64, b Int64, c Int64) "
+                  "Engine=MergeTree ORDER BY a", tables=tables)
+    ch_sql(spark, "INSERT INTO st8(a, b, c) VALUES (0, 5, 10), "
+                  "(7, 8, 15), (14, 10, 20)", tables=tables)
+    rows = ch_sql(spark, """
+        SELECT *, 'original' AS orig FROM st8
+        ORDER BY a, b WITH FILL TO 20 STEP 2 STALENESS 3,
+                 c WITH FILL TO 25 step 3""", tables=tables).collect()
+    # reference golden (03266_with_fill_staleness_cases test-1)
+    got = [(r.a, r.b, r.c, r.orig) for r in rows]
+    assert got[:7] == [
+        (0, 5, 10, "original"), (0, 5, 13, ""), (0, 5, 16, ""),
+        (0, 5, 19, ""), (0, 5, 22, ""), (0, 7, 0, ""),
+        (7, 8, 15, "original")]
+    assert len(got) == 14
+    ch_sql(spark, "DROP TABLE st8", tables=tables)
+
+
+def test_fill_no_reanchor(spark):
+    rows = ch_sql(spark, """
+        SELECT number AS x FROM numbers(10)
+        WHERE number IN (1, 4, 7) ORDER BY x WITH FILL STEP 2
+    """).collect()
+    # grid stays anchored at 1 (1,3,5,...); originals interleave
+    assert [r.x for r in rows] == [1, 3, 4, 5, 7]
+
+
+def test_dictionary_ddl_lookups(spark, tables):
+    ch_sql(spark, "CREATE TABLE dsrc8 (id UInt64, v String) "
+                  "ENGINE MergeTree ORDER BY id", tables=tables)
+    ch_sql(spark, "INSERT INTO dsrc8 VALUES (1, 'one'), (2, 'two')",
+           tables=tables)
+    ch_sql(spark, "CREATE DICTIONARY dict8 (id UInt64, "
+                  "v String DEFAULT '?') PRIMARY KEY id "
+                  "SOURCE(CLICKHOUSE(TABLE 'dsrc8')) LAYOUT(HASHED()) "
+                  "LIFETIME(1)", tables=tables)
+    r = ch_sql(spark, "SELECT dictGet('dict8', 'v', 2) AS hit, "
+                      "dictGet('dict8', 'v', 9) AS miss, "
+                      "dictGetOrNull('dict8', 'v', 9) AS onull, "
+                      "dictHas('dict8', 1) AS has",
+               tables=tables).collect()[0]
+    assert (r.hit, r.miss, r.onull, r.has) == ("two", "?", None, 1)
+    ch_sql(spark, "DROP DICTIONARY dict8", tables=tables)
+    ch_sql(spark, "DROP TABLE dsrc8", tables=tables)
+
+
+def test_collapsing_lone_negative_survives(spark, tables):
+    ch_sql(spark, "CREATE TABLE cl8 (k Int8, sign Int8) "
+                  "ENGINE = CollapsingMergeTree(sign) ORDER BY k",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO cl8 VALUES (5, -1)", tables=tables)
+    ch_sql(spark, "OPTIMIZE TABLE cl8 FINAL", tables=tables)
+    assert ch_sql(spark, "SELECT count() AS c FROM cl8 FINAL",
+                  tables=tables).collect()[0].c == 1
+    ch_sql(spark, "DROP TABLE cl8", tables=tables)
+
+
+def test_mv_to_table_cascade(spark, tables):
+    ch_sql(spark, "CREATE TABLE mvsrc8 (x UInt32) ENGINE = MergeTree "
+                  "ORDER BY x", tables=tables)
+    ch_sql(spark, "CREATE TABLE mvdst8 (x UInt32) ENGINE = MergeTree "
+                  "ORDER BY x", tables=tables)
+    ch_sql(spark, "CREATE MATERIALIZED VIEW mv8 TO mvdst8 AS "
+                  "SELECT x FROM mvsrc8 WHERE x % 2 = 0",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO mvsrc8 VALUES (1), (2), (4)",
+           tables=tables)
+    rows = ch_sql(spark, "SELECT x FROM mvdst8 ORDER BY x",
+                  tables=tables).collect()
+    assert [r.x for r in rows] == [2, 4]
+    ch_sql(spark, "DROP TABLE mv8", tables=tables)
+
+
+def test_map_literals_and_json_subcolumns(spark, tables):
+    r = ch_sql(spark, "SELECT {'a': 1, 'b': 2} AS m").collect()[0]
+    assert r.m == {"a": 1, "b": 2}
+    ch_sql(spark, "CREATE TABLE tj8 (id UInt64, json JSON) "
+                  "ENGINE = MergeTree ORDER BY id", tables=tables)
+    ch_sql(spark, 'INSERT INTO tj8 VALUES (1, \'{"a": {"b": 42}}\')',
+           tables=tables)
+    r = ch_sql(spark, "SELECT json.a.b AS ab FROM tj8",
+               tables=tables).collect()[0]
+    assert r.ab == "42"
+    ch_sql(spark, "DROP TABLE tj8", tables=tables)
+
+
+def test_partition_ops_sql(spark, tables):
+    ch_sql(spark, "CREATE TABLE po1 (id UInt64, v UInt64) ENGINE = "
+                  "MergeTree PARTITION BY id ORDER BY v",
+           tables=tables)
+    ch_sql(spark, "CREATE TABLE po2 (id UInt64, v UInt64) ENGINE = "
+                  "MergeTree PARTITION BY id ORDER BY v",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO po1 SELECT intDiv(number, 5), number "
+                  "FROM numbers(20)", tables=tables)
+    ch_sql(spark, "ALTER TABLE po2 REPLACE PARTITION 2 FROM po1",
+           tables=tables)
+    rows = ch_sql(spark, "SELECT count() AS c, min(v) AS lo FROM po2",
+                  tables=tables).collect()[0]
+    assert (rows.c, rows.lo) == (5, 10)
+    ch_sql(spark, "ALTER TABLE po1 DROP PARTITION 0", tables=tables)
+    assert ch_sql(spark, "SELECT count() AS c FROM po1",
+                  tables=tables).collect()[0].c == 15
+    ch_sql(spark, "DROP TABLE po1", tables=tables)
+    ch_sql(spark, "DROP TABLE po2", tables=tables)
