@@ -516,10 +516,12 @@ _RULES: dict = {
     "emptyarraytosingle": lambda a: f"IF(size({a[0]}) = 0, array(0), {a[0]})",
     "arrayreduce": lambda a: _array_reduce_sql(a),
     # initializeAggregation('f', v...) = the aggregate f over a single
-    # row (reference src/Functions/initializeAggregation.cpp) — exactly
-    # arrayReduce over singleton arrays
-    "initializeaggregation": lambda a: _array_reduce_sql(
-        [a[0]] + [f"array({v})" for v in a[1:]]),
+    # row (reference src/Functions/initializeAggregation.cpp) — scalar
+    # bases use the scalar state carriers (value / partial count /
+    # (sum, count) struct) so finalizeAggregation and the -Merge
+    # suffix aggregates compose; everything else is arrayReduce over
+    # singleton arrays
+    "initializeaggregation": lambda a: _initialize_aggregation_sql(a),
     # bitmap state algebra (FunctionsBitmap.cpp): states are sorted
     # array<long> — see operators/bitmaps.py for the DataFrame forms
     "bitmapbuild": lambda a: f"array_sort(array_distinct({a[0]}))",
@@ -1691,7 +1693,17 @@ _RULES["bar"] = _bar_rule
 # CH has no bare lag/lead). Spark's lag/lead ignore the frame clause;
 # the frame-clamped distinction matters only for frames narrower than
 # the offset (operators/windows.py lag_in_frame covers that exactly).
-_RULES["finalizeaggregation"] = lambda a: a[0]
+def _finalize_aggregation_rule(a):
+    """finalizeAggregation(state): plain-value states pass through;
+    the avg (sum, count) struct carrier finalizes to the quotient
+    (src/Functions/finalizeAggregation.cpp)."""
+    s = a[0].strip()
+    if re.match(r"(?i)^named_struct\(\s*'sum'", s):
+        return f"(({s}).sum / ({s}).count)"
+    return s
+
+
+_RULES["finalizeaggregation"] = _finalize_aggregation_rule
 
 
 def _neighbor_rule(a):
@@ -2011,6 +2023,59 @@ def _sparkbar_sql(p: list[str], a: list[str]) -> str:
             f"END)))")
 
 
+_STRINGY_CALL_RE = re.compile(
+    r"(?i)^(concat|concat_ws|lower|upper|substring|substr|trim|ltrim|"
+    r"rtrim|replace|regexp_replace|reverse|repeat|lpad|rpad|hex|"
+    r"unhex|base64|format_string|date_format|left|right|initcap|"
+    r"translate|char|chr|cast\s*\(.*as\s+string\s*\))\s*\(?")
+_DATY_CALL_RE = re.compile(
+    r"(?i)^(to_date|current_date|date_add|date_sub|last_day|"
+    r"next_day|trunc)\s*\(")
+_TSY_CALL_RE = re.compile(
+    r"(?i)^(?:(?:to_timestamp|current_timestamp|date_trunc|"
+    r"from_unixtime)\s*\(|timestamp\s*')")
+
+
+def _ordefault_default_sql(arg: str, base: str) -> str:
+    """The -OrDefault empty-set default is the RETURN TYPE's default
+    (AggregateFunctionOrFill.h): 0 for numerics, '' for String, the
+    epoch for Date/DateTime.  The argument here is already-translated
+    Spark SQL text, so sniff the type class from its shape; numeric 0
+    is the fallback."""
+    if base in ("avg", "stddevsamp", "stddevpop", "varsamp", "varpop"):
+        return "CAST(0.0 AS DOUBLE)"
+    if base == "count":
+        return "CAST(0 AS BIGINT)"
+    s = arg.strip()
+    if s.startswith("'") or _STRINGY_CALL_RE.match(s):
+        return "''"
+    if _DATY_CALL_RE.match(s) or re.match(r"(?i)^date'", s):
+        return "DATE'1970-01-01'"
+    if _TSY_CALL_RE.match(s):
+        return "to_timestamp('1970-01-01 00:00:00')"
+    return "0"
+
+
+def _initialize_aggregation_sql(a: list[str]) -> str:
+    """initializeAggregation('fState', v...) single-row states with
+    the SCALAR carriers (matching the -State suffix aggregates and
+    functions/longtail5.initializeAggregation): value for
+    sum/min/max/any, 1 for count, (sum, count) struct for avg; other
+    names fall back to arrayReduce over singleton arrays."""
+    name = a[0].strip().strip("'\"").lower()
+    if len(a) == 2:
+        v = a[1]
+        if name in ("sumstate", "minstate", "maxstate", "anystate",
+                    "anylaststate"):
+            return f"({v})"
+        if name == "countstate":
+            return "CAST(1 AS BIGINT)"
+        if name == "avgstate":
+            return (f"named_struct('sum', CAST({v} AS DOUBLE), "
+                    f"'count', CAST(1 AS BIGINT))")
+    return _array_reduce_sql([a[0]] + [f"array({v})" for v in a[1:]])
+
+
 def _array_reduce_sql(a: list[str]) -> str:
     """arrayReduce('agg', arr...) SQL form (reference
     src/Functions/array/arrayReduce.cpp) — constant-name dispatch.
@@ -2038,9 +2103,25 @@ def _array_reduce_sql(a: list[str]) -> str:
         if or_null:
             return (f"CASE WHEN size({arr}) = 0 THEN NULL "
                     f"ELSE {base_sql} END")
-        dflt = ("CAST(0.0 AS DOUBLE)"
-                if name in ("avg", "stddevsamp", "stddevpop",
-                            "varsamp", "varpop") else "0")
+        # element-typed default: unwrap element-type-preserving array
+        # calls until an array literal exposes its head element
+        probe, head = arr.strip(), ""
+        for _ in range(8):
+            lit = re.fullmatch(r"(?is)array\s*\((.*)\)", probe)
+            if lit:
+                parts = (_split_top_commas(lit.group(1))
+                         if lit.group(1).strip() else [])
+                head = parts[0] if parts else ""
+                break
+            wrap = re.fullmatch(
+                r"(?is)(?:array_remove|array_distinct|array_sort|"
+                r"array_compact|slice|flatten|filter|reverse|"
+                r"array_union|array_intersect|array_except)"
+                r"\s*\((.*)\)", probe)
+            if not wrap:
+                break
+            probe = _split_top_commas(wrap.group(1))[0].strip()
+        dflt = _ordefault_default_sql(head, name)
         return (f"CASE WHEN size({arr}) = 0 THEN {dflt} "
                 f"ELSE {base_sql} END")
     # -State carries the partial as a plain array (this engine's
@@ -2639,15 +2720,28 @@ def _try_suffix_combinator(lname: str, targs: list) -> str | None:
     """Generic fooIf(args..., cond) / fooArray(arr) SQL rewrites for
     aggregate bases without a dedicated rule."""
     # -State / -Merge over scalar bases (AggregateFunctionState.h):
-    # this engine's state carrier for simple aggregates IS the value,
-    # so both map to the base aggregate (max/min/sum/avg/any states
-    # merge by re-applying the base)
+    # this engine's state carrier for sum/min/max/any IS the value
+    # (those merge by re-applying the base), count's state is the
+    # partial count (merge = SUM of partials, never count-of-states),
+    # and avg's state is a (sum, count) struct so the merge stays
+    # weighted when group sizes differ.
     m = re.fullmatch(r"(avg|sum|min|max|count|anylast|any)"
                      r"(state|merge)", lname)
     if m and targs:
-        fn = {"avg": "avg", "sum": "sum", "min": "min", "max": "max",
-              "count": "count", "any": "any_value",
-              "anylast": "any_value"}[m.group(1)]
+        base, kind = m.groups()
+        if base == "avg":
+            if kind == "state":
+                return (f"named_struct("
+                        f"'sum', CAST(sum({targs[0]}) AS DOUBLE), "
+                        f"'count', count({targs[0]}))")
+            return (f"(sum(({targs[0]}).sum) / "
+                    f"sum(({targs[0]}).count))")
+        if base == "count":
+            if kind == "state":
+                return f"count({targs[0]})"
+            return f"CAST(sum({targs[0]}) AS BIGINT)"
+        fn = {"sum": "sum", "min": "min", "max": "max",
+              "any": "any_value", "anylast": "any_value"}[base]
         return f"{fn}({targs[0]})"
     # -OrNull / -OrDefault (optionally stacked under -If):
     # AggregateFunctionOrFill.h — NULL / return-type default when no
@@ -2675,9 +2769,7 @@ def _try_suffix_combinator(lname: str, targs: list) -> str | None:
             return (core if base != "count"
                     else f"CASE WHEN count({arg}) = 0 THEN NULL "
                          f"ELSE count({arg}) END")
-        dflt = ("CAST(0.0 AS DOUBLE)"
-                if base in ("avg", "stddevsamp", "stddevpop",
-                            "varsamp", "varpop") else "0")
+        dflt = _ordefault_default_sql(targs[0] if targs else "", base)
         return f"COALESCE({core}, {dflt})"
     if lname.endswith("if") and len(targs) >= 2:
         base = lname[:-2]
@@ -3060,7 +3152,7 @@ def _primary_left(s: str, i: int):
 
 _DT_CALL_RE = re.compile(
     r"(?i)\b(toDateTime(?:64)?|toDate(?:32)?|now|today|yesterday|"
-    r"toStartOf\w+|parseDateTime\w*)\s*\(")
+    r"toStartOf\w+|toMonday|toLastDayOf\w+|parseDateTime\w*)\s*\(")
 
 
 def _rewrite_datetime_arith(sql: str) -> str:
@@ -3104,7 +3196,14 @@ def _rewrite_datetime_arith(sql: str) -> str:
                 pos = e + 1
                 continue
             fname = m.group(1).lower()
-            if fname in ("todate", "todate32"):
+            # every Date-RETURNING function adds days (Date + n = n
+            # days in the reference's plus/minus overloads); only
+            # DateTime-returning ones add seconds
+            if fname in ("todate", "todate32", "today", "yesterday",
+                         "tostartofmonth", "tostartofweek",
+                         "tostartofquarter", "tostartofyear",
+                         "tostartofisoyear", "tomonday",
+                         "tolastdayofmonth", "tolastdayofweek"):
                 fn = "date_add" if op == "+" else "date_sub"
                 repl = f"{fn}({call}, {rtxt})"
             else:
@@ -7250,12 +7349,14 @@ def _target_schema(spark, name: str, t):
         return None
 
 
-def _append_to_table(spark, name: str, df, tables):
+def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
     """Append ``df`` (already aligned by column NAME, possibly a
     subset) to a managed MergeTreeTable or a registered temp view
     (Memory-engine analog): casts to the target schema, fills missing
     columns with DEFAULT expressions or CH type defaults, re-registers
-    the view (reference InterpreterInsertQuery.h)."""
+    the view (reference InterpreterInsertQuery.h).  ``_mv_depth``
+    threads the materialized-view cascade depth so cyclic MV TO
+    chains terminate."""
     t = (tables or {}).get(name)
     schema = _target_schema(spark, name, t)
     if schema is None:
@@ -7310,7 +7411,7 @@ def _append_to_table(spark, name: str, df, tables):
     else:
         spark.table(name).unionByName(aligned) \
             .localCheckpoint(eager=True).createOrReplaceTempView(name)
-    _fire_mv_triggers(spark, name, aligned, tables)
+    _fire_mv_triggers(spark, name, aligned, tables, depth=_mv_depth)
     return None
 
 
@@ -7324,8 +7425,15 @@ def _fire_mv_triggers(spark, name: str, block, tables,
     the MV select runs over the INSERTED BLOCK only and the result
     appends to the TO table; cascading MVs chain (bounded depth)."""
     trigs = (tables or {}).get("__mv_to__")
-    if not trigs or depth > 8:
+    if not trigs:
         return
+    if depth > 8:
+        # cyclic MV TO chain (A→B, B→A): the reference rejects such
+        # pushes with TOO_DEEP_RECURSION-class errors rather than
+        # looping
+        raise ValueError(
+            f"materialized-view cascade exceeded depth 8 at "
+            f"table {name!r} (cyclic MV TO chain?)")
     for trig in list(trigs):
         if trig.get("src") != name:
             continue
@@ -7337,14 +7445,20 @@ def _fire_mv_triggers(spark, name: str, block, tables,
         try:
             out = ch_sql(spark, sel, tables=tables)
             if out is not None:
-                _append_to_table(spark, trig["dst"], out, tables)
+                _append_to_table(spark, trig["dst"], out, tables,
+                                 _mv_depth=depth + 1)
                 try:
                     spark.table(trig["dst"]) \
                         .createOrReplaceTempView(trig["name"])
                 except Exception:
                     pass
-        except Exception:
-            pass
+        except Exception as exc:
+            # the reference INSERT fails when an MV push fails
+            # (materialized_views_ignore_errors defaults to false) —
+            # surface it instead of dropping the block silently
+            raise ValueError(
+                f"materialized view {trig.get('name')!r} push to "
+                f"{trig.get('dst')!r} failed: {exc}") from exc
         finally:
             try:
                 spark.catalog.dropTempView(vname)

@@ -35,16 +35,19 @@ import math
 
 
 def _escape_top(s: str) -> str:
-    # writeEscapedString: backslash, tab, newlines AND single quote
+    # writeAnyEscapedString's full escape set: backslash, tab,
+    # newlines, backspace, form-feed, NUL AND single quote
     return (s.replace("\\", "\\\\").replace("\t", "\\t")
             .replace("\n", "\\n").replace("\r", "\\r")
-            .replace("'", "\\'"))
+            .replace("\b", "\\b").replace("\f", "\\f")
+            .replace("\0", "\\0").replace("'", "\\'"))
 
 
 def _escape_quoted(s: str) -> str:
     return ("'" + s.replace("\\", "\\\\").replace("'", "\\'")
             .replace("\t", "\\t").replace("\n", "\\n")
-            .replace("\r", "\\r") + "'")
+            .replace("\b", "\\b").replace("\f", "\\f")
+            .replace("\0", "\\0").replace("\r", "\\r") + "'")
 
 
 def _float_repr(f: float) -> str:
