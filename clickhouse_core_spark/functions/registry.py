@@ -112,8 +112,11 @@ _DT = {
     "toYYYYMM": lambda x: (F.year(_c(x)) * 100 + F.month(_c(x))),
     "toYYYYMMDD": lambda x: (F.year(_c(x)) * 10000 + F.month(_c(x)) * 100
                              + F.dayofmonth(_c(x))),
-    # CH formatDateTime uses MySQL-style %-codes; translate the common ones.
-    "formatDateTime": lambda x, fmt: F.date_format(_c(x), _mysql_fmt(fmt)),
+    # CH formatDateTime uses MySQL-style %-codes; the full Instruction
+    # table (reference src/Functions/formatDateTime.cpp) lives in
+    # mysqlfmt.py — literal text is pattern-quoted, computed
+    # specifiers (%C %e %g %G %u %V %w %Q) compose via concat.
+    "formatDateTime": lambda x, fmt: _format_datetime_col(x, fmt),
     "toMonday": lambda x: F.date_trunc("week", _c(x)),
     "toLastDayOfMonth": lambda x: F.last_day(_c(x)),
 }
@@ -152,6 +155,31 @@ def _mysql_fmt(fmt: str) -> str:
     for k, v in _MYSQL_TO_SPARK:
         fmt = fmt.replace(k, v)
     return fmt
+
+
+def _format_datetime_col(x, fmt: str) -> Column:
+    from clickhouse_core_spark.functions import mysqlfmt
+    xc = _c(x)
+    computed = {
+        "C": lambda: F.lpad(F.floor(F.year(xc) / 100).cast("int")
+                            .cast("string"), 2, "0"),
+        "e": lambda: F.lpad(F.dayofmonth(xc).cast("string"), 2, " "),
+        "g": lambda: F.lpad((F.date_part(F.lit("YEAROFWEEK"), xc)
+                             % 100).cast("string"), 2, "0"),
+        "G": lambda: F.date_part(F.lit("YEAROFWEEK"), xc)
+                      .cast("string"),
+        "u": lambda: (F.weekday(xc) + 1).cast("string"),
+        "V": lambda: F.lpad(F.weekofyear(xc).cast("string"), 2, "0"),
+        "w": lambda: (F.dayofweek(xc) - 1).cast("string"),
+        "Q": lambda: F.quarter(xc).cast("string"),
+    }
+    pieces = [F.date_format(xc, payload) if kind == "pat"
+              else computed[payload]()
+              for kind, payload in mysqlfmt.merge_pattern_runs(
+                  mysqlfmt.segments(fmt))]
+    if not pieces:
+        return F.lit("")
+    return pieces[0] if len(pieces) == 1 else F.concat(*pieces)
 
 
 # ----------------------------------------------------------------- strings

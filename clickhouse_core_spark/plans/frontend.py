@@ -285,6 +285,14 @@ _RULES: dict = {
         f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ)))"
         if len(a) == 2 and re.fullmatch(r"\s*'[A-Za-z_/+0-9-]+'\s*", a[1])
         else f"to_date({', '.join(a)})"),
+    # toDate32 takes the same optional trailing timezone
+    "todate32": lambda a: (
+        _todate_numeric_literal(a)
+        if re.fullmatch(r"\s*-?\d+\s*", a[0])
+        else f"to_date(convert_timezone('UTC', {a[1]}, "
+        f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ)))"
+        if len(a) == 2 and re.fullmatch(r"\s*'[A-Za-z_/+0-9-]+'\s*", a[1])
+        else f"to_date({', '.join(a)})"),
     "todatetime": lambda a: (
         _todatetime_numeric_literal(a)
         if re.fullmatch(r"\s*-?\d+\s*", a[0])
@@ -422,7 +430,7 @@ _RULES: dict = {
     "trimboth": _fn("trim"), "trimleft": _fn("ltrim"), "trimright": _fn("rtrim"),
     "leftpad": _fn("lpad"), "rightpad": _fn("rpad"),
     "levenshteindistance": _fn("levenshtein"), "editdistance": _fn("levenshtein"),
-    "formatdatetime": lambda a: f"date_format({a[0]}, {_mysql_fmt_literal(a[1])})",
+    "formatdatetime": lambda a: _format_datetime_sql(a),
     # conditionals / null — CH conditions are UInt8 (nonzero = true,
     # src/Functions/if.cpp); CAST AS BOOLEAN reproduces that for
     # numeric conds and is a no-op for boolean ones
@@ -2517,6 +2525,46 @@ def _mysql_fmt_literal(literal: str) -> str:
     return literal
 
 
+def _format_datetime_sql(a: list[str]) -> str:
+    """formatDateTime(x, 'fmt'[, tz]) — compile the MySQL-style
+    specifier string into date_format pieces + computed expressions
+    (reference src/Functions/formatDateTime.cpp; the full Instruction
+    table lives in functions/mysqlfmt.py).  Literal text between
+    specifiers is pattern-quoted, never interpreted.  Unknown and
+    week-mode specifiers raise, matching the reference's rejections."""
+    from clickhouse_core_spark.functions import mysqlfmt
+    x = a[0]
+    if re.fullmatch(r"\s*'[^']*'\s*", x):
+        # the reference requires a Date/DateTime first argument —
+        # a bare String literal is ILLEGAL_TYPE_OF_ARGUMENT
+        raise ValueError(
+            "formatDateTime: illegal type String of first argument "
+            "(expected Date or DateTime)")
+    fmt = a[1].strip()
+    if not (len(fmt) >= 2 and fmt[0] == "'" and fmt[-1] == "'"):
+        # non-literal format string: legacy single-pattern best effort
+        return f"date_format({x}, {_mysql_fmt_literal(fmt)})"
+    inner = fmt[1:-1].replace("\\'", "'").replace("''", "'")
+    if len(a) >= 3:
+        # third arg = result timezone (instant formatted in that zone;
+        # the session zone is UTC)
+        x = f"from_utc_timestamp({x}, {a[2]})"
+    segs = mysqlfmt.segments(inner)      # raises on bad specifiers
+    pieces = []
+    for kind, payload in mysqlfmt.merge_pattern_runs(segs):
+        if kind == "pat":
+            esc = payload.replace("\\", "\\\\").replace("'", "\\'")
+            pieces.append(f"date_format({x}, '{esc}')")
+        else:
+            pieces.append(
+                mysqlfmt.COMPUTED_SQL[payload].format(x=f"({x})"))
+    if not pieces:
+        return "''"
+    if len(pieces) == 1:
+        return pieces[0]
+    return "concat(" + ", ".join(pieces) + ")"
+
+
 # ------------------------------------------------------------- scanner
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -3205,7 +3253,8 @@ def _rewrite_datetime_arith(sql: str) -> str:
                          "tostartofisoyear", "tomonday",
                          "tolastdayofmonth", "tolastdayofweek"):
                 fn = "date_add" if op == "+" else "date_sub"
-                repl = f"{fn}({call}, {rtxt})"
+                # date_add rejects BIGINT addends (numbers() columns)
+                repl = f"{fn}({call}, CAST({rtxt} AS INT))"
             else:
                 repl = (f"({call} {op} make_interval(0, 0, 0, 0, 0, "
                         f"0, {rtxt}))")
@@ -3869,6 +3918,12 @@ def _rewrite_array_join(sql: str) -> str:
 _TOTALS_RE = re.compile(
     r"\bGROUP\s+BY\s+(.*?)\s+WITH\s+TOTALS\b", re.IGNORECASE | re.DOTALL)
 
+# When on (display harnesses only — never the oracle path), the
+# flattened WITH TOTALS rewrite appends a boolean `__ch_totals__`
+# marker column so a renderer can split the grand-total row into the
+# reference client's separate blank-line-delimited totals block.
+RENDER_TOTALS_MARKER = [False]
+
 
 def _rewrite_with_totals(sql: str) -> str:
     """``GROUP BY k... WITH TOTALS`` -> ``GROUP BY GROUPING SETS
@@ -3899,9 +3954,28 @@ def _rewrite_with_totals(sql: str) -> str:
         return (sql[:m.start()]
                 + f"GROUP BY GROUPING SETS ({', '.join(sets)})"
                 + sql[m.end():])
-    return (sql[:m.start()]
-            + f"GROUP BY GROUPING SETS (({keys}), ())"
-            + sql[m.end():])
+    out = (sql[:m.start()]
+           + f"GROUP BY GROUPING SETS (({keys}), ())"
+           + sql[m.end():])
+    if RENDER_TOTALS_MARKER[0]:
+        # append the marker to the top-level select list (just before
+        # the top-level FROM that precedes the GROUP BY)
+        n_keys = len(_split_top_commas(keys))
+        tops2 = _top_level_set(out)
+        at = None
+        for fm in re.finditer(r"(?i)\bFROM\b", out[:m.start()]):
+            if fm.start() in tops2:
+                at = fm.start()
+        if at is None:
+            # FROM-less SELECT: the list ends at the first top-level
+            # clause keyword (WHERE) or at the GROUP BY itself
+            at = next((fm.start() for fm in
+                       re.finditer(r"(?i)\bWHERE\b", out[:m.start()])
+                       if fm.start() in tops2), m.start())
+        marker = (f", (grouping_id() = {(1 << n_keys) - 1}) "
+                  f"AS __ch_totals__ ")
+        out = out[:at] + marker + out[at:]
+    return out
 
 
 _PREWHERE_RE = re.compile(r"\bPREWHERE\b", re.IGNORECASE)

@@ -170,6 +170,183 @@ def render_rows(rows, bool_as_int: bool = False, schema=None) -> str:
                      for r in rows)
 
 
+def _csv_quote(s: str) -> str:
+    # writeCSVString: wrap in double quotes, double the quotes,
+    # everything else (newlines, backslashes) stays raw
+    return '"' + s.replace('"', '""') + '"'
+
+
+def _csv_field(v, simple: str | None = None) -> str:
+    """One CSV output field (CSVRowOutputFormat + per-type
+    serializeTextCSV): numbers bare, strings/dates/composites
+    double-quoted with quote doubling."""
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if simple == "float" and v == v \
+                and v not in (float("inf"), float("-inf")):
+            return _float32_repr(v)
+        return _float_repr(v)
+    if isinstance(v, _decimal.Decimal):
+        return _decimal_repr(v)
+    if isinstance(v, _dt.datetime):
+        return _csv_quote(_dt_repr(v))
+    if isinstance(v, _dt.date):
+        return _csv_quote(v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return _csv_quote(bytes(v).decode("utf-8",
+                                          errors="surrogateescape"))
+    if isinstance(v, str):
+        return _csv_quote(v)
+    if hasattr(v, "__fields__"):
+        # Tuple elements serialize as SEPARATE CSV fields
+        # (SerializationTuple::serializeTextCSV)
+        vals = [v[i] for i in range(len(v.__fields__))]
+        return ",".join(_csv_field(x) for x in vals)
+    if isinstance(v, (list, tuple, dict)):
+        # composite text form (no escape pass — CSV quoting only)
+        return _csv_quote(render_value(v, bool_as_int=True))
+    return _csv_quote(str(v))
+
+
+def format_csv_rows(rows, schema=None, with_names: bool = False,
+                    columns=None) -> str:
+    """CH ``FORMAT CSV`` / ``CSVWithNames`` display text."""
+    types = ([f.dataType.simpleString() for f in schema.fields]
+             if schema is not None else None)
+    lines = []
+    if with_names and columns:
+        lines.append(",".join(_csv_quote(c) for c in columns))
+    for r in rows:
+        lines.append(",".join(
+            _csv_field(v, types[i] if types else None)
+            for i, v in enumerate(r)))
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def format_values_rows(rows, schema=None) -> str:
+    """CH ``FORMAT Values``: row tuples joined by commas on one line
+    (ValuesRowOutputFormat)."""
+    types = ([f.dataType.simpleString() for f in schema.fields]
+             if schema is not None else None)
+    parts = []
+    for r in rows:
+        elems = []
+        for i, v in enumerate(r):
+            if v is None:
+                elems.append("NULL")
+            elif isinstance(v, float) and types \
+                    and types[i] == "float" and v == v \
+                    and v not in (float("inf"), float("-inf")):
+                elems.append(_float32_repr(v))
+            else:
+                elems.append(render_value(v, nested=True,
+                                          bool_as_int=True))
+        parts.append("(" + ",".join(elems) + ")")
+    return (",".join(parts) + "\n") if parts else ""
+
+
+_JSON_ESC = {"\\": "\\\\", '"': '\\"', "\b": "\\b", "\f": "\\f",
+             "\n": "\\n", "\r": "\\r", "\t": "\\t",
+             "\u2028": "\\u2028", "\u2029": "\\u2029"}
+
+
+def _json_str(s: str) -> str:
+    out = []
+    for ch in s:
+        e = _JSON_ESC.get(ch)
+        if e is not None:
+            out.append(e)
+        elif ord(ch) < 0x20:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)       # non-ASCII stays raw (CH writes UTF-8)
+    return '"' + "".join(out) + '"'
+
+
+def _json_value(v, simple: str | None = None) -> str:
+    """One JSON output value (JSONEachRowRowOutputFormat defaults:
+    64-bit integer carriers quoted — output_format_json_quote_64bit_
+    integers=1; nan/inf → null)."""
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return f'"{v}"' if simple == "bigint" else str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return "null"
+        if simple == "float":
+            return _float32_repr(v)
+        return _float_repr(v)
+    if isinstance(v, _decimal.Decimal):
+        return _decimal_repr(v)
+    if isinstance(v, _dt.datetime):
+        return _json_str(_dt_repr(v))
+    if isinstance(v, _dt.date):
+        return _json_str(v.isoformat())
+    if isinstance(v, (bytes, bytearray)):
+        return _json_str(bytes(v).decode("utf-8",
+                                         errors="surrogateescape"))
+    if isinstance(v, str):
+        return _json_str(v)
+    if hasattr(v, "__fields__"):
+        vals = [v[i] for i in range(len(v.__fields__))]
+        return "[" + ",".join(_json_value(x) for x in vals) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{_json_str(str(k))}:{_json_value(x)}"
+            for k, x in v.items()) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_json_value(x) for x in v) + "]"
+    return _json_str(str(v))
+
+
+def format_json_each_row(rows, schema=None, columns=None) -> str:
+    """CH ``FORMAT JSONEachRow`` display text."""
+    types = ([f.dataType.simpleString() for f in schema.fields]
+             if schema is not None else None)
+    cols = columns or (schema.fieldNames() if schema is not None else [])
+    lines = []
+    for r in rows:
+        kv = ",".join(
+            f"{_json_str(cols[i])}:"
+            f"{_json_value(v, types[i] if types else None)}"
+            for i, v in enumerate(r))
+        lines.append("{" + kv + "}")
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def ch_default_value(simple: str):
+    """The CH type default the totals block shows in its key columns
+    (IColumn::insertDefault rendered as text): 0 / '' / epoch / empty
+    composite.  ``simple`` is a Spark dataType.simpleString()."""
+    if simple.startswith("decimal"):
+        return _decimal.Decimal(0)
+    if simple in ("tinyint", "smallint", "int", "bigint"):
+        return 0
+    if simple in ("float", "double"):
+        return 0.0
+    if simple in ("string", "binary", "varchar", "char"):
+        return ""
+    if simple == "boolean":
+        return False
+    if simple == "date":
+        return _dt.date(1970, 1, 1)
+    if simple.startswith("timestamp"):
+        return _dt.datetime(1970, 1, 1)
+    if simple.startswith("array"):
+        return []
+    if simple.startswith("map"):
+        return {}
+    return None
+
+
 def format_tsv(df, max_rows: int = 100000, with_names: bool = False,
                with_types: bool = False) -> str:
     """CH ``TabSeparated`` / ``TSVWithNames`` display output for a

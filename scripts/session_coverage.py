@@ -188,12 +188,69 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
             # golden counterpart — the file can't align byte-wise
             return kind, None
         if fmt_name is not None and fmt_name not in _TSV_FORMATS:
-            return kind, None          # non-TSV display — ran only
+            # display renderers for the common output FORMATs —
+            # tsvrender implements the reference's text serializations
+            from clickhouse_core_spark.sources import tsvrender as tr
+            try:
+                if fmt_name in ("csv", "csvwithnames"):
+                    return kind, tr.format_csv_rows(
+                        rows, schema=df.schema,
+                        with_names=fmt_name == "csvwithnames",
+                        columns=df.columns)
+                if fmt_name == "values":
+                    return kind, tr.format_values_rows(
+                        rows, schema=df.schema)
+                if fmt_name == "jsoneachrow":
+                    return kind, tr.format_json_each_row(
+                        rows, schema=df.schema, columns=df.columns)
+                if fmt_name in ("tabseparatedwithnames",
+                                "tsvwithnames"):
+                    head = "\t".join(df.columns) + "\n"
+                    body = tr.render_rows(rows, bool_as_int=True,
+                                          schema=df.schema)
+                    return kind, head + (body + "\n" if rows else "")
+            except Exception:
+                return kind, None
+            return kind, None          # other displays — ran only
         if re.search(r"(?i)\bWITH\s+TOTALS\b", stmt):
             # the totals block renders as a separate blank-separated
-            # block in the reference client — not alignable from the
-            # flattened grouping-sets row
-            return kind, None
+            # block in the reference client: split the flattened
+            # grouping-sets rows on the engine's __ch_totals__ marker
+            # (RENDER_TOTALS_MARKER mode) and render main block +
+            # blank line + totals block, totals key columns as CH
+            # type defaults
+            from clickhouse_core_spark.plans.frontend import (
+                _top_level_set)
+            tops = _top_level_set(stmt)
+            top_limit = any(mm.start() in tops for mm in
+                            re.finditer(r"(?i)\bLIMIT\b", stmt))
+            if "__ch_totals__" not in df.columns or top_limit:
+                return kind, None   # marker missing / LIMIT applies
+                                    # to the main block only — punt
+            from clickhouse_core_spark.sources.tsvrender import (
+                render_row, ch_default_value)
+            ti = df.columns.index("__ch_totals__")
+            fields = [fld for i, fld in enumerate(df.schema.fields)
+                      if i != ti]
+            types = [fld.dataType.simpleString() for fld in fields]
+            main, tot = [], []
+            for r in rows:
+                vals = list(r)
+                flag = vals.pop(ti)
+                (tot if flag else main).append(vals)
+            tot = [[ch_default_value(types[i]) if v is None else v
+                    for i, v in enumerate(vals)] for vals in tot]
+            try:
+                mbody = "\n".join(
+                    render_row(v, bool_as_int=True, types=types)
+                    for v in main)
+                tbody = "\n".join(
+                    render_row(v, bool_as_int=True, types=types)
+                    for v in tot)
+            except Exception:
+                return kind, None
+            return kind, ((mbody + "\n" if main else "")
+                          + "\n" + tbody + "\n")
         if len(rows) > MAX_VERIFY_ROWS:
             return kind, None
         from clickhouse_core_spark.sources.tsvrender import render_rows
@@ -248,7 +305,12 @@ def main() -> int:
     files = files[:max_files]
 
     from clickhouse_core_spark import get_spark
-    from clickhouse_core_spark.plans.frontend import ch_sql
+    from clickhouse_core_spark.plans.frontend import (
+        ch_sql, RENDER_TOTALS_MARKER)
+    # display-harness mode: WITH TOTALS queries carry a marker column
+    # so the renderer can emit the reference client's separate totals
+    # block (never set on the oracle path)
+    RENDER_TOTALS_MARKER[0] = True
     spark = get_spark("session_coverage", master="local[8]",
                       extra_conf={"spark.sql.shuffle.partitions": "4"})
     spark.sparkContext.setLogLevel("ERROR")
