@@ -311,15 +311,18 @@ _RULES: dict = {
     "tounixtimestamp": _fn("unix_timestamp"),
     # DateTime64 epoch extractors (FunctionsConversion
     # toUnixTimestamp64*): cast through LTZ TIMESTAMP — the tz-arg
-    # toDateTime path yields NTZ, which unix_* reject
+    # toDateTime path yields NTZ, which unix_* reject.  The reference
+    # requires exactly ONE DateTime64 argument — String literals and
+    # extra arguments are ILLEGAL_TYPE_OF_ARGUMENT /
+    # NUMBER_OF_ARGUMENTS_DOESNT_MATCH.
     "tounixtimestamp64second": lambda a:
-        f"unix_seconds(CAST({a[0]} AS TIMESTAMP))",
+        f"unix_seconds(CAST({_ts64_arg(a)} AS TIMESTAMP))",
     "tounixtimestamp64milli": lambda a:
-        f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
+        f"unix_millis(CAST({_ts64_arg(a)} AS TIMESTAMP))",
     "tounixtimestamp64micro": lambda a:
-        f"unix_micros(CAST({a[0]} AS TIMESTAMP))",
+        f"unix_micros(CAST({_ts64_arg(a)} AS TIMESTAMP))",
     "tounixtimestamp64nano": lambda a:
-        f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)",
+        f"(unix_micros(CAST({_ts64_arg(a)} AS TIMESTAMP)) * 1000)",
     "fromunixtimestamp": _fn("timestamp_seconds"),
     "adddays": lambda a: f"date_add({a[0]}, {a[1]})",
     "subtractdays": lambda a: f"date_sub({a[0]}, {a[1]})",
@@ -533,6 +536,14 @@ _RULES: dict = {
     # bitmap state algebra (FunctionsBitmap.cpp): states are sorted
     # array<long> — see operators/bitmaps.py for the DataFrame forms
     "bitmapbuild": lambda a: f"array_sort(array_distinct({a[0]}))",
+    # groupBitmap aggregate family over the sorted-array carrier:
+    # -State collects the union as a state array, -Merge unions
+    # partial states and finalizes to the cardinality
+    "groupbitmapstate": lambda a:
+        f"array_sort(array_distinct(flatten(collect_list({a[0]}))))",
+    "groupbitmapmerge": lambda a:
+        f"CAST(size(array_distinct(flatten(collect_list({a[0]})))) "
+        f"AS BIGINT)",
     "bitmaptoarray": lambda a: f"array_sort({a[0]})",
     "bitmapcardinality": lambda a: f"CAST(size({a[0]}) AS BIGINT)",
     "bitmapand": lambda a: f"array_sort(array_intersect({a[0]}, {a[1]}))",
@@ -1712,6 +1723,7 @@ def _finalize_aggregation_rule(a):
 
 
 _RULES["finalizeaggregation"] = _finalize_aggregation_rule
+_RULES["format"] = lambda a: _format_string_sql(a)
 
 
 def _neighbor_rule(a):
@@ -2062,6 +2074,88 @@ def _ordefault_default_sql(arg: str, base: str) -> str:
     if _TSY_CALL_RE.match(s):
         return "to_timestamp('1970-01-01 00:00:00')"
     return "0"
+
+
+def _ts64_arg(a: list[str]) -> str:
+    if len(a) != 1:
+        raise ValueError(
+            "toUnixTimestamp64*: exactly one DateTime64 argument "
+            "(reference NUMBER_OF_ARGUMENTS_DOESNT_MATCH)")
+    if re.fullmatch(r"\s*'[^']*'\s*", a[0]):
+        raise ValueError(
+            "toUnixTimestamp64*: illegal String argument "
+            "(reference ILLEGAL_TYPE_OF_ARGUMENT)")
+    return a[0]
+
+
+def _format_string_sql(a: list[str]) -> str:
+    """format('pattern', args...) with the reference's strict
+    replacement-field syntax (src/Functions/formatString.h): ``{}``
+    auto-numbered, ``{N}`` manual, ``{{``/``}}`` literal braces; any
+    other field content, an unmatched brace, or an out-of-range index
+    throws BAD_ARGUMENTS."""
+    fmt = a[0].strip()
+    if not (len(fmt) >= 2 and fmt.startswith("'") and fmt.endswith("'")):
+        # non-literal pattern: plain %s substitution best-effort
+        return (f"format_string(replace({a[0]}, '{{}}', '%s')"
+                + "".join(f", {x}" for x in a[1:]) + ")")
+    inner = fmt[1:-1]
+    n_args = len(a) - 1
+    pieces: list = []     # str literal chunks | ("arg", idx)
+    i, auto = 0, 0
+
+    def lit(t: str) -> None:
+        if pieces and isinstance(pieces[-1], str):
+            pieces[-1] += t
+        else:
+            pieces.append(t)
+
+    while i < len(inner):
+        c = inner[i]
+        if c == "{":
+            if inner[i + 1:i + 2] == "{":
+                lit("{")
+                i += 2
+                continue
+            j = inner.find("}", i)
+            if j < 0:
+                raise ValueError("format: unmatched '{' in pattern")
+            body = inner[i + 1:j]
+            if body == "":
+                idx = auto
+                auto += 1
+            elif body.isdigit():
+                idx = int(body)
+            else:
+                raise ValueError(
+                    f"format: invalid replacement field "
+                    f"'{{{body}}}' (only {{}} or {{N}})")
+            if idx >= n_args:
+                raise ValueError(
+                    f"format: argument index {idx} out of range "
+                    f"({n_args} arguments)")
+            pieces.append(("arg", idx))
+            i = j + 1
+            continue
+        if c == "}":
+            if inner[i + 1:i + 2] == "}":
+                lit("}")
+                i += 2
+                continue
+            raise ValueError("format: unmatched '}' in pattern")
+        lit(c)
+        i += 1
+    if not pieces:
+        return "''"
+    parts = []
+    for p in pieces:
+        if isinstance(p, str):
+            esc = p.replace("\\", "\\\\").replace("'", "\\'")
+            parts.append(f"'{esc}'")
+        else:
+            parts.append(f"CAST({a[p[1] + 1]} AS STRING)")
+    return parts[0] if len(parts) == 1 else \
+        "concat(" + ", ".join(parts) + ")"
 
 
 def _initialize_aggregation_sql(a: list[str]) -> str:
@@ -3662,7 +3756,7 @@ def _split_select(body: str) -> tuple[str, str]:
 
 _FORMAT_RE = re.compile(r"\s+FORMAT\s+\w+(?=\s+SETTINGS\b|\s*;?\s*$)",
                         re.IGNORECASE)
-_SETTINGS_RE = re.compile(r"\s+SETTINGS\s+[\w]+\s*=\s*[^,;]+(\s*,\s*[\w]+\s*=\s*[^,;]+)*\s*;?\s*$",
+_SETTINGS_RE = re.compile(r"\s+SETTINGS\s+[\w]+\s*=\s*[^,;()]+(\s*,\s*[\w]+\s*=\s*[^,;()]+)*\s*;?\s*$",
                           re.IGNORECASE)
 
 
@@ -5922,6 +6016,35 @@ def _ch_sql_impl(spark, sql: str,
     if mvt and tables is not None:
         name, dst, sel = mvt.groups()
         dst = dst.split(".")[-1]
+        lax = str(SESSION_SETTINGS.get(
+            "allow_materialized_view_with_bad_select", "0")
+        ).strip().lower() in ("1", "true")
+        dst_df = None
+        try:
+            dst_df = spark.table(dst)
+        except Exception:
+            dst_df = None
+        if dst_df is None and not lax:
+            raise ValueError(
+                f"CREATE MATERIALIZED VIEW {name}: target table "
+                f"{dst!r} does not exist (reference UNKNOWN_TABLE)")
+        if dst_df is not None and not lax:
+            # strict mode: the select must analyze and every output
+            # column must exist in the target (reference
+            # THERE_IS_NO_COLUMN / the bad-select rejection)
+            try:
+                missing = [c for c in
+                           ch_sql(spark, sel, tables=tables).columns
+                           if c not in set(dst_df.columns)]
+            except Exception as exc:
+                raise ValueError(
+                    f"CREATE MATERIALIZED VIEW {name}: select does "
+                    f"not analyze: {exc}") from exc
+            if missing:
+                raise ValueError(
+                    f"CREATE MATERIALIZED VIEW {name}: column(s) "
+                    f"{missing} not in target {dst!r} "
+                    f"(reference THERE_IS_NO_COLUMN)")
         sm = re.search(r"(?is)\bFROM\s+`?(\w+)`?", sel)
         tables.setdefault("__mv_to__", []).append(
             {"name": name, "src": sm.group(1) if sm else None,
@@ -6642,11 +6765,15 @@ def _ch_decl_type_to_spark(t: str) -> str:
     m = re.fullmatch(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)", t,
                      re.IGNORECASE)
     if m:
-        return f"DECIMAL({m.group(1)},{m.group(2)})"
-    m = re.fullmatch(r"Decimal(32|64|128)\s*\((\d+)\)", t, re.IGNORECASE)
+        # Decimal256 precision (up to 76) clamps at Spark's DECIMAL(38)
+        # ceiling — the documented carrier (LIMITS.md)
+        p = min(int(m.group(1)), 38)
+        return f"DECIMAL({p},{min(int(m.group(2)), p)})"
+    m = re.fullmatch(r"Decimal(32|64|128|256)\s*\((\d+)\)", t,
+                     re.IGNORECASE)
     if m:
-        prec = {"32": 9, "64": 18, "128": 38}[m.group(1)]
-        return f"DECIMAL({prec},{m.group(2)})"
+        prec = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
+        return f"DECIMAL({prec},{min(int(m.group(2)), prec)})"
     return "STRING"
 
 
@@ -7072,6 +7199,45 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
 
     # non-MergeTree engine with explicit columns: empty typed view
     if cm:
+        if cm.group(3).lower() == "embeddedrocksdb":
+            # StorageEmbeddedRocksDB requires PRIMARY KEY with exactly
+            # one column, and it must be a declared column
+            # (reference src/Storages/RocksDB/StorageEmbeddedRocksDB.cpp)
+            declared = {c.strip().split(None, 1)[0].strip("`")
+                        for c in _split_top_commas(cm.group(2))
+                        if c.strip()}
+            pk = re.search(r"(?is)\bPRIMARY\s+KEY\s*\(?\s*"
+                           r"([^)(;]+?)\s*\)?\s*$",
+                           cm.group(5) or "")
+            if pk is None:
+                raise ValueError(
+                    "EmbeddedRocksDB: PRIMARY KEY is required "
+                    "(must consist of exactly one column)")
+            pk_cols = [c.strip().strip("`")
+                       for c in pk.group(1).split(",") if c.strip()]
+            if len(pk_cols) != 1:
+                raise ValueError(
+                    "EmbeddedRocksDB: primary key must consist of "
+                    "exactly one column")
+            if pk_cols[0] not in declared:
+                raise ValueError(
+                    f"EmbeddedRocksDB: primary key column "
+                    f"{pk_cols[0]!r} is not in the column list")
+            # key-value semantics: inserts UPSERT on the primary key
+            # and reads always see the latest value — model as a
+            # replacing table whose every read is FINAL
+            new_text = re.sub(
+                r"(?is)ENGINE\s*=?\s*EmbeddedRocksDB\b.*$",
+                f"ENGINE = ReplacingMergeTree ORDER BY "
+                f"`{pk_cols[0]}`", text)
+            t = create_table_sql(spark, new_text, _default_table_dir())
+            t.always_final = True
+            if tables is not None:
+                tables[name] = t
+            if getattr(t, "schema_ddl", None):
+                spark.createDataFrame([], t.schema_ddl) \
+                    .createOrReplaceTempView(name)
+            return None
         parts = []
         for coldef in _split_top_commas(cm.group(2)):
             if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
@@ -7475,7 +7641,10 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
     aligned = df.select(*out)
     if t is not None and hasattr(t, "insert"):
         t.insert(aligned)
-        t.read().createOrReplaceTempView(name)
+        # always_final tables (EmbeddedRocksDB key-value semantics)
+        # expose the deduplicated state as THE table
+        (t.read(final=True) if getattr(t, "always_final", False)
+         else t.read()).createOrReplaceTempView(name)
         try:
             # plain MergeTree FINAL is identity; engine variants get
             # their merge semantics applied at read time

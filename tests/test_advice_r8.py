@@ -127,16 +127,35 @@ def test_mv_push_failure_surfaces(spark, tables):
            tables=tables)
     ch_sql(spark, "CREATE TABLE mvdst (n Int64) ENGINE Memory",
            tables=tables)
-    # the MV select references a column the block does not have
+    # strict mode (default): a bad select is rejected at CREATE
+    # (reference THERE_IS_NO_COLUMN)
+    with pytest.raises(Exception):
+        ch_sql(spark, "CREATE MATERIALIZED VIEW mvbad TO mvdst AS "
+                      "SELECT missing_col AS n FROM mvsrc",
+               tables=tables)
+    # lax mode: CREATE passes, the INSERT-time push failure surfaces
+    ch_sql(spark, "SET allow_materialized_view_with_bad_select = 1",
+           tables=tables, settings={})
     ch_sql(spark, "CREATE MATERIALIZED VIEW mvbad TO mvdst AS "
                   "SELECT missing_col AS n FROM mvsrc", tables=tables)
     with pytest.raises(Exception):
         ch_sql(spark, "INSERT INTO mvsrc VALUES (1)", tables=tables)
+    ch_sql(spark, "SET allow_materialized_view_with_bad_select = 0",
+           tables=tables, settings={})
     for t in ("mvbad", "mvsrc", "mvdst"):
         try:
             ch_sql(spark, f"DROP TABLE {t}", tables=tables)
         except Exception:
             pass
+
+
+def test_mv_to_nonexistent_target_rejected(spark, tables):
+    ch_sql(spark, "CREATE TABLE mvsrc2 (x Int64) ENGINE Memory",
+           tables=tables)
+    with pytest.raises(Exception, match="(?i)unknown_table|does not"):
+        ch_sql(spark, "CREATE MATERIALIZED VIEW mvx TO no_such_tbl "
+                      "AS SELECT x FROM mvsrc2", tables=tables)
+    ch_sql(spark, "DROP TABLE mvsrc2", tables=tables)
 
 
 def test_mv_cascade_still_works_two_levels(spark, tables):
