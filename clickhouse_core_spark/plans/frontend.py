@@ -1376,7 +1376,12 @@ def _ch_type_ddl(t: str):
         return "TIMESTAMP"
     m = re.fullmatch(r"(?i)Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
     if m:
-        p = min(int(m.group(1)), 38)
+        # CH Decimal(p, s) stores at the underlying width (Decimal32/
+        # 64/128 by p) and accepts any value that fits the WIDTH, not
+        # p — carry at the storage width so e.g. Decimal(10, 5)
+        # keeps 13 integer digits like the reference
+        declared = int(m.group(1))
+        p = 9 if declared <= 9 else 18 if declared <= 18 else 38
         return f"DECIMAL({p},{min(int(m.group(2)), p)})"
     m = re.fullmatch(r"(?i)Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)", t)
     if m:
@@ -1659,6 +1664,19 @@ def _json_array_raw(a):
             f"__e -> to_json(__e))")
 
 
+def _json_extract_keys(a):
+    """JSONExtractKeys(json[, path...]) — object keys in document
+    order; [] for non-objects (src/Functions/FunctionsJSON.cpp)."""
+    raw = (f"get_json_object({a[0]}, {_json_path(a)})"
+           if len(a) > 1 else a[0])
+    return (f"COALESCE(json_object_keys({raw}), "
+            f"CAST(array() AS ARRAY<STRING>))")
+
+
+_RULES["jsonextractkeys"] = _json_extract_keys
+# countDistinct is the reference's alias of uniqExact
+# (AggregateFunctionUniq registration)
+_RULES["countdistinct"] = lambda a: f"count(DISTINCT {', '.join(a)})"
 _RULES["jsonextract"] = _jsonextract_typed
 _RULES["jsonextractkeysandvalues"] = _json_kv_typed
 _RULES["jsonextractkeysandvaluesraw"] = _json_kv_raw
@@ -3703,6 +3721,29 @@ def _translate_expr(sql: str) -> str:
                 i = after
                 continue
             if lname in _TUPLE_ARG_FNS:
+                if lname in ("lpnorm", "lpdistance", "lpnormalize") \
+                        and args and re.match(
+                            r"(?is)\s*materialize\s*\(",
+                            args[-1].strip()):
+                    # the reference requires p to be a LITERAL
+                    # constant; materialize() makes it a column
+                    raise ValueError(
+                        f"{name}: p must be a constant literal "
+                        f"(reference ILLEGAL_TYPE_OF_ARGUMENT)")
+                if lname in ("cosinedistance", "dotproduct",
+                             "scalarproduct", "l1distance",
+                             "l2distance", "l2squareddistance",
+                             "linfdistance", "lpdistance",
+                             "tuplehammingdistance") \
+                        and len(targs) >= 2:
+                    le, ri = (_tuple_elems(targs[0]),
+                              _tuple_elems(targs[1]))
+                    if le is not None and ri is not None \
+                            and len(le) != len(ri):
+                        raise ValueError(
+                            f"{name}: tuple sizes differ "
+                            f"({len(le)} vs {len(ri)}; reference "
+                            f"SIZES_OF_ARGUMENTS_DOESNT_MATCH)")
                 # CH vector/tuple math accepts TUPLES; the array-based
                 # implementations here take arrays — literal paren
                 # tuples convert textually (FunctionsVectorMath)
@@ -4557,6 +4598,39 @@ def _rewrite_cast_types(sql: str) -> str:
     -> Spark-DDL converter the typed-JSONExtract family uses;
     ``::Dynamic`` (the any-type carrier) drops — values already flow
     untyped here."""
+    # literal-to-Decimal casts: the reference parses the string with
+    # readDecimalText — the fraction TRUNCATES to the target scale
+    # (never rounds), and an integer part exceeding the STORAGE width
+    # (Decimal32/64/128 by p) minus the scale is ARGUMENT_OUT_OF_BOUND
+    if re.search(r"(?i)Decimal\s*\(", sql):
+        def _dec_lit(lit: str, declared: int, s: int) -> str:
+            w = 9 if declared <= 9 else 18 if declared <= 18 else 38
+            int_digits = len(lit.lstrip("-").split(".")[0].lstrip("0"))
+            if int_digits > w - s:
+                raise ValueError(
+                    f"Decimal({declared}, {s}): value {lit!r} does "
+                    f"not fit the Decimal"
+                    f"{'32' if w == 9 else '64' if w == 18 else '128'}"
+                    f" width (reference ARGUMENT_OUT_OF_BOUND)")
+            if "." in lit:
+                ip, fp = lit.split(".", 1)
+                lit = f"{ip}.{fp[:s]}" if s else ip
+            return lit
+
+        sql = re.sub(
+            r"(?is)CAST\s*\(\s*'(-?[\d.]+)'\s+AS\s+"
+            r"Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)",
+            lambda m: (f"CAST('"
+                       f"{_dec_lit(m.group(1), int(m.group(2)), int(m.group(3)))}"
+                       f"' AS Decimal({m.group(2)}, {m.group(3)}))"),
+            sql)
+        sql = re.sub(
+            r"(?is)'(-?[\d.]+)'\s*::\s*"
+            r"Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+            lambda m: (f"'"
+                       f"{_dec_lit(m.group(1), int(m.group(2)), int(m.group(3)))}"
+                       f"'::Decimal({m.group(2)}, {m.group(3)})"),
+            sql)
     # complex '::Type(...)' forms first (the scalar regex can't span
     # parens); scan each match, balance the parens, convert
     for pat, prefix_keep in ((_COLONCOLON_COMPLEX_RE, False),
@@ -5788,6 +5862,18 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             r"(?i)\bUNION\s+(?!ALL\b|DISTINCT\b)", "UNION ALL ", seg))
         sql = s2
     df = _ch_sql_impl(spark, sql, sample_by=sample_by, tables=tables)
+    if df is not None and any(
+            f.dataType.simpleString().startswith("interval")
+            for f in df.schema.fields):
+        # interval-typed RESULT columns are not collectible in PySpark
+        # (YearMonthIntervalType.fromInternal); the reference displays
+        # an interval as its unit count — BIGINT cast yields exactly
+        # that for single-unit intervals
+        df = df.select(*[
+            F.col(f"`{f.name}`").cast("long").alias(f.name)
+            if f.dataType.simpleString().startswith("interval")
+            else F.col(f"`{f.name}`")
+            for f in df.schema.fields])
     if df is not None and settings \
             and re.match(r"(?is)^\s*(SELECT|WITH)\b", sql):
         off = settings.get("offset")
@@ -7709,6 +7795,20 @@ def _fire_mv_triggers(spark, name: str, block, tables,
                 pass
 
 
+def _truncate_long_decimal_literals(expr: str) -> str:
+    """Bare decimal literals longer than Spark's 38-digit literal
+    ceiling truncate their FRACTION (the reference parses the value
+    and truncates to the target scale on insert — the integer part
+    must still fit, checked downstream)."""
+
+    def cut(mm):
+        ip, fp = mm.group(1), mm.group(2)
+        keep = max(0, 38 - len(ip.lstrip("-")))
+        return f"{ip}.{fp[:keep]}" if keep else ip
+
+    return re.sub(r"(-?\d+)\.(\d{30,})(?![\d.eE])", cut, expr)
+
+
 def _insert_values_statement(spark, name: str, cols_raw, body, tables):
     """``INSERT INTO t [(cols)] VALUES (..), (..)`` — each tuple
     element is a CH expression (ValuesBlockInputFormat parses full
@@ -7733,7 +7833,8 @@ def _insert_values_statement(spark, name: str, cols_raw, body, tables):
                 f"{len(cols)} columns {cols}")
         rows.append(
             "(" + ", ".join(
-                _translate_expr(_rewrite_map_literals(e.strip()))
+                _translate_expr(_rewrite_map_literals(
+                    _truncate_long_decimal_literals(e.strip())))
                 for e in elems)
             + ")")
     quoted = ", ".join(f"`{c}`" for c in cols)
