@@ -32,7 +32,13 @@ def replacing_final(df: DataFrame, keys: Sequence[str],
     surviving row carries is_deleted = 1 is a tombstone and is dropped
     from the FINAL view entirely."""
     keys = list(keys)
-    order = [F.col(version).desc()] if version else [F.lit(1)]
+    order = [F.col(version).desc()] if version else []
+    if "__part_seq" in df.columns:
+        # equal versions: the reference keeps the LAST row in the
+        # selection — most recent part wins
+        order.append(F.col("__part_seq").desc())
+    if not order:
+        order = [F.lit(1)]
     w = Window.partitionBy(*keys).orderBy(*order)
     out = (df.withColumn("__rn", F.row_number().over(w))
            .filter(F.col("__rn") == 1).drop("__rn"))

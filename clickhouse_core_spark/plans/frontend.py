@@ -5885,6 +5885,46 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     return df
 
 
+def _rewrite_virtual_columns(spark, text: str, tables: dict) -> str:
+    """MergeTree virtual columns ``_path`` / ``_file`` / ``_part`` /
+    ``_partition_id`` (reference MergeTreeData::getVirtualsList /
+    StorageFile virtuals): register a side view of the managed table
+    with the virtuals materialized from the parquet file paths and
+    point the query at it.  A bare ``*`` in the select list expands to
+    the BASE columns first (CH stars never include virtuals)."""
+    for nm, tt in list(tables.items()):
+        if nm.startswith("__") or not hasattr(tt, "read_raw"):
+            continue
+        if not re.search(rf"(?is)\bFROM\s+`?{re.escape(nm)}`?(?!\w)",
+                         text):
+            continue
+        try:
+            df = tt.read_raw()
+        except Exception:
+            continue
+        base_cols = list(df.columns)
+        fname = F.input_file_name()
+        root = str(getattr(tt, "path", ""))
+        rel = (F.regexp_replace(fname, re.escape("file://"), "")
+               if root else fname)
+        df = (df.withColumn("_path", rel)
+              .withColumn("_file",
+                          F.element_at(F.split(fname, "/"), -1))
+              .withColumn("_part", F.regexp_extract(
+                  fname, re.escape(root.rstrip("/")) + r"/([^/]+)", 1)
+                  if root else F.element_at(F.split(fname, "/"), -2))
+              .withColumn("_partition_id", F.regexp_extract(
+                  fname, r"/[^/=]+=([^/]*)/[^/]*$", 1)))
+        vname = f"__virt_{nm}"
+        df.createOrReplaceTempView(vname)
+        star = ", ".join(f"`{c}`" for c in base_cols)
+        text = re.sub(r"(?is)(\bSELECT\s+(?:DISTINCT\s+)?)\*",
+                      lambda m: m.group(1) + star, text, count=1)
+        text = re.sub(rf"(?is)\bFROM\s+`?{re.escape(nm)}`?(?!\w)",
+                      f"FROM {vname}", text)
+    return text
+
+
 def _ch_sql_impl(spark, sql: str,
                  sample_by: dict[str, str] | None = None,
                  tables: dict | None = None):
@@ -5916,6 +5956,10 @@ def _ch_sql_impl(spark, sql: str,
     """
     _ensure_sql_udfs(spark)
     text = sql.strip().rstrip(";")
+    if tables and re.match(r"(?is)\s*(SELECT|WITH)\b", text) \
+            and re.search(r"\b_(?:path|file|part|partition_id)\b",
+                          text):
+        text = _rewrite_virtual_columns(spark, text, tables)
     kind_m = re.match(r"\s*([A-Za-z]+)", text)
     _QUERY_LOG.append([len(_QUERY_LOG),
                        (kind_m.group(1).upper() if kind_m else ""),
@@ -6994,6 +7038,8 @@ def create_table_sql(spark, sql: str, base_dir: str):
     kwargs: dict = {}
     if engine == "replacing":
         kwargs["version_col"] = args[0] if args else None
+        if len(args) > 1:
+            kwargs["is_deleted_col"] = args[1]
     elif engine in ("collapsing", "versioned_collapsing"):
         kwargs["sign_col"] = args[0] if args else None
         if engine == "versioned_collapsing" and len(args) > 1:

@@ -65,6 +65,7 @@ class MergeTreeTable:
                  engine: str = "merge_tree",
                  key_cols: Sequence[str] | None = None,
                  version_col: str | None = None,
+                 is_deleted_col: str | None = None,
                  sign_col: str | None = None,
                  sum_cols: Sequence[str] | None = None,
                  bloom_filter_cols: Sequence[str] = (),
@@ -82,6 +83,9 @@ class MergeTreeTable:
         # ORDER BY *is* the dedup key for Replacing/Summing engines)
         self.key_cols = list(key_cols) if key_cols else self.order_by
         self.version_col = version_col
+        # ReplacingMergeTree(version, is_deleted): FINAL drops keys
+        # whose surviving row is a tombstone (is_deleted = 1)
+        self.is_deleted_col = is_deleted_col
         self.sign_col = sign_col
         self.sum_cols = list(sum_cols) if sum_cols else None
         # Skip-index analog (reference
@@ -130,6 +134,7 @@ class MergeTreeTable:
             "engine": self.engine, "order_by": self.order_by,
             "partition_by": self.partition_by, "key_cols": self.key_cols,
             "version_col": self.version_col, "sign_col": self.sign_col,
+            "is_deleted_col": self.is_deleted_col,
             "sum_cols": self.sum_cols,
             "bloom_filter_cols": self.bloom_filter_cols,
             "token_index_cols": self.token_index_cols,
@@ -147,6 +152,7 @@ class MergeTreeTable:
                    order_by=meta["order_by"], partition_by=meta["partition_by"],
                    engine=meta["engine"], key_cols=meta["key_cols"],
                    version_col=meta["version_col"], sign_col=meta["sign_col"],
+                   is_deleted_col=meta.get("is_deleted_col"),
                    sum_cols=meta["sum_cols"],
                    bloom_filter_cols=meta.get("bloom_filter_cols", ()),
                    token_index_cols=meta.get("token_index_cols", ()),
@@ -464,17 +470,22 @@ class MergeTreeTable:
 
     # ----------------------------------------------------------------- reads
 
-    def read_raw(self) -> DataFrame:
+    def read_raw(self, with_seq: bool = False) -> DataFrame:
         """All appended rows, engine semantics NOT applied (the
         reference's default non-FINAL read); lightweight-delete masks
         are applied (the reference's implicit `_row_exists = 1`
-        filter)."""
+        filter).  ``with_seq`` adds a ``__part_seq`` column (the
+        part's insertion-order index) so FINAL merges can break
+        version ties by part recency like the reference's
+        last-in-selection rule."""
         parts = self.parts()
         if not parts:
             raise ValueError(f"table at {self.path} has no parts")
         if len(parts) == 1:
             df = self.spark.read.option("basePath", parts[0]) \
                 .parquet(parts[0])
+            if with_seq:
+                df = df.withColumn("__part_seq", F.lit(0))
         else:
             # per-part basePath keeps hive partition discovery local to
             # each part (a multi-root read would see the part-* level
@@ -483,20 +494,29 @@ class MergeTreeTable:
             # view layer applies declared DEFAULTs
             dfs = [self.spark.read.option("basePath", p).parquet(p)
                    for p in parts]
+            if with_seq:
+                dfs = [d.withColumn("__part_seq", F.lit(i))
+                       for i, d in enumerate(dfs)]
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d, allowMissingColumns=True)
         return self._apply_delete_masks(df, parts)
 
     def read(self, final: bool = False) -> DataFrame:
-        df = self.read_raw()
         if not final or self.engine == "merge_tree":
-            return df
-        return self._apply_engine(df)
+            return self.read_raw()
+        if self.engine == "replacing":
+            # part-recency tiebreak for equal versions (the
+            # reference keeps the last row in the selection)
+            out = self._apply_engine(self.read_raw(with_seq=True))
+            return out.drop("__part_seq")
+        return self._apply_engine(self.read_raw())
 
     def _apply_engine(self, df: DataFrame) -> DataFrame:
         if self.engine == "replacing":
-            return replacing_final(df, self.key_cols, version=self.version_col)
+            return replacing_final(df, self.key_cols,
+                                   version=self.version_col,
+                                   is_deleted=self.is_deleted_col)
         if self.engine == "summing":
             return summing_final(df, self.key_cols, sum_cols=self.sum_cols)
         if self.engine == "collapsing":
@@ -527,8 +547,18 @@ class MergeTreeTable:
         if len(parts) <= 1 and self.engine == "merge_tree" \
                 and not has_masks:
             return
-        raw = self.read_raw()
-        merged = self._apply_engine(raw)
+        if self.engine == "replacing":
+            # merge keeps the last row per key INCLUDING tombstones —
+            # is_deleted rows drop only at FINAL read (or the
+            # reference's OPTIMIZE ... CLEANUP, not modeled)
+            raw = self.read_raw(with_seq=True)
+            merged = replacing_final(raw, self.key_cols,
+                                     version=self.version_col,
+                                     is_deleted=None) \
+                .drop("__part_seq")
+        else:
+            raw = self.read_raw()
+            merged = self._apply_engine(raw)
         # engine rewrites may drop their bookkeeping column (collapsing
         # drops the sign); the merged PART must keep the table schema —
         # surviving rows are state rows (sign = +1), matching the

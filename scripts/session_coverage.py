@@ -356,12 +356,17 @@ def main() -> int:
                 m_on = re.search(r"--\s*\{\s*echo(On)?\s*\}", raw)
                 m_off = re.search(r"--\s*\{\s*echoOff\s*\}", raw)
                 if not echo_active and m_on is not None:
+                    # the whole span echoes — including comment lines
+                    # between the previous ';' and the marker (the
+                    # client echoes each query's full raw text)
                     echo_active = True
-                    out_parts.append(raw[m_on.start():].strip() + "\n")
+                    out_parts.append(
+                        raw.lstrip("\n\r \t").rstrip() + "\n")
                 elif echo_active and m_off is not None:
                     echo_active = False
                 elif echo_active:
-                    out_parts.append(raw.strip() + "\n")
+                    out_parts.append(
+                        raw.lstrip("\n\r \t").rstrip() + "\n")
             if len(stmt) > 4000:
                 counts["SKIP"] += 1
                 verifiable = False
