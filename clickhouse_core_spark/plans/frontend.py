@@ -1744,6 +1744,64 @@ _RULES["finalizeaggregation"] = _finalize_aggregation_rule
 _RULES["format"] = lambda a: _format_string_sql(a)
 
 
+def _array_auc_rule(orig_name: str):
+    """arrayAUCPR/arrayPRAUC/arrayROCAUC/arrayAUC literal-argument
+    validation (src/Functions/array/arrayAUC.cpp): empty arrays,
+    NULL/String elements, mismatched sizes, malformed 3-element
+    offsets and wrong arity are all rejections; valid calls delegate
+    to the registry implementations."""
+    is_pr = orig_name.lower() in ("arrayaucpr", "arrayprauc")
+
+    def elems(x: str):
+        m = re.fullmatch(r"(?is)\s*array\s*\((.*)\)\s*", x.strip())
+        if m is None:
+            return None
+        inner = m.group(1).strip()
+        return _split_top_commas(inner) if inner else []
+
+    def rule(a):
+        if len(a) < 2 or len(a) > 3:
+            raise ValueError(
+                f"{orig_name}: wrong number of arguments (reference "
+                f"NUMBER_OF_ARGUMENTS_DOESNT_MATCH)")
+        e1, e2 = elems(a[0]), elems(a[1])
+        for e in (e1, e2):
+            if e is not None:
+                if not e:
+                    raise ValueError(
+                        f"{orig_name}: empty array argument "
+                        f"(reference ILLEGAL_TYPE_OF_ARGUMENT)")
+                if any(re.fullmatch(r"(?i)null", v.strip())
+                       or v.strip().startswith("'") for v in e):
+                    raise ValueError(
+                        f"{orig_name}: NULL/String elements "
+                        f"(reference ILLEGAL_TYPE_OF_ARGUMENT)")
+        if e1 is not None and e2 is not None and len(e1) != len(e2):
+            raise ValueError(
+                f"{orig_name}: array sizes differ "
+                f"(reference BAD_ARGUMENTS)")
+        if len(a) == 3 and is_pr:
+            off = elems(a[2])
+            if off is not None and (
+                    len(off) != 3
+                    or any(re.fullmatch(r"(?i)null", v.strip())
+                           or v.strip().startswith(("'", "-"))
+                           for v in off)):
+                raise ValueError(
+                    f"{orig_name}: malformed offsets "
+                    f"(reference BAD_ARGUMENTS)")
+        out = _bridge_registry_call(orig_name, list(a))
+        return out if out is not None \
+            else f"{orig_name}({', '.join(a)})"
+    return rule
+
+
+_RULES["arrayaucpr"] = _array_auc_rule("arrayAUCPR")
+_RULES["arrayprauc"] = _array_auc_rule("arrayPRAUC")
+_RULES["arrayrocauc"] = _array_auc_rule("arrayROCAUC")
+_RULES["arrayauc"] = _array_auc_rule("arrayAUC")
+
+
 def _neighbor_rule(a):
     """neighbor(x, offset[, default]) (src/Functions/neighbor.cpp):
     block-relative lead/lag — one stream here, so a global-order
@@ -5061,6 +5119,24 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
                  r"((?:`?\w+`?|\([^()]*\))(?:\s+(?:AS\s+)?\w+)?)"
                  r"(\s+USING)\b",
                  r"ANY JOIN \1\2", sql, flags=re.IGNORECASE)
+    # SEMI RIGHT JOIN USING: each matched RIGHT row once, paired with
+    # ONE matching left row (TableJoin semi, right direction) — inner
+    # join against the per-key-deduplicated LEFT side
+    sql = re.sub(
+        r"(?is)\bFROM\s+(`?\w+`?)(?:\s+(?:AS\s+)?(?!SEMI\b)(\w+))?"
+        r"\s+SEMI\s+RIGHT\s+JOIN\s+(`?\w+`?(?:\s+(?:AS\s+)?\w+)?)"
+        r"\s+USING\s*\(([^()]*)\)",
+        lambda m: (lambda keys, first, la:
+                   f"FROM (SELECT * EXCEPT (__sr_rn) FROM (SELECT *, "
+                   f"row_number() OVER (PARTITION BY {keys} ORDER BY "
+                   f"{first}) AS __sr_rn FROM {m.group(1)}) "
+                   f"WHERE __sr_rn = 1) AS {la} "
+                   f"JOIN {m.group(3)} USING ({keys})")(
+            ", ".join(k.strip().strip("`")
+                      for k in m.group(4).split(",")),
+            m.group(4).split(",")[0].strip().strip("`"),
+            m.group(2) or m.group(1).strip("`")),
+        sql)
     sql = re.sub(r"\bSEMI\s+LEFT\s+JOIN\b", "LEFT SEMI JOIN", sql,
                  flags=re.IGNORECASE)
     sql = re.sub(r"\bANTI\s+LEFT\s+JOIN\b", "LEFT ANTI JOIN", sql,
@@ -5589,7 +5665,7 @@ _ASOF_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 _ANY_JOIN_RE = re.compile(
-    r"\b(LEFT\s+)?ANY\s+(LEFT\s+)?JOIN\s+"
+    r"\b(LEFT\s+)?ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+"
     r"(`?\w+`?|\([^()]*(?:\([^()]*\)[^()]*)*\)(?:\s+(?:AS\s+)?\w+)?)"
     r"\s+USING\s*\(([^)]*)\)",
     re.IGNORECASE)
@@ -5614,7 +5690,9 @@ def _rewrite_any_join(sql: str) -> str:
             src, alias = tm.group(1), (tm.group(2) or "__any_r")
         else:
             src, alias = t, t.strip("`")
-        how = "LEFT JOIN" if (m.group(1) or m.group(2)) else "JOIN"
+        how = ("LEFT JOIN"
+               if "LEFT" in ((m.group(1) or "") + (m.group(2) or ""))
+               .upper() else "JOIN")
         return (f"{how} (SELECT * EXCEPT (__any_rn) FROM ("
                 f"SELECT *, row_number() OVER (PARTITION BY {keys} "
                 f"ORDER BY {first_key}) AS __any_rn FROM {src}) "
@@ -5676,6 +5754,12 @@ _INSERT_RE = re.compile(
 _INSERT_VALUES_RE = re.compile(
     r"^INSERT\s+INTO\s+(?:TABLE\s+)?`?(\w+)`?\s*"
     r"(?:\(([^()]*)\)\s*)?(?:FORMAT\s+VALUES|VALUES)\s*(.+)$",
+    re.IGNORECASE | re.DOTALL)
+_INSERT_JSONROWS_RE = re.compile(
+    r"^INSERT\s+INTO\s+(?:TABLE\s+)?`?(\w+)`?\s*"
+    r"(?:\(([^()]*)\)\s*)?FORMAT\s+"
+    r"(JSONEachRow|JSONCompactEachRow|JSONAsObject|JSONAsString)"
+    r"\s+(.+)$",
     re.IGNORECASE | re.DOTALL)
 _DELETE_RE = re.compile(
     r"^(?:ALTER\s+TABLE\s+`?(\w+)`?\s+DELETE|DELETE\s+FROM\s+`?(\w+)`?)"
@@ -6046,6 +6130,12 @@ def _ch_sql_impl(spark, sql: str,
                     "marks bigint")
         return spark.sql("EXPLAIN EXTENDED "
                          + translate_ch_sql(m.group(1), sample_by=sample_by))
+    m = _INSERT_JSONROWS_RE.match(text)
+    if m:
+        return _insert_json_rows(spark, m.group(1), m.group(2),
+                                 m.group(3).lower(), m.group(4),
+                                 tables)
+
     m = _INSERT_VALUES_RE.match(text)
     if m:
         return _insert_values_statement(
@@ -7853,6 +7943,84 @@ def _truncate_long_decimal_literals(expr: str) -> str:
         return f"{ip}.{fp[:keep]}" if keep else ip
 
     return re.sub(r"(-?\d+)\.(\d{30,})(?![\d.eE])", cut, expr)
+
+
+def _split_json_objects(body: str) -> list[str]:
+    """Split inline JSON data (``{...} {...}`` / ``[...] [...]``,
+    whitespace- or newline-separated) into document texts —
+    brace-depth scan, string-aware."""
+    docs, i, n = [], 0, len(body)
+    while i < n:
+        c = body[i]
+        if c in " \t\r\n,;":
+            i += 1
+            continue
+        if c not in "{[":
+            raise ValueError(
+                f"inline JSON rows: expected '{{' at {body[i:i+24]!r}")
+        open_c, close_c = c, ("}" if c == "{" else "]")
+        depth, j = 0, i
+        while j < n:
+            ch = body[j]
+            if ch == '"':
+                j += 1
+                while j < n and body[j] != '"':
+                    j += 2 if body[j] == "\\" else 1
+            elif ch == open_c:
+                depth += 1
+            elif ch == close_c:
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        docs.append(body[i:j + 1])
+        i = j + 1
+    return docs
+
+
+def _insert_json_rows(spark, name: str, cols_raw, fmt: str, body,
+                      tables):
+    """``INSERT INTO t FORMAT JSONEachRow {...} {...}`` — inline JSON
+    data after the FORMAT clause (the reference client feeds the
+    statement tail to JSONEachRowRowInputFormat; also
+    JSONCompactEachRow positional arrays and the JSONAsObject/
+    JSONAsString whole-document-per-row forms)."""
+    import json as _json
+    t = (tables or {}).get(name)
+    schema = _target_schema(spark, name, t)
+    if schema is None:
+        raise ValueError(f"INSERT FORMAT JSON*: no declared schema "
+                         f"for {name!r}")
+    docs = _split_json_objects(body)
+    if fmt in ("jsonasobject", "jsonasstring"):
+        # whole document into the single (JSON-carrier) column
+        target = (cols_raw.strip().strip("`") if cols_raw
+                  and cols_raw.strip() else schema.fields[0].name)
+        df = spark.createDataFrame([(d,) for d in docs],
+                                   f"`{target}` string")
+        return _append_to_table(spark, name, df, tables)
+    names = [f.name for f in schema.fields]
+    cols = ([c.strip().strip("`") for c in cols_raw.split(",")]
+            if cols_raw and cols_raw.strip() else names)
+    if fmt == "jsoncompacteachrow":
+        docs = ["{" + ", ".join(
+            f"{_json.dumps(cols[k])}: {_json.dumps(v)}"
+            for k, v in enumerate(_json.loads(d))) + "}"
+            for d in docs]
+    df = spark.read.json(
+        spark.sparkContext.parallelize(docs, max(1, min(len(docs), 4))))
+    str_targets = {f.name for f in schema.fields
+                   if f.dataType.simpleString() == "string"}
+    for f2 in df.schema.fields:
+        if f2.name in str_targets and \
+                not f2.dataType.simpleString().startswith(
+                    ("string", "binary")):
+            # nested JSON value into a string/JSON-carrier column
+            df = df.withColumn(f2.name, F.to_json(F.col(f"`{f2.name}`"))
+                               if f2.dataType.simpleString().startswith(
+                                   ("struct", "array", "map"))
+                               else F.col(f"`{f2.name}`").cast("string"))
+    return _append_to_table(spark, name, df, tables)
 
 
 def _insert_values_statement(spark, name: str, cols_raw, body, tables):
