@@ -687,7 +687,8 @@ _RULES: dict = {
     # binary payload in a string carrier)
     "dynamictype": lambda a: (
         f"(CASE WHEN {a[0]} IS NULL THEN 'None' "
-        f"WHEN try_cast({a[0]} AS BIGINT) IS NOT NULL THEN 'Int64' "
+        f"WHEN try_cast({a[0]} AS BIGINT) IS NOT NULL THEN "
+        f"IF(try_cast({a[0]} AS BIGINT) >= 0, 'UInt64', 'Int64') "
         f"WHEN try_cast({a[0]} AS DOUBLE) IS NOT NULL THEN 'Float64' "
         f"WHEN lower(CAST({a[0]} AS STRING)) IN ('true', 'false') "
         f"THEN 'Bool' "
@@ -5093,6 +5094,44 @@ def _rewrite_values_tvf(sql: str) -> str:
     return "".join(out)
 
 
+_DYN_SUB_RE = re.compile(
+    r"\b([A-Za-z_]\w*)\.(?:"
+    r"(U?Int(?:8|16|32|64|128|256)|Float(?:32|64)|String|Date32|Date|"
+    r"DateTime64|DateTime|Bool)\b(?!\s*\()"
+    r"|`([A-Z][^`]*)`)")
+
+
+def _rewrite_dynamic_subcolumns(seg: str) -> str:
+    """``d.UInt64`` / ``d.`LowCardinality(String)``` — Dynamic-column
+    typed subcolumn reads (DataTypeDynamic::getSubcolumn): the carried
+    value when the dynamic tag equals the requested type, else NULL.
+    Type-name-driven (a second path component that IS a CH type name
+    can only be this form — struct fields/JSON paths never collide
+    with the capitalized type grammar)."""
+    def sub(m):
+        col, tag = m.group(1), (m.group(2) or m.group(3))
+        if col.lower() in ("system", "information_schema"):
+            return m.group(0)
+        sniff = _RULES["dynamictype"]([f"`{col}`"])
+        base = re.sub(r"\(.*", "", tag)
+        if re.fullmatch(r"U?Int\d+", base):
+            val = f"try_cast(`{col}` AS BIGINT)"
+        elif base in ("Float32", "Float64"):
+            val = f"try_cast(`{col}` AS DOUBLE)"
+        elif base in ("Date", "Date32"):
+            val = f"try_cast(`{col}` AS DATE)"
+        elif base in ("DateTime", "DateTime64"):
+            val = f"try_cast(`{col}` AS TIMESTAMP)"
+        elif base == "Bool":
+            val = f"try_cast(`{col}` AS BOOLEAN)"
+        elif base == "Array":
+            val = f"from_json(`{col}`, 'array<string>')"
+        else:
+            val = f"CAST(`{col}` AS STRING)"
+        return f"(CASE WHEN {sniff} = '{tag}' THEN {val} END)"
+    return _DYN_SUB_RE.sub(sub, seg)
+
+
 def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     """Translate a ClickHouse SELECT into Spark SQL text."""
     sql = sql.strip().rstrip(";")
@@ -5104,6 +5143,13 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         sql = _sub_nonstring(sql, lambda seg: re.sub(
             r"(?i)\s+SETTINGS\s+\w+\s*=\s*[^,;()]+"
             r"(\s*,\s*\w+\s*=\s*[^,;()]+)*(?=\s*\))", "", seg))
+    # Dynamic subcolumn reads ``d.UInt64`` / ``d.`Array(...)```
+    # (reference DataTypeDynamic subcolumns: the value when the
+    # dynamic tag matches, NULL otherwise) — over the string carrier,
+    # the tag comes from the dynamicType sniffer
+    if re.search(r"\.\s*(?:`[A-Z]|U?Int\d|Float(?:32|64)\b|String\b|"
+                 r"Date(?:32)?\b|DateTime(?:64)?\b|Bool\b)", sql):
+        sql = _sub_nonstring(sql, _rewrite_dynamic_subcolumns)
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
@@ -7082,6 +7128,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     nullable_cols: set[str] = set()
     materialized_cols: set[str] = set()
     json_cols: set[str] = set()
+    dynamic_cols: set[str] = set()
     for coldef in _split_top_commas(cols_src):
         if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
                     r"PRIMARY\s+KEY)\b", coldef):
@@ -7115,6 +7162,8 @@ def create_table_sql(spark, sql: str, base_dir: str):
         if re.match(r"(?i)\s*(JSON\b|Object\s*\()",
                     _decl_type(toks[1])):
             json_cols.add(cname)
+        if re.match(r"(?i)\s*Dynamic\b", _decl_type(toks[1])):
+            dynamic_cols.add(cname)
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
         dm = re.search(r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
@@ -7152,6 +7201,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table.nullable_cols = nullable_cols
     table.materialized_cols = materialized_cols
     table.json_cols = json_cols
+    table.dynamic_cols = dynamic_cols
     return table
 
 
