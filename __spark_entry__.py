@@ -8367,6 +8367,134 @@ def fn_tuple_vector_math_q(spark, sf_dir):
     """)
 
 
+@q("ch_sql_session_replacing_is_deleted", """
+SELECT CAST(x AS BIGINT) AS account_id FROM range(10) t(x)
+WHERE x >= 3 ORDER BY account_id
+""")
+def ch_sql_session_replacing_is_deleted_q(spark, sf_dir):
+    """ReplacingMergeTree(version, is_deleted) tombstones (reference
+    src/Processors/Merges/ReplacingSortedAlgorithm.h): rows whose
+    winning version carries is_deleted = 1 vanish from FINAL reads;
+    OPTIMIZE FINAL merges keep the tombstones physically (no CLEANUP)
+    so a later FINAL still drops them."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s9_rmt (account_id UInt64, "
+                  "_is_deleted UInt8, _version UInt64) "
+                  "ENGINE = ReplacingMergeTree(_version, _is_deleted) "
+                  "ORDER BY (account_id)", tables=t)
+    ch_sql(spark, "INSERT INTO s9_rmt SELECT number, 0, 1 "
+                  "FROM numbers(10)", tables=t)
+    ch_sql(spark, "INSERT INTO s9_rmt SELECT number, 1, 2 "
+                  "FROM numbers(3)", tables=t)
+    ch_sql(spark, "OPTIMIZE TABLE s9_rmt FINAL", tables=t)
+    return ch_sql(spark, "SELECT account_id FROM s9_rmt FINAL "
+                         "ORDER BY account_id", tables=t)
+
+
+@q("ch_sql_session_json_each_row", """
+WITH j(id, tag, score) AS (VALUES
+  (1, 'a', 1.5), (2, 'b', 2.5), (3, '', 0.0))
+SELECT CAST(id AS BIGINT) AS id, tag, score FROM j ORDER BY id
+""")
+def ch_sql_session_json_each_row_q(spark, sf_dir):
+    """Inline JSON-rows INSERT (reference
+    JSONEachRowRowInputFormat fed from the statement tail): missing
+    fields fill with the column type defaults ('' / 0)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s9_json (id UInt32, tag String, "
+                  "score Float64) ENGINE Memory", tables=t)
+    ch_sql(spark, 'INSERT INTO s9_json FORMAT JSONEachRow '
+                  '{"id": 1, "tag": "a", "score": 1.5} '
+                  '{"id": 2, "tag": "b", "score": 2.5} '
+                  '{"id": 3}', tables=t)
+    return ch_sql(spark, "SELECT id, tag, score FROM s9_json "
+                         "ORDER BY id", tables=t)
+
+
+@q("join_semi_right", """
+WITH t1 AS (SELECT CAST(x % 4 AS BIGINT) AS x FROM range(8) s(x)),
+     t2 AS (SELECT CAST(x % 6 AS BIGINT) AS x, CAST(x AS BIGINT) AS b
+            FROM range(6) s(x))
+SELECT x, b FROM t2 WHERE x IN (SELECT x FROM t1) ORDER BY x, b
+""")
+def join_semi_right_q(spark, sf_dir):
+    """SEMI RIGHT JOIN (reference src/Interpreters/TableJoin semi,
+    right direction): each matched RIGHT row exactly once, paired
+    with one matching left row — the dedup-left inner-join rewrite."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE s9_sr1 (x UInt64, a UInt64) "
+                  "ENGINE Memory", tables=t)
+    ch_sql(spark, "CREATE TABLE s9_sr2 (x UInt64, b UInt64) "
+                  "ENGINE Memory", tables=t)
+    ch_sql(spark, "INSERT INTO s9_sr1 SELECT number % 4, number "
+                  "FROM numbers(8)", tables=t)
+    ch_sql(spark, "INSERT INTO s9_sr2 SELECT number % 6, number "
+                  "FROM numbers(6)", tables=t)
+    return ch_sql(spark, "SELECT t2.x AS x, t2.b AS b FROM s9_sr1 "
+                         "AS t1 SEMI RIGHT JOIN s9_sr2 AS t2 "
+                         "USING(x) ORDER BY x, b", tables=t)
+
+
+@q("fn_format_datetime_full", """
+WITH ts(t) AS (VALUES (TIMESTAMP '2018-01-02 22:33:44'),
+                      (TIMESTAMP '2020-12-31 01:05:09'),
+                      (TIMESTAMP '1999-07-15 12:00:00'))
+SELECT strftime(t, '%Y-%m-%d %H:%M:%S') AS iso,
+       lpad(CAST(CAST(floor(year(t) / 100) AS INT) AS VARCHAR),
+            2, '0') AS century,
+       strftime(t, '%j') AS doy,
+       CAST(quarter(t) AS VARCHAR) AS qtr,
+       CAST(isodow(t) AS VARCHAR) AS isowd,
+       lpad(CAST(weekofyear(t) AS VARCHAR), 2, '0') AS isowk,
+       CAST(CAST(isoyear(t) AS INT) AS VARCHAR) AS isoyr,
+       strftime(t, '%p') AS ampm,
+       lpad(CAST(day(t) AS VARCHAR), 2, ' ') AS sday
+FROM ts ORDER BY iso
+""")
+def fn_format_datetime_full_q(spark, sf_dir):
+    """formatDateTime's full specifier table (reference
+    src/Functions/formatDateTime.cpp Instruction set): direct
+    patterns, pattern-quoted literal text, and the computed
+    specifiers %C %j %Q %u %V %G %p %e."""
+    t = {}
+    return ch_sql(spark, """
+        SELECT formatDateTime(t, '%F %T') AS iso,
+               formatDateTime(t, '%C') AS century,
+               formatDateTime(t, '%j') AS doy,
+               formatDateTime(t, '%Q') AS qtr,
+               formatDateTime(t, '%u') AS isowd,
+               formatDateTime(t, '%V') AS isowk,
+               formatDateTime(t, '%G') AS isoyr,
+               formatDateTime(t, '%p') AS ampm,
+               formatDateTime(t, '%e') AS sday
+        FROM (SELECT toDateTime('2018-01-02 22:33:44') AS t
+              UNION ALL
+              SELECT toDateTime('2020-12-31 01:05:09')
+              UNION ALL
+              SELECT toDateTime('1999-07-15 12:00:00'))
+        ORDER BY iso
+    """, tables=t)
+
+
+@q("fn_decimal_readtext", """
+SELECT CAST('1.12345' AS DECIMAL(18, 5)) AS a,
+       CAST('123456789123.1' AS DECIMAL(18, 5)) AS b,
+       CAST('1.12345' AS DECIMAL(18, 5)) AS c,
+       CAST('12345.1' AS DECIMAL(18, 5)) AS d
+""")
+def fn_decimal_readtext_q(spark, sf_dir):
+    """String-to-Decimal parsing (reference readDecimalText):
+    fractions TRUNCATE to the scale (never round) and values carry at
+    the Decimal64 storage width, so 12 integer digits fit a declared
+    Decimal(10, 5)."""
+    return ch_sql(spark, """
+        SELECT CAST('1.123455' AS Decimal(10, 5)) AS a,
+               CAST('123456789123.1' AS Decimal(10, 5)) AS b,
+               CAST('1.1234511111' AS Decimal(10, 5)) AS c,
+               CAST('12345.1' AS Decimal(10, 5)) AS d
+    """, tables={})
+
+
 # ------------------------------------------- aggregate long tail (r3)
 
 @q("agg_group_concat_limit", """

@@ -300,11 +300,7 @@ _RULES: dict = {
         f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))"
         if len(a) >= 2 and re.fullmatch(r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1])
         else f"to_timestamp({a[0]})"),
-    "todatetime64": lambda a: (
-        f"convert_timezone('UTC', {a[-1]}, "
-        f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))"
-        if len(a) >= 3 and re.fullmatch(r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1])
-        else f"to_timestamp({a[0]})"),
+    "todatetime64": lambda a: _todatetime64_sql(a),
     "tolastdayofmonth": _fn("last_day"),
     "today": lambda a: "current_date()", "now": lambda a: "current_timestamp()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
@@ -2151,6 +2147,25 @@ def _ordefault_default_sql(arg: str, base: str) -> str:
     if _TSY_CALL_RE.match(s):
         return "to_timestamp('1970-01-01 00:00:00')"
     return "0"
+
+
+def _todatetime64_sql(a: list[str]) -> str:
+    """toDateTime64(x, scale[, tz]) — the fraction TRUNCATES to the
+    declared scale (DataTypeDateTime64 scale contract); the optional
+    trailing timezone shifts the wall clock (see the toDateTime
+    rules).  Spark's µs carrier caps effective scale at 6."""
+    base = f"to_timestamp({a[0]})"
+    if len(a) >= 3 and re.fullmatch(
+            r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1]):
+        base = (f"convert_timezone('UTC', {a[-1]}, "
+                f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))")
+    if len(a) >= 2 and re.fullmatch(r"\s*\d+\s*", a[1]):
+        s = min(int(a[1]), 6)
+        if s < 6:
+            k = 10 ** (6 - s)
+            return (f"timestamp_micros((unix_micros(CAST({base} "
+                    f"AS TIMESTAMP)) div {k}) * {k})")
+    return base
 
 
 def _ts64_arg(a: list[str]) -> str:
@@ -7511,6 +7526,9 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                     .createOrReplaceTempView(name)
             return None
         parts = []
+        decl_nullable: set = set()
+        decl_json: set = set()
+        decl_defaults: dict = {}
         for coldef in _split_top_commas(cm.group(2)):
             if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
                         r"PRIMARY\s+KEY)\b", coldef):
@@ -7518,6 +7536,17 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             toks = coldef.strip().split(None, 1)
             if len(toks) < 2:
                 continue
+            if re.match(r"(?i)\s*Nullable\s*\(", _decl_type(toks[1])):
+                decl_nullable.add(toks[0].strip("`"))
+            if re.match(r"(?i)\s*(JSON\b|Object\s*\()",
+                        _decl_type(toks[1])):
+                decl_json.add(toks[0].strip("`"))
+            dm0 = re.search(r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
+                            r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
+                            toks[1].strip())
+            if dm0:
+                decl_defaults[toks[0].strip("`")] = \
+                    _translate_expr(dm0.group(2).strip())
             nm2 = re.match(r"(?is)^Nested\s*\((.*)\)\s*$",
                            toks[1].strip())
             if nm2:
@@ -7553,6 +7582,14 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                 if tables is not None:
                     tables[name] = t
         spark.createDataFrame([], ddl).createOrReplaceTempView(name)
+        if tables is not None:
+            # declaration record for view-backed (Memory-analog)
+            # tables: INSERT fills NULLs/missing columns from DEFAULT
+            # expressions or type defaults
+            # (input_format_null_as_default)
+            tables.setdefault("__decl__", {})[name] = {
+                "nullable": decl_nullable, "defaults": decl_defaults,
+                "json": decl_json}
         return None
     raise ValueError("unsupported CREATE TABLE form")
 
@@ -7886,6 +7923,20 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
                 for f in df.schema.fields}
     out = []
     nullable_decl = getattr(t, "nullable_cols", None)
+    if t is None and tables:
+        # view-backed (Memory-analog) table: the CREATE recorded
+        # declared nullability + DEFAULT expressions — NULLs into
+        # non-Nullable columns take the DEFAULT or the type default
+        # (input_format_null_as_default)
+        decl = (tables.get("__decl__") or {}).get(name)
+        if decl is not None:
+            if nullable_decl is None:
+                nullable_decl = decl["nullable"]
+            if not defaults:
+                defaults = decl["defaults"]
+    json_set = (getattr(t, "json_cols", None)
+                or ((tables.get("__decl__") or {}).get(name) or {})
+                .get("json", set()) if tables else set()) or set()
     for f in schema.fields:
         if f.name in have:
             # backticks make dotted column NAMES (`n.a`) resolve
@@ -7896,13 +7947,27 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
                 # time reads in the COLUMN's zone, stored as instant
                 col = F.to_utc_timestamp(col, tz_map[f.name])
             col = col.cast(f.dataType)
+            if f.name in json_set:
+                # declared JSON column: the reference parses and
+                # re-serializes compactly (DataTypeObject text form)
+                try:
+                    col = F.coalesce(
+                        F.to_json(F.try_parse_json(col)), col)
+                except Exception:
+                    pass
             if nullable_decl is not None \
-                    and f.name not in nullable_decl \
-                    and f.name not in defaults:
-                # NULL into a non-Nullable column takes the TYPE
-                # default (input_format_null_as_default)
-                col = F.coalesce(
-                    col, F.expr(_ch_type_default_sql(f.dataType)))
+                    and f.name not in nullable_decl:
+                # NULL into a non-Nullable column takes the declared
+                # DEFAULT, else the TYPE default
+                # (input_format_null_as_default)
+                dflt_sql = (_translate_expr(defaults[f.name])
+                            if f.name in defaults
+                            else _ch_type_default_sql(f.dataType))
+                try:
+                    col = F.coalesce(
+                        col, F.expr(dflt_sql).cast(f.dataType))
+                except Exception:
+                    pass
             out.append(col.alias(f.name))
         elif f.name in defaults:
             out.append(F.expr(_translate_expr(defaults[f.name]))
@@ -8070,6 +8135,18 @@ def _insert_json_rows(spark, name: str, cols_raw, fmt: str, body,
                                if f2.dataType.simpleString().startswith(
                                    ("struct", "array", "map"))
                                else F.col(f"`{f2.name}`").cast("string"))
+    # missing/null fields fill with the column type default — the
+    # reference's input_format_null_as_default + missing-field rule
+    # (non-Nullable targets; explicit Nullable columns keep NULL via
+    # _append_to_table's nullable_cols check for managed tables)
+    nullable = getattr(t, "nullable_cols", None) or set()
+    for f3 in schema.fields:
+        if f3.name in df.columns and f3.name not in nullable:
+            dflt = _ch_type_default_sql(f3.dataType)
+            df = df.withColumn(
+                f3.name, F.coalesce(
+                    F.col(f"`{f3.name}`").cast(f3.dataType),
+                    F.expr(dflt).cast(f3.dataType)))
     return _append_to_table(spark, name, df, tables)
 
 
