@@ -3556,6 +3556,15 @@ def _rewrite_map_literals(sql: str) -> str:
             if not ok:
                 pos = j + 1
                 continue
+            # mixed String/number values (a Variant-valued map in the
+            # reference): carry every value as STRING — Spark's map()
+            # would otherwise coerce the strings to the numeric side
+            has_str = any(re.fullmatch(r"\x00\d+\x00", v.strip())
+                          for _, v in pairs)
+            has_num = any(re.fullmatch(r"-?\d+(?:\.\d+)?", v.strip())
+                          for _, v in pairs)
+            if has_str and has_num:
+                pairs = [(k, f"CAST({v} AS STRING)") for k, v in pairs]
             repl = "map(" + ", ".join(
                 f"{k}, {v}" for k, v in pairs) + ")"
             seg = seg[:i] + repl + seg[j + 1:]
@@ -4991,6 +5000,96 @@ def _rewrite_tuple_in(sql: str) -> str:
     return _sub_nonstring(sql, seg_fn)
 
 
+def _rewrite_tuple_eq(sql: str) -> str:
+    """``x = (a, b, ...)`` — equality between a tuple-valued COLUMN
+    and a bare tuple literal (src/Functions/in.cpp comparison path):
+    expand to pairwise field equality over the positional col1..colN
+    carrier, sidestepping Spark's struct type/name strictness."""
+    def seg_fn(seg: str) -> str:
+        pat = re.compile(
+            r"((?:[A-Za-z_][\w]*|`[^`]+`)(?:\.(?:\w+|`[^`]+`))*)"
+            r"\s*(==|!=|<>|=)\s*\(")
+        pos = 0
+        while True:
+            m = pat.search(seg, pos)
+            if m is None:
+                return seg
+            open_i = m.end() - 1
+            end_i = _matching_paren(seg, open_i)
+            if end_i < 0:
+                pos = m.end()
+                continue
+            inner = seg[open_i + 1:end_i]
+            items = _split_top_commas(inner)
+            lhs = m.group(1)
+            if (len(items) < 2
+                    or re.match(r"(?is)\s*(SELECT|WITH)\b", inner)
+                    or lhs.upper() in _ARITH_LEFT_KEYWORDS):
+                pos = m.end()
+                continue
+            eq = " AND ".join(
+                f"(({lhs}.col{i + 1}) = ({it.strip()}))"
+                for i, it in enumerate(items))
+            repl = (f"(NOT ({eq}))" if m.group(2) in ("!=", "<>")
+                    else f"({eq})")
+            seg = seg[:m.start()] + repl + seg[end_i + 1:]
+            pos = m.start() + len(repl)
+
+    def seg_fn_paren(seg: str) -> str:
+        # (a, b) = (c, d): bare paren-tuple LHS — pairwise elements
+        pos = 0
+        while True:
+            m = re.search(r"\)\s*(==|!=|<>|=)\s*\(", seg[pos:])
+            if m is None:
+                return seg
+            close_i = pos + m.start()
+            depth, j = 0, close_i
+            while j >= 0:
+                if seg[j] == ")":
+                    depth += 1
+                elif seg[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            open_r = pos + m.end() - 1
+            end_r = _matching_paren(seg, open_r)
+            if j < 0 or end_r < 0:
+                pos = close_i + 1
+                continue
+            k = j - 1
+            while k >= 0 and seg[k] in " \t\n":
+                k -= 1
+            if k >= 0 and (seg[k].isalnum() or seg[k] in "_`$"):
+                e = k + 1
+                while k >= 0 and (seg[k].isalnum() or seg[k] == "_"):
+                    k -= 1
+                if seg[k + 1:e].upper() not in (
+                        "SELECT", "WHERE", "AND", "OR", "NOT", "ON",
+                        "WHEN", "THEN", "ELSE", "BY", "HAVING", "IN",
+                        "ALL", "DISTINCT", "AS", "FROM", "PREWHERE",
+                        "QUALIFY", "SETTINGS", "UNION"):
+                    pos = close_i + 1    # function call, not a tuple
+                    continue
+            lhs_items = _split_top_commas(seg[j + 1:close_i])
+            rhs_items = _split_top_commas(seg[open_r + 1:end_r])
+            if len(lhs_items) < 2 or len(lhs_items) != len(rhs_items) \
+                    or re.match(r"(?is)\s*(SELECT|WITH)\b",
+                                seg[open_r + 1:end_r]):
+                pos = end_r
+                continue
+            op = re.search(r"(==|!=|<>|=)", seg[close_i:open_r]).group(1)
+            eq = " AND ".join(
+                f"(({li.strip()}) = ({ri.strip()}))"
+                for li, ri in zip(lhs_items, rhs_items))
+            repl = f"(NOT ({eq}))" if op in ("!=", "<>") else f"({eq})"
+            seg = seg[:j] + repl + seg[end_r + 1:]
+            pos = j + len(repl)
+
+    out = _sub_nonstring(sql, seg_fn)
+    return _sub_nonstring(out, seg_fn_paren)
+
+
 def _rewrite_numbers_tvf(sql: str) -> str:
     """numbers(N) / numbers(offset, N) / generate_series(a, b[, step])
     table functions (reference
@@ -5215,6 +5314,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         r"(?<![\w`.$\x00])(\d+_\w*[A-Za-z]\w*)", r"`\1`", seg))
     sql = _rewrite_numeric_bool_ops(sql)
     sql = _rewrite_tuple_in(sql)
+    sql = _rewrite_tuple_eq(sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
     sql = _rewrite_small_forms(sql)
@@ -6030,6 +6130,63 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     return df
 
 
+_GENRAND_COUNTER = [0]
+
+
+def _materialize_generate_random(spark, text: str, tables) -> str:
+    """``generateRandom(['schema'][, seed])`` in SQL FROM position
+    (reference src/TableFunctions/TableFunctionGenerateRandom.cpp):
+    materialize a deterministic random view via
+    sources.formats.generate_random.  The schema-less form takes the
+    structure from the INSERT target (the reference's
+    structure-from-insertion-table rule)."""
+    while True:
+        m = re.search(r"(?i)\bgenerateRandom\s*\(", text)
+        if m is None:
+            return text
+        open_i = text.index("(", m.start())
+        end_i = _matching_paren(text, open_i)
+        if end_i < 0:
+            return text
+        args = _split_top_commas(text[open_i + 1:end_i])
+        schema_txt = args[0].strip() if args else ""
+        seed = 42
+        if len(args) >= 2 and re.fullmatch(r"\d+", args[1].strip()):
+            seed = int(args[1].strip())
+        if schema_txt.startswith("'"):
+            cols = _split_top_commas(schema_txt.strip("'"))
+            parts = []
+            for c in cols:
+                toks = c.strip().split(None, 1)
+                if len(toks) != 2:
+                    return text
+                parts.append(f"`{toks[0].strip('`')}` "
+                             f"{_ch_decl_type_to_spark(toks[1])}")
+            ddl = ", ".join(parts)
+        else:
+            tm = re.match(r"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?"
+                          r"`?(\w+)`?(?:\s*\(([^()]*)\))?", text)
+            if tm is None:
+                return text
+            schema = _target_schema(
+                spark, tm.group(1), (tables or {}).get(tm.group(1)))
+            if schema is None:
+                return text
+            sel = ([c.strip().strip("`")
+                    for c in tm.group(2).split(",")]
+                   if tm.group(2) and tm.group(2).strip() else None)
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in schema.fields
+                if sel is None or f.name in sel)
+        from ..sources.formats import generate_random
+        df = generate_random(spark, ddl, 100000, seed=seed)
+        _GENRAND_COUNTER[0] += 1
+        vname = f"__genrand_{_GENRAND_COUNTER[0]}"
+        df.createOrReplaceTempView(vname)
+        text = text[:m.start()] + vname + text[end_i + 1:]
+
+
 def _rewrite_virtual_columns(spark, text: str, tables: dict) -> str:
     """MergeTree virtual columns ``_path`` / ``_file`` / ``_part`` /
     ``_partition_id`` (reference MergeTreeData::getVirtualsList /
@@ -6060,6 +6217,51 @@ def _rewrite_virtual_columns(spark, text: str, tables: dict) -> str:
                   if root else F.element_at(F.split(fname, "/"), -2))
               .withColumn("_partition_id", F.regexp_extract(
                   fname, r"/[^/=]+=([^/]*)/[^/]*$", 1)))
+        pby = list(getattr(tt, "partition_by", None) or ())
+        if pby:
+            # _partition_value: tuple of the partition KEY values —
+            # plain columns read directly, expression keys re-evaluate
+            # (positional .1/.2 access maps to col1/col2)
+            try:
+                elems = []
+                for i, c in enumerate(pby):
+                    cs = str(c).strip()
+                    if re.fullmatch(r"`?\w+`?", cs) \
+                            and cs.strip("`") in base_cols:
+                        elems.append(F.col(f"`{cs.strip('`')}`")
+                                     .alias(f"col{i + 1}"))
+                    else:
+                        elems.append(
+                            F.expr(_translate_expr(cs))
+                            .alias(f"col{i + 1}"))
+                df = df.withColumn("_partition_value",
+                                   F.struct(*elems))
+            except Exception:
+                pass
+        vname = f"__virt_{nm}"
+        df.createOrReplaceTempView(vname)
+        star = ", ".join(f"`{c}`" for c in base_cols)
+        text = re.sub(r"(?is)(\bSELECT\s+(?:DISTINCT\s+)?)\*",
+                      lambda m: m.group(1) + star, text, count=1)
+        text = re.sub(rf"(?is)\bFROM\s+`?{re.escape(nm)}`?(?!\w)",
+                      f"FROM {vname}", text)
+    # view-backed tables (Memory/File analogs — no parts on disk):
+    # the virtuals exist but carry empty paths
+    for fm in re.finditer(r"(?is)\bFROM\s+`?(\w+)`?(?!\w)", text):
+        nm = fm.group(1)
+        if nm.startswith("__") or (tables or {}).get(nm) is not None:
+            continue
+        try:
+            df = spark.table(nm)
+        except Exception:
+            continue
+        base_cols = list(df.columns)
+        if any(c.startswith("_p") or c == "_file" for c in base_cols):
+            continue
+        df = (df.withColumn("_path", F.lit(""))
+              .withColumn("_file", F.lit(""))
+              .withColumn("_part", F.lit(""))
+              .withColumn("_partition_id", F.lit("")))
         vname = f"__virt_{nm}"
         df.createOrReplaceTempView(vname)
         star = ", ".join(f"`{c}`" for c in base_cols)
@@ -6102,9 +6304,11 @@ def _ch_sql_impl(spark, sql: str,
     _ensure_sql_udfs(spark)
     text = sql.strip().rstrip(";")
     if tables and re.match(r"(?is)\s*(SELECT|WITH)\b", text) \
-            and re.search(r"\b_(?:path|file|part|partition_id)\b",
-                          text):
+            and re.search(r"\b_(?:path|file|part|partition_id|"
+                          r"partition_value)\b", text):
         text = _rewrite_virtual_columns(spark, text, tables)
+    if re.search(r"(?i)\bgenerateRandom\s*\(", text):
+        text = _materialize_generate_random(spark, text, tables)
     kind_m = re.match(r"\s*([A-Za-z]+)", text)
     _QUERY_LOG.append([len(_QUERY_LOG),
                        (kind_m.group(1).upper() if kind_m else ""),
