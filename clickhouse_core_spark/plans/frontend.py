@@ -1853,24 +1853,28 @@ _RULES["reinterpretasint32"] = _reinterp_int_rule(
     "reinterpretAsInt32", True)
 
 
-def _translate_fn_rule(a):
-    """translate(s, from, to) (src/Functions/translate.cpp): the
-    non-UTF8 form REQUIRES equal-length ASCII from/to maps."""
+def _translate_fn_rule(a, utf8: bool = False):
+    """translate(s, from, to) (src/Functions/translate.cpp): a 'to'
+    map SHORTER than 'from' deletes the unmapped characters (Spark's
+    translate already does exactly that); a LONGER 'to' is
+    BAD_ARGUMENTS, and the non-UTF8 form rejects non-ASCII maps."""
     if len(a) == 3:
         fm = re.fullmatch(r"\s*'([^']*)'\s*", a[1])
         tm = re.fullmatch(r"\s*'([^']*)'\s*", a[2])
         if fm and tm:
             f_, t_ = fm.group(1), tm.group(1)
-            if len(f_) != len(t_):
+            if len(t_) > len(f_):
                 raise ValueError(
-                    "translate: from/to must be the same length")
-            if not (f_.isascii() and t_.isascii()):
+                    "translate: 'to' longer than 'from' "
+                    "(reference BAD_ARGUMENTS)")
+            if not utf8 and not (f_.isascii() and t_.isascii()):
                 raise ValueError(
                     "translate: non-ASCII maps need translateUTF8")
     return f"translate({', '.join(a)})"
 
 
 _RULES["translate"] = _translate_fn_rule
+_RULES["translateutf8"] = lambda a: _translate_fn_rule(a, utf8=True)
 
 
 def _todecimal256_rule(a, try_=False, zero=False):
@@ -5313,6 +5317,31 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _sub_nonstring(sql, lambda seg: re.sub(
         r"(?<![\w`.$\x00])(\d+_\w*[A-Za-z]\w*)", r"`\1`", seg))
     sql = _rewrite_numeric_bool_ops(sql)
+    # `x IN tuple(a, b, ...)` — the function-call spelling of the IN
+    # set (ParserTupleOfLiterals accepts both); inner tuple() items
+    # normalize to paren tuples
+    if re.search(r"(?i)\bIN\s+tuple\s*\(", sql):
+        def _in_tuple_seg(seg: str) -> str:
+            pos = 0
+            while True:
+                m = re.search(r"(?i)\b(NOT\s+)?IN\s+tuple\s*\(",
+                              seg[pos:])
+                if m is None:
+                    return seg
+                open_i = pos + m.end() - 1
+                end_i = _matching_paren(seg, open_i)
+                if end_i < 0:
+                    pos += m.end()
+                    continue
+                items = [re.sub(r"(?is)^\s*tuple\s*\((.*)\)\s*$",
+                                r"(\1)", x)
+                         for x in _split_top_commas(
+                             seg[open_i + 1:end_i])]
+                repl = ((m.group(1) or "") + "IN ("
+                        + ", ".join(items) + ")")
+                seg = seg[:pos + m.start()] + repl + seg[end_i + 1:]
+                pos = pos + m.start() + len(repl)
+        sql = _sub_nonstring(sql, _in_tuple_seg)
     sql = _rewrite_tuple_in(sql)
     sql = _rewrite_tuple_eq(sql)
     sql = _rewrite_numbers_tvf(sql)
@@ -6309,6 +6338,27 @@ def _ch_sql_impl(spark, sql: str,
         text = _rewrite_virtual_columns(spark, text, tables)
     if re.search(r"(?i)\bgenerateRandom\s*\(", text):
         text = _materialize_generate_random(spark, text, tables)
+    # SELECT ... FROM (EXPLAIN ...): the plan text as a one-line-per-
+    # row `explain` column (InterpreterSelectQuery over an explain
+    # pipe) — plan WORDING is Spark's, not the reference's
+    while True:
+        fm = re.search(r"(?is)\bFROM\s*\(\s*EXPLAIN\b", text)
+        if fm is None:
+            break
+        open_i = text.index("(", fm.start())
+        end_i = _matching_paren(text, open_i)
+        if end_i < 0:
+            break
+        inner = text[open_i + 1:end_i].strip()
+        pdf = _ch_sql_impl(spark, inner, sample_by=sample_by,
+                           tables=tables)
+        col0 = pdf.columns[0]
+        pdf = pdf.select(F.explode(F.split(
+            F.col(f"`{col0}`"), "\n")).alias("explain"))
+        _GENRAND_COUNTER[0] += 1
+        vname = f"__explain_{_GENRAND_COUNTER[0]}"
+        pdf.createOrReplaceTempView(vname)
+        text = text[:fm.start()] + f"FROM {vname}" + text[end_i + 1:]
     kind_m = re.match(r"\s*([A-Za-z]+)", text)
     _QUERY_LOG.append([len(_QUERY_LOG),
                        (kind_m.group(1).upper() if kind_m else ""),
