@@ -6400,6 +6400,19 @@ def _ch_sql_impl(spark, sql: str,
 
     # CREATE TABLE ... ENGINE = <engine> [AS SELECT ...] routes to the
     # managed-table machinery (reference InterpreterCreateQuery.h);
+    # CREATE OR REPLACE TABLE = DROP IF EXISTS + CREATE
+    # (InterpreterCreateQuery create.replace_table)
+    orm = re.match(r"(?is)^CREATE\s+OR\s+REPLACE\s+TABLE\s+"
+                   r"(`?\w+`?)(.*)$", text)
+    if orm:
+        try:
+            _ch_sql_impl(spark,
+                         f"DROP TABLE IF EXISTS {orm.group(1)}",
+                         tables=tables)
+        except Exception:
+            pass
+        text = f"CREATE TABLE {orm.group(1)}{orm.group(2)}"
+
     # ENGINE-less CREATE passes through to Spark's own DDL below
     if re.match(r"^CREATE\s+TABLE\b", text, re.IGNORECASE) \
             and (re.search(r"\bENGINE\s*=?\s*\w", text, re.IGNORECASE)
@@ -7209,6 +7222,14 @@ _ENGINE_NAMES = {
     "collapsingmergetree": "collapsing",
     "versionedcollapsingmergetree": "versioned_collapsing",
     "coalescingmergetree": "coalescing",
+    # Replicated* variants: replication is Spark's executor/storage
+    # concern — the merge semantics are the base engine's; the first
+    # two engine args (zk path, replica name) drop
+    "replicatedmergetree": "merge_tree",
+    "replicatedreplacingmergetree": "replacing",
+    "replicatedsummingmergetree": "summing",
+    "replicatedcollapsingmergetree": "collapsing",
+    "replicatedversionedcollapsingmergetree": "versioned_collapsing",
 }
 
 
@@ -7378,6 +7399,10 @@ def create_table_sql(spark, sql: str, base_dir: str):
                                   f"(MergeTree family only)")
     args = [a.strip().strip("`") for a in (engine_args or "").split(",")
             if a.strip()]
+    if engine_raw.lower().startswith("replicated"):
+        # drop the zookeeper path + replica-name args
+        args = [a for a in args[2:]]
+        args = [a.strip("'\"") for a in args]
     order_by: list[str] = []
     partition_by: list[str] = []
     ob = _storage_clause_exprs(tail, r"ORDER\s+BY")
