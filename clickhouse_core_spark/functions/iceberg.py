@@ -182,7 +182,15 @@ def icebergBucket(n: int, x, kind: str = "long") -> Column:
 def icebergTruncate(w: int, x, kind: str = "long") -> Column:
     """truncate[w](v): ints -> v - (((v % w) + w) % w)  (floor to the
     bucket lower bound, negative-safe); strings -> first w characters
-    (Iceberg truncates at codepoints, matching substring)."""
+    (Iceberg truncates at codepoints, matching substring).  Width must
+    be a positive integer and floats are not truncatable (the
+    reference's BAD_ARGUMENTS checks)."""
+    if int(w) <= 0:
+        raise ValueError("icebergTruncate: width must be positive")
+    if isinstance(x, float):
+        raise ValueError(
+            "icebergTruncate: floating-point values are not "
+            "truncatable")
     c = _c(x)
     if kind in ("long", "int"):
         v = c.cast("long")

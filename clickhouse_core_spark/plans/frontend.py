@@ -1192,15 +1192,46 @@ _RULES["arrayrotateright"] = lambda a: (
     f"concat(slice({a[0]}, pmod(-({a[1]}), size({a[0]})) + 1, "
     f"size({a[0]}) - pmod(-({a[1]}), size({a[0]}))), "
     f"slice({a[0]}, 1, pmod(-({a[1]}), size({a[0]}))))")
-_RULES["arrayshiftleft"] = lambda a: (
-    f"concat(slice({a[0]}, LEAST({a[1]}, size({a[0]})) + 1, "
-    f"GREATEST(size({a[0]}) - ({a[1]}), 0)), "
-    f"array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
-    f"LEAST({a[1]}, size({a[0]}))))")
-_RULES["arrayshiftright"] = lambda a: (
-    f"concat(array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
-    f"LEAST({a[1]}, size({a[0]}))), "
-    f"slice({a[0]}, 1, GREATEST(size({a[0]}) - ({a[1]}), 0)))")
+def _array_shift_default_check(a) -> None:
+    """arrayShiftLeft/Right's fill DEFAULT must match the element type
+    (reference src/Functions/array/arrayShiftRotate.cpp): a literal
+    string default against a numeric-literal array (or vice versa) is
+    ILLEGAL_TYPE_OF_ARGUMENT."""
+    if len(a) <= 2:
+        return
+    m = re.fullmatch(r"(?is)\s*array\s*\((.*)\)\s*", a[0])
+    if m is None or not m.group(1).strip():
+        return
+    elems = _split_top_commas(m.group(1))
+    elems_str = all(e.strip().startswith("'") for e in elems)
+    elems_num = all(re.fullmatch(r"-?\d+(?:\.\d+)?", e.strip())
+                    for e in elems)
+    d = a[2].strip()
+    d_str = d.startswith("'")
+    d_num = bool(re.fullmatch(r"-?\d+(?:\.\d+)?", d))
+    if (elems_str and d_num) or (elems_num and d_str):
+        raise ValueError(
+            "arrayShift: default value type does not match the array "
+            "element type (reference ILLEGAL_TYPE_OF_ARGUMENT)")
+
+
+def _array_shift_left_rule(a):
+    _array_shift_default_check(a)
+    return (f"concat(slice({a[0]}, LEAST({a[1]}, size({a[0]})) + 1, "
+            f"GREATEST(size({a[0]}) - ({a[1]}), 0)), "
+            f"array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
+            f"LEAST({a[1]}, size({a[0]}))))")
+
+
+def _array_shift_right_rule(a):
+    _array_shift_default_check(a)
+    return (f"concat(array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
+            f"LEAST({a[1]}, size({a[0]}))), "
+            f"slice({a[0]}, 1, GREATEST(size({a[0]}) - ({a[1]}), 0)))")
+
+
+_RULES["arrayshiftleft"] = _array_shift_left_rule
+_RULES["arrayshiftright"] = _array_shift_right_rule
 _RULES["arrayresize"] = lambda a: (
     f"CASE WHEN ({a[1]}) <= size({a[0]}) THEN slice({a[0]}, 1, {a[1]}) "
     f"ELSE concat({a[0]}, array_repeat("
@@ -1793,6 +1824,22 @@ def _array_auc_rule(orig_name: str):
     return rule
 
 
+def _iceberg_truncate_rule(a):
+    """icebergTruncate(w, v) literal validation (BAD_ARGUMENTS for
+    non-positive widths and floating-point values)."""
+    if a and re.fullmatch(r"\s*-?\d+\s*", a[0]) and int(a[0]) <= 0:
+        raise ValueError("icebergTruncate: width must be positive "
+                         "(reference BAD_ARGUMENTS)")
+    if len(a) > 1 and re.fullmatch(r"\s*-?(?:\d*\.\d+|\d+\.)\s*",
+                                   a[1]):
+        raise ValueError("icebergTruncate: floating-point values are "
+                         "not truncatable (reference BAD_ARGUMENTS)")
+    out = _bridge_registry_call("icebergTruncate", list(a))
+    return out if out is not None \
+        else f"icebergTruncate({', '.join(a)})"
+
+
+_RULES["icebergtruncate"] = _iceberg_truncate_rule
 _RULES["arrayaucpr"] = _array_auc_rule("arrayAUCPR")
 _RULES["arrayprauc"] = _array_auc_rule("arrayPRAUC")
 _RULES["arrayrocauc"] = _array_auc_rule("arrayROCAUC")
@@ -2172,6 +2219,55 @@ def _todatetime64_sql(a: list[str]) -> str:
     return base
 
 
+_CODEC_ARITY = {
+    # name -> (min args, max args, allowed literal values or None)
+    "none": (0, 0, None), "lz4": (0, 0, None), "lz4hc": (0, 1, None),
+    "zstd": (0, 1, None), "zstd_qat": (0, 1, None),
+    "delta": (0, 1, {"1", "2", "4", "8"}),
+    "doubledelta": (0, 0, None), "gorilla": (0, 0, None),
+    "fpc": (0, 2, None), "t64": (0, 1, None), "gcd": (0, 0, None),
+    "default": (0, 0, None), "deflate_qpl": (0, 0, None),
+    "aes_128_gcm_siv": (0, 0, None), "aes_256_gcm_siv": (0, 0, None),
+}
+
+
+def _validate_codecs(text: str) -> None:
+    """CODEC(...) clauses in column declarations: unknown codec names,
+    wrong parameter counts and out-of-range Delta widths are
+    rejections (reference src/Compression/CompressionFactory.cpp
+    validateCodec)."""
+    for m in re.finditer(r"(?is)\bCODEC\s*\(", text):
+        open_i = text.index("(", m.start())
+        end_i = _matching_paren(text, open_i)
+        if end_i < 0:
+            continue
+        for item in _split_top_commas(text[open_i + 1:end_i]):
+            cm = re.fullmatch(r"(?is)\s*(\w+)\s*(?:\((.*)\))?\s*",
+                              item)
+            if cm is None:
+                continue
+            cname = cm.group(1).lower()
+            spec = _CODEC_ARITY.get(cname)
+            if spec is None:
+                raise ValueError(
+                    f"CODEC: unknown codec {cm.group(1)!r} "
+                    f"(reference UNKNOWN_CODEC)")
+            lo, hi, allowed = spec
+            args = (_split_top_commas(cm.group(2))
+                    if cm.group(2) and cm.group(2).strip() else [])
+            if not (lo <= len(args) <= hi):
+                raise ValueError(
+                    f"CODEC {cm.group(1)}: wrong number of "
+                    f"parameters ({len(args)}; reference "
+                    f"ILLEGAL_SYNTAX_FOR_CODEC_TYPE)")
+            if allowed is not None and args \
+                    and args[0].strip() not in allowed:
+                raise ValueError(
+                    f"CODEC {cm.group(1)}: parameter "
+                    f"{args[0]!r} out of range "
+                    f"(reference ILLEGAL_CODEC_PARAMETER)")
+
+
 def _ts64_arg(a: list[str]) -> str:
     if len(a) != 1:
         raise ValueError(
@@ -2199,6 +2295,7 @@ def _format_string_sql(a: list[str]) -> str:
     n_args = len(a) - 1
     pieces: list = []     # str literal chunks | ("arg", idx)
     i, auto = 0, 0
+    used_auto = used_manual = False
 
     def lit(t: str) -> None:
         if pieces and isinstance(pieces[-1], str):
@@ -2218,9 +2315,19 @@ def _format_string_sql(a: list[str]) -> str:
                 raise ValueError("format: unmatched '{' in pattern")
             body = inner[i + 1:j]
             if body == "":
+                if used_manual:
+                    raise ValueError(
+                        "format: cannot switch from manual to "
+                        "automatic field numbering")
+                used_auto = True
                 idx = auto
                 auto += 1
             elif body.isdigit():
+                if used_auto:
+                    raise ValueError(
+                        "format: cannot switch from automatic to "
+                        "manual field numbering")
+                used_manual = True
                 idx = int(body)
             else:
                 raise ValueError(
@@ -3569,8 +3676,17 @@ def _rewrite_map_literals(sql: str) -> str:
                           for _, v in pairs)
             if has_str and has_num:
                 pairs = [(k, f"CAST({v} AS STRING)") for k, v in pairs]
+            # duplicate literal keys: CH Map lookup returns the FIRST
+            # match; Spark's map() rejects duplicates — keep the first
+            seen_keys: set = set()
+            deduped = []
+            for k, v in pairs:
+                if k.strip() in seen_keys:
+                    continue
+                seen_keys.add(k.strip())
+                deduped.append((k, v))
             repl = "map(" + ", ".join(
-                f"{k}, {v}" for k, v in pairs) + ")"
+                f"{k}, {v}" for k, v in deduped) + ")"
             seg = seg[:i] + repl + seg[j + 1:]
             pos = 0
         return seg
@@ -6400,6 +6516,23 @@ def _ch_sql_impl(spark, sql: str,
 
     # CREATE TABLE ... ENGINE = <engine> [AS SELECT ...] routes to the
     # managed-table machinery (reference InterpreterCreateQuery.h);
+    if re.search(r"(?i)\bCODEC\s*\(", text) \
+            and re.match(r"(?i)\s*(CREATE|ALTER)\b", text):
+        _validate_codecs(text)
+    if re.match(r"(?i)\s*CREATE\b", text):
+        fsm = re.search(r"(?i)\bFixedString\s*\(\s*(\d+)\s*\)", text)
+        if fsm and int(fsm.group(1)) > 256:
+            # allow_suspicious_fixed_string_types defaults off
+            raise ValueError(
+                f"FixedString({fsm.group(1)}): n > 256 is suspicious "
+                f"(reference rejects without "
+                f"allow_suspicious_fixed_string_types)")
+        if re.search(r"(?i)\bSAMPLE\s+BY\s+tuple\s*\(\s*\)", text):
+            raise ValueError(
+                "SAMPLE BY tuple(): the sampling expression must be "
+                "an unsigned-integer column "
+                "(reference ILLEGAL_TYPE_OF_COLUMN_FOR_SAMPLING)")
+
     # CREATE OR REPLACE TABLE = DROP IF EXISTS + CREATE
     # (InterpreterCreateQuery create.replace_table)
     orm = re.match(r"(?is)^CREATE\s+OR\s+REPLACE\s+TABLE\s+"
@@ -7967,10 +8100,17 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                 if dm:
                     t.column_defaults[cname] = dexpr
             continue
-        m = re.match(r"(?is)^DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
+        m = re.match(r"(?is)^DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?"
                      r"`?([\w.]+)`?$", o)
         if m:
-            cname = m.group(1)
+            cname = m.group(2)
+            if cname not in df.columns and not m.group(1):
+                # the reference rejects dropping an unknown column
+                # (incl. a Nested BASE name — the expanded columns are
+                # `base.sub`) without IF EXISTS
+                raise ValueError(
+                    f"ALTER DROP COLUMN: no column {cname!r} in "
+                    f"{name!r} (reference NOT_FOUND_COLUMN)")
             df = df.drop(cname)
             if t is not None and getattr(t, "schema_ddl", None):
                 t.schema_ddl = ", ".join(
