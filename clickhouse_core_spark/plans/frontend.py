@@ -5358,9 +5358,10 @@ def _rewrite_dynamic_subcolumns(seg: str) -> str:
             val = f"try_cast(`{col}` AS TIMESTAMP)"
         elif base == "Bool":
             val = f"try_cast(`{col}` AS BOOLEAN)"
-        elif base == "Array":
-            val = f"from_json(`{col}`, 'array<string>')"
         else:
+            # Array/LowCardinality/composite tags keep the raw string
+            # carrier (its text form IS the display; empty()/length()
+            # work on it)
             val = f"CAST(`{col}` AS STRING)"
         return f"(CASE WHEN {sniff} = '{tag}' THEN {val} END)"
     return _DYN_SUB_RE.sub(sub, seg)
@@ -5380,10 +5381,27 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # Dynamic subcolumn reads ``d.UInt64`` / ``d.`Array(...)```
     # (reference DataTypeDynamic subcolumns: the value when the
     # dynamic tag matches, NULL otherwise) — over the string carrier,
-    # the tag comes from the dynamicType sniffer
+    # the tag comes from the dynamicType sniffer.  Scans raw text
+    # skipping '/" string literals itself: backticked TYPE tags must
+    # stay visible (the generic _sub_nonstring treats backticks as
+    # strings and would hide them).
     if re.search(r"\.\s*(?:`[A-Z]|U?Int\d|Float(?:32|64)\b|String\b|"
                  r"Date(?:32)?\b|DateTime(?:64)?\b|Bool\b)", sql):
-        sql = _sub_nonstring(sql, _rewrite_dynamic_subcolumns)
+        out_parts = []
+        i0 = 0
+        while i0 < len(sql):
+            c0 = sql[i0]
+            if c0 in "'\"":
+                j0 = _skip_string(sql, i0)
+                out_parts.append(sql[i0:j0])
+                i0 = j0
+                continue
+            j0 = i0
+            while j0 < len(sql) and sql[j0] not in "'\"":
+                j0 += 1
+            out_parts.append(_rewrite_dynamic_subcolumns(sql[i0:j0]))
+            i0 = j0
+        sql = "".join(out_parts)
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
@@ -6278,6 +6296,52 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
 _GENRAND_COUNTER = [0]
 
 
+def _merge_union_df(spark, pattern: str, tables):
+    """Union (by name, missing columns NULL) of every registered table
+    whose name matches ``pattern`` (reference StorageMerge)."""
+    rx = re.compile(pattern)
+    names = {t.name for t in spark.catalog.listTables()}
+    names |= {k for k in (tables or {}) if not k.startswith("__")}
+    matched = sorted(n for n in names
+                     if rx.search(n) and not n.startswith("__"))
+    df = None
+    for n in matched:
+        try:
+            d = spark.table(n)
+        except Exception:
+            continue
+        df = d if df is None else df.unionByName(
+            d, allowMissingColumns=True)
+    return df
+
+
+def _materialize_merge_tvf(spark, text: str, tables) -> str:
+    """``merge(['db',] 'regex')`` table function / DESCRIBE target
+    (reference src/TableFunctions/TableFunctionMerge.cpp): union view
+    over the session tables matching the regex."""
+    while True:
+        m = re.search(r"(?i)\bmerge\s*\(", text)
+        if m is None:
+            return text
+        open_i = text.index("(", m.start())
+        end_i = _matching_paren(text, open_i)
+        if end_i < 0:
+            return text
+        args = _split_top_commas(text[open_i + 1:end_i])
+        pat = (args[-1].strip() if args else "")
+        if not (pat.startswith("'") and pat.endswith("'")):
+            return text
+        df = _merge_union_df(spark, pat.strip("'"), tables)
+        if df is None:
+            raise ValueError(
+                f"merge({pat}): no tables match (reference "
+                f"UNKNOWN_TABLE)")
+        _GENRAND_COUNTER[0] += 1
+        vname = f"__merge_{_GENRAND_COUNTER[0]}"
+        df.createOrReplaceTempView(vname)
+        text = text[:m.start()] + vname + text[end_i + 1:]
+
+
 def _materialize_generate_random(spark, text: str, tables) -> str:
     """``generateRandom(['schema'][, seed])`` in SQL FROM position
     (reference src/TableFunctions/TableFunctionGenerateRandom.cpp):
@@ -6454,6 +6518,9 @@ def _ch_sql_impl(spark, sql: str,
         text = _rewrite_virtual_columns(spark, text, tables)
     if re.search(r"(?i)\bgenerateRandom\s*\(", text):
         text = _materialize_generate_random(spark, text, tables)
+    if re.search(r"(?i)\b(?:FROM|DESCRIBE(?:\s+TABLE)?|DESC)\s+"
+                 r"merge\s*\(", text):
+        text = _materialize_merge_tvf(spark, text, tables)
     # SELECT ... FROM (EXPLAIN ...): the plan text as a one-line-per-
     # row `explain` column (InterpreterSelectQuery over an explain
     # pipe) — plan WORDING is Spark's, not the reference's
@@ -6645,9 +6712,18 @@ def _ch_sql_impl(spark, sql: str,
     if m:
         name = m.group(1) or m.group(2)
         table = (tables or {}).get(name)
-        if table is None:
-            raise ValueError(f"DELETE needs a MergeTreeTable for {name!r}")
         pred = F.expr(_translate_expr(m.group(3)))
+        if table is None:
+            # view-backed (Memory-analog) table: rewrite the view
+            try:
+                df_v = spark.table(name)
+            except Exception:
+                raise ValueError(
+                    f"DELETE needs a table for {name!r}")
+            df_v.filter(~F.coalesce(pred, F.lit(False))) \
+                .localCheckpoint(eager=True) \
+                .createOrReplaceTempView(name)
+            return None
         # reference semantics split: `DELETE FROM t` is the LIGHTWEIGHT
         # delete (mask sidecar, InterpreterDeleteQuery.cpp:105);
         # `ALTER TABLE t DELETE` is the heavy mutation (part rewrite)
@@ -6662,12 +6738,27 @@ def _ch_sql_impl(spark, sql: str,
     if m:
         name, assigns, cond = m.group(1), m.group(2), m.group(3)
         table = (tables or {}).get(name)
-        if table is None:
-            raise ValueError(f"UPDATE needs a MergeTreeTable for {name!r}")
         assignments = {}
         for part in _split_top_commas(assigns):
             col, _, expr = part.partition("=")
             assignments[col.strip().strip("`")] = F.expr(_translate_expr(expr.strip()))
+        if table is None:
+            # view-backed table: per-row CASE WHEN rewrite
+            try:
+                df_v = spark.table(name)
+            except Exception:
+                raise ValueError(
+                    f"UPDATE needs a table for {name!r}")
+            cond_c = F.coalesce(F.expr(_translate_expr(cond)),
+                                F.lit(False))
+            for cname, cexpr in assignments.items():
+                dt = df_v.schema[cname].dataType
+                df_v = df_v.withColumn(
+                    cname, F.when(cond_c, cexpr.cast(dt))
+                    .otherwise(F.col(f"`{cname}`")))
+            df_v.localCheckpoint(eager=True) \
+                .createOrReplaceTempView(name)
+            return None
         table.update_where(F.expr(_translate_expr(cond)), assignments)
         _refresh_table_views(spark, name, table)
         return None
@@ -8002,6 +8093,22 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             tables.setdefault("__decl__", {})[name] = {
                 "nullable": decl_nullable, "defaults": decl_defaults,
                 "json": decl_json}
+        return None
+    # column-less Merge engine: CREATE TABLE m ENGINE = Merge(db,
+    # 'regex') — a union view over the matching session tables
+    # (reference StorageMerge; the structure comes from the union)
+    mm2 = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                   r"`?(\w+)`?\s+ENGINE\s*=?\s*Merge\s*\((.*)\)\s*$",
+                   text)
+    if mm2:
+        args2 = _split_top_commas(mm2.group(2))
+        pat2 = args2[-1].strip().strip("'") if args2 else ""
+        df2 = _merge_union_df(spark, pat2, tables)
+        if df2 is None:
+            raise ValueError(
+                f"Merge({pat2!r}): no tables match "
+                f"(reference UNKNOWN_TABLE)")
+        df2.createOrReplaceTempView(mm2.group(1))
         return None
     raise ValueError("unsupported CREATE TABLE form")
 
