@@ -3319,6 +3319,13 @@ def _vec_bynumber_rule(op: str):
     def rule(a):
         le = _tuple_elems(a[0])
         n = a[1]
+        if n.strip().startswith("'") or re.match(
+                r"(?is)^\s*CAST\s*\(.*AS\s+STRING\s*\)\s*$", n):
+            # tuple ÷ String is ILLEGAL_TYPE_OF_ARGUMENT in the
+            # reference's vector-by-number overloads
+            raise ValueError(
+                f"tuple arithmetic: scalar operand must be numeric, "
+                f"got a String (reference ILLEGAL_TYPE_OF_ARGUMENT)")
         if le is not None:
             if op == "/":
                 fields = ", ".join(
