@@ -694,10 +694,16 @@ _RULES: dict = {
         f"THEN 'Array(Nullable(String))' "
         f"ELSE 'String' END)"),
     "isdynamicelementinshareddata": lambda a: "false",
+    # variantElement over the (val, typ) struct carrier when the arg
+    # is visibly a Variant cast; plain string carriers (declared
+    # Variant columns, map values) go through the dynamicType sniffer
     "variantelement": lambda a: (
         f"(CASE WHEN ({a[0]}).typ = {a[1]} THEN "
         f"CAST(({a[0]}).val AS "
-        f"{_ch_type_to_sql(a[1])}) END)"),
+        f"{_ch_type_to_sql(a[1])}) END)"
+        if "named_struct" in a[0] or ").val" in a[0]
+        else f"(CASE WHEN {_RULES['dynamictype']([a[0]])} = {a[1]} "
+             f"THEN CAST({a[0]} AS {_ch_type_to_sql(a[1])}) END)"),
     # DATE_ADD/DATE_SUB: CH takes (date, INTERVAL n unit) or
     # (unit, n, date) (src/Functions/FunctionDateOrDateTimeAddInterval);
     # Spark's date_add is (date, days) — route interval forms through

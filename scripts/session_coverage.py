@@ -313,6 +313,10 @@ def main() -> int:
     RENDER_TOTALS_MARKER[0] = True
     spark = get_spark("session_coverage", master="local[8]",
                       extra_conf={"spark.sql.shuffle.partitions": "4"})
+    # duplicate map-literal keys: Spark's default EXCEPTION policy
+    # fails the construction; the reference keeps duplicate keys in
+    # its Map type — LAST_WIN at least executes the statement
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.sparkContext.setLogLevel("ERROR")
 
     counts = Counter()
