@@ -6317,15 +6317,30 @@ def _merge_union_df(spark, pattern: str, tables):
     names |= {k for k in (tables or {}) if not k.startswith("__")}
     matched = sorted(n for n in names
                      if rx.search(n) and not n.startswith("__"))
-    df = None
+    dfs = []
     for n in matched:
         try:
-            d = spark.table(n)
+            dfs.append(spark.table(n))
         except Exception:
             continue
-        df = d if df is None else df.unionByName(
-            d, allowMissingColumns=True)
-    return df
+    if not dfs:
+        return None
+    # unified structure: a table missing a column contributes the
+    # column TYPE DEFAULT (StorageMerge fills defaults, not NULLs)
+    fields: dict = {}
+    for d in dfs:
+        for f in d.schema.fields:
+            fields.setdefault(f.name, f.dataType)
+    out = None
+    for d in dfs:
+        have = set(d.columns)
+        sel = [F.col(f"`{nm2}`") if nm2 in have
+               else F.expr(_ch_type_default_sql(dt)).cast(dt)
+               .alias(nm2)
+               for nm2, dt in fields.items()]
+        part = d.select(*sel)
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def _materialize_merge_tvf(spark, text: str, tables) -> str:
@@ -7552,7 +7567,7 @@ def _ch_decl_type_to_spark(t: str) -> str:
     if re.match(r"Enum(8|16)?\s*\(", t, re.IGNORECASE) \
             or re.match(r"FixedString\s*\(", t, re.IGNORECASE):
         return "STRING"
-    m = re.fullmatch(r"DateTime64\s*\(.*\)", t, re.IGNORECASE)
+    m = re.fullmatch(r"DateTime(?:64)?\s*\(.*\)", t, re.IGNORECASE)
     if m:
         return "TIMESTAMP"
     m = re.fullmatch(r"Decimal\s*\((\d+)\s*,\s*(\d+)\)", t,
