@@ -1547,6 +1547,35 @@ _TSOI_MICROS = {
 _TSOI_MONTHS = {"month": 1, "quarter": 3, "year": 12}
 
 
+def _validate_tsoi_origin(raw_args) -> None:
+    """toStartOfInterval 3-arg ORIGIN checks over the RAW argument
+    texts (toStartOfInterval.cpp): origin must share the value's
+    exact type, must not exceed it, and Date values reject sub-day
+    intervals."""
+    def fam(x):
+        fm2 = re.match(r"(?is)\s*(toDateTime64|toDateTime|"
+                       r"toDate32|toDate)\s*\(\s*'([^']*)'", x)
+        return (fm2.group(1).lower(), fm2.group(2)) if fm2 \
+            else (None, None)
+    vf, vl = fam(raw_args[0])
+    of, ol = fam(raw_args[2])
+    if vf and of:
+        if vf != of:
+            raise ValueError(
+                "toStartOfInterval: origin type must match the "
+                "value type (reference BAD_ARGUMENTS)")
+        if ol > vl:
+            raise ValueError(
+                "toStartOfInterval: origin is after the value "
+                "(reference BAD_ARGUMENTS)")
+        if vf in ("todate", "todate32") and re.search(
+                r"(?i)toInterval(Second|Minute|Hour|Milli|Micro|"
+                r"Nano)", raw_args[1]):
+            raise ValueError(
+                "toStartOfInterval: sub-day interval over a Date "
+                "value (reference ILLEGAL_TYPE_OF_ARGUMENT)")
+
+
 def _tostartofinterval_rule(a):
     """toStartOfInterval(ts, INTERVAL n unit | toIntervalUnit(n))
     (reference src/Functions/toStartOfInterval.cpp): floor the
@@ -2247,12 +2276,23 @@ def _validate_codecs(text: str) -> None:
         end_i = _matching_paren(text, open_i)
         if end_i < 0:
             continue
+        seen_compression = False
         for item in _split_top_commas(text[open_i + 1:end_i]):
             cm = re.fullmatch(r"(?is)\s*(\w+)\s*(?:\((.*)\))?\s*",
                               item)
             if cm is None:
                 continue
             cname = cm.group(1).lower()
+            if cname in ("lz4", "lz4hc", "zstd", "zstd_qat",
+                         "deflate_qpl"):
+                seen_compression = True
+            elif cname in ("delta", "doubledelta", "gorilla", "fpc",
+                           "t64", "gcd") and seen_compression:
+                # transform codecs must precede generic compression
+                # (CompressionFactory sanity checks)
+                raise ValueError(
+                    f"CODEC: transform codec {cm.group(1)} after a "
+                    f"compression codec (reference BAD_ARGUMENTS)")
             spec = _CODEC_ARITY.get(cname)
             if spec is None:
                 raise ValueError(
@@ -3932,6 +3972,9 @@ def _translate_expr(sql: str) -> str:
                 # needs the RAW second argument (INTERVAL literal or
                 # toIntervalUnit(n) call) — translation would rewrite
                 # it into an opaque make_*_interval expression first
+                if len(args) >= 3:
+                    _validate_tsoi_origin(
+                        [x.strip() for x in args])
                 out.append(_tostartofinterval_rule(
                     [targs[0]] + [x.strip() for x in args[1:]]))
                 i = after
