@@ -2764,11 +2764,17 @@ def _fss_extract(u, cut: bool) -> Column:
     """ExtractFirstSignificantSubdomain.h: fss = label before the last
     dot, or before a compound public suffix; cut=True keeps the suffix
     (cutToFirstSignificantSubdomain)."""
-    dom = F.regexp_replace(
+    # a dot-less `scheme:` prefix WITHOUT slashes (magnet:, mailto:)
+    # has no host — the reference returns '' (ExtractDomain)
+    dom = F.when(
+        _c(u).rlike(r"^[A-Za-z][A-Za-z0-9+\-]*:(?!//)"), F.lit("")
+    ).otherwise(F.regexp_replace(
         F.coalesce(F.parse_url(_c(u), F.lit("HOST")),
-                   F.regexp_extract(_c(u),
-                                    r"^(?:[a-z]+://)?([^/?#:@ ]+)", 1)),
-        r"^www\.", "")
+                   F.regexp_extract(
+                       _c(u),
+                       r"^(?:[A-Za-z][A-Za-z0-9+.\-]*://|//)?"
+                       r"([^/?#:@ ]*)", 1)),
+        r"^www\.", ""))
     labs = F.split(dom, r"\.")
     n = F.size(labs)
     comp = F.concat(F.element_at(labs, -2), F.lit("."),
@@ -2780,9 +2786,12 @@ def _fss_extract(u, cut: bool) -> Column:
                 .otherwise(F.array_join(F.slice(labs, n - 1, 2),
                                         "."))), F.lit(""))
     # invalid/host-less input yields '' (the reference returns an
-    # empty string, never NULL)
+    # empty string, never NULL); single-label hosts and hosts with a
+    # trailing dot also yield '' (ExtractFirstSignificantSubdomain
+    # needs a non-empty TLD after the last dot)
     return F.coalesce(
-        F.when(n <= 1, dom)
+        F.when(n <= 1, F.lit(""))
+        .when(F.element_at(labs, -1) == "", F.lit(""))
         .when(is_comp, F.element_at(labs, -3))
         .otherwise(F.element_at(labs, -2)), F.lit(""))
 
