@@ -8387,8 +8387,9 @@ def ch_sql_session_replacing_is_deleted_q(spark, sf_dir):
     ch_sql(spark, "INSERT INTO s9_rmt SELECT number, 1, 2 "
                   "FROM numbers(3)", tables=t)
     ch_sql(spark, "OPTIMIZE TABLE s9_rmt FINAL", tables=t)
-    return ch_sql(spark, "SELECT account_id FROM s9_rmt FINAL "
-                         "ORDER BY account_id", tables=t)
+    return ch_sql(spark, "SELECT toInt64(account_id) AS account_id "
+                         "FROM s9_rmt FINAL ORDER BY account_id",
+                  tables=t)
 
 
 @q("ch_sql_session_json_each_row", """
@@ -8430,9 +8431,10 @@ def join_semi_right_q(spark, sf_dir):
                   "FROM numbers(8)", tables=t)
     ch_sql(spark, "INSERT INTO s9_sr2 SELECT number % 6, number "
                   "FROM numbers(6)", tables=t)
-    return ch_sql(spark, "SELECT t2.x AS x, t2.b AS b FROM s9_sr1 "
-                         "AS t1 SEMI RIGHT JOIN s9_sr2 AS t2 "
-                         "USING(x) ORDER BY x, b", tables=t)
+    return ch_sql(spark, "SELECT toInt64(t2.x) AS x, toInt64(t2.b) "
+                         "AS b FROM s9_sr1 AS t1 SEMI RIGHT JOIN "
+                         "s9_sr2 AS t2 USING(x) ORDER BY x, b",
+                  tables=t)
 
 
 @q("fn_format_datetime_full", """
@@ -8477,10 +8479,10 @@ def fn_format_datetime_full_q(spark, sf_dir):
 
 
 @q("fn_decimal_readtext", """
-SELECT CAST('1.12345' AS DECIMAL(18, 5)) AS a,
-       CAST('123456789123.1' AS DECIMAL(18, 5)) AS b,
-       CAST('1.12345' AS DECIMAL(18, 5)) AS c,
-       CAST('12345.1' AS DECIMAL(18, 5)) AS d
+SELECT CAST(CAST('1.12345' AS DECIMAL(18, 5)) AS VARCHAR) AS a,
+       CAST(CAST('123456789123.1' AS DECIMAL(18, 5)) AS VARCHAR) AS b,
+       CAST(CAST('1.12345' AS DECIMAL(18, 5)) AS VARCHAR) AS c,
+       CAST(CAST('12345.1' AS DECIMAL(18, 5)) AS VARCHAR) AS d
 """)
 def fn_decimal_readtext_q(spark, sf_dir):
     """String-to-Decimal parsing (reference readDecimalText):
@@ -8488,10 +8490,10 @@ def fn_decimal_readtext_q(spark, sf_dir):
     the Decimal64 storage width, so 12 integer digits fit a declared
     Decimal(10, 5)."""
     return ch_sql(spark, """
-        SELECT CAST('1.123455' AS Decimal(10, 5)) AS a,
-               CAST('123456789123.1' AS Decimal(10, 5)) AS b,
-               CAST('1.1234511111' AS Decimal(10, 5)) AS c,
-               CAST('12345.1' AS Decimal(10, 5)) AS d
+        SELECT toString(CAST('1.123455' AS Decimal(10, 5))) AS a,
+               toString(CAST('123456789123.1' AS Decimal(10, 5))) AS b,
+               toString(CAST('1.1234511111' AS Decimal(10, 5))) AS c,
+               toString(CAST('12345.1' AS Decimal(10, 5))) AS d
     """, tables={})
 
 
