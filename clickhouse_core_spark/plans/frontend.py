@@ -6654,6 +6654,14 @@ def _ch_sql_impl(spark, sql: str,
 
     # CREATE TABLE ... ENGINE = <engine> [AS SELECT ...] routes to the
     # managed-table machinery (reference InterpreterCreateQuery.h);
+    if re.match(r"(?i)\s*(CREATE|DROP|ALTER|RENAME|TRUNCATE|"
+                r"OPTIMIZE)\b", text) \
+            and re.search(r"(?i)\bON\s+CLUSTER\b", text):
+        # ON CLUSTER is a DDL fan-out directive (InterpreterDDLQuery
+        # distributed DDL) — Spark owns distribution; the local DDL is
+        # the whole semantic here
+        text = re.sub(r"(?i)\s+ON\s+CLUSTER\s+(?:'[^']*'|\"[^\"]*\"|"
+                      r"[\w{}.]+)", " ", text)
     if re.search(r"(?i)\bCODEC\s*\(", text) \
             and re.match(r"(?i)\s*(CREATE|ALTER)\b", text):
         _validate_codecs(text)
@@ -8577,8 +8585,17 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
         t.insert(aligned)
         # always_final tables (EmbeddedRocksDB key-value semantics)
         # expose the deduplicated state as THE table
-        (t.read(final=True) if getattr(t, "always_final", False)
-         else t.read()).createOrReplaceTempView(name)
+        view_df = (t.read(final=True)
+                   if getattr(t, "always_final", False) else t.read())
+        # hive partition discovery appends partition columns LAST;
+        # the view keeps the DECLARED column order
+        declared = [f.name for f in schema.fields
+                    if f.name in view_df.columns]
+        if declared and list(view_df.columns) != declared \
+                and set(declared) == set(view_df.columns):
+            view_df = view_df.select(
+                *[F.col(f"`{c}`") for c in declared])
+        view_df.createOrReplaceTempView(name)
         try:
             # plain MergeTree FINAL is identity; engine variants get
             # their merge semantics applied at read time

@@ -147,6 +147,11 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
         return "SKIP", ""
     if re.search(r"(?i)\btest\.(hits|visits)\b", stmt):
         return "SKIP", None        # stateful dataset tables not shipped
+    if re.search(r"\{\w+\s*:\s*[A-Za-z]", stmt):
+        # parameterized query placeholders ({name:Type}) — the
+        # reference runner substitutes client-side parameters this
+        # harness does not have
+        return "SKIP", None
     if _SKIP_RE.match(stmt):
         # silent session statements keep golden alignment; output-
         # bearing ones (CHECK TABLE, WATCH, KILL …) break it
