@@ -1935,6 +1935,68 @@ _RULES["reinterpretasint32"] = _reinterp_int_rule(
     "reinterpretAsInt32", True)
 
 
+def _f64_bits_sql(x: str) -> str:
+    """IEEE-754 float64 bit pattern (non-negative values; the sign
+    bit would overflow BIGINT) — same exact-mantissa construction as
+    the float32 form."""
+    v = f"CAST({x} AS DOUBLE)"
+    a = f"ABS({v})"
+    e = f"FLOOR(LOG2({a}))"
+    return (f"(CASE WHEN {v} = 0 THEN 0 WHEN {v} < 0 THEN NULL ELSE "
+            f"(CAST({e} + 1023 AS BIGINT) * 4503599627370496 "
+            f"+ CAST(ROUND((({a}) / POW(CAST(2.0 AS DOUBLE), {e}) "
+            f"- 1) * 4503599627370496) AS BIGINT)) END)")
+
+
+def _reinterp_int64_rule(name):
+    def rule(a):
+        if re.match(r"(?is)\s*CAST\s*\(.*AS\s+(DOUBLE|FLOAT)\s*\)",
+                    a[0]):
+            return _f64_bits_sql(a[0])
+        br = _bridge_registry_call(name, a)
+        return br if br else f"{name}({', '.join(a)})"
+    return rule
+
+
+_RULES["reinterpretasuint64"] = _reinterp_int64_rule(
+    "reinterpretAsUInt64")
+_RULES["reinterpretasint64"] = _reinterp_int64_rule(
+    "reinterpretAsInt64")
+
+
+def _reinterp_float_rule(name, f32: bool):
+    """reinterpretAsFloat32/64 over an INTEGER-typed argument: invert
+    the bit layout (denormals via the 2^-149 / 2^-1074 scale)."""
+    def rule(a):
+        if not re.match(r"(?is)\s*(CAST\s*\(.*AS\s+(TINYINT|SMALLINT|"
+                        r"INT|BIGINT|DECIMAL[\d(), ]*)\s*\)|\d+)\s*$",
+                        a[0]):
+            br = _bridge_registry_call(name, a)
+            return br if br else f"{name}({', '.join(a)})"
+        b = f"CAST({a[0]} AS BIGINT)"
+        if f32:
+            e = f"CAST(({b} div 8388608) % 256 AS INT)"
+            m = f"CAST(({b}) % 8388608 AS DOUBLE)"
+            sgn = f"IF(({b} div 2147483648) % 2 = 1, -1.0, 1.0)"
+            return (f"CAST({sgn} * (CASE WHEN {e} = 0 "
+                    f"THEN {m} * POW(2.0, -149) "
+                    f"ELSE (1.0 + {m} / 8388608) "
+                    f"* POW(2.0, {e} - 127) END) AS FLOAT)")
+        e = f"CAST(({b} div 4503599627370496) % 2048 AS INT)"
+        m = f"CAST(({b}) % 4503599627370496 AS DOUBLE)"
+        return (f"(CASE WHEN {e} = 0 "
+                f"THEN {m} * POW(2.0, -1074) "
+                f"ELSE (1.0 + {m} / 4503599627370496) "
+                f"* POW(2.0, {e} - 1023) END)")
+    return rule
+
+
+_RULES["reinterpretasfloat32"] = _reinterp_float_rule(
+    "reinterpretAsFloat32", True)
+_RULES["reinterpretasfloat64"] = _reinterp_float_rule(
+    "reinterpretAsFloat64", False)
+
+
 def _translate_fn_rule(a, utf8: bool = False):
     """translate(s, from, to) (src/Functions/translate.cpp): a 'to'
     map SHORTER than 'from' deletes the unmapped characters (Spark's
