@@ -397,7 +397,8 @@ _RULES: dict = {
         f"CASE WHEN length({a[1]}) = 0 THEN {a[0]} "
         f"ELSE regexp_replace({a[0]}, {a[1]}, {a[2]}) END"),
     "replaceregexpone": lambda a: (
-        f"CASE WHEN regexp_instr({a[0]}, {a[1]}) > 0 THEN "
+        f"CASE WHEN length({a[1]}) = 0 THEN {a[0]} "
+        f"WHEN regexp_instr({a[0]}, {a[1]}) > 0 THEN "
         f"concat(regexp_replace(substring({a[0]}, 1, regexp_instr({a[0]}, {a[1]}) "
         f"+ length(regexp_substr({a[0]}, {a[1]})) - 1), {a[1]}, {a[2]}), "
         f"substring({a[0]}, regexp_instr({a[0]}, {a[1]}) "
