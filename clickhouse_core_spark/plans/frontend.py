@@ -2576,6 +2576,10 @@ def _array_reduce_sql(a: list[str]) -> str:
                f" / size({arr})",
         "any": f"try_element_at({arr}, 1)",
         "anylast": f"try_element_at({arr}, -1)",
+        # median = quantileExact(0.5): sorted element at
+        # floor(n * 0.5) + 1 (AggregateFunctionQuantile exact rank)
+        "median": (f"try_element_at(array_sort({arr}), "
+                   f"CAST(floor(size({arr}) * 0.5) + 1 AS INT))"),
         "uniqexact": f"CAST(size(array_distinct({arr})) AS BIGINT)",
         "uniq": f"CAST(size(array_distinct({arr})) AS BIGINT)",
         "grouparray": arr,
@@ -5573,12 +5577,12 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # `x IN tuple(a, b, ...)` — the function-call spelling of the IN
     # set (ParserTupleOfLiterals accepts both); inner tuple() items
     # normalize to paren tuples
-    if re.search(r"(?i)\bIN\s+tuple\s*\(", sql):
+    if re.search(r"(?i)\bIN\s+(?:tuple|array)\s*\(", sql):
         def _in_tuple_seg(seg: str) -> str:
             pos = 0
             while True:
-                m = re.search(r"(?i)\b(NOT\s+)?IN\s+tuple\s*\(",
-                              seg[pos:])
+                m = re.search(r"(?i)\b(NOT\s+)?IN\s+(?:tuple|array)"
+                              r"\s*\(", seg[pos:])
                 if m is None:
                     return seg
                 open_i = pos + m.end() - 1
