@@ -27,6 +27,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _great_circle_rads(lat1, lon1, lat2, lon2) -> Column:
+    """H3 greatCircleDistanceRads (haversine; reference
+    src/Functions/h3PointDist.cpp over H3's latLngDistanceRads)."""
+    p1 = F.radians(_c(lat1).cast("double"))
+    l1 = F.radians(_c(lon1).cast("double"))
+    p2 = F.radians(_c(lat2).cast("double"))
+    l2 = F.radians(_c(lon2).cast("double"))
+    sp = F.sin((p2 - p1) / 2)
+    sl = F.sin((l2 - l1) / 2)
+    a = sp * sp + F.cos(p1) * F.cos(p2) * sl * sl
+    return 2 * F.asin(F.sqrt(a))
+
+
 def _c(x) -> Column:
     return x if isinstance(x, Column) else F.lit(x)
 
@@ -199,6 +212,12 @@ H3_FUNCTIONS = {
     "h3NumHexagons": h3NumHexagons,
     "h3GetResolution": h3GetResolution,
     "h3GetBaseCell": h3GetBaseCell,
+    "h3PointDistRads": lambda lat1, lon1, lat2, lon2:
+        _great_circle_rads(lat1, lon1, lat2, lon2),
+    "h3PointDistKm": lambda lat1, lon1, lat2, lon2:
+        _great_circle_rads(lat1, lon1, lat2, lon2) * 6371.007180918475,
+    "h3PointDistM": lambda lat1, lon1, lat2, lon2:
+        _great_circle_rads(lat1, lon1, lat2, lon2) * 6371007.180918475,
     "h3IsValid": h3IsValid,
     "h3IsResClassIII": h3IsResClassIII,
     "h3IsPentagon": h3IsPentagon,

@@ -569,10 +569,21 @@ _RULES: dict = {
     "subbitmap": lambda a: f"slice({a[0]}, {a[1]} + 1, {a[2]})",
     # aggregates
     "grouparray": _fn("collect_list"), "groupuniqarray": _fn("collect_set"),
-    "uniq": _fn("approx_count_distinct"),
-    "uniqcombined": _fn("approx_count_distinct"),
-    "uniqcombined64": _fn("approx_count_distinct"),
-    "uniqhll12": _fn("approx_count_distinct"),
+    # multi-argument uniq counts distinct TUPLES (AggregateFunctionUniq
+    # variadic form) — struct-wrap so approx_count_distinct's second
+    # parameter (rsd) is not hijacked
+    "uniq": lambda a: (
+        f"approx_count_distinct({a[0]})" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"),
+    "uniqcombined": lambda a: (
+        f"approx_count_distinct({a[0]})" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"),
+    "uniqcombined64": lambda a: (
+        f"approx_count_distinct({a[0]})" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"),
+    "uniqhll12": lambda a: (
+        f"approx_count_distinct({a[0]})" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}))"),
     "uniqtheta": _fn("approx_count_distinct"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "countif": _fn("count_if"),
@@ -5238,6 +5249,33 @@ def _rewrite_tuple_in(sql: str) -> str:
                         else f"({eq})")
                 out = out[:j] + repl + out[end_r + 1:]
                 pos = j + len(repl)
+            elif (n_l > 0 and rhs_tuples and not lhs_is_call
+                    and not rhs_is_subq):
+                # tuple IN a LIST of tuples: OR-chain of pairwise
+                # equalities (type-lenient, unlike Spark's struct IN)
+                l_items = [x.strip() for x in _split_top_commas(lhs)]
+                ors = []
+                ok2 = True
+                for cand in rhs_items:
+                    cs = cand.strip()
+                    if not (cs.startswith("(") and cs.endswith(")")):
+                        ok2 = False
+                        break
+                    c_items = _split_top_commas(cs[1:-1])
+                    if len(c_items) != len(l_items):
+                        ok2 = False
+                        break
+                    ors.append("(" + " AND ".join(
+                        f"(({li}) = ({ci.strip()}))"
+                        for li, ci in zip(l_items, c_items)) + ")")
+                if ok2 and ors:
+                    eq = " OR ".join(ors)
+                    repl = (f"(NOT ({eq}))" if m.group(1)
+                            else f"({eq})")
+                    out = out[:j] + repl + out[end_r + 1:]
+                    pos = j + len(repl)
+                else:
+                    pos = end_r
             else:
                 pos = end_r
     return _sub_nonstring(sql, seg_fn)
