@@ -4341,6 +4341,16 @@ def _rewrite_array_join(sql: str) -> str:
         prefix = prefix[:from_start] + "FROM " + sub_q
         parsed = [(renames.get(e, e) if imp else e, a, imp)
                   for (e, a, imp) in parsed]
+        # table-qualified references to the ORIGINAL array
+        # (`t.arr` names the array, bare `arr` the element — CH
+        # ArrayJoin scoping) follow the rename
+        for _, e in implicit:
+            qpat = re.compile(
+                rf"(?<![\w.`])`?{re.escape(tail_alias)}`?"
+                rf"\s*\.\s*`?{re.escape(e)}`?(?!\w)")
+            qrep = f"{tail_alias}.{renames[e]}"
+            prefix = qpat.sub(qrep, prefix)
+            suffix = qpat.sub(qrep, suffix)
 
     first_expr, first_alias, _ = parsed[0]
     lateral = (f" LATERAL VIEW {'OUTER ' if outer else ''}"
