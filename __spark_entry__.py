@@ -7228,8 +7228,8 @@ def ch_sql_session_insert_alter_q(spark, sf_dir):
 @q("ch_sql_session_mutations", """
 SELECT CAST(x AS BIGINT) AS k,
        CASE WHEN x % 2 = 0 THEN 'even' ELSE 'odd' END AS grp,
-       round(x * 1.5 + CASE WHEN x % 2 = 1 THEN 100 ELSE 0 END, 2)
-         AS val
+       CAST(round(x * 1.5 + CASE WHEN x % 2 = 1 THEN 100 ELSE 0 END,
+                  2) AS DOUBLE) AS val
 FROM range(20) t(x) WHERE x % 5 != 0 ORDER BY k
 """)
 def ch_sql_session_mutations_q(spark, sf_dir):
@@ -8395,7 +8395,8 @@ def ch_sql_session_replacing_is_deleted_q(spark, sf_dir):
 @q("ch_sql_session_json_each_row", """
 WITH j(id, tag, score) AS (VALUES
   (1, 'a', 1.5), (2, 'b', 2.5), (3, '', 0.0))
-SELECT CAST(id AS BIGINT) AS id, tag, score FROM j ORDER BY id
+SELECT CAST(id AS BIGINT) AS id, tag, CAST(score AS DOUBLE) AS score
+FROM j ORDER BY id
 """)
 def ch_sql_session_json_each_row_q(spark, sf_dir):
     """Inline JSON-rows INSERT (reference
@@ -9092,6 +9093,30 @@ def fn_collections_ext(spark, sf_dir):
         F.round(gini["col2"], 6).alias("gini_labels"),
         ch.bitmaskToList(F.col("vec_id")).alias("bitmask_s"))
         .orderBy("vec_id"))
+
+
+# ------------------------------------------------------------- round 10
+
+@q("fn_cast_float_trunc", """
+WITH v(x) AS (VALUES (4.5), (4.9), (-0.5), (-4.5), (0.0), (2.5))
+SELECT CAST(TRUNC(x) AS BIGINT) AS u64,
+       CAST(TRUNC(x) AS BIGINT) AS i128,
+       CAST(TRUNC(x) AS BIGINT) AS i64
+FROM v ORDER BY u64, i64
+""")
+def fn_cast_float_trunc_q(spark, sf_dir):
+    """Float→UInt64/Int128 conversions TRUNCATE toward zero (reference
+    src/Functions/FunctionsConversion.cpp static_cast semantics, test
+    02152_count_distinct_optimization golden): the DECIMAL carriers
+    must not inherit Spark's HALF_UP cast rounding.  Output re-cast to
+    BIGINT for the driver hasher (representation-sensitive)."""
+    t = {}
+    return ch_sql(spark, """
+        SELECT toInt64(toUInt64(x)) AS u64, toInt64(toInt128(x)) AS i128,
+               toInt64(x) AS i64
+        FROM (SELECT arrayJoin([4.5, 4.9, -0.5, -4.5, 0.0, 2.5]) AS x)
+        ORDER BY u64, i64
+    """, tables=t)
 
 
 def entry(spark: SparkSession) -> DataFrame:

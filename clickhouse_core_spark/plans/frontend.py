@@ -99,6 +99,10 @@ def _cast_rule(a):
         return _variant_cast_sql(a[0], vm.group(1))
     ty = _ch_type_to_sql(a[1])
     src = a[0].strip()
+    if re.fullmatch(r"(?i)u?int(?:64|128|256)", raw) \
+            and ty.upper().startswith("DECIMAL"):
+        # decimal-carrier int targets truncate float inputs
+        return _trunc_int_cast_sql(a[0], ty)
     if re.match(r"(?i)\s*array\s*<\s*struct\b", ty) and re.match(
             r"(?i)\(*\s*(materialize\s*\(\s*)?map(_from_arrays|"
             r"_from_entries|_concat)?\s*\(", src):
@@ -142,6 +146,29 @@ def _re_group_idx(pattern_arg: str) -> int:
 
 def _cast(t):
     return lambda a: f"CAST({a[0]} AS {t})"
+
+
+def _trunc_int_cast_sql(x: str, ty: str) -> str:
+    """Float→wide-int conversion over a DECIMAL carrier: the reference
+    TRUNCATES toward zero (FunctionsConversion.cpp static_cast), but
+    Spark's fractional→DECIMAL cast rounds HALF_UP — strip the
+    fraction first via ``x - (x % 1)`` (exact in IEEE arithmetic and
+    in decimal arithmetic, stays in the input type so UInt64-scale
+    values don't overflow an intermediate BIGINT).  Non-fractional
+    inputs (strings, integers, scale-0 decimals) keep the exact direct
+    cast — a 20-digit string must not round-trip through DOUBLE."""
+    m = re.fullmatch(r"\s*(-?\d+)(?:\.\d*)?\s*", x)
+    if m:
+        return f"CAST({m.group(1)} AS {ty})"
+    t = f"typeof({x})"
+    return (f"(CASE WHEN {t} IN ('double', 'float') OR "
+            f"({t} LIKE 'decimal%' AND {t} NOT LIKE '%,0)') "
+            f"THEN CAST(({x}) - (({x}) % 1) AS {ty}) "
+            f"ELSE CAST({x} AS {ty}) END)")
+
+
+def _trunc_cast(t):
+    return lambda a: _trunc_int_cast_sql(a[0], t)
 
 
 def _lam_parts(f: str):
@@ -190,6 +217,16 @@ def _todatetime_numeric_literal(a: list) -> str:
     return f"to_timestamp({secs})"
 
 
+def _looks_arrayish(expr: str) -> bool:
+    """Textual heuristic: does a translated argument already produce
+    an ARRAY (state carrier)?  Used by aggregate rules that must pick
+    between a scalar-input and a state-array-input rewrite."""
+    return bool(re.search(
+        r"(?i)\b(array|arrays?_\w+|collect_list|collect_set|flatten|"
+        r"sequence|split|transform|aggregate|zip_with|slice)\s*\(",
+        expr)) or bool(re.search(r"(?i)(_state|__state)\b", expr))
+
+
 def _todate_numeric_literal(a: list) -> str:
     """CH toDate(N[, tz]) over an integer (FunctionsConversion.h):
     N ≤ 65535 reads as DAYS since epoch (negatives clamp to 0);
@@ -201,6 +238,25 @@ def _todate_numeric_literal(a: list) -> str:
         n = 0
     if n <= 65535:
         d = _dtm.date(1970, 1, 1) + _dtm.timedelta(days=n)
+        return f"DATE '{d.isoformat()}'"
+    secs = min(n, 4294967295)
+    if len(a) == 2:
+        return (f"to_date(convert_timezone('UTC', {a[1]}, "
+                f"CAST(to_timestamp({secs}) AS TIMESTAMP_NTZ)))")
+    return f"to_date(to_timestamp({secs}))"
+
+
+def _todate32_numeric_literal(a: list) -> str:
+    """CH toDate32(N[, tz]) over an integer (FunctionsConversion.h
+    ToDate32Transform32Or64Signed): Date32 spans 1900-01-01 (day
+    -25567) .. 2299-12-31; values below DATE_LUT_MAX_EXTEND_DAY_NUM
+    (120529) read as DAYS since epoch — NEGATIVES KEPT, floored at
+    -25567 (toDate32(-10) = 1969-12-22) — and larger values read as
+    UNIX SECONDS clamped to MAX_DATETIME_TIMESTAMP (UInt32 max)."""
+    import datetime as _dtm
+    n = int(a[0])
+    if n < 120529:
+        d = _dtm.date(1970, 1, 1) + _dtm.timedelta(days=max(n, -25567))
         return f"DATE '{d.isoformat()}'"
     secs = min(n, 4294967295)
     if len(a) == 2:
@@ -287,7 +343,7 @@ _RULES: dict = {
         else f"to_date({', '.join(a)})"),
     # toDate32 takes the same optional trailing timezone
     "todate32": lambda a: (
-        _todate_numeric_literal(a)
+        _todate32_numeric_literal(a)
         if re.fullmatch(r"\s*-?\d+\s*", a[0])
         else f"to_date(convert_timezone('UTC', {a[1]}, "
         f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ)))"
@@ -336,7 +392,13 @@ _RULES: dict = {
     "toint8": _cast("TINYINT"), "toint16": _cast("SMALLINT"),
     "toint32": _cast("INT"), "toint64": _cast("BIGINT"),
     "touint8": _cast("SMALLINT"), "touint16": _cast("INT"),
-    "touint32": _cast("BIGINT"), "touint64": _cast("DECIMAL(20,0)"),
+    # DECIMAL-carrier widths truncate float inputs toward zero like
+    # the reference's static_cast (Spark's float→DECIMAL rounds)
+    "touint32": _cast("BIGINT"), "touint64": _trunc_cast("DECIMAL(20,0)"),
+    "toint128": _trunc_cast("DECIMAL(38,0)"),
+    "toint256": _trunc_cast("DECIMAL(38,0)"),
+    "touint128": _trunc_cast("DECIMAL(38,0)"),
+    "touint256": _trunc_cast("DECIMAL(38,0)"),
     "tofloat32": _cast("FLOAT"), "tofloat64": _cast("DOUBLE"),
     "toint32ornull": lambda a: f"TRY_CAST({a[0]} AS INT)",
     "toint64ornull": lambda a: f"TRY_CAST({a[0]} AS BIGINT)",
@@ -536,8 +598,15 @@ _RULES: dict = {
     # groupBitmap aggregate family over the sorted-array carrier:
     # -State collects the union as a state array, -Merge unions
     # partial states and finalizes to the cardinality
-    "groupbitmapstate": lambda a:
-        f"array_sort(array_distinct(flatten(collect_list({a[0]}))))",
+    # canonical -State input is a SCALAR uint column → collect_set;
+    # the flatten form only analyzes over array-typed (state) inputs,
+    # detected textually (array-producing spellings / __state suffix)
+    "groupbitmapstate": lambda a: (
+        f"array_sort(array_distinct(flatten(collect_list({a[0]}))))"
+        if _looks_arrayish(a[0])
+        else f"array_sort(collect_set({a[0]}))"),
+    # -Merge input is a state (array carrier) by contract — keep the
+    # flatten form unconditionally
     "groupbitmapmerge": lambda a:
         f"CAST(size(array_distinct(flatten(collect_list({a[0]})))) "
         f"AS BIGINT)",
@@ -1947,33 +2016,50 @@ _RULES["reinterpretasint32"] = _reinterp_int_rule(
     "reinterpretAsInt32", True)
 
 
-def _f64_bits_sql(x: str) -> str:
-    """IEEE-754 float64 bit pattern (non-negative values; the sign
-    bit would overflow BIGINT) — same exact-mantissa construction as
-    the float32 form."""
+def _f64_bits_sql(x: str, signed: bool = False) -> str:
+    """IEEE-754 float64 bit pattern — exact-mantissa construction as
+    the float32 form (src/Functions/reinterpretAs.cpp memcpy
+    semantics).  signed=True returns the Int64 view (negative doubles
+    → negative bit pattern via the sign bit at 2^63); signed=False
+    returns the UInt64 view as DECIMAL(20,0) (the repo's UInt64
+    carrier), so negative doubles map to 2^63 + magnitude bits."""
     v = f"CAST({x} AS DOUBLE)"
     a = f"ABS({v})"
     e = f"FLOOR(LOG2({a}))"
-    return (f"(CASE WHEN {v} = 0 THEN 0 WHEN {v} < 0 THEN NULL ELSE "
-            f"(CAST({e} + 1023 AS BIGINT) * 4503599627370496 "
-            f"+ CAST(ROUND((({a}) / POW(CAST(2.0 AS DOUBLE), {e}) "
-            f"- 1) * 4503599627370496) AS BIGINT)) END)")
+    mag = (f"(CAST({e} + 1023 AS BIGINT) * 4503599627370496 "
+           f"+ CAST(ROUND((({a}) / POW(CAST(2.0 AS DOUBLE), {e}) "
+           f"- 1) * 4503599627370496) AS BIGINT))")
+    if signed:
+        return (f"(CASE WHEN {v} = 0 THEN 0 "
+                f"WHEN {v} < 0 THEN -9223372036854775808 + {mag} "
+                f"ELSE {mag} END)")
+    return (f"(CASE WHEN {v} = 0 THEN CAST(0 AS DECIMAL(20,0)) "
+            f"WHEN {v} < 0 THEN CAST(9223372036854775808 AS "
+            f"DECIMAL(20,0)) + CAST({mag} AS DECIMAL(20,0)) "
+            f"ELSE CAST({mag} AS DECIMAL(20,0)) END)")
 
 
-def _reinterp_int64_rule(name):
+def _reinterp_int64_rule(name, signed):
     def rule(a):
-        if re.match(r"(?is)\s*CAST\s*\(.*AS\s+(DOUBLE|FLOAT)\s*\)",
-                    a[0]):
-            return _f64_bits_sql(a[0])
+        # the OUTERMOST cast type decides the source width: the
+        # reference memcpy's min(sizeof) bytes, so a Float32 argument
+        # yields the zero-extended 32-bit pattern (1065353216 for
+        # 1.0f), not the float64 pattern.
+        m = re.search(r"(?is)AS\s+(DOUBLE|FLOAT)\s*\)\s*$", a[0])
+        if m and m.group(1).upper() == "FLOAT":
+            bits = _f32_bits_sql(a[0])
+            return bits if signed else f"CAST({bits} AS DECIMAL(20,0))"
+        if m:
+            return _f64_bits_sql(a[0], signed)
         br = _bridge_registry_call(name, a)
         return br if br else f"{name}({', '.join(a)})"
     return rule
 
 
 _RULES["reinterpretasuint64"] = _reinterp_int64_rule(
-    "reinterpretAsUInt64")
+    "reinterpretAsUInt64", False)
 _RULES["reinterpretasint64"] = _reinterp_int64_rule(
-    "reinterpretAsInt64")
+    "reinterpretAsInt64", True)
 
 
 def _reinterp_float_rule(name, f32: bool):
@@ -5010,11 +5096,104 @@ def _rewrite_cast_types(sql: str) -> str:
             sql = sql[:m.start()] + lead + ddl + sql[j:]
             pos = m.start() + len(lead + ddl)
     sql = re.sub(r"::\s*Dynamic\b", "", sql, flags=re.IGNORECASE)
+    sql = _rewrite_trunc_casts(sql)
     sql = _CAST_TYPE_RE.sub(
         lambda m: m.group(1) + _CH_CAST_TYPES[m.group(2).lower()]
         + m.group(3), sql)
     return _COLONCOLON_TYPE_RE.sub(
         lambda m: "::" + _CH_CAST_TYPES[m.group(1).lower()], sql)
+
+
+_TRUNC_CARRIERS = {
+    "uint64": "DECIMAL(20,0)", "int128": "DECIMAL(38,0)",
+    "int256": "DECIMAL(38,0)", "uint128": "DECIMAL(38,0)",
+    "uint256": "DECIMAL(38,0)",
+}
+
+
+def _trunc_operand_start(sql: str, i: int) -> int:
+    """Start index of the ``::``-cast operand ending just before
+    position ``i`` (postfix-cast binding: a balanced call/paren group
+    with optional function-name head, a quoted/backticked literal, or
+    an identifier/number)."""
+    k = i
+    while k > 0 and sql[k - 1].isspace():
+        k -= 1
+    if k and sql[k - 1] == ")":
+        depth, j = 0, k - 1
+        while j >= 0:
+            if sql[j] == ")":
+                depth += 1
+            elif sql[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        mfn = re.search(r"([A-Za-z_][\w]*)\s*$", sql[:max(j, 0)])
+        return mfn.start(1) if mfn else max(j, 0)
+    if k and sql[k - 1] in "'\"`":
+        q, j = sql[k - 1], k - 2
+        while j >= 0 and sql[j] != q:
+            j -= 1
+        return max(j, 0)
+    j = k
+    while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "._"):
+        j -= 1
+    return j
+
+
+def _rewrite_trunc_casts(sql: str) -> str:
+    """``CAST(x AS UInt64)`` / ``x::UInt64`` (and the 128/256-bit
+    widths) — the DECIMAL-carrier targets need toward-zero truncation
+    of float inputs (see _trunc_int_cast_sql); the generic type-name
+    substitution would round."""
+    # CAST(expr AS UInt64) — balanced-scan the CAST body
+    pat = re.compile(r"(?i)\bCAST\s*\(")
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            break
+        open_i = sql.index("(", m.end() - 1)
+        depth, j = 1, open_i + 1
+        while j < len(sql) and depth:
+            if sql[j] in "'\"":
+                j = _skip_string(sql, j)
+                continue
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        body = sql[open_i + 1:j - 1]
+        am = re.search(r"(?is)\s+AS\s+(u?int(?:64|128|256))\s*$", body)
+        if am is None or am.group(1).lower() not in _TRUNC_CARRIERS \
+                or am.group(1).lower() == "int64":
+            pos = m.end()
+            continue
+        x = _rewrite_trunc_casts(body[:am.start()])
+        repl = _trunc_int_cast_sql(x, _TRUNC_CARRIERS[am.group(1).lower()])
+        sql = sql[:m.start()] + repl + sql[j:]
+        pos = m.start() + len(repl)
+    # x::UInt64 — postfix cast, scan the operand leftward
+    pat2 = re.compile(r"::\s*(UInt64|U?Int128|U?Int256)\b(?!\s*\()",
+                      re.IGNORECASE)
+    while True:
+        m2 = pat2.search(sql)
+        if m2 is None:
+            break
+        start = _trunc_operand_start(sql, m2.start())
+        x = sql[start:m2.start()].strip()
+        if not x:
+            # no operand found (defensive): substitute the type only
+            sql = (sql[:m2.start()] + "::"
+                   + _TRUNC_CARRIERS[m2.group(1).lower()]
+                   + sql[m2.end():])
+            continue
+        repl = _trunc_int_cast_sql(
+            x, _TRUNC_CARRIERS[m2.group(1).lower()])
+        sql = sql[:start] + repl + sql[m2.end():]
+    return sql
 
 
 _LIMIT_TIES_RE = re.compile(
@@ -5499,6 +5678,13 @@ def _rewrite_values_tvf(sql: str) -> str:
     return "".join(out)
 
 
+# session table metadata for the Dynamic-subcolumn rewrite: refreshed
+# by _ch_sql_impl from its ``tables`` dict.  "dynamic" = declared
+# Dynamic column names; "tables" = table name → declared column names.
+# None = no metadata (bare translate_ch_sql) → heuristic mode.
+_DYN_CTX: dict = {"dynamic": None, "tables": None}
+
+
 _DYN_SUB_RE = re.compile(
     r"\b([A-Za-z_]\w*)\.(?:"
     r"(U?Int(?:8|16|32|64|128|256)|Float(?:32|64)|String|Date32|Date|"
@@ -5517,6 +5703,18 @@ def _rewrite_dynamic_subcolumns(seg: str) -> str:
         col, tag = m.group(1), (m.group(2) or m.group(3))
         if col.lower() in ("system", "information_schema"):
             return m.group(0)
+        # with session metadata, only rewrite TRACKED dynamic columns;
+        # a qualifier that is a known TABLE (``t.Date``) or a known
+        # NON-dynamic column is a plain reference — leave it alone
+        # (untracked names keep the heuristic for subquery aliases)
+        dyn, tcols = _DYN_CTX["dynamic"], _DYN_CTX["tables"]
+        if dyn is not None and col not in dyn:
+            known = (set().union(*tcols.values()) if tcols else set())
+            # qualifier is a table/alias-of-a-table or a real column,
+            # or the "tag" is itself a declared column (t.Date where
+            # Date is a column of an aliased table)
+            if col in (tcols or {}) or col in known or tag in known:
+                return m.group(0)
         sniff = _RULES["dynamictype"]([f"`{col}`"])
         base = re.sub(r"\(.*", "", tag)
         if re.fullmatch(r"U?Int\d+", base):
@@ -6698,6 +6896,25 @@ def _ch_sql_impl(spark, sql: str,
     """
     _ensure_sql_udfs(spark)
     text = sql.strip().rstrip(";")
+    # refresh the Dynamic-subcolumn rewrite context from this
+    # session's declarations (see _DYN_CTX)
+    if tables is not None:
+        dyn0: set = set()
+        tcols0: dict = {}
+        for tn0, tv0 in tables.items():
+            if tn0.startswith("__"):
+                continue
+            dyn0 |= set(getattr(tv0, "dynamic_cols", None) or ())
+            ddl0 = getattr(tv0, "schema_ddl", None)
+            if ddl0:
+                tcols0[tn0] = set(re.findall(r"`([^`]+)`", ddl0))
+        for tn0, rec0 in (tables.get("__decl__") or {}).items():
+            dyn0 |= set(rec0.get("dynamic") or ())
+            if rec0.get("columns"):
+                tcols0[tn0] = set(rec0["columns"])
+        _DYN_CTX["dynamic"], _DYN_CTX["tables"] = dyn0, tcols0
+    else:
+        _DYN_CTX["dynamic"] = _DYN_CTX["tables"] = None
     if tables and re.match(r"(?is)\s*(SELECT|WITH)\b", text) \
             and re.search(r"\b_(?:path|file|part|partition_id|"
                           r"partition_value)\b", text):
@@ -8225,6 +8442,7 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
         parts = []
         decl_nullable: set = set()
         decl_json: set = set()
+        decl_dynamic: set = set()
         decl_defaults: dict = {}
         for coldef in _split_top_commas(cm.group(2)):
             if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
@@ -8238,6 +8456,8 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             if re.match(r"(?i)\s*(JSON\b|Object\s*\()",
                         _decl_type(toks[1])):
                 decl_json.add(toks[0].strip("`"))
+            if re.match(r"(?i)\s*Dynamic\b", _decl_type(toks[1])):
+                decl_dynamic.add(toks[0].strip("`"))
             dm0 = re.search(r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
                             r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
                             toks[1].strip())
@@ -8286,7 +8506,8 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             # (input_format_null_as_default)
             tables.setdefault("__decl__", {})[name] = {
                 "nullable": decl_nullable, "defaults": decl_defaults,
-                "json": decl_json}
+                "json": decl_json, "dynamic": decl_dynamic,
+                "columns": set(re.findall(r"`([^`]+)`", ddl))}
         return None
     # column-less Merge engine: CREATE TABLE m ENGINE = Merge(db,
     # 'regex') — a union view over the matching session tables
@@ -8866,9 +9087,12 @@ def _insert_json_rows(spark, name: str, cols_raw, fmt: str, body,
                                else F.col(f"`{f2.name}`").cast("string"))
     # missing/null fields fill with the column type default — the
     # reference's input_format_null_as_default + missing-field rule
-    # (non-Nullable targets; explicit Nullable columns keep NULL via
-    # _append_to_table's nullable_cols check for managed tables)
-    nullable = getattr(t, "nullable_cols", None) or set()
+    # applies to non-Nullable targets ONLY; declared Nullable columns
+    # keep NULL.  View-backed Memory tables have no table object, so
+    # their Nullable declarations live in tables['__decl__'].
+    nullable = set(getattr(t, "nullable_cols", None) or set())
+    nullable |= set((((tables or {}).get("__decl__") or {})
+                     .get(name) or {}).get("nullable") or set())
     for f3 in schema.fields:
         if f3.name in df.columns and f3.name not in nullable:
             dflt = _ch_type_default_sql(f3.dataType)
