@@ -9119,6 +9119,96 @@ def fn_cast_float_trunc_q(spark, sf_dir):
     """, tables=t)
 
 
+@q("agg_empty_set_defaults", """
+SELECT CAST(0 AS BIGINT) AS cnt, CAST(0 AS BIGINT) AS mn,
+       CAST(0 AS BIGINT) AS mx, CAST(0 AS BIGINT) AS sm,
+       '' AS anys, CAST('NaN' AS DOUBLE) AS av
+""")
+def agg_empty_set_defaults_q(spark, sf_dir):
+    """Keyless aggregation over an EMPTY input returns the aggregate's
+    empty-state value, not NULL (reference src/AggregateFunctions/
+    IAggregateFunction.h insertResultInto on empty state; golden
+    00572_aggregation_by_empty_set, 01559_aggregate_null_for_empty_fix):
+    count/sum 0, min/max the type default, any '', avg nan."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10_empty (x UInt32, s String) "
+                  "ENGINE = Memory", tables=t)
+    return ch_sql(spark, "SELECT count() AS cnt, min(x) AS mn, "
+                         "max(x) AS mx, sum(x) AS sm, any(s) AS anys, "
+                         "avg(x) AS av FROM r10_empty", tables=t)
+
+
+@q("ch_sql_distributed_passthrough", """
+WITH v(x, s) AS (VALUES (1, 'hello'), (2, 'world'), (3, 'extra'))
+SELECT CAST(x AS BIGINT) AS x, s FROM v ORDER BY x
+""")
+def ch_sql_distributed_passthrough_q(spark, sf_dir):
+    """ENGINE = Distributed(cluster, db, tbl) proxies reads AND writes
+    to the underlying local table (reference
+    src/Storages/StorageDistributed.h:45; the corpus cluster
+    test_shard_localhost is the same server) — the distributed name is
+    a live alias, not an empty clone (golden
+    00609_distributed_with_case_when_then)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10_local (x UInt32, s String) "
+                  "ENGINE = MergeTree ORDER BY x", tables=t)
+    ch_sql(spark, "INSERT INTO r10_local VALUES (1, 'hello'), "
+                  "(2, 'world')", tables=t)
+    ch_sql(spark, "CREATE TABLE r10_dist AS r10_local ENGINE = "
+                  "Distributed(test_shard_localhost, currentDatabase(),"
+                  " r10_local)", tables=t)
+    ch_sql(spark, "INSERT INTO r10_dist VALUES (3, 'extra')", tables=t)
+    return ch_sql(spark, "SELECT toInt64(x) AS x, s FROM r10_dist "
+                         "ORDER BY x", tables=t)
+
+
+@q("fn_string_hex_escapes", """
+SELECT CAST(1 AS INT) AS l_invalid, 'E2' AS h_invalid,
+       CAST(2 AS INT) AS l_ab, 'AB' AS s_ab
+""")
+def fn_string_hex_escapes_q(spark, sf_dir):
+    r"""CH string literals take \xHH byte escapes (reference
+    src/Parsers/Lexer.cpp parseComplexEscapeSequence; golden
+    02071_lower_upper_utf8_row_overlaps): '\xe2' is ONE byte (carried
+    via CAST(X'E2' AS STRING) when not valid UTF-8), '\x41\x42' is
+    'AB'."""
+    return ch_sql(spark, "SELECT length('\\xe2') AS l_invalid, "
+                         "hex('\\xe2') AS h_invalid, "
+                         "length('\\x41\\x42') AS l_ab, "
+                         "'\\x41\\x42' AS s_ab", tables={})
+
+
+@q("json_array_subcolumn_read", """
+WITH j(id, o) AS (VALUES
+  (1, '{"a": {"b": 1, "c": [{"d": 10, "e": [31]}, {"d": 20}]}}'),
+  (2, '{"a": {"b": 2, "c": []}}'))
+SELECT id,
+       CAST(json_extract_string(o, '$.a.b') AS BIGINT) AS b,
+       COALESCE(list_transform(
+         CAST(json_extract(o, '$.a.c') AS JSON[]),
+         x -> json_extract_string(x, '$.d')), []) AS d,
+       CAST(len(json_keys(json_extract(o, '$.a'))) AS INT) AS nkeys
+FROM j ORDER BY id
+""")
+def json_array_subcolumn_read_q(spark, sf_dir):
+    """JSON array subcolumn reads (reference
+    src/DataTypes/DataTypeObject.h path subcolumns; golden
+    01825_new_type_json_in_array): ``o.a.c[].d`` maps the ``.d`` read
+    over the array under a.c; typed hints cast; JSONAllPaths counts
+    the leaf paths."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10_json (id UInt32, o JSON) "
+                  "ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10_json VALUES "
+                  "(1, '{\"a\": {\"b\": 1, \"c\": [{\"d\": 10, "
+                  "\"e\": [31]}, {\"d\": 20}]}}'), "
+                  "(2, '{\"a\": {\"b\": 2, \"c\": []}}')", tables=t)
+    return ch_sql(spark, "SELECT id, o.a.b.:Int64 AS b, "
+                         "o.a.c[].d AS d, "
+                         "toInt32(length(JSONAllPaths(o))) AS nkeys "
+                         "FROM r10_json ORDER BY id", tables=t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 analog) on /root/testdata/sf0.001."""
     return q1(spark, "/root/testdata/sf0.001")

@@ -503,6 +503,11 @@ _RULES: dict = {
     "isnull": lambda a: f"({a[0]} IS NULL)",
     "isnotnull": lambda a: f"({a[0]} IS NOT NULL)",
     "assumenotnull": lambda a: a[0],
+    # toNullable: identity value, but the NULLABLE TYPE signal must
+    # survive translation — the keyless empty-set default wrap skips
+    # nullif-shaped arguments (AggregateFunctionNull returns NULL for
+    # the no-values state, not the type default)
+    "tonullable": lambda a: f"nullif({a[0]}, NULL)",
     # math
     # C++ division truncates toward zero (DivisionUtils.h): a - a%b is
     # exactly divisible and Spark % keeps the dividend's sign.  try_mod/
@@ -1407,6 +1412,64 @@ def _json_path(a):
     parts = ", '.', ".join(keys)
     return f"concat('$.', {parts})" if len(keys) > 1 else \
         f"concat('$.', {keys[0]})"
+
+
+def _json_leaf_type_sql(v: str) -> str:
+    """JSON dynamic-type name of one extracted value (the same
+    heuristic as operators/jsonpaths._jtype — get_json_object loses
+    original quoting, so numeric strings conflate; LIMITS)."""
+    return (f"CASE WHEN {v} IS NULL THEN 'Null' "
+            f"WHEN {v} RLIKE '^[{{]' THEN 'Object' "
+            f"WHEN {v} RLIKE '^[\\\\[]' THEN 'Array(Nullable(String))' "
+            f"WHEN {v} IN ('true','false') THEN 'Bool' "
+            f"WHEN {v} RLIKE '^-?[0-9]+$' THEN 'Int64' "
+            f"WHEN {v} RLIKE '^-?[0-9]+([.][0-9]+)?([eE][+-]?[0-9]+)?$'"
+            f" THEN 'Float64' ELSE 'String' END")
+
+
+def _json_all_paths_sql(j: str, with_types: bool = False) -> str:
+    """Leaf dot-paths of ONE JSON value (reference JSONAllPaths /
+    JSONAllPathsWithTypes over the JSON type's path set,
+    src/Functions/JSONPaths.cpp): depth-2 walk — top-level keys that
+    hold objects recurse one level, everything else is a leaf.  Flat
+    dotted keys ({"a.b.c": 1}) are already reference-style paths."""
+    v1 = f"get_json_object({j}, concat('$[''', __jk, ''']'))"
+    v2 = f"get_json_object({v1}, concat('$[''', __jk2, ''']'))"
+    if with_types:
+        leaf1 = (f"named_struct('col1', __jk, 'col2', "
+                 f"{_json_leaf_type_sql(v1)})")
+        leaf2 = (f"named_struct('col1', concat(__jk, '.', __jk2), "
+                 f"'col2', {_json_leaf_type_sql(v2)})")
+    else:
+        leaf1 = "__jk"
+        leaf2 = "concat(__jk, '.', __jk2)"
+    return (f"array_sort(flatten(transform(coalesce("
+            f"json_object_keys({j}), array()), __jk -> "
+            f"CASE WHEN {v1} RLIKE '^[{{]' THEN "
+            f"transform(coalesce(json_object_keys({v1}), array()), "
+            f"__jk2 -> {leaf2}) ELSE array({leaf1}) END)))")
+
+
+_RULES["jsonallpaths"] = lambda a: _json_all_paths_sql(a[0])
+_RULES["jsonallpathswithtypes"] = \
+    lambda a: _json_all_paths_sql(a[0], with_types=True)
+# storage-split introspection: this engine has no dynamic/shared
+# column split — every path is dynamic, shared data is empty
+# (reference ColumnObject max_dynamic_paths overflow; LIMITS)
+_RULES["jsondynamicpaths"] = lambda a: _json_all_paths_sql(a[0])
+_RULES["jsonshareddatapaths"] = lambda a: "array()"
+_RULES["jsondynamicpathswithtypes"] = \
+    lambda a: _json_all_paths_sql(a[0], with_types=True)
+# aggregate forms: distinct paths (and types) across ROWS
+# (reference src/AggregateFunctions/
+# AggregateFunctionDistinctJSONPaths.cpp; DataFrame operator at
+# operators/jsonpaths.py — this is the SQL-name bridge)
+_RULES["distinctjsonpaths"] = lambda a: (
+    f"array_sort(array_distinct(flatten(collect_list("
+    f"{_json_all_paths_sql(a[0])}))))")
+_RULES["distinctjsonpathsandtypes"] = lambda a: (
+    f"array_sort(array_distinct(flatten(collect_list("
+    f"{_json_all_paths_sql(a[0], with_types=True)}))))")
 
 
 _RULES["jsonextractint"] = lambda a: (
@@ -2430,7 +2493,13 @@ def _validate_codecs(text: str) -> None:
     """CODEC(...) clauses in column declarations: unknown codec names,
     wrong parameter counts and out-of-range Delta widths are
     rejections (reference src/Compression/CompressionFactory.cpp
-    validateCodec)."""
+    validateCodec).  The ORDER sanity check (transforms after a
+    generic compression codec) is opt-out via SET
+    allow_suspicious_codecs = 1 (reference
+    src/Compression/CompressionFactoryAdditions.cpp sanity_check;
+    golden 00910_zookeeper_custom_compression_codecs sets it)."""
+    suspicious_ok = str(SESSION_SETTINGS.get(
+        "allow_suspicious_codecs", "0")).strip().lower() in ("1", "true")
     for m in re.finditer(r"(?is)\bCODEC\s*\(", text):
         open_i = text.index("(", m.start())
         end_i = _matching_paren(text, open_i)
@@ -2447,9 +2516,11 @@ def _validate_codecs(text: str) -> None:
                          "deflate_qpl"):
                 seen_compression = True
             elif cname in ("delta", "doubledelta", "gorilla", "fpc",
-                           "t64", "gcd") and seen_compression:
+                           "t64", "gcd") and seen_compression \
+                    and not suspicious_ok:
                 # transform codecs must precede generic compression
-                # (CompressionFactory sanity checks)
+                # (CompressionFactoryAdditions sanity check; skipped
+                # under allow_suspicious_codecs)
                 raise ValueError(
                     f"CODEC: transform codec {cm.group(1)} after a "
                     f"compression codec (reference BAD_ARGUMENTS)")
@@ -3092,6 +3163,55 @@ def _skip_string(sql: str, i: int) -> int:
             return i + 1
         i += 1
     return i
+
+
+_CH_SIMPLE_ESCAPES = {"n": 0x0A, "t": 0x09, "r": 0x0D, "0": 0x00,
+                      "a": 0x07, "b": 0x08, "f": 0x0C, "v": 0x0B,
+                      "'": 0x27, '"': 0x22, "\\": 0x5C, "`": 0x60,
+                      "/": 0x2F}
+
+
+def _decode_hex_escapes_in_literal(lit: str) -> str:
+    """CH string literals take ``\\xHH`` byte escapes (reference
+    src/Parsers/Lexer.cpp / parseComplexEscapeSequence), which Spark's
+    lexer does not know — ``'\\xe2'`` would arrive as the 3-char text
+    ``xe2``.  Fully decode the literal to bytes; re-emit as a plain
+    Spark literal when the result is valid UTF-8, else as
+    CAST(X'<hex>' AS STRING) (UTF8String carries arbitrary bytes).
+    Only called for literals containing a \\xHH sequence (golden
+    02071_lower_upper_utf8_row_overlaps)."""
+    body = lit[1:-1]
+    out = bytearray()
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c == "\\" and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt == "x" and re.match(r"[0-9A-Fa-f]{2}",
+                                       body[i + 2:i + 4]):
+                out.append(int(body[i + 2:i + 4], 16))
+                i += 4
+                continue
+            if nxt in _CH_SIMPLE_ESCAPES:
+                out.append(_CH_SIMPLE_ESCAPES[nxt])
+                i += 2
+                continue
+            # unknown escape: the CH lexer keeps the char itself
+            out += nxt.encode("utf-8")
+            i += 2
+            continue
+        if c == "'" and i + 1 < n and body[i + 1] == "'":
+            out.append(0x27)
+            i += 2
+            continue
+        out += c.encode("utf-8")
+        i += 1
+    try:
+        txt = bytes(out).decode("utf-8")
+        return ("'" + txt.replace("\\", "\\\\").replace("'", "\\'")
+                + "'")
+    except UnicodeDecodeError:
+        return f"CAST(X'{bytes(out).hex().upper()}' AS STRING)"
 
 
 def _parse_args(sql: str, i: int) -> tuple[list[str], int]:
@@ -4021,7 +4141,10 @@ def _translate_expr(sql: str) -> str:
         c = sql[i]
         if c in "'\"":
             j = _skip_string(sql, i)
-            out.append(sql[i:j])
+            seg = sql[i:j]
+            if c == "'" and "\\x" in seg:
+                seg = _decode_hex_escapes_in_literal(seg)
+            out.append(seg)
             i = j
             continue
         if c == "[":
@@ -5560,6 +5683,33 @@ def _rewrite_tuple_eq(sql: str) -> str:
     return _sub_nonstring(out, seg_fn_paren)
 
 
+def _fold_const_int(expr: str):
+    """Python-side constant folding of the safe integer-expression
+    subset that appears as TVF arguments (reference
+    evaluateConstantExpression): integer literals, + - * / % parens,
+    and to(U)IntN wrappers with C++ wraparound.  Returns None when the
+    expression isn't a foldable constant."""
+    e = expr.strip()
+    m = re.fullmatch(r"(?is)to(u?)int(8|16|32|64)\s*\((.*)\)", e)
+    if m:
+        v = _fold_const_int(m.group(3))
+        if v is None:
+            return None
+        bits = int(m.group(2))
+        v %= (1 << bits)
+        if m.group(1).lower() != "u" and v >= (1 << (bits - 1)):
+            v -= 1 << bits
+        return v
+    if re.fullmatch(r"[-+0-9*/% ()\t]*\d[-+0-9*/% ()\t]*", e):
+        try:
+            v = eval(compile(e, "<fold>", "eval"),  # noqa: S307
+                     {"__builtins__": {}})
+            return int(v)
+        except Exception:
+            return None
+    return None
+
+
 def _rewrite_numbers_tvf(sql: str) -> str:
     """numbers(N) / numbers(offset, N) / generate_series(a, b[, step])
     table functions (reference
@@ -5583,6 +5733,33 @@ def _rewrite_numbers_tvf(sql: str) -> str:
                 f"range({a}, {b + 1}, {step}))")
 
     sql = _NUMBERS_TVF_RE.sub(num_sub, sql)
+    # constant-EXPRESSION arguments (numbers(toUInt64(-1)),
+    # numbers(2 + 3)): the reference constant-folds TVF arguments
+    # (src/TableFunctions/TableFunctionNumbers.cpp evaluates the
+    # argument expression); fold the safe integer subset here.  Counts
+    # beyond 2^31 are the corpus's "effectively unbounded under LIMIT"
+    # idiom — expose the same wide bounded range as system.numbers.
+    pos = 0
+    while True:
+        m = re.search(r"(?i)\bnumbers\s*\(", sql[pos:])
+        if m is None:
+            break
+        open_i = pos + m.end() - 1
+        end_i = _matching_paren(sql, open_i)
+        if end_i < 0:
+            break
+        args = [_fold_const_int(a) for a in
+                _split_top_commas(sql[open_i + 1:end_i])]
+        if args and all(v is not None for v in args):
+            vals = [min(v, 1 << 20) if v > (1 << 31) else v
+                    for v in args]
+            rng = (f"range({vals[0]}, {vals[0] + vals[1]})"
+                   if len(vals) == 2 else f"range({vals[0]})")
+            repl = f"(SELECT id AS number FROM {rng})"
+            sql = sql[:pos + m.start()] + repl + sql[end_i + 1:]
+            pos = pos + m.start() + len(repl)
+        else:
+            pos = end_i + 1
     sql = _ZEROS_TVF_RE.sub(
         lambda m: (f"(SELECT CAST(0 AS SMALLINT) AS zero FROM "
                    f"range({int(m.group(1))}))"), sql)
@@ -5923,7 +6100,170 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # CH allows == for equality (string-aware: '===' literals keep)
     sql = _sub_nonstring(
         sql, lambda seg: re.sub(r"(?<![=!<>])==(?!=)", "=", seg))
+    sql = _wrap_keyless_agg_defaults(sql)
     return sql
+
+
+# Identity-typed aggregates whose empty-set result is the RETURN
+# TYPE's default in the reference; wrapped only when the argument's
+# type is syntactically evident (a wrong-typed coalesce would fail
+# Spark analysis on valid queries).
+_WKAD_IDENT_AGGS = {"min", "max", "first", "last", "first_value",
+                    "last_value", "any_value"}
+# Moment aggregates: the reference's empty-set value is nan (0/0 in
+# Float64 — golden 00572_aggregation_by_empty_set).
+_WKAD_NAN_AGGS = {"avg", "mean", "stddev", "stddev_samp", "stddev_pop",
+                  "std", "variance", "var_samp", "var_pop", "skewness",
+                  "kurtosis", "covar_pop", "covar_samp", "corr"}
+_WKAD_NUMERIC_ARG_RE = re.compile(r"^(?=[^eE]*\d)[-+0-9.\s()*/%eE]+$")
+
+
+def _wkad_item_default(core: str):
+    """Spark-SQL default literal for one translated select item that is
+    exactly a single aggregate call, or None when no wrap applies."""
+    cm = re.match(r"(?is)^([a-z_]\w*)\s*\(", core)
+    if cm is None:
+        return None
+    close = _matching_paren(core, cm.end() - 1)
+    if close != len(core) - 1:
+        return None                      # trailing OVER(...) / arith
+    fn = cm.group(1).lower()
+    args = core[cm.end():close]
+    # Nullable-typed arguments keep NULL on empty input (the
+    # reference's AggregateFunctionNull adapter returns NULL for the
+    # no-values state) — skip when the argument is explicitly
+    # Nullable-producing.  Bare-column arguments have no evident type
+    # or nullability here: deferred to _keyless_identity_defaults_df,
+    # which sees the result schema and the declared-Nullable sets.
+    if re.search(r"(?i)\b(tonullable|nullif|null_if)\s*\(|\bNULL\b",
+                 args):
+        return None
+    first_arg = (_split_top_commas(args) or [""])[0].strip()
+    first_arg = re.sub(r"(?is)^DISTINCT\s+", "", first_arg)
+    if re.fullmatch(r"[\w.`]+", first_arg) \
+            and not _WKAD_NUMERIC_ARG_RE.match(first_arg):
+        return None
+    if fn == "sum":
+        return "0"
+    if fn in _WKAD_NAN_AGGS:
+        return "CAST('NaN' AS DOUBLE)"
+    if fn in _WKAD_IDENT_AGGS:
+        if _WKAD_NUMERIC_ARG_RE.match(first_arg):
+            return "0"
+        d = _ordefault_default_sql(first_arg, fn)
+        # sniffed non-numeric defaults are type-evident; the numeric
+        # fallback "0" is NOT (a non-bare expr could still be a date
+        # or string, and coalesce(date, 0) fails analysis) — skip
+        return d if d != "0" else None
+    return None
+
+
+def _wkad_one_select(p: str) -> str:
+    m = re.match(r"(?is)^(\s*)SELECT\s", p)
+    if m is None:
+        if re.match(r"(?is)^\s*WITH\b", p):
+            # WITH ctes SELECT ... : the final top-level SELECT is
+            # this scope's projection (CTE bodies were handled by the
+            # paren recursion)
+            tops = _top_level_set(p)
+            sel = None
+            for mm in re.finditer(r"(?i)\bSELECT\b", p):
+                if mm.start() in tops:
+                    sel = mm
+            if sel is not None:
+                return p[:sel.start()] + _wkad_one_select(p[sel.start():])
+        return p
+    tops = _top_level_set(p)
+    from_i = None
+    for mm in re.finditer(r"(?i)\bFROM\b", p):
+        if mm.start() in tops:
+            from_i = mm.start()
+            break
+    if from_i is None:
+        return p                          # SELECT without FROM: 1 row
+    rest = p[from_i:]
+    rtops = _top_level_set(rest)
+    if any(mm.start() in rtops
+           for mm in re.finditer(r"(?i)\bGROUP\s+BY\b", rest)):
+        return p
+    body = p[m.end():from_i]
+    if re.match(r"(?is)^\s*DISTINCT\b", body):
+        return p
+    new_items, changed = [], False
+    for it in _split_top_commas(body):
+        txt = it.strip()
+        itops = _top_level_set(txt)
+        core, alias = txt, None
+        for am in re.finditer(r"(?is)\sAS\s", txt):
+            if am.start() in itops:
+                core, alias = (txt[:am.start()].strip(),
+                               txt[am.end():].strip())
+        dflt = _wkad_item_default(core)
+        if dflt is None:
+            new_items.append(txt)
+            continue
+        name = alias if alias else (
+            f"`{core}`" if "`" not in core else None)
+        wrapped = f"coalesce({core}, {dflt})"
+        new_items.append(f"{wrapped} AS {name}" if name else wrapped)
+        changed = True
+    if not changed:
+        return p
+    return p[:m.end()] + ", ".join(new_items) + " " + rest
+
+
+def _wrap_keyless_agg_defaults(sql: str) -> str:
+    """Keyless aggregation over an EMPTY input returns the aggregate's
+    empty-state value in the reference — count/uniq 0, sum 0, min/max/
+    any the return-type default, avg/var/stddev nan, groupArray [] —
+    not SQL-standard NULL (reference src/AggregateFunctions/
+    IAggregateFunction.h insertResultInto over empty state; golden
+    00572_aggregation_by_empty_set, 01559_aggregate_null_for_empty_fix).
+    Spark returns NULL: wrap each top-level single-aggregate item of
+    every GROUP-BY-less SELECT scope in coalesce(agg, default).  With
+    ``aggregate_functions_null_for_empty=1`` every aggregate acts as
+    -OrNull, which IS Spark's native NULL — no wrap."""
+    if str(SESSION_SETTINGS.get("aggregate_functions_null_for_empty",
+                                "0")).strip().lower() in ("1", "true"):
+        return sql
+    return _wkad_scope(sql)
+
+
+def _wkad_scope(s: str) -> str:
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            j = _skip_string(s, i)
+            out.append(s[i:j])
+            i = j
+            continue
+        if c == "(":
+            j = _matching_paren(s, i)
+            if j < 0:
+                out.append(s[i:])
+                break
+            inner = s[i + 1:j]
+            out.append("(" + (_wkad_scope(inner)
+                              if re.match(r"(?is)^\s*(SELECT|WITH)\b",
+                                          inner) else inner) + ")")
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    s = "".join(out)
+    # top-level set operators bound independent SELECT scopes
+    tops = _top_level_set(s)
+    pieces, last = [], 0
+    for m in re.finditer(r"(?i)\b(UNION(?:\s+(?:ALL|DISTINCT))?"
+                         r"|INTERSECT(?:\s+ALL)?|EXCEPT(?:\s+ALL)?)\b",
+                         s):
+        if m.start() in tops:
+            pieces.append(_wkad_one_select(s[last:m.start()]))
+            pieces.append(m.group(0))
+            last = m.end()
+    pieces.append(_wkad_one_select(s[last:]))
+    return "".join(pieces)
 
 
 _WITH_FILL_RE = re.compile(
@@ -7178,7 +7518,8 @@ def _ch_sql_impl(spark, sql: str,
                  re.IGNORECASE | re.DOTALL)
     if m and re.match(r"(?is)^(ADD|DROP|RENAME|MODIFY|MATERIALIZE|"
                       r"CLEAR|COMMENT|RESET|REPLACE\s+PARTITION|"
-                      r"ATTACH\s+PARTITION|MOVE\s+PARTITION)\b",
+                      r"(?:AT|DE)TACH\s+PART(?:ITION)?|"
+                      r"MOVE\s+PARTITION)\b",
                       m.group(2)):
         return _alter_table_statement(spark, m.group(1), m.group(2),
                                       tables)
@@ -7287,6 +7628,8 @@ def _ch_sql_impl(spark, sql: str,
         jcols = set()
         for tb in tables.values():
             jcols |= getattr(tb, "json_cols", set()) or set()
+        for d in (tables.get("__decl__") or {}).values():
+            jcols |= set((d or {}).get("json") or ())
         if jcols and any(re.search(rf"\b{re.escape(c)}\s*\.", text)
                          for c in jcols):
             text = _rewrite_json_subcolumns(text, jcols)
@@ -7339,7 +7682,110 @@ def _ch_sql_impl(spark, sql: str,
     translated = translate_ch_sql(text, sample_by=sample_by)
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
-    return _run_sql(spark, translated)
+    df = _run_sql(spark, translated)
+    return _keyless_identity_defaults_df(df, translated, tables)
+
+
+def _keyless_identity_defaults_df(df, translated: str, tables):
+    """Second half of the empty-set default contract (see
+    _wrap_keyless_agg_defaults): identity aggregates (min/max/any)
+    over BARE COLUMNS have no syntactically evident type, so the
+    string pass skips them — here the RESULT SCHEMA gives the exact
+    type, and coalesce with the CH type default is applied per output
+    column.  Columns declared Nullable keep NULL (the reference's
+    AggregateFunctionNull adapter)."""
+    if df is None:
+        return df
+    if str(SESSION_SETTINGS.get("aggregate_functions_null_for_empty",
+                                "0")).strip().lower() in ("1", "true"):
+        return df
+    try:
+        m = re.match(r"(?is)^\s*SELECT\s", translated)
+        if m is None:
+            return df
+        tops = _top_level_set(translated)
+        from_i = None
+        for mm in re.finditer(r"(?i)\bFROM\b", translated):
+            if mm.start() in tops:
+                from_i = mm.start()
+                break
+        if from_i is None:
+            return df
+        rest = translated[from_i:]
+        rtops = _top_level_set(rest)
+        if any(mm.start() in rtops
+               for mm in re.finditer(r"(?i)\bGROUP\s+BY\b", rest)):
+            return df
+        body = translated[m.end():from_i]
+        if re.match(r"(?is)^\s*DISTINCT\b", body):
+            return df
+        items = _split_top_commas(body)
+        # a bare star item breaks select-item <-> output-column
+        # positional mapping (count(*) inside a call is fine)
+        if any(re.fullmatch(r"(?:[\w.`]+\.)?\*", it.strip())
+               for it in items):
+            return df
+        # positive list: only columns DECLARED non-Nullable in
+        # session-created tables get the empty-set default — anything
+        # else (Spark-native views, parquet loads, Nullable decls) may
+        # legitimately carry NULL through an aggregate
+        # (AggregateFunctionNull keeps NULL for the no-values state)
+        non_nullable: set = set()
+        nullable: set = set()
+        for key, t in (tables or {}).items():
+            if key.startswith("__") or t is None \
+                    or isinstance(t, dict):
+                continue
+            nset = set(getattr(t, "nullable_cols", None) or ())
+            nullable |= nset
+            ddl0 = getattr(t, "schema_ddl", None)
+            if ddl0:
+                non_nullable |= set(
+                    re.findall(r"`([^`]+)`", ddl0)) - nset
+        for d in ((tables or {}).get("__decl__") or {}).values():
+            nset = set((d or {}).get("nullable") or ())
+            nullable |= nset
+            non_nullable |= set((d or {}).get("columns") or ()) - nset
+        non_nullable -= nullable
+        if len(items) != len(df.columns):
+            return df
+        out, changed = [], False
+        for i, it in enumerate(items):
+            f = df.schema.fields[i]
+            txt = it.strip()
+            itops = _top_level_set(txt)
+            core = txt
+            for am in re.finditer(r"(?is)\sAS\s", txt):
+                if am.start() in itops:
+                    core = txt[:am.start()].strip()
+            cm = re.match(r"(?is)^([a-z_]\w*)\s*\(", core)
+            col = F.col(f"`{f.name}`")
+            fn = cm.group(1).lower() if cm else ""
+            if (cm is not None
+                    and (fn in _WKAD_IDENT_AGGS or fn == "sum"
+                         or fn in _WKAD_NAN_AGGS)
+                    and _matching_paren(core, cm.end() - 1)
+                    == len(core) - 1):
+                arg = core[cm.end():-1].strip().strip("`")
+                if re.fullmatch(r"[\w.`]+", arg) \
+                        and arg.split(".")[-1].strip("`") in non_nullable:
+                    if fn in _WKAD_NAN_AGGS:
+                        # the reference's moment aggregates are
+                        # Float64 (empty → nan); only a DOUBLE result
+                        # keeps the type under the nan fill
+                        if f.dataType.simpleString() == "double":
+                            col = F.coalesce(
+                                col, F.lit(float("nan")))
+                            changed = True
+                    else:
+                        col = F.coalesce(col, F.expr(
+                            _ch_type_default_sql(f.dataType))
+                            .cast(f.dataType))
+                        changed = True
+            out.append(col.alias(f.name))
+        return df.select(*out) if changed else df
+    except Exception:
+        return df
 
 
 def _run_sql(spark, translated: str):
@@ -7761,6 +8207,7 @@ def _utility_statement(spark, text: str, tables):
             raise ValueError(f"DROP TABLE: unknown table {name!r}")
         if tables is not None:
             tables.pop(name, None)
+            (tables.get("__alias__") or {}).pop(name, None)
         spark.catalog.dropTempView(name)
         return None
 
@@ -8140,6 +8587,40 @@ _CTAS_RE = re.compile(
     re.IGNORECASE | re.DOTALL)
 
 
+def _distributed_local_table(text: str):
+    """``ENGINE = Distributed(cluster, db, tbl[, sharding_key])`` —
+    the LOCAL table the Distributed engine proxies reads and writes to
+    (reference src/Storages/StorageDistributed.h:45; the test corpus
+    uses test_shard_localhost, i.e. the same server, so the
+    distributed name is an alias of the local table — NOT an empty
+    clone).  Returns the bare local table name, or None when the
+    statement's engine isn't Distributed."""
+    dm = re.search(r"(?is)\bENGINE\s*=?\s*Distributed\s*\("
+                   r"([^()]*(?:\([^()]*\)[^()]*)*)\)", text)
+    if dm is None:
+        return None
+    eargs = _split_top_commas(dm.group(1))
+    if len(eargs) < 3:
+        return None
+    return eargs[2].strip().strip("'\"").split(".")[-1].strip("`'\"")
+
+
+def _register_distributed_alias(spark, name: str, local: str,
+                                tables) -> bool:
+    """Register ``name`` as a live alias view over ``local`` (lazy SQL
+    temp view — Spark stores the unresolved plan, so re-registrations
+    of the local view after later INSERTs are picked up).  Returns
+    False when the local table doesn't resolve."""
+    src = _resolve_view_safe(spark, local, (tables or {}).get(local))
+    if src is None:
+        return False
+    if tables is not None:
+        tables.setdefault("__alias__", {})[name] = local
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{name}` "
+              f"AS SELECT * FROM `{local}`")
+    return True
+
+
 def _default_table_dir() -> str:
     import os as _os
     return _os.path.join(_os.getcwd(), "spark-warehouse", "ch_tables")
@@ -8229,25 +8710,115 @@ _DICTGET_RE = re.compile(
     r"(OrDefault)?\s*\(")
 
 
+_JSON_SEG_RE = re.compile(
+    r"\.(?:(:)\s*(`[^`]+`|\w+(?:\([^()]*\))?)"   # .:Type hint
+    r"|(`[^`]+`|\^?[A-Za-z_]\w*)(\[\])?)")       # .name / .name[]
+
+
+def _json_jsonpath(parts) -> str:
+    jp = "$" + "".join(
+        f".{p}" if re.fullmatch(r"\w+", p) else f"['{p}']"
+        for p in parts)
+    return jp.replace("'", "''")
+
+
+def _json_hint_cast(v: str, cht: str) -> str:
+    """``.:Type`` typed subcolumn read (reference
+    src/DataTypes/DataTypeObject.h typed-path subcolumns): the value
+    when the dynamic type matches, NULL otherwise.  Approximated over
+    the string carrier with shape sniff + try_cast — documented in
+    LIMITS (JSON numbers and numeric strings are conflated by
+    get_json_object)."""
+    t = cht.strip().strip("`").lower()
+    if re.match(r"^u?int\d*$", t):
+        return f"TRY_CAST({v} AS BIGINT)"
+    if re.match(r"^(float\d*|double|decimal)", t):
+        return f"TRY_CAST({v} AS DOUBLE)"
+    if t == "bool":
+        return (f"CASE WHEN {v} IN ('true','false') "
+                f"THEN ({v} = 'true') END")
+    if t == "date":
+        return f"TRY_CAST({v} AS DATE)"
+    if t.startswith(("datetime", "timestamp")):
+        return f"TRY_CAST({v} AS TIMESTAMP)"
+    if t == "uuid":
+        return (f"CASE WHEN {v} RLIKE '^[0-9a-fA-F-]+$' "
+                f"AND length({v}) = 36 THEN {v} END")
+    if t == "string":
+        # NULL unless the dynamic value IS a string (numbers, bools,
+        # objects and arrays are other dynamic types)
+        return (f"CASE WHEN {v} RLIKE "
+                f"'^(-?[0-9.eE+]+|true|false)$' OR {v} RLIKE '^[\\\\[{{]'"
+                f" THEN NULL ELSE {v} END")
+    am = re.match(r"^array\s*\((.*)\)$", t)
+    if am:
+        inner = am.group(1).strip()
+        inner = re.sub(r"(?i)^nullable\s*\((.*)\)$", r"\1", inner)
+        if re.match(r"(?i)^u?int\d*$", inner):
+            return f"from_json({v}, 'array<bigint>')"
+        if re.match(r"(?i)^(float|double)", inner):
+            return f"from_json({v}, 'array<double>')"
+        return f"from_json({v}, 'array<string>')"
+    return v
+
+
+def _json_subcol_expr(col: str, toks, depth: int = 0) -> str:
+    """Build the Spark expression for one dotted JSON subcolumn read.
+    ``toks`` is a list of ('name', text, has_array_suffix) /
+    ('hint', type, None) tuples; array segments (``k1[]`` or an
+    ``Array(JSON)`` hint) switch to element-wise transform() over
+    from_json(..., 'array<string>')."""
+    pending: list = []
+    i = 0
+    while i < len(toks):
+        kind, val, arr = toks[i]
+        if kind == "hint":
+            t = val.strip().strip("`")
+            is_arr_json = re.match(r"(?i)^array\s*\(\s*json", t)
+            base = (f"get_json_object({col}, "
+                    f"'{_json_jsonpath(pending)}')"
+                    if pending else col)
+            if is_arr_json and i + 1 < len(toks):
+                # mid-path Array(JSON) hint: elements are JSON —
+                # continue the path per element
+                var = f"__jx{depth}"
+                inner = _json_subcol_expr(var, toks[i + 1:], depth + 1)
+                return (f"transform(from_json({base}, "
+                        f"'array<string>'), {var} -> {inner})")
+            return _json_hint_cast(base, val)
+        pending.append(val.strip("`").lstrip("^"))
+        if arr:
+            base = (f"from_json(get_json_object({col}, "
+                    f"'{_json_jsonpath(pending)}'), 'array<string>')")
+            if i + 1 < len(toks):
+                var = f"__jx{depth}"
+                inner = _json_subcol_expr(var, toks[i + 1:], depth + 1)
+                return f"transform({base}, {var} -> {inner})"
+            return base
+        i += 1
+    return f"get_json_object({col}, '{_json_jsonpath(pending)}')"
+
+
 def _rewrite_json_subcolumns(text: str, jcols) -> str:
     """``json_col.a.b`` / ``json_col.`a/b``` over a declared JSON /
     Object('json') column (carried as a JSON STRING here) ->
-    get_json_object(col, '$.a.b') — the reference's dynamic
-    subcolumn read (src/DataTypes/Serializations/SerializationObject).
-    Typed subcolumn hints (``.:Int64``) and array suffixes (``[]``)
-    are not modeled; values come back as strings."""
+    get_json_object(col, '$.a.b') — the reference's dynamic subcolumn
+    read (src/DataTypes/Serializations/SerializationObject).  Array
+    subcolumns (``json.k1[]`` → array of JSON elements, later
+    segments map element-wise), typed hints (``.:Int64`` /
+    ``.:`Array(Nullable(Int64))``` — try_cast carriers), and prefix
+    reads (``json.^a`` — the subobject text) are modeled; see LIMITS
+    for the dynamic-type conflations of the string carrier."""
     pat = re.compile(
         r"\b(" + "|".join(re.escape(c) for c in sorted(jcols)) + r")"
-        r"((?:\.(?:`[^`]+`|[A-Za-z_]\w*))+)(?!\s*\()")
+        r"((?:\.(?::\s*(?:`[^`]+`|\w+(?:\([^()]*\))?)"
+        r"|(?:`[^`]+`|\^?[A-Za-z_]\w*)(?:\[\])?))+)(?!\s*\()")
+
     def sub(m):
         col, path = m.group(1), m.group(2)
-        segs = re.findall(r"\.(?:`([^`]+)`|([A-Za-z_]\w*))", path)
-        parts = [a or b for a, b in segs]
-        jp = "$" + "".join(
-            f".{p}" if re.fullmatch(r"\w+", p) else f"['{p}']"
-            for p in parts)
-        lit = jp.replace("'", "''")
-        return f"get_json_object({col}, '{lit}')"
+        toks = [("hint", h, None) if c else ("name", nm, bool(a))
+                for c, h, nm, a in _JSON_SEG_RE.findall(path)]
+        return _json_subcol_expr(col, toks)
     return pat.sub(sub, text)
 
 
@@ -8391,6 +8962,10 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                       r"\s*AS\s+`?(\w+)`?\s*$",
                       text, re.IGNORECASE | re.DOTALL)
     if cl and not re.match(r"(?is)^SELECT\b", cl.group(2)):
+        local = _distributed_local_table(text)
+        if local is not None and _register_distributed_alias(
+                spark, cl.group(1), local, tables):
+            return None
         src = _resolve_view_safe(spark, cl.group(2),
                                  (tables or {}).get(cl.group(2)))
         if src is not None:
@@ -8400,6 +8975,11 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
 
     # non-MergeTree engine with explicit columns: empty typed view
     if cm:
+        if cm.group(3).lower() == "distributed":
+            local = _distributed_local_table(text)
+            if local is not None and _register_distributed_alias(
+                    spark, name, local, tables):
+                return None
         if cm.group(3).lower() == "embeddedrocksdb":
             # StorageEmbeddedRocksDB requires PRIMARY KEY with exactly
             # one column, and it must be a declared column
@@ -8715,6 +9295,18 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                 t.attach_partition_from(src, val)
             df = t.read()
             continue
+        m = re.match(r"(?is)^(DETACH|ATTACH)\s+(PART|PARTITION)\s+"
+                     r"(?:ID\s+)?('[^']*'|[\w.-]+)$", o)
+        if m:
+            if t is None:
+                raise ValueError(f"ALTER {m.group(1).upper()} "
+                                 f"{m.group(2).upper()} needs a "
+                                 f"managed table")
+            val = m.group(3).strip("'")
+            op = (m.group(1) + "_" + m.group(2)).lower()
+            getattr(t, op)(val)
+            df = t.read()
+            continue
         m = re.match(r"(?is)^MOVE\s+PARTITION\s+(?:ID\s+)?"
                      r"('[^']*'|[\w.-]+)\s+TO\s+TABLE\s+`?(\w+)`?$", o)
         if m:
@@ -8847,6 +9439,9 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
     the view (reference InterpreterInsertQuery.h).  ``_mv_depth``
     threads the materialized-view cascade depth so cyclic MV TO
     chains terminate."""
+    # Distributed-engine names are aliases of the local table —
+    # writes route through (StorageDistributed write path)
+    name = ((tables or {}).get("__alias__") or {}).get(name, name)
     t = (tables or {}).get(name)
     schema = _target_schema(spark, name, t)
     if schema is None:

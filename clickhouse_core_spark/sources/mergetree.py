@@ -697,6 +697,112 @@ class MergeTreeTable:
         new_part = self.insert(deduped)
         self._drop_parts([p for p in parts if p != new_part])
 
+    def _detached_dir(self) -> str:
+        d = os.path.join(self.path, "_detached")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _resolve_part_name(self, name: str, pool: list) -> str | None:
+        """A part argument is either this engine's ``part-...``
+        basename or the reference's ``<partition>_<min>_<max>_<level>``
+        name (MergeTreePartInfo::fromPartName) — the min block number
+        maps to the Nth part in creation (sorted) order, 1-based."""
+        base = {os.path.basename(p): p for p in pool}
+        if name in base:
+            return base[name]
+        m = re.fullmatch(r"\w+?_(\d+)_(\d+)_\d+(?:_\d+)?", name)
+        if m:
+            i = int(m.group(1))
+            ordered = sorted(pool)
+            if 1 <= i <= len(ordered):
+                return ordered[i - 1]
+        return None
+
+    def detach_part(self, name: str) -> None:
+        """ALTER TABLE ... DETACH PART 'name' (reference
+        src/Parsers/ParserAlterQuery.cpp part form,
+        MergeTreeData::detachPartition): the part leaves the active
+        set but stays on disk under _detached/ for a later ATTACH."""
+        import shutil
+        p = self._resolve_part_name(name, self.parts())
+        if p is None:
+            raise ValueError(f"DETACH PART: no active part {name!r} "
+                             f"(reference NO_SUCH_DATA_PART)")
+        shutil.move(p, os.path.join(self._detached_dir(),
+                                    os.path.basename(p)))
+
+    def attach_part(self, name: str) -> None:
+        """ALTER TABLE ... ATTACH PART 'name': restore a detached
+        part into the active set (MergeTreeData::attachPartition)."""
+        import shutil
+        det = self._detached_dir()
+        pool = [os.path.join(det, e.name) for e in os.scandir(det)
+                if e.is_dir()]
+        p = self._resolve_part_name(name, pool)
+        if p is None:
+            raise ValueError(f"ATTACH PART: no detached part "
+                             f"{name!r} (reference BAD_DATA_PART_NAME)")
+        shutil.move(p, os.path.join(self.path, os.path.basename(p)))
+
+    def detach_partition(self, value) -> None:
+        """ALTER TABLE ... DETACH PARTITION v: every active part's
+        slice of that partition moves to _detached/ (modeled at part
+        granularity: parts holding ONLY that partition move whole)."""
+        import shutil
+        plain = [c for c in self.partition_by
+                 if re.fullmatch(r"\w+", c)]
+        det = self._detached_dir()
+        if plain and len(plain) == len(self.partition_by):
+            for part in self.parts():
+                d = os.path.join(part, f"{plain[0]}={value}")
+                if os.path.isdir(d):
+                    dst = os.path.join(det, os.path.basename(part))
+                    os.makedirs(dst, exist_ok=True)
+                    shutil.move(d, os.path.join(
+                        dst, f"{plain[0]}={value}"))
+                if not any(e.name.startswith(f"{plain[0]}=")
+                           for e in os.scandir(part) if e.is_dir()):
+                    shutil.rmtree(part, ignore_errors=True)
+            return
+        # expression partition keys: split the slice out as a new
+        # detached part, rewrite the remainder
+        slice_df = (self.read_raw()
+                    .filter(self.partition_predicate(value))
+                    .localCheckpoint(eager=True))
+        kept = (self.read_raw()
+                .filter(~self.partition_predicate(value))
+                .localCheckpoint(eager=True))
+        old = self.parts()
+        new_part = self.insert(slice_df)
+        shutil.move(new_part, os.path.join(
+            det, os.path.basename(new_part)))
+        self.insert(kept)
+        self._drop_parts(old)
+
+    def attach_partition(self, value) -> None:
+        """ALTER TABLE ... ATTACH PARTITION v (no FROM): restore the
+        partition's detached parts/slices."""
+        import shutil
+        det = self._detached_dir()
+        for e in sorted(os.scandir(det), key=lambda x: x.name):
+            if not e.is_dir():
+                continue
+            plain = [c for c in self.partition_by
+                     if re.fullmatch(r"\w+", c)]
+            if plain and len(plain) == len(self.partition_by):
+                d = os.path.join(e.path, f"{plain[0]}={value}")
+                if not os.path.isdir(d):
+                    continue
+                dst = os.path.join(self.path, e.name)
+                os.makedirs(dst, exist_ok=True)
+                shutil.move(d, os.path.join(
+                    dst, f"{plain[0]}={value}"))
+                if not any(x.is_dir() for x in os.scandir(e.path)):
+                    shutil.rmtree(e.path, ignore_errors=True)
+            else:
+                shutil.move(e.path,
+                            os.path.join(self.path, e.name))
+
     def freeze(self, backup_name: str | None = None) -> str:
         """ALTER TABLE ... FREEZE analog (reference
         src/Storages/StorageMergeTree freeze / shadow directory):

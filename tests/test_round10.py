@@ -1,0 +1,236 @@
+"""Round-10 regression tests: the three judge-confirmed wrong-answer
+classes (keyless empty-set aggregate defaults, ENGINE = Distributed
+proxy reads, \\xHH string escapes) plus the codec-order narrowing,
+numbers() constant folding, and DETACH/ATTACH PART."""
+
+import math
+
+import pytest
+
+from clickhouse_core_spark.plans.frontend import (
+    SESSION_SETTINGS, ch_sql)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from clickhouse_core_spark import get_spark
+    s = get_spark("test_round10", master="local[4]",
+                  extra_conf={"spark.sql.shuffle.partitions": "4"})
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _rows(spark, sql, tables):
+    df = ch_sql(spark, sql, tables=tables)
+    return [tuple(r) for r in df.collect()]
+
+
+# ------------------------------------------- empty-set keyless defaults
+
+def test_keyless_empty_defaults_00572(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_e (x UInt8) ENGINE = Memory",
+           tables=t)
+    (cnt, uq, av, avn, ga, gua), = _rows(
+        spark, "SELECT count(), uniq(x), avg(x), avg(toNullable(x)), "
+               "groupArray(x), groupUniqArray(x) FROM r10t_e", t)
+    assert (cnt, uq) == (0, 0)
+    assert math.isnan(av)
+    assert avn is None
+    assert ga == [] and gua == []
+
+
+def test_keyless_empty_identity_defaults(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_e2 (x UInt32, n Nullable(Int64), "
+                  "s String) ENGINE = Memory", tables=t)
+    (mn, mx, sm, anys, minn, sumn), = _rows(
+        spark, "SELECT min(x), max(x), sum(x), any(s), min(n), "
+               "sum(n) FROM r10t_e2", t)
+    assert (mn, mx, sm, anys) == (0, 0, 0, "")
+    assert minn is None and sumn is None
+
+
+def test_keyless_empty_defaults_01559(spark):
+    q = ("SELECT MAX(aggr) AS m FROM (SELECT MAX(-1) AS aggr "
+         "FROM system.one WHERE NOT 1 UNION ALL SELECT MAX(-1) AS "
+         "aggr FROM system.one WHERE 1)")
+    assert _rows(spark, q, {}) == [(0,)]
+    SESSION_SETTINGS["aggregate_functions_null_for_empty"] = "1"
+    try:
+        q2 = ("SELECT MAX(aggr) AS m FROM (SELECT MAX(-1) AS aggr "
+              "FROM system.one WHERE NOT 1 UNION ALL SELECT MAX(-1) "
+              "AS aggr FROM system.one WHERE NOT 1)")
+        assert _rows(spark, q2, {}) == [(None,)]
+    finally:
+        SESSION_SETTINGS.pop("aggregate_functions_null_for_empty")
+
+
+def test_keyless_nonempty_unchanged(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_ne (x UInt32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_ne VALUES (3), (7)", tables=t)
+    assert _rows(spark, "SELECT min(x), max(x), sum(x), avg(x) "
+                        "FROM r10t_ne", t) == [(3, 7, 10, 5.0)]
+
+
+def test_grouped_empty_returns_no_rows(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_g (x UInt32) ENGINE = Memory",
+           tables=t)
+    assert _rows(spark, "SELECT x, max(x) FROM r10t_g GROUP BY x",
+                 t) == []
+
+
+# ------------------------------------------------- Distributed proxy
+
+def test_distributed_proxy_reads_and_writes(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE mt_00609 (x UInt64, s String) "
+                  "ENGINE = MergeTree ORDER BY x", tables=t)
+    ch_sql(spark, "INSERT INTO mt_00609 VALUES (1, 'hello'), "
+                  "(2, 'world')", tables=t)
+    ch_sql(spark, "CREATE TABLE dist_00609 AS mt_00609 ENGINE = "
+                  "Distributed(test_shard_localhost, currentDatabase()"
+                  ", mt_00609)", tables=t)
+    assert _rows(spark, "SELECT s FROM dist_00609 ORDER BY x",
+                 t) == [("hello",), ("world",)]
+    # INSERT into the distributed name routes to the local table
+    ch_sql(spark, "INSERT INTO dist_00609 VALUES (3, 'third')",
+           tables=t)
+    assert _rows(spark, "SELECT count() AS c FROM mt_00609",
+                 t) == [(3,)]
+    ch_sql(spark, "DROP TABLE dist_00609", tables=t)
+    assert _rows(spark, "SELECT count() AS c FROM mt_00609",
+                 t) == [(3,)]
+
+
+def test_distributed_explicit_columns(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE loc_r10 (x UInt32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO loc_r10 VALUES (42)", tables=t)
+    ch_sql(spark, "CREATE TABLE dist_r10 (x UInt32) ENGINE = "
+                  "Distributed(test_cluster, default, loc_r10)",
+           tables=t)
+    assert _rows(spark, "SELECT x FROM dist_r10", t) == [(42,)]
+
+
+# -------------------------------------------------- \xHH escapes
+
+def test_hex_escape_invalid_utf8(spark):
+    assert _rows(spark, "SELECT length('\\xe2') AS l, hex('\\xe2') "
+                        "AS h", {}) == [(1, "E2")]
+
+
+def test_hex_escape_valid_ascii(spark):
+    assert _rows(spark, "SELECT '\\x41\\x42' AS s, length('a\\x20b') "
+                        "AS l", {}) == [("AB", 3)]
+
+
+def test_hex_escape_insert_roundtrip(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_hex (s String) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_hex VALUES ('\\xe2'), ('plain')",
+           tables=t)
+    assert sorted(_rows(spark, "SELECT length(s) AS l FROM r10t_hex",
+                        t)) == [(1,), (5,)]
+
+
+# ---------------------------------------------- codec-order narrowing
+
+def test_suspicious_codecs_rejected_by_default(spark):
+    with pytest.raises(Exception):
+        ch_sql(spark, "CREATE TABLE r10t_cod (x UInt64 "
+                      "CODEC(ZSTD, Delta(4))) ENGINE = MergeTree "
+                      "ORDER BY x", tables={})
+
+
+def test_suspicious_codecs_allowed_by_setting(spark):
+    SESSION_SETTINGS["allow_suspicious_codecs"] = "1"
+    try:
+        t = {}
+        ch_sql(spark, "CREATE TABLE r10t_cod2 (id UInt64 "
+                      "CODEC(LZ4, ZSTD, NONE, LZ4HC, Delta(4))) "
+                      "ENGINE = MergeTree ORDER BY id", tables=t)
+        ch_sql(spark, "INSERT INTO r10t_cod2 VALUES (7)", tables=t)
+        assert _rows(spark, "SELECT id FROM r10t_cod2", t) == [(7,)]
+    finally:
+        SESSION_SETTINGS.pop("allow_suspicious_codecs")
+
+
+# ---------------------------------------------- numbers() const folding
+
+def test_numbers_const_expr(spark):
+    assert _rows(spark, "SELECT count() AS c FROM "
+                        "numbers(toUInt64(5))", {}) == [(5,)]
+    assert _rows(spark, "SELECT number FROM numbers(2 + 3) "
+                        "ORDER BY number DESC LIMIT 1", {}) == [(4,)]
+
+
+def test_numbers_wraparound_unbounded(spark):
+    assert _rows(spark, "SELECT number FROM numbers(toUInt64(-1)) "
+                        "LIMIT 2", {}) == [(0,), (1,)]
+
+
+# ------------------------------------------------- DETACH/ATTACH PART
+
+def test_detach_attach_part(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_dp (x UInt32) ENGINE = MergeTree "
+                  "ORDER BY x", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_dp VALUES (1), (2)", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_dp VALUES (10)", tables=t)
+    ch_sql(spark, "ALTER TABLE r10t_dp DETACH PART 'all_1_1_0'",
+           tables=t)
+    assert _rows(spark, "SELECT sum(x) AS s FROM r10t_dp",
+                 t) == [(10,)]
+    ch_sql(spark, "ALTER TABLE r10t_dp ATTACH PART 'all_1_1_0'",
+           tables=t)
+    assert _rows(spark, "SELECT sum(x) AS s FROM r10t_dp",
+                 t) == [(13,)]
+    with pytest.raises(Exception):
+        ch_sql(spark, "ALTER TABLE r10t_dp DETACH PART 'all_99_99_0'",
+               tables=t)
+
+
+# ------------------------------------------------- JSON SQL surface
+
+def test_json_array_subcolumn(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_j (id UInt32, o JSON) "
+                  "ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_j VALUES "
+                  "(1, '{\"a\": {\"b\": 1, \"c\": [{\"d\": 10}, "
+                  "{\"d\": 20}]}}'), "
+                  "(2, '{\"a\": {\"b\": 2, \"c\": []}}')", tables=t)
+    assert _rows(spark, "SELECT o.a.c[].d AS d FROM r10t_j "
+                        "ORDER BY id", t) == [(["10", "20"],), ([],)]
+    assert _rows(spark, "SELECT o.a.b.:Int64 AS bi, o.a.b.:String "
+                        "AS bs FROM r10t_j ORDER BY bi",
+                 t) == [(1, None), (2, None)]
+    assert _rows(spark, "SELECT o.a.c.:`Array(JSON)`.d AS d "
+                        "FROM r10t_j ORDER BY id",
+                 t) == [(["10", "20"],), ([],)]
+
+
+def test_json_paths_functions(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_jp (o JSON) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_jp VALUES "
+                  "('{\"a\": {\"b\": 1, \"c\": [2]}, \"x\": \"s\"}')",
+           tables=t)
+    assert _rows(spark, "SELECT JSONAllPaths(o) AS p FROM r10t_jp",
+                 t) == [(["a.b", "a.c", "x"],)]
+    (pt,), = _rows(spark, "SELECT JSONAllPathsWithTypes(o) AS pt "
+                          "FROM r10t_jp", t)
+    assert [tuple(x) for x in pt] == [
+        ("a.b", "Int64"), ("a.c", "Array(Nullable(String))"),
+        ("x", "String")]
+    assert _rows(spark, "SELECT JSONSharedDataPaths(o) AS s "
+                        "FROM r10t_jp", t) == [([],)]
+    assert _rows(spark, "SELECT distinctJSONPaths(o) AS d "
+                        "FROM r10t_jp", t) == [(["a.b", "a.c", "x"],)]
