@@ -9184,9 +9184,9 @@ WITH j(id, o) AS (VALUES
   (2, '{"a": {"b": 2, "c": []}}'))
 SELECT id,
        CAST(json_extract_string(o, '$.a.b') AS BIGINT) AS b,
-       COALESCE(list_transform(
+       COALESCE(array_to_string(list_transform(
          CAST(json_extract(o, '$.a.c') AS JSON[]),
-         x -> json_extract_string(x, '$.d')), []) AS d,
+         x -> json_extract_string(x, '$.d')), ','), '') AS d,
        CAST(len(json_keys(json_extract(o, '$.a'))) AS INT) AS nkeys
 FROM j ORDER BY id
 """)
@@ -9204,9 +9204,55 @@ def json_array_subcolumn_read_q(spark, sf_dir):
                   "\"e\": [31]}, {\"d\": 20}]}}'), "
                   "(2, '{\"a\": {\"b\": 2, \"c\": []}}')", tables=t)
     return ch_sql(spark, "SELECT id, o.a.b.:Int64 AS b, "
-                         "o.a.c[].d AS d, "
+                         "arrayStringConcat(o.a.c[].d, ',') AS d, "
                          "toInt32(length(JSONAllPaths(o))) AS nkeys "
                          "FROM r10_json ORDER BY id", tables=t)
+
+
+@q("join_using_alias", """
+WITH ta(a) AS (VALUES (0), (1), (2), (3)),
+     tb(b, s) AS (VALUES (2, 'x'), (3, 'y'), (4, 'z'))
+SELECT CAST(ta.a + 2 AS INT) AS b, s
+FROM ta JOIN tb ON ta.a + 2 = tb.b ORDER BY b
+""")
+def join_using_alias_q(spark, sf_dir):
+    """JOIN ... USING (b) resolves b against the SELECT-list alias
+    when the side has no such column (reference QueryAnalyzer
+    identifier resolution over projection names; golden
+    02989_join_using_parent_scope)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10_ua (a Int32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10_ua VALUES (0), (1), (2), (3)",
+           tables=t)
+    ch_sql(spark, "CREATE TABLE r10_ub (b Int32, s String) "
+                  "ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10_ub VALUES (2, 'x'), (3, 'y'), "
+                  "(4, 'z')", tables=t)
+    return ch_sql(spark, "SELECT a + 2 AS b, s FROM r10_ua "
+                         "JOIN r10_ub USING (b) ORDER BY b", tables=t)
+
+
+@q("fn_array_lex_compare", """
+WITH v(id, arr) AS (VALUES (1, [1, 2]), (2, [2]), (3, [1]), (4, []))
+SELECT id, CAST(arr > [1] AS INT) AS gt,
+       CAST(arr < [1, 9] AS INT) AS lt
+FROM v ORDER BY id
+""")
+def fn_array_lex_compare_q(spark, sf_dir):
+    """Array ordering comparisons are lexicographic element-wise with
+    shorter-prefix-is-less (reference
+    src/Functions/FunctionsComparison.h generic column ordering) —
+    Spark rejects array operands, so arr <op> [literal] rewrites to a
+    sequence/element_at compare fold."""
+    t = {}
+    return ch_sql(spark, """
+        SELECT id, toInt32(arr > [1]) AS gt, toInt32(arr < [1, 9]) AS lt
+        FROM (SELECT 1 AS id, [1, 2] AS arr UNION ALL
+              SELECT 2, [2] UNION ALL SELECT 3, [1] UNION ALL
+              SELECT 4, CAST(array() AS ARRAY<INT>))
+        ORDER BY id
+    """, tables=t)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -2025,15 +2025,35 @@ _RULES["arrayrocauc"] = _array_auc_rule("arrayROCAUC")
 _RULES["arrayauc"] = _array_auc_rule("arrayAUC")
 
 
+def _neighbor_default_sql(arg: str) -> str:
+    """Out-of-block neighbor() returns the TYPE default in the
+    reference ('' for strings, 0 for numbers) — sniff the translated
+    argument; unknown shapes keep NULL (a wrong-typed literal would
+    coerce silently)."""
+    d = _ordefault_default_sql(arg, "max")
+    if d != "0":
+        return d
+    return "0" if _WKAD_NUMERIC_ARG_RE.match(arg.strip()) else "NULL"
+
+
 def _neighbor_rule(a):
     """neighbor(x, offset[, default]) (src/Functions/neighbor.cpp):
     block-relative lead/lag — one stream here, so a global-order
     window (presentation semantics; the reference deprecates it for
-    the same order-dependence)."""
+    the same order-dependence).  Non-constant offsets index into the
+    collected block (the reference computes them per-row too)."""
     try:
         n = int(a[1])
     except ValueError:
-        return f"neighbor({', '.join(a)})"
+        d = a[2] if len(a) > 2 else _neighbor_default_sql(a[0])
+        wf = ("OVER (ORDER BY monotonically_increasing_id() ROWS "
+              "BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
+        wr = "OVER (ORDER BY monotonically_increasing_id())"
+        arr = f"collect_list({a[0]}) {wf}"
+        idx = f"(row_number() {wr} + ({a[1]}))"
+        return (f"(CASE WHEN {idx} BETWEEN 1 AND size({arr}) "
+                f"THEN element_at({arr}, CAST({idx} AS INT)) "
+                f"ELSE {d} END)")
     if n == 0:
         return f"({a[0]})"
     d = a[2] if len(a) > 2 else "NULL"
@@ -4491,11 +4511,14 @@ def _rewrite_array_join(sql: str) -> str:
 
     parsed = []   # (expr, alias, implicit)
     for item in items:
-        am = re.search(r"^(.*?)\s+AS\s+(`?\w+`?)\s*$", item,
+        am = re.search(r"^(.*?)\s+AS\s+(`[^`]+`|\w+)\s*$", item,
                        re.IGNORECASE | re.DOTALL)
         expr = (am.group(1) if am else item).strip()
         alias = am.group(2).strip("`") if am else (
             expr if re.fullmatch(r"\w+", expr) else
+            # backticked dotted Nested member (`n.a`) keeps its
+            # literal name — the element shadows the array column
+            expr.strip("`") if re.fullmatch(r"`[^`]+`", expr) else
             # qualified `t.arr` takes the column's own name,
             # like the reference's unaliased ARRAY JOIN
             (expr.rsplit(".", 1)[1]
@@ -4509,6 +4532,7 @@ def _rewrite_array_join(sql: str) -> str:
         re.match(r"(?i)\s*((INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI)\s+)?"
                  r"JOIN\b", suffix))
     hidden: list[str] = []
+    sub_q = None
     implicit = [(i, e) for i, (e, a, imp) in enumerate(parsed) if imp]
     if implicit:
         # rename each implicitly-joined array column out of the way so
@@ -4562,10 +4586,17 @@ def _rewrite_array_join(sql: str) -> str:
             suffix = qpat.sub(qrep, suffix)
 
     first_expr, first_alias, _ = parsed[0]
+    # LATERAL VIEW's AS identifier list takes backticks LITERALLY —
+    # dotted element names (Nested members) need a synthetic alias
+    # plus reference substitution
+    lat_name = "__ajv0" if "." in first_alias else first_alias
     lateral = (f" LATERAL VIEW {'OUTER ' if outer else ''}"
-               f"posexplode({first_expr}) __aj AS __ajp, {first_alias} ")
+               f"posexplode({first_expr}) __aj AS __ajp, "
+               f"{lat_name} ")
 
-    subs = [(a, f"element_at({e}, __ajp + 1)") for e, a, _ in parsed[1:]]
+    subs = ([(first_alias, lat_name)] if lat_name != first_alias
+            else [])
+    subs += [(a, f"element_at({e}, __ajp + 1)") for e, a, _ in parsed[1:]]
     if subs:
         # keep output names: a bare projection item `y` must become
         # `element_at(...) AS y`, so mark the AS occurrence with a
@@ -4578,17 +4609,30 @@ def _rewrite_array_join(sql: str) -> str:
         fixed = []
         for it in _split_top_commas(proj_body):
             for k, (a, _) in enumerate(subs):
-                if it == a:
+                if it == a or it.strip().strip("`") == a:
                     it = f"{a} AS \x00{k}\x00"
                     break
             fixed.append(it)
         prefix = head + ", ".join(fixed) + " " + from_rest
 
         def apply_subs(text: str) -> str:
+            # the generated rename subquery names the ORIGINAL columns
+            # (EXCEPT list, `x` AS __ajsrcN) — shield it from the
+            # element substitution
+            tok = "\x03__ajsubq__\x03"
+            prot = sub_q if sub_q and sub_q in text else None
+            if prot:
+                text = text.replace(prot, tok)
             for a, repl in subs:
-                text = re.sub(rf"(?<![\w.`]){re.escape(a)}\b", repl, text)
+                # bare AND backticked (`n.b` — Nested member) uses
+                text = re.sub(
+                    rf"`{re.escape(a)}`|(?<![\w.`]){re.escape(a)}\b",
+                    repl.replace("\\", "\\\\"), text)
             for k, (a, _) in enumerate(subs):
-                text = text.replace(f"\x00{k}\x00", a)
+                text = text.replace(
+                    f"\x00{k}\x00", f"`{a}`" if "." in a else a)
+            if prot:
+                text = text.replace(tok, prot)
             return text
         prefix, suffix = apply_subs(prefix), apply_subs(suffix)
 
@@ -5219,6 +5263,33 @@ def _rewrite_cast_types(sql: str) -> str:
             sql = sql[:m.start()] + lead + ddl + sql[j:]
             pos = m.start() + len(lead + ddl)
     sql = re.sub(r"::\s*Dynamic\b", "", sql, flags=re.IGNORECASE)
+    # ::JSON[(max_dynamic_paths=…, SKIP p, a.b Type)] — the type
+    # parameters are storage tuning (reference DataTypeObject
+    # parameters); the VALUE is the compact-serialized string carrier
+    if re.search(r"(?i)::\s*JSON\b|\bAS\s+JSON\b", sql):
+        sql = re.sub(r"(?is)::\s*JSON\s*\((?:[^()]|\([^()]*\))*\)",
+                     "::JSON", sql)
+        sql = re.sub(r"(?is)(\bAS\s+)JSON\s*\((?:[^()]|\([^()]*\))*\)"
+                     r"(\s*\))", r"\1JSON\2", sql)
+        def _json_cast_postfix(m2):
+            start = _trunc_operand_start(sql2[0], m2.start())
+            opnd = sql2[0][start:m2.start()]
+            return None if not opnd.strip() else (
+                start, f"to_json(try_parse_json({opnd}))", m2.end())
+        # postfix '::JSON' binds its operand like other trunc casts
+        while True:
+            sql2 = [sql]
+            m2 = re.search(r"(?i)::\s*JSON\b", sql)
+            if m2 is None:
+                break
+            r2 = _json_cast_postfix(m2)
+            if r2 is None:
+                break
+            s2, repl2, e2 = r2
+            sql = sql[:s2] + repl2 + sql[e2:]
+        sql = re.sub(r"(?is)\bCAST\s*\(((?:[^()]|\([^()]*\))*?)\s+"
+                     r"AS\s+JSON\s*\)",
+                     r"to_json(try_parse_json(\1))", sql)
     sql = _rewrite_trunc_casts(sql)
     sql = _CAST_TYPE_RE.sub(
         lambda m: m.group(1) + _CH_CAST_TYPES[m.group(2).lower()]
@@ -5710,6 +5781,144 @@ def _fold_const_int(expr: str):
     return None
 
 
+_GBALIAS_TERM_RE = re.compile(
+    r"(?i)^(ORDER|HAVING|LIMIT|SETTINGS|WITH|UNION|EXCEPT|INTERSECT|"
+    r"FORMAT|INTO|WINDOW|QUALIFY)\b")
+
+
+def _depth_map(sql: str):
+    """Paren depth at each index (string-aware)."""
+    d = [0] * (len(sql) + 1)
+    i, depth, n = 0, 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            j = _skip_string(sql, i)
+            for k in range(i, min(j, n)):
+                d[k] = depth
+            i = j
+            continue
+        if c == "(":
+            d[i] = depth
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            d[i] = depth
+        else:
+            d[i] = depth
+        i += 1
+    d[n] = depth
+    return d
+
+
+def _rewrite_group_by_aliases(sql: str) -> str:
+    """``GROUP BY expr AS k`` defines ``k`` as a query-wide alias
+    (reference QueryNormalizer — aliases from ANY clause resolve
+    everywhere; golden 00184 ``GROUP BY number AS n ORDER BY n``).
+    Spark's GROUP BY takes no aliases: strip the ``AS k`` and
+    substitute standalone ``k`` inside the same SELECT scope — the
+    select-list occurrence becomes ``(expr) AS k`` so the output
+    column name survives."""
+    if not re.search(r"(?i)\bGROUP\s+BY\b[^;]*?\sAS\s", sql):
+        return sql
+    for _ in range(8):          # one GROUP BY rewritten per pass
+        d = _depth_map(sql)
+        done = True
+        for gm in re.finditer(r"(?i)\bGROUP\s+BY\s", sql):
+            d0 = d[gm.start()]
+            # extent of the GROUP BY item list
+            i, n = gm.end(), len(sql)
+            while i < n:
+                if d[i] < d0:
+                    break
+                if d[i] == d0:
+                    t = _GBALIAS_TERM_RE.match(sql[i:])
+                    if t and (i == 0 or not sql[i - 1].isalnum()):
+                        break
+                if sql[i] in "'\"":
+                    i = _skip_string(sql, i)
+                    continue
+                i += 1
+            list_txt = sql[gm.end():i]
+            items = _split_top_commas(list_txt)
+            pairs, new_items = [], []
+            for it in items:
+                am = None
+                itops = _top_level_set(it)
+                for mm in re.finditer(r"(?is)\sAS\s", it):
+                    if mm.start() in itops:
+                        am = mm
+                if am is not None and re.fullmatch(
+                        r"`?\w+`?", it[am.end():].strip()):
+                    alias = it[am.end():].strip().strip("`")
+                    expr = it[:am.start()].strip()
+                    pairs.append((alias, expr))
+                    new_items.append(expr)
+                else:
+                    new_items.append(it.strip())
+            if not pairs:
+                continue
+            # scope: the SELECT at the same depth before this GROUP BY
+            sel_start = 0
+            for sm2 in re.finditer(r"(?i)\bSELECT\b", sql[:gm.start()]):
+                if d[sm2.start()] == d0:
+                    sel_start = sm2.start()
+            scope_end = i
+            while scope_end < n and d[scope_end] >= d0:
+                scope_end += 1
+            from_pos = None
+            for fm in re.finditer(r"(?i)\bFROM\b",
+                                  sql[sel_start:gm.start()]):
+                if d[sel_start + fm.start()] == d0:
+                    from_pos = sel_start + fm.start()
+                    break
+            seg_before = sql[sel_start:gm.end()]
+            seg_after = sql[i:scope_end]
+
+            def _subst(seg: str, offset: int) -> str:
+                out, j2 = [], 0
+                while j2 < len(seg):
+                    c2 = seg[j2]
+                    if c2 in "'\"`":
+                        k2 = _skip_string(seg, j2)
+                        out.append(seg[j2:k2])
+                        j2 = k2
+                        continue
+                    mm = _IDENT.match(seg, j2)
+                    if mm:
+                        w = mm.group(0)
+                        hit = next((e for a2, e in pairs if a2 == w),
+                                   None)
+                        nxt = seg[mm.end():].lstrip()[:1]
+                        prev = "".join(out).rstrip()
+                        if hit is not None and nxt != "(" \
+                                and not prev.upper().endswith(" AS") \
+                                and not prev.endswith("."):
+                            pos_abs = offset + j2
+                            in_select_list = (from_pos is not None
+                                              and sel_start < pos_abs
+                                              < from_pos)
+                            out.append(f"({hit}) AS `{w}`"
+                                       if in_select_list
+                                       else f"({hit})")
+                        else:
+                            out.append(w)
+                        j2 = mm.end()
+                        continue
+                    out.append(c2)
+                    j2 += 1
+                return "".join(out)
+
+            sql = (sql[:sel_start] + _subst(seg_before, sel_start)
+                   + ", ".join(new_items) + " "
+                   + _subst(seg_after, i) + sql[scope_end:])
+            done = False
+            break
+        if done:
+            break
+    return sql
+
+
 def _rewrite_numbers_tvf(sql: str) -> str:
     """numbers(N) / numbers(offset, N) / generate_series(a, b[, step])
     table functions (reference
@@ -5763,6 +5972,39 @@ def _rewrite_numbers_tvf(sql: str) -> str:
     sql = _ZEROS_TVF_RE.sub(
         lambda m: (f"(SELECT CAST(0 AS SMALLINT) AS zero FROM "
                    f"range({int(m.group(1))}))"), sql)
+    # remote/remoteSecure/cluster/clusterAllReplicas table functions
+    # proxy to the named table on the addressed server (reference
+    # src/TableFunctions/TableFunctionRemote.cpp) — the corpus
+    # addresses localhost/test clusters, i.e. THIS engine's session
+    # tables
+    pos = 0
+    while True:
+        m = re.search(r"(?i)\b(remote(?:Secure)?|cluster"
+                      r"(?:AllReplicas)?)\s*\(", sql[pos:])
+        if m is None:
+            break
+        open_i = pos + m.end() - 1
+        end_i = _matching_paren(sql, open_i)
+        if end_i < 0:
+            break
+        args = _split_top_commas(sql[open_i + 1:end_i])
+        tbl = None
+        if len(args) >= 2:
+            a1 = args[1].strip().strip("'\"")
+            if "." in a1:
+                tbl = a1.split(".")[-1]
+            elif len(args) >= 3 and re.fullmatch(
+                    r"'[\w.]+'|\w+", args[2].strip()):
+                tbl = args[2].strip().strip("'\"")
+            else:
+                tbl = a1
+        if tbl is None or not re.fullmatch(r"\w+", tbl):
+            pos = end_i + 1
+            continue
+        repl = (f"system.{tbl}" if args[1].strip().strip("'\"")
+                .startswith("system.") else f"`{tbl}`")
+        sql = sql[:pos + m.start()] + repl + sql[end_i + 1:]
+        pos = pos + m.start() + len(repl)
     # system.numbers is the unbounded variant, always consumed under a
     # LIMIT (reference src/Storages/System/StorageSystemNumbers.h);
     # Spark has no infinite TVF, so expose a wide bounded range — any
@@ -5948,6 +6190,9 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
             out_parts.append(_rewrite_dynamic_subcolumns(sql[i0:j0]))
             i0 = j0
         sql = "".join(out_parts)
+    if re.search(r"(?i)\bGROUP\s+BY\b", sql) \
+            and re.search(r"(?i)\sAS\s", sql):
+        sql = _rewrite_group_by_aliases(sql)
     # GLOBAL is a distribution hint (broadcast the right side to every
     # shard); Spark's planner owns that decision — drop the keyword
     sql = _GLOBAL_JOIN_RE.sub("", sql)
@@ -6100,6 +6345,8 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # CH allows == for equality (string-aware: '===' literals keep)
     sql = _sub_nonstring(
         sql, lambda seg: re.sub(r"(?<![=!<>])==(?!=)", "=", seg))
+    if re.search(r"(?i)[<>]=?\s*array\s*\(", sql):
+        sql = _rewrite_array_literal_compare(sql)
     sql = _wrap_keyless_agg_defaults(sql)
     return sql
 
@@ -6210,6 +6457,55 @@ def _wkad_one_select(p: str) -> str:
     if not changed:
         return p
     return p[:m.end()] + ", ".join(new_items) + " " + rest
+
+
+def _array_lex_cmp_sql(a: str, b: str) -> str:
+    """Lexicographic array comparison value (-1/0/1) — the reference's
+    generic column ordering compares element-wise, shorter-is-less on
+    a common prefix (src/Functions/FunctionsComparison.h
+    GenericComparisonImpl over ColumnArray)."""
+    n = f"greatest(size({a}), size({b}))"
+    step = (f"CASE WHEN __ai > size({a}) THEN -1 "
+            f"WHEN __ai > size({b}) THEN 1 "
+            f"WHEN element_at({a}, __ai) < element_at({b}, __ai) "
+            f"THEN -1 "
+            f"WHEN element_at({a}, __ai) > element_at({b}, __ai) "
+            f"THEN 1 ELSE 0 END")
+    return (f"coalesce(try_element_at(filter(transform("
+            f"CASE WHEN {n} = 0 THEN array() "
+            f"ELSE sequence(1, {n}) END, __ai -> {step}), "
+            f"__ac -> __ac <> 0), 1), 0)")
+
+
+_ARR_CMP_RHS_RE = re.compile(r"(<=|>=|<(?![=>])|>(?!=))\s*(array\s*\()")
+
+
+def _rewrite_array_literal_compare(sql: str) -> str:
+    """``arr > [12.2]`` — ordering comparisons against an ARRAY
+    LITERAL (already translated to array(...)) rewrite to a
+    lexicographic element-wise compare; Spark's binary comparison
+    rejects array operands (reference
+    src/Functions/FunctionsComparison.h generic ordering)."""
+    pos = 0
+    while True:
+        m = _ARR_CMP_RHS_RE.search(sql, pos)
+        if m is None:
+            return sql
+        open_i = sql.index("(", m.end(1))
+        end_i = _matching_paren(sql, open_i)
+        if end_i < 0:
+            return sql
+        rhs = sql[m.start(2):end_i + 1]
+        lstart = _expr_left_boundary(sql, m.start())
+        lhs = sql[lstart:m.start()].strip()
+        if not lhs or lhs.endswith(("=", "<", ">", "!", "+", "-",
+                                    "*", "/", "%", ",")):
+            pos = end_i + 1
+            continue
+        op = m.group(1)
+        repl = f"({_array_lex_cmp_sql(f'({lhs})', rhs)} {op} 0)"
+        sql = sql[:lstart] + repl + sql[end_i + 1:]
+        pos = lstart + len(repl)
 
 
 def _wrap_keyless_agg_defaults(sql: str) -> str:
@@ -7264,6 +7560,69 @@ def _ch_sql_impl(spark, sql: str,
     if re.search(r"(?i)\b(?:FROM|DESCRIBE(?:\s+TABLE)?|DESC)\s+"
                  r"merge\s*\(", text):
         text = _materialize_merge_tvf(spark, text, tables)
+    if tables:
+        jcols = set()
+        for tb in tables.values():
+            jcols |= getattr(tb, "json_cols", set()) or set()
+        for d in (tables.get("__decl__") or {}).values():
+            jcols |= set((d or {}).get("json") or ())
+        if jcols and any(re.search(rf"\b{re.escape(c)}\s*\.", text)
+                         for c in jcols):
+            text = _rewrite_json_subcolumns(text, jcols)
+        # Nested expansion stores literal dotted column NAMES (`n.a`
+        # Array(T), NestedUtils::flatten); backtick bare dotted
+        # references (SELECT/ORDER BY/mutation predicates) so Spark
+        # resolves the column instead of a struct access
+        dotted = set()
+        for tb in tables.values():
+            ddl0 = getattr(tb, "schema_ddl", None)
+            if ddl0:
+                dotted |= {c for c in re.findall(r"`([^`]+)`", ddl0)
+                           if "." in c}
+        for d0 in (tables.get("__decl__") or {}).values():
+            dotted |= {c for c in ((d0 or {}).get("columns") or ())
+                       if "." in c}
+        for c in sorted(dotted, key=len, reverse=True):
+            if re.search(rf"(?<![\w.`]){re.escape(c)}(?![\w.`])",
+                         text):
+                text = _sub_nonstring(text, lambda seg, c=c: re.sub(
+                    rf"(?<![\w.`]){re.escape(c)}(?![\w.`])",
+                    f"`{c}`", seg))
+        # a bare Nested GROUP name in ARRAY JOIN expands to its member
+        # arrays (reference ARRAY JOIN nested zips n.a, n.b)
+        if dotted and re.search(r"(?i)\bARRAY\s+JOIN\b", text):
+            groups: dict = {}
+            for c in sorted(dotted):
+                groups.setdefault(c.split(".")[0], []).append(c)
+            def _aj_expand(m2):
+                nm2 = m2.group(2)
+                if nm2 in groups:
+                    return m2.group(1) + ", ".join(
+                        f"`{c}`" for c in groups[nm2])
+                return m2.group(0)
+            text = re.sub(
+                r"(?i)((?:LEFT\s+)?ARRAY\s+JOIN\s+)(\w+)\b(?!\s*[.(])",
+                _aj_expand, text)
+    # scalar-tuple CTE feeding a TVF: ``WITH (SELECT a, b FROM …) AS r
+    # SELECT … FROM numbers(r.1, r.2)`` — the reference constant-folds
+    # TVF arguments (evaluateConstantExpression); evaluate the scalar
+    # eagerly and substitute the tuple elements as literals
+    if re.search(r"(?i)\bnumbers\s*\(\s*\w+\s*\.\s*\d", text):
+        mw = re.match(r"(?is)^\s*WITH\s*\(", text)
+        close = _matching_paren(text, mw.end() - 1) if mw else -1
+        am = (re.match(r"(?is)\s*AS\s+(\w+)\s*", text[close + 1:])
+              if close > 0 else None)
+        if am is not None:
+            cname = am.group(1)
+            rest = text[close + 1 + am.end():]
+            if re.search(rf"(?i)\bnumbers\s*\(\s*{cname}\s*\.\s*\d",
+                         rest):
+                row0 = _run_sql(spark, translate_ch_sql(
+                    text[mw.end():close])).first()
+                text = re.sub(
+                    rf"\b{re.escape(cname)}\s*\.\s*(\d+)",
+                    lambda mm: str(int(row0[int(mm.group(1)) - 1])),
+                    rest)
     # SELECT ... FROM (EXPLAIN ...): the plan text as a one-line-per-
     # row `explain` column (InterpreterSelectQuery over an explain
     # pipe) — plan WORDING is Spark's, not the reference's
@@ -7624,15 +7983,6 @@ def _ch_sql_impl(spark, sql: str,
     if tables and re.search(r"(?i)\bdict(Get|Has)", text):
         text = _rewrite_dictget(text, tables)
 
-    if tables:
-        jcols = set()
-        for tb in tables.values():
-            jcols |= getattr(tb, "json_cols", set()) or set()
-        for d in (tables.get("__decl__") or {}).values():
-            jcols |= set((d or {}).get("json") or ())
-        if jcols and any(re.search(rf"\b{re.escape(c)}\s*\.", text)
-                         for c in jcols):
-            text = _rewrite_json_subcolumns(text, jcols)
 
     if re.search(r"(?i)\bARRAY\s+JOIN\b", text):
         text = _shadow_array_join_aliases(spark, text)
@@ -7800,11 +8150,19 @@ def _run_sql(spark, translated: str):
         if retried is None:
             retried = _retry_collate_drop(translated, e)
         if retried is None:
+            retried = _retry_using_alias(translated, e)
+        if retried is None:
+            retried = _retry_bool_arith(translated, e)
+        if retried is None:
+            retried = _retry_order_by_hidden(translated, e)
+        if retried is None:
             raise
         try:
             return spark.sql(retried)
         except Exception as e2:
             retried2 = _retry_ambiguous_ref(retried, e2)
+            if retried2 is None:
+                retried2 = _retry_using_alias(retried, e2)
             if retried2 is None:
                 raise
             return spark.sql(retried2)
@@ -7862,6 +8220,179 @@ def _retry_ambiguous_ref(translated: str, err: Exception):
         out.append(c)
         i += 1
     return "".join(out) if changed else None
+
+
+_BOOL_ARITH_CMP = r"[^()<>=!]*(?:=|!=|<>|<=|>=|<|>)[^()<>=!]*"
+
+
+def _retry_bool_arith(translated: str, err: Exception):
+    """CH comparisons are UInt8 and participate in arithmetic
+    (``(a > b) + 1`` — reference src/Functions/FunctionsComparison.h
+    UInt8 results); Spark's are strictly BOOLEAN.  Error-triggered
+    retry: cast parenthesized comparison groups adjacent to an
+    arithmetic operator to INT."""
+    msg = str(err)
+    if "BINARY_OP_DIFF_TYPES" not in msg or "BOOLEAN" not in msg:
+        return None
+    out = re.sub(
+        rf"\(({_BOOL_ARITH_CMP})\)(\s*[+\-*/%])",
+        r"CAST((\1) AS INT)\2", translated)
+    out = re.sub(
+        rf"([+\-*/%]\s*)\(({_BOOL_ARITH_CMP})\)",
+        r"\1CAST((\2) AS INT)", out)
+    return out if out != translated else None
+
+
+def _retry_order_by_hidden(translated: str, err: Exception):
+    """CH sorts aggregate results by GROUPING EXPRESSIONS that are not
+    in the projection (``SELECT sum(u) ... GROUP BY id % 3 AS k
+    ORDER BY k``); Spark resolves ORDER BY over a GROUPING SETS
+    aggregate against the output list only.  Retry: materialize each
+    ORDER BY item as a hidden ``__obN`` projection column, sort in an
+    outer query, and drop the helpers."""
+    m = re.search(r"name `([^`]+)`(?:\.`[^`]+`)? cannot be resolved",
+                  str(err))
+    if m is None:
+        return None
+    name = m.group(1)
+    sm = re.match(r"(?is)^\s*SELECT\s(?!\s*DISTINCT)", translated)
+    if sm is None:
+        return None
+    tops = _top_level_set(translated)
+    if not any(mm.start() in tops for mm in
+               re.finditer(r"(?i)\bGROUP\s+BY\b", translated)):
+        return None
+    om = None
+    for mm in re.finditer(r"(?i)\bORDER\s+BY\s", translated):
+        if mm.start() in tops:
+            om = mm
+    if om is None:
+        return None
+    tail_m = next(
+        (mm for mm in re.finditer(r"(?i)\b(LIMIT|OFFSET|SETTINGS)\b",
+                                  translated[om.end():])
+         if om.end() + mm.start() in tops), None)
+    ob_end = om.end() + tail_m.start() if tail_m \
+        else len(translated)
+    ob = translated[om.end():ob_end]
+    if not re.search(rf"(?<![\w.`]){re.escape(name)}\b", ob):
+        return None
+    specs = []
+    for it in _split_top_commas(ob):
+        dm = re.search(r"(?is)\s(ASC|DESC)(\s+NULLS\s+"
+                       r"(?:FIRST|LAST))?\s*$", it)
+        e = (it[:dm.start()] if dm else it).strip()
+        specs.append((e, it[dm.start():].strip() if dm else ""))
+    head = translated[:om.start()]
+    htops = _top_level_set(head)
+    from_i = next((mm.start() for mm in
+                   re.finditer(r"(?i)\bFROM\b", head)
+                   if mm.start() in htops), None)
+    if from_i is None:
+        return None
+    inner = (head[:from_i].rstrip() + ", "
+             + ", ".join(f"{e} AS __ob{i}"
+                         for i, (e, _) in enumerate(specs))
+             + " " + head[from_i:])
+    order = ", ".join(f"__ob{i} {s}".strip()
+                      for i, (_, s) in enumerate(specs))
+    helpers = ", ".join(f"__ob{i}" for i in range(len(specs)))
+    return (f"SELECT * EXCEPT ({helpers}) FROM ({inner}) __obq "
+            f"ORDER BY {order} " + translated[ob_end:])
+
+
+def _retry_using_alias(translated: str, err: Exception):
+    """``JOIN ... USING (b)`` where ``b`` is a SELECT-list alias
+    (``a + 2 AS b``), not a column of that side (reference
+    QueryAnalyzer resolves USING against projection output names —
+    golden 02989_join_using_parent_scope).  Error-triggered retry:
+    inject the alias expression as a column of the failing side via a
+    subquery keeping the original name visible."""
+    m = re.search(r"USING column `([^`]+)` can ?not be resolved on "
+                  r"the (left|right) side", str(err))
+    if m is None:
+        return None
+    key, side = m.group(1), m.group(2)
+    sm = re.match(r"(?is)^\s*SELECT\s", translated)
+    if sm is None:
+        return None
+    tops = _top_level_set(translated)
+    from_i = None
+    for mm in re.finditer(r"(?i)\bFROM\b", translated):
+        if mm.start() in tops:
+            from_i = mm.start()
+            break
+    if from_i is None:
+        return None
+    # the projection item aliased AS key
+    expr = None
+    for it in _split_top_commas(translated[sm.end():from_i]):
+        txt = it.strip()
+        itops = _top_level_set(txt)
+        for am in re.finditer(r"(?is)\sAS\s", txt):
+            if am.start() in itops \
+                    and txt[am.end():].strip().strip("`") == key:
+                expr = txt[:am.start()].strip()
+    if expr is None:
+        return None
+    rest = translated[from_i:]
+
+    def _side_ref(text: str, kw_end: int):
+        """(ref_text, alias, span_end) of the table ref after position
+        ``kw_end`` — a bare name or a parenthesized subquery, plus an
+        optional alias."""
+        mm = re.match(r"\s*", text[kw_end:])
+        p = kw_end + mm.end()
+        if p < len(text) and text[p] == "(":
+            close = _matching_paren(text, p)
+            if close < 0:
+                return None
+            ref = text[p:close + 1]
+            al = re.match(r"\s+(?:AS\s+)?(`?\w+`?)", text[close + 1:],
+                          re.IGNORECASE)
+            alias = al.group(1).strip("`") if al else None
+            return ref, alias, (close + 1 + al.end() if al
+                                else close + 1)
+        nm = re.match(r"(`?\w+`?)(\s+(?:AS\s+)?"
+                      r"(?!JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|"
+                      r"CROSS\b|SEMI\b|ANTI\b|GLOBAL\b|ASOF\b|ANY\b|"
+                      r"PASTE\b|WHERE\b|GROUP\b|ORDER\b|ARRAY\b|"
+                      r"USING\b|ON\b)(`?\w+`?))?",
+                      text[p:], re.IGNORECASE)
+        if nm is None:
+            return None
+        ref = nm.group(1)
+        alias = ((nm.group(3) or "").strip("`")
+                 or ref.strip("`"))
+        return ref, alias, p + nm.end()
+
+    if side == "left":
+        sr = _side_ref(rest, len("FROM"))
+        if sr is None:
+            return None
+        ref, alias, span_end = sr
+        alias = alias or "__ul"
+        wrapped = (f"FROM (SELECT *, {expr} AS `{key}` FROM {ref} "
+                   f"AS __ub) AS {alias}"
+                   if ref.startswith("(")
+                   else f"FROM (SELECT *, {expr} AS `{key}` "
+                        f"FROM {ref}) AS {alias}")
+        return translated[:from_i] + wrapped + rest[span_end:]
+    jm = re.search(r"(?i)\bJOIN\b", rest)
+    if jm is None:
+        return None
+    sr = _side_ref(rest, jm.end())
+    if sr is None:
+        return None
+    ref, alias, span_end = sr
+    alias = alias or "__ur"
+    wrapped = (f"JOIN (SELECT *, {expr} AS `{key}` FROM {ref} "
+               f"AS __ub) AS {alias}"
+               if ref.startswith("(")
+               else f"JOIN (SELECT *, {expr} AS `{key}` "
+                    f"FROM {ref}) AS {alias}")
+    return (translated[:from_i] + rest[:jm.start()] + " " + wrapped
+            + rest[span_end:])
 
 
 def _retry_alias_in_where(translated: str, err: Exception):

@@ -234,3 +234,131 @@ def test_json_paths_functions(spark):
                         "FROM r10t_jp", t) == [([],)]
     assert _rows(spark, "SELECT distinctJSONPaths(o) AS d "
                         "FROM r10t_jp", t) == [(["a.b", "a.c", "x"],)]
+
+
+# --------------------------------------- USING / GROUP BY alias scope
+
+def test_join_using_select_alias(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_ua (a Int32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_ua VALUES (0), (1), (2), (3)",
+           tables=t)
+    ch_sql(spark, "CREATE TABLE r10t_ub (b Int32, s String) "
+                  "ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_ub VALUES (2, 'x'), (3, 'y'), "
+                  "(4, 'z')", tables=t)
+    assert _rows(spark, "SELECT a + 2 AS b FROM r10t_ua JOIN r10t_ub "
+                        "USING (b) ORDER BY b",
+                 t) == [(2,), (3,), (4,)]
+
+
+def test_group_by_expression_alias(spark):
+    assert _rows(spark, "SELECT n FROM numbers(6) GROUP BY "
+                        "number % 3 AS n ORDER BY n",
+                 {}) == [(0,), (1,), (2,)]
+    assert _rows(spark, "SELECT k, sum(number) AS s FROM numbers(10) "
+                        "GROUP BY intDiv(number, 5) AS k ORDER BY k",
+                 {}) == [(0, 10), (1, 35)]
+
+
+# --------------------------------------- array lexicographic compare
+
+def test_array_lexicographic_compare(spark):
+    assert _rows(spark, "SELECT [1, 2] > [1] AS a, [1] < [1, 2] AS b, "
+                        "[2] > [1, 9] AS c, [1, 2] >= [1, 2] AS d",
+                 {}) == [(True, True, True, True)]
+    assert _rows(spark, "SELECT number FROM numbers(5) WHERE "
+                        "[number] > [2] ORDER BY number",
+                 {}) == [(3,), (4,)]
+
+
+# ------------------------------------------- Nested dotted references
+
+def test_nested_dotted_order_by_and_mutation(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_n (id UInt32, n Nested(a UInt32, "
+                  "b String)) ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_n VALUES (1, [3, 1], ['x', 'y']), "
+                  "(2, [2], ['z'])", tables=t)
+    assert _rows(spark, "SELECT id FROM r10t_n ORDER BY n.a",
+                 t) == [(2,), (1,)]
+    assert _rows(spark, "SELECT id, n.a, n.b FROM r10t_n ARRAY JOIN n "
+                        "ORDER BY id, n.a",
+                 t) == [(1, 1, "y"), (1, 3, "x"), (2, 2, "z")]
+    ch_sql(spark, "ALTER TABLE r10t_n DELETE WHERE id = 2", tables=t)
+    assert _rows(spark, "SELECT count() AS c FROM r10t_n",
+                 t) == [(1,)]
+
+
+# ------------------------------------------------ batch-3 signatures
+
+def test_json_cast_forms(spark):
+    assert _rows(spark, "SELECT '{\"a\": 1}'::JSON AS j",
+                 {}) == [('{"a":1}',)]
+    assert _rows(spark, "SELECT CAST('{\"a\": 1}' AS "
+                        "JSON(max_dynamic_paths=8, SKIP a.b)) AS j",
+                 {}) == [('{"a":1}',)]
+
+
+def test_remote_tvf_proxies_local(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_rem (x UInt32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_rem VALUES (5)", tables=t)
+    assert _rows(spark, "SELECT x FROM remote('127.0.0.1', "
+                        "currentDatabase(), r10t_rem)", t) == [(5,)]
+    assert _rows(spark, "SELECT count() AS c FROM "
+                        "remote('127.{1,1}', 'system.one')",
+                 t) == [(1,)]
+
+
+def test_neighbor_nonconstant_offset(spark):
+    assert _rows(spark, "SELECT neighbor(toString(number), number) "
+                        "AS nb FROM numbers(4)",
+                 {}) == [("0",), ("2",), ("",), ("",)]
+
+
+def test_bool_arith_retry(spark):
+    assert _rows(spark, "SELECT a FROM (SELECT 1 AS a) t "
+                        "ORDER BY (t.a > t.a) + 1", {}) == [(1,)]
+
+
+def test_order_by_hidden_group_expr(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_ob (id UInt64, u UInt64) "
+                  "ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_ob SELECT number, number "
+                  "FROM numbers(6)", tables=t)
+    rows = _rows(spark, "SELECT sum(u) AS s FROM r10t_ob "
+                        "GROUP BY id % 3 AS k WITH TOTALS ORDER BY k",
+                 t)
+    assert sorted(r[0] for r in rows) == [3, 5, 7, 15]
+
+
+def test_using_alias_subquery_sides(spark):
+    assert _rows(spark, "SELECT 1 AS c0 FROM (SELECT 1 AS c1) t0 "
+                        "JOIN (SELECT 1 AS c0) t1 USING (c0)",
+                 {}) == [(1,)]
+
+
+def test_scalar_tuple_cte_numbers(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_seq (number UInt64) "
+                  "ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_seq VALUES (2), (5)", tables=t)
+    assert _rows(spark, "WITH (Select min(number), max(number) from "
+                        "r10t_seq) as range Select * from "
+                        "numbers(range.1, range.2)",
+                 t) == [(2,), (3,), (4,), (5,), (6,)]
+
+
+def test_json_mutation_predicate(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_mu (id UInt32, obj JSON) "
+                  "ENGINE = MergeTree ORDER BY id", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_mu VALUES (1, '{\"k3\": 5}'), "
+                  "(2, '{\"k3\": 7}')", tables=t)
+    ch_sql(spark, "ALTER TABLE r10t_mu DELETE WHERE obj.k3 = 5",
+           tables=t)
+    assert _rows(spark, "SELECT id FROM r10t_mu", t) == [(2,)]
