@@ -1451,25 +1451,46 @@ def _json_all_paths_sql(j: str, with_types: bool = False) -> str:
 
 
 _RULES["jsonallpaths"] = lambda a: _json_all_paths_sql(a[0])
-_RULES["jsonallpathswithtypes"] = \
-    lambda a: _json_all_paths_sql(a[0], with_types=True)
+# the *WithTypes forms return Map(String, String) in the reference
+# (renders {'path':'Type'}); arrayJoin over them yields (k, v) tuples
+# — see the explode(map_from_entries(X)) unwrap in translate_ch_sql
+_RULES["jsonallpathswithtypes"] = lambda a: (
+    f"map_from_entries("
+    f"{_json_all_paths_sql(a[0], with_types=True)})")
 # storage-split introspection: this engine has no dynamic/shared
 # column split — every path is dynamic, shared data is empty
 # (reference ColumnObject max_dynamic_paths overflow; LIMITS)
 _RULES["jsondynamicpaths"] = lambda a: _json_all_paths_sql(a[0])
 _RULES["jsonshareddatapaths"] = lambda a: "array()"
-_RULES["jsondynamicpathswithtypes"] = \
-    lambda a: _json_all_paths_sql(a[0], with_types=True)
+_RULES["jsondynamicpathswithtypes"] = _RULES["jsonallpathswithtypes"]
 # aggregate forms: distinct paths (and types) across ROWS
 # (reference src/AggregateFunctions/
 # AggregateFunctionDistinctJSONPaths.cpp; DataFrame operator at
-# operators/jsonpaths.py — this is the SQL-name bridge)
+# operators/jsonpaths.py — this is the SQL-name bridge).
+# distinctJSONPathsAndTypes returns Map(String, Array(String)):
+# every type seen per path
 _RULES["distinctjsonpaths"] = lambda a: (
     f"array_sort(array_distinct(flatten(collect_list("
     f"{_json_all_paths_sql(a[0])}))))")
-_RULES["distinctjsonpathsandtypes"] = lambda a: (
-    f"array_sort(array_distinct(flatten(collect_list("
-    f"{_json_all_paths_sql(a[0], with_types=True)}))))")
+
+
+def _distinct_json_paths_types_rule(a):
+    pairs = (f"flatten(collect_list("
+             f"{_json_all_paths_sql(a[0], with_types=True)}))")
+    return (f"map_from_entries(transform(array_sort(array_distinct("
+            f"transform({pairs}, __jp -> __jp.col1))), __jk3 -> "
+            f"struct(__jk3, array_sort(array_distinct(transform("
+            f"filter({pairs}, __jp2 -> __jp2.col1 = __jk3), "
+            f"__jp3 -> __jp3.col2))))))")
+
+
+_RULES["distinctjsonpathsandtypes"] = _distinct_json_paths_types_rule
+# distinctDynamicTypes(d): the set of dynamic type names a Dynamic
+# column carried (AggregateFunctionDistinctDynamicTypes.cpp) — over
+# the string carrier, sniff each value's type
+_RULES["distinctdynamictypes"] = lambda a: (
+    f"array_sort(array_distinct(collect_list("
+    f"{_json_leaf_type_sql(a[0])})))")
 
 
 _RULES["jsonextractint"] = lambda a: (
@@ -1701,6 +1722,35 @@ def _validate_tsoi_origin(raw_args) -> None:
                        r"toDate32|toDate)\s*\(\s*'([^']*)'", x)
         return (fm2.group(1).lower(), fm2.group(2)) if fm2 \
             else (None, None)
+    if len(raw_args) > 4:
+        raise ValueError(
+            "toStartOfInterval: too many arguments (value, interval"
+            "[, origin][, timezone]; reference "
+            "NUMBER_OF_ARGUMENTS_DOESNT_MATCH)")
+    if len(raw_args) == 4:
+        # the 3rd slot must be the ORIGIN (a date/datetime), never a
+        # timezone string or a number
+        o3 = raw_args[2].strip()
+        if o3.startswith("'") or re.fullmatch(r"-?\d+(\.\d+)?", o3):
+            raise ValueError(
+                "toStartOfInterval: 3rd of 4 arguments must be an "
+                "origin date/datetime (reference "
+                "ILLEGAL_TYPE_OF_ARGUMENT)")
+    o_raw = raw_args[2].strip()
+    if re.match(r"(?is)^materialize\s*\(", o_raw) or "?" in o_raw:
+        # origin must be a CONSTANT (toStartOfInterval.cpp requires a
+        # const column for the origin argument)
+        raise ValueError(
+            "toStartOfInterval: origin must be a constant "
+            "(reference ILLEGAL_COLUMN)")
+    if re.search(r"(?i)toInterval(Millisecond|Microsecond|Nanosecond)",
+                 raw_args[1]) \
+            and re.match(r"(?is)\s*toDateTime\s*\(", raw_args[0]) \
+            and re.match(r"(?is)\s*toDateTime\s*\(", o_raw):
+        # sub-second intervals need DateTime64 operands
+        raise ValueError(
+            "toStartOfInterval: sub-second interval over DateTime "
+            "(needs DateTime64; reference ILLEGAL_TYPE_OF_ARGUMENT)")
     vf, vl = fam(raw_args[0])
     of, ol = fam(raw_args[2])
     if vf and of:
@@ -2509,6 +2559,57 @@ _CODEC_ARITY = {
 }
 
 
+def _validate_vector_similarity_index(text: str) -> None:
+    """INDEX ... TYPE vector_similarity(...) argument contract
+    (reference src/Storages/MergeTree/MergeTreeIndexVectorSimilarity
+    .cpp; golden 02354_vector_search_index_creation_negative):
+    exactly 3 or 6 arguments; method = 'hnsw'; distance in
+    L2Distance/cosineDistance; dimensions UInt64 > 0; optional
+    quantization in f64/f32/f16/bf16/i8 plus two UInt64 > 0."""
+    for m in re.finditer(r"(?is)\bvector_similarity\b\s*(\()?", text):
+        if m.group(1) is None:
+            raise ValueError(
+                "vector_similarity index needs 3 or 6 arguments "
+                "(reference INCORRECT_QUERY)")
+        open_i = text.index("(", m.start())
+        end_i = _matching_paren(text, open_i)
+        if end_i < 0:
+            continue
+        args = [a.strip() for a in
+                _split_top_commas(text[open_i + 1:end_i]) if a.strip()]
+        if len(args) not in (3, 6):
+            raise ValueError(
+                f"vector_similarity index takes 3 or 6 arguments, "
+                f"got {len(args)} (reference INCORRECT_QUERY)")
+        if args[0].strip("'\"").lower() != "hnsw" \
+                or not args[0].startswith("'"):
+            raise ValueError(
+                "vector_similarity: method must be the String 'hnsw' "
+                "(reference INCORRECT_QUERY/INCORRECT_DATA)")
+        if args[1].strip("'\"") not in ("L2Distance",
+                                        "cosineDistance") \
+                or not args[1].startswith("'"):
+            raise ValueError(
+                "vector_similarity: distance must be 'L2Distance' or "
+                "'cosineDistance' (reference INCORRECT_DATA)")
+        if not re.fullmatch(r"\d+", args[2]) or int(args[2]) == 0:
+            raise ValueError(
+                "vector_similarity: dimensions must be a UInt64 > 0 "
+                "(reference INCORRECT_QUERY/INCORRECT_DATA)")
+        if len(args) == 6:
+            if args[3].strip("'\"").lower() not in (
+                    "f64", "f32", "f16", "bf16", "i8") \
+                    or not args[3].startswith("'"):
+                raise ValueError(
+                    "vector_similarity: quantization must be one of "
+                    "f64/f32/f16/bf16/i8 (reference INCORRECT_DATA)")
+            for a in args[4:6]:
+                if not re.fullmatch(r"\d+", a) or int(a) == 0:
+                    raise ValueError(
+                        "vector_similarity: M/ef_construction must "
+                        "be UInt64 > 0 (reference INCORRECT_DATA)")
+
+
 def _validate_codecs(text: str) -> None:
     """CODEC(...) clauses in column declarations: unknown codec names,
     wrong parameter counts and out-of-range Delta widths are
@@ -3029,8 +3130,15 @@ def _rewrite_arrayjoin_fn(sql: str) -> str:
                 args, after = _parse_args(sql, sql.index("(", m.start()))
             except Exception:
                 return sql
-            if len(args) != 1 or _ARRAYJOIN_FN_RE.search(args[0]):
-                return sql             # nested arrayJoin: out of scope
+            if len(args) != 1:
+                return sql
+            if _ARRAYJOIN_FN_RE.search(args[0]):
+                # nested arrayJoin: hoist the INNER call this pass
+                # (descend into the argument); the outer call becomes
+                # non-nested after substitution and a recursive pass
+                # chains a second LATERAL VIEW
+                i = m.end()
+                continue
             if not any(stack):
                 sites.append((m.start(), after, args[0].strip()))
             i = after
@@ -3074,12 +3182,15 @@ def _rewrite_arrayjoin_fn(sql: str) -> str:
                    _CLAUSE_AFTER_FROM_RE.finditer(sql)
                    if mm.start() in tops), None)
         at = cm.start() if cm else len(sql)
-        return (sql[:at].rstrip() + f" FROM (SELECT 1 AS __one) "
-                + lateral + " " + sql[at:])
+        return _rewrite_arrayjoin_fn(
+            sql[:at].rstrip() + f" FROM (SELECT 1 AS __one) "
+            + lateral + " " + sql[at:])
     cm = next((mm for mm in _CLAUSE_AFTER_FROM_RE.finditer(sql, fm.end())
                if mm.start() in tops), None)
     at = cm.start() if cm else len(sql)
-    return sql[:at].rstrip() + " " + lateral + " " + sql[at:]
+    # a formerly-nested OUTER arrayJoin may have become hoistable
+    return _rewrite_arrayjoin_fn(
+        sql[:at].rstrip() + " " + lateral + " " + sql[at:])
 
 
 def _case_when(args: list[str]) -> str:
@@ -5895,11 +6006,24 @@ def _rewrite_group_by_aliases(sql: str) -> str:
                                 and not prev.upper().endswith(" AS") \
                                 and not prev.endswith("."):
                             pos_abs = offset + j2
-                            in_select_list = (from_pos is not None
-                                              and sel_start < pos_abs
-                                              < from_pos)
+                            # keep the output NAME only when the use
+                            # is a WHOLE top-level select item (bare
+                            # `k` between commas), never inside a call
+                            # or expression
+                            after = seg[mm.end():].lstrip()
+                            before = prev[-1:] if prev else ""
+                            whole_item = (
+                                from_pos is not None
+                                and sel_start < pos_abs < from_pos
+                                and d[pos_abs] == d0
+                                and (before in (",", "")
+                                     or prev.upper().endswith("SELECT")
+                                     or prev.upper().endswith(
+                                         "DISTINCT"))
+                                and (after[:1] in (",", "")
+                                     or re.match(r"(?i)FROM\b", after)))
                             out.append(f"({hit}) AS `{w}`"
-                                       if in_select_list
+                                       if whole_item
                                        else f"({hit})")
                         else:
                             out.append(w)
@@ -5990,7 +6114,14 @@ def _rewrite_numbers_tvf(sql: str) -> str:
         args = _split_top_commas(sql[open_i + 1:end_i])
         tbl = None
         if len(args) >= 2:
-            a1 = args[1].strip().strip("'\"")
+            a1 = args[1].strip()
+            if re.match(r"(?is)^\(\s*SELECT\b", a1):
+                # table-function argument (numbers(...) already
+                # rewritten to a subquery): the remote read IS it
+                sql = sql[:pos + m.start()] + a1 + sql[end_i + 1:]
+                pos = pos + m.start() + len(a1)
+                continue
+            a1 = a1.strip("'\"")
             if "." in a1:
                 tbl = a1.split(".")[-1]
             elif len(args) >= 3 and re.fullmatch(
@@ -6232,6 +6363,13 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
                  flags=re.IGNORECASE)
     sql = re.sub(r"\bALL\s+(?=(LEFT|RIGHT|FULL|INNER)\s+"
                  r"(OUTER\s+)?JOIN\b)", "", sql, flags=re.IGNORECASE)
+    # bare `ALL JOIN` (multiplicity keyword with no direction) = JOIN
+    sql = re.sub(r"\bALL\s+(?=JOIN\b)", "", sql, flags=re.IGNORECASE)
+    # CH tolerates a trailing comma in the select list (`SELECT a,
+    # FROM t` — ParserNotEmptyExpressionList allow_trailing_comma)
+    if re.search(r",\s*FROM\b", sql, re.IGNORECASE):
+        sql = _sub_nonstring(sql, lambda seg: re.sub(
+            r",(\s*FROM\b)", r"\1", seg, flags=re.IGNORECASE))
     # GLOBAL IN / GLOBAL NOT IN: same distribution-hint drop as
     # GLOBAL JOIN (the broadcast decision is the planner's here)
     sql = re.sub(r"\bGLOBAL\s+(?=(NOT\s+)?IN\b)", "", sql,
@@ -6347,6 +6485,20 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         sql, lambda seg: re.sub(r"(?<![=!<>])==(?!=)", "=", seg))
     if re.search(r"(?i)[<>]=?\s*array\s*\(", sql):
         sql = _rewrite_array_literal_compare(sql)
+    # arrayJoin over a Map-returning form (JSONAllPathsWithTypes,
+    # distinctJSONPathsAndTypes) iterates (k, v) ENTRIES in the
+    # reference; explode the entry array directly — Spark's
+    # explode(map) changes the output shape (two columns)
+    while "explode(map_from_entries(" in sql:
+        at0 = sql.index("explode(map_from_entries(")
+        inner_open = at0 + len("explode(map_from_entries")
+        inner_close = _matching_paren(sql, inner_open)
+        outer_close = _matching_paren(sql, at0 + len("explode"))
+        if inner_close < 0 or outer_close != inner_close + 1:
+            break
+        sql = (sql[:at0] + "explode(map_entries(map_from_entries("
+               + sql[inner_open + 1:inner_close]
+               + ")))" + sql[outer_close + 1:])
     sql = _wrap_keyless_agg_defaults(sql)
     return sql
 
@@ -7268,6 +7420,11 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             tgt = live.get(sm.group(1).lower())
             if tgt:
                 spark.conf.set(tgt, sm.group(2).strip("'"))
+            if sm.group(1).lower() == \
+                    "output_format_json_escape_forward_slashes":
+                from ..sources import tsvrender as _tr
+                _tr.JSON_ESCAPE_SLASHES[0] = \
+                    sm.group(2).strip("'") in ("1", "true")
         return None
     if settings and str(settings.get("union_default_mode", "")
                         ).upper() == "ALL":
@@ -7696,6 +7853,9 @@ def _ch_sql_impl(spark, sql: str,
     if re.search(r"(?i)\bCODEC\s*\(", text) \
             and re.match(r"(?i)\s*(CREATE|ALTER)\b", text):
         _validate_codecs(text)
+    if re.search(r"(?i)\bvector_similarity\b", text) \
+            and re.match(r"(?i)\s*(CREATE|ALTER)\b", text):
+        _validate_vector_similarity_index(text)
     if re.match(r"(?i)\s*CREATE\b", text):
         fsm = re.search(r"(?i)\bFixedString\s*\(\s*(\d+)\s*\)", text)
         if fsm and int(fsm.group(1)) > 256:
@@ -7723,6 +7883,17 @@ def _ch_sql_impl(spark, sql: str,
             pass
         text = f"CREATE TABLE {orm.group(1)}{orm.group(2)}"
 
+    # ENGINE-less CREATE TABLE carrying MergeTree clauses (ORDER BY /
+    # PARTITION BY / PRIMARY KEY) takes the reference's
+    # default_table_engine = MergeTree (src/Core/Settings default;
+    # InterpreterCreateQuery::setEngine)
+    if re.match(r"(?is)^CREATE\s+TABLE\b", text) \
+            and not re.search(r"(?i)\bENGINE\s*=?\s*\w", text) \
+            and re.search(r"(?is)\)\s*(ORDER\s+BY|PARTITION\s+BY|"
+                          r"PRIMARY\s+KEY)\b", text):
+        text = re.sub(r"(?is)\)\s*(?=(?:ORDER\s+BY|PARTITION\s+BY|"
+                      r"PRIMARY\s+KEY)\b)", ") ENGINE = MergeTree ",
+                      text, count=1)
     # ENGINE-less CREATE passes through to Spark's own DDL below
     if re.match(r"^CREATE\s+TABLE\b", text, re.IGNORECASE) \
             and (re.search(r"\bENGINE\s*=?\s*\w", text, re.IGNORECASE)
@@ -7796,7 +7967,9 @@ def _ch_sql_impl(spark, sql: str,
 
     # OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY cols]] -> compaction /
     # dedup merge (reference src/Interpreters/InterpreterOptimizeQuery.h)
-    m = re.match(r"^OPTIMIZE\s+TABLE\s+`?(\w+)`?(\s+FINAL)?"
+    m = re.match(r"^OPTIMIZE\s+TABLE\s+`?(\w+)`?"
+                 r"(?:\s+PARTITION\s+(?:ID\s+)?(?:'[^']*'|\w+))?"
+                 r"(\s+FINAL)?"
                  r"(?:\s+DEDUPLICATE(?:\s+BY\s+([\w\s,`]+))?)?\s*$",
                  text, re.IGNORECASE)
     if m:
@@ -8154,6 +8327,8 @@ def _run_sql(spark, translated: str):
         if retried is None:
             retried = _retry_bool_arith(translated, e)
         if retried is None:
+            retried = _retry_int_logical(translated, e)
+        if retried is None:
             retried = _retry_order_by_hidden(translated, e)
         if retried is None:
             raise
@@ -8163,6 +8338,8 @@ def _run_sql(spark, translated: str):
             retried2 = _retry_ambiguous_ref(retried, e2)
             if retried2 is None:
                 retried2 = _retry_using_alias(retried, e2)
+            if retried2 is None:
+                retried2 = _retry_int_logical(retried, e2)
             if retried2 is None:
                 raise
             return spark.sql(retried2)
@@ -8243,6 +8420,74 @@ def _retry_bool_arith(translated: str, err: Exception):
     return out if out != translated else None
 
 
+def _expr_right_boundary(sql: str, pos: int) -> int:
+    """End index of the expression starting at ``pos``: walk right to
+    a same-depth comma/close-paren/clause keyword (incl. AND/OR)."""
+    i, n, depth = pos, len(sql), 0
+    while i < n:
+        c = sql[i]
+        if c in "'\"":
+            i = _skip_string(sql, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif c == "," and depth == 0:
+            return i
+        elif (c.isalpha() or c == "_") and depth == 0:
+            m = _IDENT.match(sql, i)
+            if m and m.group(0).lower() in _TERNARY_STOP_KW:
+                return i
+            i = m.end() if m else i + 1
+            continue
+        i += 1
+    return n
+
+
+def _retry_int_logical(translated: str, err: Exception):
+    """CH logical operators take NUMBERS (nonzero = true — reference
+    src/Functions/FunctionsLogical.cpp), so ``(a > b) + 1 AND
+    (a > c) + 1`` is valid there; Spark's AND/OR require BOOLEAN.
+    Error-triggered retry: wrap arithmetic-shaped AND/OR operands in
+    ``(x <> 0)``."""
+    msg = str(err)
+    if "BINARY_OP_WRONG_TYPE" not in msg or "BOOLEAN" not in msg:
+        return None
+    edits = []     # (start, end, replacement)
+    for m in re.finditer(r"(?i)\b(AND|OR)\b", translated):
+        pre = translated[:m.start()]
+        if m.group(1).upper() == "AND":
+            lastb = max((mm.start() for mm in
+                         re.finditer(r"(?i)\bbetween\b", pre)),
+                        default=-1)
+            lasta = max((mm.start() for mm in
+                         re.finditer(r"(?i)\b(and|or)\b", pre)),
+                        default=-1)
+            if lastb > lasta:
+                continue       # BETWEEN lo AND hi claims this AND
+        ls = _expr_left_boundary(translated, m.start())
+        left = translated[ls:m.start()].strip()
+        if left and re.search(r"[+\-*/%]\s*[\w)]+\s*$", left) \
+                and not re.search(r"(?i)\b(IS|NOT|NULL|LIKE|IN|"
+                                  r"BETWEEN)\b\s*$", left):
+            edits.append((ls, m.start(), f"(({left}) <> 0) "))
+        rm = re.match(r"\s*", translated[m.end():])
+        rs = m.end() + rm.end()
+        re_ = _expr_right_boundary(translated, rs)
+        right = translated[rs:re_].strip()
+        if right and re.search(r"[+\-*/%]", right) \
+                and not re.match(r"(?is)^\(?\s*SELECT\b", right):
+            edits.append((rs, re_, f"(({right}) <> 0) "))
+    if not edits:
+        return None
+    for s, e, r in sorted(edits, reverse=True):
+        translated = translated[:s] + r + translated[e:]
+    return translated
+
+
 def _retry_order_by_hidden(translated: str, err: Exception):
     """CH sorts aggregate results by GROUPING EXPRESSIONS that are not
     in the projection (``SELECT sum(u) ... GROUP BY id % 3 AS k
@@ -8313,6 +8558,11 @@ def _retry_using_alias(translated: str, err: Exception):
     if m is None:
         return None
     key, side = m.group(1), m.group(2)
+    if side == "right":
+        # the reference resolves projection aliases for the LEFT side
+        # only (02989: `SELECT 1 AS b FROM tb JOIN ta USING (b)` is
+        # UNKNOWN_IDENTIFIER)
+        return None
     sm = re.match(r"(?is)^\s*SELECT\s", translated)
     if sm is None:
         return None
@@ -8366,33 +8616,17 @@ def _retry_using_alias(translated: str, err: Exception):
                  or ref.strip("`"))
         return ref, alias, p + nm.end()
 
-    if side == "left":
-        sr = _side_ref(rest, len("FROM"))
-        if sr is None:
-            return None
-        ref, alias, span_end = sr
-        alias = alias or "__ul"
-        wrapped = (f"FROM (SELECT *, {expr} AS `{key}` FROM {ref} "
-                   f"AS __ub) AS {alias}"
-                   if ref.startswith("(")
-                   else f"FROM (SELECT *, {expr} AS `{key}` "
-                        f"FROM {ref}) AS {alias}")
-        return translated[:from_i] + wrapped + rest[span_end:]
-    jm = re.search(r"(?i)\bJOIN\b", rest)
-    if jm is None:
-        return None
-    sr = _side_ref(rest, jm.end())
+    sr = _side_ref(rest, len("FROM"))
     if sr is None:
         return None
     ref, alias, span_end = sr
-    alias = alias or "__ur"
-    wrapped = (f"JOIN (SELECT *, {expr} AS `{key}` FROM {ref} "
+    alias = alias or "__ul"
+    wrapped = (f"FROM (SELECT *, {expr} AS `{key}` FROM {ref} "
                f"AS __ub) AS {alias}"
                if ref.startswith("(")
-               else f"JOIN (SELECT *, {expr} AS `{key}` "
+               else f"FROM (SELECT *, {expr} AS `{key}` "
                     f"FROM {ref}) AS {alias}")
-    return (translated[:from_i] + rest[:jm.start()] + " " + wrapped
-            + rest[span_end:])
+    return translated[:from_i] + wrapped + rest[span_end:]
 
 
 def _retry_alias_in_where(translated: str, err: Exception):
@@ -9133,6 +9367,11 @@ def _distributed_local_table(text: str):
     eargs = _split_top_commas(dm.group(1))
     if len(eargs) < 3:
         return None
+    if eargs[1].strip() in ("''", '""'):
+        # explicitly empty database name (reference
+        # StorageDistributed checkArguments BAD_ARGUMENTS)
+        raise ValueError("Distributed: empty database name "
+                         "(reference BAD_ARGUMENTS)")
     return eargs[2].strip().strip("'\"").split(".")[-1].strip("`'\"")
 
 
@@ -9507,6 +9746,15 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
     # non-MergeTree engine with explicit columns: empty typed view
     if cm:
         if cm.group(3).lower() == "distributed":
+            if re.search(r"(?im)^\s*INDEX\s+\w+", cm.group(2)) or \
+                    any(re.match(r"(?is)\s*INDEX\s+\w+", c) for c in
+                        _split_top_commas(cm.group(2))):
+                # skip indices live on the LOCAL MergeTree tables,
+                # never on the Distributed proxy (reference
+                # StorageDistributed: no data to index)
+                raise ValueError(
+                    "Distributed tables cannot have skip indices "
+                    "(reference BAD_ARGUMENTS)")
             local = _distributed_local_table(text)
             if local is not None and _register_distributed_alias(
                     spark, name, local, tables):

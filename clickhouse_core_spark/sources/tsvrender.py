@@ -254,6 +254,11 @@ _JSON_ESC = {"\\": "\\\\", '"': '\\"', "\b": "\\b", "\f": "\\f",
              "\n": "\\n", "\r": "\\r", "\t": "\\t",
              "\u2028": "\\u2028", "\u2029": "\\u2029"}
 
+# output_format_json_escape_forward_slashes (reference default 1):
+# '/' renders as '\/' in JSON output; the frontend's SET handler
+# flips this
+JSON_ESCAPE_SLASHES = [True]
+
 
 def _json_str(s: str) -> str:
     out = []
@@ -261,6 +266,8 @@ def _json_str(s: str) -> str:
         e = _JSON_ESC.get(ch)
         if e is not None:
             out.append(e)
+        elif ch == "/" and JSON_ESCAPE_SLASHES[0]:
+            out.append("\\/")
         elif ord(ch) < 0x20:
             out.append(f"\\u{ord(ch):04X}")
         else:
@@ -307,8 +314,46 @@ def _json_value(v, simple: str | None = None) -> str:
     return _json_str(str(v))
 
 
-def format_json_each_row(rows, schema=None, columns=None) -> str:
-    """CH ``FORMAT JSONEachRow`` display text."""
+def _json_object_value(txt: str) -> str:
+    """A JSON-TYPE column value (carried as a JSON string) rendered
+    the reference's way (SerializationObject JSON output): emitted as
+    an OBJECT, paths sorted, 64-bit integer leafs QUOTED (the JSON
+    type's dynamic Int64), strings re-escaped (incl. the
+    forward-slash rule)."""
+    import json as _json
+    try:
+        doc = _json.loads(txt)
+    except Exception:
+        return _json_str(txt)
+    if not isinstance(doc, (dict, list)):
+        return _json_str(txt)
+
+    def emit(v):
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f'"{v}"'        # dynamic Int64 leaf: quoted
+        if isinstance(v, float):
+            return _float_repr(v)
+        if isinstance(v, str):
+            return _json_str(v)
+        if isinstance(v, list):
+            return "[" + ",".join(emit(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ",".join(
+                f"{_json_str(k)}:{emit(v[k])}"
+                for k in sorted(v)) + "}"
+        return _json_str(str(v))
+    return emit(doc)
+
+
+def format_json_each_row(rows, schema=None, columns=None,
+                         json_cols=frozenset()) -> str:
+    """CH ``FORMAT JSONEachRow`` display text.  ``json_cols`` names
+    output columns of the declared JSON type — their string-carried
+    values render as objects, not quoted strings."""
     types = ([f.dataType.simpleString() for f in schema.fields]
              if schema is not None else None)
     cols = columns or (schema.fieldNames() if schema is not None else [])
@@ -316,7 +361,9 @@ def format_json_each_row(rows, schema=None, columns=None) -> str:
     for r in rows:
         kv = ",".join(
             f"{_json_str(cols[i])}:"
-            f"{_json_value(v, types[i] if types else None)}"
+            + (_json_object_value(v)
+               if cols[i] in json_cols and isinstance(v, str)
+               else _json_value(v, types[i] if types else None))
             for i, v in enumerate(r))
         lines.append("{" + kv + "}")
     return "\n".join(lines) + ("\n" if lines else "")

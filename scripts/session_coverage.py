@@ -206,8 +206,16 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
                     return kind, tr.format_values_rows(
                         rows, schema=df.schema)
                 if fmt_name == "jsoneachrow":
+                    jset = set()
+                    for tb in (tables or {}).values():
+                        jset |= getattr(tb, "json_cols", set()) \
+                            or set()
+                    for d0 in ((tables or {}).get("__decl__")
+                               or {}).values():
+                        jset |= set((d0 or {}).get("json") or ())
                     return kind, tr.format_json_each_row(
-                        rows, schema=df.schema, columns=df.columns)
+                        rows, schema=df.schema, columns=df.columns,
+                        json_cols=jset)
                 if fmt_name in ("tabseparatedwithnames",
                                 "tsvwithnames"):
                     head = "\t".join(df.columns) + "\n"

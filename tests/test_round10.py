@@ -227,9 +227,19 @@ def test_json_paths_functions(spark):
                  t) == [(["a.b", "a.c", "x"],)]
     (pt,), = _rows(spark, "SELECT JSONAllPathsWithTypes(o) AS pt "
                           "FROM r10t_jp", t)
-    assert [tuple(x) for x in pt] == [
+    assert pt == {"a.b": "Int64", "a.c": "Array(Nullable(String))",
+                  "x": "String"}
+    # arrayJoin over the Map form yields (k, v) entry tuples
+    aj = _rows(spark, "SELECT arrayJoin(JSONAllPathsWithTypes(o)) "
+                      "AS p FROM r10t_jp ORDER BY p", t)
+    assert [tuple(r[0]) for r in aj] == [
         ("a.b", "Int64"), ("a.c", "Array(Nullable(String))"),
         ("x", "String")]
+    (dt,), = _rows(spark, "SELECT distinctJSONPathsAndTypes(o) AS m "
+                          "FROM r10t_jp", t)
+    assert dt == {"a.b": ["Int64"],
+                  "a.c": ["Array(Nullable(String))"],
+                  "x": ["String"]}
     assert _rows(spark, "SELECT JSONSharedDataPaths(o) AS s "
                         "FROM r10t_jp", t) == [([],)]
     assert _rows(spark, "SELECT distinctJSONPaths(o) AS d "
@@ -362,3 +372,130 @@ def test_json_mutation_predicate(spark):
     ch_sql(spark, "ALTER TABLE r10t_mu DELETE WHERE obj.k3 = 5",
            tables=t)
     assert _rows(spark, "SELECT id FROM r10t_mu", t) == [(2,)]
+
+
+def test_nested_arrayjoin_chains(spark):
+    assert _rows(spark, "SELECT arrayJoin(arrayJoin([[1, 2], [3]])) "
+                        "AS v ORDER BY v", {}) == [(1,), (2,), (3,)]
+    assert _rows(spark, "SELECT arrayJoin(arrayMap(x -> x + 1, "
+                        "arrayJoin([[1], [2, 3]]))) AS v ORDER BY v",
+                 {}) == [(2,), (3,), (4,)]
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_ja (id UInt32, o JSON) "
+                  "ENGINE = Memory", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_ja VALUES "
+                  "(1, '{\"k1\": [{\"a\": 1}, {\"b\": 2}]}')",
+           tables=t)
+    assert _rows(spark, "SELECT DISTINCT arrayJoin(JSONAllPaths("
+                        "arrayJoin(o.k1[]))) AS p FROM r10t_ja "
+                        "ORDER BY p", t) == [("a",), ("b",)]
+
+
+# --------------------------------------------- batch-4 sweep signatures
+
+def test_engine_less_create_defaults_mergetree(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_noeng (id UInt64, s "
+                  "Nullable(String)) ORDER BY id", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_noeng VALUES (1, 'a'), (2, NULL)",
+           tables=t)
+    assert _rows(spark, "SELECT count() AS c FROM r10t_noeng",
+                 t) == [(2,)]
+
+
+def test_trailing_comma_and_all_join(spark):
+    assert _rows(spark, "WITH 1 as a SELECT a, FROM numbers(1)",
+                 {}) == [(1,)]
+    assert _rows(spark, "SELECT * FROM (SELECT 1 AS dt) t1 ALL JOIN "
+                        "(SELECT 1 AS dt) t2 ON t1.dt = t2.dt",
+                 {}) == [(1, 1)]
+
+
+def test_group_by_alias_inside_aggregate(spark):
+    assert _rows(spark, "select uniqExact(x) AS u from numbers(10) "
+                        "group by number % 2 as x ORDER BY u",
+                 {}) == [(1,), (1,)]
+
+
+def test_int_logical_retry(spark):
+    assert _rows(spark, "SELECT a FROM (SELECT 1 AS a, 2 AS b, "
+                        "0 AS c) t ORDER BY (a > b) + 1 AND "
+                        "(a > c) + 1", {}) == [(1,)]
+
+
+def test_remote_numbers_tvf(spark):
+    assert _rows(spark, "SELECT count() AS c FROM "
+                        "remote('127.{1,1}', numbers(6))",
+                 {}) == [(6,)]
+
+
+def test_optimize_partition_clause(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_op (d Date, x UInt32) ENGINE = "
+                  "MergeTree PARTITION BY d ORDER BY x", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_op VALUES ('2020-01-01', 1)",
+           tables=t)
+    ch_sql(spark, "OPTIMIZE TABLE r10t_op PARTITION '2020-01-01' "
+                  "FINAL", tables=t)
+    assert _rows(spark, "SELECT x FROM r10t_op", t) == [(1,)]
+
+
+# -------------------------------------------- batch-5 rejection contracts
+
+def test_vector_similarity_index_contract(spark):
+    ok = ("CREATE TABLE r10t_vs (id Int32, vec Array(Float32), INDEX "
+          "idx vec TYPE vector_similarity('hnsw', 'L2Distance', 2)) "
+          "ENGINE = MergeTree ORDER BY id")
+    ch_sql(spark, ok, tables={})
+    for bad in [
+            "vector_similarity",
+            "vector_similarity()",
+            "vector_similarity('cant have', 'two args')",
+            "vector_similarity('not_hnsw', 'L2Distance', 1)",
+            "vector_similarity('hnsw', 'invalid_distance', 1)",
+            "vector_similarity('hnsw', 'L2Distance', 0)"]:
+        with pytest.raises(Exception):
+            ch_sql(spark, "CREATE TABLE r10t_vsb (id Int32, vec "
+                          f"Array(Float32), INDEX idx vec TYPE {bad})"
+                          " ENGINE = MergeTree ORDER BY id",
+                   tables={})
+
+
+def test_distributed_rejections(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_dsrc (x UInt32) ENGINE = Memory",
+           tables=t)
+    with pytest.raises(Exception):
+        ch_sql(spark, "CREATE TABLE r10t_d7 as r10t_dsrc ENGINE = "
+                      "Distributed('c', '', 'r10t_dsrc', rand())",
+               tables=t)
+    with pytest.raises(Exception):
+        ch_sql(spark, "CREATE TABLE r10t_d8 (key int, INDEX i1 key "
+                      "TYPE minmax GRANULARITY 1) Engine = "
+                      "Distributed(c, currentDatabase(), 'foo')",
+               tables=t)
+
+
+def test_using_alias_left_side_only(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_ul (b Int32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "CREATE TABLE r10t_ur (a Int32) ENGINE = Memory",
+           tables=t)
+    # right side lacks b and aliases do NOT resolve there (02989:
+    # UNKNOWN_IDENTIFIER)
+    with pytest.raises(Exception):
+        ch_sql(spark, "SELECT 1 AS b FROM r10t_ul JOIN r10t_ur "
+                      "USING (b)", tables=t).collect()
+
+
+def test_tosoi_origin_contracts(spark):
+    with pytest.raises(Exception):
+        ch_sql(spark, "SELECT toStartOfInterval(toDateTime("
+                      "'2023-01-02 14:45:50'), toIntervalYear(1), 5, "
+                      "'Europe/Amsterdam')", tables={})
+    with pytest.raises(Exception):
+        ch_sql(spark, "SELECT toStartOfInterval(toDateTime("
+                      "'2023-10-09 10:11:12'), toIntervalMillisecond"
+                      "(1), toDateTime('2023-10-09 10:11:12'))",
+               tables={})
