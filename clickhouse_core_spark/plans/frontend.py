@@ -10252,6 +10252,13 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
     json_set = (getattr(t, "json_cols", None)
                 or ((tables.get("__decl__") or {}).get(name) or {})
                 .get("json", set()) if tables else set()) or set()
+    # Dynamic columns hold NULL natively (the dynamic type set
+    # includes Null) — never default-fill them
+    dyn_set = (getattr(t, "dynamic_cols", None)
+               or ((tables.get("__decl__") or {}).get(name) or {})
+               .get("dynamic", set()) if tables else set()) or set()
+    if nullable_decl is not None and dyn_set:
+        nullable_decl = set(nullable_decl) | set(dyn_set)
     for f in schema.fields:
         if f.name in have:
             # backticks make dotted column NAMES (`n.a`) resolve
@@ -10492,6 +10499,13 @@ def _insert_values_statement(spark, name: str, cols_raw, body, tables):
     names = [f.name for f in schema.fields]
     cols = ([c.strip().strip("`") for c in cols_raw.split(",")]
             if cols_raw and cols_raw.strip() else names)
+    # Dynamic columns carry as STRINGS — mixed-type VALUES tuples
+    # ((42), ('str')) need per-element coercion or Spark's inline
+    # table rejects the column
+    dyn = set(getattr(t, "dynamic_cols", None) or ())
+    if tables:
+        dyn |= set((((tables.get("__decl__") or {}).get(name) or {})
+                    .get("dynamic")) or ())
     rows = []
     for tup in _split_value_tuples(body):
         elems = _split_top_commas(tup)
@@ -10499,12 +10513,14 @@ def _insert_values_statement(spark, name: str, cols_raw, body, tables):
             raise ValueError(
                 f"INSERT VALUES: {len(elems)} values for "
                 f"{len(cols)} columns {cols}")
-        rows.append(
-            "(" + ", ".join(
-                _translate_expr(_rewrite_map_literals(
-                    _truncate_long_decimal_literals(e.strip())))
-                for e in elems)
-            + ")")
+        parts = []
+        for c, e in zip(cols, elems):
+            x = _translate_expr(_rewrite_map_literals(
+                _truncate_long_decimal_literals(e.strip())))
+            if c in dyn and x.strip().upper() != "NULL":
+                x = f"CAST({x} AS STRING)"
+            parts.append(x)
+        rows.append("(" + ", ".join(parts) + ")")
     quoted = ", ".join(f"`{c}`" for c in cols)
     df = spark.sql(
         f"SELECT * FROM VALUES {', '.join(rows)} AS __v({quoted})")

@@ -499,3 +499,14 @@ def test_tosoi_origin_contracts(spark):
                       "'2023-10-09 10:11:12'), toIntervalMillisecond"
                       "(1), toDateTime('2023-10-09 10:11:12'))",
                tables={})
+
+
+def test_dynamic_mixed_values_insert(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_dy (d Dynamic) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_dy VALUES (42), ('str'), (NULL)",
+           tables=t)
+    rows = _rows(spark, "SELECT d, d.UInt64 FROM r10t_dy "
+                        "ORDER BY d NULLS FIRST", t)
+    assert rows == [(None, None), ("42", 42), ("str", None)]
