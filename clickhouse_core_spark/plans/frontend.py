@@ -1390,6 +1390,10 @@ _RULES["arraysort"] = _array_sort_rule
 _RULES["arrayreversesort"] = lambda a: _array_sort_rule(a, rev=True)
 
 _RULES["arrayzip"] = lambda a: f"arrays_zip({', '.join(a)})"
+# replicate(x, arr) (src/Functions/replicate.cpp — internal helper
+# the corpus calls directly): x repeated once per arr element
+_RULES["replicate"] = lambda a: (
+    f"transform({a[1]}, __rp -> {a[0]})")
 _RULES["arrayenumerate"] = lambda a: f"sequence(1, size({a[0]}))"
 _RULES["arraydifference"] = lambda a: (
     f"transform(sequence(1, size({a[0]})), __i -> CASE WHEN __i = 1 "
@@ -7745,6 +7749,11 @@ def _ch_sql_impl(spark, sql: str,
                 text = _sub_nonstring(text, lambda seg, c=c: re.sub(
                     rf"(?<![\w.`]){re.escape(c)}(?![\w.`])",
                     f"`{c}`", seg))
+        # declared ALIAS columns referenced by name: wrap the FROM/
+        # JOIN table ref in a computed subquery (hidden from SELECT *)
+        if tables.get("__aliascols__") \
+                and re.match(r"(?is)\s*(SELECT|WITH)\b", text):
+            text = _inject_alias_columns(text, tables)
         # a bare Nested GROUP name in ARRAY JOIN expands to its member
         # arrays (reference ARRAY JOIN nested zips n.a, n.b)
         if dotted and re.search(r"(?i)\bARRAY\s+JOIN\b", text):
@@ -8331,6 +8340,8 @@ def _run_sql(spark, translated: str):
         if retried is None:
             retried = _retry_order_by_hidden(translated, e)
         if retried is None:
+            retried = _retry_distinct_order_expr(translated, e)
+        if retried is None:
             raise
         try:
             return spark.sql(retried)
@@ -8363,15 +8374,25 @@ def _retry_ambiguous_ref(translated: str, err: Exception):
     membership ordering); Spark raises AMBIGUOUS_REFERENCE.  Qualify
     the bare uses with the first (left) candidate and re-plan."""
     m = re.search(r"Reference `([^`]+)` is ambiguous, could be: "
-                  r"\[`([^`]+)`\.`([^`]+)`", str(err))
+                  r"\[([^\]]+)\]", str(err))
     if m is None:
         return None
-    name, lq, lcol = m.group(1), m.group(2), m.group(3)
-    if lcol != name:
+    name = m.group(1)
+    cands = re.findall(r"`([^`]+)`\.`([^`]+)`", m.group(2))
+    cands = [(q, c) for q, c in cands if c == name]
+    if not cands:
         return None
+    # the reference resolves to the LEFT-MOST table carrying the
+    # column — the error's candidate order is NOT source order, so
+    # rank qualifiers by their first appearance in the statement
+    def first_pos(q):
+        mm = re.search(rf"(?<![\w.`]){re.escape(q)}\b", translated)
+        return mm.start() if mm else len(translated)
+    lq, lcol = min(cands, key=lambda qc: first_pos(qc[0]))
     out = []
     i, n = 0, len(translated)
     changed = False
+    stack: list[bool] = []      # per open paren: is it a subquery?
     while i < n:
         c = translated[i]
         if c in "'\"`":
@@ -8379,8 +8400,22 @@ def _retry_ambiguous_ref(translated: str, err: Exception):
             out.append(translated[i:j])
             i = j
             continue
+        if c == "(":
+            nxt = translated[i + 1:i + 40].lstrip().upper()
+            stack.append(nxt.startswith(("SELECT", "WITH")))
+            out.append(c)
+            i += 1
+            continue
+        if c == ")":
+            if stack:
+                stack.pop()
+            out.append(c)
+            i += 1
+            continue
         mm = _IDENT.match(translated, i)
-        if mm and mm.group(0) == name:
+        if mm and mm.group(0) == name and not any(stack):
+            # only the OUTER scope's bare uses are the ambiguous ones
+            # — a use inside a subquery resolves in its own scope
             sofar = "".join(out).rstrip()
             prev = sofar[-1:]
             prev3 = sofar[-3:].upper()
@@ -8486,6 +8521,52 @@ def _retry_int_logical(translated: str, err: Exception):
     for s, e, r in sorted(edits, reverse=True):
         translated = translated[:s] + r + translated[e:]
     return translated
+
+
+def _retry_distinct_order_expr(translated: str, err: Exception):
+    """``SELECT DISTINCT expr ... ORDER BY f(expr)`` — the reference
+    sorts by any function OF the selected expressions; Spark requires
+    ORDER BY items of a DISTINCT to appear in the select list.  Retry:
+    name each distinct item, substitute its text inside ORDER BY, and
+    sort in an outer query."""
+    if "cannot be resolved" not in str(err):
+        return None
+    sm = re.match(r"(?is)^\s*SELECT\s+DISTINCT\s", translated)
+    if sm is None:
+        return None
+    tops = _top_level_set(translated)
+    om = None
+    for mm in re.finditer(r"(?i)\bORDER\s+BY\s", translated):
+        if mm.start() in tops:
+            om = mm
+    if om is None:
+        return None
+    from_i = next((mm.start() for mm in
+                   re.finditer(r"(?i)\bFROM\b", translated)
+                   if mm.start() in tops), None)
+    if from_i is None or from_i > om.start():
+        return None
+    items = _split_top_commas(translated[sm.end():from_i])
+    ob = translated[om.end():]
+    inner, changed = [], False
+    for i, it in enumerate(items):
+        txt = it.strip()
+        itops = _top_level_set(txt)
+        has_alias = any(am.start() in itops for am in
+                        re.finditer(r"(?is)\sAS\s", txt))
+        if has_alias or "*" in txt:
+            inner.append(txt)
+            continue
+        if txt in ob:
+            ob = ob.replace(txt, f"__d{i}")
+            changed = True
+            inner.append(f"{txt} AS __d{i}")
+        else:
+            inner.append(txt)
+    if not changed:
+        return None
+    return (f"SELECT * FROM (SELECT DISTINCT {', '.join(inner)} "
+            f"{translated[from_i:om.start()]}) __dq ORDER BY {ob}")
 
 
 def _retry_order_by_hidden(translated: str, err: Exception):
@@ -9069,6 +9150,7 @@ _ENGINE_NAMES = {
     "collapsingmergetree": "collapsing",
     "versionedcollapsingmergetree": "versioned_collapsing",
     "coalescingmergetree": "coalescing",
+    "aggregatingmergetree": "aggregating",
     # Replicated* variants: replication is Spark's executor/storage
     # concern — the merge semantics are the base engine's; the first
     # two engine args (zk path, replica name) drop
@@ -9077,6 +9159,7 @@ _ENGINE_NAMES = {
     "replicatedsummingmergetree": "summing",
     "replicatedcollapsingmergetree": "collapsing",
     "replicatedversionedcollapsingmergetree": "versioned_collapsing",
+    "replicatedaggregatingmergetree": "aggregating",
 }
 
 
@@ -9647,6 +9730,73 @@ def _rewrite_dictget(text: str, tables) -> str:
         i = after
 
 
+def _extract_alias_columns(text: str, tables) -> str:
+    """Column ``ALIAS expr`` declarations (reference ColumnDefault
+    kind ALIAS, src/Parsers/ParserCreateQuery.h): never stored,
+    computed at read, hidden from ``SELECT *``.  Strip them from the
+    CREATE text and record name → raw CH expression for read-time
+    injection (see the FROM-wrap in _ch_sql_impl)."""
+    nm = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                  r"`?(\w+)`?\s*\(", text)
+    if nm is None:
+        return text
+    open_i = text.index("(", nm.end() - 1)
+    close_i = _matching_paren(text, open_i)
+    if close_i < 0:
+        return text
+    items = _split_top_commas(text[open_i + 1:close_i])
+    kept, aliases = [], {}
+    for it in items:
+        am = re.match(r"(?is)^\s*`?([\w.]+)`?\s+[\w()., ]+?\s+"
+                      r"ALIAS\s+(.+?)\s*$", it)
+        if am is not None and not re.search(
+                r"(?i)\b(DEFAULT|MATERIALIZED)\b", it):
+            aliases[am.group(1)] = am.group(2).strip()
+        else:
+            kept.append(it.strip())
+    if not aliases:
+        return text
+    if tables is not None:
+        tables.setdefault("__aliascols__", {})[nm.group(1)] = aliases
+    return (text[:open_i + 1] + ", ".join(kept)
+            + text[close_i:])
+
+
+def _inject_alias_columns(text: str, tables) -> str:
+    """Wrap ``FROM t`` / ``JOIN t`` in a computed subquery exposing
+    t's declared ALIAS columns — only when the statement references
+    one of them by name (SELECT * stays alias-free, the reference's
+    asterisk rule)."""
+    amap = (tables or {}).get("__aliascols__") or {}
+    for tname, aliases in amap.items():
+        if not re.search(rf"(?<![\w.`]){tname}\b", text):
+            continue
+        used = [c for c in aliases
+                if re.search(rf"(?<![\w`]){re.escape(c)}\b", text)]
+        if not used:
+            continue
+        # chained aliases (c ALIAS b + 1 where b is itself an alias)
+        # expand against the same table's map
+        def expand(e: str, depth: int = 0) -> str:
+            if depth > 4:
+                return e
+            out = e
+            for c2, e2 in aliases.items():
+                out = re.sub(rf"(?<![\w.`]){re.escape(c2)}\b",
+                             f"({e2})", out)
+            return expand(out, depth + 1) if out != e else out
+        # every alias column is exposed (an expression may use one
+        # that the query text doesn't)
+        cols = ", ".join(f"{expand(e)} AS `{c}`"
+                         for c, e in aliases.items())
+        text = re.sub(
+            rf"(?i)\b(FROM|JOIN)\s+`?{tname}`?(?![\w.(])",
+            lambda m2: (f"{m2.group(1)} (SELECT *, {cols} "
+                        f"FROM {tname}) AS {tname}"),
+            text)
+    return text
+
+
 def _create_table_statement(spark, text: str, tables, sample_by=None):
     """CREATE TABLE ... ENGINE=... [(cols)] [AS SELECT] inside ch_sql
     (reference src/Interpreters/InterpreterCreateQuery.h): MergeTree
@@ -9658,6 +9808,8 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
     ``IF NOT EXISTS`` on a table that already exists is a NO-OP that
     preserves its data (reference InterpreterCreateQuery — it never
     truncates); only a genuinely new CREATE clears the directory."""
+    if re.search(r"(?i)\sALIAS\s", text):
+        text = _extract_alias_columns(text, tables)
     ine = re.match(r"(?i)^CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\s+"
                    r"`?(\w+)`?", text)
     if ine:

@@ -510,3 +510,66 @@ def test_dynamic_mixed_values_insert(spark):
     rows = _rows(spark, "SELECT d, d.UInt64 FROM r10t_dy "
                         "ORDER BY d NULLS FIRST", t)
     assert rows == [(None, None), ("42", 42), ("str", None)]
+
+
+# ------------------------------------------------ declared ALIAS columns
+
+def test_alias_columns_02989(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_abc (a UInt32, b UInt32 ALIAS "
+                  "a + 1, c UInt32 ALIAS b + 1, s String) ENGINE = "
+                  "MergeTree ORDER BY a", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_abc (a, s) SELECT number, 'abc' "
+                  "|| toString(number) FROM numbers(4)", tables=t)
+    # hidden from SELECT *
+    assert _rows(spark, "SELECT * FROM r10t_abc ORDER BY a",
+                 t)[0] == (0, "abc0")
+    # computed on explicit reference (chained aliases expand)
+    assert _rows(spark, "SELECT a, b, c FROM r10t_abc ORDER BY a",
+                 t)[:2] == [(0, 1, 2), (1, 2, 3)]
+    ch_sql(spark, "CREATE TABLE r10t_tb (b Int32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_tb VALUES (0), (1), (2), (3)",
+           tables=t)
+    ch_sql(spark, "CREATE TABLE r10t_ta (a Int32) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_ta VALUES (0), (1), (2), (3)",
+           tables=t)
+    # golden 02989 shapes over the alias columns
+    assert _rows(spark, "SELECT a + 2 AS b FROM r10t_ta JOIN "
+                        "r10t_abc USING (b) ORDER BY ALL",
+                 t) == [(2,), (3,), (4,)]
+    assert _rows(spark, "SELECT b + 2 AS a FROM r10t_tb JOIN "
+                        "r10t_abc USING (a) ORDER BY ALL",
+                 t) == [(2,), (3,)]
+    assert _rows(spark, "SELECT b AS a, a FROM r10t_tb JOIN "
+                        "r10t_abc USING (a) ORDER BY ALL",
+                 t) == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+
+def test_aggregating_merge_tree_final(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_agmt (key Int32, value Int32, "
+                  "INDEX idx value TYPE minmax GRANULARITY 1) "
+                  "Engine = AggregatingMergeTree() ORDER BY key "
+                  "PARTITION BY key", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_agmt SELECT number, number "
+                  "FROM numbers(10)", tables=t)
+    assert _rows(spark, "SELECT * FROM r10t_agmt FINAL WHERE "
+                        "value = 1", t) == [(1, 1)]
+
+
+def test_replicate_function(spark):
+    assert _rows(spark, "SELECT replicate(7, [1, 2, 3]) AS r",
+                 {}) == [([7, 7, 7],)]
+
+
+def test_distinct_order_by_expression(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_jd (json JSON) ENGINE = Memory",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r10t_jd VALUES ('{\"a0\": 3}'), "
+                  "('{\"a0\": 1}'), ('{\"a0\": 3}')", tables=t)
+    assert _rows(spark, "select distinct json.a0 from r10t_jd "
+                        "order by json.a0.:Int64",
+                 t) == [("1",), ("3",)]
