@@ -7769,6 +7769,46 @@ def _ch_sql_impl(spark, sql: str,
             text = re.sub(
                 r"(?i)((?:LEFT\s+)?ARRAY\s+JOIN\s+)(\w+)\b(?!\s*[.(])",
                 _aj_expand, text)
+    # ANTI JOIN exposing the NON-JOINED side's columns (reference
+    # TableJoin anti: unmatched rows pair with a default row — ANTI
+    # LEFT mirrors the USING key into the right side's key columns,
+    # ANTI RIGHT leaves even the key at its default; golden
+    # 01031_semi_anti_join).  Spark's LEFT ANTI outputs one side only,
+    # so substitute the other side's references with defaults/mirrors.
+    am0 = re.search(r"(?is)\bFROM\s+(`?\w+`?)\s+ANTI\s+(LEFT|RIGHT)\s+"
+                    r"JOIN\s+(`?\w+`?)\s+USING\s*\(([^()]*)\)", text)
+    if am0 is not None and tables is not None:
+        lt, side, rt = (am0.group(1).strip("`"), am0.group(2).upper(),
+                        am0.group(3).strip("`"))
+        keys = [k.strip().strip("`") for k in am0.group(4).split(",")
+                if k.strip()]
+        gone = rt if side == "LEFT" else lt
+        kept = lt if side == "LEFT" else rt
+        if re.search(rf"(?<![\w.`]){gone}\s*\.", text):
+            sch = _target_schema(spark, gone,
+                                 (tables or {}).get(gone))
+            if sch is not None:
+                def repl_for(col, dt):
+                    if side == "LEFT" and col in keys:
+                        return f"`{col}`"      # key mirrors the kept side
+                    return _ch_type_default_sql(dt)
+                colmap = {f.name: repl_for(f.name, f.dataType)
+                          for f in sch.fields}
+                star = ", ".join(colmap[f.name] for f in sch.fields)
+                new_from = (f"FROM {lt} LEFT ANTI JOIN {rt} USING "
+                            f"({am0.group(4)})" if side == "LEFT" else
+                            f"FROM {rt} LEFT ANTI JOIN {lt} USING "
+                            f"({am0.group(4)})")
+                text = text[:am0.start()] + new_from + text[am0.end():]
+                text = re.sub(rf"(?<![\w.`]){gone}\s*\.\s*\*", star,
+                              text)
+                for c, r in colmap.items():
+                    text = re.sub(
+                        rf"(?<![\w.`]){gone}\s*\.\s*`?{re.escape(c)}`?"
+                        rf"(?![\w`])", f"({r})", text)
+                # kept-side qualified refs survive as-is; its star too
+                text = re.sub(rf"(?<![\w.`]){kept}\s*\.\s*\*",
+                              f"{kept}.*", text)
     # scalar-tuple CTE feeding a TVF: ``WITH (SELECT a, b FROM …) AS r
     # SELECT … FROM numbers(r.1, r.2)`` — the reference constant-folds
     # TVF arguments (evaluateConstantExpression); evaluate the scalar

@@ -573,3 +573,26 @@ def test_distinct_order_by_expression(spark):
     assert _rows(spark, "select distinct json.a0 from r10t_jd "
                         "order by json.a0.:Int64",
                  t) == [("1",), ("3",)]
+
+
+def test_anti_join_nonjoined_side_columns(spark):
+    t = {}
+    ch_sql(spark, "CREATE TABLE r10t_a1 (x UInt32, s String) "
+                  "engine = MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "CREATE TABLE r10t_a2 (x UInt32, s String) "
+                  "engine = MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_a1 (x, s) VALUES (0, 'a1'), "
+                  "(1, 'a2'), (2, 'a3'), (3, 'a4'), (4, 'a5'), "
+                  "(2, 'a6')", tables=t)
+    ch_sql(spark, "INSERT INTO r10t_a2 (x, s) VALUES (2, 'b1'), "
+                  "(2, 'b2'), (4, 'b3'), (4, 'b4'), (4, 'b5'), "
+                  "(5, 'b6')", tables=t)
+    assert _rows(spark, "SELECT r10t_a1.*, r10t_a2.* FROM r10t_a1 "
+                        "ANTI LEFT JOIN r10t_a2 USING(x) ORDER BY "
+                        "r10t_a1.x, r10t_a2.x, r10t_a1.s, r10t_a2.s",
+                 t) == [(0, "a1", 0, ""), (1, "a2", 1, ""),
+                        (3, "a4", 3, "")]
+    assert _rows(spark, "SELECT r10t_a1.*, r10t_a2.* FROM r10t_a1 "
+                        "ANTI RIGHT JOIN r10t_a2 USING(x) ORDER BY "
+                        "r10t_a1.x, r10t_a2.x, r10t_a1.s, r10t_a2.s",
+                 t) == [(0, "", 5, "b6")]
