@@ -9490,11 +9490,8 @@ def _distributed_local_table(text: str):
     eargs = _split_top_commas(dm.group(1))
     if len(eargs) < 3:
         return None
-    if eargs[1].strip() in ("''", '""'):
-        # explicitly empty database name (reference
-        # StorageDistributed checkArguments BAD_ARGUMENTS)
-        raise ValueError("Distributed: empty database name "
-                         "(reference BAD_ARGUMENTS)")
+    # an empty database name means the CURRENT database (reference
+    # StorageDistributed — golden 01763 accepts Distributed(c, '', t))
     return eargs[2].strip().strip("'\"").split(".")[-1].strip("`'\"")
 
 
@@ -9503,12 +9500,25 @@ def _register_distributed_alias(spark, name: str, local: str,
     """Register ``name`` as a live alias view over ``local`` (lazy SQL
     temp view — Spark stores the unresolved plan, so re-registrations
     of the local view after later INSERTs are picked up).  Returns
-    False when the local table doesn't resolve."""
+    False when the local table doesn't resolve (creation stays lazy,
+    like the reference — but the alias INTENT is recorded so a cycle
+    of Distributed tables is caught)."""
+    amap = (tables.setdefault("__alias__", {})
+            if tables is not None else {})
+    cur, hops = local, 0
+    while cur is not None and hops < 16:
+        if cur == name:
+            # tt6 -> tt7 -> tt6 (reference StorageDistributed
+            # INFINITE_LOOP; golden 01763_max_distributed_depth)
+            raise ValueError(
+                "Distributed: infinite loop of distributed tables "
+                "(reference INFINITE_LOOP)")
+        cur = amap.get(cur)
+        hops += 1
+    amap[name] = local
     src = _resolve_view_safe(spark, local, (tables or {}).get(local))
     if src is None:
         return False
-    if tables is not None:
-        tables.setdefault("__alias__", {})[name] = local
     spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{name}` "
               f"AS SELECT * FROM `{local}`")
     return True

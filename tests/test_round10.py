@@ -463,11 +463,13 @@ def test_vector_similarity_index_contract(spark):
 
 def test_distributed_rejections(spark):
     t = {}
-    ch_sql(spark, "CREATE TABLE r10t_dsrc (x UInt32) ENGINE = Memory",
-           tables=t)
+    # empty db = CURRENT database, lazy target accepted (01763)...
+    ch_sql(spark, "CREATE TABLE r10t_d6 (id UInt32) ENGINE = "
+                  "Distributed('c', '', 'r10t_d7', rand())", tables=t)
+    # ...but a cycle of Distributed tables is INFINITE_LOOP
     with pytest.raises(Exception):
-        ch_sql(spark, "CREATE TABLE r10t_d7 as r10t_dsrc ENGINE = "
-                      "Distributed('c', '', 'r10t_dsrc', rand())",
+        ch_sql(spark, "CREATE TABLE r10t_d7 (id UInt32) ENGINE = "
+                      "Distributed('c', '', 'r10t_d6', rand())",
                tables=t)
     with pytest.raises(Exception):
         ch_sql(spark, "CREATE TABLE r10t_d8 (key int, INDEX i1 key "
