@@ -2852,6 +2852,30 @@ def final_replacing_q(spark, sf_dir):
     return out.drop("__v").orderBy("user_id")
 
 
+@q("final_replacing_expr_key", """
+SELECT user_id, d, event_id, value FROM (
+  SELECT user_id, CAST(ts AS DATE) AS d, event_id, value,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE), user_id
+                            ORDER BY event_id DESC) AS rn
+  FROM events) t WHERE rn = 1
+ORDER BY user_id, d
+""")
+def final_replacing_expr_key_q(spark, sf_dir):
+    """ReplacingMergeTree FINAL whose engine ORDER BY contains an
+    EXPRESSION — ``ORDER BY (toDate(ts), user_id)`` (sort-key
+    expressions are first-class key descriptions in the reference,
+    src/Storages/MergeTree/MergeTreeData.h:151; golden family
+    02791_final_block_structure_mismatch_bug): one survivor per
+    (day, user), the one with the greatest event_id."""
+    ev = _cat(spark, sf_dir).events.select("user_id", "ts", "event_id",
+                                           "value")
+    out = replacing_final(ev, ["to_date(ts)", "user_id"],
+                          version="event_id")
+    return (out.select("user_id", F.to_date("ts").alias("d"),
+                       "event_id", "value")
+            .orderBy("user_id", "d"))
+
+
 @q("final_summing", """
 SELECT user_id, sum(value) AS value, CAST(count(*) AS BIGINT) AS n_rows
 FROM events GROUP BY user_id ORDER BY user_id
@@ -9176,6 +9200,72 @@ def fn_string_hex_escapes_q(spark, sf_dir):
                          "hex('\\xe2') AS h_invalid, "
                          "length('\\x41\\x42') AS l_ab, "
                          "'\\x41\\x42' AS s_ab", tables={})
+
+
+@q("fn_bitmap_join_null_state", """
+WITH a(dim, ids) AS (VALUES (3, [3]), (4, [4])),
+     b(dim, ids2) AS (VALUES (1, [1]))
+SELECT CAST(b.dim AS BIGINT) AS dim,
+       CAST(len(list_distinct(COALESCE(a.ids, []) || b.ids2)) AS BIGINT)
+         AS orc,
+       CAST(0 AS BIGINT) AS andc,
+       CAST(0 AS BIGINT) AS card
+FROM a RIGHT JOIN b USING (dim) ORDER BY dim
+""")
+def fn_bitmap_join_null_state_q(spark, sf_dir):
+    """Bitmap functions over a NULL state (the non-matched side of an
+    outer join) treat it as the EMPTY bitmap — the reference fills
+    non-joined columns with type defaults under join_use_nulls=0
+    (golden 01552_impl_aggfunc_cloneresize), never Spark's legacy
+    size(NULL) = -1."""
+    t: dict = {}
+    ch_sql(spark, "CREATE TABLE r11_bm (dim UInt64, id UInt64) "
+                  "ENGINE = MergeTree ORDER BY (dim, id)", tables=t)
+    ch_sql(spark, "INSERT INTO r11_bm VALUES (1,1),(2,2),(3,3),(4,4)",
+           tables=t)
+    return ch_sql(spark, """
+        SELECT toInt64(dim) AS dim,
+               bitmapOrCardinality(ids, ids2) AS orc,
+               bitmapAndCardinality(ids, ids2) AS andc,
+               bitmapCardinality(ids) AS card
+        FROM (SELECT dim, groupBitmapState(toUInt64(id)) AS ids
+              FROM r11_bm WHERE dim > 2 GROUP BY dim) A
+        ALL RIGHT JOIN
+             (SELECT dim, groupBitmapState(toUInt64(id)) AS ids2
+              FROM r11_bm WHERE dim < 2 GROUP BY dim) B
+        USING (dim) ORDER BY dim
+    """, tables=t)
+
+
+@q("fn_tounixtimestamp64_tz", """
+SELECT CAST(1568650812 AS BIGINT) AS s,
+       CAST(1568650812345 AS BIGINT) AS ms,
+       CAST(1568650812345678 AS BIGINT) AS us,
+       '2019-09-16 19:20:12.345' AS wall,
+       CAST(1568650812 AS BIGINT) AS s2
+""")
+def fn_tounixtimestamp64_tz_q(spark, sf_dir):
+    """toUnixTimestamp64* over a timezone'd DateTime64 returns the
+    tz-INDEPENDENT epoch (reference src/Functions/toUnixTimestamp64.cpp;
+    golden 01277_toUnixTimestamp64): the string literal is the
+    column-zone wall clock (Asia/Istanbul, UTC+3 on 2019-09-16), so the
+    epoch is 16:20:12 UTC = 1568650812 — and the DISPLAY keeps the
+    literal's wall time.  Also covers the two-arg toUnixTimestamp."""
+    return ch_sql(spark, """
+        SELECT toUnixTimestamp64Second(
+                 toDateTime64('2019-09-16 19:20:12.345678910', 3,
+                              'Asia/Istanbul')) AS s,
+               toUnixTimestamp64Milli(
+                 toDateTime64('2019-09-16 19:20:12.345678910', 3,
+                              'Asia/Istanbul')) AS ms,
+               toUnixTimestamp64Micro(
+                 toDateTime64('2019-09-16 19:20:12.345678910', 6,
+                              'Asia/Istanbul')) AS us,
+               toString(toDateTime64('2019-09-16 19:20:12.345678910',
+                                     3, 'Asia/Istanbul')) AS wall,
+               toUnixTimestamp('2019-09-16 19:20:12',
+                               'Asia/Istanbul') AS s2
+    """, tables={})
 
 
 @q("json_array_subcolumn_read", """

@@ -15,10 +15,40 @@ compaction job's transformation (sources/mergetree.py).
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_BARE_NAME = re.compile(r"^`?[A-Za-z_][A-Za-z0-9_.]*`?$")
+
+
+def _key_exprs(df: DataFrame, keys: Sequence[str]):
+    """Resolve sort-key strings to groupable columns.  The reference
+    allows arbitrary EXPRESSIONS in the engine ORDER BY (sort-key
+    expressions are first-class key descriptions,
+    reference src/Storages/MergeTree/MergeTreeData.h:151), e.g.
+    ``ORDER BY (toDate(b), a)``.  Bare column names pass through;
+    expression keys are materialized as hidden ``__sk{i}`` columns so
+    window/groupBy partitioning works, and the caller drops them.
+
+    Returns ``(df_with_hidden, effective_key_names, hidden_names)``.
+    """
+    eff: list[str] = []
+    hidden: list[str] = []
+    out = df
+    for i, k in enumerate(keys):
+        k = k.strip()
+        bare = k.strip("`")
+        if _BARE_NAME.match(k) and bare in df.columns:
+            eff.append(bare)
+        else:
+            h = f"__sk{i}"
+            out = out.withColumn(h, F.expr(k))
+            eff.append(h)
+            hidden.append(h)
+    return out, eff, hidden
 
 
 def replacing_final(df: DataFrame, keys: Sequence[str],
@@ -31,7 +61,7 @@ def replacing_final(df: DataFrame, keys: Sequence[str],
     src/Processors/Merges/ReplacingSortedAlgorithm.h): a key whose
     surviving row carries is_deleted = 1 is a tombstone and is dropped
     from the FINAL view entirely."""
-    keys = list(keys)
+    df, keys, hidden = _key_exprs(df, list(keys))
     order = [F.col(version).desc()] if version else []
     if "__part_seq" in df.columns:
         # equal versions: the reference keeps the LAST row in the
@@ -41,7 +71,7 @@ def replacing_final(df: DataFrame, keys: Sequence[str],
         order = [F.lit(1)]
     w = Window.partitionBy(*keys).orderBy(*order)
     out = (df.withColumn("__rn", F.row_number().over(w))
-           .filter(F.col("__rn") == 1).drop("__rn"))
+           .filter(F.col("__rn") == 1).drop("__rn", *hidden))
     if is_deleted:
         out = out.filter(F.col(is_deleted).cast("int") != 1)
     return out
@@ -51,20 +81,21 @@ def summing_final(df: DataFrame, keys: Sequence[str],
                   sum_cols: Sequence[str] | None = None) -> DataFrame:
     """SummingMergeTree FINAL: sum all numeric non-key columns per key;
     non-numeric, non-key columns take an arbitrary (first) value."""
-    keys = list(keys)
+    orig_fields = list(df.schema.fields)
+    df, keys, hidden = _key_exprs(df, list(keys))
     numeric = set(sum_cols) if sum_cols is not None else {
-        f.name for f in df.schema.fields
+        f.name for f in orig_fields
         if f.name not in keys and f.dataType.typeName() in
         ("long", "integer", "short", "byte", "double", "float", "decimal")}
     aggs = []
-    for f_ in df.schema.fields:
+    for f_ in orig_fields:
         if f_.name in keys:
             continue
         if f_.name in numeric:
             aggs.append(F.sum(f_.name).alias(f_.name))
         else:
             aggs.append(F.first(f_.name).alias(f_.name))
-    return df.groupBy(*keys).agg(*aggs)
+    return df.groupBy(*keys).agg(*aggs).drop(*hidden)
 
 
 def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
@@ -78,8 +109,10 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
 
     GroupBy-sum of the sign plus max_by for the surviving values — one
     shuffle, map-side partial aggregation."""
-    keys = list(keys)
-    value_cols = [c for c in df.columns if c not in keys and c != sign]
+    orig_cols = list(df.columns)
+    sign_t = df.schema[sign].dataType
+    df, keys, _hidden = _key_exprs(df, list(keys))
+    value_cols = [c for c in orig_cols if c not in keys and c != sign]
     rank = F.col(order_col) if order_col else F.lit(1)
     # CollapsingSortedAlgorithm::insertRows, faithfully:
     #   more +1 than -1            -> keep the LAST +1 state
@@ -109,9 +142,8 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
                                     F.lit(1).alias("s")))
     rows = F.filter(F.array(neg, pos), lambda x: x.isNotNull())
     out = g.select(*keys, F.explode(rows).alias("__r"))
-    sign_t = df.schema[sign].dataType
     sel = []
-    for c in df.columns:
+    for c in orig_cols:
         if c in keys:
             sel.append(F.col(c))
         elif c == sign:
@@ -126,15 +158,16 @@ def versioned_collapsing_final(df: DataFrame, keys: Sequence[str],
     """VersionedCollapsingMergeTree FINAL: like collapsing but pairs
     cancel per version; the surviving row is the +1 state with the
     highest version whose cancel has not arrived."""
-    keys = list(keys)
+    orig_cols = list(df.columns)
+    df, keys, hidden = _key_exprs(df, list(keys))
     per_version = (df.groupBy(*keys, version)
                    .agg(F.sum(sign).alias("__s"),
                         *[F.max_by(c, F.when(F.col(sign) == 1, F.col(sign))).alias(c)
-                          for c in df.columns if c not in keys and c not in (sign, version)]))
+                          for c in orig_cols if c not in keys and c not in (sign, version)]))
     alive = per_version.filter(F.col("__s") > 0).drop("__s")
     w = Window.partitionBy(*keys).orderBy(F.col(version).desc())
     return (alive.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn"))
+            .filter(F.col("__rn") == 1).drop("__rn", *hidden))
 
 
 def coalescing_final(df: DataFrame, keys: Sequence[str],
@@ -147,16 +180,17 @@ def coalescing_final(df: DataFrame, keys: Sequence[str],
 
     max_by over a rank that is NULL when the value is NULL: one shuffle
     with map-side partial aggregation, like summing_final."""
-    keys = list(keys)
+    orig_cols = list(df.columns)
+    df, keys, hidden = _key_exprs(df, list(keys))
     rank = F.col(order_col) if order_col else F.lit(1)
     aggs = []
-    for c in df.columns:
+    for c in orig_cols:
         if c in keys or c == order_col:
             continue
         aggs.append(F.max_by(c, F.when(F.col(c).isNotNull(), rank)).alias(c))
     if order_col:
         aggs.append(F.max(order_col).alias(order_col))
-    return df.groupBy(*keys).agg(*aggs)
+    return df.groupBy(*keys).agg(*aggs).drop(*hidden)
 
 
 def graphite_rollup(df: DataFrame, retentions: Sequence[tuple[int, int]],

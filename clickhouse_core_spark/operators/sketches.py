@@ -132,9 +132,11 @@ def aggregating_final(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     in the reference).  Non-state, non-key columns keep an arbitrary
     row's value (the reference keeps the first — pick-any contract,
     refined to F.min for determinism)."""
-    keys = list(keys)
+    from .final import _key_exprs
+    orig_fields = list(df.schema.fields)
+    df, keys, hidden = _key_exprs(df, list(keys))
     aggs: list[Column] = []
-    for f_ in df.schema.fields:
+    for f_ in orig_fields:
         if f_.name in keys:
             continue
         if f_.name.endswith("__uniq_state"):
@@ -146,7 +148,7 @@ def aggregating_final(df: DataFrame, keys: Sequence[str]) -> DataFrame:
             aggs.append(F.sum(f_.name).alias(f_.name))
         else:
             aggs.append(F.min(f_.name).alias(f_.name))
-    return df.groupBy(*keys).agg(*aggs)
+    return df.groupBy(*keys).agg(*aggs).drop(*hidden)
 
 
 def merge_state_table(states: DataFrame, keys: Sequence[str]) -> DataFrame:

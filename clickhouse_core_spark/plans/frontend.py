@@ -31,6 +31,14 @@ def _fn(name):
     return lambda a: f"{name}({', '.join(a)})"
 
 
+def _bm_arg(x: str) -> str:
+    """Bitmap-state argument: a NULL state (non-matched outer-join
+    side) is the reference's type DEFAULT — the empty bitmap
+    (join_use_nulls=0 fill; golden 01552_impl_aggfunc_cloneresize) —
+    never Spark's size(NULL) = -1."""
+    return f"coalesce({x}, array())"
+
+
 def _variant_pred(x: str, ch_t: str) -> str | None:
     """Best-effort-parse predicate for one Variant alternative
     (reference src/DataTypes/DataTypeVariant.cpp String→Variant cast:
@@ -352,29 +360,36 @@ _RULES: dict = {
     "todatetime": lambda a: (
         _todatetime_numeric_literal(a)
         if re.fullmatch(r"\s*-?\d+\s*", a[0])
-        else f"convert_timezone('UTC', {a[-1]}, "
-        f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))"
+        else _tz_wall_sql(a[0], a[-1].strip())
         if len(a) >= 2 and re.fullmatch(r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1])
         else f"to_timestamp({a[0]})"),
     "todatetime64": lambda a: _todatetime64_sql(a),
     "tolastdayofmonth": _fn("last_day"),
     "today": lambda a: "current_date()", "now": lambda a: "current_timestamp()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
-    "tounixtimestamp": _fn("unix_timestamp"),
+    # toUnixTimestamp(x[, tz]): the tz applies to STRING parsing (the
+    # string is that zone's wall clock); tz'd DateTime values carry
+    # their zone in the convert_timezone marker (_epoch_ts_sql).
+    "tounixtimestamp": lambda a: (
+        f"unix_seconds(to_utc_timestamp(to_timestamp({a[0]}), {a[1]}))"
+        if len(a) == 2 and re.fullmatch(
+            r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[1])
+        else f"unix_seconds({_epoch_ts_sql(a[0])})" if len(a) == 1
+        else f"unix_timestamp({', '.join(a)})"),
     # DateTime64 epoch extractors (FunctionsConversion
-    # toUnixTimestamp64*): cast through LTZ TIMESTAMP — the tz-arg
-    # toDateTime path yields NTZ, which unix_* reject.  The reference
-    # requires exactly ONE DateTime64 argument — String literals and
-    # extra arguments are ILLEGAL_TYPE_OF_ARGUMENT /
-    # NUMBER_OF_ARGUMENTS_DOESNT_MATCH.
+    # toUnixTimestamp64*): epochs are tz-INDEPENDENT (reference
+    # src/Functions/toUnixTimestamp64.cpp) — _epoch_ts_sql re-anchors
+    # marker-carried column-zone walls.  The reference requires exactly
+    # ONE DateTime64 argument — String literals and extra arguments are
+    # ILLEGAL_TYPE_OF_ARGUMENT / NUMBER_OF_ARGUMENTS_DOESNT_MATCH.
     "tounixtimestamp64second": lambda a:
-        f"unix_seconds(CAST({_ts64_arg(a)} AS TIMESTAMP))",
+        f"unix_seconds({_epoch_ts_sql(_ts64_arg(a))})",
     "tounixtimestamp64milli": lambda a:
-        f"unix_millis(CAST({_ts64_arg(a)} AS TIMESTAMP))",
+        f"unix_millis({_epoch_ts_sql(_ts64_arg(a))})",
     "tounixtimestamp64micro": lambda a:
-        f"unix_micros(CAST({_ts64_arg(a)} AS TIMESTAMP))",
+        f"unix_micros({_epoch_ts_sql(_ts64_arg(a))})",
     "tounixtimestamp64nano": lambda a:
-        f"(unix_micros(CAST({_ts64_arg(a)} AS TIMESTAMP)) * 1000)",
+        f"(unix_micros({_epoch_ts_sql(_ts64_arg(a))}) * 1000)",
     "fromunixtimestamp": _fn("timestamp_seconds"),
     "adddays": lambda a: f"date_add({a[0]}, {a[1]})",
     "subtractdays": lambda a: f"date_sub({a[0]}, {a[1]})",
@@ -615,26 +630,43 @@ _RULES: dict = {
     "groupbitmapmerge": lambda a:
         f"CAST(size(array_distinct(flatten(collect_list({a[0]})))) "
         f"AS BIGINT)",
-    "bitmaptoarray": lambda a: f"array_sort({a[0]})",
-    "bitmapcardinality": lambda a: f"CAST(size({a[0]}) AS BIGINT)",
-    "bitmapand": lambda a: f"array_sort(array_intersect({a[0]}, {a[1]}))",
-    "bitmapor": lambda a: f"array_sort(array_union({a[0]}, {a[1]}))",
+    # NULL states (a non-matched outer-join side: the reference fills
+    # type DEFAULTS — the EMPTY bitmap — under join_use_nulls=0, and
+    # Spark's legacy size(NULL) is -1; golden
+    # 01552_impl_aggfunc_cloneresize) coalesce to the empty bitmap
+    "bitmaptoarray": lambda a: f"array_sort({_bm_arg(a[0])})",
+    "bitmapcardinality": lambda a:
+        f"CAST(size({_bm_arg(a[0])}) AS BIGINT)",
+    "bitmapand": lambda a:
+        f"array_sort(array_intersect({_bm_arg(a[0])}, {_bm_arg(a[1])}))",
+    "bitmapor": lambda a:
+        f"array_sort(array_union({_bm_arg(a[0])}, {_bm_arg(a[1])}))",
     "bitmapxor": lambda a: (
-        f"array_sort(array_except(array_union({a[0]}, {a[1]}), "
-        f"array_intersect({a[0]}, {a[1]})))"),
-    "bitmapandnot": lambda a: f"array_sort(array_except({a[0]}, {a[1]}))",
+        f"array_sort(array_except(array_union({_bm_arg(a[0])}, "
+        f"{_bm_arg(a[1])}), "
+        f"array_intersect({_bm_arg(a[0])}, {_bm_arg(a[1])})))"),
+    "bitmapandnot": lambda a:
+        f"array_sort(array_except({_bm_arg(a[0])}, {_bm_arg(a[1])}))",
     "bitmapandcardinality": lambda a: (
-        f"CAST(size(array_intersect({a[0]}, {a[1]})) AS BIGINT)"),
+        f"CAST(size(array_intersect({_bm_arg(a[0])}, {_bm_arg(a[1])})) "
+        f"AS BIGINT)"),
     "bitmaporcardinality": lambda a: (
-        f"CAST(size(array_union({a[0]}, {a[1]})) AS BIGINT)"),
+        f"CAST(size(array_union({_bm_arg(a[0])}, {_bm_arg(a[1])})) "
+        f"AS BIGINT)"),
     "bitmapxorcardinality": lambda a: (
-        f"CAST(size(array_except(array_union({a[0]}, {a[1]}), "
-        f"array_intersect({a[0]}, {a[1]}))) AS BIGINT)"),
+        f"CAST(size(array_except(array_union({_bm_arg(a[0])}, "
+        f"{_bm_arg(a[1])}), "
+        f"array_intersect({_bm_arg(a[0])}, {_bm_arg(a[1])}))) "
+        f"AS BIGINT)"),
     "bitmapandnotcardinality": lambda a: (
-        f"CAST(size(array_except({a[0]}, {a[1]})) AS BIGINT)"),
-    "bitmapcontains": lambda a: f"array_contains({a[0]}, {a[1]})",
-    "bitmaphasall": lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)",
-    "bitmaphasany": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+        f"CAST(size(array_except({_bm_arg(a[0])}, {_bm_arg(a[1])})) "
+        f"AS BIGINT)"),
+    "bitmapcontains": lambda a:
+        f"array_contains({_bm_arg(a[0])}, {a[1]})",
+    "bitmaphasall": lambda a:
+        f"(size(array_except({_bm_arg(a[1])}, {_bm_arg(a[0])})) = 0)",
+    "bitmaphasany": lambda a:
+        f"arrays_overlap({_bm_arg(a[0])}, {_bm_arg(a[1])})",
     "bitmapmin": _fn("array_min"), "bitmapmax": _fn("array_max"),
     "bitmapsubsetinrange": lambda a: (
         f"filter({a[0]}, x -> x >= {a[1]} AND x < {a[2]})"),
@@ -2532,22 +2564,65 @@ def _ordefault_default_sql(arg: str, base: str) -> str:
     return "0"
 
 
+def _tz_wall_sql(x: str, tz: str) -> str:
+    """NTZ carrying the COLUMN-ZONE wall clock of datetime expression
+    ``x`` given timezone argument ``tz`` (a quoted literal).  A string
+    literal is ALREADY the wall clock in that zone (reference
+    DataTypeDateTime: strings parse in the column's zone); any other
+    input is an instant whose wall is rendered in the zone.  The result
+    is wrapped in a no-op ``convert_timezone(tz, tz, ...)`` marker so
+    epoch extractors (:func:`_epoch_ts_sql`) can recover the zone — one
+    carrier then satisfies BOTH the reference's column-zone display and
+    its tz-independent epochs (reference
+    src/Functions/toUnixTimestamp64.cpp)."""
+    if re.fullmatch(r"\s*'[^']*'\s*", x):
+        inner = f"CAST(to_timestamp({x}) AS TIMESTAMP_NTZ)"
+    else:
+        inner = (f"convert_timezone('UTC', {tz}, "
+                 f"CAST(to_timestamp({x}) AS TIMESTAMP_NTZ))")
+    return f"convert_timezone({tz}, {tz}, {inner})"
+
+
+_TZ_MARKER_RE = re.compile(
+    r"^[\s(]*convert_timezone\('([^']+)',\s*'\1',")
+
+
+def _epoch_ts_sql(x: str) -> str:
+    """LTZ TIMESTAMP holding the TRUE EPOCH of a translated datetime
+    expression.  tz'd DateTime values carry the column-zone wall clock
+    in an NTZ behind a no-op convert_timezone marker
+    (:func:`_tz_wall_sql`); the epoch re-anchors that wall in the
+    column zone (reference toUnixTimestamp64.cpp — epochs are
+    tz-independent, only display shifts)."""
+    m = _TZ_MARKER_RE.match(x)
+    if m:
+        return (f"to_utc_timestamp(CAST({x} AS TIMESTAMP), "
+                f"'{m.group(1)}')")
+    return f"CAST({x} AS TIMESTAMP)"
+
+
 def _todatetime64_sql(a: list[str]) -> str:
     """toDateTime64(x, scale[, tz]) — the fraction TRUNCATES to the
     declared scale (DataTypeDateTime64 scale contract); the optional
-    trailing timezone shifts the wall clock (see the toDateTime
-    rules).  Spark's µs carrier caps effective scale at 6."""
-    base = f"to_timestamp({a[0]})"
+    trailing timezone sets the COLUMN zone: string literals parse as
+    that zone's wall clock, instants display in it (see
+    :func:`_tz_wall_sql`).  Spark's µs carrier caps effective scale
+    at 6."""
+    tz = None
     if len(a) >= 3 and re.fullmatch(
             r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1]):
-        base = (f"convert_timezone('UTC', {a[-1]}, "
-                f"CAST(to_timestamp({a[0]}) AS TIMESTAMP_NTZ))")
+        tz = a[-1].strip()
+    base = _tz_wall_sql(a[0], tz) if tz else f"to_timestamp({a[0]})"
     if len(a) >= 2 and re.fullmatch(r"\s*\d+\s*", a[1]):
         s = min(int(a[1]), 6)
         if s < 6:
             k = 10 ** (6 - s)
-            return (f"timestamp_micros((unix_micros(CAST({base} "
-                    f"AS TIMESTAMP)) div {k}) * {k})")
+            trunc = (f"timestamp_micros((unix_micros(CAST({base} "
+                     f"AS TIMESTAMP)) div {k}) * {k})")
+            if tz:
+                return (f"convert_timezone({tz}, {tz}, "
+                        f"CAST({trunc} AS TIMESTAMP_NTZ))")
+            return trunc
     return base
 
 
@@ -9915,8 +9990,16 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
         if tables is not None:
             tables[name] = t
         if getattr(t, "schema_ddl", None):
-            spark.createDataFrame([], t.schema_ddl) \
-                .createOrReplaceTempView(name)
+            empty = spark.createDataFrame([], t.schema_ddl)
+            empty.createOrReplaceTempView(name)
+            # Validate the engine's FINAL rewrite NOW: an invalid
+            # sort-key expression must fail the CREATE (the reference
+            # resolves key expressions at CREATE, MergeTreeData.h:151),
+            # not surface as TABLE_OR_VIEW_NOT_FOUND at the first
+            # `SELECT ... FINAL`.  Also gives part-less tables a
+            # working `<name>__final` view.
+            t._apply_engine(empty) \
+                .createOrReplaceTempView(f"{name}__final")
         return None
     # CREATE TABLE a AS b [ENGINE = X]: clone b's structure, empty
     # (reference InterpreterCreateQuery::setProperties from-table form)
@@ -10356,11 +10439,11 @@ def _alter_table_statement(spark, name: str, body: str, tables):
         raise NotImplementedError(f"ALTER operation not mapped: "
                                   f"{o[:60]!r}")
     df.createOrReplaceTempView(name)
-    if t is not None:
+    if t is not None and hasattr(t, "_apply_engine"):
         try:
             t.read(final=True).createOrReplaceTempView(f"{name}__final")
-        except Exception:
-            pass
+        except ValueError:
+            pass                      # part-less table; CREATE-time view stands
     return None
 
 
@@ -10386,13 +10469,13 @@ def _refresh_table_views(spark, name: str, t) -> None:
     """Re-register the ``name`` / ``name__final`` temp views after a
     mutation replaced part files (a stale view holds the old file
     list)."""
-    if t is None or not hasattr(t, "read"):
+    if t is None or not hasattr(t, "_apply_engine"):
         return
     try:
         t.read().createOrReplaceTempView(name)
         t.read(final=True).createOrReplaceTempView(f"{name}__final")
-    except Exception:
-        pass
+    except ValueError:
+        pass                          # part-less after mutation
 
 
 def _target_schema(spark, name: str, t):
@@ -10515,12 +10598,14 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
             view_df = view_df.select(
                 *[F.col(f"`{c}`") for c in declared])
         view_df.createOrReplaceTempView(name)
-        try:
-            # plain MergeTree FINAL is identity; engine variants get
-            # their merge semantics applied at read time
-            t.read(final=True).createOrReplaceTempView(f"{name}__final")
-        except Exception:
-            pass
+        if hasattr(t, "_apply_engine"):
+            try:
+                # plain MergeTree FINAL is identity; engine variants
+                # get their merge semantics applied at read time
+                t.read(final=True) \
+                    .createOrReplaceTempView(f"{name}__final")
+            except ValueError:
+                pass                  # part-less (nothing inserted)
     else:
         spark.table(name).unionByName(aligned) \
             .localCheckpoint(eager=True).createOrReplaceTempView(name)

@@ -1,0 +1,105 @@
+"""Round-11 regression tests: FINAL over expression ORDER-BY keys (the
+02791_final_block_structure_mismatch_bug family — reference sort-key
+expressions are first-class, src/Storages/MergeTree/MergeTreeData.h:151),
+plus this round's wrong-value and frontend fixes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_core_spark.plans.frontend import ch_sql
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from clickhouse_core_spark import get_spark
+    s = get_spark("test_round11", master="local[4]",
+                  extra_conf={"spark.sql.shuffle.partitions": "4"})
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _rows(spark, sql, tables):
+    df = ch_sql(spark, sql, tables=tables)
+    return [tuple(r) for r in df.collect()]
+
+
+# --------------------------------------- FINAL over expression sort keys
+
+def test_replacing_final_expr_key_02791(spark):
+    tables: dict = {}
+    ch_sql(spark, """CREATE TABLE tbm (a UInt32, b DateTime)
+        ENGINE = ReplacingMergeTree PARTITION BY toYYYYMM(b)
+        ORDER BY (toDate(b), a)""", tables=tables)
+    ch_sql(spark, "INSERT INTO tbm VALUES "
+                  "(1, toDateTime('2023-01-01 12:12:12'))", tables=tables)
+    ch_sql(spark, "INSERT INTO tbm VALUES "
+                  "(1, toDateTime('2023-01-01 12:12:12'))", tables=tables)
+    assert _rows(spark, "SELECT count(*) AS c FROM tbm FINAL",
+                 tables) == [(1,)]
+    ch_sql(spark, "INSERT INTO tbm VALUES "
+                  "(1, toDateTime('2023-02-02 12:12:12'))", tables=tables)
+    assert _rows(spark, "SELECT count(*) AS c FROM tbm FINAL",
+                 tables) == [(2,)]
+    ch_sql(spark, "OPTIMIZE TABLE tbm FINAL", tables=tables)
+    ch_sql(spark, "INSERT INTO tbm VALUES "
+                  "(2, toDateTime('2023-01-01 12:12:12'))", tables=tables)
+    assert _rows(spark, "SELECT count(*) AS c FROM tbm FINAL",
+                 tables) == [(3,)]
+
+
+def test_final_view_exists_before_first_insert(spark):
+    # part-less table: SELECT ... FINAL must work right after CREATE
+    tables: dict = {}
+    ch_sql(spark, """CREATE TABLE tbm_empty (a UInt32, b DateTime)
+        ENGINE = ReplacingMergeTree ORDER BY (toDate(b), a)""",
+           tables=tables)
+    assert _rows(spark, "SELECT count(*) AS c FROM tbm_empty FINAL",
+                 tables) == [(0,)]
+
+
+def test_summing_final_expr_key(spark):
+    tables: dict = {}
+    ch_sql(spark, """CREATE TABLE tsum (v UInt32, b DateTime)
+        ENGINE = SummingMergeTree ORDER BY toDate(b)""", tables=tables)
+    ch_sql(spark, "INSERT INTO tsum VALUES "
+                  "(3, toDateTime('2023-01-01 01:00:00')), "
+                  "(4, toDateTime('2023-01-01 23:00:00')), "
+                  "(5, toDateTime('2023-01-02 01:00:00'))", tables=tables)
+    rows = _rows(spark, "SELECT sum(v) AS s, count(*) AS c "
+                        "FROM tsum FINAL", tables)
+    assert rows == [(12, 2)]
+
+
+def test_collapsing_final_expr_key(spark):
+    tables: dict = {}
+    ch_sql(spark, """CREATE TABLE tcol (sgn Int8, b DateTime)
+        ENGINE = CollapsingMergeTree(sgn) ORDER BY toDate(b)""",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO tcol VALUES "
+                  "(1, toDateTime('2023-01-01 01:00:00')), "
+                  "(-1, toDateTime('2023-01-01 23:00:00')), "
+                  "(1, toDateTime('2023-01-02 01:00:00'))", tables=tables)
+    rows = _rows(spark, "SELECT count(*) AS c FROM tcol FINAL", tables)
+    assert rows == [(1,)]
+
+
+def test_expr_key_direct_operators():
+    # direct operator-level coverage, no SQL frontend in the loop
+    from clickhouse_core_spark import get_spark
+    from clickhouse_core_spark.operators.final import (
+        coalescing_final, replacing_final, summing_final)
+    s = get_spark("test_round11", master="local[4]",
+                  extra_conf={"spark.sql.shuffle.partitions": "4"})
+    df = s.createDataFrame(
+        [(1, "2023-01-01 01:00:00", 10),
+         (2, "2023-01-01 09:00:00", 20),
+         (3, "2023-01-02 01:00:00", 30)],
+        "id long, ts string, v long").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    r = replacing_final(df, ["to_date(ts)"], version="id")
+    assert sorted(t[0] for t in r.select("id").collect()) == [2, 3]
+    assert set(r.columns) == {"id", "ts", "v"}
+    sm = summing_final(df.drop("ts"), ["pmod(id, 2)"])
+    assert set(sm.columns) == {"id", "v"}
+    co = coalescing_final(df, ["to_date(ts)"], order_col="id")
+    assert co.count() == 2
