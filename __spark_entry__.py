@@ -9202,6 +9202,30 @@ def fn_string_hex_escapes_q(spark, sf_dir):
                          "'\\x41\\x42' AS s_ab", tables={})
 
 
+@q("fn_datetime_saturating_clamp", """
+SELECT '1940-10-09 21:13:16.4' AS a, '2284-06-04 23:46:43.6' AS b,
+       '2299-12-31 23:40:00.1' AS c, '1900-01-01 00:00:00.9' AS d
+""")
+def fn_datetime_saturating_clamp_q(spark, sf_dir):
+    """Out-of-range epochs SATURATE through the reference's DateLUT
+    component math instead of returning NULL (reference
+    src/Common/DateLUTImpl.h findIndex guess clamp +
+    toDateTimeComponents hour clamp; golden
+    01702_toDateTime_from_string_clamping): the date pins to the LUT
+    edge, the hour clamps to 23 with modular minute/second, and
+    negative fractions render positive with the whole floored."""
+    return ch_sql(spark, """
+        SELECT toString(toDateTime('-922337203.6854775808', 1,
+                                   'Asia/Istanbul')) AS a,
+               toString(toDateTime('9922337203.6854775808', 1,
+                                   'Asia/Istanbul')) AS b,
+               toString(toDateTime64(CAST('10500000000.1' AS
+                        Decimal64(1)), 1, 'Asia/Istanbul')) AS c,
+               toString(toDateTime64(CAST('-10500000000.1' AS
+                        Decimal64(1)), 1, 'Asia/Istanbul')) AS d
+    """, tables={})
+
+
 @q("fn_bitmap_join_null_state", """
 WITH a(dim, ids) AS (VALUES (3, [3]), (4, [4])),
      b(dim, ids2) AS (VALUES (1, [1]))

@@ -213,6 +213,70 @@ def _array_index_rule(a: list, which: int) -> str:
             f"CAST(NULL AS INT))), __p -> __p IS NOT NULL), {which}), 0)")
 
 
+def _num_literal_of(x: str) -> str | None:
+    """The numeric value inside a translated scalar argument: a bare
+    numeric literal, a quoted numeric string, or a decimal cast of
+    either (``CAST('10500000000.1' AS DECIMAL(18,1))``)."""
+    x = x.strip()
+    if re.fullmatch(r"[-+]?\d+(?:\.\d+)?", x):
+        return x
+    m = re.fullmatch(r"'([-+]?\d+(?:\.\d+)?)'", x)
+    if m:
+        return m.group(1)
+    m = re.fullmatch(r"(?is)CAST\(\s*'?([-+]?\d+(?:\.\d+)?)'?\s+AS\s+"
+                     r"DECIMAL\s*\(\s*\d+\s*,\s*\d+\s*\)\s*\)", x)
+    if m:
+        return m.group(1)
+    return None
+
+
+def _dt64_saturating_literal(num: str, scale: int,
+                             tz: str | None) -> str:
+    """toDateTime[64] over a NUMERIC literal epoch: decimal SECONDS at
+    ``scale``, rendered through the reference's LUT-saturating
+    component math (golden 01702_toDateTime_from_string_clamping) —
+    out-of-range values pin the date to the LUT edge (1900-01-01 /
+    2299-12-31), clamp the hour to 23 and keep minute/second modular
+    (reference src/Common/DateLUTImpl.h findIndex guess clamp +
+    toDateTimeComponents), and negative fractions render positive with
+    the whole part floored (src/IO/WriteHelpers.h writeDateTimeText)."""
+    import datetime as _dtm
+    from decimal import Decimal as _Dec
+    eff = min(scale, 6)
+    mult = 10 ** eff
+    ticks = int(_Dec(num) * mult)           # truncate toward zero
+    whole, frac = divmod(ticks, mult)       # floor = adjusted render
+    z = _dtm.timezone.utc
+    if tz:
+        try:
+            from zoneinfo import ZoneInfo as _ZI
+            z = _ZI(tz.strip().strip("'"))
+        except Exception:
+            pass
+    t0 = int(_dtm.datetime(1900, 1, 1, tzinfo=z).timestamp())
+    tl = int(_dtm.datetime(2299, 12, 31, tzinfo=z).timestamp())
+    if whole < t0:
+        wall = "1900-01-01 00:00:00"
+    elif whole >= tl + 86400:
+        tin = whole - tl
+        h = min(tin // 3600, 23)
+        wall = (f"2299-12-31 {h:02d}:{(tin // 60) % 60:02d}:"
+                f"{tin % 60:02d}")
+    else:
+        wall = _dtm.datetime.fromtimestamp(whole, z) \
+            .strftime("%Y-%m-%d %H:%M:%S")
+    if eff:
+        fs = str(frac).rjust(eff, "0")
+        if frac:
+            from ..sources.tsvrender import DT64_SCALE_HINTS
+            DT64_SCALE_HINTS[(wall, int(fs.ljust(6, "0")))] = eff
+        wall += "." + fs
+    lit = f"TIMESTAMP_NTZ '{wall}'"
+    if tz:
+        return f"convert_timezone({tz}, {tz}, {lit})"
+    return f"CAST({lit} AS TIMESTAMP)"
+
+
 def _todatetime_numeric_literal(a: list) -> str:
     """CH toDateTime(N[, tz]) over an integer: unix SECONDS clamped to
     the DateTime range [0, UInt32 max] (FunctionsConversion
@@ -358,7 +422,16 @@ _RULES: dict = {
         if len(a) == 2 and re.fullmatch(r"\s*'[A-Za-z_/+0-9-]+'\s*", a[1])
         else f"to_date({', '.join(a)})"),
     "todatetime": lambda a: (
-        _todatetime_numeric_literal(a)
+        # toDateTime(numeric, scale[, tz]) returns DateTime64(scale)
+        # with LUT-saturating rendering (golden 01702)
+        _dt64_saturating_literal(
+            _num_literal_of(a[0]), int(a[1]),
+            a[2].strip() if len(a) >= 3 else None)
+        if len(a) >= 2 and re.fullmatch(r"\s*\d+\s*", a[1])
+        and _num_literal_of(a[0]) is not None
+        and (len(a) == 2 or re.fullmatch(
+            r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[2]))
+        else _todatetime_numeric_literal(a)
         if re.fullmatch(r"\s*-?\d+\s*", a[0])
         else _tz_wall_sql(a[0], a[-1].strip())
         if len(a) >= 2 and re.fullmatch(r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1])
@@ -437,7 +510,15 @@ _RULES: dict = {
             and not re.match(r"(?is)\s*array_(min|max|position|"
                              r"contains|size|join)\s*\(", a[0]))
         else f"octet_length({a[0]})"),
-    "lengthutf8": _fn("length"), "lowerutf8": _fn("lower"), "upperutf8": _fn("upper"),
+    "lengthutf8": _fn("length"),
+    # lowerUTF8/upperUTF8 leave INVALID UTF-8 byte sequences untouched
+    # (reference src/Functions/LowerUpperUTF8Impl.h skips bad
+    # sequences; golden 02071_lower_upper_utf8_row_overlaps) — Spark's
+    # lower() would mangle them to U+FFFD
+    "lowerutf8": lambda a:
+        f"IF(is_valid_utf8({a[0]}), lower({a[0]}), {a[0]})",
+    "upperutf8": lambda a:
+        f"IF(is_valid_utf8({a[0]}), upper({a[0]}), {a[0]})",
     "empty": lambda a: f"(length({a[0]}) = 0)",
     "notempty": lambda a: f"(length({a[0]}) > 0)",
     "position": lambda a: f"instr({a[0]}, {a[1]})",
@@ -2612,6 +2693,15 @@ def _todatetime64_sql(a: list[str]) -> str:
     if len(a) >= 3 and re.fullmatch(
             r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[-1]):
         tz = a[-1].strip()
+    num = _num_literal_of(a[0])
+    if num is not None and len(a) >= 2 \
+            and re.fullmatch(r"\s*\d+\s*", a[1]):
+        # numeric epoch literal (incl. decimal casts): LUT-saturating
+        # render for fractional values and anything outside the
+        # DateTime64 LUT range; in-range ints keep the epoch path
+        secs = int(float(num))
+        if "." in num or not (-2208988800 <= secs <= 10413791999):
+            return _dt64_saturating_literal(num, int(a[1]), tz)
     base = _tz_wall_sql(a[0], tz) if tz else f"to_timestamp({a[0]})"
     if len(a) >= 2 and re.fullmatch(r"\s*\d+\s*", a[1]):
         s = min(int(a[1]), 6)

@@ -73,9 +73,20 @@ def _decimal_repr(d: _decimal.Decimal) -> str:
     return s or "0"
 
 
+# (wall "YYYY-mm-dd HH:MM:SS", microsecond) -> declared DateTime64
+# scale, registered by the frontend's constant-fold paths (timestamps
+# carry no scale metadata; DateTime64(3) dominates the corpus so the
+# default pads to 3, but e.g. DateTime64(1) literals print ONE digit —
+# golden 01702_toDateTime_from_string_clamping)
+DT64_SCALE_HINTS: dict = {}
+
+
 def _dt_repr(v: _dt.datetime) -> str:
     base = v.strftime("%Y-%m-%d %H:%M:%S")
     if v.microsecond:
+        hint = DT64_SCALE_HINTS.get((base, v.microsecond))
+        if hint:
+            return f"{base}.{f'{v.microsecond:06d}'[:hint]}"
         frac = f"{v.microsecond:06d}".rstrip("0")
         if len(frac) < 3:
             frac = f"{v.microsecond:06d}"[:3]

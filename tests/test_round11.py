@@ -83,6 +83,55 @@ def test_collapsing_final_expr_key(spark):
     assert rows == [(1,)]
 
 
+# ------------------------------------------- r11 wrong-value classes
+
+def test_tounixtimestamp64_tz_epochs_01277(spark):
+    r = _rows(spark, """SELECT
+        toUnixTimestamp64Second(toDateTime64(
+            '2019-09-16 19:20:12.345678910', 3, 'Asia/Istanbul')) AS s,
+        toUnixTimestamp64Milli(toDateTime64(
+            '2019-09-16 19:20:12.345678910', 3, 'Asia/Istanbul')) AS ms,
+        toString(toDateTime64('2019-09-16 19:20:12.345678910', 3,
+                              'Asia/Istanbul')) AS wall""", {})
+    assert r == [(1568650812, 1568650812345, "2019-09-16 19:20:12.345")]
+
+
+def test_tounixtimestamp_two_arg_tz(spark):
+    r = _rows(spark, "SELECT toUnixTimestamp('2019-09-16 19:20:12', "
+                     "'Asia/Istanbul') AS s", {})
+    assert r == [(1568650812,)]
+
+
+def test_bitmap_null_state_is_empty_01552(spark):
+    r = _rows(spark, """
+        SELECT bitmapOrCardinality(CAST(NULL AS Array(UInt64)),
+                                   bitmapBuild([1])) AS orc,
+               bitmapCardinality(CAST(NULL AS Array(UInt64))) AS c
+    """, {})
+    assert r == [(1, 0)]
+
+
+def test_datetime_saturating_clamp_01702(spark):
+    r = _rows(spark, """SELECT
+        toString(toDateTime('-922337203.6854775808', 1,
+                            'Asia/Istanbul')) AS a,
+        toString(toDateTime('9922337203.6854775808', 1,
+                            'Asia/Istanbul')) AS b,
+        toString(toDateTime64(CAST('10500000000.1' AS Decimal64(1)),
+                              1, 'Asia/Istanbul')) AS c,
+        toString(toDateTime64(CAST('-10500000000.1' AS Decimal64(1)),
+                              1, 'Asia/Istanbul')) AS d""", {})
+    assert r == [("1940-10-09 21:13:16.4", "2284-06-04 23:46:43.6",
+                  "2299-12-31 23:40:00.1", "1900-01-01 00:00:00.9")]
+
+
+def test_lowerutf8_preserves_invalid_bytes_02071(spark):
+    r = _rows(spark, "SELECT lowerUTF8('\\xe2') == '\\xe2' AS eq, "
+                     "hex(lowerUTF8('\\xe2')) AS h, "
+                     "lowerUTF8('AbC') AS low", {})
+    assert r == [(True, "E2", "abc")]
+
+
 def test_expr_key_direct_operators():
     # direct operator-level coverage, no SQL frontend in the loop
     from clickhouse_core_spark import get_spark
