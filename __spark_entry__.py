@@ -9202,6 +9202,62 @@ def fn_string_hex_escapes_q(spark, sf_dir):
                          "'\\x41\\x42' AS s_ab", tables={})
 
 
+@q("json_cast_typed_paths", """
+WITH j(s) AS (VALUES
+  ('{"a": 1, "b": "str1", "k1": 1, "k2": 2, "k3": 3, "k4": 4}'))
+SELECT ['k1','k2'] AS dyn, ['k3','k4'] AS shared,
+       CAST(1 AS BIGINT) AS a_typed, 'Int64' AS k2t
+FROM j
+""")
+def json_cast_typed_paths_q(spark, sf_dir):
+    """``::JSON(max_dynamic_paths=N, a UInt32, b String, SKIP c)``
+    threads its parameters through the cast so JSONDynamicPaths /
+    JSONSharedDataPaths split the non-typed paths at the declared
+    budget and typed subcolumn reads work over the result (reference
+    src/DataTypes/DataTypeObject.h path metadata; goldens
+    03272_json_to_json_cast_*)."""
+    return ch_sql(spark, """
+        SELECT JSONDynamicPaths(json2) AS dyn,
+               JSONSharedDataPaths(json2) AS shared,
+               toInt64(json2.a) AS a_typed,
+               dynamicType(json2.k2) AS k2t
+        FROM (SELECT '{"a": 1, "b": "str1", "k1": 1, "k2": 2,
+                       "k3": 3, "k4": 4}'::JSON(max_dynamic_paths=2,
+                      a UInt32, b String, SKIP c) AS json2)
+    """, tables={})
+
+
+@q("join_tuple_string_compare", """
+WITH t1(id, s1, s2) AS (VALUES (1, 'a', 'b'), (2, 'c', 'd'),
+                               (3, 'e', CAST(NULL AS VARCHAR)))
+SELECT (SELECT id FROM t1 WHERE s1 = 'a' AND s2 = 'b') AS lit,
+       (SELECT id FROM t1 WHERE s1 = 'a' AND s2 = 'b') AS sub,
+       CAST((SELECT count(*) FROM t1
+             WHERE s1 = 'a' AND NULL = NULL) AS BIGINT) AS nul
+""")
+def join_tuple_string_compare_q(spark, sf_dir):
+    """A STRING literal compared against a tuple re-parses as a TUPLE
+    literal, CAST(subquery AS text) compares against the subquery's
+    tuple, and tuple equality with a NULL element is NULL — never the
+    null-safe TRUE (reference convertFieldToType.cpp; golden
+    03371_nullable_tuple_string_comparison)."""
+    t: dict = {}
+    ch_sql(spark, "CREATE TABLE r11_tup (id UInt64, s1 Nullable(String),"
+                  " s2 Nullable(String)) ENGINE = MergeTree ORDER BY id",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r11_tup VALUES (1, 'a', 'b'), "
+                  "(2, 'c', 'd'), (3, 'e', null)", tables=t)
+    return ch_sql(spark, """
+        SELECT (SELECT toInt64(id) FROM r11_tup
+                WHERE (s1, s2) = '(\\'a\\',\\'b\\')') AS lit,
+               (SELECT toInt64(id) FROM r11_tup WHERE (s1, s2) =
+                  CAST((SELECT s1, s2 FROM r11_tup WHERE s1 = 'a')
+                       AS text)) AS sub,
+               (SELECT count() FROM r11_tup
+                WHERE (s1, null) = ('a', null)) AS nul
+    """, tables=t)
+
+
 @q("fn_datetime_saturating_clamp", """
 SELECT '1940-10-09 21:13:16.4' AS a, '2284-06-04 23:46:43.6' AS b,
        '2299-12-31 23:40:00.1' AS c, '1900-01-01 00:00:00.9' AS d

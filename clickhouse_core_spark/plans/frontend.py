@@ -883,8 +883,14 @@ _RULES: dict = {
     "dynamictype": lambda a: (
         f"(CASE WHEN {a[0]} IS NULL THEN 'None' "
         f"WHEN try_cast({a[0]} AS BIGINT) IS NOT NULL THEN "
-        f"IF(try_cast({a[0]} AS BIGINT) >= 0, 'UInt64', 'Int64') "
-        f"WHEN try_cast({a[0]} AS DOUBLE) IS NOT NULL THEN 'Float64' "
+        # JSON dynamic paths infer Int64 for integers (reference
+        # DataTypeObject type inference); bare Dynamic columns sniff
+        # the sign the way the Variant cast does
+        + ("'Int64' "
+           if re.search(r"(?i)get_json_object|parse_json", a[0])
+           else f"IF(try_cast({a[0]} AS BIGINT) >= 0, 'UInt64', "
+                f"'Int64') ")
+        + f"WHEN try_cast({a[0]} AS DOUBLE) IS NOT NULL THEN 'Float64' "
         f"WHEN lower(CAST({a[0]} AS STRING)) IN ('true', 'false') "
         f"THEN 'Bool' "
         f"WHEN CAST({a[0]} AS STRING) RLIKE "
@@ -1577,9 +1583,15 @@ _RULES["jsonallpathswithtypes"] = lambda a: (
 # storage-split introspection: this engine has no dynamic/shared
 # column split — every path is dynamic, shared data is empty
 # (reference ColumnObject max_dynamic_paths overflow; LIMITS)
-_RULES["jsondynamicpaths"] = lambda a: _json_all_paths_sql(a[0])
-_RULES["jsonshareddatapaths"] = lambda a: "array()"
-_RULES["jsondynamicpathswithtypes"] = _RULES["jsonallpathswithtypes"]
+_RULES["jsondynamicpaths"] = lambda a: _json_split_paths_sql(a[0], False)
+_RULES["jsonshareddatapaths"] = lambda a: _json_split_paths_sql(a[0], True)
+_RULES["jsondynamicpathswithtypes"] = lambda a: \
+    _json_split_paths_types_sql(a[0], False)
+_RULES["jsonshareddatapathswithtypes"] = lambda a: \
+    _json_split_paths_types_sql(a[0], True)
+# type-frequency overflow inside the Dynamic column is column-global
+# statistics the string carrier does not model — always false (LIMITS)
+_RULES["isdynamicelementinshareddata"] = lambda a: "false"
 # aggregate forms: distinct paths (and types) across ROWS
 # (reference src/AggregateFunctions/
 # AggregateFunctionDistinctJSONPaths.cpp; DataFrame operator at
@@ -5543,23 +5555,38 @@ def _rewrite_cast_types(sql: str) -> str:
             sql = sql[:m.start()] + lead + ddl + sql[j:]
             pos = m.start() + len(lead + ddl)
     sql = re.sub(r"::\s*Dynamic\b", "", sql, flags=re.IGNORECASE)
-    # ::JSON[(max_dynamic_paths=…, SKIP p, a.b Type)] — the type
-    # parameters are storage tuning (reference DataTypeObject
-    # parameters); the VALUE is the compact-serialized string carrier
+    # ::JSON[(max_dynamic_paths=…, SKIP p, a.b Type)] — parameters
+    # thread through as an inert info marker so the introspection
+    # functions (JSONDynamicPaths / JSONSharedDataPaths) can split
+    # paths per the declared budget (reference DataTypeObject path
+    # metadata; goldens 03272_json_to_json_cast_*); the VALUE stays
+    # the compact-serialized string carrier
     if re.search(r"(?i)::\s*JSON\b|\bAS\s+JSON\b", sql):
-        sql = re.sub(r"(?is)::\s*JSON\s*\((?:[^()]|\([^()]*\))*\)",
-                     "::JSON", sql)
+        sql = re.sub(r"(?is)::\s*JSON\s*(\((?:[^()]|\([^()]*\))*\))",
+                     lambda m: "::JSON" + _json_cast_info_token(
+                         m.group(1)), sql)
+        # remember which SELECT aliases carry a parameterized cast so
+        # introspection over the alias name resolves the same info
+        for tok, al in re.findall(
+                r"(?is)::JSON(CHINFO\d+)\s+as\s+`?(\w+)`?", sql):
+            if tok in _JSON_CAST_INFO:
+                _JSON_CAST_INFO[al.lower()] = _JSON_CAST_INFO[tok]
         sql = re.sub(r"(?is)(\bAS\s+)JSON\s*\((?:[^()]|\([^()]*\))*\)"
                      r"(\s*\))", r"\1JSON\2", sql)
         def _json_cast_postfix(m2):
             start = _trunc_operand_start(sql2[0], m2.start())
             opnd = sql2[0][start:m2.start()]
-            return None if not opnd.strip() else (
-                start, f"to_json(try_parse_json({opnd}))", m2.end())
+            if not opnd.strip():
+                return None
+            body = f"to_json(try_parse_json({opnd}))"
+            info = m2.group(1)
+            if info:
+                body = f"IF(TRUE, {body}, '{info}')"
+            return (start, body, m2.end())
         # postfix '::JSON' binds its operand like other trunc casts
         while True:
             sql2 = [sql]
-            m2 = re.search(r"(?i)::\s*JSON\b", sql)
+            m2 = re.search(r"(?i)::\s*JSON(CHINFO\w+)?\b", sql)
             if m2 is None:
                 break
             r2 = _json_cast_postfix(m2)
@@ -5576,6 +5603,101 @@ def _rewrite_cast_types(sql: str) -> str:
         + m.group(3), sql)
     return _COLONCOLON_TYPE_RE.sub(
         lambda m: "::" + _CH_CAST_TYPES[m.group(1).lower()], sql)
+
+
+_JSON_CAST_INFO: dict[str, dict] = {}
+_JSON_INFO_COUNTER = [0]
+
+
+def _json_cast_info_token(params: str) -> str:
+    """Parse ``::JSON(max_dynamic_paths=N, a UInt32, SKIP c, SKIP
+    REGEXP '…')`` parameters (reference src/DataTypes/DataTypeObject.h
+    path metadata) into a registered info record; returns the
+    ``CHINFO<n>`` token threaded through the cast so introspection
+    functions can recover the declared path budget."""
+    mdp = None
+    typed: list = []
+    skips: list = []
+    skipres: list = []
+    for it in _split_top_commas(params.strip()[1:-1]):
+        it = it.strip()
+        if not it:
+            continue
+        m = re.match(r"(?is)^max_dynamic_paths\s*=\s*(\d+)$", it)
+        if m:
+            mdp = int(m.group(1))
+            continue
+        if re.match(r"(?is)^max_dynamic_types\s*=", it):
+            continue
+        m = re.match(r"(?is)^SKIP\s+REGEXP\s+'(.*)'$", it)
+        if m:
+            skipres.append(m.group(1))
+            continue
+        m = re.match(r"(?is)^SKIP\s+`?([\w.]+)`?$", it)
+        if m:
+            skips.append(m.group(1))
+            continue
+        m = re.match(r"(?is)^`?([\w.]+)`?\s+\S.*$", it)
+        if m:
+            typed.append(m.group(1))
+            continue
+    if mdp is None and not typed and not skips and not skipres:
+        return ""
+    _JSON_INFO_COUNTER[0] += 1
+    tok = f"CHINFO{_JSON_INFO_COUNTER[0]}"
+    _JSON_CAST_INFO[tok] = {"mdp": mdp, "typed": typed,
+                            "skip": skips, "skipre": skipres}
+    return tok
+
+
+def _json_info_of(x: str) -> dict | None:
+    """The cast-info record carried by a translated expression — via
+    its inert ``'CHINFO<n>'`` marker, or by SELECT-alias name."""
+    m = re.search(r"'(CHINFO\d+)'", x)
+    if m:
+        return _JSON_CAST_INFO.get(m.group(1))
+    return _JSON_CAST_INFO.get(x.strip().strip("`").lower())
+
+
+def _json_split_paths_sql(x: str, shared: bool) -> str:
+    """JSONDynamicPaths / JSONSharedDataPaths over the string carrier:
+    without declared parameters every path is dynamic; with a
+    ``max_dynamic_paths`` budget the first N non-typed, non-skipped
+    paths (sorted) are dynamic and the rest live in shared data
+    (reference ColumnObject overflow; goldens 03272_json_to_json_*).
+    The reference orders by column-global value counts with an
+    alphabetical tie-break; the string carrier has no column
+    statistics, so the sorted order IS the order (LIMITS)."""
+    info = _json_info_of(x)
+    allp = _json_all_paths_sql(x)
+    if info is None:
+        return "array()" if shared else allp
+    fil = allp
+    excl = [p for p in info["typed"] + info["skip"]]
+    if excl:
+        inl = ", ".join(f"'{p}'" for p in excl)
+        fil = f"filter({fil}, __dp -> __dp NOT IN ({inl}))"
+    for pat in info["skipre"]:
+        fil = (f"filter({fil}, __dp -> NOT __dp RLIKE "
+               f"'{pat}')")
+    mdp = info["mdp"]
+    if mdp is None:
+        return "array()" if shared else fil
+    if shared:
+        return f"slice({fil}, {mdp} + 1, 1000000)"
+    return f"slice({fil}, 1, {mdp})" if mdp else "array()"
+
+
+def _json_split_paths_types_sql(x: str, shared: bool) -> str:
+    """*WithTypes variants of :func:`_json_split_paths_sql` — the
+    (path, type) entry array filtered to the same split."""
+    info = _json_info_of(x)
+    ents = _json_all_paths_sql(x, with_types=True)
+    keys = _json_split_paths_sql(x, shared)
+    if info is None and not shared:
+        return f"map_from_entries({ents})"
+    return (f"map_from_entries(filter({ents}, __de -> "
+            f"array_contains({keys}, __de.col1)))")
 
 
 _TRUNC_CARRIERS = {
@@ -6639,6 +6761,10 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_map_literals(sql)
     sql = _rewrite_tuple_arith(sql)
     sql = _rewrite_datetime_arith(sql)
+    if "'(" in sql or re.search(r"(?is)AS\s+(text|String)\s*\)", sql):
+        sql = _rewrite_tuple_string_compare(sql)
+    if re.search(r"(?i)[(,]\s*null\s*[),]", sql):
+        sql = _rewrite_tuple_null_equality(sql)
     # CH `expr COLLATE 'locale'` (ParserOrderByElement) -> Spark's
     # collate(expr, 'locale') — ICU locales sort identically
     sql = _sub_nonstring(sql, lambda seg: re.sub(
@@ -6799,6 +6925,197 @@ def _array_lex_cmp_sql(a: str, b: str) -> str:
 
 
 _ARR_CMP_RHS_RE = re.compile(r"(<=|>=|<(?![=>])|>(?!=))\s*(array\s*\()")
+
+
+_TUPLE_TEXT_LIT_RE = re.compile(r"'\((?:[^'\\]|\\.)*\)'")
+_TUPLE_TEXT_ELEMS_RE = re.compile(
+    r"(?is)\(\s*(?:'(?:[^'\\]|\\.)*'|[-+]?\d+(?:\.\d+)?|NULL)"
+    r"(?:\s*,\s*(?:'(?:[^'\\]|\\.)*'|[-+]?\d+(?:\.\d+)?|NULL))*\s*\)")
+_CMP_BEFORE_RE = re.compile(r"(==|!=|<>|=)\s*$")
+_CMP_AFTER_RE = re.compile(r"^\s*(==|!=|<>|=)")
+
+
+def _tuple_group_span_left(sql: str, end: int):
+    """Span of a tuple operand ENDING at ``end`` (exclusive): a
+    balanced paren group with a top-level comma, or a tuple(...)
+    call.  Returns (start, end) or None."""
+    j = end - 1
+    while j >= 0 and sql[j].isspace():
+        j -= 1
+    if j < 0 or sql[j] != ")":
+        return None
+    depth, k = 0, j
+    in_str = False
+    while k >= 0:
+        c = sql[k]
+        if c == "'" and (k == 0 or sql[k - 1] != "\\"):
+            in_str = not in_str
+        elif not in_str:
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        k -= 1
+    if k < 0:
+        return None
+    tm = re.search(r"(?is)\btuple\s*$", sql[:k])
+    if tm:
+        return tm.start(), j + 1
+    if len(_split_top_commas(sql[k + 1:j])) >= 2:
+        return k, j + 1
+    return None
+
+
+def _tuple_group_span_right(sql: str, start: int):
+    """Mirror of :func:`_tuple_group_span_left`: a tuple operand
+    STARTING at/after ``start``."""
+    j = start
+    while j < len(sql) and sql[j].isspace():
+        j += 1
+    tm = re.match(r"(?is)tuple\s*\(", sql[j:])
+    if tm:
+        close = _matching_paren(sql, j + tm.end() - 1)
+        return (j, close + 1) if close > 0 else None
+    if j >= len(sql) or sql[j] != "(":
+        return None
+    close = _matching_paren(sql, j)
+    if close < 0:
+        return None
+    if len(_split_top_commas(sql[j + 1:close])) >= 2:
+        return j, close + 1
+    return None
+
+
+def _ch_unescape_literal(body: str) -> str:
+    """One unescape level of a CH string literal body (\\' -> ',
+    \\\\ -> \\)."""
+    out, i = [], 0
+    while i < len(body):
+        if body[i] == "\\" and i + 1 < len(body):
+            out.append(body[i + 1])
+            i += 2
+        else:
+            out.append(body[i])
+            i += 1
+    return "".join(out)
+
+
+def _rewrite_tuple_string_compare(sql: str) -> str:
+    """A STRING literal compared against a TUPLE re-parses as a tuple
+    literal — ``(s1, s2) = '(\\'a\\',\\'b\\')'`` matches the row
+    ('a','b') (reference src/Interpreters/convertFieldToType.cpp
+    string-to-tuple conversion at comparison; golden
+    03371_nullable_tuple_string_comparison) — and ``(s1, s2) =
+    CAST((SELECT c1, c2 ...) AS text)`` compares against the
+    subquery's tuple directly (the text round-trip is identity)."""
+    # string literal side: unquote into a tuple literal
+    pos = 0
+    while True:
+        m = _TUPLE_TEXT_LIT_RE.search(sql, pos)
+        if m is None:
+            break
+        pos = m.end()
+        content = _ch_unescape_literal(m.group(0)[1:-1])
+        if not _TUPLE_TEXT_ELEMS_RE.fullmatch(content):
+            continue
+        if len(_split_top_commas(content[1:-1])) == 1:
+            # single-element: bare parens would be grouping, not a
+            # tuple — spell the constructor out
+            content = f"tuple{content}"
+        before = _CMP_BEFORE_RE.search(sql[:m.start()])
+        if before and _tuple_group_span_left(sql, before.start()):
+            sql = sql[:m.start()] + content + sql[m.end():]
+            pos = m.start() + len(content)
+            continue
+        after = _CMP_AFTER_RE.match(sql[m.end():])
+        if after and _tuple_group_span_right(sql,
+                                             m.end() + after.end()):
+            sql = sql[:m.start()] + content + sql[m.end():]
+            pos = m.start() + len(content)
+    # CAST((SELECT ...) AS text) side: compare tuples directly
+    pos = 0
+    while True:
+        m = re.compile(r"(?is)(==|!=|<>|=)\s*CAST\s*\(").search(sql, pos)
+        if m is None:
+            break
+        pos = m.end()
+        if not _tuple_group_span_left(sql, m.start(1)):
+            continue
+        open_i = sql.rindex("(", m.start(), m.end())
+        close_i = _matching_paren(sql, open_i)
+        if close_i < 0:
+            continue
+        inner = sql[open_i + 1:close_i]
+        im = re.fullmatch(r"(?is)\s*\(\s*(SELECT\b.*)\)\s+AS\s+"
+                          r"(?:text|String)\s*", inner)
+        if im is None:
+            continue
+        sub = im.group(1)
+        sm = re.match(r"(?is)SELECT\s+(.*?)\s+(FROM\b.*)$", sub)
+        if sm is None or len(_split_top_commas(sm.group(1))) < 2:
+            continue
+        lspan = _tuple_group_span_left(sql, m.start(1))
+        if lspan is None:
+            continue
+        sub = f"(SELECT ({sm.group(1)}) {sm.group(2)})"
+        grp = sql[lspan[0]:lspan[1]]
+        o = grp.index("(")
+        # bare NULL elements: Spark's struct comparison rejects VOID
+        # vs the subquery's element type — text-cast comparisons are
+        # string-shaped, so type the NULL
+        elems = [("CAST(NULL AS String)"
+                  if re.fullmatch(r"(?is)null", e.strip()) else e)
+                 for e in _split_top_commas(grp[o + 1:-1])]
+        lhs2 = grp[:o + 1] + ", ".join(elems) + ")"
+        op = m.group(1)
+        if op in ("=", "=="):
+            # CH tuple equality propagates element NULLs (NULL result
+            # filters the row); Spark struct equality is null-safe —
+            # guard each element so NULL never compares equal
+            guards = " AND ".join(f"isNotNull({e})" for e in elems)
+            full = f"(({lhs2} = {sub}) AND {guards})"
+        else:
+            full = f"({lhs2} {op} {sub})"
+        sql = sql[:lspan[0]] + full + sql[close_i + 1:]
+        pos = lspan[0] + len(full)
+    return sql
+
+
+def _rewrite_tuple_null_equality(sql: str) -> str:
+    """Tuple equality with a bare NULL element expands element-wise:
+    CH tupleEquals is the AND of element comparisons, so a NULL
+    element makes the result NULL (row filtered) — Spark's struct
+    equality is null-safe and would treat NULL = NULL as TRUE
+    (golden 03371: ``(s1, null) = ('a', null)`` returns no rows)."""
+    pos = 0
+    while True:
+        m = re.compile(r"(==|!=|<>|=)").search(sql, pos)
+        if m is None:
+            return sql
+        pos = m.end()
+        if sql[max(0, m.start() - 1)] in "<>!=" or \
+                sql[m.end():m.end() + 1] == "=":
+            continue
+        ls = _tuple_group_span_left(sql, m.start())
+        rs = _tuple_group_span_right(sql, m.end())
+        if ls is None or rs is None:
+            continue
+        lg, rg = sql[ls[0]:ls[1]], sql[rs[0]:rs[1]]
+        le = _split_top_commas(lg[lg.index("(") + 1:-1])
+        re_ = _split_top_commas(rg[rg.index("(") + 1:-1])
+        if len(le) != len(re_) or len(le) < 2:
+            continue
+        has_null = any(x.strip().lower() == "null" for x in le + re_)
+        if not has_null:
+            continue
+        eq = " AND ".join(f"({a.strip()} = {b.strip()})"
+                          for a, b in zip(le, re_))
+        full = f"(NOT ({eq}))" if m.group(1) in ("!=", "<>") \
+            else f"({eq})"
+        sql = sql[:ls[0]] + full + sql[rs[1]:]
+        pos = ls[0] + len(full)
 
 
 def _rewrite_array_literal_compare(sql: str) -> str:
@@ -7886,12 +8203,17 @@ def _ch_sql_impl(spark, sql: str,
     if re.search(r"(?i)\b(?:FROM|DESCRIBE(?:\s+TABLE)?|DESC)\s+"
                  r"merge\s*\(", text):
         text = _materialize_merge_tvf(spark, text, tables)
-    if tables:
+    if tables is not None:
         jcols = set()
         for tb in tables.values():
             jcols |= getattr(tb, "json_cols", set()) or set()
         for d in (tables.get("__decl__") or {}).values():
             jcols |= set((d or {}).get("json") or ())
+        # SELECT aliases bound to a ::JSON cast read like JSON columns
+        # (dotted subcolumns over the cast result; 03272 goldens)
+        jcols |= {al for al in re.findall(
+            r"(?is)::\s*JSON\b(?:\s*\((?:[^()]|\([^()]*\))*\))?"
+            r"\s+as\s+`?(\w+)`?", text)}
         if jcols and any(re.search(rf"\b{re.escape(c)}\s*\.", text)
                          for c in jcols):
             text = _rewrite_json_subcolumns(text, jcols)
@@ -9681,6 +10003,14 @@ def _register_distributed_alias(spark, name: str, local: str,
         cur = amap.get(cur)
         hops += 1
     amap[name] = local
+    # the proxy exposes the local table's declared ALIAS columns too
+    # (reference StorageDistributed reads the remote table's ALIAS
+    # defaults; golden 03035_alias_column_bug_distributed)
+    if tables is not None:
+        acols = tables.get("__aliascols__", {}).get(local)
+        if acols:
+            tables.setdefault("__aliascols__", {}) \
+                .setdefault(name, acols)
     src = _resolve_view_safe(spark, local, (tables or {}).get(local))
     if src is None:
         return False

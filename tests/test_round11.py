@@ -132,6 +132,44 @@ def test_lowerutf8_preserves_invalid_bytes_02071(spark):
     assert r == [(True, "E2", "abc")]
 
 
+def test_tuple_string_compare_03371(spark):
+    tables: dict = {}
+    ch_sql(spark, "CREATE TABLE tsc (id UInt64, s1 Nullable(String), "
+                  "s2 Nullable(String)) ENGINE = MergeTree ORDER BY id",
+           tables=tables)
+    ch_sql(spark, "INSERT INTO tsc VALUES (1, 'a', 'b'), (2, 'c', 'd'),"
+                  " (3, 'e', null)", tables=tables)
+    assert _rows(spark, "SELECT id FROM tsc WHERE (s1, s2) = "
+                        "'(\\'a\\',\\'b\\')'", tables) == [(1,)]
+    assert _rows(spark, "SELECT id FROM tsc WHERE (s1, s2) = "
+                        "CAST((SELECT s1, s2 FROM tsc WHERE s1 = 'a') "
+                        "AS text)", tables) == [(1,)]
+    assert _rows(spark, "SELECT id FROM tsc WHERE (s1, null) = "
+                        "('a', null)", tables) == []
+    assert _rows(spark, "SELECT id FROM tsc WHERE (s1, null) = "
+                        "'(\\'a\\',null)'", tables) == []
+    assert _rows(spark, "SELECT tuple('a') = '(\\'a\\')' AS x",
+                 tables) == [(True,)]
+
+
+def test_distributed_alias_columns_03035(spark):
+    tables: dict = {}
+    ch_sql(spark, "CREATE TABLE ab (src String, theAlias String ALIAS "
+                  "trimBoth(src)) ENGINE = MergeTree ORDER BY src",
+           tables=tables)
+    ch_sql(spark, "CREATE TABLE ab_dist AS ab ENGINE = Distributed("
+                  "'test_shard_localhost', currentDatabase(), 'ab', "
+                  "rand())", tables=tables)
+    ch_sql(spark, "INSERT INTO ab VALUES ('  SOURCE1  ')",
+           tables=tables)
+    r = _rows(spark, "SELECT theAlias, CAST(NULL, 'Nullable(String)') "
+                     "AS src FROM ab_dist LIMIT 1", tables)
+    assert r == [("SOURCE1", None)]
+    r2 = _rows(spark, "SELECT CAST(123, 'String') AS src, theAlias "
+                      "FROM ab_dist LIMIT 1", tables)
+    assert r2 == [("123", "SOURCE1")]
+
+
 def test_expr_key_direct_operators():
     # direct operator-level coverage, no SQL frontend in the loop
     from clickhouse_core_spark import get_spark
