@@ -9202,10 +9202,49 @@ def fn_string_hex_escapes_q(spark, sf_dir):
                          "'\\x41\\x42' AS s_ab", tables={})
 
 
+@q("agg_uniq_array_multi", """
+SELECT CAST(2 AS BIGINT) AS u3, CAST(3 AS BIGINT) AS ud,
+       CAST(2 AS BIGINT) AS ue
+""")
+def agg_uniq_array_multi_q(spark, sf_dir):
+    """uniqArray/uniqExactArray over MULTIPLE arrays count distinct
+    ZIPPED element tuples (the -Array combinator zips equal-size
+    arrays, reference AggregateFunctionCombinatorArray; golden
+    00533_uniq_array)."""
+    return ch_sql(spark, """
+        SELECT uniqArray([0, 1, 1], [0, 1, 1], [0, 1, 1]) AS u3,
+               uniqArray([0, 1, 1], [0, 1, 1], [0, 1, 0]) AS ud,
+               uniqExactArray([0, 1, 1], [0, 1, 1], [0, 1, 1]) AS ue
+    """, tables={})
+
+
+@q("fn_argmaxstate_hex", """
+SELECT '0B0000003031323334353637383900010000000000000000' AS h,
+       '0123456789' AS ok, '0123456789' AS ko
+""")
+def fn_argmaxstate_hex_q(spark, sf_dir):
+    """hex(argMaxState(String, UInt64)) serializes the reference's
+    state wire format — LE32(len+1) + bytes + NUL + presence byte +
+    LE64 — and the CAST(unhex(...) AS AggregateFunction(argMax,
+    String, UInt64)) decode reads both the canonical and the 22.8.6
+    no-NUL regression layouts (reference SingleValueDataString;
+    golden 02477_single_value_data_string_regression)."""
+    return ch_sql(spark, """
+        SELECT (SELECT hex(argMaxState('0123456789', number))
+                FROM numbers(1)) AS h,
+               finalizeAggregation(CAST(unhex(
+                 '0B0000003031323334353637383900010000000000000000')
+                 AS AggregateFunction(argMax, String, UInt64))) AS ok,
+               finalizeAggregation(CAST(unhex(
+                 '0A00000030313233343536373839010000000000000000')
+                 AS AggregateFunction(argMax, String, UInt64))) AS ko
+    """, tables={})
+
+
 @q("json_cast_typed_paths", """
 WITH j(s) AS (VALUES
   ('{"a": 1, "b": "str1", "k1": 1, "k2": 2, "k3": 3, "k4": 4}'))
-SELECT ['k1','k2'] AS dyn, ['k3','k4'] AS shared,
+SELECT 'k1,k2' AS dyn, 'k3,k4' AS shared,
        CAST(1 AS BIGINT) AS a_typed, 'Int64' AS k2t
 FROM j
 """)
@@ -9217,8 +9256,9 @@ def json_cast_typed_paths_q(spark, sf_dir):
     src/DataTypes/DataTypeObject.h path metadata; goldens
     03272_json_to_json_cast_*)."""
     return ch_sql(spark, """
-        SELECT JSONDynamicPaths(json2) AS dyn,
-               JSONSharedDataPaths(json2) AS shared,
+        SELECT arrayStringConcat(JSONDynamicPaths(json2), ',') AS dyn,
+               arrayStringConcat(JSONSharedDataPaths(json2), ',')
+                 AS shared,
                toInt64(json2.a) AS a_typed,
                dynamicType(json2.k2) AS k2t
         FROM (SELECT '{"a": 1, "b": "str1", "k1": 1, "k2": 2,

@@ -850,6 +850,16 @@ _RULES: dict = {
         f"({a[0]}).col{a[1]}" if a[1].strip().isdigit()
         else f"({a[0]}).{a[1].strip()[1:-1]}"
         if a[1].strip()[:1] in "'\"" else f"({a[0]}).{a[1].strip()}"),
+    # mortonEncode(mask_tuple, x, y): the leading TUPLE is a bit-mask
+    # per coordinate (reference src/Functions/mortonCodes.cpp masked
+    # form); the all-ones mask is identity — strip it and interleave.
+    # Non-trivial masks are not implemented (LIMITS).
+    "mortonencode": lambda a: (
+        _bridge_registry_call("mortonEncode", a[1:] if (
+            len(a) == 3 and set(re.findall(
+                r"\d+", re.sub(r"(?i)col\d+|named_struct|'|\+ 0", "",
+                               a[0]))) == {"1"}) else a)
+        or f"mortonEncode({', '.join(a)})"),
     # misc
     "generateuuidv4": lambda a: "uuid()",
     # materialize(): the reference's anti-constant-folding wrapper.  A
@@ -3765,11 +3775,19 @@ def _try_suffix_combinator(lname: str, targs: list) -> str | None:
             wrapped = [f"CASE WHEN {cond} THEN {a} END"
                        for a in targs[:-1]]
             return _RULES[base](wrapped)
-    if lname.endswith("array") and len(targs) == 1:
+    if lname.endswith("array") and targs:
         base = lname[:-5]
         if base in _ARRAY_BASES:
-            flat = f"flatten(collect_list({targs[0]}))"
-            return _ARRAY_BASES[base](flat)
+            # multi-array spelling zips corresponding elements into
+            # tuples (the -Array combinator requires equal sizes,
+            # reference AggregateFunctionCombinatorArray; golden
+            # 00533_uniq_array) — uniq/count over the zipped structs
+            inner = (targs[0] if len(targs) == 1
+                     else f"arrays_zip({', '.join(targs)})")
+            flat = f"flatten(collect_list({inner}))"
+            if len(targs) == 1 or base in ("uniq", "uniqexact",
+                                           "count"):
+                return _ARRAY_BASES[base](flat)
     return None
 
 
@@ -3875,6 +3893,12 @@ _TUPLE_ARG_FNS = {
     "l1distance", "l2distance", "l2squareddistance", "linfdistance",
     "lpdistance", "l1normalize", "l2normalize", "linfnormalize",
     "lpnormalize", "cosinedistance", "dotproduct", "scalarproduct",
+    # registerAlias spellings (norm*/distance*/normalize* families,
+    # reference src/Functions/vectorFunctions.cpp)
+    "norml1", "norml2", "norml2squared", "normlinf", "normlp",
+    "distancel1", "distancel2", "distancel2squared", "distancelinf",
+    "distancelp", "normalizel1", "normalizel2", "normalizelinf",
+    "normalizelp",
     "tuplenegate", "tuplehammingdistance", "tupleplus", "tupleminus",
     "tuplemultiply", "tupledivide", "tuplemultiplybynumber",
     "tupledividebynumber", "tupleintdiv", "tupleintdivbynumber",
@@ -6173,11 +6197,66 @@ def _fold_const_int(expr: str):
         if m.group(1).lower() != "u" and v >= (1 << (bits - 1)):
             v -= 1 << bits
         return v
-    if re.fullmatch(r"[-+0-9*/% ()\t]*\d[-+0-9*/% ()\t]*", e):
+    if re.fullmatch(r"[-+0-9*/% ()\t]*\d[-+0-9*/% ()\t]*", e) \
+            and "**" not in e:
+        # tiny arithmetic parser, NOT eval: `9**9**9` must not hang
+        # the process, and /,% follow C++ TRUNCATION for negatives
+        # (the reference's integer ops), not Python's floor semantics
+        toks = re.findall(r"\d+|[-+*/%()]", e)
+        p = [0]
+
+        def _atom():
+            neg = False
+            while p[0] < len(toks) and toks[p[0]] in "+-":
+                neg ^= (toks[p[0]] == "-")
+                p[0] += 1
+            if p[0] >= len(toks):
+                raise ValueError
+            t = toks[p[0]]
+            p[0] += 1
+            if t == "(":
+                v = _sum()
+                if p[0] >= len(toks) or toks[p[0]] != ")":
+                    raise ValueError
+                p[0] += 1
+            elif t.isdigit():
+                v = int(t)
+            else:
+                raise ValueError
+            return -v if neg else v
+
+        def _term():
+            v = _atom()
+            while p[0] < len(toks) and toks[p[0]] in "*/%":
+                op = toks[p[0]]
+                p[0] += 1
+                r = _atom()
+                if op == "*":
+                    v *= r
+                elif r == 0:
+                    raise ValueError
+                elif op == "/":
+                    q = abs(v) // abs(r)
+                    v = q if (v >= 0) == (r >= 0) else -q
+                else:
+                    v = v - r * (abs(v) // abs(r)
+                                 if (v >= 0) == (r >= 0)
+                                 else -(abs(v) // abs(r)))
+            return v
+
+        def _sum():
+            v = _term()
+            while p[0] < len(toks) and toks[p[0]] in "+-":
+                op = toks[p[0]]
+                p[0] += 1
+                v = v + _term() if op == "+" else v - _term()
+            return v
+
         try:
-            v = eval(compile(e, "<fold>", "eval"),  # noqa: S307
-                     {"__builtins__": {}})
-            return int(v)
+            v = _sum()
+            if p[0] != len(toks):
+                return None
+            return v
         except Exception:
             return None
     return None
@@ -6375,8 +6454,13 @@ def _rewrite_numbers_tvf(sql: str) -> str:
         args = [_fold_const_int(a) for a in
                 _split_top_commas(sql[open_i + 1:end_i])]
         if args and all(v is not None for v in args):
-            vals = [min(v, 1 << 20) if v > (1 << 31) else v
-                    for v in args]
+            # only the ROW-COUNT clamps (the single arg, or the second
+            # of two) — clamping the two-arg form's START OFFSET would
+            # return the wrong values entirely
+            vals = list(args)
+            ci = 1 if len(vals) == 2 else 0
+            if vals[ci] > (1 << 31):
+                vals[ci] = 1 << 20
             rng = (f"range({vals[0]}, {vals[0] + vals[1]})"
                    if len(vals) == 2 else f"range({vals[0]})")
             repl = f"(SELECT id AS number FROM {rng})"
@@ -6708,9 +6792,14 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_null_coalesce_op(sql)
     sql = _rewrite_ternary(sql)
     sql = _rewrite_using_bare(sql)
-    # AggregateFunction(...) casts: the state carrier is opaque here —
-    # the cast passes the value through (finalizeAggregation of a
-    # finalized carrier is identity)
+    # AggregateFunction(...) casts: argMax/argMin String states decode
+    # their reference wire format (02477 golden family); every other
+    # state carrier is opaque — the cast passes the value through
+    # (finalizeAggregation of a finalized carrier is identity)
+    if re.search(r"(?i)hex\s*\(\s*arg(max|min)state\s*\(", sql) or \
+            re.search(r"(?i)AggregateFunction\s*\(\s*arg(max|min)",
+                      sql):
+        sql = _rewrite_argmm_state_hex(sql)
     if re.search(r"(?i)\bAggregateFunction\s*\(", sql):
         sql = re.sub(
             r"(?is)CAST\s*\(((?:[^()]|\([^()]*\))*?)\s+AS\s+"
@@ -6765,6 +6854,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         sql = _rewrite_tuple_string_compare(sql)
     if re.search(r"(?i)[(,]\s*null\s*[),]", sql):
         sql = _rewrite_tuple_null_equality(sql)
+    sql = _rewrite_star_in_args(sql)
     # CH `expr COLLATE 'locale'` (ParserOrderByElement) -> Spark's
     # collate(expr, 'locale') — ICU locales sort identically
     sql = _sub_nonstring(sql, lambda seg: re.sub(
@@ -6778,7 +6868,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # CH allows == for equality (string-aware: '===' literals keep)
     sql = _sub_nonstring(
         sql, lambda seg: re.sub(r"(?<![=!<>])==(?!=)", "=", seg))
-    if re.search(r"(?i)[<>]=?\s*array\s*\(", sql):
+    if re.search(r"(?i)\barray\s*\(", sql) and re.search(r"[<>]", sql):
         sql = _rewrite_array_literal_compare(sql)
     # arrayJoin over a Map-returning form (JSONAllPathsWithTypes,
     # distinctJSONPathsAndTypes) iterates (k, v) ENTRIES in the
@@ -7083,6 +7173,142 @@ def _rewrite_tuple_string_compare(sql: str) -> str:
     return sql
 
 
+def _le_bytes_sql(n: str, width: int) -> str:
+    """Little-endian ``width``-byte BINARY of integer expression
+    ``n`` (the reference's fixed-width binary writers,
+    src/IO/WriteHelpers.h writeBinaryLittleEndian)."""
+    h = f"lpad(hex({n}), {width * 2}, '0')"
+    parts = ", ".join(f"substr({h}, {i * 2 + 1}, 2)"
+                      for i in reversed(range(width)))
+    return f"unhex(concat({parts}))"
+
+
+def _rewrite_argmm_state_hex(sql: str) -> str:
+    """``hex(argMaxState(s, v))`` serializes the state in the
+    reference's wire format — LE32(len+1) + bytes + NUL for the
+    String, then a presence byte + LE64 for the value column
+    (reference SingleValueDataString / SingleValueDataFixed
+    serialization, golden 02477_single_value_data_string_regression)
+    — and ``finalizeAggregation(CAST(unhex(x) AS
+    AggregateFunction(argMax, String, …)))`` decodes it, tolerating
+    the 22.8.6 no-NUL regression layout."""
+    pos = 0
+    while True:
+        m = re.compile(r"(?is)\bhex\s*\(\s*arg(max|min)state\s*\(") \
+                .search(sql, pos)
+        if m is None:
+            break
+        pos = m.end()
+        inner_open = sql.rindex("(", m.start(), m.end())
+        inner_close = _matching_paren(sql, inner_open)
+        hex_open = sql.index("(", m.start())
+        hex_close = _matching_paren(sql, hex_open)
+        if inner_close < 0 or hex_close != \
+                _skip_ws_end(sql, inner_close + 1):
+            continue
+        args = _split_top_commas(sql[inner_open + 1:inner_close])
+        if len(args) != 2:
+            continue
+        mm = "max" if m.group(1).lower() == "max" else "min"
+        s, v = args[0].strip(), args[1].strip()
+        picked = f"{mm}_by({s}, {v})"
+        repl = (f"hex(concat("
+                f"{_le_bytes_sql(f'length({picked}) + 1', 4)}, "
+                f"CAST({picked} AS BINARY), X'0001', "
+                f"{_le_bytes_sql(f'{mm}({v})', 8)}))")
+        sql = sql[:m.start()] + repl + sql[hex_close + 1:]
+        pos = m.start() + len(repl)
+    # decode: finalizeAggregation over a CAST to
+    # AggregateFunction(argMax/argMin, String, ...)
+    pos = 0
+    while True:
+        m = re.compile(
+            r"(?is)\bCAST\s*\(\s*unhex\s*\(").search(sql, pos)
+        if m is None:
+            break
+        pos = m.end()
+        cast_open = sql.index("(", m.start())
+        cast_close = _matching_paren(sql, cast_open)
+        if cast_close < 0:
+            continue
+        body = sql[cast_open + 1:cast_close]
+        bm = re.fullmatch(
+            r"(?is)\s*(unhex\s*\((?:[^()]|\([^()]*\))*\))\s*"
+            r"(?:\s+AS\s+|,\s*')\s*"
+            r"AggregateFunction\s*\(\s*arg(?:Max|Min)\s*,\s*String\b"
+            r"[^)]*\)\s*'?\s*", body)
+        if bm is None:
+            continue
+        b = f"CAST({bm.group(1)} AS BINARY)"
+        h4 = f"hex(substring({b}, 1, 4))"
+        n = (f"CAST(conv(concat(substr({h4}, 7, 2), "
+             f"substr({h4}, 5, 2), substr({h4}, 3, 2), "
+             f"substr({h4}, 1, 2)), 16, 10) AS INT)")
+        decoded = (f"IF(substring({b}, 4 + {n}, 1) = X'00', "
+                   f"substring({b}, 5, {n} - 1), "
+                   f"substring({b}, 5, {n}))")
+        repl = (f"CAST(IF(length({b}) = 4 + {n} + 9 AND "
+                f"substring({b}, 4 + {n} + 1, 1) = X'01', {decoded}, "
+                f"raise_error('Incorrect AggregateFunction state: "
+                f"cannot read all data (reference "
+                f"CANNOT_READ_ALL_DATA)')) AS STRING)")
+        sql = sql[:m.start()] + repl + sql[cast_close + 1:]
+        pos = m.start() + len(repl)
+    return sql
+
+
+def _skip_ws_end(sql: str, i: int) -> int:
+    """First non-space index at/after ``i`` (for adjacency checks)."""
+    while i < len(sql) and sql[i].isspace():
+        i += 1
+    return i
+
+
+def _rewrite_star_in_args(sql: str) -> str:
+    """``tuple(*, 1)`` / ``cosineDistance(tuple(*, * + 1), ...)`` —
+    the reference expands qualified asterisks in ANY expression
+    context (src/Analyzer asterisk resolution), not just the SELECT
+    list.  Scoped to ``FROM numbers(...)`` sources (the corpus shape),
+    where ``*`` is exactly the ``number`` column; ``count(*)`` keeps
+    its aggregate meaning."""
+    if not re.search(r"(?i)\bFROM\s+numbers\s*\(|"
+                     r"\bid\s+AS\s+number\s+FROM\s+range\s*\(", sql) \
+            or not re.search(r"[(,]\s*\*", sql):
+        return sql
+    out: list[str] = []
+    stack: list[str] = []
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c in "'`\"":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "(":
+            nm = re.search(r"([A-Za-z_]\w*)\s*$", "".join(out))
+            stack.append(nm.group(1).lower() if nm else "")
+            out.append(c)
+            i += 1
+            continue
+        if c == ")":
+            if stack:
+                stack.pop()
+            out.append(c)
+            i += 1
+            continue
+        if c == "*" and stack and stack[-1] not in ("count",
+                                                    "numbers"):
+            prev = "".join(out).rstrip()
+            if prev and prev[-1] in "(,":
+                out.append("number")
+                i += 1
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _rewrite_tuple_null_equality(sql: str) -> str:
     """Tuple equality with a bare NULL element expands element-wise:
     CH tupleEquals is the AND of element comparisons, so a NULL
@@ -7118,21 +7344,38 @@ def _rewrite_tuple_null_equality(sql: str) -> str:
         pos = ls[0] + len(full)
 
 
+def _in_string_literal(sql: str, i: int) -> bool:
+    """Is index ``i`` inside a quoted literal?"""
+    j = 0
+    while j < i:
+        if sql[j] in "'\"`":
+            j = _skip_string(sql, j)
+            if j > i:
+                return True
+            continue
+        j += 1
+    return False
+
+
 def _rewrite_array_literal_compare(sql: str) -> str:
-    """``arr > [12.2]`` — ordering comparisons against an ARRAY
-    LITERAL (already translated to array(...)) rewrite to a
-    lexicographic element-wise compare; Spark's binary comparison
-    rejects array operands (reference
-    src/Functions/FunctionsComparison.h generic ordering)."""
+    """``arr > [12.2]`` / ``[1] < arr`` — ordering comparisons with
+    an ARRAY LITERAL on either side (already translated to
+    array(...)) rewrite to a lexicographic element-wise compare;
+    Spark's binary comparison rejects array operands (reference
+    src/Functions/FunctionsComparison.h generic ordering).
+    String-literal content is never rewritten."""
     pos = 0
     while True:
         m = _ARR_CMP_RHS_RE.search(sql, pos)
         if m is None:
-            return sql
+            break
+        if _in_string_literal(sql, m.start()):
+            pos = m.end()
+            continue
         open_i = sql.index("(", m.end(1))
         end_i = _matching_paren(sql, open_i)
         if end_i < 0:
-            return sql
+            break
         rhs = sql[m.start(2):end_i + 1]
         lstart = _expr_left_boundary(sql, m.start())
         lhs = sql[lstart:m.start()].strip()
@@ -7144,6 +7387,32 @@ def _rewrite_array_literal_compare(sql: str) -> str:
         repl = f"({_array_lex_cmp_sql(f'({lhs})', rhs)} {op} 0)"
         sql = sql[:lstart] + repl + sql[end_i + 1:]
         pos = lstart + len(repl)
+    # mirrored: the array literal on the LEFT of the operator
+    pos = 0
+    while True:
+        m = re.compile(r"(?i)\barray\s*\(").search(sql, pos)
+        if m is None:
+            return sql
+        pos = m.end()
+        if _in_string_literal(sql, m.start()):
+            continue
+        end_i = _matching_paren(sql, m.end() - 1)
+        if end_i < 0:
+            return sql
+        om = re.match(r"\s*(<=|>=|<(?![=>])|>(?!=))\s*",
+                      sql[end_i + 1:])
+        if om is None:
+            continue
+        rs = end_i + 1 + om.end()
+        re_b = _expr_right_boundary(sql, rs)
+        rhs = sql[rs:re_b].strip()
+        if not rhs or re.match(r"(?i)array\s*\(", rhs):
+            continue               # array-vs-array handled above
+        lhs = sql[m.start():end_i + 1]
+        op = om.group(1)
+        repl = f"({_array_lex_cmp_sql(lhs, f'({rhs})')} {op} 0)"
+        sql = sql[:m.start()] + repl + sql[re_b:]
+        pos = m.start() + len(repl)
 
 
 def _wrap_keyless_agg_defaults(sql: str) -> str:
@@ -8351,8 +8620,26 @@ def _ch_sql_impl(spark, sql: str,
     if re.match(r"^SYSTEM\s+FLUSH\s+LOGS\b", text, re.IGNORECASE):
         return None
 
-    text = re.sub(r"(?i)^(CREATE|SHOW\s+CREATE)\s+TEMPORARY\s+TABLE\b",
+    # TEMPORARY tables are session-scoped Memory tables here (the
+    # whole session IS one process); SHOW CREATE keeps the keyword so
+    # its rendering matches the reference (golden 00564)
+    tm = re.match(r"(?i)^CREATE\s+TEMPORARY\s+TABLE\b(.*)$", text,
+                  re.DOTALL)
+    if tm:
+        rest = tm.group(1)
+        nm0 = re.match(r"\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?", rest)
+        if nm0 and tables is not None:
+            tables.setdefault("__temp__", set()).add(nm0.group(1))
+        text = "CREATE TABLE" + rest
+        if not re.search(r"(?i)\bENGINE\b", rest) \
+                and not re.search(r"(?i)\bAS\b", rest) \
+                and re.match(r"\s*(?:IF\s+NOT\s+EXISTS\s+)?"
+                             r"`?\w+`?\s*\(", rest):
+            text += " ENGINE = Memory"
+    text = re.sub(r"(?i)^(DROP|EXISTS)\s+TEMPORARY\s+TABLE\b",
                   lambda m: m.group(1).upper() + " TABLE", text)
+    text = re.sub(r"(?i)^SHOW\s+TEMPORARY\s+TABLES\b", "SHOW TABLES",
+                  text)
 
     if re.match(r"(?i)^CREATE\s+(OR\s+REPLACE\s+)?DICTIONARY\b",
                 text):
@@ -9045,7 +9332,17 @@ def _retry_int_logical(translated: str, err: Exception):
             edits.append((rs, re_, f"(({right}) <> 0) "))
     if not edits:
         return None
-    for s, e, r in sorted(edits, reverse=True):
+    # chained AND/OR (a+1 AND b+2 AND c+3) claims the middle operand
+    # TWICE — as the right of one AND and the left of the next; dedupe
+    # by span and drop any edit overlapping an accepted one, else the
+    # replacements corrupt the SQL
+    accepted: list[tuple[int, int, str]] = []
+    for s, e, r in sorted(set(edits)):
+        if any(s < ae and ase < e
+               for ase, ae, _ in accepted):
+            continue
+        accepted.append((s, e, r))
+    for s, e, r in sorted(accepted, reverse=True):
         translated = translated[:s] + r + translated[e:]
     return translated
 
@@ -9482,22 +9779,28 @@ def _utility_statement(spark, text: str, tables):
             [("default", " ".join(text.split()), 0.0)],
             "user string, query string, elapsed double")
 
-    m = re.match(r"^SHOW\s+CREATE\s+(?:TABLE\s+)?`?(\w+)`?\s*$",
-                 text, re.IGNORECASE)
+    m = re.match(r"^SHOW\s+CREATE\s+(TEMPORARY\s+)?(?:TABLE\s+)?"
+                 r"`?(\w+)`?\s*$", text, re.IGNORECASE)
     if m:
-        name = m.group(1)
+        name = m.group(2)
         df = _resolve_view(spark, name, tables)
         if df is None:
             raise ValueError(f"SHOW CREATE: unknown table {name!r}")
         t = (tables or {}).get(name)
         engine = getattr(t, "engine", None) or "Memory"
         eng_name = "".join(w.capitalize() for w in str(engine).split("_"))
-        cols = ", ".join(f"`{f.name}` {_spark_type_to_ch(f.dataType)}"
-                         for f in df.schema.fields)
+        temp = bool(m.group(1)) or \
+            name in (tables or {}).get("__temp__", set())
+        # the reference renders CREATE statements multi-line with
+        # 4-space column indent (formatAST; golden 00564)
+        cols = ",\n".join(f"    `{f.name}` "
+                          f"{_spark_type_to_ch(f.dataType)}"
+                          for f in df.schema.fields)
+        kw = "TEMPORARY TABLE" if temp else "TABLE"
+        stmt = f"CREATE {kw} {name}\n(\n{cols}\n)\nENGINE = {eng_name}"
         order = getattr(t, "order_by", None)
-        stmt = f"CREATE TABLE {name} ({cols}) ENGINE = {eng_name}"
         if order:
-            stmt += f" ORDER BY ({', '.join(order)})"
+            stmt += f"\nORDER BY ({', '.join(order)})"
         return spark.createDataFrame([(stmt,)], "statement string")
 
     m = re.match(r"^SHOW\s+SETTING\s+(\S.*)$", text, re.IGNORECASE)

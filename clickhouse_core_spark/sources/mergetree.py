@@ -800,8 +800,24 @@ class MergeTreeTable:
                 if not any(x.is_dir() for x in os.scandir(e.path)):
                     shutil.rmtree(e.path, ignore_errors=True)
             else:
-                shutil.move(e.path,
-                            os.path.join(self.path, e.name))
+                # expression partition key: re-attach ONLY rows of the
+                # requested partition — a detached part may hold other
+                # partitions' slices (or have come from DETACH PART),
+                # and those must stay detached
+                df = self.spark.read.option("basePath", e.path) \
+                    .parquet(e.path)
+                pred = F.coalesce(self.partition_predicate(value),
+                                  F.lit(False))
+                match = df.filter(pred).localCheckpoint(eager=True)
+                if match.isEmpty():
+                    continue
+                rest = df.filter(~pred).localCheckpoint(eager=True)
+                shutil.rmtree(e.path, ignore_errors=True)
+                self.insert(match)
+                if not rest.isEmpty():
+                    new_part = self.insert(rest)
+                    shutil.move(new_part, os.path.join(
+                        det, os.path.basename(new_part)))
 
     def freeze(self, backup_name: str | None = None) -> str:
         """ALTER TABLE ... FREEZE analog (reference

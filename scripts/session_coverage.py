@@ -152,6 +152,13 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
         # reference runner substitutes client-side parameters this
         # harness does not have
         return "SKIP", None
+    if re.search(r"(?i)\b(from|into|table\s+function)\s+url\s*\(",
+                 stmt):
+        # url() points the corpus at a LIVE localhost ClickHouse
+        # server (reference registerTableFunctions.h:17) — there is
+        # no server in this sandbox by design; expected-skip, same
+        # contract as the parameterized placeholders above
+        return "SKIP", None
     if _SKIP_RE.match(stmt):
         # silent session statements keep golden alignment; output-
         # bearing ones (CHECK TABLE, WATCH, KILL …) break it
