@@ -8620,6 +8620,13 @@ def _ch_sql_impl(spark, sql: str,
     if re.match(r"^SYSTEM\s+FLUSH\s+LOGS\b", text, re.IGNORECASE):
         return None
 
+    # dollar-quoted string literals ($$...$$, reference Lexer
+    # heredoc) normalize to regular escaped literals
+    if "$$" in text:
+        text = re.sub(
+            r"\$\$(.*?)\$\$",
+            lambda m: "'" + m.group(1).replace("\\", "\\\\")
+            .replace("'", "\\'") + "'", text, flags=re.DOTALL)
     # TEMPORARY tables are session-scoped Memory tables here (the
     # whole session IS one process); SHOW CREATE keeps the keyword so
     # its rendering matches the reference (golden 00564)
@@ -8638,6 +8645,11 @@ def _ch_sql_impl(spark, sql: str,
             text += " ENGINE = Memory"
     text = re.sub(r"(?i)^(DROP|EXISTS)\s+TEMPORARY\s+TABLE\b",
                   lambda m: m.group(1).upper() + " TABLE", text)
+    # CTAS straight from a table function: CREATE TABLE t AS format(…)
+    # reads as AS SELECT * FROM format(…) (TableFunctionFormat)
+    text = re.sub(r"(?is)^(CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                  r"`?\w+`?\s+AS)\s+(format\s*\()",
+                  r"\1 SELECT * FROM \2", text)
     text = re.sub(r"(?i)^SHOW\s+TEMPORARY\s+TABLES\b", "SHOW TABLES",
                   text)
 
@@ -9747,6 +9759,127 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
         spark, sql[:m.start()] + f"{m.group(1)} {view}" + sql[after:])
 
 
+def _desc_jsoneachrow_infer(spark, data: str):
+    """DESC format(JSONEachRow, <inline>) schema inference over the
+    RAW JSON text (reference SchemaInferenceUtils; goldens
+    02325/02326/02327): native numbers and numeric STRINGS are
+    distinct (numbers-from-strings conversion is speculative — it
+    reverts when a sibling string stays a string), heterogeneous
+    arrays infer as positional Tuples, objects as named multi-line
+    Tuples (or the Object type under
+    allow_experimental_object_type=1).  Returns None when the inline
+    text is not parseable JSON lines (the generic reader then
+    applies)."""
+    import json as _json
+
+    from ..sources.rowformats import (
+        _ch_infer_type, _ch_unify, _nullable_wrap)
+    rows = []
+    for ln in data.splitlines():
+        ln = ln.strip().rstrip(",")
+        if not ln:
+            continue
+        try:
+            rows.append(_json.loads(ln))
+        except Exception:
+            return None
+    if not rows or not all(isinstance(r, dict) for r in rows):
+        return None
+    obj_on = str(SESSION_SETTINGS.get(
+        "allow_experimental_object_type", "0")).strip() in ("1",
+                                                            "true")
+    nums_ok = str(SESSION_SETTINGS.get(
+        "input_format_json_try_infer_numbers_from_strings",
+        "0")).strip() in ("1", "true")
+
+    def _num(s: str):
+        if re.fullmatch(r"[-+]?\d+", s):
+            return int(s)
+        if re.fullmatch(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)"
+                        r"(?:[eE][+-]?\d+)?", s):
+            return float(s)
+        return None
+
+    def infer(v) -> str:
+        if isinstance(v, dict):
+            if obj_on:
+                return "Object(Nullable('json'))"
+            parts = [f"    {k} {_nullable_wrap(infer(e))}"
+                     for k, e in v.items()]
+            return "Tuple(\n" + ",\n".join(parts) + ")"
+        if isinstance(v, list):
+            elems = list(v)
+            if nums_ok:
+                conv = [(_num(e) if isinstance(e, str) else None)
+                        for e in elems]
+                all_str_numeric = all(
+                    c is not None for e, c in zip(elems, conv)
+                    if isinstance(e, str))
+                if all_str_numeric:
+                    elems = [c if c is not None else e
+                             for e, c in zip(elems, conv)]
+            ets = [infer(e) for e in elems]
+            t = "Nothing"
+            for e in ets:
+                t = _ch_unify(t, e)
+            if t == "String" and any(
+                    e is not None and not isinstance(e, str)
+                    for e in elems):
+                return ("Tuple("
+                        + ", ".join(_nullable_wrap(x) for x in ets)
+                        + ")")
+            return f"Array({_nullable_wrap(t)})"
+        if isinstance(v, str) and nums_ok:
+            n = _num(v)
+            if n is not None:
+                return _ch_infer_type(n)
+        return _ch_infer_type(v)
+
+    colnames: list = []
+    for r in rows:
+        for k in r:
+            if k not in colnames:
+                colnames.append(k)
+    cols = []
+    for k in colnames:
+        vals = [r[k] for r in rows if k in r and r[k] is not None]
+        if vals and all(isinstance(v, dict) for v in vals) \
+                and not obj_on:
+            # named-Tuple columns merge FIELDS across rows, unifying
+            # shared fields' types (02327 golden)
+            keys2: list = []
+            for v in vals:
+                for k2 in v:
+                    if k2 not in keys2:
+                        keys2.append(k2)
+            parts = []
+            for k2 in keys2:
+                t2 = "Nothing"
+                for v in vals:
+                    if k2 in v and v[k2] is not None:
+                        t2 = _ch_unify(t2, infer(v[k2]))
+                parts.append(f"    {k2} {_nullable_wrap(t2)}")
+            cols.append((k, "Tuple(\n" + ",\n".join(parts) + ")"))
+            continue
+        ts = [infer(v) for v in vals]
+        if not ts:
+            t = "Nothing"
+        elif all(x == ts[0] for x in ts):
+            t = ts[0]
+        elif all(x.startswith(("Tuple(", "Object(")) for x in ts):
+            t = ("Object(Nullable('json'))" if obj_on else ts[0])
+        else:
+            t = "Nothing"
+            for x in ts:
+                t = _ch_unify(t, x)
+        cols.append((k, _nullable_wrap(t)))
+    return spark.createDataFrame(
+        [(nm, ty, "", "", "", "", "") for nm, ty in cols],
+        "name string, type string, default_type string, "
+        "default_expression string, comment string, "
+        "codec_expression string, ttl_expression string")
+
+
 def _utility_statement(spark, text: str, tables):
     """SHOW/DESCRIBE/EXISTS/DROP/RENAME/EXCHANGE/TRUNCATE/CHECK/SET/
     USE/KILL — the reference's utility-statement surface mapped onto
@@ -9828,17 +9961,197 @@ def _utility_statement(spark, text: str, tables):
     if m:
         # DESC over the format() table function: infer the schema by
         # reading the inline literal (TableFunctionFormat + Interpreter
-        # DescribeQuery)
+        # DescribeQuery).  Values has its own inference — the generic
+        # reader needs an explicit schema (golden 02325).
+        fargs, _after = _parse_args(
+            m.group(1), m.group(1).index("("))
+        fmt0 = fargs[0].strip().strip("'\"").lower() if fargs else ""
+        lit0 = fargs[1].strip() if len(fargs) >= 2 else ""
+        if lit0.startswith("'") and fmt0 == "jsoneachrow":
+            out0 = _desc_jsoneachrow_infer(
+                spark, _unescape_sql_literal(lit0[1:-1]))
+            if out0 is not None:
+                return out0
+        if lit0.startswith("'") and fmt0 in ("values", "csv", "tsv",
+                                             "tabseparated"):
+            from ..sources.rowformats import (
+                _ch_infer_type, _ch_unify, _nullable_wrap,
+                _parse_values_literal, infer_values_schema)
+            data = _unescape_sql_literal(lit0[1:-1])
+            if fmt0 == "values":
+                cols = infer_values_schema(data)
+            else:
+                # the reference's text-format inference works on the
+                # raw cell text (SchemaInferenceUtils): numbers type,
+                # date-like strings type, single-quoted composites
+                # parse (golden 02325 CSV/TSV sections)
+                import csv as _csv
+                import io as _io
+                import json as _json
+                delim = "," if fmt0 == "csv" else "\t"
+                rows2 = list(_csv.reader(_io.StringIO(data),
+                                         delimiter=delim))
+
+                def _cell(v):
+                    s = v.strip()
+                    if s in ("", "\\N", "NULL"):
+                        return None
+                    if re.fullmatch(r"[-+]?\d+", s):
+                        return int(s)
+                    if re.fullmatch(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)"
+                                    r"(?:[eE][+-]?\d+)?", s):
+                        return float(s)
+                    if s[:1] in "[{(":
+                        try:
+                            return _json.loads(s)
+                        except Exception:
+                            pass
+                        try:
+                            v2, j = _parse_values_literal(s, 0)
+                            if j >= len(s.rstrip()):
+                                return v2
+                        except Exception:
+                            pass
+                    return s
+                ncols = max((len(r) for r in rows2), default=0)
+                cols = []
+                for ci in range(ncols):
+                    t = "Nothing"
+                    for r in rows2:
+                        if ci < len(r):
+                            t = _ch_unify(
+                                t, _ch_infer_type(_cell(r[ci])))
+                    cols.append((f"c{ci + 1}", _nullable_wrap(t)))
+            return spark.createDataFrame(
+                [(nm, ty, "", "", "", "", "") for nm, ty in cols],
+                "name string, type string, default_type string, "
+                "default_expression string, comment string, "
+                "codec_expression string, ttl_expression string")
         df = ch_sql(spark, f"SELECT * FROM {m.group(1)}", tables=tables)
         # schema INFERENCE yields Nullable scalars in the reference
         # (SchemaInference; composites cannot be Nullable)
-        def _infer_name(dt):
-            ch = _spark_type_to_ch(dt)
-            if ch.startswith(("Array(", "Map(", "Tuple(")):
+        def _null_elems(ch):
+            m2 = re.fullmatch(r"Array\((.+)\)", ch)
+            if m2:
+                return f"Array({_null_elems(m2.group(1))})"
+            if ch.startswith(("Nullable(", "Map(", "Tuple(")):
                 return ch
             return f"Nullable({ch})"
-        rows = [(f.name, _infer_name(f.dataType), "", "", "", "",
-                 "") for f in df.schema.fields]
+
+        def _infer_name(dt):
+            ch = _spark_type_to_ch(dt)
+            if ch.startswith("Tuple(") and str(SESSION_SETTINGS.get(
+                    "allow_experimental_object_type",
+                    "0")).strip() in ("1", "true"):
+                # nested JSON objects infer as the Object type when
+                # the experimental setting is on (02326 golden)
+                return "Object(Nullable('json'))"
+            if ch.startswith(("Array(", "Map(", "Tuple(")):
+                return _null_elems(ch)
+            return f"Nullable({ch})"
+        names = [(f.name, _infer_name(f.dataType))
+                 for f in df.schema.fields]
+        # date/datetime detection inside string values (reference
+        # SchemaInferenceUtils try_infer_dates/datetimes=1 defaults;
+        # golden 02325) — the inline data is tiny by construction
+        if any("String" in ch or ch.startswith("Tuple(")
+               for _, ch in names):
+            from ..sources.rowformats import (
+                _ch_infer_type, _ch_unify, _nullable_wrap)
+            sample = df.limit(100).collect()
+            up = []
+            for (nm, ch), f in zip(names, df.schema.fields):
+                if ch.startswith("Tuple(") and \
+                        f.dataType.typeName() == "struct":
+                    # named Tuples render MULTI-LINE with date
+                    # detection per field (formatAST + inference)
+                    parts = []
+                    for sf in f.dataType.fields:
+                        t = "Nothing"
+                        for r in sample:
+                            v = r[nm]
+                            if v is not None \
+                                    and v[sf.name] is not None:
+                                t = _ch_unify(
+                                    t, _ch_infer_type(v[sf.name]))
+                        leaf = (_nullable_wrap(t) if t != "Nothing"
+                                else f"Nullable("
+                                     f"{_spark_type_to_ch(sf.dataType)})")
+                        parts.append(f"    {sf.name} {leaf}")
+                    ch = "Tuple(\n" + ",\n".join(parts) + ")"
+                elif "String" in ch and "Map(" not in ch \
+                        and "Tuple(" not in ch:
+                    import json as _json
+                    nums_ok = str(SESSION_SETTINGS.get(
+                        "input_format_json_try_infer_numbers_from_"
+                        "strings", "0")).strip() in ("1", "true")
+
+                    def _reify(v):
+                        # Spark's JSON reader stringifies nested
+                        # arrays; the reference infers through them
+                        if isinstance(v, list):
+                            out = [_reify(e) for e in v]
+                            # numbers-from-strings is SPECULATIVE: if
+                            # any string element stays a string, the
+                            # converted ones revert (02326: ["123",
+                            # "Some string"] is Array(String), but
+                            # [123, "Some string"] is a Tuple)
+                            conv = [isinstance(o, str)
+                                    and isinstance(r2, (int, float))
+                                    for o, r2 in zip(v, out)]
+                            kept = [isinstance(o, str)
+                                    and isinstance(r2, str)
+                                    for o, r2 in zip(v, out)]
+                            if any(conv) and any(kept):
+                                out = [o if c else r2 for o, r2, c
+                                       in zip(v, out, conv)]
+                            return out
+                        if isinstance(v, dict):
+                            return {k: _reify(e)
+                                    for k, e in v.items()}
+                        if isinstance(v, str):
+                            s = v.strip()
+                            if s[:1] in "[{":
+                                try:
+                                    return _reify(_json.loads(s))
+                                except Exception:
+                                    pass
+                                try:
+                                    # CH single-quoted composite text
+                                    # (the CSV carrier of arrays/maps)
+                                    from ..sources.rowformats import (
+                                        _parse_values_literal)
+                                    v2, j = _parse_values_literal(s, 0)
+                                    if j >= len(s.rstrip()) and \
+                                            isinstance(v2, (list,
+                                                            dict)):
+                                        return v2
+                                except Exception:
+                                    pass
+                                return v
+                            if nums_ok and re.fullmatch(
+                                    r"[-+]?\d+", s):
+                                return int(s)
+                            if nums_ok and re.fullmatch(
+                                    r"[-+]?(?:\d+\.\d*|\.\d+|\d+)"
+                                    r"(?:[eE][+-]?\d+)?", s):
+                                return float(s)
+                        return v
+                    vals = [_reify(r[nm]) for r in sample
+                            if r[nm] is not None]
+                    t = "Nothing"
+                    for v in vals:
+                        t = _ch_unify(t, _ch_infer_type(v))
+                    newt = _nullable_wrap(t)
+                    if vals and newt != "Nullable(String)":
+                        ch = newt
+                up.append((nm, ch))
+            names = up
+        # headerless formats: the reference names columns c1..cN
+        # (Spark: _c0.._cN-1)
+        rows = [(re.sub(r"^_c(\d+)$",
+                        lambda m2: f"c{int(m2.group(1)) + 1}", nm),
+                 ch, "", "", "", "", "") for nm, ch in names]
         return spark.createDataFrame(
             rows, "name string, type string, default_type string, "
                   "default_expression string, comment string, "

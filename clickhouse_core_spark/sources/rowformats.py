@@ -29,6 +29,7 @@ Execution shapes, chosen per format:
 
 from __future__ import annotations
 
+import re
 import struct
 from typing import Iterator
 
@@ -636,6 +637,177 @@ def read_values(spark: SparkSession, path: str,
                 {c: [r.get(c) for r in rows] for c in names}, columns=names)
 
     return blobs.mapInPandas(batches, schema=schema)
+
+
+def _parse_values_literal(s: str, i: int):
+    """One Values literal starting at ``i``: string / number / NULL /
+    [array] / {map} / (tuple).  Returns (python value, next index)."""
+    n = len(s)
+    while i < n and s[i] in " \t\n\r":
+        i += 1
+    c = s[i]
+    if c == "'":
+        out, i = [], i + 1
+        while i < n:
+            if s[i] == "\\" and i + 1 < n:
+                out.append(s[i + 1])
+                i += 2
+            elif s[i] == "'":
+                i += 1
+                break
+            else:
+                out.append(s[i])
+                i += 1
+        return "".join(out), i
+    if c in "[({":
+        close = {"[": "]", "(": ")", "{": "}"}[c]
+        items, keys = [], []
+        i += 1
+        while True:
+            while i < n and s[i] in " \t\n\r":
+                i += 1
+            if i >= n or s[i] == close:
+                i += 1
+                break
+            v, i = _parse_values_literal(s, i)
+            while i < n and s[i] in " \t\n\r":
+                i += 1
+            if c == "{" and i < n and s[i] == ":":
+                keys.append(v)
+                v, i = _parse_values_literal(s, i + 1)
+                while i < n and s[i] in " \t\n\r":
+                    i += 1
+            items.append(v)
+            if i < n and s[i] == ",":
+                i += 1
+        if c == "{":
+            return dict(zip(keys, items)), i
+        return (tuple(items), i) if c == "(" else (items, i)
+    m = re.match(r"(?i)NULL\b", s[i:])
+    if m:
+        return None, i + m.end()
+    m = re.match(r"[-+]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?",
+                 s[i:])
+    if m:
+        t = m.group(0)
+        return ((float(t), i + m.end())
+                if any(ch in t for ch in ".eE")
+                else (int(t), i + m.end()))
+    m = re.match(r"(?i)(true|false)\b", s[i:])
+    if m:
+        return m.group(1).lower() == "true", i + m.end()
+    return None, i + 1
+
+
+_DATE_RE = re.compile(r"\d{4}-\d{2}-\d{2}$")
+_DATETIME_RE = re.compile(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}$")
+_DATETIME64_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}\.\d+$")
+
+
+def _ch_unify(a: str, b: str) -> str:
+    """CH schema-inference type unification (SchemaInferenceUtils
+    transformInferredTypesIfNeeded): Nothing absorbs, Date widens to
+    DateTime widens to DateTime64, numbers widen to Float64, any
+    date-vs-string conflict decays to String."""
+    if a == b:
+        return a
+    if a == "Nothing":
+        return b
+    if b == "Nothing":
+        return a
+    an = a[9:-1] if a.startswith("Nullable(") else None
+    bn = b[9:-1] if b.startswith("Nullable(") else None
+    if an is not None or bn is not None:
+        return f"Nullable({_ch_unify(an or a, bn or b)})"
+    if a.startswith("Array(") and b.startswith("Array("):
+        return f"Array({_ch_unify(a[6:-1], b[6:-1])})"
+    if a.startswith("Map(String, ") and b.startswith("Map(String, "):
+        return f"Map(String, {_ch_unify(a[12:-1], b[12:-1])})"
+    pair = {a, b}
+    if pair == {"Date", "DateTime"}:
+        return "DateTime"
+    if pair <= {"Date", "DateTime", "DateTime64(9)"}:
+        return "DateTime64(9)"
+    if pair == {"Int64", "Float64"}:
+        return "Float64"
+    return "String"
+
+
+def _ch_infer_type(v) -> str:
+    """Bare (non-Nullable-wrapped) inferred CH type of one parsed
+    Values literal (reference SchemaInferenceUtils with the default
+    try_infer_dates/datetimes=1)."""
+    if v is None:
+        return "Nothing"
+    if isinstance(v, bool):
+        return "Bool"
+    if isinstance(v, int):
+        return "Int64"
+    if isinstance(v, float):
+        return "Float64"
+    if isinstance(v, str):
+        if _DATE_RE.fullmatch(v):
+            return "Date"
+        if _DATETIME_RE.fullmatch(v):
+            return "DateTime"
+        if _DATETIME64_RE.fullmatch(v):
+            return "DateTime64(9)"
+        return "String"
+    if isinstance(v, list):
+        ets = [_ch_infer_type(e) for e in v]
+        t = "Nothing"
+        for e in ets:
+            t = _ch_unify(t, e)
+        if t == "String" and any(
+                e is not None and not isinstance(e, str) for e in v):
+            # a number/bool mixed with strings cannot unify — the
+            # reference infers a positional Tuple instead
+            # (SchemaInferenceUtils; golden 02326)
+            return ("Tuple(" + ", ".join(_nullable_wrap(x)
+                                         for x in ets) + ")")
+        return f"Array({_nullable_wrap(t)})"
+    if isinstance(v, dict):
+        t = "Nothing"
+        for e in v.values():
+            t = _ch_unify(t, _ch_infer_type(e))
+        return f"Map(String, {_nullable_wrap(t)})"
+    if isinstance(v, tuple):
+        inner = ", ".join(_nullable_wrap(_ch_infer_type(e)) for e in v)
+        return f"Tuple({inner})"
+    return "String"
+
+
+def _nullable_wrap(t: str) -> str:
+    if t.startswith(("Array(", "Map(", "Tuple(", "Object(",
+                     "Nullable(")):
+        return t
+    return f"Nullable({'String' if t == 'Nothing' else t})"
+
+
+def infer_values_schema(data: str) -> list[tuple[str, str]]:
+    """Schema inference over inline Values text (reference
+    src/Processors/Formats/Impl/ValuesBlockInputFormat.cpp +
+    SchemaInferenceUtils; golden 02325_dates_schema_inference):
+    columns are named c1..cN, per-column types unify across rows, and
+    scalars wrap in Nullable."""
+    rows = []
+    i, n = 0, len(data)
+    while i < n:
+        if data[i] == "(":
+            row, i = _parse_values_literal(data, i)
+            rows.append(row if isinstance(row, tuple) else (row,))
+        else:
+            i += 1
+    ncols = max((len(r) for r in rows), default=0)
+    out = []
+    for ci in range(ncols):
+        t = "Nothing"
+        for r in rows:
+            if ci < len(r):
+                t = _ch_unify(t, _ch_infer_type(r[ci]))
+        out.append((f"c{ci + 1}", _nullable_wrap(t)))
+    return out
 
 
 def format_values(rows: list[dict], schema: T.StructType) -> str:
