@@ -6857,6 +6857,14 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_star_in_args(sql)
     # CH `expr COLLATE 'locale'` (ParserOrderByElement) -> Spark's
     # collate(expr, 'locale') — ICU locales sort identically
+    # Spark's ICU collation names use ISO3 country codes
+    # (zh_Hans_CHN); CH locales use ISO2 (zh_Hans_CN)
+    sql = re.sub(r"(?i)(COLLATE\s+')(\w+_\w+)_CN(')", r"\1\2_CHN\3",
+                 sql)
+    sql = _sub_nonstring(sql, lambda seg: re.sub(
+        r"([`\w.]+(?:\([^()]*\))?)\s+(ASC|DESC)\s+COLLATE\s+"
+        r"(\x00\d+\x00|'[\w-]+')",
+        r"collate(\1, \3) \2", seg, flags=re.IGNORECASE))
     sql = _sub_nonstring(sql, lambda seg: re.sub(
         r"([`\w.]+(?:\([^()]*\))?)\s+COLLATE\s+(\x00\d+\x00|'[\w-]+')",
         r"collate(\1, \2)", seg, flags=re.IGNORECASE))
@@ -9913,7 +9921,8 @@ def _utility_statement(spark, text: str, tables):
             "user string, query string, elapsed double")
 
     m = re.match(r"^SHOW\s+CREATE\s+(TEMPORARY\s+)?(?:TABLE\s+)?"
-                 r"`?(\w+)`?\s*$", text, re.IGNORECASE)
+                 r"`?(\w+)`?(?:\s+FORMAT\s+\w+)?\s*$", text,
+                 re.IGNORECASE)
     if m:
         name = m.group(2)
         df = _resolve_view(spark, name, tables)
