@@ -9782,15 +9782,33 @@ def _desc_jsoneachrow_infer(spark, data: str):
 
     from ..sources.rowformats import (
         _ch_infer_type, _ch_unify, _nullable_wrap)
+    ambig = object()      # duplicate key with CONFLICTING types
+
+    def _pairs_hook(pairs):
+        d: dict = {}
+        for k, v in pairs:
+            if k in d and d[k] is not ambig \
+                    and type(v) is not type(d[k]):
+                # use_string_type_for_ambiguous_paths... inference
+                # (03284 golden): conflicting duplicate-key types
+                # decay the field to String
+                d[k] = ambig
+            elif k not in d or d[k] is not ambig:
+                d[k] = v
+        return d
+
     rows = []
-    for ln in data.splitlines():
-        ln = ln.strip().rstrip(",")
-        if not ln:
-            continue
-        try:
-            rows.append(_json.loads(ln))
-        except Exception:
-            return None
+    dec = _json.JSONDecoder(object_pairs_hook=_pairs_hook)
+    i = 0
+    try:
+        while i < len(data):
+            if data[i] in " \t\n\r,":
+                i += 1
+                continue
+            obj, i = dec.raw_decode(data, i)
+            rows.append(obj)
+    except Exception:
+        return None
     if not rows or not all(isinstance(r, dict) for r in rows):
         return None
     obj_on = str(SESSION_SETTINGS.get(
@@ -9809,9 +9827,16 @@ def _desc_jsoneachrow_infer(spark, data: str):
         return None
 
     def infer(v) -> str:
+        if v is ambig:
+            return "String"
         if isinstance(v, dict):
             if obj_on:
                 return "Object(Nullable('json'))"
+            if not v:
+                # incomplete types read as strings (reference
+                # input_format_json_infer_incomplete_types_as_strings
+                # default; golden 02876)
+                return "String"
             parts = [f"    {k} {_nullable_wrap(infer(e))}"
                      for k, e in v.items()]
             return "Tuple(\n" + ",\n".join(parts) + ")"
@@ -9852,7 +9877,7 @@ def _desc_jsoneachrow_infer(spark, data: str):
     for k in colnames:
         vals = [r[k] for r in rows if k in r and r[k] is not None]
         if vals and all(isinstance(v, dict) for v in vals) \
-                and not obj_on:
+                and not obj_on and any(vals):
             # named-Tuple columns merge FIELDS across rows, unifying
             # shared fields' types (02327 golden)
             keys2: list = []
