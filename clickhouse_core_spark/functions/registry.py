@@ -3857,7 +3857,10 @@ _MISC7 = {
     # random string family (rand.cpp/randomString.cpp — nondeterministic
     # in the reference too; these draw per row from Spark's rand())
     "randomPrintableASCII": lambda n: _random_chars(n, 32, 95),
-    "randomString": lambda n: _random_chars(n, 0, 256),
+    # single-byte code points only: the reference's random BYTES have
+    # length(s) = n in bytes, and the UTF-8 carrier would double-count
+    # codes >= 128 (golden 03457 length(randomString(2048)) = 2048)
+    "randomString": lambda n: _random_chars(n, 0, 128),
     "randomFixedString": lambda n: _random_chars(n, 0, 256),
     "randConstant": lambda *a: F.lit(__import__("random").random()),
     "toInterval": lambda n, unit: _to_interval(n, unit),

@@ -8480,6 +8480,26 @@ def _ch_sql_impl(spark, sql: str,
     if re.search(r"(?i)\b(?:FROM|DESCRIBE(?:\s+TABLE)?|DESC)\s+"
                  r"merge\s*\(", text):
         text = _materialize_merge_tvf(spark, text, tables)
+    if tables is not None and re.search(r"(?i)\bIN\b", text):
+        # `x IN table_name` / `x IN (table_name)`: a bare table
+        # reference is the whole-table SET (reference
+        # src/Interpreters/interpretSubquery — identifier-as-subquery)
+        known = set(tables)
+        try:
+            known |= {t0.name for t0 in spark.catalog.listTables()}
+        except Exception:
+            pass
+
+        def _in_tbl(m):
+            nm = m.group(3).strip("`")
+            if nm in known:
+                return (f"{m.group(1) or ''}IN "
+                        f"(SELECT * FROM `{nm}`)")
+            return m.group(0)
+        text = re.sub(r"(?i)\b(NOT\s+)?IN\s*\(\s*(`?)([\w.]+)\2\s*\)",
+                      _in_tbl, text)
+        text = re.sub(r"(?i)\b(NOT\s+)?IN\s+(`?)([\w.]+)\2"
+                      r"(?![\w.(`])", _in_tbl, text)
     if tables is not None:
         jcols = set()
         for tb in tables.values():
@@ -11016,6 +11036,44 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             except Exception:
                 exists = False
         if exists:
+            return None
+    # column-list CTAS: CREATE TABLE t (cols) ENGINE = X ... AS SELECT
+    # — the SELECT's output aligns POSITIONALLY to the declared
+    # columns (reference InterpreterCreateQuery AS-select form)
+    cm0 = re.match(r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+                   r"`?(\w+)`?\s*\(", text)
+    if cm0:
+        close0 = _matching_paren(text, cm0.end() - 1)
+        am0 = re.match(r"(?is)^\s*(ENGINE\s*=?.*?)\s+AS\s+"
+                       r"((?:SELECT|WITH)\b.*)$",
+                       text[close0 + 1:]) if close0 > 0 else None
+        if am0:
+            nm0 = cm0.group(1)
+            df0 = ch_sql(spark, am0.group(2), sample_by=sample_by,
+                         tables=tables)
+            em0 = re.match(r"(?is)ENGINE\s*=?\s*(\w+)", am0.group(1))
+            if em0 and em0.group(1).lower() in _ENGINE_NAMES:
+                t0 = create_table_sql(
+                    spark, text[:close0 + 1] + " " + am0.group(1),
+                    _default_table_dir())
+                if tables is not None:
+                    tables[nm0] = t0
+                decl0 = ([f.name for f in spark.createDataFrame(
+                    [], t0.schema_ddl).schema.fields]
+                    if getattr(t0, "schema_ddl", None) else [])
+                if len(decl0) == len(df0.columns):
+                    df0 = df0.toDF(*decl0)
+                return _append_to_table(spark, nm0, df0, tables)
+            decl_m = [c.strip().split(None, 1)[0].strip("`")
+                      for c in _split_top_commas(
+                          text[cm0.end():close0])
+                      if c.strip() and not re.match(
+                          r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
+                          r"PRIMARY\s+KEY)\b", c)]
+            if len(decl_m) == len(df0.columns):
+                df0 = df0.toDF(*decl_m)
+            df0.localCheckpoint(eager=True) \
+                .createOrReplaceTempView(nm0)
             return None
     m = _CTAS_RE.match(text)
     if m:
