@@ -4206,6 +4206,21 @@ def _rewrite_datetime_arith(sql: str) -> str:
             if r is None:
                 pos = e + 1
                 continue
+            # higher-precedence * / % bind into the addend:
+            # `toDate(x) + number % 3` adds (number % 3) days
+            rend = r[1]
+            while True:
+                k2 = rend
+                while k2 < len(out) and out[k2] in " \t\n":
+                    k2 += 1
+                if k2 < len(out) and out[k2] in "*/%":
+                    r2 = _primary_right(out, k2 + 1)
+                    if r2 is None:
+                        break
+                    rend = r2[1]
+                    continue
+                break
+            r = (r[0], rend)
             rtxt = out[r[0]:r[1]].strip()
             # leave interval forms / other temporal calls alone
             if re.match(r"(?i)^(INTERVAL\b|toInterval|toDate|"
@@ -10915,28 +10930,51 @@ def _rewrite_dictget(text: str, tables) -> str:
         or_default = bool(m.group(3)) or kind == "getordefault"
         out.append(text[i:m.start()])
         if kind == "has":
-            key = ", ".join(args[1:])
+            hk = args[1:]
+            if len(hk) == 1 and len(d.key_cols) > 1:
+                km0 = hk[0].strip()
+                if km0.startswith("(") and km0.endswith(")"):
+                    hk = _split_top_commas(km0[1:-1])
             cond = " AND ".join(
                 f"`{k}` = ({v})" for k, v in
-                zip(d.key_cols, args[1:]))
+                zip(d.key_cols, hk))
             out.append(f"(CASE WHEN (SELECT count(*) FROM `{dname}` "
                        f"WHERE {cond}) > 0 THEN 1 ELSE 0 END)")
             i = after
             continue
-        attr = args[1].strip().strip("'\"")
         nkeys = len(d.key_cols)
         keyargs = args[2:2 + nkeys]
+        if len(keyargs) == 1 and nkeys > 1:
+            km2 = keyargs[0].strip()
+            if km2.startswith("(") and km2.endswith(")"):
+                # complex keys spell as ONE tuple argument
+                keyargs = _split_top_commas(km2[1:-1])
         cond = " AND ".join(
             f"`{k}` = ({v})" for k, v in zip(d.key_cols, keyargs))
-        subq = f"(SELECT any(`{attr}`) FROM `{dname}` WHERE {cond})"
-        if kind == "getornull":
-            expr = subq
-        elif or_default:
-            dflt = args[2 + nkeys] if len(args) > 2 + nkeys \
-                else d.attr_default(attr)
-            expr = f"coalesce({subq}, {dflt})"
+        # a TUPLE of attribute names returns a tuple of lookups
+        # (reference FunctionsExternalDictionaries tuple attributes)
+        tm2 = re.fullmatch(r"\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)",
+                           args[1].strip())
+        attrs = ([x.strip().strip("'\"") for x in
+                  _split_top_commas(tm2.group(1))] if tm2
+                 else [args[1].strip().strip("'\"")])
+
+        def _one_attr(attr):
+            subq = (f"(SELECT any(`{attr}`) FROM `{dname}` "
+                    f"WHERE {cond})")
+            if kind == "getornull":
+                return subq
+            if or_default:
+                dflt = args[2 + nkeys] if len(args) > 2 + nkeys \
+                    else d.attr_default(attr)
+                return f"coalesce({subq}, {dflt})"
+            return f"coalesce({subq}, {d.attr_default(attr)})"
+        if len(attrs) == 1:
+            expr = _one_attr(attrs[0])
         else:
-            expr = f"coalesce({subq}, {d.attr_default(attr)})"
+            expr = "named_struct(" + ", ".join(
+                f"'col{i2 + 1}', {_one_attr(a2)}"
+                for i2, a2 in enumerate(attrs)) + ")"
         if typed:
             carrier = DICT_GET_TYPES.get(typed)
             if carrier:
