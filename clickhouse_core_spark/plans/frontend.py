@@ -11645,16 +11645,20 @@ def _refresh_table_views(spark, name: str, t) -> None:
 
 
 def _target_schema(spark, name: str, t):
-    """Schema of an insert target — survives an empty (part-less)
-    MergeTreeTable by falling back to its declared DDL / the typed
-    empty view registered at CREATE time."""
+    """Schema of an insert target — the DECLARED DDL first (it tracks
+    ALTER ADD/DROP COLUMN even when existing parts predate the change,
+    00446 golden), then the part files, then the registered view."""
     if t is not None and hasattr(t, "read"):
+        ddl = getattr(t, "schema_ddl", None)
+        if ddl:
+            try:
+                return spark.createDataFrame([], ddl).schema
+            except Exception:
+                pass
         try:
             return t.read().schema
         except Exception:
-            ddl = getattr(t, "schema_ddl", None)
-            if ddl:
-                return spark.createDataFrame([], ddl).schema
+            pass
     try:
         return spark.table(name).schema
     except Exception:
