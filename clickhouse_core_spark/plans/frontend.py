@@ -6865,6 +6865,12 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_map_literals(sql)
     sql = _rewrite_tuple_arith(sql)
     sql = _rewrite_datetime_arith(sql)
+    # a paren tuple as the WHOLE argument of a single-arg aggregate
+    # names its fields positionally (CH Tuple; `max((d, b)).2` —
+    # golden 02025): spell tuple() so col1/col2 access resolves
+    sql = re.sub(r"(?is)\b(max|min|any|anyLast)\s*\(\s*"
+                 r"\((?!\s*(?:SELECT|WITH)\b)([^()]+,[^()]+)\)\s*\)",
+                 lambda m: f"{m.group(1)}(tuple({m.group(2)}))", sql)
     if "'(" in sql or re.search(r"(?is)AS\s+(text|String)\s*\)", sql):
         sql = _rewrite_tuple_string_compare(sql)
     if re.search(r"(?i)[(,]\s*null\s*[),]", sql):
