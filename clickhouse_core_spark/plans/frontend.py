@@ -6873,7 +6873,11 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
                  lambda m: f"{m.group(1)}(tuple({m.group(2)}))", sql)
     if "'(" in sql or re.search(r"(?is)AS\s+(text|String)\s*\)", sql):
         sql = _rewrite_tuple_string_compare(sql)
-    if re.search(r"(?i)[(,]\s*null\s*[),]", sql):
+    if re.search(r"(?i)[(,]\s*null\s*[),]", sql) or \
+            re.search(r"(?i)\btuple\s*\((?:[^()]|\([^()]*\))*\)\s*"
+                      r"(==|!=|<>|<=|>=|<|>|=)", sql) or \
+            re.search(r"(?i)(==|!=|<>|<=|>=|<|>|=)\s*tuple\s*\(",
+                      sql):
         sql = _rewrite_tuple_null_equality(sql)
     sql = _rewrite_star_in_args(sql)
     # CH `expr COLLATE 'locale'` (ParserOrderByElement) -> Spark's
@@ -7082,9 +7086,20 @@ def _tuple_group_span_left(sql: str, end: int):
     tm = re.search(r"(?is)\btuple\s*$", sql[:k])
     if tm:
         return tm.start(), j + 1
+    pm = re.search(r"([A-Za-z_]\w*)\s*$", sql[:k])
+    if pm and pm.group(1).upper() not in _TUPLE_PRE_KEYWORDS:
+        return None               # a CALL's argument list, not a tuple
+    if not pm and re.search(r"[`)\]]\s*$", sql[:k]):
+        return None
     if len(_split_top_commas(sql[k + 1:j])) >= 2:
         return k, j + 1
     return None
+
+
+_TUPLE_PRE_KEYWORDS = {
+    "WHERE", "AND", "OR", "ON", "SELECT", "BY", "WHEN", "THEN",
+    "ELSE", "IN", "NOT", "HAVING", "SET", "AS", "UNION", "ALL",
+    "DISTINCT", "PREWHERE", "QUALIFY", "FILTER", "XOR"}
 
 
 def _tuple_group_span_right(sql: str, start: int):
@@ -7339,36 +7354,58 @@ def _rewrite_star_in_args(sql: str) -> str:
 
 
 def _rewrite_tuple_null_equality(sql: str) -> str:
-    """Tuple equality with a bare NULL element expands element-wise:
-    CH tupleEquals is the AND of element comparisons, so a NULL
-    element makes the result NULL (row filtered) — Spark's struct
-    equality is null-safe and would treat NULL = NULL as TRUE
-    (golden 03371: ``(s1, null) = ('a', null)`` returns no rows)."""
+    """Syntactic tuple-vs-tuple comparisons expand ELEMENT-WISE with
+    CH semantics (reference tupleEquals / generic lexicographic
+    comparison, src/Functions/FunctionsComparison.h): equality is the
+    AND of element equalities and ordering is the lexicographic
+    OR/AND chain — so a NULL element propagates NULL (golden 03371
+    ``(s1, null) = ('a', null)`` returns no rows; golden 01353
+    nullable tuple orderings return NULL).  Spark's native struct
+    comparison is null-safe and would differ on every NULL."""
     pos = 0
     while True:
-        m = re.compile(r"(==|!=|<>|=)").search(sql, pos)
+        m = re.compile(r"(==|!=|<>|<=|>=|<|>|=)").search(sql, pos)
         if m is None:
             return sql
         pos = m.end()
-        if sql[max(0, m.start() - 1)] in "<>!=" or \
-                sql[m.end():m.end() + 1] == "=":
+        prev = sql[max(0, m.start() - 1)]
+        if prev in "<>!=-" or sql[m.end():m.end() + 1] in "=>":
             continue
         ls = _tuple_group_span_left(sql, m.start())
         rs = _tuple_group_span_right(sql, m.end())
         if ls is None or rs is None:
             continue
         lg, rg = sql[ls[0]:ls[1]], sql[rs[0]:rs[1]]
-        le = _split_top_commas(lg[lg.index("(") + 1:-1])
-        re_ = _split_top_commas(rg[rg.index("(") + 1:-1])
-        if len(le) != len(re_) or len(le) < 2:
+        li, ri = lg[lg.index("(") + 1:-1], rg[rg.index("(") + 1:-1]
+        if re.match(r"(?is)\s*(SELECT|WITH)\b", li) or \
+                re.match(r"(?is)\s*(SELECT|WITH)\b", ri):
             continue
-        has_null = any(x.strip().lower() == "null" for x in le + re_)
-        if not has_null:
+        le = [x.strip() for x in _split_top_commas(li)]
+        re_ = [x.strip() for x in _split_top_commas(ri)]
+        if len(le) != len(re_) or len(le) < 1:
             continue
-        eq = " AND ".join(f"({a.strip()} = {b.strip()})"
-                          for a, b in zip(le, re_))
-        full = f"(NOT ({eq}))" if m.group(1) in ("!=", "<>") \
-            else f"({eq})"
+        if len(le) == 1 and not (lg.lower().lstrip().startswith("tuple")
+                                 or rg.lower().lstrip()
+                                 .startswith("tuple")):
+            continue                # plain parenthesized scalars
+        op = m.group(1)
+        if op in ("=", "=="):
+            full = "(" + " AND ".join(f"({a} = {b})"
+                                      for a, b in zip(le, re_)) + ")"
+        elif op in ("!=", "<>"):
+            full = ("(NOT ("
+                    + " AND ".join(f"({a} = {b})"
+                                   for a, b in zip(le, re_)) + "))")
+        else:
+            lt = "<" if op in ("<", "<=") else ">"
+
+            def _lex(i):
+                a, b = le[i], re_[i]
+                if i == len(le) - 1:
+                    return f"({a} {op} {b})"
+                return (f"(({a} {lt} {b}) OR "
+                        f"(({a} = {b}) AND {_lex(i + 1)}))")
+            full = _lex(0)
         sql = sql[:ls[0]] + full + sql[rs[1]:]
         pos = ls[0] + len(full)
 
