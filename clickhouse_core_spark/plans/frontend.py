@@ -9034,15 +9034,36 @@ def _ch_sql_impl(spark, sql: str,
 
     mv = re.match(
         r"^CREATE\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"`?(\w+)`?\s+AS\s+(SELECT\b.*)$",
+        r"`?(\w+)`?\s*(\((?:[^()]|\([^()]*\))*\))?\s+AS\s+"
+        r"(SELECT\b.*)$",
         text, re.IGNORECASE | re.DOTALL)
     if mv:
-        df = ch_sql(spark, mv.group(3), sample_by=sample_by,
+        df = ch_sql(spark, mv.group(4), sample_by=sample_by,
                     tables=tables)
+        if mv.group(3):
+            # explicit column list: rename (and cast) the select's
+            # output positionally (reference InterpreterCreateQuery
+            # view columns; golden 01504_view_type_conversion)
+            decl = [c.strip().split(None, 1)
+                    for c in _split_top_commas(mv.group(3)[1:-1])
+                    if c.strip()]
+            if len(decl) == len(df.columns):
+                sel = []
+                for (parts, old) in zip(decl, df.columns):
+                    col = F.col(f"`{old}`")
+                    if len(parts) > 1:
+                        st = _ch_decl_type_to_spark(
+                            _decl_type(parts[1]))
+                        try:
+                            col = col.cast(st)
+                        except Exception:
+                            pass
+                    sel.append(col.alias(parts[0].strip("`")))
+                df = df.select(*sel)
         if mv.group(1):
             df = df.persist()
         df.createOrReplaceTempView(mv.group(2))
-        return df
+        return None            # CREATE VIEW produces no result set
 
     # SELECT ... INTO OUTFILE 'path' [FORMAT fmt]
     # (src/Parsers/ParserQueryWithOutput.cpp): run the select and write
