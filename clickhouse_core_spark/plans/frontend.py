@@ -392,6 +392,10 @@ _RULES: dict = {
     "tohour": _fn("hour"), "tominute": _fn("minute"), "tosecond": _fn("second"),
     "toquarter": _fn("quarter"), "todayofyear": _fn("dayofyear"),
     "todayofweek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+    # DAYOFWEEK is registered as an alias of toDayOfWeek (Mon=1), NOT
+    # MySQL's Sun=1 (reference registerAlias in DateTimeTransforms;
+    # golden 01661_test_toDayOfWeek_mysql_compatibility)
+    "dayofweek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
     "tostartofyear": lambda a: f"date_trunc('year', {a[0]})",
     "tostartofquarter": lambda a: f"date_trunc('quarter', {a[0]})",
     "tostartofmonth": lambda a: f"date_trunc('month', {a[0]})",
@@ -10049,7 +10053,7 @@ def _utility_statement(spark, text: str, tables):
                  re.IGNORECASE)
     if m:
         name = m.group(2)
-        df = _resolve_view(spark, name, tables)
+        df = _resolve_view_safe(spark, name, (tables or {}).get(name))
         if df is None:
             raise ValueError(f"SHOW CREATE: unknown table {name!r}")
         t = (tables or {}).get(name)
