@@ -9465,6 +9465,78 @@ def fn_array_lex_compare_q(spark, sf_dir):
     """, tables=t)
 
 
+@q("mutation_truncate_read", """
+SELECT CAST(0 AS BIGINT) AS after_truncate,
+       CAST(5 AS BIGINT) AS after_reinsert
+""")
+def mutation_truncate_read_q(spark, sf_dir):
+    """Part-rewriting mutation then read (reference
+    src/Interpreters/InterpreterDropQuery.cpp TRUNCATE keeps the table
+    readable as empty; golden 01504_rocksdb): TRUNCATE drops every
+    part — the registered view must be re-pointed, not left holding
+    the dropped file listing (FAILED_READ_FILE otherwise)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r12_trunc (k UInt32, v String) "
+                  "ENGINE MergeTree ORDER BY k", tables=t)
+    ch_sql(spark, "INSERT INTO r12_trunc SELECT number, "
+                  "toString(number) FROM numbers(100)", tables=t)
+    ch_sql(spark, "TRUNCATE TABLE r12_trunc", tables=t)
+    a = ch_sql(spark, "SELECT count() AS c FROM r12_trunc",
+               tables=t).first()["c"]
+    ch_sql(spark, "INSERT INTO r12_trunc SELECT number, "
+                  "toString(number) FROM numbers(5)", tables=t)
+    b = ch_sql(spark, "SELECT count() AS c FROM r12_trunc",
+               tables=t).first()["c"]
+    return spark.createDataFrame(
+        [(int(a), int(b))],
+        "after_truncate bigint, after_reinsert bigint")
+
+
+@q("agg_state_column_merge", """
+WITH g AS (SELECT x % 7 AS k, list(DISTINCT x) AS bm
+           FROM range(100) t(x) GROUP BY k)
+SELECT CAST(1 AS INT) AS ok,
+       CAST(count(DISTINCT u) AS BIGINT) AS card
+FROM (SELECT unnest(bm) AS u FROM g)
+""")
+def agg_state_column_merge_q(spark, sf_dir):
+    """AggregateFunction(groupBitmap, T) columns store the array state
+    carrier and groupBitmapMerge folds them back to a cardinality
+    (reference src/AggregateFunctions/AggregateFunctionGroupBitmap.cpp;
+    golden 01504_rocksdb)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r12_bmstate (k UInt32, "
+                  "bm AggregateFunction(groupBitmap, UInt64)) "
+                  "ENGINE MergeTree ORDER BY k", tables=t)
+    ch_sql(spark, "INSERT INTO r12_bmstate SELECT number % 7 AS k, "
+                  "bitmapBuild(groupArray(number)) FROM numbers(100) "
+                  "GROUP BY k", tables=t)
+    return ch_sql(spark, "SELECT toInt32(1) AS ok, "
+                         "groupBitmapMerge(bm) AS card "
+                         "FROM r12_bmstate", tables=t)
+
+
+@q("mutation_clear_column", """
+WITH v(x, y) AS (VALUES (1, 0), (2, 3))
+SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y FROM v ORDER BY x
+""")
+def mutation_clear_column_q(spark, sf_dir):
+    """ALTER TABLE ... CLEAR COLUMN keeps the column and refills the
+    partition with the type default (reference
+    src/Interpreters/MutationsInterpreter.h:44 — golden
+    01114_clear_column_compact_parts), NOT a drop."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r12_clear (x UInt32, y UInt32) "
+                  "ENGINE MergeTree ORDER BY x PARTITION BY x",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r12_clear VALUES (1, 1), (2, 3)",
+           tables=t)
+    ch_sql(spark, "ALTER TABLE r12_clear CLEAR COLUMN y IN "
+                  "PARTITION 1", tables=t)
+    return ch_sql(spark, "SELECT toInt64(x) AS x, toInt64(y) AS y "
+                         "FROM r12_clear ORDER BY x", tables=t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 analog) on /root/testdata/sf0.001."""
     return q1(spark, "/root/testdata/sf0.001")

@@ -3861,7 +3861,9 @@ _MISC7 = {
     # length(s) = n in bytes, and the UTF-8 carrier would double-count
     # codes >= 128 (golden 03457 length(randomString(2048)) = 2048)
     "randomString": lambda n: _random_chars(n, 0, 128),
-    "randomFixedString": lambda n: _random_chars(n, 0, 256),
+    # same single-byte rationale: octet_length(randomFixedString(n))
+    # must equal n (r11 ADVICE fix — 128-255 encode as 2 UTF-8 bytes)
+    "randomFixedString": lambda n: _random_chars(n, 0, 128),
     "randConstant": lambda *a: F.lit(__import__("random").random()),
     "toInterval": lambda n, unit: _to_interval(n, unit),
     "visibleWidth": lambda x: F.char_length(_c(x).cast("string")),

@@ -113,14 +113,22 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
     sign_t = df.schema[sign].dataType
     df, keys, _hidden = _key_exprs(df, list(keys))
     value_cols = [c for c in orig_cols if c not in keys and c != sign]
-    rank = F.col(order_col) if order_col else F.lit(1)
+    if order_col:
+        rank = F.col(order_col)
+    else:
+        # physical insert order: part files scan oldest-first
+        # (part-<timestamp> paths sort chronologically) and parquet
+        # preserves row order within a file, so the scan-order id IS
+        # the reference's physical row order
+        # (CollapsingSortedTransform merges in stored order —
+        # golden 01764 keeps the last +1 of an equal-count run)
+        df = df.withColumn("__ins_seq", F.monotonically_increasing_id())
+        rank = F.col("__ins_seq")
     # CollapsingSortedAlgorithm::insertRows, faithfully:
     #   more +1 than -1            -> keep the LAST +1 state
     #   more -1 than +1            -> keep the FIRST -1 row
     #   equal and last row is +1   -> keep BOTH (first -1, last +1)
     #   equal and last row is -1   -> fully cancelled, keep nothing
-    # Without an order column the equal case collapses to nothing
-    # (insert order has no distributed analog; documented).
     row_struct = (F.struct(*[F.col(c) for c in value_cols])
                   if value_cols else F.struct(F.lit(0).alias("__d")))
     g = df.groupBy(*keys).agg(
@@ -132,8 +140,7 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
         F.min_by(row_struct,
                  F.when(F.col(sign) == -1, rank)).alias("__fn"))
     cp, cn = F.col("__cp"), F.col("__cn")
-    cancelled = ((cp == cn) & (F.col("__ls") != 1)) if order_col \
-        else (cp == cn)
+    cancelled = (cp == cn) & (F.col("__ls") != 1)
     emit_neg = (cn >= cp) & (cn > 0) & ~cancelled
     emit_pos = (cp >= cn) & (cp > 0) & ~cancelled
     neg = F.when(emit_neg, F.struct(F.col("__fn").alias("v"),

@@ -444,14 +444,17 @@ _RULES: dict = {
     "tolastdayofmonth": _fn("last_day"),
     "today": lambda a: "current_date()", "now": lambda a: "current_timestamp()",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
-    # toUnixTimestamp(x[, tz]): the tz applies to STRING parsing (the
-    # string is that zone's wall clock); tz'd DateTime values carry
-    # their zone in the convert_timezone marker (_epoch_ts_sql).
+    # toUnixTimestamp(x[, tz]): the tz applies to STRING parsing ONLY
+    # (the string is that zone's wall clock); DateTime/DateTime64
+    # epochs are tz-INDEPENDENT (toUnixTimestamp(toDateTime(e), tz) =
+    # e in the reference, FunctionsConversion.cpp) — a DateTime first
+    # argument ignores the tz entirely (r11 ADVICE fix).
     "tounixtimestamp": lambda a: (
         f"unix_seconds(to_utc_timestamp(to_timestamp({a[0]}), {a[1]}))"
         if len(a) == 2 and re.fullmatch(
             r"\s*'[A-Za-z_/+-]*[A-Za-z][A-Za-z_/+-]*'\s*", a[1])
-        else f"unix_seconds({_epoch_ts_sql(a[0])})" if len(a) == 1
+        and re.fullmatch(r"\s*'(?:[^'\\]|\\.)*'\s*", a[0])
+        else f"unix_seconds({_epoch_ts_sql(a[0])})" if len(a) <= 2
         else f"unix_timestamp({', '.join(a)})"),
     # DateTime64 epoch extractors (FunctionsConversion
     # toUnixTimestamp64*): epochs are tz-INDEPENDENT (reference
@@ -1591,9 +1594,14 @@ _RULES["jsonallpaths"] = lambda a: _json_all_paths_sql(a[0])
 # the *WithTypes forms return Map(String, String) in the reference
 # (renders {'path':'Type'}); arrayJoin over them yields (k, v) tuples
 # — see the explode(map_from_entries(X)) unwrap in translate_ch_sql
+# __chmap_ss__/__chmap_sa__ sentinels: PySpark's collect() does NOT
+# preserve map entry order (py4j hash iteration), so CH map renderings
+# must be built JVM-side — the late pass in translate_ch_sql either
+# unwraps them under arrayJoin/explode or renders the sorted CH text
+# form directly (golden 03270: sorted path order)
 _RULES["jsonallpathswithtypes"] = lambda a: (
-    f"map_from_entries("
-    f"{_json_all_paths_sql(a[0], with_types=True)})")
+    f"__chmap_ss__(map_from_entries("
+    f"{_json_all_paths_sql(a[0], with_types=True)}))")
 # storage-split introspection: this engine has no dynamic/shared
 # column split — every path is dynamic, shared data is empty
 # (reference ColumnObject max_dynamic_paths overflow; LIMITS)
@@ -1620,11 +1628,11 @@ _RULES["distinctjsonpaths"] = lambda a: (
 def _distinct_json_paths_types_rule(a):
     pairs = (f"flatten(collect_list("
              f"{_json_all_paths_sql(a[0], with_types=True)}))")
-    return (f"map_from_entries(transform(array_sort(array_distinct("
-            f"transform({pairs}, __jp -> __jp.col1))), __jk3 -> "
-            f"struct(__jk3, array_sort(array_distinct(transform("
-            f"filter({pairs}, __jp2 -> __jp2.col1 = __jk3), "
-            f"__jp3 -> __jp3.col2))))))")
+    return (f"__chmap_sa__(map_from_entries(transform(array_sort("
+            f"array_distinct(transform({pairs}, __jp -> __jp.col1))), "
+            f"__jk3 -> struct(__jk3, array_sort(array_distinct("
+            f"transform(filter({pairs}, __jp2 -> __jp2.col1 = __jk3), "
+            f"__jp3 -> __jp3.col2)))))))")
 
 
 _RULES["distinctjsonpathsandtypes"] = _distinct_json_paths_types_rule
@@ -2206,6 +2214,26 @@ def _iceberg_truncate_rule(a):
                                    a[1]):
         raise ValueError("icebergTruncate: floating-point values are "
                          "not truncatable (reference BAD_ARGUMENTS)")
+    # DECIMAL values truncate at the value's own scale (Iceberg spec:
+    # truncate(W, d) = d − (d mod scaled_W), scaled_W = unscaled W at
+    # scale(d) — golden 03376: truncate(10, 12.34dec2) = 12.30, NOT
+    # the integer-width 10)
+    dm = (re.search(r"(?i)AS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)",
+                    a[1]) if len(a) > 1 else None)
+    if dm and re.fullmatch(r"\s*\d+\s*", a[0]):
+        from decimal import Decimal as _D
+        scaled_w = str(_D(int(a[0])).scaleb(-int(dm.group(1))))
+        return f"(({a[1]}) - pmod(({a[1]}), {scaled_w}))"
+    # string values truncate at CODEPOINTS (Iceberg spec; the default
+    # bridge kind is long, which would NULL a string input) — covers
+    # quoted literals and string-producing heads (toFixedString →
+    # rpad, concat, lower/upper, substring)
+    if len(a) > 1 and re.fullmatch(r"\s*\d+\s*", a[0]) and (
+            re.fullmatch(r"\s*'(?:[^'\\]|\\.)*'\s*", a[1])
+            or re.match(r"(?is)\s*(rpad|lpad|concat|lower|upper|"
+                        r"substring|substr|trim|repeat|reverse)\s*\(",
+                        a[1])):
+        return f"substring({a[1]}, 1, {int(a[0])})"
     out = _bridge_registry_call("icebergTruncate", list(a))
     return out if out is not None \
         else f"icebergTruncate({', '.join(a)})"
@@ -3152,6 +3180,16 @@ def _rewrite_quantified_comparisons(sql: str) -> str:
         sql = sql[:left_start] + repl + sql[j:]
 
 
+# Spark SQL type words — an `AS <type>` inside a call argument is a
+# CAST-shaped spelling, never an inline alias
+_SPARK_TYPE_WORDS = {
+    "TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT", "LONG",
+    "FLOAT", "REAL", "DOUBLE", "DECIMAL", "STRING", "VARCHAR",
+    "CHAR", "BINARY", "BOOLEAN", "DATE", "TIMESTAMP",
+    "TIMESTAMP_NTZ", "TIMESTAMP_LTZ", "INTERVAL", "ARRAY", "MAP",
+    "STRUCT", "VARIANT", "BYTE", "SHORT",
+}
+
 _INLINE_ALIAS_KW = {
     "select", "from", "where", "group", "order", "having", "limit",
     "union", "intersect", "except", "on", "by", "as", "and", "or",
@@ -3203,15 +3241,17 @@ def _rewrite_inline_aliases(sql: str) -> str:
     rules; SURVEY 'non-standard SQL semantics').  Spark has no inline
     aliases, so: strip each ``(expr AS name)`` to ``name`` and define
     the names in a wrapping subquery under FROM (lateral column
-    aliases resolve def-to-def references).  Only depth-0 sites are
-    extracted — an inline alias inside a subquery belongs to that
-    subquery's scope."""
+    aliases resolve def-to-def references).  Sites at ANY paren depth
+    are extracted — including inside aggregate/function arguments
+    (``SELECT sum((2*id) AS func), func`` — CH aliases are
+    query-global, QueryAnalyzer) — EXCEPT inside a subquery, whose
+    inline aliases belong to that subquery's scope."""
     defs: list[tuple[str, str]] = []
     while True:
         found = False
         i, n = 0, len(sql)
         out: list[str] = []
-        depth = 0
+        stack: list[bool] = []    # per open paren: is it a subquery?
         while i < n:
             c = sql[i]
             if c in "'\"":
@@ -3220,7 +3260,8 @@ def _rewrite_inline_aliases(sql: str) -> str:
                 i = j
                 continue
             if c == ")":
-                depth -= 1
+                if stack:
+                    stack.pop()
                 out.append(c)
                 i += 1
                 continue
@@ -3231,30 +3272,64 @@ def _rewrite_inline_aliases(sql: str) -> str:
                     and not (ptok and ptok.group(1).lower()
                              in _INLINE_ALIAS_KW | {"when", "then",
                                                     "else", "distinct"})
-                if depth == 0 and not is_call:
+                is_subq = sql[i + 1:i + 40].lstrip().upper() \
+                    .startswith(("SELECT", "WITH"))
+                if not is_subq and not any(stack):
                     try:
                         items, after = _parse_args(sql, i)
                     except Exception:
-                        depth += 1
+                        stack.append(is_subq)
                         out.append(c)
                         i += 1
                         continue
-                    if len(items) == 1:
-                        body = items[0].strip()
-                        m = re.fullmatch(r"(?is)(.*\S)\s+AS\s+(`?\w+`?)",
-                                         body)
-                        name = m.group(2).strip("`") if m else ""
-                        if (m and not body.upper().startswith(
-                                ("SELECT", "WITH"))
-                                and name.lower() not in _INLINE_ALIAS_KW
-                                and name.lower() not in _CH_CAST_TYPES):
-                            defs.append((name, m.group(1)))
-                            out.append(name)
+
+                    def _aliased(body: str):
+                        m2 = re.fullmatch(
+                            r"(?is)(.*\S)\s+AS\s+(`?\w+`?)", body)
+                        if m2 is None:
+                            return None
+                        nm2 = m2.group(2).strip("`")
+                        if (body.upper().startswith(("SELECT", "WITH"))
+                                or nm2.lower() in _INLINE_ALIAS_KW
+                                or nm2.lower() in _CH_CAST_TYPES
+                                or nm2.upper() in _SPARK_TYPE_WORDS):
+                            return None
+                        return nm2, m2.group(1)
+
+                    if not is_call and len(items) == 1:
+                        # (expr AS name) group: strip to the name
+                        hit = _aliased(items[0].strip())
+                        if hit:
+                            defs.append(hit)
+                            out.append(hit[0])
                             out.append(sql[after:])
                             sql = "".join(out)
                             found = True
                             break
-                depth += 1
+                    elif is_call and ptok and not (
+                            ptok.group(1).lower().endswith("cast")
+                            or ptok.group(1).lower() in (
+                                "exists", "replace", "except",
+                                "columns", "apply")):
+                        # a function ARGUMENT carrying an alias —
+                        # ``sum((2*id) AS func)`` — hoist the defining
+                        # expression, leave the bare name as the arg
+                        hits = [(k, _aliased(it.strip()))
+                                for k, it in enumerate(items)]
+                        hits = [(k, h) for k, h in hits if h]
+                        if hits:
+                            for _k, (nm3, ex3) in hits:
+                                defs.append((nm3, ex3))
+                            new_items = [
+                                next((h[0] for k2, h in hits
+                                      if k2 == k), it.strip())
+                                for k, it in enumerate(items)]
+                            out.append("(" + ", ".join(new_items) + ")")
+                            out.append(sql[after:])
+                            sql = "".join(out)
+                            found = True
+                            break
+                stack.append(is_subq)
                 out.append(c)
                 i += 1
                 continue
@@ -5738,9 +5813,9 @@ def _json_split_paths_types_sql(x: str, shared: bool) -> str:
     ents = _json_all_paths_sql(x, with_types=True)
     keys = _json_split_paths_sql(x, shared)
     if info is None and not shared:
-        return f"map_from_entries({ents})"
-    return (f"map_from_entries(filter({ents}, __de -> "
-            f"array_contains({keys}, __de.col1)))")
+        return f"__chmap_ss__(map_from_entries({ents}))"
+    return (f"__chmap_ss__(map_from_entries(filter({ents}, __de -> "
+            f"array_contains({keys}, __de.col1))))")
 
 
 _TRUNC_CARRIERS = {
@@ -6680,6 +6755,80 @@ def _rewrite_dynamic_subcolumns(seg: str) -> str:
     return _DYN_SUB_RE.sub(sub, seg)
 
 
+_OB_SPAN_END_RE = re.compile(
+    r"(?i)\b(LIMIT|OFFSET|SETTINGS|FORMAT|UNION|EXCEPT|INTERSECT|"
+    r"INTERPOLATE|ROWS|RANGE|GROUPS|FETCH|INTO|WINDOW)\b")
+
+
+def _rewrite_order_by_null_direction(sql: str) -> str:
+    """CH sorts NULLs LAST on ASC and FIRST on DESC (NULL is the
+    greatest value — src/Core/SortDescription.h default
+    nulls_direction); Spark defaults to the opposite.  Append the
+    explicit NULLS direction to every ORDER BY item that doesn't
+    already carry one (golden 03270: the missing-path NULL row sorts
+    after the values)."""
+    out, pos = [], 0
+    while True:
+        # find the next ORDER BY outside string literals
+        m = None
+        scan = pos
+        while scan < len(sql):
+            if sql[scan] in "'\"":
+                scan = _skip_string(sql, scan)
+                continue
+            mm = re.match(r"(?i)ORDER\s+BY(?=\s|\()", sql[scan:])
+            if mm and (scan == 0 or not sql[scan - 1].isalnum()):
+                m = (scan, scan + mm.end())
+                break
+            scan += 1
+        if m is None:
+            out.append(sql[pos:])
+            break
+        start = m[1]
+        # span ends at a clause keyword, an unbalanced ')', or EOS
+        depth, i = 0, start
+        end = len(sql)
+        while i < len(sql):
+            c = sql[i]
+            if c in "'\"":
+                i = _skip_string(sql, i)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                km = _OB_SPAN_END_RE.match(sql, i)
+                if km and not sql[i - 1].isalnum():
+                    end = i
+                    break
+            i += 1
+        span = sql[start:end]
+        items = _split_top_commas(span)
+        new_items = []
+        for it in items:
+            body = it.strip()
+            if not body or re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\b",
+                                     body) \
+                    or re.search(r"(?i)\bWITH\s+FILL\b", body):
+                new_items.append(it)
+                continue
+            if re.search(r"(?i)\bDESC(?:ENDING)?\s*$", body):
+                new_items.append(f"{body} NULLS FIRST")
+            else:
+                new_items.append(f"{body} NULLS LAST")
+        out.append(sql[pos:start])
+        out.append(" ")
+        out.append(", ".join(s.strip() for s in new_items))
+        if end < len(sql) and not sql[end].isspace():
+            out.append(" ")
+        pos = end
+    return "".join(out)
+
+
 def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     """Translate a ClickHouse SELECT into Spark SQL text."""
     sql = sql.strip().rstrip(";")
@@ -6911,6 +7060,31 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     # distinctJSONPathsAndTypes) iterates (k, v) ENTRIES in the
     # reference; explode the entry array directly — Spark's
     # explode(map) changes the output shape (two columns)
+    for sent in ("__chmap_ss__", "__chmap_sa__"):
+        while f"explode({sent}(" in sql:
+            at0 = sql.index(f"explode({sent}(")
+            inner_open = at0 + len(f"explode({sent}")
+            inner_close = _matching_paren(sql, inner_open)
+            outer_close = _matching_paren(sql, at0 + len("explode"))
+            if inner_close < 0 or outer_close != inner_close + 1:
+                break
+            sql = (sql[:at0] + "explode(map_entries("
+                   + sql[inner_open + 1:inner_close]
+                   + "))" + sql[outer_close + 1:])
+    # remaining sentinel sites carry the map as its ENTRIES array —
+    # entry order survives py4j collect as an array but NOT as a
+    # MapType (dict conversion scrambles it); tsvrender prints
+    # [(key, value)...] arrays in CH Map text form (golden 03270
+    # sorted path order)
+    for sent in ("__chmap_ss__", "__chmap_sa__"):
+        while f"{sent}(" in sql:
+            at0 = sql.index(f"{sent}(")
+            close = _matching_paren(sql, at0 + len(sent))
+            if close < 0:
+                break
+            inner = sql[at0 + len(sent) + 1:close]
+            sql = (sql[:at0] + f"map_entries({inner})"
+                   + sql[close + 1:])
     while "explode(map_from_entries(" in sql:
         at0 = sql.index("explode(map_from_entries(")
         inner_open = at0 + len("explode(map_from_entries")
@@ -7256,6 +7430,15 @@ def _rewrite_argmm_state_hex(sql: str) -> str:
             continue
         args = _split_top_commas(sql[inner_open + 1:inner_close])
         if len(args) != 2:
+            continue
+        # the length-prefixed layout below is SingleValueDataString —
+        # numeric first args serialize SingleValueDataFixed (no length
+        # prefix/NUL), so a clearly numeric-shaped argument keeps the
+        # opaque pass-through (r11 ADVICE fix)
+        if re.fullmatch(r"\s*-?\d+(\.\d+)?\s*", args[0]) \
+                or re.match(r"(?is)\s*(toU?Int\d+|toFloat\d+|"
+                            r"number\b|rand\b|CAST\s*\([^)]*AS\s+"
+                            r"(?:TINY|SMALL|BIG)?INT)", args[0]):
             continue
         mm = "max" if m.group(1).lower() == "max" else "min"
         s, v = args[0].strip(), args[1].strip()
@@ -7970,11 +8153,8 @@ _ASOF_RE = re.compile(
     r"\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|LIMIT|QUALIFY|HAVING)\b|$)",
     re.IGNORECASE | re.DOTALL)
 
-_ANY_JOIN_RE = re.compile(
-    r"\b(LEFT\s+)?ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+"
-    r"(`?\w+`?|\([^()]*(?:\([^()]*\)[^()]*)*\)(?:\s+(?:AS\s+)?\w+)?)"
-    r"\s+USING\s*\(([^)]*)\)",
-    re.IGNORECASE)
+_ANY_JOIN_HEAD_RE = re.compile(
+    r"\b(LEFT\s+)?ANY\s+(LEFT\s+|INNER\s+)?JOIN\s+", re.IGNORECASE)
 
 
 def _rewrite_any_join(sql: str) -> str:
@@ -7986,24 +8166,58 @@ def _rewrite_any_join(sql: str) -> str:
     is unspecified in the reference and unspecified here too (pick-any
     contract; operators.any_join offers an explicit order for
     deterministic refinement).  USING form only; the ON form needs the
-    DataFrame API."""
-    def sub(m: re.Match) -> str:
-        keys = ", ".join(k.strip().strip("`") for k in m.group(4).split(","))
-        first_key = keys.split(",")[0].strip()
-        t = m.group(3).strip()
-        tm = re.match(r"(?is)^(\(.*\))\s*(?:AS\s+)?(\w*)$", t)
-        if tm:
-            src, alias = tm.group(1), (tm.group(2) or "__any_r")
+    DataFrame API.  Scanner-based right-operand parse (a regex caps the
+    paren depth; subqueries nest arbitrarily — golden 01504)."""
+    out, pos = [], 0
+    while True:
+        m = _ANY_JOIN_HEAD_RE.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        # right operand: bare name or a balanced parenthesized
+        # subquery, then an optional alias, then USING (keys)
+        p = m.end()
+        if p < len(sql) and sql[p] == "(":
+            close = _matching_paren(sql, p)
+            if close < 0:
+                out.append(sql[pos:m.end()])
+                pos = m.end()
+                continue
+            src = sql[p:close + 1]
+            rest = close + 1
+            am = re.match(r"\s+(?:AS\s+)?(?!USING\b)(`?\w+`?)",
+                          sql[rest:], re.IGNORECASE)
+            alias = am.group(1).strip("`") if am else "__any_r"
+            if am:
+                rest += am.end()
         else:
-            src, alias = t, t.strip("`")
+            nm = re.match(r"`?\w+`?", sql[p:])
+            if nm is None:
+                out.append(sql[pos:m.end()])
+                pos = m.end()
+                continue
+            src = nm.group(0)
+            alias = src.strip("`")
+            rest = p + nm.end()
+        um = re.match(r"\s+USING\s*\(([^)]*)\)", sql[rest:],
+                      re.IGNORECASE)
+        if um is None:
+            out.append(sql[pos:m.end()])
+            pos = m.end()
+            continue
+        keys = ", ".join(k.strip().strip("`")
+                         for k in um.group(1).split(","))
+        first_key = keys.split(",")[0].strip()
         how = ("LEFT JOIN"
                if "LEFT" in ((m.group(1) or "") + (m.group(2) or ""))
                .upper() else "JOIN")
-        return (f"{how} (SELECT * EXCEPT (__any_rn) FROM ("
-                f"SELECT *, row_number() OVER (PARTITION BY {keys} "
-                f"ORDER BY {first_key}) AS __any_rn FROM {src}) "
-                f"WHERE __any_rn = 1) AS {alias} USING ({keys})")
-    return _ANY_JOIN_RE.sub(sub, sql)
+        out.append(sql[pos:m.start()])
+        out.append(f"{how} (SELECT * EXCEPT (__any_rn) FROM ("
+                   f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+                   f"ORDER BY {first_key}) AS __any_rn FROM {src}) "
+                   f"WHERE __any_rn = 1) AS {alias} USING ({keys})")
+        pos = rest + um.end()
+    return "".join(out)
 
 
 def _rewrite_asof_join(spark, sql: str) -> str:
@@ -8256,7 +8470,23 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
         s2 = _sub_nonstring(sql, lambda seg: re.sub(
             r"(?i)\bUNION\s+(?!ALL\b|DISTINCT\b)", "UNION ALL ", seg))
         sql = s2
-    df = _ch_sql_impl(spark, sql, sample_by=sample_by, tables=tables)
+    # per-statement render/cast hint registries (r11 ADVICE: the
+    # global dicts leaked hints across queries — a DateTime64(1)
+    # literal in one query changed how a LATER query rendered the
+    # same wall+micro value — and grew unboundedly).  Reset at each
+    # TOP-LEVEL statement; nested ch_sql calls (INSERT SELECT, view
+    # bodies) keep the outer statement's hints.
+    global _CH_SQL_DEPTH
+    if _CH_SQL_DEPTH == 0:
+        from ..sources.tsvrender import DT64_SCALE_HINTS
+        DT64_SCALE_HINTS.clear()
+        _JSON_CAST_INFO.clear()
+    _CH_SQL_DEPTH += 1
+    try:
+        df = _ch_sql_impl(spark, sql, sample_by=sample_by,
+                          tables=tables)
+    finally:
+        _CH_SQL_DEPTH -= 1
     if df is not None and any(
             f.dataType.simpleString().startswith("interval")
             for f in df.schema.fields):
@@ -8281,6 +8511,7 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
 
 
 _GENRAND_COUNTER = [0]
+_CH_SQL_DEPTH = 0
 
 
 def _merge_union_df(spark, pattern: str, tables):
@@ -8576,6 +8807,14 @@ def _ch_sql_impl(spark, sql: str,
         if jcols and any(re.search(rf"\b{re.escape(c)}\s*\.", text)
                          for c in jcols):
             text = _rewrite_json_subcolumns(text, jcols)
+        # declared ALIAS columns referenced by name: wrap the FROM/
+        # JOIN table ref in a computed subquery (hidden from SELECT *).
+        # MUST run before dotted-name backticking so alias expressions
+        # over dotted Nested members (`dcount ALIAS length(c.d)`,
+        # golden 01521) get backticked too
+        if tables.get("__aliascols__") \
+                and re.match(r"(?is)\s*(SELECT|WITH)\b", text):
+            text = _inject_alias_columns(text, tables)
         # Nested expansion stores literal dotted column NAMES (`n.a`
         # Array(T), NestedUtils::flatten); backtick bare dotted
         # references (SELECT/ORDER BY/mutation predicates) so Spark
@@ -8595,11 +8834,6 @@ def _ch_sql_impl(spark, sql: str,
                 text = _sub_nonstring(text, lambda seg, c=c: re.sub(
                     rf"(?<![\w.`]){re.escape(c)}(?![\w.`])",
                     f"`{c}`", seg))
-        # declared ALIAS columns referenced by name: wrap the FROM/
-        # JOIN table ref in a computed subquery (hidden from SELECT *)
-        if tables.get("__aliascols__") \
-                and re.match(r"(?is)\s*(SELECT|WITH)\b", text):
-            text = _inject_alias_columns(text, tables)
         # a bare Nested GROUP name in ARRAY JOIN expands to its member
         # arrays (reference ARRAY JOIN nested zips n.a, n.b)
         if dotted and re.search(r"(?i)\bARRAY\s+JOIN\b", text):
@@ -9259,9 +9493,17 @@ def _keyless_identity_defaults_df(df, translated: str, tables):
 
 def _run_sql(spark, translated: str):
     """spark.sql with the alias-in-WHERE and ambiguous-reference
-    retries (see _retry_alias_in_where / _retry_ambiguous_ref)."""
+    retries (see _retry_alias_in_where / _retry_ambiguous_ref).
+    The CH NULLS-direction rewrite (_rewrite_order_by_null_direction)
+    applies transparently at each submit so the retry pattern-matchers
+    keep operating on the clean translated text."""
+    def _submit(text: str):
+        if re.search(r"(?i)\bORDER\s+BY\b", text):
+            text = _rewrite_order_by_null_direction(text)
+        return spark.sql(text)
+
     try:
-        return spark.sql(translated)
+        return _submit(translated)
     except Exception as e:
         retried = _retry_alias_in_where(translated, e)
         if retried is None:
@@ -9270,6 +9512,12 @@ def _run_sql(spark, translated: str):
             retried = _retry_collate_drop(translated, e)
         if retried is None:
             retried = _retry_using_alias(translated, e)
+        if retried is None:
+            retried = _retry_using_qualified(translated, e)
+        if retried is None:
+            retried = _retry_octet_length_array(translated, e)
+        if retried is None:
+            retried = _retry_missing_aggregation(translated, e)
         if retried is None:
             retried = _retry_bool_arith(translated, e)
         if retried is None:
@@ -9281,7 +9529,7 @@ def _run_sql(spark, translated: str):
         if retried is None:
             raise
         try:
-            return spark.sql(retried)
+            return _submit(retried)
         except Exception as e2:
             retried2 = _retry_ambiguous_ref(retried, e2)
             if retried2 is None:
@@ -9290,7 +9538,7 @@ def _run_sql(spark, translated: str):
                 retried2 = _retry_int_logical(retried, e2)
             if retried2 is None:
                 raise
-            return spark.sql(retried2)
+            return _submit(retried2)
 
 
 def _retry_collate_drop(translated: str, err: Exception):
@@ -9552,8 +9800,9 @@ def _retry_order_by_hidden(translated: str, err: Exception):
         return None
     specs = []
     for it in _split_top_commas(ob):
-        dm = re.search(r"(?is)\s(ASC|DESC)(\s+NULLS\s+"
-                       r"(?:FIRST|LAST))?\s*$", it)
+        dm = re.search(r"(?is)\s(?:(?:ASC|DESC)(?:\s+NULLS\s+"
+                       r"(?:FIRST|LAST))?|NULLS\s+(?:FIRST|LAST))"
+                       r"\s*$", it)
         e = (it[:dm.start()] if dm else it).strip()
         specs.append((e, it[dm.start():].strip() if dm else ""))
     head = translated[:om.start()]
@@ -9572,6 +9821,120 @@ def _retry_order_by_hidden(translated: str, err: Exception):
     helpers = ", ".join(f"__ob{i}" for i in range(len(specs)))
     return (f"SELECT * EXCEPT ({helpers}) FROM ({inner}) __obq "
             f"ORDER BY {order} " + translated[ob_end:])
+
+
+def _retry_missing_aggregation(translated: str, err: Exception):
+    """A SELECT item that is an inline-alias of a GROUP-BY-dependent
+    expression (``SELECT sum((2*id) AS func), func ... GROUP BY id`` —
+    reference QueryAnalyzer resolves func = 2*id as functionally
+    dependent on the key; golden 02498): Spark demands it in GROUP BY,
+    so append the named expression to the GROUP BY list (grouping is
+    unchanged when the dependence holds — the only case the reference
+    accepts)."""
+    msg = str(err)
+    if "MISSING_AGGREGATION" not in msg:
+        return None
+    mm = re.search(r'expression "([^"]+)"', msg)
+    if mm is None:
+        return None
+    name = mm.group(1).strip("`")
+    if not re.fullmatch(r"\w+", name):
+        return None
+    tops = _top_level_set(translated)
+    gm = next((g for g in re.finditer(r"(?i)\bGROUP\s+BY\s+",
+                                      translated)
+               if g.start() in tops), None)
+    if gm is None:
+        return None
+    # already listed → a different failure, don't loop
+    gb_end = next((c.start() for c in _CLAUSE_AFTER_FROM_RE.finditer(
+        translated, gm.end()) if c.start() in tops), len(translated))
+    gb = translated[gm.end():gb_end]
+    if re.search(rf"(?<![\w.`]){re.escape(name)}(?![\w.`])", gb):
+        return None
+    return (translated[:gb_end].rstrip() + f", `{name}` "
+            + translated[gb_end:])
+
+
+def _retry_octet_length_array(translated: str, err: Exception):
+    """CH length() is polymorphic (bytes for String, cardinality for
+    Array/Map — src/Functions/array/length.cpp); the textual translator
+    guesses from syntax and defaults to octet_length.  When the
+    analyzer reports the operand is actually ARRAY/MAP typed, swap
+    that octet_length call to cardinality (golden 01521 `length(c.d)`
+    over a Nested member array)."""
+    msg = str(err)
+    if "DATATYPE_MISMATCH" not in msg or "octet_length" not in msg \
+            or ('"ARRAY' not in msg and '"MAP' not in msg):
+        return None
+    m = re.search(r'"octet_length\((.*?)\)" due to', msg,
+                  re.IGNORECASE | re.DOTALL)
+    target = m.group(1).replace("`", "").strip() if m else None
+    out, pos, changed = [], 0, False
+    low = translated.lower()
+    while True:
+        i = low.find("octet_length(", pos)
+        if i < 0:
+            out.append(translated[pos:])
+            break
+        close = _matching_paren(translated, i + len("octet_length"))
+        inner = translated[i + len("octet_length(")
+                           :close] if close > 0 else None
+        if inner is not None and (
+                target is None
+                or inner.replace("`", "").strip() == target):
+            out.append(translated[pos:i])
+            out.append(f"cardinality({inner})")
+            pos = close + 1
+            changed = True
+        else:
+            out.append(translated[pos:i + len("octet_length(")])
+            pos = i + len("octet_length(")
+    return "".join(out) if changed else None
+
+
+def _retry_using_qualified(translated: str, err: Exception):
+    """``alias.key`` where ``key`` is a USING-join key of that side:
+    the reference resolves qualified USING keys (QueryAnalyzer keeps
+    per-side key columns visible — golden 01504_rocksdb ``A.a = B.a
+    ... USING a``); Spark hides the right side's key after USING and
+    the resolver falls back to a struct-field read, dying
+    AMBIGUOUS_REFERENCE / UNRESOLVED_COLUMN.  Retry: rewrite every
+    ``alias.key`` whose alias is a USING-join side to the bare
+    coalesced ``key`` (equal on matched rows; LEFT-join unmatched
+    rows keep the left value, the reference's default-fill analog
+    under join_use_nulls=0)."""
+    msg = str(err)
+    if "AMBIGUOUS_REFERENCE" not in msg \
+            and "UNRESOLVED_COLUMN" not in msg:
+        return None
+    mm = re.search(r"`(\w+)`\.`(\w+)`", msg)
+    if mm is None:
+        return None
+    # every USING join: right alias immediately before USING, plus
+    # table refs named in the same FROM chain — collect (alias, key)
+    pairs = set()
+    for um in re.finditer(r"(?is)(?:AS\s+)?`?(\w+)`?\s+USING\s*"
+                          r"\(([^()]*)\)", translated):
+        alias = um.group(1)
+        keys = [k.strip(" `") for k in um.group(2).split(",")]
+        for k in keys:
+            pairs.add((alias.lower(), k.lower()))
+            # left-side aliases of the same join chain also qualify;
+            # collect every plain `name` or `) AS name` alias in the
+            # statement (cheap over-approximation — only alias.key
+            # spellings that EXIST in the text get rewritten)
+            for am in re.finditer(
+                    r"(?is)(?:\)|\bFROM|\bJOIN)\s+(?:AS\s+)?"
+                    r"`?(\w+)`?", translated):
+                pairs.add((am.group(1).lower(), k.lower()))
+    if (mm.group(1).lower(), mm.group(2).lower()) not in pairs:
+        return None
+    out = translated
+    for alias, key in sorted(pairs):
+        out = re.sub(rf"(?i)\b{alias}\s*\.\s*`?{key}`?\b",
+                     f"`{key}`", out)
+    return out if out != translated else None
 
 
 def _retry_using_alias(translated: str, err: Exception):
@@ -10376,6 +10739,7 @@ def _utility_statement(spark, text: str, tables):
         t = (tables or {}).get(name)
         if t is not None and hasattr(t, "parts"):
             t._drop_parts(t.parts())
+            _refresh_table_views(spark, name, t)
             return None
         df = _resolve_view(spark, name, tables)
         if df is None:
@@ -10501,6 +10865,28 @@ def _ch_decl_type_to_spark(t: str) -> str:
                      re.IGNORECASE | re.DOTALL)
     if m:
         return _ch_decl_type_to_spark(m.group(1))
+    # SimpleAggregateFunction(f, T) stores the NESTED type itself
+    # (DataTypeCustomSimpleAggregateFunction.cpp public contract)
+    m = re.fullmatch(r"SimpleAggregateFunction\s*\((.*)\)", t,
+                     re.IGNORECASE | re.DOTALL)
+    if m:
+        parts = _split_top_commas(m.group(1))
+        if len(parts) >= 2:
+            return _ch_decl_type_to_spark(parts[-1])
+    # AggregateFunction(groupBitmap|uniq*|groupArray*|quantile*, T):
+    # this engine's state carrier for the collect-family is ARRAY<T>
+    # (see the groupBitmapState / -Merge rules) — declaring the column
+    # ARRAY keeps inserted states intact (golden 01504_rocksdb);
+    # other states stay the opaque STRING carrier
+    m = re.fullmatch(r"AggregateFunction\s*\((.*)\)", t,
+                     re.IGNORECASE | re.DOTALL)
+    if m:
+        parts = _split_top_commas(m.group(1))
+        if len(parts) >= 2 and re.match(
+                r"(?i)^(groupBitmap|uniqExact|groupArray|"
+                r"groupUniqArray)\s*$", parts[0].strip()):
+            return f"ARRAY<{_ch_decl_type_to_spark(parts[1])}>"
+        return "STRING"
     m = re.fullmatch(r"Array\s*\((.*)\)", t, re.IGNORECASE | re.DOTALL)
     if m:
         return f"ARRAY<{_ch_decl_type_to_spark(m.group(1))}>"
@@ -11068,7 +11454,10 @@ def _extract_alias_columns(text: str, tables) -> str:
     items = _split_top_commas(text[open_i + 1:close_i])
     kept, aliases = [], {}
     for it in items:
-        am = re.match(r"(?is)^\s*`?([\w.]+)`?\s+[\w()., ]+?\s+"
+        # the declared type is OPTIONAL for ALIAS columns (the
+        # reference infers it from the expression; golden 00712
+        # `c alias a + b`)
+        am = re.match(r"(?is)^\s*`?([\w.]+)`?\s+(?:[\w()., ]+?\s+)?"
                       r"ALIAS\s+(.+?)\s*$", it)
         if am is not None and not re.search(
                 r"(?i)\b(DEFAULT|MATERIALIZED)\b", it):
@@ -11220,6 +11609,26 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
     name = name_m.group(1)
     cm = _CREATE_RE.match(text)
     if cm and cm.group(3).lower() in _ENGINE_NAMES:
+        # Replicated* second replica of the SAME zookeeper path: one
+        # storage, two names (reference ReplicatedMergeTree — replicas
+        # share the log; golden 00446 clear_column1/clear_column2).
+        # The new name becomes a lazy alias view over the first
+        # replica, so ALTERs/INSERTs through either name are visible
+        # through both.
+        if cm.group(3).lower().startswith("replicated") \
+                and cm.group(4) and tables is not None:
+            eargs = _split_top_commas(cm.group(4))
+            zk = eargs[0].strip().strip("'") if eargs else None
+            if zk:
+                zmap = tables.setdefault("__zk__", {})
+                peer = zmap.get(zk)
+                if peer is not None and peer in tables \
+                        and peer != name:
+                    tables[name] = tables[peer]
+                    _register_distributed_alias(spark, name, peer,
+                                                tables)
+                    return None
+                zmap[zk] = name
         t = create_table_sql(spark, text, _default_table_dir())
         if tables is not None:
             tables[name] = t
@@ -11660,6 +12069,35 @@ def _alter_table_statement(spark, name: str, body: str, tables):
             if known:
                 t.sql_projections.discard(m.group(2))
             continue
+        m = re.match(r"(?is)^CLEAR\s+COLUMN\s+(?:IF\s+EXISTS\s+)?"
+                     r"`?([\w.]+)`?"
+                     r"(?:\s+IN\s+PARTITION\s+(?:ID\s+)?"
+                     r"('[^']*'|[\w.-]+))?\s*$", o)
+        if m and t is not None and hasattr(t, "update_where"):
+            # CLEAR COLUMN keeps the column and refills it with the
+            # declared/type DEFAULT per partition (reference
+            # src/Interpreters/MutationsInterpreter.h:44 — golden
+            # 00446/01114 clear_column families); NOT a drop
+            cname = m.group(1)
+            # the column must exist in the PARTS — a freshly ADDed
+            # column lives only in the DDL until the next insert
+            # (reads already fill its default; nothing to rewrite)
+            try:
+                cur = {f.name: f.dataType
+                       for f in t.read_raw().schema.fields}
+            except ValueError:
+                cur = {}
+            if cname in cur:
+                dflt_sql = (t.column_defaults or {}).get(cname) \
+                    or _ch_type_default_sql(cur[cname])
+                expr = F.expr(dflt_sql).cast(cur[cname])
+                if m.group(2) is not None:
+                    pred = t.partition_predicate(m.group(2).strip("'"))
+                else:
+                    pred = F.lit(True)
+                t.update_where(pred, {cname: expr})
+                df = t.read()
+            continue
         if re.match(r"(?is)^(MATERIALIZE\s+COLUMN|COMMENT\s+COLUMN|"
                     r"MODIFY\s+(TTL|SETTING|ORDER\s+BY|QUERY)|"
                     r"RESET\s+SETTING|CLEAR\s+COLUMN|ADD\s+INDEX|"
@@ -11678,6 +12116,7 @@ def _alter_table_statement(spark, name: str, body: str, tables):
             t.read(final=True).createOrReplaceTempView(f"{name}__final")
         except ValueError:
             pass                      # part-less table; CREATE-time view stands
+    _refresh_alias_views(spark, name, tables)
     return None
 
 
@@ -11699,6 +12138,21 @@ def _resolve_view_safe(spark, name: str, t):
     return None
 
 
+def _refresh_alias_views(spark, name: str, tables) -> None:
+    """Re-register every alias view pointing at ``name`` (Distributed
+    proxies, Replicated second replicas): Spark SQL temp views pin
+    their creation-time schema with a compensating projection, so an
+    ALTER ADD COLUMN on the local table is invisible through a stale
+    alias until re-registration (golden 00446 clear_column2)."""
+    for a, local in ((tables or {}).get("__alias__") or {}).items():
+        if local == name and a != name:
+            try:
+                spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{a}` "
+                          f"AS SELECT * FROM `{name}`")
+            except Exception:
+                pass
+
+
 def _refresh_table_views(spark, name: str, t) -> None:
     """Re-register the ``name`` / ``name__final`` temp views after a
     mutation replaced part files (a stale view holds the old file
@@ -11708,8 +12162,27 @@ def _refresh_table_views(spark, name: str, t) -> None:
     try:
         t.read().createOrReplaceTempView(name)
         t.read(final=True).createOrReplaceTempView(f"{name}__final")
+        return
     except ValueError:
         pass                          # part-less after mutation
+    # TRUNCATE / DELETE-all left zero parts: a stale view would die
+    # FAILED_READ_FILE on the next SELECT (reference drops the data
+    # but keeps the table readable as empty) — register an empty
+    # typed view from the declared DDL or the old view's schema
+    empty = None
+    ddl = getattr(t, "schema_ddl", None)
+    if ddl:
+        try:
+            empty = spark.createDataFrame([], ddl)
+        except Exception:
+            empty = None
+    if empty is None:
+        try:
+            empty = spark.table(name).limit(0).localCheckpoint(eager=True)
+        except Exception:
+            return
+    empty.createOrReplaceTempView(name)
+    empty.createOrReplaceTempView(f"{name}__final")
 
 
 def _target_schema(spark, name: str, t):

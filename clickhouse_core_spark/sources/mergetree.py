@@ -55,6 +55,47 @@ _ENGINES = ("merge_tree", "replacing", "summing", "collapsing",
             "versioned_collapsing", "coalescing", "aggregating")
 
 
+def _type_default_sql(dt) -> str | None:
+    """CH type default as a SQL literal (addMissingDefaults.cpp): 0
+    for numbers, '' for strings, empty collections, the epoch for
+    date/time.  None for types with no clear default (struct etc.)."""
+    from pyspark.sql import types as T
+    s = dt.simpleString()
+    if isinstance(dt, T.ArrayType):
+        return f"CAST(array() AS {s})"
+    if isinstance(dt, T.MapType):
+        return f"CAST(map() AS {s})"
+    if isinstance(dt, T.StringType):
+        return "''"
+    if isinstance(dt, T.BinaryType):
+        return "CAST('' AS BINARY)"
+    if isinstance(dt, T.DateType):
+        return "DATE'1970-01-01'"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return f"CAST('1970-01-01 00:00:00' AS {s})"
+    if isinstance(dt, T.BooleanType):
+        return "false"
+    if isinstance(dt, T.NumericType):
+        return "0"
+    return None
+
+
+def _split_ddl_columns(ddl: str) -> list[str]:
+    """Split a Spark DDL column list on top-level commas (commas inside
+    ARRAY<...>/STRUCT<...>/DECIMAL(p,s) don't separate columns)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(ddl[start:i])
+            start = i + 1
+    out.append(ddl[start:])
+    return out
+
+
 class MergeTreeTable:
     """A managed, partitioned, sort-clustered Parquet table with
     MergeTree engine semantics."""
@@ -500,6 +541,43 @@ class MergeTreeTable:
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d, allowMissingColumns=True)
+        # ALTER-evolved parts: a part written before ADD COLUMN lacks
+        # the column — unionByName filled NULL, but the reference
+        # reads the declared DEFAULT, else the TYPE default, for
+        # non-Nullable columns (addMissingDefaults.cpp; golden 00446)
+        ddl = getattr(self, "schema_ddl", None)
+        if ddl:
+            decl_cols = []
+            for c in _split_ddl_columns(ddl):
+                toks = c.strip().split(None, 1)
+                if len(toks) == 2:
+                    decl_cols.append((toks[0].strip("`"), toks[1]))
+            nullable = getattr(self, "nullable_cols", frozenset())
+            defaults = self.column_defaults or {}
+            have = {f.name for f in df.schema.fields}
+            for cname, ctype in decl_cols:
+                if cname not in have or cname in nullable:
+                    continue
+                fld = df.schema[cname]
+                if not fld.nullable:
+                    continue
+                dflt = defaults.get(cname)
+                if dflt is None:
+                    dflt = _type_default_sql(fld.dataType)
+                if dflt is not None:
+                    df = df.withColumn(
+                        cname, F.coalesce(
+                            F.col(f"`{cname}`"),
+                            F.expr(dflt).cast(fld.dataType)))
+            # hive partition columns come back APPENDED after the data
+            # columns — restore the declared DDL order so `SELECT *`
+            # matches the CREATE (reference column order is
+            # declaration order; golden 01114)
+            declared = [c for c, _t in decl_cols]
+            ordered = [c for c in declared if c in have] \
+                + [c for c in df.columns if c not in declared]
+            if ordered != df.columns:
+                df = df.select(*[F.col(f"`{c}`") for c in ordered])
         return self._apply_delete_masks(df, parts)
 
     def read(self, final: bool = False) -> DataFrame:

@@ -127,6 +127,17 @@ def render_value(v, nested: bool = False,
             f"{render_value(k, True, bool_as_int)}:"
             f"{render_value(x, True, bool_as_int)}"
             for k, x in v.items()) + "}"
+    # an ARRAY of (key, value) structs is an ORDER-PRESERVING map
+    # carrier (py4j's MapType→dict conversion scrambles entry order,
+    # so ordered CH maps ship as map_entries() arrays — golden 03270
+    # sorted JSON path maps): render in CH Map text form
+    if isinstance(v, (list, tuple)) and v \
+            and all(getattr(x, "__fields__", None) == ["key", "value"]
+                    for x in v):
+        return "{" + ",".join(
+            f"{render_value(x['key'], True, bool_as_int)}:"
+            f"{render_value(x['value'], True, bool_as_int)}"
+            for x in v) + "}"
     # pyspark Row (struct) exposes __fields__; render as tuple
     if hasattr(v, "__fields__"):
         vals = [v[i] for i in range(len(v.__fields__))]

@@ -225,10 +225,14 @@ def test_json_paths_functions(spark):
            tables=t)
     assert _rows(spark, "SELECT JSONAllPaths(o) AS p FROM r10t_jp",
                  t) == [(["a.b", "a.c", "x"],)]
+    # *WithTypes forms carry the map as its ORDERED entry array
+    # (py4j's MapType→dict collect scrambles entry order; golden
+    # 03270 needs the sorted path order preserved end-to-end)
     (pt,), = _rows(spark, "SELECT JSONAllPathsWithTypes(o) AS pt "
                           "FROM r10t_jp", t)
-    assert pt == {"a.b": "Int64", "a.c": "Array(Nullable(String))",
-                  "x": "String"}
+    assert [(e["key"], e["value"]) for e in pt] == [
+        ("a.b", "Int64"), ("a.c", "Array(Nullable(String))"),
+        ("x", "String")]
     # arrayJoin over the Map form yields (k, v) entry tuples
     aj = _rows(spark, "SELECT arrayJoin(JSONAllPathsWithTypes(o)) "
                       "AS p FROM r10t_jp ORDER BY p", t)
@@ -237,9 +241,9 @@ def test_json_paths_functions(spark):
         ("x", "String")]
     (dt,), = _rows(spark, "SELECT distinctJSONPathsAndTypes(o) AS m "
                           "FROM r10t_jp", t)
-    assert dt == {"a.b": ["Int64"],
-                  "a.c": ["Array(Nullable(String))"],
-                  "x": ["String"]}
+    assert [(e["key"], list(e["value"])) for e in dt] == [
+        ("a.b", ["Int64"]), ("a.c", ["Array(Nullable(String))"]),
+        ("x", ["String"])]
     assert _rows(spark, "SELECT JSONSharedDataPaths(o) AS s "
                         "FROM r10t_jp", t) == [([],)]
     assert _rows(spark, "SELECT distinctJSONPaths(o) AS d "
