@@ -9537,6 +9537,79 @@ def mutation_clear_column_q(spark, sf_dir):
                          "FROM r12_clear ORDER BY x", tables=t)
 
 
+@q("fn_wide_int_ordefault", """
+SELECT CAST(42 AS HUGEINT) AS a, CAST(123 AS HUGEINT) AS b,
+       CAST(NULL AS HUGEINT) AS c, CAST(-5 AS HUGEINT) AS d
+""")
+def fn_wide_int_ordefault_q(spark, sf_dir):
+    """to{Int128,Int256,UInt256}Or{Null,Zero,Default}
+    (FunctionsConversion.cpp generates the full width matrix; carried
+    at the DECIMAL(38,0) ceiling, LIMITS.md)."""
+    return ch_sql(spark, """
+        SELECT toInt128OrDefault('abc', CAST(42 AS Int128)) AS a,
+               toUInt256OrDefault('123', CAST(7 AS UInt256)) AS b,
+               toInt256OrNull('xyz') AS c,
+               toInt128OrZero('-5') AS d
+    """, tables={})
+
+
+@q("fn_tuple_name_value_pairs", """
+SELECT '1' AS name, CAST(10 AS BIGINT) AS val UNION ALL
+SELECT '2', 20 UNION ALL SELECT '3', 30 ORDER BY name
+""")
+def fn_tuple_name_value_pairs_q(spark, sf_dir):
+    """tupleToNameValuePairs (src/Functions/tupleToNameValuePairs.cpp):
+    unnamed tuples pair 1-based position strings with values; exposed
+    through arrayJoin + field access (golden 02008)."""
+    return ch_sql(spark, """
+        SELECT (arrayJoin(tupleToNameValuePairs(
+                   tuple(toInt64(10), toInt64(20), toInt64(30)))) AS p).1
+               AS name, p.2 AS val
+        FROM (SELECT 1) ORDER BY name
+    """, tables={})
+
+
+@q("fn_array_shift_defaults", """
+SELECT [4, 5, 0, 0, 0] AS l, [0, 0, 0, 1, 2] AS nl,
+       [0, 0, 0, 1, 2] AS r
+""")
+def fn_array_shift_defaults_q(spark, sf_dir):
+    """arrayShiftLeft/Right type-default fills and negative counts
+    (src/Functions/array/arrayShiftRotate.cpp; golden 02845)."""
+    return ch_sql(spark, """
+        SELECT arrayShiftLeft([1, 2, 3, 4, 5], 3) AS l,
+               arrayShiftLeft([1, 2, 3, 4, 5], -3) AS nl,
+               arrayShiftRight([1, 2, 3, 4, 5], 3) AS r
+    """, tables={})
+
+
+@q("join_semi_first_match", """
+WITH l(x, s) AS (VALUES (0, 'a1'), (2, 'a3'), (4, 'a5'), (2, 'a6')),
+     r(x, s) AS (VALUES (2, 'b1'), (2, 'b2'), (4, 'b3'), (4, 'b4'))
+SELECT l.x AS x, l.s AS ls,
+       (SELECT min(s) FROM r WHERE r.x = l.x) AS rs
+FROM l WHERE l.x IN (SELECT x FROM r) ORDER BY x, ls
+""")
+def join_semi_first_match_q(spark, sf_dir):
+    """SEMI LEFT JOIN surfaces the FIRST matching right row in part
+    order (TableJoin semi; golden 01031 — b1/b3, the insert-order
+    first rows, which here coincide with min(s))."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r12_sl_l (x UInt32, s String) "
+                  "ENGINE MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "CREATE TABLE r12_sl_r (x UInt32, s String) "
+                  "ENGINE MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "INSERT INTO r12_sl_l VALUES (0, 'a1'), (2, 'a3'), "
+                  "(4, 'a5'), (2, 'a6')", tables=t)
+    ch_sql(spark, "INSERT INTO r12_sl_r VALUES (2, 'b1'), (2, 'b2'), "
+                  "(4, 'b3'), (4, 'b4')", tables=t)
+    return ch_sql(spark, """
+        SELECT toInt32(l.x) AS x, l.s AS ls, r12_sl_r.s AS rs
+        FROM r12_sl_l l SEMI LEFT JOIN r12_sl_r USING (x)
+        ORDER BY x, ls
+    """, tables=t)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 analog) on /root/testdata/sf0.001."""
     return q1(spark, "/root/testdata/sf0.001")

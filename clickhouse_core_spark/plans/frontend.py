@@ -91,6 +91,30 @@ def _variant_cast_sql(x: str, types_raw: str) -> str:
             f"coalesce({typ}, 'None'))")
 
 
+_MAKE_INTERVAL_POS = {"year": 0, "quarter": 1, "month": 1, "week": 2,
+                      "day": 3, "hour": 4, "minute": 5, "second": 6}
+
+
+def _date_add_unit_sql(a, op: str) -> str:
+    """DATE_ADD(unit, n, ts) — n may be a quoted number or ANY scalar
+    expression including a subquery (golden 01523 `DATE_ADD(hour,
+    (SELECT 1), ts)`); Spark's INTERVAL literal only takes literal
+    counts, so non-literal counts go through make_interval."""
+    unit = a[0].strip().strip("'").lower()
+    n = a[1].strip().strip("'")
+    if re.fullmatch(r"-?\d+", n):
+        if unit == "quarter":
+            return f"({a[2]} {op} INTERVAL {3 * int(n)} month)"
+        return f"({a[2]} {op} INTERVAL {n} {unit})"
+    pos = _MAKE_INTERVAL_POS.get(unit)
+    if pos is None:
+        return f"({a[2]} {op} INTERVAL {a[1]} {unit})"
+    cnt = f"({a[1]})" if unit != "quarter" else f"(3 * ({a[1]}))"
+    args = ["0"] * 7
+    args[pos] = cnt
+    return f"({a[2]} {op} make_interval({', '.join(args)}))"
+
+
 def _cast_rule(a):
     """Two-arg cast(x, 'Type') (src/Functions/CastOverloadResolver.cpp).
     A Map source cast to Array(Tuple(...)) converts via map_entries
@@ -115,6 +139,14 @@ def _cast_rule(a):
             r"(?i)\(*\s*(materialize\s*\(\s*)?map(_from_arrays|"
             r"_from_entries|_concat)?\s*\(", src):
         return f"CAST(map_entries({a[0]}) AS {ty})"
+    if re.match(r"(?i)\s*(array|map)\s*<", ty) \
+            and re.fullmatch(r"'(?:[^'\\]|\\.)*'", src):
+        # string literal → collection: the reference PARSES the text
+        # as a field literal (CastOverloadResolver through
+        # parseReadBuffer); Spark's cast rejects string→array —
+        # from_json handles the bracketed text (golden 02845
+        # arrayShiftLeft(CAST('[1,…]', 'Array(UInt16)'), …))
+        return f"from_json({src}, '{ty}')"
     return f"CAST({a[0]} AS {ty})"
 
 
@@ -933,14 +965,12 @@ _RULES: dict = {
     "date_add": lambda a: (
         f"({a[0]} + {a[1]})"
         if len(a) == 2 and re.match(r"(?i)\s*INTERVAL\b", a[1])
-        else (f"({a[2]} + INTERVAL {a[1]} "
-              f"{a[0].strip().strip(chr(39))})" if len(a) == 3
+        else (_date_add_unit_sql(a, "+") if len(a) == 3
               else f"date_add({', '.join(a)})")),
     "date_sub": lambda a: (
         f"({a[0]} - {a[1]})"
         if len(a) == 2 and re.match(r"(?i)\s*INTERVAL\b", a[1])
-        else (f"({a[2]} - INTERVAL {a[1]} "
-              f"{a[0].strip().strip(chr(39))})" if len(a) == 3
+        else (_date_add_unit_sql(a, "-") if len(a) == 3
               else f"date_sub({', '.join(a)})")),
     "dateadd": lambda a: _RULES["date_add"](a),
     "datesub": lambda a: _RULES["date_sub"](a),
@@ -1096,6 +1126,15 @@ for _cn, _ct, _cz, _cmax in [
         ("uint8", "SMALLINT", "0", "255"), ("uint16", "INT", "0", "65535"),
         ("uint32", "BIGINT", "0", "4294967295"),
         ("uint64", "DECIMAL(20,0)", "0", "18446744073709551615"),
+        # 128/256-bit ints carry as DECIMAL(38,0) — exact within
+        # ±10^38-1, the documented carrier ceiling (LIMITS.md);
+        # values beyond it fall through to NULL/zero/default
+        ("int128", "DECIMAL(38,0)", "0", None),
+        ("int256", "DECIMAL(38,0)", "0", None),
+        ("uint128", "DECIMAL(38,0)", "0",
+         "99999999999999999999999999999999999999"),
+        ("uint256", "DECIMAL(38,0)", "0",
+         "99999999999999999999999999999999999999"),
         ("float32", "FLOAT", "0.0", None), ("float64", "DOUBLE", "0.0", None),
         ("date", "DATE", "DATE'1970-01-01'", None),
         ("date32", "DATE", "DATE'1970-01-01'", None),
@@ -1443,19 +1482,75 @@ def _array_shift_default_check(a) -> None:
             "element type (reference ILLEGAL_TYPE_OF_ARGUMENT)")
 
 
+def _array_shift_fill(a) -> str:
+    """The no-fill default is the ELEMENT TYPE's default (0 / '' /
+    empty array — arrayShiftRotate.cpp uses the column default), not
+    NULL; sniffed textually from literal arrays, NULL when unknown."""
+    if len(a) > 2:
+        return a[2]
+    m = re.fullmatch(r"(?is)\s*array\s*\((.*)\)\s*", a[0])
+    if m and m.group(1).strip():
+        first = _split_top_commas(m.group(1))[0].strip()
+        if re.fullmatch(r"-?\d+", first):
+            return "0"
+        if re.fullmatch(r"-?\d*\.\d+", first):
+            return "0.0"
+        if first.startswith("'"):
+            return "''"
+        if re.match(r"(?is)array\s*\(", first):
+            return "array()"
+    fm = re.search(r"(?i)AS\s+ARRAY\s*<\s*(\w+)\s*>", a[0])
+    if fm:
+        t = fm.group(1).upper()
+        return ("''" if t == "STRING"
+                else "0.0" if t in ("FLOAT", "DOUBLE") else "0")
+    cm = re.fullmatch(r"\s*`?(\w+)`?\s*", a[0])
+    if cm:
+        d = _ARRAY_ELEM_DEFAULTS.get(cm.group(1).lower())
+        if d is not None:
+            return d
+    return "NULL"
+
+
+_ARRAY_ELEM_DEFAULTS: dict = {}
+
+
+def _shift_left_sql(arr: str, n: str, fill: str) -> str:
+    return (f"concat(slice({arr}, LEAST({n}, size({arr})) + 1, "
+            f"GREATEST(size({arr}) - ({n}), 0)), "
+            f"array_repeat({fill}, LEAST({n}, size({arr}))))")
+
+
+def _shift_right_sql(arr: str, n: str, fill: str) -> str:
+    return (f"concat(array_repeat({fill}, "
+            f"LEAST({n}, size({arr}))), "
+            f"slice({arr}, 1, GREATEST(size({arr}) - ({n}), 0)))")
+
+
 def _array_shift_left_rule(a):
+    # a negative count shifts the OPPOSITE direction
+    # (arrayShiftRotate.cpp; golden 02845 arrayShiftLeft(a, -3))
     _array_shift_default_check(a)
-    return (f"concat(slice({a[0]}, LEAST({a[1]}, size({a[0]})) + 1, "
-            f"GREATEST(size({a[0]}) - ({a[1]}), 0)), "
-            f"array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
-            f"LEAST({a[1]}, size({a[0]}))))")
+    fill = _array_shift_fill(a)
+    if re.fullmatch(r"\s*\d+\s*", a[1]):
+        return _shift_left_sql(a[0], a[1], fill)
+    if re.fullmatch(r"\s*-\d+\s*", a[1]):
+        return _shift_right_sql(a[0], str(-int(a[1])), fill)
+    return (f"IF(({a[1]}) < 0, "
+            f"{_shift_right_sql(a[0], f'-({a[1]})', fill)}, "
+            f"{_shift_left_sql(a[0], f'({a[1]})', fill)})")
 
 
 def _array_shift_right_rule(a):
     _array_shift_default_check(a)
-    return (f"concat(array_repeat({a[2] if len(a) > 2 else 'NULL'}, "
-            f"LEAST({a[1]}, size({a[0]}))), "
-            f"slice({a[0]}, 1, GREATEST(size({a[0]}) - ({a[1]}), 0)))")
+    fill = _array_shift_fill(a)
+    if re.fullmatch(r"\s*\d+\s*", a[1]):
+        return _shift_right_sql(a[0], a[1], fill)
+    if re.fullmatch(r"\s*-\d+\s*", a[1]):
+        return _shift_left_sql(a[0], str(-int(a[1])), fill)
+    return (f"IF(({a[1]}) < 0, "
+            f"{_shift_left_sql(a[0], f'-({a[1]})', fill)}, "
+            f"{_shift_right_sql(a[0], f'({a[1]})', fill)})")
 
 
 _RULES["arrayshiftleft"] = _array_shift_left_rule
@@ -1589,6 +1684,12 @@ def _json_all_paths_sql(j: str, with_types: bool = False) -> str:
             f"transform(coalesce(json_object_keys({v1}), array()), "
             f"__jk2 -> {leaf2}) ELSE array({leaf1}) END)))")
 
+
+# untuple(t) expands a tuple into its elements as separate columns
+# (reference src/Interpreters/untuple — an ExpressionList expansion);
+# Spark's struct star-expansion is the same operation at projection
+# top level
+_RULES["untuple"] = lambda a: f"{a[0].strip()}.*"
 
 _RULES["jsonallpaths"] = lambda a: _json_all_paths_sql(a[0])
 # the *WithTypes forms return Map(String, String) in the reference
@@ -1797,10 +1898,34 @@ def _jsonextract_typed(a):
     if len(a) < 2 or not (ty.startswith("'") and ty.endswith("'")):
         return fallback
     ddl = _ch_type_ddl(ty[1:-1])
-    if ddl is None:
-        return fallback
     raw = (f"get_json_object({a[0]}, {_json_path(a[:-1])})"
            if len(a) > 2 else a[0])
+    if ddl is None:
+        # Map(K, Tuple(...)) with an UNNAMED tuple value (golden
+        # 00918: 'Map(String, Tuple(String, Float64))') — parse the
+        # object to raw value strings, convert each value through the
+        # positional tuple recipe, and carry the map as its ORDERED
+        # entry array (tsvrender prints it CH map-style; MapType
+        # collect would scramble entry order)
+        mm = re.fullmatch(r"(?is)Map\s*\((.*)\)", ty[1:-1].strip())
+        if mm:
+            parts = _split_type_args(mm.group(1))
+            if len(parts) == 2:
+                vddl = _ch_type_ddl(parts[1])
+                if isinstance(vddl, tuple):
+                    ve = f"from_json(__mv.value, 'array<string>')"
+                    fields = []
+                    for i, d in enumerate(vddl[1]):
+                        e = f"element_at({ve}, {i + 1})"
+                        fields.append(
+                            f"'col{i + 1}', "
+                            + (f"CAST({e} AS {d})" if _is_scalar_ddl(d)
+                               else f"from_json({e}, '{d}')"))
+                    return (f"transform(map_entries(from_json({raw}, "
+                            f"'map<string,string>')), __mv -> "
+                            f"named_struct('key', __mv.key, 'value', "
+                            f"named_struct({', '.join(fields)})))")
+        return fallback
     if isinstance(ddl, tuple):
         # unnamed tuple: positional over the object's values (order
         # preserved by from_json's sequential parse) or the array's
@@ -2640,6 +2765,15 @@ _PARAMETRIC["quantileexacthigh"] = lambda p, a: (
 _PARAMETRIC["approx_top_k"] = _PARAMETRIC["topk"]
 _PARAMETRIC["approx_top_count"] = _PARAMETRIC["topk"]
 _PARAMETRIC["approx_top_sum"] = _PARAMETRIC["topkweighted"]
+
+# bare (parameter-less) quantile spellings default to level 0.5
+# (AggregateFunctionQuantile.cpp: params are optional) — without
+# these, `SELECT quantile(x), quantile(0.8)(x)` in ONE select leaves
+# the bare call unresolved (golden 02477_fuse_quantiles)
+for _qn, _qf in list(_PARAMETRIC.items()):
+    if _qn.startswith("quantile") and not _qn.startswith("quantiles") \
+            and _qn not in _RULES:
+        _RULES[_qn] = (lambda a, _f=_qf: _f(["0.5"], a))
 
 
 def _sparkbar_sql(p: list[str], a: list[str]) -> str:
@@ -6832,6 +6966,11 @@ def _rewrite_order_by_null_direction(sql: str) -> str:
 def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     """Translate a ClickHouse SELECT into Spark SQL text."""
     sql = sql.strip().rstrip(";")
+    if "−" in sql:
+        # U+2212 MINUS SIGN parses as the minus operator (reference
+        # Lexer.cpp unicode-minus support; golden 02869_unicode_minus)
+        sql = _sub_nonstring(sql, lambda seg: seg.replace("−",
+                                                          "-"))
     sql = _FORMAT_RE.sub("", sql)
     sql = _SETTINGS_RE.sub("", sql)
     # SETTINGS clauses also terminate SUBQUERIES (ParserSelectQuery) —
@@ -6864,6 +7003,28 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
             out_parts.append(_rewrite_dynamic_subcolumns(sql[i0:j0]))
             i0 = j0
         sql = "".join(out_parts)
+    # `INTERVAL '2' AS n minute` — the alias sits BETWEEN the count
+    # and the unit (ParserExpressionElement alias rules; golden
+    # 01523): move it after the unit
+    if re.search(r"(?i)\bINTERVAL\s", sql):
+        sql = re.sub(
+            r"(?i)\bINTERVAL\s+('\d+'|\d+)\s+AS\s+(`?\w+`?)\s+"
+            r"(year|quarter|month|week|day|hour|minute|second)s?\b",
+            r"INTERVAL \1 \3 AS \2", sql)
+        # a STANDALONE interval literal renders as its COUNT in the
+        # reference (IntervalKind value serialization: `SELECT
+        # INTERVAL 2 week` prints 2) — Spark would normalize to a
+        # different base unit (week → 14 days)
+        sql = re.sub(
+            r"(?is)^(\s*SELECT\s+)INTERVAL\s+"
+            r"(?:'?(\d+)'?\s+"
+            r"(?:year|quarter|month|week|day|hour|minute|second)s?"
+            r"|'(\d+)\s+"
+            r"(?:year|quarter|month|week|day|hour|minute|second)s?')"
+            r"(\s+AS\s+`?\w+`?)?\s*$",
+            lambda m2: (m2.group(1)
+                        + f"CAST({m2.group(2) or m2.group(3)} "
+                          f"AS BIGINT)" + (m2.group(4) or "")), sql)
     if re.search(r"(?i)\bGROUP\s+BY\b", sql) \
             and re.search(r"(?i)\sAS\s", sql):
         sql = _rewrite_group_by_aliases(sql)
@@ -6889,15 +7050,18 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         r"(?is)\bFROM\s+(`?\w+`?)(?:\s+(?:AS\s+)?(?!SEMI\b)(\w+))?"
         r"\s+SEMI\s+RIGHT\s+JOIN\s+(`?\w+`?(?:\s+(?:AS\s+)?\w+)?)"
         r"\s+USING\s*\(([^()]*)\)",
-        lambda m: (lambda keys, first, la:
-                   f"FROM (SELECT * EXCEPT (__sr_rn) FROM (SELECT *, "
-                   f"row_number() OVER (PARTITION BY {keys} ORDER BY "
-                   f"{first}) AS __sr_rn FROM {m.group(1)}) "
+        lambda m: (lambda keys, la:
+                   f"FROM (SELECT * EXCEPT (__sr_rn, __sr_if, "
+                   f"__sr_seq) FROM "
+                   f"(SELECT *, row_number() OVER (PARTITION BY {keys}"
+                   f" ORDER BY __sr_if, __sr_seq) AS __sr_rn FROM "
+                   f"(SELECT *, input_file_name() AS __sr_if, "
+                   f"monotonically_increasing_id() AS __sr_seq "
+                   f"FROM {m.group(1)})) "
                    f"WHERE __sr_rn = 1) AS {la} "
                    f"JOIN {m.group(3)} USING ({keys})")(
             ", ".join(k.strip().strip("`")
                       for k in m.group(4).split(",")),
-            m.group(4).split(",")[0].strip().strip("`"),
             m.group(2) or m.group(1).strip("`")),
         sql)
     sql = re.sub(r"\bSEMI\s+LEFT\s+JOIN\b", "LEFT SEMI JOIN", sql,
@@ -8207,14 +8371,21 @@ def _rewrite_any_join(sql: str) -> str:
             continue
         keys = ", ".join(k.strip().strip("`")
                          for k in um.group(1).split(","))
-        first_key = keys.split(",")[0].strip()
         how = ("LEFT JOIN"
                if "LEFT" in ((m.group(1) or "") + (m.group(2) or ""))
                .upper() else "JOIN")
         out.append(sql[pos:m.start()])
-        out.append(f"{how} (SELECT * EXCEPT (__any_rn) FROM ("
-                   f"SELECT *, row_number() OVER (PARTITION BY {keys} "
-                   f"ORDER BY {first_key}) AS __any_rn FROM {src}) "
+        # the kept row is the FIRST in scan order (part files list
+        # oldest-first, parquet preserves row order) — the reference
+        # surfaces the first matching row in part order (golden
+        # 01031 semi left: x=2 pairs with b1, not b2)
+        out.append(f"{how} (SELECT * EXCEPT (__any_rn, __any_if, "
+                   f"__any_seq) "
+                   f"FROM (SELECT *, row_number() OVER (PARTITION BY "
+                   f"{keys} ORDER BY __any_if, __any_seq) AS __any_rn "
+                   f"FROM (SELECT *, input_file_name() AS __any_if, "
+                   f"monotonically_increasing_id() AS "
+                   f"__any_seq FROM {src})) "
                    f"WHERE __any_rn = 1) AS {alias} USING ({keys})")
         pos = rest + um.end()
     return "".join(out)
@@ -8371,6 +8542,85 @@ def clear_query_cache() -> None:
 _SQL_UDFS_DONE: set = set()
 
 
+def _rewrite_tuple_nvp(spark, text: str, tables) -> str:
+    """tupleToNameValuePairs(t) → Array(Tuple(name, value))
+    (reference src/Functions/tupleToNameValuePairs.cpp): named tuples
+    pair field names with values; unnamed tuples use 1-based position
+    strings.  All elements must share one type
+    (ILLEGAL_TYPE_OF_ARGUMENT otherwise).  Literal tuple() args expand
+    positionally; bare-column args reflect the struct fields from the
+    FROM table's schema (golden 02008)."""
+    out, pos = [], 0
+    low = text.lower()
+    while True:
+        i = low.find("tupletonamevaluepairs", pos)
+        if i < 0:
+            out.append(text[pos:])
+            break
+        if i > 0 and (text[i - 1].isalnum() or text[i - 1] in "_`"):
+            out.append(text[pos:i + 1])
+            pos = i + 1
+            continue
+        op = text.find("(", i)
+        if op < 0 or text[i + len("tupletonamevaluepairs"):op].strip():
+            out.append(text[pos:i + 1])
+            pos = i + 1
+            continue
+        close = _matching_paren(text, op)
+        if close < 0:
+            out.append(text[pos:i + 1])
+            pos = i + 1
+            continue
+        arg = text[op + 1:close].strip()
+        repl = None
+        tm = re.match(r"(?is)^tuple\s*\((.*)\)\s*$", arg) \
+            or re.match(r"(?s)^\(\s*(.*)\)\s*$", arg)
+        if tm:
+            items = [x.strip() for x in _split_top_commas(tm.group(1))]
+
+            def _cls(e: str) -> str:
+                if re.fullmatch(r"-?\d+", e):
+                    return "int"
+                if re.fullmatch(r"-?\d*\.\d+", e):
+                    return "float"
+                if re.fullmatch(r"'(?:[^'\\]|\\.)*'", e):
+                    return "str"
+                if e.startswith("["):
+                    return "arr"
+                return "expr"
+            kinds = {_cls(x) for x in items}
+            if len(kinds - {"expr"}) > 1 or "arr" in kinds:
+                raise ValueError(
+                    "tupleToNameValuePairs: all tuple elements must "
+                    "share one type (reference "
+                    "ILLEGAL_TYPE_OF_ARGUMENT)")
+            repl = "array(" + ", ".join(
+                f"named_struct('col1', '{k + 1}', 'col2', {v})"
+                for k, v in enumerate(items)) + ")"
+        elif re.fullmatch(r"`?\w+`?", arg):
+            cname = arg.strip("`")
+            fm = re.search(r"(?i)\bFROM\s+`?(\w+)`?", text)
+            src = _resolve_view_safe(
+                spark, fm.group(1),
+                (tables or {}).get(fm.group(1))) if fm else None
+            if src is not None and cname in src.columns:
+                dt = src.schema[cname].dataType
+                from pyspark.sql import types as _T
+                if isinstance(dt, _T.StructType):
+                    repl = "array(" + ", ".join(
+                        f"named_struct('col1', '{f.name}', "
+                        f"'col2', {arg}.`{f.name}`)"
+                        for f in dt.fields) + ")"
+        if repl is None:
+            raise ValueError(
+                "tupleToNameValuePairs needs a tuple argument "
+                "(reference ILLEGAL_TYPE_OF_ARGUMENT)")
+        out.append(text[pos:i])
+        out.append(repl)
+        pos = close + 1
+    return "".join(out)
+
+
 def _ensure_sql_udfs(spark) -> None:
     """Register the UDF-backed scalar names (MD4, keccak256, punycode,
     normalizeUTF8NF*, ...) as SQL functions once per session so CH-SQL
@@ -8465,6 +8715,16 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
                 _tr.JSON_ESCAPE_SLASHES[0] = \
                     sm.group(2).strip("'") in ("1", "true")
         return None
+    # SET dialect = 'kusto' routes subsequent statements through the
+    # KQL frontend (reference src/Client/ClientBase dialect switch;
+    # 02366_kql_* corpus files are KQL after the SET)
+    dialect = ((settings or {}).get("dialect")
+               or SESSION_SETTINGS.get("dialect"))
+    if dialect == "kusto" and not re.match(
+            r"(?is)^\s*(SET|DROP|CREATE|INSERT|ALTER|TRUNCATE|"
+            r"OPTIMIZE|SHOW|DESCRIBE|DESC|EXISTS|RENAME|USE)\b", s):
+        from clickhouse_core_spark.plans.kql import kql as _kql
+        return _kql(spark, s)
     if settings and str(settings.get("union_default_mode", "")
                         ).upper() == "ALL":
         s2 = _sub_nonstring(sql, lambda seg: re.sub(
@@ -8745,6 +9005,8 @@ def _ch_sql_impl(spark, sql: str,
     """
     _ensure_sql_udfs(spark)
     text = sql.strip().rstrip(";")
+    if "tupletonamevaluepairs" in text.lower():
+        text = _rewrite_tuple_nvp(spark, text, tables)
     # refresh the Dynamic-subcolumn rewrite context from this
     # session's declarations (see _DYN_CTX)
     if tables is not None:
@@ -8762,8 +9024,29 @@ def _ch_sql_impl(spark, sql: str,
             if rec0.get("columns"):
                 tcols0[tn0] = set(rec0["columns"])
         _DYN_CTX["dynamic"], _DYN_CTX["tables"] = dyn0, tcols0
+        # element-type defaults for declared ARRAY columns — the
+        # arrayShift fill sniffer resolves bare-column args here
+        # (golden 02845 arrayShiftLeft(a, 3) fills 0, not NULL)
+        elem0: dict = {}
+        for tn0, tv0 in tables.items():
+            if tn0.startswith("__"):
+                continue
+            ddl0 = getattr(tv0, "schema_ddl", None)
+            if not ddl0:
+                continue
+            for em0 in re.finditer(
+                    r"`([^`]+)`\s+ARRAY<\s*(\w+)\s*>", ddl0,
+                    re.IGNORECASE):
+                t0 = em0.group(2).upper()
+                elem0[em0.group(1).lower()] = (
+                    "''" if t0 == "STRING"
+                    else "0.0" if t0 in ("FLOAT", "DOUBLE")
+                    else "false" if t0 == "BOOLEAN" else "0")
+        _ARRAY_ELEM_DEFAULTS.clear()
+        _ARRAY_ELEM_DEFAULTS.update(elem0)
     else:
         _DYN_CTX["dynamic"] = _DYN_CTX["tables"] = None
+        _ARRAY_ELEM_DEFAULTS.clear()
     if tables and re.match(r"(?is)\s*(SELECT|WITH)\b", text) \
             and re.search(r"\b_(?:path|file|part|partition_id|"
                           r"partition_value)\b", text):
@@ -9127,7 +9410,8 @@ def _ch_sql_impl(spark, sql: str,
     # OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY cols]] -> compaction /
     # dedup merge (reference src/Interpreters/InterpreterOptimizeQuery.h)
     m = re.match(r"^OPTIMIZE\s+TABLE\s+`?(\w+)`?"
-                 r"(?:\s+PARTITION\s+(?:ID\s+)?(?:'[^']*'|\w+))?"
+                 r"(?:\s+PARTITION\s+(?:ID\s+)?"
+                 r"(?:'[^']*'|tuple\s*\(\s*\)|\w+(?:\s*\(\s*\))?))?"
                  r"(\s+FINAL)?"
                  r"(?:\s+DEDUPLICATE(?:\s+BY\s+([\w\s,`]+))?)?\s*$",
                  text, re.IGNORECASE)

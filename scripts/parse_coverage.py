@@ -66,6 +66,12 @@ def split_statements(text: str) -> list[str]:
                     cur.append(" __EXPECT_ERROR__ ")
             i = n if j < 0 else j
             continue
+        if c == "/" and text[i:i + 2] == "/*":
+            # block comment — possibly MULTI-LINE; a ';' inside it
+            # must not split the statement (02869 family)
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         if c in "'`\"":
             j = i + 1
             while j < n:
