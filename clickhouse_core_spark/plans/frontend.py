@@ -9548,8 +9548,24 @@ def _ch_sql_impl(spark, sql: str,
         tables.setdefault("__mv_to__", []).append(
             {"name": name, "src": sm.group(1) if sm else None,
              "dst": dst, "select": sel})
+        # reading mv reads dst PROJECTED to the MV's own column list
+        # (StorageMaterializedView header): an ALTER ADD COLUMN on the
+        # target later must NOT widen the view (golden 01069 — `SELECT
+        # * FROM mv` keeps one column after the target gains `b`).
+        # Lazy SQL view: re-registrations of dst stay visible.
+        mv_cols = None
         try:
-            spark.table(dst).createOrReplaceTempView(name)
+            mv_cols = ch_sql(spark, sel, tables=tables).columns
+        except Exception:
+            pass
+        try:
+            if mv_cols:
+                spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW `{name}` "
+                          f"AS SELECT "
+                          + ", ".join(f"`{c}`" for c in mv_cols)
+                          + f" FROM `{dst}`")
+            else:
+                spark.table(dst).createOrReplaceTempView(name)
         except Exception:
             pass
         return None
@@ -10709,15 +10725,44 @@ def _utility_statement(spark, text: str, tables):
         temp = bool(m.group(1)) or \
             name in (tables or {}).get("__temp__", set())
         # the reference renders CREATE statements multi-line with
-        # 4-space column indent (formatAST; golden 00564)
-        cols = ",\n".join(f"    `{f.name}` "
-                          f"{_spark_type_to_ch(f.dataType)}"
-                          for f in df.schema.fields)
+        # 4-space column indent (formatAST; golden 00564) — the
+        # DECLARED CH types when recorded (golden 02997: `t` DateTime,
+        # not the carrier's DateTime64), the Spark schema otherwise
+        decl = getattr(t, "ch_decl_cols", None)
+        col_lines = ([f"    {c}" for c in decl] if decl else
+                     [f"    `{f.name}` {_spark_type_to_ch(f.dataType)}"
+                      for f in df.schema.fields])
+        # PROJECTION declarations render as their own block
+        # (formatAST projection formatting, golden 02997)
+        for pname, psel in getattr(t, "ch_projection_texts", None) \
+                or ():
+            sm2 = re.match(r"(?is)^\s*SELECT\s+(.*?)"
+                           r"(?:\s+ORDER\s+BY\s+(.*?))?\s*$", psel)
+            lines = [f"    PROJECTION {pname}", "    ("]
+            if sm2:
+                items = _split_top_commas(sm2.group(1))
+                if len(items) == 1:
+                    lines.append(f"        SELECT {items[0].strip()}")
+                else:
+                    lines.append("        SELECT")
+                    lines.extend(
+                        f"            {it.strip()}"
+                        + ("," if k < len(items) - 1 else "")
+                        for k, it in enumerate(items))
+                if sm2.group(2):
+                    lines.append(f"        ORDER BY "
+                                 f"{sm2.group(2).strip()}")
+            else:
+                lines.append(f"        {psel}")
+            lines.append("    )")
+            col_lines.append("\n".join(lines))
+        cols = ",\n".join(col_lines)
         kw = "TEMPORARY TABLE" if temp else "TABLE"
         stmt = f"CREATE {kw} {name}\n(\n{cols}\n)\nENGINE = {eng_name}"
         order = getattr(t, "order_by", None)
         if order:
-            stmt += f"\nORDER BY ({', '.join(order)})"
+            stmt += ("\nORDER BY " + (order[0] if len(order) == 1
+                                      else f"({', '.join(order)})"))
         return spark.createDataFrame([(stmt,)], "statement string")
 
     m = re.match(r"^SHOW\s+SETTING\s+(\S.*)$", text, re.IGNORECASE)
@@ -11303,7 +11348,15 @@ def create_table_sql(spark, sql: str, base_dir: str):
     materialized_cols: set[str] = set()
     json_cols: set[str] = set()
     dynamic_cols: set[str] = set()
+    decl_texts: list[str] = []
+    projection_texts: list[str] = []
+    dt64_scales: dict[str, int] = {}
     for coldef in _split_top_commas(cols_src):
+        pm = re.match(r"(?is)\s*PROJECTION\s+(`?\w+`?)\s*\((.*)\)\s*$",
+                      coldef)
+        if pm:
+            projection_texts.append((pm.group(1).strip("`"),
+                                     pm.group(2).strip()))
         if re.match(r"(?i)\s*(PROJECTION|INDEX|CONSTRAINT|"
                     r"PRIMARY\s+KEY)\b", coldef):
             continue            # table-level declarations, not columns
@@ -11331,6 +11384,10 @@ def create_table_sql(spark, sql: str, base_dir: str):
                        _decl_type(toks[1]))
         if tzm:
             col_timezones[cname] = tzm.group(1)
+        scm = re.match(r"(?i)\s*(?:Nullable\s*\(\s*)?DateTime64\s*\("
+                       r"\s*(\d+)", _decl_type(toks[1]))
+        if scm:
+            dt64_scales[cname] = min(int(scm.group(1)), 6)
         if re.match(r"(?i)\s*Nullable\s*\(", _decl_type(toks[1])):
             nullable_cols.add(cname)
         if re.match(r"(?i)\s*(JSON\b|Object\s*\()",
@@ -11340,6 +11397,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
             dynamic_cols.add(cname)
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
+        decl_texts.append(f"`{cname}` {_decl_type(toks[1])}")
         dm = re.search(r"(?i)\b(DEFAULT|MATERIALIZED)\s+(.+?)"
                        r"(?:\s+(?:CODEC|TTL|COMMENT)\b.*)?$",
                        toks[1].strip())
@@ -11371,6 +11429,9 @@ def create_table_sql(spark, sql: str, base_dir: str):
                            column_defaults=col_defaults or None,
                            **kwargs)
     table.schema_ddl = ", ".join(schema_parts)
+    table.ch_decl_cols = decl_texts
+    table.ch_projection_texts = projection_texts
+    table.dt64_scales = dt64_scales
     table.col_timezones = col_timezones
     table.nullable_cols = nullable_cols
     table.materialized_cols = materialized_cols
@@ -12640,11 +12701,19 @@ def _fire_mv_triggers(spark, name: str, block, tables,
             if out is not None:
                 _append_to_table(spark, trig["dst"], out, tables,
                                  _mv_depth=depth + 1)
+                # the mv view keeps the SELECT's own column list even
+                # when the target gained columns (golden 01069) — the
+                # lazy SQL view registered at CREATE re-reads the
+                # target's fresh view by NAME; only re-register when
+                # the lazy view is gone
                 try:
-                    spark.table(trig["dst"]) \
-                        .createOrReplaceTempView(trig["name"])
+                    spark.table(trig["name"])
                 except Exception:
-                    pass
+                    try:
+                        spark.table(trig["dst"]) \
+                            .createOrReplaceTempView(trig["name"])
+                    except Exception:
+                        pass
         except Exception as exc:
             # the reference INSERT fails when an MV push fails
             # (materialized_views_ignore_errors defaults to false) —

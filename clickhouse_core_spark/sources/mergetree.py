@@ -216,6 +216,18 @@ class MergeTreeTable:
         (e.g. a small ``parquet.block.size`` to force multiple row
         groups per file — the index-granularity knob)."""
         part_dir = os.path.join(self.path, f"part-{int(time.time() * 1e6):016x}")
+        # declared DateTime64(p) columns TRUNCATE inserted values to
+        # their scale (DataTypeDateTime64 conversion; golden 02997 —
+        # a DateTime64(0) column stores whole seconds)
+        for cname, p in (getattr(self, "dt64_scales", None)
+                         or {}).items():
+            if cname in df.columns and p < 6:
+                q = 10 ** (6 - p)
+                df = df.withColumn(
+                    cname, F.timestamp_micros(
+                        (F.floor(F.unix_micros(
+                            F.col(f"`{cname}`").cast("timestamp"))
+                            / q) * q).cast("long")))
         nullable = getattr(self, "nullable_cols", frozenset())
         for name, expr_sql in self.column_defaults.items():
             if name not in df.columns:
@@ -578,6 +590,16 @@ class MergeTreeTable:
                 + [c for c in df.columns if c not in declared]
             if ordered != df.columns:
                 df = df.select(*[F.col(f"`{c}`") for c in ordered])
+        # declared DateTime64(p) columns carry their scale as field
+        # metadata so renderers print EXACTLY p fractional digits
+        # (golden 02997; metadata survives SELECT * projections)
+        scales = getattr(self, "dt64_scales", None)
+        if scales:
+            df = df.select(*[
+                (F.col(f"`{c}`").alias(c, metadata={
+                    "ch_dt64_scale": scales[c]})
+                 if c in scales else F.col(f"`{c}`"))
+                for c in df.columns])
         return self._apply_delete_masks(df, parts)
 
     def read(self, final: bool = False) -> DataFrame:

@@ -167,7 +167,8 @@ def _float32_repr(v: float) -> str:
         return _float_repr(v)
 
 
-def render_row(row, bool_as_int: bool = False, types=None) -> str:
+def render_row(row, bool_as_int: bool = False, types=None,
+               scales=None) -> str:
     out = []
     for i, v in enumerate(row):
         if types is not None and v is not None \
@@ -178,17 +179,34 @@ def render_row(row, bool_as_int: bool = False, types=None) -> str:
             else:
                 out.append(_float32_repr(v))
             continue
+        if scales is not None and scales[i] is not None \
+                and isinstance(v, _dt.datetime):
+            # declared DateTime64(p) column: render EXACTLY p
+            # fractional digits (SerializationDateTime64 writes the
+            # column scale; golden 02997 scale-conversion tables)
+            p = scales[i]
+            base = v.strftime("%Y-%m-%d %H:%M:%S")
+            out.append(base if p == 0
+                       else f"{base}.{f'{v.microsecond:06d}'[:p]}")
+            continue
         out.append(render_value(v, bool_as_int=bool_as_int))
     return "\t".join(out)
 
 
 def render_rows(rows, bool_as_int: bool = False, schema=None) -> str:
     """``schema``: optional Spark StructType — enables per-column
-    carrier-aware rendering (Float32 shortest-roundtrip)."""
+    carrier-aware rendering (Float32 shortest-roundtrip, declared
+    DateTime64 scales via the ``ch_dt64_scale`` field metadata)."""
     types = ([f.dataType.simpleString() for f in schema.fields]
              if schema is not None else None)
+    scales = None
+    if schema is not None:
+        scales = [(f.metadata or {}).get("ch_dt64_scale")
+                  for f in schema.fields]
+        if not any(s is not None for s in scales):
+            scales = None
     return "\n".join(render_row(r, bool_as_int=bool_as_int,
-                                 types=types)
+                                 types=types, scales=scales)
                      for r in rows)
 
 

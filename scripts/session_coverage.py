@@ -199,6 +199,21 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
             # reference-rejected statement that ran: its output has no
             # golden counterpart — the file can't align byte-wise
             return kind, None
+        if fmt_name in ("tabseparatedraw", "tsvraw"):
+            # TSVRaw: NO escaping — embedded newlines stay raw
+            # (SerializationString serializeTextRaw; golden 02997
+            # SHOW CREATE ... FORMAT TSVRaw)
+            from clickhouse_core_spark.sources import tsvrender as tr
+
+            def _rawv(v):
+                if v is None:
+                    return "\\N"
+                if isinstance(v, str):
+                    return v
+                return tr.render_value(v, bool_as_int=True)
+            out = "\n".join("\t".join(_rawv(v) for v in row)
+                            for row in rows)
+            return kind, out + ("\n" if rows else "")
         if fmt_name is not None and fmt_name not in _TSV_FORMATS:
             # display renderers for the common output FORMATs —
             # tsvrender implements the reference's text serializations
