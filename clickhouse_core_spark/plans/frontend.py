@@ -9572,10 +9572,22 @@ def _ch_sql_impl(spark, sql: str,
 
     mv = re.match(
         r"^CREATE\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"`?(\w+)`?\s*(\((?:[^()]|\([^()]*\))*\))?\s+AS\s+"
+        r"`?(\w+)`?\s*(\((?:[^()]|\([^()]*\))*\))?"
+        r"(?:\s+ENGINE\s*=?\s*\w+\s*(?:\((?:[^()]|\([^()]*\))*\))?)?"
+        r"(?:\s+ORDER\s+BY\s+[^;]*?)?"
+        r"(?:\s+POPULATE)?\s+AS\s+"
         r"(SELECT\b.*)$",
         text, re.IGNORECASE | re.DOTALL)
     if mv:
+        # ENGINE-form materialized views (StorageMaterializedView with
+        # its own inner table, golden 01851) register as live views —
+        # record the select so ALTER DROP COLUMN on the source can
+        # reject referenced columns (ALTER_OF_COLUMN_IS_FORBIDDEN)
+        if mv.group(1) and tables is not None:
+            sm0 = re.search(r"(?is)\bFROM\s+`?(\w+)`?", mv.group(4))
+            if sm0:
+                tables.setdefault("__mv_selects__", {})[
+                    mv.group(2)] = (sm0.group(1), mv.group(4))
         df = ch_sql(spark, mv.group(4), sample_by=sample_by,
                     tables=tables)
         if mv.group(3):
@@ -12258,6 +12270,26 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                      r"`?([\w.]+)`?$", o)
         if m:
             cname = m.group(2)
+            # a column read by a materialized view cannot be dropped
+            # (reference ALTER_OF_COLUMN_IS_FORBIDDEN; golden 01851)
+            for _mvn, (src0, sel0) in ((tables or {}).get(
+                    "__mv_selects__") or {}).items():
+                if src0 == name and re.search(
+                        rf"(?<![\w.`]){re.escape(cname)}(?![\w`])",
+                        sel0):
+                    raise ValueError(
+                        f"ALTER DROP COLUMN: column {cname!r} is "
+                        f"referenced by materialized view {_mvn!r} "
+                        f"(reference ALTER_OF_COLUMN_IS_FORBIDDEN)")
+            for trig in (tables or {}).get("__mv_to__") or []:
+                if trig.get("src") == name and re.search(
+                        rf"(?<![\w.`]){re.escape(cname)}(?![\w`])",
+                        trig.get("select") or ""):
+                    raise ValueError(
+                        f"ALTER DROP COLUMN: column {cname!r} is "
+                        f"referenced by materialized view "
+                        f"{trig.get('name')!r} (reference "
+                        f"ALTER_OF_COLUMN_IS_FORBIDDEN)")
             if cname not in df.columns and not m.group(1):
                 # the reference rejects dropping an unknown column
                 # (incl. a Nested BASE name — the expanded columns are
