@@ -4840,6 +4840,17 @@ def _translate_expr(sql: str) -> str:
                     raise ValueError(
                         f"{name}: p must be a constant literal "
                         f"(reference ILLEGAL_TYPE_OF_ARGUMENT)")
+                if lname in ("lpnorm", "lpdistance", "lpnormalize") \
+                        and args:
+                    # constant-FUNCTION p values fold to literals
+                    # (pi()/e() are constants in the reference's
+                    # const-folding; the registry bridge needs a
+                    # python float)
+                    pfold = {"pi()": repr(__import__("math").pi),
+                             "e()": repr(__import__("math").e)}.get(
+                        re.sub(r"\s+", "", targs[-1]).lower())
+                    if pfold is not None:
+                        targs = targs[:-1] + [pfold]
                 if lname in ("cosinedistance", "dotproduct",
                              "scalarproduct", "l1distance",
                              "l2distance", "l2squareddistance",

@@ -173,6 +173,63 @@ def test_collapsing_unbalanced_run_keeps_state(spark):
     assert (r["s"], r["c"]) == (-127, 129)
 
 
+def test_mv_keeps_own_columns_after_target_alter(spark):
+    """The MV view keeps the SELECT's column list even after the TO
+    target gains columns (StorageMaterializedView header; golden
+    01069)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r12t_mvs (a UInt64) ENGINE = "
+                  "MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "CREATE TABLE r12t_mvt (a UInt64) ENGINE = "
+                  "MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "CREATE MATERIALIZED VIEW r12t_mv TO r12t_mvt AS "
+                  "SELECT * FROM r12t_mvs", tables=t)
+    ch_sql(spark, "INSERT INTO r12t_mvs VALUES (1)", tables=t)
+    ch_sql(spark, "ALTER TABLE r12t_mvt ADD COLUMN b UInt8", tables=t)
+    ch_sql(spark, "INSERT INTO r12t_mvs VALUES (2)", tables=t)
+    mv = ch_sql(spark, "SELECT * FROM r12t_mv ORDER BY a", tables=t)
+    assert mv.columns == ["a"]
+    tgt = ch_sql(spark, "SELECT * FROM r12t_mvt ORDER BY a", tables=t)
+    assert tgt.columns == ["a", "b"]
+    assert [tuple(r) for r in tgt.collect()] == [(1, 0), (2, 0)]
+
+
+def test_drop_column_referenced_by_mv_rejected(spark):
+    """DROP COLUMN on a column an MV reads raises
+    (ALTER_OF_COLUMN_IS_FORBIDDEN; golden 01851)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r12t_mvp (n1 Int8, n2 Int8, n3 Int8) "
+                  "ENGINE = MergeTree ORDER BY n1", tables=t)
+    ch_sql(spark, "CREATE MATERIALIZED VIEW r12t_mvpv ENGINE = Memory "
+                  "AS SELECT n2 FROM r12t_mvp", tables=t)
+    with pytest.raises(Exception):
+        ch_sql(spark, "ALTER TABLE r12t_mvp DROP COLUMN n2", tables=t)
+    ch_sql(spark, "ALTER TABLE r12t_mvp DROP COLUMN n3", tables=t)
+
+
+def test_dt64_column_scale_truncation(spark):
+    """DateTime64(p) columns truncate inserted values to their scale
+    and render exactly p digits (golden 02997)."""
+    from clickhouse_core_spark.sources.tsvrender import render_rows
+    t = {}
+    ch_sql(spark, "CREATE TABLE r12t_dt0 (a DateTime64(0)) "
+                  "ENGINE = MergeTree ORDER BY a", tables=t)
+    ch_sql(spark, "INSERT INTO r12t_dt0 VALUES "
+                  "(toDateTime64('2023-01-01 01:01:01.123456789', 1))",
+           tables=t)
+    df = ch_sql(spark, "SELECT * FROM r12t_dt0", tables=t)
+    assert render_rows(df.collect(),
+                       schema=df.schema) == "2023-01-01 01:01:01"
+
+
+def test_lpnorm_constant_function_p(spark):
+    """LpNorm with p = pi(): constant-function p folds to a literal
+    (vectorFunctions.cpp const-p requirement)."""
+    r = ch_sql(spark, "SELECT round(LpNorm((1.5, 2.5, 4), pi()), 4) "
+                      "AS a", tables={}).first()
+    assert abs(r["a"] - 4.3209) < 1e-3
+
+
 def test_using_qualified_key_refs(spark):
     """``A.a = B.a ... USING a``: qualified references to USING keys
     resolve (QueryAnalyzer keeps per-side key columns visible; Spark
