@@ -626,6 +626,9 @@ _RULES: dict = {
     "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
     "trimboth": _fn("trim"), "trimleft": _fn("ltrim"), "trimright": _fn("rtrim"),
     "leftpad": _fn("lpad"), "rightpad": _fn("rpad"),
+    # *UTF8 variants pad at CODEPOINTS — Spark's lpad/rpad already
+    # count characters (padStringUTF8.cpp)
+    "leftpadutf8": _fn("lpad"), "rightpadutf8": _fn("rpad"),
     "levenshteindistance": _fn("levenshtein"), "editdistance": _fn("levenshtein"),
     "formatdatetime": lambda a: _format_datetime_sql(a),
     # conditionals / null — CH conditions are UInt8 (nonzero = true,
@@ -1174,6 +1177,22 @@ for _cn, _ct, _cz, _cmax in [
         lambda a, _f=_try, _t=_ct, _z=_cz:
         f"coalesce({_f(a[0])}, "
         f"CAST({a[1] if len(a) > 1 else _z} AS {_t}))")
+
+# toDateTime*Or{Null,Zero,Default} accept an optional TIMEZONE string
+# argument before the default (FunctionsConversion toDateTimeOrDefault
+# (x[, tz][, default]); golden 01746) — drop tz-shaped string args so
+# the default detection sees the right operand
+for _dtn in ("datetime", "datetime64", "date", "date32"):
+    for _sfx in ("ornull", "orzero", "ordefault"):
+        _k = f"to{_dtn}{_sfx}"
+        if _k in _RULES:
+            def _tz_drop_wrap(a, _b=_RULES[_k]):
+                a2 = [a[0]] + [
+                    x for x in a[1:]
+                    if not re.fullmatch(
+                        r"\s*'[A-Za-z][A-Za-z_/+-]*'\s*", x)]
+                return _b(a2)
+            _RULES[_k] = _tz_drop_wrap
 
 # in-operator functional forms (reference src/Functions/in.cpp
 # registrations): nullIn keeps ANSI NULL propagation — Spark's native
@@ -5738,11 +5757,11 @@ def _ch_type_to_sql(t: str) -> str:
 
 _COLONCOLON_COMPLEX_RE = re.compile(
     r"::\s*(Nullable|LowCardinality|Array|Tuple|Nested|Map|Decimal|Decimal32|"
-    r"Decimal64|Decimal128|FixedString|DateTime64|Enum8|Enum16|Enum)"
+    r"Decimal64|Decimal128|FixedString|DateTime64|DateTime|Enum8|Enum16|Enum)"
     r"\s*\(", re.IGNORECASE)
 _CAST_AS_COMPLEX_RE = re.compile(
     r"(\bAS\s+)(Nullable|LowCardinality|Array|Tuple|Nested|Map|Decimal|"
-    r"Decimal32|Decimal64|Decimal128|FixedString|DateTime64|Enum8|"
+    r"Decimal32|Decimal64|Decimal128|FixedString|DateTime64|DateTime|Enum8|"
     r"Enum16|Enum)\s*\(", re.IGNORECASE)
 
 
@@ -6162,6 +6181,11 @@ def _rewrite_numeric_bool_ops(sql: str) -> str:
             lit = _boolable(m, 1)
             post = m.string[m.end():].lstrip()
             if lit is None or (post and post[0] in _OPER_CHARS):
+                return m.group(0)
+            # `x IS [NOT] NULL AND ...`: the NULL belongs to the IS
+            # predicate, not a boolean operand
+            if lit.upper() == "NULL" and re.search(
+                    r"(?i)\bIS\s+(NOT\s+)?$", m.string[:m.start()]):
                 return m.group(0)
             rep = ("CAST(NULL AS BOOLEAN)" if lit.upper() == "NULL"
                    else f"({lit} <> 0)")
@@ -8623,9 +8647,12 @@ def _rewrite_tuple_nvp(spark, text: str, tables) -> str:
                         f"'col2', {arg}.`{f.name}`)"
                         for f in dt.fields) + ")"
         if repl is None:
-            raise ValueError(
-                "tupleToNameValuePairs needs a tuple argument "
-                "(reference ILLEGAL_TYPE_OF_ARGUMENT)")
+            # non-struct / unresolvable argument: leave the call
+            # as-is (surfaces as an analysis error, not a hard
+            # frontend failure — 02887 Object-typed columns)
+            out.append(text[pos:i + 1])
+            pos = i + 1
+            continue
         out.append(text[pos:i])
         out.append(repl)
         pos = close + 1

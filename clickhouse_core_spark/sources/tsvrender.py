@@ -193,10 +193,14 @@ def render_row(row, bool_as_int: bool = False, types=None,
     return "\t".join(out)
 
 
-def render_rows(rows, bool_as_int: bool = False, schema=None) -> str:
+def render_rows(rows, bool_as_int: bool = False, schema=None,
+                json_cols=None) -> str:
     """``schema``: optional Spark StructType — enables per-column
     carrier-aware rendering (Float32 shortest-roundtrip, declared
-    DateTime64 scales via the ``ch_dt64_scale`` field metadata)."""
+    DateTime64 scales via the ``ch_dt64_scale`` field metadata).
+    ``json_cols``: declared JSON-type column names — their string
+    carriers render as sorted/quoted JSON objects
+    (SerializationObject; golden 03257)."""
     types = ([f.dataType.simpleString() for f in schema.fields]
              if schema is not None else None)
     scales = None
@@ -205,9 +209,31 @@ def render_rows(rows, bool_as_int: bool = False, schema=None) -> str:
                   for f in schema.fields]
         if not any(s is not None for s in scales):
             scales = None
-    return "\n".join(render_row(r, bool_as_int=bool_as_int,
-                                 types=types, scales=scales)
-                     for r in rows)
+    jmask = None
+    if json_cols and schema is not None:
+        jmask = [f.name in json_cols for f in schema.fields]
+        if not any(jmask):
+            jmask = None
+    if jmask is None:
+        return "\n".join(render_row(r, bool_as_int=bool_as_int,
+                                     types=types, scales=scales)
+                         for r in rows)
+    out_lines = []
+    for r in rows:
+        cells = []
+        for i, v in enumerate(r):
+            if jmask[i] and isinstance(v, str):
+                cells.append(_escape_top(_json_object_value(v)
+                                         .strip('"')
+                             if not v.lstrip().startswith(("{", "["))
+                             else _json_object_value(v)))
+            else:
+                cells.append(render_row(
+                    [v], bool_as_int=bool_as_int,
+                    types=[types[i]] if types else None,
+                    scales=[scales[i]] if scales else None))
+        out_lines.append("\t".join(cells))
+    return "\n".join(out_lines)
 
 
 def _csv_quote(s: str) -> str:

@@ -94,6 +94,12 @@ def split_statements_spans(text: str):
                 expect = True
             i = n if j < 0 else j
             continue
+        if c == "/" and text[i:i + 2] == "/*":
+            # multi-line block comment: a ';' inside must not split
+            # (02869/parallel_replicas corpus files)
+            j = text.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
         if c in "'`\"":
             j = i + 1
             while j < n:
@@ -289,9 +295,14 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
         if len(rows) > MAX_VERIFY_ROWS:
             return kind, None
         from clickhouse_core_spark.sources.tsvrender import render_rows
+        jset0 = set()
+        for tb in (tables or {}).values():
+            jset0 |= getattr(tb, "json_cols", set()) or set()
+        for d0 in ((tables or {}).get("__decl__") or {}).values():
+            jset0 |= set((d0 or {}).get("json") or ())
         try:
             body = render_rows(rows, bool_as_int=True,
-                               schema=df.schema)
+                               schema=df.schema, json_cols=jset0)
         except Exception:
             return kind, None
         return kind, (body + "\n" if rows else "")
