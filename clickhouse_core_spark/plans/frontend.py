@@ -7006,6 +7006,11 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         # Lexer.cpp unicode-minus support; golden 02869_unicode_minus)
         sql = _sub_nonstring(sql, lambda seg: seg.replace("−",
                                                           "-"))
+    if "‘" in sql or "“" in sql:
+        # fancy quotes are string/identifier quotes (Lexer.cpp
+        # "fancy quotes" support; golden 03167)
+        sql = (sql.replace("‘", "'").replace("’", "'")
+               .replace("“", "`").replace("”", "`"))
     sql = _FORMAT_RE.sub("", sql)
     sql = _SETTINGS_RE.sub("", sql)
     # SETTINGS clauses also terminate SUBQUERIES (ParserSelectQuery) —
@@ -8398,6 +8403,11 @@ def _rewrite_any_join(sql: str) -> str:
             src = nm.group(0)
             alias = src.strip("`")
             rest = p + nm.end()
+            am = re.match(r"\s+(?:AS\s+)?(?!USING\b|ON\b)(`?\w+`?)",
+                          sql[rest:], re.IGNORECASE)
+            if am:
+                alias = am.group(1).strip("`")
+                rest += am.end()
         um = re.match(r"\s+USING\s*\(([^)]*)\)", sql[rest:],
                       re.IGNORECASE)
         if um is None:
@@ -12328,10 +12338,24 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                         f"referenced by materialized view "
                         f"{trig.get('name')!r} (reference "
                         f"ALTER_OF_COLUMN_IS_FORBIDDEN)")
+            members = [c for c in df.columns
+                       if c.startswith(f"{cname}.")]
+            if cname not in df.columns and members:
+                # a Nested GROUP name drops all its expanded
+                # `base.sub` member columns (NestedUtils; 02500)
+                for mc in members:
+                    df = df.drop(mc)
+                if t is not None and getattr(t, "schema_ddl", None):
+                    t.schema_ddl = ", ".join(
+                        c for c in _split_top_commas(t.schema_ddl)
+                        if not c.strip().split()[0].strip("`")
+                        .startswith(f"{cname}."))
+                    for mc in members:
+                        t.column_defaults.pop(mc, None)
+                continue
             if cname not in df.columns and not m.group(1):
                 # the reference rejects dropping an unknown column
-                # (incl. a Nested BASE name — the expanded columns are
-                # `base.sub`) without IF EXISTS
+                # without IF EXISTS
                 raise ValueError(
                     f"ALTER DROP COLUMN: no column {cname!r} in "
                     f"{name!r} (reference NOT_FOUND_COLUMN)")
