@@ -1985,10 +1985,14 @@ def _json_kv_typed(a):
 def _json_kv_raw(a):
     raw = (f"get_json_object({a[0]}, {_json_path(a)})"
            if len(a) > 1 else a[0])
-    return (f"transform(json_object_keys({raw}), "
+    # a non-object at the path yields the EMPTY pair array (the
+    # reference's simdjson walk finds no members) — try_parse_json +
+    # coalesce keeps scalar text from hard-failing the parse
+    return (f"coalesce(transform(json_object_keys({raw}), "
             f"k -> named_struct('col1', k, 'col2', "
-            f"to_json(try_variant_get(parse_json({raw}), "
-            f"concat('$.', k), 'variant'))))")
+            f"to_json(try_variant_get(try_parse_json({raw}), "
+            f"concat('$.', k), 'variant')))), "
+            f"array())")
 
 
 def _json_key(a):
@@ -6220,8 +6224,10 @@ def _rewrite_numeric_bool_ops(sql: str) -> str:
         # already standard.
         def in_scalar(m):
             v = m.group(1)
-            tm = re.match(r"(?i)tuple\s*\((.*)\)$", v.strip())
-            # IN tuple(a, b) is the value LIST, not a struct value
+            tm = re.match(r"(?i)(?:tuple|array)\s*\((.*)\)$",
+                          v.strip())
+            # IN tuple(a, b) / IN array(a, b) is the value LIST,
+            # not a struct/array value (src/Functions/in.cpp)
             return f"IN ({tm.group(1)})" if tm else f"IN ({v})"
 
         seg = re.sub(

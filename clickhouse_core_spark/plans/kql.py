@@ -303,6 +303,17 @@ def _fix_expr(e: str) -> str:
         d = _sql_quote_regex(lit) if lit is not None else args[1]
         return f"split({args[0]}, {d})"
     e = re.sub(r"\bsplit\(((?:[^()]|\([^()]*\))*)\)", _split, e)
+    # KQL type-constructor casts over special literals: real(+inf),
+    # double(nan) (Kusto real literals; 02366_kql_func_math)
+    e = re.sub(r"(?i)\b(?:real|double|float)\(\s*\+?inf\s*\)",
+               "CAST('Infinity' AS DOUBLE)", e)
+    e = re.sub(r"(?i)\b(?:real|double|float)\(\s*-inf\s*\)",
+               "CAST('-Infinity' AS DOUBLE)", e)
+    e = re.sub(r"(?i)\b(?:real|double|float)\(\s*nan\s*\)",
+               "CAST('NaN' AS DOUBLE)", e)
+    e = re.sub(r"(?i)\b(?:real|double)\(", "CAST_DOUBLE__(", e)
+    e = re.sub(r"\bCAST_DOUBLE__\(((?:[^()]|\([^()]*\))*)\)",
+               lambda m: f"CAST({m.group(1)} AS DOUBLE)", e)
     # conversions: null on failure (KQLCastingFunctions.cpp)
     for kql_t, sql_t in [("toint", "int"), ("tolong", "bigint"),
                          ("todouble", "double"), ("toreal", "double"),
