@@ -6797,14 +6797,25 @@ def _rewrite_numbers_tvf(sql: str) -> str:
     # system.settings: name/value pairs of this engine's session conf
     # analog (StorageSystemSettings.cpp) — enough for the corpus's
     # "read one setting" probes
-    sql = re.sub(
-        r"\bsystem\.settings\b",
-        "(SELECT 'max_memory_usage' AS name, '10000000000' AS value, "
-        "0 AS changed UNION ALL SELECT 'max_threads', '32', 0 "
-        "UNION ALL SELECT 'max_block_size', '65409', 0 "
-        "UNION ALL SELECT 'join_use_nulls', '0', 0 "
-        "UNION ALL SELECT 'max_insert_block_size', '1048449', 0)",
-        sql, flags=re.IGNORECASE)
+    if re.search(r"(?i)\bsystem\.settings\b", sql):
+        # session SET overrides show through with changed=1
+        # (StorageSystemSettings reads the live Settings object;
+        # golden 01039 size-suffix parses)
+        defaults = {"max_memory_usage": "10000000000",
+                    "max_threads": "32",
+                    "max_block_size": "65409",
+                    "join_use_nulls": "0",
+                    "max_insert_block_size": "1048449"}
+        rows = {k: (v, 0) for k, v in defaults.items()}
+        for k, v in SESSION_SETTINGS.items():
+            rows[str(k)] = (str(v), 1)
+        body = " UNION ALL ".join(
+            f"SELECT '{k}' AS name, '{v}' AS value, {ch} AS changed"
+            for k, (v, ch) in sorted(rows.items())
+            if re.fullmatch(r"[\w.]+", str(k))
+            and "'" not in str(v))
+        sql = re.sub(r"\bsystem\.settings\b", f"({body})", sql,
+                     flags=re.IGNORECASE)
     # `SELECT * WHERE cond` (any nesting level): the implicit source
     # is system.one — SELECT * cannot resolve without a FROM in Spark
     sql = re.sub(r"(?is)\bSELECT\s+\*\s+WHERE\b",
@@ -8711,6 +8722,19 @@ def ch_sql_cached(spark, sql: str, **kwargs):
     return df
 
 
+def _parse_size_suffix(s: str):
+    """CH setting size suffixes (src/Common/formatReadable /
+    SettingsFields parseWithSizeSuffix; golden 01039): k/M/G/T are
+    decimal multipliers, the 'i' forms binary (Ki = 1024)."""
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([KkMmGgTt])(i|I)?\s*", s)
+    if m is None:
+        return None
+    exp = {"k": 1, "m": 2, "g": 3, "t": 4}[m.group(2).lower()]
+    base = 1024 if m.group(3) else 1000
+    val = float(m.group(1)) * (base ** exp)
+    return int(val) if val == int(val) else val
+
+
 def _parse_set_statement(body: str, settings: dict | None) -> None:
     """``SET name = value[, name = value]*`` (reference
     src/Interpreters/InterpreterSetQuery.h): record each assignment in
@@ -8727,6 +8751,9 @@ def _parse_set_statement(body: str, settings: dict | None) -> None:
             val = float(raw)
         elif len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'":
             val = raw[1:-1].replace("\\'", "'").replace("''", "'")
+            sz = _parse_size_suffix(val)
+            if sz is not None:
+                val = sz
         else:
             val = raw
         if settings is not None:
@@ -8757,7 +8784,11 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
                           re.DOTALL)
             if sm is None:
                 continue
-            SESSION_SETTINGS[sm.group(1)] = sm.group(2).strip("'")
+            _sv = sm.group(2).strip("'")
+            _sz = _parse_size_suffix(_sv)
+            SESSION_SETTINGS[sm.group(1)] = (str(_sz)
+                                             if _sz is not None
+                                             else _sv)
             live = {"max_threads": "spark.sql.shuffle.partitions",
                     "session_timezone": "spark.sql.session.timeZone"}
             tgt = live.get(sm.group(1).lower())
