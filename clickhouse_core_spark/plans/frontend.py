@@ -10613,6 +10613,35 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
     if not (lit.startswith("'") and lit.endswith("'")):
         return sql
     data = _unescape_sql_literal(lit[1:-1])
+    if fmt.lower() in ("jsoneachrow", "jsoncompacteachrow") \
+            and "{}" in re.sub(r"\s+", "", data):
+        # incomplete-typed EMPTY OBJECT values read as their raw text
+        # (input_format_json_infer_incomplete_types_as_strings;
+        # golden 02876) — Spark's JSON inference would DROP the field
+        import json as _json2
+
+        def _fill_empty(v):
+            if isinstance(v, dict):
+                return "{}" if not v else {
+                    k: _fill_empty(x) for k, x in v.items()}
+            if isinstance(v, list):
+                return [_fill_empty(x) for x in v]
+            return v
+        try:
+            out_lines = []
+            dec2 = _json2.JSONDecoder()
+            i2 = 0
+            while i2 < len(data):
+                if data[i2] in " \t\n\r,":
+                    i2 += 1
+                    continue
+                obj2, i2 = dec2.raw_decode(data, i2)
+                out_lines.append(_json2.dumps(
+                    {k: _fill_empty(v) for k, v in obj2.items()}
+                    if isinstance(obj2, dict) else _fill_empty(obj2)))
+            data = "\n".join(out_lines)
+        except Exception:
+            pass
     d = tempfile.mkdtemp(prefix="ch_format_tvf_")
     ext = {"CSV": "csv", "CSVWithNames": "csv", "TSV": "tsv",
            "TSVWithNames": "tsv", "JSONEachRow": "jsonl",
@@ -10720,6 +10749,9 @@ def _desc_jsoneachrow_infer(spark, data: str):
                 t = _ch_unify(t, e)
             if t == "String" and any(
                     e is not None and not isinstance(e, str)
+                    # empty objects ARE strings under the
+                    # incomplete-types rule (golden 02876 [{}, {}])
+                    and not (isinstance(e, dict) and not e)
                     for e in elems):
                 return ("Tuple("
                         + ", ".join(_nullable_wrap(x) for x in ets)
