@@ -10613,22 +10613,41 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
     if not (lit.startswith("'") and lit.endswith("'")):
         return sql
     data = _unescape_sql_literal(lit[1:-1])
-    if fmt.lower() in ("jsoneachrow", "jsoncompacteachrow") \
-            and "{}" in re.sub(r"\s+", "", data):
-        # incomplete-typed EMPTY OBJECT values read as their raw text
-        # (input_format_json_infer_incomplete_types_as_strings;
-        # golden 02876) — Spark's JSON inference would DROP the field
+    if fmt.lower() in ("jsoneachrow", "jsoncompacteachrow"):
+        # normalize the inline stream to ONE OBJECT PER LINE (the
+        # corpus writes comma-separated objects — Spark's line-wise
+        # reader would drop all but the first per line; golden 02874)
+        # and read incomplete-typed EMPTY OBJECT values as their raw
+        # text (input_format_json_infer_incomplete_types_as_strings;
+        # golden 02876) — Spark's inference would DROP the field
         import json as _json2
+        empties = "{}" in re.sub(r"\s+", "", data)
 
-        def _fill_empty(v):
+        def _nonempty_paths(v, path, acc):
+            if isinstance(v, dict) and v:
+                acc.add(path)
+                for k, x in v.items():
+                    _nonempty_paths(x, path + (k,), acc)
+            elif isinstance(v, list):
+                for x in v:
+                    _nonempty_paths(x, path + ("[]",), acc)
+
+        def _fill_empty(v, path, known):
             if isinstance(v, dict):
-                return "{}" if not v else {
-                    k: _fill_empty(x) for k, x in v.items()}
+                # an {} whose path carries a REAL object in another
+                # row unifies into that tuple (fields default-fill);
+                # only ALWAYS-empty paths decay to the raw text
+                # (golden 02874 vs 02876)
+                if not v:
+                    return v if path in known else "{}"
+                return {k: _fill_empty(x, path + (k,), known)
+                        for k, x in v.items()}
             if isinstance(v, list):
-                return [_fill_empty(x) for x in v]
+                return [_fill_empty(x, path + ("[]",), known)
+                        for x in v]
             return v
         try:
-            out_lines = []
+            objs = []
             dec2 = _json2.JSONDecoder()
             i2 = 0
             while i2 < len(data):
@@ -10636,10 +10655,13 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
                     i2 += 1
                     continue
                 obj2, i2 = dec2.raw_decode(data, i2)
-                out_lines.append(_json2.dumps(
-                    {k: _fill_empty(v) for k, v in obj2.items()}
-                    if isinstance(obj2, dict) else _fill_empty(obj2)))
-            data = "\n".join(out_lines)
+                objs.append(obj2)
+            if empties:
+                known: set = set()
+                for o in objs:
+                    _nonempty_paths(o, (), known)
+                objs = [_fill_empty(o, (), known) for o in objs]
+            data = "\n".join(_json2.dumps(o) for o in objs)
         except Exception:
             pass
     d = tempfile.mkdtemp(prefix="ch_format_tvf_")

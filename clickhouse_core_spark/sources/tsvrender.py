@@ -167,8 +167,30 @@ def _float32_repr(v: float) -> str:
         return _float_repr(v)
 
 
+def _render_struct_typed(v, dtype, bool_as_int: bool) -> str:
+    """A struct value rendered with its Spark TYPE in hand: JSON
+    named-tuple inference carries non-Nullable Array members whose
+    MISSING values print as [] (addMissingDefaults on tuple reads;
+    golden 02874), not NULL."""
+    from pyspark.sql import types as _T
+    if not isinstance(dtype, _T.StructType) \
+            or not hasattr(v, "__fields__"):
+        return render_value(v, nested=True, bool_as_int=bool_as_int)
+
+    def elem(x, ft):
+        if x is None and isinstance(ft, _T.ArrayType):
+            return "[]"
+        if isinstance(ft, _T.StructType) and x is not None \
+                and hasattr(x, "__fields__"):
+            return _render_struct_typed(x, ft, bool_as_int)
+        return render_value(x, nested=True, bool_as_int=bool_as_int)
+    vals = [v[i] for i in range(len(v.__fields__))]
+    return "(" + ",".join(
+        elem(x, f.dataType) for x, f in zip(vals, dtype.fields)) + ")"
+
+
 def render_row(row, bool_as_int: bool = False, types=None,
-               scales=None) -> str:
+               scales=None, dtypes=None) -> str:
     out = []
     for i, v in enumerate(row):
         if types is not None and v is not None \
@@ -178,6 +200,11 @@ def render_row(row, bool_as_int: bool = False, types=None,
                 out.append(_float_repr(v))
             else:
                 out.append(_float32_repr(v))
+            continue
+        if dtypes is not None and v is not None \
+                and hasattr(v, "__fields__"):
+            out.append(_render_struct_typed(v, dtypes[i],
+                                            bool_as_int))
             continue
         if scales is not None and scales[i] is not None \
                 and isinstance(v, _dt.datetime):
@@ -209,6 +236,8 @@ def render_rows(rows, bool_as_int: bool = False, schema=None,
                   for f in schema.fields]
         if not any(s is not None for s in scales):
             scales = None
+    dtypes = ([f.dataType for f in schema.fields]
+              if schema is not None else None)
     jmask = None
     if json_cols and schema is not None:
         jmask = [f.name in json_cols for f in schema.fields]
@@ -216,7 +245,8 @@ def render_rows(rows, bool_as_int: bool = False, schema=None,
             jmask = None
     if jmask is None:
         return "\n".join(render_row(r, bool_as_int=bool_as_int,
-                                     types=types, scales=scales)
+                                     types=types, scales=scales,
+                                     dtypes=dtypes)
                          for r in rows)
     out_lines = []
     for r in rows:
@@ -231,7 +261,8 @@ def render_rows(rows, bool_as_int: bool = False, schema=None,
                 cells.append(render_row(
                     [v], bool_as_int=bool_as_int,
                     types=[types[i]] if types else None,
-                    scales=[scales[i]] if scales else None))
+                    scales=[scales[i]] if scales else None,
+                    dtypes=[dtypes[i]] if dtypes else None))
         out_lines.append("\t".join(cells))
     return "\n".join(out_lines)
 
