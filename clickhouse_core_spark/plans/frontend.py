@@ -5253,10 +5253,17 @@ def _rewrite_with_totals(sql: str) -> str:
     # flags combine): keep the modifier, add the extra grand-total row
     # CH emits as the totals block via an appended empty grouping set
     mod = re.search(r"\s+WITH\s+(CUBE|ROLLUP)\s*$", keys, re.IGNORECASE)
-    if mod:
-        bare = keys[:mod.start()].strip()
-        kind = mod.group(1).upper()
-        cols = [k.strip() for k in bare.split(",")]
+    fnform = re.fullmatch(r"(?is)(ROLLUP|CUBE)\s*\((.*)\)", keys)
+    if mod or fnform:
+        if mod:
+            bare = keys[:mod.start()].strip()
+            kind = mod.group(1).upper()
+        else:
+            # function-style GROUP BY ROLLUP(a, b) WITH TOTALS
+            # (ParserSelectQuery; 02343 grouping-sets corpus)
+            bare = fnform.group(2).strip()
+            kind = fnform.group(1).upper()
+        cols = [k.strip() for k in _split_top_commas(bare)]
         if kind == "ROLLUP":
             sets = [f"({', '.join(cols[:i])})"
                     for i in range(len(cols), -1, -1)]
@@ -8722,6 +8729,14 @@ def ch_sql_cached(spark, sql: str, **kwargs):
     return df
 
 
+def _bool_pred_sql(c: str) -> str:
+    """CH predicates are UInt8 (0/false, nonzero/true — WHERE 1 is a
+    legal always-true mutation filter, MutationsInterpreter); Spark
+    wants BOOLEAN — numeric-literal predicates compare against 0."""
+    return f"(({c}) <> 0)" if re.fullmatch(
+        r"\s*[+-]?\d+(\.\d+)?\s*", c) else c
+
+
 def _parse_size_suffix(s: str):
     """CH setting size suffixes (src/Common/formatReadable /
     SettingsFields parseWithSizeSuffix; golden 01039): k/M/G/T are
@@ -9523,7 +9538,7 @@ def _ch_sql_impl(spark, sql: str,
     if m:
         name = m.group(1) or m.group(2)
         table = (tables or {}).get(name)
-        pred = F.expr(_translate_expr(m.group(3)))
+        pred = F.expr(_bool_pred_sql(_translate_expr(m.group(3))))
         if table is None:
             # view-backed (Memory-analog) table: rewrite the view
             try:
@@ -9560,8 +9575,9 @@ def _ch_sql_impl(spark, sql: str,
             except Exception:
                 raise ValueError(
                     f"UPDATE needs a table for {name!r}")
-            cond_c = F.coalesce(F.expr(_translate_expr(cond)),
-                                F.lit(False))
+            cond_c = F.coalesce(
+                F.expr(_bool_pred_sql(_translate_expr(cond))),
+                F.lit(False))
             for cname, cexpr in assignments.items():
                 dt = df_v.schema[cname].dataType
                 df_v = df_v.withColumn(
@@ -9570,7 +9586,8 @@ def _ch_sql_impl(spark, sql: str,
             df_v.localCheckpoint(eager=True) \
                 .createOrReplaceTempView(name)
             return None
-        table.update_where(F.expr(_translate_expr(cond)), assignments)
+        table.update_where(
+            F.expr(_bool_pred_sql(_translate_expr(cond))), assignments)
         _refresh_table_views(spark, name, table)
         return None
 
@@ -12755,6 +12772,9 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
         if t is not None and hasattr(t, "insert"):
             t.insert(df)
             t.read().createOrReplaceTempView(name)
+            _refresh_alias_views(spark, name, tables)
+            _fire_mv_triggers(spark, name, df, tables,
+                              depth=_mv_depth)
             return None
         raise ValueError(f"INSERT: unknown table {name!r}")
     have = set(df.columns)
@@ -12847,6 +12867,11 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
                     .createOrReplaceTempView(f"{name}__final")
             except ValueError:
                 pass                  # part-less (nothing inserted)
+        # replica/Distributed alias views pin their creation-time
+        # schema; a first INSERT that DEFINES the schema (schema-less
+        # CREATE) must re-register them (byte_identical replicated
+        # pair golden)
+        _refresh_alias_views(spark, name, tables)
     else:
         spark.table(name).unionByName(aligned) \
             .localCheckpoint(eager=True).createOrReplaceTempView(name)

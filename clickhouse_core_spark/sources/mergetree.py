@@ -568,7 +568,24 @@ class MergeTreeTable:
             defaults = self.column_defaults or {}
             have = {f.name for f in df.schema.fields}
             for cname, ctype in decl_cols:
-                if cname not in have or cname in nullable:
+                if cname not in have:
+                    # ALTER-ADDed column present in NO part yet:
+                    # materialize the declared/type default so views
+                    # refreshed from read() keep the full schema
+                    # (golden 00721 byte_identical)
+                    try:
+                        dt2 = self.spark.createDataFrame(
+                            [], f"`{cname}` {ctype}").schema[0] \
+                            .dataType
+                    except Exception:
+                        continue
+                    dflt2 = defaults.get(cname) \
+                        or _type_default_sql(dt2) or "NULL"
+                    df = df.withColumn(
+                        cname, F.expr(dflt2).cast(dt2))
+                    have.add(cname)
+                    continue
+                if cname in nullable:
                     continue
                 fld = df.schema[cname]
                 if not fld.nullable:
