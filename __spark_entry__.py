@@ -9538,8 +9538,8 @@ def mutation_clear_column_q(spark, sf_dir):
 
 
 @q("fn_wide_int_ordefault", """
-SELECT CAST(42 AS HUGEINT) AS a, CAST(123 AS HUGEINT) AS b,
-       CAST(NULL AS HUGEINT) AS c, CAST(-5 AS HUGEINT) AS d
+SELECT CAST(42 AS DECIMAL(38,0)) AS a, CAST(123 AS DECIMAL(38,0)) AS b,
+       CAST(NULL AS DECIMAL(38,0)) AS c, CAST(-5 AS DECIMAL(38,0)) AS d
 """)
 def fn_wide_int_ordefault_q(spark, sf_dir):
     """to{Int128,Int256,UInt256}Or{Null,Zero,Default}
@@ -9570,16 +9570,20 @@ def fn_tuple_name_value_pairs_q(spark, sf_dir):
 
 
 @q("fn_array_shift_defaults", """
-SELECT [4, 5, 0, 0, 0] AS l, [0, 0, 0, 1, 2] AS nl,
-       [0, 0, 0, 1, 2] AS r
+SELECT '4,5,0,0,0' AS l, '0,0,0,1,2' AS nl, '0,0,0,1,2' AS r
 """)
 def fn_array_shift_defaults_q(spark, sf_dir):
     """arrayShiftLeft/Right type-default fills and negative counts
-    (src/Functions/array/arrayShiftRotate.cpp; golden 02845)."""
+    (src/Functions/array/arrayShiftRotate.cpp; golden 02845).
+    Joined to a flat string so the driver's comparator (which cannot
+    sort raw array cells) grades values, not just row counts."""
     return ch_sql(spark, """
-        SELECT arrayShiftLeft([1, 2, 3, 4, 5], 3) AS l,
-               arrayShiftLeft([1, 2, 3, 4, 5], -3) AS nl,
-               arrayShiftRight([1, 2, 3, 4, 5], 3) AS r
+        SELECT arrayStringConcat(arrayMap(x -> toString(x),
+                   arrayShiftLeft([1, 2, 3, 4, 5], 3)), ',') AS l,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                   arrayShiftLeft([1, 2, 3, 4, 5], -3)), ',') AS nl,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                   arrayShiftRight([1, 2, 3, 4, 5], 3)), ',') AS r
     """, tables={})
 
 

@@ -116,13 +116,18 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
     if order_col:
         rank = F.col(order_col)
     else:
-        # physical insert order: part files scan oldest-first
-        # (part-<timestamp> paths sort chronologically) and parquet
-        # preserves row order within a file, so the scan-order id IS
-        # the reference's physical row order
-        # (CollapsingSortedTransform merges in stored order —
-        # golden 01764 keeps the last +1 of an equal-count run)
-        df = df.withColumn("__ins_seq", F.monotonically_increasing_id())
+        # physical insert order (CollapsingSortedTransform merges in
+        # stored order — golden 01764 keeps the last +1 of an
+        # equal-count run).  monotonically_increasing_id alone is NOT
+        # enough: Spark packs file splits into partitions by file SIZE
+        # descending, so partition indices (the id's high bits) don't
+        # follow part chronology.  Rank on (file path, id):
+        # part-<timestamp> paths sort chronologically, and within one
+        # file parquet preserves row order, where the id is monotone.
+        df = df.withColumn(
+            "__ins_seq",
+            F.struct(F.input_file_name().alias("f"),
+                     F.monotonically_increasing_id().alias("i")))
         rank = F.col("__ins_seq")
     # CollapsingSortedAlgorithm::insertRows, faithfully:
     #   more +1 than -1            -> keep the LAST +1 state

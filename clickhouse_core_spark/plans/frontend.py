@@ -3391,6 +3391,25 @@ def _rewrite_groupby_item_aliases(sql: str) -> str:
             + sql[m.end():])
 
 
+def _top_level_arrow(s: str) -> bool:
+    """True when ``s`` contains a lambda arrow '->' outside any paren
+    group or string literal (i.e. ``s`` IS a lambda argument)."""
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "'\"":
+            i = _skip_string(s, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c == "-" and s[i:i + 2] == "->":
+            return True
+        i += 1
+    return False
+
+
 def _rewrite_inline_aliases(sql: str) -> str:
     """CH lets any PARENTHESIZED subexpression carry an alias that is
     visible elsewhere in the query — ``SELECT (0 AS a) ? (2 AS b) :
@@ -3409,6 +3428,12 @@ def _rewrite_inline_aliases(sql: str) -> str:
         i, n = 0, len(sql)
         out: list[str] = []
         stack: list[bool] = []    # per open paren: is it a subquery?
+        # lambda tracking (ADVICE r12): a '->' at the current paren
+        # level marks the rest of that ARGUMENT as a lambda body whose
+        # inline aliases reference the lambda parameter and must not
+        # be hoisted; a top-level ',' ends the argument.
+        lam: list[bool] = []      # per open paren: inside a lambda body?
+        arrow = [False]           # per depth: '->' seen in current arg
         while i < n:
             c = sql[i]
             if c in "'\"":
@@ -3416,9 +3441,18 @@ def _rewrite_inline_aliases(sql: str) -> str:
                 out.append(sql[i:j])
                 i = j
                 continue
+            if c == "-" and sql[i:i + 2] == "->":
+                arrow[-1] = True
+                out.append("->")
+                i += 2
+                continue
+            if c == ",":
+                arrow[-1] = False
             if c == ")":
                 if stack:
                     stack.pop()
+                    lam.pop()
+                    arrow.pop()
                 out.append(c)
                 i += 1
                 continue
@@ -3431,11 +3465,14 @@ def _rewrite_inline_aliases(sql: str) -> str:
                                                     "else", "distinct"})
                 is_subq = sql[i + 1:i + 40].lstrip().upper() \
                     .startswith(("SELECT", "WITH"))
+                in_lambda = arrow[-1] or any(lam)
                 if not is_subq and not any(stack):
                     try:
                         items, after = _parse_args(sql, i)
                     except Exception:
                         stack.append(is_subq)
+                        lam.append(in_lambda)
+                        arrow.append(False)
                         out.append(c)
                         i += 1
                         continue
@@ -3454,8 +3491,18 @@ def _rewrite_inline_aliases(sql: str) -> str:
                         return nm2, m2.group(1)
 
                     if not is_call and len(items) == 1:
-                        # (expr AS name) group: strip to the name
+                        # (expr AS name) group: strip to the name.
+                        # Inside a lambda body (ADVICE r12) the
+                        # expression references the lambda parameter —
+                        # unresolvable in a wrapping subquery — so
+                        # drop the alias in place instead of hoisting.
                         hit = _aliased(items[0].strip())
+                        if hit and in_lambda:
+                            out.append(f"({hit[1]})")
+                            out.append(sql[after:])
+                            sql = "".join(out)
+                            found = True
+                            break
                         if hit:
                             defs.append(hit)
                             out.append(hit[0])
@@ -3463,15 +3510,18 @@ def _rewrite_inline_aliases(sql: str) -> str:
                             sql = "".join(out)
                             found = True
                             break
-                    elif is_call and ptok and not (
+                    elif not in_lambda and is_call and ptok and not (
                             ptok.group(1).lower().endswith("cast")
                             or ptok.group(1).lower() in (
                                 "exists", "replace", "except",
                                 "columns", "apply")):
                         # a function ARGUMENT carrying an alias —
                         # ``sum((2*id) AS func)`` — hoist the defining
-                        # expression, leave the bare name as the arg
-                        hits = [(k, _aliased(it.strip()))
+                        # expression, leave the bare name as the arg.
+                        # Lambda arguments (top-level '->') keep their
+                        # aliases: they reference the lambda parameter.
+                        hits = [(k, None if _top_level_arrow(it)
+                                 else _aliased(it.strip()))
                                 for k, it in enumerate(items)]
                         hits = [(k, h) for k, h in hits if h]
                         if hits:
@@ -3487,6 +3537,8 @@ def _rewrite_inline_aliases(sql: str) -> str:
                             found = True
                             break
                 stack.append(is_subq)
+                lam.append(arrow[-1] or any(lam))
+                arrow.append(False)
                 out.append(c)
                 i += 1
                 continue
@@ -7301,9 +7353,12 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
                    + "))" + sql[outer_close + 1:])
     # remaining sentinel sites carry the map as its ENTRIES array —
     # entry order survives py4j collect as an array but NOT as a
-    # MapType (dict conversion scrambles it); tsvrender prints
-    # [(key, value)...] arrays in CH Map text form (golden 03270
-    # sorted path order)
+    # MapType (dict conversion scrambles it); the entry structs use
+    # the dedicated __ch_k/__ch_v field names (ADVICE r12: a GENUINE
+    # Array(Tuple(key, value)) must render as tuples, so the renderer
+    # keys on the sentinel names, not on 'key'/'value') and tsvrender
+    # prints the array in CH Map text form (golden 03270 sorted path
+    # order)
     for sent in ("__chmap_ss__", "__chmap_sa__"):
         while f"{sent}(" in sql:
             at0 = sql.index(f"{sent}(")
@@ -7311,7 +7366,10 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
             if close < 0:
                 break
             inner = sql[at0 + len(sent) + 1:close]
-            sql = (sql[:at0] + f"map_entries({inner})"
+            sql = (sql[:at0]
+                   + f"transform(map_entries({inner}), __me_ -> "
+                   + "named_struct('__ch_k', __me_.key, "
+                   + "'__ch_v', __me_.value))"
                    + sql[close + 1:])
     while "explode(map_from_entries(" in sql:
         at0 = sql.index("explode(map_from_entries(")
@@ -8737,6 +8795,20 @@ def _bool_pred_sql(c: str) -> str:
         r"\s*[+-]?\d+(\.\d+)?\s*", c) else c
 
 
+# Size suffixes only apply to numeric setting fields (the reference's
+# SettingFieldUInt64 etc. parse them; SettingFieldString keeps the text
+# verbatim).  Gate on the numeric-setting name shape so a string-valued
+# setting whose text happens to look like a size ('10M') survives.
+_NUMERIC_SETTING_RE = re.compile(
+    r"(memory|bytes|size|rows|block|bandwidth|cache|timeout|threads|"
+    r"streams|depth|backoff|pool|buffer|quota|period|interval_ms|"
+    r"elements|columns|partitions|marks|granularity)")
+
+
+def _setting_is_numeric(name: str) -> bool:
+    return bool(_NUMERIC_SETTING_RE.search(name.lower()))
+
+
 def _parse_size_suffix(s: str):
     """CH setting size suffixes (src/Common/formatReadable /
     SettingsFields parseWithSizeSuffix; golden 01039): k/M/G/T are
@@ -8766,9 +8838,10 @@ def _parse_set_statement(body: str, settings: dict | None) -> None:
             val = float(raw)
         elif len(raw) >= 2 and raw[0] == "'" and raw[-1] == "'":
             val = raw[1:-1].replace("\\'", "'").replace("''", "'")
-            sz = _parse_size_suffix(val)
-            if sz is not None:
-                val = sz
+            if _setting_is_numeric(name):
+                sz = _parse_size_suffix(val)
+                if sz is not None:
+                    val = sz
         else:
             val = raw
         if settings is not None:
@@ -8800,7 +8873,8 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
             if sm is None:
                 continue
             _sv = sm.group(2).strip("'")
-            _sz = _parse_size_suffix(_sv)
+            _sz = (_parse_size_suffix(_sv)
+                   if _setting_is_numeric(sm.group(1)) else None)
             SESSION_SETTINGS[sm.group(1)] = (str(_sz)
                                              if _sz is not None
                                              else _sv)
@@ -9949,10 +10023,20 @@ def _run_sql(spark, translated: str):
             if retried2 is None:
                 retried2 = _retry_using_alias(retried, e2)
             if retried2 is None:
+                retried2 = _retry_using_qualified(retried, e2)
+            if retried2 is None:
                 retried2 = _retry_int_logical(retried, e2)
             if retried2 is None:
                 raise
-            return _submit(retried2)
+            try:
+                return _submit(retried2)
+            except Exception as e3:
+                # one more USING-qualified pass: each retry rewrites
+                # only the single alias.key the resolver reported
+                retried3 = _retry_using_qualified(retried2, e3)
+                if retried3 is None:
+                    raise
+                return _submit(retried3)
 
 
 def _retry_collate_drop(translated: str, err: Exception):
@@ -10340,14 +10424,28 @@ def _retry_using_qualified(translated: str, err: Exception):
             # spellings that EXIST in the text get rewritten)
             for am in re.finditer(
                     r"(?is)(?:\)|\bFROM|\bJOIN)\s+(?:AS\s+)?"
-                    r"`?(\w+)`?", translated):
+                    r"`?(\w+)`?(?:\s+(?:AS\s+)?`?(\w+)`?)?",
+                    translated):
                 pairs.add((am.group(1).lower(), k.lower()))
-    if (mm.group(1).lower(), mm.group(2).lower()) not in pairs:
+                if am.group(2) and am.group(2).upper() not in (
+                        "ON", "USING", "JOIN", "LEFT", "RIGHT",
+                        "INNER", "FULL", "CROSS", "WHERE", "GROUP",
+                        "ORDER", "LIMIT", "HAVING", "UNION", "SEMI",
+                        "ANTI", "GLOBAL", "ANY", "ASOF", "SETTINGS",
+                        "FINAL", "AS"):
+                    pairs.add((am.group(2).lower(), k.lower()))
+    alias, key = mm.group(1).lower(), mm.group(2).lower()
+    if (alias, key) not in pairs:
         return None
-    out = translated
-    for alias, key in sorted(pairs):
-        out = re.sub(rf"(?i)\b{alias}\s*\.\s*`?{key}`?\b",
-                     f"`{key}`", out)
+    # rewrite ONLY the alias.key the resolver reported (ADVICE r12:
+    # the collected pairs are an over-approximation used for
+    # validation, not a rewrite list), and never inside string
+    # literals; further unresolved pairs re-enter via the second-level
+    # retry chain.
+    out = _sub_nonstring(
+        translated,
+        lambda seg: re.sub(rf"(?i)\b{alias}\s*\.\s*`?{key}`?\b",
+                           f"`{key}`", seg))
     return out if out != translated else None
 
 

@@ -127,16 +127,18 @@ def render_value(v, nested: bool = False,
             f"{render_value(k, True, bool_as_int)}:"
             f"{render_value(x, True, bool_as_int)}"
             for k, x in v.items()) + "}"
-    # an ARRAY of (key, value) structs is an ORDER-PRESERVING map
+    # an ARRAY of (__ch_k, __ch_v) structs is the ORDER-PRESERVING map
     # carrier (py4j's MapType→dict conversion scrambles entry order,
-    # so ordered CH maps ship as map_entries() arrays — golden 03270
-    # sorted JSON path maps): render in CH Map text form
+    # so ordered CH maps ship as sentinel-named map_entries() arrays —
+    # golden 03270 sorted JSON path maps): render in CH Map text form.
+    # The sentinel names (not 'key'/'value') keep a GENUINE
+    # Array(Tuple(key, value)) rendering as a tuple list (ADVICE r12).
     if isinstance(v, (list, tuple)) and v \
-            and all(getattr(x, "__fields__", None) == ["key", "value"]
-                    for x in v):
+            and all(getattr(x, "__fields__", None) ==
+                    ["__ch_k", "__ch_v"] for x in v):
         return "{" + ",".join(
-            f"{render_value(x['key'], True, bool_as_int)}:"
-            f"{render_value(x['value'], True, bool_as_int)}"
+            f"{render_value(x['__ch_k'], True, bool_as_int)}:"
+            f"{render_value(x['__ch_v'], True, bool_as_int)}"
             for x in v) + "}"
     # pyspark Row (struct) exposes __fields__; render as tuple
     if hasattr(v, "__fields__"):
@@ -189,6 +191,19 @@ def _render_struct_typed(v, dtype, bool_as_int: bool) -> str:
         elem(x, f.dataType) for x, f in zip(vals, dtype.fields)) + ")"
 
 
+def _is_chmap_carrier(dtype) -> bool:
+    """Column-level detection of the ordered-map entries carrier:
+    array<struct<__ch_k, __ch_v>> (see render_value)."""
+    try:
+        from pyspark.sql import types as _T
+        return (isinstance(dtype, _T.ArrayType)
+                and isinstance(dtype.elementType, _T.StructType)
+                and [f.name for f in dtype.elementType.fields]
+                == ["__ch_k", "__ch_v"])
+    except Exception:
+        return False
+
+
 def render_row(row, bool_as_int: bool = False, types=None,
                scales=None, dtypes=None) -> str:
     out = []
@@ -205,6 +220,11 @@ def render_row(row, bool_as_int: bool = False, types=None,
                 and hasattr(v, "__fields__"):
             out.append(_render_struct_typed(v, dtypes[i],
                                             bool_as_int))
+            continue
+        if dtypes is not None and isinstance(v, (list, tuple)) \
+                and not v and _is_chmap_carrier(dtypes[i]):
+            # an EMPTY ordered-map carrier is still a map: {} not []
+            out.append("{}")
             continue
         if scales is not None and scales[i] is not None \
                 and isinstance(v, _dt.datetime):
