@@ -9538,18 +9538,21 @@ def mutation_clear_column_q(spark, sf_dir):
 
 
 @q("fn_wide_int_ordefault", """
-SELECT CAST(42 AS DECIMAL(38,0)) AS a, CAST(123 AS DECIMAL(38,0)) AS b,
-       CAST(NULL AS DECIMAL(38,0)) AS c, CAST(-5 AS DECIMAL(38,0)) AS d
+SELECT '42' AS a, '123' AS b, CAST(NULL AS VARCHAR) AS c, '-5' AS d
 """)
 def fn_wide_int_ordefault_q(spark, sf_dir):
     """to{Int128,Int256,UInt256}Or{Null,Zero,Default}
     (FunctionsConversion.cpp generates the full width matrix; carried
-    at the DECIMAL(38,0) ceiling, LIMITS.md)."""
+    at the DECIMAL(38,0) ceiling, LIMITS.md).  Results ship as STRING:
+    the driver hasher is DECIMAL-representation-sensitive (r3
+    fn_decimal_arithmetic lesson)."""
     return ch_sql(spark, """
-        SELECT toInt128OrDefault('abc', CAST(42 AS Int128)) AS a,
-               toUInt256OrDefault('123', CAST(7 AS UInt256)) AS b,
-               toInt256OrNull('xyz') AS c,
-               toInt128OrZero('-5') AS d
+        SELECT toString(toInt128OrDefault('abc', CAST(42 AS Int128)))
+                   AS a,
+               toString(toUInt256OrDefault('123', CAST(7 AS UInt256)))
+                   AS b,
+               toString(toInt256OrNull('xyz')) AS c,
+               toString(toInt128OrZero('-5')) AS d
     """, tables={})
 
 

@@ -498,6 +498,12 @@ def filling_transform(df: DataFrame, specs, prefix=(), order_all=None,
                         "WITH FILL generated over 1e6 rows in one gap")
                 if rstate == 1:
                     emit_fill(list(fill))
+                elif rstate == 2 and lex_less(fill, target):
+                    # landing exactly on the target RESTARTS deeper
+                    # keys (init_deeper) — the restarted tuple is a
+                    # generated row of its own when still before the
+                    # target (golden 02019: x 4→5 re-emits -x=-10)
+                    emit_fill(list(fill))
             out_rows.append(dict(rd))
             # the fill progression is NOT re-anchored on off-grid
             # originals; only STALENESS anchors to the original row
@@ -527,22 +533,33 @@ def filling_transform(df: DataFrame, specs, prefix=(), order_all=None,
                 if not advanced:
                     break
         out = pd.DataFrame(out_rows, columns=list(pdf.columns))
+        # generation order IS the reference's output order
+        # (FillingTransform runs AFTER the sort; generated rows
+        # interleave with originals in fill-key order, and a final
+        # re-sort over intermediate non-fill keys would displace the
+        # original rows — golden 02019)
+        out["__fseq"] = range(len(out))
         return out
 
+    seq_field = T.StructField("__fseq", T.LongType(), True)
+    out_schema2 = T.StructType(out_fields + [seq_field])
     if prefix:
         result = df.groupBy(*prefix).applyInPandas(
             lambda pdf: fill_group(pdf).reindex(
-                columns=[f.name for f in out_fields]),
-            schema=out_schema)
+                columns=[f.name for f in out_fields] + ["__fseq"]),
+            schema=out_schema2)
     else:
         result = df.withColumn("__g", F.lit(1)).groupBy("__g") \
             .applyInPandas(
                 lambda pdf: fill_group(
                     pdf.drop(columns=["__g"])).reindex(
-                        columns=[f.name for f in out_fields]),
-                schema=out_schema)
+                        columns=[f.name for f in out_fields]
+                        + ["__fseq"]),
+                schema=out_schema2)
     if order_all is None:
         order_all = [(c, d) for c, d in zip(cols, descs)]
-    order = [F.col(c).desc() if d else F.col(c).asc()
-             for c, d in order_all]
-    return result.orderBy(*order)
+    pdirs = dict(order_all)
+    order = [F.col(c).desc() if pdirs.get(c) else F.col(c).asc()
+             for c in prefix]
+    order.append(F.col("__fseq").asc())
+    return result.orderBy(*order).drop("__fseq")

@@ -1346,11 +1346,60 @@ _RULES["mapextractvaluelike"] = lambda a: (
     f"map_filter({a[0]}, (k_, v_) -> v_ LIKE {a[1]})")
 _RULES["bitpositionstoarray"] = lambda a: (
     f"filter(sequence(0, 63), b_ -> getbit(CAST({a[0]} AS BIGINT), b_) = 1)")
-_RULES["bitmasktoarray"] = lambda a: (
-    f"transform(filter(sequence(0, 63), "
-    f"b_ -> getbit(CAST({a[0]} AS BIGINT), b_) = 1), "
-    f"b_ -> CASE WHEN b_ = 63 THEN -9223372036854775808 "
-    f"ELSE CAST(pow(2.0, b_) AS BIGINT) END)")
+def _bitmask_terms(a0: str):
+    """Constant-fold bitmaskToList/Array over a literal (or
+    toIntN/toUIntN(literal)) argument: the decomposition runs over the
+    argument's NATIVE width — the top bit of a SIGNED type contributes
+    the type minimum (bitmaskToList.cpp; golden 00839: Int8 -1 →
+    1,2,4,8,16,32,64,-128).  Returns None when not foldable."""
+    s = a0.strip()
+    signed, width = True, None
+    m = re.fullmatch(r"(?i)to(U?)Int(8|16|32|64)\s*\(\s*"
+                     r"([+-]?\d+)\s*\)", s)
+    if m:
+        signed = not m.group(1)
+        width = int(m.group(2))
+        v = int(m.group(3))
+    elif re.fullmatch(r"[+-]?\d+", s):
+        v = int(s)
+        # CH literal typing: smallest signed type for negatives,
+        # smallest unsigned for non-negatives
+        if v < 0:
+            for w in (8, 16, 32, 64):
+                if v >= -(1 << (w - 1)):
+                    width = w
+                    break
+        else:
+            signed = False
+            for w in (8, 16, 32, 64):
+                if v < (1 << w):
+                    width = w
+                    break
+    if width is None:
+        return None
+    bits = v & ((1 << width) - 1)
+    terms = []
+    for i in range(width):
+        if bits >> i & 1:
+            if signed and i == width - 1:
+                terms.append(-(1 << i))
+            else:
+                terms.append(1 << i)
+    return terms
+
+
+def _bitmask_to_array_rule(a):
+    t = _bitmask_terms(a[0])
+    if t is not None:
+        return "array(" + ", ".join(f"CAST({x} AS BIGINT)"
+                                    for x in t) + ")"
+    return (f"transform(filter(sequence(0, 63), "
+            f"b_ -> getbit(CAST({a[0]} AS BIGINT), b_) = 1), "
+            f"b_ -> CASE WHEN b_ = 63 THEN -9223372036854775808 "
+            f"ELSE CAST(pow(2.0, b_) AS BIGINT) END)")
+
+
+_RULES["bitmasktoarray"] = _bitmask_to_array_rule
 _RULES["bitmasktolist"] = lambda a: (
     "array_join(transform(" + _RULES["bitmasktoarray"](a)
     + ", v_ -> CAST(v_ AS STRING)), ',')")
@@ -5139,11 +5188,45 @@ def _rewrite_array_join(sql: str) -> str:
     items = _split_top_commas(sql[m.end():end])
     prefix, suffix = sql[:m.start()], sql[end:]
 
+    def _select_alias_def(name: str):
+        """(expr, item_start, item_end) of a top-level SELECT item
+        ``expr AS name`` in the prefix, else None — ARRAY JOIN over a
+        SELECT alias resolves against the projection (reference
+        QueryAnalyzer; golden 02374)."""
+        pm = re.search(r"^(\s*(?:WITH\b.*?)??\s*SELECT\s+)(.*)$",
+                       prefix, re.IGNORECASE | re.DOTALL)
+        if pm is None:
+            return None
+        head2, proj2 = pm.group(1), pm.group(2)
+        fms = [mm for mm in re.finditer(r"\bFROM\b", proj2,
+                                        re.IGNORECASE)
+               if mm.start() in _top_level_set(proj2)]
+        if not fms:
+            return None
+        body = proj2[:fms[-1].start()]
+        off = len(head2)
+        pos2 = 0
+        for it2 in _split_top_commas(body):
+            am2 = re.search(rf"^(.*\S)\s+AS\s+`?{re.escape(name)}`?"
+                            rf"\s*$", it2, re.IGNORECASE | re.DOTALL)
+            st = body.index(it2, pos2)
+            pos2 = st + len(it2)
+            if am2:
+                return (am2.group(1).strip(), off + st,
+                        off + st + len(it2))
+        return None
+
     parsed = []   # (expr, alias, implicit)
-    for item in items:
+    for k_i, item in enumerate(items):
         am = re.search(r"^(.*?)\s+AS\s+(`[^`]+`|\w+)\s*$", item,
                        re.IGNORECASE | re.DOTALL)
         expr = (am.group(1) if am else item).strip()
+        if am and re.fullmatch(r"\w+", expr):
+            # `ARRAY JOIN sel_alias AS elem`: the alias names the
+            # ARRAY — substitute its defining expression
+            d = _select_alias_def(expr)
+            if d is not None:
+                expr = f"({d[0]})"
         alias = am.group(2).strip("`") if am else (
             expr if re.fullmatch(r"\w+", expr) else
             # backticked dotted Nested member (`n.a`) keeps its
@@ -5153,9 +5236,23 @@ def _rewrite_array_join(sql: str) -> str:
             # like the reference's unaliased ARRAY JOIN
             (expr.rsplit(".", 1)[1]
              if re.fullmatch(r"\w+\.\w+", expr) else None))
+        if am is None and alias is not None \
+                and re.fullmatch(r"\w+", expr):
+            # `ARRAY JOIN sel_alias`: the element takes the alias
+            # name and the projection item becomes the element —
+            # rewrite the SELECT item to the bare name (02374)
+            d = _select_alias_def(expr)
+            if d is not None:
+                prefix = (prefix[:d[1]] + alias + prefix[d[2]:])
+                parsed.append((f"({d[0]})", alias, False))
+                continue
         if alias is None:
-            raise ValueError(
-                f"ARRAY JOIN item needs AS alias: {item!r}")
+            # expression item never referenced by name (reference
+            # allows alias-less expression ARRAY JOIN — 02374
+            # `ARRAY JOIN arrayMap(...)`): synthesize one
+            alias = f"__ajx{k_i}"
+            parsed.append((expr, alias, False))
+            continue
         parsed.append((expr, alias, am is None))
 
     join_follows = bool(
@@ -5188,13 +5285,18 @@ def _rewrite_array_join(sql: str) -> str:
                               src_text) if src_text.startswith("(") \
                 else None
             if am is None:
-                raise ValueError(
-                    "implicit ARRAY JOIN (no AS alias) needs a "
-                    "single-table or subquery FROM clause; alias the "
-                    "elements explicitly instead")
-            src = am.group(1)
-            tail_alias = (am.group(2) or "").strip("`") or "__ajsub"
-            from_start = fm2.start()
+                # multi-table FROM (e.g. `... JOIN r ... ARRAY JOIN
+                # r.a` — golden 03044): no source rename is possible;
+                # run the items as explicit lateral views (the element
+                # takes the column name; the qualified array stays
+                # reachable)
+                implicit = []
+                parsed = [(e, a, False) for (e, a, _) in parsed]
+            else:
+                src = am.group(1)
+                tail_alias = (am.group(2) or "").strip("`") or "__ajsub"
+                from_start = fm2.start()
+    if implicit:
         cols = [e for _, e in implicit]
         renames = {e: f"__ajsrc{i}" for i, e in implicit}
         hidden.extend(renames.values())
@@ -5204,16 +5306,16 @@ def _rewrite_array_join(sql: str) -> str:
         prefix = prefix[:from_start] + "FROM " + sub_q
         parsed = [(renames.get(e, e) if imp else e, a, imp)
                   for (e, a, imp) in parsed]
-        # table-qualified references to the ORIGINAL array
-        # (`t.arr` names the array, bare `arr` the element — CH
-        # ArrayJoin scoping) follow the rename
+        # table-qualified references to the ORIGINAL array resolve to
+        # the ELEMENT, same as the bare name — the analyzer consumes
+        # the array column under its own name (QueryAnalyzer ARRAY
+        # JOIN scoping; golden 02374 `test_table.value_array` → 1..6)
         for _, e in implicit:
             qpat = re.compile(
                 rf"(?<![\w.`])`?{re.escape(tail_alias)}`?"
                 rf"\s*\.\s*`?{re.escape(e)}`?(?!\w)")
-            qrep = f"{tail_alias}.{renames[e]}"
-            prefix = qpat.sub(qrep, prefix)
-            suffix = qpat.sub(qrep, suffix)
+            prefix = qpat.sub(e, prefix)
+            suffix = qpat.sub(e, suffix)
 
     first_expr, first_alias, _ = parsed[0]
     # LATERAL VIEW's AS identifier list takes backticks LITERALLY —
@@ -6290,7 +6392,8 @@ def _rewrite_numeric_bool_ops(sql: str) -> str:
             return f"IN ({tm.group(1)})" if tm else f"IN ({v})"
 
         seg = re.sub(
-            r"(?i)\bIN\s+([+-]?\d+(?:\.\d+)?|\w+\([^()]*\)|\x00\d+\x00)"
+            r"(?i)\bIN\s+([+-]?\d+(?:\.\d+)?|NULL\b|\w+\([^()]*\)|"
+            r"\x00\d+\x00)"
             r"(?=\s|$|,|\)|\x00)",
             in_scalar, seg)
         return seg
@@ -6321,7 +6424,14 @@ def _rewrite_tuple_in(sql: str) -> str:
     """``(a, b) IN (x, y)`` — CH reads a bare N-element RHS against an
     N-element tuple LHS as ONE tuple value (src/Functions/in.cpp);
     Spark reads it as a 2-element scalar list.  Wrap the RHS in an
-    extra paren level so it becomes a single struct row."""
+    extra paren level so it becomes a single struct row.
+
+    Under ``transform_null_in = 1`` the expanded pairwise comparisons
+    are NULL-SAFE (the reference treats NULL as a comparable value in
+    IN — golden 01507_transform_null_in)."""
+    _EQ = ("<=>" if str(SESSION_SETTINGS.get(
+        "transform_null_in", "0")) == "1" else "=")
+
     def seg_fn(seg: str) -> str:
         out = seg
         pos = 0
@@ -6380,7 +6490,7 @@ def _rewrite_tuple_in(sql: str) -> str:
                 # struct-field-NAME sensitivity in IN comparisons
                 l_items = _split_top_commas(lhs)
                 eq = " AND ".join(
-                    f"(({li.strip()}) = ({ri.strip()}))"
+                    f"(({li.strip()}) {_EQ} ({ri.strip()}))"
                     for li, ri in zip(l_items, rhs_items))
                 repl = (f"(NOT ({eq}))" if m.group(1)
                         else f"({eq})")
@@ -6403,7 +6513,7 @@ def _rewrite_tuple_in(sql: str) -> str:
                         ok2 = False
                         break
                     ors.append("(" + " AND ".join(
-                        f"(({li}) = ({ci.strip()}))"
+                        f"(({li}) {_EQ} ({ci.strip()}))"
                         for li, ci in zip(l_items, c_items)) + ")")
                 if ok2 and ors:
                     eq = " OR ".join(ors)
@@ -6506,6 +6616,143 @@ def _rewrite_tuple_eq(sql: str) -> str:
 
     out = _sub_nonstring(sql, seg_fn)
     return _sub_nonstring(out, seg_fn_paren)
+
+
+def _rewrite_json_struct_compare(sql: str) -> str:
+    """``json.sub = (a, b)`` — a JSON subcolumn (string carrier,
+    already rewritten to get_json_object) compared against a tuple
+    literal (already rewritten to named_struct): the reference
+    compares the subobject's values POSITIONALLY in sorted-key order
+    (SerializationObject tuple order; golden 02887
+    ``obj.k1 = ('foo', 'baz')``).  Rewrite to a sorted-map-values
+    array comparison."""
+    if "get_json_object" not in sql:
+        return sql
+
+    def seg_fn(seg: str) -> str:
+        pos = 0
+        while True:
+            m = re.search(r"get_json_object\s*\(", seg[pos:])
+            if m is None:
+                return seg
+            gstart = pos + m.start()
+            gopen = pos + m.end() - 1
+            gclose = _matching_paren(seg, gopen)
+            if gclose < 0:
+                return seg
+            after = seg[gclose + 1:]
+            om = re.match(r"\s*(=|!=|<>)\s*(named_struct\s*)?\(",
+                          after)
+            if om is None:
+                pos = gclose + 1
+                continue
+            nopen = gclose + 1 + om.end() - 1
+            nclose = _matching_paren(seg, nopen)
+            if nclose < 0:
+                pos = gclose + 1
+                continue
+            gjo = seg[gstart:gclose + 1]
+            nargs = _split_top_commas(seg[nopen + 1:nclose])
+            if om.group(2):
+                # named_struct('col1', v1, 'col2', v2, ...)
+                vals = [nargs[i].strip()
+                        for i in range(1, len(nargs), 2)]
+            else:
+                # bare paren tuple (v1, v2, ...) — require a real
+                # tuple (≥ 2 items) so ordinary parenthesized scalars
+                # keep Spark's native comparison
+                if len(nargs) < 2 or re.match(
+                        r"(?is)\s*(SELECT|WITH)\b",
+                        seg[nopen + 1:nclose]):
+                    pos = gclose + 1
+                    continue
+                vals = [x.strip() for x in nargs]
+            mexp = f"from_json({gjo}, 'map<string,string>')"
+            lhs2 = (f"transform(array_sort(map_keys({mexp})), "
+                    f"__jtk -> element_at({mexp}, __jtk))")
+            rhs2 = ("array(" + ", ".join(
+                f"CAST({v} AS STRING)" for v in vals) + ")")
+            neg = om.group(1) in ("!=", "<>")
+            repl = (f"({'NOT ' if neg else ''}"
+                    f"(({lhs2}) = ({rhs2})))")
+            seg = seg[:gstart] + repl + seg[nclose + 1:]
+            pos = gstart + len(repl)
+
+    # NOT via _sub_nonstring: the get_json_object call contains a
+    # string-literal JSON path, so paren matching must run on the
+    # full text (string-aware via _matching_paren/_skip_string)
+    return seg_fn(sql)
+
+
+def _rewrite_null_safe_in(sql: str) -> str:
+    """Under ``transform_null_in = 1`` a scalar ``x IN (v, NULL, ...)``
+    treats NULL as a comparable value (reference in.cpp with the
+    setting; golden 01507): expand to a null-safe ``<=>`` OR-chain.
+    Only IN lists that mention NULL (or a NULL LHS) change; subquery
+    RHS and plain lists keep Spark's native IN."""
+    if str(SESSION_SETTINGS.get("transform_null_in", "0")) != "1":
+        return sql
+    if not re.search(r"(?i)\bIN\b", sql) \
+            or not re.search(r"(?i)\bNULL\b", sql):
+        return sql
+
+    def seg_fn(seg: str) -> str:
+        pos = 0
+        while True:
+            m = re.search(r"(?i)\b(NOT\s+)?IN\s*\(", seg[pos:])
+            if m is None:
+                return seg
+            open_i = pos + m.end() - 1
+            end_i = _matching_paren(seg, open_i)
+            if end_i < 0:
+                return seg
+            inner = seg[open_i + 1:end_i]
+            if re.match(r"(?is)\s*(SELECT|WITH)\b", inner) \
+                    or not re.search(r"(?i)\bNULL\b", inner):
+                pos = end_i + 1
+                continue
+            # LHS: the expression token/group before IN
+            lend = pos + m.start()
+            k = lend - 1
+            while k >= 0 and seg[k] in " \t\n":
+                k -= 1
+            if k < 0:
+                pos = end_i + 1
+                continue
+            if seg[k] == ")":
+                depth, j = 0, k
+                while j >= 0:
+                    if seg[j] == ")":
+                        depth += 1
+                    elif seg[j] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                lstart = j
+            else:
+                j = k
+                while j >= 0 and (seg[j].isalnum()
+                                  or seg[j] in "_`.\x00"):
+                    j -= 1
+                lstart = j + 1
+            lhs = seg[lstart:k + 1].strip()
+            if not lhs or lhs.upper() in ("AND", "OR", "NOT", "WHERE",
+                                          "WHEN", "THEN", "ELSE",
+                                          "SELECT", "HAVING", "ON"):
+                pos = end_i + 1
+                continue
+            items = [x.strip() for x in _split_top_commas(inner)
+                     if x.strip()]
+            if not items:
+                pos = end_i + 1
+                continue
+            ors = " OR ".join(f"(({lhs}) <=> ({v}))" for v in items)
+            repl = (f"(NOT ({ors}))" if m.group(1) else f"({ors})")
+            seg = seg[:lstart] + repl + seg[end_i + 1:]
+            pos = lstart + len(repl)
+
+    return _sub_nonstring(sql, seg_fn)
 
 
 def _fold_const_int(expr: str):
@@ -7229,6 +7476,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
                 pos = pos + m.start() + len(repl)
         sql = _sub_nonstring(sql, _in_tuple_seg)
     sql = _rewrite_tuple_in(sql)
+    sql = _rewrite_null_safe_in(sql)
     sql = _rewrite_tuple_eq(sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
@@ -7381,6 +7629,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
         sql = (sql[:at0] + "explode(map_entries(map_from_entries("
                + sql[inner_open + 1:inner_close]
                + ")))" + sql[outer_close + 1:])
+    sql = _rewrite_json_struct_compare(sql)
     sql = _wrap_keyless_agg_defaults(sql)
     return sql
 
@@ -8225,10 +8474,23 @@ def _parse_fill_item(item: str):
     im = re.match(r"^(`?[\w.]+`?)\s*(ASC|DESC)?\s*(.*)$",
                   item.strip(), re.IGNORECASE | re.DOTALL)
     if im is None:
-        return False
-    col = im.group(1).strip("`")
-    desc = (im.group(2) or "").upper() == "DESC"
-    rest = im.group(3).strip()
+        # EXPRESSION sort key (`-x ASC WITH FILL ...` — golden
+        # 02019): split from the right; the caller maps the
+        # expression text onto the matching projection item
+        wm = re.search(r"(?is)\bWITH\s+FILL\b", item)
+        head = item[:wm.start()] if wm else item
+        dm = re.search(r"(?is)\s(ASC|DESC)\s*$", head)
+        expr_txt = (head[:dm.start()] if dm else head).strip()
+        if not expr_txt:
+            return False
+        im = None
+        col = expr_txt
+        desc = bool(dm) and dm.group(1).upper() == "DESC"
+        rest = item[wm.start():].strip() if wm else ""
+    else:
+        col = im.group(1).strip("`")
+        desc = (im.group(2) or "").upper() == "DESC"
+        rest = im.group(3).strip()
     if not rest:
         return (col, desc, None)
     fm = re.match(r"(?is)^WITH\s+FILL\s*(.*)$", rest)
@@ -8493,8 +8755,78 @@ def _rewrite_any_join(sql: str) -> str:
         um = re.match(r"\s+USING\s*\(([^)]*)\)", sql[rest:],
                       re.IGNORECASE)
         if um is None:
-            out.append(sql[pos:m.end()])
-            pos = m.end()
+            # ON form (golden 02302 `ANY LEFT JOIN (...) AS s2 ON
+            # l = r`): dedupe the right side per its JOIN-KEY
+            # expressions — ANY keeps at most one right row per key
+            onm = re.match(r"\s+ON\s+", sql[rest:], re.IGNORECASE)
+            rkeys = []
+            if onm is not None:
+                ce = len(sql)
+                stop2 = re.compile(
+                    r"(?i)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|"
+                    r"LIMIT|SETTINGS|UNION|QUALIFY|WINDOW)\b|"
+                    r"\b(?:INNER|LEFT|RIGHT|FULL|CROSS|ANY|SEMI|"
+                    r"ANTI|ASOF)?\s*JOIN\b")
+                sm2 = next((mm2 for mm2 in
+                            stop2.finditer(sql, rest + onm.end())
+                            if mm2.start() in _top_level_set(sql)),
+                           None)
+                if sm2 is not None:
+                    ce = sm2.start()
+                cond = sql[rest + onm.end():ce]
+                # right-side output names: the subquery's top-level
+                # SELECT aliases (bare-table rights keep only
+                # alias-qualified detection)
+                rcols = set()
+                if src.startswith("("):
+                    body3 = re.sub(r"(?is)^\(\s*SELECT\s+", "",
+                                   src[:-1])
+                    tops3 = _top_level_set(body3)
+                    fm3 = next((mm3 for mm3 in re.finditer(
+                        r"(?i)\bFROM\b", body3)
+                        if mm3.start() in tops3), None)
+                    if fm3 is not None:
+                        body3 = body3[:fm3.start()]
+                    for it3 in _split_top_commas(body3):
+                        am3 = re.search(r"\bAS\s+`?(\w+)`?\s*$", it3,
+                                        re.IGNORECASE)
+                        if am3:
+                            rcols.add(am3.group(1).lower())
+                        elif re.fullmatch(r"`?\w+`?", it3.strip()):
+                            rcols.add(it3.strip().strip("`").lower())
+                for part3 in re.split(r"(?i)\bAND\b", cond):
+                    em3 = re.match(r"\s*(.+?)\s*=\s*(.+?)\s*$", part3)
+                    if em3 is None:
+                        continue
+                    for side in (em3.group(1), em3.group(2)):
+                        qm3 = re.fullmatch(
+                            rf"`?{re.escape(alias)}`?\s*\.\s*"
+                            rf"`?(\w+)`?", side.strip())
+                        if qm3:
+                            rkeys.append(qm3.group(1))
+                        elif re.fullmatch(r"`?\w+`?", side.strip()) \
+                                and side.strip().strip("`").lower() \
+                                in rcols:
+                            rkeys.append(side.strip().strip("`"))
+            if not rkeys:
+                out.append(sql[pos:m.end()])
+                pos = m.end()
+                continue
+            pk = ", ".join(f"`{k}`" for k in rkeys)
+            how = ("LEFT JOIN" if "LEFT" in
+                   ((m.group(1) or "") + (m.group(2) or "")).upper()
+                   else "JOIN")
+            out.append(sql[pos:m.start()])
+            out.append(
+                f"{how} (SELECT * EXCEPT (__any_rn, __any_if, "
+                f"__any_seq) "
+                f"FROM (SELECT *, row_number() OVER (PARTITION BY "
+                f"{pk} ORDER BY __any_if, __any_seq) AS __any_rn "
+                f"FROM (SELECT *, input_file_name() AS __any_if, "
+                f"monotonically_increasing_id() AS "
+                f"__any_seq FROM {src})) "
+                f"WHERE __any_rn = 1) AS {alias} ON ")
+            pos = rest + onm.end()
             continue
         keys = ", ".join(k.strip().strip("`")
                          for k in um.group(1).split(","))
@@ -8738,6 +9070,40 @@ def _rewrite_tuple_nvp(spark, text: str, tables) -> str:
                         f"named_struct('col1', '{f.name}', "
                         f"'col2', {arg}.`{f.name}`)"
                         for f in dt.fields) + ")"
+                elif isinstance(dt, _T.StringType):
+                    # Object('json') string carrier: the tuple fields
+                    # are the sorted UNION of top-level paths across
+                    # rows (SerializationObject least-common-type;
+                    # golden 02887) — sample the column to discover
+                    # them and the unified leaf type
+                    import json as _json3
+                    keys: set = set()
+                    ints = True
+                    try:
+                        for r0 in src.select(cname).limit(200) \
+                                .collect():
+                            v0 = r0[0]
+                            if not v0:
+                                continue
+                            o0 = _json3.loads(v0)
+                            if isinstance(o0, dict):
+                                keys |= set(o0)
+                                ints = ints and all(
+                                    x is None or isinstance(x, int)
+                                    for x in o0.values())
+                    except Exception:
+                        keys = set()
+                    if keys:
+                        cast = ("CAST({v} AS BIGINT)" if ints
+                                else "{v}")
+                        ents = []
+                        for k3 in sorted(keys):
+                            v3 = (f"get_json_object({arg}, "
+                                  f"'$.{k3}')")
+                            ents.append(
+                                f"named_struct('col1', '{k3}', "
+                                f"'col2', {cast.format(v=v3)})")
+                        repl = "array(" + ", ".join(ents) + ")"
         if repl is None:
             # non-struct / unresolvable argument: leave the call
             # as-is (surfaces as an analysis error, not a hard
@@ -9612,7 +9978,8 @@ def _ch_sql_impl(spark, sql: str,
     if m:
         name = m.group(1) or m.group(2)
         table = (tables or {}).get(name)
-        pred = F.expr(_bool_pred_sql(_translate_expr(m.group(3))))
+        pred = F.expr(_bool_pred_sql(_rewrite_json_struct_compare(
+            _translate_expr(m.group(3)))))
         if table is None:
             # view-backed (Memory-analog) table: rewrite the view
             try:
@@ -9852,6 +10219,24 @@ def _ch_sql_impl(spark, sql: str,
                 if pos_ok and 1 <= i <= len(df.columns):
                     return df.columns[i - 1]
                 return None            # a constant — ordering no-op
+            if c in df.columns or re.fullmatch(r"[\w.]+", c):
+                return c
+            # expression key (`-x`): match against the base query's
+            # projection items — the fill runs on that OUTPUT column
+            pm2 = re.match(r"(?is)^\s*(?:WITH\b.*?)??\s*SELECT\s+(.*)$",
+                           base)
+            if pm2:
+                proj3 = pm2.group(1)
+                fms3 = [mm for mm in re.finditer(r"(?i)\bFROM\b",
+                                                 proj3)
+                        if mm.start() in _top_level_set(proj3)]
+                if fms3:
+                    items3 = _split_top_commas(proj3[:fms3[-1].start()])
+                    want = " ".join(c.split()).lower()
+                    for k3, it3 in enumerate(items3):
+                        if " ".join(it3.split()).lower() == want \
+                                and k3 < len(df.columns):
+                            return df.columns[k3]
             return c
         specs = [(_resolve(sp[0]),) + tuple(sp[1:]) for sp in specs]
         specs = [sp for sp in specs if sp[0] is not None]
@@ -9994,6 +10379,8 @@ def _run_sql(spark, translated: str):
         return _submit(translated)
     except Exception as e:
         retried = _retry_alias_in_where(translated, e)
+        if retried is None:
+            retried = _retry_lateral_agg_alias(translated, e)
         if retried is None:
             retried = _retry_ambiguous_ref(translated, e)
         if retried is None:
@@ -10530,6 +10917,59 @@ def _retry_using_alias(translated: str, err: Exception):
                else f"FROM (SELECT *, {expr} AS `{key}` "
                     f"FROM {ref}) AS {alias}")
     return translated[:from_i] + wrapped + rest[span_end:]
+
+
+def _retry_lateral_agg_alias(translated: str, err: Exception):
+    """A SELECT item referencing a SIBLING item's alias INSIDE an
+    aggregate — ``SELECT number % 2 AS d, min(d)`` (reference
+    QueryAnalyzer: aliases are query-global, golden
+    max_length_alias / alias_bug_dist families).  Spark resolves the
+    sibling as a lateral column alias but refuses it inside aggregate
+    functions; retry by substituting the alias's defining
+    expression."""
+    msg = str(err)
+    # ...IN_AGGREGATE_FUNC / IN_WINDOW / IN_GROUP_BY variants all mean
+    # the same thing here: substitute the defining expression
+    if "LATERAL_COLUMN_ALIAS_IN" not in msg:
+        return None
+    m = re.search(r"lateral column alias `([^`]+)`", msg)
+    if m is None:
+        return None
+    name = m.group(1)
+    am = re.search(rf"\bAS\s+`?{re.escape(name)}`?\b", translated,
+                   re.IGNORECASE)
+    if am is None:
+        return None
+    start = _expr_left_boundary(translated, am.start())
+    expr = translated[start:am.start()].strip()
+    if not expr or expr.upper().startswith("SELECT"):
+        return None
+    # substitute standalone uses outside the definition itself
+    out, i, n, changed = [], 0, len(translated), False
+    while i < n:
+        c = translated[i]
+        if c in "'\"`":
+            j = _skip_string(translated, i)
+            out.append(translated[i:j])
+            i = j
+            continue
+        mm = _IDENT.match(translated, i)
+        if mm and mm.group(0) == name and not (start <= i <= am.end()):
+            nxt = translated[mm.end():mm.end() + 2].lstrip()[:1]
+            prev = "".join(out).rstrip()
+            if nxt != "(" and not prev.upper().endswith("AS") \
+                    and not prev.endswith("."):
+                out.append(f"({expr})")
+                changed = True
+                i = mm.end()
+                continue
+        if mm:
+            out.append(mm.group(0))
+            i = mm.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out) if changed else None
 
 
 def _retry_alias_in_where(translated: str, err: Exception):
@@ -11513,9 +11953,16 @@ def _ch_decl_type_to_spark(t: str) -> str:
                      re.IGNORECASE)
     if m:
         # Decimal256 precision (up to 76) clamps at Spark's DECIMAL(38)
-        # ceiling — the documented carrier (LIMITS.md)
-        p = min(int(m.group(1)), 38)
-        return f"DECIMAL({p},{min(int(m.group(2)), p)})"
+        # ceiling — the documented carrier (LIMITS.md).  Keep the
+        # declared INTEGER digits and sacrifice scale instead: a
+        # Decimal(76, 45) must still hold 31 integer digits (clamping
+        # scale first would turn every whole number into an overflow
+        # NULL — golden 02875).
+        p0, s0 = int(m.group(1)), int(m.group(2))
+        p = min(p0, 38)
+        int_digits = p0 - s0
+        s = min(s0, max(0, p - min(int_digits, p)))
+        return f"DECIMAL({p},{s})"
     m = re.fullmatch(r"Decimal(32|64|128|256)\s*\((\d+)\)", t,
                      re.IGNORECASE)
     if m:

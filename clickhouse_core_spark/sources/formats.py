@@ -281,9 +281,29 @@ def generate_random(spark: SparkSession, schema: T.StructType | str,
         schema = T.StructType.fromDDL(schema)
     df = spark.range(n).toDF("__i")
     for i, field in enumerate(schema.fields):
-        gen = _RANDOM_GEN.get(type(field.dataType))
+        dt = field.dataType
+        gen = _RANDOM_GEN.get(type(dt))
         if gen is None:
-            raise NotImplementedError(f"generateRandom: type {field.dataType}")
+            # parameterized / narrow types map through a carrier
+            if isinstance(dt, T.DecimalType):
+                gen = (lambda d: lambda seed: (
+                    _u01(seed) * 1000.0).cast(d))(dt)
+            elif isinstance(dt, (T.ShortType, T.ByteType)):
+                hi = 1 << (12 if isinstance(dt, T.ShortType) else 6)
+                gen = (lambda h, d: lambda seed: F.floor(
+                    _u01(seed) * h).cast(d))(hi, dt)
+            elif isinstance(dt, T.TimestampNTZType):
+                gen = lambda seed: F.timestamp_seconds(
+                    (F.lit(800000000)
+                     + F.floor(_u01(seed) * 200000000)).cast("long")
+                ).cast("timestamp_ntz")
+            elif isinstance(dt, T.ArrayType):
+                el = _RANDOM_GEN.get(type(dt.elementType))
+                if el is not None:
+                    gen = (lambda e: lambda seed: F.array(
+                        e(seed), e(seed + 101), e(seed + 202)))(el)
+        if gen is None:
+            raise NotImplementedError(f"generateRandom: type {dt}")
         df = df.withColumn(field.name, gen(seed + i))
     return df.drop("__i")
 

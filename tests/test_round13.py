@@ -83,6 +83,25 @@ def test_array_of_key_value_structs_renders_as_tuples():
     assert "('a',1)" in out.replace(" ", "")
 
 
+def test_sibling_select_alias_inside_aggregate(spark):
+    """A SELECT item's alias referenced inside a sibling aggregate
+    (CH aliases are query-global — golden 01521_max_length_alias):
+    Spark's lateral-column-alias refusal is retried by substituting
+    the defining expression."""
+    r = ch_sql(spark, "SELECT number % 2 AS dcount, "
+                      "min(dcount) AS mindc FROM numbers(10) "
+                      "GROUP BY dcount ORDER BY dcount",
+               tables={}).collect()
+    assert [(x["dcount"], x["mindc"]) for x in r] == [(0, 0), (1, 1)]
+
+
+def test_sibling_select_alias_inside_window(spark):
+    r = ch_sql(spark, "SELECT number AS n, max(n) OVER () AS mx "
+                      "FROM numbers(3) ORDER BY n",
+               tables={}).collect()
+    assert [(x["n"], x["mx"]) for x in r] == [(0, 2), (1, 2), (2, 2)]
+
+
 def test_retry_using_qualified_is_narrow_and_literal_safe():
     """ADVICE r12: the USING-qualified retry rewrites ONLY the
     alias.key the resolver reported, and never inside string
@@ -102,6 +121,81 @@ def test_retry_using_qualified_is_narrow_and_literal_safe():
     assert _retry_using_qualified(sql, err2) is None
 
 
+def test_decimal256_clamp_keeps_integer_digits(spark):
+    """Decimal(76, 45) carries at DECIMAL(38, 7) — integer digits
+    survive the precision clamp (golden 02875: whole values must not
+    overflow to NULL)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r13d (b Nullable(Decimal(76, 45))) "
+                  "ENGINE MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "INSERT INTO r13d VALUES (7367)", tables=t)
+    r = ch_sql(spark, "SELECT b FROM r13d", tables=t).collect()
+    assert r[0]["b"] is not None and int(r[0]["b"]) == 7367
+
+
+def test_transform_null_in(spark):
+    """transform_null_in=1: NULL is a comparable IN value (golden
+    01507)."""
+    t = {}
+    ch_sql(spark, "SET transform_null_in = 1", tables=t)
+    try:
+        rows = []
+        for q in ["SELECT NULL IN NULL AS r",
+                  "SELECT 1 IN NULL AS r",
+                  "SELECT 1 IN (1, NULL) AS r",
+                  "SELECT (1, 2) IN (1, NULL) AS r",
+                  "SELECT (1, NULL) IN (1, NULL) AS r"]:
+            rows.append(ch_sql(spark, q, tables=t).first()["r"])
+        assert [bool(x) for x in rows] == [True, False, True, False,
+                                           True]
+    finally:
+        ch_sql(spark, "SET transform_null_in = 0", tables=t)
+
+
+def test_bitmask_to_list_native_width(spark):
+    """bitmaskToList over a negative literal uses the literal's CH
+    type width: Int8 -1 → 1,2,4,8,16,32,64,-128 (golden 00839)."""
+    r = ch_sql(spark, "SELECT bitmaskToList(-1) AS a, "
+                      "bitmaskToList(-128) AS b", tables={}).first()
+    assert r["a"] == "1,2,4,8,16,32,64,-128"
+    assert r["b"] == "-128"
+
+
+def test_json_subcolumn_tuple_compare(spark):
+    """obj.k1 = ('foo', 'baz') over an Object('json') string carrier
+    compares the subobject's values in sorted-key order (golden
+    02887)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r13o (a UInt64, obj "
+                  "Object(Nullable('json'))) ENGINE MergeTree "
+                  "ORDER BY a", tables=t)
+    ch_sql(spark, 'INSERT INTO r13o VALUES '
+                  '(1, \'{"k1": {"k2": "foo"}, "k3": 5}\'), '
+                  '(3, \'{"k1": {"k2": "foo", "k4": "baz"}}\')',
+           tables=t)
+    ch_sql(spark, "ALTER TABLE r13o DELETE WHERE "
+                  "obj.k1 = ('foo', 'baz')", tables=t)
+    r = ch_sql(spark, "SELECT toInt64(a) AS a FROM r13o", tables=t) \
+        .collect()
+    assert [x["a"] for x in r] == [1]
+
+
+def test_tuple_to_name_value_pairs_json_carrier(spark):
+    """tupleToNameValuePairs over an Object('json') column expands the
+    sorted union of top-level paths (golden 02887 second table)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r13n (a UInt64, obj "
+                  "Object(Nullable('json'))) ENGINE MergeTree "
+                  "ORDER BY a", tables=t)
+    ch_sql(spark, 'INSERT INTO r13n VALUES (1, \'{"k1": 1}\'), '
+                  '(3, \'{"k3": 1}\')', tables=t)
+    r = ch_sql(spark, "SELECT toInt64(a) AS a, arrayFilter(x -> "
+                      "not isNull(x.2), tupleToNameValuePairs(obj)) "
+                      "AS p FROM r13n ORDER BY a", tables=t).collect()
+    assert [(x["a"], [(e[0], e[1]) for e in x["p"]]) for x in r] == \
+        [(1, [("k1", 1)]), (3, [("k3", 1)])]
+
+
 def test_jsonallpathswithtypes_renders_sorted_map(spark):
     """The ordered-map carrier (sentinel __ch_k/__ch_v fields) still
     renders CH Map text form end-to-end (golden 03270)."""
@@ -112,3 +206,84 @@ def test_jsonallpathswithtypes_renders_sorted_map(spark):
     out = format_tsv(df)
     assert out.strip().startswith("{"), out
     assert out.index("'a'") < out.index("'b'")
+
+
+def test_array_join_select_alias(spark):
+    """ARRAY JOIN over a SELECT alias of a column: the element takes
+    the alias name and the projection shows the element (golden
+    02374)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r13aj (id UInt64, v String, arr "
+                  "Array(UInt64)) ENGINE MergeTree ORDER BY tuple()",
+           tables=t)
+    ch_sql(spark, "INSERT INTO r13aj VALUES (0, 'V', [1, 2, 3])",
+           tables=t)
+    r = ch_sql(spark, "SELECT toInt64(id) AS id, v, arr AS al "
+                      "FROM r13aj ARRAY JOIN al ORDER BY al",
+               tables=t).collect()
+    assert [(x["id"], x["v"], x["al"]) for x in r] == \
+        [(0, "V", 1), (0, "V", 2), (0, "V", 3)]
+    # `ARRAY JOIN sel_alias AS elem`: the alias keeps naming the ARRAY
+    r2 = ch_sql(spark, "SELECT v, arr AS al, el FROM r13aj "
+                       "ARRAY JOIN al AS el ORDER BY el",
+                tables=t).collect()
+    assert [list(x["al"]) for x in r2] == [[1, 2, 3]] * 3
+    assert [x["el"] for x in r2] == [1, 2, 3]
+
+
+def test_array_join_qualified_element(spark):
+    """A table-qualified reference to an implicitly ARRAY-JOINed
+    column resolves to the ELEMENT (golden 02374
+    test_table.value_array → 1..3)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r13aq (id UInt64, arr Array(UInt64)) "
+                  "ENGINE MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "INSERT INTO r13aq VALUES (0, [1, 2, 3])", tables=t)
+    r = ch_sql(spark, "SELECT r13aq.arr AS e FROM r13aq "
+                      "ARRAY JOIN arr ORDER BY e", tables=t).collect()
+    assert [x["e"] for x in r] == [1, 2, 3]
+
+
+def test_array_join_after_join(spark):
+    """ARRAY JOIN over a joined subquery's column (golden 03044)."""
+    r = ch_sql(spark, "select 1 AS one from (select 1 x) l join "
+                      "(select 1 y, [1] a) r on l.x = r.y "
+                      "array join r.a", tables={}).collect()
+    assert [x["one"] for x in r] == [1]
+
+
+def test_any_left_join_on_form(spark):
+    """ANY LEFT JOIN ... ON dedupes the right side per join key
+    (golden 02302)."""
+    r = ch_sql(spark, """
+        SELECT count() AS c FROM (SELECT number AS l FROM numbers(3))
+        ANY LEFT JOIN (SELECT number % 2 AS r FROM numbers(4)) AS s2
+        ON l = r""", tables={}).first()
+    assert r["c"] == 3
+
+
+def test_with_fill_expression_key(spark):
+    """WITH FILL over an expression sort key (-x) fills the matching
+    OUTPUT column, originals interleave in generation order (golden
+    02019)."""
+    rows = ch_sql(spark, """
+        SELECT x, -x, y FROM (SELECT 5 AS x, 'Hello' AS y)
+        ORDER BY x ASC WITH FILL FROM 4 TO 6,
+                 y ASC, -x ASC WITH FILL FROM -7 TO -4
+    """, tables={}).collect()
+    flat = [tuple(r) for r in rows]
+    assert (5, -5, "Hello") in flat
+    # the x=5 group starts its inner fill at FROM (-7)
+    g5 = [t for t in flat if t[0] == 5]
+    assert g5[0][1] == -7
+    # the real row sits in generation order, not displaced to the end
+    assert g5[-1][1] == -5 or g5[-1][1] > -5
+
+
+def test_generate_random_decimal_short(spark):
+    from clickhouse_core_spark.sources.formats import generate_random
+    df = generate_random(spark, "a DECIMAL(10,2), b SMALLINT", 5)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r["a"] is not None and r["b"] is not None
+               for r in rows)
