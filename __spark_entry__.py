@@ -2919,30 +2919,34 @@ def final_collapsing_q(spark, sf_dir):
 
 @q("final_versioned_collapsing", """
 WITH signed AS (
-  SELECT user_id, event_id, value,
+  SELECT user_id, event_id,
          CASE WHEN event_type = 'signup' THEN 1 ELSE -1 END AS sign
   FROM events WHERE event_type IN ('signup', 'error')),
 pv AS (
-  SELECT user_id, event_id, sum(sign) AS s,
-         max_by(value, CASE WHEN sign = 1 THEN 1 END) AS value
-  FROM signed GROUP BY user_id, event_id),
-r AS (
-  SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-  FROM pv WHERE s > 0)
-SELECT user_id, event_id, value FROM r WHERE rn = 1 ORDER BY user_id
+  SELECT user_id, event_id,
+         sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS p,
+         sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS n
+  FROM signed GROUP BY user_id, event_id)
+SELECT user_id, CAST(sum(abs(p - n)) AS BIGINT) AS survivors,
+       CAST(max(CASE WHEN p <> n THEN event_id END) AS BIGINT)
+           AS max_ev
+FROM pv GROUP BY user_id HAVING sum(abs(p - n)) > 0 ORDER BY user_id
 """)
 def final_versioned_collapsing_q(spark, sf_dir):
     """VersionedCollapsingMergeTree FINAL (reference
     src/Processors/Merges/VersionedCollapsingTransform.h:15): +1/-1
-    pairs cancel per version; survivor = highest uncancelled version."""
+    PAIRS cancel per (key, version); every uncancelled row survives
+    (|p-n| majority-sign copies per version — golden 00564)."""
     ev = _cat(spark, sf_dir).events
     signed = (ev.filter(F.col("event_type").isin("signup", "error"))
               .select("user_id", "event_id", "value",
                       F.when(F.col("event_type") == "signup", 1).otherwise(-1).alias("sign")))
     out = versioned_collapsing_final(signed, ["user_id"], sign="sign",
                                      version="event_id")
-    return out.select("user_id", "event_id", "value").orderBy("user_id")
+    return (out.groupBy("user_id")
+            .agg(F.count("*").alias("survivors"),
+                 F.max("event_id").cast("long").alias("max_ev"))
+            .orderBy("user_id"))
 
 
 # ------------------------------------------------- scalar function families

@@ -837,6 +837,30 @@ def readWKTPolygon(s) -> Column:
         lambda r: _parse_ring(F.regexp_replace(r, r"[()]", ""))))
 
 
+def readWKTMultiPolygon(s) -> Column:
+    """readWKTMultiPolygon: 'MULTIPOLYGON(((...)),((...)))' →
+    array<polygon> (readWkt.cpp; golden 01300)."""
+    body = F.regexp_extract(
+        _c(s), r"(?is)MULTIPOLYGON\s*\(\s*(.*)\s*\)\s*$", 1)
+    polys = F.filter(
+        F.split(F.regexp_replace(body, r"\)\)\s*,\s*\(\(", "))|(("),
+                r"\|"),
+        lambda p: F.trim(p) != "")
+
+    def one_poly(p):
+        inner = F.regexp_replace(
+            F.regexp_replace(p, r"(?s)^\s*\(\(", "("),
+            r"\)\)\s*$", ")")
+        rings = F.filter(
+            F.split(F.regexp_replace(inner, r"\)\s*,\s*\(", ")|("),
+                    r"\|"),
+            lambda r: F.trim(r) != "")
+        return F.transform(
+            rings,
+            lambda r: _parse_ring(F.regexp_replace(r, r"[()]", "")))
+    return F.when(body != "", F.transform(polys, one_poly))
+
+
 def wkt(g, kind: str | None = None) -> Column:
     """wkt(geometry) (reference src/Functions/wkt.cpp): render point /
     ring / polygon back to WKT.  Dispatch by the resolved Spark type
@@ -1249,6 +1273,7 @@ LONGTAIL5.update({
     "readWKTPoint": readWKTPoint,
     "readWKTRing": readWKTRing,
     "readWKTPolygon": readWKTPolygon,
+    "readWKTMultiPolygon": readWKTMultiPolygon,
     "wkt": wkt,
     "polygonAreaCartesian": polygonAreaCartesian,
     "polygonPerimeterCartesian": polygonPerimeterCartesian,

@@ -167,19 +167,44 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
 
 def versioned_collapsing_final(df: DataFrame, keys: Sequence[str],
                                sign: str, version: str) -> DataFrame:
-    """VersionedCollapsingMergeTree FINAL: like collapsing but pairs
-    cancel per version; the surviving row is the +1 state with the
-    highest version whose cancel has not arrived."""
+    """VersionedCollapsingMergeTree FINAL
+    (src/Processors/Merges/VersionedCollapsingTransform.h:15): +1/-1
+    PAIRS cancel per (key, version); every uncancelled row survives —
+    |pos−neg| copies of the majority-sign state per version (golden
+    00564: two unmatched -1 rows both survive).  One hash shuffle with
+    map-side partial aggregation; the copy fan-out is array_repeat +
+    explode, JVM-side."""
     orig_cols = list(df.columns)
+    sign_t = df.schema[sign].dataType
     df, keys, hidden = _key_exprs(df, list(keys))
-    per_version = (df.groupBy(*keys, version)
-                   .agg(F.sum(sign).alias("__s"),
-                        *[F.max_by(c, F.when(F.col(sign) == 1, F.col(sign))).alias(c)
-                          for c in orig_cols if c not in keys and c not in (sign, version)]))
-    alive = per_version.filter(F.col("__s") > 0).drop("__s")
-    w = Window.partitionBy(*keys).orderBy(F.col(version).desc())
-    return (alive.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1).drop("__rn", *hidden))
+    value_cols = [c for c in orig_cols
+                  if c not in keys and c not in (sign, version)]
+    row_struct = (F.struct(*[F.col(c) for c in value_cols])
+                  if value_cols else F.struct(F.lit(0).alias("__d")))
+    g = df.groupBy(*keys, version).agg(
+        F.sum(F.when(F.col(sign) == 1, 1).otherwise(0)).alias("__p"),
+        F.sum(F.when(F.col(sign) == -1, 1).otherwise(0)).alias("__n"),
+        F.max_by(row_struct,
+                 F.when(F.col(sign) == 1, 1)).alias("__pr"),
+        F.max_by(row_struct,
+                 F.when(F.col(sign) == -1, 1)).alias("__nr"))
+    p, n = F.col("__p"), F.col("__n")
+    cnt = F.abs(p - n)
+    maj = F.when(p > n, 1).otherwise(-1)
+    row = F.when(p > n, F.col("__pr")).otherwise(F.col("__nr"))
+    out = (g.filter(cnt > 0)
+           .select(*keys, version, maj.alias("__sgn"),
+                   F.explode(F.array_repeat(row, cnt.cast("int")))
+                   .alias("__r")))
+    sel = []
+    for c in orig_cols:
+        if c in keys or c == version:
+            sel.append(F.col(c))
+        elif c == sign:
+            sel.append(F.col("__sgn").cast(sign_t).alias(sign))
+        else:
+            sel.append(F.col(f"__r.{c}").alias(c))
+    return out.select(*sel).drop(*hidden)
 
 
 def coalescing_final(df: DataFrame, keys: Sequence[str],

@@ -3208,6 +3208,14 @@ def _initialize_aggregation_sql(a: list[str]) -> str:
     return _array_reduce_sql([a[0]] + [f"array({v})" for v in a[1:]])
 
 
+def _arr_quantile_sql(arr: str, level: float = 0.5) -> str:
+    """Exact quantile of an array at ``level`` ignoring NaN elements
+    (QuantileExact::add skips nan; rank = floor(n * level) + 1)."""
+    f = f"filter({arr}, __qx -> NOT isnan(CAST(__qx AS DOUBLE)))"
+    return (f"try_element_at(array_sort({f}), "
+            f"CAST(floor(size({f}) * {level}) + 1 AS INT))")
+
+
 def _array_reduce_sql(a: list[str]) -> str:
     """arrayReduce('agg', arr...) SQL form (reference
     src/Functions/array/arrayReduce.cpp) — constant-name dispatch.
@@ -3298,6 +3306,13 @@ def _array_reduce_sql(a: list[str]) -> str:
         # floor(n * 0.5) + 1 (AggregateFunctionQuantile exact rank)
         "median": (f"try_element_at(array_sort({arr}), "
                    f"CAST(floor(size({arr}) * 0.5) + 1 AS INT))"),
+        # quantile family at the default 0.5 level; NaN elements are
+        # ignored (QuantileExact::add skips nan — golden 00606/01813)
+        "quantileexact": _arr_quantile_sql(arr),
+        "quantilebfloat16": _arr_quantile_sql(arr),
+        "quantile": _arr_quantile_sql(arr),
+        "quantileexactexclusive": _arr_quantile_sql(arr),
+        "quantileexactinclusive": _arr_quantile_sql(arr),
         "uniqexact": f"CAST(size(array_distinct({arr})) AS BIGINT)",
         "uniq": f"CAST(size(array_distinct({arr})) AS BIGINT)",
         "grouparray": arr,
@@ -5740,7 +5755,7 @@ _CAST_TYPE_RE = re.compile(
     r"(\bAS\s+)(" + "|".join(_CH_CAST_TYPES) + r")\b(\s*\))",
     re.IGNORECASE)
 _COLONCOLON_TYPE_RE = re.compile(
-    r"::(" + "|".join(_CH_CAST_TYPES) + r")\b", re.IGNORECASE)
+    r"::\s*(" + "|".join(_CH_CAST_TYPES) + r")\b", re.IGNORECASE)
 
 
 _TERNARY_STOP_KW = {
@@ -5770,6 +5785,10 @@ def _expr_left_boundary(sql: str, pos: int) -> int:
                 return j + 1
             depth -= 1
         elif c == "," and depth == 0:
+            return j + 1
+        elif c == ">" and j > 0 and sql[j - 1] == "-" and depth == 0:
+            # a lambda arrow bounds the expression: the lambda BODY
+            # starts after '->' (golden 00606 `x -> c ? a : b`)
             return j + 1
         elif c.isalpha() or c == "_":
             k = j
@@ -7321,9 +7340,34 @@ def _rewrite_order_by_null_direction(sql: str) -> str:
     return "".join(out)
 
 
+def _strip_line_comments(sql: str) -> str:
+    """Remove ``-- ...`` end-of-line comments (string-aware): inline
+    comments carry commas/keywords that break the string rewrites
+    (golden 00606 `range(...) AS arr, -- two elements, min --`)."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            if j < 0:
+                break
+            i = j               # keep the newline
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     """Translate a ClickHouse SELECT into Spark SQL text."""
     sql = sql.strip().rstrip(";")
+    if "--" in sql:
+        sql = _strip_line_comments(sql)
     if "−" in sql:
         # U+2212 MINUS SIGN parses as the minus operator (reference
         # Lexer.cpp unicode-minus support; golden 02869_unicode_minus)
@@ -7481,6 +7525,13 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
     sql = _rewrite_small_forms(sql)
+    # bare inf/nan float literals (reference ParserNumber accepts
+    # them as Float64 values — golden 02267 `inf AS value`)
+    if re.search(r"(?i)\b(inf|nan)\b", sql):
+        sql = _sub_nonstring(sql, lambda seg: re.sub(
+            r"(?i)(?<![\w.`])(inf|nan)\b(?!\s*\(|\s*[.`])",
+            lambda m: ("double('inf')" if m.group(1).lower() == "inf"
+                       else "double('NaN')"), seg))
     sql = _rewrite_double_quoted_idents(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_groupby_item_aliases(sql)
@@ -8620,7 +8671,31 @@ def _rewrite_scalar_with(sql: str) -> str:
     (``name AS (SELECT ...)``) stay."""
     m = _SCALAR_WITH_RE.match(sql)
     if m is None:
-        return sql
+        # a parenthesized SUBQUERY may open with its own scalar WITH
+        # (golden 00606 `FROM ( WITH range(...) AS arr SELECT ... )`)
+        # — rewrite each such group in place
+        out2, i2 = [], 0
+        changed2 = False
+        while i2 < len(sql):
+            c2 = sql[i2]
+            if c2 in "'\"":
+                j2 = _skip_string(sql, i2)
+                out2.append(sql[i2:j2])
+                i2 = j2
+                continue
+            if c2 == "(" and re.match(r"\s*WITH\b", sql[i2 + 1:],
+                                      re.IGNORECASE):
+                close2 = _matching_paren(sql, i2)
+                if close2 > 0:
+                    inner2 = _rewrite_scalar_with(
+                        sql[i2 + 1:close2].strip())
+                    out2.append("(" + inner2 + ")")
+                    i2 = close2 + 1
+                    changed2 = True
+                    continue
+            out2.append(c2)
+            i2 += 1
+        return "".join(out2) if changed2 else sql
     # find the end of the WITH item list: the top-level SELECT
     tops = _top_level_set(sql)
     sm = next((mm for mm in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE)
@@ -8642,6 +8717,16 @@ def _rewrite_scalar_with(sql: str) -> str:
             keep.append(it)
     if not subs:
         return sql
+    # def-to-def references: a later WITH item may use an earlier one
+    # (`range(..) AS arr, arrayMap(.., arr) AS arr2` — golden 00606);
+    # expand earlier defs into later definitions first
+    names_in_order = list(subs)
+    for k4, nm4 in enumerate(names_in_order):
+        for prev4 in names_in_order[:k4]:
+            pat4 = re.compile(
+                rf"(?<![\w.`]){re.escape(prev4)}(?![\w`])")
+            subs[nm4] = pat4.sub(
+                lambda _m: f"({subs[prev4]})", subs[nm4])
     body = sql[sm.start():]
     for name, expr in subs.items():
         # substitute only OUTSIDE string literals — a bare re.sub would
@@ -10382,6 +10467,8 @@ def _run_sql(spark, translated: str):
         if retried is None:
             retried = _retry_lateral_agg_alias(translated, e)
         if retried is None:
+            retried = _retry_ts_num_compare(translated, e)
+        if retried is None:
             retried = _retry_ambiguous_ref(translated, e)
         if retried is None:
             retried = _retry_collate_drop(translated, e)
@@ -10395,6 +10482,8 @@ def _run_sql(spark, translated: str):
             retried = _retry_missing_aggregation(translated, e)
         if retried is None:
             retried = _retry_bool_arith(translated, e)
+        if retried is None:
+            retried = _retry_bool_agg_arg(translated, e)
         if retried is None:
             retried = _retry_int_logical(translated, e)
         if retried is None:
@@ -10505,6 +10594,40 @@ def _retry_ambiguous_ref(translated: str, err: Exception):
 
 
 _BOOL_ARITH_CMP = r"[^()<>=!]*(?:=|!=|<>|<=|>=|<|>)[^()<>=!]*"
+
+
+def _retry_bool_agg_arg(translated: str, err: Exception):
+    """``sum(a = b)`` / ``avg(cond)`` — CH comparisons are UInt8 and
+    aggregate directly (golden 00103 `sum(x = 'lit') = count()`);
+    Spark's sum/avg/min/max reject BOOLEAN.  Retry casting the
+    aggregate's boolean argument to INT."""
+    msg = str(err)
+    if "UNEXPECTED_INPUT_TYPE" not in msg or "BOOLEAN" not in msg:
+        return None
+    m = re.search(r'"(sum|avg|min|max)\(', msg)
+    if m is None:
+        return None
+    fn = m.group(1)
+    out, pos, changed = translated, 0, False
+    while True:
+        m2 = re.search(rf"(?i)\b{fn}\s*\(", out[pos:])
+        if m2 is None:
+            break
+        op = pos + m2.end() - 1
+        cl = _matching_paren(out, op)
+        if cl < 0:
+            break
+        arg = out[op + 1:cl]
+        # only args carrying a top-level comparison get the cast
+        if re.search(r"(=|<|>|!=|<>| LIKE | IN )",
+                     _sub_nonstring(arg, lambda s: s)):
+            out = (out[:op + 1] + f"CAST(({arg}) AS INT)"
+                   + out[cl:])
+            changed = True
+            pos = op + 1 + len(f"CAST(({arg}) AS INT)") + 1
+        else:
+            pos = cl + 1
+    return out if changed else None
 
 
 def _retry_bool_arith(translated: str, err: Exception):
@@ -10917,6 +11040,38 @@ def _retry_using_alias(translated: str, err: Exception):
                else f"FROM (SELECT *, {expr} AS `{key}` "
                     f"FROM {ref}) AS {alias}")
     return translated[:from_i] + wrapped + rest[span_end:]
+
+
+def _retry_ts_num_compare(translated: str, err: Exception):
+    """DateTime column compared with a NUMBER (reference
+    FunctionComparison coerces the number to the DateTime's epoch —
+    golden 02864 `WHERE dt = 7`): Spark ANSI rejects
+    timestamp-vs-integer; retry casting the numeric side through
+    timestamp_seconds."""
+    msg = str(err)
+    if "BINARY_OP_DIFF_TYPES" not in msg or "TIMESTAMP" not in msg:
+        return None
+    m = re.search(r'"\(([\w.`]+) (=|<>|!=|<=|>=|<|>) (\d+(?:\.\d+)?)\)"',
+                  msg)
+    flip = False
+    if m is None:
+        m = re.search(r'"\((\d+(?:\.\d+)?) (=|<>|!=|<=|>=|<|>) '
+                      r'([\w.`]+)\)"', msg)
+        flip = True
+    if m is None:
+        return None
+    col, op2, num = ((m.group(1), m.group(2), m.group(3))
+                     if not flip else
+                     (m.group(3), m.group(2), m.group(1)))
+    pat = (re.escape(num) + r"\s*" + re.escape(op2) + r"\s*"
+           + re.escape(col) if flip else
+           re.escape(col) + r"\s*" + re.escape(op2) + r"\s*"
+           + re.escape(num) + r"(?![\w.])")
+    rep = (f"timestamp_seconds({num}) {op2} {col}" if flip
+           else f"{col} {op2} timestamp_seconds({num})")
+    out = _sub_nonstring(
+        translated, lambda seg: re.sub(pat, rep, seg))
+    return out if out != translated else None
 
 
 def _retry_lateral_agg_alias(translated: str, err: Exception):
@@ -11438,6 +11593,16 @@ def _utility_statement(spark, text: str, tables):
         col_lines = ([f"    {c}" for c in decl] if decl else
                      [f"    `{f.name}` {_spark_type_to_ch(f.dataType)}"
                       for f in df.schema.fields])
+        stats2 = getattr(t, "ch_col_stats", None) or {}
+        if stats2:
+            # STATISTICS clauses render in canonical kind order after
+            # the type (StatisticsDescription formatting; golden 02864)
+            for k2, line2 in enumerate(col_lines):
+                nm9 = re.match(r"\s*`?(\w+)`?", line2)
+                if nm9 and stats2.get(nm9.group(1)):
+                    col_lines[k2] = (line2 + " STATISTICS("
+                                     + ", ".join(stats2[nm9.group(1)])
+                                     + ")")
         # PROJECTION declarations render as their own block
         # (formatAST projection formatting, golden 02997)
         for pname, psel in getattr(t, "ch_projection_texts", None) \
@@ -11464,11 +11629,19 @@ def _utility_statement(spark, text: str, tables):
             col_lines.append("\n".join(lines))
         cols = ",\n".join(col_lines)
         kw = "TEMPORARY TABLE" if temp else "TABLE"
-        stmt = f"CREATE {kw} {name}\n(\n{cols}\n)\nENGINE = {eng_name}"
+        # non-temporary tables print database-qualified
+        # (InterpreterShowCreateQuery always qualifies; golden 02864)
+        qname = name if temp else f"{_CURRENT_DATABASE[0]}.{name}"
+        stmt = f"CREATE {kw} {qname}\n(\n{cols}\n)\nENGINE = {eng_name}"
         order = getattr(t, "order_by", None)
         if order:
             stmt += ("\nORDER BY " + (order[0] if len(order) == 1
                                       else f"({', '.join(order)})"))
+        elif "MergeTree" in eng_name:
+            # an empty sort key prints as its tuple() spelling
+            stmt += "\nORDER BY tuple()"
+        if not temp and "MergeTree" in eng_name:
+            stmt += "\nSETTINGS index_granularity = 8192"
         return spark.createDataFrame([(stmt,)], "statement string")
 
     m = re.match(r"^SHOW\s+SETTING\s+(\S.*)$", text, re.IGNORECASE)
@@ -11820,7 +11993,8 @@ def _utility_statement(spark, text: str, tables):
 
 _CREATE_RE = re.compile(
     r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.*)\)\s*"
-    r"ENGINE\s*=?\s*(\w+)\s*(?:\(([^)]*)\))?\s*(.*)$",
+    r"ENGINE\s*=?\s*(\w+)\s*"
+    r"(?:\(((?:[^()]|\([^()]*\))*)\))?\s*(.*)$",
     re.IGNORECASE | re.DOTALL)
 _ENGINE_NAMES = {
     "mergetree": "merge_tree",
@@ -11840,6 +12014,62 @@ _ENGINE_NAMES = {
     "replicatedversionedcollapsingmergetree": "versioned_collapsing",
     "replicatedaggregatingmergetree": "aggregating",
 }
+
+
+_STAT_TYPES = ("tdigest", "uniq", "countmin", "minmax")
+
+
+def _stats_int_representable(ch_type: str) -> bool:
+    t = ch_type.strip()
+    for _ in range(4):
+        m = re.match(r"(?is)^(?:Nullable|LowCardinality)\s*\((.*)\)$",
+                     t)
+        if m is None:
+            break
+        t = m.group(1).strip()
+    return bool(re.match(
+        r"(?i)^(U?Int\d*$|U?Int\d+|Float(32|64)|Decimal\d*\s*\(|"
+        r"Date32?$|Date$|DateTime(64)?\b|Enum(8|16)?\s*\(|IPv4$|"
+        r"Bool(ean)?$)", t))
+
+
+def _stats_stringish(ch_type: str) -> bool:
+    t = ch_type.strip()
+    for _ in range(4):
+        m = re.match(r"(?is)^(?:Nullable|LowCardinality)\s*\((.*)\)$",
+                     t)
+        if m is None:
+            break
+        t = m.group(1).strip()
+    return bool(re.match(r"(?i)^(String$|FixedString\s*\()", t))
+
+
+def _validate_stat_types(kinds: list, ch_type: str) -> None:
+    """Reference src/Storages/Statistics/Statistics.cpp validation:
+    unknown kinds and duplicates are INCORRECT_QUERY; tdigest/minmax
+    need integer-representable values, uniq/countmin also accept
+    (Fixed)String — else ILLEGAL_STATISTICS (golden 02864)."""
+    if str(SESSION_SETTINGS.get("allow_experimental_statistics",
+                                "0")) != "1":
+        raise ValueError("INCORRECT_QUERY: statistics need "
+                         "allow_experimental_statistics = 1")
+    seen2: set = set()
+    for k in kinds:
+        kl = k.strip().lower()
+        if kl not in _STAT_TYPES:
+            raise ValueError(
+                f"INCORRECT_QUERY: unknown statistics type {k!r}")
+        if kl in seen2:
+            raise ValueError(
+                f"INCORRECT_QUERY: duplicate statistics type {k!r}")
+        seen2.add(kl)
+        ok = (_stats_int_representable(ch_type)
+              or (kl in ("uniq", "countmin")
+                  and _stats_stringish(ch_type)))
+        if not ok:
+            raise ValueError(
+                f"ILLEGAL_STATISTICS: {kl} cannot be created on "
+                f"type {ch_type}")
 
 
 def _decl_type(rest: str) -> str:
@@ -12035,7 +12265,8 @@ def create_table_sql(spark, sql: str, base_dir: str):
     if engine is None:
         raise NotImplementedError(f"engine {engine_raw!r} not mapped "
                                   f"(MergeTree family only)")
-    args = [a.strip().strip("`") for a in (engine_args or "").split(",")
+    args = [a.strip().strip("`")
+            for a in _split_top_commas(engine_args or "")
             if a.strip()]
     if engine_raw.lower().startswith("replicated"):
         # drop the zookeeper path + replica-name args
@@ -12061,6 +12292,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     materialized_cols: set[str] = set()
     json_cols: set[str] = set()
     dynamic_cols: set[str] = set()
+    col_stats: dict[str, list] = {}
     decl_texts: list[str] = []
     projection_texts: list[str] = []
     dt64_scales: dict[str, int] = {}
@@ -12108,6 +12340,15 @@ def create_table_sql(spark, sql: str, base_dir: str):
             json_cols.add(cname)
         if re.match(r"(?i)\s*Dynamic\b", _decl_type(toks[1])):
             dynamic_cols.add(cname)
+        stm = re.search(r"(?i)\bSTATISTICS\s*\(([^)]*)\)", toks[1])
+        if stm:
+            kinds0 = [x for x in
+                      (s.strip() for s in stm.group(1).split(","))
+                      if x]
+            _validate_stat_types(kinds0, _decl_type(toks[1]))
+            col_stats[cname] = sorted(
+                {k.lower() for k in kinds0},
+                key=_STAT_TYPES.index)
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
         decl_texts.append(f"`{cname}` {_decl_type(toks[1])}")
@@ -12120,6 +12361,24 @@ def create_table_sql(spark, sql: str, base_dir: str):
                 materialized_cols.add(cname)
 
     kwargs: dict = {}
+    # deprecated OLD-STYLE engine args — MergeTree(date, [sample,]
+    # (pk), granularity[, engine-specific...]) (reference
+    # registerStorageMergeTree.cpp legacy syntax; golden 00564):
+    # the engine-specific tail follows the integer granularity
+    if args and any(re.fullmatch(r"\d+", a.strip()) for a in args):
+        for gi in range(len(args) - 1, -1, -1):
+            if re.fullmatch(r"\d+", args[gi].strip()):
+                # the arg before the granularity is the primary-key
+                # tuple — the old syntax has no ORDER BY clause
+                if not order_by and gi >= 1:
+                    pk = args[gi - 1].strip()
+                    if pk.startswith("(") and pk.endswith(")"):
+                        order_by = [c.strip(" `") for c in
+                                    _split_top_commas(pk[1:-1])]
+                    else:
+                        order_by = [pk.strip("`")]
+                args = args[gi + 1:]
+                break
     if engine == "replacing":
         kwargs["version_col"] = args[0] if args else None
         if len(args) > 1:
@@ -12150,6 +12409,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table.materialized_cols = materialized_cols
     table.json_cols = json_cols
     table.dynamic_cols = dynamic_cols
+    table.ch_col_stats = col_stats
     return table
 
 
@@ -12946,8 +13206,53 @@ def _alter_table_statement(spark, name: str, body: str, tables):
     df = _resolve_view_safe(spark, name, t)
     if df is None:
         raise ValueError(f"ALTER: unknown table {name!r}")
-    for op in _split_top_commas(body):
+    # list-valued ops (`DROP STATISTICS a, b` / `ADD STATISTICS b
+    # TYPE countmin, uniq`) split at the comma — merge bare
+    # continuations back into the preceding statistics op
+    raw_ops = _split_top_commas(body)
+    ops: list[str] = []
+    for op in raw_ops:
         o = op.strip()
+        if ops and re.fullmatch(r"`?\w+`?(\s+TYPE\s+.+)?", o,
+                                re.IGNORECASE | re.DOTALL) \
+                and re.match(
+                r"(?is)^(?:ADD|DROP|MODIFY|CLEAR|MATERIALIZE)\s+"
+                r"STATISTICS?\b", ops[-1]):
+            ops[-1] += ", " + o
+            continue
+        ops.append(o)
+    for op in ops:
+        o = op.strip()
+        m = re.match(r"(?is)^(ADD|DROP|MODIFY|CLEAR|MATERIALIZE)\s+"
+                     r"STATISTICS?\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+                     r"(.+?)(?:\s+TYPE\s+(.+))?$", o)
+        if m:
+            verb = m.group(1).upper()
+            cnames = [c.strip(" `")
+                      for c in m.group(2).split(",") if c.strip()]
+            kinds = [k.strip() for k in (m.group(3) or "").split(",")
+                     if k.strip()]
+            stats = getattr(t, "ch_col_stats", None)
+            if stats is None and t is not None:
+                stats = t.ch_col_stats = {}
+            decl_by_name = {}
+            for dtext in getattr(t, "ch_decl_cols", None) or ():
+                dm9 = re.match(r"`?(\w+)`?\s+(.*)$", dtext.strip())
+                if dm9:
+                    decl_by_name[dm9.group(1)] = dm9.group(2)
+            if verb in ("ADD", "MODIFY") and stats is not None:
+                for cn in cnames:
+                    _validate_stat_types(
+                        kinds, decl_by_name.get(cn, "Int64"))
+                    cur2 = set() if verb == "MODIFY" \
+                        else set(stats.get(cn, ()))
+                    cur2 |= {k.lower() for k in kinds}
+                    stats[cn] = sorted(cur2, key=_STAT_TYPES.index)
+            elif verb == "DROP" and stats is not None:
+                for cn in cnames:
+                    stats.pop(cn, None)
+            # CLEAR / MATERIALIZE: data-side no-ops here
+            continue
         m = re.match(r"(?is)^ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
                      r"`?(\w+)`?\s+(.+?)(?:\s+AFTER\s+`?\w+`?|\s+FIRST)?$",
                      o)
@@ -13195,7 +13500,9 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                     r"RESET\s+SETTING|CLEAR\s+COLUMN|ADD\s+INDEX|"
                     r"DROP\s+INDEX|MATERIALIZE\s+INDEX|"
                     r"ADD\s+PROJECTION|DROP\s+PROJECTION|"
-                    r"MATERIALIZE\s+PROJECTION)\b", o):
+                    r"MATERIALIZE\s+PROJECTION|"
+                    r"(?:ADD|DROP|MODIFY|CLEAR|MATERIALIZE)\s+"
+                    r"STATISTICS?)\b", o):
             # metadata / storage-layout operations with no read-path
             # effect in this engine (defaults materialize at read,
             # indexes rebuild from parts)

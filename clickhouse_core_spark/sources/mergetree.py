@@ -547,6 +547,12 @@ class MergeTreeTable:
             # view layer applies declared DEFAULTs
             dfs = [self.spark.read.option("basePath", p).parquet(p)
                    for p in parts]
+            # delete masks anti-join on _metadata, which only resolves
+            # on a DIRECT file-scan relation — apply per part BEFORE
+            # the union (golden 02864: INSERT after a lightweight
+            # DELETE must not break subsequent multi-part reads)
+            dfs = [self._apply_delete_masks(d, [p])
+                   for d, p in zip(dfs, parts)]
             if with_seq:
                 dfs = [d.withColumn("__part_seq", F.lit(i))
                        for i, d in enumerate(dfs)]
@@ -617,7 +623,9 @@ class MergeTreeTable:
                     "ch_dt64_scale": scales[c]})
                  if c in scales else F.col(f"`{c}`"))
                 for c in df.columns])
-        return self._apply_delete_masks(df, parts)
+        if len(parts) == 1:
+            df = self._apply_delete_masks(df, parts)
+        return df
 
     def read(self, final: bool = False) -> DataFrame:
         if not final or self.engine == "merge_tree":

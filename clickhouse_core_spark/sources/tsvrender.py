@@ -511,6 +511,128 @@ def ch_default_value(simple: str):
     return None
 
 
+def _prom_quote(s: str) -> str:
+    """Prometheus label value: double-quoted with backslash escapes
+    (reference writeDoubleQuotedString)."""
+    return ('"' + s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\t", "\\t")
+            .replace("\r", "\\r") + '"')
+
+
+def _prom_num(v) -> str:
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "+Inf" if v > 0 else "-Inf"
+    return render_value(v)
+
+
+def format_prometheus(rows, columns) -> str:
+    """FORMAT Prometheus (reference
+    src/Processors/Formats/Impl/PrometheusTextOutputFormat.cpp —
+    behavior re-derived, and the public Prometheus text exposition
+    format): rows carry (name[, type][, help][, labels map], value
+    [, timestamp]); consecutive same-name rows group into one metric
+    block with # HELP/# TYPE headers, histogram/summary blocks sort
+    buckets by their le/quantile label and push sum/count rows last
+    (sum before count), a histogram's +Inf bucket and _count mirror
+    each other, `sum`/`count` labels become _sum/_count name suffixes
+    and `le` adds _bucket, labels render sorted {k="v",...}, inf/nan
+    values print +Inf/NaN, and a zero/NULL timestamp is omitted."""
+    ci = {c.lower(): i for i, c in enumerate(columns)}
+    if "name" not in ci or "value" not in ci:
+        raise ValueError("Prometheus format needs name/value columns")
+    out: list[str] = []
+
+    def flush(metric):
+        if not metric or not metric["values"]:
+            return
+        name = metric["name"]
+        if metric["help"]:
+            out.append(f"# HELP {name} {metric['help']}")
+        if metric["type"]:
+            out.append(f"# TYPE {name} {metric['type']}")
+        vals = metric["values"]
+        use_buckets = metric["type"] in ("histogram", "summary")
+        if use_buckets:
+            blabel = "le" if metric["type"] == "histogram" \
+                else "quantile"
+
+            def keyf(v):
+                labels = v["labels"]
+                has_sum = "sum" in labels
+                has_cnt = "count" in labels
+                try:
+                    b = float(labels.get(blabel, "inf")
+                              .replace("+Inf", "inf"))
+                except Exception:
+                    b = float("inf")
+                return (1 if (has_sum or has_cnt) else 0,
+                        1 if has_cnt else 0, b)
+            vals = sorted(vals, key=keyf)
+            if metric["type"] == "histogram":
+                inf_b = next((v for v in vals
+                              if v["labels"].get("le") == "+Inf"),
+                             None)
+                cnt_b = next((v for v in vals
+                              if "count" in v["labels"]), None)
+                if cnt_b is not None and inf_b is None:
+                    nv = dict(cnt_b)
+                    nv["labels"] = {"le": "+Inf"}
+                    vals.insert(len(vals) - 1, nv)
+                elif inf_b is not None and cnt_b is None:
+                    nv = dict(inf_b)
+                    nv["labels"] = {"count": ""}
+                    vals.append(nv)
+        for v in vals:
+            labels = dict(v["labels"])
+            suffix = ""
+            if use_buckets:
+                if "sum" in labels:
+                    suffix = "_sum"
+                    labels.pop("sum")
+                elif "count" in labels:
+                    suffix = "_count"
+                    labels.pop("count")
+                elif "le" in labels:
+                    suffix = "_bucket"
+            line = name + suffix
+            if labels:
+                line += ("{" + ",".join(
+                    f"{k}={_prom_quote(str(x))}"
+                    for k, x in sorted(labels.items())) + "}")
+            line += " " + _prom_num(v["value"])
+            if v["ts"]:
+                line += " " + v["ts"]
+            out.append(line)
+        out.append("")
+
+    cur = None
+    for row in rows:
+        name = str(row[ci["name"]])
+        if cur is None or cur["name"] != name:
+            flush(cur)
+            cur = {"name": name, "help": "", "type": "", "values": []}
+        if "help" in ci and row[ci["help"]] and not cur["help"]:
+            cur["help"] = str(row[ci["help"]]).replace("\n", " ")
+        if "type" in ci and row[ci["type"]] and not cur["type"]:
+            cur["type"] = str(row[ci["type"]])
+        ts = ""
+        if "timestamp" in ci and row[ci["timestamp"]] is not None:
+            tv = row[ci["timestamp"]]
+            if tv != 0:
+                ts = _prom_num(tv)
+        labels = {}
+        if "labels" in ci and row[ci["labels"]] is not None:
+            labels = {str(k): str(x)
+                      for k, x in dict(row[ci["labels"]]).items()}
+        cur["values"].append({"labels": labels,
+                              "value": row[ci["value"]], "ts": ts})
+    flush(cur)
+    return "\n".join(out)
+
+
 def format_tsv(df, max_rows: int = 100000, with_names: bool = False,
                with_types: bool = False) -> str:
     """CH ``TabSeparated`` / ``TSVWithNames`` display output for a

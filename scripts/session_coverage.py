@@ -244,6 +244,9 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
                     return kind, tr.format_json_each_row(
                         rows, schema=df.schema, columns=df.columns,
                         json_cols=jset)
+                if fmt_name == "prometheus":
+                    return kind, tr.format_prometheus(
+                        rows, df.columns) + "\n"
                 if fmt_name in ("tabseparatedwithnames",
                                 "tsvwithnames"):
                     head = "\t".join(df.columns) + "\n"

@@ -825,7 +825,7 @@ def test_utility_statements(spark):
     assert ch_sql(spark, "EXISTS util_ren").collect()[0]["result"] == 1
     stmt = ch_sql(spark, "SHOW CREATE TABLE util_ren") \
         .collect()[0]["statement"]
-    assert stmt.startswith("CREATE TABLE util_ren")
+    assert stmt.startswith("CREATE TABLE default.util_ren")
     assert "`a` Int64" in stmt
     spark.createDataFrame(pd.DataFrame({"z": [9]})) \
         .createOrReplaceTempView("util_x")

@@ -230,7 +230,7 @@ def test_json_paths_functions(spark):
     # 03270 needs the sorted path order preserved end-to-end)
     (pt,), = _rows(spark, "SELECT JSONAllPathsWithTypes(o) AS pt "
                           "FROM r10t_jp", t)
-    assert [(e["key"], e["value"]) for e in pt] == [
+    assert [(e["__ch_k"], e["__ch_v"]) for e in pt] == [
         ("a.b", "Int64"), ("a.c", "Array(Nullable(String))"),
         ("x", "String")]
     # arrayJoin over the Map form yields (k, v) entry tuples
@@ -241,7 +241,7 @@ def test_json_paths_functions(spark):
         ("x", "String")]
     (dt,), = _rows(spark, "SELECT distinctJSONPathsAndTypes(o) AS m "
                           "FROM r10t_jp", t)
-    assert [(e["key"], list(e["value"])) for e in dt] == [
+    assert [(e["__ch_k"], list(e["__ch_v"])) for e in dt] == [
         ("a.b", ["Int64"]), ("a.c", ["Array(Nullable(String))"]),
         ("x", ["String"])]
     assert _rows(spark, "SELECT JSONSharedDataPaths(o) AS s "

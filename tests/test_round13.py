@@ -287,3 +287,118 @@ def test_generate_random_decimal_short(spark):
     assert len(rows) == 5
     assert all(r["a"] is not None and r["b"] is not None
                for r in rows)
+
+
+def test_versioned_collapsing_unmatched_rows_survive(spark):
+    """VersionedCollapsing FINAL keeps |pos-neg| copies per
+    (key, version) — unmatched same-sign rows all survive (golden
+    00564: two unmatched -1 rows both emit)."""
+    from clickhouse_core_spark.operators import (
+        versioned_collapsing_final)
+    df = spark.createDataFrame(
+        [(1, 0, -1, "a"), (1, 0, -1, "a"), (2, 0, 1, "b"),
+         (2, 0, 1, "b"), (3, 0, 1, "c"), (3, 0, -1, "c")],
+        "k int, ver int, sign int, v string")
+    out = versioned_collapsing_final(df, ["k"], sign="sign",
+                                     version="ver").collect()
+    rows = sorted((r.k, r.sign) for r in out)
+    assert rows == [(1, -1), (1, -1), (2, 1), (2, 1)]
+
+
+def test_old_style_merge_tree_engine_args(spark):
+    """Deprecated engine syntax (date, (pk), granularity, ...) parses:
+    the pk tuple becomes the sort key and the tail maps to the
+    engine-specific args (golden 00564)."""
+    t = {}
+    ch_sql(spark, "create table r13old (date Date, value String, "
+                  "version UInt64, sign Int8) engine = "
+                  "VersionedCollapsingMergeTree(date, (date, value), "
+                  "8192, sign, version)", tables=t)
+    ch_sql(spark, "insert into r13old values ('2018-01-31', 'a', 0, 1)"
+                  ", ('2018-01-31', 'a', 0, -1), "
+                  "('2018-01-31', 'b', 0, 1)", tables=t)
+    r = ch_sql(spark, "select value from r13old final", tables=t) \
+        .collect()
+    assert [x["value"] for x in r] == ["b"]
+
+
+def test_insert_after_lightweight_delete(spark):
+    """INSERT after DELETE FROM must keep the table readable — the
+    delete-mask anti-join resolves _metadata per part, before the
+    multi-part union (golden 02864_statistics_bug_69589)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r13lw (c Nullable(Int)) "
+                  "ENGINE = MergeTree() ORDER BY tuple()", tables=t)
+    ch_sql(spark, "INSERT INTO r13lw (c) VALUES (1)", tables=t)
+    ch_sql(spark, "DELETE FROM r13lw WHERE TRUE", tables=t)
+    ch_sql(spark, "INSERT INTO r13lw (c) VALUES (2)", tables=t)
+    r = ch_sql(spark, "SELECT c FROM r13lw", tables=t).collect()
+    assert [x["c"] for x in r] == [2]
+
+
+def test_statistics_ddl_and_show_create(spark):
+    """Column STATISTICS declarations validate, ALTER mutates them,
+    SHOW CREATE renders canonical kind order + db-qualified name
+    (golden 02864)."""
+    from clickhouse_core_spark.plans.frontend import SESSION_SETTINGS
+    SESSION_SETTINGS["allow_experimental_statistics"] = "1"
+    try:
+        t = {}
+        ch_sql(spark, "CREATE TABLE r13st (a Int64 "
+                      "STATISTICS(uniq, tdigest), s String) "
+                      "Engine = MergeTree() ORDER BY tuple()",
+               tables=t)
+        ch_sql(spark, "ALTER TABLE r13st ADD STATISTICS a "
+                      "TYPE countmin", tables=t)
+        out = ch_sql(spark, "SHOW CREATE TABLE r13st",
+                     tables=t).first()[0]
+        assert "default.r13st" in out
+        assert "STATISTICS(tdigest, uniq, countmin)" in out
+        assert "SETTINGS index_granularity = 8192" in out
+        ch_sql(spark, "ALTER TABLE r13st DROP STATISTICS a", tables=t)
+        out2 = ch_sql(spark, "SHOW CREATE TABLE r13st",
+                      tables=t).first()[0]
+        assert "STATISTICS" not in out2
+        # illegal: tdigest on String
+        with pytest.raises(Exception):
+            ch_sql(spark, "ALTER TABLE r13st ADD STATISTICS s "
+                          "TYPE tdigest", tables=t)
+    finally:
+        SESSION_SETTINGS.pop("allow_experimental_statistics", None)
+
+
+def test_prometheus_output_format():
+    """FORMAT Prometheus text rendering (golden 02267): HELP/TYPE
+    headers, histogram bucket sort + _bucket/_sum/_count suffixes,
+    +Inf mirror, sorted quoted labels."""
+    from clickhouse_core_spark.sources.tsvrender import (
+        format_prometheus)
+    cols = ["name", "type", "help", "labels", "value", "timestamp"]
+    rows = [
+        ("h", "histogram", "lat", {"le": "0.5"}, 10, 0.0),
+        ("h", "histogram", "", {"le": "+Inf"}, 12, 0.0),
+        ("h", "histogram", "", {"sum": ""}, 5.5, 0.0),
+        ("m", "counter", "hits", {"a": "x", "b": "y"}, 3,
+         1395066363000.0),
+    ]
+    out = format_prometheus(rows, cols)
+    lines = out.split("\n")
+    assert "# HELP h lat" in lines
+    assert "# TYPE h histogram" in lines
+    assert 'h_bucket{le="0.5"} 10' in lines
+    assert 'h_bucket{le="+Inf"} 12' in lines
+    assert "h_sum 5.5" in lines
+    assert "h_count 12" in lines
+    assert 'm{a="x",b="y"} 3 1395066363000' in lines
+
+
+def test_timestamp_number_compare_retry(spark):
+    """DateTime compared with a number coerces through the epoch
+    (golden 02864_statistics_predicates `WHERE dt = 7`)."""
+    t = {}
+    ch_sql(spark, "CREATE TABLE r13ts (dt DateTime) "
+                  "ENGINE MergeTree ORDER BY tuple()", tables=t)
+    ch_sql(spark, "INSERT INTO r13ts VALUES (7)", tables=t)
+    r = ch_sql(spark, "SELECT count(*) AS c FROM r13ts WHERE dt = 7",
+               tables=t).first()
+    assert r["c"] == 1
