@@ -99,7 +99,8 @@ def summing_final(df: DataFrame, keys: Sequence[str],
 
 
 def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
-                     order_col: str | None = None) -> DataFrame:
+                     order_col: str | None = None,
+                     only_positive_sign: bool = True) -> DataFrame:
     """CollapsingMergeTree FINAL: rows carry sign=+1 (state) / -1
     (cancel); pairs cancel out, and a key survives only if the signs
     don't fully cancel.  The surviving row is the latest +1 state —
@@ -134,6 +135,10 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
     #   more -1 than +1            -> keep the FIRST -1 row
     #   equal and last row is +1   -> keep BOTH (first -1, last +1)
     #   equal and last row is -1   -> fully cancelled, keep nothing
+    # FINAL READS construct the transform with only_positive_sign =
+    # true (ReadFromMergeTree.cpp Collapsing case) — unmatched -1 rows
+    # never emit on reads (golden 03290 lone -1 -> count 0); MERGES
+    # (MergeTask) keep them in the part.
     row_struct = (F.struct(*[F.col(c) for c in value_cols])
                   if value_cols else F.struct(F.lit(0).alias("__d")))
     g = df.groupBy(*keys).agg(
@@ -147,6 +152,8 @@ def collapsing_final(df: DataFrame, keys: Sequence[str], sign: str,
     cp, cn = F.col("__cp"), F.col("__cn")
     cancelled = (cp == cn) & (F.col("__ls") != 1)
     emit_neg = (cn >= cp) & (cn > 0) & ~cancelled
+    if only_positive_sign:
+        emit_neg = F.lit(False)
     emit_pos = (cp >= cn) & (cp > 0) & ~cancelled
     neg = F.when(emit_neg, F.struct(F.col("__fn").alias("v"),
                                     F.lit(-1).alias("s")))

@@ -3455,6 +3455,63 @@ def _rewrite_groupby_item_aliases(sql: str) -> str:
             + sql[m.end():])
 
 
+_GBY_AGG_RE = re.compile(
+    r"(?i)\b(count|sum|min|max|avg|any|uniq\w*|group\w+|median|"
+    r"quantile\w*|argMin|argMax|corr|stddev\w*|var\w*|topK\w*)\s*\(")
+
+
+def _rewrite_groupby_alias_shadow(sql: str) -> str:
+    """A GROUP BY key naming a SELECT alias that SHADOWS a source
+    column resolves to the ALIAS in the reference (QueryAnalyzer
+    prefers projection aliases — golden 02352 `round(number % 3) AS
+    number ... GROUP BY number` groups 3 ways, not 20); Spark prefers
+    the column.  Substitute the defining expression when it is not
+    the bare name itself."""
+    tops = _top_level_set(sql)
+    gm = next((m for m in re.finditer(r"(?i)\bGROUP\s+BY\s", sql)
+               if m.start() in tops), None)
+    if gm is None:
+        return sql
+    pm = re.match(r"(?is)^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql)
+    if pm is None:
+        return sql
+    proj = pm.group(1)
+    ptops = _top_level_set(proj)
+    fm = next((m for m in re.finditer(r"(?i)\bFROM\b", proj)
+               if m.start() in ptops), None)
+    if fm is None:
+        return sql
+    defs = {}
+    for it in _split_top_commas(proj[:fm.start()]):
+        am = re.search(r"^(.*\S)\s+AS\s+`?(\w+)`?\s*$", it.strip(),
+                       re.IGNORECASE | re.DOTALL)
+        if am is None:
+            continue
+        expr, nm = am.group(1).strip(), am.group(2)
+        # only SHADOWING aliases (the expression references its own
+        # name) need the substitution; plain aliases group natively,
+        # and aggregate/window definitions cannot be grouping keys
+        if expr == nm or not re.search(
+                rf"(?<![\w.`]){re.escape(nm)}(?![\w`(])", expr) \
+                or _GBY_AGG_RE.search(expr) \
+                or re.search(r"(?i)\bOVER\s*\(", expr):
+            continue
+        defs[nm] = expr
+    if not defs:
+        return sql
+    end = next((m.start() for m in re.finditer(
+        r"(?i)\b(HAVING|ORDER\s+BY|LIMIT|SETTINGS|UNION|QUALIFY|"
+        r"WINDOW|WITH\s+(ROLLUP|CUBE|TOTALS))\b", sql, )
+        if m.start() in tops and m.start() > gm.end()), len(sql))
+    items = _split_top_commas(sql[gm.end():end])
+    new_items = [f"({defs[i.strip().strip('`')]})"
+                 if i.strip().strip("`") in defs else i.strip()
+                 for i in items]
+    if [i.strip() for i in items] == new_items:
+        return sql
+    return (sql[:gm.end()] + ", ".join(new_items) + " " + sql[end:])
+
+
 def _top_level_arrow(s: str) -> bool:
     """True when ``s`` contains a lambda arrow '->' outside any paren
     group or string literal (i.e. ``s`` IS a lambda argument)."""
@@ -5103,7 +5160,8 @@ def _rewrite_final(sql: str) -> str:
 
 _SAMPLE_RE = re.compile(
     r"\bFROM\s+(`?\w+`?)((?:\s+AS)?\s+(?!SAMPLE\b)\w+)?"
-    r"\s+SAMPLE\s+([0-9.]+)(?:\s+OFFSET\s+([0-9.]+))?",
+    r"\s+SAMPLE\s+([0-9.]+(?:\s*/\s*[0-9.]+)?)"
+    r"(?:\s+OFFSET\s+([0-9.]+(?:\s*/\s*[0-9.]+)?))?",
     re.IGNORECASE)
 
 # Knuth multiplicative hash: deterministic, and expressible identically
@@ -5120,11 +5178,19 @@ def _rewrite_sample(sql: str, sample_by: dict[str, str] | None) -> str:
     Row-selection: key belongs to the sample when
     ``(key * 2654435761) % 2^32`` falls in ``[o*2^32, (o+f)*2^32)`` — the
     same subset every run, on both engines."""
+    def _frac(txt: str | None) -> float:
+        if not txt:
+            return 0.0
+        if "/" in txt:
+            num, den = txt.split("/", 1)
+            return float(num) / float(den)
+        return float(txt)
+
     def sub(m: re.Match) -> str:
         t = m.group(1).strip("`")
         alias = (m.group(2) or "").strip() or t
-        frac = float(m.group(3))
-        off = float(m.group(4) or 0.0)
+        frac = _frac(m.group(3))
+        off = _frac(m.group(4))
         if frac > 1.0:
             raise ValueError(
                 f"SAMPLE {m.group(3)}: row-count samples are not supported; "
@@ -7535,6 +7601,7 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_double_quoted_idents(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_groupby_item_aliases(sql)
+    sql = _rewrite_groupby_alias_shadow(sql)
     sql = _rewrite_inline_aliases(sql)
     sql = _rewrite_null_coalesce_op(sql)
     sql = _rewrite_ternary(sql)
@@ -9606,6 +9673,10 @@ def _ch_sql_impl(spark, sql: str,
     registered as views, e.g. via Catalog.register_all; FINAL needs the
     ``<name>__final`` view from :func:`register_mergetree_sql`).
 
+    A table created with a ``SAMPLE BY <expr>`` clause carries its
+    sampling key (`sample_by_expr`), so SAMPLE queries need no
+    explicit ``sample_by=`` mapping (golden 03290_final_sample).
+
     ``ORDER BY col WITH FILL [FROM x] [TO y] [STEP s]`` (reference
     src/Parsers/ParserSelectQuery.h:10, FillingTransform) is detected
     here rather than rewritten to SQL text: the base query runs, then
@@ -9630,6 +9701,16 @@ def _ch_sql_impl(spark, sql: str,
     """
     _ensure_sql_udfs(spark)
     text = sql.strip().rstrip(";")
+    if tables and re.search(r"(?i)\bSAMPLE\b", text):
+        # tables created with SAMPLE BY carry their sampling key
+        # (golden 03290_final_sample)
+        for _tn, _tb in list(tables.items()):
+            _se = getattr(_tb, "sample_by_expr", None)
+            if _se and (_tn not in (sample_by or {})):
+                sample_by = dict(sample_by or {})
+                sample_by[_tn] = _se
+                # FINAL routing reads through the <name>__final view
+                sample_by.setdefault(f"{_tn}__final", _se)
     if "tupletonamevaluepairs" in text.lower():
         text = _rewrite_tuple_nvp(spark, text, tables)
     # refresh the Dynamic-subcolumn rewrite context from this
@@ -10485,6 +10566,8 @@ def _run_sql(spark, translated: str):
         if retried is None:
             retried = _retry_bool_agg_arg(translated, e)
         if retried is None:
+            retried = _retry_not_numeric(translated, e)
+        if retried is None:
             retried = _retry_int_logical(translated, e)
         if retried is None:
             retried = _retry_order_by_hidden(translated, e)
@@ -10673,6 +10756,38 @@ def _expr_right_boundary(sql: str, pos: int) -> int:
             continue
         i += 1
     return n
+
+
+def _retry_not_numeric(translated: str, err: Exception):
+    """CH ``NOT x`` takes numbers (nonzero = true —
+    FunctionsLogical.cpp), e.g. ``WHERE NOT ignore(c)``; Spark's NOT
+    requires BOOLEAN.  Retry wrapping each NOT operand in
+    ``(x <> 0)``."""
+    msg = str(err)
+    if '"(NOT ' not in msg or "BOOLEAN" not in msg:
+        return None
+    out, pos, changed = translated, 0, False
+    while True:
+        m = re.search(r"(?i)\bNOT\s+(?!IN\b|LIKE\b|ILIKE\b|"
+                      r"BETWEEN\b|EXISTS\b|NULL\b|NOT\b)", out[pos:])
+        if m is None:
+            break
+        start = pos + m.end()
+        if out[max(0, pos + m.start() - 4):pos + m.start()].rstrip() \
+                .upper().endswith("IS"):
+            pos += m.end()
+            continue
+        end = _expr_right_boundary(out, start)
+        operand = out[start:end].strip()
+        if not operand or re.match(r"(?i)^\(*\s*(true|false)\b",
+                                   operand):
+            pos += m.end()
+            continue
+        repl = f"(({operand}) <> 0)"
+        out = out[:start] + repl + out[end:]
+        changed = True
+        pos = start + len(repl)
+    return out if changed else None
 
 
 def _retry_int_logical(translated: str, err: Exception):
@@ -12284,6 +12399,9 @@ def create_table_sql(spark, sql: str, base_dir: str):
     if pb is not None:
         partition_by = [c if re.fullmatch(r"\w+", c)
                         else _translate_expr(c) for c in pb]
+    sb = _storage_clause_exprs(tail, r"SAMPLE\s+BY")
+    sample_by_expr = (_translate_expr(sb[0])
+                      if sb else None)
 
     schema_parts = []
     col_defaults: dict[str, str] = {}
@@ -12410,6 +12528,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table.json_cols = json_cols
     table.dynamic_cols = dynamic_cols
     table.ch_col_stats = col_stats
+    table.sample_by_expr = sample_by_expr
     return table
 
 

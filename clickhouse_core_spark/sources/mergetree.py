@@ -681,6 +681,15 @@ class MergeTreeTable:
                                      version=self.version_col,
                                      is_deleted=None) \
                 .drop("__part_seq")
+        elif self.engine == "collapsing":
+            # MERGE semantics (MergeTask constructs the transform with
+            # only_positive_sign = false): unmatched -1 rows stay in
+            # the merged part; only FINAL READS drop them (03290)
+            raw = self.read_raw()
+            merged = collapsing_final(raw, self.key_cols,
+                                      sign=self.sign_col,
+                                      order_col=self.version_col,
+                                      only_positive_sign=False)
         else:
             raw = self.read_raw()
             merged = self._apply_engine(raw)

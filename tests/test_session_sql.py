@@ -217,13 +217,18 @@ def test_dictionary_ddl_lookups(spark, tables):
     ch_sql(spark, "DROP TABLE dsrc8", tables=tables)
 
 
-def test_collapsing_lone_negative_survives(spark, tables):
+def test_collapsing_lone_negative_read_vs_merge(spark, tables):
+    """FINAL READS drop unmatched -1 rows (only_positive_sign=true on
+    the read path, ReadFromMergeTree.cpp — golden 03290 count()=0);
+    the MERGE keeps them in the part, so the raw read still sees 1."""
     ch_sql(spark, "CREATE TABLE cl8 (k Int8, sign Int8) "
                   "ENGINE = CollapsingMergeTree(sign) ORDER BY k",
            tables=tables)
     ch_sql(spark, "INSERT INTO cl8 VALUES (5, -1)", tables=tables)
     ch_sql(spark, "OPTIMIZE TABLE cl8 FINAL", tables=tables)
     assert ch_sql(spark, "SELECT count() AS c FROM cl8 FINAL",
+                  tables=tables).collect()[0].c == 0
+    assert ch_sql(spark, "SELECT count() AS c FROM cl8",
                   tables=tables).collect()[0].c == 1
     ch_sql(spark, "DROP TABLE cl8", tables=tables)
 
