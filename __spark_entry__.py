@@ -2900,15 +2900,15 @@ agg AS (
          max_by(value, CASE WHEN sign = 1 THEN event_id END) AS lpv,
          min_by(value, CASE WHEN sign = -1 THEN event_id END) AS fnv
   FROM signed GROUP BY user_id)
-SELECT user_id, value FROM (
-  SELECT user_id, fnv AS value, 0 AS ord FROM agg
-  WHERE cn >= cp AND cn > 0 AND NOT (cp = cn AND ls != 1)
-  UNION ALL
-  SELECT user_id, lpv AS value, 1 AS ord FROM agg
-  WHERE cp >= cn AND cp > 0 AND NOT (cp = cn AND ls != 1)
-) ORDER BY user_id, value
+SELECT user_id, lpv AS value FROM agg
+WHERE cp >= cn AND cp > 0 AND NOT (cp = cn AND ls != 1)
+ORDER BY user_id, value
 """)
 def final_collapsing_q(spark, sf_dir):
+    """FINAL reads construct the collapsing transform with
+    only_positive_sign=true (ReadFromMergeTree.cpp:1373) — rows whose
+    sign sum is negative are skipped; only the last +1 state of each
+    surviving key emits."""
     ev = _cat(spark, sf_dir).events
     signed = (ev.filter(F.col("event_type").isin("signup", "error"))
               .select("user_id", "event_id", "value",
