@@ -800,19 +800,23 @@ _RULES: dict = {
     "grouparray": _fn("collect_list"), "groupuniqarray": _fn("collect_set"),
     # multi-argument uniq counts distinct TUPLES (AggregateFunctionUniq
     # variadic form) — struct-wrap so approx_count_distinct's second
-    # parameter (rsd) is not hijacked
+    # parameter (rsd) is not hijacked.  rsd 0.01 keeps small
+    # cardinalities EXACT via the linear-counting range (the
+    # reference's uniq/uniqCombined are exact below their sampling
+    # thresholds — golden 00700 expects 101, not ±5%) at ~3 KB of
+    # sketch per group
     "uniq": lambda a: (
-        f"approx_count_distinct({a[0]})" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}))"),
+        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
     "uniqcombined": lambda a: (
-        f"approx_count_distinct({a[0]})" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}))"),
+        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
     "uniqcombined64": lambda a: (
-        f"approx_count_distinct({a[0]})" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}))"),
+        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
     "uniqhll12": lambda a: (
-        f"approx_count_distinct({a[0]})" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}))"),
+        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
+        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
     "uniqtheta": _fn("approx_count_distinct"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "countif": _fn("count_if"),
@@ -1098,7 +1102,8 @@ _RULES["trunc"] = lambda a: (
     f"/ power(10, {a[1]}))")
 _RULES["truncate"] = _RULES["trunc"]
 
-_RULES["medianexact"] = lambda a: f"percentile({a[0]}, 0.5)"
+_RULES["medianexact"] = (
+    lambda a: _PARAMETRIC["quantileexact"](["0.5"], a))
 _RULES["mediantiming"] = lambda a: f"percentile({a[0]}, 0.5)"
 _RULES["medianbfloat16"] = lambda a: f"percentile({a[0]}, 0.5)"
 _RULES["mediandeterministic"] = lambda a: f"percentile({a[0]}, 0.5)"
@@ -1886,7 +1891,8 @@ def _ch_type_ddl(t: str):
     low = t.lower()
     if low in _CH_SCALAR_DDL:
         return _CH_SCALAR_DDL[low]
-    if re.fullmatch(r"(?i)FixedString\s*\(\s*\d+\s*\)", t):
+    if re.fullmatch(r"(?i)(FixedString|Binary)\s*\(\s*\d+\s*\)", t):
+        # BINARY(N) is MySQL-compat for FixedString(N) (golden 02969)
         return "STRING"
     if re.fullmatch(r"(?is)Enum(8|16)?\s*\(.*\)", t):
         return "STRING"              # enums carry their string value
@@ -2646,7 +2652,13 @@ for _base in ("sum", "avg", "min", "max", "count"):
 # Parametric aggregates f(params)(args) -> spark form
 _PARAMETRIC: dict = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
-    "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # quantileExact is the ELEMENT at index level*size (truncated),
+    # NOT an interpolation (QuantileExact.h:96 nth_element)
+    "quantileexact": lambda p, a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"CAST(least(floor(({p[0]}) * "
+        f"size(collect_list({a[0]}))), "
+        f"size(collect_list({a[0]})) - 1) AS INT) + 1)"),
     "quantiletdigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiledd": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
@@ -2757,7 +2769,8 @@ _PARAMETRIC: dict = {
     "quantiletdigestweighted": lambda p, a: (
         f"percentile({a[0]}, {p[0]}, CAST({a[1]} AS BIGINT))"),
     "quantilesexact": lambda p, a: (
-        f"percentile({a[0]}, array({', '.join(p)}))"),
+        "array(" + ", ".join(
+            _PARAMETRIC["quantileexact"]([pp], a) for pp in p) + ")"),
     # ExactInclusive IS the R-7 interpolation percentile computes;
     # the exclusive plural maps each level through the single-level
     # exclusive rewrite
@@ -2831,6 +2844,23 @@ _PARAMETRIC["quantileexacthigh"] = lambda p, a: (
     if p[0].strip() != "0.5" else
     f"element_at(array_sort(collect_list({a[0]})), "
     f"CAST(floor(size(collect_list({a[0]})) / 2) AS INT) + 1)")
+
+# uniqCombined(K)(x): K is the HLL cache-size/precision knob
+# (AggregateFunctionUniqCombined.cpp) — the estimate contract is the
+# same approx-count; the parameter drops
+_PARAMETRIC["uniqcombined"] = lambda p, a: (
+    f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
+    else f"approx_count_distinct(struct({', '.join(a)}), 0.01)")
+_PARAMETRIC["uniqcombined64"] = _PARAMETRIC["uniqcombined"]
+
+# plural spellings map each level through the single-level rewrite
+# (AggregateFunctionQuantile.cpp registers Low/High plural variants)
+_PARAMETRIC["quantilesexactlow"] = lambda p, a: (
+    "array(" + ", ".join(
+        _PARAMETRIC["quantileexactlow"]([pp], a) for pp in p) + ")")
+_PARAMETRIC["quantilesexacthigh"] = lambda p, a: (
+    "array(" + ", ".join(
+        _PARAMETRIC["quantileexacthigh"]([pp], a) for pp in p) + ")")
 
 # reference registers approx_top_k/approx_top_sum as aliases of
 # topK/topKWeighted (src/AggregateFunctions/AggregateFunctionTopK.cpp)
@@ -3032,11 +3062,42 @@ def _validate_vector_similarity_index(text: str) -> None:
                 raise ValueError(
                     "vector_similarity: quantization must be one of "
                     "f64/f32/f16/bf16/i8 (reference INCORRECT_DATA)")
-            for a in args[4:6]:
-                if not re.fullmatch(r"\d+", a) or int(a) == 0:
+            if not re.fullmatch(r"\d+", args[4]) or int(args[4]) <= 1:
+                raise ValueError(
+                    "vector_similarity: M must be a UInt64 > 1 "
+                    "(reference INCORRECT_DATA)")
+            if not re.fullmatch(r"\d+", args[5]) or int(args[5]) == 0:
+                raise ValueError(
+                    "vector_similarity: ef_construction must be a "
+                    "UInt64 > 0 (reference INCORRECT_DATA)")
+        # single-column contract + Array(Float32|Float64|BFloat16)
+        # column type (MergeTreeIndexVectorSimilarity.cpp
+        # ILLEGAL_COLUMN / INCORRECT_NUMBER_OF_COLUMNS)
+        im = re.search(r"(?is)\bINDEX\s+\w+\s+(.*?)\s+TYPE\s+"
+                       r"vector_similarity\b",
+                       text[:m.start() + 20])
+        if im is not None:
+            expr = im.group(1).strip()
+            if expr.startswith("(") and expr.endswith(")") \
+                    and len(_split_top_commas(expr[1:-1])) > 1:
+                raise ValueError(
+                    "vector_similarity index must be created on a "
+                    "single column (reference "
+                    "INCORRECT_NUMBER_OF_COLUMNS)")
+            col = expr.strip("()` ")
+            if re.fullmatch(r"\w+", col):
+                dm = re.search(
+                    rf"(?is)[(,]\s*`?{re.escape(col)}`?\s+"
+                    rf"([A-Za-z]\w*(?:\s*\((?:[^()]|\([^()]*\))*\))?)",
+                    text)
+                if dm is not None and not re.fullmatch(
+                        r"(?i)Array\s*\(\s*"
+                        r"(Float32|Float64|BFloat16)\s*\)",
+                        dm.group(1).strip()):
                     raise ValueError(
-                        "vector_similarity: M/ef_construction must "
-                        "be UInt64 > 0 (reference INCORRECT_DATA)")
+                        "vector_similarity index requires an "
+                        "Array(Float32|Float64|BFloat16) column "
+                        "(reference ILLEGAL_COLUMN)")
 
 
 def _validate_codecs(text: str) -> None:
@@ -3510,6 +3571,206 @@ def _rewrite_groupby_alias_shadow(sql: str) -> str:
     if [i.strip() for i in items] == new_items:
         return sql
     return (sql[:gm.end()] + ", ".join(new_items) + " " + sql[end:])
+
+
+_CANON_CH_SCALARS = {
+    "int8": "Int8", "int16": "Int16", "int32": "Int32",
+    "int64": "Int64", "int128": "Int128", "int256": "Int256",
+    "uint8": "UInt8", "uint16": "UInt16", "uint32": "UInt32",
+    "uint64": "UInt64", "uint128": "UInt128", "uint256": "UInt256",
+    "float32": "Float32", "float64": "Float64", "string": "String",
+    "date": "Date", "date32": "Date32", "datetime": "DateTime",
+    "bool": "Bool", "boolean": "Bool", "uuid": "UUID", "json": "JSON",
+    # MySQL compatibility aliases (golden 02969)
+    "double": "Float64", "real": "Float32", "char": "String",
+    "signed": "Int64", "unsigned": "UInt64", "year": "UInt16",
+    "decimal": "Decimal(10, 0)", "ipv4": "IPv4", "ipv6": "IPv6",
+}
+
+
+def _canon_ch_type(t: str):
+    """Canonical reference NAME of a statically-declared CH type
+    (IDataType::getName): DecimalNN(S) -> Decimal(P, S)
+    (DataTypesDecimal.cpp:30), BINARY(N) -> FixedString(N), MySQL
+    CAST aliases to their native types.  None when the spelling
+    isn't confidently canonicalizable (caller keeps runtime typing)."""
+    t = t.strip()
+    low = t.lower()
+    if low in _CANON_CH_SCALARS:
+        return _CANON_CH_SCALARS[low]
+    m = re.fullmatch(r"(?is)(Nullable|LowCardinality|Array)\s*\((.*)\)",
+                     t)
+    if m:
+        inner = _canon_ch_type(m.group(2))
+        head = {"nullable": "Nullable", "lowcardinality":
+                "LowCardinality", "array": "Array"}[m.group(1).lower()]
+        return f"{head}({inner})" if inner else None
+    m = re.fullmatch(r"(?i)(?:Binary|FixedString)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        return f"FixedString({m.group(1)})"
+    m = re.fullmatch(r"(?i)Decimal\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+                     t)
+    if m:
+        return f"Decimal({m.group(1)}, {int(m.group(2) or 0)})"
+    m = re.fullmatch(r"(?i)Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        p = {"32": 9, "64": 18, "128": 38, "256": 76}[m.group(1)]
+        return f"Decimal({p}, {m.group(2)})"
+    m = re.fullmatch(r"(?i)DateTime64\s*\(\s*(\d+)\s*"
+                     r"(?:,\s*'([^']*)'\s*)?\)", t)
+    if m:
+        return (f"DateTime64({m.group(1)}, '{m.group(2)}')"
+                if m.group(2) else f"DateTime64({m.group(1)})")
+    m = re.fullmatch(r"(?i)DateTime\s*\(\s*'([^']*)'\s*\)", t)
+    if m:
+        return f"DateTime('{m.group(1)}')"
+    return None
+
+
+def _cast_declared_type(expr: str):
+    """The statically-declared CH type of ``expr`` when it is a
+    CAST(x AS T) / x::T at its top level, else None."""
+    s = expr.strip()
+    while s.startswith("(") and s.endswith(")") \
+            and _balanced(s[1:-1]):
+        s = s[1:-1].strip()
+    m = re.match(r"(?is)^CAST\s*\(", s)
+    if m and s.endswith(")") and _balanced(s[m.end():-1]):
+        inner = s[m.end():-1]
+        # last top-level ' AS ' inside the cast parens carries the type
+        last = None
+        for am in re.finditer(r"(?i)\sAS\s", inner):
+            if am.start() in _top_level_set(inner):
+                last = am
+        if last is not None:
+            return inner[last.end():].strip()
+        # two-arg form CAST(x, 'T')
+        parts = _split_top_commas(inner)
+        if len(parts) == 2 and re.fullmatch(r"\s*'[^']*'\s*", parts[1]):
+            return parts[1].strip().strip("'")
+        return None
+    m = re.search(r"::\s*([A-Za-z]\w*(?:\s*\((?:[^()]|\([^()]*\))*\))?)"
+                  r"\s*$", s)
+    if m and m.start() in _top_level_set(s):
+        return m.group(1)
+    return None
+
+
+def _balanced(s: str) -> bool:
+    d = 0
+    for c in s:
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+            if d < 0:
+                return False
+    return d == 0
+
+
+def _fold_totypename_static(sql: str) -> str:
+    """toTypeName over a statically-declared CAST folds to the
+    DECLARED type name at translation time (the reference resolves
+    toTypeName on the compile-time header, QueryAnalyzer) — the
+    runtime carrier cannot distinguish e.g. FixedString(3) from
+    String or the declared Decimal(4, 2) from its storage width
+    (golden 02969_mysql_cast_type_aliases)."""
+    if not re.search(r"(?i)\btoTypeName\s*\(", sql):
+        return sql
+    # alias -> canonical declared type (single-SELECT statements only:
+    # alias scoping across subqueries isn't tracked here)
+    alias_types: dict[str, str] = {}
+    if len(re.findall(r"(?i)\bSELECT\b", sql)) == 1:
+        pm = re.match(r"(?is)^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql)
+        if pm is not None:
+            proj = pm.group(1)
+            ptops = _top_level_set(proj)
+            fm = next((m for m in re.finditer(r"(?i)\bFROM\b", proj)
+                       if m.start() in ptops), None)
+            for it in _split_top_commas(proj[:fm.start()] if fm
+                                        else proj):
+                am = re.search(r"(?is)^(.*\S)\s+AS\s+`?(\w+)`?\s*$",
+                               it.strip())
+                if am is None:
+                    continue
+                dt = _cast_declared_type(am.group(1))
+                canon = _canon_ch_type(dt) if dt else None
+                if canon:
+                    alias_types[am.group(2).lower()] = canon
+    out, pos = sql, 0
+    while True:
+        m = re.search(r"(?i)\btoTypeName\s*\(", out[pos:])
+        if m is None:
+            break
+        start = pos + m.start()
+        open_i = pos + m.end() - 1
+        depth, j = 1, open_i + 1
+        while j < len(out) and depth:
+            if out[j] == "'":
+                k = j + 1
+                while k < len(out) and out[k] != "'":
+                    k += 2 if out[k] == "\\" else 1
+                j = k
+            elif out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+            j += 1
+        arg = out[open_i + 1:j - 1].strip()
+        canon = None
+        if re.fullmatch(r"`?\w+`?", arg):
+            canon = alias_types.get(arg.strip("`").lower())
+        else:
+            dt = _cast_declared_type(arg)
+            canon = _canon_ch_type(dt) if dt else None
+        if canon:
+            repl = f"'{canon}'"
+            out = out[:start] + repl + out[j:]
+            pos = start + len(repl)
+        else:
+            pos = j
+    return out
+
+
+_DECIMAL_DIV_HEAD_RE = re.compile(
+    r"(?i)\btoDecimal(32|64|128|256)\s*\(")
+
+
+def _rewrite_decimal_div(sql: str) -> str:
+    """CH decimal division TRUNCATES toward zero at the dividend's
+    scale (DecimalBinaryOperation.h DivideImpl — integer division of
+    the scaled value); Spark rounds HALF_UP.  For the statically-
+    typed ``toDecimalNN(x, s) / <int>`` shape, compute via integral
+    `div` on the scaled value (exact: scaling and the final
+    power-of-ten division are exact in decimal)."""
+    out = sql
+    pos = 0
+    while True:
+        m = _DECIMAL_DIV_HEAD_RE.search(out, pos)
+        if m is None:
+            break
+        open_i = out.index("(", m.end() - 1)
+        end_i = _matching_paren(out, open_i)
+        if end_i < 0:
+            pos = m.end()
+            continue
+        tail = out[end_i + 1:]
+        dm = re.match(r"\s*/\s*(\d+)(?![\d.])", tail)
+        args = _split_top_commas(out[open_i + 1:end_i])
+        if dm is None or len(args) != 2 \
+                or not re.fullmatch(r"\s*\d+\s*", args[1]):
+            pos = m.end()
+            continue
+        s = int(args[1])
+        divisor = dm.group(1)
+        p = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
+        call = out[m.start():end_i + 1]
+        repl = (f"CAST((CAST(({call}) * {10 ** s} AS DECIMAL(38,0)) "
+                f"div {divisor}) / {10 ** s} AS DECIMAL({p},{s}))")
+        out = (out[:m.start()] + repl
+               + out[end_i + 1 + dm.end():])
+        pos = m.start() + len(repl)
+    return out
 
 
 def _top_level_arrow(s: str) -> bool:
@@ -5816,6 +6077,11 @@ _CH_CAST_TYPES = {
     # stores UInt32/FixedString(16) and renders on output; validation
     # via toIPv4OrNull/toIPv6OrNull)
     "ipv4": "STRING", "ipv6": "STRING",
+    # MySQL CAST aliases (reference registerTypeMySQL /
+    # DataTypeFactory mysql compatibility names — golden 02969):
+    # CHAR→String, SIGNED→Int64, UNSIGNED→UInt64, YEAR→UInt16
+    "char": "STRING", "signed": "BIGINT",
+    "unsigned": "DECIMAL(20,0)", "year": "INT",
 }
 _CAST_TYPE_RE = re.compile(
     r"(\bAS\s+)(" + "|".join(_CH_CAST_TYPES) + r")\b(\s*\))",
@@ -6007,12 +6273,12 @@ def _ch_type_to_sql(t: str) -> str:
 
 _COLONCOLON_COMPLEX_RE = re.compile(
     r"::\s*(Nullable|LowCardinality|Array|Tuple|Nested|Map|Decimal|Decimal32|"
-    r"Decimal64|Decimal128|FixedString|DateTime64|DateTime|Enum8|Enum16|Enum)"
-    r"\s*\(", re.IGNORECASE)
+    r"Decimal64|Decimal128|FixedString|Binary|DateTime64|DateTime|Enum8|"
+    r"Enum16|Enum)\s*\(", re.IGNORECASE)
 _CAST_AS_COMPLEX_RE = re.compile(
     r"(\bAS\s+)(Nullable|LowCardinality|Array|Tuple|Nested|Map|Decimal|"
-    r"Decimal32|Decimal64|Decimal128|FixedString|DateTime64|DateTime|Enum8|"
-    r"Enum16|Enum)\s*\(", re.IGNORECASE)
+    r"Decimal32|Decimal64|Decimal128|FixedString|Binary|DateTime64|DateTime|"
+    r"Enum8|Enum16|Enum)\s*\(", re.IGNORECASE)
 
 
 def _rewrite_cast_types(sql: str) -> str:
@@ -7602,6 +7868,9 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_groupby_item_aliases(sql)
     sql = _rewrite_groupby_alias_shadow(sql)
+    sql = _fold_totypename_static(sql)
+    if "/" in sql and "toDecimal" in sql.replace(" ", ""):
+        sql = _rewrite_decimal_div(sql)
     sql = _rewrite_inline_aliases(sql)
     sql = _rewrite_null_coalesce_op(sql)
     sql = _rewrite_ternary(sql)
@@ -9711,6 +9980,35 @@ def _ch_sql_impl(spark, sql: str,
                 sample_by[_tn] = _se
                 # FINAL routing reads through the <name>__final view
                 sample_by.setdefault(f"{_tn}__final", _se)
+    if tables and re.search(r"(?i)\b(corr|covarPop|covarSamp)"
+                            r"(Stable)?\s*\(", text):
+        # corr/covar reject Decimal arguments (AggregateFunctionsStat
+        # isFinite templates take Float-convertible only — reference
+        # ILLEGAL_TYPE_OF_ARGUMENT, golden 00700_decimal_aggregates;
+        # var/stddev DO take decimals)
+        fm0 = re.search(r"(?i)\bFROM\s+`?(\w+)`?", text)
+        dec_cols: set = set()
+        if fm0 is not None:
+            try:
+                from pyspark.sql import types as _T
+                for f0 in spark.table(fm0.group(1)).schema.fields:
+                    if isinstance(f0.dataType, _T.DecimalType) \
+                            and (f0.dataType.precision,
+                                 f0.dataType.scale) not in (
+                                     (20, 0), (38, 0)):
+                        # (20,0)/(38,0) are the UInt64/Int128 integer
+                        # carriers — corr over those is legal
+                        dec_cols.add(f0.name)
+            except Exception:
+                pass
+        if dec_cols:
+            for m0 in re.finditer(r"(?i)\b(?:corr|covarPop|covarSamp)"
+                                  r"(?:Stable)?\s*\(([^()]*)\)", text):
+                if any(a.strip().strip("`") in dec_cols
+                       for a in m0.group(1).split(",")):
+                    raise ValueError(
+                        "corr/covar over Decimal arguments (reference "
+                        "ILLEGAL_TYPE_OF_ARGUMENT) — cast to Float64")
     if "tupletonamevaluepairs" in text.lower():
         text = _rewrite_tuple_nvp(spark, text, tables)
     # refresh the Dynamic-subcolumn rewrite context from this
@@ -11327,8 +11625,9 @@ def _spark_type_str_to_ch(s: str) -> str:
             return "UInt64"
         if (p, sc) == (38, 0):
             return "Int128"
-        width = 32 if p <= 9 else 64 if p <= 18 else 128
-        return f"Decimal{width}({sc})"
+        # canonical render (DataTypesDecimal.cpp:30 getName —
+        # "Decimal(P, S)", never the DecimalNN(S) spelling)
+        return f"Decimal({p}, {sc})"
     m = re.fullmatch(r"(?s)array<(.*)>", low)
     if m:
         return f"Array({_spark_type_str_to_ch(m.group(1))})"
@@ -11385,8 +11684,8 @@ def _spark_type_to_ch(dt) -> str:
             return "UInt64"
         if (p, sc) == (38, 0):
             return "Int128"
-        width = 32 if p <= 9 else 64 if p <= 18 else 128
-        return f"Decimal{width}({sc})"
+        # canonical render (DataTypesDecimal.cpp:30 getName)
+        return f"Decimal({p}, {sc})"
     from pyspark.sql import types as T
     if isinstance(dt, T.ArrayType):
         return f"Array({_spark_type_to_ch(dt.elementType)})"
@@ -11471,9 +11770,22 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
                 return [_fill_empty(x, path + ("[]",), known)
                         for x in v]
             return v
+        def _reject_dup_pairs(pairs):
+            seen = set()
+            for k, _v in pairs:
+                if k in seen:
+                    # JSONEachRowRowInputFormat seen-fields check /
+                    # nested-object tuple parse (golden 03284)
+                    raise _DuplicateJsonKey(
+                        f"duplicate key {k!r} in JSON object "
+                        f"(reference INCORRECT_DATA)")
+                seen.add(k)
+            return dict(pairs)
+
         try:
             objs = []
-            dec2 = _json2.JSONDecoder()
+            dec2 = _json2.JSONDecoder(
+                object_pairs_hook=_reject_dup_pairs)
             i2 = 0
             while i2 < len(data):
                 if data[i2] in " \t\n\r,":
@@ -11487,6 +11799,8 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
                     _nonempty_paths(o, (), known)
                 objs = [_fill_empty(o, (), known) for o in objs]
             data = "\n".join(_json2.dumps(o) for o in objs)
+        except _DuplicateJsonKey:
+            raise
         except Exception:
             pass
     d = tempfile.mkdtemp(prefix="ch_format_tvf_")
@@ -11504,6 +11818,12 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
     read_format(spark, d, fmt, **extra).createOrReplaceTempView(view)
     return _rewrite_format_tvf(
         spark, sql[:m.start()] + f"{m.group(1)} {view}" + sql[after:])
+
+
+class _DuplicateJsonKey(ValueError):
+    """Duplicate key inside a JSON object on a READ path (the
+    reference's INCORRECT_DATA; DESC inference instead decays the
+    field per the ambiguous-paths setting)."""
 
 
 def _desc_jsoneachrow_infer(spark, data: str):

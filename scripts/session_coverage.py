@@ -376,6 +376,7 @@ def main() -> int:
     mismatch_sigs: Counter = Counter()
     mismatch_examples: dict[str, tuple] = {}
     examples: dict[str, str] = {}
+    file_verdicts: dict[str, dict] = {}
     n_files = 0
     for f in files:
         try:
@@ -399,6 +400,7 @@ def main() -> int:
         tables: dict = {}
         settings: dict = {}
         had_error = False
+        first_err = None
         verifiable = True
         echo_mode = bool(re.search(r"--\s*\{\s*echo", text))
         echo_active = False
@@ -434,6 +436,9 @@ def main() -> int:
                 sigs[kind][sig] += 1
                 examples.setdefault(sig, stmt[:200])
                 had_error = True
+                if first_err is None:
+                    first_err = f"{kind}:{sig.strip()[:120]} " \
+                                f"| {' '.join(stmt.split())[:160]}"
             if out is None:
                 verifiable = False
             else:
@@ -456,26 +461,34 @@ def main() -> int:
         golden_path = f[:-4] + ".reference"
         if had_error:
             verdicts["ERROR"] += 1
+            file_verdicts[base] = {"verdict": "ERROR",
+                                   "err": first_err}
             continue
         if not verifiable or not os.path.exists(golden_path):
             verdicts["RAN"] += 1
+            file_verdicts[base] = {"verdict": "RAN"}
             continue
         golden = open(golden_path, encoding="utf-8",
                       errors="replace").read()
         actual = "".join(out_parts)
         if actual.rstrip("\n") == golden.rstrip("\n"):
             verdicts["VERIFIED"] += 1
+            file_verdicts[base] = {"verdict": "VERIFIED"}
         elif sorted(actual.rstrip("\n").split("\n")) \
                 == sorted(golden.rstrip("\n").split("\n")):
             verdicts["VERIFIED_UNORDERED"] += 1
+            file_verdicts[base] = {"verdict": "VERIFIED_UNORDERED"}
         else:
             verdicts["MISMATCH"] += 1
             d = first_diff(actual.rstrip("\n"), golden.rstrip("\n"))
+            file_verdicts[base] = {"verdict": "MISMATCH"}
             if d:
                 line_no, got, want = d
                 key = f"want={want[:60]!r} got={got[:60]!r}"
                 mismatch_sigs[key] += 1
                 mismatch_examples.setdefault(key, (base, line_no))
+                file_verdicts[base].update(
+                    line=line_no, want=want[:200], got=got[:200])
 
     ran = sum(counts[k] for k in
               ("OK", "UNEXPECTED_OK", "FRONTEND", "ANALYSIS", "EXEC"))
@@ -509,6 +522,10 @@ def main() -> int:
         for s, c in sigs[kind].most_common(15):
             print(f"{c:5}  {s}")
             print(f"       e.g. {examples.get(s, '')[:150]}")
+    import json
+    with open("/tmp/sweep_file_verdicts.json", "w") as fh:
+        json.dump(file_verdicts, fh, indent=1, sort_keys=True)
+    print("\nper-file verdicts -> /tmp/sweep_file_verdicts.json")
     return 0
 
 
