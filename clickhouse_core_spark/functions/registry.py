@@ -2074,11 +2074,14 @@ def _extract_all_groups(s, pattern: str, horizontal: bool = False):
     per_group = [F.regexp_extract_all(_c(s), F.lit(pattern), i + 1)
                  for i in range(ngroups)]
     if horizontal:
-        return F.array(*per_group)
-    zipped = F.arrays_zip(*[g.alias(f"g{i}") for i, g in
-                            enumerate(per_group)])
-    return F.transform(zipped, lambda st: F.array(
-        *[st[f"g{i}"] for i in range(ngroups)]))
+        out = F.array(*per_group)
+    else:
+        zipped = F.arrays_zip(*[g.alias(f"g{i}") for i, g in
+                                enumerate(per_group)])
+        out = F.transform(zipped, lambda st: F.array(
+            *[st[f"g{i}"] for i in range(ngroups)]))
+    # Nullable haystack propagates NULL (golden 01883: NULL, not [])
+    return F.when(_c(s).isNull(), F.lit(None)).otherwise(out)
 
 
 def _json_merge_patch_udf():

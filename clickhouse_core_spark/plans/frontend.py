@@ -805,18 +805,30 @@ _RULES: dict = {
     # reference's uniq/uniqCombined are exact below their sampling
     # thresholds — golden 00700 expects 101, not ±5%) at ~3 KB of
     # sketch per group
+    # the sketch hashes CAST(x AS STRING): Spark's native hash of
+    # NESTED containers drops length boundaries ([['a','b']] and
+    # [['a'],['b']] collide — golden 00666), while the display render
+    # is injective within a column's type
     "uniq": lambda a: (
-        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
+        f"approx_count_distinct(CAST({a[0]} AS STRING), 0.01)"
+        if len(a) == 1 else
+        f"approx_count_distinct(CAST(struct({', '.join(a)}) "
+        f"AS STRING), 0.01)"),
     "uniqcombined": lambda a: (
-        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
+        f"approx_count_distinct(CAST({a[0]} AS STRING), 0.01)"
+        if len(a) == 1 else
+        f"approx_count_distinct(CAST(struct({', '.join(a)}) "
+        f"AS STRING), 0.01)"),
     "uniqcombined64": lambda a: (
-        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
+        f"approx_count_distinct(CAST({a[0]} AS STRING), 0.01)"
+        if len(a) == 1 else
+        f"approx_count_distinct(CAST(struct({', '.join(a)}) "
+        f"AS STRING), 0.01)"),
     "uniqhll12": lambda a: (
-        f"approx_count_distinct({a[0]}, 0.01)" if len(a) == 1
-        else f"approx_count_distinct(struct({', '.join(a)}), 0.01)"),
+        f"approx_count_distinct(CAST({a[0]} AS STRING), 0.01)"
+        if len(a) == 1 else
+        f"approx_count_distinct(CAST(struct({', '.join(a)}) "
+        f"AS STRING), 0.01)"),
     "uniqtheta": _fn("approx_count_distinct"),
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "countif": _fn("count_if"),
@@ -1974,6 +1986,21 @@ def _jsonextract_typed(a):
     ddl = _ch_type_ddl(ty[1:-1])
     raw = (f"get_json_object({a[0]}, {_json_path(a[:-1])})"
            if len(a) > 2 else a[0])
+    fsm = re.fullmatch(
+        r"(?is)(?:LowCardinality\s*\(\s*)?FixedString\s*\(\s*(\d+)"
+        r"\s*\)\s*\)?", ty[1:-1].strip())
+    if fsm:
+        # FixedString(N) return type (FunctionsJSON.cpp
+        # JSONExtractFixedStringImpl): the value's canonical text,
+        # zero-PADDED to N; longer-than-N (or absent) yields the
+        # default — N zero bytes.  Whole-document extraction uses the
+        # compact canonical render.
+        n = int(fsm.group(1))
+        base = (raw if len(a) > 2
+                else f"to_json(parse_json({a[0]}))")
+        return (f"CASE WHEN {base} IS NULL OR length({base}) > {n} "
+                f"THEN repeat(chr(0), {n}) "
+                f"ELSE rpad({base}, {n}, chr(0)) END")
     if ddl is None:
         # Map(K, Tuple(...)) with an UNNAMED tuple value (golden
         # 00918: 'Map(String, Tuple(String, Float64))') — parse the
@@ -3016,6 +3043,56 @@ _CODEC_ARITY = {
     "default": (0, 0, None), "deflate_qpl": (0, 0, None),
     "aes_128_gcm_siv": (0, 0, None), "aes_256_gcm_siv": (0, 0, None),
 }
+
+
+_CODEC_CANON_NAMES = {
+    "none": "NONE", "lz4": "LZ4", "lz4hc": "LZ4HC", "zstd": "ZSTD",
+    "zstd_qat": "ZSTD_QAT", "delta": "Delta",
+    "doubledelta": "DoubleDelta", "gorilla": "Gorilla", "fpc": "FPC",
+    "t64": "T64", "gcd": "GCD", "default": "Default",
+    "deflate_qpl": "DEFLATE_QPL", "aes_128_gcm_siv": "AES_128_GCM_SIV",
+    "aes_256_gcm_siv": "AES_256_GCM_SIV",
+}
+
+
+def _type_byte_width(t: str) -> int:
+    """Fixed byte width of a CH scalar type (ICompressionCodec
+    getDeltaBytesSize default — non-fixed types fall back to 1)."""
+    m = re.match(r"(?i)\s*(?:Nullable\s*\(\s*|LowCardinality\s*\(\s*)*"
+                 r"(?:U?Int|Float|Decimal)(8|16|32|64)", t)
+    if m:
+        return int(m.group(1)) // 8
+    if re.match(r"(?i)\s*\W*DateTime64", t):
+        return 8
+    if re.match(r"(?i)\s*\W*DateTime", t):
+        return 4
+    if re.match(r"(?i)\s*\W*Date32", t):
+        return 4
+    if re.match(r"(?i)\s*\W*Date\b", t):
+        return 2
+    return 1
+
+
+def _canon_codec_text(inner: str, col_type: str) -> str:
+    """Canonical render of a CODEC(...) item list the way SHOW
+    CREATE / DESCRIBE print it (CompressionCodecFactory
+    getCodecDesc): canonical name casing, bare Delta gains the
+    column type's byte width (golden 01455 `Delta, Default` ->
+    `Delta(8), Default` on UInt64)."""
+    out = []
+    for it in _split_top_commas(inner):
+        it = it.strip()
+        nm = re.match(r"[A-Za-z_][\w]*", it)
+        if nm is None:
+            out.append(it)
+            continue
+        canon = _CODEC_CANON_NAMES.get(nm.group(0).lower(),
+                                       nm.group(0))
+        args = it[nm.end():].strip()
+        if not args and canon == "Delta":
+            args = f"({_type_byte_width(col_type)})"
+        out.append(canon + args)
+    return ", ".join(out)
 
 
 def _validate_vector_similarity_index(text: str) -> None:
@@ -7413,12 +7490,33 @@ def _rewrite_numbers_tvf(sql: str) -> str:
         if end_i < 0:
             break
         args = _split_top_commas(sql[open_i + 1:end_i])
+
+        def _shard_count(addr: str) -> int:
+            # '127.0.0.{1,2,3}' fans out to one read PER SHARD
+            # (comma-separated); '|' separates REPLICAS of one shard
+            # — a single read (TableFunctionRemote address patterns)
+            n = 1
+            for g in re.findall(r"\{([^}]*)\}", addr.strip("'\" ")):
+                rm9 = re.fullmatch(r"(\d+)\.\.(\d+)", g.strip())
+                if rm9:
+                    n *= abs(int(rm9.group(2)) - int(rm9.group(1))) + 1
+                elif "," in g:
+                    n *= len(g.split(","))
+            return n
+
+        shards = (_shard_count(args[0])
+                  if args and m.group(1).lower().startswith("remote")
+                  else 1)
         tbl = None
         if len(args) >= 2:
             a1 = args[1].strip()
             if re.match(r"(?is)^\(\s*SELECT\b", a1):
                 # table-function argument (numbers(...) already
-                # rewritten to a subquery): the remote read IS it
+                # rewritten to a subquery): the remote read IS it,
+                # once per addressed shard
+                if shards > 1:
+                    a1 = ("(" + " UNION ALL ".join(
+                        [f"SELECT * FROM {a1}"] * shards) + ")")
                 sql = sql[:pos + m.start()] + a1 + sql[end_i + 1:]
                 pos = pos + m.start() + len(a1)
                 continue
@@ -7435,6 +7533,9 @@ def _rewrite_numbers_tvf(sql: str) -> str:
             continue
         repl = (f"system.{tbl}" if args[1].strip().strip("'\"")
                 .startswith("system.") else f"`{tbl}`")
+        if shards > 1:
+            repl = ("(" + " UNION ALL ".join(
+                [f"SELECT * FROM {repl}"] * shards) + ")")
         sql = sql[:pos + m.start()] + repl + sql[end_i + 1:]
         pos = pos + m.start() + len(repl)
     # system.numbers is the unbounded variant, always consumed under a
@@ -10720,10 +10821,132 @@ def _ch_sql_impl(spark, sql: str,
             filled = filled.limit(limit_n)
         return filled
     translated = translate_ch_sql(text, sample_by=sample_by)
+    if re.search(r"(?i)\bGROUPING\s+SETS\b", translated):
+        translated = _grouping_sets_key_defaults(
+            spark, translated, tables)
     if _QUERY_LOG:
         _QUERY_LOG[-1][3] = " ".join(translated.split())
     df = _run_sql(spark, translated)
     return _keyless_identity_defaults_df(df, translated, tables)
+
+
+def _grouping_sets_key_defaults(spark, translated: str, tables):
+    """CH fills grouping keys ABSENT from a grouping set with the
+    column type's DEFAULT (0 / '' — non-Nullable key columns cannot
+    hold NULL, GroupingSetsTransform), where Spark emits NULL (the
+    SQL-standard shape).  Wrap bare-column key projections in
+    coalesce(col, default) when the column is not declared Nullable
+    (golden 01883_grouping_sets_crash: want `0 0`, not a NULL row)."""
+    tops = _top_level_set(translated)
+    gm = next((m for m in re.finditer(r"(?i)\bGROUPING\s+SETS\s*\(",
+                                      translated)
+               if m.start() in tops), None)
+    pm = re.match(r"(?is)^\s*SELECT\s+(?:DISTINCT\s+)?", translated)
+    if gm is None or pm is None:
+        return translated
+    gs_end = _matching_paren(translated, translated.index(
+        "(", gm.end() - 1))
+    gs_text = translated[gm.end():gs_end] if gs_end > 0 else ""
+    fm = next((m for m in re.finditer(
+        r"(?i)\bFROM\s+`?(\w+)`?", translated)
+        if m.start() in tops), None)
+    if fm is None:
+        return translated
+    try:
+        schema = {f.name: f.dataType
+                  for f in spark.table(fm.group(1)).schema.fields}
+    except Exception:
+        return translated
+    t = (tables or {}).get(fm.group(1))
+    decl_rec = ((tables or {}).get("__decl__") or {}).get(fm.group(1))
+    if t is None and decl_rec is None:
+        # only DECLARED tables carry non-Nullable metadata; a bare
+        # catalog view's parquet columns may hold genuine NULL groups
+        return translated
+    nullc = set(getattr(t, "nullable_cols", None) or set())
+    nullc |= set((decl_rec or {}).get("nullable") or set())
+    from pyspark.sql import types as _T
+    proj_end = next((m.start() for m in re.finditer(
+        r"(?i)\bFROM\b", translated) if m.start() in tops),
+        len(translated))
+    items = _split_top_commas(translated[pm.end():proj_end])
+    out_items = []
+    changed = False
+    for it in items:
+        im = re.fullmatch(r"\s*`?(\w+)`?\s*(?:AS\s+`?(\w+)`?\s*)?", it,
+                          re.IGNORECASE)
+        c = im.group(1) if im else None
+        if (c and c in schema and c not in nullc
+                and re.search(rf"(?<![\w.`]){re.escape(c)}(?![\w`(])",
+                              gs_text)):
+            dt = schema[c]
+            if isinstance(dt, _T.StringType):
+                d = "''"
+            elif isinstance(dt, (_T.DateType,)):
+                d = "DATE '1970-01-01'"
+            elif isinstance(dt, (_T.TimestampType,
+                                 _T.TimestampNTZType)):
+                d = "TIMESTAMP '1970-01-01 00:00:00'"
+            elif isinstance(dt, _T.NumericType):
+                d = "0"
+            else:
+                out_items.append(it.strip())
+                continue
+            alias = (im.group(2) or c)
+            out_items.append(f"coalesce({c}, {d}) AS `{alias}`")
+            changed = True
+        else:
+            out_items.append(it.strip())
+    out = (translated[:pm.end()] + ", ".join(out_items) + " "
+           + translated[proj_end:]) if changed else translated
+
+    def _default_of(c):
+        dt = schema.get(c)
+        if dt is None or c in nullc:
+            return None
+        if isinstance(dt, _T.StringType):
+            return "''"
+        if isinstance(dt, _T.DateType):
+            return "DATE '1970-01-01'"
+        if isinstance(dt, (_T.TimestampType, _T.TimestampNTZType)):
+            return "TIMESTAMP '1970-01-01 00:00:00'"
+        if isinstance(dt, _T.NumericType):
+            return "0"
+        return None
+
+    # ORDER BY over a HIDDEN grouping key sorts its filled default
+    # too (the reference column never holds NULL)
+    otops = _top_level_set(out)
+    om = None
+    for mm in re.finditer(r"(?i)\bORDER\s+BY\s", out):
+        if mm.start() in otops:
+            om = mm
+    if om is not None:
+        tail_m = next((mm for mm in re.finditer(
+            r"(?i)\b(LIMIT|OFFSET|SETTINGS)\b", out[om.end():])
+            if om.end() + mm.start() in otops), None)
+        ob_end = om.end() + tail_m.start() if tail_m else len(out)
+        oitems = []
+        ochanged = False
+        for it in _split_top_commas(out[om.end():ob_end]):
+            bm = re.fullmatch(
+                r"\s*`?(\w+)`?\s*((?:ASC|DESC)?\s*"
+                r"(?:NULLS\s+(?:FIRST|LAST))?\s*)", it,
+                re.IGNORECASE)
+            c = bm.group(1) if bm else None
+            d = _default_of(c) if c else None
+            if (d is not None and re.search(
+                    rf"(?<![\w.`]){re.escape(c)}(?![\w`(])", gs_text)):
+                oitems.append(f"coalesce({c}, {d}) "
+                              f"{bm.group(2).strip()}".strip())
+                ochanged = True
+            else:
+                oitems.append(it.strip())
+        if ochanged:
+            out = (out[:om.end()] + ", ".join(oitems) + " "
+                   + out[ob_end:])
+            changed = True
+    return out if changed else translated
 
 
 def _keyless_identity_defaults_df(df, translated: str, tables):
@@ -11786,12 +12009,28 @@ def _rewrite_format_tvf(spark, sql: str) -> str:
             objs = []
             dec2 = _json2.JSONDecoder(
                 object_pairs_hook=_reject_dup_pairs)
+            err_budget = int(str(SESSION_SETTINGS.get(
+                "input_format_allow_errors_num", "0")).strip() or 0)
             i2 = 0
             while i2 < len(data):
                 if data[i2] in " \t\n\r,":
                     i2 += 1
                     continue
                 obj2, i2 = dec2.raw_decode(data, i2)
+                try:
+                    # lone UTF-16 surrogates pass Python's JSON parser
+                    # but are INCORRECT_DATA bytes to the reference —
+                    # input_format_allow_errors_num skips such rows
+                    # (golden 03031)
+                    _json2.dumps(obj2,
+                                 ensure_ascii=False).encode("utf-8")
+                except UnicodeEncodeError:
+                    if err_budget > 0:
+                        err_budget -= 1
+                        continue
+                    raise ValueError(
+                        "invalid UTF-8 escape in JSON row "
+                        "(reference INCORRECT_DATA)")
                 objs.append(obj2)
             if empties:
                 known: set = set()
@@ -12038,6 +12277,15 @@ def _utility_statement(spark, text: str, tables):
                     col_lines[k2] = (line2 + " STATISTICS("
                                      + ", ".join(stats2[nm9.group(1)])
                                      + ")")
+        codecs2 = getattr(t, "ch_col_codecs", None) or {}
+        if codecs2:
+            # CODEC clauses render canonically after the type
+            # (getCodecDesc; golden 01455)
+            for k2, line2 in enumerate(col_lines):
+                nm9 = re.match(r"\s*`?(\w+)`?", line2)
+                if nm9 and codecs2.get(nm9.group(1)):
+                    col_lines[k2] = (line2 + " CODEC("
+                                     + codecs2[nm9.group(1)] + ")")
         # PROJECTION declarations render as their own block
         # (formatAST projection formatting, golden 02997)
         for pname, psel in getattr(t, "ch_projection_texts", None) \
@@ -12309,12 +12557,14 @@ def _utility_statement(spark, text: str, tables):
         t = (tables or {}).get(m.group(1))
         dflts = getattr(t, "column_defaults", None) or {}
         nullc = getattr(t, "nullable_cols", None) or set()
+        codecs = getattr(t, "ch_col_codecs", None) or {}
         rows = [(f.name,
                  (f"Nullable({_spark_type_to_ch(f.dataType)})"
                   if f.name in nullc
                   else _spark_type_to_ch(f.dataType)),
                  "DEFAULT" if f.name in dflts else "",
-                 dflts.get(f.name, ""), "", "",
+                 dflts.get(f.name, ""), "",
+                 codecs.get(f.name, ""),
                  "") for f in df.schema.fields]
         return spark.createDataFrame(
             rows, "name string, type string, default_type string, "
@@ -12731,6 +12981,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     json_cols: set[str] = set()
     dynamic_cols: set[str] = set()
     col_stats: dict[str, list] = {}
+    col_codecs: dict[str, str] = {}
     decl_texts: list[str] = []
     projection_texts: list[str] = []
     dt64_scales: dict[str, int] = {}
@@ -12787,6 +13038,14 @@ def create_table_sql(spark, sql: str, base_dir: str):
             col_stats[cname] = sorted(
                 {k.lower() for k in kinds0},
                 key=_STAT_TYPES.index)
+        ccm = re.search(r"(?i)\bCODEC\s*\(", toks[1])
+        if ccm:
+            cend = _matching_paren(toks[1],
+                                   toks[1].index("(", ccm.start()))
+            if cend > 0:
+                col_codecs[cname] = _canon_codec_text(
+                    toks[1][toks[1].index("(", ccm.start()) + 1:cend],
+                    _decl_type(toks[1]))
         schema_parts.append(
             f"`{cname}` {_ch_decl_type_to_spark(_decl_type(toks[1]))}")
         decl_texts.append(f"`{cname}` {_decl_type(toks[1])}")
@@ -12848,6 +13107,7 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table.json_cols = json_cols
     table.dynamic_cols = dynamic_cols
     table.ch_col_stats = col_stats
+    table.ch_col_codecs = col_codecs
     table.sample_by_expr = sample_by_expr
     return table
 
@@ -13776,6 +14036,27 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                      r"`?([\w.]+)`?\s+(.+)$", o)
         if m:
             cname, rest = m.group(1), m.group(2)
+            ccm2 = re.search(r"(?i)\bCODEC\s*\(", rest)
+            if ccm2 and t is not None:
+                copen = rest.index("(", ccm2.start())
+                cend2 = _matching_paren(rest, copen)
+                if cend2 > 0:
+                    ctype2 = rest[:ccm2.start()].strip()
+                    if not ctype2:
+                        for dtext2 in getattr(t, "ch_decl_cols",
+                                              None) or ():
+                            nm8 = re.match(r"`?(\w+)`?\s+(.*)", dtext2)
+                            if nm8 and nm8.group(1) == cname:
+                                ctype2 = nm8.group(2)
+                                break
+                    if not hasattr(t, "ch_col_codecs"):
+                        t.ch_col_codecs = {}
+                    t.ch_col_codecs[cname] = _canon_codec_text(
+                        rest[copen + 1:cend2], ctype2)
+                    rest = (rest[:ccm2.start()]
+                            + rest[cend2 + 1:]).strip()
+                    if not rest:
+                        continue
             if re.match(r"(?is)^(DEFAULT|MATERIALIZED)\b", rest):
                 if t is not None:
                     t.column_defaults[cname] = _translate_expr(
