@@ -7540,15 +7540,31 @@ def _rewrite_numbers_tvf(sql: str) -> str:
         pos = pos + m.start() + len(repl)
     # system.numbers is the unbounded variant, always consumed under a
     # LIMIT (reference src/Storages/System/StorageSystemNumbers.h);
-    # Spark has no infinite TVF, so expose a wide bounded range — any
-    # query that would exhaust 2^20 rows without a LIMIT is not a
-    # query this table is for.  system.one is the 1-row dummy table.
+    # Spark has no infinite TVF, so expose a wide bounded range (2^24
+    # — golden 00086 scans to row 10^7 under LIMIT 1; range() is
+    # codegen'd, and LIMIT stops the scan) — any query that would
+    # exhaust 2^24 rows without a LIMIT is not a query this table is
+    # for.  system.one is the 1-row dummy table.
+    # ONLY a pure filter+small-LIMIT pipeline gets the wide range
+    # (the scan early-stops at the limit — golden 00086 probes row
+    # 10^7 under LIMIT 1); any aggregation/sort/grouping consumes
+    # the WHOLE range first, so those keep the bounded 2^20 and the
+    # heap stays safe
+    _lm = re.search(r"(?i)\bLIMIT\s+(\d+)", sql)
+    _nums_bound = 1048576
+    if _lm and int(_lm.group(1)) <= 1000 and not re.search(
+            r"(?i)\b(GROUP\s+BY|ORDER\s+BY|DISTINCT|JOIN|"
+            r"count|sum|min|max|avg|any|uniq\w*|group\w+|median|"
+            r"quantile\w*|argMin|argMax|corr|covar\w*|stddev\w*|"
+            r"var\w*|topK\w*|histogram|collect_\w+|percentile)\s*\(?",
+            sql):
+        _nums_bound = 16777216
     sql = re.sub(r"\bsystem\.numbers_mt\b",
-                 "(SELECT id AS number FROM range(1048576))", sql,
-                 flags=re.IGNORECASE)
+                 f"(SELECT id AS number FROM range({_nums_bound}))",
+                 sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bsystem\.numbers\b",
-                 "(SELECT id AS number FROM range(1048576))", sql,
-                 flags=re.IGNORECASE)
+                 f"(SELECT id AS number FROM range({_nums_bound}))",
+                 sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bsystem\.one\b",
                  "(SELECT CAST(0 AS SMALLINT) AS dummy)", sql,
                  flags=re.IGNORECASE)
@@ -9745,10 +9761,13 @@ def ch_sql(spark, sql: str, sample_by: dict[str, str] | None = None,
     ``limit`` / ``offset`` (applied to SELECT results on top of the
     query's own LIMIT, per the reference's limit/offset settings) and
     ``union_default_mode`` (bare UNION becomes UNION ALL when 'ALL').
-    Settings whose reference default already matches this engine's
-    natural semantics (``join_use_nulls=1``, ``group_by_use_nulls=0``)
-    are recorded and need no plan change; unknown/tuning settings are
-    recorded and ignored (documented permissiveness, LIMITS.md)."""
+    Settings whose behavior matches this engine's natural semantics
+    (``group_by_use_nulls=0``) are recorded and need no plan change;
+    unknown/tuning settings are recorded and ignored (documented
+    permissiveness, LIMITS.md).  Outer joins emit NULL for the
+    non-matched side (the reference's ``join_use_nulls=1`` shape;
+    its DEFAULT ``join_use_nulls=0`` type-default fill is a
+    documented gap, LIMITS.md)."""
     s = sql.strip().rstrip(";")
     m = re.match(r"(?is)^SET\s+(?!ROLE\b|DEFAULT\b)(.+)$", s)
     if m:
@@ -12169,6 +12188,47 @@ def _desc_jsoneachrow_infer(spark, data: str):
                 return _ch_infer_type(n)
         return _ch_infer_type(v)
 
+    def merge_type(vals: list, indent: int) -> str:
+        """Recursive named-tuple field-union across rows AND array
+        elements (SchemaInferenceUtils named-tuple inference;
+        golden 02874): dicts merge keys in first-seen order, arrays
+        of dicts merge their ELEMENTS' keys, nested tuples indent
+        4 more per level."""
+        vs = [v for v in vals if v is not None]
+        if not vs:
+            return "Nothing"
+        if all(isinstance(v, dict) for v in vs):
+            if not any(vs):
+                return "String"      # always-empty: incomplete rule
+            keys2: list = []
+            for v in vs:
+                for k2 in v:
+                    if k2 not in keys2:
+                        keys2.append(k2)
+            parts = []
+            for k2 in keys2:
+                sub = merge_type([v[k2] for v in vs if k2 in v],
+                                 indent + 4)
+                k2q = (k2 if re.fullmatch(r"\w+", k2)
+                       else f"`{k2}`")
+                parts.append(f"{' ' * indent}{k2q} "
+                             f"{_nullable_wrap(sub)}")
+            return "Tuple(\n" + ",\n".join(parts) + ")"
+        if all(isinstance(v, list) for v in vs):
+            elems = [e for v in vs for e in v]
+            es = [e for e in elems if e is not None]
+            if es and all(isinstance(e, dict) for e in es) \
+                    and any(es):
+                return f"Array({merge_type(es, indent)})"
+            t = "Nothing"
+            for e in elems:
+                t = _ch_unify(t, infer(e))
+            return f"Array({_nullable_wrap(t)})"
+        t = "Nothing"
+        for v in vs:
+            t = _ch_unify(t, infer(v))
+        return t
+
     colnames: list = []
     for r in rows:
         for k in r:
@@ -12181,20 +12241,17 @@ def _desc_jsoneachrow_infer(spark, data: str):
                 and not obj_on and any(vals):
             # named-Tuple columns merge FIELDS across rows, unifying
             # shared fields' types (02327 golden)
-            keys2: list = []
-            for v in vals:
-                for k2 in v:
-                    if k2 not in keys2:
-                        keys2.append(k2)
-            parts = []
-            for k2 in keys2:
-                t2 = "Nothing"
-                for v in vals:
-                    if k2 in v and v[k2] is not None:
-                        t2 = _ch_unify(t2, infer(v[k2]))
-                parts.append(f"    {k2} {_nullable_wrap(t2)}")
-            cols.append((k, "Tuple(\n" + ",\n".join(parts) + ")"))
+            cols.append((k, merge_type(vals, 4)))
             continue
+        if vals and not obj_on \
+                and all(isinstance(v, list) for v in vals):
+            elems = [e for v in vals for e in v if e is not None]
+            if elems and all(isinstance(e, dict) for e in elems) \
+                    and any(elems):
+                # array-of-objects: elements merge into ONE named
+                # tuple (golden 02874)
+                cols.append((k, merge_type(vals, 4)))
+                continue
         ts = [infer(v) for v in vals]
         if not ts:
             t = "Nothing"

@@ -182,9 +182,19 @@ def _render_struct_typed(v, dtype, bool_as_int: bool) -> str:
     def elem(x, ft):
         if x is None and isinstance(ft, _T.ArrayType):
             return "[]"
+        if x is None and isinstance(ft, _T.StructType):
+            # a MISSING tuple fills with per-field defaults — ((NULL))
+            # not NULL (addMissingDefaults; golden 02874)
+            return ("(" + ",".join(elem(None, f.dataType)
+                                   for f in ft.fields) + ")")
         if isinstance(ft, _T.StructType) and x is not None \
                 and hasattr(x, "__fields__"):
             return _render_struct_typed(x, ft, bool_as_int)
+        if isinstance(ft, _T.ArrayType) \
+                and isinstance(ft.elementType, _T.StructType) \
+                and isinstance(x, (list, tuple)):
+            return "[" + ",".join(elem(e, ft.elementType)
+                                  for e in x) + "]"
         return render_value(x, nested=True, bool_as_int=bool_as_int)
     vals = [v[i] for i in range(len(v.__fields__))]
     return "(" + ",".join(
@@ -221,6 +231,20 @@ def render_row(row, bool_as_int: bool = False, types=None,
             out.append(_render_struct_typed(v, dtypes[i],
                                             bool_as_int))
             continue
+        if dtypes is not None and isinstance(v, (list, tuple)) and v \
+                and not _is_chmap_carrier(dtypes[i]):
+            from pyspark.sql import types as _T
+            if isinstance(dtypes[i], _T.ArrayType) \
+                    and isinstance(dtypes[i].elementType,
+                                   _T.StructType):
+                # Array(Tuple(...)): elements render with the typed
+                # struct path so missing non-Nullable Array members
+                # print [] (golden 02874)
+                out.append("[" + ",".join(
+                    _render_struct_typed(e, dtypes[i].elementType,
+                                         bool_as_int)
+                    if e is not None else "NULL" for e in v) + "]")
+                continue
         if dtypes is not None and isinstance(v, (list, tuple)) \
                 and not v and _is_chmap_carrier(dtypes[i]):
             # an EMPTY ordered-map carrier is still a map: {} not []
