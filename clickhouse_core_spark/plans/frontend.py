@@ -2680,12 +2680,13 @@ for _base in ("sum", "avg", "min", "max", "count"):
 _PARAMETRIC: dict = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     # quantileExact is the ELEMENT at index level*size (truncated),
-    # NOT an interpolation (QuantileExact.h:96 nth_element)
+    # NOT an interpolation (QuantileExact.h:96 nth_element); empty
+    # input yields NULL (no element to pick)
     "quantileexact": lambda p, a: (
-        f"element_at(array_sort(collect_list({a[0]})), "
-        f"CAST(least(floor(({p[0]}) * "
+        f"try_element_at(array_sort(collect_list({a[0]})), "
+        f"greatest(CAST(least(floor(({p[0]}) * "
         f"size(collect_list({a[0]}))), "
-        f"size(collect_list({a[0]})) - 1) AS INT) + 1)"),
+        f"size(collect_list({a[0]})) - 1) AS INT) + 1, 1))"),
     "quantiletdigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiledd": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
@@ -3811,6 +3812,42 @@ def _fold_totypename_static(sql: str) -> str:
 
 _DECIMAL_DIV_HEAD_RE = re.compile(
     r"(?i)\btoDecimal(32|64|128|256)\s*\(")
+
+
+_OBJECT_CAST_RE = re.compile(
+    r"('(?:[^'\\]|\\.)*')\s*::\s*Object\s*\(\s*(?:Nullable\s*\(\s*)?"
+    r"'(?i:json)'\s*\)?\s*\)", re.IGNORECASE)
+
+
+def _rewrite_object_literal_casts(sql: str) -> str:
+    """``'{"a":{"b":1}}'::Object('json')`` — an UNFINALIZED Object
+    value renders as a JSON object with DOT-FLATTENED paths
+    (SerializationObject text output; golden 01825_type_json_5
+    ``{"a.b":1,"a.c":2}``).  Fold the constant at translation
+    time."""
+    import json as _json
+
+    def sub(m: re.Match) -> str:
+        raw = m.group(1)[1:-1].replace("\\'", "'")
+        try:
+            doc = _json.loads(raw)
+        except Exception:
+            return m.group(1)
+        if not isinstance(doc, dict):
+            return m.group(1)
+        flat: dict = {}
+
+        def walk(v, prefix):
+            if isinstance(v, dict) and v:
+                for k, x in v.items():
+                    walk(x, f"{prefix}.{k}" if prefix else k)
+            else:
+                flat[prefix] = v
+        walk(doc, "")
+        out = _json.dumps(flat, separators=(",", ":"))
+        return "'" + out.replace("'", "\\'") + "'"
+
+    return _OBJECT_CAST_RE.sub(sub, sql)
 
 
 def _rewrite_decimal_div(sql: str) -> str:
@@ -6129,7 +6166,7 @@ def apply_date_preimage(sql: str) -> str:
 
 
 _NUMBERS_TVF_RE = re.compile(
-    r"\bnumbers\(\s*(\d+(?:\.\d*)?(?:[eE]\+?\d+)?)\s*"
+    r"\bnumbers(?:_mt)?\(\s*(\d+(?:\.\d*)?(?:[eE]\+?\d+)?)\s*"
     r"(?:,\s*(\d+(?:\.\d*)?(?:[eE]\+?\d+)?)\s*)?\)", re.IGNORECASE)
 _GENSERIES_TVF_RE = re.compile(
     r"\bgenerate_series\(\s*(-?\d+)\s*,\s*(-?\d+)\s*(?:,\s*(\d+)\s*)?\)",
@@ -7986,6 +8023,8 @@ def translate_ch_sql(sql: str, sample_by: dict[str, str] | None = None) -> str:
     sql = _rewrite_groupby_item_aliases(sql)
     sql = _rewrite_groupby_alias_shadow(sql)
     sql = _fold_totypename_static(sql)
+    if re.search(r"(?i)::\s*Object\s*\(", sql):
+        sql = _rewrite_object_literal_casts(sql)
     if "/" in sql and "toDecimal" in sql.replace(" ", ""):
         sql = _rewrite_decimal_div(sql)
     sql = _rewrite_inline_aliases(sql)
@@ -10129,6 +10168,20 @@ def _ch_sql_impl(spark, sql: str,
                     raise ValueError(
                         "corr/covar over Decimal arguments (reference "
                         "ILLEGAL_TYPE_OF_ARGUMENT) — cast to Float64")
+    if tables and re.search(r"(?i)\btoTypeName\s*\(", text):
+        # Object('json') columns: the finalized tuple's exact name
+        # (incl. Nullable paths / narrow ints) lives on the table —
+        # typeof() cannot see it (goldens 01825_type_json_2/18)
+        _chmaps = [getattr(_tb0, "obj_ch_types", None) or {}
+                   for _tb0 in tables.values()]
+        _chmaps += [(d0 or {}).get("obj_ch_types") or {}
+                    for d0 in (tables.get("__decl__") or {}).values()]
+        for _chm0 in _chmaps:
+            for _c0, _nm0 in _chm0.items():
+                text = re.sub(
+                    rf"(?i)\btoTypeName\s*\(\s*`?{re.escape(_c0)}`?"
+                    rf"\s*\)", "'" + _nm0.replace("'", "''") + "'",
+                    text)
     if "tupletonamevaluepairs" in text.lower():
         text = _rewrite_tuple_nvp(spark, text, tables)
     # refresh the Dynamic-subcolumn rewrite context from this
@@ -11881,12 +11934,22 @@ def _spark_type_str_to_ch(s: str) -> str:
                     f"{_spark_type_str_to_ch(parts[1])})")
     m = re.fullmatch(r"(?s)struct<(.*)>", low)
     if m:
-        fields = []
+        names, types = [], []
         for f in _split_angle_commas(m.group(1)):
             name, _, t = f.partition(":")
-            fields.append(f"{name.strip()} "
-                          f"{_spark_type_str_to_ch(t)}")
-        return f"Tuple({', '.join(fields)})"
+            names.append(name.strip().strip("`"))
+            types.append(_spark_type_str_to_ch(t))
+        if all(re.fullmatch(r"col\d+", n) for n in names):
+            # positional tuple carrier: UNNAMED render (single-line,
+            # no field names — tuple.cpp getName)
+            return f"Tuple({', '.join(types)})"
+        # NAMED tuples render multi-line with 4-space nesting
+        # (DataTypeTuple getName; goldens 01825/02874)
+        fields = []
+        for n, t in zip(names, types):
+            t = t.replace("\n", "\n    ")
+            fields.append(f"\n    {n} {t}")
+        return "Tuple(" + ",".join(fields) + ")"
     if low == "void":
         return "Nothing"
     if low == "interval":
@@ -12605,20 +12668,44 @@ def _utility_statement(spark, text: str, tables):
                   "default_expression string, comment string, "
                   "codec_expression string, ttl_expression string")
 
-    m = re.match(r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?`?(\w+)`?\s*$",
+    m = re.match(r"^(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?`?(\w+)`?\s*"
+                 r"(?:SETTINGS\s+describe_extend_object_types\s*=\s*"
+                 r"(\d))?\s*$",
                  text, re.IGNORECASE)
     if m:
         df = _resolve_view(spark, m.group(1), tables)
         if df is None:
             raise ValueError(f"DESCRIBE: unknown table {m.group(1)!r}")
         t = (tables or {}).get(m.group(1))
+        extend_obj = (m.group(2) or "0").strip() == "1"
         dflts = getattr(t, "column_defaults", None) or {}
         nullc = getattr(t, "nullable_cols", None) or set()
         codecs = getattr(t, "ch_col_codecs", None) or {}
-        rows = [(f.name,
-                 (f"Nullable({_spark_type_to_ch(f.dataType)})"
-                  if f.name in nullc
-                  else _spark_type_to_ch(f.dataType)),
+        objc = getattr(t, "obj_cols", None) or set()
+
+        def _desc_type(f):
+            if f.name in objc:
+                if extend_obj:
+                    # describe_extend_object_types=1: the finalized
+                    # tuple name (golden 01825_type_json_describe)
+                    cht = (getattr(t, "obj_ch_types", None)
+                           or {}).get(f.name)
+                    if cht:
+                        return cht
+                # DESCRIBE shows the DECLARED Object type, lowercase
+                # argument (golden 01825_type_json_describe)
+                for d0 in getattr(t, "ch_decl_cols", None) or ():
+                    nm0 = re.match(r"`?(\w+)`?\s+(.*)", d0)
+                    if nm0 and nm0.group(1) == f.name:
+                        return re.sub(
+                            r"'(\w+)'",
+                            lambda m0: f"'{m0.group(1).lower()}'",
+                            nm0.group(2).strip())
+                return "Object('json')"
+            ch = _spark_type_to_ch(f.dataType)
+            return f"Nullable({ch})" if f.name in nullc else ch
+
+        rows = [(f.name, _desc_type(f),
                  "DEFAULT" if f.name in dflts else "",
                  dflts.get(f.name, ""), "",
                  codecs.get(f.name, ""),
@@ -13039,6 +13126,9 @@ def create_table_sql(spark, sql: str, base_dir: str):
     dynamic_cols: set[str] = set()
     col_stats: dict[str, list] = {}
     col_codecs: dict[str, str] = {}
+    obj_cols: set[str] = set()
+    obj_array_cols: set[str] = set()
+    obj_nullable_cols: set[str] = set()
     decl_texts: list[str] = []
     projection_texts: list[str] = []
     dt64_scales: dict[str, int] = {}
@@ -13081,8 +13171,22 @@ def create_table_sql(spark, sql: str, base_dir: str):
             dt64_scales[cname] = min(int(scm.group(1)), 6)
         if re.match(r"(?i)\s*Nullable\s*\(", _decl_type(toks[1])):
             nullable_cols.add(cname)
-        if re.match(r"(?i)\s*(JSON\b|Object\s*\()",
-                    _decl_type(toks[1])):
+        if re.match(r"(?i)\s*Object\s*\(", _decl_type(toks[1])):
+            # deprecated Object('json'): reads materialize the
+            # row-union named tuple (DataTypeObject finalize —
+            # goldens 01825), unlike the string-carrier JSON type
+            obj_cols.add(cname)
+            if re.match(r"(?i)\s*Object\s*\(\s*Nullable",
+                        _decl_type(toks[1])):
+                # Object(Nullable('json')): EVERY path is Nullable
+                # (golden 01825_type_json_nullable)
+                obj_nullable_cols.add(cname)
+        elif re.match(r"(?i)\s*Array\s*\(\s*Object\s*\(",
+                      _decl_type(toks[1])):
+            # Array(Object('json')): per-ELEMENT tuple finalize
+            # (golden 01825_type_json_in_array)
+            obj_array_cols.add(cname)
+        elif re.match(r"(?i)\s*JSON\b", _decl_type(toks[1])):
             json_cols.add(cname)
         if re.match(r"(?i)\s*Dynamic\b", _decl_type(toks[1])):
             dynamic_cols.add(cname)
@@ -13162,6 +13266,9 @@ def create_table_sql(spark, sql: str, base_dir: str):
     table.nullable_cols = nullable_cols
     table.materialized_cols = materialized_cols
     table.json_cols = json_cols
+    table.obj_cols = obj_cols
+    table.obj_array_cols = obj_array_cols
+    table.obj_nullable_cols = obj_nullable_cols
     table.dynamic_cols = dynamic_cols
     table.ch_col_stats = col_stats
     table.ch_col_codecs = col_codecs
@@ -13803,6 +13910,7 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
         parts = []
         decl_nullable: set = set()
         decl_json: set = set()
+        decl_obj: set = set()
         decl_dynamic: set = set()
         decl_defaults: dict = {}
         for coldef in _split_top_commas(cm.group(2)):
@@ -13814,8 +13922,9 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
                 continue
             if re.match(r"(?i)\s*Nullable\s*\(", _decl_type(toks[1])):
                 decl_nullable.add(toks[0].strip("`"))
-            if re.match(r"(?i)\s*(JSON\b|Object\s*\()",
-                        _decl_type(toks[1])):
+            if re.match(r"(?i)\s*Object\s*\(", _decl_type(toks[1])):
+                decl_obj.add(toks[0].strip("`"))
+            elif re.match(r"(?i)\s*JSON\b", _decl_type(toks[1])):
                 decl_json.add(toks[0].strip("`"))
             if re.match(r"(?i)\s*Dynamic\b", _decl_type(toks[1])):
                 decl_dynamic.add(toks[0].strip("`"))
@@ -13868,6 +13977,7 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
             tables.setdefault("__decl__", {})[name] = {
                 "nullable": decl_nullable, "defaults": decl_defaults,
                 "json": decl_json, "dynamic": decl_dynamic,
+                "obj": decl_obj, "decl_text": cm.group(2),
                 "columns": set(re.findall(r"`([^`]+)`", ddl))}
         return None
     # column-less Merge engine: CREATE TABLE m ENGINE = Merge(db,
@@ -14427,6 +14537,9 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
     json_set = (getattr(t, "json_cols", None)
                 or ((tables.get("__decl__") or {}).get(name) or {})
                 .get("json", set()) if tables else set()) or set()
+    # Object('json') columns store the compacted string carrier too
+    json_set = set(json_set) | set(getattr(t, "obj_cols", None)
+                                   or ())
     # Dynamic columns hold NULL natively (the dynamic type set
     # includes Null) — never default-fill them
     dyn_set = (getattr(t, "dynamic_cols", None)
@@ -14443,6 +14556,13 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
                 # naive string into a DateTime('tz') column: the wall
                 # time reads in the COLUMN's zone, stored as instant
                 col = F.to_utc_timestamp(col, tz_map[f.name])
+            if f.name in json_set and str(
+                    in_types.get(f.name, "")).startswith(
+                        ("struct", "array", "map")):
+                # INSERT SELECT from a finalized Object tuple: the
+                # string carrier stores its JSON serialization
+                # (golden 01825_type_json_insert_select)
+                col = F.to_json(col)
             col = col.cast(f.dataType)
             if f.name in json_set:
                 # declared JSON column: the reference parses and
@@ -14502,8 +14622,27 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
         # pair golden)
         _refresh_alias_views(spark, name, tables)
     else:
-        spark.table(name).unionByName(aligned) \
-            .localCheckpoint(eager=True).createOrReplaceTempView(name)
+        decl_rec = ((tables or {}).get("__decl__") or {}).get(name) \
+            or {}
+        raw_store = (tables.setdefault("__viewraw__", {})
+                     if tables is not None else None)
+        base = (raw_store or {}).get(name)
+        if base is None:
+            base = spark.table(name)
+        new_raw = base.unionByName(aligned) \
+            .localCheckpoint(eager=True)
+        if raw_store is not None:
+            raw_store[name] = new_raw
+        view_df = new_raw
+        if decl_rec.get("obj"):
+            # Memory-engine Object('json') columns finalize on the
+            # registered view (same contract as the MergeTree path)
+            from ..sources.mergetree import finalize_object_columns
+            chm = decl_rec.setdefault("obj_ch_types", {})
+            view_df = finalize_object_columns(
+                new_raw, decl_rec["obj"], (), chm,
+                decl_rec.setdefault("obj_trees", {}))
+        view_df.createOrReplaceTempView(name)
     _fire_mv_triggers(spark, name, aligned, tables, depth=_mv_depth)
     return None
 
@@ -14647,6 +14786,9 @@ def _insert_json_rows(spark, name: str, cols_raw, fmt: str, body,
         spark.sparkContext.parallelize(docs, max(1, min(len(docs), 4))))
     str_targets = {f.name for f in schema.fields
                    if f.dataType.simpleString() == "string"}
+    arr_str_targets = {f.name for f in schema.fields
+                       if f.dataType.simpleString()
+                       == "array<string>"}
     for f2 in df.schema.fields:
         if f2.name in str_targets and \
                 not f2.dataType.simpleString().startswith(
@@ -14656,6 +14798,15 @@ def _insert_json_rows(spark, name: str, cols_raw, fmt: str, body,
                                if f2.dataType.simpleString().startswith(
                                    ("struct", "array", "map"))
                                else F.col(f"`{f2.name}`").cast("string"))
+        elif f2.name in arr_str_targets and \
+                f2.dataType.simpleString().startswith(
+                    ("array<struct", "array<array", "array<map")):
+            # array of nested JSON values into an Array(String) /
+            # Array(Object) carrier: per-ELEMENT serialization
+            # (golden 01825_type_json_in_array)
+            df = df.withColumn(
+                f2.name, F.transform(F.col(f"`{f2.name}`"),
+                                     lambda e: F.to_json(e)))
     # missing/null fields fill with the column type default — the
     # reference's input_format_null_as_default + missing-field rule
     # applies to non-Nullable targets ONLY; declared Nullable columns

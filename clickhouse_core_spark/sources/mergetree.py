@@ -629,13 +629,33 @@ class MergeTreeTable:
 
     def read(self, final: bool = False) -> DataFrame:
         if not final or self.engine == "merge_tree":
-            return self.read_raw()
+            return self._wrap_object_cols(self.read_raw())
         if self.engine == "replacing":
             # part-recency tiebreak for equal versions (the
             # reference keeps the last row in the selection)
             out = self._apply_engine(self.read_raw(with_seq=True))
-            return out.drop("__part_seq")
-        return self._apply_engine(self.read_raw())
+            return self._wrap_object_cols(out.drop("__part_seq"))
+        return self._wrap_object_cols(self._apply_engine(
+            self.read_raw()))
+
+    def _wrap_object_cols(self, df: DataFrame) -> DataFrame:
+        """Deprecated ``Object('json')`` columns finalize to the
+        row-union named TUPLE on reads (reference DataTypeObject —
+        goldens 01825); the stored string carrier parses against the
+        unified struct.  The union scan collects the column once per
+        view registration — a compat shim for the deprecated type,
+        not a scale path (LIMITS.md)."""
+        objs = getattr(self, "obj_cols", None) or ()
+        aobjs = getattr(self, "obj_array_cols", None) or ()
+        if not objs and not aobjs:
+            return df
+        if not hasattr(self, "obj_ch_types"):
+            self.obj_ch_types = {}
+        if not hasattr(self, "obj_trees"):
+            self.obj_trees = {}
+        return finalize_object_columns(
+            df, objs, aobjs, self.obj_ch_types, self.obj_trees,
+            nullable_cols=getattr(self, "obj_nullable_cols", ()))
 
     def _apply_engine(self, df: DataFrame) -> DataFrame:
         if self.engine == "replacing":
@@ -1220,3 +1240,81 @@ def select_aggregate(table: "MergeTreeTable", keys: Sequence[str],
                      "min": F.min, "max": F.max,
                      "avg": F.avg}[fn](col).alias(a))
     return base.groupBy(*keys).agg(*outs), "base"
+
+
+def finalize_object_columns(df: DataFrame, obj_cols, obj_array_cols,
+                            ch_types: dict | None = None,
+                            trees: dict | None = None,
+                            nullable_cols=()) -> DataFrame:
+    """Finalize deprecated ``Object('json')`` string-carrier columns
+    to their row-union named tuples (reference DataTypeObject —
+    goldens 01825): parse against the unified struct, default-fill
+    members missing from a row (non-Nullable unless a path held
+    explicit JSON nulls).  ``ch_types``/``trees`` (optional dicts)
+    receive the exact reference type NAME and the type tree per
+    column.  The union scan collects each column once per view
+    registration — a compat shim for the deprecated type, not a
+    scale path (LIMITS.md)."""
+    from .rowformats import (object_tree_ch_name, object_tree_ddl,
+                             object_type_tree)
+
+    def fill(col, node, force_nullable=False):
+        kind = node[0]
+        if kind == "struct":
+            return F.struct(*[
+                fill(col[k], s, force_nullable).alias(k)
+                for k, s in node[1]])
+        if kind == "array":
+            inner = node[1]
+            out = F.transform(
+                col, lambda e: fill(e, inner, force_nullable))
+            if force_nullable:
+                return out
+            return F.coalesce(
+                out, F.array().cast(f"ARRAY<{object_tree_ddl(inner)}>"))
+        # JSON bools parse as BOOLEAN and store as UInt8 1/0
+        base = (col.cast("tinyint") if node[1] == "BOOLEAN" else col)
+        if node[3] or force_nullable:
+            return base
+        if node[1] == "STRING":
+            dv = F.lit(node[4] if len(node) > 4 else "")
+        else:
+            dv = F.lit(0).cast(
+                "tinyint" if node[1] == "BOOLEAN" else node[1])
+        return F.coalesce(base, dv)
+
+    for c in [c for c in obj_cols or () if c in df.columns]:
+        try:
+            vals = [r[0] for r in df.select(f"`{c}`").collect()]
+            tree = object_type_tree(vals)
+        except Exception:
+            tree = None
+        if tree:
+            fnull = c in (nullable_cols or ())
+            parsed = F.from_json(F.col(f"`{c}`"),
+                                 object_tree_ddl(tree))
+            df = df.withColumn(c, fill(parsed, tree, fnull))
+            if ch_types is not None:
+                ch_types[c] = object_tree_ch_name(
+                    tree, force_nullable=fnull)
+            if trees is not None:
+                trees[c] = tree
+    for c in [c for c in obj_array_cols or () if c in df.columns]:
+        # Array(Object('json')): unify across ALL elements of all rows
+        try:
+            vals = [e for r in df.select(f"`{c}`").collect()
+                    for e in (r[0] or [])]
+            tree = object_type_tree(vals)
+        except Exception:
+            tree = None
+        if tree:
+            ddl = object_tree_ddl(tree)
+            df = df.withColumn(c, F.transform(
+                F.col(f"`{c}`"),
+                lambda e: fill(F.from_json(e, ddl), tree)))
+            if ch_types is not None:
+                ch_types[c] = (
+                    f"Array({object_tree_ch_name(tree, 8)})")
+            if trees is not None:
+                trees[c] = ("array", tree)
+    return df

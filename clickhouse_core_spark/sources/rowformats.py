@@ -940,3 +940,137 @@ def read_custom_separated(spark: SparkSession, path: str,
     if schema is not None:
         reader = reader.schema(schema)
     return reader.load(path)
+
+
+def object_type_tree(vals):
+    """Typed tree of the row-union named tuple an ``Object('json')``
+    column finalizes to (reference DataTypeObject unification —
+    subcolumn paths union across rows, sorted; goldens
+    01825_type_json*).  Nodes: ``("struct", [(name, node), ...])``,
+    ``("array", node)``, ``("scalar", spark_ddl, ch_name,
+    nullable)`` — ``nullable`` records whether an explicit JSON null
+    was seen at the path (Nullable in the reference; paths merely
+    MISSING from other rows default-fill instead).  ``vals`` are the
+    column's raw JSON strings; None when nothing parseable."""
+    import json as _json
+
+    parsed = []
+    for s in vals:
+        if not s:
+            continue
+        try:
+            v = _json.loads(s)
+        except Exception:
+            continue
+        if isinstance(v, dict) and v:
+            parsed.append(v)
+    if not parsed:
+        return None
+
+    def node_of(vs):
+        xs = [v for v in vs if v is not None]
+        nullable = len(xs) != len(vs)
+        if not xs:
+            return ("scalar", "STRING", "String", True)
+        if all(isinstance(v, dict) for v in xs):
+            keys = sorted({k for v in xs for k in v})
+            if not keys:
+                return ("scalar", "STRING", "String", nullable)
+            return ("struct", [
+                (k, node_of([v[k] for v in xs if k in v]))
+                for k in keys])
+        if all(isinstance(v, list) for v in xs):
+            return ("array",
+                    node_of([e for v in xs for e in v]))
+        if all(isinstance(v, bool) for v in xs):
+            # bools PARSE as BOOLEAN and store as UInt8 1/0
+            # (FieldToDataType; golden 01825_type_json_bools (1,0)
+            # Tuple(k1 UInt8, ...)) — the finalizer casts
+            return ("scalar", "BOOLEAN", "UInt8", nullable)
+        if all(isinstance(v, int) and not isinstance(v, bool)
+               for v in xs):
+            # the SMALLEST int width that fits every value
+            # (least-supertype; golden 01825_type_json_18 Int8)
+            lo, hi = min(xs), max(xs)
+            for bound, ddl, ch in ((127, "TINYINT", "Int8"),
+                                   (32767, "SMALLINT", "Int16"),
+                                   (2147483647, "INT", "Int32")):
+                if -bound - 1 <= lo and hi <= bound:
+                    return ("scalar", ddl, ch, nullable)
+            return ("scalar", "BIGINT", "Int64", nullable)
+        if all(isinstance(v, (int, float))
+               and not isinstance(v, bool) for v in xs):
+            return ("scalar", "DOUBLE", "Float64", nullable)
+        # mixed-type paths decay to String; a path that was NUMERIC
+        # in earlier rows migrated its stored default '0' (golden
+        # 01825_type_json_2 (1,2,'0'))
+        dflt = ("0" if any(isinstance(v, (int, float))
+                           and not isinstance(v, bool) for v in xs)
+                else "")
+        return ("scalar", "STRING", "String", nullable, dflt)
+
+    return node_of(parsed)
+
+
+def object_tree_ddl(node) -> str:
+    """Spark DDL of a :func:`object_type_tree` node."""
+    kind = node[0]
+    if kind == "struct":
+        return ("STRUCT<" + ",".join(
+            f"`{k}`:{object_tree_ddl(s)}" for k, s in node[1]) + ">")
+    if kind == "array":
+        return f"ARRAY<{object_tree_ddl(node[1])}>"
+    return node[1]
+
+
+def object_tree_ch_name(node, indent: int = 4,
+                        force_nullable: bool = False) -> str:
+    """Reference NAME of a :func:`object_type_tree` node
+    (DataTypeTuple getName — named tuples multi-line, 4-space
+    nesting; Nullable wraps paths that held explicit nulls, or
+    EVERY leaf for Object(Nullable('json')) columns)."""
+    kind = node[0]
+    if kind == "struct":
+        parts = []
+        for k, s in node[1]:
+            kq = k if re.fullmatch(r"\w+", k) else f"`{k}`"
+            parts.append(f"\n{' ' * indent}{kq} "
+                         f"{object_tree_ch_name(s, indent + 4, force_nullable)}")
+        return "Tuple(" + ",".join(parts) + ")"
+    if kind == "array":
+        inner = node[1]
+        if inner[0] == "struct":
+            # array-of-named-tuple inside an Object renders as the
+            # flattened Nested(...) form, single-line
+            # (golden 01825_type_json_2)
+            parts = ", ".join(
+                f"{k} {_flat_ch_name(s, force_nullable)}"
+                for k, s in inner[1])
+            return f"Nested({parts})"
+        return f"Array({object_tree_ch_name(inner, indent, force_nullable)})"
+    ch = node[2]
+    return f"Nullable({ch})" if (node[3] or force_nullable) else ch
+
+
+def _flat_ch_name(node, force_nullable: bool = False) -> str:
+    """Single-line reference name (used inside Nested(...) renders)."""
+    kind = node[0]
+    if kind == "struct":
+        parts = ", ".join(f"{k} {_flat_ch_name(s, force_nullable)}"
+                          for k, s in node[1])
+        return f"Tuple({parts})"
+    if kind == "array":
+        if node[1][0] == "struct":
+            parts = ", ".join(
+                f"{k} {_flat_ch_name(s, force_nullable)}"
+                for k, s in node[1][1])
+            return f"Nested({parts})"
+        return f"Array({_flat_ch_name(node[1], force_nullable)})"
+    ch = node[2]
+    return f"Nullable({ch})" if (node[3] or force_nullable) else ch
+
+
+def unify_object_ddl(vals) -> str | None:
+    """Spark DDL shortcut over :func:`object_type_tree`."""
+    tree = object_type_tree(vals)
+    return object_tree_ddl(tree) if tree else None

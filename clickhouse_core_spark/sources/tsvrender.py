@@ -416,16 +416,21 @@ def _json_str(s: str) -> str:
     return '"' + "".join(out) + '"'
 
 
-def _json_value(v, simple: str | None = None) -> str:
+def _json_value(v, simple: str | None = None,
+                quote64: bool = True) -> str:
     """One JSON output value (JSONEachRowRowOutputFormat defaults:
     64-bit integer carriers quoted — output_format_json_quote_64bit_
-    integers=1; nan/inf → null)."""
+    integers=1, opt-out honored; nan/inf → null; named tuples render
+    as OBJECTS — output_format_json_named_tuples_as_objects
+    default)."""
     if v is None:
         return "null"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
-        return f'"{v}"' if simple == "bigint" else str(v)
+        # bigint serves as the UInt32 carrier too — only the exact
+        # 64-bit carriers (the decimal shapes below) quote
+        return str(v)
     if isinstance(v, float):
         if v != v or v in (float("inf"), float("-inf")):
             return "null"
@@ -433,6 +438,11 @@ def _json_value(v, simple: str | None = None) -> str:
             return _float32_repr(v)
         return _float_repr(v)
     if isinstance(v, _decimal.Decimal):
+        # the (20,0)/(38,0) carriers ARE 64/128-bit integer columns —
+        # the 64-bit quoting rule covers them
+        if v == v.to_integral_value() and quote64 \
+                and simple in ("decimal(20,0)", "decimal(38,0)"):
+            return f'"{_decimal_repr(v)}"'
         return _decimal_repr(v)
     if isinstance(v, _dt.datetime):
         return _json_str(_dt_repr(v))
@@ -444,14 +454,16 @@ def _json_value(v, simple: str | None = None) -> str:
     if isinstance(v, str):
         return _json_str(v)
     if hasattr(v, "__fields__"):
-        vals = [v[i] for i in range(len(v.__fields__))]
-        return "[" + ",".join(_json_value(x) for x in vals) + "]"
+        return "{" + ",".join(
+            f"{_json_str(n)}:{_json_value(v[i], quote64=quote64)}"
+            for i, n in enumerate(v.__fields__)) + "}"
     if isinstance(v, dict):
         return "{" + ",".join(
-            f"{_json_str(str(k))}:{_json_value(x)}"
+            f"{_json_str(str(k))}:{_json_value(x, quote64=quote64)}"
             for k, x in v.items()) + "}"
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_json_value(x) for x in v) + "]"
+        return "[" + ",".join(_json_value(x, quote64=quote64)
+                              for x in v) + "]"
     return _json_str(str(v))
 
 
@@ -491,10 +503,12 @@ def _json_object_value(txt: str) -> str:
 
 
 def format_json_each_row(rows, schema=None, columns=None,
-                         json_cols=frozenset()) -> str:
+                         json_cols=frozenset(),
+                         quote64: bool = True) -> str:
     """CH ``FORMAT JSONEachRow`` display text.  ``json_cols`` names
     output columns of the declared JSON type — their string-carried
-    values render as objects, not quoted strings."""
+    values render as objects, not quoted strings.  ``quote64``
+    mirrors output_format_json_quote_64bit_integers."""
     types = ([f.dataType.simpleString() for f in schema.fields]
              if schema is not None else None)
     cols = columns or (schema.fieldNames() if schema is not None else [])
@@ -504,7 +518,8 @@ def format_json_each_row(rows, schema=None, columns=None,
             f"{_json_str(cols[i])}:"
             + (_json_object_value(v)
                if cols[i] in json_cols and isinstance(v, str)
-               else _json_value(v, types[i] if types else None))
+               else _json_value(v, types[i] if types else None,
+                                quote64=quote64))
             for i, v in enumerate(r))
         lines.append("{" + kv + "}")
     return "\n".join(lines) + ("\n" if lines else "")

@@ -113,6 +113,25 @@ def split_statements_spans(text: str):
             cur.append(text[i:j])
             i = j
             continue
+        if c == "\n":
+            # INSERT ... FORMAT <fmt> with INLINE DATA and no ';':
+            # the client ends the data block at a BLANK line
+            # (01825_type_json_in_array corpus shape)
+            cur_txt = "".join(cur)
+            nl2 = text.find("\n", i + 1)
+            line2 = text[i + 1:nl2 if nl2 >= 0 else n]
+            if line2.strip() == "" and re.match(
+                    r"(?is)^\s*INSERT\b[^;]*?\bFORMAT\s+\w+\s+\S",
+                    cur_txt):
+                stmt = cur_txt.strip()
+                out.append((stmt + (" __EXPECT_ERROR__ "
+                                    if expect else ""),
+                            span_start, i))
+                span_start = i
+                cur = []
+                expect = False
+                i += 1
+                continue
         if c == ";":
             end = i + 1
             # absorb a same-line trailing comment into the span
@@ -241,9 +260,12 @@ def classify_and_run(spark, ch_sql, stmt: str, tables, settings=None):
                     for d0 in ((tables or {}).get("__decl__")
                                or {}).values():
                         jset |= set((d0 or {}).get("json") or ())
+                    q64 = str((settings or {}).get(
+                        "output_format_json_quote_64bit_integers",
+                        "1")).strip() not in ("0", "false")
                     return kind, tr.format_json_each_row(
                         rows, schema=df.schema, columns=df.columns,
-                        json_cols=jset)
+                        json_cols=jset, quote64=q64)
                 if fmt_name == "prometheus":
                     return kind, tr.format_prometheus(
                         rows, df.columns) + "\n"

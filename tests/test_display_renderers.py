@@ -47,9 +47,11 @@ def test_values_rows():
 def test_json_each_row_escapes_and_quoting():
     out = format_json_each_row([("a b", 7)], columns=["x", "y"])
     assert out == '{"x":"a\\u2028b","y":7}\n'
-    # 64-bit integer carriers are quoted
-    # (output_format_json_quote_64bit_integers default)
-    assert _json_value(7, "bigint") == '"7"'
+    # only the EXACT 64-bit carriers quote (bigint doubles as the
+    # UInt32 carrier — golden 01825_type_json_14 renders it bare)
+    import decimal
+    assert _json_value(decimal.Decimal(7), "decimal(20,0)") == '"7"'
+    assert _json_value(7, "bigint") == "7"
     assert _json_value(7, "int") == "7"
     assert _json_value(float("nan")) == "null"
 
