@@ -10172,10 +10172,19 @@ def _ch_sql_impl(spark, sql: str,
         # Object('json') columns: the finalized tuple's exact name
         # (incl. Nullable paths / narrow ints) lives on the table —
         # typeof() cannot see it (goldens 01825_type_json_2/18)
-        _chmaps = [getattr(_tb0, "obj_ch_types", None) or {}
-                   for _tb0 in tables.values()]
-        _chmaps += [(d0 or {}).get("obj_ch_types") or {}
-                    for d0 in (tables.get("__decl__") or {}).values()]
+        _fm9 = re.search(r"(?i)\bFROM\s+`?(\w+)`?", text)
+        _tn9 = _fm9.group(1) if _fm9 else None
+        if _tn9 is not None:
+            _chmaps = [getattr(tables.get(_tn9), "obj_ch_types",
+                               None) or {},
+                       ((tables.get("__decl__") or {}).get(_tn9)
+                        or {}).get("obj_ch_types") or {}]
+        else:
+            _chmaps = [getattr(_tb0, "obj_ch_types", None) or {}
+                       for _tb0 in tables.values()]
+            _chmaps += [(d0 or {}).get("obj_ch_types") or {}
+                        for d0 in (tables.get("__decl__")
+                                   or {}).values()]
         for _chm0 in _chmaps:
             for _c0, _nm0 in _chm0.items():
                 text = re.sub(
@@ -12776,12 +12785,22 @@ def _utility_statement(spark, text: str, tables):
         t = (tables or {}).get(name)
         if t is not None and hasattr(t, "parts"):
             t._drop_parts(t.parts())
+            # an emptied Object('json') column resets its unified
+            # type (the next insert starts fresh)
+            for attr in ("obj_trees", "obj_ch_types"):
+                if getattr(t, attr, None):
+                    getattr(t, attr).clear()
             _refresh_table_views(spark, name, t)
             return None
         df = _resolve_view(spark, name, tables)
         if df is None:
             raise ValueError(f"TRUNCATE: unknown table {name!r}")
         df.limit(0).createOrReplaceTempView(name)
+        if tables is not None:
+            (tables.get("__viewraw__") or {}).pop(name, None)
+            rec9 = (tables.get("__decl__") or {}).get(name) or {}
+            for k9 in ("obj_trees", "obj_ch_types"):
+                (rec9.get(k9) or {}).clear()
         return None
 
     m = re.match(r"^CHECK\s+TABLE\s+`?(\w+)`?\s*$", text, re.IGNORECASE)
@@ -13845,8 +13864,23 @@ def _create_table_statement(spark, text: str, tables, sample_by=None):
         if local is not None and _register_distributed_alias(
                 spark, cl.group(1), local, tables):
             return None
-        src = _resolve_view_safe(spark, cl.group(2),
-                                 (tables or {}).get(cl.group(2)))
+        srct = (tables or {}).get(cl.group(2))
+        if srct is not None and getattr(srct, "ch_decl_cols", None) \
+                and hasattr(srct, "_apply_engine"):
+            # managed source: clone as a managed table from the
+            # DECLARED columns so type metadata (Object columns,
+            # defaults, codecs) carries over (golden
+            # 01825_type_json_insert_select)
+            synth = (f"CREATE TABLE {cl.group(1)} "
+                     f"({', '.join(srct.ch_decl_cols)}) "
+                     f"ENGINE = MergeTree ORDER BY tuple()")
+            t0 = create_table_sql(spark, synth, _default_table_dir())
+            if tables is not None:
+                tables[cl.group(1)] = t0
+            spark.createDataFrame([], t0.schema_ddl) \
+                .createOrReplaceTempView(cl.group(1))
+            return None
+        src = _resolve_view_safe(spark, cl.group(2), srct)
         if src is not None:
             spark.createDataFrame([], src.schema) \
                 .createOrReplaceTempView(cl.group(1))
@@ -14594,6 +14628,7 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
                        .alias(f.name))
     aligned = df.select(*out)
     if t is not None and hasattr(t, "insert"):
+        _check_object_insert_compat(t, aligned)
         t.insert(aligned)
         # always_final tables (EmbeddedRocksDB key-value semantics)
         # expose the deduplicated state as THE table
@@ -14645,6 +14680,54 @@ def _append_to_table(spark, name: str, df, tables, _mv_depth: int = 0):
         view_df.createOrReplaceTempView(name)
     _fire_mv_triggers(spark, name, aligned, tables, depth=_mv_depth)
     return None
+
+
+def _check_object_insert_compat(t, aligned) -> None:
+    """Object('json') path-type evolution contract (DataTypeObject
+    unification): SCALAR paths may widen/decay across inserts, but a
+    container-kind change (object vs array) or a scalar-kind change
+    INSIDE a Nested array rejects (reference INCOMPATIBLE_COLUMNS —
+    goldens 01825_type_json_14 / _insert_select id=5)."""
+    objs = set(getattr(t, "obj_cols", None) or ()) \
+        | set(getattr(t, "obj_array_cols", None) or ())
+    trees = getattr(t, "obj_trees", None) or {}
+    if not objs or not trees:
+        return
+    from ..sources.rowformats import object_type_tree
+
+    def conflict(a, b, in_array=False) -> bool:
+        if a is None or b is None:
+            return False
+        if a[0] != b[0]:
+            return ("struct" in (a[0], b[0])
+                    or "array" in (a[0], b[0]))
+        if a[0] == "struct":
+            bd = dict(b[1])
+            return any(conflict(s, bd.get(k), in_array)
+                       for k, s in a[1])
+        if a[0] == "array":
+            return conflict(a[1], b[1], True)
+        # scalar kinds always MIGRATE (widen/decay to String)
+        return False
+
+    for c in objs:
+        old = trees.get(c)
+        if old is None or c not in aligned.columns:
+            continue
+        if isinstance(old, tuple) and old[0] == "array" \
+                and c in (getattr(t, "obj_array_cols", None) or ()):
+            old = old[1]
+        try:
+            vals = [r[0] for r in aligned.select(f"`{c}`").collect()]
+            if c in (getattr(t, "obj_array_cols", None) or ()):
+                vals = [e for v in vals for e in (v or [])]
+            new = object_type_tree(vals)
+        except Exception:
+            continue
+        if conflict(old, new):
+            raise ValueError(
+                f"Object column {c!r}: incompatible path types "
+                f"between inserts (reference INCOMPATIBLE_COLUMNS)")
 
 
 _MV_BLOCK_COUNTER = [0]

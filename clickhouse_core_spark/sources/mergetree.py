@@ -1299,6 +1299,12 @@ def finalize_object_columns(df: DataFrame, obj_cols, obj_array_cols,
                     tree, force_nullable=fnull)
             if trees is not None:
                 trees[c] = tree
+        else:
+            # table emptied (TRUNCATE / DELETE-all): the type resets
+            if ch_types is not None:
+                ch_types.pop(c, None)
+            if trees is not None:
+                trees.pop(c, None)
     for c in [c for c in obj_array_cols or () if c in df.columns]:
         # Array(Object('json')): unify across ALL elements of all rows
         try:
