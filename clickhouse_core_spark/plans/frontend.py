@@ -14258,6 +14258,42 @@ def _alter_table_statement(spark, name: str, body: str, tables):
                             + rest[cend2 + 1:]).strip()
                     if not rest:
                         continue
+            if t is not None and re.match(r"(?i)^JSON\b", rest) \
+                    and cname in (getattr(t, "obj_cols", None)
+                                  or ()):
+                # Object('json') -> JSON migration: the finalized
+                # tuple MATERIALIZES into the stored strings (path
+                # defaults included — golden 03270 keeps the 0 fills)
+                # and the column becomes the string-carrier JSON type
+                mat = t.read().withColumn(
+                    cname, F.to_json(F.col(f"`{cname}`"))) \
+                    .localCheckpoint(eager=True)
+                t._drop_parts(t.parts())
+                t.obj_cols.discard(cname)
+                getattr(t, "obj_trees", {}).pop(cname, None)
+                getattr(t, "obj_ch_types", {}).pop(cname, None)
+                t.json_cols.add(cname)
+                t.insert(mat)
+                df = t.read()
+                df.createOrReplaceTempView(name)
+                continue
+            _rec8 = ((tables or {}).get("__decl__") or {}).get(name)
+            if t is None and _rec8 and re.match(r"(?i)^JSON\b", rest) \
+                    and cname in (_rec8.get("obj") or ()):
+                # Memory-engine Object -> JSON migration (same
+                # contract as the MergeTree path)
+                mat8 = spark.table(name).withColumn(
+                    cname, F.to_json(F.col(f"`{cname}`"))) \
+                    .localCheckpoint(eager=True)
+                _rec8["obj"].discard(cname)
+                _rec8.setdefault("json", set()).add(cname)
+                (_rec8.get("obj_trees") or {}).pop(cname, None)
+                (_rec8.get("obj_ch_types") or {}).pop(cname, None)
+                if tables is not None:
+                    tables.setdefault("__viewraw__", {})[name] = mat8
+                mat8.createOrReplaceTempView(name)
+                df = mat8
+                continue
             if re.match(r"(?is)^(DEFAULT|MATERIALIZED)\b", rest):
                 if t is not None:
                     t.column_defaults[cname] = _translate_expr(
@@ -14923,6 +14959,69 @@ def _insert_values_statement(spark, name: str, cols_raw, body, tables):
     names = [f.name for f in schema.fields]
     cols = ([c.strip().strip("`") for c in cols_raw.split(",")]
             if cols_raw and cols_raw.strip() else names)
+    if (getattr(t, "obj_cols", None)
+            or (((tables or {}).get("__decl__") or {}).get(name)
+                or {}).get("obj")) \
+            and re.search(r"(?i)::\s*Tuple\s*\(", body):
+        # a literal named-tuple cast inserted into an Object('json')
+        # column becomes the equivalent JSON object (golden
+        # 01825_type_json_field)
+        import json as _json0
+
+        def _tuple_to_json(m0):
+            elems = [e.strip() for e in
+                     _split_top_commas(m0.group(1))]
+            fields0 = [f0.strip().split(None, 1)
+                       for f0 in _split_top_commas(m0.group(2))]
+            if len(elems) != len(fields0) \
+                    or any(len(f0) != 2 for f0 in fields0):
+                return m0.group(0)
+            doc = {}
+            for (fn, _ft), ev in zip(fields0, elems):
+                if re.fullmatch(r"-?\d+", ev):
+                    doc[fn.strip("`")] = int(ev)
+                elif re.fullmatch(r"-?\d*\.\d+", ev):
+                    doc[fn.strip("`")] = float(ev)
+                elif ev.startswith("'") and ev.endswith("'"):
+                    doc[fn.strip("`")] = ev[1:-1].replace("\\'", "'")
+                else:
+                    return m0.group(0)
+            return ("'" + _json0.dumps(doc, separators=(",", ":"))
+                    .replace("'", "\\'") + "'")
+
+        body = re.sub(r"\(([^()]*)\)\s*::\s*Tuple\s*\(([^()]*)\)",
+                      _tuple_to_json, body)
+    if (getattr(t, "obj_cols", None)
+            or (((tables or {}).get("__decl__") or {}).get(name)
+                or {}).get("obj")) \
+            and re.search(r"(?i)\bmap\s*\(", body):
+        # a literal map(...) into an Object('json') column is the
+        # equivalent JSON object too (golden 01825_type_json_field)
+        import json as _json1
+
+        def _map_to_json(m0):
+            items = [e.strip() for e in
+                     _split_top_commas(m0.group(1))]
+            if len(items) % 2 or not items:
+                return m0.group(0)
+            doc = {}
+            for k0, v0 in zip(items[::2], items[1::2]):
+                if not (k0.startswith("'") and k0.endswith("'")):
+                    return m0.group(0)
+                k0 = k0[1:-1]
+                if re.fullmatch(r"-?\d+", v0):
+                    doc[k0] = int(v0)
+                elif re.fullmatch(r"-?\d*\.\d+", v0):
+                    doc[k0] = float(v0)
+                elif v0.startswith("'") and v0.endswith("'"):
+                    doc[k0] = v0[1:-1].replace("\\'", "'")
+                else:
+                    return m0.group(0)
+            return ("'" + _json1.dumps(doc, separators=(",", ":"))
+                    .replace("'", "\\'") + "'")
+
+        body = re.sub(r"(?i)\bmap\s*\(([^()]*)\)", _map_to_json,
+                      body)
     # Dynamic columns carry as STRINGS — mixed-type VALUES tuples
     # ((42), ('str')) need per-element coercion or Spark's inline
     # table rejects the column
