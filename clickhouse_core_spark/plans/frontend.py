@@ -10624,8 +10624,18 @@ def _ch_sql_impl(spark, sql: str,
     if m:
         name = m.group(1) or m.group(2)
         table = (tables or {}).get(name)
+        predtext = m.group(3)
+        # mutation predicates run on read_raw(), where Object('json')
+        # columns are still the string carrier (not the finalized
+        # tuple a SELECT sees) — rewrite their subcolumn reads to
+        # get_json_object like declared-JSON columns (golden 02887)
+        ocols = ((getattr(table, "obj_cols", None) or set())
+                 | (getattr(table, "obj_array_cols", None) or set()))
+        if ocols and any(re.search(rf"\b{re.escape(c)}\s*\.", predtext)
+                         for c in ocols):
+            predtext = _rewrite_json_subcolumns(predtext, ocols)
         pred = F.expr(_bool_pred_sql(_rewrite_json_struct_compare(
-            _translate_expr(m.group(3)))))
+            _translate_expr(predtext))))
         if table is None:
             # view-backed (Memory-analog) table: rewrite the view
             try:

@@ -322,9 +322,11 @@ def test_remote_tvf_proxies_local(spark):
     ch_sql(spark, "INSERT INTO r10t_rem VALUES (5)", tables=t)
     assert _rows(spark, "SELECT x FROM remote('127.0.0.1', "
                         "currentDatabase(), r10t_rem)", t) == [(5,)]
+    # Brace patterns fan out per shard and union the results (reference
+    # golden 00183_skip_unavailable_shards: count() over 2 shards = 2).
     assert _rows(spark, "SELECT count() AS c FROM "
                         "remote('127.{1,1}', 'system.one')",
-                 t) == [(1,)]
+                 t) == [(2,)]
 
 
 def test_neighbor_nonconstant_offset(spark):
@@ -428,9 +430,12 @@ def test_int_logical_retry(spark):
 
 
 def test_remote_numbers_tvf(spark):
+    # Each brace-expanded shard evaluates the TVF independently and the
+    # results union (reference 00183_skip_unavailable_shards semantics:
+    # per-shard rows sum across shards).
     assert _rows(spark, "SELECT count() AS c FROM "
                         "remote('127.{1,1}', numbers(6))",
-                 {}) == [(6,)]
+                 {}) == [(12,)]
 
 
 def test_optimize_partition_clause(spark):
