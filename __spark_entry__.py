@@ -167,20 +167,19 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """)
 def q3(spark, sf_dir):
-    """lineitem is the streamed fact side: the dimension pipeline
-    (customer ⨝ orders, both filtered) broadcasts; writing it
-    customer-first let Catalyst broadcast the filtered LINEITEM at
-    small SF (borderline under the 64m threshold) — a plan that
-    inverts at 100 TB.  Fact-streams-dims-broadcast holds at any
-    scale."""
+    """r13: join the dimensions ONE AT A TIME off the streamed lineitem
+    fact instead of pre-joining customer ⨝ orders into a single forced-
+    broadcast pipeline.  Each dim join picks its own strategy from its
+    own (small) size — no explicit broadcast of a join RESULT whose
+    size the planner can't bound, and at 100 TB each join degrades
+    independently to shuffle.  noop-sink 0.632 s → 0.531 s at sf0.1."""
     c = _cat(spark, sf_dir)
-    dims = (c.customer.filter(F.col("c_mktsegment") == "BUILDING")
-            .join(c.orders.filter(F.col("o_orderdate")
-                                  < F.lit("1998-03-15").cast("timestamp")),
-                  F.col("c_custkey") == F.col("o_custkey")))
+    orders_f = c.orders.filter(F.col("o_orderdate")
+                               < F.lit("1998-03-15").cast("timestamp"))
     return (c.lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
-            .join(F.broadcast(dims),
-                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c.customer.filter(F.col("c_mktsegment") == "BUILDING"),
+                  F.col("o_custkey") == F.col("c_custkey"))
             .groupBy("l_orderkey", "o_orderdate")
             # round(,4): the sum's true value has exactly 4 decimal digits
             # (2dp price × 2dp discount), so both engines round to the SAME
@@ -207,17 +206,22 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """)
 def q5(spark, sf_dir):
-    """lineitem streams; the year-filtered orders ⨝ customer pipeline
-    is the build side (AQE broadcasts it at small SF, shuffles both at
-    real scale) — the inverted formulation broadcast the FACT table."""
+    """r13: lineitem streams through a CHAIN of per-dimension joins
+    instead of joining one pre-built customer ⨝ orders pipeline.  The
+    pipeline formulation left the planner a bad pair of choices
+    (broadcast the whole join result or the fact side — it was
+    broadcasting LINEITEM, building a 600 K-row hash relation, see
+    plans/r13/q5_*_before.txt node (3)); per-dim joins let each side's
+    real size pick the strategy and shrink the build sides to the
+    filtered dims.  noop-sink 1.314 s → 0.644 s at sf0.1; at 100 TB
+    every join degrades independently to shuffle."""
     c = _cat(spark, sf_dir)
-    cust_orders = (c.customer
-                   .join(c.orders.filter(
-                       (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                       & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
-                       F.col("c_custkey") == F.col("o_custkey")))
+    orders_f = c.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
     return (c.lineitem
-            .join(cust_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
             .join(c.supplier,
                   (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
@@ -262,17 +266,17 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """)
 def q10(spark, sf_dir):
-    """Returned-lineitem fact streams; the 6-month orders ⨝ customer
-    pipeline is the build side (same fact-vs-dims inversion fix as
-    q3/q5)."""
+    """r13: same per-dimension join chain as q3/q5 — the pre-built
+    orders ⨝ customer pipeline made Catalyst broadcast the filtered
+    LINEITEM side instead (plans/r13/q10_*_before.txt node (4)).
+    noop-sink 0.799 s → 0.486 s at sf0.1."""
     c = _cat(spark, sf_dir)
-    cust_orders = (c.customer
-                   .join(c.orders.filter(
-                       (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                       & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))),
-                       F.col("c_custkey") == F.col("o_custkey")))
+    orders_f = c.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
     return (c.lineitem.filter(F.col("l_returnflag") == "R")
-            .join(cust_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("c_custkey", "c_name", "n_name")
             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
@@ -497,12 +501,20 @@ FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
 GROUP BY c_count ORDER BY custdist DESC, c_count DESC
 """)
 def q13(spark, sf_dir):
+    """r13: pre-aggregate orders by o_custkey BEFORE the customer join
+    (guide §2.3 'aggregate before you shuffle') — the join then carries
+    one row per ordering customer instead of one per order, and the
+    post-join per-customer aggregation disappears (count(o_orderkey)
+    over a LEFT join == the pre-agg count, 0 via coalesce for
+    customers with no orders).  noop-sink 0.827 s → 0.536 s at sf0.1;
+    one HashAggregate over orders replaces one over the joined rows."""
     c = _cat(spark, sf_dir)
+    per_cust_cnt = (c.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+                    .groupBy("o_custkey")
+                    .agg(F.count("o_orderkey").alias("__cnt")))
     per_cust = (c.customer.join(
-        c.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
-        F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count")))
+        per_cust_cnt, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__cnt"), F.lit(0)).alias("c_count")))
     return (per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
             .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
 
@@ -659,18 +671,26 @@ def q21(spark, sf_dir):
     # each partition; this shuffles the same pairs but stays hash-only
     # (map-side partial agg), and when exactly one supplier is late the
     # max() over the singleton struct extracts it without a join-back.
+    # r13: two PRIMITIVE conditional maxes instead of one max over a
+    # struct — Spark's HashAggregate only takes mutable primitive
+    # buffer types, so the struct max silently fell back to
+    # SortAggregate (Sort + Exchange + Sort over every pair row, seen
+    # in plans/r13/q21_waiting_supplier_before.txt).  Both maxes see
+    # the same single qualifying row (enforced by __n_late == 1), so
+    # they extract the same supplier/late-count pair the struct did.
+    # noop-sink 3.046 s → 1.466 s at sf0.1; SortAggregate → HashAggregate.
     per_order = (per_pair.groupBy("l_orderkey")
                  .agg(F.count("*").alias("__n_supp"),
                       F.count(F.when(F.col("__late_rows") > 0, 1))
                       .alias("__n_late"),
                       F.max(F.when(F.col("__late_rows") > 0,
-                                   F.struct(F.col("l_suppkey").alias("sk"),
-                                            F.col("__late_rows").alias("lr"))))
-                      .alias("__qual")))
+                                   F.col("l_suppkey"))).alias("__sk"),
+                      F.max(F.when(F.col("__late_rows") > 0,
+                                   F.col("__late_rows"))).alias("__lr")))
     qualifying = (per_order
                   .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
-                  .select(F.col("__qual.sk").alias("l_suppkey"),
-                          F.col("__qual.lr").alias("__late_rows")))
+                  .select(F.col("__sk").alias("l_suppkey"),
+                          F.col("__lr").alias("__late_rows")))
     return (qualifying
             .join(c.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
             .groupBy("s_name").agg(F.sum("__late_rows").cast("long").alias("numwait"))
@@ -2225,13 +2245,24 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 ORDER BY o_custkey, rn
 """)
 def win_rank_family(spark, sf_dir):
+    """Range-partition by the window key FIRST (r13, guide §2.4): the
+    window's ClusteredDistribution(o_custkey) is satisfied by
+    RangePartitioning(o_custkey) and the in-partition sort matches the
+    window order, so the hash Exchange + Sort under Window disappear —
+    and because (o_custkey, rn) order IS the window order over
+    range-ordered partitions, the final global orderBy (a second
+    Exchange whose range-sampling pass re-executed the whole window
+    subtree) is free by construction.  2 Exchange + 2 Sort → 1 + 1;
+    noop-sink 1.074 s → 0.563 s at sf0.1 (plans/r13)."""
     o = _cat(spark, sf_dir).orders
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (o.select("o_custkey", "o_orderkey",
-                     F.rank().over(w).cast("long").alias("rnk"),
-                     F.dense_rank().over(w).cast("long").alias("drnk"),
-                     F.row_number().over(w).cast("long").alias("rn"))
-            .orderBy("o_custkey", "rn"))
+    return (o.repartitionByRange("o_custkey")
+            .sortWithinPartitions("o_custkey", F.col("o_totalprice").desc(),
+                                  "o_orderkey")
+            .select("o_custkey", "o_orderkey",
+                    F.rank().over(w).cast("long").alias("rnk"),
+                    F.dense_rank().over(w).cast("long").alias("drnk"),
+                    F.row_number().over(w).cast("long").alias("rn")))
 
 
 @q("win_lag_lead", """
@@ -2262,15 +2293,25 @@ SELECT user_id, event_id,
 FROM events ORDER BY user_id, event_id
 """)
 def win_frames_rows(spark, sf_dir):
+    """Same range-partition-first shape as win_rank_family (r13):
+    RangePartitioning(user_id) + matching in-partition sort feed the
+    Window with no extra Exchange/Sort; the output order (user_id,
+    event_id) differs from the window order (user_id, ts, event_id),
+    so a final sortWithinPartitions — NOT a global orderBy — restores
+    it (user_id range partitioning makes the in-partition sort a total
+    order).  Kills the range Exchange whose sampling re-ran the window.
+    noop-sink 0.994 s → 0.689 s at sf0.1."""
     ev = _cat(spark, sf_dir).events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (ev.select("user_id", "event_id",
-                      F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 4)
-                      .alias("moving_sum"),
-                      F.round(F.sum("value").over(
-                          w.rowsBetween(Window.unboundedPreceding, 0)), 4)
-                      .alias("running_sum"))
-            .orderBy("user_id", "event_id"))
+    return (ev.repartitionByRange("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .select("user_id", "event_id",
+                    F.round(F.sum("value").over(w.rowsBetween(-2, 0)), 4)
+                    .alias("moving_sum"),
+                    F.round(F.sum("value").over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+                    .alias("running_sum"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 @q("win_ntile_percent", """
@@ -2529,11 +2570,19 @@ SELECT user_id, event_id, ts FROM (
 ORDER BY user_id, event_id
 """)
 def limit_by_group(spark, sf_dir):
+    """r13: range-partition by user_id FIRST so limit_by's window needs
+    no hash Exchange/Sort of its own, and the final per-partition sort
+    (windows preserve partitioning, so user_id range order survives to
+    the output) replaces the global orderBy whose sampling pass re-ran
+    the window.  noop-sink 0.584 s → 0.476 s at sf0.1."""
     ev = _cat(spark, sf_dir).events
-    return (limit_by(ev, ["user_id"], 2,
+    shaped = (ev.repartitionByRange("user_id")
+              .sortWithinPartitions("user_id", F.col("ts").desc(),
+                                    F.col("event_id").desc()))
+    return (limit_by(shaped, ["user_id"], 2,
                      order=[F.col("ts").desc(), F.col("event_id").desc()])
             .select("user_id", "event_id", "ts")
-            .orderBy("user_id", "event_id"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 @q("limit_with_ties", """
@@ -2846,10 +2895,16 @@ ORDER BY user_id
 def final_replacing_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events.select("user_id", "event_id", "ts", "value")
     # version = (ts, event_id): latest state per user survives, exactly
-    # ReplacingMergeTree(version) FINAL.
+    # ReplacingMergeTree(version) FINAL.  r13: range-partition by the
+    # dedup key first — the window inside replacing_final keeps that
+    # partitioning, so the final per-partition sort IS the global
+    # ORDER BY user_id without the second (range) Exchange whose
+    # sampling re-ran the window.  noop-sink 0.449 s → 0.416 s.
     out = replacing_final(
-        ev.withColumn("__v", F.struct("ts", "event_id")), ["user_id"], version="__v")
-    return out.drop("__v").orderBy("user_id")
+        ev.repartitionByRange("user_id")
+        .withColumn("__v", F.struct("ts", "event_id")), ["user_id"],
+        version="__v")
+    return out.drop("__v").sortWithinPartitions("user_id")
 
 
 @q("final_replacing_expr_key", """
@@ -6120,9 +6175,14 @@ def multimodal_decode_q(spark, sf_dir):
              .select("doc_id", F.encode("text", "utf-8").alias("content"))
              .coalesce(2))
     decoded = decode_images(blobs)
+    # r13: single-partition sort, NOT orderBy — the global sort's range-
+    # sampling pass re-executed the whole MapInArrow stage (Python
+    # workers spun up twice); the doc_id < 200 filter bounds the result
+    # to 200 rows, so the coalesce(1) sort is scale-safe.  noop-sink
+    # 0.631 s → 0.335 s at sf0.1.
     return (decoded.select("doc_id",
                            F.length("content").cast("long").alias("n_bytes"))
-            .orderBy("doc_id"))
+            .coalesce(1).sortWithinPartitions("doc_id"))
 
 
 @q("multimodal_features", """

@@ -87,6 +87,7 @@ class Catalog:
         self.spark = spark
         self.base_dir = base_dir
         self._cache: dict[str, DataFrame] = {}
+        self._registered: set[str] = set()
         apply_runtime_conf(spark)
 
     def path(self, name: str) -> str:
@@ -106,11 +107,22 @@ class Catalog:
             return self.table(name)
         raise AttributeError(name)
 
-    def register_all(self, tables: tuple[str, ...] = STANDARD_TABLES) -> None:
-        """Register every available table as a temp view for spark.sql."""
+    def register_all(self, tables: tuple[str, ...] = STANDARD_TABLES,
+                     force: bool = False) -> None:
+        """Register every available table as a temp view for spark.sql.
+
+        Registration is idempotent per Catalog instance: each
+        ``createOrReplaceTempView`` is a py4j round trip (~9 ms), and
+        every query entry calls this, so re-registering all 10 tables
+        per query cost ~90 ms/query of pure driver overhead (r13
+        measurement).  Pass ``force=True`` after externally replacing
+        one of the standard views."""
+        if force:
+            self._registered.clear()
         for name in tables:
-            if os.path.exists(self.path(name)):
+            if name not in self._registered and os.path.exists(self.path(name)):
                 self.table(name).createOrReplaceTempView(name)
+                self._registered.add(name)
 
     def register_system_tables(self) -> None:
         """Introspection views mirroring the reference's system database
