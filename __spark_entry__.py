@@ -1152,7 +1152,9 @@ def cb_json_props_histogram(spark, sf_dir):
                  F.count(F.when(F.col("event_type") == "click", 1))
                  .alias("clicks"),
                  F.format_string("%.4f", F.avg("value")).alias("avg_v"))
-            .orderBy("kb"))
+            # r13: ≤ 11 groups (x % 10 plus NULL) — single-partition
+            # sort replaces the global-sort Exchange + sampling pass
+            .transform(_small_sorted, "kb"))
 
 
 @q("cb_session_gaps", """
@@ -1510,12 +1512,20 @@ def funnel_window_q(spark, sf_dir):
     in the docstring of window_funnel's merge step (the fold's re-anchor
     only ever shrinks gaps)."""
     ev = _cat(spark, sf_dir).events
-    return (window_funnel(ev, ["user_id"], "ts",
+    # r13: range-partition by user_id first.  collect_list's partial
+    # aggregation does not shrink bytes (it only packs lists), so
+    # exchanging raw events instead of partially-packed lists costs
+    # nothing — and the fold then runs on range-ordered partitions, so
+    # the final ORDER BY is a per-partition sort instead of a second
+    # Exchange whose sampling re-ran the fold.  noop-sink 1.157 s →
+    # 0.727 s at sf0.1.
+    return (window_funnel(ev.repartitionByRange("user_id"),
+                          ["user_id"], "ts",
                           [F.col("event_type") == "view",
                            F.col("event_type") == "click",
                            F.col("event_type") == "purchase"],
                           window="1 day")
-            .orderBy("user_id"))
+            .sortWithinPartitions("user_id"))
 
 
 @q("sequence_match_ordered", """

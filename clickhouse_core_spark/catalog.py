@@ -69,6 +69,11 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for the pandas-based pipeline operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Byte-sized AQE partition coalescing (see session.py r13 note):
+    # runtime-settable, so the driver's vanilla session gets the same
+    # scale-adaptive reducer sizing the bench session has.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
 }
 
 

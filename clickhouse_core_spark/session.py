@@ -23,6 +23,16 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r13 (guide §2.2/§9): size post-shuffle partitions by BYTES, not
+    # by core count.  The default parallelismFirst=true pins small
+    # shuffles to defaultParallelism tasks (32 tiny tasks of scheduling
+    # overhead locally; thousands of undersized reducers on a cluster);
+    # advisory 256m is the guide's batch-ETL figure and scales with
+    # input size at any SF.  Override via env for cluster tuning.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst":
+        os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "256m"),
     # Upper bound pre-AQE; at 100 TB you would raise this to ~2000-4000
     # (or let adaptive.coalescePartitions pick from
     # spark.sql.adaptive.coalescePartitions.initialPartitionNum).
