@@ -844,6 +844,9 @@ def test_utility_statements(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     ch_sql(spark, "USE somedb")                        # records, no-op
+    # reset: _CURRENT_DATABASE is module-global and SHOW CREATE renders
+    # it — leaking 'somedb' breaks later db-qualified assertions
+    ch_sql(spark, "USE default")
     assert ch_sql(spark, "SHOW PROCESSLIST").columns \
         == ["user", "query", "elapsed"]
     assert ch_sql(spark, "KILL QUERY WHERE query_id = 'q'").count() == 0
