@@ -6213,10 +6213,13 @@ def multimodal_features_q(spark, sf_dir):
              .select("doc_id", F.encode("text", "utf-8").alias("content"))
              .coalesce(2))
     feats = extract_features(blobs, dim=8)
+    # r13: same fix as multimodal_decode — a global orderBy's sampling
+    # pass re-runs the Python stage; ≤200×8 rows by the filter, so the
+    # single-partition sort is scale-safe and mapInPandas runs once.
     return (feats.select("doc_id", F.posexplode("features").alias("i", "f"))
             .select("doc_id", "i",
                     F.round(F.col("f").cast("double"), 6).alias("feat"))
-            .orderBy("doc_id", "i"))
+            .coalesce(1).sortWithinPartitions("doc_id", "i"))
 
 
 @q("multimodal_frame_sample", """
@@ -6232,9 +6235,11 @@ def multimodal_frames_q(spark, sf_dir):
              .select("doc_id", F.encode("text", "utf-8").alias("content"))
              .coalesce(2))
     sampled = sample_frames(blobs, every_ms=1000)
+    # r13: single-partition sort (≤200 rows) — mapInPandas runs once
+    # instead of once more for the orderBy's range-sampling pass.
     return (sampled.select("doc_id",
                            F.size("frame_offsets_ms").cast("long").alias("n_frames"))
-            .orderBy("doc_id"))
+            .coalesce(1).sortWithinPartitions("doc_id"))
 
 
 
