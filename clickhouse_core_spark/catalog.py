@@ -69,11 +69,14 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow transfer for the pandas-based pipeline operators.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Byte-sized AQE partition coalescing (see session.py r13 note):
+    # Byte-sized AQE partition coalescing (see session.py r13/r14 note):
     # runtime-settable, so the driver's vanilla session gets the same
-    # scale-adaptive reducer sizing the bench session has.
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256m",
+    # scale-adaptive reducer sizing the bench session has.  Reads the
+    # same env knobs as session.py so one override reaches both paths.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst":
+        os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"),
 }
 
 

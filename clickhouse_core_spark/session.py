@@ -26,13 +26,20 @@ _DEFAULT_CONF = {
     # r13 (guide §2.2/§9): size post-shuffle partitions by BYTES, not
     # by core count.  The default parallelismFirst=true pins small
     # shuffles to defaultParallelism tasks (32 tiny tasks of scheduling
-    # overhead locally; thousands of undersized reducers on a cluster);
-    # advisory 256m is the guide's batch-ETL figure and scales with
-    # input size at any SF.  Override via env for cluster tuning.
+    # overhead locally; thousands of undersized reducers on a cluster).
+    # r14: the r13 advisory of 256m collapsed every sf0.1 post-shuffle
+    # stage to ~1 reducer and cost ~1 s across the bench (interleaved
+    # 5-round driver-protocol A/B, AB_CONF_RAW.json: 256m 22.03 s /
+    # spark-default 21.49 s / 8m 20.93 s) — exactly the VERDICT r13
+    # item-2 suspicion.  Local default is now 8m, which keeps the
+    # byte-derived partition count (≈ shuffle_bytes / advisory) at a
+    # granularity that still parallelizes sf-scale data; on a cluster
+    # set SPARK_GRAFT_ADVISORY_PARTITION_BYTES=256m (guide §9 figure,
+    # SCALE.md).
     "spark.sql.adaptive.coalescePartitions.parallelismFirst":
         os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
     "spark.sql.adaptive.advisoryPartitionSizeInBytes":
-        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "256m"),
+        os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"),
     # Upper bound pre-AQE; at 100 TB you would raise this to ~2000-4000
     # (or let adaptive.coalescePartitions pick from
     # spark.sql.adaptive.coalescePartitions.initialPartitionNum).

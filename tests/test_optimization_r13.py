@@ -55,6 +55,37 @@ def test_rewritten_query_output_is_globally_ordered(spark, name):
         f"{name}: rows are not in declared ORDER BY order")
 
 
+# The sf0.001 run above often coalesces the range shuffle to a single
+# partition (AQE advisory 256m ≫ fixture bytes), which barely exercises
+# the cross-partition invariant the rewrites rely on (r13 advice).  Run
+# the range-first entries at the LARGEST fixture present with a tiny
+# advisory partition size pinned, and require a genuinely multi-partition
+# plan before checking global order.
+_RANGE_FIRST = ("win_rank_family", "win_frames_rows", "limit_by_group",
+                "final_replacing", "funnel_window")
+_SF_BIG = next((d for d in ("/root/testdata/sf0.01", SF_DIR)
+                if os.path.exists(d)), SF_DIR)
+
+
+@pytest.mark.parametrize("name", _RANGE_FIRST)
+def test_range_first_order_holds_across_many_partitions(spark, name):
+    old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    try:
+        df = entry_mod.queries()[name](spark, _SF_BIG)
+        rdd = df.rdd  # materializes under AQE with the tiny advisory
+        assert rdd.getNumPartitions() > 1, (
+            f"{name}: want >1 post-shuffle partitions to exercise the "
+            "cross-partition ordering contract")
+        rows = df.collect()
+        key = _ORDER_CONTRACTS[name]
+        keys = [key(r) for r in rows]
+        assert keys == sorted(keys), (
+            f"{name}: rows are not in declared ORDER BY order at {_SF_BIG}")
+    finally:
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+
+
 def test_win_rank_family_order_matches_window_order(spark):
     """(o_custkey, rn) must equal (o_custkey, o_totalprice DESC,
     o_orderkey) — the invariant the range-first rewrite relies on."""
@@ -93,8 +124,12 @@ def test_q21_primitive_maxes_keep_hash_aggregation(spark):
 
 
 def test_fact_side_streams_in_q5_q10(spark):
-    """The per-dimension join chains must not broadcast lineitem."""
-    for name in ("q5_local_supplier_volume", "q10_returned_items"):
+    """The per-dimension join chains must not broadcast lineitem.
+
+    q3 got the same chain rewrite (its point is precisely not
+    broadcasting the fact side), so it is asserted too (r13 advice)."""
+    for name in ("q5_local_supplier_volume", "q10_returned_items",
+                 "q3_shipping_priority"):
         df = entry_mod.queries()[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
@@ -108,7 +143,9 @@ def test_fact_side_streams_in_q5_q10(spark):
         for i, ln in enumerate(lines):
             if "BroadcastExchange" not in ln:
                 continue
-            indent = len(ln) - len(ln.rstrip()) + ln.index("BroadcastExchange")
+            # subtree boundary = the operator's column offset (r13 advice:
+            # the old trailing-whitespace term was always 0)
+            indent = ln.index("BroadcastExchange")
             for ln2 in lines[i + 1:]:
                 stripped = ln2.lstrip(" :+-")
                 ind2 = len(ln2) - len(stripped)
