@@ -664,13 +664,23 @@ def q21(spark, sf_dir):
                     (F.col("l_shipdate")
                      > F.col("o_orderdate") + F.expr("interval 60 days"))
                     .cast("int").alias("__late")))
-    per_pair = (rows.groupBy("l_orderkey", "l_suppkey")
+    # r14: ONE exchange for both aggregation levels.  The explicit
+    # repartition("l_orderkey") hash-exchanges the joined rows once;
+    # HashPartitioning(l_orderkey) satisfies the ClusteredDistribution
+    # of BOTH groupBy(l_orderkey, l_suppkey) and groupBy(l_orderkey)
+    # (hash on a subset of the grouping keys co-locates every group),
+    # so neither aggregate plans its own Exchange: 2 hash Exchanges of
+    # ~the same pair rows → 1 (the pair agg's map-side partial pass
+    # barely shrank — ~1 lineitem per (order, supplier) — so the lost
+    # partial agg costs nothing).  r14 interleaved cold-collect A/B:
+    # 1.725 s → 1.325 s (median of 7), row-identical.
+    per_pair = (rows.repartition("l_orderkey")
+                .groupBy("l_orderkey", "l_suppkey")
                 .agg(F.sum("__late").alias("__late_rows")))
     # Per-order counts as a second HASH aggregation instead of a window:
-    # the window formulation re-shuffles the pairs by orderkey AND sorts
-    # each partition; this shuffles the same pairs but stays hash-only
-    # (map-side partial agg), and when exactly one supplier is late the
-    # max() over the singleton struct extracts it without a join-back.
+    # the window formulation would also sort each partition; this stays
+    # hash-only, and when exactly one supplier is late the conditional
+    # maxes extract it without a join-back.
     # r13: two PRIMITIVE conditional maxes instead of one max over a
     # struct — Spark's HashAggregate only takes mutable primitive
     # buffer types, so the struct max silently fell back to
@@ -1152,9 +1162,12 @@ def cb_json_props_histogram(spark, sf_dir):
                  F.count(F.when(F.col("event_type") == "click", 1))
                  .alias("clicks"),
                  F.format_string("%.4f", F.avg("value")).alias("avg_v"))
-            # r13: ≤ 11 groups (x % 10 plus NULL) — single-partition
-            # sort replaces the global-sort Exchange + sampling pass
-            .transform(_small_sorted, "kb"))
+            # r14: REVERTED the r13 _small_sorted (coalesce(1)) tail —
+            # the coalesce collapsed the post-shuffle final-agg stage to
+            # one task, while the orderBy it replaced only range-sorts
+            # ≤ 11 rows.  Driver r13: 0.63×; r14 interleaved A/B:
+            # orderBy 0.491 s vs coalesce(1) 0.577 s (median of 7).
+            .orderBy("kb"))
 
 
 @q("cb_session_gaps", """
@@ -1512,20 +1525,18 @@ def funnel_window_q(spark, sf_dir):
     in the docstring of window_funnel's merge step (the fold's re-anchor
     only ever shrinks gaps)."""
     ev = _cat(spark, sf_dir).events
-    # r13: range-partition by user_id first.  collect_list's partial
-    # aggregation does not shrink bytes (it only packs lists), so
-    # exchanging raw events instead of partially-packed lists costs
-    # nothing — and the fold then runs on range-ordered partitions, so
-    # the final ORDER BY is a per-partition sort instead of a second
-    # Exchange whose sampling re-ran the fold.  noop-sink 1.157 s →
-    # 0.727 s at sf0.1.
-    return (window_funnel(ev.repartitionByRange("user_id"),
-                          ["user_id"], "ts",
+    # r14: REVERTED the r13 range-first shape.  The fold contracts
+    # events to one row per user, so the final ORDER BY exchange is
+    # tiny, while repartitionByRange(raw events) added a sampling pass
+    # over the full scan with no skew handling on user_id — the driver's
+    # r13 bench showed 0.69× and the r14 interleaved cold-collect A/B
+    # confirmed (old 0.785 s vs range-first 0.800 s median of 7).
+    return (window_funnel(ev, ["user_id"], "ts",
                           [F.col("event_type") == "view",
                            F.col("event_type") == "click",
                            F.col("event_type") == "purchase"],
                           window="1 day")
-            .sortWithinPartitions("user_id"))
+            .orderBy("user_id"))
 
 
 @q("sequence_match_ordered", """
@@ -2580,19 +2591,16 @@ SELECT user_id, event_id, ts FROM (
 ORDER BY user_id, event_id
 """)
 def limit_by_group(spark, sf_dir):
-    """r13: range-partition by user_id FIRST so limit_by's window needs
-    no hash Exchange/Sort of its own, and the final per-partition sort
-    (windows preserve partitioning, so user_id range order survives to
-    the output) replaces the global orderBy whose sampling pass re-ran
-    the window.  noop-sink 0.584 s → 0.476 s at sf0.1."""
+    """r14: REVERTED the r13 range-first shape.  limit_by contracts to
+    ≤ 2 rows per user before the final sort, so the orderBy exchange is
+    tiny, while repartitionByRange(raw events) added a sampling pass
+    over the full scan.  Driver r13: 0.86×; r14 interleaved cold-collect
+    A/B: old 0.531 s vs range-first 0.602 s (median of 7)."""
     ev = _cat(spark, sf_dir).events
-    shaped = (ev.repartitionByRange("user_id")
-              .sortWithinPartitions("user_id", F.col("ts").desc(),
-                                    F.col("event_id").desc()))
-    return (limit_by(shaped, ["user_id"], 2,
+    return (limit_by(ev, ["user_id"], 2,
                      order=[F.col("ts").desc(), F.col("event_id").desc()])
             .select("user_id", "event_id", "ts")
-            .sortWithinPartitions("user_id", "event_id"))
+            .orderBy("user_id", "event_id"))
 
 
 @q("limit_with_ties", """
@@ -2905,16 +2913,16 @@ ORDER BY user_id
 def final_replacing_q(spark, sf_dir):
     ev = _cat(spark, sf_dir).events.select("user_id", "event_id", "ts", "value")
     # version = (ts, event_id): latest state per user survives, exactly
-    # ReplacingMergeTree(version) FINAL.  r13: range-partition by the
-    # dedup key first — the window inside replacing_final keeps that
-    # partitioning, so the final per-partition sort IS the global
-    # ORDER BY user_id without the second (range) Exchange whose
-    # sampling re-ran the window.  noop-sink 0.449 s → 0.416 s.
+    # ReplacingMergeTree(version) FINAL.  r14: REVERTED the r13
+    # range-first shape — FINAL contracts to one row per user before the
+    # final sort, so the orderBy exchange is tiny, while
+    # repartitionByRange(raw events) added a sampling pass over the full
+    # scan.  Driver r13: 0.82×; r14 interleaved cold-collect A/B:
+    # old 0.586 s vs range-first 0.675 s (median of 7).
     out = replacing_final(
-        ev.repartitionByRange("user_id")
-        .withColumn("__v", F.struct("ts", "event_id")), ["user_id"],
+        ev.withColumn("__v", F.struct("ts", "event_id")), ["user_id"],
         version="__v")
-    return out.drop("__v").sortWithinPartitions("user_id")
+    return out.drop("__v").orderBy("user_id")
 
 
 @q("final_replacing_expr_key", """

@@ -3,6 +3,9 @@ plans/<tag>/<query>_<suffix>.txt (judge evidence for plan claims).
 
 Usage: python scripts/capture_plans.py <suffix> [name_filter]
 e.g.   python scripts/capture_plans.py before
+Env: SPARK_GRAFT_PLANS_TAG (default r14) selects plans/<tag>/;
+     SPARK_GRAFT_ENTRY_DIR points at a directory holding an alternate
+     __spark_entry__.py (e.g. a git-show snapshot) for BEFORE captures.
 """
 
 from __future__ import annotations
@@ -12,6 +15,8 @@ import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.environ.get("SPARK_GRAFT_ENTRY_DIR"):
+    sys.path.insert(0, os.environ["SPARK_GRAFT_ENTRY_DIR"])
 
 import __spark_entry__ as entry_mod  # noqa: E402
 import bench  # noqa: E402
@@ -24,7 +29,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_TAG", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("plans", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")

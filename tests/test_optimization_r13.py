@@ -61,8 +61,11 @@ def test_rewritten_query_output_is_globally_ordered(spark, name):
 # the range-first entries at the LARGEST fixture present with a tiny
 # advisory partition size pinned, and require a genuinely multi-partition
 # plan before checking global order.
-_RANGE_FIRST = ("win_rank_family", "win_frames_rows", "limit_by_group",
-                "final_replacing", "funnel_window")
+# r14 kept range-first only where the operator does not shrink its
+# input (the removed exchange carries O(N) rows); limit_by_group,
+# final_replacing and funnel_window were reverted to the orderBy shape
+# after the interleaved driver-protocol A/B (see OPTIMIZATION_r14.md).
+_RANGE_FIRST = ("win_rank_family", "win_frames_rows")
 _SF_BIG = next((d for d in ("/root/testdata/sf0.01", SF_DIR)
                 if os.path.exists(d)), SF_DIR)
 
@@ -70,9 +73,17 @@ _SF_BIG = next((d for d in ("/root/testdata/sf0.01", SF_DIR)
 @pytest.mark.parametrize("name", _RANGE_FIRST)
 def test_range_first_order_holds_across_many_partitions(spark, name):
     old = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    old_min = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    # build FIRST: _cat() -> Catalog.__init__ -> apply_runtime_conf would
+    # overwrite the pinned advisory; AQE reads the conf at execution time.
+    # minPartitionSize (default 1m) floors coalescing and would still
+    # collapse the fixture-sized shuffle to one partition.
+    df = entry_mod.queries()[name](spark, _SF_BIG)
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
     try:
-        df = entry_mod.queries()[name](spark, _SF_BIG)
         rdd = df.rdd  # materializes under AQE with the tiny advisory
         assert rdd.getNumPartitions() > 1, (
             f"{name}: want >1 post-shuffle partitions to exercise the "
@@ -84,6 +95,8 @@ def test_range_first_order_holds_across_many_partitions(spark, name):
             f"{name}: rows are not in declared ORDER BY order at {_SF_BIG}")
     finally:
         spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", old)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", old_min)
 
 
 def test_win_rank_family_order_matches_window_order(spark):
