@@ -214,15 +214,28 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text",
     else:
         # Representative: min neighbor id (including self); applied via a
         # left join so isolated docs keep themselves.
-        neigh = (similar.select(F.col("id_b").alias("__id"), F.col("id_a").alias("__n"))
-                 .union(similar.select(F.col("id_a").alias("__id"), F.col("id_b").alias("__n"))))
-        rep = neigh.groupBy("__id").agg(F.min("__n").alias("__rep"))
+        rep = (_undirected(similar)
+               .groupBy("__id").agg(F.min("__n").alias("__rep")))
     out = (df.join(rep, on=df[id_col] == rep["__id"], how="left")
            .withColumn("__keep", F.col("__rep").isNull() |
                        (F.col("__rep") >= F.col(id_col)))
            .filter(F.col("__keep"))
            .select(*df.columns))
     return out
+
+
+def _undirected(similar: DataFrame) -> DataFrame:
+    """(id, n) rows for BOTH directions of each similar pair, emitted by
+    ONE explode (a narrow op) rather than a union of two projections.
+    r14: the union shape planned and executed the ENTIRE candidate
+    pipeline (band self-join, pair dedup, both verification joins) once
+    per branch — no common-subexpression reuse across union arms — and
+    accounted for ~30% of dedup_minhash_lsh's runtime (interleaved
+    driver-protocol A/B: 3.163 s -> 2.231 s median of 7)."""
+    return (similar.select(F.explode(F.array(
+        F.struct(F.col("id_b").alias("__id"), F.col("id_a").alias("__n")),
+        F.struct(F.col("id_a").alias("__id"), F.col("id_b").alias("__n"))
+    )).alias("__e")).select("__e.__id", "__e.__n"))
 
 
 def md5_hash60(c: Column) -> Column:
@@ -278,9 +291,10 @@ def simhash_dedup(df: DataFrame, text_col: str = "text",
     hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     similar = pairs.filter(hamming <= hamming_threshold).select("id_a", "id_b")
 
-    neigh = (similar.select(F.col("id_b").alias("__id"), F.col("id_a").alias("__n"))
-             .union(similar.select(F.col("id_a").alias("__id"), F.col("id_b").alias("__n"))))
-    rep = neigh.groupBy("__id").agg(F.min("__n").alias("__rep"))
+    # same single-explode expansion as minhash (r14): the union shape
+    # ran the block self-join + hamming verify once per direction
+    rep = (_undirected(similar)
+           .groupBy("__id").agg(F.min("__n").alias("__rep")))
     return (df.join(rep, on=df[id_col] == rep["__id"], how="left")
             .filter(F.col("__rep").isNull() | (F.col("__rep") >= F.col(id_col)))
             .select(*df.columns))

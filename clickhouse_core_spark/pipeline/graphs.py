@@ -25,6 +25,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _both_directions(edges: DataFrame) -> DataFrame:
+    """(u, v) plus (v, u) for every edge via ONE explode (narrow).
+    r14: the former union of two projections planned and executed the
+    edge subtree once per branch — for `lboth` that recomputed the
+    whole large-star aggregation twice per iteration (no
+    common-subexpression reuse across union arms)."""
+    return (edges.select(F.explode(F.array(
+        F.struct(F.col("u"), F.col("v")),
+        F.struct(F.col("v").alias("u"), F.col("u").alias("v"))
+    )).alias("__e")).select("__e.u", "__e.v"))
+
+
 def _star_round(edges: DataFrame) -> DataFrame:
     """One large-star + small-star alternation.
 
@@ -34,8 +46,7 @@ def _star_round(edges: DataFrame) -> DataFrame:
     """
     # ---- large-star: for each u, m = min(N(u) ∪ {u});
     #      emit (v, m) for v in N(u) with v > u
-    both = edges.union(edges.select(F.col("v").alias("u"),
-                                    F.col("u").alias("v")))
+    both = _both_directions(edges)
     with_min = (both.groupBy("u")
                 .agg(F.min(F.least("u", "v")).alias("m"),
                      F.collect_set("v").alias("nbrs")))
@@ -47,8 +58,7 @@ def _star_round(edges: DataFrame) -> DataFrame:
 
     # ---- small-star over the large-star output: for each u,
     #      neighbors ≤ u plus u itself link to their min
-    lboth = large.union(large.select(F.col("v").alias("u"),
-                                     F.col("u").alias("v")))
+    lboth = _both_directions(large)
     small_src = lboth.filter(F.col("v") <= F.col("u"))
     smin = (small_src.groupBy("u")
             .agg(F.min(F.least("u", "v")).alias("m"),

@@ -262,11 +262,12 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                .select(F.col("node").alias("__id"),
                        F.col("label").alias("__rep")))
     else:
-        neigh = (similar.select(F.col("id_b").alias("__id"),
-                                F.col("id_a").alias("__n"))
-                 .union(similar.select(F.col("id_a").alias("__id"),
-                                       F.col("id_b").alias("__n"))))
-        rep = neigh.groupBy("__id").agg(F.min("__n").alias("__rep"))
+        # single-explode expansion (r14, see dedup._undirected): the
+        # union shape ran the IVF-assign + cluster self-join subtree
+        # once per direction
+        from clickhouse_core_spark.pipeline.dedup import _undirected
+        rep = (_undirected(similar)
+               .groupBy("__id").agg(F.min("__n").alias("__rep")))
     return (df.join(rep, on=df[id_col] == rep["__id"], how="left")
             .withColumn("__keep", F.col("__rep").isNull()
                         | (F.col("__rep") >= F.col(id_col)))

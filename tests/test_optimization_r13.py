@@ -42,6 +42,7 @@ _ORDER_CONTRACTS = {
     "multimodal_frame_sample": lambda r: (r["doc_id"],),
     "cb_json_props_histogram": lambda r: (
         (r["kb"] is not None, r["kb"]),),  # NULLS FIRST (Spark default)
+    "cb_session_gaps": lambda r: (r["user_id"],),  # r14 range-first
 }
 
 
@@ -65,7 +66,7 @@ def test_rewritten_query_output_is_globally_ordered(spark, name):
 # input (the removed exchange carries O(N) rows); limit_by_group,
 # final_replacing and funnel_window were reverted to the orderBy shape
 # after the interleaved driver-protocol A/B (see OPTIMIZATION_r14.md).
-_RANGE_FIRST = ("win_rank_family", "win_frames_rows")
+_RANGE_FIRST = ("win_rank_family", "win_frames_rows", "cb_session_gaps")
 _SF_BIG = next((d for d in ("/root/testdata/sf0.01", SF_DIR)
                 if os.path.exists(d)), SF_DIR)
 
