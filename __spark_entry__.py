@@ -1719,8 +1719,14 @@ FROM (SELECT user_id,
 GROUP BY user_id ORDER BY user_id
 """)
 def delta_sum_q(spark, sf_dir):
+    # r14 sweep: range-first (same family as cb_session_gaps — the lag
+    # window and the groupBy both cluster on user_id, and the final
+    # per-partition sort IS the global ORDER BY) — 2 Exchange → 1
     ev = _cat(spark, sf_dir).events
-    return delta_sum(ev, ["user_id"], "ts", "value").orderBy("user_id")
+    shaped = (ev.repartitionByRange("user_id")
+              .sortWithinPartitions("user_id", "ts"))
+    return (delta_sum(shaped, ["user_id"], "ts", "value")
+            .sortWithinPartitions("user_id"))
 
 
 @q("ema_halflife", """
@@ -2234,10 +2240,14 @@ SELECT user_id, event_id,
 FROM g ORDER BY user_id, event_id
 """)
 def sessionize_q(spark, sf_dir):
+    # r14 sweep: range-first (see win_lag_lead; sessionize's two stacked
+    # windows both cluster on user_id) — 2 Exchange → 1
     ev = _cat(spark, sf_dir).events
-    return (sessionize(ev, ["user_id"], "ts", gap="30 minutes")
+    shaped = (ev.repartitionByRange("user_id")
+              .sortWithinPartitions("user_id", "ts"))
+    return (sessionize(shaped, ["user_id"], "ts", gap="30 minutes")
             .select("user_id", "event_id", "session_id")
-            .orderBy("user_id", "event_id"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 @q("lttb_downsample", """
@@ -2311,13 +2321,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """)
 def win_lag_lead(spark, sf_dir):
+    # r14 sweep: same range-first family as win_frames_rows (O(N)-output
+    # window; final ORDER BY starts with the window partition key) — the
+    # removed range Exchange carried every row and its sampling pass
+    # re-ran the window subtree.  Plan: 2 Exchange → 1.
     ev = _cat(spark, sf_dir).events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (ev.select("user_id", "event_id", "value",
-                      F.lag("value").over(w).alias("prev_value"),
-                      F.lead("value").over(w).alias("next_value"),
-                      (F.col("value") - F.lag("value").over(w)).alias("delta"))
-            .orderBy("user_id", "event_id"))
+    return (ev.repartitionByRange("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .select("user_id", "event_id", "value",
+                    F.lag("value").over(w).alias("prev_value"),
+                    F.lead("value").over(w).alias("next_value"),
+                    (F.col("value") - F.lag("value").over(w)).alias("delta"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 @q("win_frames_rows", """
@@ -2380,14 +2396,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 ORDER BY user_id, event_id
 """)
 def win_first_last(spark, sf_dir):
+    # r14 sweep: range-first (see win_lag_lead) — 2 Exchange → 1
     ev = _cat(spark, sf_dir).events
     w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-    return (ev.select("user_id", "event_id",
-                      F.first("value").over(w).alias("first_v"),
-                      F.last("value").over(w).alias("last_v"),
-                      F.nth_value("value", 2).over(w).alias("second_v"))
-            .orderBy("user_id", "event_id"))
+    return (ev.repartitionByRange("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .select("user_id", "event_id",
+                    F.first("value").over(w).alias("first_v"),
+                    F.last("value").over(w).alias("last_v"),
+                    F.nth_value("value", 2).over(w).alias("second_v"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 @q("win_agg_over_partition", """
@@ -2417,11 +2436,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY user_id, event_id
 """)
 def win_nonneg_deriv(spark, sf_dir):
+    # r14 sweep: range-first (see win_lag_lead) — 2 Exchange → 1
     ev = _cat(spark, sf_dir).events
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (ev.select("user_id", "event_id",
-                      non_negative_derivative("value", "ts", w).alias("rate"))
-            .orderBy("user_id", "event_id"))
+    return (ev.repartitionByRange("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .select("user_id", "event_id",
+                    non_negative_derivative("value", "ts", w).alias("rate"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 @q("win_groups_frame", """
@@ -2436,13 +2458,17 @@ FROM r ORDER BY user_id, event_id
 """)
 def win_groups_frame_q(spark, sf_dir):
     """GROUPS frame emulation via dense_rank + RANGE (Spark lacks
-    GROUPS; DuckDB has it natively as the oracle)."""
+    GROUPS; DuckDB has it natively as the oracle).
+    r14 sweep: range-first (see win_lag_lead; both stacked windows
+    cluster on user_id) — 2 Exchange → 1."""
     ev = _cat(spark, sf_dir).events
-    return (groups_frame_sum(ev, ["user_id"], "event_type", "value",
+    shaped = (ev.repartitionByRange("user_id")
+              .sortWithinPartitions("user_id", "event_type"))
+    return (groups_frame_sum(shaped, ["user_id"], "event_type", "value",
                              preceding=1, following=0)
             .select("user_id", "event_id",
                     F.round("groups_sum", 4).alias("groups_sum"))
-            .orderBy("user_id", "event_id"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 
@@ -5892,11 +5918,14 @@ def win_running_neighbor(spark, sf_dir):
         running_difference, neighbor)
     ev = _cat(spark, sf_dir).events.filter(F.col("user_id") < 30)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (ev.select("user_id", "event_id",
-                      F.round(running_difference("value", w), 6).alias("run_diff"),
-                      F.round(neighbor("value", 1, w, -1.0), 6).alias("nxt"),
-                      F.round(neighbor("value", -2, w), 6).alias("prev2"))
-            .orderBy("user_id", "event_id"))
+    # r14 sweep: range-first (see win_lag_lead) — 2 Exchange → 1
+    return (ev.repartitionByRange("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+            .select("user_id", "event_id",
+                    F.round(running_difference("value", w), 6).alias("run_diff"),
+                    F.round(neighbor("value", 1, w, -1.0), 6).alias("nxt"),
+                    F.round(neighbor("value", -2, w), 6).alias("prev2"))
+            .sortWithinPartitions("user_id", "event_id"))
 
 
 # ------------------------------------------------- streaming (batch analog)

@@ -43,6 +43,15 @@ _ORDER_CONTRACTS = {
     "cb_json_props_histogram": lambda r: (
         (r["kb"] is not None, r["kb"]),),  # NULLS FIRST (Spark default)
     "cb_session_gaps": lambda r: (r["user_id"],),  # r14 range-first
+    # r14 sweep: the non-headline O(N)-output window entries converted
+    # to the same range-first shape
+    "win_lag_lead": lambda r: (r["user_id"], r["event_id"]),
+    "win_first_last_nth": lambda r: (r["user_id"], r["event_id"]),
+    "win_nonneg_derivative": lambda r: (r["user_id"], r["event_id"]),
+    "win_running_neighbor": lambda r: (r["user_id"], r["event_id"]),
+    "sessionize_gap": lambda r: (r["user_id"], r["event_id"]),
+    "win_groups_frame": lambda r: (r["user_id"], r["event_id"]),
+    "delta_sum_positive": lambda r: (r["user_id"],),
 }
 
 
@@ -66,7 +75,10 @@ def test_rewritten_query_output_is_globally_ordered(spark, name):
 # input (the removed exchange carries O(N) rows); limit_by_group,
 # final_replacing and funnel_window were reverted to the orderBy shape
 # after the interleaved driver-protocol A/B (see OPTIMIZATION_r14.md).
-_RANGE_FIRST = ("win_rank_family", "win_frames_rows", "cb_session_gaps")
+_RANGE_FIRST = ("win_rank_family", "win_frames_rows", "cb_session_gaps",
+                "win_lag_lead", "win_first_last_nth",
+                "win_nonneg_derivative", "sessionize_gap",
+                "win_groups_frame", "delta_sum_positive")
 _SF_BIG = next((d for d in ("/root/testdata/sf0.01", SF_DIR)
                 if os.path.exists(d)), SF_DIR)
 
