@@ -6242,6 +6242,12 @@ def multimodal_decode_q(spark, sf_dir):
     # workers spun up twice); the doc_id < 200 filter bounds the result
     # to 200 rows, so the coalesce(1) sort is scale-safe.  noop-sink
     # 0.631 s → 0.335 s at sf0.1.
+    # GUARD (r13 advice): coalesce(1) is a narrow dependency, so it
+    # back-propagates and runs the WHOLE Python stage in one task
+    # (deliberately — ≤200 bounded input rows make one Python worker
+    # cheaper than several plus an exchange).  If the doc_id < 200
+    # bound above ever goes away, switch to repartition(1) after the
+    # Python stage to restore decode parallelism.
     return (decoded.select("doc_id",
                            F.length("content").cast("long").alias("n_bytes"))
             .coalesce(1).sortWithinPartitions("doc_id"))

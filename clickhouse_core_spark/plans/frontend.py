@@ -10637,7 +10637,11 @@ def _ch_sql_impl(spark, sql: str,
         pred = F.expr(_bool_pred_sql(_rewrite_json_struct_compare(
             _translate_expr(predtext))))
         if table is None:
-            # view-backed (Memory-analog) table: rewrite the view
+            # view-backed (Memory-analog) table: rewrite the view.
+            # NOTE (r13 advice): if `name` shadows a STANDARD_TABLES
+            # view, Catalog.register_all() is idempotent and will NOT
+            # restore the parquet-backed view on the next query entry —
+            # call register_all(force=True) to undo the shadow.
             try:
                 df_v = spark.table(name)
             except Exception:
@@ -10666,7 +10670,8 @@ def _ch_sql_impl(spark, sql: str,
             col, _, expr = part.partition("=")
             assignments[col.strip().strip("`")] = F.expr(_translate_expr(expr.strip()))
         if table is None:
-            # view-backed table: per-row CASE WHEN rewrite
+            # view-backed table: per-row CASE WHEN rewrite (same
+            # register_all(force=True) note as the DELETE branch above)
             try:
                 df_v = spark.table(name)
             except Exception:
