@@ -285,11 +285,15 @@ def benchmark_contamination(df: DataFrame, bench: DataFrame,
                           F.explode("__shingles").alias("__h"))
     hits = (probe.join(F.broadcast(bench_set), on="__h", how="left_semi")
             .groupBy("__id", "__n").agg(F.count("*").alias("__hits")))
-    frac = (doc_sh.select("__id")
-            .join(hits, on="__id", how="left")
-            .select("__id", (F.coalesce(F.col("__hits"), F.lit(0))
-                             / F.coalesce(F.col("__n"), F.lit(1)))
-                    .alias(out_col)))
+    # r14: docs with zero hits are restored by the LEFT join to df +
+    # fillna below — the former extra join against a re-derived
+    # doc_sh.select("__id") ran the whole shingle table a SECOND time
+    # (0/n is 0 regardless of n) for nothing.  One shingle pass, one
+    # fewer join.
+    frac = hits.select(
+        "__id",
+        (F.col("__hits") / F.coalesce(F.col("__n"), F.lit(1)))
+        .alias(out_col))
     return df.join(frac, on=df[id_col] == frac["__id"], how="left") \
         .drop("__id").fillna({out_col: 0.0})
 
