@@ -671,8 +671,18 @@ def extremes(df: DataFrame) -> DataFrame:
               "date", "timestamp", "timestamp_ntz")
     kinds = {c: (t in numish or t.startswith("decimal"))
              for c, t in df.dtypes}
-    mins = [(F.min(c) if kinds[c] else F.lit(None)).alias(c)
-            for c in df.columns]
-    maxs = [(F.max(c) if kinds[c] else F.lit(None)).alias(c)
-            for c in df.columns]
-    return df.agg(*mins).unionByName(df.agg(*maxs))
+    # r14: ONE aggregation computing both rows' values, exploded into
+    # the (min-row, max-row) pair — union(df.agg(mins), df.agg(maxs))
+    # executed the result subtree twice (no common-subexpression reuse
+    # across union arms).
+    mins = [(F.min(c) if kinds[c] else F.lit(None)).alias(f"__mn_{i}")
+            for i, c in enumerate(df.columns)]
+    maxs = [(F.max(c) if kinds[c] else F.lit(None)).alias(f"__mx_{i}")
+            for i, c in enumerate(df.columns)]
+    both = df.agg(*mins, *maxs)
+    return (both.select(F.explode(F.array(
+        F.struct(*[F.col(f"__mn_{i}").alias(c)
+                   for i, c in enumerate(df.columns)]),
+        F.struct(*[F.col(f"__mx_{i}").alias(c)
+                   for i, c in enumerate(df.columns)]),
+    )).alias("__x")).select("__x.*"))

@@ -435,17 +435,39 @@ def running_concurrency(df: DataFrame, keys: Sequence[str],
     survives arbitrary interval counts per key.
     """
     keys = list(keys)
-    opens = df.select(*keys, F.col(start_col).alias("__t"),
-                      F.lit(1).alias("__d"),
-                      F.col(start_col).alias("__b"),
-                      F.col(end_col).alias("__e"))
-    closes = df.select(*keys, F.col(end_col).alias("__t"),
-                       F.lit(-1).alias("__d"),
-                       F.lit(None).cast(df.schema[start_col].dataType)
-                       .alias("__b"),
-                       F.lit(None).cast(df.schema[end_col].dataType)
-                       .alias("__e"))
-    sweep = opens.unionByName(closes)
+    if df.schema[start_col].dataType == df.schema[end_col].dataType:
+        # r14: one explode instead of union(opens, closes) — the union
+        # planned and executed the input subtree once per branch (two
+        # scans of the interval source; no common-subexpression reuse
+        # across union arms), the explode is narrow and reads it once.
+        # Same rows, same (t, d) tie rule in the window order below.
+        sweep = df.select(*keys, F.explode(F.array(
+            F.struct(F.col(start_col).alias("__t"),
+                     F.lit(1).alias("__d"),
+                     F.col(start_col).alias("__b"),
+                     F.col(end_col).alias("__e")),
+            F.struct(F.col(end_col).alias("__t"),
+                     F.lit(-1).alias("__d"),
+                     F.lit(None).cast(df.schema[start_col].dataType)
+                     .alias("__b"),
+                     F.lit(None).cast(df.schema[end_col].dataType)
+                     .alias("__e")),
+        )).alias("__ev")).select(*keys, "__ev.__t", "__ev.__d",
+                                 "__ev.__b", "__ev.__e")
+    else:
+        # mixed start/end types: keep the union, whose type coercion
+        # widens __t correctly
+        opens = df.select(*keys, F.col(start_col).alias("__t"),
+                          F.lit(1).alias("__d"),
+                          F.col(start_col).alias("__b"),
+                          F.col(end_col).alias("__e"))
+        closes = df.select(*keys, F.col(end_col).alias("__t"),
+                           F.lit(-1).alias("__d"),
+                           F.lit(None).cast(df.schema[start_col].dataType)
+                           .alias("__b"),
+                           F.lit(None).cast(df.schema[end_col].dataType)
+                           .alias("__e"))
+        sweep = opens.unionByName(closes)
     w = (Window.partitionBy(*keys)
          .orderBy(F.col("__t"), F.col("__d"))
          .rowsBetween(Window.unboundedPreceding, 0))
