@@ -538,6 +538,12 @@ def q15(spark, sf_dir):
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
              .alias("total_revenue")))
+    # r14: the revenue CTE feeds BOTH the supplier join and the scalar
+    # max subquery — unpersisted, the lineitem scan + aggregation ran
+    # twice (union-diamond class; guide §8 "decide with small rows").
+    # The agg output is one row per active supplier, so the persist is
+    # tiny next to the lineitem pass it saves.
+    revenue = revenue.persist()
     # scalar max as a 1-row broadcast cross join (decorrelated subquery)
     mx = revenue.agg(F.max("total_revenue").alias("__mx"))
     return (c.supplier
@@ -8935,15 +8941,17 @@ def ts_instant_rate_grid_q(spark, sf_dir):
     AggregateFunctionTimeseriesInstantValue.h): last two samples per
     grid point; irate treats a decrease as a counter reset."""
     ev = _cat(spark, sf_dir).events
-    ir = time_series_to_grid(ev, ["event_type"], "ts", "value",
-                             *_TS_GRID, kind="instant_rate", out_col="ir")
-    idl = time_series_to_grid(ev, ["event_type"], "ts", "value",
-                              *_TS_GRID, kind="instant_delta", out_col="idl")
-    return (ir.join(idl, ["event_type", "grid_ts"])
-            .select("event_type",
-                    F.col("grid_ts").cast("long").alias("grid_ts"),
-                    F.round("ir", 6).alias("irate"),
-                    F.round("idl", 6).alias("idelta"))
+    # r14: both kinds project the SAME per-cell sample array — one call
+    # shares one grid pipeline where two calls ran it twice and joined
+    # (4 parquet scans → 2, the join and its exchanges gone)
+    both = time_series_to_grid(ev, ["event_type"], "ts", "value",
+                               *_TS_GRID,
+                               kind=["instant_rate", "instant_delta"],
+                               out_col=["ir", "idl"])
+    return (both.select("event_type",
+                        F.col("grid_ts").cast("long").alias("grid_ts"),
+                        F.round("ir", 6).alias("irate"),
+                        F.round("idl", 6).alias("idelta"))
             .orderBy("event_type", "grid_ts"))
 
 

@@ -50,14 +50,28 @@ def _epoch_seconds(col: Column, dtype: str) -> Column:
 def time_series_to_grid(df: DataFrame, keys: Sequence[str], ts_col: str,
                         value_col: str, start: float, end: float,
                         step: float, window: float,
-                        kind: str = "rate",
-                        out_col: str = "result") -> DataFrame:
+                        kind: str | Sequence[str] = "rate",
+                        out_col: str | Sequence[str] = "result") -> DataFrame:
     """One row per (series, grid point): ``keys + [grid_ts, out_col]``
     (for ``last_two``: ts1/v1 newest, ts2/v2 previous).  Grid points a
     series never samples near still appear, with NULL result — the
-    reference emits a full bucket array per group."""
-    if kind not in KINDS:
-        raise ValueError(f"kind must be one of {KINDS}")
+    reference emits a full bucket array per group.
+
+    r14: ``kind``/``out_col`` may be parallel SEQUENCES — every kind is
+    a different projection of the SAME per-cell sample array, so N
+    kinds in one call share one grid pipeline (sample pass, explode,
+    cell aggregation, grid join) where N separate calls ran it N times
+    and joined (ts_instant_rate_grid: 2 pipelines + join → 1 pipeline,
+    4 parquet scans → 2)."""
+    kinds = [kind] if isinstance(kind, str) else list(kind)
+    out_cols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(kinds) != len(out_cols):
+        raise ValueError("kind and out_col must have the same length")
+    for k in kinds:
+        if k not in KINDS:
+            raise ValueError(f"kind must be one of {KINDS}")
+    if "last_two" in kinds and len(kinds) > 1:
+        raise ValueError("last_two emits fixed columns; request it alone")
     keys = list(keys)
     n_buckets = int((end - start) // step) + 1
 
@@ -99,51 +113,53 @@ def time_series_to_grid(df: DataFrame, keys: Sequence[str], ts_col: str,
     first = F.element_at(arr, 1)
     last = F.element_at(arr, -1)
 
-    if kind == "resample":
-        result = F.when(n_s > 0, last["v"])
-        out = [result.alias(out_col)]
-    elif kind in ("instant_delta", "instant_rate"):
-        prev = F.element_at(arr, -2)
-        dt = last["t"] - prev["t"]
-        if kind == "instant_rate":
-            # counter reset: a decrease uses the raw new value
-            vd = F.when(last["v"] < prev["v"], last["v"]) \
-                  .otherwise(last["v"] - prev["v"])
-            val = vd / dt
-        else:
-            val = last["v"] - prev["v"]
-        result = F.when((n_s >= 2) & (dt != 0), val)
-        out = [result.alias(out_col)]
-    elif kind == "last_two":
-        prev = F.element_at(arr, -2)
-        out = [F.when(n_s >= 1, last["t"]).alias("ts1"),
-               F.when(n_s >= 1, last["v"]).alias("v1"),
-               F.when(n_s >= 2, prev["t"]).alias("ts2"),
-               F.when(n_s >= 2, prev["v"]).alias("v2")]
-    else:  # rate / delta with Prometheus extrapolation
-        is_rate = kind == "rate"
-        ti = last["t"] - first["t"]  # sampled interval
-        resets = F.aggregate(
-            F.sequence(F.lit(1), n_s - 1), F.lit(0.0),
-            lambda acc, k: acc + F.when(
-                F.element_at(arr, (k + 1).cast("int"))["v"]
-                < F.element_at(arr, k.cast("int"))["v"],
-                F.element_at(arr, k.cast("int"))["v"]).otherwise(F.lit(0.0)))
-        vd = (last["v"] - first["v"]) + (resets if is_rate else F.lit(0.0))
-        avg_dur = ti / (n_s - 1).cast("double")
-        thr = avg_dur * 1.1
-        dts = first["t"] - (gt - F.lit(float(window)))
-        dte = gt - last["t"]
-        dts = F.when(dts >= thr, avg_dur / 2).otherwise(dts)
-        if is_rate:
-            # extrapolate only to the counter's zero point, never below
-            dts = F.when((vd > 0) & (first["v"] >= 0),
-                         F.least(ti * (first["v"] / vd), dts)).otherwise(dts)
-        dte = F.when(dte >= thr, avg_dur / 2).otherwise(dte)
-        factor = (ti + dts + dte) / ti
-        if is_rate:
-            factor = factor / F.lit(float(window))
-        result = F.when((n_s >= 2) & (ti != 0), vd * factor)
-        out = [result.alias(out_col)]
+    out = []
+    for k, oc in zip(kinds, out_cols):
+        if k == "resample":
+            result = F.when(n_s > 0, last["v"])
+            out.append(result.alias(oc))
+        elif k in ("instant_delta", "instant_rate"):
+            prev = F.element_at(arr, -2)
+            dt = last["t"] - prev["t"]
+            if k == "instant_rate":
+                # counter reset: a decrease uses the raw new value
+                vd = F.when(last["v"] < prev["v"], last["v"]) \
+                      .otherwise(last["v"] - prev["v"])
+                val = vd / dt
+            else:
+                val = last["v"] - prev["v"]
+            result = F.when((n_s >= 2) & (dt != 0), val)
+            out.append(result.alias(oc))
+        elif k == "last_two":
+            prev = F.element_at(arr, -2)
+            out.extend([F.when(n_s >= 1, last["t"]).alias("ts1"),
+                        F.when(n_s >= 1, last["v"]).alias("v1"),
+                        F.when(n_s >= 2, prev["t"]).alias("ts2"),
+                        F.when(n_s >= 2, prev["v"]).alias("v2")])
+        else:  # rate / delta with Prometheus extrapolation
+            is_rate = k == "rate"
+            ti = last["t"] - first["t"]  # sampled interval
+            resets = F.aggregate(
+                F.sequence(F.lit(1), n_s - 1), F.lit(0.0),
+                lambda acc, i: acc + F.when(
+                    F.element_at(arr, (i + 1).cast("int"))["v"]
+                    < F.element_at(arr, i.cast("int"))["v"],
+                    F.element_at(arr, i.cast("int"))["v"]).otherwise(F.lit(0.0)))
+            vd = (last["v"] - first["v"]) + (resets if is_rate else F.lit(0.0))
+            avg_dur = ti / (n_s - 1).cast("double")
+            thr = avg_dur * 1.1
+            dts = first["t"] - (gt - F.lit(float(window)))
+            dte = gt - last["t"]
+            dts = F.when(dts >= thr, avg_dur / 2).otherwise(dts)
+            if is_rate:
+                # extrapolate only to the counter's zero point, never below
+                dts = F.when((vd > 0) & (first["v"] >= 0),
+                             F.least(ti * (first["v"] / vd), dts)).otherwise(dts)
+            dte = F.when(dte >= thr, avg_dur / 2).otherwise(dte)
+            factor = (ti + dts + dte) / ti
+            if is_rate:
+                factor = factor / F.lit(float(window))
+            result = F.when((n_s >= 2) & (ti != 0), vd * factor)
+            out.append(result.alias(oc))
 
     return full.select(*keys, gt.alias("grid_ts"), *out)
